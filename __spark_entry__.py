@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``  : flagship star-join query at sf0.001 (smoke check).
+``queries()``     : one callable per implemented operator (SURVEY.md §2 +
+                    north-star training-data ops), (spark, sf_dir) -> DataFrame.
+``oracle_sql()``  : DuckDB-runnable SQL twin per query (omitted only for
+                    genuinely non-SQL-expressible ops: LSH/IVF approximate
+                    search, MinHash-LSH candidates, mapInPandas decode).
+
+Column-name and dtype discipline: every computed column is aliased
+identically on both sides; DuckDB aggregates are CAST to match Spark
+output types (sum->BIGINT, len->INTEGER, ...). Every float column that is
+the result of arithmetic is rounded identically on both sides (see
+operators/relational.py docstring for the rationale).
 """
 
 from __future__ import annotations
@@ -12,27 +19,617 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pubsub_mapreduce_spark.io import load_tables
+from pubsub_mapreduce_spark.operators import (
+    dedup,
+    multimodal,
+    pipeline as P,
+    relational as R,
+    similarity as S,
+    textops as TX,
+)
+
+# ---------------------------------------------------------------- helpers
+
+
+def _events_with_n(t) -> DataFrame:
+    """events + n = props.k (the fan-out count analogue, F3 dynamic JSON)."""
+    return t["events"].withColumn(
+        "n", F.get_json_object("props", "$.k").cast("long")
+    )
+
+
+def _latest(t) -> DataFrame:
+    return P.latest_per_key(t["events"])
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_t1_latest_per_key(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return _latest(t).select(
+        "user_id",
+        "value",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "event_id",
+    )
+
+
+def q_t2_snapshot_scale(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return P.snapshot_scale(_latest(t)).select("user_id", "quota")
+
+
+def q_t3_fan_out(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    fanned = P.fan_out(_events_with_n(t), key="user_id", n="n")
+    return fanned.groupBy("user_id").agg(F.count(F.lit(1)).alias("fanned"))
+
+
+def q_t4_windowed_count(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return P.windowed_count(t["events"], window="1 hour")
+
+
+def q_t5_merge_partials(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    partials = (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "user_id", "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            "user_id",
+            "cnt",
+        )
+    )
+    return P.merge_partials(partials)
+
+
+def q_t6_rate_per_window(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return P.rate_per_window(t["events"], window="1 day", window_seconds=86400)
+
+
+def q_t7_running_total(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    out = P.running_total(t["events"], key="user_id")
+    return out.select(
+        "event_id", "user_id", F.round("running_total", 2).alias("running_total")
+    )
+
+
+def q_t8_emit_on_change(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return P.emit_on_change(t["events"]).select("event_id", "user_id", "value")
+
+
+def q_codec_roundtrip(spark, sf_dir):
+    from pubsub_mapreduce_spark.functions import codecs as C
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    return ev.select(
+        "event_id",
+        C.int_to_hex(F.col("user_id")).alias("uid_hex"),
+        C.hex_to_int(C.int_to_hex(F.col("user_id"))).alias("uid_rt"),
+        C.json_field("props", "$.k").cast("long").alias("k"),
+        C.b64_encode(F.col("event_type").cast("binary")).alias("etype_b64"),
+        F.floor(F.col("value") * 0.2).cast("long").alias("quota"),
+    )
+
+
+def q_q1_pricing_summary(spark, sf_dir):
+    return R.q1_pricing_summary(load_tables(spark, sf_dir))
+
+
+def q_q5_revenue_by_nation(spark, sf_dir):
+    return R.revenue_by_nation(load_tables(spark, sf_dir))
+
+
+def q_q3_shipping_priority(spark, sf_dir):
+    return R.q3_shipping_priority(load_tables(spark, sf_dir))
+
+
+def q_part_supplier_stats(spark, sf_dir):
+    return R.part_supplier_stats(load_tables(spark, sf_dir))
+
+
+def q_semi_open_orders(spark, sf_dir):
+    return R.customers_with_open_orders(load_tables(spark, sf_dir))
+
+
+def q_anti_no_orders(spark, sf_dir):
+    return R.customers_without_orders(load_tables(spark, sf_dir))
+
+
+def q_outer_nation_counts(spark, sf_dir):
+    return R.nation_customer_counts(load_tables(spark, sf_dir))
+
+
+def q_distinct_per_status(spark, sf_dir):
+    return R.distinct_customers_per_status(load_tables(spark, sf_dir))
+
+
+def q_rollup_acctbal(spark, sf_dir):
+    return R.acctbal_rollup(load_tables(spark, sf_dir))
+
+
+def q_window_top_orders(spark, sf_dir):
+    return R.top_orders_per_customer(load_tables(spark, sf_dir))
+
+
+def q_setops_users(spark, sf_dir):
+    return R.purchase_and_error_users(load_tables(spark, sf_dir))
+
+
+def q_orders_by_month(spark, sf_dir):
+    return R.orders_by_month(load_tables(spark, sf_dir))
+
+
+def q_top_spenders(spark, sf_dir):
+    return R.global_top_spenders(load_tables(spark, sf_dir))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(load_tables(spark, sf_dir)["documents"])
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash(load_tables(spark, sf_dir)["documents"])
+
+
+def q_text_doc_stats(spark, sf_dir):
+    return TX.doc_stats(load_tables(spark, sf_dir)["documents"])
+
+
+def q_text_quality_by_source(spark, sf_dir):
+    return TX.quality_by_source(load_tables(spark, sf_dir)["documents"])
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    return S.cosine_topk(load_tables(spark, sf_dir)["embeddings"], k=5, every=50)
+
+
+def q_sim_near_pairs(spark, sf_dir):
+    return S.embedding_near_pairs(
+        load_tables(spark, sf_dir)["embeddings"], threshold=0.45
+    )
+
+
+def q_sim_ann_lsh(spark, sf_dir):
+    return S.ann_lsh_topk(load_tables(spark, sf_dir)["embeddings"], k=5, every=50)
+
+
+def q_sim_ann_ivf(spark, sf_dir):
+    return S.ann_ivf_topk(load_tables(spark, sf_dir)["embeddings"], k=5, every=50)
+
+
+def q_binary_meta(spark, sf_dir):
+    return multimodal.binary_meta(load_tables(spark, sf_dir)["documents"])
+
+
+def q_multimodal_decode(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    return multimodal.decode_image_batch(multimodal.attach_media(docs), fake=True)
+
+
+# ---------------------------------------------------------------- contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_q5_revenue_by_nation(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # reference pipeline T1-T8 + codecs (batch replay over events)
+        "t1_latest_per_key": q_t1_latest_per_key,
+        "t2_snapshot_scale": q_t2_snapshot_scale,
+        "t3_fan_out": q_t3_fan_out,
+        "t4_windowed_count": q_t4_windowed_count,
+        "t5_merge_partials": q_t5_merge_partials,
+        "t6_rate_per_window": q_t6_rate_per_window,
+        "t7_running_total": q_t7_running_total,
+        "t8_emit_on_change": q_t8_emit_on_change,
+        "codec_roundtrip": q_codec_roundtrip,
+        # batch relational surface
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q5_revenue_by_nation": q_q5_revenue_by_nation,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "part_supplier_stats": q_part_supplier_stats,
+        "semi_open_orders": q_semi_open_orders,
+        "anti_no_orders": q_anti_no_orders,
+        "outer_nation_counts": q_outer_nation_counts,
+        "distinct_per_status": q_distinct_per_status,
+        "rollup_acctbal": q_rollup_acctbal,
+        "window_top_orders": q_window_top_orders,
+        "setops_users": q_setops_users,
+        "orders_by_month": q_orders_by_month,
+        "top_spenders": q_top_spenders,
+        # dedup / text / similarity / multimodal
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "text_doc_stats": q_text_doc_stats,
+        "text_quality_by_source": q_text_quality_by_source,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_near_pairs": q_sim_near_pairs,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_ivf": q_sim_ann_ivf,
+        "binary_meta": q_binary_meta,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# Shared SQL fragments for the oracle twins.
+_SHINGLES_CTE = r"""
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, array_to_string(tk[i+1:i+3], ' ') AS shingle
+    FROM toks, LATERAL (SELECT unnest(range(greatest(len(tk)-3, 0)+1)) AS i) _
+  ) WHERE shingle <> ''
+)
+"""
+
+_TEXT_FEATURES_CTE = r"""
+feat AS (
+  SELECT
+    doc_id,
+    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk,
+    length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum
+  FROM documents
+),
+feat2 AS (
+  SELECT
+    doc_id,
+    CAST(len(tk) AS INTEGER) AS tok_ws,
+    CASE WHEN len(tk) > 0
+         THEN len(list_filter(tk, t -> lower(t) IN
+              ('the','a','of','and','to','in','is','it','for','on'))) * 1.0 / len(tk)
+         ELSE 0.0 END AS swr,
+    CASE WHEN len(tk) > 0
+         THEN list_aggregate(list_transform(tk, t -> length(t)), 'sum') * 1.0 / len(tk)
+         ELSE 0.0 END AS atl,
+    CASE WHEN nonspace > 0 THEN (nonspace - alnum) * 1.0 / nonspace ELSE 0.0 END AS pr,
+    tk
+  FROM feat
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "t1_latest_per_key": """
+            SELECT user_id, value,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "t2_snapshot_scale": """
+            SELECT user_id, CAST(floor(value * 0.2) AS BIGINT) AS quota
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1 AND CAST(floor(value * 0.2) AS BIGINT) > 0
+        """,
+        "t3_fan_out": """
+            SELECT user_id, CAST(sum(k) AS BIGINT) AS fanned
+            FROM (SELECT user_id,
+                         json_extract_string(props, '$.k')::BIGINT AS k
+                  FROM events)
+            WHERE k > 0 GROUP BY user_id
+        """,
+        "t4_windowed_count": """
+            SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start_s,
+                   user_id, count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        """,
+        "t5_merge_partials": """
+            SELECT window_start_s, user_id, CAST(sum(cnt) AS BIGINT) AS cnt
+            FROM (
+              SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start_s,
+                     user_id, event_type, count(*) AS cnt
+              FROM events GROUP BY 1, 2, 3)
+            GROUP BY 1, 2
+        """,
+        "t6_rate_per_window": """
+            SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS window_start_s,
+                   user_id, count(*) AS cnt,
+                   floor(count(*) / 86400.0 * 1e6 + 0.5) / 1e6 AS per_sec
+            FROM events GROUP BY 1, 2
+        """,
+        "t7_running_total": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING), 2) AS running_total
+            FROM events
+        """,
+        "t8_emit_on_change": """
+            SELECT event_id, user_id, value FROM (
+              SELECT event_id, user_id, value,
+                     lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events)
+            WHERE prev IS NULL OR value <> prev
+        """,
+        "codec_roundtrip": """
+            SELECT event_id,
+                   lower(to_hex(user_id)) AS uid_hex,
+                   user_id AS uid_rt,
+                   json_extract_string(props, '$.k')::BIGINT AS k,
+                   to_base64(encode(event_type)) AS etype_b64,
+                   CAST(floor(value * 0.2) AS BIGINT) AS quota
+            FROM events
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q5_revenue_by_nation": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+              AND r_name IN ('ASIA', 'EUROPE')
+            GROUP BY r_name, n_name
+        """,
+        "q3_shipping_priority": """
+            SELECT o_orderkey,
+                   CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s,
+                   o_orderpriority, revenue
+            FROM (
+              SELECT o_orderkey, o_orderdate, o_orderpriority,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '2000-01-01'
+                AND l_shipdate  > TIMESTAMP '1996-03-15'
+              GROUP BY o_orderkey, o_orderdate, o_orderpriority)
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "part_supplier_stats": """
+            SELECT n_name, p_brand,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n_rows
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN part     ON l_partkey = p_partkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            GROUP BY n_name, p_brand
+        """,
+        "semi_open_orders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        """,
+        "anti_no_orders": """
+            SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        """,
+        "outer_nation_counts": """
+            SELECT n_nationkey, n_name,
+                   count(c_custkey) AS n_customers,
+                   count(DISTINCT c_mktsegment) AS n_segments,
+                   round(coalesce(sum(c_acctbal), 0.0), 2) AS total_acctbal
+            FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+            GROUP BY n_nationkey, n_name
+        """,
+        "distinct_per_status": """
+            SELECT o_orderstatus,
+                   count(DISTINCT o_custkey) AS n_customers,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "rollup_acctbal": """
+            SELECT coalesce(r_name, 'ALL') AS region,
+                   coalesce(n_name, 'ALL') AS nation,
+                   round(sum(c_acctbal), 2) AS sum_acctbal,
+                   count(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "window_top_orders": """
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice, 2) AS totalprice,
+                   CAST(rk AS INTEGER) AS rk
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                  FROM orders)
+            WHERE rk <= 3
+        """,
+        "setops_users": """
+            SELECT DISTINCT user_id FROM (
+              (SELECT user_id FROM events WHERE event_type = 'purchase'
+               INTERSECT
+               SELECT user_id FROM events WHERE event_type = 'error')
+              UNION
+              SELECT user_id FROM events
+              WHERE event_type = 'signup' AND value > 150.0)
+        """,
+        "orders_by_month": """
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                   CAST(month(o_orderdate) AS INTEGER) AS mo,
+                   upper(substr(o_orderpriority, 1, 1)) AS prio_initial,
+                   count(*) AS n_orders,
+                   round(avg(o_totalprice), 4) AS avg_price
+            FROM orders GROUP BY 1, 2, 3
+        """,
+        "top_spenders": """
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS lifetime_spend
+            FROM orders GROUP BY o_custkey
+            ORDER BY lifetime_spend DESC, o_custkey ASC
+            LIMIT 25
+        """,
+        "dedup_exact": """
+            SELECT md5(lower(trim(text))) AS content_md5,
+                   min(doc_id) AS keeper_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+            shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+              FROM shf x JOIN shf y USING (shingle)
+              WHERE x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+            SELECT a, b, jaccard FROM (
+              SELECT a, b,
+                     floor(common * 1.0 / (sa.sz + sb.sz - common) * 1e6 + 0.5) / 1e6 AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b)
+            WHERE jaccard >= 0.5
+        """,
+        "dedup_simhash": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                        t -> t <> '')) AS tok
+              FROM documents
+            ),
+            hashed AS (
+              SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+            ),
+            bits AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM hashed, (SELECT unnest(range(32)) AS i) _
+              GROUP BY doc_id, i
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
+                     AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        "text_doc_stats": f"""
+            WITH {_TEXT_FEATURES_CTE}
+            SELECT
+              doc_id, tok_ws,
+              CAST(len(regexp_extract_all(
+                  (SELECT text FROM documents d WHERE d.doc_id = feat2.doc_id),
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS tok_bpe,
+              floor(swr * 1e6 + 0.5) / 1e6 AS stopword_ratio,
+              floor(pr * 1e6 + 0.5) / 1e6 AS punct_ratio,
+              floor(atl * 1e4 + 0.5) / 1e4 AS avg_token_len,
+              floor((0.4 * (CASE WHEN length((SELECT text FROM documents d
+                                             WHERE d.doc_id = feat2.doc_id)) BETWEEN 100 AND 20000
+                                THEN 1.0
+                                WHEN length((SELECT text FROM documents d
+                                             WHERE d.doc_id = feat2.doc_id)) >= 20
+                                THEN 0.5 ELSE 0.0 END)
+                  + 0.3 * least(swr * 5.0, 1.0)
+                  + 0.3 * (1.0 - pr)) * 1e4 + 0.5) / 1e4 AS quality,
+              CASE WHEN swr >= 0.08 THEN 'en' ELSE 'other' END AS lang_pred,
+              list_reduce(
+                list_prepend(0::BIGINT,
+                  list_transform(tk, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+                (acc, h) -> (acc * 31 + h) % 2147483647) AS fingerprint
+            FROM feat2
+        """,
+        "text_quality_by_source": f"""
+            WITH {_TEXT_FEATURES_CTE},
+            q AS (
+              SELECT d.source, d.lang, d.n_chars, f.tok_ws,
+                     0.4 * (CASE WHEN length(d.text) BETWEEN 100 AND 20000 THEN 1.0
+                                 WHEN length(d.text) >= 20 THEN 0.5 ELSE 0.0 END)
+                     + 0.3 * least(f.swr * 5.0, 1.0)
+                     + 0.3 * (1.0 - f.pr) AS quality
+              FROM documents d JOIN feat2 f ON d.doc_id = f.doc_id)
+            SELECT source, lang,
+                   count(*) AS n_docs,
+                   round(avg(quality), 4) AS avg_quality,
+                   CAST(sum(tok_ws) AS BIGINT) AS total_tokens,
+                   round(avg(n_chars), 2) AS avg_chars
+            FROM q GROUP BY source, lang
+        """,
+        "sim_cosine_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+            q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id % 50 = 0),
+            scored AS (
+              SELECT query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q_emb, emb) AS sim
+              FROM q JOIN e ON e.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+                   round(sim, 4) AS sim
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id ASC) AS rank
+                  FROM scored)
+            WHERE rank <= 5
+        """,
+        "sim_near_pairs": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+            SELECT a, b, sim FROM (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                     round(list_cosine_similarity(x.emb, y.emb), 4) AS sim
+              FROM e x JOIN e y ON x.vec_id < y.vec_id)
+            WHERE sim >= 0.45
+        """,
+        "binary_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                   sha256(text) AS sha256,
+                   substr(to_base64(encode(text)), 1, 24) AS b64_prefix
+            FROM documents
+        """,
+        # no oracle (approximate / non-SQL-expressible, rows-only check):
+        #   dedup_minhash_lsh, sim_ann_lsh, sim_ann_ivf, multimodal_decode
+    }

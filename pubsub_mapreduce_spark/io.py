@@ -1,0 +1,57 @@
+"""Fixture readers.
+
+The driver fixtures are one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}/`` (see TESTDATA.md / FIXTURES.md).
+At 100TB these would be partitioned parquet/iceberg datasets; the reader
+API is the same ``spark.read.parquet`` either way — column pruning and
+predicate pushdown reach the scan automatically when callers select/filter
+on the returned DataFrames (verify via ``plans.explain_str``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Lazy scan — filters/projections applied by
+    the caller are pushed into the parquet reader by Catalyst.
+
+    The events table stores ts as TIMESTAMP(NANOS); with
+    ``nanosAsLong`` it arrives as long nanoseconds and is converted here
+    to TimestampType by integer ns->us division (truncation — identical
+    to how DuckDB reads the same file, so oracle comparisons agree)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table as a dict of lazy DataFrames."""
+    return {name: read_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views for ``spark.sql`` use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

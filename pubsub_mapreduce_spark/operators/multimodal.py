@@ -1,0 +1,146 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+container): ``decode_image_batch`` raises NotImplementedError unless
+``fake=True``, in which case a deterministic fake decoder derives
+"features" from the raw bytes. Everything around the stub — the schema
+contract, the Arrow batch shape, the partitioning, the UDF signature —
+is real and tested; swapping in PIL/ffmpeg is a one-function change.
+
+Scale notes: binary payloads ride the scan as plain parquet BINARY; the
+mapInPandas stage is embarrassingly parallel (no shuffle), and feature
+extraction emits narrow rows so the expensive bytes are dropped as early
+as possible (project-away after decode).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),  # image|audio|video
+        StructField("format", StringType()),  # png|wav|mp4|...
+        StructField("data", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("checksum", StringType()),
+    ]
+)
+
+
+def attach_media(docs: DataFrame) -> DataFrame:
+    """Manufacture a media table from the documents fixture: the utf-8
+    text bytes stand in for an opaque payload. Real pipelines read the
+    payloads from parquet/blob storage with exactly this schema."""
+    return docs.select(
+        "doc_id",
+        F.lit("image").alias("media_type"),
+        F.lit("raw").alias("format"),
+        F.col("text").cast("binary").alias("data"),
+        F.octet_length(F.col("text").cast("binary")).alias("n_bytes"),
+    )
+
+
+def _fake_decode(data: bytes) -> tuple[int, int]:
+    """Deterministic fake image decode: fold bytes into a (width, height).
+    Stands in for PIL.Image.open(...).size — same call shape."""
+    n = len(data)
+    return (n % 640) + 1, (sum(data[:16]) % 480) + 1
+
+
+def decode_image_batch(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode/feature-extract stage over Arrow batches.
+
+    With ``fake=False`` this is where a real decoder (PIL, torchvision,
+    ffmpeg) plugs in; the container has none, so it raises — clearly a
+    stub, per the build contract.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "Real image decode requires PIL/ffmpeg, not present in this "
+            "container. Use fake=True for the deterministic stub."
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            dims = [_fake_decode(bytes(b)) for b in pdf["data"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": [w for w, _ in dims],
+                    "height": [h for _, h in dims],
+                    "checksum": [
+                        hashlib.sha256(bytes(b)).hexdigest()[:16] for b in pdf["data"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: emits one row per
+    sampled "frame" (deterministic fake: one frame per 256-byte block,
+    sampled every ``every_n``). Shows the 1->N mapInPandas expansion
+    shape a real ffmpeg frame extractor would use."""
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("frame_bytes", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_bytes": []}
+            for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                blob = bytes(data)
+                n_frames = max(1, len(blob) // 256)
+                for i in range(0, n_frames, every_n):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_bytes"].append(blob[i * 256 : (i + 1) * 256])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def binary_meta(docs: DataFrame) -> DataFrame:
+    """Pure-SQL metadata over binary payloads (no Python): byte length,
+    sha256, base64 prefix — the cheap pre-decode audit columns."""
+    data = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.octet_length(data).alias("n_bytes"),
+        F.sha2(data, 256).alias("sha256"),
+        F.substring(F.base64(data), 1, 24).alias("b64_prefix"),
+    )

@@ -1,0 +1,289 @@
+"""Batch relational surface over the TPC-H-ish star schema.
+
+The reference has no relational capability (SURVEY.md section 2.6); this
+module is the north-star batch surface: scans, filters, joins
+(broadcast/shuffle/semi/anti/outer), aggregation variants (distinct,
+rollup), analytic windows, top-k, and set operations — all declarative
+DataFrame ops so Catalyst gets predicate pushdown, column pruning, join
+reordering, and AQE for free.
+
+Float discipline: every floating-point output column is rounded (r2/r4/r6)
+in BOTH the Spark query and its DuckDB oracle twin, so cross-engine
+summation-order noise (~1e-9 relative) cannot flip the driver's value
+hash. Sums of money-scale doubles use 2 decimals, averages 4, ratios 6.
+
+Scale notes are per-query in docstrings; the recurring ones:
+- dimension joins (region/nation/supplier/part) are broadcast-size at any
+  SF that fits 10MB; customer stops broadcasting around SF10 and AQE
+  switches it to shuffle join — both correct.
+- top-k uses window row_number ONLY when per-group; global top-k uses
+  orderBy().limit(k) which Spark executes as TakeOrderedAndProject (no
+  full sort of 100TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+Tables = dict[str, DataFrame]
+
+
+def _r(col, n):
+    return F.round(col, n)
+
+
+def q1_pricing_summary(t: Tables) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy single-table aggregate. One shuffle on a
+    4-value grouping key; partial aggregation collapses ~6B rows/TB to 4
+    groups map-side, so the shuffle is bytes, not gigabytes."""
+    l = t["lineitem"].where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            _r(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            _r(F.avg("l_quantity"), 4).alias("avg_qty"),
+            _r(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            _r(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def revenue_by_nation(t: Tables) -> DataFrame:
+    """Flagship (TPC-H Q5 shape): 4-way star join + filtered aggregate.
+
+    Join order: lineitem (fact) probe side; orders filtered by date range
+    first (pushdown to scan), then customer -> nation -> region as
+    broadcast dims. Catalyst/AQE picks broadcast-hash for every dim at
+    test SF; at 100TB customer becomes a shuffle join on o_custkey and
+    everything else stays broadcast."""
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    nation_region = broadcast(
+        t["nation"].join(
+            broadcast(t["region"].where(F.col("r_name").isin("ASIA", "EUROPE"))),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation_region, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q3_shipping_priority(t: Tables) -> DataFrame:
+    """TPC-H Q3 shape: join + aggregate + deterministic top-10.
+
+    Global top-k after aggregation: orderBy + limit compiles to
+    TakeOrderedAndProject — each partition keeps its local top 10 and the
+    driver merges, no global sort. Fully deterministic tie-break on the
+    key so LIMIT is stable across engines."""
+    cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].where(F.col("o_orderdate") < F.lit("2000-01-01"))
+    li = t["lineitem"].where(F.col("l_shipdate") > F.lit("1996-03-15"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_s"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def part_supplier_stats(t: Tables) -> DataFrame:
+    """Two broadcast dim joins on the fact table + multi-key aggregate
+    (TPC-H Q9 flavor without the LIKE): revenue and volume per
+    (supplier-nation, part-brand)."""
+    return (
+        t["lineitem"]
+        .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "p_brand")
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            _r(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def customers_with_open_orders(t: Tables) -> DataFrame:
+    """Left SEMI join (EXISTS): customers having at least one 'O' order.
+    Semi joins shuffle only the keys of the probe side — at scale this is
+    the cheapest existence test; Catalyst also rewrites IN-subqueries to
+    this same plan."""
+    open_orders = t["orders"].where(F.col("o_orderstatus") == "O")
+    return (
+        t["customer"]
+        .join(open_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def customers_without_orders(t: Tables) -> DataFrame:
+    """Left ANTI join (NOT EXISTS): customers with no OPEN ('O') orders.
+    (Status-filtered so the result is non-vacuous on the fixtures — every
+    customer has at least one order of some status.)"""
+    open_orders = t["orders"].where(F.col("o_orderstatus") == "O")
+    return (
+        t["customer"]
+        .join(open_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+def nation_customer_counts(t: Tables) -> DataFrame:
+    """LEFT OUTER join preserving empty nations + count distinct.
+    count(c_custkey) (not count(*)) so unmatched nations report 0."""
+    return (
+        broadcast(t["nation"])
+        .join(t["customer"], F.col("n_nationkey") == F.col("c_nationkey"), "left")
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            _r(F.coalesce(F.sum("c_acctbal"), F.lit(0.0)), 2).alias("total_acctbal"),
+        )
+    )
+
+
+def distinct_customers_per_status(t: Tables) -> DataFrame:
+    """COUNT(DISTINCT) aggregate: Catalyst expands to a two-phase
+    (expand + two aggregates) plan — dedup happens partially map-side, so
+    the shuffle carries distinct (status, custkey) pairs, not raw rows."""
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            _r(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def acctbal_rollup(t: Tables) -> DataFrame:
+    """ROLLUP (region, nation) over customer balances; grouping levels
+    labeled via coalesce so the output carries no nulls (stable hashing).
+    Spark executes rollup as a single Expand + aggregate — one shuffle."""
+    joined = (
+        t["customer"]
+        .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            _r(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "sum_acctbal",
+            "n_customers",
+        )
+    )
+
+
+def top_orders_per_customer(t: Tables, k: int = 3) -> DataFrame:
+    """Per-group top-k via row_number window: partitioned by customer so
+    the sort is within-partition after one shuffle. Deterministic
+    tie-break (totalprice desc, orderkey asc)."""
+    w = (
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+            )
+        )
+        .alias("rk")
+    )
+    return (
+        t["orders"]
+        .select("o_custkey", "o_orderkey", _r(F.col("o_totalprice"), 2).alias("totalprice"), w)
+        .where(F.col("rk") <= k)
+    )
+
+
+def purchase_and_error_users(t: Tables) -> DataFrame:
+    """Set operations over the events stream table: users who purchased
+    INTERSECT users who errored, UNION'd with high-value signups, EXCEPT
+    clickers-only. Exercises Spark's INTERSECT/EXCEPT (hash-based
+    distinct set ops, one shuffle each on the full row)."""
+    ev = t["events"]
+    purchasers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    errorers = ev.where(F.col("event_type") == "error").select("user_id")
+    big_signup = (
+        ev.where((F.col("event_type") == "signup") & (F.col("value") > 150.0))
+        .select("user_id")
+    )
+    return purchasers.intersect(errorers).union(big_signup).distinct()
+
+
+def orders_by_month(t: Tables) -> DataFrame:
+    """String/date scalar surface: date_trunc/extract, concat, upper,
+    substring — all codegen'd built-ins over one aggregate."""
+    return (
+        t["orders"]
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.upper(F.substring("o_orderpriority", 1, 1)).alias("prio_initial"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _r(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+def global_top_spenders(t: Tables, k: int = 25) -> DataFrame:
+    """Global top-k AFTER an aggregation: per-customer lifetime spend,
+    top 25. TakeOrderedAndProject keeps this O(k) per partition."""
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(_r(F.sum("o_totalprice"), 2).alias("lifetime_spend"))
+        .orderBy(F.col("lifetime_spend").desc(), F.col("o_custkey").asc())
+        .limit(k)
+    )

@@ -1,0 +1,203 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``).
+
+Three tiers:
+- ``cosine_topk``      : exact brute-force top-k for a query subset —
+                         the correctness baseline, oracle-checked.
+- ``ann_lsh_topk``     : random-hyperplane LSH bucketing — the scale
+                         path; candidates only within matching buckets.
+- ``ann_ivf_topk``     : IVF-style coarse quantization with deterministic
+                         centroids + nprobe search.
+- ``embedding_near_pairs``: all pairs above a cosine threshold (near-dup
+                         by embedding).
+
+Vector math is JVM-side HOFs (functions.vectors) — no Python in the
+scoring loop. For very large k*dim a Pandas-UDF matmul formulation would
+win on constant factors; at 64-dim the HOF path keeps everything in
+whole-stage codegen and avoids the Arrow boundary.
+
+Scale notes: brute force is O(|Q| * |N|) — run it only on a bounded query
+set. LSH/IVF cut |N| per query by bucketing; both express the bucket
+assignment as a broadcast join against a tiny plan-side table (hyperplanes
+/ centroids), so the only big shuffle is the per-bucket candidate join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions.vectors import cosine, dot, norm
+
+DIM = 64
+
+
+def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Cast float32 embeddings to double once, up front — all downstream
+    arithmetic is then double in both Spark and the DuckDB oracle, keeping
+    cross-engine noise at the 1e-15 level (<< ranking gaps)."""
+    return df.withColumn(col, F.col(col).cast("array<double>"))
+
+
+def query_subset(emb: DataFrame, every: int = 50) -> DataFrame:
+    """Deterministic query set: every ``every``-th vec_id."""
+    return emb.where(F.col("vec_id") % every == 0)
+
+
+def cosine_topk(
+    emb: DataFrame, k: int = 5, every: int = 50, exclude_self: bool = True
+) -> DataFrame:
+    """Exact top-k nearest neighbors by cosine for the query subset.
+
+    Broadcast the (small) query side against the full candidate scan; rank
+    per query with a row_number window partitioned by query id (sort only
+    within each query's candidate list). Ties broken by neighbor id.
+    """
+    e = _as_double(emb).select("vec_id", "embedding")
+    q = query_subset(e, every).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = e.join(broadcast(q), F.col("vec_id") != F.col("query_id") if exclude_self else F.lit(True))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col("embedding")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
+def embedding_near_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold — embedding near-dup.
+
+    Brute-force form for oracle checking; at scale run the same verify
+    over ``ann_lsh_topk``-style bucket candidates instead of the full
+    cross join.
+    """
+    e = _as_double(emb).select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int = DIM, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(emb_col, planes: list[list[float]]):
+    """Sign-bit bucket id: bit i = (v . plane_i) >= 0. Pure HOF math —
+    the planes are plan-side literals (broadcast by construction)."""
+    bits = [
+        F.when(dot(emb_col, F.array(*[F.lit(x) for x in p])) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    k: int = 5,
+    every: int = 50,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH: candidates share the
+    query's sign-bit bucket. 8 planes -> 256 buckets -> ~1/256 of the
+    corpus scanned per query. Recall is checked against ``cosine_topk``
+    in tests (not oracle-exact by design)."""
+    planes = _hyperplanes(n_planes, seed=seed)
+    e = _as_double(emb).select("vec_id", "embedding").withColumn(
+        "bucket", lsh_bucket(F.col("embedding"), planes)
+    )
+    q = query_subset(e, every).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket"),
+    )
+    cands = e.join(broadcast(q), on="bucket").where(F.col("vec_id") != F.col("query_id"))
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col("embedding")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    every: int = 50,
+    centroid_every: int = 100,
+    nprobe: int = 5,
+) -> DataFrame:
+    """IVF-flavored ANN: deterministic centroid set (every Nth vector
+    stands in for k-means training, keeping the operator reproducible),
+    vectors assigned to their nearest centroid (broadcast argmin), queries
+    probe the ``nprobe`` nearest centroid lists.
+
+    At 100TB: centroid assignment is a map-only broadcast pass; the
+    inverted lists are the only shuffle (partition by centroid id), and
+    each query touches nprobe/|C| of the corpus."""
+    e = _as_double(emb).select("vec_id", "embedding")
+    cents = e.where(F.col("vec_id") % centroid_every == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    # nearest centroid per vector: broadcast join + per-vector argmax
+    assigned = (
+        e.crossJoin(broadcast(cents))
+        .select("vec_id", "embedding", "cid", cosine(F.col("embedding"), F.col("c_emb")).alias("csim"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid").asc())
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    q = query_subset(e, every).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probes = (
+        q.crossJoin(broadcast(cents))
+        .select("query_id", "q_emb", "cid", cosine(F.col("q_emb"), F.col("c_emb")).alias("csim"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cid").asc())
+            ),
+        )
+        .where(F.col("rk") <= nprobe)
+        .select("query_id", "q_emb", "cid")
+    )
+    cands = probes.join(assigned, on="cid").where(F.col("vec_id") != F.col("query_id"))
+    scored = cands.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cosine(F.col("q_emb"), F.col("embedding")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )

@@ -1,0 +1,53 @@
+"""Text-analysis operators over the ``documents`` table: language ID,
+quality scoring, token counting (whitespace + BPE-ish regex), document
+fingerprinting. Thin DataFrame plans over ``functions.text`` — all
+codegen'd built-ins, no UDFs, so they run at scan speed over 100TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.text import round_half_up as rh
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-document text feature vector: token counts (both tokenizers),
+    stopword/punct ratios, mean token length, heuristic quality score,
+    predicted language, rolling-hash fingerprint."""
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count_ws(c).alias("tok_ws"),
+        T.token_count_bpe(c).alias("tok_bpe"),
+        rh(T.stopword_ratio(c), 6).alias("stopword_ratio"),
+        rh(T.punct_ratio(c), 6).alias("punct_ratio"),
+        rh(T.avg_token_len(c), 4).alias("avg_token_len"),
+        rh(T.quality_score(c), 4).alias("quality"),
+        T.lang_id(c).alias("lang_pred"),
+        T.fingerprint(c).alias("fingerprint"),
+    )
+
+
+def quality_by_source(docs: DataFrame) -> DataFrame:
+    """Corpus curation view: per (source, lang) doc counts, mean quality,
+    token volume — the aggregate a data-pipeline filter stage keys off.
+    One shuffle; all heavy per-doc math happens map-side before it."""
+    c = F.col("text")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(T.quality_score(c)), 4).alias("avg_quality"),
+            F.sum(T.token_count_ws(c)).alias("total_tokens"),
+            F.round(F.avg(F.col("n_chars")), 2).alias("avg_chars"),
+        )
+    )
+
+
+def filter_quality(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
+    """The pipeline's actual dropout stage: keep docs above a quality
+    floor. Expressed as a plain filter so it pushes down/pipelines."""
+    return docs.where(T.quality_score(F.col("text")) >= min_quality)

@@ -1,0 +1,48 @@
+"""Physical-plan introspection helpers.
+
+The scale contract (100TB) is enforced in tests by asserting on plan
+SHAPE, not just results: filters reach the parquet scan, dimension joins
+broadcast, nothing degenerates to a cartesian product, hot paths stay in
+whole-stage codegen. These helpers parse ``explain('formatted')`` output
+so tests can pin those properties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain output as a string (Spark only prints it)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def assert_pushed_filters(df: DataFrame, *needles: str) -> None:
+    """Assert the scan node reports PushedFilters containing each needle
+    (column names are enough — exact predicate syntax varies by version)."""
+    plan = explain_str(df)
+    scan_lines = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    joined = "\n".join(scan_lines)
+    assert scan_lines, f"no PushedFilters in plan:\n{plan}"
+    for n in needles:
+        assert n in joined, f"filter on {n!r} not pushed down:\n{joined}"
+
+
+def assert_broadcast_join(df: DataFrame, min_count: int = 1) -> None:
+    plan = explain_str(df)
+    cnt = plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
+    assert cnt >= min_count, f"expected >= {min_count} broadcast joins:\n{plan}"
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, f"cartesian product in plan:\n{plan}"
+
+
+def assert_wholestage_codegen(df: DataFrame, min_spans: int = 1) -> None:
+    plan = explain_str(df)
+    assert plan.count("WholeStageCodegen") >= min_spans, (
+        f"expected >= {min_spans} WholeStageCodegen spans:\n{plan}"
+    )

@@ -1,0 +1,42 @@
+"""The driver's correctness gate, run locally at sf0.001: every
+``queries()`` entry with an ``oracle_sql()`` twin must match DuckDB
+row-for-row (order-insensitive, columns sorted by name)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMALL
+from tests.oracle_check import compare, duck_con
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_con(SF_SMALL)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_parity(spark, con, name):
+    assert name in QUERIES, f"oracle {name} has no queries() entry"
+    df = QUERIES[name](spark, SF_SMALL)
+    compare(df, con, ORACLES[name], name=name)
+
+
+def test_all_queries_run(spark):
+    """Every queries() entry (incl. oracle-less) executes and returns a
+    stable schema with >= 0 rows."""
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF_SMALL)
+        assert df.columns, name
+        df.count()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
