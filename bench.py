@@ -1,0 +1,93 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop-format write (full execution,
+no driver-side collect overhead). One warm-up scan primes the JVM/file
+cache so the numbers measure the plans, not JIT/startup.
+
+Query selection: every operator family, but only plans whose asymptotics
+survive sf0.1 (the exact O(n^2)-pair queries — ngram_jaccard,
+embedding near-pairs — are correctness-gate material at sf0.01; their
+scale-path replacements minhash_lsh / ann_lsh are what gets benched).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from pubsub_mapreduce_spark.session import get_spark
+
+BENCH_QUERIES = [
+    # relational
+    "q1_pricing_summary",
+    "q5_revenue_by_nation",
+    "q3_shipping_priority",
+    "part_supplier_stats",
+    "window_top_orders",
+    "distinct_per_status",
+    "top_spenders",
+    # reference pipeline (batch replay)
+    "t1_latest_per_key",
+    "t3_fan_out",
+    "t4_windowed_count",
+    "t7_running_total",
+    "codec_roundtrip",
+    # training-data ops (scale paths)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_doc_stats",
+    "text_quality_by_source",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "multimodal_decode",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+
+    # warm-up: prime file cache + JIT with the flagship
+    force(queries["q5_revenue_by_nation"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        force(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
