@@ -73,13 +73,10 @@ def latest_per_key_stream(knobs: DataFrame) -> DataFrame:
                 if cur_ts < ts_s:  # strict: ties keep the held value
                     cur_n, cur_ts = int(n), ts_s
         state.update((cur_n, cur_ts))
-        yield pd.DataFrame(
-            {
-                "id": [key[0]],
-                "n": [cur_n],
-                "ts": [pd.Timestamp(cur_ts, unit="s")],
-            }
-        )
+        # floor to whole microseconds: Spark timestamps are us-precision,
+        # and Arrow's safe cast rejects ns remainders from float seconds
+        out_ts = pd.Timestamp(int(cur_ts * 1_000_000), unit="us", tz="UTC")
+        yield pd.DataFrame({"id": [key[0]], "n": [cur_n], "ts": [out_ts]})
 
     return knobs.groupBy("id").applyInPandasWithState(
         update,
@@ -148,11 +145,20 @@ RUNNING_TOTAL_OUTPUT = StructType(
 )
 
 
-def running_total_stream(counts: DataFrame, cnt_col: str = "cnt") -> DataFrame:
+def running_total_stream(counts: DataFrame, cnt_col: str | None = "cnt") -> DataFrame:
     """T7 streaming — running total across all time (reducer.go:79,87)
     as an explicit stateful accumulator per key (sum state, O(keys)).
     The reference's single global counter is the degenerate key=constant
-    case; keeping it keyed avoids the single-partition bottleneck."""
+    case; keeping it keyed avoids the single-partition bottleneck.
+
+    ``cnt_col=None`` counts raw rows instead of summing pre-aggregated
+    counts. That form composes with the upstream stateless stages in ONE
+    query: Spark rejects stateful-after-aggregation chaining in a single
+    streaming plan (the reference crosses that boundary with a Pub/Sub
+    topic, mapper->reducer). To replay the exact two-stage topology,
+    chain two queries through an intermediate sink (foreachBatch /
+    Kafka-like topic), or use this row-count form on the raw stream —
+    same totals, one state store."""
 
     def update(
         key: tuple[Any, ...],
@@ -161,7 +167,7 @@ def running_total_stream(counts: DataFrame, cnt_col: str = "cnt") -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         total = state.get[0] if state.exists else 0
         for pdf in pdfs:
-            total += int(pdf[cnt_col].sum())
+            total += int(pdf[cnt_col].sum()) if cnt_col else len(pdf)
         state.update((total,))
         yield pd.DataFrame({"id": [key[0]], "total": [total]})
 

@@ -28,14 +28,19 @@ def encode_device_config(df: DataFrame) -> DataFrame:
         F.array_sort(F.collect_list(F.struct("id", "cnt"))).alias("p"),
         F.sum("cnt").alias("total"),
     )
+    # a global agg over an empty batch still yields one row (null total);
+    # map it to a null payload so the sink's idle suppression fires
     return pairs.select(
-        F.base64(
-            F.to_json(
-                F.struct(
-                    F.transform("p", lambda s: s["cnt"]).alias("mps"),
-                    F.col("total"),
-                )
-            ).cast("binary")
+        F.when(
+            F.col("total").isNotNull(),
+            F.base64(
+                F.to_json(
+                    F.struct(
+                        F.transform("p", lambda s: s["cnt"]).alias("mps"),
+                        F.col("total"),
+                    )
+                ).cast("binary")
+            ),
         ).alias("payload")
     )
 

@@ -1,0 +1,217 @@
+"""Streaming smoke tests (SURVEY.md §5 item 3): the reference topology's
+Structured Streaming forms run over deterministic file-source input with
+trigger(availableNow), asserting the conservation invariant the reference
+validates by hand (constant -n => steady-state rate == n, README.md:75-82).
+
+Input determinism: the knob_batch replay generator is written to parquet
+and re-read with readStream (multiple files => multiple micro-batches),
+standing in for the Pub/Sub subscription source (SURVEY.md §2.1 S1).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pubsub_mapreduce_spark.sources.knobs import TOTAL_KNOBS, knob_batch
+from pubsub_mapreduce_spark.streaming.pipeline import (
+    fan_out_stream,
+    latest_per_key_stream,
+    running_total_stream,
+    snapshot_scale_stream,
+    windowed_count_stream,
+)
+from pubsub_mapreduce_spark.streaming.sinks import DeviceConfigSink
+
+N_CONST = 100
+TICKS = 40  # 40 ticks x 200ms = 8s of simulated stream
+
+
+@pytest.fixture(scope="module")
+def knob_dir(spark, tmp_path_factory):
+    """Deterministic knob stream on disk: 4 files => 4 micro-batches with
+    maxFilesPerTrigger=1, so stateful operators cross batch boundaries."""
+    path = str(tmp_path_factory.mktemp("knobs") / "stream")
+    df = knob_batch(spark, n=N_CONST, ticks=TICKS, tick_ms=200)
+    df.repartition(4, "ts").write.mode("overwrite").parquet(path)
+    return path
+
+
+def read_knob_stream(spark, path):
+    schema = "id long, n long, ts timestamp"
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def run_foreach_batch(df, writer, output_mode="update"):
+    """Drain an availableNow query through foreachBatch, collecting
+    (batch_id, rows) driver-side."""
+    batches: list[tuple[int, list]] = []
+
+    def sink(batch_df, batch_id):
+        batches.append((batch_id, batch_df.collect()))
+        writer and writer(batch_df, batch_id)
+
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return batches
+
+
+def final_per_key(batches, key="id"):
+    """Last emitted row per key across update-mode batches."""
+    out = {}
+    for _, rows in sorted(batches, key=lambda b: b[0]):
+        for r in rows:
+            out[r[key]] = r
+    return out
+
+
+def test_lww_stream_matches_batch(spark, knob_dir):
+    """T1 streaming (applyInPandasWithState) converges to the same
+    latest-per-key answer as the batch max_by replay."""
+    stream = read_knob_stream(spark, knob_dir)
+    batches = run_foreach_batch(latest_per_key_stream(stream), None)
+    assert len(batches) >= 4, "expected one micro-batch per input file"
+    got = {k: (r["n"], r["ts"]) for k, r in final_per_key(batches).items()}
+
+    batch_df = spark.read.parquet(knob_dir)
+    expect = {
+        r["id"]: (r["n"], r["ts"])
+        for r in batch_df.groupBy("id")
+        .agg(
+            F.max_by("n", "ts").alias("n"),
+            F.max("ts").alias("ts"),
+        )
+        .collect()
+    }
+    assert got == expect
+
+
+def test_windowed_count_stream_conserves(spark, knob_dir):
+    """T4+T5 streaming: complete-mode windowed counts equal the batch
+    groupBy — no rows lost or duplicated across micro-batches."""
+    stream = read_knob_stream(spark, knob_dir)
+    counted = windowed_count_stream(stream, window="1 second")
+    q = (
+        counted.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("wc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["id"]): r["cnt"]
+        for r in spark.sql("select * from wc").collect()
+    }
+    expect = {
+        (r["ws"], r["id"]): r["cnt"]
+        for r in spark.read.parquet(knob_dir)
+        .groupBy(F.window("ts", "1 second").start.alias("ws"), "id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == expect
+    assert sum(got.values()) == TICKS * TOTAL_KNOBS
+
+
+def test_fan_out_stream_conserves(spark, knob_dir):
+    """T2 -> T3 streaming: exploded row count == sum of quotas (the
+    flood.go:75-81 conservation property), quota = floor(n * 0.2)."""
+    stream = read_knob_stream(spark, knob_dir)
+    flood = snapshot_scale_stream(stream, delta=0.2)
+    fanned = fan_out_stream(flood, n="quota")
+    q = (
+        fanned.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("fan")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    per_knob = {
+        r["id"]: r["c"]
+        for r in spark.sql("select id, count(*) c from fan group by id").collect()
+    }
+    quota = N_CONST * 2 // 10  # floor(100 * 0.2)
+    assert per_knob == {k: quota * TICKS for k in range(TOTAL_KNOBS)}
+
+
+def test_running_total_and_rate_invariant(spark, knob_dir):
+    """End-to-end T2->T3->T4->T6->T7: with constant n, the per-second rate
+    equals floor(n*0.2)*5 == n (the README.md:75-82 hand-check), and the
+    running total ends at quota * ticks per knob. T7 runs in its
+    row-count form on the raw fanned stream — stateful-after-aggregation
+    needs a topic boundary (see running_total_stream docstring)."""
+    stream = read_knob_stream(spark, knob_dir)
+    msgs = fan_out_stream(snapshot_scale_stream(stream, delta=0.2), n="quota")
+    per_sec = windowed_count_stream(msgs, window="1 second")
+    totals = running_total_stream(msgs, cnt_col=None)
+    batches = run_foreach_batch(totals, None)
+    got = {k: r["total"] for k, r in final_per_key(batches).items()}
+    quota = N_CONST * 2 // 10
+    assert got == {k: quota * TICKS for k in range(TOTAL_KNOBS)}
+
+    # steady-state rate: every full 1s window carries 5 ticks x quota == n
+    q = (
+        per_sec.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rates = spark.sql("select cnt from rate").collect()
+    assert rates and all(r["cnt"] == N_CONST for r in rates)
+
+
+def test_device_config_sink_retry_and_suppression(spark):
+    """K2 + T8: bounded retry then success; unchanged payload suppressed;
+    empty batch suppressed; skip flag bypasses everything."""
+    df = spark.createDataFrame([(0, 10), (1, 20)], "id long, cnt long")
+
+    pushes: list[str] = []
+    fails = {"left": 2}
+
+    def flaky(payload: str) -> None:
+        if fails["left"] > 0:
+            fails["left"] -= 1
+            raise IOError("transient")
+        pushes.append(payload)
+
+    sink = DeviceConfigSink(flaky, retry_wait_s=0.0)
+    sink(df, 0)
+    assert len(pushes) == 1  # succeeded on 3rd attempt
+    sink(df, 1)
+    assert len(pushes) == 1  # T8: identical payload suppressed
+    sink(df.limit(0), 2)
+    assert len(pushes) == 1  # empty batch suppressed
+    sink(df.withColumn("cnt", F.col("cnt") * 2), 3)
+    assert len(pushes) == 2  # changed payload pushes
+
+    import base64
+    import json
+
+    decoded = json.loads(base64.b64decode(pushes[0]))
+    assert decoded == {"mps": [10, 20], "total": 30}
+
+    always_fail = DeviceConfigSink(
+        lambda p: (_ for _ in ()).throw(IOError("down")),
+        max_retries=3,
+        retry_wait_s=0.0,
+    )
+    with pytest.raises(RuntimeError, match="after 3 retries"):
+        always_fail(df, 0)
+
+    skipped = DeviceConfigSink(pushes.append, skip=True)
+    skipped(df, 0)
+    assert len(pushes) == 2  # -skip-iot: no push
