@@ -176,6 +176,31 @@ def q_top_spenders(spark, sf_dir):
     return R.global_top_spenders(load_tables(spark, sf_dir))
 
 
+def q_cube_orders(spark, sf_dir):
+    return R.orders_cube(load_tables(spark, sf_dir))
+
+
+def q_price_percentiles(spark, sf_dir):
+    return R.price_percentiles(load_tables(spark, sf_dir))
+
+
+def q_asof_latest_order(spark, sf_dir):
+    return R.events_asof_latest_order(load_tables(spark, sf_dir))
+
+
+def q_session_windows(spark, sf_dir):
+    return R.user_sessions(load_tables(spark, sf_dir), gap="30 minutes")
+
+
+def q_source_knob_sine(spark, sf_dir):
+    """S2/S3 — deterministic batch replay of the simulator's sine profile
+    (simulate-knobs.go:63-71); sf_dir unused (the source generates)."""
+    from pubsub_mapreduce_spark.sources.knobs import knob_batch
+
+    df = knob_batch(spark, n=10000, cycle=True, ticks=200)
+    return df.select("id", "n", F.col("ts").cast("double").alias("ts_s"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(load_tables(spark, sf_dir)["documents"])
 
@@ -194,6 +219,12 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash(load_tables(spark, sf_dir)["documents"])
+
+
+def q_dedup_embedding(spark, sf_dir):
+    return dedup.embedding_dedup(
+        load_tables(spark, sf_dir)["embeddings"], threshold=0.45
+    )
 
 
 def q_text_doc_stats(spark, sf_dir):
@@ -231,6 +262,14 @@ def q_multimodal_decode(spark, sf_dir):
     return multimodal.decode_image_batch(multimodal.attach_media(docs), fake=True)
 
 
+def q_multimodal_frame_sample(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    frames = multimodal.frame_sample(multimodal.attach_media(docs), every_n=4)
+    return frames.select(
+        "doc_id", "frame_idx", F.octet_length("frame_bytes").alias("frame_n_bytes")
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -265,11 +304,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_users": q_setops_users,
         "orders_by_month": q_orders_by_month,
         "top_spenders": q_top_spenders,
+        "cube_orders": q_cube_orders,
+        "price_percentiles": q_price_percentiles,
+        "asof_latest_order": q_asof_latest_order,
+        "session_windows": q_session_windows,
+        # sources (simulator replay)
+        "source_knob_sine": q_source_knob_sine,
         # dedup / text / similarity / multimodal
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
         "text_doc_stats": q_text_doc_stats,
         "text_quality_by_source": q_text_quality_by_source,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -278,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf": q_sim_ann_ivf,
         "binary_meta": q_binary_meta,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
     }
 
 
@@ -515,6 +562,67 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY lifetime_spend DESC, o_custkey ASC
             LIMIT 25
         """,
+        "cube_orders": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(CAST(yr AS INTEGER), -1) AS yr,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM (SELECT o_orderstatus, year(o_orderdate) AS yr, o_totalprice
+                  FROM orders)
+            GROUP BY CUBE (o_orderstatus, yr)
+        """,
+        "price_percentiles": """
+            SELECT o_orderstatus,
+                   floor(quantile_cont(o_totalprice, 0.25) * 100 + 0.5) / 100 AS p25,
+                   floor(quantile_cont(o_totalprice, 0.5)  * 100 + 0.5) / 100 AS p50,
+                   floor(quantile_cont(o_totalprice, 0.75) * 100 + 0.5) / 100 AS p75,
+                   floor(quantile_cont(o_totalprice, 0.9)  * 100 + 0.5) / 100 AS p90,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "asof_latest_order": """
+            SELECT e.event_id, e.user_id,
+                   CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s,
+                   o.o_orderkey AS asof_orderkey,
+                   o.totalprice AS asof_totalprice
+            FROM events e LEFT JOIN LATERAL (
+              SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+              FROM orders
+              WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+              ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON TRUE
+        """,
+        "session_windows": """
+            WITH marked AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER (
+                               PARTITION BY user_id ORDER BY ts)) >= 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events),
+            grouped AS (
+              SELECT user_id, ts, value,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked)
+            SELECT user_id,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+                   CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT)
+                     AS session_end_s,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS session_value
+            FROM grouped GROUP BY user_id, sid
+        """,
+        "source_knob_sine": """
+            SELECT id,
+                   CAST(trunc(10000 * sin(pi() * fmod(t, p) / p)) AS BIGINT) AS n,
+                   t AS ts_s
+            FROM (
+              SELECT ids.id AS id,
+                     1704067200 + r.tick * 0.25 AS t,
+                     20.0 * (ids.id + 1) AS p
+              FROM range(200) r(tick)
+              CROSS JOIN (SELECT unnest(range(5)) AS id) ids)
+        """,
         "dedup_exact": """
             SELECT md5(lower(trim(text))) AS content_md5,
                    min(doc_id) AS keeper_id,
@@ -615,6 +723,18 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             WHERE rank <= 5
         """,
+        "dedup_embedding": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+            pairs AS (
+              SELECT a, b, sim FROM (
+                SELECT x.vec_id AS a, y.vec_id AS b,
+                       round(list_cosine_similarity(x.emb, y.emb), 4) AS sim
+                FROM e x JOIN e y ON x.vec_id < y.vec_id)
+              WHERE sim >= 0.45)
+            SELECT b AS dup_id, min(a) AS keeper_id,
+                   max(sim) AS max_sim, count(*) AS n_neighbors
+            FROM pairs GROUP BY b
+        """,
         "sim_near_pairs": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
             SELECT a, b, sim FROM (
@@ -631,5 +751,6 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # no oracle (approximate / non-SQL-expressible, rows-only check):
-        #   dedup_minhash_lsh, sim_ann_lsh, sim_ann_ivf, multimodal_decode
+        #   dedup_minhash_lsh, sim_ann_lsh, sim_ann_ivf, multimodal_decode,
+        #   multimodal_frame_sample
     }

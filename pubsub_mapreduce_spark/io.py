@@ -46,6 +46,27 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Optionally repartition a too-narrow scan before genuinely heavy
+    per-row work (e.g. a REAL image decode at seconds-per-row).
+
+    Parquet splits only at row-group boundaries, so a small single-file
+    scan arrives as ONE partition. Measured trade-off on the fixtures:
+    widening speeds the map work itself 6x (shingle explode 3.4s -> 0.6s)
+    but SLOWS complete pipelines — a following high-cardinality groupBy
+    then builds partial-aggregate state in every partition and shuffles
+    32x the partial rows, and Pandas-UDF stages pay 32 Python-worker
+    spin-ups for millisecond batches. Operators therefore do NOT call
+    this by default; use it only when downstream per-row cost dwarfs
+    those overheads. At 100TB scans already carry >= cores partitions
+    and this is a no-op either way."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table as a dict of lazy DataFrames."""
     return {name: read_table(spark, sf_dir, name) for name in TABLES}

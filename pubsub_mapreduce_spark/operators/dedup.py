@@ -182,14 +182,16 @@ def minhash_lsh_pairs(
     verify=True; (a, b) candidates otherwise.
     """
     rows_per_band = n_perm // bands
-    # signature path: duplicate-insensitive -> skip the distinct shuffle
-    sig = minhash_signatures(
-        docs,
-        n=n,
-        n_perm=n_perm,
-        seed=seed,
-        shingles=word_shingles(docs, n=n, distinct=False),
+    # One tokenize+explode pass feeds BOTH the signature aggregate and the
+    # exact-jaccard verify (via .distinct()): persisted so the doc scan +
+    # regex tokenization runs once, not twice. MEMORY_AND_DISK so a 100TB
+    # shingle set spills instead of OOMing executors.
+    from pyspark import StorageLevel
+
+    sh_raw = word_shingles(docs, n=n, distinct=False).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    sig = minhash_signatures(docs, n=n, n_perm=n_perm, seed=seed, shingles=sh_raw)
     banded = sig.select(
         "doc_id",
         F.posexplode(
@@ -231,7 +233,7 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cands
-    sh = word_shingles(docs, n=n)  # set semantics for exact jaccard
+    sh = sh_raw.distinct()  # set semantics for exact jaccard
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cands.join(sh.withColumnRenamed("doc_id", "a"), "a")
@@ -251,6 +253,35 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def embedding_dedup(
+    emb: DataFrame, threshold: float = 0.45, docs: DataFrame | None = None
+) -> DataFrame:
+    """Embedding-cosine near-dup: each doc whose embedding is within
+    ``threshold`` cosine of a lower-id doc is a duplicate; its keeper is
+    the smallest such neighbor (single-link to the representative —
+    deterministic without an iterative connected-components pass, which
+    Spark would express as a loop of self-joins and is overkill for
+    keeper selection).
+
+    Pair generation delegates to ``similarity.embedding_near_pairs``
+    (brute force here; at 100TB substitute the LSH/IVF candidate
+    generator — the keeper reduction below is unchanged). Optionally
+    joins doc ids back to documents via ``docs``."""
+    from .similarity import embedding_near_pairs
+
+    pairs = embedding_near_pairs(emb, threshold=threshold)
+    out = pairs.groupBy(F.col("b").alias("dup_id")).agg(
+        F.min("a").alias("keeper_id"),
+        F.max("sim").alias("max_sim"),
+        F.count(F.lit(1)).alias("n_neighbors"),
+    )
+    if docs is not None:
+        out = out.join(
+            docs.select(F.col("doc_id").alias("dup_id")), "dup_id", "left_semi"
+        )
+    return out
 
 
 def simhash(docs: DataFrame, text: str = "text") -> DataFrame:

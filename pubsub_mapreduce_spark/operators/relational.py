@@ -277,6 +277,128 @@ def orders_by_month(t: Tables) -> DataFrame:
     )
 
 
+def orders_cube(t: Tables) -> DataFrame:
+    """CUBE (orderstatus, year): all four grouping levels in one pass.
+    Like rollup, Spark compiles this to a single Expand + HashAggregate —
+    the input is scanned once and shuffled once regardless of how many
+    grouping sets the cube expands to."""
+    return (
+        t["orders"]
+        .cube(F.col("o_orderstatus"), F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _r(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("yr").cast("int"), F.lit(-1)).alias("yr"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+def price_percentiles(t: Tables) -> DataFrame:
+    """Exact linear-interpolation percentiles per order status. Spark's
+    ``percentile`` (exact, sort-based within each group) matches DuckDB's
+    ``quantile_cont``. At 100TB exact percentiles force a per-group sort —
+    the scale path is ``approx_percentile`` (t-digest, one pass, mergeable
+    sketches); exact is kept here because it is oracle-checkable.
+    round_half_up, not F.round: interpolation midpoints land on .5
+    boundaries (see module docstring)."""
+    from ..functions.text import round_half_up
+
+    pct = lambda p: F.percentile("o_totalprice", F.lit(p))
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            round_half_up(pct(0.25), 2).alias("p25"),
+            round_half_up(pct(0.5), 2).alias("p50"),
+            round_half_up(pct(0.75), 2).alias("p75"),
+            round_half_up(pct(0.9), 2).alias("p90"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def events_asof_latest_order(t: Tables) -> DataFrame:
+    """AS-OF join: each event picks the customer's latest order with
+    o_orderdate <= event ts (ties: max o_orderkey); events with no prior
+    order keep nulls (left as-of).
+
+    Spark has no asof-join operator; the scalable composition is the
+    union-and-carry-forward pattern: tag both sides, union, and per key
+    carry the last non-null order attributes forward with
+    ``last(ignorenulls)`` over an ordered running window. ONE shuffle on
+    the join key and a within-partition sort — same cost shape as a
+    sort-merge join, never the per-event point lookup a LATERAL subquery
+    implies. Sort key (t, kind, o_orderkey) with orders' kind=0 before
+    events' kind=1 makes the <= boundary and the tie-break deterministic.
+    """
+    ev = t["events"].select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    orders = t["orders"].select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.unionByName(orders)
+        .withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn(
+            "asof_totalprice",
+            _r(F.last("o_totalprice", ignorenulls=True).over(w), 2),
+        )
+        .where(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("t").alias("ts_s"),
+            "asof_orderkey",
+            "asof_totalprice",
+        )
+    )
+
+
+def user_sessions(t: Tables, gap: str = "30 minutes") -> DataFrame:
+    """Sessionization: gap-based session windows per user over the events
+    stream, via Spark's native ``session_window`` (start = first event,
+    end = last event + gap, events merge while closer than the gap).
+    Batch and Structured Streaming share this exact operator — the same
+    call sessionizes a live stream with a watermark. One shuffle on
+    (user_id), session merge inside the aggregate."""
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start_s"),
+            F.unix_timestamp("w.end").alias("session_end_s"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def global_top_spenders(t: Tables, k: int = 25) -> DataFrame:
     """Global top-k AFTER an aggregation: per-customer lifetime spend,
     top 25. TakeOrderedAndProject keeps this O(k) per partition."""
