@@ -192,6 +192,23 @@ def q_session_windows(spark, sf_dir):
     return R.user_sessions(load_tables(spark, sf_dir), gap="30 minutes")
 
 
+def q_skew_salted_agg(spark, sf_dir):
+    """Salted two-phase aggregation over the hot event_type keys —
+    identical result to a plain groupBy, skew-proof distribution."""
+    from pubsub_mapreduce_spark.operators.skew import salted_agg
+
+    ev = load_tables(spark, sf_dir)["events"]
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        n_events=("sum", F.count(F.lit(1))),
+        total_value=("sum", F.sum("value")),
+    )
+    return out.select(
+        "event_type", "n_events", F.round("total_value", 2).alias("total_value")
+    )
+
+
 def q_source_knob_sine(spark, sf_dir):
     """S2/S3 — deterministic batch replay of the simulator's sine profile
     (simulate-knobs.go:63-71); sf_dir unused (the source generates)."""
@@ -308,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_percentiles": q_price_percentiles,
         "asof_latest_order": q_asof_latest_order,
         "session_windows": q_session_windows,
+        "skew_salted_agg": q_skew_salted_agg,
         # sources (simulator replay)
         "source_knob_sine": q_source_knob_sine,
         # dedup / text / similarity / multimodal
@@ -611,6 +629,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 2) AS session_value
             FROM grouped GROUP BY user_id, sid
+        """,
+        "skew_salted_agg": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY event_type
         """,
         "source_knob_sine": """
             SELECT id,

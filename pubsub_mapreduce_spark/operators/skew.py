@@ -1,0 +1,84 @@
+"""Skew mitigation: salted two-phase aggregation and salted broadcast
+join — the manual tools for hot keys that AQE's runtime skew handling
+(enabled in session.py) can't fix.
+
+When to reach for these (and when not to):
+- Plain ``groupBy().count()/sum()`` does NOT need salting: Catalyst's
+  partial HashAggregate already collapses hot keys map-side, so the
+  shuffle carries one partial row per (partition, key) regardless of
+  skew.
+- Salting matters when the per-key REDUCE state is heavy — percentile /
+  collect-style aggregates, or stateful streaming keys — or when a hot
+  key concentrates a JOIN's probe side on one task. AQE splits skewed
+  shuffle-join partitions at runtime, but only for sort-merge joins; the
+  salted broadcast replicate below works for any join shape and keeps
+  the hot key's rows spread across ``n_salts`` tasks deterministically.
+
+Salt choice: ``spark_partition_id() % n_salts`` — deterministic for a
+fixed scan layout, zero bytes of extra shuffle key entropy beyond the
+salt int, and a hot key's rows land in as many salt groups as input
+partitions, which is exactly the parallelism available anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 16
+
+
+def with_salt(df: DataFrame, n_salts: int = DEFAULT_SALTS, out: str = "__salt") -> DataFrame:
+    return df.withColumn(out, F.spark_partition_id() % n_salts)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    n_salts: int = DEFAULT_SALTS,
+    **aggs: tuple[str, Column],
+) -> DataFrame:
+    """Two-phase salted aggregation: phase 1 aggregates per
+    (keys, salt) — splitting a hot key's rows across ``n_salts`` reduce
+    tasks — phase 2 merges the per-salt partials per key.
+
+    ``aggs`` maps output column -> (merge_fn_name, phase1_column_expr),
+    where merge_fn is 'sum' / 'min' / 'max' (the merge of the partial
+    must be associative). Example::
+
+        salted_agg(events, ["event_type"],
+                   n_events=("sum", F.count(F.lit(1))),
+                   total_value=("sum", F.sum("value")))
+    """
+    merge_fns = {"sum": F.sum, "min": F.min, "max": F.max}
+    salted = with_salt(df, n_salts)
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        *[expr.alias(f"__p_{name}") for name, (_, expr) in aggs.items()]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[
+            merge_fns[fn](F.col(f"__p_{name}")).alias(name)
+            for name, (fn, _) in aggs.items()
+        ]
+    )
+
+
+def salted_broadcast_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = DEFAULT_SALTS,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof join of a big skewed table against a small one: the big
+    side gets a deterministic salt, the small side is replicated once per
+    salt value (explode of a literal sequence — n_salts x |small| rows,
+    fine for broadcast-sized tables), and the join key becomes
+    (on, salt). A hot key's probe rows now spread over ``n_salts`` tasks
+    instead of hammering one."""
+    big_s = with_salt(big, n_salts)
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = big_s.join(F.broadcast(small_s), on=[on, "__salt"], how=how)
+    return out.drop("__salt")

@@ -9,6 +9,8 @@ so tests can pin those properties.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -42,7 +44,36 @@ def assert_no_cartesian(df: DataFrame) -> None:
 
 
 def assert_wholestage_codegen(df: DataFrame, min_spans: int = 1) -> None:
+    """Formatted explain marks codegen'd nodes with ``[codegen id : N]``;
+    distinct ids = distinct fused spans."""
     plan = explain_str(df)
-    assert plan.count("WholeStageCodegen") >= min_spans, (
-        f"expected >= {min_spans} WholeStageCodegen spans:\n{plan}"
+    spans = set(re.findall(r"codegen id : (\d+)", plan))
+    assert len(spans) >= min_spans, (
+        f"expected >= {min_spans} WholeStageCodegen spans, got {len(spans)}:\n{plan}"
     )
+
+
+def node_count(df: DataFrame, node: str) -> int:
+    """How many physical nodes named ``node`` the plan contains (counted
+    from formatted-explain detail headers ``(N) NodeName``, so tree and
+    detail duplication doesn't double-count)."""
+    plan = explain_str(df)
+    return len(re.findall(rf"\(\d+\) {re.escape(node)}\b", plan))
+
+
+def assert_max_shuffles(df: DataFrame, n: int) -> None:
+    """Assert the plan shuffles at most ``n`` times. The scale contract
+    for single-pass operators: one shuffle on the natural key, no more."""
+    got = node_count(df, "Exchange")
+    assert got <= n, f"expected <= {n} shuffle exchanges, got {got}"
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """The ReadSchema struct string of every scan in the plan — for
+    asserting column pruning reached the parquet reader."""
+    plan = explain_str(df)
+    return [
+        ln.split("ReadSchema:", 1)[1].strip()
+        for ln in plan.splitlines()
+        if "ReadSchema:" in ln
+    ]

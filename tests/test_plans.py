@@ -1,0 +1,103 @@
+"""Physical-plan shape tests — the 100TB scale contract, enforced.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is the
+one we'd want on a 1000-executor cluster: filters and column pruning
+reach the parquet scan, dimension joins broadcast, single-pass operators
+shuffle once, nothing degenerates to a cartesian product, and hot
+projections stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from pubsub_mapreduce_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_max_shuffles,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_wholestage_codegen,
+    node_count,
+    read_schemas,
+)
+from tests.conftest import SF_SMALL
+
+QUERIES = entrymod.queries()
+
+
+def q(name, spark):
+    return QUERIES[name](spark, SF_SMALL)
+
+
+def test_q5_star_join_plan(spark):
+    """Flagship: date-range + region filters pushed to the scans, every
+    dimension join broadcast, fact scan pruned to 3 columns."""
+    df = q("q5_revenue_by_nation", spark)
+    assert_pushed_filters(df, "o_orderdate", "r_name")
+    assert_broadcast_join(df, min_count=3)
+    assert_no_cartesian(df)
+    schemas = read_schemas(df)
+    li = [s for s in schemas if "l_orderkey" in s]
+    assert li and li[0].count(":") == 3, f"lineitem scan not pruned: {li}"
+
+
+def test_q1_scan_pruning(spark):
+    """Scan-heavy aggregate: shipdate predicate pushed; lineitem scan
+    reads only the 7 columns the query touches."""
+    df = q("q1_pricing_summary", spark)
+    assert_pushed_filters(df, "l_shipdate")
+    (li,) = read_schemas(df)
+    assert li.count(":") == 7, f"expected 7-column pruned scan: {li}"
+    assert "l_comment" not in li
+
+
+def test_codec_projection_stays_fused(spark):
+    """Pure scalar-function projection: zero shuffles, one codegen span —
+    the whole query is a single fused scan+project pipeline."""
+    df = q("codec_roundtrip", spark)
+    assert_max_shuffles(df, 0)
+    assert_wholestage_codegen(df, min_spans=1)
+
+
+def test_single_shuffle_operators(spark):
+    """Operators whose scale contract is ONE shuffle on the natural key."""
+    for name in ["dedup_exact", "t1_latest_per_key", "t4_windowed_count",
+                 "dedup_simhash", "session_windows"]:
+        df = q(name, spark)
+        n = node_count(df, "Exchange")
+        # simhash legitimately shuffles twice ((doc,bit) agg then doc agg)
+        budget = 2 if name == "dedup_simhash" else 1
+        assert n <= budget, f"{name}: {n} shuffles (budget {budget})"
+        assert_no_cartesian(df)
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join compiles to union + ONE shuffle on the join key +
+    in-partition sort — never a per-event lookup or cartesian."""
+    df = q("asof_latest_order", spark)
+    assert_max_shuffles(df, 1)
+    assert_no_cartesian(df)
+    assert node_count(df, "Window") >= 1
+
+
+def test_global_topk_avoids_full_sort(spark):
+    """Global top-k compiles to TakeOrderedAndProject (per-partition
+    local top-k, merged on the driver) — not a total sort."""
+    for name in ["q3_shipping_priority", "top_spenders"]:
+        df = q(name, spark)
+        assert node_count(df, "TakeOrderedAndProject") == 1, name
+        assert node_count(df, "Sort") == 0, f"{name} does a full sort"
+
+
+def test_similarity_broadcasts_query_side(spark):
+    """Brute-force and ANN top-k broadcast the small query/centroid side;
+    the corpus scan is never shuffled for the join."""
+    for name in ["sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf"]:
+        df = q(name, spark)
+        assert_broadcast_join(df, min_count=1)
+
+
+def test_minhash_no_cartesian(spark):
+    """LSH candidate generation joins on (band, bucket) — the plan must
+    contain no cartesian product anywhere."""
+    assert_no_cartesian(q("dedup_minhash_lsh", spark))
+    assert_no_cartesian(q("dedup_ngram_jaccard", spark))

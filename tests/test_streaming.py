@@ -174,6 +174,69 @@ def test_running_total_and_rate_invariant(spark, knob_dir):
     assert rates and all(r["cnt"] == N_CONST for r in rates)
 
 
+def test_two_stage_topology_through_topic(spark, tmp_path):
+    """The reference's mapper->reducer Pub/Sub boundary, replayed as two
+    chained streaming queries through an intermediate file 'topic':
+    stage 1 (the mapper process) emits watermark-closed windowed partial
+    counts to parquet; stage 2 (the reducer process) streams that topic
+    into the stateful running-total accumulator. Conservation must hold
+    end-to-end across the process boundary.
+
+    A far-future sentinel tick pushes the watermark past all real data so
+    stage 1 closes every real window (the sentinel's own window stays
+    held — asserted absent)."""
+    import time as _time
+
+    src = str(tmp_path / "knobs_src")
+    real = knob_batch(spark, n=N_CONST, ticks=TICKS, tick_ms=200)
+    # time-ordered micro-batches: the file source processes oldest files
+    # first, so sequential chunk writes give in-order event time and the
+    # watermark only ever moves forward past CLOSED data (out-of-order
+    # files would arrive behind the sentinel-advanced watermark and be
+    # dropped as late — correct streaming semantics, wrong test intent)
+    for lo in range(0, TICKS, 10):
+        chunk = real.where(
+            (F.col("ts") >= F.timestamp_seconds(F.lit(1_704_067_200 + lo * 0.2)))
+            & (F.col("ts") < F.timestamp_seconds(F.lit(1_704_067_200 + (lo + 10) * 0.2)))
+        )
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(0.05)
+    sentinel = knob_batch(
+        spark, n=5, ticks=1, tick_ms=200, start_epoch_s=1_704_070_800  # +1h
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_knob_stream(spark, src)
+    msgs = fan_out_stream(snapshot_scale_stream(stream, delta=0.2), n="quota")
+    partials = windowed_count_stream(msgs, window="1 second", watermark="2 seconds")
+    topic = str(tmp_path / "reducer_topic")
+    q1 = (
+        partials.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", topic)
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(120)
+
+    quota = N_CONST * 2 // 10
+    emitted = spark.read.parquet(topic)
+    # every real 1s window closed and emitted exactly once; sentinel held
+    assert emitted.count() == 8 * TOTAL_KNOBS  # 40 ticks x 200ms = 8 windows
+    assert emitted.agg(F.sum("cnt")).first()[0] == quota * TICKS * TOTAL_KNOBS
+
+    stage2 = (
+        spark.readStream.schema("window_start timestamp, id long, cnt long")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(topic)
+    )
+    totals = running_total_stream(stage2, cnt_col="cnt")
+    batches = run_foreach_batch(totals, None)
+    got = {k: r["total"] for k, r in final_per_key(batches).items()}
+    assert got == {k: quota * TICKS for k in range(TOTAL_KNOBS)}
+
+
 def test_device_config_sink_retry_and_suppression(spark):
     """K2 + T8: bounded retry then success; unchanged payload suppressed;
     empty batch suppressed; skip flag bypasses everything."""
