@@ -36,6 +36,11 @@ BENCH_QUERIES = [
     "window_top_orders",
     "distinct_per_status",
     "top_spenders",
+    "cube_orders",
+    "price_percentiles",
+    "asof_latest_order",
+    "session_windows",
+    "skew_salted_agg",
     # reference pipeline (batch replay)
     "t1_latest_per_key",
     "t3_fan_out",
@@ -50,7 +55,9 @@ BENCH_QUERIES = [
     "text_quality_by_source",
     "sim_cosine_topk",
     "sim_ann_lsh",
+    "sim_ann_ivf",
     "multimodal_decode",
+    "multimodal_frame_sample",
 ]
 
 

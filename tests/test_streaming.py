@@ -15,6 +15,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from pubsub_mapreduce_spark.sources.knobs import TOTAL_KNOBS, knob_batch
+from pubsub_mapreduce_spark.sources.topic import FileTopic
 from pubsub_mapreduce_spark.streaming.pipeline import (
     fan_out_stream,
     latest_per_key_stream,
@@ -209,27 +210,18 @@ def test_two_stage_topology_through_topic(spark, tmp_path):
     stream = read_knob_stream(spark, src)
     msgs = fan_out_stream(snapshot_scale_stream(stream, delta=0.2), n="quota")
     partials = windowed_count_stream(msgs, window="1 second", watermark="2 seconds")
-    topic = str(tmp_path / "reducer_topic")
-    q1 = (
-        partials.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", topic)
-        .option("checkpointLocation", str(tmp_path / "ckpt1"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    topic = FileTopic(str(tmp_path / "reducer_topic"))
+    q1 = topic.publish_stream(partials, checkpoint=str(tmp_path / "ckpt1"))
     q1.awaitTermination(120)
 
     quota = N_CONST * 2 // 10
-    emitted = spark.read.parquet(topic)
+    emitted = topic.read_batch(spark)
     # every real 1s window closed and emitted exactly once; sentinel held
     assert emitted.count() == 8 * TOTAL_KNOBS  # 40 ticks x 200ms = 8 windows
     assert emitted.agg(F.sum("cnt")).first()[0] == quota * TICKS * TOTAL_KNOBS
 
-    stage2 = (
-        spark.readStream.schema("window_start timestamp, id long, cnt long")
-        .option("maxFilesPerTrigger", 2)
-        .parquet(topic)
+    stage2 = topic.subscribe(
+        spark, "window_start timestamp, id long, cnt long", max_files_per_trigger=2
     )
     totals = running_total_stream(stage2, cnt_col="cnt")
     batches = run_foreach_batch(totals, None)
