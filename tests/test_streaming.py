@@ -229,6 +229,42 @@ def test_two_stage_topology_through_topic(spark, tmp_path):
     assert got == {k: quota * TICKS for k in range(TOTAL_KNOBS)}
 
 
+def test_session_window_stream_matches_batch(spark, knob_dir):
+    """Gap-based session windows run UNCHANGED in Structured Streaming
+    (the same session_window operator as the batch user_sessions): the
+    streamed complete-mode result equals the batch groupBy."""
+    gap = "1 second"
+    stream = read_knob_stream(spark, knob_dir)
+    sessions = (
+        stream.groupBy(F.session_window("ts", gap).alias("w"), "id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("s"), F.col("w.end").alias("e"), "id", "n")
+    )
+    q = (
+        sessions.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["s"], r["e"], r["id"]): r["n"]
+        for r in spark.sql("select * from sess").collect()
+    }
+    expect = {
+        (r["s"], r["e"], r["id"]): r["n"]
+        for r in spark.read.parquet(knob_dir)
+        .groupBy(F.session_window("ts", gap).alias("w"), "id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("s"), F.col("w.end").alias("e"), "id", "n")
+        .collect()
+    }
+    assert got == expect
+    # 200ms ticks with a 1s gap never split: one session per knob
+    assert len(got) == TOTAL_KNOBS
+
+
 def test_device_config_sink_retry_and_suppression(spark):
     """K2 + T8: bounded retry then success; unchanged payload suppressed;
     empty batch suppressed; skip flag bypasses everything."""
