@@ -72,6 +72,26 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: read_table(spark, sf_dir, name) for name in TABLES}
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int = 32,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join/agg
+    keys. Two tables bucketed the same way join with ZERO shuffle — the
+    scan itself is the partitioning — which at 100TB turns the biggest
+    fact-fact join (e.g. lineitem ⨝ orders on orderkey) from a full
+    two-sided exchange into a co-located merge. Bucket count should be
+    sized so one bucket of the larger table fits an executor's memory
+    (tests assert the no-Exchange plan property, not a magic number)."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *keys)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views for ``spark.sql`` use."""
     for name, df in load_tables(spark, sf_dir).items():

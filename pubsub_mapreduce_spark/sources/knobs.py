@@ -59,6 +59,37 @@ def knob_stream(
     return _with_knob_value(base, n, cycle).select("id", "n", "ts")
 
 
+def parse_knob_messages(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """C1 poison-message semantics (SURVEY.md §2.5): the reference acks
+    and drops any message whose parse panics (knobs.go:85-90), so poison
+    messages never kill the pipeline and never block the subscription.
+
+    Spark form: PERMISSIVE ``from_json`` turns unparseable payloads into
+    a null struct, and missing/mistyped fields into null fields — we keep
+    rows with a usable (id, n, ts) and drop the rest, exactly the
+    reference's drop-but-continue behavior (its exactly-once upgrade is
+    the checkpoint, not this filter). Works identically on batch and
+    streaming DataFrames."""
+    from ..functions.codecs import KNOBS_SCHEMA, from_epoch_seconds
+
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), KNOBS_SCHEMA).alias("m")
+    )
+    return (
+        parsed.where(
+            F.col("m").isNotNull()
+            & F.col("m.id").isNotNull()
+            & F.col("m.n").isNotNull()
+            & F.col("m.ts").isNotNull()
+        )
+        .select(
+            F.col("m.id").alias("id"),
+            F.col("m.n").alias("n"),
+            from_epoch_seconds(F.col("m.ts")).alias("ts"),
+        )
+    )
+
+
 def knob_batch(
     spark: SparkSession,
     n: int = 10000,

@@ -1,0 +1,100 @@
+"""Bucketed co-located joins (the 100TB fact-fact join strategy) and
+source-edge semantics: poison-message ingestion (C1) and the live rate
+source (S2/S3)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from pubsub_mapreduce_spark.io import write_bucketed
+from pubsub_mapreduce_spark.plans.explain import node_count
+from pubsub_mapreduce_spark.sources.knobs import (
+    TOTAL_KNOBS,
+    knob_stream,
+    parse_knob_messages,
+)
+
+
+def test_bucketed_join_has_no_shuffle(spark, tables):
+    """Both sides bucketed on the join key -> the join plan contains no
+    Exchange at all: scan partitioning IS the join partitioning."""
+    write_bucketed(
+        tables["orders"], "orders_b", ["o_custkey"], n_buckets=8,
+        sort_by=["o_custkey"],
+    )
+    write_bucketed(
+        tables["customer"], "customer_b", ["c_custkey"], n_buckets=8,
+        sort_by=["c_custkey"],
+    )
+    o = spark.table("orders_b")
+    c = spark.table("customer_b")
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_mktsegment"
+    )
+    assert node_count(joined, "Exchange") == 0, "bucketed join still shuffles"
+    # and it is still the same answer as the plain join
+    plain = tables["orders"].join(
+        tables["customer"],
+        tables["orders"].o_custkey == tables["customer"].c_custkey,
+    )
+    assert joined.count() == plain.count()
+
+
+def test_bucketed_agg_has_no_shuffle(spark, tables):
+    """Aggregating on the bucket key also skips the exchange."""
+    write_bucketed(tables["orders"], "orders_b2", ["o_custkey"], n_buckets=8)
+    agg = (
+        spark.table("orders_b2")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert node_count(agg, "Exchange") == 0
+    assert agg.count() == tables["orders"].select("o_custkey").distinct().count()
+
+
+def test_poison_messages_dropped_not_fatal(spark):
+    """C1 (knobs.go:85-90): unparseable / mistyped / incomplete messages
+    are dropped; good ones flow. No exception, no poison-pill stall."""
+    raw = spark.createDataFrame(
+        [
+            ('{"id": 1, "n": 42, "ts": 1525474779.668172}',),  # good
+            ('{"id": 2, "n": 7, "ts": 1525474780.0}',),  # good
+            ("not json at all",),  # poison: parse fails
+            ('{"id": 3, "n": 5}',),  # poison: missing ts
+            ('{"id": "x", "n": 1, "ts": 1.0}',),  # poison: wrong type
+            ("",),  # poison: empty
+        ],
+        "value string",
+    )
+    out = parse_knob_messages(raw).collect()
+    assert {(r["id"], r["n"]) for r in out} == {(1, 42), (2, 7)}
+    assert all(r["ts"] is not None for r in out)
+
+
+def test_rate_source_knob_stream_live(spark, tmp_path):
+    """S2/S3 live: the rate-source knob stream produces the wire schema
+    and one row per knob per tick, with the constant-n profile."""
+    stream = knob_stream(spark, n=100, rows_per_second=10)
+    assert stream.isStreaming
+    assert [f.name for f in stream.schema.fields] == ["id", "n", "ts"]
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("knobs_live")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if spark.sql("select * from knobs_live").count() >= TOTAL_KNOBS:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.sql("select * from knobs_live").collect()
+    assert len(rows) >= TOTAL_KNOBS
+    assert {r["id"] for r in rows} <= set(range(TOTAL_KNOBS))
+    assert all(r["n"] == 100 for r in rows)
