@@ -86,6 +86,15 @@ def write_bucketed(
     two-sided exchange into a co-located merge. Bucket count should be
     sized so one bucket of the larger table fits an executor's memory
     (tests assert the no-Exchange plan property, not a magic number)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    # the in-memory catalog forgets tables across sessions but their
+    # warehouse directories persist; clear both so overwrite is reliable
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(warehouse, table.lower()), ignore_errors=True)
     w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *keys)
     if sort_by:
         w = w.sortBy(*sort_by)

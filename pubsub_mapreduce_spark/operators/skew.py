@@ -75,7 +75,13 @@ def salted_broadcast_join(
     salt value (explode of a literal sequence — n_salts x |small| rows,
     fine for broadcast-sized tables), and the join key becomes
     (on, salt). A hot key's probe rows now spread over ``n_salts`` tasks
-    instead of hammering one."""
+    instead of hammering one.
+
+    Only inner/left are allowed: each big row carries exactly one salt so
+    those joins keep exact semantics; right/full would multiply unmatched
+    small-side rows by ``n_salts``."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted join supports inner/left only, got {how!r}")
     big_s = with_salt(big, n_salts)
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -229,6 +229,41 @@ def test_two_stage_topology_through_topic(spark, tmp_path):
     assert got == {k: quota * TICKS for k in range(TOTAL_KNOBS)}
 
 
+def test_watermark_protects_closed_windows(spark, tmp_path):
+    """Watermark semantics pinned: once a window has been closed and
+    emitted (append mode), a late replay of its rows can never re-emit
+    or mutate it — each window appears EXACTLY once with its original
+    count. This is the principled replacement for the reference's silent
+    trust in timely arrival (SURVEY.md §2.5); note Spark's watermark lags
+    one micro-batch, so a late row landing in the same batch that closes
+    its window is still merged — the guarantee is per CLOSED window."""
+    import time as _time
+
+    src = str(tmp_path / "late_src")
+    early = knob_batch(spark, n=1, ticks=5, tick_ms=200)  # t0 .. t0+1s
+    future = knob_batch(spark, n=1, ticks=1, start_epoch_s=1_704_067_300)  # +100s
+    future2 = knob_batch(spark, n=1, ticks=1, start_epoch_s=1_704_067_301)
+    # batch order = file mtime order: early -> future (advances the
+    # watermark) -> future2 (closes+emits the early windows) -> replay
+    # (arrives behind the watermark, after eviction)
+    for df in (early, future, future2, early):
+        df.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    stream = read_knob_stream(spark, src)
+    counted = windowed_count_stream(stream, window="1 second", watermark="2 seconds")
+    topic = FileTopic(str(tmp_path / "late_out"))
+    q = topic.publish_stream(counted, checkpoint=str(tmp_path / "ckpt_late"))
+    q.awaitTermination(120)
+
+    out = topic.read_batch(spark)
+    per_window = out.groupBy("window_start", "id").agg(F.sum("cnt").alias("c"))
+    assert per_window.count() == out.count(), "a window was emitted twice"
+    # early windows carry their original counts (ticks 0-4 over 1s
+    # windows: 5 then ... never 10 = early+replay merged)
+    assert out.agg(F.max("cnt")).first()[0] <= 5
+
+
 def test_session_window_stream_matches_batch(spark, knob_dir):
     """Gap-based session windows run UNCHANGED in Structured Streaming
     (the same session_window operator as the batch user_sessions): the
