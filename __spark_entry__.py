@@ -192,6 +192,10 @@ def q_session_windows(spark, sf_dir):
     return R.user_sessions(load_tables(spark, sf_dir), gap="30 minutes")
 
 
+def q_moving_avg(spark, sf_dir):
+    return R.customer_moving_avg(load_tables(spark, sf_dir), days=30)
+
+
 def q_skew_salted_agg(spark, sf_dir):
     """Salted two-phase aggregation over the hot event_type keys —
     identical result to a plain groupBy, skew-proof distribution."""
@@ -262,6 +266,12 @@ def q_sim_near_pairs(spark, sf_dir):
     )
 
 
+def q_sim_cosine_topk_matmul(spark, sf_dir):
+    return S.cosine_topk_matmul(
+        load_tables(spark, sf_dir)["embeddings"], k=5, every=50
+    )
+
+
 def q_sim_ann_lsh(spark, sf_dir):
     return S.ann_lsh_topk(load_tables(spark, sf_dir)["embeddings"], k=5, every=50)
 
@@ -325,6 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_percentiles": q_price_percentiles,
         "asof_latest_order": q_asof_latest_order,
         "session_windows": q_session_windows,
+        "moving_avg": q_moving_avg,
         "skew_salted_agg": q_skew_salted_agg,
         # sources (simulator replay)
         "source_knob_sine": q_source_knob_sine,
@@ -337,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_stats": q_text_doc_stats,
         "text_quality_by_source": q_text_quality_by_source,
         "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_cosine_topk_matmul": q_sim_cosine_topk_matmul,
         "sim_near_pairs": q_sim_near_pairs,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
@@ -630,6 +642,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS session_value
             FROM grouped GROUP BY user_id, sid
         """,
+        "moving_avg": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ts_s,
+                   floor(avg(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                       RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+                   ) * 1e4 + 0.5) / 1e4 AS mavg30
+            FROM orders
+        """,
         "skew_salted_agg": """
             SELECT event_type, count(*) AS n_events,
                    round(sum(value), 2) AS total_value
@@ -757,6 +779,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT b AS dup_id, min(a) AS keeper_id,
                    max(sim) AS max_sim, count(*) AS n_neighbors
             FROM pairs GROUP BY b
+        """,
+        "sim_cosine_topk_matmul": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+            q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id % 50 = 0),
+            scored AS (
+              SELECT query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q_emb, emb) AS sim
+              FROM q JOIN e ON e.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+                   round(sim, 4) AS sim
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id ASC) AS rank
+                  FROM scored)
+            WHERE rank <= 5
         """,
         "sim_near_pairs": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)

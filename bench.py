@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "asof_latest_order",
     "session_windows",
     "skew_salted_agg",
+    "moving_avg",
     # reference pipeline (batch replay)
     "t1_latest_per_key",
     "t3_fan_out",
@@ -54,6 +55,7 @@ BENCH_QUERIES = [
     "text_doc_stats",
     "text_quality_by_source",
     "sim_cosine_topk",
+    "sim_cosine_topk_matmul",
     "sim_ann_lsh",
     "sim_ann_ivf",
     "multimodal_decode",

@@ -399,6 +399,27 @@ def user_sessions(t: Tables, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def customer_moving_avg(t: Tables, days: int = 30) -> DataFrame:
+    """RANGE-frame analytic window: per order, the customer's average
+    order value over the trailing ``days`` (event-time range, not row
+    count — same-day peer rows all join the frame, so the result is
+    order-independent and deterministic). One shuffle on o_custkey +
+    in-partition sort, same cost shape as any per-key window."""
+    from ..functions.text import round_half_up
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-days * 86400, 0)
+    )
+    return t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_timestamp("o_orderdate").alias("ts_s"),
+        round_half_up(F.avg("o_totalprice").over(w), 4).alias(f"mavg{days}"),
+    )
+
+
 def global_top_spenders(t: Tables, k: int = 25) -> DataFrame:
     """Global top-k AFTER an aggregation: per-customer lifetime spend,
     top 25. TakeOrderedAndProject keeps this O(k) per partition."""

@@ -92,6 +92,58 @@ def embedding_near_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
     )
 
 
+def cosine_topk_matmul(
+    emb: DataFrame, k: int = 5, every: int = 50, exclude_self: bool = True
+) -> DataFrame:
+    """Exact brute-force top-k — the Arrow/Pandas-UDF matrix-multiply
+    formulation of ``cosine_topk``, for when k*dim is large enough that
+    BLAS beats the per-element HOF path.
+
+    Shape: the (bounded) query matrix ships to every task in the UDF
+    closure (a broadcast by construction); each Arrow batch scores
+    candidates against ALL queries in one ``(N, D) @ (D, Q)`` matmul and
+    emits only its LOCAL top-k per query, so the shuffle to the global
+    top-k window carries at most partitions * Q * k rows — never the
+    full |corpus| x |Q| score matrix."""
+    import pandas as pd
+
+    e = _as_double(emb).select("vec_id", "embedding")
+    q_pd = query_subset(e, every).toPandas()
+    q_ids = q_pd["vec_id"].to_numpy()
+    q_mat = np.stack(q_pd["embedding"].to_numpy()).astype(np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (m / norms) @ q_mat.T  # (N, Q)
+            out = {"query_id": [], "neighbor_id": [], "sim": []}
+            for j, qid in enumerate(q_ids):
+                s = sims[:, j]
+                mask = ids != qid if exclude_self else np.ones_like(ids, bool)
+                cand_idx = np.nonzero(mask)[0]
+                top = cand_idx[np.argsort(-s[cand_idx], kind="stable")[:k]]
+                out["query_id"].extend([qid] * len(top))
+                out["neighbor_id"].extend(ids[top])
+                out["sim"].extend(s[top])
+            yield pd.DataFrame(out)
+
+    partial = e.mapInPandas(score, "query_id long, neighbor_id long, sim double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int = DIM, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
