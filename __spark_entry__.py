@@ -577,6 +577,9 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT user_id FROM events
               WHERE event_type = 'signup' AND value > 150.0)
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'error' AND value > 330.0
         """,
         "orders_by_month": """
             SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
@@ -676,9 +679,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
             keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
             shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY 1),
             inter AS (
               SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
               FROM shf x JOIN shf y USING (shingle)

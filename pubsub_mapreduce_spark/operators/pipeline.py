@@ -70,6 +70,7 @@ def fan_out(
     key: str = "user_id",
     n: str | Column = "n",
     out: str = "seq",
+    max_n: int | None = None,
 ) -> DataFrame:
     """T3 — explode-by-count fan-out (flood.go:57-85).
 
@@ -80,9 +81,19 @@ def fan_out(
     parallelism, exactly the reference's 8-replica competing-consumer
     scale-out (deploy:75). Rows with ``n <= 0`` emit nothing (the inner
     loop body runs zero times).
+
+    ``max_n`` clamps a single row's fan-out (C2 flow control: the
+    reference caps requests at 200k/knob, README.md:4, and outstanding
+    messages at 1e6, mapper.go:48-51) so one poison-but-parseable huge
+    ``n`` cannot OOM an executor building the sequence array. Batch
+    default is None (exact, oracle-checked); the streaming form clamps
+    by default.
     """
     n_col = F.col(n) if isinstance(n, str) else n
-    guarded = F.when(n_col > 0, F.sequence(F.lit(1), n_col.cast("long")))
+    n_col = n_col.cast("long")
+    if max_n is not None:
+        n_col = F.least(n_col, F.lit(int(max_n)))
+    guarded = F.when(n_col > 0, F.sequence(F.lit(1), n_col))
     return (
         df.withColumn("__seq", F.explode(guarded))
         .select(key, F.col("__seq").alias(out))
@@ -203,7 +214,8 @@ def densify_to_vector(
     then an array_agg ordered by key."""
     spark = df.sparkSession
     if n_keys is None:
-        n_keys = df.agg(F.max(key)).first()[0] + 1
+        max_key = df.agg(F.max(key)).first()[0]
+        n_keys = 0 if max_key is None else max_key + 1  # empty input -> []
     spine = spark.range(n_keys).withColumnRenamed("id", key)
     joined = spine.join(df.select(key, value), on=key, how="left").na.fill({value: 0})
     return joined.agg(

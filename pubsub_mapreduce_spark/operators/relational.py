@@ -246,10 +246,10 @@ def top_orders_per_customer(t: Tables, k: int = 3) -> DataFrame:
 
 
 def purchase_and_error_users(t: Tables) -> DataFrame:
-    """Set operations over the events stream table: users who purchased
-    INTERSECT users who errored, UNION'd with high-value signups, EXCEPT
-    clickers-only. Exercises Spark's INTERSECT/EXCEPT (hash-based
-    distinct set ops, one shuffle each on the full row)."""
+    """Set operations over the events stream table: (users who purchased
+    INTERSECT users who errored, UNION high-value signups) EXCEPT users
+    with a very-high-value error. Exercises all three Spark set ops
+    (hash-based distinct set ops, one shuffle each on the full row)."""
     ev = t["events"]
     purchasers = ev.where(F.col("event_type") == "purchase").select("user_id")
     errorers = ev.where(F.col("event_type") == "error").select("user_id")
@@ -257,7 +257,16 @@ def purchase_and_error_users(t: Tables) -> DataFrame:
         ev.where((F.col("event_type") == "signup") & (F.col("value") > 150.0))
         .select("user_id")
     )
-    return purchasers.intersect(errorers).union(big_signup).distinct()
+    big_error = (
+        ev.where((F.col("event_type") == "error") & (F.col("value") > 330.0))
+        .select("user_id")
+    )
+    return (
+        purchasers.intersect(errorers)
+        .union(big_signup)
+        .distinct()
+        .exceptAll(big_error.distinct())
+    )
 
 
 def orders_by_month(t: Tables) -> DataFrame:

@@ -46,6 +46,21 @@ def query_subset(emb: DataFrame, every: int = 50) -> DataFrame:
     return emb.where(F.col("vec_id") % every == 0)
 
 
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared ranking epilogue: deterministic (sim desc, neighbor_id asc)
+    row_number top-k per query, sim rounded for cross-engine comparison.
+    ONE definition so every formulation ranks identically."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
 def cosine_topk(
     emb: DataFrame, k: int = 5, every: int = 50, exclude_self: bool = True
 ) -> DataFrame:
@@ -65,14 +80,7 @@ def cosine_topk(
         F.col("vec_id").alias("neighbor_id"),
         cosine(F.col("q_emb"), F.col("embedding")).alias("sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
-    )
+    return _topk(scored, k)
 
 
 def embedding_near_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
@@ -111,7 +119,9 @@ def cosine_topk_matmul(
     q_pd = query_subset(e, every).toPandas()
     q_ids = q_pd["vec_id"].to_numpy()
     q_mat = np.stack(q_pd["embedding"].to_numpy()).astype(np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norms[q_norms == 0] = np.inf  # zero query -> all sims 0.0, like cosine()
+    q_mat /= q_norms
 
     def score(batches):
         for pdf in batches:
@@ -120,14 +130,18 @@ def cosine_topk_matmul(
             ids = pdf["vec_id"].to_numpy()
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(m, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
+            norms[norms == 0] = np.inf  # zero candidate -> sim 0.0
             sims = (m / norms) @ q_mat.T  # (N, Q)
             out = {"query_id": [], "neighbor_id": [], "sim": []}
             for j, qid in enumerate(q_ids):
                 s = sims[:, j]
                 mask = ids != qid if exclude_self else np.ones_like(ids, bool)
                 cand_idx = np.nonzero(mask)[0]
-                top = cand_idx[np.argsort(-s[cand_idx], kind="stable")[:k]]
+                # lexsort: primary -sim, secondary neighbor_id asc — the
+                # SAME tie-break as _topk, so the local cut never drops a
+                # candidate the global ranking would have kept
+                order = np.lexsort((ids[cand_idx], -s[cand_idx]))[:k]
+                top = cand_idx[order]
                 out["query_id"].extend([qid] * len(top))
                 out["neighbor_id"].extend(ids[top])
                 out["sim"].extend(s[top])
@@ -188,12 +202,7 @@ def ann_lsh_topk(
         F.col("vec_id").alias("neighbor_id"),
         cosine(F.col("q_emb"), F.col("embedding")).alias("sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
-    )
+    return _topk(scored, k)
 
 
 def ann_ivf_topk(
@@ -247,9 +256,4 @@ def ann_ivf_topk(
     scored = cands.select(
         "query_id", F.col("vec_id").alias("neighbor_id"), cosine(F.col("q_emb"), F.col("embedding")).alias("sim")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
-    )
+    return _topk(scored, k)

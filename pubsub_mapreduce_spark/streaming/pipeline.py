@@ -97,11 +97,18 @@ def snapshot_scale_stream(latest: DataFrame, delta: float = 0.2) -> DataFrame:
     ).where(F.col("quota") > 0)
 
 
-def fan_out_stream(flood: DataFrame, n: str = "quota") -> DataFrame:
+def fan_out_stream(
+    flood: DataFrame, n: str = "quota", max_n: int = 1_000_000
+) -> DataFrame:
     """T3 streaming — explode-by-count (flood.go:57-85). Stateless
     generator; Spark parallelizes across partitions exactly like the
-    reference's 8 competing consumers (deploy:75)."""
-    n_col = F.col(n)
+    reference's 8 competing consumers (deploy:75).
+
+    ``max_n`` (default 1e6, the reference's MaxOutstandingMessages,
+    mapper.go:48-51) clamps per-row fan-out so a poison-but-parseable
+    huge count cannot OOM an executor and kill the query — the streaming
+    counterpart of the C1 drop-poison-and-continue contract."""
+    n_col = F.least(F.col(n).cast("long"), F.lit(int(max_n)))
     return flood.select(
         "id",
         "ts",

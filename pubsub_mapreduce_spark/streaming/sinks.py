@@ -19,14 +19,15 @@ MAX_RETRIES = 10  # reducer.go:24
 RETRY_WAIT_S = 0.1  # reducer.go:25
 
 
-def encode_device_config(df: DataFrame) -> DataFrame:
+def encode_device_config(df: DataFrame, value_col: str = "cnt") -> DataFrame:
     """The K2 wire format: base64(JSON({mps, total})) (reducer.go:101-111).
-    Input: long-format (id, cnt/total) rows; output: one payload row.
-    Re-densification to the array shape happens here at the wire edge
-    only (SURVEY.md section 1.4)."""
+    Input: long-format (id, <value_col>) rows — ``cnt`` from the rate
+    stream or ``total`` from the running-total stream; output: one
+    payload row. Re-densification to the array shape happens here at the
+    wire edge only (SURVEY.md section 1.4)."""
     pairs = df.agg(
-        F.array_sort(F.collect_list(F.struct("id", "cnt"))).alias("p"),
-        F.sum("cnt").alias("total"),
+        F.array_sort(F.collect_list(F.struct("id", value_col))).alias("p"),
+        F.sum(value_col).alias("total"),
     )
     # a global agg over an empty batch still yields one row (null total);
     # map it to a null payload so the sink's idle suppression fires
@@ -36,7 +37,7 @@ def encode_device_config(df: DataFrame) -> DataFrame:
             F.base64(
                 F.to_json(
                     F.struct(
-                        F.transform("p", lambda s: s["cnt"]).alias("mps"),
+                        F.transform("p", lambda s: s[value_col]).alias("mps"),
                         F.col("total"),
                     )
                 ).cast("binary")
@@ -56,7 +57,9 @@ class DeviceConfigSink:
         skip: bool = False,  # the -skip-iot flag (reducer.go:71-74)
         max_retries: int = MAX_RETRIES,
         retry_wait_s: float = RETRY_WAIT_S,
+        value_col: str = "cnt",  # "total" when fed by running_total_stream
     ):
+        self.value_col = value_col
         self.push = push
         self.skip = skip
         self.max_retries = max_retries
@@ -66,7 +69,7 @@ class DeviceConfigSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.skip:
             return
-        rows = encode_device_config(batch_df).collect()
+        rows = encode_device_config(batch_df, self.value_col).collect()
         if not rows or rows[0]["payload"] is None:
             return  # empty batch: nothing to push (T8 idle suppression)
         payload = rows[0]["payload"]

@@ -15,11 +15,14 @@ def canon(df):
 
 def test_salted_agg_matches_plain(tables):
     ev = tables["events"]
+    # NOTE: partials must stay unrounded — rounding per-salt sums before
+    # the merge would change the answer (sum of 16 rounded partials !=
+    # rounded total); round only after the final merge
     salted = salted_agg(
         ev,
         ["event_type"],
         n_events=("sum", F.count(F.lit(1))),
-        total_value=("sum", F.round(F.sum("value"), 2)),
+        total_value=("sum", F.sum("value")),
         max_value=("max", F.max("value")),
         min_ts=("min", F.min("ts")),
     ).select(
