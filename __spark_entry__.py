@@ -74,6 +74,22 @@ def q_t4_windowed_count(spark, sf_dir):
     return P.windowed_count(t["events"], window="1 hour")
 
 
+def q_sliding_counts(spark, sf_dir):
+    """Sliding (overlapping) windows — beyond the reference's tumbling-only
+    surface: 1-day windows sliding every 12h, so each event lands in
+    exactly two windows. Spark's window() generates the per-row window
+    set inline (an Expand node, no join)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 day", "12 hours").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"), "user_id", "cnt"
+        )
+    )
+
+
 def q_t5_merge_partials(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     ev = t["events"]
@@ -313,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_fan_out": q_t3_fan_out,
         "t4_windowed_count": q_t4_windowed_count,
         "t5_merge_partials": q_t5_merge_partials,
+        "sliding_counts": q_sliding_counts,
         "t6_rate_per_window": q_t6_rate_per_window,
         "t7_running_total": q_t7_running_total,
         "t8_emit_on_change": q_t8_emit_on_change,
@@ -435,6 +452,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start_s,
                      user_id, event_type, count(*) AS cnt
               FROM events GROUP BY 1, 2, 3)
+            GROUP BY 1, 2
+        """,
+        "sliding_counts": """
+            SELECT window_start_s, user_id, count(*) AS cnt FROM (
+              SELECT CAST(floor(epoch(ts)/43200)*43200 - i*43200 AS BIGINT)
+                       AS window_start_s,
+                     user_id
+              FROM events, (SELECT unnest([0,1]) AS i) _)
             GROUP BY 1, 2
         """,
         "t6_rate_per_window": """

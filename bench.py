@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "t1_latest_per_key",
     "t3_fan_out",
     "t4_windowed_count",
+    "sliding_counts",
     "t7_running_total",
     "codec_roundtrip",
     # training-data ops (scale paths)
