@@ -264,6 +264,16 @@ def q_dedup_embedding(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters via iterative min-label propagation —
+    genuinely non-SQL-expressible (driver-side iteration), rows-only
+    check per the contract; exactness is pinned against a union-find
+    ground truth in tests/test_components.py."""
+    return dedup.dedup_clusters(
+        load_tables(spark, sf_dir)["embeddings"], threshold=0.45
+    )
+
+
 def q_text_doc_stats(spark, sf_dir):
     return TX.doc_stats(load_tables(spark, sf_dir)["documents"])
 
@@ -362,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_clusters": q_dedup_clusters,
         "text_doc_stats": q_text_doc_stats,
         "text_quality_by_source": q_text_quality_by_source,
         "sim_cosine_topk": q_sim_cosine_topk,

@@ -291,6 +291,80 @@ def embedding_dedup(
     return out
 
 
+def connected_components(
+    pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int = 20
+) -> DataFrame:
+    """Dedup CLUSTERS from near-dup pairs: transitive closure via
+    iterative min-label propagation — each node's label converges to the
+    smallest doc_id reachable through any chain of near-dup edges, which
+    is the honest keeper semantics (A~B, B~C => A,B,C one group even if
+    A!~C directly).
+
+    Spark-first shape: the per-iteration step is a symmetric edge join +
+    min aggregate (two shuffles); iterations bound by the cluster
+    diameter (dedup clusters are shallow — boilerplate families, not
+    long chains). Each iteration localCheckpoints to cut lineage growth,
+    and the loop exits early on a converged iteration (one count action
+    per round — the driver-side loop drives ITERATION, never data).
+    Returns (doc_id, component) for every node appearing in ``pairs``.
+    """
+    edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("label").alias("vlabel")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlabel").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(nbr_min.withColumnRenamed("u", "node"), "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    emb: DataFrame, threshold: float = 0.45, max_iter: int = 20
+) -> DataFrame:
+    """Embedding near-dup CLUSTERS (transitive): component id = smallest
+    doc_id in the cluster (the keeper), one row per clustered doc. The
+    single-link ``embedding_dedup`` keeper is the direct-neighbor
+    approximation of this."""
+    from .similarity import embedding_near_pairs
+
+    pairs = embedding_near_pairs(emb, threshold=threshold)
+    return connected_components(pairs, max_iter=max_iter)
+
+
 def simhash(docs: DataFrame, text: str = "text") -> DataFrame:
     """32-bit SimHash fingerprint per document.
 

@@ -1,0 +1,51 @@
+"""connected_components must equal a driver-side union-find ground truth
+(small SF), including chain transitivity the single-link keeper misses."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pubsub_mapreduce_spark.operators.dedup import (
+    connected_components,
+    dedup_clusters,
+)
+from pubsub_mapreduce_spark.operators.similarity import embedding_near_pairs
+
+
+def union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+def test_components_match_union_find_on_chain(spark):
+    # a 6-node chain + a triangle + an isolated pair: forces >1 iteration
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (11, 12), (10, 12), (20, 21)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == union_find(edges)
+    assert got[6] == 1  # full chain collapsed to its min id
+
+
+def test_dedup_clusters_match_union_find_on_fixture(spark, tables):
+    pairs = embedding_near_pairs(tables["embeddings"], threshold=0.4)
+    edges = [(r["a"], r["b"]) for r in pairs.collect()]
+    got = {
+        r["doc_id"]: r["component"]
+        for r in dedup_clusters(tables["embeddings"], threshold=0.4).collect()
+    }
+    assert got == union_find(edges)

@@ -1,0 +1,30 @@
+"""Approximate sketch aggregates — the 100TB path for distinct counts
+and percentiles (one pass, mergeable state, no per-group sort). Pinned
+against their exact counterparts within documented error bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_approx_count_distinct_within_rsd(tables):
+    ev = tables["events"]
+    rows = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).collect()
+    assert rows
+    for r in rows:
+        # HyperLogLog++ at rsd=0.02: allow 3 sigma
+        assert abs(r["approx"] - r["exact"]) <= max(3, 0.06 * r["exact"]), r
+
+
+def test_approx_percentile_within_accuracy(tables):
+    orders = tables["orders"]
+    row = orders.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx"),
+    ).first()
+    # accuracy=10000 -> rank error <= n/10000; translate to value space
+    # loosely via a 2% relative bound on this distribution
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.02
