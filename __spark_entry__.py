@@ -208,6 +208,22 @@ def q_session_windows(spark, sf_dir):
     return R.user_sessions(load_tables(spark, sf_dir), gap="30 minutes")
 
 
+def q_above_avg_orders(spark, sf_dir):
+    return R.orders_above_customer_avg(load_tables(spark, sf_dir))
+
+
+def q_promo_revenue(spark, sf_dir):
+    return R.promo_revenue_share(load_tables(spark, sf_dir))
+
+
+def q_ship_latency(spark, sf_dir):
+    return R.ship_latency_by_priority(load_tables(spark, sf_dir))
+
+
+def q_spend_quartiles(spark, sf_dir):
+    return R.customer_spend_quartiles(load_tables(spark, sf_dir))
+
+
 def q_moving_avg(spark, sf_dir):
     return R.customer_moving_avg(load_tables(spark, sf_dir), days=30)
 
@@ -363,6 +379,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_latest_order": q_asof_latest_order,
         "session_windows": q_session_windows,
         "moving_avg": q_moving_avg,
+        "above_avg_orders": q_above_avg_orders,
+        "promo_revenue": q_promo_revenue,
+        "ship_latency": q_ship_latency,
+        "spend_quartiles": q_spend_quartiles,
         "skew_salted_agg": q_skew_salted_agg,
         # sources (simulator replay)
         "source_knob_sine": q_source_knob_sine,
@@ -680,6 +700,47 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 2) AS session_value
             FROM grouped GROUP BY user_id, sid
+        """,
+        "above_avg_orders": """
+            SELECT o_orderkey, o_custkey,
+                   round(o_totalprice, 2) AS totalprice,
+                   floor(cust_avg * 1e4 + 0.5) / 1e4 AS cust_avg
+            FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+                  FROM orders)
+            WHERE o_totalprice > cust_avg
+        """,
+        "promo_revenue": """
+            SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+                   CAST(month(l_shipdate) AS INTEGER) AS mo,
+                   floor(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0.0 END)
+                         / sum(rev) * 100.0 * 1e4 + 0.5) / 1e4 AS promo_pct,
+                   round(sum(rev), 2) AS revenue
+            FROM (SELECT l_shipdate, p_type,
+                         l_extendedprice * (1 - l_discount) AS rev
+                  FROM lineitem JOIN part ON l_partkey = p_partkey)
+            GROUP BY 1, 2
+        """,
+        "ship_latency": """
+            SELECT o_orderpriority,
+                   round(avg(lat), 4) AS avg_days,
+                   CAST(min(lat) AS INTEGER) AS min_days,
+                   CAST(max(lat) AS INTEGER) AS max_days,
+                   count(*) AS n_lineitems
+            FROM (SELECT o_orderpriority,
+                         date_diff('day', o_orderdate, l_shipdate) AS lat
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+            GROUP BY o_orderpriority
+        """,
+        "spend_quartiles": """
+            SELECT o_custkey, CAST(c_nationkey AS INTEGER) AS nationkey,
+                   spend, CAST(q AS INTEGER) AS quartile
+            FROM (SELECT o_custkey, c_nationkey, spend,
+                         ntile(4) OVER (PARTITION BY c_nationkey
+                             ORDER BY spend DESC, o_custkey ASC) AS q
+                  FROM (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+                        FROM orders GROUP BY o_custkey)
+                  JOIN customer ON o_custkey = c_custkey)
         """,
         "moving_avg": """
             SELECT o_orderkey, o_custkey,

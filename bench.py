@@ -42,6 +42,10 @@ BENCH_QUERIES = [
     "session_windows",
     "skew_salted_agg",
     "moving_avg",
+    "above_avg_orders",
+    "promo_revenue",
+    "ship_latency",
+    "spend_quartiles",
     # reference pipeline (batch replay)
     "t1_latest_per_key",
     "t3_fan_out",

@@ -408,6 +408,87 @@ def user_sessions(t: Tables, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def orders_above_customer_avg(t: Tables) -> DataFrame:
+    """Correlated scalar subquery shape — each order vs its customer's
+    average order value — expressed directly as the decorrelated plan
+    Catalyst would produce anyway: one window aggregate over the
+    customer partition, then a filter. No join, ONE shuffle."""
+    from ..functions.text import round_half_up
+
+    w = Window.partitionBy("o_custkey")
+    return (
+        t["orders"]
+        .withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .where(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            _r(F.col("o_totalprice"), 2).alias("totalprice"),
+            round_half_up(F.col("cust_avg"), 4).alias("cust_avg"),
+        )
+    )
+
+
+def promo_revenue_share(t: Tables) -> DataFrame:
+    """LIKE pattern + conditional aggregation (TPC-H Q14 shape): monthly
+    share of revenue from promo parts. The CASE WHEN rides inside the
+    sum, so one scan + one broadcast dim join + one shuffle."""
+    from ..functions.text import round_half_up
+
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        t["lineitem"]
+        .join(broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.year("l_shipdate").alias("yr"), F.month("l_shipdate").alias("mo")
+        )
+        .agg(
+            round_half_up(F.sum(promo) / F.sum(rev) * 100.0, 4).alias(
+                "promo_pct"
+            ),
+            _r(F.sum(rev), 2).alias("revenue"),
+        )
+    )
+
+
+def ship_latency_by_priority(t: Tables) -> DataFrame:
+    """Date arithmetic: order-date -> ship-date latency in days, summarized
+    per order priority (datediff + avg/max/min in one aggregate)."""
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.avg(lat), 4).alias("avg_days"),
+            F.min(lat).alias("min_days"),
+            F.max(lat).alias("max_days"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def customer_spend_quartiles(t: Tables) -> DataFrame:
+    """NTILE ranking: customers bucketed into spend quartiles (per-nation
+    partitions so the sort stays within one shuffle's partitions)."""
+    spend = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(_r(F.sum("o_totalprice"), 2).alias("spend"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("spend").desc(), F.col("o_custkey").asc()
+    )
+    return spend.select(
+        "o_custkey",
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        "spend",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 def customer_moving_avg(t: Tables, days: int = 30) -> DataFrame:
     """RANGE-frame analytic window: per order, the customer's average
     order value over the trailing ``days`` (event-time range, not row
