@@ -180,23 +180,51 @@ def ann_lsh_topk(
     emb: DataFrame,
     k: int = 5,
     every: int = 50,
-    n_planes: int = 8,
+    n_tables: int = 16,
+    planes_per_table: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH: candidates share the
-    query's sign-bit bucket. 8 planes -> 256 buckets -> ~1/256 of the
-    corpus scanned per query. Recall is checked against ``cosine_topk``
-    in tests (not oracle-exact by design)."""
-    planes = _hyperplanes(n_planes, seed=seed)
-    e = _as_double(emb).select("vec_id", "embedding").withColumn(
-        "bucket", lsh_bucket(F.col("embedding"), planes)
+    """Approximate top-k via MULTI-TABLE random-hyperplane LSH: L
+    independent hash tables of b sign bits each; a vector is a candidate
+    for a query if they collide in ANY table (OR-amplification).
+
+    A single b-bit table requires agreement on all b hyperplanes — at
+    cosine ~0.5 (per-plane agreement ~2/3) one 8-bit table has ~4%
+    recall, measured exactly that on the fixtures. With L=16 tables of 4
+    bits, per-table collision ~0.2 and miss probability (1-0.2)^16 ~ 3%
+    -> ~97% recall at ~L*2^-b of the corpus scored per query. The index
+    is L rows per vector (the classic LSH space-for-recall trade);
+    recall floor pinned in tests/test_ann_recall.py.
+    """
+    all_planes = _hyperplanes(n_tables * planes_per_table, seed=seed)
+    tables = [
+        all_planes[t * planes_per_table : (t + 1) * planes_per_table]
+        for t in range(n_tables)
+    ]
+    e = _as_double(emb).select("vec_id", "embedding")
+    # index: one row per (vector, table) with that table's sign-bit bucket
+    indexed = e.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(
+            F.array(*[lsh_bucket(F.col("embedding"), tp) for tp in tables])
+        ).alias("table", "bucket"),
     )
-    q = query_subset(e, every).select(
+    q = query_subset(indexed, every).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        F.col("bucket"),
+        "table",
+        "bucket",
     )
-    cands = e.join(broadcast(q), on="bucket").where(F.col("vec_id") != F.col("query_id"))
+    cands = (
+        indexed.join(broadcast(q), on=["table", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_emb", "vec_id", "embedding")
+        # collided in >=1 table -> score once; embeddings are functionally
+        # determined by the ids, so id-only dedup is exact and cheaper
+        # than comparing the array payloads
+        .dropDuplicates(["query_id", "vec_id"])
+    )
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),

@@ -300,6 +300,50 @@ def test_session_window_stream_matches_batch(spark, knob_dir):
     assert len(got) == TOTAL_KNOBS
 
 
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """The C1 upgrade, demonstrated: stop a windowed-count query, add
+    more input, restart from the SAME checkpoint — every message counted
+    exactly once across the two runs (at-least-once redelivery would
+    double-count the first run's files)."""
+    src = str(tmp_path / "ckpt_src")
+    ckpt = str(tmp_path / "ckpt")
+    out = FileTopic(str(tmp_path / "ckpt_out"))
+
+    first = knob_batch(spark, n=N_CONST, ticks=20, tick_ms=200)
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = read_knob_stream(spark, src)
+        counted = windowed_count_stream(stream, window="1 second")
+        q = (
+            counted.writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: out.publish(df))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # run 1: processes the first 20 ticks, then stops
+
+    second = knob_batch(
+        spark, n=N_CONST, ticks=20, tick_ms=200,
+        start_epoch_s=1_704_067_200 + 4,  # next 4s of stream
+    )
+    second.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # run 2: resumes from the checkpoint, sees ONLY new files
+
+    final = (
+        out.read_batch(spark)
+        .groupBy("window_start", "id")
+        .agg(F.max("cnt").alias("cnt"))  # update-mode: last emit per key wins
+    )
+    total = final.agg(F.sum("cnt")).first()[0]
+    assert total == 40 * TOTAL_KNOBS, (
+        f"expected every tick once, got {total} (double-counting = redelivery)"
+    )
+
+
 def test_streaming_throughput_exceeds_local_baseline(spark, tmp_path):
     """BASELINE.md local sanity target: the reference sustains 10k
     msgs/sec on one machine (README.md:78). Our full T2->T3->T4 streaming
