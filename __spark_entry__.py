@@ -290,6 +290,22 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_grouping_sets_orders(spark, sf_dir):
+    return R.orders_grouping_sets(load_tables(spark, sf_dir))
+
+
+def q_pivot_status_by_year(spark, sf_dir):
+    return R.status_pivot_by_year(load_tables(spark, sf_dir))
+
+
+def q_text_top_tokens(spark, sf_dir):
+    return TX.top_tokens(load_tables(spark, sf_dir)["documents"], n=20)
+
+
+def q_text_tfidf(spark, sf_dir):
+    return TX.tfidf_top_terms(load_tables(spark, sf_dir)["documents"], top_n=3)
+
+
 def q_text_doc_stats(spark, sf_dir):
     return TX.doc_stats(load_tables(spark, sf_dir)["documents"])
 
@@ -384,6 +400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ship_latency": q_ship_latency,
         "spend_quartiles": q_spend_quartiles,
         "skew_salted_agg": q_skew_salted_agg,
+        "grouping_sets_orders": q_grouping_sets_orders,
+        "pivot_status_by_year": q_pivot_status_by_year,
         # sources (simulator replay)
         "source_knob_sine": q_source_knob_sine,
         # dedup / text / similarity / multimodal
@@ -394,6 +412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
         "text_doc_stats": q_text_doc_stats,
+        "text_top_tokens": q_text_top_tokens,
+        "text_tfidf": q_text_tfidf,
         "text_quality_by_source": q_text_quality_by_source,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_cosine_topk_matmul": q_sim_cosine_topk_matmul,
@@ -659,6 +679,55 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT o_orderstatus, year(o_orderdate) AS yr, o_totalprice
                   FROM orders)
             GROUP BY CUBE (o_orderstatus, yr)
+        """,
+        "grouping_sets_orders": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS prio,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), ())
+        """,
+        "pivot_status_by_year": """
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                   round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+                   round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+                   round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+            FROM orders GROUP BY 1
+        """,
+        "text_top_tokens": """
+            SELECT term, count(*) AS cnt
+            FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                            t -> t <> '')) AS term
+                  FROM documents)
+            GROUP BY term
+            ORDER BY cnt DESC, term ASC
+            LIMIT 20
+        """,
+        "text_tfidf": """
+            WITH tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id,
+                           unnest(list_filter(string_split_regex(text, '\\s+'),
+                                              t -> t <> '')) AS term
+                    FROM documents)
+              GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     floor(tf.tf * ln(n.n_docs * 1.0 / df.df) * 1e4 + 0.5) / 1e4 AS tfidf
+              FROM tf JOIN df USING (term), n
+            )
+            SELECT doc_id, term, rank, tfidf FROM (
+              SELECT doc_id, term, tfidf,
+                     CAST(row_number() OVER (
+                         PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+                     ) AS INTEGER) AS rank
+              FROM scored)
+            WHERE rank <= 3
         """,
         "price_percentiles": """
             SELECT o_orderstatus,

@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "promo_revenue",
     "ship_latency",
     "spend_quartiles",
+    "grouping_sets_orders",
+    "pivot_status_by_year",
     # reference pipeline (batch replay)
     "t1_latest_per_key",
     "t3_fan_out",
@@ -59,6 +61,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "text_doc_stats",
     "text_quality_by_source",
+    "text_tfidf",
     "sim_cosine_topk",
     "sim_cosine_topk_matmul",
     "sim_ann_lsh",

@@ -101,6 +101,32 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Persist a dataset hive-partitioned by low-cardinality filter
+    columns (the lake layout the 100TB deployment would use). A reader
+    filtering on a partition column never opens non-matching directories
+    — the filter resolves at FILE LISTING time (PartitionFilters in the
+    scan node), before any IO, unlike row-group predicate pushdown which
+    still reads footers.
+
+    Choose partition columns with few distinct values (date, source,
+    event_type): high-cardinality partitioning makes a small-files
+    problem that slows listing more than pruning saves.
+    ``maxRecordsPerFile`` bounds the large-partition case so single
+    partitions split across parallel tasks on read."""
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views for ``spark.sql`` use."""
     for name, df in load_tables(spark, sf_dir).items():

@@ -307,6 +307,56 @@ def orders_cube(t: Tables) -> DataFrame:
     )
 
 
+def orders_grouping_sets(t: Tables) -> DataFrame:
+    """GROUPING SETS ((status, priority), (status), ()) — the general
+    form that rollup/cube specialize. Still one Expand + one shuffled
+    HashAggregate: Spark replicates each input row once per grouping set
+    map-side, so adding sets widens the Expand, not the number of passes."""
+    return (
+        t["orders"]
+        .groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _r(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("prio"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+def status_pivot_by_year(t: Tables) -> DataFrame:
+    """PIVOT: one row per order-year, one revenue column per order status.
+
+    Deliberately NOT ``groupBy().pivot()``: with the value set known,
+    Spark's pivot plans TWO shuffled aggregates ((yr,status) partial sum,
+    then pivotfirst on yr) — measured via explain. Conditional
+    aggregation computes the identical result in ONE shuffle on yr, with
+    the per-status sums folded map-side. (Without an explicit value set,
+    ``pivot()`` is worse still: an extra distinct-collect job scans the
+    fact table just to discover the columns.)"""
+
+    def col_for(status: str):
+        return _r(
+            F.sum(F.when(F.col("o_orderstatus") == status, F.col("o_totalprice"))),
+            2,
+        ).alias(status)
+
+    return (
+        t["orders"]
+        .withColumn("yr", F.year("o_orderdate").cast("int"))
+        .groupBy("yr")
+        .agg(*[col_for(s) for s in ("O", "F", "P")])
+    )
+
+
 def price_percentiles(t: Tables) -> DataFrame:
     """Exact linear-interpolation percentiles per order status. Spark's
     ``percentile`` (exact, sort-based within each group) matches DuckDB's

@@ -62,3 +62,60 @@ def filter_quality(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
     """The pipeline's actual dropout stage: keep docs above a quality
     floor. Expressed as a plain filter so it pushes down/pipelines."""
     return docs.where(T.quality_score(F.col("text")) >= min_quality)
+
+
+def term_freqs(docs: DataFrame) -> DataFrame:
+    """Long-format (doc_id, term, tf) via explode of the whitespace
+    tokenization — the shared base relation for tf-idf and the inverted
+    index. One shuffle (the groupBy); the explode itself pipelines."""
+    return (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def top_tokens(docs: DataFrame, n: int = 20) -> DataFrame:
+    """Corpus-wide token frequency top-n (the vocabulary head a BPE
+    trainer or stopword-list builder starts from). Partial aggregation
+    makes the shuffle carry |vocab| rows, not |tokens|; the global top-n
+    collapses to TakeOrderedAndProject — no full sort materialized."""
+    counted = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counted.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(n)
+
+
+def tfidf_top_terms(docs: DataFrame, top_n: int = 3) -> DataFrame:
+    """Per-document top-n terms by tf-idf (the classic keyword extractor
+    of a curation pipeline): score = tf * ln(N / df).
+
+    Shape at scale: one groupBy for tf, one for df (both partial-agg'd),
+    then df — a |vocab|-sized relation — joins back on ``term``; N rides
+    in as a broadcast scalar. Ranking partitions by doc_id only, so no
+    global sort. Scores are rounded half-up BEFORE ranking so the
+    rank/tie-break (rounded score desc, term asc) is reproducible across
+    engines regardless of last-ulp ln() noise."""
+    tf = term_freqs(docs)
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    scored = (
+        tf.join(df_, on="term")
+        .crossJoin(broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            rh(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select("doc_id", "term", "rank", "tfidf")
+    )

@@ -98,3 +98,41 @@ def test_rate_source_knob_stream_live(spark, tmp_path):
     assert len(rows) >= TOTAL_KNOBS
     assert {r["id"] for r in rows} <= set(range(TOTAL_KNOBS))
     assert all(r["n"] == 100 for r in rows)
+
+
+def test_partitioned_write_prunes_at_listing_time(spark, tables, tmp_path):
+    """write_partitioned + filter on the partition column -> the scan
+    carries the predicate as a PartitionFilter (resolved at file-listing
+    time, zero non-matching files opened) and it no longer appears in the
+    data filters. Row counts unchanged vs filtering the unpartitioned
+    source."""
+    from pubsub_mapreduce_spark.io import write_partitioned
+
+    path = str(tmp_path / "events_by_type")
+    write_partitioned(tables["events"], path, ["event_type"])
+    back = spark.read.parquet(path).where(F.col("event_type") == "error")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PushedFilters"
+    )[0], f"partition filter not applied at listing time:\n{plan}"
+    expected = tables["events"].where(F.col("event_type") == "error").count()
+    assert back.count() == expected
+
+
+def test_partitioned_write_splits_large_partitions(spark, tables, tmp_path):
+    """maxRecordsPerFile bounds file size so one hot partition still
+    reads as multiple parallel tasks."""
+    import glob
+
+    from pubsub_mapreduce_spark.io import write_partitioned
+
+    path = str(tmp_path / "events_split")
+    write_partitioned(
+        tables["events"], path, ["event_type"], max_records_per_file=100
+    )
+    files = glob.glob(f"{path}/event_type=*/*.parquet")
+    per_dir: dict[str, int] = {}
+    for f in files:
+        d = f.rsplit("/", 2)[1]
+        per_dir[d] = per_dir.get(d, 0) + 1
+    assert max(per_dir.values()) > 1, f"hot partition not split: {per_dir}"

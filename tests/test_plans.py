@@ -101,3 +101,39 @@ def test_minhash_no_cartesian(spark):
     contain no cartesian product anywhere."""
     assert_no_cartesian(q("dedup_minhash_lsh", spark))
     assert_no_cartesian(q("dedup_ngram_jaccard", spark))
+
+
+def test_grouping_sets_single_pass(spark):
+    """GROUPING SETS compiles to one Expand + one shuffled aggregate —
+    adding grouping sets must widen the Expand, not add passes."""
+    df = q("grouping_sets_orders", spark)
+    assert node_count(df, "Expand") == 1
+    assert_max_shuffles(df, 1)
+
+
+def test_pivot_no_discovery_job(spark):
+    """Explicit pivot values: the plan is a plain single-shuffle
+    aggregate — no distinct-collect job to discover the column set
+    (which at 100TB would scan the fact table twice)."""
+    df = q("pivot_status_by_year", spark)
+    assert_max_shuffles(df, 1)
+    assert_no_cartesian(df)
+
+
+def test_tfidf_plan_shape(spark):
+    """tf-idf: df(term) joins tf(term) — both sides partial-agg'd before
+    their shuffles; N rides in as a broadcast scalar; no cartesian from
+    the crossJoin(broadcast(n_docs)) because the build side is 1 row
+    broadcast (BroadcastNestedLoopJoin over 1 row is a constant fan-in,
+    not a quadratic blowup)."""
+    df = q("text_tfidf", spark)
+    assert_broadcast_join(df, min_count=1)
+    assert node_count(df, "Window") == 1
+
+
+def test_top_tokens_takeordered(spark):
+    """Corpus top-n tokens ends in TakeOrderedAndProject over the
+    |vocab|-sized aggregate — never a global sort of the token stream."""
+    df = q("text_top_tokens", spark)
+    assert node_count(df, "TakeOrderedAndProject") == 1
+    assert node_count(df, "Sort") == 0

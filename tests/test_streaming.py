@@ -412,3 +412,51 @@ def test_streaming_throughput_exceeds_local_baseline(spark, tmp_path):
     skipped = DeviceConfigSink(pushes.append, skip=True)
     skipped(df, 0)
     assert len(pushes) == 2  # -skip-iot: no push
+
+
+def test_end_to_end_latency_publish_to_sink(spark, tmp_path):
+    """End-to-end freshness: publish a knob batch -> its windowed counts
+    visible at the sink. The reference's own pipeline carries ~300ms of
+    intentional batching (200ms knobs tick + 100ms mapper window) before
+    network hops; our budget asserts the micro-batch path stays in the
+    same order of magnitude — single-digit seconds on a cold local[32]
+    JVM, not a per-batch recompile blowup. Measured per round so a
+    regression in ANY stage (source listing, state store, sink) trips it."""
+    import os
+    import time
+
+    src = str(tmp_path / "lat_src")
+    os.makedirs(src, exist_ok=True)
+    arrivals: list[float] = []
+
+    def sink(bdf, _bid):
+        if bdf.count() > 0:
+            arrivals.append(time.monotonic())
+
+    stream = read_knob_stream(spark, src)
+    counted = windowed_count_stream(stream, window="1 second")
+    q = (
+        counted.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    lat = []
+    try:
+        for round_i in range(3):
+            t0 = time.monotonic()
+            knob_batch(
+                spark, n=N_CONST, ticks=4, tick_ms=200,
+                start_epoch_s=1_704_067_200 + 10 * round_i,
+            ).coalesce(1).write.mode("append").parquet(src)
+            deadline = time.monotonic() + 60
+            while len(arrivals) <= round_i and time.monotonic() < deadline:
+                time.sleep(0.05)
+            assert len(arrivals) > round_i, f"round {round_i}: no output in 60s"
+            lat.append(arrivals[round_i] - t0)
+    finally:
+        q.stop()
+    # warm rounds exclude JVM/codegen warmup; generous bound = not-broken,
+    # printed value = the actual number for the bench record
+    print(f"\nend-to-end latency per round (s): {[round(x, 3) for x in lat]}")
+    assert min(lat[1:]) < 10.0, f"warm end-to-end latency too high: {lat}"
