@@ -27,6 +27,7 @@ from pubsub_mapreduce_spark.operators import (
     multimodal,
     pipeline as P,
     relational as R,
+    sampling as SM,
     similarity as S,
     textops as TX,
 )
@@ -306,6 +307,29 @@ def q_text_tfidf(spark, sf_dir):
     return TX.tfidf_top_terms(load_tables(spark, sf_dir)["documents"], top_n=3)
 
 
+def q_sample_docs(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    return SM.sample_pct(docs, "doc_id", 10).select(
+        "doc_id", SM.hash_bucket("doc_id").alias("bucket")
+    )
+
+
+def q_split_counts(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        SM.train_val_test_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+def q_emb_norm_stats(spark, sf_dir):
+    return S.embedding_norm_stats(load_tables(spark, sf_dir)["embeddings"])
+
+
 def q_text_doc_stats(spark, sf_dir):
     return TX.doc_stats(load_tables(spark, sf_dir)["documents"])
 
@@ -414,6 +438,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_stats": q_text_doc_stats,
         "text_top_tokens": q_text_top_tokens,
         "text_tfidf": q_text_tfidf,
+        "sample_docs": q_sample_docs,
+        "split_counts": q_split_counts,
+        "emb_norm_stats": q_emb_norm_stats,
         "text_quality_by_source": q_text_quality_by_source,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_cosine_topk_matmul": q_sim_cosine_topk_matmul,
@@ -704,6 +731,39 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term
             ORDER BY cnt DESC, term ASC
             LIMIT 20
+        """,
+        "sample_docs": """
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 AS bucket
+            FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 100 < 10
+        """,
+        "split_counts": """
+            SELECT CASE WHEN b < 10 THEN 'test'
+                        WHEN b < 20 THEN 'val'
+                        ELSE 'train' END AS split,
+                   count(*) AS n_docs,
+                   round(avg(n_chars), 2) AS avg_chars
+            FROM (SELECT n_chars,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                             % 100 AS b
+                  FROM documents)
+            GROUP BY 1
+        """,
+        "emb_norm_stats": """
+            SELECT label, count(*) AS n_vecs,
+                   floor(avg(nrm) * 1e4 + 0.5) / 1e4 AS avg_norm,
+                   floor(min(nrm) * 1e4 + 0.5) / 1e4 AS min_norm,
+                   floor(max(nrm) * 1e4 + 0.5) / 1e4 AS max_norm
+            FROM (SELECT label,
+                         sqrt(list_aggregate(
+                             list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                             'sum')) AS nrm
+                  FROM embeddings)
+            GROUP BY label
         """,
         "text_tfidf": """
             WITH tf AS (

@@ -1,0 +1,58 @@
+"""Deterministic sampling and dataset splits for the training-data
+pipeline: hash-mod sampling, not ``df.sample``.
+
+``df.sample`` draws from a per-partition RNG, so the sample changes with
+the partitioning, the Spark version, and every rerun — useless for
+reproducible corpus curation at 100TB, where the sample membership must
+be (a) stable across reruns/engines and (b) a pure per-row function so
+it costs a scan, no shuffle and no coordination. Keying on a stable id
+hash gives both: the same document lands in the same bucket on any
+engine, any partitioning, any scale. (Same construction as the
+reference's fixed knob-id -> array-slot routing, util/util.go:10 —
+identity-determined placement, generalized to a hash.)
+
+The hash is the shared-with-DuckDB md5 trick (functions.text
+token_hash32): first 8 hex chars of md5, parsed as int — deterministic,
+uniform enough for percentage buckets, and expressible in ANSI SQL for
+the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 100
+
+
+def hash_bucket(key: Column | str, n_buckets: int = N_BUCKETS) -> Column:
+    """Stable bucket in [0, n_buckets) from a key column: first 8 hex
+    chars of md5(key-as-string), mod n. Pure projection — codegen'd,
+    shuffle-free, engine-independent."""
+    c = key if isinstance(key, Column) else F.col(key)
+    h = F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
+    return (h.cast("long") % n_buckets).alias("bucket")
+
+
+def sample_pct(df: DataFrame, key: str, pct: int) -> DataFrame:
+    """Keep rows whose hash bucket < pct — a deterministic ~pct% sample.
+    Membership is a pure function of the key: reruns, repartitions, and
+    other engines agree row-for-row (unlike ``df.sample``)."""
+    return df.where(hash_bucket(key) < pct)
+
+
+def train_val_test_split(
+    df: DataFrame, key: str, val_pct: int = 10, test_pct: int = 10
+) -> DataFrame:
+    """Assign each row a stable split label from its key hash:
+    [0, test_pct) -> test, [test_pct, test_pct+val_pct) -> val, rest ->
+    train. Adding documents later never moves an existing document
+    between splits — the property that keeps eval sets uncontaminated
+    as a 100TB corpus grows."""
+    b = hash_bucket(key)
+    return df.withColumn(
+        "split",
+        F.when(b < test_pct, F.lit("test"))
+        .when(b < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )

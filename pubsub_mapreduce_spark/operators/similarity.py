@@ -233,6 +233,24 @@ def ann_lsh_topk(
     return _topk(scored, k)
 
 
+def embedding_norm_stats(emb: DataFrame) -> DataFrame:
+    """Per-label embedding profile: count, mean/min/max L2 norm — the
+    sanity sweep a pipeline runs before trusting a new embedding batch
+    (all-zero vectors, scale drift between model versions, label skew).
+    Norms are a codegen'd HOF fold computed map-side; the only shuffle is
+    the |labels|-sized aggregate."""
+    from ..functions.text import round_half_up as rh
+
+    e = _as_double(emb)
+    nrm = norm(F.col("embedding"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        rh(F.avg(nrm), 4).alias("avg_norm"),
+        rh(F.min(nrm), 4).alias("min_norm"),
+        rh(F.max(nrm), 4).alias("max_norm"),
+    )
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     k: int = 5,
