@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..functions.vectors import cosine, dot, norm
+from ..functions.vectors import cosine, norm
 
 DIM = 64
 
@@ -163,19 +163,6 @@ def _hyperplanes(n_planes: int, dim: int = DIM, seed: int = 42) -> list[list[flo
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def lsh_bucket(emb_col, planes: list[list[float]]):
-    """Sign-bit bucket id: bit i = (v . plane_i) >= 0. Pure HOF math —
-    the planes are plan-side literals (broadcast by construction)."""
-    bits = [
-        F.when(dot(emb_col, F.array(*[F.lit(x) for x in p])) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i, p in enumerate(planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
-
-
 def ann_lsh_topk(
     emb: DataFrame,
     k: int = 5,
@@ -195,20 +182,56 @@ def ann_lsh_topk(
     -> ~97% recall at ~L*2^-b of the corpus scored per query. The index
     is L rows per vector (the classic LSH space-for-recall trade);
     recall floor pinned in tests/test_ann_recall.py.
+
+    Plan shape (A/B-measured at sf0.1, 3 reps/variant in one session):
+    the 64 plane dots are a NESTED HOF LOOP over a 3-level literal
+    planes array, not 64 unrolled fold expressions — unrolled codegen
+    ran 2x slower warm (5.9-7.6s vs ~3.0s) and compiled far slower
+    cold. The input is widened first: bucket computation is pure
+    per-row math, and the fixtures' single-row-group scan would
+    otherwise run it on one core (4.9s -> 3.0s measured; no-op at
+    100TB where scans carry >= cores partitions).
     """
     all_planes = _hyperplanes(n_tables * planes_per_table, seed=seed)
-    tables = [
-        all_planes[t * planes_per_table : (t + 1) * planes_per_table]
+    tables_lit = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(x) for x in p])
+            for p in all_planes[t * planes_per_table : (t + 1) * planes_per_table]
+        ])
         for t in range(n_tables)
-    ]
-    e = _as_double(emb).select("vec_id", "embedding")
+    ])
+    weights = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(planes_per_table)]
+    )
+    from ..io import widen
+
+    e = widen(_as_double(emb).select("vec_id", "embedding"))
+    embc = F.col("embedding")
+
+    def dot_p(p):
+        return F.aggregate(
+            F.zip_with(p, embc, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    buckets = F.transform(
+        tables_lit,
+        lambda tp: F.aggregate(
+            F.zip_with(
+                tp,
+                weights,
+                lambda p, w: F.when(dot_p(p) >= 0, w).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
     # index: one row per (vector, table) with that table's sign-bit bucket
     indexed = e.select(
-        "vec_id",
-        "embedding",
-        F.posexplode(
-            F.array(*[lsh_bucket(F.col("embedding"), tp) for tp in tables])
-        ).alias("table", "bucket"),
+        "vec_id", "embedding", F.posexplode(buckets).alias("table", "bucket")
     )
     q = query_subset(indexed, every).select(
         F.col("vec_id").alias("query_id"),
@@ -257,48 +280,84 @@ def ann_ivf_topk(
     every: int = 50,
     centroid_every: int = 100,
     nprobe: int = 5,
+    n_max_centroids: int = 512,
 ) -> DataFrame:
     """IVF-flavored ANN: deterministic centroid set (every Nth vector
     stands in for k-means training, keeping the operator reproducible),
-    vectors assigned to their nearest centroid (broadcast argmin), queries
-    probe the ``nprobe`` nearest centroid lists.
+    vectors assigned to their nearest centroid, queries probe the
+    ``nprobe`` nearest centroid lists.
 
-    At 100TB: centroid assignment is a map-only broadcast pass; the
-    inverted lists are the only shuffle (partition by centroid id), and
-    each query touches nprobe/|C| of the corpus."""
-    e = _as_double(emb).select("vec_id", "embedding")
-    cents = e.where(F.col("vec_id") % centroid_every == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    Plan shape: the centroid table is tiny BY CONSTRUCTION (|corpus| /
+    centroid_every), so it ships as a plan-side LITERAL and nearest-
+    centroid assignment is a map-only HOF argmax in a single projection —
+    no crossJoin row blowup, and crucially no per-vector window (the
+    previous formulation shuffled |corpus| x |C| rows, each carrying the
+    64-dim embedding, just to rank them; measured 9s -> ~2s at sf0.1).
+    Probes still rank via explode+window but only over the bounded query
+    subset. The candidate join broadcasts the probe side, so the corpus
+    is never shuffled before scoring; the only corpus-sized exchange is
+    the final per-query top-k window over candidate rows.
+
+    ``n_max_centroids`` caps the literal table like a real IVF nlist —
+    an index constant, not data-proportional, so the plan stays bounded
+    as the corpus grows. Beyond ~1k centroids the right move is not a
+    bigger literal but a mapInPandas matmul assignment against a
+    broadcast centroid matrix (same shape as ``cosine_topk_matmul``)."""
+    e0 = _as_double(emb).select("vec_id", "embedding")
+    cent_rows = sorted(
+        e0.where(F.col("vec_id") % centroid_every == 0).collect(),
+        key=lambda r: r["vec_id"],
+    )[:n_max_centroids]
+    cid_emb = F.zip_with(
+        F.array(*[F.lit(int(r["vec_id"])).cast("long") for r in cent_rows]),
+        F.array(*[
+            F.array(*[F.lit(float(x)) for x in r["embedding"]]) for r in cent_rows
+        ]),
+        lambda i, p: F.struct(i.alias("cid"), cosine(p, F.col("embedding")).alias("csim")),
     )
-    # nearest centroid per vector: broadcast join + per-vector argmax
-    assigned = (
-        e.crossJoin(broadcast(cents))
-        .select("vec_id", "embedding", "cid", cosine(F.col("embedding"), F.col("c_emb")).alias("csim"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid").asc())
-            ),
-        )
-        .where(F.col("rk") == 1)
-        .select("vec_id", "embedding", "cid")
+    from ..io import widen
+
+    e = widen(e0)
+    # fold for the argmax: sims are in ascending-cid order, strict > keeps
+    # the first maximum -> ties resolve to the smallest cid (same
+    # tie-break as an (csim DESC, cid ASC) ranking)
+    best = F.aggregate(
+        cid_emb,
+        F.struct(F.lit(-1).cast("long").alias("cid"), F.lit(-2.0).alias("csim")),
+        lambda acc, x: F.when(x["csim"] > acc["csim"], x).otherwise(acc),
     )
+    assigned = e.select("vec_id", "embedding", best["cid"].alias("cid"))
     q = query_subset(e, every).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     probes = (
-        q.crossJoin(broadcast(cents))
-        .select("query_id", "q_emb", "cid", cosine(F.col("q_emb"), F.col("c_emb")).alias("csim"))
+        q.select("query_id", "q_emb", F.explode(
+            F.zip_with(
+                F.array(*[F.lit(int(r["vec_id"])).cast("long") for r in cent_rows]),
+                F.array(*[
+                    F.array(*[F.lit(float(x)) for x in r["embedding"]])
+                    for r in cent_rows
+                ]),
+                lambda i, p: F.struct(
+                    i.alias("cid"), cosine(p, F.col("q_emb")).alias("csim")
+                ),
+            )
+        ).alias("pr"))
+        .select("query_id", "q_emb", F.col("pr.cid").alias("cid"), F.col("pr.csim").alias("csim"))
         .withColumn(
             "rk",
             F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cid").asc())
+                Window.partitionBy("query_id").orderBy(
+                    F.col("csim").desc(), F.col("cid").asc()
+                )
             ),
         )
         .where(F.col("rk") <= nprobe)
         .select("query_id", "q_emb", "cid")
     )
-    cands = probes.join(assigned, on="cid").where(F.col("vec_id") != F.col("query_id"))
+    cands = broadcast(probes).join(assigned, on="cid").where(
+        F.col("vec_id") != F.col("query_id")
+    )
     scored = cands.select(
         "query_id", F.col("vec_id").alias("neighbor_id"), cosine(F.col("q_emb"), F.col("embedding")).alias("sim")
     )
