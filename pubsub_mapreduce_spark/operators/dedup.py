@@ -186,6 +186,17 @@ def minhash_lsh_pairs(
     verify=True; (a, b) candidates otherwise.
     """
     rows_per_band = n_perm // bands
+    # Widen a too-narrow doc scan BEFORE tokenize/shingle: the per-row
+    # regex+explode work is the hot map stage and a single-row-group
+    # fixture file otherwise runs it on one core. Width 8 (not full
+    # defaultParallelism) A/B-measured best — full query 9.4s -> 5.5s at
+    # sf0.1, while 32-wide was net SLOWER (each extra partition carries
+    # its own n_perm x |docs| partial-min state into the combine, and the
+    # banded self-join re-shuffles the fan-out). No-op at 100TB where
+    # scans already carry >= 8 partitions.
+    from ..io import widen
+
+    docs = widen(docs, 8)
     # One tokenize+explode pass feeds BOTH the signature aggregate and the
     # exact-jaccard verify (via .distinct()): persisted so the doc scan +
     # regex tokenization runs once, not twice. MEMORY_AND_DISK so a 100TB
