@@ -185,3 +185,28 @@ def running_total_stream(counts: DataFrame, cnt_col: str | None = "cnt") -> Data
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(
+    df: DataFrame,
+    key_cols: list[str],
+    watermark_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival per key, drop later
+    duplicates that land within the watermark horizon — the streaming
+    form of ``operators.dedup.exact_dedup`` for an ingest pipeline that
+    must not admit the same document twice.
+
+    ``dropDuplicatesWithinWatermark`` (not ``dropDuplicates``): both keep
+    first-arrival, but plain streaming dropDuplicates holds EVERY key
+    seen forever — unbounded state on an unbounded corpus.  The
+    WithinWatermark form evicts a key's state once the watermark passes
+    its arrival, so state is O(keys per horizon), the only bound that
+    survives a 100TB/day ingest.  The trade is explicit: a duplicate
+    arriving later than ``delay`` after the original is admitted (dedup
+    horizon = watermark, same contract as the reference's LWW guard
+    which also only orders within its visibility window, knobs.go:101)."""
+    return df.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )

@@ -460,3 +460,27 @@ def test_end_to_end_latency_publish_to_sink(spark, tmp_path):
     # printed value = the actual number for the bench record
     print(f"\nend-to-end latency per round (s): {[round(x, 3) for x in lat]}")
     assert min(lat[1:]) < 10.0, f"warm end-to-end latency too high: {lat}"
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dedup_stream admits each content key once across micro-batches
+    within the watermark horizon: batch 2 re-sends batch 1's rows plus
+    fresh ones; only the fresh ones come through."""
+    from pubsub_mapreduce_spark.streaming.pipeline import dedup_stream
+
+    src = str(tmp_path / "dedup_src")
+    b1 = knob_batch(spark, n=N_CONST, ticks=10, tick_ms=200)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    # batch 2 = batch 1 duplicates + 10 new ticks
+    b2_new = knob_batch(
+        spark, n=N_CONST, ticks=10, tick_ms=200, start_epoch_s=1_704_067_200 + 2
+    )
+    b1.unionAll(b2_new).coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_knob_stream(spark, src)
+    deduped = dedup_stream(stream, ["id", "ts"], watermark_col="ts")
+    batches = run_foreach_batch(deduped, None, output_mode="append")
+    total = sum(len(rows) for _, rows in batches)
+    assert total == 20 * TOTAL_KNOBS, (
+        f"expected each (id, ts) admitted exactly once, got {total}"
+    )
