@@ -291,6 +291,10 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_cohort_retention(spark, sf_dir):
+    return R.cohort_retention(load_tables(spark, sf_dir))
+
+
 def q_grouping_sets_orders(spark, sf_dir):
     return R.orders_grouping_sets(load_tables(spark, sf_dir))
 
@@ -426,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": q_skew_salted_agg,
         "grouping_sets_orders": q_grouping_sets_orders,
         "pivot_status_by_year": q_pivot_status_by_year,
+        "cohort_retention": q_cohort_retention,
         # sources (simulator replay)
         "source_knob_sine": q_source_knob_sine,
         # dedup / text / similarity / multimodal
@@ -706,6 +711,22 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT o_orderstatus, year(o_orderdate) AS yr, o_totalprice
                   FROM orders)
             GROUP BY CUBE (o_orderstatus, yr)
+        """,
+        "cohort_retention": """
+            WITH first AS (
+              SELECT user_id, min(date_trunc('week', ts)) AS cohort
+              FROM events GROUP BY user_id
+            ),
+            act AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+              FROM events
+            )
+            SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+                   CAST(date_diff('day', cohort, wk) / 7 AS INTEGER)
+                       AS week_offset,
+                   count(DISTINCT a.user_id) AS n_users
+            FROM act a JOIN first USING (user_id)
+            GROUP BY cohort, wk
         """,
         "grouping_sets_orders": """
             SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -357,6 +357,31 @@ def status_pivot_by_year(t: Tables) -> DataFrame:
     )
 
 
+def cohort_retention(t: Tables) -> DataFrame:
+    """Cohort retention over the event stream: users grouped by
+    first-activity week (ISO week start — fixtures span days, so weekly
+    buckets give a real cohort grid), counted distinct per
+    weeks-since-cohort offset. Two aggregates + one join: first-touch
+    (groupBy user, min week), distinct activity weeks (pre-aggregated
+    BEFORE the join so the join input is |users x weeks|, not |events|),
+    then the cohort rollup. All three shuffles key on user_id/cohort —
+    at scale the first two reuse one exchange."""
+    ev = t["events"]
+    wk = F.date_trunc("week", "ts")
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort"))
+    act = ev.select("user_id", wk.alias("wk")).distinct()
+    return (
+        act.join(first, on="user_id")
+        .groupBy("cohort", "wk")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("wk", "cohort") / 7).cast("int").alias("week_offset"),
+            "n_users",
+        )
+    )
+
+
 def price_percentiles(t: Tables) -> DataFrame:
     """Exact linear-interpolation percentiles per order status. Spark's
     ``percentile`` (exact, sort-based within each group) matches DuckDB's
