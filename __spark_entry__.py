@@ -334,6 +334,10 @@ def q_emb_norm_stats(spark, sf_dir):
     return S.embedding_norm_stats(load_tables(spark, sf_dir)["embeddings"])
 
 
+def q_curation_pipeline(spark, sf_dir):
+    return TX.curation_pipeline(load_tables(spark, sf_dir)["documents"])
+
+
 def q_text_doc_stats(spark, sf_dir):
     return TX.doc_stats(load_tables(spark, sf_dir)["documents"])
 
@@ -445,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": q_text_tfidf,
         "sample_docs": q_sample_docs,
         "split_counts": q_split_counts,
+        "curation_pipeline": q_curation_pipeline,
         "emb_norm_stats": q_emb_norm_stats,
         "text_quality_by_source": q_text_quality_by_source,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -743,6 +748,35 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
                    round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
             FROM orders GROUP BY 1
+        """,
+        "curation_pipeline": f"""
+            WITH {_TEXT_FEATURES_CTE},
+            q AS (
+              SELECT d.doc_id, d.text, d.lang,
+                     0.4 * (CASE WHEN length(d.text) BETWEEN 100 AND 20000 THEN 1.0
+                                 WHEN length(d.text) >= 20 THEN 0.5 ELSE 0.0 END)
+                     + 0.3 * least(f.swr * 5.0, 1.0)
+                     + 0.3 * (1.0 - f.pr) AS quality
+              FROM documents d JOIN feat2 f ON d.doc_id = f.doc_id),
+            kept AS (SELECT * FROM q WHERE quality >= 0.5),
+            uniq AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+                FROM kept)
+              WHERE rn = 1),
+            labeled AS (
+              SELECT lang, quality,
+                     CASE WHEN b < 10 THEN 'test'
+                          WHEN b < 20 THEN 'val'
+                          ELSE 'train' END AS split
+              FROM (SELECT *,
+                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 100 AS b
+                    FROM uniq))
+            SELECT split, lang, count(*) AS n_docs,
+                   round(avg(quality), 4) AS avg_quality
+            FROM labeled GROUP BY split, lang
         """,
         "text_top_tokens": """
             SELECT term, count(*) AS cnt

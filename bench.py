@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "text_doc_stats",
     "text_quality_by_source",
     "text_tfidf",
+    "curation_pipeline",
     "sim_cosine_topk",
     "sim_cosine_topk_matmul",
     "sim_ann_lsh",

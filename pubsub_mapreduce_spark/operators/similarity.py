@@ -274,6 +274,64 @@ def embedding_norm_stats(emb: DataFrame) -> DataFrame:
     )
 
 
+def _centroid_sims(cents: list[tuple[int, list[float]]], col: str):
+    """array<struct<cid, csim>> of cosine sims between ``col`` and every
+    centroid — centroids ride as plan literals (ascending-cid order)."""
+    return F.zip_with(
+        F.array(*[F.lit(int(c)).cast("long") for c, _ in cents]),
+        F.array(*[F.array(*[F.lit(float(x)) for x in v]) for _, v in cents]),
+        lambda i, p: F.struct(i.alias("cid"), cosine(p, F.col(col)).alias("csim")),
+    )
+
+
+def _nearest_centroid(cents: list[tuple[int, list[float]]], col: str):
+    """Argmax fold over ``_centroid_sims``: strict > keeps the first
+    maximum, so ties resolve to the smallest cid (same tie-break as an
+    (csim DESC, cid ASC) ranking)."""
+    return F.aggregate(
+        _centroid_sims(cents, col),
+        F.struct(F.lit(-1).cast("long").alias("cid"), F.lit(-2.0).alias("csim")),
+        lambda acc, x: F.when(x["csim"] > acc["csim"], x).otherwise(acc),
+    )
+
+
+def refine_centroids(
+    e: DataFrame, cents: list[tuple[int, list[float]]], iters: int = 1
+) -> list[tuple[int, list[float]]]:
+    """Lloyd (k-means) refinement of an IVF centroid set, spherical
+    flavor: assign every vector to its nearest centroid by cosine, then
+    recenter each cluster on its member mean. One distributed pass per
+    iteration — assignment is the map-only literal argmax, the recenter
+    is a (cid, dim)-keyed average of |corpus| x dim exploded values, and
+    only |C| x dim aggregated means come back to the driver. Empty
+    clusters keep their previous centroid. Deterministic end to end
+    (seeded start, exact argmax, fixed iteration count — no RNG)."""
+    for _ in range(iters):
+        best = _nearest_centroid(cents, "embedding")
+        # two selects: a generator (posexplode) in the same projection as
+        # the HOF-aggregate trips lambda-field resolution in analysis
+        assigned = e.select(best["cid"].alias("cid"), "embedding")
+        means = (
+            assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        cents = [
+            (
+                cid,
+                [by_cid[cid][p] for p in range(len(vec))]
+                if cid in by_cid
+                else vec,
+            )
+            for cid, vec in cents
+        ]
+    return cents
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     k: int = 5,
@@ -281,6 +339,7 @@ def ann_ivf_topk(
     centroid_every: int = 100,
     nprobe: int = 5,
     n_max_centroids: int = 512,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-flavored ANN: deterministic centroid set (every Nth vector
     stands in for k-means training, keeping the operator reproducible),
@@ -302,47 +361,31 @@ def ann_ivf_topk(
     an index constant, not data-proportional, so the plan stays bounded
     as the corpus grows. Beyond ~1k centroids the right move is not a
     bigger literal but a mapInPandas matmul assignment against a
-    broadcast centroid matrix (same shape as ``cosine_topk_matmul``)."""
+    broadcast centroid matrix (same shape as ``cosine_topk_matmul``).
+
+    ``refine_iters`` > 0 runs that many Lloyd iterations over the seed
+    centroids (``refine_centroids``) before indexing — better-balanced
+    inverted lists at the cost of one distributed pass each."""
     e0 = _as_double(emb).select("vec_id", "embedding")
-    cent_rows = sorted(
-        e0.where(F.col("vec_id") % centroid_every == 0).collect(),
-        key=lambda r: r["vec_id"],
-    )[:n_max_centroids]
-    cid_emb = F.zip_with(
-        F.array(*[F.lit(int(r["vec_id"])).cast("long") for r in cent_rows]),
-        F.array(*[
-            F.array(*[F.lit(float(x)) for x in r["embedding"]]) for r in cent_rows
-        ]),
-        lambda i, p: F.struct(i.alias("cid"), cosine(p, F.col("embedding")).alias("csim")),
-    )
+    cents = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in sorted(
+            e0.where(F.col("vec_id") % centroid_every == 0).collect(),
+            key=lambda r: r["vec_id"],
+        )[:n_max_centroids]
+    ]
     from ..io import widen
 
     e = widen(e0)
-    # fold for the argmax: sims are in ascending-cid order, strict > keeps
-    # the first maximum -> ties resolve to the smallest cid (same
-    # tie-break as an (csim DESC, cid ASC) ranking)
-    best = F.aggregate(
-        cid_emb,
-        F.struct(F.lit(-1).cast("long").alias("cid"), F.lit(-2.0).alias("csim")),
-        lambda acc, x: F.when(x["csim"] > acc["csim"], x).otherwise(acc),
-    )
+    if refine_iters:
+        cents = refine_centroids(e, cents, iters=refine_iters)
+    best = _nearest_centroid(cents, "embedding")
     assigned = e.select("vec_id", "embedding", best["cid"].alias("cid"))
     q = query_subset(e, every).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     probes = (
-        q.select("query_id", "q_emb", F.explode(
-            F.zip_with(
-                F.array(*[F.lit(int(r["vec_id"])).cast("long") for r in cent_rows]),
-                F.array(*[
-                    F.array(*[F.lit(float(x)) for x in r["embedding"]])
-                    for r in cent_rows
-                ]),
-                lambda i, p: F.struct(
-                    i.alias("cid"), cosine(p, F.col("q_emb")).alias("csim")
-                ),
-            )
-        ).alias("pr"))
+        q.select("query_id", "q_emb", F.explode(_centroid_sims(cents, "q_emb")).alias("pr"))
         .select("query_id", "q_emb", F.col("pr.cid").alias("cid"), F.col("pr.csim").alias("csim"))
         .withColumn(
             "rk",

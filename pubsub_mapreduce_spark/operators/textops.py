@@ -64,6 +64,43 @@ def filter_quality(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
     return docs.where(T.quality_score(F.col("text")) >= min_quality)
 
 
+def curation_pipeline(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """The full corpus-curation flow in ONE declarative plan — quality
+    gate -> exact dedup (keeper = min doc_id per content hash) -> stable
+    train/val/test assignment -> per-(split, lang) report. This is the
+    end-to-end shape a 100TB ingest actually runs, so it's a single
+    Catalyst plan rather than four jobs: the quality filter fuses with
+    the scan, dedup is one hash-partitioned window, the split label is a
+    pure projection, and the report is the only other shuffle.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import content_hash
+    from .sampling import train_val_test_split
+
+    c = F.col("text")
+    toks = F.col("__toks")
+    scored = docs.withColumn("__toks", T.tokens(c)).withColumn(
+        "quality", T.quality_score(c, toks)
+    )
+    kept = scored.where(F.col("quality") >= min_quality)
+    w = Window.partitionBy(content_hash()).orderBy("doc_id")
+    uniq = kept.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        train_val_test_split(uniq, "doc_id", val_pct=val_pct, test_pct=test_pct)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )
+
+
 def term_freqs(docs: DataFrame) -> DataFrame:
     """Long-format (doc_id, term, tf) via explode of the whitespace
     tokenization — the shared base relation for tf-idf and the inverted

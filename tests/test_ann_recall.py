@@ -30,3 +30,39 @@ def test_ivf_recall_floor(tables):
     got = pairs(ann_ivf_topk(emb, k=5, every=50))
     recall = len(exact & got) / len(exact)
     assert recall >= 0.9, f"IVF recall {recall:.2f} < 0.9"
+
+
+def test_ivf_refined_recall_and_inertia(spark, tables):
+    """One Lloyd iteration must not break recall, and must not DECREASE
+    total assignment similarity (the k-means objective, spherical form)."""
+    from pyspark.sql import functions as F
+
+    from pubsub_mapreduce_spark.operators.similarity import (
+        _as_double,
+        _nearest_centroid,
+        ann_ivf_topk,
+        refine_centroids,
+    )
+
+    emb = tables["embeddings"]
+    exact = pairs(cosine_topk(emb, k=5, every=50))
+    got = pairs(ann_ivf_topk(emb, k=5, every=50, refine_iters=1))
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"refined IVF recall {recall:.2f} < 0.9"
+
+    e = _as_double(emb).select("vec_id", "embedding")
+    seed = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in sorted(
+            e.where(F.col("vec_id") % 100 == 0).collect(),
+            key=lambda r: r["vec_id"],
+        )
+    ]
+    refined = refine_centroids(e, seed, iters=1)
+
+    def inertia(cents):
+        return e.select(
+            _nearest_centroid(cents, "embedding")["csim"].alias("s")
+        ).agg(F.sum("s")).first()[0]
+
+    assert inertia(refined) >= inertia(seed) - 1e-9
