@@ -332,6 +332,44 @@ def refine_centroids(
     return cents
 
 
+def assign_centroids_matmul(
+    e: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Scale path for nearest-centroid assignment when |C| outgrows a
+    plan literal (>~1k centroids, a real IVF nlist at 100TB is 2^14+):
+    the (C, D) centroid matrix rides in the UDF closure (a broadcast by
+    construction) and each Arrow batch scores against ALL centroids in
+    one ``(N, D) @ (D, C)`` BLAS matmul. Still map-only — no shuffle, no
+    row blowup; output schema = input + ``cid``.
+
+    Tie-break parity with ``_nearest_centroid``: centroid rows are in
+    ascending-cid order and ``np.argmax`` returns the FIRST maximum, so
+    equal sims resolve to the smallest cid on both paths (BLAS rounding
+    can still flip near-equal sims — an assignment detail that ANN
+    recall, not exact equality, is the contract for)."""
+    import pandas as pd
+
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    cmat = np.stack([np.asarray(v, dtype=np.float64) for _, v in cents])
+    norms = np.linalg.norm(cmat, axis=1, keepdims=True)
+    norms[norms == 0] = np.inf  # zero centroid -> sim 0.0, like cosine()
+    cmat = cmat / norms
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = np.inf  # zero vector -> all sims 0.0
+            sims = (m / n) @ cmat.T  # (N, C)
+            out = pdf[["vec_id", "embedding"]].copy()
+            out["cid"] = cids[np.argmax(sims, axis=1)]
+            yield out
+
+    return e.mapInPandas(assign, "vec_id long, embedding array<double>, cid long")
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     k: int = 5,
@@ -340,6 +378,7 @@ def ann_ivf_topk(
     nprobe: int = 5,
     n_max_centroids: int = 512,
     refine_iters: int = 0,
+    assign_via: str = "literal",
 ) -> DataFrame:
     """IVF-flavored ANN: deterministic centroid set (every Nth vector
     stands in for k-means training, keeping the operator reproducible),
@@ -360,8 +399,10 @@ def ann_ivf_topk(
     ``n_max_centroids`` caps the literal table like a real IVF nlist —
     an index constant, not data-proportional, so the plan stays bounded
     as the corpus grows. Beyond ~1k centroids the right move is not a
-    bigger literal but a mapInPandas matmul assignment against a
-    broadcast centroid matrix (same shape as ``cosine_topk_matmul``).
+    bigger literal but ``assign_via='matmul'`` — the
+    ``assign_centroids_matmul`` mapInPandas BLAS path (same closure-
+    broadcast shape as ``cosine_topk_matmul``); probes stay on the
+    literal path either way because the query subset is bounded.
 
     ``refine_iters`` > 0 runs that many Lloyd iterations over the seed
     centroids (``refine_centroids``) before indexing — better-balanced
@@ -379,8 +420,11 @@ def ann_ivf_topk(
     e = widen(e0)
     if refine_iters:
         cents = refine_centroids(e, cents, iters=refine_iters)
-    best = _nearest_centroid(cents, "embedding")
-    assigned = e.select("vec_id", "embedding", best["cid"].alias("cid"))
+    if assign_via == "matmul":
+        assigned = assign_centroids_matmul(e, cents)
+    else:
+        best = _nearest_centroid(cents, "embedding")
+        assigned = e.select("vec_id", "embedding", best["cid"].alias("cid"))
     q = query_subset(e, every).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
