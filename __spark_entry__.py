@@ -330,6 +330,12 @@ def q_split_counts(spark, sf_dir):
     )
 
 
+def q_heavy_hitter_users(spark, sf_dir):
+    from pubsub_mapreduce_spark.operators.sketches import heavy_hitters
+
+    return heavy_hitters(load_tables(spark, sf_dir)["events"], "user_id", 0.008)
+
+
 def q_emb_norm_stats(spark, sf_dir):
     return S.embedding_norm_stats(load_tables(spark, sf_dir)["embeddings"])
 
@@ -450,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_docs": q_sample_docs,
         "split_counts": q_split_counts,
         "curation_pipeline": q_curation_pipeline,
+        "heavy_hitter_users": q_heavy_hitter_users,
         "emb_norm_stats": q_emb_norm_stats,
         "text_quality_by_source": q_text_quality_by_source,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -806,6 +813,14 @@ def oracle_sql() -> dict[str, str]:
                              % 100 AS b
                   FROM documents)
             GROUP BY 1
+        """,
+        "heavy_hitter_users": """
+            WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+                 t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+            SELECT user_id, cnt,
+                   floor(cnt * 1.0 / total * 1e5 + 0.5) / 1e5 AS share
+            FROM c, t
+            WHERE cnt >= total * 0.008
         """,
         "emb_norm_stats": """
             SELECT label, count(*) AS n_vecs,

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "sliding_counts",
     "t7_running_total",
     "codec_roundtrip",
+    "heavy_hitter_users",
     # training-data ops (scale paths)
     "dedup_exact",
     "dedup_minhash_lsh",

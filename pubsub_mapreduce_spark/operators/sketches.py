@@ -1,0 +1,56 @@
+"""Frequency sketches: heavy hitters over an event stream.
+
+The reference has no analytics surface at all (SURVEY.md §2.6), but its
+whole topology is a frequency counter (mapper partial counts →  reducer
+merge, mapper.go:64-104 / reducer.go:145-153); heavy hitters is that
+same computation with a support threshold, so it belongs in the engine's
+training-data toolbox (skew detection: which users/domains dominate a
+crawl before you sample it).
+
+Scale shape: one hash-shuffle of PRE-AGGREGATED per-key counts (map-side
+combine makes the exchange |keys|-sized, not |rows|-sized), then the
+total rides back as a 1-row broadcast — no second pass over the data and
+no driver-side count. For key spaces too large to groupBy exactly,
+``freq_items`` wraps Spark's Karp et al. single-pass sketch whose output
+is a guaranteed SUPERSET of the true heavy hitters (false positives
+possible, false negatives not — pinned in tests/test_sketches.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions.text import round_half_up
+
+
+def heavy_hitters(
+    df: DataFrame, key: str = "user_id", support: float = 0.008
+) -> DataFrame:
+    """Exact keys with count >= support * total, with their share.
+
+    total is derived from the (already tiny) per-key counts and joined
+    back as a broadcast single row, keeping the whole thing one Catalyst
+    plan: scan → partial/final count → 1-row broadcast → filter.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("long").alias("total"))
+    return (
+        counts.crossJoin(broadcast(total))
+        .where(F.col("cnt") >= F.col("total") * F.lit(support))
+        .select(
+            key,
+            "cnt",
+            round_half_up(F.col("cnt") / F.col("total"), 5).alias("share"),
+        )
+    )
+
+
+def freq_items(df: DataFrame, key: str = "user_id", support: float = 0.008):
+    """Approximate heavy-hitter KEY SET via Spark's single-pass
+    ``freqItems`` sketch (Karp/Shenker/Papadimitriou): every key with
+    frequency > support is returned, possibly plus false positives.
+    Returns a Python set — the sketch output is bounded by 1/support,
+    not data-sized, so driver-side is the right place for it."""
+    return set(df.stat.freqItems([key], support).first()[0])

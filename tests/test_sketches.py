@@ -28,3 +28,29 @@ def test_approx_percentile_within_accuracy(tables):
     # accuracy=10000 -> rank error <= n/10000; translate to value space
     # loosely via a 2% relative bound on this distribution
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.02
+
+
+def test_heavy_hitters_exact_and_freq_items_superset(tables):
+    """freqItems (Karp single-pass) must return EVERY true heavy hitter
+    (frequency > support) — false positives allowed, false negatives
+    not. The exact operator is separately oracle-checked by the driver."""
+    from pyspark.sql import functions as F
+
+    from pubsub_mapreduce_spark.operators.sketches import (
+        freq_items,
+        heavy_hitters,
+    )
+
+    ev = tables["events"]
+    support = 0.008
+    hh = heavy_hitters(ev, "user_id", support)
+    rows = hh.collect()
+    assert rows, "vacuous: no heavy hitters at this support"
+    total = ev.count()
+    for r in rows:
+        assert r["cnt"] >= total * support
+    strict = {
+        r["user_id"] for r in rows if r["cnt"] > total * support
+    }
+    approx = freq_items(ev, "user_id", support)
+    assert strict <= approx, f"missing true hitters: {strict - approx}"
