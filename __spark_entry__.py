@@ -26,6 +26,7 @@ from pubsub_mapreduce_spark.operators import (
     dedup,
     multimodal,
     pipeline as P,
+    rangejoin as RJ,
     relational as R,
     sampling as SM,
     similarity as S,
@@ -336,6 +337,20 @@ def q_heavy_hitter_users(spark, sf_dir):
     return heavy_hitters(load_tables(spark, sf_dir)["events"], "user_id", 0.008)
 
 
+def q_range_join_signup(spark, sf_dir):
+    return RJ.post_signup_activity(load_tables(spark, sf_dir), hours=24)
+
+
+def q_range_join_launch(spark, sf_dir):
+    return RJ.launch_window_events(load_tables(spark, sf_dir), days=3)
+
+
+def q_approx_distinct_users(spark, sf_dir):
+    from pubsub_mapreduce_spark.operators.sketches import approx_distinct
+
+    return approx_distinct(load_tables(spark, sf_dir)["events"])
+
+
 def q_emb_norm_stats(spark, sf_dir):
     return S.embedding_norm_stats(load_tables(spark, sf_dir)["embeddings"])
 
@@ -457,6 +472,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_counts": q_split_counts,
         "curation_pipeline": q_curation_pipeline,
         "heavy_hitter_users": q_heavy_hitter_users,
+        "approx_distinct_users": q_approx_distinct_users,
+        "range_join_signup": q_range_join_signup,
+        "range_join_launch": q_range_join_launch,
         "emb_norm_stats": q_emb_norm_stats,
         "text_quality_by_source": q_text_quality_by_source,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -821,6 +839,31 @@ def oracle_sql() -> dict[str, str]:
                    floor(cnt * 1.0 / total * 1e5 + 0.5) / 1e5 AS share
             FROM c, t
             WHERE cnt >= total * 0.008
+        """,
+        # approx_distinct_users: intentionally no oracle — HLL++ estimate is
+        # engine-specific; accuracy vs exact pinned in tests/test_sketches.py
+        "range_join_signup": """
+            SELECT s.event_id AS signup_id, s.user_id AS s_user,
+                   count(f.event_id) AS n_follow_events,
+                   floor(coalesce(sum(f.value), 0.0) * 100 + 0.5) / 100
+                       AS follow_value
+            FROM events s
+            LEFT JOIN events f
+              ON f.user_id = s.user_id
+             AND f.ts > s.ts
+             AND f.ts <= s.ts + INTERVAL 24 HOURS
+            WHERE s.event_type = 'signup'
+            GROUP BY 1, 2
+        """,
+        "range_join_launch": """
+            WITH iv AS (SELECT event_type AS w_type, min(ts) AS w_start,
+                               min(ts) + INTERVAL 3 DAYS AS w_end
+                        FROM events GROUP BY 1)
+            SELECT iv.w_type, count(*) AS n_events_in_window,
+                   floor(sum(e.value) * 100 + 0.5) / 100 AS window_value
+            FROM iv JOIN events e
+              ON e.ts >= iv.w_start AND e.ts < iv.w_end
+            GROUP BY 1
         """,
         "emb_norm_stats": """
             SELECT label, count(*) AS n_vecs,

@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "t7_running_total",
     "codec_roundtrip",
     "heavy_hitter_users",
+    "approx_distinct_users",
+    "range_join_signup",
+    "range_join_launch",
     # training-data ops (scale paths)
     "dedup_exact",
     "dedup_minhash_lsh",

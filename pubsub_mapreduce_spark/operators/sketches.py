@@ -47,6 +47,29 @@ def heavy_hitters(
     )
 
 
+def approx_distinct(
+    df: DataFrame,
+    key: str = "user_id",
+    group: str = "event_type",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-group approximate distinct count via HyperLogLog++
+    (``approx_count_distinct``), relative standard deviation ``rsd``.
+
+    The scale rationale: exact COUNT(DISTINCT key) must shuffle every
+    distinct (group, key) pair — |rows|-sized worst case. The HLL sketch
+    is a fixed-size (~1.5KB at rsd=0.05) mergeable buffer, so the
+    map-side partials make the exchange |groups|-sized regardless of
+    data volume; at 100TB this is the difference between a terabyte
+    shuffle and a kilobyte one. Accuracy contract (±3·rsd vs exact) is
+    pinned in tests/test_sketches.py; the driver records a rows-only
+    check since no oracle reproduces Spark's exact HLL estimate.
+    """
+    return df.groupBy(group).agg(
+        F.approx_count_distinct(key, rsd).alias("approx_distinct"),
+    )
+
+
 def freq_items(df: DataFrame, key: str = "user_id", support: float = 0.008):
     """Approximate heavy-hitter KEY SET via Spark's single-pass
     ``freqItems`` sketch (Karp/Shenker/Papadimitriou): every key with

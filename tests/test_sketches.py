@@ -19,6 +19,27 @@ def test_approx_count_distinct_within_rsd(tables):
         assert abs(r["approx"] - r["exact"]) <= max(3, 0.06 * r["exact"]), r
 
 
+def test_approx_distinct_operator_within_rsd(tables):
+    """The sketches.approx_distinct operator (rsd=0.05) tracks the exact
+    per-group distinct count within 3 sigma."""
+    from pubsub_mapreduce_spark.operators.sketches import approx_distinct
+
+    ev = tables["events"]
+    approx = {
+        r["event_type"]: r["approx_distinct"]
+        for r in approx_distinct(ev).collect()
+    }
+    exact = {
+        r[0]: r[1]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys() and approx
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(3, 0.15 * ex), (k, approx[k], ex)
+
+
 def test_approx_percentile_within_accuracy(tables):
     orders = tables["orders"]
     row = orders.agg(
