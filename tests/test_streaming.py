@@ -344,6 +344,67 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     )
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join, both sides watermarked: matches found
+    across interleaved micro-batches (requests held in join state until
+    the watermark passes) must equal the one-shot batch join of the same
+    data. Responses are delayed 300ms and every third tick is dropped, so
+    both multi-match and no-match requests exist."""
+    from pubsub_mapreduce_spark.streaming.joins import stream_interval_join
+
+    base = knob_batch(spark, n=N_CONST, ticks=TICKS, tick_ms=200)
+    tick = F.floor(F.col("ts").cast("double") * 5 + F.lit(0.5)).cast("long")
+    req = base.select(
+        "id", F.col("ts").alias("req_ts"), F.col("n").alias("req_n")
+    )
+    resp = base.where(tick % 3 != 0).select(
+        "id",
+        (F.col("ts") + F.expr("INTERVAL 300 MILLISECONDS")).alias("resp_ts"),
+        F.col("n").alias("resp_n"),
+    )
+    req_dir, resp_dir = str(tmp_path / "req"), str(tmp_path / "resp")
+    req.repartition(4, "req_ts").write.parquet(req_dir)
+    resp.repartition(4, "resp_ts").write.parquet(resp_dir)
+
+    def stream(path, schema):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+
+    joined = stream_interval_join(
+        stream(req_dir, "id long, req_ts timestamp, req_n long"),
+        stream(resp_dir, "id long, resp_ts timestamp, resp_n long"),
+        max_delay="1 second",
+        watermark="30 seconds",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssjoin")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        tuple(r) for r in spark.table("ssjoin").select(
+            "id", "req_ts", "resp_ts"
+        ).collect()
+    )
+
+    batch = stream_interval_join(
+        spark.read.parquet(req_dir),
+        spark.read.parquet(resp_dir),
+        max_delay="1 second",
+        watermark="30 seconds",  # no-op in batch
+    )
+    want = sorted(
+        tuple(r) for r in batch.select("id", "req_ts", "resp_ts").collect()
+    )
+    assert got and got == want
+
+
 def test_streaming_throughput_exceeds_local_baseline(spark, tmp_path):
     """BASELINE.md local sanity target: the reference sustains 10k
     msgs/sec on one machine (README.md:78). Our full T2->T3->T4 streaming
