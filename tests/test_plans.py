@@ -137,3 +137,25 @@ def test_top_tokens_takeordered(spark):
     df = q("text_top_tokens", spark)
     assert node_count(df, "TakeOrderedAndProject") == 1
     assert node_count(df, "Sort") == 0
+
+
+def test_range_join_plans_never_nested_loop(spark):
+    """Range joins must ride an equality key (user, or the time bucket),
+    never a BroadcastNestedLoopJoin range predicate: the binned keyless
+    plan and the equi+range plan both compile to hash/merge joins."""
+    from pubsub_mapreduce_spark.plans.explain import explain_str
+
+    for name in ["range_join_signup", "range_join_launch"]:
+        df = q(name, spark)
+        plan = explain_str(df)
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} nested loop"
+        assert_no_cartesian(df)
+
+
+def test_approx_distinct_single_tiny_shuffle(spark):
+    """HLL distinct: one |groups|-sized exchange of fixed-size sketch
+    buffers — the plan must show a single partial/final aggregate pair,
+    never a distinct-expand or second shuffle."""
+    df = q("approx_distinct_users", spark)
+    assert_max_shuffles(df, 1)
+    assert node_count(df, "Expand") == 0
