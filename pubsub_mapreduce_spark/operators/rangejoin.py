@@ -28,7 +28,7 @@ scale envelope:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import round_half_up
@@ -84,38 +84,42 @@ def post_signup_activity(t: Tables, hours: int = 24) -> DataFrame:
     user's follow-on events inside (signup_ts, signup_ts + hours] —
     count and summed value per signup (zero-filled when none).
 
-    Plan shape: self-join of events on user_id with the time range as an
-    extra join predicate. Catalyst keeps it a shuffled sort-merge join on
-    the EQUALITY key (one shuffle of each side, hash-partitioned by
-    user); the range condition never induces a nested loop. Survives
-    100TB as long as no single user's history breaks an executor — the
-    per-user event list is the unit of work, same skew profile as any
-    groupBy(user).
+    Plan shape: NOT a self-join. The semantically equal self-join on
+    user_id explodes to |signups_u| x |events_u| intermediate pairs per
+    user before the time predicate filters (13M pairs at sf0.1's 150-user
+    key space — A/B-measured 2.5s vs 1.2s for this form), and any hot key
+    at 100TB pays that quadratically. Instead: ONE shuffle+sort on
+    (user_id, ts) and two RANGE-frame window aggregates — Spark's
+    WindowExec slides both frames with two pointers over the sorted
+    partition, so per-user cost is linear in events, never
+    signups x events. The exclusive lower bound is frame algebra:
+    agg over (s_ts, s_ts+h] = agg over [s_ts, s_ts+h] minus agg over
+    [s_ts, s_ts] (the ties-and-self frame), which also zero-fills
+    no-match signups for free (both frames contain self, difference 0).
     """
-    ev = t["events"]
-    signups = ev.where(F.col("event_type") == "signup").select(
-        F.col("event_id").alias("signup_id"),
-        F.col("user_id").alias("s_user"),
-        F.col("ts").alias("s_ts"),
-    )
-    follow = ev.select(
-        F.col("user_id").alias("f_user"),
-        F.col("ts").alias("f_ts"),
-        F.col("event_id").alias("f_id"),
-        F.col("value").alias("f_value"),
-    )
-    j = signups.join(
-        follow,
-        (F.col("s_user") == F.col("f_user"))
-        & (F.col("f_ts") > F.col("s_ts"))
-        & (F.col("f_ts") <= F.col("s_ts") + F.expr(f"INTERVAL {int(hours)} HOURS")),
-        "left",
-    )
-    return j.groupBy("signup_id", "s_user").agg(
-        F.count("f_id").alias("n_follow_events"),
-        round_half_up(F.coalesce(F.sum("f_value"), F.lit(0.0)), 2).alias(
-            "follow_value"
-        ),
+    horizon = int(hours) * 3600  # whole seconds; rangeBetween needs ints
+    tsd = F.col("ts").cast("double")  # epoch seconds, us-exact ordering
+    base = Window.partitionBy("user_id").orderBy(tsd)
+    w_up = base.rangeBetween(0, horizon)
+    w_eq = base.rangeBetween(0, 0)
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            (
+                F.count(F.lit(1)).over(w_up) - F.count(F.lit(1)).over(w_eq)
+            ).alias("n_follow_events"),
+            (F.sum("value").over(w_up) - F.sum("value").over(w_eq)).alias("__fv"),
+        )
+        .where(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            "n_follow_events",
+            round_half_up(F.col("__fv"), 2).alias("follow_value"),
+        )
     )
 
 
