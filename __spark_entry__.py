@@ -319,6 +319,20 @@ def q_sample_docs(spark, sf_dir):
     )
 
 
+def q_stratified_docs(spark, sf_dir):
+    """Corpus-mixing stratified sample: per-source keep rates (100% of
+    src0, 50% of src1, 25% of src2, 10% of everything else), membership
+    a pure hash of doc_id — no shuffle, reproducible across engines."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        SM.stratified_sample(
+            docs, "doc_id", "source", {"src0": 100, "src1": 50, "src2": 25}, 10
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
 def q_split_counts(spark, sf_dir):
     docs = load_tables(spark, sf_dir)["documents"]
     return (
@@ -469,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_tokens": q_text_top_tokens,
         "text_tfidf": q_text_tfidf,
         "sample_docs": q_sample_docs,
+        "stratified_docs": q_stratified_docs,
         "split_counts": q_split_counts,
         "curation_pipeline": q_curation_pipeline,
         "heavy_hitter_users": q_heavy_hitter_users,
@@ -819,6 +834,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                       % 100 < 10
+        """,
+        "stratified_docs": """
+            SELECT source, count(*) AS n_kept
+            FROM (SELECT doc_id, source,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                             % 100 AS b
+                  FROM documents)
+            WHERE b < CASE source WHEN 'src0' THEN 100
+                                  WHEN 'src1' THEN 50
+                                  WHEN 'src2' THEN 25
+                                  ELSE 10 END
+            GROUP BY source
         """,
         "split_counts": """
             SELECT CASE WHEN b < 10 THEN 'test'

@@ -56,3 +56,31 @@ def train_val_test_split(
         .when(b < test_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("train")),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    rates: dict[str, int],
+    default_pct: int = 0,
+) -> DataFrame:
+    """Deterministic stratified sample: per-stratum keep percentages
+    (e.g. downsample web crawl to 5% while keeping 100% of books —
+    the standard corpus-mixing move when assembling training data).
+
+    Membership is ``hash_bucket(key) < pct(stratum)`` — still a pure
+    per-row projection + filter: no shuffle, no per-stratum count pass,
+    no coordination, and the kept set only shrinks/grows per stratum
+    when its rate changes (rows never migrate between strata samples).
+    Contrast ``df.sampleBy``, which is RNG-based and non-reproducible
+    across engines/partitionings for the same reason as ``df.sample``.
+
+    Unknown strata fall back to ``default_pct`` (0 = drop), so a new
+    source appearing in a 100TB corpus is excluded-by-default rather
+    than silently flooding the mix.
+    """
+    pct = F.lit(default_pct)
+    for value, p in sorted(rates.items()):
+        pct = F.when(F.col(stratum) == value, F.lit(p)).otherwise(pct)
+    return df.where(hash_bucket(key) < pct)

@@ -53,3 +53,29 @@ def stream_interval_join(
         & (resp[resp_ts] <= req[req_ts] + F.expr(f"INTERVAL {max_delay}"))
     )
     return req.join(resp, cond, join_type).drop(resp[key])
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str = "id",
+    join_type: str = "left",
+) -> DataFrame:
+    """Enrich a stream with a STATIC dimension table (the knob-metadata
+    lookup the reference hard-codes as array-index routing,
+    util/util.go:10 — generalized to an arbitrary dim join).
+
+    Stream-static joins are STATELESS: no watermark, no state store —
+    each micro-batch joins against the (re-resolvable) static side, so
+    dim-table updates between micro-batches are picked up on file
+    sources. The static side rides a broadcast: per micro-batch cost is
+    a map-side hash lookup, zero shuffle of the stream. At 100TB/day of
+    stream and a dims table that fits an executor (the common case),
+    this is the cheapest join Spark has; a huge dim side instead wants
+    the stream bucketed to the dim's layout.
+
+    ``left`` keeps unmatched stream rows (nulls for dim columns) —
+    at-least-once enrichment never drops events because a dim row is
+    late; use ``inner`` to gate on dim membership instead.
+    """
+    return stream.join(F.broadcast(dim), on=key, how=join_type)

@@ -545,3 +545,37 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert total == 20 * TOTAL_KNOBS, (
         f"expected each (id, ts) admitted exactly once, got {total}"
     )
+
+
+def test_stream_static_enrich_matches_batch_and_is_stateless(spark, knob_dir):
+    """Stream-static broadcast enrichment: same rows as the batch join,
+    no state store in the plan (stateless per micro-batch), unmatched
+    stream rows kept with null dim columns under how='left'."""
+    from pubsub_mapreduce_spark.streaming.joins import stream_static_enrich
+
+    dim = spark.createDataFrame(
+        [(i, f"knob-{i}") for i in range(TOTAL_KNOBS - 1)],  # one id unmatched
+        "id long, knob_name string",
+    )
+    enriched = stream_static_enrich(read_knob_stream(spark, knob_dir), dim, key="id")
+    batches = run_foreach_batch(enriched, None, output_mode="append")
+    got = sorted(
+        (r["id"], r["n"], r["ts"], r["knob_name"])
+        for _, rows in batches
+        for r in rows
+    )
+    want = sorted(
+        (r["id"], r["n"], r["ts"], r["knob_name"])
+        for r in stream_static_enrich(
+            spark.read.parquet(knob_dir), dim, key="id"
+        ).collect()
+    )
+    assert got == want
+    unmatched = [t for t in got if t[0] == TOTAL_KNOBS - 1]
+    assert unmatched and all(t[3] is None for t in unmatched)
+    # plan shape: broadcast, not shuffled; stateless (no state store)
+    plan = stream_static_enrich(
+        spark.read.parquet(knob_dir), dim, key="id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "StateStore" not in plan
