@@ -69,12 +69,23 @@ def cosine_topk(
     Broadcast the (small) query side against the full candidate scan; rank
     per query with a row_number window partitioned by query id (sort only
     within each query's candidate list). Ties broken by neighbor id.
+
+    The corpus side is widened to >=8 partitions before the scoring
+    join: the |corpus| x |queries| HOF dot products are the hot map
+    stage, and a single-row-group fixture scan otherwise runs them on
+    one core (A/B at sf0.1: 3.0s -> 1.5s at width 8; 16/32 slower
+    again — same width-matters trade-off as minhash_lsh_pairs). No-op
+    on real multi-partition scans.
     """
     e = _as_double(emb).select("vec_id", "embedding")
     q = query_subset(e, every).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    pairs = e.join(broadcast(q), F.col("vec_id") != F.col("query_id") if exclude_self else F.lit(True))
+    from ..io import widen
+
+    pairs = widen(e, 8).join(
+        broadcast(q), F.col("vec_id") != F.col("query_id") if exclude_self else F.lit(True)
+    )
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
