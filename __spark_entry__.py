@@ -283,10 +283,11 @@ def q_dedup_embedding(spark, sf_dir):
 
 
 def q_dedup_clusters(spark, sf_dir):
-    """Transitive near-dup clusters via iterative min-label propagation —
-    genuinely non-SQL-expressible (driver-side iteration), rows-only
-    check per the contract; exactness is pinned against a union-find
-    ground truth in tests/test_components.py."""
+    """Transitive near-dup clusters via iterative min-label propagation.
+    The Spark side needs a driver-side loop (no recursive SQL in Spark),
+    but the fixpoint itself is plain transitive closure, so the oracle
+    is a DuckDB recursive CTE; exactness is also pinned against a
+    union-find ground truth in tests/test_components.py."""
     return dedup.dedup_clusters(
         load_tables(spark, sf_dir)["embeddings"], threshold=0.45
     )
@@ -1178,7 +1179,65 @@ def oracle_sql() -> dict[str, str]:
                    substr(to_base64(encode(text)), 1, 24) AS b64_prefix
             FROM documents
         """,
-        # no oracle (approximate / non-SQL-expressible, rows-only check):
-        #   dedup_minhash_lsh, sim_ann_lsh, sim_ann_ivf, multimodal_decode,
-        #   multimodal_frame_sample
+        # The Spark side of dedup_clusters is a driver-side iterative
+        # min-label loop (no SQL form in Spark without recursion), but the
+        # RESULT is plain transitive closure — DuckDB's recursive CTE
+        # reaches the same fixpoint, so it still gets a full value oracle.
+        "dedup_clusters": """
+            WITH RECURSIVE
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+            p AS (
+              SELECT a, b FROM (
+                SELECT x.vec_id AS a, y.vec_id AS b,
+                       round(list_cosine_similarity(x.emb, y.emb), 4) AS sim
+                FROM e x JOIN e y ON x.vec_id < y.vec_id)
+              WHERE sim >= 0.45),
+            ed AS (SELECT a AS u, b AS v FROM p
+                   UNION ALL SELECT b AS u, a AS v FROM p),
+            n AS (SELECT DISTINCT u AS node FROM ed),
+            reach AS (
+              SELECT node AS src, node AS dst FROM n
+              UNION
+              SELECT r.src, ed.v AS dst FROM reach r JOIN ed ON r.dst = ed.u)
+            SELECT src AS doc_id, MIN(dst) AS component
+            FROM reach GROUP BY src
+        """,
+        # The fake decoder is deterministic byte math (len % 640, sum of
+        # first 16 bytes % 480, sha256[:16]) precisely so the Arrow/
+        # mapInPandas plumbing gets a REAL value oracle: DuckDB recomputes
+        # the byte sum from the hex dump of the utf-8 payload.
+        "multimodal_decode": """
+            WITH m AS (
+              SELECT doc_id, 'image' AS media_type,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     substr(lower(hex(encode(text))), 1, 32) AS h,
+                     substr(sha256(text), 1, 16) AS checksum
+              FROM documents)
+            SELECT doc_id, media_type, n_bytes,
+                   CAST((n_bytes % 640) + 1 AS BIGINT) AS width,
+                   CAST((COALESCE(list_sum(
+                       [(strpos('0123456789abcdef', h[i+1:i+1]) - 1) *
+                        (CASE WHEN i % 2 = 0 THEN 16 ELSE 1 END)
+                        for i in range(0, length(h))]), 0) % 480) + 1
+                     AS BIGINT) AS height,
+                   checksum
+            FROM m
+        """,
+        # One fake frame per 256-byte block, sampled every 4: frame i is
+        # bytes [i*256, (i+1)*256), so its length is min(256, n - i*256);
+        # n < 256 degenerates to a single short frame 0.
+        "multimodal_frame_sample": """
+            WITH m AS (
+              SELECT doc_id,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n
+              FROM documents)
+            SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+                   CAST(least(256, n - i * 256) AS INTEGER) AS frame_n_bytes
+            FROM (SELECT doc_id, n,
+                         unnest(range(0, greatest(n // 256, 1), 4)) AS i
+                  FROM m)
+        """,
+        # no oracle (approximate by construction, rows-only check):
+        #   dedup_minhash_lsh, sim_ann_lsh, sim_ann_ivf,
+        #   approx_distinct_users
     }
