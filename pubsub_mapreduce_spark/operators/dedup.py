@@ -168,18 +168,15 @@ def minhash_signatures(
     # n_perm independent MIN aggregates over one base hash column: a single
     # shuffle of (doc_id -> n_perm partial mins), all map-side combined.
     # (The naive alternative — explode the n_perm-wide array — shuffles
-    # n_perm x |shingles| rows: measured 27s vs 4s at sf0.1.)
-    mins = hm.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("hm") + F.lit(b)) % F.lit(MERSENNE_P)).alias(
-                f"mh_{i}"
-            )
-            for i, (a, b) in enumerate(coeffs)
-        ]
-    )
-    return mins.select(
-        "doc_id", F.array(*[f"mh_{i}" for i in range(n_perm)]).alias("signature")
-    )
+    # n_perm x |shingles| rows: measured 27s vs 4s at sf0.1.) The whole
+    # agg is ONE SQL expression string — array() wrapped around the 64
+    # mins — because composing it from per-coefficient F.lit/F.min
+    # Columns costs ~450 py4j round trips (~1.3s driver time per call vs
+    # 0.6s; full query 4.7-7.7s -> 3.2-3.7s warm, parity-tested).
+    arr = "array(" + ",".join(
+        f"min(({a}L * hm + {b}L) % {MERSENNE_P}L)" for a, b in coeffs
+    ) + ")"
+    return hm.groupBy("doc_id").agg(F.expr(arr).alias("signature"))
 
 
 def minhash_lsh_pairs(

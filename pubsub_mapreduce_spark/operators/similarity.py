@@ -198,48 +198,32 @@ def ann_lsh_topk(
     the 64 plane dots are a NESTED HOF LOOP over a 3-level literal
     planes array, not 64 unrolled fold expressions — unrolled codegen
     ran 2x slower warm (5.9-7.6s vs ~3.0s) and compiled far slower
-    cold. The input is widened first: bucket computation is pure
-    per-row math, and the fixtures' single-row-group scan would
-    otherwise run it on one core (4.9s -> 3.0s measured; no-op at
-    100TB where scans carry >= cores partitions).
+    cold. The whole bucket expression is rendered as ONE SQL string
+    (``sql_array_lit``): building the 4096-leaf plane table from
+    per-element F.lit Columns measured 2.8-4s of py4j plan-construction
+    time per call — more than the query's execution — vs ~0.1s for a
+    single parse (total 3.7s -> ~1.9s, parity-tested). The input is
+    widened first: bucket computation is pure per-row math, and the
+    fixtures' single-row-group scan would otherwise run it on one core
+    (no-op at 100TB where scans carry >= cores partitions).
     """
-    all_planes = _hyperplanes(n_tables * planes_per_table, seed=seed)
-    tables_lit = F.array(*[
-        F.array(*[
-            F.array(*[F.lit(x) for x in p])
-            for p in all_planes[t * planes_per_table : (t + 1) * planes_per_table]
-        ])
-        for t in range(n_tables)
-    ])
-    weights = F.array(
-        *[F.lit(1 << i).cast("long") for i in range(planes_per_table)]
-    )
+    from ..functions.vectors import sql_array_lit, sql_dot
     from ..io import widen
 
-    e = widen(_as_double(emb).select("vec_id", "embedding"))
-    embc = F.col("embedding")
-
-    def dot_p(p):
-        return F.aggregate(
-            F.zip_with(p, embc, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    buckets = F.transform(
-        tables_lit,
-        lambda tp: F.aggregate(
-            F.zip_with(
-                tp,
-                weights,
-                lambda p, w: F.when(dot_p(p) >= 0, w).otherwise(
-                    F.lit(0).cast("long")
-                ),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ),
+    all_planes = _hyperplanes(n_tables * planes_per_table, seed=seed)
+    tables = [
+        all_planes[t * planes_per_table : (t + 1) * planes_per_table]
+        for t in range(n_tables)
+    ]
+    weights = "array(" + ",".join(f"{1 << i}L" for i in range(planes_per_table)) + ")"
+    buckets = F.expr(
+        f"""transform({sql_array_lit(tables)}, tp -> aggregate(
+              zip_with(tp, {weights},
+                (p, w) -> CASE WHEN {sql_dot('p', 'embedding')} >= 0
+                          THEN w ELSE 0L END),
+              0L, (acc, v) -> acc + v))"""
     )
+    e = widen(_as_double(emb).select("vec_id", "embedding"), 8)
     # index: one row per (vector, table) with that table's sign-bit bucket
     indexed = e.select(
         "vec_id", "embedding", F.posexplode(buckets).alias("table", "bucket")
@@ -285,24 +269,34 @@ def embedding_norm_stats(emb: DataFrame) -> DataFrame:
     )
 
 
-def _centroid_sims(cents: list[tuple[int, list[float]]], col: str):
-    """array<struct<cid, csim>> of cosine sims between ``col`` and every
-    centroid — centroids ride as plan literals (ascending-cid order)."""
-    return F.zip_with(
-        F.array(*[F.lit(int(c)).cast("long") for c, _ in cents]),
-        F.array(*[F.array(*[F.lit(float(x)) for x in v]) for _, v in cents]),
-        lambda i, p: F.struct(i.alias("cid"), cosine(p, F.col(col)).alias("csim")),
+def _centroid_sims_sql(cents: list[tuple[int, list[float]]], col: str) -> str:
+    """SQL text for array<struct<cid, csim>> of cosine sims between
+    ``col`` and every centroid — centroids ride as plan literals
+    (ascending-cid order). Rendered as one expression string: per-element
+    F.lit construction of a 512x64 centroid table costs seconds of py4j
+    round trips (see ann_lsh_topk docstring)."""
+    from ..functions.vectors import sql_array_lit, sql_cosine
+
+    cids = "array(" + ",".join(f"{int(c)}L" for c, _ in cents) + ")"
+    vecs = sql_array_lit([v for _, v in cents])
+    return (
+        f"zip_with({cids}, {vecs}, "
+        f"(i, p) -> named_struct('cid', i, 'csim', {sql_cosine('p', col)}))"
     )
+
+
+def _centroid_sims(cents: list[tuple[int, list[float]]], col: str):
+    return F.expr(_centroid_sims_sql(cents, col))
 
 
 def _nearest_centroid(cents: list[tuple[int, list[float]]], col: str):
     """Argmax fold over ``_centroid_sims``: strict > keeps the first
     maximum, so ties resolve to the smallest cid (same tie-break as an
     (csim DESC, cid ASC) ranking)."""
-    return F.aggregate(
-        _centroid_sims(cents, col),
-        F.struct(F.lit(-1).cast("long").alias("cid"), F.lit(-2.0).alias("csim")),
-        lambda acc, x: F.when(x["csim"] > acc["csim"], x).otherwise(acc),
+    return F.expr(
+        f"""aggregate({_centroid_sims_sql(cents, col)},
+              named_struct('cid', CAST(-1 AS BIGINT), 'csim', -2.0D),
+              (acc, x) -> CASE WHEN x.csim > acc.csim THEN x ELSE acc END)"""
     )
 
 
@@ -428,7 +422,9 @@ def ann_ivf_topk(
     ]
     from ..io import widen
 
-    e = widen(e0)
+    # width 8 A/B'd best (vs none/16/32: 5.0/3.4/3.5/3.5s at sf0.1) —
+    # same single-row-group-fixture trade-off as ann_lsh_topk
+    e = widen(e0, 8)
     if refine_iters:
         cents = refine_centroids(e, cents, iters=refine_iters)
     if assign_via == "matmul":
