@@ -385,8 +385,13 @@ def simhash(docs: DataFrame, text: str = "text") -> DataFrame:
     bit i of the fingerprint is 1 iff the summed vote is >= 0. Token
     multiplicity counts (standard SimHash). The (doc, bit) aggregate runs
     with map-side partial aggregation, so the 32x bit expansion never
-    crosses the shuffle at full width.
+    crosses the shuffle at full width. The doc scan is widened to 8
+    partitions before the tokenize+explode map stage (1.0s -> 0.48s at
+    sf0.1; no-op on real multi-partition scans).
     """
+    from ..io import widen
+
+    docs = widen(docs, 8)
     toks = docs.select(
         "doc_id", F.explode(tokens(normalized_text(text))).alias("tok")
     ).select("doc_id", token_hash32(F.col("tok")).alias("h"))

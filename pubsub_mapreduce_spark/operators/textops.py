@@ -11,6 +11,15 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..functions.text import round_half_up as rh
+from ..io import widen
+
+# Every operator here widens a too-narrow doc scan to 8 partitions before
+# the per-row regex/tokenize work — the hot map stage — because the
+# single-row-group fixture files otherwise run it on one core. A/B at
+# sf0.1 (noop-write, 3 reps): doc_stats 2.0s->0.95s, quality_by_source
+# 0.78->0.60, tfidf 1.1->0.90, curation 1.25->1.05. No-op at 100TB where
+# scans already carry >= 8 partitions; width 8 (not 32) per the measured
+# trade-off in io.widen's docstring.
 
 
 def doc_stats(docs: DataFrame) -> DataFrame:
@@ -25,7 +34,8 @@ def doc_stats(docs: DataFrame) -> DataFrame:
     c = F.col("text")
     toks = F.col("__toks")
     return (
-        docs.withColumn("__toks", T.tokens(c))
+        widen(docs, 8)
+        .withColumn("__toks", T.tokens(c))
         .select(
             "doc_id",
             F.size(toks).alias("tok_ws"),
@@ -47,7 +57,8 @@ def quality_by_source(docs: DataFrame) -> DataFrame:
     c = F.col("text")
     toks = F.col("__toks")
     return (
-        docs.withColumn("__toks", T.tokens(c))
+        widen(docs, 8)
+        .withColumn("__toks", T.tokens(c))
         .groupBy("source", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -85,7 +96,7 @@ def curation_pipeline(
 
     c = F.col("text")
     toks = F.col("__toks")
-    scored = docs.withColumn("__toks", T.tokens(c)).withColumn(
+    scored = widen(docs, 8).withColumn("__toks", T.tokens(c)).withColumn(
         "quality", T.quality_score(c, toks)
     )
     kept = scored.where(F.col("quality") >= min_quality)
@@ -106,7 +117,8 @@ def term_freqs(docs: DataFrame) -> DataFrame:
     tokenization — the shared base relation for tf-idf and the inverted
     index. One shuffle (the groupBy); the explode itself pipelines."""
     return (
-        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+        widen(docs, 8)
+        .select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -118,7 +130,8 @@ def top_tokens(docs: DataFrame, n: int = 20) -> DataFrame:
     makes the shuffle carry |vocab| rows, not |tokens|; the global top-n
     collapses to TakeOrderedAndProject — no full sort materialized."""
     counted = (
-        docs.select(F.explode(T.tokens(F.col("text"))).alias("term"))
+        widen(docs, 8)
+        .select(F.explode(T.tokens(F.col("text"))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

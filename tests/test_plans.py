@@ -16,6 +16,7 @@ from pubsub_mapreduce_spark.plans.explain import (
     assert_no_cartesian,
     assert_pushed_filters,
     assert_wholestage_codegen,
+    keyed_shuffle_count,
     node_count,
     read_schemas,
 )
@@ -63,10 +64,12 @@ def test_single_shuffle_operators(spark):
     for name in ["dedup_exact", "t1_latest_per_key", "t4_windowed_count",
                  "dedup_simhash", "session_windows"]:
         df = q(name, spark)
-        n = node_count(df, "Exchange")
+        # keyed shuffles only: the round-robin widening exchange is a
+        # fixture artifact (no-op at scale) — see keyed_shuffle_count
+        n = keyed_shuffle_count(df)
         # simhash legitimately shuffles twice ((doc,bit) agg then doc agg)
         budget = 2 if name == "dedup_simhash" else 1
-        assert n <= budget, f"{name}: {n} shuffles (budget {budget})"
+        assert n <= budget, f"{name}: {n} keyed shuffles (budget {budget})"
         assert_no_cartesian(df)
 
 
