@@ -3,20 +3,22 @@
 
 Prints ONE JSON line:
   {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1, "reps": 2}
+   "queries": {name: sec, ...}, "sf": 0.1, "reps": 3}
 
 Each query is forced end-to-end with a noop-format write (full execution,
 no driver-side collect overhead). One warm-up scan primes the JVM/file
 cache so the numbers measure the plans, not JIT/startup.
 
-Each query runs $SPARK_GRAFT_BENCH_REPS times (default 2) and reports the
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
 per-query MINIMUM: the first execution of any plan pays a multi-second
 whole-stage-codegen compile that single-run timing conflates with the
 plan's actual cost, and run-to-run variance on a shared box is large
-(the same code has measured 39s and 62s totals across sessions). Min
-over warm reps is the standard steady-state metric and is what a
-long-running cluster actually experiences. Set SPARK_GRAFT_BENCH_REPS=1
-for the old cold single-shot behavior.
+(the same code has measured 39s and 62s totals across sessions). With 2
+reps the min was still routinely the tail of the compile (measured q3
+3.6s reported vs 1.4s steady-state, minhash 6.1s vs 2.9s); 3 reps gives
+min-over->=2-truly-warm runs. Min over warm reps is the standard
+steady-state metric and is what a long-running cluster actually
+experiences. Set SPARK_GRAFT_BENCH_REPS=1 for cold single-shot.
 
 Query selection: every operator family, but only plans whose asymptotics
 survive sf0.1 (the exact O(n^2)-pair queries — ngram_jaccard,
@@ -99,7 +101,7 @@ def main() -> None:
     # warm-up: prime file cache + JIT with the flagship
     force(queries["q5_revenue_by_nation"](spark, sf_dir))
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best = float("inf")

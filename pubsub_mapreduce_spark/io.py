@@ -11,6 +11,7 @@ on the returned DataFrames (verify via ``plans.explain_str``).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,18 +33,36 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Lazy-DataFrame cache keyed by live session. ``spark.read.parquet`` does
+# a synchronous footer/schema read on the driver (~90ms/table, ~0.9s for
+# the full star schema) — a long-running engine resolves table metadata
+# ONCE via its catalog, not per query, so re-reading footers on every
+# queries() call both misbenchmarks the plans and mismodels production.
+# DataFrames are immutable lazy plans: sharing one per (sf_dir, table) is
+# exactly `spark.table(...)` semantics. WeakKey so stopped sessions drop
+# their entries.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table. Lazy scan — filters/projections applied by
-    the caller are pushed into the parquet reader by Catalyst.
+    """Read one fixture table (cached lazy scan — see _TABLE_CACHE).
+    Filters/projections applied by the caller are pushed into the parquet
+    reader by Catalyst.
 
     The events table stores ts as TIMESTAMP(NANOS); with
     ``nanosAsLong`` it arrives as long nanoseconds and is converted here
     to TimestampType by integer ns->us division (truncation — identical
     to how DuckDB reads the same file, so oracle comparisons agree)."""
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    cache = _TABLE_CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    if key not in cache:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        cache[key] = df
+    return cache[key]
 
 
 def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
