@@ -383,7 +383,7 @@ def ann_ivf_topk(
     nprobe: int = 5,
     n_max_centroids: int = 512,
     refine_iters: int = 0,
-    assign_via: str = "literal",
+    assign_via: str = "matmul",
 ) -> DataFrame:
     """IVF-flavored ANN: deterministic centroid set (every Nth vector
     stands in for k-means training, keeping the operator reproducible),
@@ -403,11 +403,16 @@ def ann_ivf_topk(
 
     ``n_max_centroids`` caps the literal table like a real IVF nlist —
     an index constant, not data-proportional, so the plan stays bounded
-    as the corpus grows. Beyond ~1k centroids the right move is not a
-    bigger literal but ``assign_via='matmul'`` — the
-    ``assign_centroids_matmul`` mapInPandas BLAS path (same closure-
-    broadcast shape as ``cosine_topk_matmul``); probes stay on the
-    literal path either way because the query subset is bounded.
+    as the corpus grows. Assignment defaults to ``assign_via='matmul'``
+    — the ``assign_centroids_matmul`` mapInPandas BLAS path (same
+    closure-broadcast shape as ``cosine_topk_matmul``): Catalyst HOFs
+    are interpreted per array element, so the |corpus|x|C|x|dim| argmax
+    is exactly the shape BLAS wins (A/B at sf0.1, 100 centroids: 1.0s
+    literal vs 0.6s matmul; the gap widens with |C|). The pure-JVM
+    ``assign_via='literal'`` HOF argmax is kept for deployments that
+    must avoid Python workers, and as the parity oracle for the BLAS
+    path (tests pin identical assignments). Probes stay on the literal
+    path either way because the query subset is bounded.
 
     ``refine_iters`` > 0 runs that many Lloyd iterations over the seed
     centroids (``refine_centroids``) before indexing — better-balanced
