@@ -15,7 +15,7 @@ import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -51,16 +51,26 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Filters/projections applied by the caller are pushed into the parquet
     reader by Catalyst.
 
-    The events table stores ts as TIMESTAMP(NANOS); with
-    ``nanosAsLong`` it arrives as long nanoseconds and is converted here
-    to TimestampType by integer ns->us division (truncation — identical
-    to how DuckDB reads the same file, so oracle comparisons agree)."""
+    The events ts column is normalized to session-tz TimestampType
+    regardless of how the fixture encodes it: TIMESTAMP(NANOS) +
+    ``nanosAsLong`` arrives as long nanoseconds (integer ns->us division,
+    truncation — identical to DuckDB's read of the same file);
+    TIMESTAMP(MICROS) without tz arrives as TIMESTAMP_NTZ, which the UTC
+    session casts to TIMESTAMP_LTZ value-identically. Downstream
+    operators rely on LTZ (e.g. RANGE frames over ``ts.cast('double')``
+    — NTZ has no epoch, so Spark forbids that cast)."""
     cache = _TABLE_CACHE.setdefault(spark, {})
     key = (os.path.abspath(sf_dir), name)
     if key not in cache:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if name == "events":
+            ts_type = df.schema["ts"].dataType
+            if isinstance(ts_type, LongType):
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            elif isinstance(ts_type, TimestampNTZType):
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         cache[key] = df
     return cache[key]
 
