@@ -305,6 +305,22 @@ def q_pivot_status_by_year(spark, sf_dir):
     return R.status_pivot_by_year(load_tables(spark, sf_dir))
 
 
+def q_cheapest_supplier(spark, sf_dir):
+    return R.cheapest_supplier(load_tables(spark, sf_dir))
+
+
+def q_nation_trade_volume(spark, sf_dir):
+    return R.nation_trade_volume(load_tables(spark, sf_dir))
+
+
+def q_large_orders(spark, sf_dir):
+    return R.large_orders(load_tables(spark, sf_dir))
+
+
+def q_json_props_stats(spark, sf_dir):
+    return P.props_stats(load_tables(spark, sf_dir)["events"])
+
+
 def q_text_top_tokens(spark, sf_dir):
     return TX.top_tokens(load_tables(spark, sf_dir)["documents"], n=20)
 
@@ -471,6 +487,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_orders": q_grouping_sets_orders,
         "pivot_status_by_year": q_pivot_status_by_year,
         "cohort_retention": q_cohort_retention,
+        "cheapest_supplier": q_cheapest_supplier,
+        "nation_trade_volume": q_nation_trade_volume,
+        "large_orders": q_large_orders,
+        "json_props_stats": q_json_props_stats,
         # sources (simulator replay)
         "source_knob_sine": q_source_knob_sine,
         # dedup / text / similarity / multimodal
@@ -789,6 +809,65 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
                    round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
             FROM orders GROUP BY 1
+        """,
+        "cheapest_supplier": """
+            WITH ps AS (
+              SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+              FROM lineitem GROUP BY 1, 2),
+            best AS (
+              SELECT l_partkey, l_suppkey, cost,
+                     row_number() OVER (
+                         PARTITION BY l_partkey ORDER BY cost, l_suppkey) AS rn
+              FROM ps)
+            SELECT b.l_partkey AS partkey, p.p_brand,
+                   b.l_suppkey AS suppkey, s.s_name,
+                   n.n_name AS supp_nation, round(b.cost, 2) AS min_cost
+            FROM best b
+            JOIN part p ON b.l_partkey = p.p_partkey
+            JOIN supplier s ON b.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE b.rn = 1
+        """,
+        "nation_trade_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                   CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l.l_discount AS DECIMAL(6,4)))), 2)
+                        AS DOUBLE) AS volume,
+                   count(*) AS n_lineitems
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            WHERE sn.n_name <> cn.n_name
+            GROUP BY 1, 2, 3
+        """,
+        "large_orders": """
+            WITH big AS (
+              SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+              FROM lineitem GROUP BY 1
+              HAVING round(sum(l_quantity), 2) > 200.0)
+            SELECT o.o_orderkey, o.o_custkey, c.c_name,
+                   CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS o_orderdate_s,
+                   round(o.o_totalprice, 2) AS totalprice, b.total_qty
+            FROM orders o
+            JOIN big b ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "json_props_stats": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   count(k) AS n_with_k,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k,
+                   max(k) AS max_k,
+                   floor(avg(k) * 1e6 + 0.5) / 1e6 AS avg_k
+            FROM (SELECT event_type,
+                         json_extract_string(props, '$.k')::BIGINT AS k
+                  FROM events)
+            GROUP BY event_type
         """,
         "curation_pipeline": f"""
             WITH {_TEXT_FEATURES_CTE},

@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "spend_quartiles",
     "grouping_sets_orders",
     "pivot_status_by_year",
+    "cheapest_supplier",
+    "nation_trade_volume",
+    "large_orders",
+    "json_props_stats",
     # reference pipeline (batch replay)
     "t1_latest_per_key",
     "t3_fan_out",

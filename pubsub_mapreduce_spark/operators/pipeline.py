@@ -223,3 +223,33 @@ def densify_to_vector(
             F.collect_list(F.struct(F.col(key), F.col(value)))
         ).alias("_pairs")
     ).select(F.transform("_pairs", lambda p: p[value]).alias("vector"))
+
+
+def props_stats(events: DataFrame) -> DataFrame:
+    """Dynamic-JSON analytics at scale (the F3 surface, knobs.go:93-100,
+    grown into a real query): per event_type, stats over the ``props.k``
+    payload field.
+
+    Spark 4 idiom: ``parse_json`` converts the string column to
+    VariantType ONCE — a binary semi-structured encoding whose typed
+    ``variant_get`` extractions are far cheaper than re-parsing the JSON
+    text per path (get_json_object re-tokenizes the string for every
+    path it's asked for). With one path the two tie; with k paths the
+    variant parse amortizes k:1, which is the 100TB shape (real event
+    payloads carry dozens of fields). ``try_variant_get``-style
+    permissiveness comes free: a missing key yields NULL, which
+    count/sum/min/max skip — the reference's recover-and-ack poison
+    handling (knobs.go:85-90) as null semantics instead of a panic."""
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            round_half_up(F.avg("k"), 6).alias("avg_k"),
+        )
+    )

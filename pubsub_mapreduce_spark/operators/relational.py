@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from ..functions.text import round_half_up
+
 Tables = dict[str, DataFrame]
 
 
@@ -597,4 +599,131 @@ def global_top_spenders(t: Tables, k: int = 25) -> DataFrame:
         .agg(_r(F.sum("o_totalprice"), 2).alias("lifetime_spend"))
         .orderBy(F.col("lifetime_spend").desc(), F.col("o_custkey").asc())
         .limit(k)
+    )
+
+
+def cheapest_supplier(t: Tables) -> DataFrame:
+    """TPC-H Q2 shape — per-part argmin over suppliers (lineitem stands
+    in for partsupp in this schema: cost = the lowest extended price a
+    supplier has quoted for the part).
+
+    Plan: NOT the textbook correlated subquery, which scans the fact
+    table twice (once per part for the min, once to match it). Instead a
+    composite-key partial aggregate collapses the fact map-side, then ONE
+    shuffle on l_partkey drives a struct-min argmin: ``min(struct(cost,
+    suppkey))`` compares lexicographically, so equal costs deterministically
+    break ties toward the smaller supplier key — no second scan, no
+    re-join on the min value. Name/nation decoration joins are broadcast
+    dims after the aggregate, so they touch |parts| rows, not |lineitem|."""
+    ps = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    best = (
+        ps.groupBy("l_partkey")
+        .agg(F.min(F.struct("cost", "l_suppkey")).alias("b"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("b.l_suppkey").alias("suppkey"),
+            _r(F.col("b.cost"), 2).alias("min_cost"),
+        )
+    )
+    return (
+        best.join(broadcast(t["part"]), F.col("partkey") == F.col("p_partkey"))
+        .join(broadcast(t["supplier"]), F.col("suppkey") == F.col("s_suppkey"))
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "partkey",
+            "p_brand",
+            "suppkey",
+            "s_name",
+            F.col("n_name").alias("supp_nation"),
+            "min_cost",
+        )
+    )
+
+
+def nation_trade_volume(t: Tables) -> DataFrame:
+    """TPC-H Q7 shape — bilateral trade volume: revenue per (supplier
+    nation, customer nation, order year), cross-border pairs only.
+
+    The same dimension table (nation) decorates BOTH fact paths: each
+    side pre-joins its tiny chain (supplier⨝nation, customer⨝nation)
+    into a broadcast, so lineitem is touched once and the only big
+    exchange is lineitem⨝orders on the order key. At 100TB customer
+    outgrows the broadcast and AQE falls back to a shuffle join on
+    o_custkey; the supplier side stays broadcast at any realistic SF."""
+    supp_nation = broadcast(
+        t["supplier"]
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_nation = broadcast(
+        t["customer"]
+        .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_nation, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("o_orderdate").alias("o_year")
+        )
+        .agg(
+            # DECIMAL, not double, for the money sum: with thousands of
+            # small groups, exact half-cent totals are common, and a
+            # double sum's engine-dependent ordering noise (~1 ulp) flips
+            # them across the rounding boundary. Decimal sums are exact
+            # and order-independent, so rounding is deterministic — the
+            # arithmetic TPC-H specifies for money in the first place.
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (
+                        F.lit(1).cast("decimal(6,4)")
+                        - F.col("l_discount").cast("decimal(6,4)")
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("volume"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def large_orders(t: Tables, min_qty: float = 200.0) -> DataFrame:
+    """TPC-H Q18 shape — orders whose total quantity clears a threshold,
+    decorated with their customer.
+
+    The IN-(GROUP BY ... HAVING) subquery is expressed directly as
+    aggregate-then-join: the lineitem aggregate reduces to |orders| rows
+    BEFORE any join, the HAVING filter cuts that to the rare heavy tail
+    (~p90+ of orders), and only then do orders/customer attach — the
+    join input is thousands of rows per 100M orders, not the fact table.
+    Catalyst plans the IN-subquery formulation identically (semi-join on
+    the aggregate), so the explicit form costs nothing and reads better."""
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(_r(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > F.lit(min_qty))
+    )
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "c_name",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_s"),
+            _r(F.col("o_totalprice"), 2).alias("totalprice"),
+            "total_qty",
+        )
     )

@@ -162,3 +162,44 @@ def test_approx_distinct_single_tiny_shuffle(spark):
     df = q("approx_distinct_users", spark)
     assert_max_shuffles(df, 1)
     assert node_count(df, "Expand") == 0
+
+
+def test_cheapest_supplier_plan(spark):
+    """Argmin join: two keyed shuffles total ((part,supp) partial then
+    part argmin); decoration joins all broadcast; no re-scan of lineitem
+    (exactly one lineitem read in the plan)."""
+    df = q("cheapest_supplier", spark)
+    assert_max_shuffles(df, 2)
+    assert_broadcast_join(df, min_count=3)
+    assert_no_cartesian(df)
+    li = [s for s in read_schemas(df) if "l_extendedprice" in s]
+    assert len(li) == 1, f"lineitem scanned {len(li)}x (argmin must not re-scan)"
+
+
+def test_nation_trade_volume_plan(spark):
+    """Q7 shape: both nation-decoration chains broadcast; the only keyed
+    exchanges are the lineitem join and the final group-by."""
+    df = q("nation_trade_volume", spark)
+    assert_broadcast_join(df, min_count=4)
+    assert_no_cartesian(df)
+    assert_max_shuffles(df, 3)
+
+
+def test_large_orders_plan(spark):
+    """Q18 shape: the lineitem aggregate happens BEFORE any join (HAVING
+    cuts the join input to the heavy tail); customer rides a broadcast."""
+    df = q("large_orders", spark)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
+    assert_max_shuffles(df, 3)
+
+
+def test_json_props_stats_plan(spark):
+    """Variant parse + aggregate: one keyed shuffle (partial agg runs
+    map-side), events scan pruned to the two touched columns. parse_json
+    is a codegen-fallback expression in Spark 4.1 so no WholeStageCodegen
+    span is asserted — the plan shape, not fusion, is the contract here."""
+    df = q("json_props_stats", spark)
+    assert_max_shuffles(df, 1)
+    (ev,) = read_schemas(df)
+    assert ev.count(":") == 2, f"expected 2-column pruned scan: {ev}"
