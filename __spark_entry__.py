@@ -321,6 +321,14 @@ def q_json_props_stats(spark, sf_dir):
     return P.props_stats(load_tables(spark, sf_dir)["events"])
 
 
+def q_text_clean(spark, sf_dir):
+    return TX.clean_text(load_tables(spark, sf_dir)["documents"])
+
+
+def q_emb_quantize(spark, sf_dir):
+    return S.quantize_embeddings(load_tables(spark, sf_dir)["embeddings"])
+
+
 def q_text_top_tokens(spark, sf_dir):
     return TX.top_tokens(load_tables(spark, sf_dir)["documents"], n=20)
 
@@ -491,6 +499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade_volume": q_nation_trade_volume,
         "large_orders": q_large_orders,
         "json_props_stats": q_json_props_stats,
+        "text_clean": q_text_clean,
+        "emb_quantize": q_emb_quantize,
         # sources (simulator replay)
         "source_knob_sine": q_source_knob_sine,
         # dedup / text / similarity / multimodal
@@ -642,13 +652,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-                   round(avg(l_quantity), 4) AS avg_qty,
-                   round(avg(l_extendedprice), 4) AS avg_price,
-                   round(avg(l_discount), 6) AS avg_disc,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS sum_qty,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS sum_base_price,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_disc_price,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                        * (1 + CAST(l_tax AS DECIMAL(6,4)))), 2)
+                        AS DOUBLE) AS sum_charge,
+                   floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                         / count(*) * 1e4 + 0.5) / 1e4 AS avg_qty,
+                   floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                         / count(*) * 1e4 + 0.5) / 1e4 AS avg_price,
+                   floor(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                         / count(*) * 1e6 + 0.5) / 1e6 AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -656,7 +673,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_revenue_by_nation": """
             SELECT r_name, n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue,
                    count(*) AS n_lineitems
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
@@ -674,7 +691,7 @@ def oracle_sql() -> dict[str, str]:
                    o_orderpriority, revenue
             FROM (
               SELECT o_orderkey, o_orderdate, o_orderpriority,
-                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                     CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue
               FROM lineitem
               JOIN orders   ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey
@@ -687,7 +704,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_supplier_stats": """
             SELECT n_name, p_brand,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue,
                    round(sum(l_quantity), 2) AS sum_qty,
                    count(*) AS n_rows
             FROM lineitem
@@ -868,6 +885,43 @@ def oracle_sql() -> dict[str, str]:
                          json_extract_string(props, '$.k')::BIGINT AS k
                   FROM events)
             GROUP BY event_type
+        """,
+        "text_clean": r"""
+            SELECT doc_id, lang, source,
+                   lower(trim(regexp_replace(regexp_replace(regexp_replace(
+                       text, 'https?://\S+', ' ', 'g'),
+                       '\S+@\S+', ' ', 'g'),
+                       '\s+', ' ', 'g'))) AS clean_text,
+                   CAST(length(text) AS INTEGER) AS orig_len,
+                   CAST(length(lower(trim(regexp_replace(regexp_replace(
+                       regexp_replace(text, 'https?://\S+', ' ', 'g'),
+                       '\S+@\S+', ' ', 'g'),
+                       '\s+', ' ', 'g')))) AS INTEGER) AS clean_len
+            FROM documents
+        """,
+        "emb_quantize": """
+            WITH scaled AS (
+              SELECT vec_id, label, embedding,
+                     CASE WHEN s0 > 0 THEN s0 ELSE 1.0 END AS scale
+              FROM (SELECT vec_id, label, embedding,
+                           CAST(list_max(list_transform(embedding,
+                                v -> abs(v))) AS DOUBLE) / 127 AS s0
+                    FROM embeddings)),
+            coded AS (
+              SELECT vec_id, label, scale, embedding,
+                     list_transform(embedding, v ->
+                         CAST(floor(CAST(v AS DOUBLE) / scale + 0.5)
+                              AS INTEGER)) AS codes
+              FROM scaled)
+            SELECT vec_id, label,
+                   CAST(len(codes) AS INTEGER) AS n_dims,
+                   floor(scale * 1e6 + 0.5) / 1e6 AS scale_r,
+                   CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+                   floor(list_max(list_transform(range(1, len(codes) + 1),
+                         i -> abs(CAST(embedding[i] AS DOUBLE)
+                                  - codes[i] * scale))) * 1e6 + 0.5) / 1e6
+                       AS max_abs_err
+            FROM coded
         """,
         "curation_pipeline": f"""
             WITH {_TEXT_FEATURES_CTE},
@@ -1055,18 +1109,22 @@ def oracle_sql() -> dict[str, str]:
                    round(o_totalprice, 2) AS totalprice,
                    floor(cust_avg * 1e4 + 0.5) / 1e4 AS cust_avg
             FROM (SELECT o_orderkey, o_custkey, o_totalprice,
-                         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+                         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                              OVER (PARTITION BY o_custkey) AS DOUBLE)
+                         / (count(*) OVER (PARTITION BY o_custkey)) AS cust_avg
                   FROM orders)
             WHERE o_totalprice > cust_avg
         """,
         "promo_revenue": """
             SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
                    CAST(month(l_shipdate) AS INTEGER) AS mo,
-                   floor(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0.0 END)
-                         / sum(rev) * 100.0 * 1e4 + 0.5) / 1e4 AS promo_pct,
-                   round(sum(rev), 2) AS revenue
+                   floor(CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev
+                                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                         / CAST(sum(rev) AS DOUBLE)
+                         * 100.0 * 1e4 + 0.5) / 1e4 AS promo_pct,
+                   CAST(round(sum(rev), 2) AS DOUBLE) AS revenue
             FROM (SELECT l_shipdate, p_type,
-                         l_extendedprice * (1 - l_discount) AS rev
+                         CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(6,4))) AS rev
                   FROM lineitem JOIN part ON l_partkey = p_partkey)
             GROUP BY 1, 2
         """,
@@ -1087,19 +1145,23 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT o_custkey, c_nationkey, spend,
                          ntile(4) OVER (PARTITION BY c_nationkey
                              ORDER BY spend DESC, o_custkey ASC) AS q
-                  FROM (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+                  FROM (SELECT o_custkey,
+                               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                                    AS DOUBLE) AS spend
                         FROM orders GROUP BY o_custkey)
                   JOIN customer ON o_custkey = c_custkey)
         """,
         "moving_avg": """
             SELECT o_orderkey, o_custkey,
                    CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ts_s,
-                   floor(avg(o_totalprice) OVER (
-                       PARTITION BY o_custkey
-                       ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
-                       RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
-                   ) * 1e4 + 0.5) / 1e4 AS mavg30
+                   floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w
+                              AS DOUBLE)
+                         / (count(*) OVER w) * 1e4 + 0.5) / 1e4 AS mavg30
             FROM orders
+            WINDOW w AS (
+                PARTITION BY o_custkey
+                ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
         """,
         "skew_salted_agg": """
             SELECT event_type, count(*) AS n_events,

@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "text_clean",
     "text_doc_stats",
     "text_quality_by_source",
     "text_tfidf",
@@ -86,6 +87,7 @@ BENCH_QUERIES = [
     "sim_cosine_topk_matmul",
     "sim_ann_lsh",
     "sim_ann_ivf",
+    "emb_quantize",
     "multimodal_decode",
     "multimodal_frame_sample",
 ]

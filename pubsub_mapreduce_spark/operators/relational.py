@@ -8,9 +8,14 @@ DataFrame ops so Catalyst gets predicate pushdown, column pruning, join
 reordering, and AQE for free.
 
 Float discipline: every floating-point output column is rounded (r2/r4/r6)
-in BOTH the Spark query and its DuckDB oracle twin, so cross-engine
-summation-order noise (~1e-9 relative) cannot flip the driver's value
-hash. Sums of money-scale doubles use 2 decimals, averages 4, ratios 6.
+in BOTH the Spark query and its DuckDB oracle twin. Rounding alone is not
+enough where the summand lattice is finer than the rounding target —
+sums of PRODUCTS (revenue) and averages land exactly on rounding
+boundaries, where summation-order noise (cross-engine AND run-to-run
+within Spark) flips the result: those aggregate in DECIMAL (exact,
+order-independent; see the helpers below). Sums of raw 2-dp columns
+rounded to 2 dp are boundary-free (the true total sits ON the lattice,
+half a cent from any boundary) and stay double.
 
 Scale notes are per-query in docstrings; the recurring ones:
 - dimension joins (region/nation/supplier/part) are broadcast-size at any
@@ -36,6 +41,56 @@ def _r(col, n):
     return F.round(col, n)
 
 
+# --- exact-decimal money arithmetic ------------------------------------
+# Every fixture money/qty column is a 2-decimal value stored as double.
+# A sum of RAW 2-dp values rounded to 2 dp is boundary-free (the true
+# total sits ON the rounding lattice, 0.5 cents away from any boundary,
+# and FP noise is ~1e-7). But a sum of PRODUCTS (revenue =
+# price*(1-disc), a 1e-4 lattice) rounded to 2 dp lands exactly ON
+# half-cent boundaries routinely, where summation-order noise — which
+# differs between engines AND between Spark runs (AQE/partitioning) —
+# flips round(). Same for averages (lattice/n). Decimal sums are exact
+# and order-independent, so rounding is deterministic; it is also what
+# TPC-H specifies for money. The driver's value-hash compare is exact,
+# so "off by one ulp at a boundary" is a failed query, not noise.
+#
+# Cost, A/B'd warm at sf0.1 (part_supplier_stats shape): double 0.95s,
+# decimal 1.51s, integer-cents long sum 1.11s. The cents variant was
+# rejected: its final /1e4 double division reintroduces ulp error at
+# exactly the half-cent boundaries being fixed (625-group A/B showed
+# value divergence from the exact decimal result), and int64 unit-sums
+# overflow around 1e18 units — reachable for global sums of the 1e-6
+# lattice charge column at extreme SF. Decimal's ~1.6x map-side cost is
+# the price of exactness at any scale.
+
+
+def _dec(col: Column | str, scale: int = 4) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def _one() -> Column:
+    return F.lit(1).cast("decimal(6,4)")
+
+
+def _rev() -> Column:
+    """Exact-decimal discounted revenue: price * (1 - discount)."""
+    return _dec("l_extendedprice") * (_one() - _dec("l_discount"))
+
+
+def _dsum(col: Column, n: int = 2) -> Column:
+    """Exact decimal sum -> n-dp rounded double (order-independent)."""
+    return F.round(F.sum(col), n).cast("double")
+
+
+def _davg(col: Column, n: int) -> Column:
+    """Deterministic average: exact decimal sum (cast double) / count —
+    a single IEEE division both engines perform on identical inputs.
+    Oracle twin: floor(CAST(sum(CAST(x AS DECIMAL(18,4))) AS DOUBLE)
+    / count(*) * 1eN + 0.5) / 1eN."""
+    return round_half_up(F.sum(col).cast("double") / F.count(F.lit(1)), n)
+
+
 def q1_pricing_summary(t: Tables) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy single-table aggregate. One shuffle on a
     4-value grouping key; partial aggregation collapses ~6B rows/TB to 4
@@ -44,22 +99,13 @@ def q1_pricing_summary(t: Tables) -> DataFrame:
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _r(F.sum("l_quantity"), 2).alias("sum_qty"),
-            _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
-            _r(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            _r(F.avg("l_quantity"), 4).alias("avg_qty"),
-            _r(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            _r(F.avg("l_discount"), 6).alias("avg_disc"),
+            _dsum(_dec("l_quantity")).alias("sum_qty"),
+            _dsum(_dec("l_extendedprice")).alias("sum_base_price"),
+            _dsum(_rev()).alias("sum_disc_price"),
+            _dsum(_rev() * (_one() + _dec("l_tax"))).alias("sum_charge"),
+            _davg(_dec("l_quantity"), 4).alias("avg_qty"),
+            _davg(_dec("l_extendedprice"), 4).alias("avg_price"),
+            _davg(_dec("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -90,9 +136,7 @@ def revenue_by_nation(t: Tables) -> DataFrame:
         .join(nation_region, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            _dsum(_rev()).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -112,11 +156,7 @@ def q3_shipping_priority(t: Tables) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(_dsum(_rev()).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
         .select(
@@ -139,9 +179,7 @@ def part_supplier_stats(t: Tables) -> DataFrame:
         .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", "p_brand")
         .agg(
-            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            _dsum(_rev()).alias("revenue"),
             _r(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.count(F.lit(1)).alias("n_rows"),
         )
@@ -493,12 +531,18 @@ def orders_above_customer_avg(t: Tables) -> DataFrame:
     average order value — expressed directly as the decorrelated plan
     Catalyst would produce anyway: one window aggregate over the
     customer partition, then a filter. No join, ONE shuffle."""
-    from ..functions.text import round_half_up
-
     w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        # decimal window sum / count, not F.avg: an order priced EXACTLY
+        # at its customer's true average sits on the > boundary, where
+        # double summation-order noise would make membership
+        # engine/run-dependent
+        F.sum(_dec("o_totalprice")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
     return (
         t["orders"]
-        .withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .withColumn("cust_avg", cust_avg)
         .where(F.col("o_totalprice") > F.col("cust_avg"))
         .select(
             "o_orderkey",
@@ -513,10 +557,10 @@ def promo_revenue_share(t: Tables) -> DataFrame:
     """LIKE pattern + conditional aggregation (TPC-H Q14 shape): monthly
     share of revenue from promo parts. The CASE WHEN rides inside the
     sum, so one scan + one broadcast dim join + one shuffle."""
-    from ..functions.text import round_half_up
-
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    rev = _rev()
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
     return (
         t["lineitem"]
         .join(broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
@@ -524,10 +568,11 @@ def promo_revenue_share(t: Tables) -> DataFrame:
             F.year("l_shipdate").alias("yr"), F.month("l_shipdate").alias("mo")
         )
         .agg(
-            round_half_up(F.sum(promo) / F.sum(rev) * 100.0, 4).alias(
-                "promo_pct"
-            ),
-            _r(F.sum(rev), 2).alias("revenue"),
+            round_half_up(
+                F.sum(promo).cast("double") / F.sum(rev).cast("double") * 100.0,
+                4,
+            ).alias("promo_pct"),
+            _dsum(rev).alias("revenue"),
         )
     )
 
@@ -552,10 +597,12 @@ def ship_latency_by_priority(t: Tables) -> DataFrame:
 def customer_spend_quartiles(t: Tables) -> DataFrame:
     """NTILE ranking: customers bucketed into spend quartiles (per-nation
     partitions so the sort stays within one shuffle's partitions)."""
+    # decimal sum: equal lifetime spends must compare EQUAL so the ntile
+    # tie-break (custkey) is what orders them, not double noise
     spend = (
         t["orders"]
         .groupBy("o_custkey")
-        .agg(_r(F.sum("o_totalprice"), 2).alias("spend"))
+        .agg(_dsum(_dec("o_totalprice")).alias("spend"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
     )
     w = Window.partitionBy("c_nationkey").orderBy(
@@ -575,18 +622,22 @@ def customer_moving_avg(t: Tables, days: int = 30) -> DataFrame:
     count — same-day peer rows all join the frame, so the result is
     order-independent and deterministic). One shuffle on o_custkey +
     in-partition sort, same cost shape as any per-key window."""
-    from ..functions.text import round_half_up
-
     w = (
         Window.partitionBy("o_custkey")
         .orderBy(F.unix_timestamp("o_orderdate"))
         .rangeBetween(-days * 86400, 0)
     )
+    # decimal frame sum / frame count (not F.avg): engines accumulate
+    # window frames in different orders; the exact decimal sum makes the
+    # average one deterministic IEEE division
+    mavg = F.sum(_dec("o_totalprice")).over(w).cast("double") / F.count(
+        F.lit(1)
+    ).over(w)
     return t["orders"].select(
         "o_orderkey",
         "o_custkey",
         F.unix_timestamp("o_orderdate").alias("ts_s"),
-        round_half_up(F.avg("o_totalprice").over(w), 4).alias(f"mavg{days}"),
+        round_half_up(mavg, 4).alias(f"mavg{days}"),
     )
 
 

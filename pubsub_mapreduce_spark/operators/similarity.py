@@ -461,3 +461,58 @@ def ann_ivf_topk(
         "query_id", F.col("vec_id").alias("neighbor_id"), cosine(F.col("q_emb"), F.col("embedding")).alias("sim")
     )
     return _topk(scored, k)
+
+
+def quantize_embeddings(emb: DataFrame, bits: int = 8) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage scale path
+    for a 100TB embedding store (4x smaller than float32, 8x smaller
+    than the doubles they'd widen to; dot products on int8 codes are
+    also what SIMD-accelerated ANN kernels consume).
+
+    Per vector: scale = max|x| / (2^(bits-1) - 1); code_i =
+    floor(x_i/scale + 0.5) (round-half-toward-+inf — one IEEE divide and
+    add per element, deterministic across engines, unlike engine round()
+    on exact .5 code boundaries, which float32 inputs DO hit since they
+    are dyadic rationals). Emits per-vector reconstruction error so a
+    pipeline can gate on quality: max_abs_err <= scale/2 by construction
+    (asserted in tests), and cosine(x, dequant(x)) stays ~1 at 8 bits.
+
+    All pure JVM HOFs over the array column — no Python, no shuffle:
+    a map-only plan that runs at scan speed over any corpus size."""
+    qmax = float(2 ** (bits - 1) - 1)
+    x = F.col("embedding")
+    scale = F.array_max(F.transform(x, lambda v: F.abs(v))).cast("double") / F.lit(
+        qmax
+    )
+    df = emb.select(
+        "vec_id",
+        "label",
+        x.alias("embedding"),
+        F.when(scale > 0, scale).otherwise(F.lit(1.0)).alias("scale"),
+    )
+    codes = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(v.cast("double") / F.col("scale") + F.lit(0.5)).cast(
+            "int"
+        ),
+    )
+    df = df.withColumn("codes", codes)
+    dequant_err = F.array_max(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("codes"),
+            lambda v, c: F.abs(v.cast("double") - c * F.col("scale")),
+        )
+    )
+    from ..functions.text import round_half_up
+
+    return df.select(
+        "vec_id",
+        "label",
+        F.size("codes").alias("n_dims"),
+        round_half_up(F.col("scale"), 6).alias("scale_r"),
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, c: a + c).alias(
+            "code_sum"
+        ),
+        round_half_up(dequant_err, 6).alias("max_abs_err"),
+    )

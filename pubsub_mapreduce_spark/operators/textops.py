@@ -169,3 +169,28 @@ def tfidf_top_terms(docs: DataFrame, top_n: int = 3) -> DataFrame:
         .where(F.col("rank") <= top_n)
         .select("doc_id", "term", "rank", "tfidf")
     )
+
+
+def clean_text(docs: DataFrame) -> DataFrame:
+    """Normalization/scrub stage every training-data pipeline runs before
+    dedup and tokenization: strip URLs and email addresses, collapse
+    whitespace runs, trim, lowercase.
+
+    Pure regexp_replace chain — JVM codegen, map-only, scan-speed at any
+    corpus size. Patterns deliberately use only syntax with identical
+    semantics in Java regex and RE2 (``\\S``, ``\\s``, literal chars) so
+    the DuckDB oracle applies the exact same rewrites; no backtracking
+    constructs, which RE2 lacks and 100TB of adversarial text would blow
+    up anyway."""
+    c = F.col("text")
+    c = F.regexp_replace(c, r"https?://\S+", " ")
+    c = F.regexp_replace(c, r"\S+@\S+", " ")
+    c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return widen(docs, 8).select(
+        "doc_id",
+        "lang",
+        "source",
+        c.alias("clean_text"),
+        F.length("text").alias("orig_len"),
+        F.length(c).alias("clean_len"),
+    )

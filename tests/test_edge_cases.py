@@ -46,3 +46,22 @@ def test_densify_empty_input(spark):
     df = spark.createDataFrame([], "user_id long, cnt long")
     out = densify_to_vector(df).collect()
     assert len(out) == 1 and out[0]["vector"] == []
+
+
+def test_clean_text_scrubs_urls_emails_whitespace(spark):
+    from pubsub_mapreduce_spark.operators.textops import clean_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Visit https://example.com/a?b=1 NOW", "en", "s"),
+            (2, "mail me: bob@example.com\t thanks", "en", "s"),
+            (3, "  Plain   TEXT \n with   runs  ", "en", "s"),
+            (4, "http://a.b c@d.e tail", "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {r["doc_id"]: r["clean_text"] for r in clean_text(docs).collect()}
+    assert got[1] == "visit now"
+    assert got[2] == "mail me: thanks"
+    assert got[3] == "plain text with runs"
+    assert got[4] == "tail"

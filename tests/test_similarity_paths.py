@@ -25,3 +25,39 @@ def test_matmul_topk_matches_hof(tables):
         n_mat, s_mat = mat[key]
         assert n_mat == n_hof, (key, n_hof, n_mat)
         assert abs(s_mat - s_hof) < 1e-9, (key, s_hof, s_mat)
+
+
+def test_quantize_embeddings_quality(spark, tables):
+    """int8 quantization contract: per-vector max reconstruction error
+    <= scale/2 by construction, and cosine(x, dequant(x)) >= 0.995 —
+    the fidelity that makes int8 the storage format for a 100TB store."""
+    from pubsub_mapreduce_spark.operators.similarity import quantize_embeddings
+
+    out = quantize_embeddings(tables["embeddings"]).collect()
+    assert out
+    for r in out:
+        assert r["n_dims"] == 64
+        assert r["max_abs_err"] <= r["scale_r"] / 2 + 1e-6, r
+
+    # fidelity: dequantized vectors stay nearly parallel to the originals
+    from pyspark.sql import functions as F
+
+    from pubsub_mapreduce_spark.functions.vectors import cosine
+
+    emb = tables["embeddings"]
+    qmax = 127.0
+    scale = F.array_max(F.transform("embedding", lambda v: F.abs(v))).cast(
+        "double"
+    ) / F.lit(qmax)
+    deq = F.transform(
+        "embedding",
+        lambda v: F.floor(v.cast("double") / F.col("s") + F.lit(0.5))
+        * F.col("s"),
+    )
+    fid = (
+        emb.withColumn("s", F.when(scale > 0, scale).otherwise(F.lit(1.0)))
+        .withColumn("deq", deq)
+        .select(F.min(cosine(F.col("embedding"), F.col("deq"))).alias("m"))
+        .first()["m"]
+    )
+    assert fid >= 0.995, fid
