@@ -97,6 +97,50 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def stream_throughput(spark) -> float:
+    """End-to-end streaming replay rate in msgs/sec, directly comparable
+    to BASELINE.md's local single-machine figure (10k msgs/sec,
+    reference README.md:78): T2 snapshot-scale -> T3 fan-out -> T4
+    windowed count over ~1M fanned messages, availableNow trigger."""
+    import shutil
+    import tempfile
+
+    from pubsub_mapreduce_spark.sources.knobs import knob_batch
+    from pubsub_mapreduce_spark.streaming.pipeline import (
+        fan_out_stream,
+        snapshot_scale_stream,
+        windowed_count_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="bench_tput_")
+    try:
+        # 200 ticks x 5 knobs x quota 1000 = 1,000,000 fanned messages
+        knob_batch(spark, n=5000, ticks=200, tick_ms=200).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(d + "/src")
+        stream = (
+            spark.readStream.schema("id long, n long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d + "/src")
+        )
+        msgs = fan_out_stream(snapshot_scale_stream(stream, delta=0.2), n="quota")
+        per_sec = windowed_count_stream(msgs, window="1 second")
+        t0 = time.perf_counter()
+        q = (
+            per_sec.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("bench_tput")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        wall = time.perf_counter() - t0
+        total = spark.sql("select sum(cnt) s from bench_tput").first()["s"]
+        return float(total) / wall
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -117,6 +161,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    mps = stream_throughput(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -127,6 +173,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "reps": reps,
+                "stream_mps": round(mps),
+                "stream_mps_baseline_local": 10000,
             }
         )
     )
