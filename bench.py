@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "sim_cosine_topk_matmul",
     "sim_ann_lsh",
     "sim_ann_ivf",
+    "knn_graph",
     "emb_quantize",
     "multimodal_decode",
     "multimodal_frame_sample",

@@ -77,3 +77,39 @@ def freq_items(df: DataFrame, key: str = "user_id", support: float = 0.008):
     Returns a Python set — the sketch output is bounded by 1/support,
     not data-sized, so driver-side is the right place for it."""
     return set(df.stat.freqItems([key], support).first()[0])
+
+
+def hll_daily_rollup(
+    events: DataFrame, key: str = "user_id", lg_k: int = 12
+) -> DataFrame:
+    """Mergeable-sketch rollup — the 100TB pattern for distinct counts.
+
+    Phase 1 materializes one Apache DataSketches HLL per (event_type,
+    day): ~|types x days| rows of ~2^lg_k-byte binaries, the thing a
+    lake pipeline computes once at ingest and stores next to the
+    partition. Phase 2 answers "distinct users per type, any date
+    range" by UNIONING sketches (``hll_union_agg`` — associative,
+    order-independent, so the result is deterministic) without ever
+    rescanning raw events. Relative error ~1.04/sqrt(2^lg_k) (~1.6% at
+    lg_k=12; bound pinned in tests/test_sketches.py).
+
+    vs ``approx_count_distinct``: same HLL idea, but the sketch COLUMN
+    is the product here — it persists, merges across partitions/days
+    incrementally, and re-aggregates at query time, which the scalar
+    estimate cannot."""
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.hll_sketch_agg(key, F.lit(lg_k)).alias("sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch", F.lit(False)))
+            .alias("approx_users"),
+            F.sum("n_events").alias("n_events"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select("event_type", "approx_users", "n_events", "n_days")
+    )

@@ -103,3 +103,37 @@ def test_ivf_matmul_assignment_parity_and_recall(tables):
         F.col("cid") == F.col("cid2")
     ).count()
     assert agree / n >= 0.99, f"assignment agreement {agree}/{n} < 99%"
+
+
+def test_knn_graph_matmul_exact_and_lsh_floor(spark, tables):
+    """Corpus-wide kNN graph (every=1). The shipped knn_graph path
+    (blocked BLAS matmul) must EQUAL the exact HOF top-k pair-for-pair;
+    the LSH formulation at the same k keeps its recall floor (it wins
+    only when cluster structure is strong — see q_knn_graph docstring)."""
+    from pubsub_mapreduce_spark.operators.similarity import (
+        ann_lsh_topk,
+        cosine_topk,
+        cosine_topk_matmul,
+    )
+
+    k = 3
+    exact = cosine_topk(tables["embeddings"], k=k, every=1).collect()
+    truth: dict[int, set[int]] = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    mm = cosine_topk_matmul(tables["embeddings"], k=k, every=1).collect()
+    mm_pairs = {(r["query_id"], r["neighbor_id"]) for r in mm}
+    assert mm_pairs == {
+        (q, n) for q, ns in truth.items() for n in ns
+    }, "matmul kNN graph diverged from exact"
+
+    approx = ann_lsh_topk(tables["embeddings"], k=k, every=1).collect()
+    per_node: dict[int, set[int]] = {}
+    for r in approx:
+        assert r["query_id"] != r["neighbor_id"]
+        per_node.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert max(len(v) for v in per_node.values()) <= k
+    hits = sum(len(per_node.get(q, set()) & t) for q, t in truth.items())
+    recall = hits / sum(len(t) for t in truth.values())
+    assert recall >= 0.80, f"LSH kNN-graph recall {recall:.3f} below floor"

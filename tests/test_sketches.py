@@ -75,3 +75,40 @@ def test_heavy_hitters_exact_and_freq_items_superset(tables):
     }
     approx = freq_items(ev, "user_id", support)
     assert strict <= approx, f"missing true hitters: {strict - approx}"
+
+
+def test_hll_rollup_error_bound_and_merge_consistency(spark, tables):
+    """Merged daily sketches estimate per-type distinct users within the
+    HLL error envelope, and the two-level rollup (day sketches -> union)
+    agrees with a single-pass sketch over the same rows — the merge is
+    lossless w.r.t. the sketch state, which is what makes pre-aggregated
+    sketch tables trustworthy."""
+    from pyspark.sql import functions as F
+
+    from pubsub_mapreduce_spark.operators.sketches import hll_daily_rollup
+
+    ev = tables["events"]
+    rolled = {
+        r["event_type"]: r["approx_users"]
+        for r in hll_daily_rollup(ev).collect()
+    }
+    exact = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    for et, est in rolled.items():
+        assert abs(est - exact[et]) / exact[et] <= 0.05, (et, est, exact[et])
+
+    single = {
+        r["event_type"]: r["e"]
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("e")
+        )
+        .collect()
+    }
+    assert rolled == single
