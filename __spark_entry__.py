@@ -321,6 +321,14 @@ def q_json_props_stats(spark, sf_dir):
     return P.props_stats(load_tables(spark, sf_dir)["events"])
 
 
+def q_custdist(spark, sf_dir):
+    return R.customer_order_distribution(load_tables(spark, sf_dir))
+
+
+def q_idle_rich_customers(spark, sf_dir):
+    return R.idle_rich_customers(load_tables(spark, sf_dir))
+
+
 def q_hll_user_rollup(spark, sf_dir):
     """Rows-only (DataSketches HLL has no DuckDB twin): mergeable
     per-(type, day) sketch rollup; error bound + two-level merge
@@ -528,6 +536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade_volume": q_nation_trade_volume,
         "large_orders": q_large_orders,
         "json_props_stats": q_json_props_stats,
+        "custdist": q_custdist,
+        "idle_rich_customers": q_idle_rich_customers,
         "text_clean": q_text_clean,
         "emb_quantize": q_emb_quantize,
         "hll_user_rollup": q_hll_user_rollup,
@@ -916,6 +926,29 @@ def oracle_sql() -> dict[str, str]:
                          json_extract_string(props, '$.k')::BIGINT AS k
                   FROM events)
             GROUP BY event_type
+        """,
+        "custdist": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                  GROUP BY c_custkey)
+            GROUP BY c_count
+        """,
+        "idle_rich_customers": """
+            WITH ab AS (
+              SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                     / count(*) AS avg_bal
+              FROM customer WHERE c_acctbal > 0)
+            SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+                   count(*) AS n_customers,
+                   CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS total_bal
+            FROM customer, ab
+            WHERE c_acctbal > ab.avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY c_nationkey
         """,
         "knn_graph": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

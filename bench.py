@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "cheapest_supplier",
     "nation_trade_volume",
     "large_orders",
+    "custdist",
+    "idle_rich_customers",
     "json_props_stats",
     # reference pipeline (batch replay)
     "t1_latest_per_key",

@@ -28,7 +28,7 @@ Scale notes are per-query in docstrings; the recurring ones:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -776,5 +776,62 @@ def large_orders(t: Tables, min_qty: float = 200.0) -> DataFrame:
             F.unix_timestamp("o_orderdate").alias("o_orderdate_s"),
             _r(F.col("o_totalprice"), 2).alias("totalprice"),
             "total_qty",
+        )
+    )
+
+
+def customer_order_distribution(t: Tables) -> DataFrame:
+    """TPC-H Q13 shape — histogram of engagement: how many customers
+    placed exactly N orders (N=0 included via the left join).
+
+    Two-level aggregate: count orders per customer (one shuffle on
+    custkey, the left join preserving order-less customers), then count
+    customers per order-count (second shuffle on the tiny histogram
+    key). The second exchange carries |customers| pre-aggregated rows,
+    not orders; at 100TB both levels stay partial-aggregated map-side."""
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"].select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def idle_rich_customers(t: Tables, since: str = "1999-01-01") -> DataFrame:
+    """TPC-H Q22 shape — positive-balance customers above the average
+    positive balance with no recent orders, summarized per nation.
+
+    The scalar avg subquery is ONE tiny aggregate broadcast as a 1-row
+    cross join (Catalyst's plan for scalar subqueries) — not a rescan
+    per row; the "no recent orders" predicate is a left ANTI join that
+    shuffles only keys. Balance sums aggregate in DECIMAL (exact
+    boundary-free rounding; see module helpers)."""
+    avg_bal = (
+        t["customer"]
+        .where(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))
+            ).alias("__avg_bal")
+        )
+    )
+    recent = t["orders"].where(F.col("o_orderdate") >= F.lit(since))
+    return (
+        t["customer"]
+        .join(broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(_dec("c_acctbal")).alias("total_bal"),
         )
     )

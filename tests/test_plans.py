@@ -203,3 +203,23 @@ def test_json_props_stats_plan(spark):
     assert_max_shuffles(df, 1)
     (ev,) = read_schemas(df)
     assert ev.count(":") == 2, f"expected 2-column pruned scan: {ev}"
+
+
+def test_custdist_two_level_aggregate_plan(spark):
+    """Q13 shape: two keyed exchanges (per-customer count, then the tiny
+    histogram key), left join preserves order-less customers, and no
+    cartesian anywhere."""
+    df = q("custdist", spark)
+    assert_max_shuffles(df, 3)
+    assert_no_cartesian(df)
+
+
+def test_idle_rich_customers_plan(spark):
+    """Q22 shape: the scalar avg subquery must ride a 1-row broadcast
+    (BroadcastNestedLoopJoin), never a CartesianProduct; the no-recent-
+    orders predicate is an anti join."""
+    df = q("idle_rich_customers", spark)
+    assert_no_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan, plan[:2000]
