@@ -293,6 +293,12 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_dedup_canonical(spark, sf_dir):
+    return dedup.dedup_canonical(
+        load_tables(spark, sf_dir)["embeddings"], threshold=0.45
+    )
+
+
 def q_cohort_retention(spark, sf_dir):
     return R.cohort_retention(load_tables(spark, sf_dir))
 
@@ -550,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical": q_dedup_canonical,
         "text_doc_stats": q_text_doc_stats,
         "text_top_tokens": q_text_top_tokens,
         "text_tfidf": q_text_tfidf,
@@ -1401,6 +1408,31 @@ def oracle_sql() -> dict[str, str]:
         # min-label loop (no SQL form in Spark without recursion), but the
         # RESULT is plain transitive closure — DuckDB's recursive CTE
         # reaches the same fixpoint, so it still gets a full value oracle.
+        "dedup_canonical": """
+            WITH RECURSIVE
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+            p AS (
+              SELECT a, b FROM (
+                SELECT x.vec_id AS a, y.vec_id AS b,
+                       round(list_cosine_similarity(x.emb, y.emb), 4) AS sim
+                FROM e x JOIN e y ON x.vec_id < y.vec_id)
+              WHERE sim >= 0.45),
+            ed AS (SELECT a AS u, b AS v FROM p
+                   UNION ALL SELECT b AS u, a AS v FROM p),
+            n AS (SELECT DISTINCT u AS node FROM ed),
+            reach AS (
+              SELECT node AS src, node AS dst FROM n
+              UNION
+              SELECT r.src, ed.v AS dst FROM reach r JOIN ed ON r.dst = ed.u),
+            comp AS (
+              SELECT src AS doc_id, MIN(dst) AS component
+              FROM reach GROUP BY src)
+            SELECT component, count(*) AS n_members
+            FROM (SELECT e.vec_id AS doc_id,
+                         COALESCE(c.component, e.vec_id) AS component
+                  FROM e LEFT JOIN comp c ON e.vec_id = c.doc_id)
+            GROUP BY component
+        """,
         "dedup_clusters": """
             WITH RECURSIVE
             e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

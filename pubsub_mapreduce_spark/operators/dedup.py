@@ -454,3 +454,27 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_canonical(
+    emb: DataFrame, threshold: float = 0.45, max_iter: int = 20
+) -> DataFrame:
+    """The materialization a pipeline actually runs after clustering:
+    one canonical keeper per transitive near-dup cluster (smallest id),
+    singletons kept as their own cluster of one. Output is the retained
+    corpus roster: (component=keeper id, n_members).
+
+    Plan: cluster labels from ``dedup_clusters`` left-join back onto the
+    full roster (clustered docs are the rare side; the join shuffles
+    keys only), coalesce unlabeled docs to themselves, then a
+    |components|-sized count. Downstream, joining this on component ==
+    doc_id against the corpus IS the dedup filter — no row comparisons
+    at read time, the expensive transitive closure was paid once."""
+    clusters = dedup_clusters(emb, threshold=threshold, max_iter=max_iter)
+    roster = emb.select(F.col("vec_id").alias("doc_id"))
+    labeled = roster.join(clusters, on="doc_id", how="left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+    )
+    return labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
