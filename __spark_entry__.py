@@ -5,7 +5,9 @@
                     north-star training-data ops), (spark, sf_dir) -> DataFrame.
 ``oracle_sql()``  : DuckDB-runnable SQL twin per query (omitted only for
                     genuinely non-SQL-expressible ops: LSH/IVF approximate
-                    search, MinHash-LSH candidates, mapInPandas decode).
+                    search, MinHash-LSH candidates, HLL/DataSketches
+                    estimates — those get rows-only checks plus
+                    recall/error-bound tests in tests/).
 
 Column-name and dtype discipline: every computed column is aliased
 identically on both sides; DuckDB aggregates are CAST to match Spark
