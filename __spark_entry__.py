@@ -475,6 +475,10 @@ def q_sim_ann_ivf(spark, sf_dir):
     return S.ann_ivf_topk(load_tables(spark, sf_dir)["embeddings"], k=5, every=50)
 
 
+def q_user_similarity(spark, sf_dir):
+    return S.behavioral_similarity(load_tables(spark, sf_dir)["events"], k=5)
+
+
 def q_binary_meta(spark, sf_dir):
     return multimodal.binary_meta(load_tables(spark, sf_dir)["documents"])
 
@@ -575,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_cosine_topk_matmul": q_sim_cosine_topk_matmul,
         "sim_near_pairs": q_sim_near_pairs,
+        "user_similarity": q_user_similarity,
         "sim_ann_lsh": q_sim_ann_lsh,
         "knn_graph": q_knn_graph,
         "sim_ann_ivf": q_sim_ann_ivf,
@@ -935,6 +940,34 @@ def oracle_sql() -> dict[str, str]:
                          json_extract_string(props, '$.k')::BIGINT AS k
                   FROM events)
             GROUP BY event_type
+        """,
+        "user_similarity": """
+            WITH daily AS (
+              SELECT user_id, date_trunc('day', ts) AS day,
+                     count(*) AS cnt
+              FROM events GROUP BY 1, 2),
+            norms AS (
+              SELECT user_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
+              FROM daily GROUP BY 1),
+            dots AS (
+              SELECT a.user_id AS ua, b.user_id AS ub,
+                     sum(a.cnt * b.cnt) AS dot
+              FROM daily a JOIN daily b
+                ON a.day = b.day AND a.user_id <> b.user_id
+              GROUP BY 1, 2),
+            scored AS (
+              SELECT ua, ub,
+                     CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS sim
+              FROM dots
+              JOIN norms na ON dots.ua = na.user_id
+              JOIN norms nb ON dots.ub = nb.user_id)
+            SELECT ua AS user_id, ub AS similar_user,
+                   CAST(rank AS INTEGER) AS rank,
+                   round(sim, 4) AS sim
+            FROM (SELECT *, row_number() OVER (PARTITION BY ua
+                      ORDER BY sim DESC, ub ASC) AS rank
+                  FROM scored)
+            WHERE rank <= 5
         """,
         "custdist": """
             SELECT c_count, count(*) AS custdist

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "sim_ann_lsh",
     "sim_ann_ivf",
     "knn_graph",
+    "user_similarity",
     "emb_quantize",
     "multimodal_decode",
     "multimodal_frame_sample",
