@@ -1,13 +1,17 @@
-"""The driver's correctness gate, run locally at sf0.001: every
+"""The driver's correctness gate, replicated EXACTLY: every
 ``queries()`` entry with an ``oracle_sql()`` twin must match DuckDB
-row-for-row (order-insensitive, columns sorted by name)."""
+row-for-row (order-insensitive, columns sorted by name, floats by
+full-precision repr) at sf0.01 — the driver's SF, not the smaller
+sf0.001, because rounding-boundary hits scale with group count (a
+nation_trade_volume half-cent flip was invisible at sf0.001 and 14
+rows wide at sf0.01). The smoke test keeps sf0.001 for speed."""
 
 from __future__ import annotations
 
 import pytest
 
 import __spark_entry__ as entrymod
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_MED, SF_SMALL
 from tests.oracle_check import compare, duck_con
 
 QUERIES = entrymod.queries()
@@ -16,7 +20,7 @@ ORACLES = entrymod.oracle_sql()
 
 @pytest.fixture(scope="module")
 def con():
-    c = duck_con(SF_SMALL)
+    c = duck_con(SF_MED)
     yield c
     c.close()
 
@@ -24,7 +28,7 @@ def con():
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_parity(spark, con, name):
     assert name in QUERIES, f"oracle {name} has no queries() entry"
-    df = QUERIES[name](spark, SF_SMALL)
+    df = QUERIES[name](spark, SF_MED)
     compare(df, con, ORACLES[name], name=name)
 
 
