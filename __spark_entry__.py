@@ -333,6 +333,10 @@ def q_custdist(spark, sf_dir):
     return R.customer_order_distribution(load_tables(spark, sf_dir))
 
 
+def q_order_gaps(spark, sf_dir):
+    return R.order_gaps(load_tables(spark, sf_dir))
+
+
 def q_idle_rich_customers(spark, sf_dir):
     return R.idle_rich_customers(load_tables(spark, sf_dir))
 
@@ -550,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": q_json_props_stats,
         "custdist": q_custdist,
         "idle_rich_customers": q_idle_rich_customers,
+        "order_gaps": q_order_gaps,
         "text_clean": q_text_clean,
         "emb_quantize": q_emb_quantize,
         "hll_user_rollup": q_hll_user_rollup,
@@ -940,6 +945,28 @@ def oracle_sql() -> dict[str, str]:
                          json_extract_string(props, '$.k')::BIGINT AS k
                   FROM events)
             GROUP BY event_type
+        """,
+        "order_gaps": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ts_s,
+                   CAST(floor(epoch(prev_d)) AS BIGINT) AS prev_ts_s,
+                   CAST(floor(epoch(next_d)) AS BIGINT) AS next_ts_s,
+                   CAST(date_diff('day', prev_d, o_orderdate) AS INTEGER)
+                       AS days_since_prev,
+                   round(first_value(o_totalprice) OVER wf, 2)
+                       AS first_value_spend,
+                   round(last_value(o_totalprice) OVER wf, 2)
+                       AS last_value_spend
+            FROM (SELECT *,
+                         lag(o_orderdate) OVER w AS prev_d,
+                         lead(o_orderdate) OVER w AS next_d
+                  FROM orders
+                  WINDOW w AS (PARTITION BY o_custkey
+                               ORDER BY o_orderdate ASC, o_orderkey ASC))
+            WINDOW wf AS (PARTITION BY o_custkey
+                          ORDER BY o_orderdate ASC, o_orderkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING)
         """,
         "user_similarity": """
             WITH daily AS (

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "large_orders",
     "custdist",
     "idle_rich_customers",
+    "order_gaps",
     "json_props_stats",
     # reference pipeline (batch replay)
     "t1_latest_per_key",

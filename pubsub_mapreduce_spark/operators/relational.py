@@ -835,3 +835,32 @@ def idle_rich_customers(t: Tables, since: str = "1999-01-01") -> DataFrame:
             _dsum(_dec("c_acctbal")).alias("total_bal"),
         )
     )
+
+
+def order_gaps(t: Tables) -> DataFrame:
+    """Navigation-function window analytics: per order, the customer's
+    previous/next order dates (lag/lead), days since previous, and the
+    customer's first/last order value — purchase-cadence features for
+    churn/LTV models.
+
+    One shuffle on o_custkey serves all five functions: Spark computes
+    every window expression sharing a (partition, order) spec in a
+    single WindowExec pass over the sorted partition. first/last use the
+    full-partition frame (unboundedPreceding..unboundedFollowing) so
+    they are true firsts/lasts, not running ones."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    prev_d = F.lag("o_orderdate").over(w)
+    next_d = F.lead("o_orderdate").over(w)
+    return t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_timestamp("o_orderdate").alias("ts_s"),
+        F.unix_timestamp(prev_d).alias("prev_ts_s"),
+        F.unix_timestamp(next_d).alias("next_ts_s"),
+        F.datediff(F.col("o_orderdate"), prev_d).alias("days_since_prev"),
+        _r(F.first("o_totalprice").over(wf), 2).alias("first_value_spend"),
+        _r(F.last("o_totalprice").over(wf), 2).alias("last_value_spend"),
+    )
