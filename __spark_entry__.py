@@ -492,6 +492,13 @@ def q_multimodal_decode(spark, sf_dir):
     return multimodal.decode_image_batch(multimodal.attach_media(docs), fake=True)
 
 
+def q_multimodal_resize(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    return multimodal.resize_images(
+        multimodal.attach_media(docs), max_dim=256, fake=True
+    )
+
+
 def q_multimodal_frame_sample(spark, sf_dir):
     docs = load_tables(spark, sf_dir)["documents"]
     frames = multimodal.frame_sample(multimodal.attach_media(docs), every_n=4)
@@ -590,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf": q_sim_ann_ivf,
         "binary_meta": q_binary_meta,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
     }
 
@@ -995,6 +1003,32 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY sim DESC, ub ASC) AS rank
                   FROM scored)
             WHERE rank <= 5
+        """,
+        "multimodal_resize": """
+            WITH m AS (
+              SELECT doc_id,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     substr(lower(hex(encode(text))), 1, 32) AS h
+              FROM documents),
+            d AS (
+              SELECT doc_id, n_bytes,
+                     CAST((n_bytes % 640) + 1 AS BIGINT) AS width,
+                     CAST((COALESCE(list_sum(
+                         [(strpos('0123456789abcdef', h[i+1:i+1]) - 1) *
+                          (CASE WHEN i % 2 = 0 THEN 16 ELSE 1 END)
+                          for i in range(0, length(h))]), 0) % 480) + 1
+                       AS BIGINT) AS height
+              FROM m)
+            SELECT doc_id, width, height,
+                   greatest(1, CAST(trunc(width * scale) AS BIGINT))
+                       AS new_width,
+                   greatest(1, CAST(trunc(height * scale) AS BIGINT))
+                       AS new_height,
+                   greatest(1, CAST(trunc(n_bytes * scale * scale) AS BIGINT))
+                       AS out_bytes
+            FROM (SELECT *, least(1.0, 256.0 / greatest(width, height))
+                         AS scale
+                  FROM d)
         """,
         "custdist": """
             SELECT c_count, count(*) AS custdist

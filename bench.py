@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "user_similarity",
     "emb_quantize",
     "multimodal_decode",
+    "multimodal_resize",
     "multimodal_frame_sample",
 ]
 

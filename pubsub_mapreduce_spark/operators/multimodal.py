@@ -144,3 +144,49 @@ def binary_meta(docs: DataFrame) -> DataFrame:
         F.sha2(data, 256).alias("sha256"),
         F.substring(F.base64(data), 1, 24).alias("b64_prefix"),
     )
+
+
+def resize_images(df: DataFrame, max_dim: int = 256, fake: bool = True) -> DataFrame:
+    """Resize stage: cap the longer image side at ``max_dim`` preserving
+    aspect ratio. With ``fake=False`` this is where PIL's
+    ``Image.resize`` plugs in; absent here, so the deterministic stub
+    scales the fake-decoded dims and truncates the payload by the area
+    ratio — integer/byte math a SQL oracle recomputes exactly, so the
+    plumbing (Arrow batches, schema, no-shuffle map-only plan) carries a
+    full value check, not just a shape test."""
+    if not fake:
+        raise NotImplementedError(
+            "Real image resize requires PIL, not present in this "
+            "container. Use fake=True for the deterministic stub."
+        )
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("new_width", LongType()),
+            StructField("new_height", LongType()),
+            StructField("out_bytes", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = {k.name: [] for k in out_schema.fields}
+            for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                blob = bytes(data)
+                w, h = _fake_decode(blob)
+                scale = min(1.0, float(max_dim) / float(max(w, h)))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                resized = blob[: max(1, int(len(blob) * scale * scale))]
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["new_width"].append(nw)
+                rows["new_height"].append(nh)
+                rows["out_bytes"].append(len(resized))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=out_schema)
