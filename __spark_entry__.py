@@ -337,6 +337,10 @@ def q_order_gaps(spark, sf_dir):
     return R.order_gaps(load_tables(spark, sf_dir))
 
 
+def q_important_parts(spark, sf_dir):
+    return R.important_parts(load_tables(spark, sf_dir))
+
+
 def q_idle_rich_customers(spark, sf_dir):
     return R.idle_rich_customers(load_tables(spark, sf_dir))
 
@@ -562,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custdist": q_custdist,
         "idle_rich_customers": q_idle_rich_customers,
         "order_gaps": q_order_gaps,
+        "important_parts": q_important_parts,
         "text_clean": q_text_clean,
         "emb_quantize": q_emb_quantize,
         "hll_user_rollup": q_hll_user_rollup,
@@ -953,6 +958,20 @@ def oracle_sql() -> dict[str, str]:
                          json_extract_string(props, '$.k')::BIGINT AS k
                   FROM events)
             GROUP BY event_type
+        """,
+        "important_parts": """
+            WITH per_part AS (
+              SELECT l_partkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS rev_d
+              FROM lineitem GROUP BY 1),
+            total AS (SELECT sum(rev_d) AS total_d FROM per_part)
+            SELECT l_partkey AS partkey,
+                   CAST(round(rev_d, 2) AS DOUBLE) AS revenue,
+                   floor(CAST(rev_d AS DOUBLE) / CAST(total_d AS DOUBLE)
+                         * 1e6 + 0.5) / 1e6 AS rev_share
+            FROM per_part, total
+            WHERE CAST(rev_d AS DOUBLE) > CAST(total_d AS DOUBLE) * 0.002
         """,
         "order_gaps": """
             SELECT o_orderkey, o_custkey,

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "custdist",
     "idle_rich_customers",
     "order_gaps",
+    "important_parts",
     "json_props_stats",
     # reference pipeline (batch replay)
     "t1_latest_per_key",

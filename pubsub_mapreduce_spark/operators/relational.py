@@ -864,3 +864,37 @@ def order_gaps(t: Tables) -> DataFrame:
         _r(F.first("o_totalprice").over(wf), 2).alias("first_value_spend"),
         _r(F.last("o_totalprice").over(wf), 2).alias("last_value_spend"),
     )
+
+
+def important_parts(t: Tables, share: float = 0.002) -> DataFrame:
+    """TPC-H Q11 shape — groups exceeding a fraction of a GLOBAL
+    aggregate: parts whose revenue clears ``share`` of total revenue.
+
+    The global total is the same per-part aggregate re-reduced — Spark
+    computes it as a second tiny aggregate over the |parts|-sized
+    intermediate (NOT a second fact-table scan) and broadcasts the one
+    row back. Both sums are exact DECIMAL, so the share predicate —
+    a knife-edge comparison by construction — is engine- and
+    run-deterministic."""
+    per_part = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev()).alias("rev_d"))
+    )
+    total = per_part.agg(F.sum("rev_d").alias("total_d"))
+    return (
+        per_part.join(broadcast(total))
+        .where(
+            F.col("rev_d").cast("double")
+            > F.col("total_d").cast("double") * F.lit(share)
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("rev_d"), 2).cast("double").alias("revenue"),
+            round_half_up(
+                F.col("rev_d").cast("double")
+                / F.col("total_d").cast("double"),
+                6,
+            ).alias("rev_share"),
+        )
+    )

@@ -210,3 +210,27 @@ def dedup_stream(
     return df.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def distinct_ids_stream(
+    msgs: DataFrame,
+    window: str = "1 second",
+    watermark: str = "2 seconds",
+) -> DataFrame:
+    """Windowed APPROX-distinct ids in streaming (extension beyond the
+    reference's count-only surface): how many distinct devices reported
+    per window.
+
+    approx_count_distinct (HLL++) is the only viable streaming form at
+    scale: exact distinct would hold every key seen per open window in
+    the state store (O(windows x keys)); the HLL buffer is a fixed
+    ~1.5KB per window regardless of cardinality, merged across the
+    partial/final aggregate split like any declarative agg. Estimate
+    error ~2% default rsd; stream==batch parity is pinned in tests
+    (identical input -> identical sketch -> identical estimate)."""
+    return (
+        msgs.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.approx_count_distinct("id").alias("approx_ids"))
+        .select(F.col("w.start").alias("window_start"), "approx_ids")
+    )

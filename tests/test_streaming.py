@@ -579,3 +579,39 @@ def test_stream_static_enrich_matches_batch_and_is_stateless(spark, knob_dir):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "StateStore" not in plan
+
+
+def test_windowed_distinct_stream_matches_batch(spark, knob_dir):
+    """Streaming windowed approx-distinct == the batch computation over
+    the same rows: HLL sketches are deterministic functions of the
+    input SET, so the micro-batch partial/final merge must land on the
+    same estimate the one-shot batch aggregate produces."""
+    from pubsub_mapreduce_spark.streaming.pipeline import distinct_ids_stream
+
+    stream = read_knob_stream(spark, knob_dir)
+    q = (
+        distinct_ids_stream(stream, window="1 second", watermark="2 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wdist")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["approx_ids"])
+        for r in spark.sql("select * from wdist").collect()
+    }
+    batch = spark.read.schema("id long, n long, ts timestamp").parquet(knob_dir)
+    want = {
+        (r["w"]["start"], r["approx_ids"])
+        for r in batch.groupBy(F.window("ts", "1 second").alias("w"))
+        .agg(F.approx_count_distinct("id").alias("approx_ids"))
+        .collect()
+    }
+    # append mode emits only windows CLOSED below the watermark
+    # (max_event_time - 2s), so up to watermark/window + 1 = 3 trailing
+    # windows stay held; every emitted window must match batch exactly
+    assert got
+    assert got <= want, got - want
+    assert len(want) - len(got) <= 3
