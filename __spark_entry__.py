@@ -358,6 +358,10 @@ def q_text_clean(spark, sf_dir):
     return TX.clean_text(load_tables(spark, sf_dir)["documents"])
 
 
+def q_lang_confusion(spark, sf_dir):
+    return TX.lang_confusion(load_tables(spark, sf_dir)["documents"])
+
+
 def q_emb_quantize(spark, sf_dir):
     return S.quantize_embeddings(load_tables(spark, sf_dir)["embeddings"])
 
@@ -568,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_gaps": q_order_gaps,
         "important_parts": q_important_parts,
         "text_clean": q_text_clean,
+        "lang_confusion": q_lang_confusion,
         "emb_quantize": q_emb_quantize,
         "hll_user_rollup": q_hll_user_rollup,
         # sources (simulator replay)
@@ -1084,6 +1089,15 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY sim DESC, neighbor_id ASC) AS rank
                   FROM scored)
             WHERE rank <= 3
+        """,
+        "lang_confusion": f"""
+            WITH {_TEXT_FEATURES_CTE}
+            SELECT d.lang,
+                   CASE WHEN f.swr >= 0.08 THEN 'en' ELSE 'other' END
+                       AS lang_pred,
+                   count(*) AS n_docs
+            FROM documents d JOIN feat2 f ON d.doc_id = f.doc_id
+            GROUP BY 1, 2
         """,
         "text_clean": r"""
             SELECT doc_id, lang, source,

@@ -160,3 +160,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views for ``spark.sql`` use."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Backfill primitive: dynamic partition overwrite — replace ONLY the
+    partitions present in ``df``, leaving every other partition's files
+    untouched. This is how a 100TB lake corrects one bad day: rewrite
+    that day's directory, never the table. Static overwrite (the
+    default) would truncate the whole dataset first; the per-write
+    ``partitionOverwriteMode=dynamic`` option scopes the safe behavior
+    to this write without mutating session config."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

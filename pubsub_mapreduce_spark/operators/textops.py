@@ -194,3 +194,19 @@ def clean_text(docs: DataFrame) -> DataFrame:
         F.length("text").alias("orig_len"),
         F.length(c).alias("clean_len"),
     )
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """Evaluation rollup: declared corpus language vs heuristic
+    language-ID prediction, as a (lang, lang_pred) contingency table —
+    the check a pipeline runs before trusting either label for corpus
+    mixing. One shuffle on the tiny pair key; the per-doc predict work
+    is map-side."""
+    c = F.col("text")
+    toks = F.col("__toks")
+    return (
+        widen(docs, 8)
+        .withColumn("__toks", T.tokens(c))
+        .groupBy(F.col("lang"), T.lang_id(c, toks).alias("lang_pred"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

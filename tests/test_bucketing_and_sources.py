@@ -136,3 +136,42 @@ def test_partitioned_write_splits_large_partitions(spark, tables, tmp_path):
         d = f.rsplit("/", 2)[1]
         per_dir[d] = per_dir.get(d, 0) + 1
     assert max(per_dir.values()) > 1, f"hot partition not split: {per_dir}"
+
+
+def test_dynamic_partition_overwrite_backfills_one_day(spark, tables, tmp_path):
+    """overwrite_partitions replaces only the partitions in the incoming
+    frame: the corrected day changes, every other day's rows survive
+    byte-for-byte — the lake backfill contract (static overwrite would
+    truncate the whole dataset)."""
+    from pyspark.sql import functions as F
+
+    from pubsub_mapreduce_spark.io import overwrite_partitions, write_partitioned
+
+    path = str(tmp_path / "events_by_day")
+    ev = tables["events"].withColumn("day", F.to_date("ts"))
+    write_partitioned(ev, path, ["day"])
+    # materialize the pre-state driver-side: the lazy frame would re-read
+    # files the overwrite is about to replace
+    before_rows = spark.read.parquet(path).collect()
+    target_day = min(r["day"] for r in before_rows)
+
+    fixed = (
+        ev.where(F.col("day") == F.lit(target_day))
+        .withColumn("value", F.col("value") * 2)
+    )
+    overwrite_partitions(fixed, path, ["day"])
+
+    after_rows = spark.read.parquet(path).collect()
+    assert len(after_rows) == len(before_rows)
+    # untouched days identical
+    untouched = lambda rows: sorted(
+        tuple(r) for r in rows if r["day"] != target_day
+    )
+    assert untouched(before_rows) == untouched(after_rows)
+    # target day rewritten: value doubled vs the original rows
+    orig = {
+        r["event_id"]: r["value"] for r in before_rows if r["day"] == target_day
+    }
+    changed = [r for r in after_rows if r["day"] == target_day]
+    assert changed and len(changed) == len(orig)
+    assert all(r["value"] == orig[r["event_id"]] * 2 for r in changed)
