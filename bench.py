@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_clean",
+    "lang_confusion",
     "text_doc_stats",
     "text_quality_by_source",
     "text_tfidf",

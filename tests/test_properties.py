@@ -100,3 +100,30 @@ def test_epoch_seconds_roundtrip(spark, ts):
         epoch_seconds(from_epoch_seconds(F.col("t"))).alias("rt")
     ).collect()
     assert [r["rt"] for r in out] == [float(t) for t in ts]
+
+
+def test_decimal_money_aggregates_partitioning_invariant(spark):
+    """The decimal-sum discipline's actual contract: money aggregates are
+    BIT-IDENTICAL regardless of how the input is partitioned (different
+    partition counts = different summation order = the run-to-run
+    variance AQE introduces in production). Double sums fail this at
+    rounding boundaries; decimal sums cannot."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_MED
+
+    qs = entrymod.queries()
+    for name in ["q1_pricing_summary", "nation_trade_volume", "promo_revenue"]:
+        base = qs[name](spark, SF_MED)
+        canon = lambda df: sorted(
+            tuple(repr(v + 0.0) if isinstance(v, float) else v for v in r)
+            for r in df.collect()
+        )
+        want = canon(base)
+        for parts in (1, 7):
+            old = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            try:
+                got = canon(qs[name](spark, SF_MED))
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", old)
+            assert got == want, f"{name} not stable at {parts} partitions"
