@@ -59,6 +59,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session casts to TIMESTAMP_LTZ value-identically. Downstream
     operators rely on LTZ (e.g. RANGE frames over ``ts.cast('double')``
     — NTZ has no epoch, so Spark forbids that cast)."""
+    if spark not in _TABLE_CACHE:
+        # First touch of a session — including a FOREIGN session the
+        # driver hands to entry()/queries(): pin the two runtime confs
+        # the engine's timestamp semantics depend on. UTC makes NTZ->LTZ
+        # casts value-identical and epoch math agree with the TZ-naive
+        # DuckDB oracle; nanosAsLong covers TIMESTAMP(NANOS) fixture
+        # generations (harmless on MICROS ones).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     cache = _TABLE_CACHE.setdefault(spark, {})
     key = (os.path.abspath(sf_dir), name)
     if key not in cache:
