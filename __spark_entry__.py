@@ -341,6 +341,10 @@ def q_important_parts(spark, sf_dir):
     return R.important_parts(load_tables(spark, sf_dir))
 
 
+def q_q6_forecast_revenue(spark, sf_dir):
+    return R.q6_forecast_revenue(load_tables(spark, sf_dir))
+
+
 def q_idle_rich_customers(spark, sf_dir):
     return R.idle_rich_customers(load_tables(spark, sf_dir))
 
@@ -571,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_rich_customers": q_idle_rich_customers,
         "order_gaps": q_order_gaps,
         "important_parts": q_important_parts,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
         "text_clean": q_text_clean,
         "lang_confusion": q_lang_confusion,
         "emb_quantize": q_emb_quantize,
@@ -963,6 +968,17 @@ def oracle_sql() -> dict[str, str]:
                          json_extract_string(props, '$.k')::BIGINT AS k
                   FROM events)
             GROUP BY event_type
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+                       AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
         """,
         "important_parts": """
             WITH per_part AS (

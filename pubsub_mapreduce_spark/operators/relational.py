@@ -898,3 +898,25 @@ def important_parts(t: Tables, share: float = 0.002) -> DataFrame:
             ).alias("rev_share"),
         )
     )
+
+
+def q6_forecast_revenue(t: Tables) -> DataFrame:
+    """TPC-H Q6 shape — the pure scan-filter-aggregate: revenue delta
+    from dropping discounts in a band, one output row.
+
+    Every predicate (date range, discount band, quantity cap) pushes to
+    the parquet scan (plan-asserted), so at 100TB the query reads only
+    row groups whose min/max stats overlap the band — the canonical
+    'filters belong in the scan' query. Revenue product sums in exact
+    DECIMAL like every money aggregate here."""
+    l = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        _dsum(_dec("l_extendedprice") * _dec("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

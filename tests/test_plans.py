@@ -223,3 +223,13 @@ def test_idle_rich_customers_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan, plan[:2000]
+
+
+def test_q6_all_predicates_pushed(spark):
+    """Q6 shape: every filter (date range, discount band, quantity cap)
+    reaches the parquet scan; zero keyed shuffles (global aggregate's
+    single exchange is a 1-row final combine)."""
+    df = q("q6_forecast_revenue", spark)
+    assert_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity")
+    (li,) = read_schemas(df)
+    assert li.count(":") == 4, f"expected 4-column pruned scan: {li}"
