@@ -345,6 +345,10 @@ def q_q6_forecast_revenue(spark, sf_dir):
     return R.q6_forecast_revenue(load_tables(spark, sf_dir))
 
 
+def q_returned_revenue(spark, sf_dir):
+    return R.returned_revenue_customers(load_tables(spark, sf_dir))
+
+
 def q_idle_rich_customers(spark, sf_dir):
     return R.idle_rich_customers(load_tables(spark, sf_dir))
 
@@ -576,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_gaps": q_order_gaps,
         "important_parts": q_important_parts,
         "q6_forecast_revenue": q_q6_forecast_revenue,
+        "returned_revenue": q_returned_revenue,
         "text_clean": q_text_clean,
         "lang_confusion": q_lang_confusion,
         "emb_quantize": q_emb_quantize,
@@ -968,6 +973,24 @@ def oracle_sql() -> dict[str, str]:
                          json_extract_string(props, '$.k')::BIGINT AS k
                   FROM events)
             GROUP BY event_type
+        """,
+        "returned_revenue": """
+            WITH per_cust AS (
+              SELECT o_custkey,
+                     CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2)
+                          AS DOUBLE) AS ret_revenue,
+                     count(*) AS n_returned_items
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+              GROUP BY o_custkey)
+            SELECT o_custkey, c_name, n_name AS nation,
+                   ret_revenue, n_returned_items
+            FROM per_cust
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            ORDER BY ret_revenue DESC, o_custkey ASC
+            LIMIT 20
         """,
         "q6_forecast_revenue": """
             SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))

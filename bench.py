@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q5_revenue_by_nation",
     "q6_forecast_revenue",
+    "returned_revenue",
     "q3_shipping_priority",
     "part_supplier_stats",
     "window_top_orders",

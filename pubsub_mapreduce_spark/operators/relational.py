@@ -920,3 +920,39 @@ def q6_forecast_revenue(t: Tables) -> DataFrame:
         _dsum(_dec("l_extendedprice") * _dec("l_discount")).alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def returned_revenue_customers(t: Tables, k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape — top customers by revenue on RETURNED items: the
+    'who is sending things back' report. Fact filtered on returnflag
+    first (pushed to the scan), aggregated per customer BEFORE the
+    decoration joins, then a global top-k via TakeOrderedAndProject —
+    the join input is |customers-with-returns| rows, never the fact
+    table, and no global sort materializes."""
+    returned = t["lineitem"].where(F.col("l_returnflag") == "R")
+    per_cust = (
+        returned.join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            _dsum(_rev()).alias("ret_revenue"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+    )
+    return (
+        per_cust.join(
+            broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .orderBy(F.col("ret_revenue").desc(), F.col("o_custkey").asc())
+        .limit(k)
+        .select(
+            "o_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            "ret_revenue",
+            "n_returned_items",
+        )
+    )

@@ -233,3 +233,35 @@ def test_q6_all_predicates_pushed(spark):
     assert_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity")
     (li,) = read_schemas(df)
     assert li.count(":") == 4, f"expected 4-column pruned scan: {li}"
+
+
+def test_sql_surface_matches_dataframe(spark):
+    """The SQL front end is first-class: register_views exposes the
+    fixture tables and an ANSI query over them returns exactly what the
+    DataFrame formulation returns (same Catalyst planner underneath)."""
+    from pubsub_mapreduce_spark.io import register_views
+
+    register_views(spark, SF_SMALL)
+    sql_rows = sorted(
+        tuple(r)
+        for r in spark.sql(
+            """
+            SELECT r_name, n_name,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2)
+                        AS DOUBLE) AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate <  DATE '1998-01-01'
+              AND r_name IN ('ASIA', 'EUROPE')
+            GROUP BY r_name, n_name
+            """
+        ).collect()
+    )
+    df_rows = sorted(tuple(r) for r in q("q5_revenue_by_nation", spark).collect())
+    assert sql_rows == df_rows
