@@ -349,6 +349,42 @@ def q_returned_revenue(spark, sf_dir):
     return R.returned_revenue_customers(load_tables(spark, sf_dir))
 
 
+def q_q4_priority_exists(spark, sf_dir):
+    return R.q4_priority_exists(load_tables(spark, sf_dir))
+
+
+def q_q8_market_share(spark, sf_dir):
+    return R.q8_market_share(load_tables(spark, sf_dir))
+
+
+def q_q9_product_profit(spark, sf_dir):
+    return R.q9_product_profit(load_tables(spark, sf_dir))
+
+
+def q_q12_priority_class(spark, sf_dir):
+    return R.q12_priority_class_counts(load_tables(spark, sf_dir))
+
+
+def q_q15_top_supplier(spark, sf_dir):
+    return R.q15_top_supplier(load_tables(spark, sf_dir))
+
+
+def q_q16_supplier_variety(spark, sf_dir):
+    return R.q16_supplier_variety(load_tables(spark, sf_dir))
+
+
+def q_q17_small_qty_revenue(spark, sf_dir):
+    return R.q17_small_qty_revenue(load_tables(spark, sf_dir))
+
+
+def q_q19_disjunctive_revenue(spark, sf_dir):
+    return R.q19_disjunctive_revenue(load_tables(spark, sf_dir))
+
+
+def q_q21_waiting_suppliers(spark, sf_dir):
+    return R.q21_waiting_suppliers(load_tables(spark, sf_dir))
+
+
 def q_idle_rich_customers(spark, sf_dir):
     return R.idle_rich_customers(load_tables(spark, sf_dir))
 
@@ -581,6 +617,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": q_important_parts,
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "returned_revenue": q_returned_revenue,
+        "q4_priority_exists": q_q4_priority_exists,
+        "q8_market_share": q_q8_market_share,
+        "q9_product_profit": q_q9_product_profit,
+        "q12_priority_class": q_q12_priority_class,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q16_supplier_variety": q_q16_supplier_variety,
+        "q17_small_qty_revenue": q_q17_small_qty_revenue,
+        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+        "q21_waiting_suppliers": q_q21_waiting_suppliers,
         "text_clean": q_text_clean,
         "lang_confusion": q_lang_confusion,
         "emb_quantize": q_emb_quantize,
@@ -991,6 +1036,144 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation   ON c_nationkey = n_nationkey
             ORDER BY ret_revenue DESC, o_custkey ASC
             LIMIT 20
+        """,
+        "q4_priority_exists": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "q8_market_share": """
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   floor(
+                     CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                              THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                   * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS mkt_share,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2)
+                        AS DOUBLE) AS total_revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE r_name = 'AMERICA'
+            GROUP BY 1
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(round(sum(
+                     CAST(l_extendedprice AS DECIMAL(18,4))
+                       * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                     - CAST(0.5 AS DECIMAL(6,4))
+                       * CAST(p_retailprice AS DECIMAL(18,4))
+                       * CAST(l_quantity AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS sum_profit,
+                   count(*) AS n_rows
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
+        """,
+        "q12_priority_class": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY l_returnflag
+        """,
+        "q15_top_supplier": """
+            WITH per_supp AS (
+              SELECT l_suppkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-04-01'
+              GROUP BY l_suppkey),
+            ranked AS (
+              SELECT *, max(rev) OVER () AS max_rev FROM per_supp)
+            SELECT s_suppkey, s_name,
+                   CAST(round(rev, 2) AS DOUBLE) AS total_revenue
+            FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev = max_rev
+        """,
+        "q16_supplier_variety": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#5'
+              AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+        """,
+        "q17_small_qty_revenue": """
+            WITH brand_lines AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#3'),
+            thresholds AS (
+              SELECT l_partkey AS ap_partkey,
+                     0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+                            AS DOUBLE) / count(*)) AS qty_threshold
+              FROM brand_lines GROUP BY 1)
+            SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                         AS DOUBLE) / 7.0 * 1e2 + 0.5) / 1e2 AS avg_yearly,
+                   count(*) AS n_small_lines
+            FROM brand_lines JOIN thresholds ON l_partkey = ap_partkey
+            WHERE l_quantity < qty_threshold
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2)
+                        AS DOUBLE) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "q21_waiting_suppliers": """
+            WITH per_os AS (
+              SELECT o_orderkey AS pk_orderkey, l_suppkey,
+                     max(CASE WHEN l_shipdate > o_orderdate
+                              + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS was_late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+              GROUP BY 1, 2),
+            flagged AS (
+              SELECT *,
+                     count(*) OVER (PARTITION BY pk_orderkey) AS n_supps,
+                     sum(was_late) OVER (PARTITION BY pk_orderkey)
+                       AS n_late_supps
+              FROM per_os)
+            SELECT s_suppkey, s_name, count(*) AS numwait
+            FROM flagged JOIN supplier ON l_suppkey = s_suppkey
+            WHERE was_late = 1 AND n_supps > 1 AND n_late_supps = 1
+            GROUP BY 1, 2
         """,
         "q6_forecast_revenue": """
             SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))

@@ -68,6 +68,15 @@ BENCH_QUERIES = [
     "idle_rich_customers",
     "order_gaps",
     "important_parts",
+    "q4_priority_exists",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_class",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
     "json_props_stats",
     # reference pipeline (batch replay)
     "t1_latest_per_key",

@@ -956,3 +956,334 @@ def returned_revenue_customers(t: Tables, k: int = 20) -> DataFrame:
             "n_returned_items",
         )
     )
+
+
+def q4_priority_exists(t: Tables) -> DataFrame:
+    """TPC-H Q4 shape — order-priority checking via EXISTS: count orders
+    in a 6-month window having at least one line shipped AFTER the order
+    date (a late line). The reference has no joins at all (SURVEY.md
+    section 2.6); this pins the semi-join-with-residual shape.
+
+    Spark plan: LEFT SEMI join on the equi key (l_orderkey=o_orderkey)
+    with the non-equi `l_shipdate > o_orderdate` as the join residual —
+    the probe side is deduplicated by the semi join itself, so no
+    distinct is needed and each order is counted once no matter how many
+    late lines it has. At 100TB both sides shuffle on orderkey once;
+    the 6-month o_orderdate filter pushes to the orders scan."""
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    late = o.join(
+        t["lineitem"].select("l_orderkey", "l_shipdate"),
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q8_market_share(t: Tables, region: str = "AMERICA",
+                    nation: str = "NATION_3") -> DataFrame:
+    """TPC-H Q8 shape — market share: of all revenue from lineitems sold
+    to customers in `region`, the fraction supplied by `nation`, per
+    order year. Two independent nation decodes (customer side filters the
+    region, supplier side tags the share numerator) — the classic
+    'same dimension joined twice under different roles' query.
+
+    Both nation/region dims broadcast at any SF. The share is a
+    conditional decimal sum over the same aggregate pass (one shuffle,
+    no self-join): sum(case supplier-nation)/sum(all), divided once as
+    doubles after exact decimal summation, so the ratio is deterministic
+    cross-engine."""
+    cust_nation = broadcast(
+        t["customer"]
+        .join(
+            broadcast(t["nation"].select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            broadcast(
+                t["region"].where(F.col("r_name") == region)
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = broadcast(
+        t["supplier"]
+        .join(
+            broadcast(
+                t["nation"].select(
+                    "n_nationkey", F.col("n_name").alias("supp_nation")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    rev = _rev()
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_nation, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            round_half_up(
+                F.sum(
+                    F.when(F.col("supp_nation") == nation, rev).otherwise(
+                        _dec(F.lit(0.0))
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share"),
+            _dsum(rev).alias("total_revenue"),
+        )
+    )
+
+
+def q9_product_profit(t: Tables, name_like: str = "%widget%") -> DataFrame:
+    """TPC-H Q9 shape — product-type profit by supplier nation and year.
+    The fixtures have no partsupp/ps_supplycost, so cost is modeled as
+    half the part's retail price per unit: profit = disc-revenue -
+    0.5 * p_retailprice * l_quantity, all in exact DECIMAL.
+
+    The p_name LIKE filter prunes part BEFORE the fact join (broadcast),
+    so the fact scan is joined against only matching parts — at 100TB
+    the selective dim filter is the whole game; the grouped shuffle is
+    |nations x years| rows."""
+    parts = broadcast(
+        t["part"]
+        .where(F.col("p_name").like(name_like))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp_nation = broadcast(
+        t["supplier"]
+        .join(
+            broadcast(
+                t["nation"].select("n_nationkey", F.col("n_name").alias("nation"))
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    half = F.lit(0.5).cast("decimal(6,4)")
+    profit = _rev() - half * _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        t["lineitem"]
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(_dsum(profit).alias("sum_profit"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q12_priority_class_counts(t: Tables) -> DataFrame:
+    """TPC-H Q12 shape — two-way conditional counts: lines shipped in one
+    year, grouped by return flag, split into critical-priority
+    (1-URGENT/2-HIGH) vs other order counts. The fixtures have no
+    l_shipmode, so l_returnflag is the grouping axis.
+
+    CASE-sum inside one aggregate pass: a single fact+orders shuffle
+    join on orderkey, no second pass per class. The ship-date year
+    filter pushes to the fact scan."""
+    l = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(
+            t["orders"].select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q15_top_supplier(t: Tables) -> DataFrame:
+    """TPC-H Q15 shape — the supplier(s) with maximum revenue over one
+    quarter: aggregate per supplier, then keep the max via an empty-frame
+    analytic max (Spark plans a single-partition window over the
+    |suppliers| aggregate — fine, because that input is dimension-sized,
+    NOT the fact table). Revenue is exact decimal, so 'equals max' is a
+    deterministic comparison, not a float coin-flip."""
+    per_supp = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev()).alias("rev_dec"))
+    )
+    w = Window.partitionBy()
+    top = per_supp.withColumn("max_rev", F.max("rev_dec").over(w)).where(
+        F.col("rev_dec") == F.col("max_rev")
+    )
+    return top.join(
+        broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select(
+        "s_suppkey",
+        "s_name",
+        F.round(F.col("rev_dec"), 2).cast("double").alias("total_revenue"),
+    )
+
+
+def q16_supplier_variety(t: Tables) -> DataFrame:
+    """TPC-H Q16 shape — how many distinct suppliers can ship each part
+    profile (brand, type, size), excluding one brand, one type, and
+    suppliers with negative account balance (the 'complaints' anti-list;
+    fixtures have no comment column).
+
+    The anti-list is a broadcast LEFT ANTI join (never NOT IN's
+    null-trap semantics); part filters prune the broadcast dim before
+    the fact join; count(DISTINCT supplier) shuffles (profile, suppkey)
+    pairs — already deduplicated map-side by the partial distinct."""
+    parts = broadcast(
+        t["part"].where(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+        )
+    )
+    bad_supp = broadcast(
+        t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q17_small_qty_revenue(t: Tables, brand: str = "Brand#3") -> DataFrame:
+    """TPC-H Q17 shape — revenue lost to small orders: average yearly
+    revenue from lines of one brand whose quantity is below 20% of that
+    part's average quantity. The correlated scalar subquery becomes a
+    per-part aggregate joined back to the fact (both sides filtered to
+    the brand's partkeys first, so at 100TB this is two passes over a
+    brand-sized slice, not the whole fact table).
+
+    The threshold 0.2*avg is computed identically on both engines:
+    exact decimal sum cast to double, divided by the count, times 0.2 —
+    one multiply and one divide on identical operands."""
+    brand_parts = broadcast(
+        t["part"].where(F.col("p_brand") == brand).select("p_partkey")
+    )
+    l = t["lineitem"].join(
+        brand_parts, F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_part_avg = l.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(_dec("l_quantity")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_threshold")
+    )
+    small = l.join(
+        broadcast(per_part_avg), F.col("l_partkey") == F.col("ap_partkey")
+    ).where(F.col("l_quantity") < F.col("qty_threshold"))
+    return small.agg(
+        round_half_up(
+            F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 2
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small_lines"),
+    )
+
+
+def q19_disjunctive_revenue(t: Tables) -> DataFrame:
+    """TPC-H Q19 shape — revenue under a disjunction of brand/size/
+    quantity conjunct groups. The point is the plan: Catalyst keeps the
+    whole OR as one predicate evaluated in a single scan+broadcast-join
+    pass (no union of three subqueries), and the common conjuncts it can
+    factor (the join key) still push down. One output row; exact decimal
+    sum."""
+    p, l = t["part"], t["lineitem"]
+    joined = l.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    branch1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 20))
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(10, 30))
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity").between(20, 40))
+    )
+    return joined.where(branch1 | branch2 | branch3).agg(
+        _dsum(_rev()).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q21_waiting_suppliers(t: Tables, days_late: int = 60) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who kept multi-supplier orders
+    waiting: count, per supplier, the completed ('F') orders where this
+    supplier shipped a line more than `days_late` days after the order
+    date, at least one OTHER supplier also has a line in the order
+    (EXISTS), and no OTHER supplier was equally late (NOT EXISTS). The
+    fixtures have no commit/receipt dates, so 'late' is
+    l_shipdate > o_orderdate + days_late.
+
+    Plan: one pass computes per-(order, supplier) flags (any-line,
+    any-late-line) from the fact table; an analytic count over the order
+    then answers both EXISTS and NOT EXISTS without self-joining the
+    fact table twice — two shuffles total (orderkey, then supplier
+    agg), versus the literal form's three fact joins."""
+    l = t["lineitem"].join(
+        t["orders"].where(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {days_late} DAYS"
+    )
+    per_os = l.groupBy("o_orderkey", "l_suppkey").agg(
+        F.max(F.when(late, 1).otherwise(0)).alias("was_late")
+    )
+    w = Window.partitionBy("o_orderkey")
+    flagged = per_os.select(
+        "o_orderkey",
+        "l_suppkey",
+        "was_late",
+        F.count(F.lit(1)).over(w).alias("n_supps"),
+        F.sum("was_late").over(w).alias("n_late_supps"),
+    )
+    return (
+        flagged.where(
+            (F.col("was_late") == 1)
+            & (F.col("n_supps") > 1)
+            & (F.col("n_late_supps") == 1)
+        )
+        .join(
+            broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
