@@ -265,3 +265,77 @@ def test_sql_surface_matches_dataframe(spark):
     )
     df_rows = sorted(tuple(r) for r in q("q5_revenue_by_nation", spark).collect())
     assert sql_rows == df_rows
+
+
+def test_q4_semi_join_no_distinct(spark):
+    """Q4 shape: the EXISTS compiles to a LEFT SEMI join (probe side
+    deduplicated by the join itself — no Aggregate-for-distinct node
+    before the final count) with the date window pushed to the orders
+    scan."""
+    df = q("q4_priority_exists", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:800]
+    assert_pushed_filters(df, "o_orderdate")
+    assert_no_cartesian(df)
+    # exactly one aggregate pair (partial+final count) — a distinct
+    # before it would add a second
+    assert node_count(df, "HashAggregate") <= 2, plan[:800]
+
+
+def test_q8_single_aggregate_pass(spark):
+    """Q8 shape: numerator and denominator of the market share come out
+    of ONE grouped aggregate (conditional sum), not a self-join of two
+    aggregations; all dims broadcast."""
+    df = q("q8_market_share", spark)
+    assert_broadcast_join(df, min_count=2)
+    assert_no_cartesian(df)
+    assert keyed_shuffle_count(df) <= 2, "fact join + year agg only"
+
+
+def test_q16_anti_join_and_partial_distinct(spark):
+    """Q16 shape: the complaints list is a broadcast anti join, part
+    filters prune before the fact join, and the distinct-count
+    deduplicates map-side (partial aggregate on profile+suppkey)."""
+    df = q("q16_supplier_variety", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan[:800]
+    assert_broadcast_join(df, min_count=2)
+    # Catalyst expands count(distinct) to dedup-then-count: shuffle 1
+    # carries deduplicated (profile, suppkey) pairs, shuffle 2 the
+    # per-profile partial counts — both map-side-reduced, both tiny
+    assert keyed_shuffle_count(df) <= 2, "distinct expansion: two shuffles"
+
+
+def test_q19_single_scan_disjunction(spark):
+    """Q19 shape: the OR-of-conjuncts stays one scan+broadcast-join pass
+    — no union of per-branch subqueries (one lineitem scan in the
+    plan), no cartesian."""
+    df = q("q19_disjunctive_revenue", spark)
+    schemas = read_schemas(df)
+    fact_scans = [s for s in schemas if "l_partkey" in s]
+    assert len(fact_scans) == 1, f"expected ONE fact scan: {schemas}"
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
+
+
+def test_q21_two_keyed_shuffles(spark):
+    """Q21 shape: the EXISTS + NOT-EXISTS pair costs two keyed shuffles
+    (orderkey grouping, then supplier aggregate) — never the literal
+    form's three fact self-joins."""
+    df = q("q21_waiting_suppliers", spark)
+    assert keyed_shuffle_count(df) <= 3, "orderkey agg + window + supp agg"
+    assert_no_cartesian(df)
+    schemas = read_schemas(df)
+    fact_scans = [s for s in schemas if "l_suppkey" in s and "l_orderkey" in s]
+    assert len(fact_scans) == 1, f"fact table scanned once: {schemas}"
+
+
+def test_q17_brand_slice_only(spark):
+    """Q17 shape: both passes (threshold aggregate and the small-line
+    filter) run over the brand slice — the brand partkey filter reaches
+    the part scan and the fact table joins against the broadcast
+    brand-part list before any aggregation."""
+    df = q("q17_small_qty_revenue", spark)
+    assert_pushed_filters(df, "p_brand")
+    assert_broadcast_join(df, min_count=2)
+    assert_no_cartesian(df)
