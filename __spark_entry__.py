@@ -385,6 +385,10 @@ def q_q21_waiting_suppliers(spark, sf_dir):
     return R.q21_waiting_suppliers(load_tables(spark, sf_dir))
 
 
+def q_q20_dominant_suppliers(spark, sf_dir):
+    return R.q20_dominant_suppliers(load_tables(spark, sf_dir))
+
+
 def q_idle_rich_customers(spark, sf_dir):
     return R.idle_rich_customers(load_tables(spark, sf_dir))
 
@@ -626,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": q_q17_small_qty_revenue,
         "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
         "q21_waiting_suppliers": q_q21_waiting_suppliers,
+        "q20_dominant_suppliers": q_q20_dominant_suppliers,
         "text_clean": q_text_clean,
         "lang_confusion": q_lang_confusion,
         "emb_quantize": q_emb_quantize,
@@ -1174,6 +1179,25 @@ def oracle_sql() -> dict[str, str]:
             FROM flagged JOIN supplier ON l_suppkey = s_suppkey
             WHERE was_late = 1 AND n_supps > 1 AND n_late_supps = 1
             GROUP BY 1, 2
+        """,
+        "q20_dominant_suppliers": """
+            WITH per_ps AS (
+              SELECT l_partkey, l_suppkey,
+                     sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty_dec
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'red%'
+                AND l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate <  TIMESTAMP '1998-01-01'
+              GROUP BY 1, 2),
+            flagged AS (
+              SELECT *, sum(qty_dec) OVER (PARTITION BY l_partkey)
+                          AS part_total
+              FROM per_ps)
+            SELECT s_suppkey, s_name,
+                   CAST(s_nationkey AS INTEGER) AS s_nationkey
+            FROM supplier
+            WHERE s_suppkey IN (SELECT l_suppkey FROM flagged
+                                WHERE qty_dec * 2 > part_total)
         """,
         "q6_forecast_revenue": """
             SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "q17_small_qty_revenue",
     "q19_disjunctive_revenue",
     "q21_waiting_suppliers",
+    "q20_dominant_suppliers",
     "json_props_stats",
     # reference pipeline (batch replay)
     "t1_latest_per_key",

@@ -1287,3 +1287,47 @@ def q21_waiting_suppliers(t: Tables, days_late: int = 60) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+def q20_dominant_suppliers(t: Tables, name_like: str = "red%") -> DataFrame:
+    """TPC-H Q20 shape — suppliers holding a dominant position on a part
+    family: for parts whose name matches `name_like`, find suppliers
+    whose 1997 shipped quantity of some such part exceeds half of ALL
+    suppliers' 1997 shipped quantity of that part. The fixtures have no
+    partsupp/ps_availqty, so 'dominance over shipped volume' replaces
+    'stock exceeds half the shipped volume'; the nested-aggregate +
+    semi-join plan shape is the same.
+
+    Plan: ONE pass builds per-(part, supplier) quantities over the
+    name-filtered slice; a window sum per part gives the denominator
+    without a second fact scan; the qualifying (part, supplier) pairs
+    then semi-join supplier. Quantities aggregate in exact DECIMAL so
+    the half-share knife-edge is deterministic."""
+    parts = broadcast(
+        t["part"].where(F.col("p_name").like(name_like)).select("p_partkey")
+    )
+    per_ps = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        per_ps.withColumn("part_total", F.sum("qty_dec").over(w))
+        .where(
+            F.col("qty_dec") * F.lit(2).cast("decimal(2,0)")
+            > F.col("part_total")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", F.col("s_nationkey").cast("int").alias("s_nationkey"))
+    )

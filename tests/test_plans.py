@@ -339,3 +339,17 @@ def test_q17_brand_slice_only(spark):
     assert_pushed_filters(df, "p_brand")
     assert_broadcast_join(df, min_count=2)
     assert_no_cartesian(df)
+
+
+def test_q20_single_fact_scan(spark):
+    """Q20 shape: the per-part denominator comes from a window sum over
+    the per-(part,supplier) aggregate — the fact table is scanned once,
+    the part filter prunes before the join, and the supplier lookup is
+    a semi join."""
+    df = q("q20_dominant_suppliers", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:800]
+    schemas = read_schemas(df)
+    fact_scans = [s for s in schemas if "l_quantity" in s]
+    assert len(fact_scans) == 1, f"fact table scanned once: {schemas}"
+    assert_no_cartesian(df)
