@@ -262,6 +262,15 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(load_tables(spark, sf_dir)["documents"])
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """New-batch-vs-corpus dedup: docs with doc_id%10 >= 8 are 'the new
+    crawl', the rest 'the existing corpus'."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus = docs.where(F.col("doc_id") % 10 < 8)
+    new_batch = docs.where(F.col("doc_id") % 10 >= 8)
+    return dedup.incremental_dedup(new_batch, corpus)
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -639,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_knob_sine": q_source_knob_sine,
         # dedup / text / similarity / multimodal
         "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1643,6 +1653,20 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_id,
                    count(*) AS n_copies
             FROM documents GROUP BY 1
+        """,
+        "dedup_incremental": """
+            WITH corpus AS (
+              SELECT md5(lower(trim(text))) AS content_md5
+              FROM documents WHERE doc_id % 10 < 8),
+            batch AS (
+              SELECT md5(lower(trim(text))) AS content_md5,
+                     min(doc_id) AS keeper_id,
+                     min_by(source, doc_id) AS source,
+                     count(*) AS n_batch_copies
+              FROM documents WHERE doc_id % 10 >= 8
+              GROUP BY 1)
+            SELECT * FROM batch
+            WHERE content_md5 NOT IN (SELECT content_md5 FROM corpus)
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

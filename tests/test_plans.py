@@ -353,3 +353,14 @@ def test_q20_single_fact_scan(spark):
     fact_scans = [s for s in schemas if "l_quantity" in s]
     assert len(fact_scans) == 1, f"fact table scanned once: {schemas}"
     assert_no_cartesian(df)
+
+
+def test_incremental_dedup_one_partitioning(spark):
+    """Incremental dedup: batch aggregate, corpus distinct, and the anti
+    join all ride the SAME hash key — two keyed shuffles (one per
+    input), the join itself adds none."""
+    df = q("dedup_incremental", spark)
+    assert keyed_shuffle_count(df) <= 2, "join must reuse the hash partitioning"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan[:800]
+    assert_no_cartesian(df)
