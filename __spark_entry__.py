@@ -452,6 +452,14 @@ def q_stratified_docs(spark, sf_dir):
     )
 
 
+def q_capped_docs(spark, sf_dir):
+    """Per-source budget cap: at most 10 docs per source, hash-chosen."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return SM.per_stratum_cap(docs, "doc_id", "source", 10).select(
+        "doc_id", "source"
+    )
+
+
 def q_split_counts(spark, sf_dir):
     docs = load_tables(spark, sf_dir)["documents"]
     return (
@@ -660,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": q_text_tfidf,
         "sample_docs": q_sample_docs,
         "stratified_docs": q_stratified_docs,
+        "capped_docs": q_capped_docs,
         "split_counts": q_split_counts,
         "curation_pipeline": q_curation_pipeline,
         "heavy_hitter_users": q_heavy_hitter_users,
@@ -1449,6 +1458,14 @@ def oracle_sql() -> dict[str, str]:
                                   WHEN 'src2' THEN 25
                                   ELSE 10 END
             GROUP BY source
+        """,
+        "capped_docs": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 10
         """,
         "split_counts": """
             SELECT CASE WHEN b < 10 THEN 'test'

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "q21_waiting_suppliers",
     "q20_dominant_suppliers",
     "dedup_incremental",
+    "capped_docs",
     "json_props_stats",
     # reference pipeline (batch replay)
     "t1_latest_per_key",

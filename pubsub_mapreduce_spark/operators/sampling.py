@@ -19,7 +19,7 @@ the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 N_BUCKETS = 100
@@ -84,3 +84,31 @@ def stratified_sample(
     for value, p in sorted(rates.items()):
         pct = F.when(F.col(stratum) == value, F.lit(p)).otherwise(pct)
     return df.where(hash_bucket(key) < pct)
+
+
+def per_stratum_cap(
+    df: DataFrame, key: str, stratum: str, cap: int
+) -> DataFrame:
+    """Deterministic per-stratum COUNT cap: keep at most ``cap`` rows
+    per stratum, chosen by content-independent hash order — the corpus
+    balancing move when a mix is specified as absolute budgets ("at
+    most N docs per domain") rather than rates (see
+    ``stratified_sample`` for the rate form).
+
+    Hash-ordering (md5 of the key, tie-break key) makes the kept set a
+    uniform, reproducible choice that is stable under partitioning,
+    insertion order, AND engine — unlike orderBy(rand()) — and adding
+    rows to a stratum only ever displaces the highest-hash keepers.
+    Cost: one shuffle on the stratum + a per-stratum sort (bounded by
+    the stratum size); at 100TB a skewed mega-stratum sorts in one
+    task, so pair with a pre-filter (e.g. stratified_sample at a
+    generous rate) when a stratum exceeds task memory."""
+    kc = F.col(key)
+    w = Window.partitionBy(stratum).orderBy(
+        F.md5(kc.cast("string").cast("binary")), kc
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
