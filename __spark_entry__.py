@@ -398,6 +398,10 @@ def q_q20_dominant_suppliers(spark, sf_dir):
     return R.q20_dominant_suppliers(load_tables(spark, sf_dir))
 
 
+def q_unpivot_metrics(spark, sf_dir):
+    return R.unpivot_event_metrics(load_tables(spark, sf_dir))
+
+
 def q_idle_rich_customers(spark, sf_dir):
     return R.idle_rich_customers(load_tables(spark, sf_dir))
 
@@ -648,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
         "q21_waiting_suppliers": q_q21_waiting_suppliers,
         "q20_dominant_suppliers": q_q20_dominant_suppliers,
+        "unpivot_metrics": q_unpivot_metrics,
         "text_clean": q_text_clean,
         "lang_confusion": q_lang_confusion,
         "emb_quantize": q_emb_quantize,
@@ -1217,6 +1222,14 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier
             WHERE s_suppkey IN (SELECT l_suppkey FROM flagged
                                 WHERE qty_dec * 2 > part_total)
+        """,
+        "unpivot_metrics": """
+            SELECT event_id, metric, val
+            FROM (SELECT event_id, value,
+                         CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                           AS k
+                  FROM events)
+            UNPIVOT (val FOR metric IN (value, k))
         """,
         "q6_forecast_revenue": """
             SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))

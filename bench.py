@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "q20_dominant_suppliers",
     "dedup_incremental",
     "capped_docs",
+    "unpivot_metrics",
     "json_props_stats",
     # reference pipeline (batch replay)
     "t1_latest_per_key",

@@ -1331,3 +1331,26 @@ def q20_dominant_suppliers(t: Tables, name_like: str = "red%") -> DataFrame:
         .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name", F.col("s_nationkey").cast("int").alias("s_nationkey"))
     )
+
+
+def unpivot_event_metrics(t: Tables) -> DataFrame:
+    """Unpivot (melt): wide per-event metrics -> long (event_id, metric,
+    val) rows — the inverse of pivot, used to normalize feature columns
+    into a metric store shape. Spark's ``unpivot`` plans an Expand node
+    (each input row emitted once per value column) — a map-only
+    transform: no shuffle, no join, fully codegen'd, so at 100TB it is
+    scan-speed. Metric values ride as-is (doubles); the JSON-sourced k
+    is extracted once before the Expand."""
+    ev = t["events"].select(
+        "event_id",
+        F.col("value"),
+        F.get_json_object("props", "$.k").cast("double").alias("k"),
+    )
+    return ev.unpivot(
+        ids=["event_id"],
+        values=["value", "k"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).where(F.col("val").isNotNull())
+    # explicit NULL drop: Spark's unpivot keeps null vals, SQL UNPIVOT
+    # (DuckDB/ANSI) excludes them by default — pin one semantics
