@@ -1105,9 +1105,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(
                      CAST(l_extendedprice AS DECIMAL(18,4))
                        * (1 - CAST(l_discount AS DECIMAL(6,4)))
-                     - CAST(0.5 AS DECIMAL(6,4))
-                       * CAST(p_retailprice AS DECIMAL(18,4))
-                       * CAST(l_quantity AS DECIMAL(18,4))), 2)
+                     - CAST(0.5 AS DECIMAL(2,1))
+                       * CAST(p_retailprice AS DECIMAL(12,2))
+                       * CAST(l_quantity AS DECIMAL(12,2))), 2)
                         AS DOUBLE) AS sum_profit,
                    count(*) AS n_rows
             FROM lineitem

@@ -156,7 +156,15 @@ def stream_throughput(spark) -> float:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        try:
+            finished = q.awaitTermination(300)
+        finally:
+            q.stop()
+        if not finished:
+            raise RuntimeError(
+                "stream_throughput: availableNow query did not finish in "
+                "300s — refusing to report a rate from an incomplete run"
+            )
         wall = time.perf_counter() - t0
         total = spark.sql("select sum(cnt) s from bench_tput").first()["s"]
         return float(total) / wall

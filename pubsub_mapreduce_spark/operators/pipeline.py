@@ -236,11 +236,12 @@ def props_stats(events: DataFrame) -> DataFrame:
     text per path (get_json_object re-tokenizes the string for every
     path it's asked for). With one path the two tie; with k paths the
     variant parse amortizes k:1, which is the 100TB shape (real event
-    payloads carry dozens of fields). ``try_variant_get``-style
-    permissiveness comes free: a missing key yields NULL, which
-    count/sum/min/max skip — the reference's recover-and-ack poison
-    handling (knobs.go:85-90) as null semantics instead of a panic."""
-    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    payloads carry dozens of fields). ``try_parse_json`` + a missing key
+    both yield NULL, which count/sum/min/max skip — the reference's
+    recover-and-ack poison handling (knobs.go:85-90) as null semantics
+    instead of a failed job (strict ``parse_json`` would abort the whole
+    query on ONE malformed payload, the opposite of recover-and-ack)."""
+    k = F.variant_get(F.try_parse_json(F.col("props")), "$.k", "long")
     return (
         events.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -1072,8 +1072,19 @@ def q9_product_profit(t: Tables, name_like: str = "%widget%") -> DataFrame:
         )
         .select("s_suppkey", "nation")
     )
-    half = F.lit(0.5).cast("decimal(6,4)")
-    profit = _rev() - half * _dec("p_retailprice") * _dec("l_quantity")
+    # Lattice-tight casts: (2,1)*(12,2)*(12,2) -> DECIMAL(28,5) and the
+    # subtraction stays DECIMAL(32,8) — inside Spark's 38-digit ceiling,
+    # so no allowPrecisionLoss truncation at ANY magnitude. The naive
+    # (6,4)*(18,4)*(18,4) needs precision 44 and silently rounds to
+    # DECIMAL(38,6). Fixture lattices: p_retailprice 1dp <= 999.9,
+    # l_quantity integer <= 50 — (12,2) holds both with headroom.
+    half = F.lit(0.5).cast("decimal(2,1)")
+    profit = (
+        _rev()
+        - half
+        * F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+    )
     return (
         t["lineitem"]
         .join(parts, F.col("l_partkey") == F.col("p_partkey"))
