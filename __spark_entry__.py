@@ -3,11 +3,16 @@
 ``entry(spark)``  : flagship star-join query at sf0.001 (smoke check).
 ``queries()``     : one callable per implemented operator (SURVEY.md §2 +
                     north-star training-data ops), (spark, sf_dir) -> DataFrame.
-``oracle_sql()``  : DuckDB-runnable SQL twin per query (omitted only for
-                    genuinely non-SQL-expressible ops: LSH/IVF approximate
-                    search, MinHash-LSH candidates, HLL/DataSketches
-                    estimates — those get rows-only checks plus
-                    recall/error-bound tests in tests/).
+``oracle_sql()``  : DuckDB-runnable SQL twin per query. The LSH/IVF
+                    approximate-search family gets MIRROR oracles — the
+                    twin reproduces the bucketing/cell assignment
+                    bit-for-bit (shared plane/centroid literals,
+                    sequential-fold dots == list_cosine_similarity,
+                    validated), so the exact value hash gates the real
+                    approximate contract. Omitted only where no DuckDB
+                    twin can exist (xxhash64 MinHash candidates,
+                    DataSketches HLL) — those get rows-only checks plus
+                    recall/error-bound tests in tests/.
 
 Column-name and dtype discipline: every computed column is aliased
 identically on both sides; DuckDB aggregates are CAST to match Spark
@@ -288,6 +293,9 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_dedup_embedding(spark, sf_dir):
+    """Embedding near-dup keepers over the LSH-bucketed pair source —
+    the scale path (equi-join on (table, bucket), no cartesian); the
+    oracle mirrors the bucketing bit-for-bit."""
     return dedup.embedding_dedup(
         load_tables(spark, sf_dir)["embeddings"], threshold=0.45
     )
@@ -517,9 +525,11 @@ def q_sim_cosine_topk(spark, sf_dir):
 
 
 def q_sim_near_pairs(spark, sf_dir):
-    return S.embedding_near_pairs(
-        load_tables(spark, sf_dir)["embeddings"], threshold=0.45
-    )
+    """Near-pair mining via sign-LSH bucketed candidates + exact-cosine
+    verify (similarity.lsh_near_pairs) — the production pair source; the
+    brute-force all-pairs form is now test-oracle-only. The DuckDB twin
+    mirrors planes/buckets/cap/verify exactly."""
+    return S.lsh_near_pairs(load_tables(spark, sf_dir)["embeddings"], threshold=0.45)
 
 
 def q_sim_cosine_topk_matmul(spark, sf_dir):
@@ -535,29 +545,52 @@ def q_sim_ann_lsh(spark, sf_dir):
 def q_knn_graph(spark, sf_dir):
     """Corpus-wide kNN graph (every vector is a query, k=3 neighbors) —
     the self-supervised labeling / cluster-seeding / near-dup-graph
-    primitive, via the blocked BLAS matmul path.
+    primitive, via IVF cells (similarity.ivf_knn_graph).
 
-    A/B at sf0.1 (warm, same session): LSH-16x4 graph 9.9s at 0.936
-    recall — with every vector a query, ~64% of ALL pairs collide in
-    >=1 4-bit table, so OR-amplification degenerates to near-all-pairs
-    HOF scoring; selective 16x8 tables run 3.2s but recall collapses to
-    0.33 because the fixtures' true neighbors sit at moderate cosine
-    (weak cluster structure is exactly where sign-LSH loses). Blocked
-    matmul: 1.3s, EXACT by construction — partition-local BLAS against
-    the broadcast query matrix with in-UDF top-k, the shuffle carries
-    partitions*Q*k rows. At 100TB the same kernel runs inside IVF cells
-    (ann_ivf's machinery) instead of against the full corpus."""
-    return S.cosine_topk_matmul(
-        load_tables(spark, sf_dir)["embeddings"], k=3, every=1
+    The round-1 formulation (cosine_topk_matmul at every=1) collected
+    the ENTIRE corpus to the driver as the query matrix — exact locally,
+    a scale-killer at |corpus| growth. The celled form collects only the
+    capped centroid set; contract = exact kNN within the nprobe probed
+    cells, which the DuckDB oracle mirrors exactly (same centroids,
+    same argmax assignment, bit-equal HOF sims)."""
+    return S.ivf_knn_graph(
+        load_tables(spark, sf_dir)["embeddings"],
+        k=3,
+        centroid_every=100,
+        n_max_centroids=512,
+        nprobe=2,
     )
 
 
 def q_sim_ann_ivf(spark, sf_dir):
-    return S.ann_ivf_topk(load_tables(spark, sf_dir)["embeddings"], k=5, every=50)
+    """IVF ANN over a bounded query subset. assign_via='literal' (the
+    pure-JVM HOF argmax) rather than the BLAS matmul default: sequential
+    HOF dots are bit-equal to DuckDB's list_cosine_similarity, which
+    upgrades this from a rows-only check to a full value-hash oracle
+    (BLAS summation order could ulp-flip a near-tied argmax)."""
+    return S.ann_ivf_topk(
+        load_tables(spark, sf_dir)["embeddings"], k=5, every=50, assign_via="literal"
+    )
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    return dedup.simhash_near_pairs(
+        load_tables(spark, sf_dir)["documents"], max_hamming=3
+    )
 
 
 def q_user_similarity(spark, sf_dir):
-    return S.behavioral_similarity(load_tables(spark, sf_dir)["events"], k=5)
+    """Behavioral top-k similarity over daily-count profiles via IVF
+    cells — no driver-side profile matrix (the round-1 matmul path
+    collected every user profile); integer-count arithmetic keeps the
+    sims bit-equal to the oracle's."""
+    return S.behavioral_similarity(
+        load_tables(spark, sf_dir)["events"],
+        k=5,
+        centroid_every=25,
+        n_max_centroids=256,
+        nprobe=2,
+    )
 
 
 def q_binary_meta(spark, sf_dir):
@@ -593,7 +626,67 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING IS CONTRACT: the driver's correctness gate covers the
+    # FIRST 50 entries in dict order. Round 1 checked (and greened) the
+    # 50 entries now at the BACK; this round leads with everything the
+    # gate has never touched — the whole LLM-pipeline surface (dedup /
+    # similarity / text / sampling / sketches / multimodal), TPC-H
+    # Q15-Q21, and the new/reworked operators.
     return {
+        # --- never driver-checked (round-1 gap) + new this round -----
+        # dedup family
+        "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical": q_dedup_canonical,
+        # similarity / ANN
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_cosine_topk_matmul": q_sim_cosine_topk_matmul,
+        "sim_near_pairs": q_sim_near_pairs,
+        "user_similarity": q_user_similarity,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "knn_graph": q_knn_graph,
+        "sim_ann_ivf": q_sim_ann_ivf,
+        "emb_norm_stats": q_emb_norm_stats,
+        "emb_quantize": q_emb_quantize,
+        # text analysis / curation
+        "text_clean": q_text_clean,
+        "text_doc_stats": q_text_doc_stats,
+        "text_top_tokens": q_text_top_tokens,
+        "text_tfidf": q_text_tfidf,
+        "text_quality_by_source": q_text_quality_by_source,
+        "lang_confusion": q_lang_confusion,
+        "curation_pipeline": q_curation_pipeline,
+        # sampling / sketches
+        "sample_docs": q_sample_docs,
+        "stratified_docs": q_stratified_docs,
+        "capped_docs": q_capped_docs,
+        "split_counts": q_split_counts,
+        "heavy_hitter_users": q_heavy_hitter_users,
+        "approx_distinct_users": q_approx_distinct_users,
+        "hll_user_rollup": q_hll_user_rollup,
+        # range joins / multimodal / sources
+        "range_join_signup": q_range_join_signup,
+        "range_join_launch": q_range_join_launch,
+        "binary_meta": q_binary_meta,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "source_knob_sine": q_source_knob_sine,
+        # TPC-H tail + reshaping
+        "q15_top_supplier": q_q15_top_supplier,
+        "q16_supplier_variety": q_q16_supplier_variety,
+        "q17_small_qty_revenue": q_q17_small_qty_revenue,
+        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+        "q21_waiting_suppliers": q_q21_waiting_suppliers,
+        "q20_dominant_suppliers": q_q20_dominant_suppliers,
+        "unpivot_metrics": q_unpivot_metrics,
+        # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
         "t2_snapshot_scale": q_t2_snapshot_scale,
@@ -646,53 +739,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": q_q8_market_share,
         "q9_product_profit": q_q9_product_profit,
         "q12_priority_class": q_q12_priority_class,
-        "q15_top_supplier": q_q15_top_supplier,
-        "q16_supplier_variety": q_q16_supplier_variety,
-        "q17_small_qty_revenue": q_q17_small_qty_revenue,
-        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
-        "q21_waiting_suppliers": q_q21_waiting_suppliers,
-        "q20_dominant_suppliers": q_q20_dominant_suppliers,
-        "unpivot_metrics": q_unpivot_metrics,
-        "text_clean": q_text_clean,
-        "lang_confusion": q_lang_confusion,
-        "emb_quantize": q_emb_quantize,
-        "hll_user_rollup": q_hll_user_rollup,
-        # sources (simulator replay)
-        "source_knob_sine": q_source_knob_sine,
-        # dedup / text / similarity / multimodal
-        "dedup_exact": q_dedup_exact,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_canonical": q_dedup_canonical,
-        "text_doc_stats": q_text_doc_stats,
-        "text_top_tokens": q_text_top_tokens,
-        "text_tfidf": q_text_tfidf,
-        "sample_docs": q_sample_docs,
-        "stratified_docs": q_stratified_docs,
-        "capped_docs": q_capped_docs,
-        "split_counts": q_split_counts,
-        "curation_pipeline": q_curation_pipeline,
-        "heavy_hitter_users": q_heavy_hitter_users,
-        "approx_distinct_users": q_approx_distinct_users,
-        "range_join_signup": q_range_join_signup,
-        "range_join_launch": q_range_join_launch,
-        "emb_norm_stats": q_emb_norm_stats,
-        "text_quality_by_source": q_text_quality_by_source,
-        "sim_cosine_topk": q_sim_cosine_topk,
-        "sim_cosine_topk_matmul": q_sim_cosine_topk_matmul,
-        "sim_near_pairs": q_sim_near_pairs,
-        "user_similarity": q_user_similarity,
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "knn_graph": q_knn_graph,
-        "sim_ann_ivf": q_sim_ann_ivf,
-        "binary_meta": q_binary_meta,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
     }
 
 
@@ -1278,34 +1324,43 @@ def oracle_sql() -> dict[str, str]:
                           ROWS BETWEEN UNBOUNDED PRECEDING
                                    AND UNBOUNDED FOLLOWING)
         """,
-        "user_similarity": """
-            WITH daily AS (
-              SELECT user_id, date_trunc('day', ts) AS day,
-                     count(*) AS cnt
-              FROM events GROUP BY 1, 2),
-            norms AS (
-              SELECT user_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
-              FROM daily GROUP BY 1),
-            dots AS (
-              SELECT a.user_id AS ua, b.user_id AS ub,
-                     sum(a.cnt * b.cnt) AS dot
-              FROM daily a JOIN daily b
-                ON a.day = b.day AND a.user_id <> b.user_id
-              GROUP BY 1, 2),
-            scored AS (
-              SELECT ua, ub,
-                     CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS sim
-              FROM dots
-              JOIN norms na ON dots.ua = na.user_id
-              JOIN norms nb ON dots.ub = nb.user_id)
-            SELECT ua AS user_id, ub AS similar_user,
-                   CAST(rank AS INTEGER) AS rank,
-                   round(sim, 4) AS sim
-            FROM (SELECT *, row_number() OVER (PARTITION BY ua
-                      ORDER BY sim DESC, ub ASC) AS rank
-                  FROM scored)
-            WHERE rank <= 5
-        """,
+        # Dense per-user daily-count profiles rebuilt in SQL (day spine
+        # cross join, zero-filled, ordered list) feeding the same IVF
+        # mirror as knn_graph. Integer counts make every dot/norm exact
+        # in float64, so the sims are bit-equal by arithmetic.
+        "user_similarity": S.duckdb_ivf_knn_sql(
+            k=5,
+            centroid_every=25,
+            n_max_centroids=256,
+            nprobe=2,
+            e_cte="""
+              WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+                                    count(*) AS cnt
+                             FROM events GROUP BY 1, 2),
+              bounds AS (SELECT min(day) AS d0,
+                                date_diff('day', min(day), max(day)) AS span
+                         FROM daily),
+              spine AS (SELECT unnest(range(0, (SELECT span + 1 FROM bounds)))
+                               AS i),
+              dense AS (SELECT u.user_id, s.i, COALESCE(d.cnt, 0) AS cnt
+                        FROM (SELECT DISTINCT user_id FROM daily) u
+                        CROSS JOIN spine s
+                        LEFT JOIN (SELECT user_id,
+                                          date_diff('day',
+                                            (SELECT d0 FROM bounds), day) AS i,
+                                          cnt
+                                   FROM daily) d
+                          ON d.user_id = u.user_id AND d.i = s.i)
+              SELECT user_id AS vec_id, list(CAST(cnt AS DOUBLE) ORDER BY i)
+                     AS emb
+              FROM dense GROUP BY 1
+            """,
+            final_select=(
+                "query_id AS user_id, neighbor_id AS similar_user, "
+                "CAST(rank AS INTEGER) AS rank, "
+                "floor(sim * 1e4 + 0.5) / 1e4 AS sim"
+            ),
+        ),
         "multimodal_resize": """
             WITH m AS (
               SELECT doc_id,
@@ -1355,19 +1410,12 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderdate >= TIMESTAMP '1999-01-01')
             GROUP BY c_nationkey
         """,
-        "knn_graph": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-            scored AS (
-              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                     list_cosine_similarity(q.emb, e.emb) AS sim
-              FROM e q JOIN e ON e.vec_id <> q.vec_id)
-            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
-                   round(sim, 4) AS sim
-            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                      ORDER BY sim DESC, neighbor_id ASC) AS rank
-                  FROM scored)
-            WHERE rank <= 3
-        """,
+        # Mirrors ivf_knn_graph's cell semantics exactly: same centroid
+        # selection, argmax assignment tie-break, nprobe ranking, and
+        # bit-equal HOF/list_cosine_similarity sims.
+        "knn_graph": S.duckdb_ivf_knn_sql(
+            k=3, centroid_every=100, n_max_centroids=512, nprobe=2
+        ),
         "lang_confusion": f"""
             WITH {_TEXT_FEATURES_CTE}
             SELECT d.lang,
@@ -1786,20 +1834,14 @@ def oracle_sql() -> dict[str, str]:
                      list_cosine_similarity(q_emb, emb) AS sim
               FROM q JOIN e ON e.vec_id <> q.query_id)
             SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
-                   round(sim, 4) AS sim
+                   floor(sim * 1e4 + 0.5) / 1e4 AS sim
             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                       ORDER BY sim DESC, neighbor_id ASC) AS rank
                   FROM scored)
             WHERE rank <= 5
         """,
-        "dedup_embedding": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-            pairs AS (
-              SELECT a, b, sim FROM (
-                SELECT x.vec_id AS a, y.vec_id AS b,
-                       round(list_cosine_similarity(x.emb, y.emb), 4) AS sim
-                FROM e x JOIN e y ON x.vec_id < y.vec_id)
-              WHERE sim >= 0.45)
+        "dedup_embedding": f"""
+            WITH {S.duckdb_lsh_pairs_cte(threshold=0.45)}
             SELECT b AS dup_id, min(a) AS keeper_id,
                    max(sim) AS max_sim, count(*) AS n_neighbors
             FROM pairs GROUP BY b
@@ -1812,19 +1854,68 @@ def oracle_sql() -> dict[str, str]:
                      list_cosine_similarity(q_emb, emb) AS sim
               FROM q JOIN e ON e.vec_id <> q.query_id)
             SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
-                   round(sim, 4) AS sim
+                   floor(sim * 1e4 + 0.5) / 1e4 AS sim
             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                       ORDER BY sim DESC, neighbor_id ASC) AS rank
                   FROM scored)
             WHERE rank <= 5
         """,
-        "sim_near_pairs": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
-            SELECT a, b, sim FROM (
-              SELECT x.vec_id AS a, y.vec_id AS b,
-                     round(list_cosine_similarity(x.emb, y.emb), 4) AS sim
-              FROM e x JOIN e y ON x.vec_id < y.vec_id)
-            WHERE sim >= 0.45
+        # ann_lsh/ann_ivf were rows-only in round 1; the bucket/cell
+        # mirrors turn them into full value-hash oracles.
+        "sim_ann_lsh": S.duckdb_lsh_topk_sql(
+            k=5, every=50, n_tables=16, planes_per_table=4
+        ),
+        "sim_ann_ivf": S.duckdb_ivf_knn_sql(
+            k=5,
+            centroid_every=100,
+            n_max_centroids=512,
+            nprobe=5,
+            query_filter="vec_id % 50 = 0",
+        ),
+        "simhash_near_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                        t -> t <> '')) AS tok
+              FROM documents
+            ),
+            hashed AS (
+              SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+            ),
+            bits AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM hashed, (SELECT unnest(range(32)) AS i) _
+              GROUP BY doc_id, i
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << i) ELSE 0 END)
+                          AS BIGINT) AS simhash
+              FROM bits GROUP BY doc_id
+            ),
+            blocks AS (
+              SELECT doc_id, simhash, blk,
+                     (simhash >> (blk * 8)) & 255 AS blkval
+              FROM sh, (SELECT unnest(range(4)) AS blk) _
+            )
+            SELECT a, b, hamming FROM (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                     CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER)
+                         AS hamming
+              FROM blocks x JOIN blocks y
+                ON x.blk = y.blk AND x.blkval = y.blkval
+                   AND x.doc_id < y.doc_id)
+            WHERE hamming <= 3
+        """,
+        # The LSH near-pair family's oracle MIRRORS the bucketing (same
+        # hyperplane literals, bucket math, cap, dedup, verify — bit-
+        # validated), so the exact value-hash gate applies to the
+        # operator's real approximate-candidates contract, not to a
+        # brute-force stand-in it could never equal on isotropic data.
+        "sim_near_pairs": f"""
+            WITH {S.duckdb_lsh_pairs_cte(threshold=0.45)}
+            SELECT a, b, sim FROM pairs
         """,
         "binary_meta": """
             SELECT doc_id,
@@ -1837,15 +1928,10 @@ def oracle_sql() -> dict[str, str]:
         # min-label loop (no SQL form in Spark without recursion), but the
         # RESULT is plain transitive closure — DuckDB's recursive CTE
         # reaches the same fixpoint, so it still gets a full value oracle.
-        "dedup_canonical": """
+        "dedup_canonical": f"""
             WITH RECURSIVE
-            e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-            p AS (
-              SELECT a, b FROM (
-                SELECT x.vec_id AS a, y.vec_id AS b,
-                       round(list_cosine_similarity(x.emb, y.emb), 4) AS sim
-                FROM e x JOIN e y ON x.vec_id < y.vec_id)
-              WHERE sim >= 0.45),
+            {S.duckdb_lsh_pairs_cte(threshold=0.45)},
+            p AS (SELECT a, b FROM pairs),
             ed AS (SELECT a AS u, b AS v FROM p
                    UNION ALL SELECT b AS u, a AS v FROM p),
             n AS (SELECT DISTINCT u AS node FROM ed),
@@ -1862,15 +1948,10 @@ def oracle_sql() -> dict[str, str]:
                   FROM e LEFT JOIN comp c ON e.vec_id = c.doc_id)
             GROUP BY component
         """,
-        "dedup_clusters": """
+        "dedup_clusters": f"""
             WITH RECURSIVE
-            e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-            p AS (
-              SELECT a, b FROM (
-                SELECT x.vec_id AS a, y.vec_id AS b,
-                       round(list_cosine_similarity(x.emb, y.emb), 4) AS sim
-                FROM e x JOIN e y ON x.vec_id < y.vec_id)
-              WHERE sim >= 0.45),
+            {S.duckdb_lsh_pairs_cte(threshold=0.45)},
+            p AS (SELECT a, b FROM pairs),
             ed AS (SELECT a AS u, b AS v FROM p
                    UNION ALL SELECT b AS u, a AS v FROM p),
             n AS (SELECT DISTINCT u AS node FROM ed),
@@ -1917,6 +1998,6 @@ def oracle_sql() -> dict[str, str]:
                   FROM m)
         """,
         # no oracle (approximate by construction, rows-only check):
-        #   dedup_minhash_lsh, sim_ann_lsh, sim_ann_ivf,
-        #   approx_distinct_users
+        #   dedup_minhash_lsh (xxhash64 has no DuckDB twin),
+        #   hll_user_rollup / approx_distinct_users (DataSketches HLL)
     }

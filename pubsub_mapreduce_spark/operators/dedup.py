@@ -276,7 +276,10 @@ def minhash_lsh_pairs(
 
 
 def embedding_dedup(
-    emb: DataFrame, threshold: float = 0.45, docs: DataFrame | None = None
+    emb: DataFrame,
+    threshold: float = 0.45,
+    docs: DataFrame | None = None,
+    pair_source: str = "lsh",
 ) -> DataFrame:
     """Embedding-cosine near-dup: each doc whose embedding is within
     ``threshold`` cosine of a lower-id doc is a duplicate; its keeper is
@@ -285,13 +288,19 @@ def embedding_dedup(
     Spark would express as a loop of self-joins and is overkill for
     keeper selection).
 
-    Pair generation delegates to ``similarity.embedding_near_pairs``
-    (brute force here; at 100TB substitute the LSH/IVF candidate
-    generator — the keeper reduction below is unchanged). Optionally
-    joins doc ids back to documents via ``docs``."""
-    from .similarity import embedding_near_pairs
+    Pair generation delegates to ``similarity.lsh_near_pairs`` — the
+    sign-LSH bucketed candidate generator (equi-join on (table, bucket),
+    never a cartesian), exact-cosine-verified, with the brute-force
+    ``embedding_near_pairs`` kept as the recall oracle in tests. The
+    keeper reduction below is pair-source-agnostic. Optionally joins
+    doc ids back to documents via ``docs``."""
+    from .similarity import embedding_near_pairs, lsh_near_pairs
 
-    pairs = embedding_near_pairs(emb, threshold=threshold)
+    pairs = (
+        lsh_near_pairs(emb, threshold=threshold)
+        if pair_source == "lsh"
+        else embedding_near_pairs(emb, threshold=threshold)
+    )
     out = pairs.groupBy(F.col("b").alias("dup_id")).agg(
         F.min("a").alias("keeper_id"),
         F.max("sim").alias("max_sim"),
@@ -366,15 +375,24 @@ def connected_components(
 
 
 def dedup_clusters(
-    emb: DataFrame, threshold: float = 0.45, max_iter: int = 20
+    emb: DataFrame,
+    threshold: float = 0.45,
+    max_iter: int = 20,
+    pair_source: str = "lsh",
 ) -> DataFrame:
     """Embedding near-dup CLUSTERS (transitive): component id = smallest
     doc_id in the cluster (the keeper), one row per clustered doc. The
     single-link ``embedding_dedup`` keeper is the direct-neighbor
-    approximation of this."""
-    from .similarity import embedding_near_pairs
+    approximation of this. Edges come from the LSH-bucketed pair source
+    by default (see ``embedding_dedup``); the closure itself is
+    pair-source-agnostic."""
+    from .similarity import embedding_near_pairs, lsh_near_pairs
 
-    pairs = embedding_near_pairs(emb, threshold=threshold)
+    pairs = (
+        lsh_near_pairs(emb, threshold=threshold)
+        if pair_source == "lsh"
+        else embedding_near_pairs(emb, threshold=threshold)
+    )
     return connected_components(pairs, max_iter=max_iter)
 
 
@@ -457,7 +475,10 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def dedup_canonical(
-    emb: DataFrame, threshold: float = 0.45, max_iter: int = 20
+    emb: DataFrame,
+    threshold: float = 0.45,
+    max_iter: int = 20,
+    pair_source: str = "lsh",
 ) -> DataFrame:
     """The materialization a pipeline actually runs after clustering:
     one canonical keeper per transitive near-dup cluster (smallest id),
@@ -470,7 +491,9 @@ def dedup_canonical(
     |components|-sized count. Downstream, joining this on component ==
     doc_id against the corpus IS the dedup filter — no row comparisons
     at read time, the expensive transitive closure was paid once."""
-    clusters = dedup_clusters(emb, threshold=threshold, max_iter=max_iter)
+    clusters = dedup_clusters(
+        emb, threshold=threshold, max_iter=max_iter, pair_source=pair_source
+    )
     roster = emb.select(F.col("vec_id").alias("doc_id"))
     labeled = roster.join(clusters, on="doc_id", how="left").select(
         "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")

@@ -50,14 +50,24 @@ def query_subset(emb: DataFrame, every: int = 50) -> DataFrame:
 def _topk(scored: DataFrame, k: int) -> DataFrame:
     """Shared ranking epilogue: deterministic (sim desc, neighbor_id asc)
     row_number top-k per query, sim rounded for cross-engine comparison.
-    ONE definition so every formulation ranks identically."""
+    ONE definition so every formulation ranks identically. Rounding is
+    ``round_half_up`` (floor(x*1e4+0.5)/1e4), NOT engine round(): Spark
+    and DuckDB disagree on shortest-repr .5 boundaries, and sims are
+    exactly the small-magnitude ratio column that hits them."""
+    from ..functions.text import round_half_up
+
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            round_half_up(F.col("sim"), 4).alias("sim"),
+        )
     )
 
 
@@ -95,18 +105,26 @@ def cosine_topk(
 
 
 def embedding_near_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
-    """All pairs (a < b) with cosine >= threshold — embedding near-dup.
-
-    Brute-force form for oracle checking; at scale run the same verify
-    over ``ann_lsh_topk``-style bucket candidates instead of the full
-    cross join.
+    """All pairs (a < b) with cosine >= threshold — the EXACT brute-force
+    near-pair reference. O(|corpus|²) by construction (a broadcast
+    nested-loop at small data, a near-cartesian shuffle at scale): this
+    is deliberately NOT the production path — ``lsh_near_pairs`` is the
+    registered default pair source; this form exists as the recall/
+    parity oracle it is tested against (tests/test_similarity_paths.py)
+    and for bounded sub-corpora where exactness beats sublinearity.
     """
+    from ..functions.text import round_half_up
+
     e = _as_double(emb).select("vec_id", "embedding")
     a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("emb_a"))
     b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("emb_b"))
     return (
         a.join(b, F.col("a") < F.col("b"))
-        .select("a", "b", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("sim"))
+        .select(
+            "a",
+            "b",
+            round_half_up(cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("sim"),
+        )
         .where(F.col("sim") >= threshold)
     )
 
@@ -130,9 +148,8 @@ def cosine_topk_matmul(
     q_pd = query_subset(e, every).toPandas()
     q_ids = q_pd["vec_id"].to_numpy()
     q_mat = np.stack(q_pd["embedding"].to_numpy()).astype(np.float64)
-    q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norms = np.linalg.norm(q_mat, axis=1)
     q_norms[q_norms == 0] = np.inf  # zero query -> all sims 0.0, like cosine()
-    q_mat /= q_norms
 
     def score(batches):
         for pdf in batches:
@@ -142,7 +159,11 @@ def cosine_topk_matmul(
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(m, axis=1, keepdims=True)
             norms[norms == 0] = np.inf  # zero candidate -> sim 0.0
-            sims = (m / norms) @ q_mat.T  # (N, Q)
+            # raw dot then ONE division by the norm product — the same
+            # op order as cosine()/list_cosine_similarity (dot/(na*nb)),
+            # not pre-normalized rows (which would add a per-element
+            # division rounding step the oracle never performs)
+            sims = (m @ q_mat.T) / (norms * q_norms[None, :])  # (N, Q)
             out = {"query_id": [], "neighbor_id": [], "sim": []}
             for j, qid in enumerate(q_ids):
                 s = sims[:, j]
@@ -159,19 +180,221 @@ def cosine_topk_matmul(
             yield pd.DataFrame(out)
 
     partial = e.mapInPandas(score, "query_id long, neighbor_id long, sim double")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
-    )
+    return _topk(partial, k)
 
 
 def _hyperplanes(n_planes: int, dim: int = DIM, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_tables(
+    n_tables: int, planes_per_table: int, seed: int = 42, dim: int = DIM
+) -> list[list[list[float]]]:
+    """The L x b x dim hyperplane tensor for multi-table sign-LSH —
+    shared by the Spark bucket expression AND the DuckDB oracle mirror,
+    so both engines hash with the SAME planes (bit-equal buckets,
+    validated: 500 vectors x 16 tables, zero mismatches)."""
+    all_planes = _hyperplanes(n_tables * planes_per_table, dim=dim, seed=seed)
+    return [
+        all_planes[t * planes_per_table : (t + 1) * planes_per_table]
+        for t in range(n_tables)
+    ]
+
+
+def _bucket_expr(tables: list[list[list[float]]]):
+    """Spark Column: array of per-table sign-LSH bucket ids for
+    ``embedding``. One SQL parse of a nested HOF loop over the 3-level
+    literal plane tensor (see ann_lsh_topk docstring for the A/Bs that
+    chose this form)."""
+    from ..functions.vectors import sql_array_lit, sql_dot
+
+    ppt = len(tables[0])
+    weights = "array(" + ",".join(f"{1 << i}L" for i in range(ppt)) + ")"
+    return F.expr(
+        f"""transform({sql_array_lit(tables)}, tp -> aggregate(
+              zip_with(tp, {weights},
+                (p, w) -> CASE WHEN {sql_dot('p', 'embedding')} >= 0
+                          THEN w ELSE 0L END),
+              0L, (acc, v) -> acc + v))"""
+    )
+
+
+def lsh_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    n_tables: int = 16,
+    planes_per_table: int = 8,
+    seed: int = 42,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Near-dup pairs via sign-LSH bucketed candidates + exact cosine
+    verify — the SCALE-PATH replacement for ``embedding_near_pairs``'s
+    all-pairs join, and the default pair source for the embedding-dedup
+    family.
+
+    Contract (the standard approximate-dedup contract, same as
+    MinHash-LSH for Jaccard): a pair is emitted iff (a) it collides in
+    >= 1 of the L hash tables AND (b) its exact cosine >= threshold.
+    Recall is a function of the threshold regime: at true near-dup sims
+    (>= 0.99) a 16x8 index misses ~6e-9 of pairs (pinned on planted
+    duplicates in tests/test_ann_recall.py); at the fixtures' isotropic
+    0.45-0.51 tail it is ~40-50%% — embeddings with NO cluster structure
+    are exactly where no sublinear method can have both recall and
+    pruning, which is why the exact form is kept as the test oracle.
+
+    Plan shape: bucket computation is the map-only nested-HOF loop; the
+    candidate join is an equi-join on (table, bucket) — never a
+    cartesian/BroadcastNestedLoopJoin (plan-guarded in tests) — and the
+    degenerate-bucket cap bounds any single bucket's quadratic blowup
+    exactly like minhash_lsh_pairs' 10k cap. The (a, b) dedup collapses
+    multi-table collisions before the verify, so each surviving pair is
+    scored ONCE. Shuffles: one on (table, bucket) for the cap window
+    (reused by the join's hash partitioning), one on (a, b) for the
+    dedup — both keyed, both skew-bounded by the cap.
+
+    Cross-engine: the DuckDB oracle (``duckdb_lsh_pairs_cte``) mirrors
+    planes, buckets, cap, dedup, and verify bit-for-bit, so the driver's
+    exact value-hash gate applies to this operator's REAL semantics."""
+    from ..functions.text import round_half_up
+    from ..io import widen
+
+    tables = lsh_tables(n_tables, planes_per_table, seed)
+    e = widen(_as_double(emb).select("vec_id", "embedding"), 8)
+    indexed = e.select(
+        "vec_id", "embedding", F.posexplode(_bucket_expr(tables)).alias("tbl", "bucket")
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("tbl", "bucket")
+        indexed = (
+            indexed.withColumn("bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("bsz") <= max_bucket)
+            .drop("bsz")
+        )
+    left = indexed.select(
+        "tbl", "bucket", F.col("vec_id").alias("a"), F.col("embedding").alias("emb_a")
+    )
+    right = indexed.select(
+        "tbl", "bucket", F.col("vec_id").alias("b"), F.col("embedding").alias("emb_b")
+    )
+    cands = (
+        left.join(right, ["tbl", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        # embeddings are functionally determined by the ids — id-only
+        # dedup is exact and cheaper than comparing array payloads
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cands.select(
+            "a",
+            "b",
+            round_half_up(cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def _duckdb_vec_lit(vec: list[float]) -> str:
+    """DuckDB list literal via repr — the same shortest-round-trip text
+    the Spark side parses, so both engines hold identical doubles."""
+    return "[" + ",".join(repr(float(x)) for x in vec) + "]"
+
+
+def _duckdb_lsh_idx(tables: list[list[list[float]]]) -> str:
+    """UNION ALL text materializing the (vec_id, emb, tbl, bucket) LSH
+    index over an ``e(vec_id, emb)`` CTE — one SELECT per hash table,
+    bucket = Σ 2^i · [dot(plane_i, emb) >= 0], the same sign math as
+    ``_bucket_expr`` (bit-validated across engines)."""
+    selects = []
+    for t, tp in enumerate(tables):
+        terms = [
+            f"(CASE WHEN list_dot_product(emb, {_duckdb_vec_lit(p)}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(tp)
+        ]
+        selects.append(
+            f"SELECT vec_id, emb, {t} AS tbl, ("
+            + " + ".join(terms)
+            + ") AS bucket FROM e"
+        )
+    return "\n  UNION ALL ".join(selects)
+
+
+def duckdb_lsh_topk_sql(
+    k: int = 5,
+    every: int = 50,
+    n_tables: int = 16,
+    planes_per_table: int = 4,
+    seed: int = 42,
+    src: str = "embeddings",
+) -> str:
+    """DuckDB mirror of ``ann_lsh_topk``: same plane literals, same
+    OR-amplified candidate set (collide in >= 1 table), same exact-cosine
+    scoring and (sim desc, neighbor asc) ranking — turning the ANN query
+    from a rows-only check into a full value-hash oracle."""
+    tables = lsh_tables(n_tables, planes_per_table, seed)
+    return f"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM {src}),
+      idx0 AS ({_duckdb_lsh_idx(tables)}),
+      q AS (SELECT vec_id AS query_id, tbl, bucket FROM idx0
+            WHERE vec_id % {every} = 0),
+      cand AS (SELECT DISTINCT q.query_id, i.vec_id AS neighbor_id
+               FROM q JOIN idx0 i
+                 ON q.tbl = i.tbl AND q.bucket = i.bucket
+                    AND i.vec_id <> q.query_id),
+      scored AS (SELECT c.query_id, c.neighbor_id,
+                        list_cosine_similarity(eq.emb, en.emb) AS sim
+                 FROM cand c
+                 JOIN e eq ON c.query_id = eq.vec_id
+                 JOIN e en ON c.neighbor_id = en.vec_id)
+      SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+             floor(sim * 1e4 + 0.5) / 1e4 AS sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored)
+      WHERE rank <= {k}
+    """
+
+
+def duckdb_lsh_pairs_cte(
+    threshold: float = 0.45,
+    n_tables: int = 16,
+    planes_per_table: int = 8,
+    seed: int = 42,
+    max_bucket: int | None = 10_000,
+    src: str = "embeddings",
+) -> str:
+    """DuckDB CTE text ending in ``pairs(a, b, sim)`` that mirrors
+    ``lsh_near_pairs`` exactly: same plane literals, same bucket math
+    (list_dot_product sign == the HOF fold sign, bit-validated), same
+    cap / dedup / verify / rounding. Compose as
+    ``WITH {cte} SELECT ... FROM pairs``."""
+    tables = lsh_tables(n_tables, planes_per_table, seed)
+    idx = _duckdb_lsh_idx(tables)
+    cap = (
+        f"SELECT vec_id, emb, tbl, bucket FROM (SELECT *, COUNT(*) OVER "
+        f"(PARTITION BY tbl, bucket) AS bsz FROM idx0) WHERE bsz <= {max_bucket}"
+        if max_bucket is not None
+        else "SELECT * FROM idx0"
+    )
+    return f"""
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM {src}),
+      idx0 AS ({idx}),
+      idx AS ({cap}),
+      cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+               FROM idx x JOIN idx y
+                 ON x.tbl = y.tbl AND x.bucket = y.bucket
+                    AND x.vec_id < y.vec_id),
+      pairs AS (
+        SELECT a, b, sim FROM (
+          SELECT a, b,
+                 floor(list_cosine_similarity(ea.emb, eb.emb) * 1e4 + 0.5)
+                   / 1e4 AS sim
+          FROM cand
+          JOIN e ea ON cand.a = ea.vec_id
+          JOIN e eb ON cand.b = eb.vec_id)
+        WHERE sim >= {threshold})
+    """
 
 
 def ann_lsh_topk(
@@ -207,22 +430,10 @@ def ann_lsh_topk(
     fixtures' single-row-group scan would otherwise run it on one core
     (no-op at 100TB where scans carry >= cores partitions).
     """
-    from ..functions.vectors import sql_array_lit, sql_dot
     from ..io import widen
 
-    all_planes = _hyperplanes(n_tables * planes_per_table, seed=seed)
-    tables = [
-        all_planes[t * planes_per_table : (t + 1) * planes_per_table]
-        for t in range(n_tables)
-    ]
-    weights = "array(" + ",".join(f"{1 << i}L" for i in range(planes_per_table)) + ")"
-    buckets = F.expr(
-        f"""transform({sql_array_lit(tables)}, tp -> aggregate(
-              zip_with(tp, {weights},
-                (p, w) -> CASE WHEN {sql_dot('p', 'embedding')} >= 0
-                          THEN w ELSE 0L END),
-              0L, (acc, v) -> acc + v))"""
-    )
+    tables = lsh_tables(n_tables, planes_per_table, seed)
+    buckets = _bucket_expr(tables)
     e = widen(_as_double(emb).select("vec_id", "embedding"), 8)
     # index: one row per (vector, table) with that table's sign-bit bucket
     indexed = e.select(
@@ -375,6 +586,130 @@ def assign_centroids_matmul(
     return e.mapInPandas(assign, "vec_id long, embedding array<double>, cid long")
 
 
+def ivf_centroids(
+    e: DataFrame, centroid_every: int = 100, n_max_centroids: int = 512
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF centroid seed set: every Nth vec_id, capped at
+    ``n_max_centroids``. The cap is applied IN-PLAN (orderBy + limit
+    BEFORE collect), so the driver pulls at most the index constant —
+    never |corpus|/centroid_every rows — at any data scale."""
+    rows = (
+        e.where(F.col("vec_id") % centroid_every == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(n_max_centroids)
+        .collect()
+    )
+    return [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+
+
+def ivf_knn_graph(
+    emb: DataFrame,
+    k: int = 3,
+    centroid_every: int = 100,
+    n_max_centroids: int = 512,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Corpus-wide kNN graph via IVF cells — every vector is a query,
+    candidates restricted to the vector's ``nprobe`` nearest centroid
+    cells. The scale path that replaced the brute-force formulation
+    (``cosine_topk_matmul`` at every=1 collected the WHOLE corpus to the
+    driver as the query matrix; this collects only the capped centroid
+    set).
+
+    Contract: exact kNN WITHIN the probed cells (the standard IVF search
+    contract). Global recall is a function of cluster structure and
+    nprobe — pinned on planted clusters in tests/test_ann_recall.py; on
+    the fixtures' isotropic vectors it is the nprobe/|C| coverage
+    fraction, the regime where every sublinear method degrades.
+
+    Plan shape, all JVM-side: centroids ride as a bounded plan literal;
+    cell assignment is the map-only HOF argmax; probe selection is a
+    map-only array_sort+slice over the per-vector centroid sims (NO
+    |corpus| x |C| explode+window shuffle — only nprobe rows explode per
+    vector); the candidate join is an equi-join on cid (sort-merge over
+    |C| keys — AQE splits skewed cells); scoring is the sequential HOF
+    cosine, bit-equal to DuckDB's list_cosine_similarity, so the driver
+    exact-hash gate applies (oracle: ``duckdb_ivf_knn_sql``). The only
+    corpus-sized shuffles: the cid join and the final per-query top-k
+    window."""
+    e0 = _as_double(emb).select("vec_id", "embedding")
+    cents = ivf_centroids(e0, centroid_every, n_max_centroids)
+    from ..io import widen
+
+    e = widen(e0, 8)
+    best = _nearest_centroid(cents, "embedding")
+    assigned = e.select("vec_id", "embedding", best["cid"].alias("cid"))
+    # top-nprobe cells per vector: comparator sorts (csim desc, cid asc)
+    # — identical tie-break to the argmax fold and the oracle's
+    # row_number(ORDER BY csim DESC, cid ASC)
+    probe_arr = F.expr(
+        f"""slice(array_sort({_centroid_sims_sql(cents, 'embedding')},
+              (l, r) -> CASE WHEN l.csim > r.csim THEN -1
+                             WHEN l.csim < r.csim THEN 1
+                             WHEN l.cid < r.cid THEN -1
+                             WHEN l.cid > r.cid THEN 1
+                             ELSE 0 END),
+            1, {int(nprobe)})"""
+    )
+    probes = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(probe_arr).alias("pr"),
+    ).select("query_id", "q_emb", F.col("pr.cid").alias("cid"))
+    cands = probes.join(assigned, "cid").where(F.col("vec_id") != F.col("query_id"))
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col("embedding")).alias("sim"),
+    )
+    return _topk(scored, k)
+
+
+def duckdb_ivf_knn_sql(
+    k: int = 3,
+    centroid_every: int = 100,
+    n_max_centroids: int = 512,
+    nprobe: int = 2,
+    e_cte: str = "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings",
+    query_filter: str = "TRUE",
+    final_select: str | None = None,
+) -> str:
+    """DuckDB mirror of ``ivf_knn_graph``: same centroid selection
+    (vec_id %% N, ordered, limited), same argmax assignment tie-break,
+    same nprobe ranking, same per-cell candidates and HOF-bit-equal
+    sims. ``query_filter`` restricts the query side (e.g. a bounded
+    subset for ann_ivf_topk); ``final_select`` overrides the output
+    projection (column renames for domain-specific wrappers)."""
+    out = final_select or (
+        "query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, "
+        "floor(sim * 1e4 + 0.5) / 1e4 AS sim"
+    )
+    return f"""
+      WITH e AS ({e_cte}),
+      cents AS (SELECT vec_id AS cid, emb AS cemb FROM e
+                WHERE vec_id % {centroid_every} = 0
+                ORDER BY vec_id LIMIT {n_max_centroids}),
+      csims AS (SELECT e.vec_id, e.emb, cents.cid,
+                       list_cosine_similarity(e.emb, cents.cemb) AS csim
+                FROM e CROSS JOIN cents),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY csim DESC, cid ASC) AS rn FROM csims),
+      assigned AS (SELECT vec_id, emb, cid FROM ranked WHERE rn = 1),
+      probes AS (SELECT vec_id AS query_id, emb AS q_emb, cid
+                 FROM ranked WHERE rn <= {nprobe} AND ({query_filter})),
+      scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+                        list_cosine_similarity(p.q_emb, a.emb) AS sim
+                 FROM probes p JOIN assigned a
+                   ON p.cid = a.cid AND a.vec_id <> p.query_id)
+      SELECT {out}
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored)
+      WHERE rank <= {k}
+    """
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     k: int = 5,
@@ -418,13 +753,7 @@ def ann_ivf_topk(
     centroids (``refine_centroids``) before indexing — better-balanced
     inverted lists at the cost of one distributed pass each."""
     e0 = _as_double(emb).select("vec_id", "embedding")
-    cents = [
-        (int(r["vec_id"]), list(r["embedding"]))
-        for r in sorted(
-            e0.where(F.col("vec_id") % centroid_every == 0).collect(),
-            key=lambda r: r["vec_id"],
-        )[:n_max_centroids]
-    ]
+    cents = ivf_centroids(e0, centroid_every, n_max_centroids)
     from ..io import widen
 
     # width 8 A/B'd best (vs none/16/32: 5.0/3.4/3.5/3.5s at sf0.1) —
@@ -518,29 +847,14 @@ def quantize_embeddings(emb: DataFrame, bits: int = 8) -> DataFrame:
     )
 
 
-def behavioral_similarity(events: DataFrame, k: int = 5) -> DataFrame:
-    """Time-series similarity search over activity profiles: for each
-    user, the top-k users with the most similar daily event-count
-    series (cosine over per-day counts).
-
-    Two formulations exist; the shipped one is chosen by the data's
-    density. (a) SPARSE: dot products as an equi-join of (user, day,
-    cnt) rows on day — shuffle cost Σ_day |active|^2, the right plan
-    when most users are inactive most days. (b) DENSE (this
-    implementation): build each user's day-count vector once (map
-    lookup over the global day spine, zero-filled) and score with the
-    partition-local BLAS matmul path (``cosine_topk_matmul``). The
-    fixtures are fully dense — every user active every day — where the
-    sparse join degenerates to |users|^2 x |days| pair rows
-    (A/B-measured 20.5s vs 1.7s warm at sf0.1's 1500 users). Counts are
-    integers, so dots and squared norms are EXACT in float64 (< 2^53)
-    — BLAS summation order cannot perturb the result, and the oracle's
-    sparse-join formulation produces bit-identical sims.
-
-    At 100TB: a day spine is bounded (years ~ thousands of entries);
-    per-user state is one small array. Truly sparse+wide profiles
-    (e.g. per-URL instead of per-day) should use formulation (a) —
-    it is the same code shape as sim_near_pairs' bucketed join."""
+def user_profile_vectors(events: DataFrame) -> DataFrame:
+    """Dense per-user daily-activity profile vectors: (vec_id=user_id,
+    embedding=array<double> of per-day event counts over the global day
+    spine, zero-filled). The day spine is bounded (years ~ thousands of
+    entries), so per-user state is one small array; counts are integers,
+    so every downstream dot/norm is EXACT in float64 (< 2^53) regardless
+    of summation order — cross-engine sims are bit-equal by arithmetic,
+    not luck."""
     daily = events.groupBy(
         F.col("user_id"), F.date_trunc("day", "ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("cnt"))
@@ -551,13 +865,9 @@ def behavioral_similarity(events: DataFrame, k: int = 5) -> DataFrame:
     indexed = daily.join(broadcast(bounds)).select(
         "user_id", F.datediff("day", "d0").alias("i"), "cnt", "span"
     )
-    profiles = (
+    return (
         indexed.groupBy("user_id", "span")
-        .agg(
-            F.map_from_entries(F.collect_list(F.struct("i", "cnt"))).alias(
-                "m"
-            )
-        )
+        .agg(F.map_from_entries(F.collect_list(F.struct("i", "cnt"))).alias("m"))
         .select(
             F.col("user_id").alias("vec_id"),
             F.transform(
@@ -567,7 +877,82 @@ def behavioral_similarity(events: DataFrame, k: int = 5) -> DataFrame:
             ).alias("embedding"),
         )
     )
-    out = cosine_topk_matmul(profiles, k=k, every=1)
+
+
+def behavioral_similarity(
+    events: DataFrame,
+    k: int = 5,
+    centroid_every: int = 25,
+    n_max_centroids: int = 256,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Time-series similarity search over activity profiles: for each
+    user, the top-k users with the most similar daily event-count
+    series (cosine over per-day counts) — candidates restricted to the
+    user's ``nprobe`` nearest IVF cells.
+
+    The previous formulation scored every user against every other via
+    a driver-collected query matrix (``cosine_topk_matmul`` at every=1
+    pulled ALL user profiles to the driver and shipped them in every
+    task closure — a scale-killer at |users| growth). This one reuses
+    ``ivf_knn_graph``: only the capped centroid set is collected; the
+    corpus-sized work is the cid equi-join plus the top-k window.
+
+    Exactness: profile entries are integer counts, so HOF dots/norms are
+    exact and the DuckDB oracle (dense profiles rebuilt in SQL + the
+    same IVF mirror) hash-matches exactly — no BLAS in the path, which
+    is what makes the sims reproducible op-for-op. For truly sparse+wide
+    profiles (per-URL instead of per-day) use
+    ``behavioral_similarity_sparse`` — the exact inverted-index form.
+    """
+    out = ivf_knn_graph(
+        user_profile_vectors(events),
+        k=k,
+        centroid_every=centroid_every,
+        n_max_centroids=n_max_centroids,
+        nprobe=nprobe,
+    )
+    return out.select(
+        F.col("query_id").alias("user_id"),
+        F.col("neighbor_id").alias("similar_user"),
+        "rank",
+        "sim",
+    )
+
+
+def behavioral_similarity_sparse(events: DataFrame, k: int = 5) -> DataFrame:
+    """EXACT top-k behavioral similarity via the sparse inverted-index
+    join: dot products as an equi-join of (user, day, cnt) rows on day —
+    shuffle cost Σ_day |active_day|², the right plan when most users are
+    inactive most days (real activity data; the fixtures are fully dense,
+    which is this form's worst case — A/B 20.5s vs the celled form's
+    ~2s at sf0.1's 1500 users). Kept as the exact reference the celled
+    default is recall-tested against (tests/test_similarity_paths.py).
+    """
+    daily = events.groupBy(
+        F.col("user_id"), F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    norms = daily.groupBy("user_id").agg(
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).cast("double")).alias("nrm")
+    )
+    a = daily.select(F.col("user_id").alias("ua"), "day", F.col("cnt").alias("ca"))
+    b = daily.select(F.col("user_id").alias("ub"), "day", F.col("cnt").alias("cb"))
+    dots = (
+        a.join(b, "day")
+        .where(F.col("ua") != F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms.withColumnRenamed("user_id", "ua").withColumnRenamed("nrm", "na"), "ua")
+        .join(norms.withColumnRenamed("user_id", "ub").withColumnRenamed("nrm", "nb"), "ub")
+        .select(
+            F.col("ua").alias("query_id"),
+            F.col("ub").alias("neighbor_id"),
+            (F.col("dot").cast("double") / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
+    )
+    out = _topk(scored, k)
     return out.select(
         F.col("query_id").alias("user_id"),
         F.col("neighbor_id").alias("similar_user"),

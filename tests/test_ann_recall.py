@@ -106,10 +106,11 @@ def test_ivf_matmul_assignment_parity_and_recall(tables):
 
 
 def test_knn_graph_matmul_exact_and_lsh_floor(spark, tables):
-    """Corpus-wide kNN graph (every=1). The shipped knn_graph path
-    (blocked BLAS matmul) must EQUAL the exact HOF top-k pair-for-pair;
-    the LSH formulation at the same k keeps its recall floor (it wins
-    only when cluster structure is strong — see q_knn_graph docstring)."""
+    """Corpus-wide kNN at every=1: the blocked BLAS matmul kernel must
+    EQUAL the exact HOF top-k pair-for-pair (it remains the exact
+    reference the celled knn_graph is recall-tested against); the LSH
+    formulation at the same k keeps its recall floor (it wins only when
+    cluster structure is strong)."""
     from pubsub_mapreduce_spark.operators.similarity import (
         ann_lsh_topk,
         cosine_topk,
@@ -137,3 +138,151 @@ def test_knn_graph_matmul_exact_and_lsh_floor(spark, tables):
     hits = sum(len(per_node.get(q, set()) & t) for q, t in truth.items())
     recall = hits / sum(len(t) for t in truth.values())
     assert recall >= 0.80, f"LSH kNN-graph recall {recall:.3f} below floor"
+
+
+def test_lsh_near_pairs_finds_planted_duplicates(spark, tables):
+    """The production near-dup regime: plant a perturbed copy of every
+    fixture vector (cosine ~0.99 to its original) and require the
+    LSH-bucketed pair source to surface EVERY planted pair at a 0.98
+    threshold — at true near-dup sims the 16x8 index's per-pair miss
+    probability is ~1e-8, so full recall is the expectation, not luck.
+    (At the fixtures' isotropic 0.45 tail recall is structurally ~50%;
+    that regime is covered by the exact-form parity test below.)"""
+    from pyspark.sql import functions as F
+
+    from pubsub_mapreduce_spark.operators.similarity import (
+        _as_double,
+        lsh_near_pairs,
+    )
+    from pubsub_mapreduce_spark.functions.vectors import cosine
+
+    e = _as_double(tables["embeddings"]).select("vec_id", "embedding")
+    noisy = F.expr(
+        "transform(embedding, (v, i) -> v + 0.02 * sin(CAST(vec_id * 67 + i AS DOUBLE)))"
+    )
+    dups = e.select((F.col("vec_id") + 10000).alias("vec_id"), noisy.alias("embedding"))
+    corpus = e.unionByName(dups)
+
+    # ground truth: planted pairs whose exact cosine clears the threshold
+    truth_df = (
+        e.alias("x")
+        .join(
+            dups.select(
+                (F.col("vec_id") - 10000).alias("ovec"), F.col("embedding").alias("demb")
+            ).alias("y"),
+            F.col("x.vec_id") == F.col("y.ovec"),
+        )
+        .select(
+            "x.vec_id",
+            cosine(F.col("x.embedding"), F.col("y.demb")).alias("sim"),
+        )
+        .where(F.col("sim") >= 0.98)
+    )
+    truth = {(int(r["vec_id"]), int(r["vec_id"]) + 10000) for r in truth_df.collect()}
+    assert len(truth) >= 400, "perturbation too large — planted dups not near-dups"
+
+    found = {
+        (r["a"], r["b"])
+        for r in lsh_near_pairs(corpus, threshold=0.98).collect()
+    }
+    missed = truth - found
+    assert not missed, f"LSH missed {len(missed)}/{len(truth)} planted dup pairs"
+
+
+def test_lsh_near_pairs_subset_of_exact(tables):
+    """Every LSH-surfaced pair must appear in the exact all-pairs result
+    with the SAME rounded sim (the verify step is exact — LSH only
+    filters candidates, never invents or rescores them)."""
+    from pubsub_mapreduce_spark.operators.similarity import (
+        embedding_near_pairs,
+        lsh_near_pairs,
+    )
+
+    emb = tables["embeddings"]
+    exact = {
+        (r["a"], r["b"]): r["sim"]
+        for r in embedding_near_pairs(emb, threshold=0.4).collect()
+    }
+    got = {
+        (r["a"], r["b"]): r["sim"] for r in lsh_near_pairs(emb, threshold=0.4).collect()
+    }
+    assert got, "LSH pair set vacuously empty"
+    for pair, sim in got.items():
+        assert pair in exact and exact[pair] == sim
+
+
+def test_ivf_knn_graph_recall_on_clustered_data(spark, tables):
+    """ivf_knn_graph's contract is exact kNN within probed cells; on data
+    WITH cluster structure (the workload IVF exists for) that must
+    translate into near-perfect global recall. 10 planted clusters of 50
+    perturbed copies each, centroid seeds one-per-cluster by
+    construction (ids 0..49 = cluster 0, seeds at id % 50 == 0)."""
+    from pyspark.sql import functions as F
+
+    from pubsub_mapreduce_spark.operators.similarity import (
+        _as_double,
+        cosine_topk,
+        ivf_knn_graph,
+    )
+
+    centers = (
+        _as_double(tables["embeddings"])
+        .where(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("cluster"), F.col("embedding").alias("cemb"))
+    )
+    ids = spark.range(500).select(
+        F.col("id").alias("vec_id"), (F.col("id") / 50).cast("long").alias("cluster")
+    )
+    corpus = ids.join(centers, "cluster").select(
+        "vec_id",
+        F.expr(
+            "transform(cemb, (v, i) -> v + 0.1 * sin(CAST(vec_id * 131 + i AS DOUBLE)))"
+        ).alias("embedding"),
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(corpus, k=3, every=1).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_knn_graph(
+            corpus, k=3, centroid_every=50, n_max_centroids=64, nprobe=2
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"celled kNN recall {recall:.3f} < 0.9 on clustered data"
+
+
+def test_ivf_centroids_bounded_and_ordered(tables):
+    """The centroid collect is capped IN-PLAN: at most n_max rows reach
+    the driver, in ascending vec_id order, regardless of corpus size."""
+    from pubsub_mapreduce_spark.operators.similarity import _as_double, ivf_centroids
+
+    e = _as_double(tables["embeddings"]).select("vec_id", "embedding")
+    cents = ivf_centroids(e, centroid_every=10, n_max_centroids=7)
+    assert len(cents) == 7
+    ids = [c for c, _ in cents]
+    assert ids == sorted(ids) and ids[0] == 0 and ids[-1] == 60
+
+
+def test_behavioral_similarity_sparse_is_exact(spark, tables):
+    """The sparse inverted-index form must equal brute-force top-k over
+    the dense profiles pair-for-pair (integer-count arithmetic — no FP
+    tolerance needed)."""
+    from pubsub_mapreduce_spark.operators.similarity import (
+        behavioral_similarity_sparse,
+        cosine_topk,
+        user_profile_vectors,
+    )
+
+    events = tables["events"]
+    profiles = user_profile_vectors(events)
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["sim"])
+        for r in cosine_topk(profiles, k=5, every=1).collect()
+    }
+    got = {
+        (r["user_id"], r["similar_user"], r["rank"], r["sim"])
+        for r in behavioral_similarity_sparse(events, k=5).collect()
+    }
+    assert got == exact

@@ -42,8 +42,27 @@ def test_components_match_union_find_on_chain(spark):
 
 
 def test_dedup_clusters_match_union_find_on_fixture(spark, tables):
+    # exact pair source: closure must equal union-find over ALL pairs
     pairs = embedding_near_pairs(tables["embeddings"], threshold=0.4)
     edges = [(r["a"], r["b"]) for r in pairs.collect()]
+    got = {
+        r["doc_id"]: r["component"]
+        for r in dedup_clusters(
+            tables["embeddings"], threshold=0.4, pair_source="exact"
+        ).collect()
+    }
+    assert got == union_find(edges)
+
+
+def test_dedup_clusters_lsh_default_matches_lsh_edges(spark, tables):
+    # the DEFAULT (LSH-bucketed) pair source: closure must equal
+    # union-find over exactly the LSH-surfaced edges — same transitive
+    # semantics, approximate edge set
+    from pubsub_mapreduce_spark.operators.similarity import lsh_near_pairs
+
+    pairs = lsh_near_pairs(tables["embeddings"], threshold=0.4)
+    edges = [(r["a"], r["b"]) for r in pairs.collect()]
+    assert edges, "LSH pair source vacuously empty at threshold 0.4"
     got = {
         r["doc_id"]: r["component"]
         for r in dedup_clusters(tables["embeddings"], threshold=0.4).collect()

@@ -364,3 +364,33 @@ def test_incremental_dedup_one_partitioning(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan, plan[:800]
     assert_no_cartesian(df)
+
+
+def test_near_pair_family_no_allpairs(spark):
+    """The registered embedding near-pair path (and the dedup family that
+    rides it) generates candidates via an equi-join on (table, bucket) —
+    the plan must contain no CartesianProduct and no
+    BroadcastNestedLoopJoin (the all-pairs shapes it replaced)."""
+    for name in ["sim_near_pairs", "dedup_embedding"]:
+        df = q(name, spark)
+        assert_no_cartesian(df)
+        assert node_count(df, "BroadcastNestedLoopJoin") == 0, name
+
+
+def test_ivf_knn_graph_plan(spark):
+    """Corpus-wide kNN graph: candidates via equi-join on cid — never a
+    nested loop over the corpus; the centroid collect is limit()'d
+    in-plan (see test_ivf_centroids_bounded_and_ordered)."""
+    df = q("knn_graph", spark)
+    assert_no_cartesian(df)
+    assert node_count(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_user_similarity_plan(spark):
+    """Behavioral similarity via IVF cells: no cartesian; the only
+    nested-loop joins allowed are the 1-row bounds broadcast used to
+    index the day spine (constant fan-in, not a pair blowup) — it
+    appears once per self-join branch (probes + assigned), hence 2."""
+    df = q("user_similarity", spark)
+    assert_no_cartesian(df)
+    assert node_count(df, "BroadcastNestedLoopJoin") <= 2
