@@ -109,6 +109,10 @@ BENCH_QUERIES = [
     "sim_ann_ivf",
     "knn_graph",
     "user_similarity",
+    "sim_near_pairs",
+    "simhash_near_pairs",
+    "dedup_embedding",
+    "dedup_canonical",
     "emb_quantize",
     "multimodal_decode",
     "multimodal_resize",
@@ -118,6 +122,53 @@ BENCH_QUERIES = [
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def regression_diff(timings: dict[str, float], factor: float = 1.5) -> dict:
+    """Per-query diff vs the most recent BENCH_r*.json in the repo root:
+    flags queries slower than ``factor``x their previous-round time.
+    Box variance is huge (the same code has measured 39s and 62s totals
+    across sessions), so the flag is a review pointer, not a hard gate —
+    but a >1.5x single-query jump on warm-min timing is almost always a
+    plan change, not noise."""
+    import glob
+    import re
+
+    prior = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not prior:
+        return {}
+    path = prior[-1]
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    # The driver wraps bench output: {"tail": "<truncated JSON line>",
+    # "parsed": ...}. Prefer a clean queries dict; otherwise regex the
+    # per-query floats out of the tail fragment.
+    prev = doc.get("queries") or (doc.get("parsed") or {}).get("queries")
+    if not prev and isinstance(doc.get("tail"), str):
+        m = re.search(r'"queries":\s*\{([^}]*)\}', doc["tail"])
+        if m:
+            prev = {
+                k: float(v)
+                for k, v in re.findall(r'"(\w+)":\s*([0-9.]+)', m.group(1))
+            }
+    if not prev:
+        return {}
+    regressions = {
+        name: {"prev": prev[name], "now": now, "ratio": round(now / prev[name], 2)}
+        for name, now in timings.items()
+        if name in prev and prev[name] > 0 and now > prev[name] * factor
+    }
+    return {
+        "baseline_file": os.path.basename(path),
+        "flag_factor": factor,
+        "regressions": regressions,
+    }
 
 
 def stream_throughput(spark) -> float:
@@ -206,6 +257,7 @@ def main() -> None:
                 "reps": reps,
                 "stream_mps": round(mps),
                 "stream_mps_baseline_local": 10000,
+                "vs_prev_round": regression_diff(timings),
             }
         )
     )

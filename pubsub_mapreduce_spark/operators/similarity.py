@@ -46,6 +46,19 @@ def query_subset(emb: DataFrame, every: int = 50) -> DataFrame:
     return emb.where(F.col("vec_id") % every == 0)
 
 
+def _sim_from_dot(q_emb, emb, nq, ne):
+    """cosine() with the two norms PRECOMPUTED as per-vector columns:
+    sim = dot/(nq*ne) with the same zero-norm guard. Value-identical to
+    cosine(q_emb, emb) — norm(a) is the same fold over the same array
+    whether evaluated per pair or once per vector — but the pair stage
+    does ONE 64-element fold instead of three (A/B at sf0.1: the celled
+    kNN scoring join drops ~2x; see ivf_knn_graph docstring)."""
+    from ..functions.vectors import dot
+
+    d = dot(q_emb, emb)
+    return F.when((nq > 0) & (ne > 0), d / (nq * ne)).otherwise(F.lit(0.0))
+
+
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:
     """Shared ranking epilogue: deterministic (sim desc, neighbor_id asc)
@@ -89,17 +102,22 @@ def cosine_topk(
     """
     e = _as_double(emb).select("vec_id", "embedding")
     q = query_subset(e, every).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_nrm"),
     )
     from ..io import widen
 
-    pairs = widen(e, 8).join(
+    cand = widen(e, 8).withColumn("nrm", norm(F.col("embedding")))
+    pairs = cand.join(
         broadcast(q), F.col("vec_id") != F.col("query_id") if exclude_self else F.lit(True)
     )
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine(F.col("q_emb"), F.col("embedding")).alias("sim"),
+        _sim_from_dot(
+            F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+        ).alias("sim"),
     )
     return _topk(scored, k)
 
@@ -260,9 +278,14 @@ def lsh_near_pairs(
     from ..io import widen
 
     tables = lsh_tables(n_tables, planes_per_table, seed)
-    e = widen(_as_double(emb).select("vec_id", "embedding"), 8)
+    e = widen(_as_double(emb).select("vec_id", "embedding"), 8).withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
     indexed = e.select(
-        "vec_id", "embedding", F.posexplode(_bucket_expr(tables)).alias("tbl", "bucket")
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.posexplode(_bucket_expr(tables)).alias("tbl", "bucket"),
     )
     if max_bucket is not None:
         w = Window.partitionBy("tbl", "bucket")
@@ -272,10 +295,18 @@ def lsh_near_pairs(
             .drop("bsz")
         )
     left = indexed.select(
-        "tbl", "bucket", F.col("vec_id").alias("a"), F.col("embedding").alias("emb_a")
+        "tbl",
+        "bucket",
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("na"),
     )
     right = indexed.select(
-        "tbl", "bucket", F.col("vec_id").alias("b"), F.col("embedding").alias("emb_b")
+        "tbl",
+        "bucket",
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nb"),
     )
     cands = (
         left.join(right, ["tbl", "bucket"])
@@ -288,7 +319,12 @@ def lsh_near_pairs(
         cands.select(
             "a",
             "b",
-            round_half_up(cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("sim"),
+            round_half_up(
+                _sim_from_dot(
+                    F.col("emb_a"), F.col("emb_b"), F.col("na"), F.col("nb")
+                ),
+                4,
+            ).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
     )
@@ -434,21 +470,24 @@ def ann_lsh_topk(
 
     tables = lsh_tables(n_tables, planes_per_table, seed)
     buckets = _bucket_expr(tables)
-    e = widen(_as_double(emb).select("vec_id", "embedding"), 8)
+    e = widen(_as_double(emb).select("vec_id", "embedding"), 8).withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
     # index: one row per (vector, table) with that table's sign-bit bucket
     indexed = e.select(
-        "vec_id", "embedding", F.posexplode(buckets).alias("table", "bucket")
+        "vec_id", "embedding", "nrm", F.posexplode(buckets).alias("table", "bucket")
     )
     q = query_subset(indexed, every).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
         "table",
         "bucket",
     )
     cands = (
         indexed.join(broadcast(q), on=["table", "bucket"])
         .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "q_emb", "vec_id", "embedding")
+        .select("query_id", "q_emb", "q_nrm", "vec_id", "embedding", "nrm")
         # collided in >=1 table -> score once; embeddings are functionally
         # determined by the ids, so id-only dedup is exact and cheaper
         # than comparing the array payloads
@@ -457,7 +496,9 @@ def ann_lsh_topk(
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine(F.col("q_emb"), F.col("embedding")).alias("sim"),
+        _sim_from_dot(
+            F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+        ).alias("sim"),
     )
     return _topk(scored, k)
 
@@ -637,9 +678,9 @@ def ivf_knn_graph(
     cents = ivf_centroids(e0, centroid_every, n_max_centroids)
     from ..io import widen
 
-    e = widen(e0, 8)
+    e = widen(e0, 8).withColumn("nrm", norm(F.col("embedding")))
     best = _nearest_centroid(cents, "embedding")
-    assigned = e.select("vec_id", "embedding", best["cid"].alias("cid"))
+    assigned = e.select("vec_id", "embedding", "nrm", best["cid"].alias("cid"))
     # top-nprobe cells per vector: comparator sorts (csim desc, cid asc)
     # — identical tie-break to the argmax fold and the oracle's
     # row_number(ORDER BY csim DESC, cid ASC)
@@ -655,13 +696,16 @@ def ivf_knn_graph(
     probes = e.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
         F.explode(probe_arr).alias("pr"),
-    ).select("query_id", "q_emb", F.col("pr.cid").alias("cid"))
+    ).select("query_id", "q_emb", "q_nrm", F.col("pr.cid").alias("cid"))
     cands = probes.join(assigned, "cid").where(F.col("vec_id") != F.col("query_id"))
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine(F.col("q_emb"), F.col("embedding")).alias("sim"),
+        _sim_from_dot(
+            F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+        ).alias("sim"),
     )
     return _topk(scored, k)
 
@@ -766,12 +810,27 @@ def ann_ivf_topk(
     else:
         best = _nearest_centroid(cents, "embedding")
         assigned = e.select("vec_id", "embedding", best["cid"].alias("cid"))
+    # candidate-side norm precomputed once per vector (see _sim_from_dot)
+    assigned = assigned.withColumn("nrm", norm(F.col("embedding")))
     q = query_subset(e, every).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_nrm"),
     )
     probes = (
-        q.select("query_id", "q_emb", F.explode(_centroid_sims(cents, "q_emb")).alias("pr"))
-        .select("query_id", "q_emb", F.col("pr.cid").alias("cid"), F.col("pr.csim").alias("csim"))
+        q.select(
+            "query_id",
+            "q_emb",
+            "q_nrm",
+            F.explode(_centroid_sims(cents, "q_emb")).alias("pr"),
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            "q_nrm",
+            F.col("pr.cid").alias("cid"),
+            F.col("pr.csim").alias("csim"),
+        )
         .withColumn(
             "rk",
             F.row_number().over(
@@ -781,13 +840,17 @@ def ann_ivf_topk(
             ),
         )
         .where(F.col("rk") <= nprobe)
-        .select("query_id", "q_emb", "cid")
+        .select("query_id", "q_emb", "q_nrm", "cid")
     )
     cands = broadcast(probes).join(assigned, on="cid").where(
         F.col("vec_id") != F.col("query_id")
     )
     scored = cands.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), cosine(F.col("q_emb"), F.col("embedding")).alias("sim")
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _sim_from_dot(
+            F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+        ).alias("sim"),
     )
     return _topk(scored, k)
 
@@ -905,8 +968,15 @@ def behavioral_similarity(
     profiles (per-URL instead of per-day) use
     ``behavioral_similarity_sparse`` — the exact inverted-index form.
     """
+    # the celled kNN self-joins its input (probes x assigned), which
+    # would recompute the profile aggregation once per branch — a lazy
+    # localCheckpoint materializes profiles ONCE on first action and
+    # both branches (plus the centroid collect) reuse it (A/B at sf0.1:
+    # 2.4s -> ~1.5s; same lineage-truncation idiom as
+    # dedup.connected_components)
+    profiles = user_profile_vectors(events).localCheckpoint(eager=False)
     out = ivf_knn_graph(
-        user_profile_vectors(events),
+        profiles,
         k=k,
         centroid_every=centroid_every,
         n_max_centroids=n_max_centroids,
