@@ -617,6 +617,16 @@ def q_multimodal_frame_sample(spark, sf_dir):
     )
 
 
+def q_multimodal_phash_pairs(spark, sf_dir):
+    """Image near-dup via perceptual hash + Hamming block join — the
+    multimodal member of the dedup family (byte-math hash is
+    deterministic, so the Arrow plumbing carries a full value oracle)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return multimodal.phash_near_pairs(
+        multimodal.attach_media(docs), max_hamming=8
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -677,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_phash_pairs": q_multimodal_phash_pairs,
         "source_knob_sine": q_source_knob_sine,
         # TPC-H tail + reshaping
         "q15_top_supplier": q_q15_top_supplier,
@@ -1982,6 +1993,48 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS height,
                    checksum
             FROM m
+        """,
+        # 63-bit average-hash recomputed from the hex dump with INTEGER
+        # compares (63*byte >= total — no float mean), then the same
+        # 9x7-bit block join + Hamming verify as the Spark side.
+        "multimodal_phash_pairs": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                     lower(hex(encode(text))) AS h
+              FROM documents),
+            sampled AS (
+              SELECT doc_id,
+                     [ (strpos('0123456789abcdef',
+                          h[2*((j*n)//63)+1 : 2*((j*n)//63)+1]) - 1) * 16
+                       + (strpos('0123456789abcdef',
+                          h[2*((j*n)//63)+2 : 2*((j*n)//63)+2]) - 1)
+                       for j in range(0, 63) ] AS bs
+              FROM m WHERE n > 0),
+            ph AS (
+              SELECT doc_id,
+                     CAST(COALESCE(list_sum(
+                       [CASE WHEN 63 * bs[j+1] >= total
+                             THEN (1::BIGINT << j) ELSE 0::BIGINT END
+                        for j in range(0, 63)]), 0) AS BIGINT) AS phash
+              FROM (SELECT doc_id, bs,
+                           CAST(list_sum(bs) AS BIGINT) AS total
+                    FROM sampled)
+              UNION ALL
+              SELECT doc_id, 0::BIGINT AS phash FROM m WHERE n = 0),
+            blocks AS (
+              SELECT doc_id, phash, blk,
+                     (phash >> (blk * 7)) & 127 AS blkval
+              FROM ph, (SELECT unnest(range(9)) AS blk) _
+            )
+            SELECT a, b, hamming FROM (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                     CAST(bit_count(xor(x.phash, y.phash)) AS INTEGER)
+                         AS hamming
+              FROM blocks x JOIN blocks y
+                ON x.blk = y.blk AND x.blkval = y.blkval
+                   AND x.doc_id < y.doc_id)
+            WHERE hamming <= 8
         """,
         # One fake frame per 256-byte block, sampled every 4: frame i is
         # bytes [i*256, (i+1)*256), so its length is min(256, n - i*256);

@@ -146,6 +146,96 @@ def binary_meta(docs: DataFrame) -> DataFrame:
     )
 
 
+def _phash63(data: bytes) -> int:
+    """63-bit average-hash over 63 stride-sampled payload bytes: bit j =
+    [63 * b_j >= Σ b_i] — an INTEGER compare, not a float mean, so a SQL
+    oracle reproduces it exactly. Stands in for DCT-pHash over decoded
+    pixels (pixel access is UDF-side either way; swapping in a real
+    decoder changes only the byte source). 63 bits keep the hash in
+    signed-int64 positive range and split evenly into 9 x 7-bit blocks
+    for the Hamming block join."""
+    n = len(data)
+    if n == 0:
+        return 0
+    bs = [data[(j * n) // 63] for j in range(63)]
+    total = sum(bs)
+    return sum((1 << j) for j, b in enumerate(bs) if 63 * b >= total)
+
+
+def image_phash(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Perceptual hash per media payload -> (doc_id, phash) — the image
+    near-dup primitive. Arrow-batched mapInPandas, map-only (no
+    shuffle); the expensive payload bytes are projected away at the
+    hash boundary so only 8-byte hashes flow downstream."""
+    if not fake:
+        raise NotImplementedError(
+            "Real perceptual hashing requires an image decoder (PIL), "
+            "not present in this container. Use fake=True for the "
+            "deterministic byte-math stub."
+        )
+    out_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("phash", LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [_phash63(bytes(b)) for b in pdf["data"]],
+                }
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def phash_near_pairs(
+    df: DataFrame, max_hamming: int = 8, fake: bool = True
+) -> DataFrame:
+    """Image near-dup pairs by perceptual-hash Hamming distance, via the
+    same block-permutation trick as dedup.simhash_near_pairs: the 63-bit
+    hash splits into 9 blocks of 7 bits; any pair within distance 8
+    agrees on >= 1 block (pigeonhole), so candidates come from an
+    equi-join on (block, value) — never an all-pairs comparison — and
+    the exact Hamming verify runs only on collisions. Completes the
+    dedup family across modalities: exact (md5) / token (minhash,
+    simhash) / embedding (LSH cosine) / image (pHash)."""
+    n_blocks, block_bits = 9, 7
+    assert max_hamming < n_blocks, "block trick needs max_hamming < n_blocks"
+    ph = image_phash(df, fake=fake)
+    blocks = ph.select(
+        "doc_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("phash"), b * block_bits).bitwiseAND(
+                        F.lit((1 << block_bits) - 1)
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("blk", "blkval"),
+    )
+    left = blocks.select(
+        "blk", "blkval", F.col("doc_id").alias("a"), F.col("phash").alias("ph_a")
+    )
+    right = blocks.select(
+        "blk", "blkval", F.col("doc_id").alias("b"), F.col("phash").alias("ph_b")
+    )
+    return (
+        left.join(right, ["blk", "blkval"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def resize_images(df: DataFrame, max_dim: int = 256, fake: bool = True) -> DataFrame:
     """Resize stage: cap the longer image side at ``max_dim`` preserving
     aspect ratio. With ``fake=False`` this is where PIL's

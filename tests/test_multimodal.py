@@ -1,0 +1,67 @@
+"""Multimodal plumbing: perceptual-hash dedup over opaque payloads.
+The decode is stubbed (no codecs in the container), so these tests pin
+the REAL parts — the hash math, the Arrow batch shape, and the block
+join's guarantee that near pairs are found without all-pairs work."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pubsub_mapreduce_spark.operators.multimodal import (
+    _phash63,
+    image_phash,
+    phash_near_pairs,
+)
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(
+        [(i, "image", "raw", bytearray(b), len(b)) for i, b in rows],
+        "doc_id long, media_type string, format string, data binary, n_bytes long",
+    )
+
+
+def test_phash63_pure_math():
+    assert _phash63(b"") == 0
+    h = _phash63(b"hello world " * 20)
+    assert 0 <= h < (1 << 63)
+    assert _phash63(b"hello world " * 20) == h  # deterministic
+
+
+def test_image_phash_matches_driver_side(spark):
+    payloads = [(1, b"abc" * 100), (2, b"xyzw" * 77), (3, b"")]
+    got = {
+        r["doc_id"]: r["phash"]
+        for r in image_phash(_media(spark, payloads)).collect()
+    }
+    assert got == {i: _phash63(b) for i, b in payloads}
+
+
+def test_phash_near_pairs_finds_identical_and_perturbed(spark):
+    base = (b"the quick brown fox jumps over the lazy dog " * 30)
+    perturbed = bytearray(base)
+    perturbed[100] ^= 0xFF  # one-byte corruption: tiny Hamming delta
+    rows = [
+        (1, base),
+        (2, bytes(base)),          # identical -> hamming 0
+        (3, bytes(perturbed)),     # near-dup  -> small hamming
+        (4, bytes(reversed(base)) * 2),  # different length+content
+    ]
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in phash_near_pairs(_media(spark, rows), max_hamming=8).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 8
+    assert (2, 3) in pairs
+    # the unrelated payload must not pair with anything
+    assert not any(4 in p for p in pairs)
+
+
+def test_phash_near_pairs_no_cartesian(spark):
+    from pubsub_mapreduce_spark.plans.explain import assert_no_cartesian
+
+    df = phash_near_pairs(
+        _media(spark, [(i, bytes([i % 251]) * (50 + i)) for i in range(20)])
+    )
+    assert_no_cartesian(df)
