@@ -294,6 +294,14 @@ def lsh_near_pairs(
             .where(F.col("bsz") <= max_bucket)
             .drop("bsz")
         )
+    # NOTE (A/B'd): the self-join reads the index from BOTH sides and
+    # Catalyst does not dedup the two identical subplans, so the bucket
+    # computation runs twice. Persisting the index via localCheckpoint
+    # was MEASURED SLOWER here (sim_near_pairs 1.88s -> 2.57s at sf0.1:
+    # the materialization barrier + row serialization cost more than
+    # the duplicated, fully-parallel map stage). On a real cluster
+    # reusing the index across MANY queries, persist it explicitly —
+    # one recompute inside a single query is the cheaper trade.
     left = indexed.select(
         "tbl",
         "bucket",
