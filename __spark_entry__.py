@@ -443,6 +443,13 @@ def q_text_tfidf(spark, sf_dir):
     return TX.tfidf_top_terms(load_tables(spark, sf_dir)["documents"], top_n=3)
 
 
+def q_text_char_bigram(spark, sf_dir):
+    """Char-bigram familiarity vs the corpus's own distribution — the
+    statistical-LM quality gate (rational arithmetic only; see
+    textops.char_bigram_score)."""
+    return TX.char_bigram_score(load_tables(spark, sf_dir)["documents"])
+
+
 def q_sample_docs(spark, sf_dir):
     docs = load_tables(spark, sf_dir)["documents"]
     return SM.sample_pct(docs, "doc_id", 10).select(
@@ -593,6 +600,18 @@ def q_user_similarity(spark, sf_dir):
     )
 
 
+def q_user_similarity_sparse(spark, sf_dir):
+    """The EXACT inverted-index form (day equi-join dots) — the right
+    plan when profiles are sparse; registered alongside the celled
+    default so both paths carry driver value-hashes. NOT in the bench
+    list: dense fixtures are its worst case (every user active every
+    day makes the day join |users|^2-shaped — that trade is the whole
+    point of having both forms)."""
+    return S.behavioral_similarity_sparse(
+        load_tables(spark, sf_dir)["events"], k=5
+    )
+
+
 def q_binary_meta(spark, sf_dir):
     return multimodal.binary_meta(load_tables(spark, sf_dir)["documents"])
 
@@ -659,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk_matmul": q_sim_cosine_topk_matmul,
         "sim_near_pairs": q_sim_near_pairs,
         "user_similarity": q_user_similarity,
+        "user_similarity_sparse": q_user_similarity_sparse,
         "sim_ann_lsh": q_sim_ann_lsh,
         "knn_graph": q_knn_graph,
         "sim_ann_ivf": q_sim_ann_ivf,
@@ -672,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_by_source": q_text_quality_by_source,
         "lang_confusion": q_lang_confusion,
         "curation_pipeline": q_curation_pipeline,
+        "text_char_bigram": q_text_char_bigram,
         # sampling / sketches
         "sample_docs": q_sample_docs,
         "stratified_docs": q_stratified_docs,
@@ -1335,6 +1356,36 @@ def oracle_sql() -> dict[str, str]:
                           ROWS BETWEEN UNBOUNDED PRECEDING
                                    AND UNBOUNDED FOLLOWING)
         """,
+        # The exact sparse form: integer day-join dots, one division,
+        # round_half_up — bit-equal to the Spark inverted-index plan.
+        "user_similarity_sparse": """
+            WITH daily AS (
+              SELECT user_id, date_trunc('day', ts) AS day,
+                     count(*) AS cnt
+              FROM events GROUP BY 1, 2),
+            norms AS (
+              SELECT user_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
+              FROM daily GROUP BY 1),
+            dots AS (
+              SELECT a.user_id AS ua, b.user_id AS ub,
+                     sum(a.cnt * b.cnt) AS dot
+              FROM daily a JOIN daily b
+                ON a.day = b.day AND a.user_id <> b.user_id
+              GROUP BY 1, 2),
+            scored AS (
+              SELECT ua, ub,
+                     CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS sim
+              FROM dots
+              JOIN norms na ON dots.ua = na.user_id
+              JOIN norms nb ON dots.ub = nb.user_id)
+            SELECT ua AS user_id, ub AS similar_user,
+                   CAST(rank AS INTEGER) AS rank,
+                   floor(sim * 1e4 + 0.5) / 1e4 AS sim
+            FROM (SELECT *, row_number() OVER (PARTITION BY ua
+                      ORDER BY sim DESC, ub ASC) AS rank
+                  FROM scored)
+            WHERE rank <= 5
+        """,
         # Dense per-user daily-count profiles rebuilt in SQL (day spine
         # cross join, zero-filled, ordered list) feeding the same IVF
         # mirror as knn_graph. Integer counts make every dot/norm exact
@@ -1820,6 +1871,29 @@ def oracle_sql() -> dict[str, str]:
                   list_transform(tk, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
                 (acc, h) -> (acc * 31 + h) % 2147483647) AS fingerprint
             FROM feat2
+        """,
+        # Rational-arithmetic char-bigram familiarity: integer counts,
+        # two IEEE divisions in the same order, round_half_up — no logs
+        # (transcendentals are not bit-reproducible across engines).
+        "text_char_bigram": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS txt
+              FROM documents),
+            bgs AS (
+              SELECT doc_id, txt[i:i+1] AS bg
+              FROM norm, LATERAL (SELECT unnest(range(1, length(txt))) AS i) _
+              WHERE length(txt) >= 2),
+            freq AS (SELECT bg, count(*) AS freq FROM bgs GROUP BY 1),
+            tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM freq),
+            per_doc AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     CAST(sum(freq) AS BIGINT) AS sum_freq
+              FROM bgs JOIN freq USING (bg) GROUP BY 1)
+            SELECT doc_id, CAST(n_bigrams AS INTEGER) AS n_bigrams,
+                   floor((CAST(sum_freq AS DOUBLE) / n_bigrams / total)
+                         * 1e8 + 0.5) / 1e8 AS familiarity
+            FROM per_doc, tot
         """,
         "text_quality_by_source": f"""
             WITH {_TEXT_FEATURES_CTE},

@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "text_doc_stats",
     "text_quality_by_source",
     "text_tfidf",
+    "text_char_bigram",
     "curation_pipeline",
     "sim_cosine_topk",
     "sim_cosine_topk_matmul",

@@ -210,3 +210,57 @@ def lang_confusion(docs: DataFrame) -> DataFrame:
         .groupBy(F.col("lang"), T.lang_id(c, toks).alias("lang_pred"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def char_bigram_score(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Corpus-level character-bigram familiarity score per document —
+    the cheap statistical-LM quality signal: documents whose character
+    sequences are rare against the corpus's own bigram distribution
+    (mojibake, binary spills, wrong-charset text) score low and get
+    gated out before tokenizer/training time.
+
+    score(d) = (Σ_i freq(bg_i(d)) / n_bigrams(d)) / total_bigrams —
+    the mean corpus frequency of the doc's bigrams, normalized to
+    (0, 1]. All-integer numerators (no log-probabilities on purpose:
+    transcendental functions are not bit-reproducible across engines,
+    rational arithmetic is) with two IEEE divisions in a fixed order,
+    so the DuckDB twin matches the value hash exactly.
+
+    Plan shape: ONE bigram explode feeds both sides — the |charset|²-
+    bounded frequency table (broadcast back by construction: a few KB
+    for any corpus size) and the per-doc aggregate. Shuffles: the freq
+    aggregate and the per-doc aggregate, both keyed and partial-agg'd
+    map-side; the 1-row total rides a broadcast like tfidf's N."""
+    from pyspark.sql.functions import broadcast
+
+    txt = F.lower(F.trim(F.regexp_replace(F.col(text), r"\s+", " ")))
+    d = widen(docs, 8).select("doc_id", txt.alias("t"))
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.length("t") >= 2,
+                F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"),
+            ).otherwise(F.array())
+        ).alias("bg"),
+    )
+    freq = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("freq"))
+    total = freq.agg(F.sum("freq").alias("total"))
+    per_doc = (
+        bigrams.join(broadcast(freq), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("freq").alias("sum_freq"),
+        )
+    )
+    return per_doc.join(broadcast(total)).select(
+        "doc_id",
+        F.col("n_bigrams").cast("int").alias("n_bigrams"),
+        rh(
+            F.col("sum_freq").cast("double")
+            / F.col("n_bigrams")
+            / F.col("total"),
+            8,
+        ).alias("familiarity"),
+    )

@@ -65,3 +65,46 @@ def test_clean_text_scrubs_urls_emails_whitespace(spark):
     assert got[2] == "mail me: thanks"
     assert got[3] == "plain text with runs"
     assert got[4] == "tail"
+
+
+def test_char_bigram_score_ranks_junk_low(spark):
+    """The familiarity score must rank a document made of corpus-typical
+    bigrams above one made of rare character junk, and every score must
+    lie in (0, 1]."""
+    from pubsub_mapreduce_spark.operators.textops import char_bigram_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog sat too"),
+            (2, "the cat and the dog sat on that mat"),
+            (3, "zq#x!7@kv%9j^w&3p*"),  # junk: rare bigrams
+            (4, "a"),  # < 2 chars after norm: no bigrams, excluded
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in char_bigram_score(docs).collect()}
+    assert 4 not in rows
+    assert all(0.0 < r["familiarity"] <= 1.0 for r in rows.values())
+    assert rows[3]["familiarity"] < rows[1]["familiarity"]
+    assert rows[3]["familiarity"] < rows[2]["familiarity"]
+
+
+def test_char_bigram_score_plan(spark, tables):
+    """Plan contract: the bigram frequency table and the corpus total
+    ride as broadcasts (both bounded by |charset|^2 regardless of corpus
+    size); the only keyed shuffles are the two aggregates; no cartesian
+    row blowup beyond the 1-row total join."""
+    from pubsub_mapreduce_spark.operators.textops import char_bigram_score
+    from pubsub_mapreduce_spark.plans.explain import (
+        assert_broadcast_join,
+        assert_no_cartesian,
+        keyed_shuffle_count,
+    )
+
+    df = char_bigram_score(tables["documents"])
+    assert_broadcast_join(df, min_count=2)
+    assert_no_cartesian(df)
+    # freq agg (x2: broadcast branch + total branch — both collapse to
+    # |charset|^2 rows map-side, so the duplication is bytes), the
+    # 1-row total exchange, and the per-doc agg
+    assert keyed_shuffle_count(df) <= 4
