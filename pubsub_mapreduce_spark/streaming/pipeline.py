@@ -212,6 +212,34 @@ def dedup_stream(
     )
 
 
+def near_dedup_stream(
+    docs: DataFrame,
+    text: str = "text",
+    watermark_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming FINGERPRINT-level near-dedup: drop any document whose
+    32-bit SimHash exactly matches one seen within the watermark
+    horizon — boilerplate re-crawls, mirrored pages, and template spam
+    collapse to identical fingerprints even when byte-level content
+    differs (whitespace/case drift), which plain ``dedup_stream`` on
+    the content hash admits.
+
+    This is the streaming-feasible tier of the near-dup family: the
+    SimHash is computed PER ROW (``dedup.simhash_rowwise`` — no
+    per-micro-batch shuffle), and state is one fingerprint per horizon
+    via ``dropDuplicatesWithinWatermark``. Hamming-distance pair tiers
+    (block joins) stay batch: a streaming candidate join would need
+    stream-stream self-joins with unbounded fingerprint state."""
+    from ..operators.dedup import simhash_rowwise
+
+    return (
+        simhash_rowwise(docs, text=text)
+        .withWatermark(watermark_col, delay)
+        .dropDuplicatesWithinWatermark(["simhash"])
+    )
+
+
 def distinct_ids_stream(
     msgs: DataFrame,
     window: str = "1 second",

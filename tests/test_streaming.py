@@ -615,3 +615,50 @@ def test_windowed_distinct_stream_matches_batch(spark, knob_dir):
     assert got
     assert got <= want, got - want
     assert len(want) - len(got) <= 3
+
+
+def test_rowwise_simhash_matches_agg_form(spark, tables):
+    """simhash_rowwise (the per-row streaming form) must equal the
+    agg-based batch simhash bit-for-bit on the fixture corpus."""
+    from pubsub_mapreduce_spark.operators.dedup import simhash, simhash_rowwise
+
+    agg = {r["doc_id"]: r["simhash"] for r in simhash(tables["documents"]).collect()}
+    row = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_rowwise(tables["documents"])
+        .select("doc_id", "simhash")
+        .collect()
+    }
+    assert agg == row
+
+
+def test_streaming_near_dedup_by_fingerprint(spark, tmp_path):
+    """near_dedup_stream admits ONE document per SimHash fingerprint
+    within the horizon: whitespace/case variants of the same text (same
+    fingerprint, different bytes) collapse; distinct texts pass. Plain
+    content-hash dedup_stream would admit the variants."""
+    import time as _t
+
+    from pubsub_mapreduce_spark.streaming.pipeline import near_dedup_stream
+
+    src = str(tmp_path / "docs_src")
+    base = "The Quick Brown Fox Jumps Over The Lazy Dog " * 5
+    rows = [
+        (1, base, "2024-03-01 10:00:00"),
+        (2, base.lower(), "2024-03-01 10:00:01"),          # case variant
+        (3, "  " + base + "  ", "2024-03-01 10:00:02"),    # padding variant
+        (4, "an entirely different document body here", "2024-03-01 10:00:03"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, ts_s string").select(
+        "doc_id", "text", F.to_timestamp("ts_s").alias("ts")
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .parquet(src)
+    )
+    out = near_dedup_stream(stream, text="text", watermark_col="ts")
+    batches = run_foreach_batch(out, None, output_mode="append")
+    admitted = sorted(r["doc_id"] for _, rows_ in batches for r in rows_)
+    # one of {1,2,3} (first arrival) + doc 4
+    assert len(admitted) == 2 and 4 in admitted and admitted[0] in (1, 2, 3)
