@@ -292,6 +292,17 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash(load_tables(spark, sf_dir)["documents"])
 
 
+def q_dedup_fingerprint(spark, sf_dir):
+    """Batch fingerprint-level dedup (the batch twin of
+    streaming.near_dedup_stream): one keeper per SimHash — collapses
+    whitespace/case/template variants exact content hashing admits."""
+    sh = dedup.simhash(load_tables(spark, sf_dir)["documents"])
+    return sh.groupBy("simhash").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding near-dup keepers over the LSH-bucketed pair source —
     the scale path (equi-join on (table, bucket), no cartesian); the
@@ -669,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_fingerprint": q_dedup_fingerprint,
         "simhash_near_pairs": q_simhash_near_pairs,
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
@@ -1846,6 +1858,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
                      AS simhash
             FROM bits GROUP BY doc_id
+        """,
+        "dedup_fingerprint": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                        t -> t <> '')) AS tok
+              FROM documents
+            ),
+            hashed AS (
+              SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+            ),
+            bits AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM hashed, (SELECT unnest(range(32)) AS i) _
+              GROUP BY doc_id, i
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << i) ELSE 0 END)
+                          AS BIGINT) AS simhash
+              FROM bits GROUP BY doc_id
+            )
+            SELECT simhash, min(doc_id) AS keeper_id, count(*) AS n_copies
+            FROM sh GROUP BY simhash
         """,
         "text_doc_stats": f"""
             WITH {_TEXT_FEATURES_CTE}
