@@ -283,8 +283,16 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
+    """hash_impl='md5': the DuckDB-portable base hash (token_hash32 %
+    p) instead of xxhash64, upgrading this from a rows-only check to a
+    FULL value-hash oracle — the twin mirrors signatures (same
+    universal-hash coefficients), banding (join on raw signature
+    slices; slice equality == bucket equality), the degenerate-bucket
+    cap, and the exact-Jaccard verify. A/B'd ~0.7s slower at sf0.1
+    than xxhash64 (which stays the no-oracle default for deployments
+    without a cross-engine requirement)."""
     return dedup.minhash_lsh_pairs(
-        load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
+        load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5, hash_impl="md5"
     )
 
 
@@ -784,6 +792,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": q_q9_product_profit,
         "q12_priority_class": q_q12_priority_class,
     }
+
+
+def _minhash_lsh_oracle_sql(threshold: float = 0.5) -> str:
+    """DuckDB mirror of ``dedup.minhash_lsh_pairs(hash_impl='md5')``:
+    same shingles, same md5-derived base hash, the same 64
+    universal-hash permutation mins (coefficients shared via
+    ``dedup._perm_coeffs``), banding as a join on the raw 4-min
+    signature slices (Spark joins on xxhash64 of the slice — equality
+    of slice iff equality of bucket, up to a negligible 64-bit
+    collision), the same 10k bucket cap, and the same exact-Jaccard
+    verify over the full distinct shingle sets."""
+    p = dedup.MERSENNE_P
+    coeffs = dedup._perm_coeffs(dedup.N_PERM, seed=42)
+    mins = ",\n                     ".join(
+        f"min(({a} * hm + {b}) % {p})" for a, b in coeffs
+    )
+    rows_per_band = dedup.N_PERM // dedup.LSH_BANDS
+    return f"""
+            WITH {_SHINGLES_CTE},
+            hm AS (
+              SELECT doc_id,
+                     (('0x' || substr(md5(shingle), 1, 8))::BIGINT % {p}) AS hm
+              FROM sh),
+            sig AS (
+              SELECT doc_id,
+                     [{mins}] AS s
+              FROM hm GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, b AS band,
+                     s[b*{rows_per_band}+1 : b*{rows_per_band}+{rows_per_band}]
+                         AS key
+              FROM sig, (SELECT unnest(range({dedup.LSH_BANDS})) AS b) _),
+            capped AS (
+              SELECT doc_id, band, key FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS bsz
+                FROM banded)
+              WHERE bsz <= 10000),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM capped x JOIN capped y
+                ON x.band = y.band AND x.key = y.key
+                   AND x.doc_id < y.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (
+              SELECT c.a, c.b, count(*) AS common
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a
+              JOIN sh sb ON sb.doc_id = c.b AND sa.shingle = sb.shingle
+              GROUP BY 1, 2)
+            SELECT a, b, jaccard FROM (
+              SELECT a, b,
+                     floor(common * 1.0 / (sa.sz + sb.sz - common) * 1e6 + 0.5)
+                         / 1e6 AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b)
+            WHERE jaccard >= {threshold}
+    """
 
 
 # Shared SQL fragments for the oracle twins.
@@ -1820,6 +1886,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM batch
             WHERE content_md5 NOT IN (SELECT content_md5 FROM corpus)
         """,
+        "dedup_minhash_lsh": _minhash_lsh_oracle_sql(0.5),
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},
             keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
@@ -2161,7 +2228,7 @@ def oracle_sql() -> dict[str, str]:
                          unnest(range(0, greatest(n // 256, 1), 4)) AS i
                   FROM m)
         """,
-        # no oracle (approximate by construction, rows-only check):
-        #   dedup_minhash_lsh (xxhash64 has no DuckDB twin),
-        #   hll_user_rollup / approx_distinct_users (DataSketches HLL)
+        # no oracle (rows-only check): hll_user_rollup /
+        # approx_distinct_users — DataSketches/HLL++ sketch internals
+        # have no DuckDB twin; error bounds pinned in tests instead.
     }
