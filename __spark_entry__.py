@@ -469,6 +469,51 @@ def q_text_char_bigram(spark, sf_dir):
     return TX.char_bigram_score(load_tables(spark, sf_dir)["documents"])
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition gates (dup-bigram fraction, top-token
+    dominance) — zero-shuffle sorted-run HOF plan (textops.repetition_stats)."""
+    return TX.repetition_stats(load_tables(spark, sf_dir)["documents"])
+
+
+def q_decontaminate(spark, sf_dir):
+    """Train/test decontamination: training docs (source<>'src0') sharing
+    any word 3-gram with the benchmark set (source='src0'); the bench gram
+    set broadcasts, per-doc distinct grams derived map-side."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TX.ngram_decontaminate(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        n=3,
+    )
+
+
+def q_quality_gate(spark, sf_dir):
+    """Per-language relative quality gate: drop each lang's bottom
+    quartile by integer rank threshold (not interpolated percentile —
+    see textops.quality_quantile_gate)."""
+    return TX.quality_quantile_gate(load_tables(spark, sf_dir)["documents"])
+
+
+def q_pack_shards(spark, sf_dir):
+    """Token-budget shard packing via the distributed two-phase prefix
+    sum (sampling.pack_shards); reported per shard."""
+    from pubsub_mapreduce_spark.functions import text as TFN
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    packed = SM.pack_shards(
+        docs.select("doc_id", "text"),
+        "doc_id",
+        TFN.token_count_ws(F.col("text")).cast("long"),
+        budget=1000,
+    )
+    return packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 def q_sample_docs(spark, sf_dir):
     docs = load_tables(spark, sf_dir)["documents"]
     return SM.sample_pct(docs, "doc_id", 10).select(
@@ -738,6 +783,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": q_q21_waiting_suppliers,
         "q20_dominant_suppliers": q_q20_dominant_suppliers,
         "unpivot_metrics": q_unpivot_metrics,
+        # new this round (positions 51+; rotate into the checked window
+        # next round)
+        "text_repetition": q_text_repetition,
+        "decontaminate": q_decontaminate,
+        "quality_gate": q_quality_gate,
+        "pack_shards": q_pack_shards,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -1998,6 +2049,103 @@ def oracle_sql() -> dict[str, str]:
                    floor((CAST(sum_freq AS DOUBLE) / n_bigrams / total)
                          * 1e8 + 0.5) / 1e8 AS familiarity
             FROM per_doc, tot
+        """,
+        # Repetition gates: integer run counts, one int/int division per
+        # stat, round_half_up — the DuckDB twin uses plain GROUP BYs
+        # where Spark uses the zero-shuffle sorted-run folds.
+        "text_repetition": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+              FROM documents),
+            nz AS (SELECT * FROM tk WHERE len(t) > 0),
+            uni AS (SELECT doc_id, unnest(t) AS term FROM nz),
+            ucnt AS (SELECT doc_id, term, count(*) AS c FROM uni GROUP BY 1, 2),
+            ustat AS (
+              SELECT doc_id, max(c) AS top_cnt,
+                     CAST(sum(c) AS BIGINT) AS n_tokens,
+                     count(*) AS n_distinct
+              FROM ucnt GROUP BY 1),
+            bg AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+              FROM nz, LATERAL (SELECT unnest(range(1, len(t))) AS i) _
+              WHERE len(t) >= 2),
+            bcnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+            bstat AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg,
+                     CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singles
+              FROM bcnt GROUP BY 1)
+            SELECT u.doc_id,
+                   CAST(u.n_tokens AS INTEGER) AS n_tokens,
+                   floor(CAST(u.top_cnt AS DOUBLE) / u.n_tokens * 1e6 + 0.5) / 1e6
+                     AS top_unigram_frac,
+                   floor(CAST(u.n_distinct AS DOUBLE) / u.n_tokens * 1e6 + 0.5) / 1e6
+                     AS unique_ratio,
+                   CASE WHEN b.n_bg > 0
+                        THEN floor(CAST(b.n_bg - b.singles AS DOUBLE) / b.n_bg
+                                   * 1e6 + 0.5) / 1e6
+                        ELSE 0.0 END AS dup_bigram_frac
+            FROM ustat u LEFT JOIN bstat b USING (doc_id)
+        """,
+        "decontaminate": r"""
+            WITH tk AS (
+              SELECT doc_id, source,
+                     list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id, source, array_to_string(t[i:i+2], ' ') AS g
+              FROM tk, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) _
+              WHERE len(t) >= 3),
+            bench AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+            tr AS (SELECT doc_id, g FROM g WHERE source <> 'src0'),
+            ng AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY 1),
+            hits AS (SELECT doc_id, count(*) AS n_hits
+                     FROM tr JOIN bench USING (g) GROUP BY 1)
+            SELECT h.doc_id, CAST(n.n_grams AS INTEGER) AS n_grams, h.n_hits,
+                   floor(CAST(h.n_hits AS DOUBLE) / n.n_grams * 1e6 + 0.5) / 1e6
+                     AS contamination
+            FROM hits h JOIN ng n USING (doc_id)
+        """,
+        # Integer rank threshold (not interpolated percentile — see
+        # textops.quality_quantile_gate); quality rounded BEFORE ranking
+        # so ties are engine-independent.
+        "quality_gate": f"""
+            WITH {_TEXT_FEATURES_CTE},
+            q AS (
+              SELECT d.doc_id, d.lang,
+                     floor((0.4 * (CASE WHEN length(d.text) BETWEEN 100 AND 20000
+                                        THEN 1.0
+                                        WHEN length(d.text) >= 20 THEN 0.5
+                                        ELSE 0.0 END)
+                           + 0.3 * least(f.swr * 5.0, 1.0)
+                           + 0.3 * (1.0 - f.pr)) * 1e4 + 0.5) / 1e4 AS quality
+              FROM documents d JOIN feat2 f ON d.doc_id = f.doc_id),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY quality, doc_id) AS rn,
+                         count(*) OVER (PARTITION BY lang) AS n
+                  FROM q)
+            SELECT doc_id, lang, quality FROM r WHERE rn > floor(n * 0.25)
+        """,
+        # The oracle uses the naive single-window global prefix sum; the
+        # Spark plan's bucketed two-phase form reproduces it exactly
+        # because the bucket function is monotone in doc_id and all
+        # arithmetic is integer.
+        "pack_shards": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                          x -> x <> '')) AS BIGINT) AS w
+              FROM documents),
+            c AS (
+              SELECT doc_id, w,
+                     coalesce(sum(w) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+              FROM t)
+            SELECT CAST(floor(CAST(cum AS DOUBLE) / 1000) AS INTEGER) AS shard_id,
+                   count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS shard_tokens,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM c GROUP BY 1
         """,
         "text_quality_by_source": f"""
             WITH {_TEXT_FEATURES_CTE},

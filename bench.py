@@ -103,6 +103,10 @@ BENCH_QUERIES = [
     "text_quality_by_source",
     "text_tfidf",
     "text_char_bigram",
+    "text_repetition",
+    "decontaminate",
+    "quality_gate",
+    "pack_shards",
     "curation_pipeline",
     "sim_cosine_topk",
     "sim_cosine_topk_matmul",

@@ -86,6 +86,69 @@ def stratified_sample(
     return df.where(hash_bucket(key) < pct)
 
 
+def pack_shards(
+    df: DataFrame,
+    key: str,
+    weight: Column,
+    budget: int,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic contiguous shard packing: order rows by ``key``,
+    accumulate ``weight`` (e.g. token count), and assign
+    ``shard_id = floor(exclusive_running_total / budget)`` — the
+    sequence-sharding step that turns a curated corpus into
+    fixed-token-budget training shards, reproducibly.
+
+    A running total is a prefix sum, and the naive Spark form —
+    ``Window.orderBy(key)`` with no partition — executes as ONE task
+    scanning the whole corpus. This implements the distributed two-phase
+    prefix sum instead: (1) range-bucket rows by key (the bucket
+    function is monotone in key, so bucket order == key order); (2)
+    per-bucket weight sums — ``n_buckets`` rows — get exclusive
+    cumulative offsets via the only single-partition window in the
+    plan, bounded by the constant ``n_buckets`` exactly like the IVF
+    centroid collect (similarity.py); (3) offsets broadcast-join back
+    and each bucket computes its interior cumsum independently,
+    partitioned by bucket. All arithmetic is integer (sums) or exact
+    double (|values| < 2^53), so DuckDB's naive global-window form
+    reproduces every shard id bit-for-bit.
+
+    Returns (key, w, shard_id). At 100TB, ``n_buckets`` scales with the
+    cluster (it only bounds the tiny offsets table) and the range
+    bounds come from the table's min/max statistics — one footer read.
+    Here they are a 1-row eager aggregate resolved to literals (the
+    bounded-collect pattern of the IVF centroid seed): leaving them as
+    a crossJoined subplan made Catalyst recompute the bounds scan in
+    BOTH prefix-sum passes — a third full read of the key column."""
+    kc = F.col(key)
+    d = df.select(kc.alias("k"), weight.alias("w"))
+    mn, mx = d.agg(F.min("k"), F.max("k")).first()
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col("k") - F.lit(mn)) * n_buckets / F.lit(mx - mn + 1)),
+    ).cast("int")
+    from pyspark.sql.functions import broadcast
+
+    d2 = d.select("k", "w", bucket.alias("bucket"))
+    wo = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d2.groupBy("bucket")
+        .agg(F.sum("w").alias("bw"))
+        .select("bucket", F.coalesce(F.sum("bw").over(wo), F.lit(0)).alias("off"))
+    )
+    wi = Window.partitionBy("bucket").orderBy("k")
+    return (
+        d2.join(broadcast(offsets), "bucket")
+        .select(
+            F.col("k").alias(key),
+            "w",
+            F.floor((F.col("off") + F.sum("w").over(wi) - F.col("w")) / budget)
+            .cast("int")
+            .alias("shard_id"),
+        )
+    )
+
+
 def per_stratum_cap(
     df: DataFrame, key: str, stratum: str, cap: int
 ) -> DataFrame:

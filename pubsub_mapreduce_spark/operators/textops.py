@@ -212,6 +212,174 @@ def lang_confusion(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document — the quality gates
+    that catch boilerplate/spam the composite ``quality_score`` misses
+    (Rae et al. 2021 §A1.1: fraction of duplicated n-grams, top-token
+    dominance):
+
+    - ``top_unigram_frac``: count of the most frequent token / tokens,
+    - ``unique_ratio``: distinct tokens / tokens,
+    - ``dup_bigram_frac``: fraction of bigram occurrences whose bigram
+      appears more than once in the document.
+
+    ZERO-shuffle plan: the obvious formulation (explode tokens, groupBy
+    (doc_id, term), re-group by doc_id, join unigram and bigram sides)
+    costs two keyed shuffles plus a join. Instead each stat is a
+    run-length fold over the per-doc ``array_sort``ed token/bigram
+    array — max run = top count, count of length-1 runs = singleton
+    grams — as codegen'd ``aggregate`` HOFs with a (prev, run, acc)
+    struct accumulator and a finish lambda. Per-row cost is O(len log
+    len) for the sort; the stage is map-only and pipelines with the
+    scan at any corpus size. All outputs are single int/int divisions
+    rounded half-up, so the DuckDB twin (which uses plain GROUP BYs)
+    matches bit-for-bit."""
+    toks = F.col("__toks")
+    run_next = lambda acc, t: (  # noqa: E731 — shared by both folds
+        F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+    )
+    top_cnt = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            run_next(acc, t).alias("run"),
+            F.greatest(acc["best"], run_next(acc, t)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    # singleton count: +1 each time a run of length exactly 1 closes
+    singles = F.aggregate(
+        F.array_sort(F.col("__bgs")),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("singles")
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            run_next(acc, t).alias("run"),
+            (
+                acc["singles"]
+                + F.when((t != acc["prev"]) & (acc["run"] == 1), 1).otherwise(0)
+            ).alias("singles"),
+        ),
+        lambda acc: acc["singles"] + F.when(acc["run"] == 1, 1).otherwise(0),
+    )
+    n_tok = F.size(toks)
+    n_bg = F.size(F.col("__bgs"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.expr(
+            "transform(sequence(1, size(__toks) - 1), "
+            "i -> concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1)))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    return (
+        widen(docs, 8)
+        .withColumn("__toks", T.tokens(F.col("text")))
+        .where(F.size(F.col("__toks")) > 0)
+        .withColumn("__bgs", bigrams)
+        .select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            rh(top_cnt / n_tok, 6).alias("top_unigram_frac"),
+            rh(F.size(F.array_distinct(toks)) / n_tok, 6).alias("unique_ratio"),
+            F.when(n_bg > 0, rh((n_bg - singles) / n_bg, 6))
+            .otherwise(F.lit(0.0))
+            .alias("dup_bigram_frac"),
+        )
+    )
+
+
+def ngram_decontaminate(
+    train: DataFrame, bench: DataFrame, n: int = 3
+) -> DataFrame:
+    """Train/test decontamination: flag training documents sharing any
+    word ``n``-gram with a benchmark/eval set (the contamination check
+    every LLM corpus runs before training; production uses 8–13-grams —
+    ``n`` is a knob, small here because the fixtures' docs are short).
+
+    Shape at scale: the benchmark side is SMALL by construction (eval
+    suites, not corpora), so its distinct gram set broadcasts; the
+    training side derives per-doc DISTINCT grams map-side
+    (``array_distinct`` before the explode keeps the joined relation at
+    most |doc grams| wide), and the broadcast hash semi-join + one
+    doc_id-keyed aggregate is the whole cost — no shuffle touches the
+    corpus text. Grams are joined as strings for oracle portability; at
+    100TB you would ``xxhash64`` them to 8 bytes first (same plan
+    shape, as in dedup.py's minhash base).
+
+    Returns one row per CONTAMINATED doc: (doc_id, n_grams, n_hits,
+    contamination) — clean docs don't pay an output row."""
+    grams = F.when(
+        F.size(F.col("__toks")) >= n,
+        F.expr(
+            f"transform(sequence(1, size(__toks) - {n} + 1), "
+            f"i -> concat_ws(' ', slice(__toks, i, {n})))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    with_grams = lambda df: (  # noqa: E731
+        widen(df, 8)
+        .withColumn("__toks", T.tokens(F.col("text")))
+        .withColumn("__grams", F.array_distinct(grams))
+    )
+    bench_grams = (
+        with_grams(bench).select(F.explode("__grams").alias("g")).distinct()
+    )
+    train_grams = with_grams(train).select(
+        "doc_id",
+        F.size("__grams").alias("n_grams"),
+        F.explode("__grams").alias("g"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    return (
+        train_grams.join(broadcast(bench_grams), "g")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            rh(F.col("n_hits") / F.col("n_grams"), 6).alias("contamination"),
+        )
+    )
+
+
+def quality_quantile_gate(docs: DataFrame, drop_frac: float = 0.25) -> DataFrame:
+    """Per-language RELATIVE quality gate: drop the bottom ``drop_frac``
+    of each language's documents by quality score — corpus mixing by
+    quantile rather than the absolute threshold of ``filter_quality``
+    (absolute thresholds mis-calibrate across languages whose score
+    distributions differ).
+
+    The cut is an integer rank threshold (``row_number > floor(n *
+    drop_frac)`` ordered by rounded quality, doc_id) — NOT an
+    interpolated percentile, whose linear-interpolation arithmetic is
+    not bit-reproducible across engines. One shuffle on lang; the
+    per-language sort is the cost, so at 100TB swap the exact rank for
+    an ``approx_percentile`` threshold broadcast back (one scan, no
+    sort) once ±ε on the boundary is acceptable."""
+    from pyspark.sql import Window
+
+    c = F.col("text")
+    toks = F.col("__toks")
+    scored = (
+        widen(docs, 8)
+        .withColumn("__toks", T.tokens(c))
+        .select("doc_id", "lang", rh(T.quality_score(c, toks), 4).alias("quality"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("quality").asc(), F.col("doc_id").asc())
+    wn = Window.partitionBy("lang")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .where(F.col("rn") > F.floor(F.col("n") * drop_frac))
+        .select("doc_id", "lang", "quality")
+    )
+
+
 def char_bigram_score(docs: DataFrame, text: str = "text") -> DataFrame:
     """Corpus-level character-bigram familiarity score per document —
     the cheap statistical-LM quality signal: documents whose character

@@ -108,3 +108,80 @@ def test_char_bigram_score_plan(spark, tables):
     # |charset|^2 rows map-side, so the duplication is bytes), the
     # 1-row total exchange, and the per-doc agg
     assert keyed_shuffle_count(df) <= 4
+
+
+def test_repetition_stats_planted(spark):
+    """Planted repetition patterns: an all-one-token doc maxes every
+    signal, an all-unique doc zeroes them, and the alternating doc has
+    every bigram duplicated but only 40% unique tokens."""
+    from pubsub_mapreduce_spark.operators.textops import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),
+            (2, "a b c d e"),
+            (3, "x"),
+            (4, "   "),  # no tokens: excluded
+            (5, "a b a b a"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert 4 not in rows
+    assert rows[1]["n_tokens"] == 5
+    assert rows[1]["top_unigram_frac"] == 1.0
+    assert rows[1]["unique_ratio"] == 0.2
+    assert rows[1]["dup_bigram_frac"] == 1.0
+    assert rows[2]["top_unigram_frac"] == 0.2
+    assert rows[2]["unique_ratio"] == 1.0
+    assert rows[2]["dup_bigram_frac"] == 0.0
+    assert rows[3]["n_tokens"] == 1
+    assert rows[3]["dup_bigram_frac"] == 0.0  # no bigrams
+    assert rows[5]["top_unigram_frac"] == 0.6
+    assert rows[5]["unique_ratio"] == 0.4
+    assert rows[5]["dup_bigram_frac"] == 1.0  # "a b"x2, "b a"x2
+
+
+def test_repetition_stats_zero_shuffle_plan(spark, tables):
+    """The whole stat computation is map-only HOF folds — no keyed
+    shuffle touches the corpus (the round-robin widen is the only
+    exchange)."""
+    from pubsub_mapreduce_spark.operators.textops import repetition_stats
+    from pubsub_mapreduce_spark.plans.explain import keyed_shuffle_count
+
+    assert keyed_shuffle_count(repetition_stats(tables["documents"])) == 0
+
+
+def test_ngram_decontaminate_planted(spark):
+    from pubsub_mapreduce_spark.operators.textops import ngram_decontaminate
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    bench = mk([(100, "alpha beta gamma delta")])
+    train = mk(
+        [
+            (1, "x y alpha beta gamma z"),  # one shared 3-gram
+            (2, "p q r s t"),  # clean: no output row
+            (3, "alpha beta gamma alpha beta gamma"),  # distinct grams: 3, 1 hit
+            (4, "al pha be ta"),  # near-miss tokens: clean
+        ],
+    )
+    rows = {r["doc_id"]: r for r in ngram_decontaminate(train, bench, n=3).collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1]["n_grams"] == 4 and rows[1]["n_hits"] == 1
+    assert rows[3]["n_grams"] == 3 and rows[3]["n_hits"] == 1
+    assert rows[3]["contamination"] == 0.333333
+
+
+def test_quality_quantile_gate_drops_bottom_quartile_per_lang(spark, tables):
+    from pyspark.sql import functions as F
+
+    from pubsub_mapreduce_spark.operators.textops import quality_quantile_gate
+
+    docs = tables["documents"]
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    kept = {r["lang"]: r["n"] for r in quality_quantile_gate(docs).groupBy(
+        "lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert kept == {
+        lang: n - int(n * 0.25) for lang, n in totals.items()
+    }

@@ -63,3 +63,49 @@ def test_sample_is_subset_and_split_partitions(spark, tables):
     split = train_val_test_split(docs, "doc_id")
     counts = {r["split"]: r["n"] for r in split.groupBy("split").count().withColumnRenamed("count", "n").collect()}
     assert sum(counts.values()) == n and set(counts) == {"train", "val", "test"}
+
+
+def test_pack_shards_matches_naive_prefix_sum_and_conserves(spark, tables):
+    from pyspark.sql import functions as F
+
+    from pubsub_mapreduce_spark.operators.sampling import pack_shards
+
+    docs = tables["documents"].select(
+        "doc_id", F.length("text").alias("w_src")
+    )
+    budget = 500
+    packed = pack_shards(docs, "doc_id", F.col("w_src"), budget=budget).collect()
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+    # naive single-pass reference
+    cum, expected = 0, {}
+    for r in rows:
+        expected[r.doc_id] = cum // budget
+        cum += r.w_src
+    assert len(packed) == len(rows)  # every row assigned exactly once
+    for p in packed:
+        assert p.shard_id == expected[p.doc_id], p.doc_id
+    assert sum(p.w for p in packed) == sum(r.w_src for r in rows)
+
+
+def test_pack_shards_single_partition_window_is_bucket_bounded(spark, tables):
+    """The data-side cumsum window is partitioned by bucket; the only
+    unpartitioned (SinglePartition) stages are the 1-row min/max bounds
+    aggregate and the n_buckets-row offsets window — never the data."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pubsub_mapreduce_spark.operators.sampling import pack_shards
+
+    docs = tables["documents"].select("doc_id", F.length("text").alias("w"))
+    plan = pack_shards(
+        docs, "doc_id", F.col("w"), budget=500, n_buckets=4
+    )._jdf.queryExecution().executedPlan().toString()
+    # the per-row cumsum window carries a bucket partition spec
+    assert re.search(
+        r"Window \[sum\(w#\d+\) windowspecdefinition\(bucket#\d+, k#\d+", plan
+    ), plan
+    # the offsets window is the ONLY SinglePartition stage (the bounds
+    # aggregate resolved eagerly to literals before plan construction)
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
