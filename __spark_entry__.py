@@ -514,6 +514,13 @@ def q_pack_shards(spark, sf_dir):
     )
 
 
+def q_emb_covariance(spark, sf_dir):
+    """Distributed covariance/correlation of the embedding corpus over
+    int8 codes — integer sums are order-independent, so this approximate-
+    family op carries a full value oracle (similarity.embedding_covariance)."""
+    return S.embedding_covariance(load_tables(spark, sf_dir)["embeddings"])
+
+
 def q_sample_docs(spark, sf_dir):
     docs = load_tables(spark, sf_dir)["documents"]
     return SM.sample_pct(docs, "doc_id", 10).select(
@@ -789,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "quality_gate": q_quality_gate,
         "pack_shards": q_pack_shards,
+        "emb_covariance": q_emb_covariance,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -2146,6 +2154,43 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS shard_tokens,
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM c GROUP BY 1
+        """,
+        # Covariance over int8 codes: every accumulated quantity is an
+        # integer (exact, order-independent), downstream doubles derived
+        # in one fixed op order — a full value oracle for a second-moment
+        # statistic, which float sums could never hash-match.
+        "emb_covariance": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+            sc AS (
+              SELECT vec_id, x, CASE WHEN m > 0 THEN m ELSE 1.0 END AS scale
+              FROM (SELECT vec_id, x,
+                           list_max(list_transform(x, v -> abs(v))) / 127.0 AS m
+                    FROM e)),
+            c AS (SELECT vec_id,
+                         list_transform(x, v -> CAST(floor(v / scale + 0.5)
+                                                     AS INTEGER)) AS q
+                  FROM sc),
+            ex AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS i, q[i] AS v
+                   FROM c, LATERAL (SELECT unnest(range(1, len(q) + 1)) AS i) _),
+            dims AS (SELECT i, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+                     FROM ex GROUP BY 1),
+            gram AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS sp
+                     FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+                     GROUP BY 1, 2),
+            dstat AS (
+              SELECT d.i AS d, d.s, d.n,
+                     (CAST(g.sp AS DOUBLE) - CAST(d.s AS DOUBLE) * d.s / d.n) / d.n
+                       AS var
+              FROM dims d JOIN gram g ON g.i = d.i AND g.j = d.i)
+            SELECT g.i, g.j,
+                   floor(((CAST(g.sp AS DOUBLE) - CAST(a.s AS DOUBLE) * b.s / a.n)
+                          / a.n) * 1e8 + 0.5) / 1e8 AS cov,
+                   CASE WHEN a.var > 0 AND b.var > 0
+                        THEN floor(((CAST(g.sp AS DOUBLE)
+                                     - CAST(a.s AS DOUBLE) * b.s / a.n) / a.n)
+                                   / sqrt(a.var * b.var) * 1e6 + 0.5) / 1e6
+                        ELSE NULL END AS corr
+            FROM gram g JOIN dstat a ON g.i = a.d JOIN dstat b ON g.j = b.d
         """,
         "text_quality_by_source": f"""
             WITH {_TEXT_FEATURES_CTE},

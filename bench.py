@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "dedup_embedding",
     "dedup_canonical",
     "emb_quantize",
+    "emb_covariance",
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frame_sample",

@@ -918,6 +918,111 @@ def quantize_embeddings(emb: DataFrame, bits: int = 8) -> DataFrame:
     )
 
 
+def _int8_codes(emb: DataFrame, bits: int = 8) -> DataFrame:
+    """(vec_id, codes array<int>) under the same symmetric quantization
+    as ``quantize_embeddings`` (same scale / floor(x/s + 0.5) formula,
+    kept textually in sync — see its docstring for determinism notes)."""
+    qmax = float(2 ** (bits - 1) - 1)
+    x = F.col("embedding")
+    scale = F.array_max(F.transform(x, lambda v: F.abs(v))).cast("double") / F.lit(
+        qmax
+    )
+    d = emb.select(
+        "vec_id",
+        x.alias("embedding"),
+        F.when(scale > 0, scale).otherwise(F.lit(1.0)).alias("scale"),
+    )
+    return d.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v: F.floor(v.cast("double") / F.col("scale") + F.lit(0.5)).cast(
+                "int"
+            ),
+        ).alias("codes"),
+    )
+
+
+def embedding_covariance(emb: DataFrame) -> DataFrame:
+    """Distributed covariance/correlation matrix of the embedding corpus
+    — the second-moment statistics behind whitening, PCA seeding, and
+    drift monitoring of a 100TB embedding store. Computed over the
+    int8-QUANTIZED codes (``quantize_embeddings``'s formula) so every
+    accumulated quantity is an INTEGER: int sums are exact and
+    order/partitioning-independent, which is what gives an approximate-
+    family operator a full value-hash oracle (float sums differ at the
+    ulp by summation order; see README 'Money aggregates in DECIMAL'
+    for the same argument).
+
+    Plan shape: one HOF flatten/explode emits the d(d+1)/2 upper-
+    triangle products per row — no self-join — and Catalyst's partial
+    aggregation collapses them map-side, so the shuffle carries
+    |partitions| x d(d+1)/2 rows regardless of corpus size. The d-row
+    dimension stats (sums, variances) broadcast back. Overflow-safe
+    under ANSI mode to ~3.5e14 rows (127^2 x n < 2^63). At even larger
+    scale the same integer exactness holds for a per-partition
+    ``mapInPandas`` int64 BLAS Gram (numpy integer matmul is exact) —
+    plan-compatible, not needed at d=64 where the HOF form stays JVM-
+    side.
+
+    cov(i,j) = (S_ij - S_i*S_j/n)/n and corr from the diagonal, all
+    derived in one fixed IEEE op order mirrored by the oracle."""
+    codes = _int8_codes(emb)
+    gram = (
+        codes.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(codes)-1), i -> "
+                    "transform(sequence(i, size(codes)-1), j -> "
+                    "named_struct('i', i, 'j', j, "
+                    "'p', element_at(codes, i+1) * element_at(codes, j+1)))))"
+                )
+            ).alias("t")
+        )
+        .select("t.i", "t.j", F.col("t.p").cast("long").alias("p"))
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("sp"))
+    )
+    dims = (
+        codes.select(F.posexplode("codes").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    var = gram.where(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"), F.col("sp").alias("sq")
+    )
+    # per-dim stats: sum, count, variance — d rows, broadcast twice
+    dstat = dims.join(var, dims["i"] == var["d"]).select(
+        F.col("i").alias("d"),
+        "s",
+        "n",
+        (
+            (F.col("sq").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+            / F.col("n")
+        ).alias("var"),
+    )
+    a, b = dstat.alias("a"), dstat.alias("b")
+    cov = (
+        F.col("sp").cast("double")
+        - F.col("a.s").cast("double") * F.col("b.s") / F.col("a.n")
+    ) / F.col("a.n")
+    from ..functions.text import round_half_up
+
+    return (
+        gram.join(broadcast(a), F.col("i") == F.col("a.d"))
+        .join(broadcast(b), F.col("j") == F.col("b.d"))
+        .select(
+            "i",
+            "j",
+            round_half_up(cov, 8).alias("cov"),
+            F.when(
+                (F.col("a.var") > 0) & (F.col("b.var") > 0),
+                round_half_up(cov / F.sqrt(F.col("a.var") * F.col("b.var")), 6),
+            ).alias("corr"),
+        )
+    )
+
+
 def user_profile_vectors(events: DataFrame) -> DataFrame:
     """Dense per-user daily-activity profile vectors: (vec_id=user_id,
     embedding=array<double> of per-day event counts over the global day

@@ -310,19 +310,22 @@ def ngram_decontaminate(
     100TB you would ``xxhash64`` them to 8 bytes first (same plan
     shape, as in dedup.py's minhash base).
 
+    Gram construction is ONE overlapping-regex pass
+    (``(?=(\\S+ \\S+ ... ))\\S+`` over whitespace-normalized text) —
+    A/B-measured 10x faster at sf0.1 (0.57s vs 5.8s) than the
+    ``transform(sequence, i -> concat_ws(slice))`` HOF, whose
+    per-element string building runs interpreted. Lookahead is Java-
+    regex-only (not RE2), so the DuckDB twin builds grams by list
+    slicing instead — same values, different construction.
+
     Returns one row per CONTAMINATED doc: (doc_id, n_grams, n_hits,
     contamination) — clean docs don't pay an output row."""
-    grams = F.when(
-        F.size(F.col("__toks")) >= n,
-        F.expr(
-            f"transform(sequence(1, size(__toks) - {n} + 1), "
-            f"i -> concat_ws(' ', slice(__toks, i, {n})))"
-        ),
-    ).otherwise(F.expr("array()").cast("array<string>"))
+    pat = r"(?=(" + " ".join([r"\S+"] * n) + r"))\S+"
+    grams = F.regexp_extract_all(
+        F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), F.lit(pat), 1
+    )
     with_grams = lambda df: (  # noqa: E731
-        widen(df, 8)
-        .withColumn("__toks", T.tokens(F.col("text")))
-        .withColumn("__grams", F.array_distinct(grams))
+        widen(df, 8).withColumn("__grams", F.array_distinct(grams))
     )
     bench_grams = (
         with_grams(bench).select(F.explode("__grams").alias("g")).distinct()
