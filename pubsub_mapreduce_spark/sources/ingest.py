@@ -1,0 +1,88 @@
+"""JSONL ingestion with poison-record quarantine.
+
+The reference parses every Pub/Sub payload dynamically and ACKs even
+when the parse panics (knobs.go:85-90 — C1 in SURVEY §2.5): poison
+messages are dropped-but-acknowledged so the stream never stalls. The
+file-ingest analogue: every line is read as text and parsed with
+PERMISSIVE ``from_json`` carrying an explicit corrupt-record field —
+malformed lines land in a quarantine relation with their raw text
+instead of failing the job (FAILFAST) or silently vanishing
+(DROPMALFORMED). At 100TB a crawled corpus WILL contain malformed
+lines, and dropping them without accounting is an audit hole — the
+quarantine side is a first-class output, not an error path.
+
+text + ``from_json`` rather than ``spark.read.json``'s built-in
+PERMISSIVE mode for two reasons: (1) it is the exact shape of the
+reference's consume path (raw message -> per-record JSON parse,
+knobs.go:93-100 / codec F3), shared by the streaming form over the same
+directory; (2) the raw datasource forbids queries that touch only the
+corrupt column (SPARK-21610 / QUERY_ONLY_CORRUPT_RECORD_COLUMN), which
+is precisely what a quarantine count does — parsing explicitly has no
+such restriction. Parsing is map-only and codegen'd; both split sides
+stay lazy over one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _parse(raw: DataFrame, schema: str) -> DataFrame:
+    parsed = F.from_json(
+        F.col("value"),
+        f"{schema}, {CORRUPT_COL} string",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+    )
+    return (
+        raw.where(F.trim("value") != "")  # the json source skips blanks; so do we
+        .select(parsed.alias("r"))
+        .select("r.*")
+    )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Batch-read newline-delimited JSON under an explicit schema.
+
+    Returns ALL lines: well-formed rows with ``_corrupt_record`` null,
+    poison lines with their raw text preserved there (and typed columns
+    null). Explicit schema, never inference — inference is an extra full
+    scan AND a correctness hazard (a corpus whose first N lines miss an
+    optional field would drop it for everyone). Split with
+    :func:`split_quarantine`.
+
+    A type-mismatched FIELD (e.g. ``"n": "abc"`` against a long column)
+    quarantines the whole line — matching the reference, where a
+    wrong-typed field panics the callback and poisons the whole message
+    (knobs.go:98-100), not just the field. A MISSING field is legal JSON
+    and parses to null (struct zero-value semantics, flood.go:68-72)."""
+    return _parse(spark.read.text(path), schema)
+
+
+def read_jsonl_stream(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Streaming form of :func:`read_jsonl` — same schema contract, same
+    quarantine semantics, over a growing directory."""
+    return _parse(spark.readStream.text(path), schema)
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine): good rows typed with the corrupt column
+    dropped; quarantined rows keep every column (typed columns null)
+    plus the raw line, so the audit side can be replayed after a parser
+    fix. Two lazy filters over one scan."""
+    good = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.where(F.col(CORRUPT_COL).isNotNull())
+    return good, bad
+
+
+def quarantine_stats(df: DataFrame) -> DataFrame:
+    """One-row ingest audit: total / parsed / quarantined counts — the
+    number a pipeline alerts on when a crawler starts emitting garbage.
+    Single partial-agg'd scan."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(F.col(CORRUPT_COL).isNull(), 1)).alias("n_parsed"),
+        F.count(F.col(CORRUPT_COL)).alias("n_quarantined"),
+    )

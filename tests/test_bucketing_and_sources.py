@@ -283,3 +283,67 @@ def test_kafka_topic_gated_without_connector(spark):
         t.subscribe(spark, "id long")
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         t.publish(spark.range(1))
+
+
+def test_jsonl_ingest_quarantines_poison_lines(spark, tmp_path):
+    """C1 analogue (knobs.go:85-90): malformed lines never fail the job —
+    they land, accounted, in the quarantine side with the raw text kept;
+    a wrong-typed field poisons its whole line like the reference's
+    panicking callback."""
+    from pubsub_mapreduce_spark.sources.ingest import (
+        quarantine_stats,
+        read_jsonl,
+        split_quarantine,
+    )
+
+    p = tmp_path / "knobs.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                '{"id": 1, "n": 42, "ts": 1525474779.6}',
+                '{"id": 2, "n": 7, "ts": 1525474780.1}',
+                "{not json at all",
+                '{"id": 3, "n": "abc", "ts": 1525474781.0}',  # wrong type
+                '{"id": 4, "ts": 1525474782.0}',  # missing field: legal JSON
+            ]
+        )
+    )
+    df = read_jsonl(spark, str(p), "id long, n long, ts double")
+    good, bad = split_quarantine(df)
+    g = {r["id"]: r for r in good.collect()}
+    assert set(g) == {1, 2, 4}  # missing field -> null, NOT poison
+    assert g[4]["n"] is None
+    raws = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(raws) == 2 and "{not json at all" in raws
+    s = quarantine_stats(df).first()
+    assert (s["n_lines"], s["n_parsed"], s["n_quarantined"]) == (5, 3, 2)
+
+
+def test_jsonl_stream_matches_batch_quarantine(spark, tmp_path):
+    from pubsub_mapreduce_spark.sources.ingest import (
+        read_jsonl,
+        read_jsonl_stream,
+        split_quarantine,
+    )
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    (d / "a.jsonl").write_text('{"id": 1, "n": 5}\nboom\n{"id": 2, "n": 6}')
+    (d / "b.jsonl").write_text('{"id": 3, "n": 7}\n{"id": 4, "n": "x"}')
+    schema = "id long, n long"
+    stream = read_jsonl_stream(spark, str(d), schema)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ingest_q")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    got = spark.sql("select * from ingest_q")
+    batch = read_jsonl(spark, str(d), schema)
+    for df in (got, batch):
+        good, bad = split_quarantine(df)
+        assert sorted(r["id"] for r in good.collect()) == [1, 2, 3]
+        assert bad.count() == 2
