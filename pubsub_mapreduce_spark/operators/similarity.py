@@ -966,7 +966,14 @@ def embedding_covariance(emb: DataFrame) -> DataFrame:
     side.
 
     cov(i,j) = (S_ij - S_i*S_j/n)/n and corr from the diagonal, all
-    derived in one fixed IEEE op order mirrored by the oracle."""
+    derived in one fixed IEEE op order mirrored by the oracle.
+
+    The d-row per-dim stats (sum, count, sum-of-squares) are an EAGER
+    bounded collect rebuilt as a local relation — the IVF-centroid-seed
+    pattern: left lazy, the a/b self-join aliasing duplicated the whole
+    stats lineage into both branches (measured plan: 5 keyed shuffles
+    and 4 extra corpus passes; with the local relation: 1 shuffle, 2
+    corpus passes total)."""
     codes = _int8_codes(emb)
     gram = (
         codes.select(
@@ -983,21 +990,28 @@ def embedding_covariance(emb: DataFrame) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum("p").alias("sp"))
     )
-    dims = (
+    dim_rows = (
         codes.select(F.posexplode("codes").alias("i", "v"))
         .groupBy("i")
-        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum("v").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v") * F.col("v")).alias("sq"),
+        )
+        .collect()  # bounded by the embedding dimension, like IVF centroids
     )
-    var = gram.where(F.col("i") == F.col("j")).select(
-        F.col("i").alias("d"), F.col("sp").alias("sq")
-    )
-    # per-dim stats: sum, count, variance — d rows, broadcast twice
-    dstat = dims.join(var, dims["i"] == var["d"]).select(
-        F.col("i").alias("d"),
+    dstat = emb.sparkSession.createDataFrame(
+        [(r["i"], r["s"], r["n"], r["sq"]) for r in dim_rows],
+        "d int, s long, n long, sq long",
+    ).select(
+        "d",
         "s",
         "n",
         (
-            (F.col("sq").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+            (
+                F.col("sq").cast("double")
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+            )
             / F.col("n")
         ).alias("var"),
     )

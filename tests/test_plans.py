@@ -394,3 +394,31 @@ def test_user_similarity_plan(spark):
     df = q("user_similarity", spark)
     assert_no_cartesian(df)
     assert node_count(df, "BroadcastNestedLoopJoin") <= 2
+
+
+def test_decontaminate_broadcast_semi_shape(spark):
+    """Decontamination: the benchmark gram set rides a broadcast; the
+    corpus side never shuffles its text — the only keyed exchanges are
+    the bench-side distinct and the doc_id result aggregate."""
+    df = q("decontaminate", spark)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df, min_count=1)
+    assert keyed_shuffle_count(df) <= 2
+
+
+def test_emb_covariance_partial_agg_shape(spark):
+    """Covariance: the d(d+1)/2 products collapse map-side — the gram
+    aggregate is the ONLY keyed shuffle (|partitions| x 2080 rows); the
+    d-row stats are a bounded eager collect joined back as broadcast
+    local relations; no cartesian."""
+    df = q("emb_covariance", spark)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df, min_count=2)
+    assert keyed_shuffle_count(df) <= 1
+
+
+def test_quality_gate_single_shuffle(spark):
+    """The per-lang rank cut is one keyed exchange (both windows share
+    the lang partitioning)."""
+    df = q("quality_gate", spark)
+    assert keyed_shuffle_count(df) <= 1
