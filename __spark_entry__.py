@@ -487,6 +487,12 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_cross_doc_repetition(spark, sf_dir):
+    """Cross-document duplicated-n-gram fraction — the corpus-level
+    boilerplate cut (textops.cross_doc_gram_stats, inverted-index plan)."""
+    return TX.cross_doc_gram_stats(load_tables(spark, sf_dir)["documents"], n=4)
+
+
 def q_quality_gate(spark, sf_dir):
     """Per-language relative quality gate: drop each lang's bottom
     quartile by integer rank threshold (not interpolated percentile —
@@ -797,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate": q_quality_gate,
         "pack_shards": q_pack_shards,
         "emb_covariance": q_emb_covariance,
+        "cross_doc_repetition": q_cross_doc_repetition,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -2094,6 +2101,24 @@ def oracle_sql() -> dict[str, str]:
                                    * 1e6 + 0.5) / 1e6
                         ELSE 0.0 END AS dup_bigram_frac
             FROM ustat u LEFT JOIN bstat b USING (doc_id)
+        """,
+        "cross_doc_repetition": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g
+              FROM tk, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) _
+              WHERE len(t) >= 4),
+            dfq AS (SELECT g, count(*) AS df FROM g GROUP BY 1)
+            SELECT doc_id,
+                   CAST(count(*) AS INTEGER) AS n_grams,
+                   count(CASE WHEN df > 1 THEN 1 END) AS n_shared,
+                   floor(CAST(count(CASE WHEN df > 1 THEN 1 END) AS DOUBLE)
+                         / count(*) * 1e6 + 0.5) / 1e6 AS shared_frac
+            FROM g JOIN dfq USING (g)
+            GROUP BY doc_id
         """,
         "decontaminate": r"""
             WITH tk AS (

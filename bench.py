@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "text_tfidf",
     "text_char_bigram",
     "text_repetition",
+    "cross_doc_repetition",
     "decontaminate",
     "quality_gate",
     "pack_shards",

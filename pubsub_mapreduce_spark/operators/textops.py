@@ -350,6 +350,50 @@ def ngram_decontaminate(
     )
 
 
+def cross_doc_gram_stats(docs: DataFrame, n: int = 4) -> DataFrame:
+    """Corpus-level boilerplate signal: per document, the fraction of
+    its DISTINCT word ``n``-grams that also appear in at least one
+    other document (the C4/RefinedWeb-style cross-doc repetition cut).
+    ``repetition_stats`` sees within-doc loops; this sees the nav-bar
+    template shared by a million pages, which no single document's
+    stats can reveal.
+
+    Shape at scale (the tf-idf/inverted-index plan): per-doc distinct
+    grams derive map-side (one overlapping-regex pass + array_distinct,
+    as in ``ngram_decontaminate``); the gram -> doc-frequency aggregate
+    is one keyed shuffle partial-agg'd to |distinct grams|; the join
+    back rides the same gram hash; the per-doc rollup is the last keyed
+    exchange. Grams join as strings for oracle portability — xxhash64
+    them to 8 bytes at 100TB."""
+    pat = r"(?=(" + " ".join([r"\S+"] * n) + r"))\S+"
+    grams = F.array_distinct(
+        F.regexp_extract_all(
+            F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), F.lit(pat), 1
+        )
+    )
+    g = (
+        widen(docs, 8)
+        .select("doc_id", F.explode(grams).alias("g"))
+    )
+    # df_counts is |distinct grams|-sized — it shuffles on the same gram
+    # hash as the join, NOT a broadcast (unlike tf-idf's 1-row N).
+    df_counts = g.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        g.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("df") > 1, 1)).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("int").alias("n_grams"),
+            "n_shared",
+            rh(F.col("n_shared") / F.col("n_grams"), 6).alias("shared_frac"),
+        )
+    )
+
+
 def quality_quantile_gate(docs: DataFrame, drop_frac: float = 0.25) -> DataFrame:
     """Per-language RELATIVE quality gate: drop the bottom ``drop_frac``
     of each language's documents by quality score — corpus mixing by
