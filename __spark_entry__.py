@@ -527,6 +527,14 @@ def q_emb_covariance(spark, sf_dir):
     return S.embedding_covariance(load_tables(spark, sf_dir)["embeddings"])
 
 
+def q_multimodal_audio_energy(spark, sf_dir):
+    """Windowed PCM energy/peak over opaque audio payloads — the audio
+    member of the multimodal family (multimodal.audio_window_energy);
+    integer reductions make the Arrow stage exactly oracle-able."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return multimodal.audio_window_energy(multimodal.attach_media(docs))
+
+
 def q_sample_docs(spark, sf_dir):
     docs = load_tables(spark, sf_dir)["documents"]
     return SM.sample_pct(docs, "doc_id", 10).select(
@@ -804,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "emb_covariance": q_emb_covariance,
         "cross_doc_repetition": q_cross_doc_repetition,
+        "multimodal_audio_energy": q_multimodal_audio_energy,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -2445,6 +2454,30 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, n,
                          unnest(range(0, greatest(n // 256, 1), 4)) AS i
                   FROM m)
+        """,
+        # Windowed PCM energy recomputed byte-by-byte from the hex dump
+        # (integer sums — the Arrow stage accumulates in int64, so the
+        # values match exactly).
+        "multimodal_audio_energy": """
+            WITH m AS (
+              SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                     lower(hex(encode(text))) AS h
+              FROM documents),
+            w AS (
+              SELECT doc_id, n, h,
+                     unnest(range(0, greatest((n + 255) // 256, 1))) AS w
+              FROM m),
+            b AS (
+              SELECT doc_id, w,
+                     [ (strpos('0123456789abcdef', h[2*i+1:2*i+1]) - 1) * 16
+                       + (strpos('0123456789abcdef', h[2*i+2:2*i+2]) - 1)
+                       for i in range(w*256, least(n, w*256 + 256)) ] AS vals
+              FROM w)
+            SELECT doc_id, CAST(w AS BIGINT) AS win,
+                   CAST(len(vals) AS BIGINT) AS n_samples,
+                   CAST(list_sum(vals) AS BIGINT) AS energy,
+                   CAST(list_max(vals) AS BIGINT) AS peak
+            FROM b WHERE len(vals) > 0
         """,
         # no oracle (rows-only check): hll_user_rollup /
         # approx_distinct_users — DataSketches/HLL++ sketch internals

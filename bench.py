@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frame_sample",
+    "multimodal_audio_energy",
 ]
 
 

@@ -134,6 +134,51 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     return df.mapInPandas(run, schema=out_schema)
 
 
+def audio_window_energy(df: DataFrame, window: int = 256) -> DataFrame:
+    """Audio feature extraction plumbing: per fixed-size sample window,
+    integer energy (sum of samples) and peak — the VAD/silence-trim
+    shape a real librosa/ffmpeg stage would fill in. The payload bytes
+    are treated as unsigned 8-bit PCM (the deterministic stand-in for a
+    decoded waveform; a real decoder swaps in at the ``frombuffer``
+    line).
+
+    Arrow-batched ``mapInPandas``, numpy integer reductions per window
+    — exact (no float accumulation), embarrassingly parallel, no
+    shuffle; bytes are dropped at projection so only (doc, window,
+    stats) rows flow on. The trailing partial window is emitted (real
+    audio is not block-aligned). Fully value-oracled: DuckDB recomputes
+    the same sums from the hex dump."""
+    import numpy as np
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("win", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("energy", LongType()),
+            StructField("peak", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "win", "n_samples", "energy", "peak")}
+            for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                samples = np.frombuffer(bytes(data), dtype=np.uint8)
+                for w in range(0, max(1, len(samples) + window - 1) // window):
+                    chunk = samples[w * window : (w + 1) * window]
+                    if len(chunk) == 0:
+                        continue
+                    rows["doc_id"].append(doc_id)
+                    rows["win"].append(w)
+                    rows["n_samples"].append(len(chunk))
+                    rows["energy"].append(int(chunk.sum(dtype=np.int64)))
+                    rows["peak"].append(int(chunk.max()))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def binary_meta(docs: DataFrame) -> DataFrame:
     """Pure-SQL metadata over binary payloads (no Python): byte length,
     sha256, base64 prefix — the cheap pre-decode audit columns."""

@@ -65,3 +65,20 @@ def test_phash_near_pairs_no_cartesian(spark):
         _media(spark, [(i, bytes([i % 251]) * (50 + i)) for i in range(20)])
     )
     assert_no_cartesian(df)
+
+
+def test_audio_window_energy_partial_window_and_exact_sums(spark):
+    from pubsub_mapreduce_spark.operators.multimodal import audio_window_energy
+
+    payload = bytes(range(256)) + bytes([200] * 44)  # 300 bytes: 256 + 44
+    df = spark.createDataFrame(
+        [(1, payload), (2, b"\x05")], "doc_id long, data binary"
+    )
+    rows = {(r["doc_id"], r["win"]): r for r in audio_window_energy(df).collect()}
+    assert set(rows) == {(1, 0), (1, 1), (2, 0)}
+    assert rows[(1, 0)]["n_samples"] == 256
+    assert rows[(1, 0)]["energy"] == sum(range(256))
+    assert rows[(1, 0)]["peak"] == 255
+    assert rows[(1, 1)]["n_samples"] == 44
+    assert rows[(1, 1)]["energy"] == 200 * 44
+    assert rows[(2, 0)] ["energy"] == 5 and rows[(2, 0)]["n_samples"] == 1
