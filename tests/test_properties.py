@@ -127,3 +127,67 @@ def test_decimal_money_aggregates_partitioning_invariant(spark):
             finally:
                 spark.conf.set("spark.sql.shuffle.partitions", old)
             assert got == want, f"{name} not stable at {parts} partitions"
+
+
+texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=12
+)
+
+
+@PROP
+@given(docs=texts)
+def test_repetition_folds_match_counter_reference(spark, docs):
+    """The sorted-run HOF folds (max run = top count, length-1 runs =
+    singleton grams) must agree with a plain Counter over any input —
+    the property that justifies the zero-shuffle plan."""
+    from collections import Counter
+
+    from pubsub_mapreduce_spark.operators.textops import repetition_stats
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    for i, text in enumerate(docs):
+        toks = [t for t in text.split() if t]
+        if not toks:
+            assert i not in got
+            continue
+        uni = Counter(toks)
+        bgs = Counter(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+        r = got[i]
+        assert r["n_tokens"] == len(toks)
+
+        def rh6(x):
+            import math
+
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        assert r["top_unigram_frac"] == rh6(max(uni.values()) / len(toks))
+        assert r["unique_ratio"] == rh6(len(uni) / len(toks))
+        total_bg = sum(bgs.values())
+        dup = sum(c for c in bgs.values() if c > 1)
+        assert r["dup_bigram_frac"] == (rh6(dup / total_bg) if total_bg else 0.0)
+
+
+weights = st.lists(st.integers(0, 700), min_size=1, max_size=40)
+
+
+@PROP
+@given(ws=weights, budget=st.integers(1, 600), nb=st.integers(1, 7))
+def test_pack_shards_equals_sequential_scan(spark, ws, budget, nb):
+    """The bucketed two-phase prefix sum must equal the naive sequential
+    scan for ANY weights/budget/bucket-count — including weights larger
+    than the budget (shard-id gaps) and n_buckets > n_rows."""
+    from pubsub_mapreduce_spark.operators.sampling import pack_shards
+
+    rows = [(i * 3 + 1, w) for i, w in enumerate(ws)]  # non-contiguous keys
+    df = spark.createDataFrame(rows, "k long, w long")
+    got = {
+        r["k"]: r["shard_id"]
+        for r in pack_shards(df, "k", F.col("w"), budget=budget, n_buckets=nb).collect()
+    }
+    cum = 0
+    for k, w in rows:
+        assert got[k] == cum // budget, (k, w, budget, nb)
+        cum += w
