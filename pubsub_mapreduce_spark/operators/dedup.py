@@ -66,19 +66,28 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 def word_shingles(
     docs: DataFrame, n: int = 3, text: str = "text", distinct: bool = True
 ) -> DataFrame:
-    """Word n-gram shingles per doc: (doc_id, shingle string). Built with
-    a sequence/transform HOF (codegen), then explode.
+    """Word n-gram shingles per doc: (doc_id, shingle string), built by
+    ONE overlapping-regex lookahead pass over whitespace-collapsed text
+    — A/B-measured 12x faster at sf0.1 (0.28s vs 3.5s) than the
+    ``transform(sequence, i -> concat_ws(slice))`` HOF, whose per-element
+    string building runs interpreted (same finding as
+    textops.ngram_decontaminate). The collapse to single spaces makes
+    the captured gram byte-identical to the concat_ws(' ') join the HOF
+    produced; docs shorter than ``n`` tokens keep the whole-text-as-one-
+    shingle behavior via the fallback branch. Lookahead is Java-regex-
+    only — the DuckDB oracle builds shingles by list slicing.
 
     ``distinct=True`` (set semantics, needed for exact Jaccard) costs a
     full shuffle of the exploded rows; pass ``distinct=False`` for
     consumers that are duplicate-insensitive (MinHash: min over a multiset
     equals min over its set) — that path is shuffle-free until its own
     aggregate."""
-    toks = tokens(normalized_text(text))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    nt = F.regexp_replace(normalized_text(text), r"\s+", " ")
+    toks = tokens(nt)
+    pat = r"(?=(" + " ".join([r"\S+"] * n) + r"))\S+"
+    grams = F.when(
+        F.size(toks) >= n, F.regexp_extract_all(nt, F.lit(pat), 1)
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
     # docs shorter than n tokens produce their whole text as one shingle
     out = docs.select("doc_id", F.explode(grams).alias("shingle")).where(
         F.col("shingle") != ""

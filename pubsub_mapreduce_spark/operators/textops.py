@@ -268,13 +268,13 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
     n_tok = F.size(toks)
     n_bg = F.size(F.col("__bgs"))
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.expr(
-            "transform(sequence(1, size(__toks) - 1), "
-            "i -> concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1)))"
-        ),
-    ).otherwise(F.expr("array()").cast("array<string>"))
+    # word bigrams via the overlapping-regex pass (case preserved, only
+    # whitespace collapsed so the capture equals the single-space join)
+    bigrams = F.regexp_extract_all(
+        F.regexp_replace(F.trim(F.col("text")), r"\s+", " "),
+        F.lit(r"(?=(\S+ \S+))\S+"),
+        1,
+    )
     return (
         widen(docs, 8)
         .withColumn("__toks", T.tokens(F.col("text")))
@@ -450,14 +450,13 @@ def char_bigram_score(docs: DataFrame, text: str = "text") -> DataFrame:
 
     txt = F.lower(F.trim(F.regexp_replace(F.col(text), r"\s+", " ")))
     d = widen(docs, 8).select("doc_id", txt.alias("t"))
+    # overlapping char bigrams via regex lookahead — 2.3x the
+    # transform/substring HOF at sf0.1 (0.24s vs 0.56s; same interpreted
+    # string-building finding as word_shingles). '.' never meets a line
+    # terminator here: the \s+ collapse above removed them.
     bigrams = d.select(
         "doc_id",
-        F.explode(
-            F.when(
-                F.length("t") >= 2,
-                F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"),
-            ).otherwise(F.array())
-        ).alias("bg"),
+        F.explode(F.regexp_extract_all("t", F.lit(r"(?=(..))."), 1)).alias("bg"),
     )
     freq = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("freq"))
     total = freq.agg(F.sum("freq").alias("total"))
