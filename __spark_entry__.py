@@ -1485,7 +1485,7 @@ def oracle_sql() -> dict[str, str]:
                    floor(CAST(rev_d AS DOUBLE) / CAST(total_d AS DOUBLE)
                          * 1e6 + 0.5) / 1e6 AS rev_share
             FROM per_part, total
-            WHERE CAST(rev_d AS DOUBLE) > CAST(total_d AS DOUBLE) * 0.002
+            WHERE CAST(rev_d AS DOUBLE) > CAST(total_d AS DOUBLE) * 0.0008
         """,
         "order_gaps": """
             SELECT o_orderkey, o_custkey,

@@ -866,7 +866,7 @@ def order_gaps(t: Tables) -> DataFrame:
     )
 
 
-def important_parts(t: Tables, share: float = 0.002) -> DataFrame:
+def important_parts(t: Tables, share: float = 0.0008) -> DataFrame:
     """TPC-H Q11 shape — groups exceeding a fraction of a GLOBAL
     aggregate: parts whose revenue clears ``share`` of total revenue.
 
