@@ -58,6 +58,7 @@ class DeviceConfigSink:
         max_retries: int = MAX_RETRIES,
         retry_wait_s: float = RETRY_WAIT_S,
         value_col: str = "cnt",  # "total" when fed by running_total_stream
+        ledger_dir: str | None = None,
     ):
         self.value_col = value_col
         self.push = push
@@ -65,10 +66,40 @@ class DeviceConfigSink:
         self.max_retries = max_retries
         self.retry_wait_s = retry_wait_s
         self._last_payload: str | None = None
+        self.ledger_dir = ledger_dir
+
+    def _committed(self, batch_id: int) -> bool:
+        import os
+
+        if self.ledger_dir is None:
+            return False
+        return os.path.exists(os.path.join(self.ledger_dir, f"{batch_id}.done"))
+
+    def _commit(self, batch_id: int) -> None:
+        import os
+
+        if self.ledger_dir is None:
+            return
+        os.makedirs(self.ledger_dir, exist_ok=True)
+        with open(os.path.join(self.ledger_dir, f"{batch_id}.done"), "w") as f:
+            f.write("1")
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Spark's checkpoint makes the STATE exactly-once, but after a
+        crash the last unacknowledged micro-batch is REDELIVERED to
+        foreachBatch (same batch_id) — and a restarted sink instance has
+        lost its in-memory ``_last_payload``, so without a durable
+        guard the side effect duplicates. ``ledger_dir`` persists one
+        marker file per pushed batch_id: a replayed batch becomes a
+        no-op, upgrading the push to effectively-once. The marker lands
+        AFTER the push — a crash in between re-pushes (the unavoidable
+        at-least-once window without a transactional endpoint; the
+        reference has the same window between publish and ack,
+        reducer.go:119-133)."""
         if self.skip:
             return
+        if self._committed(batch_id):
+            return  # replayed batch after restart: side effect already done
         rows = encode_device_config(batch_df, self.value_col).collect()
         if not rows or rows[0]["payload"] is None:
             return  # empty batch: nothing to push (T8 idle suppression)
@@ -80,6 +111,7 @@ class DeviceConfigSink:
             try:
                 self.push(payload)
                 self._last_payload = payload
+                self._commit(batch_id)
                 return
             except Exception as e:  # bounded retry, reducer.go:119-126
                 last_err = e

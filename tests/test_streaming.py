@@ -662,3 +662,37 @@ def test_streaming_near_dedup_by_fingerprint(spark, tmp_path):
     admitted = sorted(r["doc_id"] for _, rows_ in batches for r in rows_)
     # one of {1,2,3} (first arrival) + doc 4
     assert len(admitted) == 2 and 4 in admitted and admitted[0] in (1, 2, 3)
+
+
+def test_device_config_sink_ledger_makes_replay_idempotent(spark, tmp_path):
+    """After a crash, Structured Streaming REDELIVERS the last
+    unacknowledged micro-batch (same batch_id) to a FRESH foreachBatch
+    instance; the durable ledger must turn that replay into a no-op so
+    the device-config push is effectively-once end to end."""
+    from pubsub_mapreduce_spark.streaming.sinks import DeviceConfigSink
+
+    batch = spark.createDataFrame([(0, 5), (1, 7)], "id long, cnt long")
+    pushes = []
+    ledger = str(tmp_path / "ledger")
+
+    s1 = DeviceConfigSink(push=pushes.append, ledger_dir=ledger)
+    s1(batch, batch_id=41)
+    assert len(pushes) == 1
+
+    # "crash": a brand-new sink instance (in-memory state lost) sees the
+    # same batch replayed — the ledger suppresses the duplicate push
+    s2 = DeviceConfigSink(push=pushes.append, ledger_dir=ledger)
+    s2(batch, batch_id=41)
+    assert len(pushes) == 1
+
+    # the NEXT batch still pushes
+    s2(spark.createDataFrame([(0, 9)], "id long, cnt long"), batch_id=42)
+    assert len(pushes) == 2
+
+    # without a ledger the replay duplicates (the hazard being guarded)
+    pushes2 = []
+    u1 = DeviceConfigSink(push=pushes2.append)
+    u1(batch, batch_id=41)
+    u2 = DeviceConfigSink(push=pushes2.append)
+    u2(batch, batch_id=41)
+    assert len(pushes2) == 2
