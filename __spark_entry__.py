@@ -493,6 +493,13 @@ def q_cross_doc_repetition(spark, sf_dir):
     return TX.cross_doc_gram_stats(load_tables(spark, sf_dir)["documents"], n=4)
 
 
+def q_funnel_conversion(spark, sf_dir):
+    """Earliest-transition funnel view->click->purchase within 1h —
+    sequential pattern matching in one user-keyed shuffle
+    (relational.funnel_conversion)."""
+    return R.funnel_conversion(load_tables(spark, sf_dir))
+
+
 def q_quality_gate(spark, sf_dir):
     """Per-language relative quality gate: drop each lang's bottom
     quartile by integer rank threshold (not interpolated percentile —
@@ -813,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_covariance": q_emb_covariance,
         "cross_doc_repetition": q_cross_doc_repetition,
         "multimodal_audio_energy": q_multimodal_audio_energy,
+        "funnel_conversion": q_funnel_conversion,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -2110,6 +2118,30 @@ def oracle_sql() -> dict[str, str]:
                                    * 1e6 + 0.5) / 1e6
                         ELSE 0.0 END AS dup_bigram_frac
             FROM ustat u LEFT JOIN bstat b USING (doc_id)
+        """,
+        # Staged-window funnel: each step's min is conditioned on the
+        # previous step's per-user min; epoch doubles compare exactly.
+        "funnel_conversion": """
+            WITH e AS (SELECT user_id, event_type, epoch(ts) AS tt FROM events),
+            a AS (SELECT *, min(CASE WHEN event_type = 'view' THEN tt END)
+                            OVER (PARTITION BY user_id) AS s0 FROM e),
+            b AS (SELECT *, min(CASE WHEN event_type = 'click'
+                                      AND tt >= s0 AND tt <= s0 + 3600
+                                     THEN tt END)
+                            OVER (PARTITION BY user_id) AS s1 FROM a),
+            c AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+                                      AND tt >= s1 AND tt <= s1 + 3600
+                                     THEN tt END)
+                            OVER (PARTITION BY user_id) AS s2 FROM b),
+            u AS (SELECT user_id, max(s0) AS s0, max(s1) AS s1, max(s2) AS s2
+                  FROM c GROUP BY 1)
+            SELECT count(s0) AS n_step1, count(s1) AS n_step2,
+                   count(s2) AS n_step3,
+                   floor(CAST(count(s1) AS DOUBLE) / count(s0) * 1e6 + 0.5) / 1e6
+                     AS conv_step2,
+                   floor(CAST(count(s2) AS DOUBLE) / count(s0) * 1e6 + 0.5) / 1e6
+                     AS conv_step3
+            FROM u
         """,
         "cross_doc_repetition": r"""
             WITH tk AS (

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "capped_docs",
     "unpivot_metrics",
     "json_props_stats",
+    "funnel_conversion",
     # reference pipeline (batch replay)
     "t1_latest_per_key",
     "t3_fan_out",

@@ -397,6 +397,52 @@ def status_pivot_by_year(t: Tables) -> DataFrame:
     )
 
 
+def funnel_conversion(
+    t: Tables,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    horizon_s: int = 3600,
+) -> DataFrame:
+    """Sequential event-pattern matching (MATCH_RECOGNIZE-lite): the
+    earliest-transition funnel — per user, the first ``steps[0]``, then
+    the first ``steps[1]`` within ``horizon_s`` after it, and so on —
+    reported as per-step user counts and conversion rates. The product
+    funnel every event pipeline eventually asks of its click stream.
+
+    Shape at scale: one stacked window per step, ALL sharing the same
+    user_id partition spec, so Catalyst plans a single user-keyed
+    Exchange with the window operators pipelined over it — k funnel
+    steps cost one shuffle, not k. Per-user state is a handful of
+    timestamps. Timestamps compare as exact epoch doubles (micros fit
+    the mantissa), so the staged mins are engine-deterministic and the
+    whole pattern match value-hashes against the oracle."""
+    w = Window.partitionBy("user_id")
+    d = t["events"].select(
+        "user_id", "event_type", F.col("ts").cast("double").alias("tt")
+    )
+    prev: str | None = None
+    for i, step in enumerate(steps):
+        cond = F.col("event_type") == step
+        if prev is not None:
+            cond = (
+                cond
+                & (F.col("tt") >= F.col(prev))
+                & (F.col("tt") <= F.col(prev) + horizon_s)
+            )
+        d = d.withColumn(f"s{i}", F.min(F.when(cond, F.col("tt"))).over(w))
+        prev = f"s{i}"
+    per_user = d.groupBy("user_id").agg(
+        *[F.max(f"s{i}").alias(f"s{i}") for i in range(len(steps))]
+    )
+    n0 = F.count("s0")
+    return per_user.agg(
+        *[F.count(f"s{i}").alias(f"n_step{i + 1}") for i in range(len(steps))],
+        *[
+            round_half_up(F.count(f"s{i}") / n0, 6).alias(f"conv_step{i + 1}")
+            for i in range(1, len(steps))
+        ],
+    )
+
+
 def cohort_retention(t: Tables) -> DataFrame:
     """Cohort retention over the event stream: users grouped by
     first-activity week (ISO week start — fixtures span days, so weekly

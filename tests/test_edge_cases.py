@@ -185,3 +185,37 @@ def test_quality_quantile_gate_drops_bottom_quartile_per_lang(spark, tables):
     assert kept == {
         lang: n - int(n * 0.25) for lang, n in totals.items()
     }
+
+
+def test_funnel_conversion_planted_paths(spark):
+    """Planted funnel paths: ordering and the horizon both gate each
+    transition; out-of-order or late steps don't convert."""
+    from pubsub_mapreduce_spark.operators.relational import funnel_conversion
+
+    def ev(eid, ts_s, uid, typ):
+        return (eid, ts_s, uid, typ, 1.0, "{}")
+
+    rows = [
+        # u1: full path within horizon
+        ev(1, "2024-01-01 10:00:00", 1, "view"),
+        ev(2, "2024-01-01 10:10:00", 1, "click"),
+        ev(3, "2024-01-01 10:20:00", 1, "purchase"),
+        # u2: click BEFORE view -> no step2
+        ev(4, "2024-01-01 10:00:00", 2, "click"),
+        ev(5, "2024-01-01 10:10:00", 2, "view"),
+        # u3: click too late (2h after view)
+        ev(6, "2024-01-01 10:00:00", 3, "view"),
+        ev(7, "2024-01-01 12:30:00", 3, "click"),
+        # u4: purchase without click -> step3 not reached
+        ev(8, "2024-01-01 10:00:00", 4, "view"),
+        ev(9, "2024-01-01 10:05:00", 4, "purchase"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = funnel_conversion({"events": events}).first()
+    assert got["n_step1"] == 4  # u1..u4 all viewed
+    assert got["n_step2"] == 1  # only u1 clicked after viewing in time
+    assert got["n_step3"] == 1
+    assert got["conv_step2"] == 0.25

@@ -422,3 +422,17 @@ def test_quality_gate_single_shuffle(spark):
     the lang partitioning)."""
     df = q("quality_gate", spark)
     assert keyed_shuffle_count(df) <= 1
+
+
+def test_funnel_single_user_shuffle(spark):
+    """All staged funnel windows share the user_id partition spec — k
+    steps plan ONE user-keyed exchange, the per-user rollup reuses that
+    partitioning with no exchange of its own, and the only other
+    exchange is the 1-row final scalar's SinglePartition."""
+    from pubsub_mapreduce_spark.plans.explain import explain_str
+
+    df = q("funnel_conversion", spark)
+    plan = explain_str(df)
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert keyed_shuffle_count(df) <= 2  # user shuffle + 1-row final agg
+    assert_no_cartesian(df)
