@@ -493,6 +493,12 @@ def q_cross_doc_repetition(spark, sf_dir):
     return TX.cross_doc_gram_stats(load_tables(spark, sf_dir)["documents"], n=4)
 
 
+def q_gap_fill_daily(spark, sf_dir):
+    """Dense daily spine + forward fill per user — time-series resample
+    (relational.gap_fill_daily)."""
+    return R.gap_fill_daily(load_tables(spark, sf_dir))
+
+
 def q_funnel_conversion(spark, sf_dir):
     """Earliest-transition funnel view->click->purchase within 1h —
     sequential pattern matching in one user-keyed shuffle
@@ -821,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_doc_repetition": q_cross_doc_repetition,
         "multimodal_audio_energy": q_multimodal_audio_energy,
         "funnel_conversion": q_funnel_conversion,
+        "gap_fill_daily": q_gap_fill_daily,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -2118,6 +2125,31 @@ def oracle_sql() -> dict[str, str]:
                                    * 1e6 + 0.5) / 1e6
                         ELSE 0.0 END AS dup_bigram_frac
             FROM ustat u LEFT JOIN bstat b USING (doc_id)
+        """,
+        "gap_fill_daily": """
+            WITH daily AS (
+              SELECT user_id, day, value AS v
+              FROM (SELECT user_id, CAST(ts AS DATE) AS day, value,
+                           row_number() OVER (
+                             PARTITION BY user_id, CAST(ts AS DATE)
+                             ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM events)
+              WHERE rn = 1),
+            spine AS (
+              SELECT user_id,
+                     CAST(unnest(generate_series(mind, maxd, INTERVAL 1 DAY))
+                          AS DATE) AS day
+              FROM (SELECT user_id, min(day) AS mind, max(day) AS maxd
+                    FROM daily GROUP BY 1)),
+            j AS (SELECT s.user_id, s.day, d.v
+                  FROM spine s LEFT JOIN daily d USING (user_id, day))
+            SELECT user_id, CAST(day AS VARCHAR) AS day,
+                   last_value(v IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS value_ffill,
+                   v IS NOT NULL AS observed
+            FROM j
         """,
         # Staged-window funnel: each step's min is conditioned on the
         # previous step's per-user min; epoch doubles compare exactly.

@@ -397,6 +397,51 @@ def status_pivot_by_year(t: Tables) -> DataFrame:
     )
 
 
+def gap_fill_daily(t: Tables) -> DataFrame:
+    """Time-series regularization: per-user daily value series on a
+    DENSE calendar spine with forward fill — the resample step every
+    as-of join / moving average consumer assumes but raw event data
+    never provides (days with no events simply don't exist as rows).
+
+    Shape at scale: the per-(user, day) last value is the T1 LWW window
+    (rank over event time, deterministic tie-break); the spine comes
+    from a per-user ``sequence(min_day, max_day)`` explode — rows
+    bounded by |users| x their own span, never a users x calendar
+    crossJoin; the forward fill is a per-user ordered window
+    (``last(ignoreNulls)``). Values are carried verbatim (no float
+    arithmetic), so the fill is exactly oracle-checkable."""
+    e = t["events"].select(
+        "user_id", F.to_date("ts").alias("day"), "value", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "day", F.col("value").alias("v"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # day emitted as ISO string: raw DATE columns round-trip as
+    # different host dtypes per engine (datetime.date vs datetime64) and
+    # trip the exact compare even when values agree
+    return spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.last("v", ignorenulls=True).over(wf).alias("value_ffill"),
+        F.col("v").isNotNull().alias("observed"),
+    )
+
+
 def funnel_conversion(
     t: Tables,
     steps: tuple[str, ...] = ("view", "click", "purchase"),
