@@ -493,6 +493,21 @@ def q_cross_doc_repetition(spark, sf_dir):
     return TX.cross_doc_gram_stats(load_tables(spark, sf_dir)["documents"], n=4)
 
 
+def q_merge_upsert(spark, sf_dir):
+    """MERGE-style upsert: latest event value per user applied to the
+    customer table's balance (matched -> update, new keys -> insert,
+    rest -> keep), tagged with the action audit column
+    (relational.merge_upsert)."""
+    from pubsub_mapreduce_spark.operators.pipeline import latest_per_key
+
+    t = load_tables(spark, sf_dir)
+    upd = latest_per_key(t["events"]).withColumnRenamed("user_id", "c_custkey")
+    merged = R.merge_upsert(
+        t["customer"], upd, key="c_custkey", set_cols={"c_acctbal": "value"}
+    )
+    return merged.select("c_custkey", "c_acctbal", "c_nationkey", "action")
+
+
 def q_gap_fill_daily(spark, sf_dir):
     """Dense daily spine + forward fill per user — time-series resample
     (relational.gap_fill_daily)."""
@@ -828,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_energy": q_multimodal_audio_energy,
         "funnel_conversion": q_funnel_conversion,
         "gap_fill_daily": q_gap_fill_daily,
+        "merge_upsert": q_merge_upsert,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -2125,6 +2141,21 @@ def oracle_sql() -> dict[str, str]:
                                    * 1e6 + 0.5) / 1e6
                         ELSE 0.0 END AS dup_bigram_frac
             FROM ustat u LEFT JOIN bstat b USING (doc_id)
+        """,
+        "merge_upsert": """
+            WITH upd AS (
+              SELECT user_id AS c_custkey, value AS v
+              FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+              WHERE rn = 1)
+            SELECT coalesce(c.c_custkey, u.c_custkey) AS c_custkey,
+                   coalesce(u.v, c.c_acctbal) AS c_acctbal,
+                   c.c_nationkey,
+                   CASE WHEN c.c_custkey IS NOT NULL AND u.c_custkey IS NOT NULL
+                        THEN 'update'
+                        WHEN u.c_custkey IS NOT NULL THEN 'insert'
+                        ELSE 'keep' END AS action
+            FROM customer c FULL OUTER JOIN upd u ON c.c_custkey = u.c_custkey
         """,
         "gap_fill_daily": """
             WITH daily AS (

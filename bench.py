@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "unpivot_metrics",
     "json_props_stats",
     "funnel_conversion",
+    "gap_fill_daily",
+    "merge_upsert",
     # reference pipeline (batch replay)
     "t1_latest_per_key",
     "t3_fan_out",

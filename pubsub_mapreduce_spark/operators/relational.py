@@ -397,6 +397,52 @@ def status_pivot_by_year(t: Tables) -> DataFrame:
     )
 
 
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    set_cols: dict[str, str],
+) -> DataFrame:
+    """MERGE INTO-style upsert (SCD type 1): apply an updates relation
+    to a target table — matched keys take the update's values, unmatched
+    updates insert, untouched target rows pass through, each row tagged
+    with its action. The incremental-maintenance primitive behind
+    keeping a 100TB table current without rewriting it: T1's
+    last-write-wins generalized from a stream's state to a stored table.
+
+    One full outer join on the key — both sides shuffle once on the
+    same hash, matched rows meet partition-locally. At warehouse scale
+    the physical overwrite then targets only the partitions holding
+    changed keys (``io.overwrite_partitions``); this operator produces
+    the logical merged relation plus the ``action`` audit column that
+    decides which partitions those are.
+
+    ``set_cols``: target column -> update-side column providing the new
+    value (missing/unmatched fall back to the target's value)."""
+    # explicit presence markers — sniffing nulls in data columns would
+    # misclassify rows whose real values are null
+    t2 = target.withColumn("__in_t", F.lit(1))
+    u2 = updates.select(
+        F.col(key),
+        *[F.col(src).alias(f"__new_{c}") for c, src in set_cols.items()],
+    ).withColumn("__in_u", F.lit(1))
+    joined = t2.join(u2, on=key, how="full_outer")
+    action = (
+        F.when(F.col("__in_t").isNotNull() & F.col("__in_u").isNotNull(), "update")
+        .when(F.col("__in_u").isNotNull(), "insert")
+        .otherwise("keep")
+    )
+    out_cols = [F.col(key)]
+    for c in target.columns:
+        if c == key:
+            continue
+        if c in set_cols:
+            out_cols.append(F.coalesce(F.col(f"__new_{c}"), F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols, action.alias("action"))
+
+
 def gap_fill_daily(t: Tables) -> DataFrame:
     """Time-series regularization: per-user daily value series on a
     DENSE calendar spine with forward fill — the resample step every

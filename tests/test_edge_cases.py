@@ -219,3 +219,30 @@ def test_funnel_conversion_planted_paths(spark):
     assert got["n_step2"] == 1  # only u1 clicked after viewing in time
     assert got["n_step3"] == 1
     assert got["conv_step2"] == 0.25
+
+
+def test_merge_upsert_markers_handle_null_values(spark):
+    """Presence markers (not null-sniffing) classify rows: an update
+    whose new value IS NULL must still count as matched and null out the
+    target column; null-keyed rows never fabricate matches."""
+    from pubsub_mapreduce_spark.operators.relational import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c")],
+        "k long, bal double, name string",
+    )
+    updates = spark.createDataFrame(
+        [(2, None), (4, 40.0)], "k long, new_bal double"
+    )
+    got = {
+        r["k"]: r
+        for r in merge_upsert(
+            target, updates, key="k", set_cols={"bal": "new_bal"}
+        ).collect()
+    }
+    assert got[1]["action"] == "keep" and got[1]["bal"] == 10.0
+    # matched but new value null: action=update, coalesce falls back
+    assert got[2]["action"] == "update" and got[2]["bal"] == 20.0
+    assert got[3]["action"] == "keep" and got[3]["bal"] is None
+    assert got[4]["action"] == "insert" and got[4]["bal"] == 40.0
+    assert got[4]["name"] is None  # insert: non-set target cols null
