@@ -493,6 +493,30 @@ def q_cross_doc_repetition(spark, sf_dir):
     return TX.cross_doc_gram_stats(load_tables(spark, sf_dir)["documents"], n=4)
 
 
+def q_zorder_stats(spark, sf_dir):
+    """Morton-key clustering report over orders (custkey x order day):
+    per z-prefix bucket, the (custkey, day) bounding rectangle — the
+    tight per-file ranges that make row-group stats prune BOTH columns
+    (io.zorder_key / io.write_zordered)."""
+    from pubsub_mapreduce_spark.io import zorder_key
+
+    t = load_tables(spark, sf_dir)
+    d = t["orders"].select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    )
+    zp = F.shiftright(zorder_key("o_custkey", "day"), 18)
+    return d.groupBy(zp.alias("zp")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_custkey").alias("min_cust"),
+        F.max("o_custkey").alias("max_cust"),
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+    )
+
+
 def q_merge_upsert(spark, sf_dir):
     """MERGE-style upsert: latest event value per user applied to the
     customer table's balance (matched -> update, new keys -> insert,
@@ -844,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "gap_fill_daily": q_gap_fill_daily,
         "merge_upsert": q_merge_upsert,
+        "zorder_stats": q_zorder_stats,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -998,6 +1023,27 @@ feat2 AS (
   FROM feat
 )
 """
+
+
+def _zorder_stats_sql() -> str:
+    from pubsub_mapreduce_spark.io import zorder_key_sql
+
+    z = zorder_key_sql("o_custkey", "day")
+    return f"""
+        WITH d AS (
+          SELECT o_custkey,
+                 CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+                   AS day
+          FROM orders)
+        SELECT ({z} >> 18) AS zp,
+               count(*) AS n_orders,
+               min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+               min(day) AS min_day, max(day) AS max_day
+        FROM d GROUP BY 1
+    """
+
+
+_ZORDER_STATS_SQL = _zorder_stats_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2142,6 +2188,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS dup_bigram_frac
             FROM ustat u LEFT JOIN bstat b USING (doc_id)
         """,
+        "zorder_stats": _ZORDER_STATS_SQL,
         "merge_upsert": """
             WITH upd AS (
               SELECT user_id AS c_custkey, value AS v

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "funnel_conversion",
     "gap_fill_daily",
     "merge_upsert",
+    "zorder_stats",
     # reference pipeline (batch replay)
     "t1_latest_per_key",
     "t3_fan_out",

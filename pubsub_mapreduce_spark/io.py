@@ -165,6 +165,59 @@ def write_partitioned(
     )
 
 
+def zorder_key(a, b, bits: int = 16):
+    """Morton/Z-order interleave of the low ``bits`` bits of two
+    non-negative integer columns — the multi-dimensional clustering key
+    behind Delta/Iceberg OPTIMIZE ZORDER. Sorting a table by this key
+    makes rows close in BOTH dimensions land in the same files, so
+    parquet row-group min/max stats prune scans filtered on EITHER
+    column (a single-column sort only prunes its own column).
+
+    A static 2x``bits``-term expression tree of shift/and/or — fully
+    codegen'd (unlike per-element HOFs, constant-size bit circuits stay
+    JVM-compiled), ANSI-overflow-free (result < 2^(2*bits) <= 2^32).
+    Mirrored bit-for-bit by the oracle SQL (same operators in DuckDB).
+    """
+    ac = (a if not isinstance(a, str) else F.col(a)).cast("long")
+    bc = (b if not isinstance(b, str) else F.col(b)).cast("long")
+    # bit positions never overlap, so '+' IS the bitwise-or here
+    # (PySpark's Column '|' is boolean, not bitwise)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(ac, i) % 2, 2 * i)
+        z = z + F.shiftleft(F.shiftright(bc, i) % 2, 2 * i + 1)
+    return z
+
+
+def zorder_key_sql(a: str, b: str, bits: int = 16) -> str:
+    """The DuckDB twin of :func:`zorder_key` as a SQL expression string
+    (same shift/mod-2 bit circuit; '%' and '<<'/'>>' agree across
+    engines for non-negative operands)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) % 2) << {2 * i})")
+        terms.append(f"((({b} >> {i}) % 2) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def write_zordered(df: DataFrame, path: str, a: str, b: str, n_files: int = 8) -> None:
+    """Persist z-order-clustered on (a, b): range-partition by the
+    Morton key (global order across files) and sort within partitions,
+    so every file covers a tight rectangle of the (a, b) space and
+    row-group stats prune filters on either column. The write-side
+    shuffle (one range exchange) is paid once; every selective reader
+    saves IO forever after — the standard layout trade at 100TB."""
+    z = zorder_key(a, b)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views for ``spark.sql`` use."""
     for name, df in load_tables(spark, sf_dir).items():

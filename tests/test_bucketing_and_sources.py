@@ -347,3 +347,51 @@ def test_jsonl_stream_matches_batch_quarantine(spark, tmp_path):
         good, bad = split_quarantine(df)
         assert sorted(r["id"] for r in good.collect()) == [1, 2, 3]
         assert bad.count() == 2
+
+
+def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
+    """The point of z-ordering: per-file bounding boxes shrink on BOTH
+    clustering columns, so row-group stats prune filters on either.
+    A single-column sort only tightens its own column — pinned as the
+    contrast."""
+    from pyspark.sql import functions as F
+
+    from pubsub_mapreduce_spark.io import load_tables, write_zordered
+    from tests.conftest import SF_MED
+
+    orders = load_tables(spark, SF_MED)["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff("o_orderdate", F.lit("1992-01-01").cast("date")).alias("day"),
+    )
+
+    def mean_spans(path):
+        df = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        rows = (
+            df.groupBy("f")
+            .agg(
+                (F.max("o_custkey") - F.min("o_custkey")).alias("cs"),
+                (F.max("day") - F.min("day")).alias("ds"),
+            )
+            .collect()
+        )
+        n = len(rows)
+        return sum(r["cs"] for r in rows) / n, sum(r["ds"] for r in rows) / n
+
+    write_zordered(orders, str(tmp_path / "z"), "o_custkey", "day", n_files=16)
+    (
+        orders.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "s"))
+    )
+    z_cust, z_day = mean_spans(str(tmp_path / "z"))
+    s_cust, s_day = mean_spans(str(tmp_path / "s"))
+    full_cust = 1500  # sf0.01 custkey domain
+    full_day = orders.agg(F.max("day") - F.min("day")).first()[0]
+    # z-order: BOTH dims tighter than the full domain
+    assert z_cust < full_cust * 0.6, (z_cust, full_cust)
+    assert z_day < full_day * 0.6, (z_day, full_day)
+    # single-column sort: its own column tight, the other unpruned
+    assert s_cust < full_cust * 0.2
+    assert s_day > full_day * 0.8, (s_day, full_day)
