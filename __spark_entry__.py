@@ -493,6 +493,13 @@ def q_cross_doc_repetition(spark, sf_dir):
     return TX.cross_doc_gram_stats(load_tables(spark, sf_dir)["documents"], n=4)
 
 
+def q_scd2_history(spark, sf_dir):
+    """Event stream -> SCD2 dimension: one row per value change with
+    validity interval + version (relational.scd2_history; T8's
+    emit-on-change applied to table maintenance)."""
+    return R.scd2_history(load_tables(spark, sf_dir))
+
+
 def q_zorder_stats(spark, sf_dir):
     """Morton-key clustering report over orders (custkey x order day):
     per z-prefix bucket, the (custkey, day) bounding rectangle — the
@@ -869,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_daily": q_gap_fill_daily,
         "merge_upsert": q_merge_upsert,
         "zorder_stats": q_zorder_stats,
+        "scd2_history": q_scd2_history,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -2189,6 +2197,20 @@ def oracle_sql() -> dict[str, str]:
             FROM ustat u LEFT JOIN bstat b USING (doc_id)
         """,
         "zorder_stats": _ZORDER_STATS_SQL,
+        "scd2_history": """
+            WITH ch AS (
+              SELECT user_id, value, ts, event_id
+              FROM (SELECT *, lag(value) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS prev FROM events)
+              WHERE prev IS NULL OR value <> prev)
+            SELECT user_id, value,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
+                   CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT) AS valid_to_s,
+                   CAST(row_number() OVER w AS INTEGER) AS version,
+                   lead(ts) OVER w IS NULL AS is_current
+            FROM ch
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
         "merge_upsert": """
             WITH upd AS (
               SELECT user_id AS c_custkey, value AS v

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "gap_fill_daily",
     "merge_upsert",
     "zorder_stats",
+    "scd2_history",
     # reference pipeline (batch replay)
     "t1_latest_per_key",
     "t3_fan_out",

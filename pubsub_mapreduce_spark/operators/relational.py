@@ -443,6 +443,37 @@ def merge_upsert(
     return joined.select(*out_cols, action.alias("action"))
 
 
+def scd2_history(t: Tables) -> DataFrame:
+    """Event stream -> type-2 slowly-changing dimension: one row per
+    VALUE CHANGE per key, with its validity interval and version number
+    — ``merge_upsert`` keeps only the present (SCD1); this keeps the
+    history a temporal join / as-of query needs. The change detection
+    is T8's emit-on-change (reducer.go:92-98) applied to a stored
+    dimension instead of a sink.
+
+    One user-keyed exchange: the change filter (lag), interval close
+    (lead) and version stamp (row_number) are windows over the SAME
+    partition+order spec, and the filter between them preserves the
+    partitioning, so Catalyst plans a single shuffle+sort. Timestamps
+    emitted as epoch seconds (house style: no raw temporal columns in
+    oracle-compared output)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = t["events"].select("user_id", "value", "ts", "event_id")
+    changes = e.withColumn("__prev", F.lag("value").over(w)).where(
+        F.col("__prev").isNull() | (F.col("value") != F.col("__prev"))
+    )
+    return changes.select(
+        "user_id",
+        "value",
+        F.floor(F.col("ts").cast("double")).cast("long").alias("valid_from_s"),
+        F.floor(F.lead("ts").over(w).cast("double"))
+        .cast("long")
+        .alias("valid_to_s"),
+        F.row_number().over(w).cast("int").alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
 def gap_fill_daily(t: Tables) -> DataFrame:
     """Time-series regularization: per-user daily value series on a
     DENSE calendar spine with forward fill — the resample step every

@@ -436,3 +436,10 @@ def test_funnel_single_user_shuffle(spark):
     assert plan.count("hashpartitioning(user_id") == 1, plan
     assert keyed_shuffle_count(df) <= 2  # user shuffle + 1-row final agg
     assert_no_cartesian(df)
+
+
+def test_scd2_single_shuffle(spark):
+    """Change filter (lag), interval close (lead) and version stamp all
+    share one user partition+order spec — a single keyed exchange."""
+    df = q("scd2_history", spark)
+    assert keyed_shuffle_count(df) <= 1
