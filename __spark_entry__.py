@@ -493,6 +493,52 @@ def q_cross_doc_repetition(spark, sf_dir):
     return TX.cross_doc_gram_stats(load_tables(spark, sf_dir)["documents"], n=4)
 
 
+def q_dq_orders(spark, sf_dir):
+    """Data-quality gate over orders: row-local rules in one scan
+    (relational.dq_check) + referential-integrity and uniqueness rules
+    composed by union — the expectations report a pipeline blocks a
+    publish on."""
+    from pyspark.sql.functions import broadcast
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    base = R.dq_check(
+        o,
+        {
+            "totalprice_positive": F.col("o_totalprice") > 0,
+            "orderdate_in_range": F.col("o_orderdate").between(
+                "1992-01-01", "2002-12-31"
+            ),
+            "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+        },
+    )
+    tot = o.agg(F.count(F.lit(1)).alias("n_rows"))
+    rate = lambda df: df.crossJoin(broadcast(tot)).select(  # noqa: E731
+        "rule",
+        "n_violations",
+        R.round_half_up(F.col("n_violations") / F.col("n_rows"), 6).alias(
+            "violation_rate"
+        ),
+    )
+    orphans = rate(
+        o.join(
+            t["customer"].select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("custkey_in_customer").alias("rule"), "n_violations")
+    )
+    dups = rate(
+        o.agg(
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+                "n_violations"
+            )
+        ).select(F.lit("orderkey_unique").alias("rule"), "n_violations")
+    )
+    return base.unionAll(orphans).unionAll(dups)
+
+
 def q_scd2_history(spark, sf_dir):
     """Event stream -> SCD2 dimension: one row per value change with
     validity interval + version (relational.scd2_history; T8's
@@ -877,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "zorder_stats": q_zorder_stats,
         "scd2_history": q_scd2_history,
+        "dq_orders": q_dq_orders,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -2197,6 +2244,33 @@ def oracle_sql() -> dict[str, str]:
             FROM ustat u LEFT JOIN bstat b USING (doc_id)
         """,
         "zorder_stats": _ZORDER_STATS_SQL,
+        "dq_orders": """
+            WITH tot AS (SELECT count(*) AS n FROM orders),
+            allrules AS (
+              SELECT 'totalprice_positive' AS rule,
+                     (SELECT count(*) FROM orders
+                      WHERE NOT (o_totalprice > 0)) AS n_violations
+              UNION ALL
+              SELECT 'orderdate_in_range',
+                     (SELECT count(*) FROM orders
+                      WHERE NOT (o_orderdate BETWEEN '1992-01-01' AND '2002-12-31'))
+              UNION ALL
+              SELECT 'status_known',
+                     (SELECT count(*) FROM orders
+                      WHERE NOT (o_orderstatus IN ('O', 'F', 'P')))
+              UNION ALL
+              SELECT 'custkey_in_customer',
+                     (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                        (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey))
+              UNION ALL
+              SELECT 'orderkey_unique',
+                     (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders))
+            SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+                   floor(CAST(n_violations AS DOUBLE) / n * 1e6 + 0.5) / 1e6
+                     AS violation_rate
+            FROM allrules, tot
+        """,
         "scd2_history": """
             WITH ch AS (
               SELECT user_id, value, ts, event_id

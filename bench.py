@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "merge_upsert",
     "zorder_stats",
     "scd2_history",
+    "dq_orders",
     # reference pipeline (batch replay)
     "t1_latest_per_key",
     "t3_fan_out",

@@ -443,6 +443,40 @@ def merge_upsert(
     return joined.select(*out_cols, action.alias("action"))
 
 
+def dq_check(
+    df: DataFrame, rules: dict[str, Column], n_rows_alias: str = "n_rows"
+) -> DataFrame:
+    """Data-quality gate (expectations-lite): evaluate named boolean
+    rules over a table in ONE scan and report violations per rule —
+    the contract check a pipeline runs before publishing a snapshot.
+    Returns long format (rule, n_violations, violation_rate).
+
+    All row-local rules fold into a single partial-agg'd pass
+    (conditional counts); cross-table rules (referential integrity)
+    and uniqueness need their own join/aggregate and are composed by
+    the caller via union — see the registered ``dq_orders`` query."""
+    agg = df.agg(
+        F.count(F.lit(1)).alias(n_rows_alias),
+        *[
+            F.count(F.when(~cond, 1)).alias(f"__v_{name}")
+            for name, cond in rules.items()
+        ],
+    )
+    stacked = ", ".join(
+        f"'{name}', __v_{name}" for name in rules
+    )
+    return agg.selectExpr(
+        f"stack({len(rules)}, {stacked}) as (rule, n_violations)",
+        n_rows_alias,
+    ).select(
+        "rule",
+        "n_violations",
+        round_half_up(F.col("n_violations") / F.col(n_rows_alias), 6).alias(
+            "violation_rate"
+        ),
+    )
+
+
 def scd2_history(t: Tables) -> DataFrame:
     """Event stream -> type-2 slowly-changing dimension: one row per
     VALUE CHANGE per key, with its validity interval and version number

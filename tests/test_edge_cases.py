@@ -246,3 +246,24 @@ def test_merge_upsert_markers_handle_null_values(spark):
     assert got[3]["action"] == "keep" and got[3]["bal"] is None
     assert got[4]["action"] == "insert" and got[4]["bal"] == 40.0
     assert got[4]["name"] is None  # insert: non-set target cols null
+
+
+def test_dq_check_null_semantics_and_rates(spark):
+    """SQL three-valued logic: a NULL rule result is neither pass nor
+    violation (matching WHERE NOT(cond) in the oracle) — nulls must be
+    targeted explicitly with an isNotNull rule."""
+    from pubsub_mapreduce_spark.operators.relational import dq_check
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 0.0)], "id long, v double"
+    )
+    got = {
+        r["rule"]: r
+        for r in dq_check(
+            df, {"v_positive": F.col("v") > 0, "v_present": F.col("v").isNotNull()}
+        ).collect()
+    }
+    # -5 and 0 violate v_positive; the NULL row does NOT (three-valued)
+    assert got["v_positive"]["n_violations"] == 2
+    assert got["v_present"]["n_violations"] == 1
+    assert got["v_positive"]["violation_rate"] == 0.5
