@@ -493,6 +493,27 @@ def q_cross_doc_repetition(spark, sf_dir):
     return TX.cross_doc_gram_stats(load_tables(spark, sf_dir)["documents"], n=4)
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window chunking (32-token windows, stride 24) — the
+    doc -> training-sample segmentation (textops.chunk_documents)."""
+    return TX.chunk_documents(
+        load_tables(spark, sf_dir)["documents"], chunk_tokens=32, stride=24
+    )
+
+
+def q_oversample_mix(spark, sf_dir):
+    """Mixture resampling with replication: 3x src0, 2.5x src1, 0.25x
+    src2, 1x the rest — reported per source (sampling.oversample)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    mixed = SM.oversample(
+        docs, "doc_id", "source", {"src0": 3.0, "src1": 2.5, "src2": 0.25}
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
 def q_dq_orders(spark, sf_dir):
     """Data-quality gate over orders: row-local rules in one scan
     (relational.dq_check) + referential-integrity and uniqueness rules
@@ -924,6 +945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_stats": q_zorder_stats,
         "scd2_history": q_scd2_history,
         "dq_orders": q_dq_orders,
+        "doc_chunks": q_doc_chunks,
+        "oversample_mix": q_oversample_mix,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -2244,6 +2267,43 @@ def oracle_sql() -> dict[str, str]:
             FROM ustat u LEFT JOIN bstat b USING (doc_id)
         """,
         "zorder_stats": _ZORDER_STATS_SQL,
+        "doc_chunks": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+              FROM documents),
+            nz AS (SELECT doc_id, t, len(t) AS n FROM tk WHERE len(t) > 0),
+            c AS (
+              SELECT doc_id, t,
+                     unnest(range(0,
+                       CAST(floor((greatest(n - 32, 0) + 23) / 24.0) AS BIGINT)
+                       + 1)) AS chunk_id
+              FROM nz)
+            SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+                   CAST(len(t[1 + chunk_id*24 : chunk_id*24 + 32]) AS INTEGER)
+                     AS n_tokens,
+                   array_to_string(t[1 + chunk_id*24 : chunk_id*24 + 32], ' ')
+                     AS chunk_text
+            FROM c
+        """,
+        "oversample_mix": """
+            WITH f AS (
+              SELECT doc_id, source,
+                     CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 2.5
+                                 WHEN 'src2' THEN 0.25 ELSE 1.0 END AS p,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 AS b
+              FROM documents),
+            n AS (
+              SELECT source, doc_id,
+                     CAST(floor(p) AS INTEGER)
+                     + CASE WHEN b < round((p - floor(p)) * 100, 0)
+                            THEN 1 ELSE 0 END AS nc
+              FROM f)
+            SELECT source, CAST(sum(nc) AS BIGINT) AS n_rows,
+                   count(*) AS n_docs
+            FROM n WHERE nc > 0 GROUP BY 1
+        """,
         "dq_orders": """
             WITH tot AS (SELECT count(*) AS n FROM orders),
             allrules AS (

@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "zorder_stats",
     "scd2_history",
     "dq_orders",
+    "doc_chunks",
+    "oversample_mix",
     # reference pipeline (batch replay)
     "t1_latest_per_key",
     "t3_fan_out",

@@ -86,6 +86,40 @@ def stratified_sample(
     return df.where(hash_bucket(key) < pct)
 
 
+def oversample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    factors: dict[str, float],
+    default: float = 1.0,
+) -> DataFrame:
+    """Deterministic corpus-mixture resampling with REPLICATION: factor
+    2.5 keeps every row twice plus a hash-chosen half a third time;
+    factor 0.25 is a plain 25% subsample — one operator covers both the
+    up- and down-weighting of a training mix (epochs-per-source as
+    data, not training-loop config). ``stratified_sample`` is the
+    rate<=1 special case.
+
+    Still a pure per-row function of the key hash: the integer part is
+    an ``explode(sequence)`` fan-out (the T3 move), the fractional part
+    a hash-bucket test — no shuffle, reproducible across engines/
+    partitionings, and a factor change only adds/removes the highest
+    copies of each row. Emits ``copy`` (0-based) so downstream shard
+    packing can interleave replicas instead of clustering them."""
+    pct = F.lit(float(default))
+    for value, f in sorted(factors.items()):
+        pct = F.when(F.col(stratum) == value, F.lit(float(f))).otherwise(pct)
+    base = F.floor(pct).cast("int")
+    extra = (hash_bucket(key) < F.round((pct - F.floor(pct)) * 100, 0)).cast("int")
+    n_copies = base + extra
+    return (
+        df.withColumn("__n", n_copies)
+        .where(F.col("__n") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )
+
+
 def pack_shards(
     df: DataFrame,
     key: str,

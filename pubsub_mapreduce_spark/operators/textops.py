@@ -350,6 +350,43 @@ def ngram_decontaminate(
     )
 
 
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 64, stride: int = 48
+) -> DataFrame:
+    """Sliding-window segmentation: fixed token-budget training samples
+    from documents, with overlap (stride < chunk keeps context across
+    boundaries) — the doc -> sample step between curation and
+    ``pack_shards``. The tail is always covered: the last window starts
+    at ``1 + (k-1)*stride`` and clips to the document end.
+
+    Map-only 1->k expansion (T3's explode shape); k is small per doc,
+    so the per-CHUNK ``concat_ws(slice)`` is fine here — unlike the
+    per-GRAM case (see ngram_decontaminate) there's no per-element
+    string building in a hot loop. Chunk count/content are pure integer
+    functions of the token array, mirrored exactly by list slicing in
+    the oracle."""
+    toks = F.col("__toks")
+    n = F.size(toks)
+    k = (
+        F.floor((F.greatest(n - chunk_tokens, F.lit(0)) + stride - 1) / stride)
+        + 1
+    ).cast("int")
+    start = F.lit(1) + F.col("chunk_id") * stride
+    chunk = F.slice(toks, start, chunk_tokens)
+    return (
+        widen(docs, 8)
+        .withColumn("__toks", T.tokens(F.col("text")))
+        .where(F.size(F.col("__toks")) > 0)
+        .withColumn("chunk_id", F.explode(F.sequence(F.lit(0), k - 1)))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size(chunk).alias("n_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+    )
+
+
 def cross_doc_gram_stats(docs: DataFrame, n: int = 4) -> DataFrame:
     """Corpus-level boilerplate signal: per document, the fraction of
     its DISTINCT word ``n``-grams that also appear in at least one

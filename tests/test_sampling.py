@@ -109,3 +109,31 @@ def test_pack_shards_single_partition_window_is_bucket_bounded(spark, tables):
     # aggregate resolved eagerly to literals before plan construction)
     assert plan.count("Exchange SinglePartition") == 1, plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_oversample_replication_counts(spark, tables):
+    """factor 3.0 -> exactly 3 copies of every row; 0.0 -> none; the
+    fractional part is the stratified hash-sample (subset property)."""
+    from pyspark.sql import functions as F
+
+    from pubsub_mapreduce_spark.operators.sampling import oversample
+
+    docs = tables["documents"]
+    mixed = oversample(
+        docs, "doc_id", "source", {"src0": 3.0, "src1": 0.0}, default=1.5
+    )
+    per = {
+        (r["source"], r["doc_id"]): r["n"]
+        for r in mixed.groupBy("source", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert all(n == 3 for (s, _), n in per.items() if s == "src0")
+    assert not any(s == "src1" for s, _ in per)
+    others = [n for (s, _), n in per.items() if s not in ("src0", "src1")]
+    assert others and set(others) <= {1, 2}  # 1.5x: one or two copies
+    # copy index is 0-based dense per row
+    copies = mixed.where(F.col("source") == "src0").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("copy")).alias("c")
+    ).first()["c"]
+    assert copies == [0, 1, 2]
