@@ -493,6 +493,16 @@ def q_cross_doc_repetition(spark, sf_dir):
     return TX.cross_doc_gram_stats(load_tables(spark, sf_dir)["documents"], n=4)
 
 
+def q_profile_orders(spark, sf_dir):
+    """ANALYZE-style column profile of orders: nulls, exact distincts,
+    min/max per column in ONE aggregate pass (relational.profile_table)."""
+    return R.profile_table(
+        load_tables(spark, sf_dir)["orders"],
+        num_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        str_cols=["o_orderstatus", "o_orderpriority"],
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     """Sliding-window chunking (32-token windows, stride 24) — the
     doc -> training-sample segmentation (textops.chunk_documents)."""
@@ -947,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_orders": q_dq_orders,
         "doc_chunks": q_doc_chunks,
         "oversample_mix": q_oversample_mix,
+        "profile_orders": q_profile_orders,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -2267,6 +2278,47 @@ def oracle_sql() -> dict[str, str]:
             FROM ustat u LEFT JOIN bstat b USING (doc_id)
         """,
         "zorder_stats": _ZORDER_STATS_SQL,
+        "profile_orders": """
+            WITH t AS (SELECT count(*) AS n_rows FROM orders)
+            SELECT col, n_rows, CAST(n_nulls AS BIGINT) AS n_nulls,
+                   CAST(n_distinct AS BIGINT) AS n_distinct,
+                   min_num, max_num, min_str, max_str
+            FROM t, (
+              SELECT 'o_orderkey' AS col,
+                     (SELECT count(*) FROM orders WHERE o_orderkey IS NULL) AS n_nulls,
+                     (SELECT count(DISTINCT o_orderkey) FROM orders) AS n_distinct,
+                     (SELECT CAST(min(o_orderkey) AS DOUBLE) FROM orders) AS min_num,
+                     (SELECT CAST(max(o_orderkey) AS DOUBLE) FROM orders) AS max_num,
+                     CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+              UNION ALL
+              SELECT 'o_custkey',
+                     (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+                     (SELECT count(DISTINCT o_custkey) FROM orders),
+                     (SELECT CAST(min(o_custkey) AS DOUBLE) FROM orders),
+                     (SELECT CAST(max(o_custkey) AS DOUBLE) FROM orders),
+                     NULL, NULL
+              UNION ALL
+              SELECT 'o_totalprice',
+                     (SELECT count(*) FROM orders WHERE o_totalprice IS NULL),
+                     (SELECT count(DISTINCT o_totalprice) FROM orders),
+                     (SELECT min(o_totalprice) FROM orders),
+                     (SELECT max(o_totalprice) FROM orders),
+                     NULL, NULL
+              UNION ALL
+              SELECT 'o_orderstatus',
+                     (SELECT count(*) FROM orders WHERE o_orderstatus IS NULL),
+                     (SELECT count(DISTINCT o_orderstatus) FROM orders),
+                     CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                     (SELECT min(o_orderstatus) FROM orders),
+                     (SELECT max(o_orderstatus) FROM orders)
+              UNION ALL
+              SELECT 'o_orderpriority',
+                     (SELECT count(*) FROM orders WHERE o_orderpriority IS NULL),
+                     (SELECT count(DISTINCT o_orderpriority) FROM orders),
+                     CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                     (SELECT min(o_orderpriority) FROM orders),
+                     (SELECT max(o_orderpriority) FROM orders))
+        """,
         "doc_chunks": r"""
             WITH tk AS (
               SELECT doc_id,

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "dq_orders",
     "doc_chunks",
     "oversample_mix",
+    "profile_orders",
     # reference pipeline (batch replay)
     "t1_latest_per_key",
     "t3_fan_out",

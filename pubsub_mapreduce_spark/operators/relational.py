@@ -443,6 +443,48 @@ def merge_upsert(
     return joined.select(*out_cols, action.alias("action"))
 
 
+def profile_table(
+    df: DataFrame, num_cols: list[str], str_cols: list[str]
+) -> DataFrame:
+    """ANALYZE-style column profile: per column, null count, exact
+    distinct count, and min/max (numeric columns as doubles, string
+    columns as strings) — the statistics a catalog keeps so the
+    optimizer can size joins and prune scans; here also the drift
+    monitor a pipeline diffs between snapshots.
+
+    One aggregate pass; Spark plans the N exact distincts via a single
+    Expand (rows x N_cols) + one aggregation — fine into the terabytes.
+    At 100TB swap ``countDistinct`` for ``approx_count_distinct`` (the
+    HLL sketch path of sketches.py) and keep this exact form as the
+    small-SF oracle."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in num_cols + str_cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+        aggs.append(F.min(c).alias(f"__mn_{c}"))
+        aggs.append(F.max(c).alias(f"__mx_{c}"))
+    wide = df.agg(*aggs)
+    rows = []
+    for c in num_cols:
+        rows.append(
+            f"struct('{c}' as col, __nn_{c} as n_nulls, __nd_{c} as n_distinct, "
+            f"cast(__mn_{c} as double) as min_num, cast(__mx_{c} as double) as max_num, "
+            f"cast(null as string) as min_str, cast(null as string) as max_str)"
+        )
+    for c in str_cols:
+        rows.append(
+            f"struct('{c}' as col, __nn_{c} as n_nulls, __nd_{c} as n_distinct, "
+            f"cast(null as double) as min_num, cast(null as double) as max_num, "
+            f"__mn_{c} as min_str, __mx_{c} as max_str)"
+        )
+    return wide.selectExpr(
+        "__n as n_rows", f"inline(array({', '.join(rows)}))"
+    ).select(
+        "col", "n_rows", "n_nulls", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str",
+    )
+
+
 def dq_check(
     df: DataFrame, rules: dict[str, Column], n_rows_alias: str = "n_rows"
 ) -> DataFrame:
