@@ -493,6 +493,12 @@ def q_cross_doc_repetition(spark, sf_dir):
     return TX.cross_doc_gram_stats(load_tables(spark, sf_dir)["documents"], n=4)
 
 
+def q_event_cooccurrence(spark, sf_dir):
+    """Per-user event-type co-occurrence with support fractions —
+    association mining over the stream (relational.event_cooccurrence)."""
+    return R.event_cooccurrence(load_tables(spark, sf_dir))
+
+
 def q_profile_orders(spark, sf_dir):
     """ANALYZE-style column profile of orders: nulls, exact distincts,
     min/max per column in ONE aggregate pass (relational.profile_table)."""
@@ -958,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "oversample_mix": q_oversample_mix,
         "profile_orders": q_profile_orders,
+        "event_cooccurrence": q_event_cooccurrence,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -2278,6 +2285,17 @@ def oracle_sql() -> dict[str, str]:
             FROM ustat u LEFT JOIN bstat b USING (doc_id)
         """,
         "zorder_stats": _ZORDER_STATS_SQL,
+        "event_cooccurrence": """
+            WITH s AS (SELECT DISTINCT user_id, event_type FROM events),
+            p AS (SELECT a.user_id, a.event_type AS ta, b.event_type AS tb
+                  FROM s a JOIN s b ON a.user_id = b.user_id
+                                   AND a.event_type < b.event_type),
+            tot AS (SELECT count(DISTINCT user_id) AS n FROM events)
+            SELECT ta AS type_a, tb AS type_b, count(*) AS n_users,
+                   floor(CAST(count(*) AS DOUBLE) / n * 1e6 + 0.5) / 1e6
+                     AS support
+            FROM p, tot GROUP BY ta, tb, n
+        """,
         "profile_orders": """
             WITH t AS (SELECT count(*) AS n_rows FROM orders)
             SELECT col, n_rows, CAST(n_nulls AS BIGINT) AS n_nulls,

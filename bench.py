@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "doc_chunks",
     "oversample_mix",
     "profile_orders",
+    "event_cooccurrence",
     # reference pipeline (batch replay)
     "t1_latest_per_key",
     "t3_fan_out",

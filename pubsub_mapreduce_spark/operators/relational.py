@@ -595,6 +595,55 @@ def gap_fill_daily(t: Tables) -> DataFrame:
     )
 
 
+def event_cooccurrence(t: Tables) -> DataFrame:
+    """Market-basket support mining over the event stream: for every
+    unordered PAIR of event types, how many users did both, and what
+    fraction of the user base that is — the association signal behind
+    "users who X also Y".
+
+    Shape at scale: one user-keyed aggregate collects each user's
+    DISTINCT type set (bounded by |event types|, not their event
+    count); the pair expansion is a per-row nested transform over that
+    tiny sorted array (<= C(|types|,2) structs — constant, unlike the
+    per-gram case) and the pair rollup is the second keyed shuffle.
+    The |users| x |types| self-join form the oracle uses would shuffle
+    the full distinct relation twice and join it — same answer, one
+    more pass."""
+    from pyspark.sql.functions import broadcast
+
+    sets = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("s"))
+    )
+    # size >= 2 guard: Spark's sequence(1, 0) runs DESCENDING, so a
+    # single-type user would index element_at(s, 0) and throw under ANSI
+    pairs = sets.where(F.size("s") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(s) - 1), i -> "
+                "transform(sequence(i + 1, size(s)), j -> "
+                "named_struct('a', element_at(s, i), 'b', element_at(s, j)))))"
+            )
+        ).alias("p")
+    )
+    total = sets.agg(F.count(F.lit(1)).alias("n_users_total"))
+    return (
+        pairs.select("p.a", "p.b")
+        .groupBy(F.col("a").alias("type_a"), F.col("b").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .crossJoin(broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_users",
+            round_half_up(F.col("n_users") / F.col("n_users_total"), 6).alias(
+                "support"
+            ),
+        )
+    )
+
+
 def funnel_conversion(
     t: Tables,
     steps: tuple[str, ...] = ("view", "click", "purchase"),

@@ -267,3 +267,27 @@ def test_dq_check_null_semantics_and_rates(spark):
     assert got["v_positive"]["n_violations"] == 2
     assert got["v_present"]["n_violations"] == 1
     assert got["v_positive"]["violation_rate"] == 0.5
+
+
+def test_event_cooccurrence_single_type_user_guard(spark):
+    """A user with only one event type must not blow up the pair
+    expansion (Spark's sequence(1, 0) runs DESCENDING -> element_at 0
+    throws under ANSI) and must still count in the support denominator."""
+    from pubsub_mapreduce_spark.operators.relational import event_cooccurrence
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+            (2, "2024-01-01 10:01:00", 1, "click", 1.0, "{}"),
+            (3, "2024-01-01 10:02:00", 2, "view", 1.0, "{}"),  # single-type
+            (4, "2024-01-01 10:03:00", 3, "click", 1.0, "{}"),
+            (5, "2024-01-01 10:04:00", 3, "view", 1.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = event_cooccurrence({"events": events}).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["type_a"], r["type_b"], r["n_users"]) == ("click", "view", 2)
+    assert r["support"] == 0.666667  # 2 of 3 users (single-type counted)
