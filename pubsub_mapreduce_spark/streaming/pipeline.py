@@ -262,3 +262,71 @@ def distinct_ids_stream(
         .agg(F.approx_count_distinct("id").alias("approx_ids"))
         .select(F.col("w.start").alias("window_start"), "approx_ids")
     )
+
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("stage", LongType()),
+        StructField("last_ts", DoubleType()),  # epoch seconds of last step
+    ]
+)
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage", LongType()),
+        StructField("ts_s", DoubleType()),
+    ]
+)
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    horizon_s: float = 3600.0,
+) -> DataFrame:
+    """Sequential pattern matching as a STATEFUL streaming operator —
+    the live form of ``relational.funnel_conversion``: per user, advance
+    through ``steps`` on the first qualifying event (each transition
+    within ``horizon_s`` of the previous), emitting a row per stage
+    reached. Greedy in event order == the batch form's staged minima
+    (first qualifying event IS the minimum), so stream and batch agree
+    row-for-row on ordered replay — pinned in tests.
+
+    State per user is TWO scalars (stage, last step time) no matter how
+    long the history: the batch form re-scans staged windows; the
+    stream pays O(1) per event. Within a micro-batch rows are sorted by
+    (event time, event_id); cross-batch order comes from the source
+    (file replay here; per-key ordered partitions on a real broker)."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            stage, last_ts = state.get
+        else:
+            stage, last_ts = 0, float("-inf")
+        rows: list[tuple[int, int, float]] = []
+        batch = []
+        for pdf in pdfs:
+            for ts, eid, typ in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+                batch.append((pd.Timestamp(ts).timestamp(), int(eid), str(typ)))
+        batch.sort()
+        for ts_s, _eid, typ in batch:
+            if stage < len(steps) and typ == steps[stage]:
+                if stage == 0 or (last_ts <= ts_s <= last_ts + horizon_s):
+                    stage += 1
+                    last_ts = ts_s
+                    rows.append((key[0], stage, ts_s))
+        state.update((stage, last_ts))
+        if rows:
+            yield pd.DataFrame(rows, columns=["user_id", "stage", "ts_s"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -696,3 +696,59 @@ def test_device_config_sink_ledger_makes_replay_idempotent(spark, tmp_path):
     u2 = DeviceConfigSink(push=pushes2.append)
     u2(batch, batch_id=41)
     assert len(pushes2) == 2
+
+
+def test_funnel_stream_matches_greedy_batch_reference(spark, tmp_path):
+    """Stateful streaming funnel == the earliest-transition semantics of
+    the batch funnel: per-user reached stages and transition times agree
+    with a sequential reference over time-ordered replay (state carries
+    stage+last_ts across micro-batches)."""
+    from pubsub_mapreduce_spark.io import load_tables
+    from pubsub_mapreduce_spark.streaming.pipeline import funnel_stream
+    from tests.conftest import SF_SMALL
+
+    events = load_tables(spark, SF_SMALL)["events"].select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    # time-ordered replay in 4 files -> 4 micro-batches
+    rows = sorted(events.collect(), key=lambda r: (r["ts"], r["event_id"]))
+    d = tmp_path / "replay"
+    d.mkdir()
+    chunk = (len(rows) + 3) // 4
+    for i in range(4):
+        spark.createDataFrame(
+            rows[i * chunk : (i + 1) * chunk], events.schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(d / f"f{i}"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/f*")
+    )
+    q = (
+        funnel_stream(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+    got = {
+        (r["user_id"], r["stage"]): r["ts_s"]
+        for r in spark.sql("select * from funnel_stream_t").collect()
+    }
+    # sequential greedy reference over the fully ordered event log
+    steps, horizon = ("view", "click", "purchase"), 3600.0
+    expect = {}
+    st: dict[int, tuple[int, float]] = {}
+    for r in rows:
+        stage, last = st.get(r["user_id"], (0, float("-inf")))
+        ts_s = r["ts"].timestamp()
+        if stage < 3 and r["event_type"] == steps[stage] and (
+            stage == 0 or last <= ts_s <= last + horizon
+        ):
+            stage += 1
+            st[r["user_id"]] = (stage, ts_s)
+            expect[(r["user_id"], stage)] = ts_s
+    assert got == expect
