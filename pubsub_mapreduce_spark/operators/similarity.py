@@ -954,74 +954,79 @@ def embedding_covariance(emb: DataFrame) -> DataFrame:
     ulp by summation order; see README 'Money aggregates in DECIMAL'
     for the same argument).
 
-    Plan shape: an Arrow ``mapInPandas`` stage computes X^T X in int64
-    per batch (numpy integer matmul — exact, no float accumulation) and
-    emits only the d(d+1)/2 upper-triangle partial sums per batch, so
-    the one keyed shuffle carries |batches| x 2080 rows regardless of
-    corpus size; the d-row dimension stats broadcast back. Overflow-
-    safe under ANSI mode to ~3.5e14 rows (127^2 x n < 2^63). A pure-JVM
-    HOF flatten/explode of per-row products was A/B'd first: 7.4s vs
-    1.1s full-query at sf0.1 — per-element named_struct building in a
-    nested transform runs interpreted (the word_shingles finding,
-    struct edition), and it shuffled |rows| x 2080 products besides.
+    ONE corpus pass: an Arrow ``mapInPandas`` stage computes X'^T X' in
+    int64 per batch, where X' = [X | 1] is the code matrix AUGMENTED
+    with a ones column (numpy integer matmul — exact, no float
+    accumulation). The augmented Gram carries everything at once:
+    (i,j) products, the per-dim sums in column d, and the row count at
+    (d,d) — so the dimension stats need neither a second scan nor an
+    eager collect. Each batch emits only the (d+1)(d+2)/2 upper-
+    triangle partial sums; one keyed shuffle carries |batches| x 2145
+    rows regardless of corpus size. The aggregated Gram is ~2k rows and
+    feeds three branches (pairs, sums, variances), so it is
+    localCheckpointed — Catalyst has no cross-branch CSE and would
+    otherwise replay the corpus scan per branch. Overflow-safe under
+    ANSI to ~3.5e14 rows (127^2 x n < 2^63).
+
+    A/B history at sf0.1: pure-JVM HOF flatten/explode of per-row
+    products 7.4s (per-element named_struct building in a nested
+    transform runs interpreted — the word_shingles finding, struct
+    edition — and it shuffled |rows| x 2080 products); two-pass int64
+    matmul + eager dim-stats collect 1.1s; this augmented single-pass
+    form 0.47s first execution, ~0.3s once the checkpointed Gram is
+    materialized.
 
     cov(i,j) = (S_ij - S_i*S_j/n)/n and corr from the diagonal, all
-    derived in one fixed IEEE op order mirrored by the oracle.
-
-    The d-row per-dim stats (sum, count, sum-of-squares) are an EAGER
-    bounded collect rebuilt as a local relation — the IVF-centroid-seed
-    pattern: left lazy, the a/b self-join aliasing duplicated the whole
-    stats lineage into both branches (measured plan: 5 keyed shuffles
-    and 4 extra corpus passes; with the local relation: 1 shuffle, 2
-    corpus passes total)."""
+    derived in one fixed IEEE op order mirrored by the oracle."""
     import numpy as np
     import pandas as pd
 
     codes = _int8_codes(emb)
 
     def partial_gram(batches):
-        # X^T X in int64 per Arrow batch — numpy integer matmul is EXACT
-        # (no float accumulation), so partial sums merge losslessly.
-        # Emits d(d+1)/2 rows per batch, not per row: the partial-agg
-        # collapse happens inside the UDF.
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            X = np.hstack([X, np.ones((X.shape[0], 1), dtype=np.int64)])
             G = X.T @ X
             iu = np.triu_indices(G.shape[0])
             yield pd.DataFrame({"i": iu[0], "j": iu[1], "p": G[iu]})
 
-    gram = (
+    gram_full = (
         codes.select("codes")
         .mapInPandas(partial_gram, schema="i int, j int, p long")
         .groupBy("i", "j")
         .agg(F.sum("p").alias("sp"))
+        .localCheckpoint(eager=False)
     )
-    dim_rows = (
-        codes.select(F.posexplode("codes").alias("i", "v"))
-        .groupBy("i")
-        .agg(
-            F.sum("v").alias("s"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("v") * F.col("v")).alias("sq"),
-        )
-        .collect()  # bounded by the embedding dimension, like IVF centroids
+    # the ones column sits at index d; d is schema-level (one-row peek)
+    ones_col = int(emb.select(F.size("embedding").alias("d")).first()["d"])
+    gram = gram_full.where((F.col("i") < ones_col) & (F.col("j") < ones_col))
+    sums = gram_full.where(
+        (F.col("j") == ones_col) & (F.col("i") < ones_col)
+    ).select(F.col("i").alias("d"), F.col("sp").alias("s"))
+    total = gram_full.where(
+        (F.col("i") == ones_col) & (F.col("j") == ones_col)
+    ).select(F.col("sp").alias("n"))
+    var = gram.where(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"), F.col("sp").alias("sq")
     )
-    dstat = emb.sparkSession.createDataFrame(
-        [(r["i"], r["s"], r["n"], r["sq"]) for r in dim_rows],
-        "d int, s long, n long, sq long",
-    ).select(
-        "d",
-        "s",
-        "n",
-        (
+    dstat = (
+        sums.join(var, "d")
+        .crossJoin(broadcast(total))
+        .select(
+            "d",
+            "s",
+            "n",
             (
-                F.col("sq").cast("double")
-                - F.col("s").cast("double") * F.col("s") / F.col("n")
-            )
-            / F.col("n")
-        ).alias("var"),
+                (
+                    F.col("sq").cast("double")
+                    - F.col("s").cast("double") * F.col("s") / F.col("n")
+                )
+                / F.col("n")
+            ).alias("var"),
+        )
     )
     a, b = dstat.alias("a"), dstat.alias("b")
     cov = (
