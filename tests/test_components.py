@@ -68,3 +68,21 @@ def test_dedup_clusters_lsh_default_matches_lsh_edges(spark, tables):
         for r in dedup_clusters(tables["embeddings"], threshold=0.4).collect()
     }
     assert got == union_find(edges)
+
+
+def test_distributed_loop_matches_driver_union_find(spark):
+    """Force the distributed min-label loop (max_driver_edges=0) and pin
+    it label-identical to the driver union-find path on a graph that
+    needs multiple propagation rounds."""
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8),
+             (10, 11), (11, 12), (10, 12), (20, 21), (30, 31), (31, 32)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    dist = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(df, max_driver_edges=0).collect()
+    }
+    drv = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert dist == drv == union_find(edges)
