@@ -457,13 +457,23 @@ def profile_table(
     At 100TB swap ``countDistinct`` for ``approx_count_distinct`` (the
     HLL sketch path of sketches.py) and keep this exact form as the
     small-SF oracle."""
-    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    from pyspark.sql.functions import broadcast
+
+    from ..io import widen
+
+    plain: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for c in num_cols + str_cols:
-        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn_{c}"))
-        aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
-        aggs.append(F.min(c).alias(f"__mn_{c}"))
-        aggs.append(F.max(c).alias(f"__mx_{c}"))
-    wide = df.agg(*aggs)
+        plain.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn_{c}"))
+        plain.append(F.min(c).alias(f"__mn_{c}"))
+        plain.append(F.max(c).alias(f"__mx_{c}"))
+    dist = [F.countDistinct(c).alias(f"__nd_{c}") for c in num_cols + str_cols]
+    # TWO single-purpose aggregates joined at one row, not one combined
+    # agg: mixing distinct and plain aggregates makes Catalyst route the
+    # plain ones through the N+1x Expand the distincts need — measured
+    # 1.2-2.1s combined vs 0.38s plain + 0.54s distinct at sf0.1. Two
+    # optimal scans beat one pessimized scan; the approx swap below
+    # collapses it back to one.
+    wide = widen(df, 8).agg(*plain).crossJoin(broadcast(widen(df, 8).agg(*dist)))
     rows = []
     for c in num_cols:
         rows.append(
