@@ -493,6 +493,12 @@ def q_cross_doc_repetition(spark, sf_dir):
     return TX.cross_doc_gram_stats(load_tables(spark, sf_dir)["documents"], n=4)
 
 
+def q_session_transitions(spark, sf_dir):
+    """Gap-sessionized event-type transition matrix — clickstream path
+    mining (relational.session_transitions, one user-keyed exchange)."""
+    return R.session_transitions(load_tables(spark, sf_dir))
+
+
 def q_event_cooccurrence(spark, sf_dir):
     """Per-user event-type co-occurrence with support fractions —
     association mining over the stream (relational.event_cooccurrence)."""
@@ -965,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oversample_mix": q_oversample_mix,
         "profile_orders": q_profile_orders,
         "event_cooccurrence": q_event_cooccurrence,
+        "session_transitions": q_session_transitions,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -2285,6 +2292,29 @@ def oracle_sql() -> dict[str, str]:
             FROM ustat u LEFT JOIN bstat b USING (doc_id)
         """,
         "zorder_stats": _ZORDER_STATS_SQL,
+        "session_transitions": """
+            WITH e AS (
+              SELECT user_id, event_id, event_type, epoch(ts) AS tt FROM events),
+            g AS (
+              SELECT *, CASE WHEN prev_tt IS NULL OR tt - prev_tt > 1800.0
+                             THEN 1 ELSE 0 END AS is_new
+              FROM (SELECT *, lag(tt) OVER (PARTITION BY user_id
+                        ORDER BY tt, event_id) AS prev_tt FROM e)),
+            s AS (
+              SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                        ORDER BY tt, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM g),
+            p AS (
+              SELECT event_type, lead(event_type) OVER (
+                       PARTITION BY user_id, sid
+                       ORDER BY tt, event_id) AS next_type
+              FROM s)
+            SELECT event_type AS type_from, next_type AS type_to,
+                   count(*) AS n_transitions
+            FROM p WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        """,
         "event_cooccurrence": """
             WITH s AS (SELECT DISTINCT user_id, event_type FROM events),
             p AS (SELECT a.user_id, a.event_type AS ta, b.event_type AS tb

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "oversample_mix",
     "profile_orders",
     "event_cooccurrence",
+    "session_transitions",
     # reference pipeline (batch replay)
     "t1_latest_per_key",
     "t3_fan_out",

@@ -605,6 +605,44 @@ def gap_fill_daily(t: Tables) -> DataFrame:
     )
 
 
+def session_transitions(t: Tables, gap_min: int = 30) -> DataFrame:
+    """Clickstream path analysis: sessionize by inactivity gap (a new
+    session id whenever a user pauses > ``gap_min``), then count
+    consecutive event-type transitions WITHIN sessions — the
+    "users who view then click" matrix a product funnel is designed
+    from (``funnel_conversion`` tests one fixed path; this surfaces
+    them all).
+
+    One user-keyed exchange serves every step: the gap flag (lag), the
+    running session id (cumulative sum), and the next-type lookup
+    (lead over (user, session)) all need only user co-location —
+    Spark's hash partitioning on user_id satisfies the (user, session)
+    clustering, so the finer window adds a sort, not a shuffle. The
+    transition rollup is the only other exchange, keyed on the tiny
+    (from, to) pair domain. Timestamps compare as exact epoch doubles."""
+    e = t["events"].select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("double").alias("tt")
+    )
+    w = Window.partitionBy("user_id").orderBy("tt", "event_id")
+    gap = F.lit(gap_min * 60.0)
+    is_new = (
+        F.lag("tt").over(w).isNull() | (F.col("tt") - F.lag("tt").over(w) > gap)
+    ).cast("long")
+    d = e.withColumn(
+        "sid", F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("tt", "event_id")
+    d = d.withColumn("next_type", F.lead("event_type").over(ws))
+    return (
+        d.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("type_from"),
+            F.col("next_type").alias("type_to"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
 def event_cooccurrence(t: Tables) -> DataFrame:
     """Market-basket support mining over the event stream: for every
     unordered PAIR of event types, how many users did both, and what

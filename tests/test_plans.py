@@ -443,3 +443,16 @@ def test_scd2_single_shuffle(spark):
     share one user partition+order spec — a single keyed exchange."""
     df = q("scd2_history", spark)
     assert keyed_shuffle_count(df) <= 1
+
+
+def test_session_transitions_one_user_shuffle(spark):
+    """Sessionize + next-type lookup: the (user, sid) window must reuse
+    the user_id hash partitioning (subset clustering), so the plan has
+    exactly two keyed exchanges — user_id and the (from, to) rollup."""
+    df = q("session_transitions", spark)
+    from pubsub_mapreduce_spark.plans.explain import explain_str
+
+    plan = explain_str(df)
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert keyed_shuffle_count(df) <= 2
+    assert_no_cartesian(df)
