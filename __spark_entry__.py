@@ -668,6 +668,15 @@ def q_pack_shards(spark, sf_dir):
     )
 
 
+def q_emb_pca(spark, sf_dir):
+    """Top-8 principal components: explained-variance report
+    (similarity.pca_variance_report). ROWS-ONLY check: float64 moment
+    sums are not summation-order-reproducible across engines; the
+    linear-algebra invariants are pinned in tests instead (trace,
+    orthonormality, projected variance == eigenvalue)."""
+    return S.pca_variance_report(load_tables(spark, sf_dir)["embeddings"], k=8)
+
+
 def q_emb_covariance(spark, sf_dir):
     """Distributed covariance/correlation of the embedding corpus over
     int8 codes — integer sums are order-independent, so this approximate-
@@ -972,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": q_profile_orders,
         "event_cooccurrence": q_event_cooccurrence,
         "session_transitions": q_session_transitions,
+        "emb_pca": q_emb_pca,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -2878,6 +2888,8 @@ def oracle_sql() -> dict[str, str]:
             FROM b WHERE len(vals) > 0
         """,
         # no oracle (rows-only check): hll_user_rollup /
-        # approx_distinct_users — DataSketches/HLL++ sketch internals
-        # have no DuckDB twin; error bounds pinned in tests instead.
+        # approx_distinct_users (DataSketches/HLL++ sketch internals
+        # have no DuckDB twin; error bounds pinned in tests) and
+        # emb_pca (float64 moment sums are not summation-order-
+        # reproducible; linear-algebra invariants pinned in tests).
     }

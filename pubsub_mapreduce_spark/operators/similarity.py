@@ -1050,6 +1050,106 @@ def embedding_covariance(emb: DataFrame) -> DataFrame:
     )
 
 
+def _pca_eig(emb: DataFrame) -> tuple:
+    """(eigvals desc, eigvecs cols matching, mean, n) of the embedding
+    covariance, computed from ONE distributed pass: per-Arrow-batch
+    float64 moments (X^T X, column sums, count) reduced to d(d+1)/2 + d
+    + 1 numbers per batch, combined on the driver (d x d is bounded —
+    the IVF-centroid-collect pattern), then LAPACK ``eigh``. Float64
+    sums are not bit-reproducible across partitionings (hence the PCA
+    family is rows-only checked; ``embedding_covariance`` is the
+    exact-integer sibling), but the 1e-9-relative invariants pinned in
+    tests (trace == Σλ, orthonormality, per-component projected
+    variance == λ) hold regardless of summation order."""
+    import numpy as np
+    import pandas as pd
+
+    def moments(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            G = X.T @ X
+            iu = np.triu_indices(G.shape[0])
+            d = G.shape[0]
+            rows = {
+                "i": list(iu[0]) + list(range(d)) + [-1],
+                "j": list(iu[1]) + [-1] * d + [-1],
+                "v": list(G[iu]) + list(X.sum(axis=0)) + [float(len(X))],
+            }
+            yield pd.DataFrame(rows)
+
+    parts = (
+        emb.select("embedding")
+        .mapInPandas(moments, schema="i int, j int, v double")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .collect()  # bounded: d(d+1)/2 + d + 1 rows
+    )
+    import numpy as np
+
+    d = max(r["i"] for r in parts) + 1
+    G = np.zeros((d, d))
+    s = np.zeros(d)
+    n = 0.0
+    for r in parts:
+        if r["i"] == -1:
+            n = r["v"]
+        elif r["j"] == -1:
+            s[r["i"]] = r["v"]
+        else:
+            G[r["i"], r["j"]] = r["v"]
+            G[r["j"], r["i"]] = r["v"]
+    mean = s / n
+    cov = G / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    return vals[order], vecs[:, order], mean, n
+
+
+def pca_variance_report(emb: DataFrame, k: int = 8) -> DataFrame:
+    """Top-k principal components of the embedding corpus: eigenvalue,
+    explained-variance fraction, cumulative fraction — the
+    dimensionality budget a compression/whitening stage reads before
+    choosing a target rank."""
+    vals, _vecs, _mean, _n = _pca_eig(emb)
+    total = float(vals.sum())
+    rows = []
+    cum = 0.0
+    for i in range(min(k, len(vals))):
+        cum += float(vals[i])
+        rows.append((i, float(vals[i]), float(vals[i]) / total, cum / total))
+    return emb.sparkSession.createDataFrame(
+        rows, "component int, eigenvalue double, explained double, cumulative double"
+    )
+
+
+def pca_project(emb: DataFrame, k: int = 8) -> DataFrame:
+    """Project every embedding onto the top-k principal axes (centered)
+    — the whitening/compression map stage. The k x d component matrix
+    rides the task closures (a few KB); projection is an Arrow-batched
+    BLAS matmul per batch, map-only, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    _vals, vecs, mean, _n = _pca_eig(emb)
+    W = vecs[:, :k]
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            P = (X - mean) @ W
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "proj": [list(map(float, p)) for p in P]}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        project, schema="vec_id long, proj array<double>"
+    )
+
+
 def user_profile_vectors(events: DataFrame) -> DataFrame:
     """Dense per-user daily-activity profile vectors: (vec_id=user_id,
     embedding=array<double> of per-day event counts over the global day

@@ -61,3 +61,34 @@ def test_quantize_embeddings_quality(spark, tables):
         .first()["m"]
     )
     assert fid >= 0.995, fid
+
+
+def test_pca_invariants(spark, tables):
+    """PCA family is rows-only checked by the driver (float64 moments
+    are not summation-order-reproducible), so the math is pinned here:
+    trace == sum of eigenvalues, components orthonormal, per-component
+    projected variance == its eigenvalue, explained fractions sum
+    toward 1 monotonically."""
+    import numpy as np
+
+    from pubsub_mapreduce_spark.operators.similarity import (
+        _pca_eig,
+        pca_project,
+        pca_variance_report,
+    )
+
+    emb = tables["embeddings"]
+    vals, vecs, mean, n = _pca_eig(emb)
+    X = np.stack([r["embedding"] for r in emb.select("embedding").collect()])
+    X = X.astype(np.float64)
+    cov = np.cov(X, rowvar=False, bias=True)
+    assert abs(vals.sum() - np.trace(cov)) < 1e-9 * abs(np.trace(cov))
+    assert np.allclose(vecs.T @ vecs, np.eye(vecs.shape[1]), atol=1e-9)
+    assert all(vals[i] >= vals[i + 1] - 1e-12 for i in range(len(vals) - 1))
+    proj = pca_project(emb, k=4).toPandas()
+    P = np.stack(proj["proj"].to_numpy())
+    pv = P.var(axis=0)  # biased variance matches the /n covariance
+    assert np.allclose(pv, vals[:4], rtol=1e-6)
+    rep = pca_variance_report(emb, k=4).collect()
+    cums = [r["cumulative"] for r in rep]
+    assert cums == sorted(cums) and cums[-1] <= 1.0 + 1e-12
