@@ -330,3 +330,82 @@ def funnel_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSIONIZE_STATE_SCHEMA = StructType(
+    [
+        StructField("start", DoubleType()),
+        StructField("last", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+SESSIONIZE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_s", DoubleType()),
+        StructField("session_end_s", DoubleType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def sessionize_stream(
+    events: DataFrame, gap_s: float = 30.0, watermark: str = "10 seconds"
+) -> DataFrame:
+    """Custom stateful sessionization with EXPLICIT state eviction —
+    the mechanism ``F.session_window`` hides: per user, one (start,
+    last, count) record in the state store; a session closes either
+    inline (the next event arrives past the gap) or via an EVENT-TIME
+    TIMEOUT when the watermark passes ``last + gap`` — so state for
+    departed users is dropped, not held forever (the unbounded-state
+    leak every hand-rolled sessionizer hits). Emits one row per CLOSED
+    session; the in-flight session stays in state.
+
+    State is three scalars per ACTIVE user — eviction means "active",
+    not "ever seen", which is the difference between O(online users)
+    and O(all users) state at 100TB-stream scale."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows: list[tuple[int, float, float, int]] = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            rows.append((key[0], start, last, int(n)))
+            state.remove()
+        else:
+            cur = state.get if state.exists else None
+            batch: list[float] = []
+            for pdf in pdfs:
+                batch.extend(pd.Timestamp(ts).timestamp() for ts in pdf["ts"])
+            batch.sort()
+            for ts_s in batch:
+                if cur is None:
+                    cur = (ts_s, ts_s, 1)
+                elif ts_s - cur[1] > gap_s:
+                    rows.append((key[0], cur[0], cur[1], int(cur[2])))
+                    cur = (ts_s, ts_s, 1)
+                else:
+                    cur = (cur[0], max(cur[1], ts_s), cur[2] + 1)
+            if cur is not None:
+                state.update(cur)
+                state.setTimeoutTimestamp(int((cur[1] + gap_s) * 1000))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["user_id", "session_start_s", "session_end_s", "n_events"],
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSIONIZE_OUTPUT_SCHEMA,
+            stateStructType=SESSIONIZE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -752,3 +752,54 @@ def test_funnel_stream_matches_greedy_batch_reference(spark, tmp_path):
             st[r["user_id"]] = (stage, ts_s)
             expect[(r["user_id"], stage)] = ts_s
     assert got == expect
+
+
+def test_sessionize_stream_closes_by_gap_and_timeout(spark, tmp_path):
+    """Sessions close inline when the next event exceeds the gap, and
+    via event-time TIMEOUT (state eviction) once the watermark passes;
+    a far-future sentinel in the last micro-batch forces the timeouts
+    so every real session flushes. The sentinel's own in-flight session
+    stays in state (never emitted)."""
+    from pyspark.sql import functions as F
+
+    from pubsub_mapreduce_spark.streaming.pipeline import sessionize_stream
+
+    base = 1_700_000_000
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(u, float(base + t)) for u, t in rows], "user_id long, tsec double"
+    ).select("user_id", F.timestamp_seconds("tsec").alias("ts"))
+    d = tmp_path / "sess"
+    d.mkdir()
+    # u1: session A (0, 5, 10), gap > 30 -> session B (100, 105)
+    # u2: one session (50, 60)
+    mk([(1, 0), (1, 5), (2, 50)]).coalesce(1).write.parquet(str(d / "f0"))
+    mk([(1, 10), (2, 60), (1, 100)]).coalesce(1).write.parquet(str(d / "f1"))
+    mk([(1, 105)]).coalesce(1).write.parquet(str(d / "f2"))
+    mk([(99, 10_000_000)]).coalesce(1).write.parquet(str(d / "f3"))  # sentinel
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/f*")
+    )
+    q = (
+        sessionize_stream(stream, gap_s=30.0, watermark="10 seconds")
+        .writeStream.format("memory")
+        .queryName("sessionize_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+    got = {
+        (r["user_id"], r["session_start_s"] - base): (
+            r["session_end_s"] - base,
+            r["n_events"],
+        )
+        for r in spark.sql("select * from sessionize_t").collect()
+    }
+    assert got == {
+        (1, 0.0): (10.0, 3),    # closed inline by the 100s event
+        (1, 100.0): (105.0, 2),  # closed by timeout at the sentinel batch
+        (2, 50.0): (60.0, 2),    # closed by timeout
+    }
