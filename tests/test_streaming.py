@@ -803,3 +803,51 @@ def test_sessionize_stream_closes_by_gap_and_timeout(spark, tmp_path):
         (1, 100.0): (105.0, 2),  # closed by timeout at the sentinel batch
         (2, 50.0): (60.0, 2),    # closed by timeout
     }
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """leftOuter stream-stream join: unmatched requests surface with
+    null response columns once the watermark passes their join horizon
+    (a sentinel batch advances the watermark); matched requests join
+    normally and never also emit an outer row."""
+    from pyspark.sql import functions as F
+
+    from pubsub_mapreduce_spark.streaming.joins import stream_interval_join
+
+    base = 1_700_000_000
+    mk = lambda rows, tcol: spark.createDataFrame(  # noqa: E731
+        [(i, float(base + t)) for i, t in rows], "id long, tsec double"
+    ).select("id", F.timestamp_seconds("tsec").alias(tcol))
+    rd, sd = tmp_path / "req", tmp_path / "resp"
+    rd.mkdir(); sd.mkdir()
+    # req 1 gets a response in-window; req 2 never does
+    mk([(1, 0), (2, 1)], "req_ts").coalesce(1).write.parquet(str(rd / "f0"))
+    mk([(1, 4)], "resp_ts").coalesce(1).write.parquet(str(sd / "f0"))
+    # sentinel far in the future pushes both watermarks
+    mk([(900, 100000)], "req_ts").coalesce(1).write.parquet(str(rd / "f1"))
+    mk([(901, 100000)], "resp_ts").coalesce(1).write.parquet(str(sd / "f1"))
+    req = (
+        spark.readStream.schema("id long, req_ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(str(rd) + "/f*")
+    )
+    resp = (
+        spark.readStream.schema("id long, resp_ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(str(sd) + "/f*")
+    )
+    joined = stream_interval_join(
+        req, resp, max_delay="10 seconds", watermark="5 seconds",
+        join_type="leftOuter",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("souter")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+    got = {
+        r["id"]: (None if r["resp_ts"] is None
+                  else r["resp_ts"].timestamp() - base)
+        for r in spark.sql("select * from souter").collect()
+    }
+    assert got[1] == 4.0        # matched within the 10s horizon
+    assert got.get(2, "missing") is None  # flushed as outer after watermark
