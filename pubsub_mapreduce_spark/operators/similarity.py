@@ -461,6 +461,14 @@ def ann_lsh_topk(
     is L rows per vector (the classic LSH space-for-recall trade);
     recall floor pinned in tests/test_ann_recall.py.
 
+    SIZE THE BITS WITH THE CORPUS: b ~ log2(N / target_bucket_size),
+    because candidates per query scale with N/2^b — fixed b=4 (16
+    buckets) measured 0.68s at 2k vectors but 10.7s at 20k (each bucket
+    10x bigger), while b=7 restored 3.8s and b=8 with L=12 2.3s at the
+    same recall regime (synthetic 20k-vector A/B). At 10^9+ vectors the
+    same rule gives b~20-24; the defaults here match the sf-fixture
+    scale AND the value-hash oracle's mirrored plane table.
+
     Plan shape (A/B-measured at sf0.1, 3 reps/variant in one session):
     the 64 plane dots are a NESTED HOF LOOP over a 3-level literal
     planes array, not 64 unrolled fold expressions — unrolled codegen

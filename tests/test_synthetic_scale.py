@@ -1,0 +1,86 @@
+"""Stress the dedup/ANN scale paths BEYOND the fixtures: synthetic
+corpora 10x sf0.1, generated distributed (sources/synthetic.py), with
+structural assertions (no timing — the box is too noisy for that; the
+measured scaling table lives in README)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pubsub_mapreduce_spark.sources.synthetic import (
+    synthetic_documents,
+    synthetic_embeddings,
+)
+
+N_DOCS = 20_000
+N_VECS = 10_000
+
+
+@pytest.fixture(scope="module")
+def big_docs(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("syn") / "docs")
+    synthetic_documents(spark, N_DOCS).write.parquet(p)
+    return spark.read.parquet(p)
+
+
+@pytest.fixture(scope="module")
+def big_emb(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("syn") / "emb")
+    synthetic_embeddings(spark, N_VECS).write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_generator_is_deterministic_and_fixture_shaped(spark, big_docs):
+    assert big_docs.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert big_docs.count() == N_DOCS
+    # pure function of doc_id: regeneration at a different partitioning
+    # produces identical rows
+    again = synthetic_documents(spark, N_DOCS, partitions=3)
+    assert again.exceptAll(big_docs).isEmpty()
+
+
+def test_exact_dedup_at_scale_conserves(spark, big_docs):
+    from pubsub_mapreduce_spark.operators.dedup import content_hash, exact_dedup
+
+    kept = exact_dedup(big_docs).count()
+    distinct_hashes = big_docs.select(content_hash()).distinct().count()
+    assert kept == distinct_hashes
+
+
+def test_minhash_finds_planted_dups_at_scale(spark, big_docs):
+    """Plant 20 near-identical copies into the 20k corpus; the LSH
+    banding must surface every planted pair id without an all-pairs
+    join."""
+    from pubsub_mapreduce_spark.operators.dedup import minhash_lsh_pairs
+
+    base = big_docs.where(F.col("doc_id") < 20)
+    copies = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = big_docs.unionByName(copies)
+    pairs = minhash_lsh_pairs(corpus, threshold=0.6)
+    found = {
+        (r["a"], r["b"])
+        for r in pairs.where(F.col("b") >= 1_000_000).collect()
+    }
+    assert {(i, i + 1_000_000) for i in range(20)} <= found
+
+
+def test_ann_lsh_bits_scale_with_corpus(spark, big_emb):
+    """At 10k vectors the 4-bit default's buckets are 5x oversized; with
+    b=7 every query still gets k neighbors and the per-query candidate
+    count stays near the N/2^b * L expectation (the log-N sizing rule
+    the docstring prescribes)."""
+    from pubsub_mapreduce_spark.operators.similarity import ann_lsh_topk
+
+    out = ann_lsh_topk(big_emb, k=5, every=100, planes_per_table=7)
+    per_q = out.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+    rows = per_q.collect()
+    assert len(rows) == N_VECS // 100
+    assert all(r["n"] == 5 for r in rows)
