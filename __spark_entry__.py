@@ -9,10 +9,12 @@
                     bit-for-bit (shared plane/centroid literals,
                     sequential-fold dots == list_cosine_similarity,
                     validated), so the exact value hash gates the real
-                    approximate contract. Omitted only where no DuckDB
-                    twin can exist (xxhash64 MinHash candidates,
-                    DataSketches HLL) — those get rows-only checks plus
-                    recall/error-bound tests in tests/.
+                    approximate contract; MinHash-LSH mirrors via the
+                    md5-portable base hash. Omitted only where no
+                    DuckDB twin can exist (DataSketches HLL sketches;
+                    PCA's order-sensitive float moments) — those get
+                    rows-only checks plus error-bound/invariant tests
+                    in tests/.
 
 Column-name and dtype discipline: every computed column is aliased
 identically on both sides; DuckDB aggregates are CAST to match Spark

@@ -246,7 +246,11 @@ def lsh_near_pairs(
     seed: int = 42,
     max_bucket: int | None = 10_000,
 ) -> DataFrame:
-    """Near-dup pairs via sign-LSH bucketed candidates + exact cosine
+    """(Size ``planes_per_table`` ~ log2(N / target_bucket) as the
+    corpus grows — see ann_lsh_topk's measured sizing rule; the
+    ``max_bucket`` cap bounds the worst cell meanwhile.)
+
+    Near-dup pairs via sign-LSH bucketed candidates + exact cosine
     verify — the SCALE-PATH replacement for ``embedding_near_pairs``'s
     all-pairs join, and the default pair source for the embedding-dedup
     family.
