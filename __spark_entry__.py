@@ -735,6 +735,15 @@ def q_split_counts(spark, sf_dir):
     )
 
 
+def q_value_histogram(spark, sf_dir):
+    """20-bin fixed-width histogram of events.value — positional
+    distribution profile with empty bins emitted
+    (sketches.fixed_width_histogram)."""
+    from pubsub_mapreduce_spark.operators.sketches import fixed_width_histogram
+
+    return fixed_width_histogram(load_tables(spark, sf_dir)["events"], "value")
+
+
 def q_heavy_hitter_users(spark, sf_dir):
     from pubsub_mapreduce_spark.operators.sketches import heavy_hitters
 
@@ -984,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_cooccurrence": q_event_cooccurrence,
         "session_transitions": q_session_transitions,
         "emb_pca": q_emb_pca,
+        "value_histogram": q_value_histogram,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -2304,6 +2314,23 @@ def oracle_sql() -> dict[str, str]:
             FROM ustat u LEFT JOIN bstat b USING (doc_id)
         """,
         "zorder_stats": _ZORDER_STATS_SQL,
+        "value_histogram": """
+            WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+            s AS (SELECT mn,
+                         CASE WHEN mx - mn <= 0 THEN 1.0 ELSE mx - mn END AS span
+                  FROM b),
+            binned AS (
+              SELECT least(19, CAST(floor((value - mn) / span * 20) AS INTEGER))
+                       AS bin
+              FROM events, s WHERE value IS NOT NULL),
+            c AS (SELECT bin, count(*) AS n FROM binned GROUP BY 1),
+            spine AS (SELECT CAST(unnest(range(0, 20)) AS INTEGER) AS bin)
+            SELECT spine.bin,
+                   mn + spine.bin * span / 20 AS lo,
+                   mn + (spine.bin + 1) * span / 20 AS hi,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n
+            FROM spine LEFT JOIN c USING (bin), s
+        """,
         "session_transitions": """
             WITH e AS (
               SELECT user_id, event_id, event_type, epoch(ts) AS tt FROM events),

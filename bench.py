@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "t7_running_total",
     "codec_roundtrip",
     "heavy_hitter_users",
+    "value_histogram",
     "approx_distinct_users",
     "range_join_signup",
     "range_join_launch",

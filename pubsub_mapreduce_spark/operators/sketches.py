@@ -113,3 +113,46 @@ def hll_daily_rollup(
         )
         .select("event_type", "approx_users", "n_events", "n_days")
     )
+
+
+def fixed_width_histogram(
+    df: DataFrame, col: str, n_bins: int = 20
+) -> DataFrame:
+    """Fixed-width value histogram — the distribution profile that
+    complements ``profile_table``'s scalar stats (skew/outlier shape at
+    a glance, and the bin spec a numeric drift monitor diffs).
+
+    The [min, max] bounds resolve eagerly to two literals (the bounded-
+    collect pattern — leaving them as a subplan would rescan for both
+    the bin projection and the per-bin rollup), then binning is one
+    map-side projection + one |bins|-keyed aggregate. Bin edges are
+    derived with the same IEEE ops on both engines, and every value
+    lands via ``least(n-1, floor((v - min) / span * n))`` — the max
+    value's floor(n) clamps into the last bin. Empty bins are emitted
+    (dense spine via ``sequence``) so the histogram shape is positional,
+    not presence-dependent."""
+    from pyspark.sql.functions import broadcast
+
+    mn, mx = df.agg(F.min(col), F.max(col)).first()
+    span = float(mx) - float(mn)
+    if span <= 0:
+        span = 1.0  # degenerate: all mass in bin 0
+    bin_col = F.least(
+        F.lit(n_bins - 1),
+        F.floor((F.col(col) - F.lit(float(mn))) / F.lit(span) * n_bins),
+    ).cast("int")
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = df.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    return (
+        spine.join(counts, "bin", "left")
+        .select(
+            "bin",
+            (F.lit(float(mn)) + F.col("bin") * F.lit(span) / n_bins).alias("lo"),
+            (F.lit(float(mn)) + (F.col("bin") + 1) * F.lit(span) / n_bins).alias("hi"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )

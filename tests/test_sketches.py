@@ -112,3 +112,24 @@ def test_hll_rollup_error_bound_and_merge_consistency(spark, tables):
         .collect()
     }
     assert rolled == single
+
+
+def test_fixed_width_histogram_conserves_and_clamps(spark):
+    from pyspark.sql import functions as F
+
+    from pubsub_mapreduce_spark.operators.sketches import fixed_width_histogram
+
+    df = spark.createDataFrame(
+        [(float(x),) for x in [0, 1, 2, 5, 9, 10, 10, 10]] + [(None,)],
+        "v double",
+    )
+    h = {r["bin"]: r for r in fixed_width_histogram(df, "v", n_bins=5).collect()}
+    assert len(h) == 5  # empty bins emitted
+    assert sum(r["n"] for r in h.values()) == 8  # nulls excluded, rest conserved
+    assert h[4]["n"] == 4  # 9 plus the three max values (clamped) land last
+    assert h[3]["n"] == 0  # [6, 8): genuinely empty, still emitted
+    assert h[0]["lo"] == 0.0 and h[4]["hi"] == 10.0
+    # degenerate all-equal input: everything in bin 0, no div-by-zero
+    one = spark.createDataFrame([(7.0,), (7.0,)], "v double")
+    h1 = {r["bin"]: r["n"] for r in fixed_width_histogram(one, "v", 5).collect()}
+    assert h1[0] == 2 and sum(h1.values()) == 2
