@@ -735,6 +735,17 @@ def q_split_counts(spark, sf_dir):
     )
 
 
+def q_orders_checksum(spark, sf_dir):
+    """Order-independent table checksum of orders (io.table_checksum) —
+    the one-number anti-entropy comparison for migrations/replicas."""
+    from pubsub_mapreduce_spark.io import table_checksum
+
+    return table_checksum(
+        load_tables(spark, sf_dir)["orders"],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
 def q_value_histogram(spark, sf_dir):
     """20-bin fixed-width histogram of events.value — positional
     distribution profile with empty bins emitted
@@ -994,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_transitions": q_session_transitions,
         "emb_pca": q_emb_pca,
         "value_histogram": q_value_histogram,
+        "orders_checksum": q_orders_checksum,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -2314,6 +2326,15 @@ def oracle_sql() -> dict[str, str]:
             FROM ustat u LEFT JOIN bstat b USING (doc_id)
         """,
         "zorder_stats": _ZORDER_STATS_SQL,
+        "orders_checksum": """
+            SELECT count(*) AS n_rows,
+                   CAST(sum(('0x' || substr(md5(
+                       CAST(o_orderkey AS VARCHAR) || '|' ||
+                       CAST(o_custkey AS VARCHAR) || '|' ||
+                       o_orderstatus || '|' || o_orderpriority), 1, 8))::BIGINT)
+                     AS BIGINT) AS checksum
+            FROM orders
+        """,
         "value_histogram": """
             WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
             s AS (SELECT mn,

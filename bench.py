@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "codec_roundtrip",
     "heavy_hitter_users",
     "value_histogram",
+    "orders_checksum",
     "approx_distinct_users",
     "range_join_signup",
     "range_join_launch",

@@ -218,6 +218,28 @@ def write_zordered(df: DataFrame, path: str, a: str, b: str, n_files: int = 8) -
     )
 
 
+def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-independent table checksum — the anti-entropy primitive of
+    every migration/replication/backfill: one (n_rows, checksum) row
+    per table; two copies agree iff the numbers agree, regardless of
+    partitioning, row order, or engine.
+
+    checksum = SUM over rows of int32(md5(canonical row string)) —
+    addition is commutative/associative, so the result is partition-
+    and order-invariant (unlike any positional hash), and the md5-int
+    trick is the repo's standard cross-engine hash (DuckDB twin:
+    ``sum(('0x' || substr(md5(...), 1, 8))::BIGINT)``). One partial-
+    agg'd scan; the canonical string is ``concat_ws('|', cols)`` —
+    restrict ``cols`` to types whose string form is engine-identical
+    (ints, strings; NOT doubles near the 1e7 scientific-notation
+    boundary or fractional timestamps)."""
+    canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    h = F.conv(F.substring(F.md5(canon.cast("binary")), 1, 8), 16, 10).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum(h).alias("checksum")
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views for ``spark.sql`` use."""
     for name, df in load_tables(spark, sf_dir).items():

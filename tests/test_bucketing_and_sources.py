@@ -395,3 +395,24 @@ def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
     # single-column sort: its own column tight, the other unpruned
     assert s_cust < full_cust * 0.2
     assert s_day > full_day * 0.8, (s_day, full_day)
+
+
+def test_table_checksum_order_invariant_and_sensitive(spark, tables):
+    from pyspark.sql import functions as F
+
+    from pubsub_mapreduce_spark.io import table_checksum
+
+    o = tables["orders"]
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    a = table_checksum(o, cols).first()
+    # invariant under repartitioning and row order
+    b = table_checksum(o.repartition(13).sortWithinPartitions("o_custkey"), cols).first()
+    assert (a["n_rows"], a["checksum"]) == (b["n_rows"], b["checksum"])
+    # sensitive to a single changed value
+    mutated = o.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") == o.select(F.min("o_orderkey")).first()[0],
+               F.col("o_custkey") + 1).otherwise(F.col("o_custkey")),
+    )
+    c = table_checksum(mutated, cols).first()
+    assert c["checksum"] != a["checksum"] and c["n_rows"] == a["n_rows"]
