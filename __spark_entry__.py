@@ -735,6 +735,12 @@ def q_split_counts(spark, sf_dir):
     )
 
 
+def q_lateness_profile(spark, sf_dir):
+    """Out-of-order-arrival profile per event type — the measured basis
+    for watermark sizing (pipeline.lateness_profile)."""
+    return P.lateness_profile(load_tables(spark, sf_dir)["events"])
+
+
 def q_orders_checksum(spark, sf_dir):
     """Order-independent table checksum of orders (io.table_checksum) —
     the one-number anti-entropy comparison for migrations/replicas."""
@@ -1006,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca": q_emb_pca,
         "value_histogram": q_value_histogram,
         "orders_checksum": q_orders_checksum,
+        "lateness_profile": q_lateness_profile,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -2326,6 +2333,27 @@ def oracle_sql() -> dict[str, str]:
             FROM ustat u LEFT JOIN bstat b USING (doc_id)
         """,
         "zorder_stats": _ZORDER_STATS_SQL,
+        "lateness_profile": """
+            WITH e AS (
+              SELECT user_id, event_id, event_type, epoch(ts) AS tt
+              FROM events),
+            m AS (
+              SELECT *, max(tt) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS prior_max
+              FROM e),
+            l AS (
+              SELECT event_type,
+                     CASE WHEN prior_max > tt THEN prior_max - tt
+                          ELSE 0.0 END AS late_s
+              FROM m)
+            SELECT event_type, count(*) AS n_events,
+                   count(CASE WHEN late_s > 0 THEN 1 END) AS n_late,
+                   floor(CAST(count(CASE WHEN late_s > 0 THEN 1 END) AS DOUBLE)
+                         / count(*) * 1e6 + 0.5) / 1e6 AS late_frac,
+                   floor(max(late_s) * 1e3 + 0.5) / 1e3 AS max_late_s
+            FROM l GROUP BY 1
+        """,
         "orders_checksum": """
             SELECT count(*) AS n_rows,
                    CAST(sum(('0x' || substr(md5(

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "heavy_hitter_users",
     "value_histogram",
     "orders_checksum",
+    "lateness_profile",
     "approx_distinct_users",
     "range_join_signup",
     "range_join_launch",

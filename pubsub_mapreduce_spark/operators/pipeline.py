@@ -23,6 +23,42 @@ from pyspark.sql import functions as F
 from ..functions.text import round_half_up
 
 
+def lateness_profile(events: DataFrame) -> DataFrame:
+    """Out-of-order-arrival profile: per event type, how many events
+    arrived with an event time EARLIER than something already seen for
+    that user (arrival order = event_id), and the worst lateness — the
+    empirical basis for choosing a watermark delay (SURVEY §2.5: the
+    reference handles lateness only via T1's LWW guard; Structured
+    Streaming needs a delay NUMBER, and this measures it from data).
+
+    One user-keyed window (running max of event time in arrival order),
+    one tiny per-type rollup. Lateness = running_max - ts in exact
+    epoch-double seconds."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tt = F.col("tt")
+    prior_max = F.max(tt).over(w)
+    lateness = F.when(prior_max > tt, prior_max - tt).otherwise(F.lit(0.0))
+    return (
+        events.select(
+            "user_id", "event_id", "event_type", F.col("ts").cast("double").alias("tt")
+        )
+        .withColumn("late_s", lateness)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("late_s") > 0, 1)).alias("n_late"),
+            round_half_up(
+                F.count(F.when(F.col("late_s") > 0, 1)) / F.count(F.lit(1)), 6
+            ).alias("late_frac"),
+            round_half_up(F.max("late_s"), 3).alias("max_late_s"),
+        )
+    )
+
+
 def latest_per_key(
     df: DataFrame,
     key: str = "user_id",
