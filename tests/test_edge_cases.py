@@ -291,3 +291,23 @@ def test_event_cooccurrence_single_type_user_guard(spark):
     r = rows[0]
     assert (r["type_a"], r["type_b"], r["n_users"]) == ("click", "view", 2)
     assert r["support"] == 0.666667  # 2 of 3 users (single-type counted)
+
+
+def test_lateness_profile_detects_planted_disorder(spark):
+    from pubsub_mapreduce_spark.operators.pipeline import lateness_profile
+
+    rows = [
+        # arrival order = event_id; u1's third arrival is 40s late
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:01:00", 1, "view", 1.0, "{}"),
+        (3, "2024-01-01 10:00:20", 1, "view", 1.0, "{}"),  # late by 40s
+        (4, "2024-01-01 10:02:00", 2, "click", 1.0, "{}"),  # in order
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["event_type"]: r for r in lateness_profile(events).collect()}
+    assert got["view"]["n_late"] == 1
+    assert got["view"]["max_late_s"] == 40.0
+    assert got["click"]["n_late"] == 0
