@@ -456,3 +456,23 @@ def test_session_transitions_one_user_shuffle(spark):
     assert plan.count("hashpartitioning(user_id") == 1, plan
     assert keyed_shuffle_count(df) <= 2
     assert_no_cartesian(df)
+
+
+def test_merge_upsert_single_join_shape(spark):
+    """MERGE: one full-outer SortMergeJoin on the key (both sides share
+    the hash), no cartesian, no broadcast of the fact side."""
+    df = q("merge_upsert", spark)
+    from pubsub_mapreduce_spark.plans.explain import explain_str
+
+    plan = explain_str(df)
+    assert "FullOuter" in plan, plan[:500]
+    assert_no_cartesian(df)
+    assert keyed_shuffle_count(df) <= 3  # target side, update-side agg, join reuse
+
+
+def test_gap_fill_windows_share_user_partitioning(spark):
+    """Gap fill: daily LWW rank, spine explode and forward-fill window
+    all ride user-keyed exchanges; no users x calendar cartesian."""
+    df = q("gap_fill_daily", spark)
+    assert_no_cartesian(df)
+    assert node_count(df, "Window") >= 2
