@@ -476,3 +476,25 @@ def test_gap_fill_windows_share_user_partitioning(spark):
     df = q("gap_fill_daily", spark)
     assert_no_cartesian(df)
     assert node_count(df, "Window") >= 2
+
+
+def test_new_ops_shuffle_budgets(spark):
+    """Shuffle-budget contracts for the round-2 additions not covered by
+    a dedicated guard: map-only ops shuffle zero times on a key; the
+    rest stay within their documented budget."""
+    budgets = {
+        "doc_chunks": 0,        # 1->k explode, map-only
+        "oversample_mix": 2,    # explode map-side; countDistinct costs 2
+        "multimodal_audio_energy": 0,  # Arrow map, no shuffle
+        "orders_checksum": 1,   # partial-agg'd global sum: one 1-row SinglePartition
+        "value_histogram": 2,   # bin rollup + spine join broadcastable
+        "cross_doc_repetition": 3,  # df agg, gram join, doc rollup
+        "zorder_stats": 1,      # z-prefix rollup
+        "lateness_profile": 2,  # user window + type rollup
+        "text_repetition": 0,   # sorted-run HOF folds, map-only
+    }
+    for name, budget in budgets.items():
+        df = q(name, spark)
+        n = keyed_shuffle_count(df)
+        assert n <= budget, f"{name}: {n} keyed shuffles (budget {budget})"
+        assert_no_cartesian(df)
