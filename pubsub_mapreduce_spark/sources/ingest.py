@@ -77,6 +77,34 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return good, bad
 
 
+def observed_quarantine(df: DataFrame):
+    """(df, observation): the ingest audit counters attached via the
+    Observation API — they materialize as a side effect of whatever
+    action the CALLER runs (the write itself), so the audit costs ZERO
+    extra scans. ``quarantine_stats`` is the standalone second-pass
+    form; this is what a production ingest job actually wires, because
+    at 100TB a second accounting scan is a second 100TB read.
+
+    Usage::
+
+        parsed, obs = observed_quarantine(read_jsonl(spark, path, schema))
+        parsed.where(...).write.parquet(out)   # the real job
+        obs.get  # {'n_lines': ..., 'n_parsed': ..., 'n_quarantined': ...}
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_audit")
+    return (
+        df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.when(F.col(CORRUPT_COL).isNull(), 1)).alias("n_parsed"),
+            F.count(F.col(CORRUPT_COL)).alias("n_quarantined"),
+        ),
+        obs,
+    )
+
+
 def quarantine_stats(df: DataFrame) -> DataFrame:
     """One-row ingest audit: total / parsed / quarantined counts — the
     number a pipeline alerts on when a crawler starts emitting garbage.

@@ -416,3 +416,21 @@ def test_table_checksum_order_invariant_and_sensitive(spark, tables):
     )
     c = table_checksum(mutated, cols).first()
     assert c["checksum"] != a["checksum"] and c["n_rows"] == a["n_rows"]
+
+
+def test_observed_quarantine_audits_without_second_scan(spark, tmp_path):
+    """The Observation-attached audit counters materialize from the SAME
+    job that writes the good rows — values match the standalone stats
+    pass without re-reading the input."""
+    from pubsub_mapreduce_spark.sources.ingest import (
+        observed_quarantine,
+        read_jsonl,
+        split_quarantine,
+    )
+
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"id": 1}\nboom\n{"id": 2}\n{"id": "x"}')
+    parsed, obs = observed_quarantine(read_jsonl(spark, str(p), "id long"))
+    good, _bad = split_quarantine(parsed)
+    good.write.format("noop").mode("overwrite").save()  # the real job
+    assert obs.get == {"n_lines": 4, "n_parsed": 2, "n_quarantined": 2}
