@@ -37,6 +37,7 @@ from pubsub_mapreduce_spark.operators import (
     pipeline as P,
     rangejoin as RJ,
     relational as R,
+    robust as RB,
     sampling as SM,
     similarity as S,
     textops as TX,
@@ -276,6 +277,38 @@ def q_dedup_incremental(spark, sf_dir):
     corpus = docs.where(F.col("doc_id") % 10 < 8)
     new_batch = docs.where(F.col("doc_id") % 10 >= 8)
     return dedup.incremental_dedup(new_batch, corpus)
+
+
+def q_dedup_minhash_incremental(spark, sf_dir):
+    """NEAR-dup twin of dedup_incremental (same doc_id%10 batch split):
+    new-crawl docs LSH-matched against corpus + earlier-batch docs
+    (dedup.minhash_lsh_incremental — corpus side semi-joined to touched
+    buckets, so cost scales with |batch|). hash_impl='md5' upgrades it
+    to a FULL value-hash oracle, same mirroring as dedup_minhash_lsh."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus = docs.where(F.col("doc_id") % 10 < 8)
+    new_batch = docs.where(F.col("doc_id") % 10 >= 8)
+    return dedup.minhash_lsh_incremental(
+        new_batch, corpus, n=3, threshold=0.5, hash_impl="md5"
+    )
+
+
+def q_event_outliers(spark, sf_dir):
+    """3-sigma outliers via the division-free integer predicate
+    (robust.value_outliers) — exact in any engine."""
+    return RB.value_outliers(load_tables(spark, sf_dir)["events"], k=3)
+
+
+def q_winsorized_values(spark, sf_dir):
+    """Winsorized per-type means at exact rank-based p05/p95 cut points
+    (robust.winsorized_stats)."""
+    return RB.winsorized_stats(load_tables(spark, sf_dir)["events"], p=0.05)
+
+
+def q_rare_tokens(spark, sf_dir):
+    """Rare-token mass per document (textops.rare_token_profile) — the
+    integer-exact LM-quality proxy screen."""
+    return TX.rare_token_profile(load_tables(spark, sf_dir)["documents"], min_df=100)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -932,6 +965,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # similarity / text / sampling / sketches / multimodal), TPC-H
     # Q15-Q21, and the new/reworked operators.
     return {
+        # --- newest (this round-2 continuation): validate first ------
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "event_outliers": q_event_outliers,
+        "winsorized_values": q_winsorized_values,
+        "rare_tokens": q_rare_tokens,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -1123,6 +1161,75 @@ def _minhash_lsh_oracle_sql(threshold: float = 0.5) -> str:
               FROM inter
               JOIN sizes sa ON sa.doc_id = a
               JOIN sizes sb ON sb.doc_id = b)
+            WHERE jaccard >= {threshold}
+    """
+
+
+def _minhash_incremental_oracle_sql(threshold: float = 0.5) -> str:
+    """DuckDB mirror of ``dedup.minhash_lsh_incremental(hash_impl='md5')``
+    over the doc_id%10 batch split: signatures for ALL docs (a doc's
+    signature depends only on its own shingles, so computing per-split
+    or globally is identical), banding on raw signature slices, the
+    touched-bucket semi-join, the 10k cap over the touched union, the
+    (corpus OR earlier-in-batch) pair rule, and the exact-Jaccard
+    verify. Spark restricts corpus shingling to verify candidates —
+    a pure pruning step, so the global ``sh`` here yields the same
+    joined values."""
+    p = dedup.MERSENNE_P
+    coeffs = dedup._perm_coeffs(dedup.N_PERM, seed=42)
+    mins = ",\n                     ".join(
+        f"min(({a} * hm + {b}) % {p})" for a, b in coeffs
+    )
+    rows_per_band = dedup.N_PERM // dedup.LSH_BANDS
+    return f"""
+            WITH {_SHINGLES_CTE},
+            hm AS (
+              SELECT doc_id,
+                     (('0x' || substr(md5(shingle), 1, 8))::BIGINT % {p}) AS hm
+              FROM sh),
+            sig AS (
+              SELECT doc_id,
+                     [{mins}] AS s
+              FROM hm GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, b AS band,
+                     s[b*{rows_per_band}+1 : b*{rows_per_band}+{rows_per_band}]
+                         AS key,
+                     (doc_id % 10 >= 8) AS is_new
+              FROM sig, (SELECT unnest(range({dedup.LSH_BANDS})) AS b) _),
+            bn AS (SELECT * FROM banded WHERE is_new),
+            bo AS (
+              SELECT bd.* FROM banded bd
+              WHERE NOT bd.is_new
+                AND EXISTS (SELECT 1 FROM bn
+                            WHERE bn.band = bd.band AND bn.key = bd.key)),
+            u AS (SELECT * FROM bo UNION ALL SELECT * FROM bn),
+            capped AS (
+              SELECT doc_id, band, key, is_new FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS bsz
+                FROM u)
+              WHERE bsz <= 10000),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS dup_of, y.doc_id AS new_id
+              FROM capped x JOIN capped y
+                ON x.band = y.band AND x.key = y.key
+              WHERE y.is_new
+                AND (NOT x.is_new OR x.doc_id < y.doc_id)
+                AND x.doc_id <> y.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (
+              SELECT c.new_id, c.dup_of, count(*) AS common
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.dup_of
+              JOIN sh sb ON sb.doc_id = c.new_id AND sa.shingle = sb.shingle
+              GROUP BY 1, 2)
+            SELECT new_id, dup_of, jaccard FROM (
+              SELECT new_id, dup_of,
+                     floor(common * 1.0 / (sn.sz + so.sz - common) * 1e6 + 0.5)
+                         / 1e6 AS jaccard
+              FROM inter
+              JOIN sizes sn ON sn.doc_id = new_id
+              JOIN sizes so ON so.doc_id = dup_of)
             WHERE jaccard >= {threshold}
     """
 
@@ -2183,6 +2290,71 @@ def oracle_sql() -> dict[str, str]:
             WHERE content_md5 NOT IN (SELECT content_md5 FROM corpus)
         """,
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(0.5),
+        "dedup_minhash_incremental": _minhash_incremental_oracle_sql(0.5),
+        "event_outliers": """
+            WITH c AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            s AS (
+              SELECT event_type,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(cents) AS HUGEINT) AS sm,
+                     sum(CAST(cents AS HUGEINT) * cents) AS q
+              FROM c GROUP BY 1)
+            SELECT c.event_type, c.event_id, c.cents,
+                   CASE WHEN n * cents - sm > 0 THEN 'high' ELSE 'low' END
+                       AS side,
+                   CAST(n AS BIGINT) AS n_group
+            FROM c JOIN s USING (event_type)
+            WHERE (n * cents - sm) * (n * cents - sm) > 9 * (n * q - sm * sm)
+        """,
+        "winsorized_values": """
+            WITH c AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            r AS (
+              SELECT event_type, cents,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY cents, event_id) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM c),
+            cuts AS (
+              SELECT event_type, max(n) AS n,
+                     max(CASE WHEN rn = greatest(
+                           1, ceil(CAST(0.05 AS DOUBLE) * n)) THEN cents END)
+                         AS lo_cents,
+                     max(CASE WHEN rn = ceil(CAST(0.95 AS DOUBLE) * n)
+                         THEN cents END) AS hi_cents
+              FROM r GROUP BY 1),
+            cl AS (
+              SELECT c.event_type, n, lo_cents, hi_cents, cents,
+                     greatest(lo_cents, least(hi_cents, cents)) AS wc
+              FROM c JOIN cuts USING (event_type))
+            SELECT event_type, n, lo_cents, hi_cents,
+                   floor(sum(cents) * 1.0 / n * 1e4 + 0.5) / 1e4 AS mean_cents,
+                   floor(sum(wc) * 1.0 / n * 1e4 + 0.5) / 1e4
+                       AS win_mean_cents
+            FROM cl GROUP BY 1, 2, 3, 4
+        """,
+        "rare_tokens": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x <> '')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+            f AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1)
+            SELECT doc_id,
+                   CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN cf < 100 THEN tf ELSE 0 END) AS BIGINT)
+                       AS rare_tokens,
+                   floor(sum(CASE WHEN cf < 100 THEN tf ELSE 0 END) * 1.0
+                         / sum(tf) * 1e6 + 0.5) / 1e6 AS rare_frac
+            FROM tf JOIN f USING (term)
+            GROUP BY doc_id
+        """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},
             keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),

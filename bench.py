@@ -104,12 +104,15 @@ BENCH_QUERIES = [
     "value_histogram",
     "orders_checksum",
     "lateness_profile",
+    "event_outliers",
+    "winsorized_values",
     "approx_distinct_users",
     "range_join_signup",
     "range_join_launch",
     # training-data ops (scale paths)
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
     "dedup_simhash",
     "text_clean",
     "lang_confusion",
@@ -118,6 +121,7 @@ BENCH_QUERIES = [
     "text_tfidf",
     "text_char_bigram",
     "text_repetition",
+    "rare_tokens",
     "cross_doc_repetition",
     "decontaminate",
     "quality_gate",

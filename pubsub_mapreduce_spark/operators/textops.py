@@ -515,3 +515,38 @@ def char_bigram_score(docs: DataFrame, text: str = "text") -> DataFrame:
             8,
         ).alias("familiarity"),
     )
+
+
+def rare_token_profile(docs: DataFrame, min_df: int = 100) -> DataFrame:
+    """Per-document rare-token screen (CCNet-style LM-quality proxy,
+    integer-exact): count token occurrences whose CORPUS-wide frequency
+    is below ``min_df`` — heavy rare-token mass marks OCR garbage,
+    codesoup, or language the corpus barely covers. A true perplexity
+    filter needs an external LM; the rare-mass fraction is the
+    engine-exact first screen (counts and one final ratio, so the
+    DuckDB twin matches every digit — no per-token log()).
+
+    Shape at scale: ONE tokenize+explode feeds a (doc, term) partial
+    aggregate; corpus frequency is a second |vocab|-row aggregate of
+    that, joined back on ``term`` (hash join on the vocab key; at 100TB
+    the vocab relation is MBs — AQE converts it to broadcast). The
+    absolute ``min_df`` is the index-build convention; production
+    recomputes it per corpus as a fraction of total token mass."""
+    tf = term_freqs(docs)
+    freq = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    return (
+        tf.join(freq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.when(F.col("cf") < min_df, F.col("tf")).otherwise(F.lit(0))).alias(
+                "rare_tokens"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "rare_tokens",
+            rh(F.col("rare_tokens") / F.col("n_tokens"), 6).alias("rare_frac"),
+        )
+    )

@@ -498,3 +498,35 @@ def test_new_ops_shuffle_budgets(spark):
         n = keyed_shuffle_count(df)
         assert n <= budget, f"{name}: {n} keyed shuffles (budget {budget})"
         assert_no_cartesian(df)
+
+
+def test_robust_ops_shape(spark):
+    """Outlier flag: ONE keyed shuffle (the per-type stats aggregate);
+    stats ride back via broadcast, never re-shuffling the event side.
+    Winsorizer: the rank window and cut aggregate share the event_type
+    partitioning (2 keyed exchanges total incl. the final rollup)."""
+    df = q("event_outliers", spark)
+    assert keyed_shuffle_count(df) <= 1
+    assert_no_cartesian(df)
+    df = q("winsorized_values", spark)
+    assert keyed_shuffle_count(df) <= 2
+    assert_no_cartesian(df)
+
+
+def test_rare_tokens_shape(spark):
+    """One explode feeding (doc,term) tf, |vocab| cf, join back, doc
+    rollup — 4 keyed exchanges, no cartesian."""
+    df = q("rare_tokens", spark)
+    assert keyed_shuffle_count(df) <= 4
+    assert_no_cartesian(df)
+
+
+def test_incremental_minhash_no_allpairs(spark):
+    """Incremental LSH: candidates only via the (band, bucket)
+    equi-join; the corpus side must ride a LeftSemi bucket restriction
+    and the plan must contain no all-pairs shape."""
+    df = q("dedup_minhash_incremental", spark)
+    assert_no_cartesian(df)
+    assert node_count(df, "BroadcastNestedLoopJoin") == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, "touched-bucket semi-join missing"
