@@ -305,6 +305,18 @@ def q_winsorized_values(spark, sf_dir):
     return RB.winsorized_stats(load_tables(spark, sf_dir)["events"], p=0.05)
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Median/MAD outliers — all order statistics, integer-exact
+    (robust.mad_outliers)."""
+    return RB.mad_outliers(load_tables(spark, sf_dir)["events"], k=5)
+
+
+def q_association_rules(spark, sf_dir):
+    """Directed support/confidence/lift rules over user baskets
+    (relational.association_rules)."""
+    return R.association_rules(load_tables(spark, sf_dir))
+
+
 def q_rare_tokens(spark, sf_dir):
     """Rare-token mass per document (textops.rare_token_profile) — the
     integer-exact LM-quality proxy screen."""
@@ -968,7 +980,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- newest (this round-2 continuation): validate first ------
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "event_outliers": q_event_outliers,
+        "mad_outliers": q_mad_outliers,
         "winsorized_values": q_winsorized_values,
+        "association_rules": q_association_rules,
         "rare_tokens": q_rare_tokens,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
@@ -2308,6 +2322,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS n_group
             FROM c JOIN s USING (event_type)
             WHERE (n * cents - sm) * (n * cents - sm) > 9 * (n * q - sm * sm)
+        """,
+        "mad_outliers": """
+            WITH c AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            r AS (
+              SELECT event_type, cents,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY cents, event_id) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM c),
+            m AS (
+              SELECT event_type,
+                     max(CASE WHEN rn = ceil(n / 2) THEN cents END) AS med
+              FROM r GROUP BY 1),
+            d AS (
+              SELECT c.event_type, event_id, cents, med,
+                     abs(cents - med) AS dev
+              FROM c JOIN m USING (event_type)),
+            dr AS (
+              SELECT event_type, dev,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY dev, event_id) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM d),
+            md AS (
+              SELECT event_type,
+                     max(CASE WHEN rn = ceil(n / 2) THEN dev END) AS mad
+              FROM dr GROUP BY 1)
+            SELECT d.event_type, event_id, cents, med, mad, dev
+            FROM d JOIN md USING (event_type)
+            WHERE dev > 5 * mad
+        """,
+        "association_rules": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            n1 AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM ut GROUP BY 1),
+            tot AS (
+              SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+              FROM events),
+            pp AS (
+              SELECT x.event_type AS antecedent, y.event_type AS consequent,
+                     CAST(count(*) AS BIGINT) AS n_both
+              FROM ut x JOIN ut y ON x.user_id = y.user_id
+                   AND x.event_type <> y.event_type
+              GROUP BY 1, 2)
+            SELECT antecedent, consequent, n_both,
+                   floor(n_both * 1.0 / nu * 1e6 + 0.5) / 1e6 AS support,
+                   floor(n_both * 1.0 / na.n * 1e6 + 0.5) / 1e6 AS confidence,
+                   floor(n_both * 1.0 * nu / (na.n * nb.n) * 1e6 + 0.5) / 1e6
+                       AS lift
+            FROM pp
+            JOIN n1 na ON na.event_type = antecedent
+            JOIN n1 nb ON nb.event_type = consequent, tot
         """,
         "winsorized_values": """
             WITH c AS (

@@ -105,7 +105,9 @@ BENCH_QUERIES = [
     "orders_checksum",
     "lateness_profile",
     "event_outliers",
+    "mad_outliers",
     "winsorized_values",
+    "association_rules",
     "approx_distinct_users",
     "range_join_signup",
     "range_join_launch",

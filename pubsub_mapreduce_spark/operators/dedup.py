@@ -625,6 +625,29 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
     return batch_unique.join(corpus_hashes, "content_md5", "left_anti")
 
 
+def build_minhash_index(
+    corpus: DataFrame,
+    n: int = 3,
+    n_perm: int = N_PERM,
+    bands: int = LSH_BANDS,
+    seed: int = 42,
+    hash_impl: str = "xxhash64",
+) -> DataFrame:
+    """The precomputed corpus side of ``minhash_lsh_incremental``:
+    (doc_id, band, bucket) banded rows. Build once, persist with
+    ``io.write_bucketed(idx, table, ["band", "bucket"])`` so every
+    future ingest batch's candidate join is co-located on the bucket
+    key — the corpus TEXT is then touched only for verify candidates.
+    Grows append-only: index a new batch after admitting it and union
+    (no rebuild)."""
+    from ..io import widen
+
+    sig = minhash_signatures(
+        widen(corpus, 8), n=n, n_perm=n_perm, seed=seed, hash_impl=hash_impl
+    )
+    return _banded(sig, bands, n_perm // bands)
+
+
 def minhash_lsh_incremental(
     new_docs: DataFrame,
     corpus: DataFrame,
@@ -634,6 +657,7 @@ def minhash_lsh_incremental(
     threshold: float = 0.5,
     seed: int = 42,
     hash_impl: str = "xxhash64",
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup: the new-crawl-vs-existing-corpus form of
     ``minhash_lsh_pairs`` — the production shape for a growing 100TB
@@ -657,37 +681,65 @@ def minhash_lsh_incremental(
       population equals the full-corpus cap restricted to touched
       buckets — same guard, batch-sized cost.
 
-    Index-less form: without a stored corpus index both sides must be
-    signed anyway, so this computes ONE shingle pass + ONE signature
-    aggregate over the tagged union (``carry=('is_new',)`` threads the
-    membership flag through explode/groupBy — no |docs|-sized join
-    back). A first cut signed each side separately: two shingle scans,
-    two 64-min aggregates, and a lineage that re-expanded per consumer
-    — 8.1s cold / 4.5s warm at sf0.01 vs 2.7s warm for the FULL
-    self-join it was supposed to beat. The single-pass form is the
-    full-LSH signing cost plus a batch-sized candidate join.
+    Index-less form (``corpus_index=None``): without a stored corpus
+    index both sides must be signed anyway, so this computes ONE
+    shingle pass + ONE signature aggregate over the tagged union
+    (``carry=('is_new',)`` threads the membership flag through
+    explode/groupBy — no |docs|-sized join back). A first cut signed
+    each side separately: two shingle scans, two 64-min aggregates, and
+    a lineage that re-expanded per consumer — 8.1s cold / 4.5s warm at
+    sf0.01 vs 2.7s warm for the FULL self-join it was supposed to beat.
+    The single-pass form is the full-LSH signing cost plus a
+    batch-sized candidate join.
+
+    Indexed form (``corpus_index`` = ``build_minhash_index`` output,
+    typically read back from a (band, bucket)-bucketed table): the
+    corpus is neither shingled nor signed — only the BATCH is, and the
+    corpus text is scanned once, pruned to verify candidates. This is
+    the steady-state 100TB ingest plan; results are pinned identical to
+    the index-less form (tests/test_minhash_recall.py).
     """
     from pyspark import StorageLevel
 
     from ..io import widen
 
     rows_per_band = n_perm // bands
-    tagged = widen(new_docs, 8).withColumn("is_new", F.lit(True)).unionByName(
-        widen(corpus, 8).withColumn("is_new", F.lit(False))
-    )
-    sh_all = word_shingles(
-        tagged, n=n, distinct=False, carry=("is_new",)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = minhash_signatures(
-        tagged,
-        n=n,
-        n_perm=n_perm,
-        seed=seed,
-        shingles=sh_all,
-        hash_impl=hash_impl,
-        carry=("is_new",),
-    )
-    banded = _banded(sig, bands, rows_per_band, carry=("is_new",))
+    if corpus_index is None:
+        tagged = widen(new_docs, 8).withColumn("is_new", F.lit(True)).unionByName(
+            widen(corpus, 8).withColumn("is_new", F.lit(False))
+        )
+        sh_all = word_shingles(
+            tagged, n=n, distinct=False, carry=("is_new",)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        sig = minhash_signatures(
+            tagged,
+            n=n,
+            n_perm=n_perm,
+            seed=seed,
+            shingles=sh_all,
+            hash_impl=hash_impl,
+            carry=("is_new",),
+        )
+        banded = _banded(sig, bands, rows_per_band, carry=("is_new",))
+        sh_new = sh_all.where(F.col("is_new")).select("doc_id", "shingle")
+    else:
+        new8 = widen(new_docs, 8)
+        sh_new = word_shingles(new8, n=n, distinct=False).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        sig_new = minhash_signatures(
+            new8, n=n, n_perm=n_perm, seed=seed, shingles=sh_new,
+            hash_impl=hash_impl,
+        )
+        banded = (
+            _banded(sig_new, bands, rows_per_band)
+            .withColumn("is_new", F.lit(True))
+            .unionByName(
+                corpus_index.select("doc_id", "band", "bucket").withColumn(
+                    "is_new", F.lit(False)
+                )
+            )
+        )
     touched = banded.where(F.col("is_new")).select("band", "bucket").distinct()
     u = banded.join(touched, ["band", "bucket"], "left_semi")
     # The touched union is consumed three times (cap sizes, a-side,
@@ -716,19 +768,20 @@ def minhash_lsh_incremental(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Exact-Jaccard verify: corpus shingles are kept ONLY for candidate
-    # partners (semi-join). With a stored corpus index this is the only
-    # corpus-text read; here it prunes the cached shingle relation.
+    # partners (semi-join). In the indexed form this is the one and only
+    # corpus-text read; index-less, it prunes the cached shingle relation.
     cand_ids = cands.select(F.col("dup_of").alias("doc_id")).distinct()
-    sh = (
-        sh_all.where(F.col("is_new"))
-        .select("doc_id", "shingle")
-        .unionByName(
+    if corpus_index is None:
+        sh_corpus_cand = (
             sh_all.where(~F.col("is_new"))
             .select("doc_id", "shingle")
             .join(cand_ids, "doc_id", "left_semi")
         )
-        .distinct()
-    )
+    else:
+        sh_corpus_cand = word_shingles(
+            corpus.join(cand_ids, "doc_id", "left_semi"), n=n, distinct=False
+        )
+    sh = sh_new.unionByName(sh_corpus_cand).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cands.join(sh.withColumnRenamed("doc_id", "dup_of"), "dup_of")

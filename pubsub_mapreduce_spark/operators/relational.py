@@ -1706,3 +1706,85 @@ def unpivot_event_metrics(t: Tables) -> DataFrame:
     ).where(F.col("val").isNotNull())
     # explicit NULL drop: Spark's unpivot keeps null vals, SQL UNPIVOT
     # (DuckDB/ANSI) excludes them by default — pin one semantics
+
+
+def association_rules(t: Tables) -> DataFrame:
+    """Directed association rules a -> b over per-user event-type
+    baskets: support (both / all users), confidence (both / antecedent
+    users), lift (confidence / consequent base rate) — the classic
+    market-basket triple, extending ``event_cooccurrence``'s support-
+    only view.
+
+    Shape at scale: same bounded set-expansion as event_cooccurrence —
+    one user-keyed aggregate to a per-user DISTINCT type array, then
+    DIRECTED pairs from a single ordered i!=j expansion (<= |types|^2
+    structs per row, constant) so no union-of-orientations re-runs the
+    pair aggregate. The sets relation feeds three aggregates (pairs,
+    per-type counts, user total) and is persisted so the user-keyed
+    shuffle runs once, not per consumer (nominal plan: 10 keyed
+    exchanges -> 5). Everything joins back broadcast (|types|-sized
+    dims). The |users| x |types| self-join the oracle uses would
+    shuffle the distinct relation twice for the same answer.
+
+    Ratios are single divisions of integer products, rounded HALF_UP
+    with the multiplication order mirrored op-for-op in the oracle —
+    exact cross-engine. Integer products bound the exactness domain:
+    n_both * n_users stays exact to 2^53 (~9e15), plenty under the
+    |users| ~ 1e9 design point with bounded |types|.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql.functions import broadcast
+
+    sets = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    directed = (
+        sets.where(F.size("s") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(s)), i -> "
+                    "transform(filter(sequence(1, size(s)), j -> j != i), j -> "
+                    "named_struct('a', element_at(s, i), 'b', element_at(s, j)))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(
+            F.col("p.a").alias("antecedent"), F.col("p.b").alias("consequent")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    singles = (
+        sets.select(F.explode("s").alias("tpe"))
+        .groupBy("tpe")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    total = sets.agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        directed.join(
+            broadcast(singles.select(F.col("tpe").alias("antecedent"),
+                                     F.col("n_t").alias("n_a"))),
+            "antecedent",
+        )
+        .join(
+            broadcast(singles.select(F.col("tpe").alias("consequent"),
+                                     F.col("n_t").alias("n_b"))),
+            "consequent",
+        )
+        .crossJoin(broadcast(total))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            round_half_up(F.col("n_both") / F.col("n_users"), 6).alias("support"),
+            round_half_up(F.col("n_both") / F.col("n_a"), 6).alias("confidence"),
+            round_half_up(
+                F.col("n_both") * F.lit(1.0) * F.col("n_users")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

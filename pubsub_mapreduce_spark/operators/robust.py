@@ -141,3 +141,61 @@ def winsorized_stats(events: DataFrame, p: float = 0.05) -> DataFrame:
             "mean_cents", "win_mean_cents",
         )
     )
+
+
+def mad_outliers(events: DataFrame, k: int = 5) -> DataFrame:
+    """Median-absolute-deviation outliers per ``event_type`` — the
+    robust twin of ``value_outliers`` (a handful of wild points inflate
+    mean AND sd, masking each other; the median/MAD pair is immune up
+    to 50% contamination). Flag rows where |cents - median| > k * MAD.
+
+    Everything is an integer: the median and MAD are type-1 order
+    statistics (value at ``row_number = ceil(n/2)`` under a
+    (value, event_id) sort — deterministic ties), |cents - med| is an
+    integer, and the flag is an integer comparison, so any engine
+    agrees on every row. ``k`` is in raw MAD units (no 1.4826
+    normal-consistency scaling — that constant is only meaningful
+    against a normality assumption the robust estimator exists to
+    avoid; pick k accordingly).
+
+    Scale: two rank windows inside each type partition (median, then
+    deviation median) — two keyed shuffles on event_type plus broadcast
+    joins back; same skewed-type caveat and bucketed-layout remedy as
+    ``winsorized_stats``.
+    """
+    c = events.select("event_id", "event_type", _cents().alias("cents"))
+    w1 = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = c.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    med_rn = F.ceil(F.col("n") / F.lit(2))
+    med = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == med_rn, F.col("cents"))).alias("med")
+    )
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "cents",
+        "med",
+        F.abs(F.col("cents") - F.col("med")).alias("dev"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    dranked = dev.select(
+        "event_type",
+        "dev",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    mad = dranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.ceil(F.col("n") / F.lit(2)), F.col("dev"))).alias(
+            "mad"
+        )
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("dev") > F.lit(k) * F.col("mad"))
+        .select("event_type", "event_id", "cents", "med", "mad", "dev")
+    )

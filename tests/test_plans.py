@@ -530,3 +530,15 @@ def test_incremental_minhash_no_allpairs(spark):
     assert node_count(df, "BroadcastNestedLoopJoin") == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan, "touched-bucket semi-join missing"
+
+
+def test_mad_association_shapes(spark):
+    """MAD: two rank windows + a broadcast-joined flag — 3 keyed
+    exchanges. Association rules: persisted sets feed pairs/singles/
+    total — 5 keyed exchanges, |types|-dims broadcast back."""
+    df = q("mad_outliers", spark)
+    assert keyed_shuffle_count(df) <= 3
+    assert_no_cartesian(df)
+    df = q("association_rules", spark)
+    assert keyed_shuffle_count(df) <= 5
+    assert_no_cartesian(df)

@@ -69,3 +69,41 @@ def test_rare_token_profile_counts(spark):
     assert (out[1].n_tokens, out[1].rare_tokens) == (2, 1)
     assert (out[2].n_tokens, out[2].rare_tokens) == (4, 2)
     assert out[2].rare_frac == 0.5
+
+
+def test_mad_outliers_zero_mad_edge(spark):
+    # 20 identical values -> MAD = 0: any deviating row flags, the
+    # identical ones never do (0 > 0 is false)
+    vals = [10.0] * 20 + [100.0]
+    out = RB.mad_outliers(_events(spark, vals), k=5).collect()
+    assert [(r.event_id, r.med, r.mad, r.dev) for r in out] == [(20, 1000, 0, 9000)]
+
+
+def test_mad_outliers_matches_reference(spark):
+    vals = [float(v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 300]]
+    cents = [round(v * 100) for v in vals]
+    med = sorted(cents)[(len(cents) + 1) // 2 - 1]  # type-1: ceil(n/2)
+    devs = sorted(abs(c - med) for c in cents)
+    mad = devs[(len(devs) + 1) // 2 - 1]
+    exp = {i for i, c in enumerate(cents) if abs(c - med) > 5 * mad}
+    out = RB.mad_outliers(_events(spark, vals), k=5).collect()
+    assert {r.event_id for r in out} == exp and exp
+
+
+def test_association_rules_values(spark):
+    from pubsub_mapreduce_spark.operators import relational as R
+
+    rows = [
+        (0, 1, "a"), (1, 1, "b"), (2, 2, "a"), (3, 2, "b"), (4, 3, "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string"
+    )
+    out = {(r.antecedent, r.consequent): r
+           for r in R.association_rules({"events": ev}).collect()}
+    ab, ba = out[("a", "b")], out[("b", "a")]
+    assert ab.n_both == 2 and ba.n_both == 2
+    assert ab.support == ba.support == 0.666667
+    assert ab.confidence == 0.666667  # 2 of 3 a-users
+    assert ba.confidence == 1.0       # 2 of 2 b-users
+    assert ab.lift == ba.lift == 1.0  # 2*3/(3*2)
