@@ -851,3 +851,68 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
     }
     assert got[1] == 4.0        # matched within the 10s horizon
     assert got.get(2, "missing") is None  # flushed as outer after watermark
+
+
+def test_lsh_ingest_stream_matches_sequential_batch(spark, tmp_path):
+    """The streaming LSH ingest loop (stored index, foreachBatch) must
+    admit exactly the docs a sequential batch application of
+    minhash_lsh_incremental admits over the same batch split — and a
+    replayed batch (ledger hit) must not duplicate the store."""
+    from pyspark.sql import functions as F
+
+    from pubsub_mapreduce_spark.io import load_tables
+    from pubsub_mapreduce_spark.operators.dedup import minhash_lsh_incremental
+    from pubsub_mapreduce_spark.streaming.ingest_dedup import (
+        LshIngest,
+        start_lsh_ingest,
+    )
+    from tests.conftest import SF_MED
+
+    docs = load_tables(spark, SF_MED)["documents"]
+    # three "crawl" files -> three micro-batches, in doc_id order so the
+    # greedy first-wins rule is deterministic across stream and batch
+    src = str(tmp_path / "crawl")
+    batches = [docs.where((F.col("doc_id") % 3) == i) for i in range(3)]
+    import time as _time
+
+    for i, b in enumerate(batches):
+        # distinct mtimes: the file source orders micro-batches by
+        # modification time, and the greedy rule is order-sensitive
+        b.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+    store = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_lsh_ingest(stream, store, str(tmp_path / "ckpt"))
+    assert q.awaitTermination(300)
+
+    # sequential-batch reference with the same greedy rule, in the
+    # same (write-order) batch sequence
+    got = spark.read.parquet(store + "/admitted")
+    admitted_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    corpus_ids: list[int] = []
+    for i in range(3):
+        batch = batches[i]
+        corpus = (
+            docs.where(F.col("doc_id").isin(corpus_ids))
+            if corpus_ids
+            else docs.limit(0)
+        )
+        dup = (
+            minhash_lsh_incremental(batch, corpus)
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+        )
+        adm = batch.join(dup, "doc_id", "left_anti")
+        corpus_ids += [r["doc_id"] for r in adm.select("doc_id").collect()]
+        spark.catalog.clearCache()  # per-iteration LSH caches are single-use
+    expected_ids = set(corpus_ids)
+    assert admitted_ids == expected_ids and admitted_ids
+
+    # ledger idempotency: replaying batch 0 must be a no-op
+    n_before = got.count()
+    LshIngest(store)(batches[0], 0)
+    assert spark.read.parquet(store + "/admitted").count() == n_before
