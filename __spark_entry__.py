@@ -786,6 +786,16 @@ def q_lateness_profile(spark, sf_dir):
     return P.lateness_profile(load_tables(spark, sf_dir)["events"])
 
 
+def q_substring_spans(spark, sf_dir):
+    """Duplicate-substring spans (Lee et al. 2022 shape): maximal char
+    spans whose every 20-gram occurs >= 2x in the corpus
+    (dedup.duplicate_substring_spans) — catches the quoted paragraph /
+    template inside otherwise-unique docs that doc-level dedup misses."""
+    return dedup.duplicate_substring_spans(
+        load_tables(spark, sf_dir)["documents"]
+    )
+
+
 def q_orders_checksum(spark, sf_dir):
     """Order-independent table checksum of orders (io.table_checksum) —
     the one-number anti-entropy comparison for migrations/replicas."""
@@ -1063,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_transitions": q_session_transitions,
         "emb_pca": q_emb_pca,
         "value_histogram": q_value_histogram,
+        "substring_spans": q_substring_spans,
         "orders_checksum": q_orders_checksum,
         "lateness_profile": q_lateness_profile,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
@@ -2595,6 +2606,31 @@ def oracle_sql() -> dict[str, str]:
                          / count(*) * 1e6 + 0.5) / 1e6 AS late_frac,
                    floor(max(late_s) * 1e3 + 0.5) / 1e3 AS max_late_s
             FROM l GROUP BY 1
+        """,
+        "substring_spans": r"""
+            WITH nt AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id, i AS pos, substring(t, i+1, 20) AS gram
+              FROM nt, LATERAL (SELECT unnest(range(
+                   greatest(length(t) - 20 + 1, 0))) AS i) _),
+            d AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+            dg AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+            r AS (
+              SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS grp
+              FROM dg),
+            s AS (
+              SELECT doc_id, min(pos) AS span_start,
+                     max(pos) - min(pos) + 20 AS span_len
+              FROM r GROUP BY doc_id, grp)
+            SELECT s.doc_id, span_start, span_len,
+                   substring(nt.t, span_start + 1, span_len) AS span_text
+            FROM s JOIN nt USING (doc_id)
+            WHERE span_len >= 40
         """,
         "orders_checksum": """
             SELECT count(*) AS n_rows,

@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_minhash_incremental",
     "dedup_simhash",
+    "substring_spans",
     "text_clean",
     "lang_confusion",
     "text_doc_stats",

@@ -807,3 +807,87 @@ def minhash_lsh_incremental(
         .where(F.col("jaccard") >= threshold)
         .select("new_id", "dup_of", "jaccard")
     )
+
+
+def duplicate_substring_spans(
+    docs: DataFrame,
+    k: int = 20,
+    min_span: int = 40,
+    text: str = "text",
+) -> DataFrame:
+    """Corpus-level duplicate-SUBSTRING detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document, the maximal character spans all of whose length-k
+    windows occur at least twice in the corpus (in another document, or
+    at another offset of the same one). Doc-level dedup (exact/MinHash)
+    misses the quoted paragraph or nav-bar template inside otherwise-
+    unique pages; this is the operator that finds those.
+
+    The reference algorithm builds a suffix array over the concatenated
+    corpus — inherently single-machine. The Spark-first equivalent is an
+    inverted index over OVERLAPPING char k-grams:
+
+      1. one lookahead-regex pass (``(?=(.{k})).``) emits every k-gram
+         in offset order, so ``posexplode`` index == start offset —
+         no per-char HOF string building (the interpreted-transform
+         trap measured in word_shingles applies verbatim);
+      2. one keyed shuffle counts occurrences per gram (map-side
+         partial agg absorbs within-partition duplicates);
+      3. offsets of grams with count >= 2 come back via a left-semi
+         join riding the same gram hash — never wider than the gram
+         relation itself (build side is one row per gram, so a hot
+         gram cannot blow the join up);
+      4. per doc, consecutive duplicated offsets merge into maximal
+         spans by run-grouping (offset - row_number is constant within
+         a run): one doc-keyed window + groupBy.
+
+    A span of length k+r-1 arises from r consecutive duplicated
+    offsets; ``min_span`` filters the merged result. Offsets are
+    0-based into the NORMALIZED text (lowercased, whitespace collapsed
+    to single spaces) — the span text is re-derived by substring at the
+    end, one doc_id-keyed join.
+
+    At 100TB: rows = total corpus chars, the same order as the shingle
+    relations the MinHash path already shuffles; to cut constants,
+    stride the outer scan (emit every s-th offset, s <= min_span-k+1,
+    then re-scan only flagged docs at stride 1) — semantics preserved
+    because any qualifying span contains a strided hit. Stride 1 here:
+    the fixtures are small and the oracle checks the exact form.
+    """
+    from ..io import widen
+
+    nt = F.regexp_replace(normalized_text(text), r"\s+", " ")
+    grams = F.regexp_extract_all(nt, F.lit(rf"(?=(.{{{k}}}))."), 1)
+    g = (
+        widen(docs, 8)
+        .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("gram")
+    )
+    hits = g.join(dup, "gram", "left_semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    spans = (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).alias("span_len"),
+        )
+        .where(F.col("span_len") >= min_span)
+    )
+    return spans.join(
+        docs.select("doc_id", nt.alias("__nt")), "doc_id"
+    ).select(
+        "doc_id",
+        "span_start",
+        "span_len",
+        F.substring(
+            F.col("__nt"), F.col("span_start") + 1, F.col("span_len")
+        ).alias("span_text"),
+    )
