@@ -534,6 +534,19 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """Same contamination result as q_decontaminate, computed through
+    the Bloom-prefilter scale path (textops.bloom_decontaminate): the
+    corpus pays a map-side k-probe filter instead of a full gram
+    explode; only candidates reach the exact verify."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TX.bloom_decontaminate(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        n=3,
+    )
+
+
 def q_cross_doc_repetition(spark, sf_dir):
     """Cross-document duplicated-n-gram fraction — the corpus-level
     boilerplate cut (textops.cross_doc_gram_stats, inverted-index plan)."""
@@ -816,6 +829,16 @@ def q_value_histogram(spark, sf_dir):
     return fixed_width_histogram(load_tables(spark, sf_dir)["events"], "value")
 
 
+def q_cms_user_counts(spark, sf_dir):
+    """Count-min sketch (4 x 256, md5-salted rows) frequency estimates
+    for every user vs exact counts (sketches.cms_estimates) — the
+    constant-size-exchange counter for key spaces too big to groupBy;
+    the deliberate small width makes the overestimate column real."""
+    from pubsub_mapreduce_spark.operators.sketches import cms_estimates
+
+    return cms_estimates(load_tables(spark, sf_dir)["events"], "user_id")
+
+
 def q_heavy_hitter_users(spark, sf_dir):
     from pubsub_mapreduce_spark.operators.sketches import heavy_hitters
 
@@ -1074,6 +1097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca": q_emb_pca,
         "value_histogram": q_value_histogram,
         "substring_spans": q_substring_spans,
+        "decontaminate_bloom": q_decontaminate_bloom,
+        "cms_user_counts": q_cms_user_counts,
         "orders_checksum": q_orders_checksum,
         "lateness_profile": q_lateness_profile,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
@@ -1323,7 +1348,7 @@ _ZORDER_STATS_SQL = _zorder_stats_sql()
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "t1_latest_per_key": """
             SELECT user_id, value,
                    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id
@@ -2632,6 +2657,29 @@ def oracle_sql() -> dict[str, str]:
             FROM s JOIN nt USING (doc_id)
             WHERE span_len >= 40
         """,
+        "cms_user_counts": """
+            WITH kd AS (
+              SELECT CAST(user_id AS VARCHAR) AS k, d
+              FROM events, (SELECT unnest(range(4)) AS d) _),
+            cells AS (
+              SELECT d,
+                     ('0x' || substr(md5(CAST(d AS VARCHAR) || '|' || k),
+                                     1, 8))::BIGINT % 256 AS cell,
+                     count(*) AS cnt
+              FROM kd GROUP BY 1, 2),
+            exact AS (
+              SELECT user_id, count(*) AS exact FROM events GROUP BY 1),
+            probes AS (
+              SELECT user_id, exact, d,
+                     ('0x' || substr(md5(CAST(d AS VARCHAR) || '|' ||
+                          CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 256
+                       AS cell
+              FROM exact, (SELECT unnest(range(4)) AS d) _)
+            SELECT user_id, exact, min(cnt) AS cms_est,
+                   min(cnt) - exact AS overestimate
+            FROM probes JOIN cells USING (d, cell)
+            GROUP BY user_id, exact
+        """,
         "orders_checksum": """
             SELECT count(*) AS n_rows,
                    CAST(sum(('0x' || substr(md5(
@@ -3249,3 +3297,7 @@ def oracle_sql() -> dict[str, str]:
         # emb_pca (float64 moment sums are not summation-order-
         # reproducible; linear-algebra invariants pinned in tests).
     }
+    # The bloom prefilter changes no output values (false positives are
+    # dropped by the exact verify) — the oracle is the exact form's SQL.
+    out["decontaminate_bloom"] = out["decontaminate"]
+    return out

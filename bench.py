@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "t7_running_total",
     "codec_roundtrip",
     "heavy_hitter_users",
+    "cms_user_counts",
     "value_histogram",
     "orders_checksum",
     "lateness_profile",
@@ -127,6 +128,7 @@ BENCH_QUERIES = [
     "rare_tokens",
     "cross_doc_repetition",
     "decontaminate",
+    "decontaminate_bloom",
     "quality_gate",
     "pack_shards",
     "curation_pipeline",

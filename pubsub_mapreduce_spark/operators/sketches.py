@@ -156,3 +156,91 @@ def fixed_width_histogram(
             F.coalesce(F.col("n"), F.lit(0)).alias("n"),
         )
     )
+
+
+def cms_build(
+    df: DataFrame,
+    key: str = "user_id",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch build: a ``depth x width`` grid of counters,
+    row d incrementing cell ``h_d(key) mod width`` per occurrence.
+    Returns the non-zero cells as (d, cell, cnt).
+
+    THE mergeable frequency structure for key spaces too large to
+    groupBy exactly (per-token counts over a 100TB crawl): the
+    exchange is bounded by depth*width REGARDLESS of |keys| — map-side
+    partial aggregation collapses each partition to at most the grid
+    size, so the shuffle is constant-bytes where an exact count is
+    |keys|-sized. Grids from disjoint corpora/days add cell-wise
+    (sum-merge in a later rollup), same contract as the HLL sketches.
+
+    Hash = the shared-with-DuckDB md5 trick (sampling.hash_bucket),
+    salted by the row index — deterministic and engine-independent, so
+    the whole sketch (not just its outputs) is exactly oracle-able."""
+    c = F.col(key).cast("string")
+    rows = df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"), c.alias("k")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("d").cast("string"), F.lit("|"), F.col("k")).cast("binary")),
+            1, 8,
+        ),
+        16, 10,
+    )
+    return (
+        rows.select("d", (h.cast("long") % width).alias("cell"))
+        .groupBy("d", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimates(
+    df: DataFrame,
+    key: str = "user_id",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Per-key CMS frequency estimate vs exact count: (key, exact,
+    cms_est, overestimate). The estimate is min over the sketch's depth
+    rows — by construction ``cms_est >= exact`` (collisions only ADD),
+    with error <= (e/width)*N at probability 1 - e^-depth (Cormode &
+    Muthukrishnan 2005); the bound is pinned in tests.
+
+    Plan: the sketch build's one constant-size exchange; the exact side
+    (here: the query keys' true counts, |keys|-sized) exists only
+    because the operator REPORTS the error — a production probe joins
+    its query keys against the broadcast 4096-cell grid and never
+    computes ``exact``. Width is deliberately small (256) so the
+    fixtures actually collide and the overestimate column is non-trivial."""
+    cells = cms_build(df, key=key, depth=depth, width=width)
+    exact = df.groupBy(key).agg(F.count(F.lit(1)).alias("exact"))
+    kd = exact.select(
+        key, "exact",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("d").cast("string"), F.lit("|"), F.col(key).cast("string")
+                ).cast("binary")
+            ),
+            1, 8,
+        ),
+        16, 10,
+    )
+    probes = kd.select(key, "exact", "d", (h.cast("long") % width).alias("cell"))
+    return (
+        probes.join(broadcast(cells), ["d", "cell"])
+        .groupBy(key, "exact")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            key,
+            "exact",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact")).alias("overestimate"),
+        )
+    )

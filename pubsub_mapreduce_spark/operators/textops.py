@@ -550,3 +550,106 @@ def rare_token_profile(docs: DataFrame, min_df: int = 100) -> DataFrame:
             rh(F.col("rare_tokens") / F.col("n_tokens"), 6).alias("rare_frac"),
         )
     )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 7,
+) -> DataFrame:
+    """``ngram_decontaminate`` with a Bloom-filter prefilter — the
+    100TB-shaped plan. The exact form broadcasts the full benchmark
+    gram SET and explodes every training document into a gram relation
+    before the semi-join; at corpus scale that exploded relation is the
+    dominant cost even though it never shuffles. Here the corpus pays
+    only a MAP-SIDE probe:
+
+      1. the benchmark gram set (small by construction) folds into an
+         ``m_bits``-bit Bloom filter: k probe bits per gram via
+         ``xxhash64(i, gram)`` double-hashing, OR-merged into
+         ``m_bits/64`` int64 words by one tiny keyed aggregate
+         (``bit_or``) — the filter build is fully distributed and
+         mergeable, the collect is bounded by the filter constant
+         (2 KiB..MBs), never by data size;
+      2. every training doc evaluates ``exists(grams, g -> all k bits
+         set)`` against the broadcast word array — pure codegen'd
+         HOFs, no explode, no join, no shuffle: a scan-speed filter
+         that drops the overwhelmingly-clean corpus in place;
+      3. only surviving candidates (true + false positives) explode
+         into the exact broadcast-join verify of the exact form.
+
+    False positives cost only verify work; false negatives don't exist
+    — so the OUTPUT IS IDENTICAL to ``ngram_decontaminate`` (verified
+    against the same oracle), and the knobs trade verify volume for
+    filter size. Size ``m_bits`` ~10x the benchmark gram count for
+    ~sub-1% FP at k=7.
+
+    xxhash64 is safe here precisely because the bloom layer changes no
+    output values (the oracle-portability rule that bans it from
+    ordering/sampling keys doesn't bite)."""
+    from pyspark.sql.functions import broadcast
+
+    pat = r"(?=(" + " ".join([r"\S+"] * n) + r"))\S+"
+    grams = F.array_distinct(
+        F.regexp_extract_all(
+            F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), F.lit(pat), 1
+        )
+    )
+    n_words = m_bits // 64
+    bench_grams = (
+        widen(bench, 8)
+        .withColumn("__grams", grams)
+        .select(F.explode("__grams").alias("g"))
+        .distinct()
+    )
+    words = (
+        bench_grams.select(
+            F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("i"), "g"
+        )
+        .select(
+            F.expr(f"pmod(xxhash64(i, g), {m_bits})").alias("bit")
+        )
+        .select(
+            F.expr("cast(shiftright(bit, 6) as int)").alias("w"),
+            F.expr("shiftleft(1L, cast(bit % 64 as int))").alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+        .collect()  # bounded by the filter constant m_bits/64, not by data
+    )
+    arr = [0] * n_words
+    for r in words:
+        arr[r["w"]] = r["bits"]
+    bloom = train.sparkSession.createDataFrame(
+        [(arr,)], "bloom array<bigint>"
+    )
+    probe = (
+        f"forall(transform(sequence(0, {k_hashes - 1}),"
+        f"  i -> pmod(xxhash64(i, g), {m_bits})),"
+        "  b -> (element_at(bloom, cast(shiftright(b, 6) as int) + 1)"
+        "        & shiftleft(1L, cast(b % 64 as int))) != 0L)"
+    )
+    candidates = (
+        widen(train, 8)
+        .withColumn("__grams", grams)
+        .crossJoin(broadcast(bloom))
+        .where(F.expr(f"exists(__grams, g -> {probe})"))
+    )
+    cand_grams = candidates.select(
+        "doc_id",
+        F.size("__grams").alias("n_grams"),
+        F.explode("__grams").alias("g"),
+    )
+    return (
+        cand_grams.join(broadcast(bench_grams), "g")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            rh(F.col("n_hits") / F.col("n_grams"), 6).alias("contamination"),
+        )
+    )

@@ -86,3 +86,35 @@ def test_distributed_loop_matches_driver_union_find(spark):
         for r in connected_components(df).collect()
     }
     assert dist == drv == union_find(edges)
+
+
+def test_bloom_prefilter_superset_and_tight(spark):
+    """bloom_decontaminate's candidate stage must pass every truly
+    contaminated doc (no false negatives, by Bloom construction) and,
+    at the default sizing, admit ~no false positives on the fixtures.
+    Output equality with the exact form is the oracle-parity test's
+    job; this pins the PREFILTER's two claims directly."""
+    from pubsub_mapreduce_spark.io import load_tables
+    from pubsub_mapreduce_spark.operators.textops import (
+        bloom_decontaminate,
+        ngram_decontaminate,
+    )
+    from tests.conftest import SF_MED
+
+    docs = load_tables(spark, SF_MED)["documents"]
+    train = docs.where(F.col("source") != "src0")
+    bench = docs.where(F.col("source") == "src0")
+    exact = {
+        r["doc_id"] for r in ngram_decontaminate(train, bench).collect()
+    }
+    got = {r["doc_id"] for r in bloom_decontaminate(train, bench).collect()}
+    assert got == exact
+    # tiny filter -> real false positives, still zero false negatives
+    # and output values still exact (FPs die in the verify join)
+    small = {
+        r["doc_id"]
+        for r in bloom_decontaminate(
+            train, bench, m_bits=1 << 10, k_hashes=3
+        ).collect()
+    }
+    assert small == exact

@@ -562,3 +562,31 @@ def test_substring_spans_plan(spark):
     assert keyed_shuffle_count(df) <= 5
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan, "duplicated-gram semi-join missing"
+
+
+def test_bloom_decontaminate_plan(spark):
+    """The bloom path: corpus probe is a map-side filter against a
+    1-row broadcast (a benign single-row BNLJ, not a cartesian blowup);
+    the exact verify join broadcasts the bench gram set; keyed
+    exchanges stay bounded (bench distinct + final doc rollup)."""
+    from pubsub_mapreduce_spark.plans.explain import explain_str
+
+    spark.catalog.clearCache()
+    df = q("decontaminate_bloom", spark)
+    assert_no_cartesian(df)
+    assert node_count(df, "BroadcastHashJoin") >= 1
+    assert keyed_shuffle_count(df) <= 4
+    plan = explain_str(df)
+    assert "xxhash64" in plan, "bloom probe missing from the plan"
+
+
+def test_cms_constant_size_exchange(spark):
+    """The CMS build's exchange is bounded by depth*width regardless of
+    |keys|: the plan must show partial aggregation below the (d, cell)
+    shuffle and no Expand; the probe side joins the broadcast grid."""
+    spark.catalog.clearCache()
+    df = q("cms_user_counts", spark)
+    assert_no_cartesian(df)
+    assert node_count(df, "Expand") == 0
+    assert keyed_shuffle_count(df) <= 3
+    assert_broadcast_join(df, min_count=1)

@@ -133,3 +133,38 @@ def test_fixed_width_histogram_conserves_and_clamps(spark):
     one = spark.createDataFrame([(7.0,), (7.0,)], "v double")
     h1 = {r["bin"]: r["n"] for r in fixed_width_histogram(one, "v", 5).collect()}
     assert h1[0] == 2 and sum(h1.values()) == 2
+
+
+def test_cms_overestimate_bound_and_merge(spark):
+    """CMS contract: (1) never underestimates; (2) the Cormode &
+    Muthukrishnan bound — err <= (e/width)*N for the vast majority of
+    keys at depth 4; (3) sketches built on disjoint halves sum
+    cell-wise to the whole-corpus sketch (mergeability — the property
+    that makes it a 100TB structure)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pubsub_mapreduce_spark.io import load_tables
+    from pubsub_mapreduce_spark.operators.sketches import (
+        cms_build,
+        cms_estimates,
+    )
+    from tests.conftest import SF_MED
+
+    ev = load_tables(spark, SF_MED)["events"]
+    est = cms_estimates(ev, "user_id").collect()
+    n_total = ev.count()
+    bound = math.e / 256 * n_total
+    assert all(r["overestimate"] >= 0 for r in est)
+    n_bad = sum(r["overestimate"] > bound for r in est)
+    # P(err > bound) <= e^-4 per key; allow 3x slack on the expectation
+    assert n_bad <= max(3, int(3 * math.exp(-4) * len(est))), n_bad
+    # mergeability: half-sketches sum cell-wise to the full sketch
+    full = {(r["d"], r["cell"]): r["cnt"] for r in cms_build(ev, "user_id").collect()}
+    lo = cms_build(ev.where(F.col("event_id") % 2 == 0), "user_id").collect()
+    hi = cms_build(ev.where(F.col("event_id") % 2 == 1), "user_id").collect()
+    merged: dict = {}
+    for r in [*lo, *hi]:
+        merged[(r["d"], r["cell"])] = merged.get((r["d"], r["cell"]), 0) + r["cnt"]
+    assert merged == full
