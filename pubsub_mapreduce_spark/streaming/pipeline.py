@@ -28,6 +28,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -408,4 +409,96 @@ def sessionize_stream(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+SPACESAVING_STATE_SCHEMA = StructType(
+    [
+        StructField("keys", StringType()),  # json-encoded table: k -> [cnt, err]
+        StructField("seq", LongType()),
+    ]
+)
+SPACESAVING_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("key", LongType()),
+        StructField("cnt_hi", LongType()),
+        StructField("err", LongType()),
+    ]
+)
+
+
+def heavy_hitters_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    capacity: int = 32,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Streaming heavy hitters via SHARDED space-saving (Metwally et
+    al. 2005) — the live form of ``sketches.heavy_hitters`` for key
+    spaces too large to count exactly in state. Each shard (keys hashed
+    to ``n_shards`` groups) maintains a bounded table of at most
+    ``capacity`` (key, cnt_hi, err) entries: a tracked key increments;
+    an untracked key evicts the minimum entry, inheriting its count as
+    the new entry's error bound. Invariants (pinned in tests):
+
+    - true count is always within [cnt_hi - err, cnt_hi];
+    - any key with true count > (shard stream length / capacity) IS in
+      the table — no false negatives above the threshold, the
+      space-saving guarantee;
+    - state per shard is O(capacity) forever, regardless of stream
+      length or cardinality.
+
+    After each micro-batch every shard emits its full table stamped
+    with a monotone ``seq`` — downstream takes the latest seq per
+    shard (the table is a SNAPSHOT, not a delta). Sharding by key hash
+    means per-key counts are exact-per-shard summaries and the global
+    candidate set is the union of shard tables — the standard
+    distributed decomposition, same shape the batch merge of per-node
+    summaries would take."""
+    import json
+
+    def update(
+        k: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            raw, seq = state.get
+            table: dict[str, list[int]] = json.loads(raw)
+        else:
+            table, seq = {}, 0
+        for pdf in pdfs:
+            for kk in pdf["k"]:
+                kk = str(int(kk))
+                if kk in table:
+                    table[kk][0] += 1
+                elif len(table) < capacity:
+                    table[kk] = [1, 0]
+                else:
+                    victim = min(table.items(), key=lambda kv: (kv[1][0], kv[0]))
+                    m = victim[1][0]
+                    del table[victim[0]]
+                    table[kk] = [m + 1, m]
+        seq += 1
+        state.update((json.dumps(table), seq))
+        yield pd.DataFrame(
+            [
+                (k[0], seq, int(kk), c, e)
+                for kk, (c, e) in sorted(table.items())
+            ],
+            columns=["shard", "seq", "key", "cnt_hi", "err"],
+        )
+
+    shards = events.select(
+        F.expr(f"pmod(xxhash64({key}), {n_shards})").alias("shard"),
+        F.col(key).cast("long").alias("k"),
+    )
+    return shards.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=SPACESAVING_OUTPUT_SCHEMA,
+        stateStructType=SPACESAVING_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

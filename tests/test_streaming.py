@@ -916,3 +916,74 @@ def test_lsh_ingest_stream_matches_sequential_batch(spark, tmp_path):
     n_before = got.count()
     LshIngest(store)(batches[0], 0)
     assert spark.read.parquet(store + "/admitted").count() == n_before
+
+
+def test_heavy_hitters_stream_spacesaving_guarantees(spark, tmp_path):
+    """Sharded space-saving over a 4-batch replay of the events fixture:
+    (1) every emitted entry bounds its key's true count within
+    [cnt_hi - err, cnt_hi]; (2) no false negatives — every key with
+    true count > ceil(shard_len / capacity) appears in its shard's
+    final table; (3) state stays bounded: <= capacity rows per shard."""
+    import math
+
+    from pubsub_mapreduce_spark.io import load_tables
+    from pubsub_mapreduce_spark.streaming.pipeline import heavy_hitters_stream
+    from tests.conftest import SF_SMALL
+
+    capacity, n_shards = 16, 4
+    events = load_tables(spark, SF_SMALL)["events"].select("event_id", "user_id")
+    rows = sorted(events.collect(), key=lambda r: r["event_id"])
+    d = tmp_path / "hh_replay"
+    d.mkdir()
+    chunk = (len(rows) + 3) // 4
+    for i in range(4):
+        spark.createDataFrame(
+            rows[i * chunk : (i + 1) * chunk], events.schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(d / f"f{i}"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/f*")
+    )
+    q = (
+        heavy_hitters_stream(stream, capacity=capacity, n_shards=n_shards)
+        .writeStream.format("memory")
+        .queryName("hh_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+    out = spark.sql("select * from hh_stream_t").collect()
+    # latest snapshot per shard
+    last_seq: dict = {}
+    for r in out:
+        last_seq[r["shard"]] = max(last_seq.get(r["shard"], 0), r["seq"])
+    final = [r for r in out if r["seq"] == last_seq[r["shard"]]]
+    # exact truth + shard assignment computed with the same engine hash
+    truth = {
+        (r["shard"], r["k"]): r["cnt"]
+        for r in spark.sql(
+            f"""select pmod(xxhash64(user_id), {n_shards}) as shard,
+                       cast(user_id as long) as k, count(*) as cnt
+                from parquet.`{d}/f*` group by 1, 2"""
+        ).collect()
+    }
+    shard_len: dict = {}
+    for (sh, _k), c in truth.items():
+        shard_len[sh] = shard_len.get(sh, 0) + c
+    per_shard: dict = {}
+    for r in final:
+        per_shard.setdefault(r["shard"], set()).add(r["key"])
+        exact = truth[(r["shard"], r["key"])]
+        assert r["cnt_hi"] - r["err"] <= exact <= r["cnt_hi"], r
+    for sh, keys in per_shard.items():
+        assert len(keys) <= capacity
+        thr = math.ceil(shard_len[sh] / capacity)
+        missed = {
+            k
+            for (s, k), c in truth.items()
+            if s == sh and c > thr and k not in keys
+        }
+        assert not missed, (sh, thr, missed)
