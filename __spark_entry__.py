@@ -501,6 +501,22 @@ def q_emb_quantize(spark, sf_dir):
     return S.quantize_embeddings(load_tables(spark, sf_dir)["embeddings"])
 
 
+def q_emb_pq_codes(spark, sf_dir):
+    """Product-quantization encode: 64 floats -> 8 4-bit codes, long
+    format (vec_id, sub, code) — the 64x-compressed representation a
+    100TB ANN index stores (similarity.pq_encode)."""
+    return S.pq_encode(load_tables(spark, sf_dir)["embeddings"]).select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    )
+
+
+def q_sim_ann_pq(spark, sf_dir):
+    """PQ-ADC approximate top-k: queries scan codes, not vectors
+    (similarity.ann_pq_topk) — deterministic codebook + bit-mirrored
+    arithmetic make this approximate operator exactly value-hashable."""
+    return S.ann_pq_topk(load_tables(spark, sf_dir)["embeddings"])
+
+
 def q_text_top_tokens(spark, sf_dir):
     return TX.top_tokens(load_tables(spark, sf_dir)["documents"], n=20)
 
@@ -1040,6 +1056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf": q_sim_ann_ivf,
         "emb_norm_stats": q_emb_norm_stats,
         "emb_quantize": q_emb_quantize,
+        "emb_pq_codes": q_emb_pq_codes,
+        "sim_ann_pq": q_sim_ann_pq,
         # text analysis / curation
         "text_clean": q_text_clean,
         "text_doc_stats": q_text_doc_stats,
@@ -3100,6 +3118,8 @@ def oracle_sql() -> dict[str, str]:
             nprobe=5,
             query_filter="vec_id % 50 = 0",
         ),
+        "emb_pq_codes": S.duckdb_pq_sql(codes_only=True),
+        "sim_ann_pq": S.duckdb_pq_sql(k=5, every=50),
         "simhash_near_pairs": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "sim_cosine_topk_matmul",
     "sim_ann_lsh",
     "sim_ann_ivf",
+    "sim_ann_pq",
+    "emb_pq_codes",
     "knn_graph",
     "user_similarity",
     "sim_near_pairs",

@@ -1281,3 +1281,211 @@ def behavioral_similarity_sparse(events: DataFrame, k: int = 5) -> DataFrame:
         "rank",
         "sim",
     )
+
+
+# --- product quantization (PQ) ---------------------------------------
+
+M_SUB = 8  # subspaces
+SUB_DIM = DIM // M_SUB
+N_CODES = 16  # codewords per subspace (4-bit codes)
+
+
+def pq_seeds(e: DataFrame, code_every: int = 100, n_codes: int = N_CODES):
+    """Deterministic PQ codeword seed set: every Nth vec_id, capped
+    IN-PLAN before the collect (the ivf_centroids discipline — the
+    driver pulls at most ``n_codes`` rows at any corpus size). Codeword
+    j of subspace s is seed j's s-th subvector, standing in for
+    per-subspace k-means training to keep the operator reproducible
+    and SQL-derivable (the oracle re-derives the same seeds from the
+    table)."""
+    rows = (
+        e.where(F.col("vec_id") % code_every == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(n_codes)
+        .collect()
+    )
+    return [list(r["embedding"]) for r in rows]
+
+
+def _sql_sqdist(a: str, b: str) -> str:
+    """SQL text of sequential squared-L2 over two array expressions —
+    fold order matches the oracle's expanded left-associated sum
+    (0.0 + t0 == t0 bit-exactly, then identical add order)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _pq_codes_expr(seeds: list[list[float]], col: str = "embedding"):
+    """array<bigint> of per-subspace nearest-codeword ids. Argmin fold
+    with strict < keeps the FIRST minimum — ties resolve to the
+    smallest code id, same as a (d ASC, j ASC) ranking."""
+    from ..functions.vectors import sql_array_lit
+
+    ids = sql_array_lit(list(range(len(seeds))))
+    subs = []
+    for s in range(M_SUB):
+        cws = sql_array_lit([v[s * SUB_DIM : (s + 1) * SUB_DIM] for v in seeds])
+        dist = _sql_sqdist(f"slice({col}, {s * SUB_DIM + 1}, {SUB_DIM})", "c")
+        subs.append(
+            f"""aggregate(zip_with({ids}, {cws},
+                  (j, c) -> named_struct('j', j, 'd', {dist})),
+                named_struct('j', CAST(-1 AS BIGINT), 'd', CAST('Infinity' AS DOUBLE)),
+                (acc, x) -> CASE WHEN x.d < acc.d THEN x ELSE acc END).j"""
+        )
+    return F.expr("array(" + ",".join(subs) + ")")
+
+
+def pq_encode(
+    emb: DataFrame, code_every: int = 100, n_codes: int = N_CODES
+) -> DataFrame:
+    """Product-quantize the corpus: 64 floats -> 8 4-bit codes (64x
+    compression) as (vec_id, codes array<bigint>). Map-only — the
+    codebook rides as a plan literal; encoding fuses with the scan and
+    no shuffle touches the corpus. The compressed representation is
+    what a 100TB ANN index actually stores and scans."""
+    from ..io import widen
+
+    e0 = _as_double(emb).select("vec_id", "embedding")
+    seeds = pq_seeds(e0, code_every, n_codes)
+    return widen(e0, 8).select(
+        "vec_id", _pq_codes_expr(seeds).alias("codes")
+    )
+
+
+def _pq_adc_expr(seeds: list[list[float]], q_col: str = "q_emb") -> str:
+    """SQL text of the asymmetric-distance computation: sum over
+    subspaces of squared-L2 between the query's subvector and the
+    corpus row's selected codeword. Per-subspace distance is an
+    EXPANDED left-associated 8-term sum (not a fold) so the DuckDB
+    mirror is the same expression verbatim; the cross-subspace fold
+    starts at 0.0 (+d0 == d0), matching list_reduce over the
+    s-ordered distance list."""
+    from ..functions.vectors import sql_array_lit
+
+    cb = sql_array_lit(
+        [[v[s * SUB_DIM : (s + 1) * SUB_DIM] for v in seeds] for s in range(M_SUB)]
+    )
+    cw = f"element_at(element_at({cb}, cast(s + 1 as int)), cast(cj + 1 as int))"
+    terms = " + ".join(
+        f"((element_at({q_col}, cast(s * {SUB_DIM} + {i + 1} as int)) - "
+        f"element_at({cw}, {i + 1})) * "
+        f"(element_at({q_col}, cast(s * {SUB_DIM} + {i + 1} as int)) - "
+        f"element_at({cw}, {i + 1})))"
+        for i in range(SUB_DIM)
+    )
+    s_ids = sql_array_lit(list(range(M_SUB)))
+    return (
+        f"aggregate(zip_with(codes, {s_ids}, (cj, s) -> {terms}), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def ann_pq_topk(
+    emb: DataFrame,
+    k: int = 5,
+    every: int = 50,
+    code_every: int = 100,
+    n_codes: int = N_CODES,
+) -> DataFrame:
+    """ANN by product quantization: queries scan the CODES, not the
+    vectors — per pair cost is m_sub codeword lookups + an 8-term
+    distance per subspace instead of a 64-wide float scan, and the
+    candidate relation the scan reads is 64x smaller. The third member
+    of the ANN family (LSH buckets prune by collision, IVF by cell;
+    PQ compresses the exhaustive scan itself — and composes with IVF
+    cells at 100TB, where each probed cell scans codes).
+
+    Deterministic end to end: seed codebook, argmin/rank tie-breaks to
+    the smaller id, ADC arithmetic bit-mirrored by the DuckDB oracle
+    (``duckdb_pq_sql``) — so the driver's exact value hash applies to
+    an APPROXIMATE operator. Returns (query_id, neighbor_id, rank,
+    adist); rank ascends by distance."""
+    from ..functions.text import round_half_up
+    from ..io import widen
+
+    e0 = _as_double(emb).select("vec_id", "embedding")
+    seeds = pq_seeds(e0, code_every, n_codes)
+    corpus = widen(e0, 8).select("vec_id", _pq_codes_expr(seeds).alias("codes"))
+    queries = query_subset(e0, every).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("adist", F.expr(_pq_adc_expr(seeds)))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            round_half_up(F.col("adist"), 4).alias("adist"),
+        )
+    )
+
+
+def duckdb_pq_sql(
+    k: int = 5,
+    every: int = 50,
+    code_every: int = 100,
+    n_codes: int = N_CODES,
+    codes_only: bool = False,
+) -> str:
+    """DuckDB mirror of ``pq_encode`` / ``ann_pq_topk``: same seed
+    selection, same expanded squared-L2 (left-associated adds), same
+    argmin and rank tie-breaks; the cross-subspace ADC sum is
+    ``list_reduce`` over the s-ordered distance list, bit-matching the
+    Spark fold."""
+    sq = " + ".join(
+        f"((e.emb[s.s * {SUB_DIM} + {i + 1}] - seeds.emb[s.s * {SUB_DIM} + {i + 1}])"
+        f" * (e.emb[s.s * {SUB_DIM} + {i + 1}] - seeds.emb[s.s * {SUB_DIM} + {i + 1}]))"
+        for i in range(SUB_DIM)
+    )
+    qsq = " + ".join(
+        f"((q.q_emb[cd.s * {SUB_DIM} + {i + 1}] - seeds.emb[cd.s * {SUB_DIM} + {i + 1}])"
+        f" * (q.q_emb[cd.s * {SUB_DIM} + {i + 1}] - seeds.emb[cd.s * {SUB_DIM} + {i + 1}]))"
+        for i in range(SUB_DIM)
+    )
+    base = f"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, emb
+                FROM (SELECT vec_id, emb FROM e WHERE vec_id % {code_every} = 0
+                      ORDER BY vec_id LIMIT {n_codes}) _),
+      dists AS (
+        SELECT e.vec_id, s.s, seeds.j, ({sq}) AS d
+        FROM e, (SELECT unnest(range({M_SUB})) AS s) s, seeds),
+      codes AS (
+        SELECT vec_id, s, j FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                       ORDER BY d ASC, j ASC) AS rn
+          FROM dists) WHERE rn = 1)
+    """
+    if codes_only:
+        return base + """
+      SELECT vec_id, CAST(s AS INTEGER) AS sub, j AS code FROM codes
+        """
+    return base + f""",
+      q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
+            WHERE vec_id % {every} = 0),
+      ad AS (
+        SELECT q.query_id, cd.vec_id AS neighbor_id,
+               CAST(list_reduce(list(({qsq}) ORDER BY cd.s),
+                                (a, b) -> a + b) AS DOUBLE) AS adist
+        FROM q, codes cd
+        JOIN seeds ON seeds.j = cd.j
+        WHERE cd.vec_id <> q.query_id
+        GROUP BY q.query_id, cd.vec_id)
+      SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+             floor(adist * 1e4 + 0.5) / 1e4 AS adist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adist ASC, neighbor_id ASC) AS rank
+            FROM ad)
+      WHERE rank <= {k}
+    """

@@ -286,3 +286,37 @@ def test_behavioral_similarity_sparse_is_exact(spark, tables):
         for r in behavioral_similarity_sparse(events, k=5).collect()
     }
     assert got == exact
+
+
+def test_pq_adc_finds_planted_duplicates(spark, tables):
+    """PQ quality gate in the regime PQ is for: plant a tiny-noise copy
+    of every query vector; the copy's ADC distance to its original must
+    rank top-1 (quantization error is per-subspace codeword radius —
+    large vs isotropic strangers' gaps only when the true distance is
+    near zero, which is exactly the near-dup case). Also pins the code
+    domain: every code in [0, 16)."""
+    from pyspark.sql import functions as F
+
+    from pubsub_mapreduce_spark.operators.similarity import (
+        _as_double,
+        ann_pq_topk,
+        pq_encode,
+    )
+
+    e = _as_double(tables["embeddings"]).select("vec_id", "embedding")
+    noisy = F.expr(
+        "transform(embedding, (v, i) -> v + 0.005 * sin(CAST(vec_id * 67 + i AS DOUBLE)))"
+    )
+    dups = e.select((F.col("vec_id") + 10000).alias("vec_id"), noisy.alias("embedding"))
+    corpus = e.unionByName(dups)
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ann_pq_topk(corpus, k=1, every=50).collect()
+        if r["query_id"] < 10000
+    }
+    assert top1, "no queries scored"
+    missed = {q: n for q, n in top1.items() if n != q + 10000}
+    assert not missed, f"ADC top-1 missed planted duplicates: {missed}"
+
+    codes = pq_encode(e).select(F.explode("codes").alias("c")).collect()
+    assert all(0 <= r["c"] < 16 for r in codes)

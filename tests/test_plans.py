@@ -590,3 +590,15 @@ def test_cms_constant_size_exchange(spark):
     assert node_count(df, "Expand") == 0
     assert keyed_shuffle_count(df) <= 3
     assert_broadcast_join(df, min_count=1)
+
+
+def test_pq_plan_shape(spark):
+    """PQ: encoding is map-only (codebook rides as a plan literal — no
+    join, no shuffle to build codes); the ADC scan joins the broadcast
+    query set; the only keyed exchange is the per-query top-k window."""
+    spark.catalog.clearCache()
+    df = q("emb_pq_codes", spark)
+    assert keyed_shuffle_count(df) == 0, "PQ encode must be map-only"
+    df = q("sim_ann_pq", spark)
+    assert keyed_shuffle_count(df) <= 1
+    assert_no_cartesian(df)
