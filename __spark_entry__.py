@@ -825,6 +825,19 @@ def q_substring_spans(spark, sf_dir):
     )
 
 
+def q_event_pagerank(spark, sf_dir):
+    """Integer-exact weighted PageRank over the sessionized event-type
+    transition graph (graph.pagerank over relational.session_transitions):
+    which event states are central in user journeys. Iterative, yet
+    exactly value-hashable — all arithmetic is scaled int64."""
+    from pubsub_mapreduce_spark.operators.graph import pagerank
+
+    edges = R.session_transitions(load_tables(spark, sf_dir))
+    return pagerank(edges).select(
+        F.col("node").alias("event_type"), F.col("r").alias("rank_scaled")
+    )
+
+
 def q_orders_checksum(spark, sf_dir):
     """Order-independent table checksum of orders (io.table_checksum) —
     the one-number anti-entropy comparison for migrations/replicas."""
@@ -1117,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_spans": q_substring_spans,
         "decontaminate_bloom": q_decontaminate_bloom,
         "cms_user_counts": q_cms_user_counts,
+        "event_pagerank": q_event_pagerank,
         "orders_checksum": q_orders_checksum,
         "lateness_profile": q_lateness_profile,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
@@ -1363,6 +1377,40 @@ def _zorder_stats_sql() -> str:
 
 
 _ZORDER_STATS_SQL = _zorder_stats_sql()
+
+
+def _event_pagerank_oracle_sql() -> str:
+    """Unrolled integer PageRank over the session_transitions edge CTE;
+    the final projection renames to the registered query's columns."""
+    from pubsub_mapreduce_spark.operators.graph import duckdb_pagerank_sql
+
+    edges = """
+        WITH ev AS (
+          SELECT user_id, event_id, event_type, epoch(ts) AS tt FROM events),
+        g AS (
+          SELECT *, CASE WHEN prev_tt IS NULL OR tt - prev_tt > 1800.0
+                         THEN 1 ELSE 0 END AS is_new
+          FROM (SELECT *, lag(tt) OVER (PARTITION BY user_id
+                    ORDER BY tt, event_id) AS prev_tt FROM ev)),
+        s AS (
+          SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                    ORDER BY tt, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM g),
+        p AS (
+          SELECT event_type, lead(event_type) OVER (
+                   PARTITION BY user_id, sid
+                   ORDER BY tt, event_id) AS next_type
+          FROM s)
+        SELECT event_type AS u, next_type AS v,
+               CAST(count(*) AS BIGINT) AS w
+        FROM p WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    """
+    inner = duckdb_pagerank_sql(f"SELECT * FROM ({edges})")
+    return (
+        f"SELECT node AS event_type, r AS rank_scaled FROM ({inner})"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2698,6 +2746,7 @@ def oracle_sql() -> dict[str, str]:
             FROM probes JOIN cells USING (d, cell)
             GROUP BY user_id, exact
         """,
+        "event_pagerank": _event_pagerank_oracle_sql(),
         "orders_checksum": """
             SELECT count(*) AS n_rows,
                    CAST(sum(('0x' || substr(md5(

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "profile_orders",
     "event_cooccurrence",
     "session_transitions",
+    "event_pagerank",
     # reference pipeline (batch replay)
     "t1_latest_per_key",
     "t3_fan_out",

@@ -1,0 +1,129 @@
+"""Graph analytics over edge lists derived from the warehouse tables.
+
+Connected components (dedup.connected_components) handles the
+equivalence-closure case; this module adds centrality. Everything is
+INTEGER arithmetic by design: scaled ranks, integer division, integer
+sums — bit-reproducible across engines and partitionings (float
+PageRank sums are summation-order-dependent and can never carry an
+exact cross-engine oracle), so even an iterative algorithm gets a full
+value-hash oracle via unrolled-CTE SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "type_from",
+    dst: str = "type_to",
+    weight: str = "n_transitions",
+    iters: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Weighted PageRank, integer-exact, fixed iteration count.
+
+    rank'(v) = base + (d_num * S_v) div d_den, where
+    S_v = sum over in-edges (u,v) of (rank(u) * w_uv) div W_u,
+    base = ((d_den - d_num) * scale) div (d_den * N).
+
+    Every operation is int64 (div = integral division, sums of
+    integers are order-free), so the result is a pure function of the
+    edge multiset — same bits on any engine, any partitioning, any
+    schedule. Dangling mass (nodes with no out-edges) is dropped, the
+    standard pruned variant; flooring leaks at most one unit per edge
+    per iteration, bounded and deterministic.
+
+    Scale shape: each iteration is one join of the edge list against
+    the |nodes|-sized rank relation on src (both pre-partitioned on
+    the same key at scale) + one dst-keyed integer aggregate — the
+    textbook distributed PageRank step. ``iters`` is fixed, not
+    converged-tested, to keep the plan static; N and the edge/degree
+    relations are computed once and reused across iterations.
+    Overflow headroom: rank <= scale, so rank * w stays within int64
+    for total edge weight < 2^63 / scale (~9e12 events at the default
+    scale — raise ``scale`` granularity only with narrower weights).
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("u"),
+            F.col(dst).alias("v"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # bounded by the node universe, not the event volume
+    outw = e.groupBy("u").agg(F.sum("w").alias("wout"))
+    base = ((damping_den - damping_num) * scale) // (damping_den * n)
+    r = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = (
+            e.join(r.withColumnRenamed("node", "u"), "u")
+            .join(outw, "u")
+            .select(
+                F.col("v").alias("node"),
+                F.expr("r * w div wout").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"{damping_num} * coalesce(s, 0L) div {damping_den}"
+                )
+            ).cast("long").alias("r"),
+        )
+    return r
+
+
+def duckdb_pagerank_sql(
+    edges_cte: str,
+    iters: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = SCALE,
+) -> str:
+    """Unrolled-iteration DuckDB mirror of ``pagerank``. ``edges_cte``
+    must yield (u, v, w). Integer ops only — `//` on positive BIGINTs
+    == Spark's `div` — so the mirror is exact, not approximate."""
+    blocks = [
+        f"""e AS ({edges_cte}),
+      nodes AS (SELECT DISTINCT u AS node FROM e
+                UNION SELECT DISTINCT v FROM e),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      outw AS (SELECT u, CAST(sum(w) AS BIGINT) AS W FROM e GROUP BY 1),
+      r0 AS (SELECT node, CAST({scale} // nn.n AS BIGINT) AS r
+             FROM nodes, nn)"""
+    ]
+    for i in range(iters):
+        blocks.append(
+            f"""c{i + 1} AS (
+        SELECT e.v AS node, CAST(sum((r.r * e.w) // o.W) AS BIGINT) AS s
+        FROM e JOIN r{i} r ON r.node = e.u JOIN outw o ON o.u = e.u
+        GROUP BY 1),
+      r{i + 1} AS (
+        SELECT n.node,
+               CAST((({damping_den} - {damping_num}) * {scale})
+                      // ({damping_den} * nn.n)
+                    + ({damping_num} * COALESCE(c.s, 0)) // {damping_den}
+                 AS BIGINT) AS r
+        FROM nodes n CROSS JOIN nn LEFT JOIN c{i + 1} c ON c.node = n.node)"""
+        )
+    return (
+        "WITH " + ",\n      ".join(blocks) + f"\n      SELECT node, r FROM r{iters}"
+    )

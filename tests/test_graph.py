@@ -1,0 +1,48 @@
+"""Integer PageRank invariants: hand-computed micro-graph, mass
+conservation under flooring, and partitioning-independence (the
+property the integer formulation exists to guarantee)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pubsub_mapreduce_spark.operators.graph import SCALE, pagerank
+
+
+def edges_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "type_from string, type_to string, n_transitions long"
+    )
+
+
+def test_pagerank_micro_graph_by_hand(spark):
+    """A -> B (w=1): after one iteration A holds only the base mass,
+    B gets base + 85% of A's initial rank — checked against the exact
+    integer arithmetic by hand."""
+    e = edges_df(spark, [("A", "B", 1)])
+    r = {x["node"]: x["r"] for x in pagerank(e, iters=1).collect()}
+    base = (15 * SCALE) // (100 * 2)
+    assert r == {"A": base, "B": base + (85 * (SCALE // 2)) // 100}
+
+
+def test_pagerank_mass_and_sink_ordering(spark):
+    """Star graph A,B,C -> D: the sink must out-rank every source, and
+    total mass never exceeds scale (flooring only leaks downward)."""
+    e = edges_df(spark, [("A", "D", 2), ("B", "D", 1), ("C", "D", 5)])
+    r = {x["node"]: x["r"] for x in pagerank(e, iters=3).collect()}
+    assert r["D"] > max(r["A"], r["B"], r["C"])
+    assert sum(r.values()) <= SCALE
+    assert all(v >= 0 for v in r.values())
+
+
+def test_pagerank_partitioning_independent(spark, tables):
+    """Same bits whatever the physical layout: rank the fixture
+    transition graph from a 1-partition and a 13-partition edge list
+    and require exact equality — integer sums are order-free, which is
+    the whole point of the scaled formulation."""
+    from pubsub_mapreduce_spark.operators.relational import session_transitions
+
+    edges = session_transitions(tables)
+    a = {r["node"]: r["r"] for r in pagerank(edges.coalesce(1)).collect()}
+    b = {r["node"]: r["r"] for r in pagerank(edges.repartition(13)).collect()}
+    assert a == b and len(a) > 1
