@@ -563,6 +563,28 @@ def q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q_pii_audit(spark, sf_dir):
+    """Per-source PII exposure report (textops.pii_audit) — the audit
+    stage before a corpus scrub; zeros on the PII-free fixtures are
+    the correct answer, planted behavior pinned in tests."""
+    return TX.pii_audit(load_tables(spark, sf_dir)["documents"])
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction with per-doc redaction counts (textops.pii_scrub);
+    fixed class order is part of the contract."""
+    return TX.pii_scrub(load_tables(spark, sf_dir)["documents"])
+
+
+def q_sim_ann_filtered(spark, sf_dir):
+    """Metadata-filtered vector search ("hybrid search"): ANN top-k
+    restricted to the label=1 slice — the per-tenant / per-language
+    index pattern. The predicate prunes BEFORE the index build, so the
+    whole LSH pipeline runs on the slice (filter pushed to the scan)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.ann_lsh_topk(emb.where(F.col("label") == 1), every=10)
+
+
 def q_cross_doc_repetition(spark, sf_dir):
     """Cross-document duplicated-n-gram fraction — the corpus-level
     boilerplate cut (textops.cross_doc_gram_stats, inverted-index plan)."""
@@ -1071,6 +1093,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": q_emb_quantize,
         "emb_pq_codes": q_emb_pq_codes,
         "sim_ann_pq": q_sim_ann_pq,
+        "sim_ann_filtered": q_sim_ann_filtered,
+        "pii_audit": q_pii_audit,
+        "pii_scrub": q_pii_scrub,
         # text analysis / curation
         "text_clean": q_text_clean,
         "text_doc_stats": q_text_doc_stats,
@@ -1410,6 +1435,60 @@ def _event_pagerank_oracle_sql() -> str:
     inner = duckdb_pagerank_sql(f"SELECT * FROM ({edges})")
     return (
         f"SELECT node AS event_type, r AS rank_scaled FROM ({inner})"
+    )
+
+
+def _pii_audit_oracle_sql() -> str:
+    """Rendered from textops.PII_PATTERNS so Spark and oracle can never
+    drift on the pattern set or the column list."""
+    cols = ",\n                   ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS c_{name}"
+        for name, pat in TX.PII_PATTERNS.items()
+    )
+    aggs = ",\n                   ".join(
+        f"CAST(sum(c_{name}) AS BIGINT) AS n_{name},\n"
+        f"                   count(CASE WHEN c_{name} > 0 THEN 1 END)"
+        f" AS docs_{name}"
+        for name in TX.PII_PATTERNS
+    )
+    return f"""
+            WITH per AS (
+              SELECT source,
+                   {cols}
+              FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   {aggs}
+            FROM per GROUP BY 1
+    """
+
+
+def _pii_scrub_oracle_sql() -> str:
+    """Progressive scrub chain in the SAME class order as
+    textops.pii_scrub — each count runs on the previous step's output."""
+    ctes, prev = [], "text"
+    names = list(TX.PII_PATTERNS)
+    for i, name in enumerate(names):
+        pat = TX.PII_PATTERNS[name]
+        src = "documents" if i == 0 else f"s{i - 1}"
+        ctes.append(
+            f"""s{i} AS (
+              SELECT doc_id,
+                     len(regexp_extract_all({prev}, '{pat}')) AS n{i},
+                     regexp_replace({prev}, '{pat}', '<{name.upper()}>', 'g')
+                       AS t{i}{"".join(f", n{j}" for j in range(i))}
+              FROM {src})"""
+        )
+        prev = f"t{i}"
+    total = " + ".join(f"n{i}" for i in range(len(names)))
+    last = len(names) - 1
+    return (
+        "WITH "
+        + ",\n            ".join(ctes)
+        + f"""
+            SELECT doc_id, t{last} AS text_scrubbed,
+                   CAST({total} AS INTEGER) AS n_redacted
+            FROM s{last}
+    """
     )
 
 
@@ -3169,6 +3248,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_pq_codes": S.duckdb_pq_sql(codes_only=True),
         "sim_ann_pq": S.duckdb_pq_sql(k=5, every=50),
+        "sim_ann_filtered": S.duckdb_lsh_topk_sql(
+            every=10, src="(SELECT * FROM embeddings WHERE label = 1)"
+        ),
+        "pii_audit": _pii_audit_oracle_sql(),
+        "pii_scrub": _pii_scrub_oracle_sql(),
         "simhash_near_pairs": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "substring_spans",
     "text_clean",
+    "pii_audit",
+    "pii_scrub",
     "lang_confusion",
     "text_doc_stats",
     "text_quality_by_source",
@@ -138,6 +140,7 @@ BENCH_QUERIES = [
     "sim_ann_lsh",
     "sim_ann_ivf",
     "sim_ann_pq",
+    "sim_ann_filtered",
     "emb_pq_codes",
     "knn_graph",
     "user_similarity",

@@ -653,3 +653,65 @@ def bloom_decontaminate(
             rh(F.col("n_hits") / F.col("n_grams"), 6).alias("contamination"),
         )
     )
+
+
+# PII patterns — RE2-safe (no lookaround, no backrefs) so the SAME
+# pattern strings run in Spark (Java regex) and the DuckDB oracle.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "id16": r"\b[0-9]{16}\b",
+}
+
+
+def pii_audit(docs: DataFrame) -> DataFrame:
+    """Per-source PII exposure report: document counts and total match
+    counts per PII class (email / url / phone / ipv4 / 16-digit id) —
+    the audit a training corpus runs BEFORE the scrub decides what the
+    scrub must remove (The Pile / C4-style pipeline stage).
+
+    Map-only per-doc counting (one ``regexp_extract_all`` size per
+    class, all fused in a single projection) + one tiny keyed
+    aggregate on source. Patterns are shared verbatim with the oracle;
+    counts are integers, so the report is exact cross-engine. The
+    synthetic fixtures are PII-free — the report's zeros are the
+    correct answer there; planted-PII behavior is pinned in tests."""
+    c = F.col("text")
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(pat), 0)).alias(f"__{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    per_doc = widen(docs, 8).select("source", *counts)
+    aggs = []
+    for name in PII_PATTERNS:
+        aggs.append(F.sum(f"__{name}").alias(f"n_{name}"))
+        aggs.append(
+            F.count(F.when(F.col(f"__{name}") > 0, 1)).alias(f"docs_{name}")
+        )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), *aggs
+    )
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Redact PII in place: each class replaced by its <CLASS> tag, in
+    a FIXED class order (the chain order is part of the contract — url
+    before email would change what the email pattern can still see, so
+    both engines apply the same sequence). Map-only, scan-speed;
+    returns every doc with its scrubbed text and the redaction count
+    so downstream can gate on residual-PII == 0."""
+    c = F.col("text")
+    scrubbed = c
+    n_redacted = F.lit(0)
+    for name, pat in PII_PATTERNS.items():
+        n_redacted = n_redacted + F.size(
+            F.regexp_extract_all(scrubbed, F.lit(pat), 0)
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return widen(docs, 8).select(
+        "doc_id",
+        scrubbed.alias("text_scrubbed"),
+        n_redacted.alias("n_redacted"),
+    )

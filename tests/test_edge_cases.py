@@ -311,3 +311,34 @@ def test_lateness_profile_detects_planted_disorder(spark):
     assert got["view"]["n_late"] == 1
     assert got["view"]["max_late_s"] == 40.0
     assert got["click"]["n_late"] == 0
+
+
+def test_pii_audit_and_scrub_planted(spark):
+    """Planted-PII behavior: the audit counts each class; the scrub
+    replaces every instance with its tag, counts all redactions, and
+    leaves clean text byte-identical. (The fixtures are PII-free, so
+    the oracle-parity test only proves the zero case — this pins the
+    positive one.)"""
+    from pubsub_mapreduce_spark.operators.textops import pii_audit, pii_scrub
+
+    rows = [
+        (1, "contact bob@example.com or https://x.io/a?b=1 now", "en", "s1", 0),
+        (2, "call 555-123-4567 from 10.0.0.1 card 1234567812345678", "en", "s1", 0),
+        (3, "perfectly clean text", "en", "s2", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    audit = {r["source"]: r for r in pii_audit(docs).collect()}
+    a = audit["s1"]
+    assert (a["n_email"], a["n_url"], a["n_phone"], a["n_ipv4"], a["n_id16"]) == (
+        1, 1, 1, 1, 1,
+    )
+    assert a["docs_email"] == 1 and a["n_docs"] == 2
+    z = audit["s2"]
+    assert z["n_email"] == z["n_url"] == z["n_phone"] == z["n_ipv4"] == z["n_id16"] == 0
+    s = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert s[1]["text_scrubbed"] == "contact <EMAIL> or <URL> now"
+    assert s[2]["text_scrubbed"] == "call <PHONE> from <IPV4> card <ID16>"
+    assert s[3]["text_scrubbed"] == "perfectly clean text"
+    assert (s[1]["n_redacted"], s[2]["n_redacted"], s[3]["n_redacted"]) == (2, 3, 0)

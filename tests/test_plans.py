@@ -602,3 +602,20 @@ def test_pq_plan_shape(spark):
     df = q("sim_ann_pq", spark)
     assert keyed_shuffle_count(df) <= 1
     assert_no_cartesian(df)
+
+
+def test_filtered_ann_pushes_predicate(spark):
+    """Hybrid search: the label predicate must reach the parquet scan —
+    the index is built on the slice, not filtered after the fact."""
+    spark.catalog.clearCache()
+    df = q("sim_ann_filtered", spark)
+    assert_pushed_filters(df, "label")
+    assert_broadcast_join(df, min_count=1)
+
+
+def test_pii_ops_map_only(spark):
+    """The scrub is a pure projection (zero keyed shuffles); the audit
+    pays exactly one tiny source-keyed aggregate."""
+    spark.catalog.clearCache()
+    assert keyed_shuffle_count(q("pii_scrub", spark)) == 0
+    assert keyed_shuffle_count(q("pii_audit", spark)) <= 1
