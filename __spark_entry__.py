@@ -576,6 +576,13 @@ def q_pii_scrub(spark, sf_dir):
     return TX.pii_scrub(load_tables(spark, sf_dir)["documents"])
 
 
+def q_sim_ann_ivfpq(spark, sf_dir):
+    """IVF+PQ composed index (similarity.ann_ivfpq_topk) — cells prune
+    the candidate set, codes compress the scan; the FAISS-IVFPQ shape
+    with an exact value-hash oracle."""
+    return S.ann_ivfpq_topk(load_tables(spark, sf_dir)["embeddings"])
+
+
 def q_sim_ann_filtered(spark, sf_dir):
     """Metadata-filtered vector search ("hybrid search"): ANN top-k
     restricted to the label=1 slice — the per-tenant / per-language
@@ -847,6 +854,18 @@ def q_substring_spans(spark, sf_dir):
     )
 
 
+def q_agg_upsert(spark, sf_dir):
+    """Incremental aggregate maintenance (relational.aggregate_upsert):
+    merge the stored per-user summary of 'history' (event_id%10 < 8)
+    with the new batch's delta — the oracle is a FULL RECOMPUTE over
+    all events, so the driver hash checks the recompute-equivalence
+    contract itself."""
+    ev = load_tables(spark, sf_dir)["events"]
+    state = R.user_value_summary(ev.where(F.col("event_id") % 10 < 8))
+    delta = R.user_value_summary(ev.where(F.col("event_id") % 10 >= 8))
+    return R.aggregate_upsert(state, delta)
+
+
 def q_event_pagerank(spark, sf_dir):
     """Integer-exact weighted PageRank over the sessionized event-type
     transition graph (graph.pagerank over relational.session_transitions):
@@ -1093,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": q_emb_quantize,
         "emb_pq_codes": q_emb_pq_codes,
         "sim_ann_pq": q_sim_ann_pq,
+        "sim_ann_ivfpq": q_sim_ann_ivfpq,
         "sim_ann_filtered": q_sim_ann_filtered,
         "pii_audit": q_pii_audit,
         "pii_scrub": q_pii_scrub,
@@ -1156,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": q_decontaminate_bloom,
         "cms_user_counts": q_cms_user_counts,
         "event_pagerank": q_event_pagerank,
+        "agg_upsert": q_agg_upsert,
         "orders_checksum": q_orders_checksum,
         "lateness_profile": q_lateness_profile,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
@@ -2826,6 +2847,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, exact
         """,
         "event_pagerank": _event_pagerank_oracle_sql(),
+        # the oracle is the FULL RECOMPUTE — hash equality IS the
+        # incremental-view-maintenance contract
+        "agg_upsert": """
+            SELECT user_id, count(*) AS cnt,
+                   CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+                     AS sum_micro,
+                   min(value) AS min_v, max(value) AS max_v
+            FROM events GROUP BY 1
+        """,
         "orders_checksum": """
             SELECT count(*) AS n_rows,
                    CAST(sum(('0x' || substr(md5(
@@ -3248,6 +3278,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_pq_codes": S.duckdb_pq_sql(codes_only=True),
         "sim_ann_pq": S.duckdb_pq_sql(k=5, every=50),
+        "sim_ann_ivfpq": S.duckdb_ivfpq_sql(),
         "sim_ann_filtered": S.duckdb_lsh_topk_sql(
             every=10, src="(SELECT * FROM embeddings WHERE label = 1)"
         ),

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "funnel_conversion",
     "gap_fill_daily",
     "merge_upsert",
+    "agg_upsert",
     "zorder_stats",
     "scd2_history",
     "dq_orders",
@@ -140,6 +141,7 @@ BENCH_QUERIES = [
     "sim_ann_lsh",
     "sim_ann_ivf",
     "sim_ann_pq",
+    "sim_ann_ivfpq",
     "sim_ann_filtered",
     "emb_pq_codes",
     "knn_graph",

@@ -1788,3 +1788,58 @@ def association_rules(t: Tables) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+def user_value_summary(events: DataFrame) -> DataFrame:
+    """The mergeable per-user aggregate state ``aggregate_upsert``
+    maintains: count, exact micro-unit value sum (floor(value * 1e6)
+    as int64 — order-free integer addition where a double sum is
+    summation-order-dependent and can never match across engines),
+    min/max. One keyed shuffle with map-side partial aggregation."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.expr("CAST(floor(value * 1e6) AS BIGINT)")).alias("sum_micro"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+def aggregate_upsert(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental aggregate maintenance: merge a stored per-key
+    aggregate STATE with a new batch's DELTA aggregate so the rollup
+    stays current without rescanning history — the incremental-view-
+    maintenance primitive behind any 100TB "metrics by key" table
+    (``merge_upsert`` maintains latest-value tables; this maintains
+    ADDITIVE ones). Every statistic is a commutative monoid (count and
+    integer sums add, min/max combine), so
+
+        aggregate_upsert(summary(old), summary(new)) == summary(all)
+
+    EXACTLY — that recompute-equivalence is the registered query's
+    oracle contract, hash-checked by the driver. One full outer join on
+    the key; both sides shuffle once on the same hash. At scale the
+    delta side is a micro-batch — broadcast-joinable — and the physical
+    write targets only partitions holding changed keys."""
+    s = state.select(
+        "user_id",
+        F.col("cnt").alias("__s_cnt"),
+        F.col("sum_micro").alias("__s_sum"),
+        F.col("min_v").alias("__s_min"),
+        F.col("max_v").alias("__s_max"),
+    )
+    d = delta.select(
+        "user_id",
+        F.col("cnt").alias("__d_cnt"),
+        F.col("sum_micro").alias("__d_sum"),
+        F.col("min_v").alias("__d_min"),
+        F.col("max_v").alias("__d_max"),
+    )
+    j = s.join(d, "user_id", "full_outer")
+    z = F.lit(0).cast("long")
+    return j.select(
+        "user_id",
+        (F.coalesce("__s_cnt", z) + F.coalesce("__d_cnt", z)).alias("cnt"),
+        (F.coalesce("__s_sum", z) + F.coalesce("__d_sum", z)).alias("sum_micro"),
+        F.least("__s_min", "__d_min").alias("min_v"),
+        F.greatest("__s_max", "__d_max").alias("max_v"),
+    )

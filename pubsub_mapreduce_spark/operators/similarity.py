@@ -1489,3 +1489,149 @@ def duckdb_pq_sql(
             FROM ad)
       WHERE rank <= {k}
     """
+
+
+def ann_ivfpq_topk(
+    emb: DataFrame,
+    k: int = 5,
+    every: int = 50,
+    centroid_every: int = 100,
+    nprobe: int = 5,
+    n_max_centroids: int = 512,
+    code_every: int = 100,
+    n_codes: int = N_CODES,
+) -> DataFrame:
+    """IVF+PQ — the composition a billion-vector index actually runs
+    (the FAISS IVFPQ shape): centroid cells prune the candidate set to
+    ``nprobe`` inverted lists, and within each probed cell the scan
+    reads 8-byte PQ codes instead of 256-byte float vectors, scoring
+    by asymmetric distance. Cells cut WORK, codes cut BYTES — at 100TB
+    the index fits in a fraction of the corpus footprint and each
+    query touches nprobe/|C| of it.
+
+    Everything deterministic and value-hash-oracled end to end
+    (``duckdb_ivfpq_sql``): literal-argmax cell assignment (cosine,
+    ties to smaller cid), PQ argmin encoding (ties to smaller code),
+    sequence-mirrored ADC arithmetic, (adist asc, neighbor asc)
+    ranking. The corpus-side projection computes cid AND codes in ONE
+    map-only pass — the stored index is (vec_id, cid, codes), and no
+    shuffle touches the corpus before the final per-query top-k."""
+    from ..functions.text import round_half_up
+    from ..io import widen
+
+    e0 = _as_double(emb).select("vec_id", "embedding")
+    cents = ivf_centroids(e0, centroid_every, n_max_centroids)
+    seeds = pq_seeds(e0, code_every, n_codes)
+    e = widen(e0, 8)
+    best = _nearest_centroid(cents, "embedding")
+    assigned = e.select(
+        "vec_id",
+        best["cid"].alias("cid"),
+        _pq_codes_expr(seeds).alias("codes"),
+    )
+    q = query_subset(e, every).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probes = (
+        q.select(
+            "query_id", "q_emb", F.explode(_centroid_sims(cents, "q_emb")).alias("pr")
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            F.col("pr.cid").alias("cid"),
+            F.col("pr.csim").alias("csim"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("csim").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .where(F.col("rk") <= nprobe)
+        .select("query_id", "q_emb", "cid")
+    )
+    cands = broadcast(probes).join(assigned, "cid").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.withColumn("adist", F.expr(_pq_adc_expr(seeds)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            round_half_up(F.col("adist"), 4).alias("adist"),
+        )
+    )
+
+
+def duckdb_ivfpq_sql(
+    k: int = 5,
+    every: int = 50,
+    centroid_every: int = 100,
+    nprobe: int = 5,
+    n_max_centroids: int = 512,
+    code_every: int = 100,
+    n_codes: int = N_CODES,
+) -> str:
+    """DuckDB mirror of ``ann_ivfpq_topk``: the IVF builder's cell
+    assignment/probe CTEs composed with the PQ builder's seed/code
+    CTEs; ADC via list_reduce over the s-ordered expanded sums, same
+    tie-breaks everywhere."""
+    sq = " + ".join(
+        f"((e.emb[s.s * {SUB_DIM} + {i + 1}] - seeds.emb[s.s * {SUB_DIM} + {i + 1}])"
+        f" * (e.emb[s.s * {SUB_DIM} + {i + 1}] - seeds.emb[s.s * {SUB_DIM} + {i + 1}]))"
+        for i in range(SUB_DIM)
+    )
+    qsq = " + ".join(
+        f"((p.q_emb[cd.s * {SUB_DIM} + {i + 1}] - seeds.emb[cd.s * {SUB_DIM} + {i + 1}])"
+        f" * (p.q_emb[cd.s * {SUB_DIM} + {i + 1}] - seeds.emb[cd.s * {SUB_DIM} + {i + 1}]))"
+        for i in range(SUB_DIM)
+    )
+    return f"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      cents AS (SELECT vec_id AS cid, emb AS cemb FROM e
+                WHERE vec_id % {centroid_every} = 0
+                ORDER BY vec_id LIMIT {n_max_centroids}),
+      csims AS (SELECT e.vec_id, e.emb, cents.cid,
+                       list_cosine_similarity(e.emb, cents.cemb) AS csim
+                FROM e CROSS JOIN cents),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY csim DESC, cid ASC) AS rn FROM csims),
+      assigned AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+      probes AS (SELECT vec_id AS query_id, emb AS q_emb, cid
+                 FROM ranked WHERE rn <= {nprobe} AND vec_id % {every} = 0),
+      seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, emb
+                FROM (SELECT vec_id, emb FROM e WHERE vec_id % {code_every} = 0
+                      ORDER BY vec_id LIMIT {n_codes}) _),
+      dists AS (
+        SELECT e.vec_id, s.s, seeds.j, ({sq}) AS d
+        FROM e, (SELECT unnest(range({M_SUB})) AS s) s, seeds),
+      codes AS (
+        SELECT vec_id, s, j FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                       ORDER BY d ASC, j ASC) AS rn
+          FROM dists) WHERE rn = 1),
+      ad AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               CAST(list_reduce(list(({qsq}) ORDER BY cd.s),
+                                (x, y) -> x + y) AS DOUBLE) AS adist
+        FROM probes p
+        JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id
+        JOIN codes cd ON cd.vec_id = a.vec_id
+        JOIN seeds ON seeds.j = cd.j
+        GROUP BY p.query_id, a.vec_id)
+      SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+             floor(adist * 1e4 + 0.5) / 1e4 AS adist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adist ASC, neighbor_id ASC) AS rank
+            FROM ad)
+      WHERE rank <= {k}
+    """

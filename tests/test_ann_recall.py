@@ -320,3 +320,30 @@ def test_pq_adc_finds_planted_duplicates(spark, tables):
 
     codes = pq_encode(e).select(F.explode("codes").alias("c")).collect()
     assert all(0 <= r["c"] < 16 for r in codes)
+
+
+def test_ivfpq_finds_planted_duplicates(spark, tables):
+    """IVF+PQ end to end: a tiny-noise copy lands in the same centroid
+    cell as its original (assignment margin >> noise) and its ADC
+    distance beats every stranger's — top-1 must be the planted copy."""
+    from pyspark.sql import functions as F
+
+    from pubsub_mapreduce_spark.operators.similarity import (
+        _as_double,
+        ann_ivfpq_topk,
+    )
+
+    e = _as_double(tables["embeddings"]).select("vec_id", "embedding")
+    noisy = F.expr(
+        "transform(embedding, (v, i) -> v + 0.005 * sin(CAST(vec_id * 67 + i AS DOUBLE)))"
+    )
+    dups = e.select((F.col("vec_id") + 10000).alias("vec_id"), noisy.alias("embedding"))
+    corpus = e.unionByName(dups)
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ann_ivfpq_topk(corpus, k=1, every=50).collect()
+        if r["query_id"] < 10000
+    }
+    assert top1, "no queries scored"
+    missed = {q: n for q, n in top1.items() if n != q + 10000}
+    assert not missed, f"IVFPQ top-1 missed planted duplicates: {missed}"

@@ -342,3 +342,28 @@ def test_pii_audit_and_scrub_planted(spark):
     assert s[2]["text_scrubbed"] == "call <PHONE> from <IPV4> card <ID16>"
     assert s[3]["text_scrubbed"] == "perfectly clean text"
     assert (s[1]["n_redacted"], s[2]["n_redacted"], s[3]["n_redacted"]) == (2, 3, 0)
+
+
+def test_aggregate_upsert_identity_and_disjoint(spark):
+    """IVM edge semantics: an empty delta is the identity; disjoint key
+    sets union with each side's stats intact (nulls from the outer join
+    must not poison count/sum/min/max)."""
+    from pubsub_mapreduce_spark.operators.relational import (
+        aggregate_upsert,
+        user_value_summary,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 10, 1.5), (2, 10, -2.0), (3, 20, 0.25)],
+        "event_id long, user_id long, value double",
+    )
+    full = user_value_summary(ev)
+    empty = user_value_summary(ev.where(F.lit(False)))
+    merged = {r["user_id"]: r for r in aggregate_upsert(full, empty).collect()}
+    base = {r["user_id"]: r for r in full.collect()}
+    assert merged == base
+    a = user_value_summary(ev.where(F.col("user_id") == 10))
+    b = user_value_summary(ev.where(F.col("user_id") == 20))
+    m = {r["user_id"]: r for r in aggregate_upsert(a, b).collect()}
+    assert m[10]["cnt"] == 2 and m[10]["min_v"] == -2.0 and m[10]["max_v"] == 1.5
+    assert m[20]["cnt"] == 1 and m[20]["sum_micro"] == 250000

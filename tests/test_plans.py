@@ -619,3 +619,23 @@ def test_pii_ops_map_only(spark):
     spark.catalog.clearCache()
     assert keyed_shuffle_count(q("pii_scrub", spark)) == 0
     assert keyed_shuffle_count(q("pii_audit", spark)) <= 1
+
+
+def test_ivfpq_plan_shape(spark):
+    """IVF+PQ: the stored index (vec_id, cid, codes) derives in ONE
+    map-only corpus projection; probes broadcast; keyed exchanges are
+    the bounded query-probe window and the final top-k only."""
+    spark.catalog.clearCache()
+    df = q("sim_ann_ivfpq", spark)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df, min_count=1)
+    assert keyed_shuffle_count(df) <= 3
+
+
+def test_agg_upsert_shares_partitioning(spark):
+    """The IVM merge: state agg, delta agg, and the full-outer join all
+    ride the user_id hash — no extra exchange for the join."""
+    spark.catalog.clearCache()
+    df = q("agg_upsert", spark)
+    assert keyed_shuffle_count(df) <= 3
+    assert_no_cartesian(df)
