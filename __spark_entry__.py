@@ -257,6 +257,15 @@ def q_skew_salted_agg(spark, sf_dir):
     )
 
 
+def q_multimodal_video_pairs(spark, sf_dir):
+    """Video near-dup: frame-sample -> per-frame pHash -> Hamming block
+    join, counting matching frame pairs per video pair
+    (multimodal.video_near_pairs) — the dedup family's video modality,
+    composed from the existing frame/hash/block-join pieces."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return multimodal.video_near_pairs(multimodal.attach_media(docs))
+
+
 def q_source_knob_sine(spark, sf_dir):
     """S2/S3 — deterministic batch replay of the simulator's sine profile
     (simulate-knobs.go:63-71); sf_dir unused (the source generates)."""
@@ -854,6 +863,21 @@ def q_substring_spans(spark, sf_dir):
     )
 
 
+def q_kanon_customers(spark, sf_dir):
+    """k-anonymity audit over customers (relational.kanon_violations):
+    quasi-identifier = (nation, market segment, $1000 balance band);
+    groups under k=5 are re-identification risks the release gate must
+    generalize away."""
+    cust = load_tables(spark, sf_dir)["customer"].select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("acctbal_band"),
+    )
+    return R.kanon_violations(
+        cust, ["c_nationkey", "c_mktsegment", "acctbal_band"], k=5
+    )
+
+
 def q_agg_upsert(spark, sf_dir):
     """Incremental aggregate maintenance (relational.aggregate_upsert):
     merge the stored per-user summary of 'history' (event_id%10 < 8)
@@ -1141,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_phash_pairs": q_multimodal_phash_pairs,
+        "multimodal_video_pairs": q_multimodal_video_pairs,
         "source_knob_sine": q_source_knob_sine,
         # TPC-H tail + reshaping
         "q15_top_supplier": q_q15_top_supplier,
@@ -1177,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_counts": q_cms_user_counts,
         "event_pagerank": q_event_pagerank,
         "agg_upsert": q_agg_upsert,
+        "kanon_customers": q_kanon_customers,
         "orders_checksum": q_orders_checksum,
         "lateness_profile": q_lateness_profile,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
@@ -2847,6 +2873,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, exact
         """,
         "event_pagerank": _event_pagerank_oracle_sql(),
+        "kanon_customers": """
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+                   count(*) AS group_size
+            FROM customer
+            GROUP BY 1, 2, 3
+            HAVING count(*) < 5
+        """,
         # the oracle is the FULL RECOMPUTE — hash equality IS the
         # incremental-view-maintenance contract
         "agg_upsert": """
@@ -3436,6 +3470,54 @@ def oracle_sql() -> dict[str, str]:
                 ON x.blk = y.blk AND x.blkval = y.blkval
                    AND x.doc_id < y.doc_id)
             WHERE hamming <= 8
+        """,
+        # Frame i = bytes [i*256, i*256+L), L = least(256, n - i*256);
+        # per-frame 63-bit average-hash over stride-sampled frame bytes
+        # (same integer compare as the image pHash), then the 9x7-bit
+        # block join over FRAME pairs, counted per video pair.
+        "multimodal_video_pairs": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                     lower(hex(encode(text))) AS h
+              FROM documents),
+            fr AS (
+              SELECT doc_id, h, i, least(256, n - i * 256) AS L
+              FROM m, LATERAL (SELECT unnest(range(
+                   greatest(n // 256, 1))) AS i) _),
+            sampled AS (
+              SELECT doc_id, i,
+                     [ (strpos('0123456789abcdef',
+                          h[2*(i*256 + (j*L)//63)+1 : 2*(i*256 + (j*L)//63)+1]) - 1) * 16
+                       + (strpos('0123456789abcdef',
+                          h[2*(i*256 + (j*L)//63)+2 : 2*(i*256 + (j*L)//63)+2]) - 1)
+                       for j in range(0, 63) ] AS bs
+              FROM fr WHERE L > 0),
+            ph AS (
+              SELECT doc_id, i,
+                     CAST(COALESCE(list_sum(
+                       [CASE WHEN 63 * bs[j+1] >= total
+                             THEN (1::BIGINT << j) ELSE 0::BIGINT END
+                        for j in range(0, 63)]), 0) AS BIGINT) AS phash
+              FROM (SELECT doc_id, i, bs,
+                           CAST(list_sum(bs) AS BIGINT) AS total
+                    FROM sampled)
+              UNION ALL
+              SELECT doc_id, i, 0::BIGINT FROM fr WHERE L = 0),
+            blocks AS (
+              SELECT doc_id, i, phash, blk,
+                     (phash >> (blk * 7)) & 127 AS blkval
+              FROM ph, (SELECT unnest(range(9)) AS blk) _),
+            matched AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                     x.i AS fa, y.i AS fb,
+                     bit_count(xor(x.phash, y.phash)) AS hamming
+              FROM blocks x JOIN blocks y
+                ON x.blk = y.blk AND x.blkval = y.blkval
+                   AND x.doc_id < y.doc_id)
+            SELECT a, b, count(*) AS n_matched
+            FROM matched WHERE hamming <= 8
+            GROUP BY a, b
         """,
         # One fake frame per 256-byte block, sampled every 4: frame i is
         # bytes [i*256, (i+1)*256), so its length is min(256, n - i*256);

@@ -155,7 +155,9 @@ BENCH_QUERIES = [
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frame_sample",
+    "multimodal_video_pairs",
     "multimodal_audio_energy",
+    "kanon_customers",
 ]
 
 

@@ -325,3 +325,99 @@ def resize_images(df: DataFrame, max_dim: int = 256, fake: bool = True) -> DataF
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def frame_phash(frames: DataFrame, fake: bool = True) -> DataFrame:
+    """Per-FRAME perceptual hash: ``_phash63`` over each sampled
+    frame's bytes -> (doc_id, frame_idx, phash). Same Arrow map-only
+    shape as ``image_phash``; frame bytes are projected away at the
+    hash boundary."""
+    if not fake:
+        raise NotImplementedError(
+            "Real frame hashing requires a video decoder (ffmpeg), not "
+            "present in this container. Use fake=True for the stub."
+        )
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("phash", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "phash": [_phash63(bytes(b)) for b in pdf["frame_bytes"]],
+                }
+            )
+
+    return frames.mapInPandas(run, schema=out_schema)
+
+
+def video_near_pairs(
+    df: DataFrame,
+    every_n: int = 1,
+    max_hamming: int = 8,
+    min_frames: int = 1,
+    fake: bool = True,
+) -> DataFrame:
+    """Video near-dup: sample frames, hash each, and call two videos
+    near-duplicates when at least ``min_frames`` sampled frame PAIRS
+    match within ``max_hamming`` — the re-encoded/trimmed-copy detector
+    (YouTube-style content matching), completing the dedup family's
+    video modality by COMPOSING the existing pieces: ``frame_sample``
+    (1->N expansion) -> ``frame_phash`` (map-only) -> the same 9x7-bit
+    Hamming block join as images (candidates only via (block, value)
+    collisions — pigeonhole-complete for max_hamming < 9, never
+    all-pairs).
+
+    Returns (a, b, n_matched) with n_matched = distinct qualifying
+    frame pairs. At scale the knobs trade recall for work exactly like
+    the image path; ``every_n`` subsamples frames (a real pipeline
+    samples keyframes), and the block join's fan-out is bounded by
+    frame count x 9 rows per video."""
+    fh = frame_phash(frame_sample(df, every_n=every_n), fake=fake)
+    n_blocks, block_bits = 9, 7
+    assert max_hamming < n_blocks, "block trick needs max_hamming < n_blocks"
+    blocks = fh.select(
+        "doc_id",
+        "frame_idx",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("phash"), b * block_bits).bitwiseAND(
+                        F.lit((1 << block_bits) - 1)
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("blk", "blkval"),
+    )
+    left = blocks.select(
+        "blk", "blkval", F.col("doc_id").alias("a"),
+        F.col("frame_idx").alias("fa"), F.col("phash").alias("ph_a"),
+    )
+    right = blocks.select(
+        "blk", "blkval", F.col("doc_id").alias("b"),
+        F.col("frame_idx").alias("fb"), F.col("phash").alias("ph_b"),
+    )
+    matched = (
+        left.join(right, ["blk", "blkval"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", "fa", "fb",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return (
+        matched.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .where(F.col("n_matched") >= min_frames)
+    )

@@ -1843,3 +1843,23 @@ def aggregate_upsert(state: DataFrame, delta: DataFrame) -> DataFrame:
         F.least("__s_min", "__d_min").alias("min_v"),
         F.greatest("__s_max", "__d_max").alias("max_v"),
     )
+
+
+def kanon_violations(
+    df: DataFrame, quasi_cols: list, k: int = 5
+) -> DataFrame:
+    """k-anonymity audit: quasi-identifier combinations shared by fewer
+    than ``k`` rows — each is a re-identification risk the release
+    gate must generalize or suppress (the governance pass a training
+    corpus with user-derived tables runs before publication; the PII
+    scrub removes direct identifiers, this catches the INDIRECT ones).
+
+    One keyed shuffle on the QI tuple with map-side partial counts;
+    the violation report is at most |small groups| rows, tiny by
+    definition. Generalization (banding a continuous column) happens
+    in the caller's projection — it is part of the QI definition."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .where(F.col("group_size") < k)
+    )
