@@ -592,6 +592,14 @@ def q_sim_ann_ivfpq(spark, sf_dir):
     return S.ann_ivfpq_topk(load_tables(spark, sf_dir)["embeddings"])
 
 
+def q_ann_eval(spark, sf_dir):
+    """Recall@5 + MRR for every ANN index (LSH/IVF/PQ/IVFPQ) vs exact
+    brute force, in one plan (similarity.ann_recall_report) — integer
+    counts and lcm-scaled reciprocal ranks keep even the evaluation
+    metrics exactly value-hashable."""
+    return S.ann_recall_report(load_tables(spark, sf_dir)["embeddings"])
+
+
 def q_sim_ann_filtered(spark, sf_dir):
     """Metadata-filtered vector search ("hybrid search"): ANN top-k
     restricted to the label=1 slice — the per-tenant / per-language
@@ -933,6 +941,17 @@ def q_cms_user_counts(spark, sf_dir):
     return cms_estimates(load_tables(spark, sf_dir)["events"], "user_id")
 
 
+def q_value_quantiles(spark, sf_dir):
+    """Approximate quantiles from the mergeable fixed-width histogram
+    CDF (sketches.histogram_quantiles): each quantile bracketed within
+    one bin of the true order statistic — the sort-free, mergeable
+    quantile path; bracket contract pinned against exact percentiles
+    in tests."""
+    from pubsub_mapreduce_spark.operators.sketches import histogram_quantiles
+
+    return histogram_quantiles(load_tables(spark, sf_dir)["events"], "value")
+
+
 def q_heavy_hitter_users(spark, sf_dir):
     from pubsub_mapreduce_spark.operators.sketches import heavy_hitters
 
@@ -1138,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_pq": q_sim_ann_pq,
         "sim_ann_ivfpq": q_sim_ann_ivfpq,
         "sim_ann_filtered": q_sim_ann_filtered,
+        "ann_eval": q_ann_eval,
         "pii_audit": q_pii_audit,
         "pii_scrub": q_pii_scrub,
         # text analysis / curation
@@ -1200,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_spans": q_substring_spans,
         "decontaminate_bloom": q_decontaminate_bloom,
         "cms_user_counts": q_cms_user_counts,
+        "value_quantiles": q_value_quantiles,
         "event_pagerank": q_event_pagerank,
         "agg_upsert": q_agg_upsert,
         "kanon_customers": q_kanon_customers,
@@ -2873,6 +2894,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, exact
         """,
         "event_pagerank": _event_pagerank_oracle_sql(),
+        "value_quantiles": """
+            WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+            s AS (SELECT mn,
+                         CASE WHEN mx - mn <= 0 THEN 1.0 ELSE mx - mn END AS span
+                  FROM b),
+            c AS (SELECT least(63, CAST(floor((value - mn) / span * 64)
+                                        AS BIGINT)) AS bin,
+                         count(*) AS n
+                  FROM events, s WHERE value IS NOT NULL GROUP BY 1),
+            spine AS (SELECT unnest(range(64)) AS bin),
+            h AS (SELECT CAST(spine.bin AS INTEGER) AS bin,
+                         mn + spine.bin * span / 64 AS lo,
+                         mn + (spine.bin + 1) * span / 64 AS hi,
+                         COALESCE(c.n, 0) AS n
+                  FROM spine CROSS JOIN s LEFT JOIN c ON c.bin = spine.bin),
+            cdf AS (SELECT *, CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum,
+                           CAST(sum(n) OVER () AS BIGINT) AS total
+                    FROM h),
+            qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q),
+            hit AS (SELECT q, min(bin) AS bin
+                    FROM cdf JOIN qs ON cum >= ceil(q * total) GROUP BY 1)
+            SELECT q, cdf.bin, lo AS est_lo, hi AS est_hi, cum, total
+            FROM hit JOIN cdf ON cdf.bin = hit.bin
+        """,
         "kanon_customers": """
             SELECT c_nationkey, c_mktsegment,
                    CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
@@ -3313,6 +3358,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_pq_codes": S.duckdb_pq_sql(codes_only=True),
         "sim_ann_pq": S.duckdb_pq_sql(k=5, every=50),
         "sim_ann_ivfpq": S.duckdb_ivfpq_sql(),
+        "ann_eval": S.duckdb_ann_eval_sql(),
         "sim_ann_filtered": S.duckdb_lsh_topk_sql(
             every=10, src="(SELECT * FROM embeddings WHERE label = 1)"
         ),

@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "heavy_hitter_users",
     "cms_user_counts",
     "value_histogram",
+    "value_quantiles",
+    "ann_eval",
     "orders_checksum",
     "lateness_profile",
     "event_outliers",

@@ -1645,3 +1645,134 @@ _PQ_ADC_FROM_LUT = (
     "aggregate(zip_with(codes, lut, (cj, l) -> "
     "element_at(l, cast(cj + 1 as int))), 0.0D, (acc, v) -> acc + v)"
 )
+
+
+def ann_recall_report(
+    emb: DataFrame, k: int = 5, every: int = 50
+) -> DataFrame:
+    """Index-quality evaluation IN the engine: recall@k and MRR for
+    every ANN strategy (LSH / IVF / PQ / IVFPQ) against the exact
+    brute-force top-k — the report that decides which index (and which
+    knobs) a corpus deploys, run as one Catalyst plan over the same
+    tables. The brute-force side is the cost ceiling being beaten, so
+    at 100TB this runs on a SAMPLE of queries (``every``) — exactly
+    how production recall monitoring works.
+
+    Determinism discipline: recall is a single integer/integer
+    division; MRR sums ``60 div rank`` (lcm(1..5) = 60, so each
+    reciprocal is an exact integer) and divides ONCE at the end —
+    order-free integer sums, one rounded division, exactly
+    oracle-able. Columns: n_matched counts approx∩exact pairs,
+    n_top1_found counts queries whose TRUE nearest neighbor appears
+    anywhere in the approx top-k (MRR's support set)."""
+    from ..functions.text import round_half_up
+
+    exact = cosine_topk(emb, k=k, every=every)
+    approx = [
+        ("lsh", ann_lsh_topk(emb, k=k, every=every)),
+        ("ivf", ann_ivf_topk(emb, k=k, every=every)),
+        ("pq", ann_pq_topk(emb, k=k, every=every)),
+        ("ivfpq", ann_ivfpq_topk(emb, k=k, every=every)),
+    ]
+    a = None
+    for name, df in approx:
+        part = df.select(
+            F.lit(name).alias("idx"),
+            "query_id",
+            "neighbor_id",
+            F.col("rank").alias("a_rank"),
+        )
+        a = part if a is None else a.unionByName(part)
+    ex_pairs = exact.select("query_id", "neighbor_id")
+    matched = (
+        a.join(ex_pairs, ["query_id", "neighbor_id"])
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    top1 = exact.where(F.col("rank") == 1).select("query_id", "neighbor_id")
+    mrr = (
+        a.join(top1, ["query_id", "neighbor_id"])
+        .groupBy("idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_top1_found"),
+            F.sum(F.expr("60 div a_rank")).alias("mrr_x60"),
+        )
+    )
+    consts = exact.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.countDistinct("query_id").alias("n_queries"),
+    )
+    idxs = a.select("idx").distinct()
+    z = F.lit(0).cast("long")
+    return (
+        idxs.crossJoin(F.broadcast(consts))
+        .join(matched, "idx", "left")
+        .join(mrr, "idx", "left")
+        .select(
+            "idx",
+            "n_queries",
+            F.coalesce("n_matched", z).alias("n_matched"),
+            "n_exact",
+            round_half_up(
+                F.coalesce("n_matched", z) / F.col("n_exact"), 6
+            ).alias("recall"),
+            F.coalesce("n_top1_found", z).alias("n_top1_found"),
+            round_half_up(
+                F.coalesce("mrr_x60", z) / (60 * F.col("n_queries")), 6
+            ).alias("mrr"),
+        )
+    )
+
+
+def duckdb_ann_eval_sql(k: int = 5, every: int = 50) -> str:
+    """DuckDB mirror of ``ann_recall_report``: the four index oracles
+    embedded as subqueries, the same integer-count/single-division
+    arithmetic."""
+    exact = f"""
+      (WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
+             WHERE vec_id % {every} = 0),
+       scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(q_emb, emb) AS sim
+                  FROM q JOIN e ON e.vec_id <> q.query_id)
+       SELECT query_id, neighbor_id, rank
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+       WHERE rank <= {k})
+    """
+    return f"""
+      WITH exact AS (SELECT * FROM {exact}),
+      a AS (
+        SELECT 'lsh' AS idx, query_id, neighbor_id, rank AS a_rank
+        FROM ({duckdb_lsh_topk_sql(k=k, every=every)})
+        UNION ALL
+        SELECT 'ivf', query_id, neighbor_id, rank
+        FROM ({duckdb_ivf_knn_sql(k=k, nprobe=5,
+                                  query_filter=f"vec_id % {every} = 0")})
+        UNION ALL
+        SELECT 'pq', query_id, neighbor_id, rank
+        FROM ({duckdb_pq_sql(k=k, every=every)})
+        UNION ALL
+        SELECT 'ivfpq', query_id, neighbor_id, rank
+        FROM ({duckdb_ivfpq_sql(k=k, every=every)})),
+      ex AS (SELECT query_id, neighbor_id FROM exact),
+      matched AS (SELECT idx, count(*) AS n_matched
+                  FROM a JOIN ex USING (query_id, neighbor_id) GROUP BY 1),
+      top1 AS (SELECT query_id, neighbor_id FROM exact WHERE rank = 1),
+      mrr AS (SELECT idx, count(*) AS n_top1_found,
+                     CAST(sum(60 // a_rank) AS BIGINT) AS mrr_x60
+              FROM a JOIN top1 USING (query_id, neighbor_id) GROUP BY 1),
+      consts AS (SELECT count(*) AS n_exact,
+                        count(DISTINCT query_id) AS n_queries FROM exact),
+      idxs AS (SELECT DISTINCT idx FROM a)
+      SELECT idxs.idx, n_queries,
+             COALESCE(n_matched, 0) AS n_matched, n_exact,
+             floor(COALESCE(n_matched, 0) * 1.0 / n_exact * 1e6 + 0.5) / 1e6
+               AS recall,
+             COALESCE(n_top1_found, 0) AS n_top1_found,
+             floor(COALESCE(mrr_x60, 0) * 1.0 / (60 * n_queries) * 1e6 + 0.5)
+               / 1e6 AS mrr
+      FROM idxs CROSS JOIN consts
+      LEFT JOIN matched ON matched.idx = idxs.idx
+      LEFT JOIN mrr ON mrr.idx = idxs.idx
+    """

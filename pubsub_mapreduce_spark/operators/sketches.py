@@ -244,3 +244,56 @@ def cms_estimates(
             (F.col("cms_est") - F.col("exact")).alias("overestimate"),
         )
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 64,
+    qs: tuple = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Approximate quantiles from the MERGEABLE fixed-width histogram:
+    the CDF over ``fixed_width_histogram``'s bins brackets quantile q
+    between the first bin whose cumulative count reaches ceil(q*N) —
+    [lo, hi) of that bin bound the true order statistic, so the error
+    is at most one bin width. This is the quantile the 100TB path
+    actually computes: exact rank-percentiles need a full sort (or the
+    non-reproducible interpolation of approx_percentile), while bin
+    counts partial-aggregate map-side, MERGE across days/corpora by
+    addition (same contract as the HLL/CMS sketches), and the final
+    CDF walk happens over |bins| rows.
+
+    All arithmetic is bin-index integers plus the SAME IEEE edge
+    derivation as the histogram — exactly oracle-able. The bracket
+    contract (est_lo <= exact <= est_hi within one bin) is pinned
+    against the exact rank percentile in tests."""
+    from pyspark.sql import Window
+
+    h = fixed_width_histogram(df, col, n_bins=n_bins)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = h.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy())
+    )
+    q_spine = df.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    # first bin whose cumulative count reaches ceil(q * N)
+    hit = (
+        cdf.join(
+            q_spine,
+            F.col("cum") >= F.ceil(F.col("q") * F.col("total")),
+        )
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return (
+        hit.join(cdf.select("bin", "lo", "hi", "cum", "total"), "bin")
+        .select(
+            "q",
+            "bin",
+            F.col("lo").alias("est_lo"),
+            F.col("hi").alias("est_hi"),
+            "cum",
+            "total",
+        )
+    )

@@ -168,3 +168,28 @@ def test_cms_overestimate_bound_and_merge(spark):
     for r in [*lo, *hi]:
         merged[(r["d"], r["cell"])] = merged.get((r["d"], r["cell"]), 0) + r["cnt"]
     assert merged == full
+
+
+def test_histogram_quantiles_bracket_exact(spark):
+    """The bracket contract: for each q, the exact rank-percentile
+    (k = ceil(q*N)-th smallest value) lies within [est_lo, est_hi] of
+    the reported bin (hi inclusive for the clamped max bin), and the
+    brackets come from merged bin counts — the mergeable-quantile
+    guarantee the operator exists for."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pubsub_mapreduce_spark.io import load_tables
+    from pubsub_mapreduce_spark.operators.sketches import histogram_quantiles
+    from tests.conftest import SF_MED
+
+    ev = load_tables(spark, SF_MED)["events"]
+    vals = sorted(r["value"] for r in ev.select("value").collect()
+                  if r["value"] is not None)
+    got = {r["q"]: r for r in histogram_quantiles(ev, "value").collect()}
+    assert set(got) == {0.25, 0.5, 0.75, 0.95}
+    for q, r in got.items():
+        exact = vals[math.ceil(q * len(vals)) - 1]
+        assert r["est_lo"] <= exact <= r["est_hi"], (q, exact, r)
+        assert r["total"] == len(vals)
