@@ -572,6 +572,15 @@ def q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q_mixture_weights(spark, sf_dir):
+    """Temperature (tau=0.5) corpus-mixing weights per source
+    (sampling.mixture_weights): sqrt-reweighted sampling shares and the
+    boost factor oversample consumes — sqrt is the one IEEE-exact
+    non-integer op, and the normalizing sum folds in source order on
+    both engines."""
+    return SM.mixture_weights(load_tables(spark, sf_dir)["documents"])
+
+
 def q_pii_audit(spark, sf_dir):
     """Per-source PII exposure report (textops.pii_audit) — the audit
     stage before a corpus scrub; zeros on the PII-free fixtures are
@@ -1158,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivfpq": q_sim_ann_ivfpq,
         "sim_ann_filtered": q_sim_ann_filtered,
         "ann_eval": q_ann_eval,
+        "mixture_weights": q_mixture_weights,
         "pii_audit": q_pii_audit,
         "pii_scrub": q_pii_scrub,
         # text analysis / curation
@@ -3362,6 +3372,30 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_filtered": S.duckdb_lsh_topk_sql(
             every=10, src="(SELECT * FROM embeddings WHERE label = 1)"
         ),
+        "mixture_weights": r"""
+            WITH tk AS (
+              SELECT source,
+                     len(list_filter(string_split_regex(text, '\s+'),
+                                     t -> t <> '')) AS nt
+              FROM documents),
+            counts AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens
+                       FROM tk GROUP BY 1),
+            consts AS (
+              SELECT CAST(list_reduce(
+                       list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source),
+                       (a, b) -> a + b) AS DOUBLE) AS tw,
+                     CAST(sum(n_tokens) AS BIGINT) AS tn
+              FROM counts)
+            SELECT source, n_tokens,
+                   floor(CAST(n_tokens AS DOUBLE) / tn * 1e6 + 0.5) / 1e6
+                     AS share_natural,
+                   floor(sqrt(CAST(n_tokens AS DOUBLE)) / tw * 1e6 + 0.5) / 1e6
+                     AS share_temp,
+                   floor((sqrt(CAST(n_tokens AS DOUBLE)) / tw)
+                         / (CAST(n_tokens AS DOUBLE) / tn) * 1e4 + 0.5) / 1e4
+                     AS boost
+            FROM counts CROSS JOIN consts
+        """,
         "pii_audit": _pii_audit_oracle_sql(),
         "pii_scrub": _pii_scrub_oracle_sql(),
         "simhash_near_pairs": r"""

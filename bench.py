@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "decontaminate_bloom",
     "quality_gate",
     "pack_shards",
+    "mixture_weights",
     "curation_pipeline",
     "sim_cosine_topk",
     "sim_cosine_topk_matmul",

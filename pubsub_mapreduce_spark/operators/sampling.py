@@ -209,3 +209,61 @@ def per_stratum_cap(
         .where(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def mixture_weights(docs: DataFrame) -> DataFrame:
+    """Temperature-based corpus mixing weights (tau = 0.5): per-source
+    sampling shares proportional to sqrt(token count) — the standard
+    square-root temperature reweighting (GPT-3/PaLM data recipes) that
+    up-samples small high-quality sources without letting the giant
+    crawl drown them. Feeds ``oversample`` (the boost column IS its
+    epochs-per-source input).
+
+    Determinism discipline: sqrt is IEEE-754 correctly rounded — the
+    ONE non-integer op here that is bit-identical across engines
+    (general pow is not, which is why tau is fixed at 0.5). The
+    cross-source normalizing sum folds over the source-ordered list
+    (collect_list -> sort_array -> aggregate; DuckDB mirrors with
+    list(... ORDER BY) + list_reduce), so the few-elements float sum
+    has ONE defined association order on both engines. The per-source
+    rollup is the only data-sized shuffle; the weight table is
+    |sources| rows."""
+    from ..functions.text import round_half_up as rh
+    from ..functions.text import tokens
+
+    counts = (
+        docs.withColumn("__toks", tokens(F.col("text")))
+        .groupBy("source")
+        .agg(F.sum(F.size("__toks")).cast("long").alias("n_tokens"))
+    )
+    packed = counts.agg(
+        F.sort_array(
+            F.collect_list(F.struct("source", "n_tokens"))
+        ).alias("arr")
+    )
+    w_of = lambda x: F.sqrt(x["n_tokens"].cast("double"))  # noqa: E731
+    tot_w = F.aggregate(
+        F.col("arr"), F.lit(0.0), lambda acc, x: acc + w_of(x)
+    )
+    tot_n = F.aggregate(
+        F.col("arr"), F.lit(0).cast("long"), lambda acc, x: acc + x["n_tokens"]
+    )
+    x = F.col("x")
+    return (
+        packed.select(
+            F.explode("arr").alias("x"),
+            tot_w.alias("__tw"),
+            tot_n.alias("__tn"),
+        )
+        .select(
+            x["source"].alias("source"),
+            x["n_tokens"].alias("n_tokens"),
+            rh(x["n_tokens"] / F.col("__tn"), 6).alias("share_natural"),
+            rh(w_of(x) / F.col("__tw"), 6).alias("share_temp"),
+            rh(
+                (w_of(x) / F.col("__tw"))
+                / (x["n_tokens"] / F.col("__tn")),
+                4,
+            ).alias("boost"),
+        )
+    )

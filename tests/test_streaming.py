@@ -987,3 +987,52 @@ def test_heavy_hitters_stream_spacesaving_guarantees(spark, tmp_path):
             if s == sh and c > thr and k not in keys
         }
         assert not missed, (sh, thr, missed)
+
+
+def test_cms_maintain_stream_equals_batch(spark, tmp_path):
+    """Streaming CMS maintenance over a 4-batch replay must converge to
+    EXACTLY the batch-built sketch over the whole fixture (cell-wise
+    merge is lossless), and a replayed batch must be a no-op (ledger
+    effectively-once)."""
+    from pubsub_mapreduce_spark.io import load_tables
+    from pubsub_mapreduce_spark.operators.sketches import cms_build
+    from pubsub_mapreduce_spark.streaming.sketch_maintain import (
+        CmsMaintain,
+        start_cms_maintain,
+    )
+    from tests.conftest import SF_SMALL
+
+    events = load_tables(spark, SF_SMALL)["events"].select("event_id", "user_id")
+    rows = sorted(events.collect(), key=lambda r: r["event_id"])
+    d = tmp_path / "cms_replay"
+    d.mkdir()
+    chunk = (len(rows) + 3) // 4
+    for i in range(4):
+        spark.createDataFrame(
+            rows[i * chunk : (i + 1) * chunk], events.schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(d / f"f{i}"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/f*")
+    )
+    store = str(tmp_path / "cms_store")
+    q = start_cms_maintain(stream, store, str(tmp_path / "cms_ckpt"))
+    assert q.awaitTermination(180)
+    q.stop()
+    got = {
+        (r["d"], r["cell"]): r["cnt"]
+        for r in spark.read.parquet(store + "/cells").collect()
+    }
+    want = {
+        (r["d"], r["cell"]): r["cnt"] for r in cms_build(events, "user_id").collect()
+    }
+    assert got == want
+    # replayed batch: ledger makes it a no-op
+    handler = CmsMaintain(store)
+    handler(spark.createDataFrame(rows[:chunk], events.schema), 0)
+    after = {
+        (r["d"], r["cell"]): r["cnt"]
+        for r in spark.read.parquet(store + "/cells").collect()
+    }
+    assert after == want
