@@ -572,6 +572,19 @@ def q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q_vocab(spark, sf_dir):
+    """Frequency-ranked token->id vocabulary (textops.build_vocab):
+    most frequent first, ties by token, id 0 reserved for <UNK>."""
+    return TX.build_vocab(load_tables(spark, sf_dir)["documents"])
+
+
+def q_token_ids(spark, sf_dir):
+    """Tokenize-to-ids (textops.encode_token_ids): the corpus as
+    (doc_id, pos, token_id) rows — the numeric form training shards
+    store; OOV -> 0."""
+    return TX.encode_token_ids(load_tables(spark, sf_dir)["documents"])
+
+
 def q_mixture_weights(spark, sf_dir):
     """Temperature (tau=0.5) corpus-mixing weights per source
     (sampling.mixture_weights): sqrt-reweighted sampling shares and the
@@ -1168,6 +1181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_filtered": q_sim_ann_filtered,
         "ann_eval": q_ann_eval,
         "mixture_weights": q_mixture_weights,
+        "vocab": q_vocab,
+        "token_ids": q_token_ids,
         "pii_audit": q_pii_audit,
         "pii_scrub": q_pii_scrub,
         # text analysis / curation
@@ -3372,6 +3387,39 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_filtered": S.duckdb_lsh_topk_sql(
             every=10, src="(SELECT * FROM embeddings WHERE label = 1)"
         ),
+        "vocab": r"""
+            WITH tok AS (
+              SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                        t -> t <> '')) AS token
+              FROM documents),
+            counts AS (SELECT token, count(*) AS n FROM tok GROUP BY 1)
+            SELECT token,
+                   CAST(row_number() OVER (ORDER BY n DESC, token ASC)
+                        AS INTEGER) AS token_id,
+                   n
+            FROM counts
+            QUALIFY token_id <= 4095
+        """,
+        "token_ids": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 t -> t <> '') AS t
+              FROM documents),
+            toks AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS pos, t[i + 1] AS token
+              FROM tk, LATERAL (SELECT unnest(range(len(t))) AS i) _),
+            counts AS (
+              SELECT token, count(*) AS n FROM toks GROUP BY 1),
+            vocab AS (
+              SELECT token,
+                     CAST(row_number() OVER (ORDER BY n DESC, token ASC)
+                          AS INTEGER) AS token_id
+              FROM counts
+              QUALIFY token_id <= 4095)
+            SELECT doc_id, pos, COALESCE(token_id, 0) AS token_id
+            FROM toks LEFT JOIN vocab USING (token)
+        """,
         "mixture_weights": r"""
             WITH tk AS (
               SELECT source,

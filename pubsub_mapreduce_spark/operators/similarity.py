@@ -1465,32 +1465,18 @@ def duckdb_pq_sql(
     """
 
 
-def ann_ivfpq_topk(
+def build_ivfpq_index(
     emb: DataFrame,
-    k: int = 5,
-    every: int = 50,
     centroid_every: int = 100,
-    nprobe: int = 5,
     n_max_centroids: int = 512,
     code_every: int = 100,
     n_codes: int = N_CODES,
-) -> DataFrame:
-    """IVF+PQ — the composition a billion-vector index actually runs
-    (the FAISS IVFPQ shape): centroid cells prune the candidate set to
-    ``nprobe`` inverted lists, and within each probed cell the scan
-    reads 8-byte PQ codes instead of 256-byte float vectors, scoring
-    by asymmetric distance. Cells cut WORK, codes cut BYTES — at 100TB
-    the index fits in a fraction of the corpus footprint and each
-    query touches nprobe/|C| of it.
-
-    Everything deterministic and value-hash-oracled end to end
-    (``duckdb_ivfpq_sql``): literal-argmax cell assignment (cosine,
-    ties to smaller cid), PQ argmin encoding (ties to smaller code),
-    sequence-mirrored ADC arithmetic, (adist asc, neighbor asc)
-    ranking. The corpus-side projection computes cid AND codes in ONE
-    map-only pass — the stored index is (vec_id, cid, codes), and no
-    shuffle touches the corpus before the final per-query top-k."""
-    from ..functions.text import round_half_up
+):
+    """Build the IVF+PQ index: (centroid literals, PQ seed codebook,
+    and the stored index relation (vec_id, cid, codes)) — ONE map-only
+    corpus projection computes cell assignment and codes together.
+    The returned relation is what a warehouse persists (bucketed by
+    cid); searches never touch raw vectors again."""
     from ..io import widen
 
     e0 = _as_double(emb).select("vec_id", "embedding")
@@ -1503,9 +1489,26 @@ def ann_ivfpq_topk(
         best["cid"].alias("cid"),
         _pq_codes_expr(seeds).alias("codes"),
     )
-    q = query_subset(e, every).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    ).withColumn("lut", F.expr(_pq_lut_expr(seeds)))
+    return cents, seeds, assigned
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    cents,
+    seeds,
+    assigned: DataFrame,
+    k: int = 5,
+    nprobe: int = 5,
+) -> DataFrame:
+    """Search an IVF+PQ index for a (query_id, q_emb) relation: probe
+    selection and the ADC LUT are map-only against plan literals; the
+    only joins ride cid (broadcast probe side) and the only keyed
+    exchange is the per-query top-k. Shared by the batch operator and
+    the streaming per-micro-batch searcher — one definition, one
+    semantics."""
+    from ..functions.text import round_half_up
+
+    q = queries.withColumn("lut", F.expr(_pq_lut_expr(seeds)))
     probes = (
         q.select(
             "query_id", "lut", F.explode(_centroid_sims(cents, "q_emb")).alias("pr")
@@ -1546,6 +1549,41 @@ def ann_ivfpq_topk(
             round_half_up(F.col("adist"), 4).alias("adist"),
         )
     )
+
+
+def ann_ivfpq_topk(
+    emb: DataFrame,
+    k: int = 5,
+    every: int = 50,
+    centroid_every: int = 100,
+    nprobe: int = 5,
+    n_max_centroids: int = 512,
+    code_every: int = 100,
+    n_codes: int = N_CODES,
+) -> DataFrame:
+    """IVF+PQ — the composition a billion-vector index actually runs
+    (the FAISS IVFPQ shape): centroid cells prune the candidate set to
+    ``nprobe`` inverted lists, and within each probed cell the scan
+    reads 8-byte PQ codes instead of 256-byte float vectors, scoring
+    by asymmetric distance. Cells cut WORK, codes cut BYTES — at 100TB
+    the index fits in a fraction of the corpus footprint and each
+    query touches nprobe/|C| of it.
+
+    Everything deterministic and value-hash-oracled end to end
+    (``duckdb_ivfpq_sql``): literal-argmax cell assignment (cosine,
+    ties to smaller cid), PQ argmin encoding (ties to smaller code),
+    sequence-mirrored ADC arithmetic, (adist asc, neighbor asc)
+    ranking. Index build and search are the factored
+    ``build_ivfpq_index`` / ``ivfpq_search`` — the same two pieces the
+    streaming searcher wires per micro-batch."""
+    cents, seeds, assigned = build_ivfpq_index(
+        emb, centroid_every, n_max_centroids, code_every, n_codes
+    )
+    e0 = _as_double(emb).select("vec_id", "embedding")
+    queries = query_subset(e0, every).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return ivfpq_search(queries, cents, seeds, assigned, k=k, nprobe=nprobe)
 
 
 def duckdb_ivfpq_sql(

@@ -715,3 +715,59 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         scrubbed.alias("text_scrubbed"),
         n_redacted.alias("n_redacted"),
     )
+
+
+def build_vocab(docs: DataFrame, vocab_size: int = 4096) -> DataFrame:
+    """Frequency-ranked vocabulary: token -> contiguous id, most
+    frequent first (ties by token text so the mapping is a pure
+    function of the corpus). Id 0 is reserved for <UNK>; real tokens
+    start at 1 and the table is capped at ``vocab_size`` - 1 entries —
+    the token->id table every trained model ships with.
+
+    One token-keyed count shuffle (map-side combined), then ranking
+    happens on the |vocab|-sized aggregate only. At 100TB the head cap
+    means the rank window never sees the long tail: a count threshold
+    prunes before the sort (here the fixture vocab fits outright)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    counts = (
+        widen(docs, 8)
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("token_id", F.row_number().over(w))
+        .where(F.col("token_id") <= vocab_size - 1)
+        .select("token", "token_id", "n")
+    )
+
+
+def encode_token_ids(
+    docs: DataFrame, vocab: DataFrame | None = None, vocab_size: int = 4096
+) -> DataFrame:
+    """Tokenize-to-ids: the corpus as (doc_id, pos, token_id) rows —
+    what training shards actually store (``doc_chunks`` segments
+    strings; this is the numeric form the loader consumes).
+    Out-of-vocabulary tokens map to 0 (<UNK>) via the left join's
+    null.
+
+    posexplode preserves token order as an explicit column, so the
+    relation is order-independent (safe to shuffle/store) yet exactly
+    reconstructs the sequence. The token join rides the token hash; at
+    scale the capped vocab broadcasts instead."""
+    from ..functions.text import tokens
+
+    if vocab is None:
+        vocab = build_vocab(docs, vocab_size=vocab_size)
+    toks = widen(docs, 8).select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token")
+    )
+    return toks.join(vocab.select("token", "token_id"), "token", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce("token_id", F.lit(0)).alias("token_id"),
+    )

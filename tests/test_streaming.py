@@ -1036,3 +1036,54 @@ def test_cms_maintain_stream_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(store + "/cells").collect()
     }
     assert after == want
+
+
+def test_vector_search_stream_equals_batch(spark, tmp_path):
+    """Streaming IVF+PQ search over a 2-batch query replay must equal
+    the batch operator row-for-row on the same query set (shared
+    ivfpq_search kernel), and a replayed batch must not duplicate
+    results (ledger)."""
+    from pubsub_mapreduce_spark.io import load_tables
+    from pubsub_mapreduce_spark.operators.similarity import ann_ivfpq_topk
+    from pubsub_mapreduce_spark.streaming.vector_search import (
+        start_vector_search,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = load_tables(spark, SF_SMALL)["embeddings"]
+    queries = (
+        emb.where(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("q_emb"),
+        )
+        .collect()
+    )
+    d = tmp_path / "vs_replay"
+    d.mkdir()
+    half = (len(queries) + 1) // 2
+    schema = "query_id long, q_emb array<double>"
+    for i, chunk in enumerate([queries[:half], queries[half:]]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"f{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/f*")
+    )
+    out = str(tmp_path / "vs_out")
+    q = start_vector_search(stream, emb, out, str(tmp_path / "vs_ckpt"))
+    assert q.awaitTermination(240)
+    q.stop()
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adist"])
+        for r in spark.read.parquet(out + "/results").collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adist"])
+        for r in ann_ivfpq_topk(emb).collect()
+    }
+    assert got == want
+    n_rows = spark.read.parquet(out + "/results").count()
+    assert n_rows == len(want)  # ledger kept replays out
