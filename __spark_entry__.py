@@ -572,6 +572,22 @@ def q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q_dedup_eval(spark, sf_dir):
+    """MinHash-LSH pairs vs exact n-gram-Jaccard ground truth
+    (dedup.dedup_recall_report): the banding-recall report that sizes
+    (b, r) before a full-corpus dedup; precision pinned 1.0 by the
+    exact verify, recall is the banding miss rate."""
+    return dedup.dedup_recall_report(load_tables(spark, sf_dir)["documents"])
+
+
+def q_seasonal_outliers(spark, sf_dir):
+    """Day-of-week-decomposed daily-volume anomalies
+    (robust.seasonal_outliers): each day scored against its own dow
+    cohort's median/MAD — integer order statistics, every day emitted
+    with its flag."""
+    return RB.seasonal_outliers(load_tables(spark, sf_dir)["events"])
+
+
 def q_vocab(spark, sf_dir):
     """Frequency-ranked token->id vocabulary (textops.build_vocab):
     most frequent first, ties by token, id 0 reserved for <UNK>."""
@@ -1183,6 +1199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "vocab": q_vocab,
         "token_ids": q_token_ids,
+        "dedup_eval": q_dedup_eval,
+        "seasonal_outliers": q_seasonal_outliers,
         "pii_audit": q_pii_audit,
         "pii_scrub": q_pii_scrub,
         # text analysis / curation
@@ -3694,4 +3712,51 @@ def oracle_sql() -> dict[str, str]:
     # The bloom prefilter changes no output values (false positives are
     # dropped by the exact verify) — the oracle is the exact form's SQL.
     out["decontaminate_bloom"] = out["decontaminate"]
+    # Eval twin composed FROM the two pair oracles so it can never
+    # drift from them.
+    out["dedup_eval"] = f"""
+        WITH ex AS (SELECT a, b FROM ({out["dedup_ngram_jaccard"]})),
+        ap AS (SELECT a, b FROM ({out["dedup_minhash_lsh"]})),
+        ce AS (SELECT count(*) AS n_exact FROM ex),
+        ca AS (SELECT count(*) AS n_approx FROM ap),
+        cm AS (SELECT count(*) AS n_matched FROM ap JOIN ex USING (a, b))
+        SELECT n_exact, n_approx, n_matched,
+               floor(n_matched * 1.0 / n_approx * 1e6 + 0.5) / 1e6
+                 AS precision,
+               floor(n_matched * 1.0 / n_exact * 1e6 + 0.5) / 1e6 AS recall
+        FROM ce CROSS JOIN ca CROSS JOIN cm
+    """
+    out["seasonal_outliers"] = """
+        WITH daily AS (
+          SELECT CAST(datediff('day', DATE '1992-01-01', CAST(ts AS DATE))
+                      AS INTEGER) AS dn,
+                 count(*) AS cnt
+          FROM events GROUP BY 1),
+        d2 AS (SELECT *, CAST(dn % 7 AS INTEGER) AS dow FROM daily),
+        ranked AS (
+          SELECT dow, cnt, dn,
+                 row_number() OVER (PARTITION BY dow ORDER BY cnt, dn) AS rn,
+                 count(*) OVER (PARTITION BY dow) AS n
+          FROM d2),
+        med AS (
+          SELECT dow, max(CASE WHEN rn = CAST(ceil(n / 2) AS BIGINT)
+                               THEN cnt END) AS med
+          FROM ranked GROUP BY 1),
+        dev AS (
+          SELECT d2.dn, d2.dow, d2.cnt, med.med,
+                 abs(d2.cnt - med.med) AS dev
+          FROM d2 JOIN med USING (dow)),
+        dranked AS (
+          SELECT dow, dev, dn,
+                 row_number() OVER (PARTITION BY dow ORDER BY dev, dn) AS rn,
+                 count(*) OVER (PARTITION BY dow) AS n
+          FROM dev),
+        mad AS (
+          SELECT dow, max(CASE WHEN rn = CAST(ceil(n / 2) AS BIGINT)
+                               THEN dev END) AS mad
+          FROM dranked GROUP BY 1)
+        SELECT dev.dn, dev.dow, dev.cnt, dev.med, mad.mad, dev.dev,
+               dev.dev > 3 * mad.mad AS is_outlier
+        FROM dev JOIN mad USING (dow)
+    """
     return out

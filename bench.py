@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "lateness_profile",
     "event_outliers",
     "mad_outliers",
+    "seasonal_outliers",
     "winsorized_values",
     "association_rules",
     "approx_distinct_users",
@@ -120,6 +121,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_incremental",
+    "dedup_eval",
     "dedup_simhash",
     "substring_spans",
     "text_clean",
@@ -139,6 +141,8 @@ BENCH_QUERIES = [
     "pack_shards",
     "mixture_weights",
     "curation_pipeline",
+    "vocab",
+    "token_ids",
     "sim_cosine_topk",
     "sim_cosine_topk_matmul",
     "sim_ann_lsh",

@@ -891,3 +891,49 @@ def duplicate_substring_spans(
             F.col("__nt"), F.col("span_start") + 1, F.col("span_len")
         ).alias("span_text"),
     )
+
+
+def dedup_recall_report(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    hash_impl: str = "md5",
+) -> DataFrame:
+    """Dedup-quality evaluation IN the engine: MinHash-LSH near-dup
+    pairs scored against the exact n-gram-Jaccard ground truth — one
+    row of (n_exact, n_approx, n_matched, precision, recall). The
+    companion to ``similarity.ann_recall_report``: the report that
+    sizes the LSH banding (b, r) for a corpus before a 100TB dedup
+    run, computed on a sample exactly as production recall monitoring
+    does.
+
+    By construction precision is 1.0 whenever the LSH path's
+    exact-Jaccard verify is on (candidates that fail the threshold are
+    dropped), so the informative number is RECALL — the banding miss
+    rate. All counts are integers; the two ratios are single
+    divisions — exactly oracle-able."""
+    from pyspark.sql.functions import broadcast
+
+    from ..functions.text import round_half_up
+
+    exact = ngram_jaccard_pairs(docs, n=n, threshold=threshold).select("a", "b")
+    approx = minhash_lsh_pairs(
+        docs, n=n, threshold=threshold, hash_impl=hash_impl
+    ).select("a", "b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_approx = approx.agg(F.count(F.lit(1)).alias("n_approx"))
+    n_matched = (
+        approx.join(exact, ["a", "b"]).agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    z = F.col
+    return (
+        n_exact.crossJoin(broadcast(n_approx))
+        .crossJoin(broadcast(n_matched))
+        .select(
+            "n_exact",
+            "n_approx",
+            "n_matched",
+            round_half_up(z("n_matched") / z("n_approx"), 6).alias("precision"),
+            round_half_up(z("n_matched") / z("n_exact"), 6).alias("recall"),
+        )
+    )

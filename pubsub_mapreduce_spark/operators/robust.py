@@ -199,3 +199,62 @@ def mad_outliers(events: DataFrame, k: int = 5) -> DataFrame:
         .where(F.col("dev") > F.lit(k) * F.col("mad"))
         .select("event_type", "event_id", "cents", "med", "mad", "dev")
     )
+
+
+def seasonal_outliers(events: DataFrame, k: int = 3) -> DataFrame:
+    """Seasonally-decomposed volume anomalies: daily event counts
+    compared against the median/MAD of their OWN day-of-week cohort —
+    the Monday dip is normal for Mondays, so a raw daily-count monitor
+    (``value_outliers`` shape) either misses weekday anomalies or
+    pages on every weekend. The robust per-cohort location/scale is
+    the same integer order-statistic machinery as ``mad_outliers``.
+
+    Day-of-week is derived as (days since 1992-01-01) % 7 — pure
+    integer arithmetic, no locale/week-start convention to disagree
+    on. Every day is emitted with its cohort stats and an is_outlier
+    flag (flagging is a projection, not a filter, so quiet fixtures
+    still produce a verifiable report). Two tiny keyed shuffles over
+    the |days| relation; the only data-sized pass is the daily count."""
+    daily = (
+        events.select(
+            F.datediff(F.to_date("ts"), F.lit("1992-01-01").cast("date")).alias("dn")
+        )
+        .groupBy("dn")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("dow", F.pmod(F.col("dn"), F.lit(7)).cast("int"))
+    )
+    w1 = Window.partitionBy("dow").orderBy("cnt", "dn")
+    ranked = daily.select(
+        "dow",
+        "cnt",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("dow")).alias("n"),
+    )
+    med = ranked.groupBy("dow").agg(
+        F.max(F.when(F.col("rn") == F.ceil(F.col("n") / 2), F.col("cnt"))).alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "dow").withColumn(
+        "dev", F.abs(F.col("cnt") - F.col("med"))
+    )
+    w2 = Window.partitionBy("dow").orderBy("dev", "dn")
+    dranked = dev.select(
+        "dow",
+        "dev",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("dow")).alias("n"),
+    )
+    mad = dranked.groupBy("dow").agg(
+        F.max(F.when(F.col("rn") == F.ceil(F.col("n") / 2), F.col("dev"))).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "dow")
+        .select(
+            "dn",
+            "dow",
+            "cnt",
+            "med",
+            "mad",
+            "dev",
+            (F.col("dev") > F.lit(k) * F.col("mad")).alias("is_outlier"),
+        )
+    )
