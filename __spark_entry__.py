@@ -572,6 +572,19 @@ def q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q_profile_drift(spark, sf_dir):
+    """Snapshot drift report (relational.profile_drift): the 90%
+    o_orderkey slice as 'yesterday' vs full orders as 'today' — row,
+    null, distinct and bound deltas per column with a drifted flag."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return R.profile_drift(
+        orders.where(F.col("o_orderkey") % 10 < 9),
+        orders,
+        num_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        str_cols=["o_orderstatus", "o_orderpriority"],
+    )
+
+
 def q_dedup_eval(spark, sf_dir):
     """MinHash-LSH pairs vs exact n-gram-Jaccard ground truth
     (dedup.dedup_recall_report): the banding-recall report that sizes
@@ -1201,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_ids": q_token_ids,
         "dedup_eval": q_dedup_eval,
         "seasonal_outliers": q_seasonal_outliers,
+        "profile_drift": q_profile_drift,
         "pii_audit": q_pii_audit,
         "pii_scrub": q_pii_scrub,
         # text analysis / curation
@@ -1547,6 +1561,59 @@ def _event_pagerank_oracle_sql() -> str:
     return (
         f"SELECT node AS event_type, r AS rank_scaled FROM ({inner})"
     )
+
+
+def _profile_sql(src: str, num_cols: list, str_cols: list) -> str:
+    """Column-profile SQL over an arbitrary source expression — the
+    builder behind the drift oracle (mirrors profile_table's output)."""
+    parts = []
+    for c in num_cols:
+        parts.append(
+            f"""SELECT '{c}' AS col,
+                (SELECT count(*) FROM {src} WHERE {c} IS NULL) AS n_nulls,
+                (SELECT count(DISTINCT {c}) FROM {src}) AS n_distinct,
+                (SELECT CAST(min({c}) AS DOUBLE) FROM {src}) AS min_num,
+                (SELECT CAST(max({c}) AS DOUBLE) FROM {src}) AS max_num,
+                CAST(NULL AS VARCHAR) AS min_str,
+                CAST(NULL AS VARCHAR) AS max_str"""
+        )
+    for c in str_cols:
+        parts.append(
+            f"""SELECT '{c}',
+                (SELECT count(*) FROM {src} WHERE {c} IS NULL),
+                (SELECT count(DISTINCT {c}) FROM {src}),
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                (SELECT min({c}) FROM {src}),
+                (SELECT max({c}) FROM {src})"""
+        )
+    union = " UNION ALL ".join(parts)
+    return (
+        f"SELECT *, (SELECT count(*) FROM {src}) AS n_rows FROM ({union})"
+    )
+
+
+def _profile_drift_oracle_sql() -> str:
+    num = ["o_orderkey", "o_custkey", "o_totalprice"]
+    st = ["o_orderstatus", "o_orderpriority"]
+    old_src = "(SELECT * FROM orders WHERE o_orderkey % 10 < 9)"
+    return f"""
+        WITH po AS ({_profile_sql(old_src, num, st)}),
+        pn AS ({_profile_sql("orders", num, st)})
+        SELECT po.col,
+               CAST(po.n_rows AS BIGINT) AS rows_old,
+               CAST(pn.n_rows AS BIGINT) AS rows_new,
+               CAST(pn.n_rows - po.n_rows AS BIGINT) AS d_rows,
+               CAST(pn.n_nulls - po.n_nulls AS BIGINT) AS d_nulls,
+               CAST(pn.n_distinct - po.n_distinct AS BIGINT) AS d_distinct,
+               po.min_num AS min_old, pn.min_num AS min_new,
+               po.max_num AS max_old, pn.max_num AS max_new,
+               (pn.n_nulls <> po.n_nulls OR pn.n_distinct <> po.n_distinct
+                OR COALESCE(pn.min_num <> po.min_num
+                            OR pn.max_num <> po.max_num
+                            OR pn.min_str <> po.min_str
+                            OR pn.max_str <> po.max_str, FALSE)) AS drifted
+        FROM po JOIN pn ON po.col = pn.col
+    """
 
 
 def _pii_audit_oracle_sql() -> str:
@@ -3438,6 +3505,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, pos, COALESCE(token_id, 0) AS token_id
             FROM toks LEFT JOIN vocab USING (token)
         """,
+        "profile_drift": _profile_drift_oracle_sql(),
         "mixture_weights": r"""
             WITH tk AS (
               SELECT source,

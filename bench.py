@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "doc_chunks",
     "oversample_mix",
     "profile_orders",
+    "profile_drift",
     "event_cooccurrence",
     "session_transitions",
     "event_pagerank",

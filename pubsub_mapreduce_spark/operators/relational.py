@@ -1863,3 +1863,67 @@ def kanon_violations(
         .agg(F.count(F.lit(1)).alias("group_size"))
         .where(F.col("group_size") < k)
     )
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    num_cols: list[str],
+    str_cols: list[str],
+) -> DataFrame:
+    """Snapshot-over-snapshot drift report: ``profile_table`` of two
+    table versions joined per column, with integer deltas and a
+    drifted flag — the monitor that catches schema-preserving data
+    regressions (an upstream feed going quiet shows up as n_rows and
+    distinct-count deltas long before any query breaks).
+
+    Drift criteria are integer/exact only (row count, null count,
+    distinct count, string bound changes); numeric bound deltas are
+    reported as values, not ratios, so the whole report stays
+    bit-reproducible. Costs the two profile scans — at 100TB both
+    profiles come from the stored catalog stats, and this is a
+    |columns|-row join."""
+    p_old = profile_table(old, num_cols, str_cols).select(
+        "col",
+        F.col("n_rows").alias("rows_old"),
+        F.col("n_nulls").alias("nulls_old"),
+        F.col("n_distinct").alias("dist_old"),
+        F.col("min_num").alias("min_old"),
+        F.col("max_num").alias("max_old"),
+        F.col("min_str").alias("minstr_old"),
+        F.col("max_str").alias("maxstr_old"),
+    )
+    p_new = profile_table(new, num_cols, str_cols).select(
+        "col",
+        F.col("n_rows").alias("rows_new"),
+        F.col("n_nulls").alias("nulls_new"),
+        F.col("n_distinct").alias("dist_new"),
+        F.col("min_num").alias("min_new"),
+        F.col("max_num").alias("max_new"),
+        F.col("min_str").alias("minstr_new"),
+        F.col("max_str").alias("maxstr_new"),
+    )
+    j = p_old.join(p_new, "col")
+    bounds_moved = (
+        (F.col("min_new") != F.col("min_old"))
+        | (F.col("max_new") != F.col("max_old"))
+        | (F.col("minstr_new") != F.col("minstr_old"))
+        | (F.col("maxstr_new") != F.col("maxstr_old"))
+    )
+    return j.select(
+        "col",
+        "rows_old",
+        "rows_new",
+        (F.col("rows_new") - F.col("rows_old")).alias("d_rows"),
+        (F.col("nulls_new") - F.col("nulls_old")).alias("d_nulls"),
+        (F.col("dist_new") - F.col("dist_old")).alias("d_distinct"),
+        "min_old",
+        "min_new",
+        "max_old",
+        "max_new",
+        (
+            (F.col("nulls_new") != F.col("nulls_old"))
+            | (F.col("dist_new") != F.col("dist_old"))
+            | F.coalesce(bounds_moved, F.lit(False))
+        ).alias("drifted"),
+    )
