@@ -992,6 +992,19 @@ def q_cms_user_counts(spark, sf_dir):
     return cms_estimates(load_tables(spark, sf_dir)["events"], "user_id")
 
 
+def q_cms_join_size(spark, sf_dir):
+    """Join-cardinality estimate from two count-min grids
+    (sketches.cms_join_estimate): |events join orders on user=cust|
+    estimated at planning cost (a |grid|-row join), never
+    undercounting; exact count reported only to expose the error."""
+    from pubsub_mapreduce_spark.operators.sketches import cms_join_estimate
+
+    t = load_tables(spark, sf_dir)
+    return cms_join_estimate(
+        t["events"], "user_id", t["orders"], "o_custkey"
+    )
+
+
 def q_value_quantiles(spark, sf_dir):
     """Approximate quantiles from the mergeable fixed-width histogram
     CDF (sketches.histogram_quantiles): each quantile bracketed within
@@ -1277,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_spans": q_substring_spans,
         "decontaminate_bloom": q_decontaminate_bloom,
         "cms_user_counts": q_cms_user_counts,
+        "cms_join_size": q_cms_join_size,
         "value_quantiles": q_value_quantiles,
         "event_pagerank": q_event_pagerank,
         "agg_upsert": q_agg_upsert,
@@ -3004,6 +3018,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, exact
         """,
         "event_pagerank": _event_pagerank_oracle_sql(),
+        "cms_join_size": """
+            WITH ka AS (
+              SELECT CAST(user_id AS VARCHAR) AS k, d
+              FROM events, (SELECT unnest(range(4)) AS d) _),
+            ga AS (
+              SELECT d,
+                     ('0x' || substr(md5(CAST(d AS VARCHAR) || '|' || k),
+                                     1, 8))::BIGINT % 256 AS cell,
+                     count(*) AS cnt
+              FROM ka GROUP BY 1, 2),
+            kb AS (
+              SELECT CAST(o_custkey AS VARCHAR) AS k, d
+              FROM orders, (SELECT unnest(range(4)) AS d) _),
+            gb AS (
+              SELECT d,
+                     ('0x' || substr(md5(CAST(d AS VARCHAR) || '|' || k),
+                                     1, 8))::BIGINT % 256 AS cell,
+                     count(*) AS cnt
+              FROM kb GROUP BY 1, 2),
+            per_d AS (
+              SELECT ga.d, CAST(sum(ga.cnt * gb.cnt) AS BIGINT) AS est_d
+              FROM ga JOIN gb ON ga.d = gb.d AND ga.cell = gb.cell
+              GROUP BY 1),
+            est AS (SELECT min(est_d) AS est FROM per_d),
+            ex AS (SELECT count(*) AS exact
+                   FROM events e JOIN orders o ON e.user_id = o.o_custkey)
+            SELECT est, exact, est - exact AS overestimate
+            FROM est CROSS JOIN ex
+        """,
         "value_quantiles": """
             WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
             s AS (SELECT mn,

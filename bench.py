@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "codec_roundtrip",
     "heavy_hitter_users",
     "cms_user_counts",
+    "cms_join_size",
     "value_histogram",
     "value_quantiles",
     "ann_eval",

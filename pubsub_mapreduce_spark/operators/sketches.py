@@ -297,3 +297,51 @@ def histogram_quantiles(
             "total",
         )
     )
+
+
+def cms_join_estimate(
+    a: DataFrame,
+    a_key: str,
+    b: DataFrame,
+    b_key: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Join-cardinality estimation from count-min sketches (Cormode &
+    Muthukrishnan 2005, inner-product form): |A join B on key| is
+    estimated as min over sketch rows of the cell-wise product sum
+    sum_cell a_d[cell] * b_d[cell]. Collisions only ADD mass, so the
+    estimate NEVER undercounts — est >= exact always, with expected
+    error |A||B|/width.
+
+    This is what the sketch family buys a query PLANNER: both sides'
+    grids are constant-size (built map-side in one pass each, stored
+    with the table like catalog stats), and the estimate is a
+    |grid|-row join — no data is touched at planning time. The exact
+    join count is computed here only to REPORT the error; a planner
+    reads just ``est``.
+
+    Same md5-salted hashes as ``cms_build`` (keys compare as strings,
+    so bigint keys match across tables) — every number integer, the
+    whole report exactly oracle-able."""
+    ga = cms_build(a.select(F.col(a_key).alias("k")), "k", depth, width)
+    gb = cms_build(b.select(F.col(b_key).alias("k")), "k", depth, width)
+    per_d = (
+        ga.join(gb.withColumnRenamed("cnt", "cnt_b"), ["d", "cell"])
+        .groupBy("d")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("est_d"))
+    )
+    est = per_d.agg(F.min("est_d").alias("est"))
+    exact = (
+        a.select(F.col(a_key).alias("k"))
+        .join(b.select(F.col(b_key).alias("k")), "k")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return (
+        est.crossJoin(broadcast(exact))
+        .select(
+            "est",
+            "exact",
+            (F.col("est") - F.col("exact")).alias("overestimate"),
+        )
+    )

@@ -193,3 +193,24 @@ def test_histogram_quantiles_bracket_exact(spark):
         exact = vals[math.ceil(q * len(vals)) - 1]
         assert r["est_lo"] <= exact <= r["est_hi"], (q, exact, r)
         assert r["total"] == len(vals)
+
+
+def test_cms_join_estimate_never_undercounts(spark):
+    """Inner-product join estimation: est >= exact always (collisions
+    only add), and with a wide grid vs small key domain the estimate
+    is exact."""
+    from pyspark.sql import functions as F
+
+    from pubsub_mapreduce_spark.io import load_tables
+    from pubsub_mapreduce_spark.operators.sketches import cms_join_estimate
+    from tests.conftest import SF_SMALL
+
+    t = load_tables(spark, SF_SMALL)
+    r = cms_join_estimate(t["events"], "user_id", t["orders"], "o_custkey").first()
+    assert r["overestimate"] >= 0
+    assert r["est"] >= r["exact"] > 0
+    # tiny planted tables, wide grid -> no collisions -> exact
+    a = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    b = spark.createDataFrame([(1,), (2,), (2,)], "k long")
+    r2 = cms_join_estimate(a, "k", b, "k", depth=4, width=1024).first()
+    assert (r2["est"], r2["exact"]) == (4, 4)
