@@ -643,6 +643,14 @@ def q_sim_ann_ivfpq(spark, sf_dir):
     return S.ann_ivfpq_topk(load_tables(spark, sf_dir)["embeddings"])
 
 
+def q_sim_ann_multiprobe(spark, sf_dir):
+    """Multi-probe LSH (similarity.ann_lsh_multiprobe_topk): 4 tables
+    probed at home + every 1-bit flip reach ~16-single-probe-table
+    recall at 1/4 the index rows — the index, not the query fan-out,
+    is what a 100TB deployment stores."""
+    return S.ann_lsh_multiprobe_topk(load_tables(spark, sf_dir)["embeddings"])
+
+
 def q_ann_eval(spark, sf_dir):
     """Recall@5 + MRR for every ANN index (LSH/IVF/PQ/IVFPQ) vs exact
     brute force, in one plan (similarity.ann_recall_report) — integer
@@ -1221,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_pq": q_sim_ann_pq,
         "sim_ann_ivfpq": q_sim_ann_ivfpq,
         "sim_ann_filtered": q_sim_ann_filtered,
+        "sim_ann_multiprobe": q_sim_ann_multiprobe,
         "ann_eval": q_ann_eval,
         "mixture_weights": q_mixture_weights,
         "vocab": q_vocab,
@@ -3512,6 +3521,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_pq": S.duckdb_pq_sql(k=5, every=50),
         "sim_ann_ivfpq": S.duckdb_ivfpq_sql(),
         "ann_eval": S.duckdb_ann_eval_sql(),
+        "sim_ann_multiprobe": S.duckdb_lsh_multiprobe_sql(),
         "sim_ann_filtered": S.duckdb_lsh_topk_sql(
             every=10, src="(SELECT * FROM embeddings WHERE label = 1)"
         ),

@@ -123,7 +123,6 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_incremental",
-    "dedup_eval",
     "dedup_simhash",
     "substring_spans",
     "text_clean",
@@ -152,6 +151,7 @@ BENCH_QUERIES = [
     "sim_ann_pq",
     "sim_ann_ivfpq",
     "sim_ann_filtered",
+    "sim_ann_multiprobe",
     "emb_pq_codes",
     "knn_graph",
     "user_similarity",

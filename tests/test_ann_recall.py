@@ -347,3 +347,18 @@ def test_ivfpq_finds_planted_duplicates(spark, tables):
     assert top1, "no queries scored"
     missed = {q: n for q, n in top1.items() if n != q + 10000}
     assert not missed, f"IVFPQ top-1 missed planted duplicates: {missed}"
+
+
+def test_multiprobe_recall_with_quarter_index(tables):
+    """Multi-probe at 4 tables must reach the recall band of the
+    16-table single-probe index (the claim it exists for: same recall,
+    1/4 the index rows)."""
+    from pubsub_mapreduce_spark.operators.similarity import (
+        ann_lsh_multiprobe_topk,
+    )
+
+    emb = tables["embeddings"]
+    exact = pairs(cosine_topk(emb, k=5, every=50))
+    got = pairs(ann_lsh_multiprobe_topk(emb, k=5, every=50))
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, f"multi-probe recall {recall:.2f} < 0.8"
