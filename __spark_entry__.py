@@ -572,6 +572,30 @@ def q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q_entity_match(spark, sf_dir):
+    """Record linkage over customer names (relational.entity_match_pairs):
+    half-string blocking + Levenshtein<=1 verify within nation — the
+    near-identical-key detector exact dedup misses."""
+    return R.entity_match_pairs(load_tables(spark, sf_dir)["customer"])
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """CDC from snapshots (relational.snapshot_diff): 'yesterday' =
+    orders minus the %7 slice, 'today' = orders minus the %5 slice
+    with %3 prices bumped — recovers insert/delete/update per key."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    old = orders.where(F.col("o_orderkey") % 7 != 0)
+    new = orders.where(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return R.snapshot_diff(
+        old, new, "o_orderkey", ["o_custkey", "o_totalprice", "o_orderstatus"]
+    )
+
+
 def q_profile_drift(spark, sf_dir):
     """Snapshot drift report (relational.profile_drift): the 90%
     o_orderkey slice as 'yesterday' vs full orders as 'today' — row,
@@ -1237,6 +1261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_eval": q_dedup_eval,
         "seasonal_outliers": q_seasonal_outliers,
         "profile_drift": q_profile_drift,
+        "entity_match": q_entity_match,
+        "snapshot_diff": q_snapshot_diff,
         "pii_audit": q_pii_audit,
         "pii_scrub": q_pii_scrub,
         # text analysis / curation
@@ -3559,6 +3585,51 @@ def oracle_sql() -> dict[str, str]:
             FROM toks LEFT JOIN vocab USING (token)
         """,
         "profile_drift": _profile_drift_oracle_sql(),
+        "entity_match": """
+            WITH b AS (
+              SELECT c_custkey AS k, c_name AS nm, c_nationkey,
+                     0 AS blk,
+                     substring(c_name, 1,
+                       CAST(floor(length(c_name) / 2) AS INTEGER)) AS blkval
+              FROM customer
+              UNION ALL
+              SELECT c_custkey, c_name, c_nationkey, 1,
+                     substring(c_name,
+                       CAST(floor(length(c_name) / 2) AS INTEGER) + 1,
+                       length(c_name))
+              FROM customer)
+            SELECT DISTINCT x.k AS a, y.k AS b,
+                   CAST(levenshtein(x.nm, y.nm) AS INTEGER) AS edit_distance
+            FROM b x JOIN b y
+              ON x.blk = y.blk AND x.blkval = y.blkval
+                 AND x.c_nationkey = y.c_nationkey AND x.k < y.k
+            WHERE levenshtein(x.nm, y.nm) <= 1
+        """,
+        "snapshot_diff": """
+            WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                              o_orderstatus
+                       FROM orders WHERE o_orderkey % 7 <> 0),
+            n AS (SELECT o_orderkey, o_custkey,
+                         CASE WHEN o_orderkey % 3 = 0
+                              THEN o_totalprice + 1.0
+                              ELSE o_totalprice END AS o_totalprice,
+                         o_orderstatus
+                  FROM orders WHERE o_orderkey % 5 <> 0)
+            SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                   CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                        WHEN n.o_orderkey IS NULL THEN 'delete'
+                        WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                          OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                          OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                        THEN 'update' END AS op
+            FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+            WHERE CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                       WHEN n.o_orderkey IS NULL THEN 'delete'
+                       WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                         OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                         OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                       THEN 'update' END IS NOT NULL
+        """,
         "mixture_weights": r"""
             WITH tk AS (
               SELECT source,

@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "oversample_mix",
     "profile_orders",
     "profile_drift",
+    "entity_match",
+    "snapshot_diff",
     "event_cooccurrence",
     "session_transitions",
     "event_pagerank",

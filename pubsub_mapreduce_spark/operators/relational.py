@@ -1927,3 +1927,97 @@ def profile_drift(
             | F.coalesce(bounds_moved, F.lit(False))
         ).alias("drifted"),
     )
+
+
+def entity_match_pairs(
+    df: DataFrame,
+    key: str = "c_custkey",
+    name: str = "c_name",
+    block_extra: tuple = ("c_nationkey",),
+    max_edit: int = 1,
+) -> DataFrame:
+    """Record linkage (entity resolution): candidate pairs by HALF-
+    STRING blocking, verified by edit distance — near-identical names
+    that exact dedup misses (typos, OCR noise, one-digit id drift).
+
+    The blocking is the simhash/pHash pigeonhole applied to strings:
+    two equal-length strings within ``max_edit`` = 1 SUBSTITUTION
+    agree on at least one half, so candidates come from equi-joins on
+    (half-value, extra blocking keys) over two passes (first half,
+    second half) — never an all-pairs name comparison. Insertions
+    shift every later character, so the completeness guarantee covers
+    substitution edits (the dominant noise for fixed-format
+    keys/names); general small-edit linkage raises the block count
+    the same way simhash raises permutations. The Levenshtein verify
+    runs only on collisions; its integer result is the output."""
+    base = df.select(
+        F.col(key).alias("k"), F.col(name).alias("nm"), *block_extra
+    )
+    half1 = F.expr("substring(nm, 1, cast(floor(length(nm) / 2) as int))")
+    half2 = F.expr(
+        "substring(nm, cast(floor(length(nm) / 2) as int) + 1, length(nm))"
+    )
+    blocks = base.select(
+        "k", "nm", *block_extra, F.lit(0).alias("blk"), half1.alias("blkval")
+    ).unionByName(
+        base.select(
+            "k", "nm", *block_extra, F.lit(1).alias("blk"), half2.alias("blkval")
+        )
+    )
+    left = blocks.select(
+        "blk", "blkval", *block_extra,
+        F.col("k").alias("a"), F.col("nm").alias("nm_a"),
+    )
+    right = blocks.select(
+        "blk", "blkval", *block_extra,
+        F.col("k").alias("b"), F.col("nm").alias("nm_b"),
+    )
+    return (
+        left.join(right, ["blk", "blkval", *block_extra])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", F.levenshtein("nm_a", "nm_b").alias("edit_distance")
+        )
+        .distinct()
+        .where(F.col("edit_distance") <= max_edit)
+    )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, cols: list
+) -> DataFrame:
+    """Change data capture DERIVED from two snapshots: per key, emit
+    insert / delete / update (unchanged keys produce no row) — the
+    inverse of ``merge_upsert`` (which APPLIES a change set, this
+    RECOVERS one), and the audit a replication pipeline runs to prove
+    two stores converged or to backfill a missed feed.
+
+    One full-outer join on the key, both sides shuffling on the same
+    hash; change detection is null-safe column-wise comparison (a real
+    NULL->value transition is an update, not noise). Output is
+    |changed keys|-sized."""
+    o = old.select(
+        F.col(key),
+        F.lit(1).alias("__in_o"),
+        *[F.col(c).alias(f"__o_{c}") for c in cols],
+    )
+    n = new.select(
+        F.col(key),
+        F.lit(1).alias("__in_n"),
+        *[F.col(c).alias(f"__n_{c}") for c in cols],
+    )
+    j = o.join(n, key, "full_outer")
+    changed = None
+    for c in cols:
+        neq = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        changed = neq if changed is None else (changed | neq)
+    op = (
+        F.when(F.col("__in_o").isNull(), "insert")
+        .when(F.col("__in_n").isNull(), "delete")
+        .when(changed, "update")
+    )
+    return (
+        j.withColumn("op", op)
+        .where(F.col("op").isNotNull())
+        .select(key, "op")
+    )

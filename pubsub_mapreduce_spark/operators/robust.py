@@ -222,6 +222,11 @@ def seasonal_outliers(events: DataFrame, k: int = 3) -> DataFrame:
         .groupBy("dn")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("dow", F.pmod(F.col("dn"), F.lit(7)).cast("int"))
+        # |days|-sized; three downstream branches (median, deviation,
+        # report) would each replay the events scan without this
+        # (no cross-branch CSE in Catalyst — the covariance/closure
+        # precedent): one materialization, one events pass total
+        .localCheckpoint(eager=False)
     )
     w1 = Window.partitionBy("dow").orderBy("cnt", "dn")
     ranked = daily.select(

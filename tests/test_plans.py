@@ -639,3 +639,34 @@ def test_agg_upsert_shares_partitioning(spark):
     df = q("agg_upsert", spark)
     assert keyed_shuffle_count(df) <= 3
     assert_no_cartesian(df)
+
+
+def test_session_additions_shuffle_budgets(spark):
+    """Budget sweep over this session's additions: each plan's keyed
+    exchanges stay within its operator's contract and nothing
+    degenerates to a cartesian."""
+    budgets = {
+        "multimodal_video_pairs": 3,   # frame pairs distinct + group
+        "vocab": 2,                    # token count + rank window
+        "token_ids": 3,                # count, rank, token join
+        "mixture_weights": 2,          # source rollup + 1-row pack
+        # only the bin aggregate is data-sized; the cdf/total windows,
+        # q join and bin join-back all move <= 64 rows
+        "value_quantiles": 5,
+        "seasonal_outliers": 4,        # daily agg + 2 cohort windows
+        # 3 exchanges per profile side (global plain agg + the exact
+        # distincts' Expand pair — the documented profile_table cost,
+        # swapped for HLL at 100TB), 1-row join at the end
+        "profile_drift": 6,
+        "kanon_customers": 1,          # one QI rollup
+        # two grid builds + product rollup + global min + the exact
+        # join (reporting only — a planner reads just `est`)
+        "cms_join_size": 5,
+        "sim_ann_multiprobe": 2,       # candidate dedup + topk window
+    }
+    for name, budget in budgets.items():
+        spark.catalog.clearCache()
+        df = q(name, spark)
+        got = keyed_shuffle_count(df)
+        assert got <= budget, f"{name}: {got} keyed shuffles (budget {budget})"
+        assert_no_cartesian(df)
