@@ -572,6 +572,35 @@ def q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q_erasure_report(spark, sf_dir):
+    """Right-to-erasure propagation audit (relational.erasure_report):
+    how many rows a 10-customer deletion batch touches per table,
+    broadcast semi-counts in one scan each."""
+    t = load_tables(spark, sf_dir)
+    subjects = (
+        t["customer"].where(F.col("c_custkey") % 100 == 0).select("c_custkey")
+    )
+    return R.erasure_report(
+        t,
+        subjects,
+        {"customer": "c_custkey", "orders": "o_custkey", "events": "user_id"},
+    )
+
+
+def q_skyline_orders(spark, sf_dir):
+    """2-D Pareto frontier over orders (relational.skyline_2d): orders
+    with no other both cheaper AND earlier — the sorted one-pass form
+    of the quadratic NOT-EXISTS the oracle states."""
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias(
+            "order_day"
+        ),
+    )
+    return R.skyline_2d(orders, "o_totalprice", "order_day", "o_orderkey")
+
+
 def q_entity_match(spark, sf_dir):
     """Record linkage over customer names (relational.entity_match_pairs):
     half-string blocking + Levenshtein<=1 verify within nation — the
@@ -1263,6 +1292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_drift": q_profile_drift,
         "entity_match": q_entity_match,
         "snapshot_diff": q_snapshot_diff,
+        "erasure_report": q_erasure_report,
+        "skyline_orders": q_skyline_orders,
         "pii_audit": q_pii_audit,
         "pii_scrub": q_pii_scrub,
         # text analysis / curation
@@ -3585,6 +3616,43 @@ def oracle_sql() -> dict[str, str]:
             FROM toks LEFT JOIN vocab USING (token)
         """,
         "profile_drift": _profile_drift_oracle_sql(),
+        "erasure_report": """
+            WITH s AS (SELECT c_custkey AS id FROM customer
+                       WHERE c_custkey % 100 = 0)
+            SELECT 'customer' AS table_name, count(*) AS n_rows,
+                   count(CASE WHEN c_custkey IN (SELECT id FROM s)
+                              THEN 1 END) AS n_to_erase,
+                   count(*) - count(CASE WHEN c_custkey IN (SELECT id FROM s)
+                                         THEN 1 END) AS n_remaining
+            FROM customer
+            UNION ALL
+            SELECT 'orders', count(*),
+                   count(CASE WHEN o_custkey IN (SELECT id FROM s) THEN 1 END),
+                   count(*) - count(CASE WHEN o_custkey IN (SELECT id FROM s)
+                                         THEN 1 END)
+            FROM orders
+            UNION ALL
+            SELECT 'events', count(*),
+                   count(CASE WHEN user_id IN (SELECT id FROM s) THEN 1 END),
+                   count(*) - count(CASE WHEN user_id IN (SELECT id FROM s)
+                                         THEN 1 END)
+            FROM events
+        """,
+        "skyline_orders": """
+            WITH t AS (
+              SELECT o_orderkey, o_totalprice,
+                     CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+                          AS INTEGER) AS order_day
+              FROM orders)
+            SELECT q.o_orderkey, q.o_totalprice, q.order_day
+            FROM t q
+            WHERE NOT EXISTS (
+              SELECT 1 FROM t p
+              WHERE (p.o_totalprice <= q.o_totalprice
+                     AND p.order_day < q.order_day)
+                 OR (p.o_totalprice < q.o_totalprice
+                     AND p.order_day <= q.order_day))
+        """,
         "entity_match": """
             WITH b AS (
               SELECT c_custkey AS k, c_name AS nm, c_nationkey,

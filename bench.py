@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "profile_drift",
     "entity_match",
     "snapshot_diff",
+    "erasure_report",
+    "skyline_orders",
     "event_cooccurrence",
     "session_transitions",
     "event_pagerank",

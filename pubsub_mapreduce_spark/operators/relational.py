@@ -2021,3 +2021,72 @@ def snapshot_diff(
         .where(F.col("op").isNotNull())
         .select(key, "op")
     )
+
+
+def erasure_report(
+    tables: dict, subjects: DataFrame, keys: dict
+) -> DataFrame:
+    """Right-to-erasure propagation: given a subject-id relation and a
+    {table_name: key_column} map, report per table how many rows the
+    deletion touches and how many survive — the audit a GDPR/CCPA
+    erasure job emits BEFORE the physical deletes, and the proof of
+    completeness after (re-run must show zero remaining).
+
+    Each table pays one broadcast anti/semi-join pair expressed as a
+    single conditional aggregate (the subject set is small by
+    construction — a deletion batch); no table is scanned twice. The
+    report is |tables| rows."""
+    from pyspark.sql.functions import broadcast
+
+    parts = []
+    subj = subjects.select(F.col(subjects.columns[0]).alias("__subject"))
+    for tname, keycol in keys.items():
+        df = tables[tname]
+        joined = df.join(
+            broadcast(subj), df[keycol] == F.col("__subject"), "left"
+        )
+        parts.append(
+            joined.agg(
+                F.lit(tname).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.col("__subject")).alias("n_to_erase"),
+                (
+                    F.count(F.lit(1)) - F.count(F.col("__subject"))
+                ).alias("n_remaining"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def skyline_2d(
+    df: DataFrame, x: str, y: str, keep: str
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): rows not strictly dominated in
+    (``x`` min, ``y`` min) — the classic multi-criteria shortlist
+    ("no other order is both cheaper AND earlier"). Dominance: p beats
+    q when p <= q in both dims and < in at least one; identical (x, y)
+    pairs are co-Pareto and all survive.
+
+    The naive form is a quadratic NOT-EXISTS self-join (the oracle
+    states it directly). In two dimensions one sorted pass suffices:
+    a row survives iff its y equals its own x-group's minimum AND that
+    minimum is strictly below every smaller-x group's minimum. That is
+    one data-sized groupBy(x) plus a running-min window over the
+    |distinct x| GROUP relation — the two-level trick from
+    pack_shards, so the single-partition window never sees data-sized
+    input."""
+    gm = df.groupBy(x).agg(F.min(y).alias("__gy"))
+    w = Window.orderBy(x).rowsBetween(Window.unboundedPreceding, -1)
+    frontier = (
+        gm.withColumn("__prev", F.min("__gy").over(w))
+        .where(F.col("__prev").isNull() | (F.col("__gy") < F.col("__prev")))
+        .select(x, "__gy")
+    )
+    return (
+        df.join(F.broadcast(frontier), [x])
+        .where(F.col(y) == F.col("__gy"))
+        .select(keep, x, y)
+    )

@@ -670,3 +670,14 @@ def test_session_additions_shuffle_budgets(spark):
         got = keyed_shuffle_count(df)
         assert got <= budget, f"{name}: {got} keyed shuffles (budget {budget})"
         assert_no_cartesian(df)
+
+
+def test_skyline_no_quadratic_join(spark):
+    """The 2-D skyline must compile to the sorted-groups form — no
+    NOT-EXISTS anti nested-loop, no cartesian; the only single-
+    partition window runs over the |distinct x| group relation."""
+    spark.catalog.clearCache()
+    df = q("skyline_orders", spark)
+    assert_no_cartesian(df)
+    assert node_count(df, "BroadcastNestedLoopJoin") == 0
+    assert keyed_shuffle_count(df) <= 3
