@@ -572,6 +572,20 @@ def q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q_histogram_drift(spark, sf_dir):
+    """Distribution drift of events.value between the first and second
+    half of the stream (sketches.histogram_drift): aligned 20-bin
+    histograms + integer-exact total-variation distance."""
+    from pubsub_mapreduce_spark.operators.sketches import histogram_drift
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return histogram_drift(
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+        "value",
+    )
+
+
 def q_erasure_report(spark, sf_dir):
     """Right-to-erasure propagation audit (relational.erasure_report):
     how many rows a 10-customer deletion batch touches per table,
@@ -1294,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "erasure_report": q_erasure_report,
         "skyline_orders": q_skyline_orders,
+        "histogram_drift": q_histogram_drift,
         "pii_audit": q_pii_audit,
         "pii_scrub": q_pii_scrub,
         # text analysis / curation
@@ -3616,6 +3631,37 @@ def oracle_sql() -> dict[str, str]:
             FROM toks LEFT JOIN vocab USING (token)
         """,
         "profile_drift": _profile_drift_oracle_sql(),
+        "histogram_drift": """
+            WITH u AS (SELECT value AS v FROM events),
+            b AS (SELECT min(v) AS mn, max(v) AS mx FROM u),
+            s AS (SELECT mn,
+                         CASE WHEN mx - mn <= 0 THEN 1.0 ELSE mx - mn END AS span
+                  FROM b),
+            o AS (SELECT least(19, CAST(floor((value - mn) / span * 20)
+                                        AS BIGINT)) AS bin, count(*) AS n_old
+                  FROM events, s
+                  WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1),
+            n AS (SELECT least(19, CAST(floor((value - mn) / span * 20)
+                                        AS BIGINT)) AS bin, count(*) AS n_new
+                  FROM events, s
+                  WHERE event_id % 2 = 1 AND value IS NOT NULL GROUP BY 1),
+            spine AS (SELECT unnest(range(20)) AS bin),
+            bins AS (
+              SELECT CAST(spine.bin AS INTEGER) AS bin,
+                     COALESCE(o.n_old, 0) AS n_old,
+                     COALESCE(n.n_new, 0) AS n_new
+              FROM spine LEFT JOIN o ON o.bin = spine.bin
+                         LEFT JOIN n ON n.bin = spine.bin),
+            t AS (SELECT CAST(sum(n_old) AS BIGINT) AS No,
+                         CAST(sum(n_new) AS BIGINT) AS Nn,
+                         CAST(sum(abs(n_old * (SELECT sum(n_new) FROM bins)
+                                      - n_new * (SELECT sum(n_old) FROM bins)))
+                              AS BIGINT) AS l1
+                  FROM bins)
+            SELECT bin, n_old, n_new,
+                   floor(l1 / (2.0 * No * Nn) * 1e6 + 0.5) / 1e6 AS tvd
+            FROM bins CROSS JOIN t
+        """,
         "erasure_report": """
             WITH s AS (SELECT c_custkey AS id FROM customer
                        WHERE c_custkey % 100 = 0)

@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "cms_join_size",
     "value_histogram",
     "value_quantiles",
+    "histogram_drift",
     "ann_eval",
     "orders_checksum",
     "lateness_profile",

@@ -345,3 +345,84 @@ def cms_join_estimate(
             (F.col("est") - F.col("exact")).alias("overestimate"),
         )
     )
+
+
+def histogram_drift(
+    old: DataFrame, new: DataFrame, col: str, n_bins: int = 20
+) -> DataFrame:
+    """Distribution-level drift between two snapshots: both histograms
+    on ONE shared bin spec (bounds from the union, so bins align), then
+    per-bin counts side by side plus the scaled total-variation
+    distance — the numeric companion to ``profile_drift``'s scalar
+    deltas (a mean can sit still while the whole shape slides).
+
+    TVD is computed in INTEGERS: sum over bins of
+    |n_old * N_new - n_new * N_old| is an exact int64 (cross-
+    multiplying avoids per-bin rate rounding), divided ONCE by
+    2 * N_old * N_new — so the drift statistic itself is
+    bit-reproducible (the PSI/KL alternatives need logs, which are
+    not). Bin counts partial-agg map-side; everything after is
+    |bins|-sized."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    from ..functions.text import round_half_up
+
+    both = old.select(F.col(col).alias("v")).unionByName(
+        new.select(F.col(col).alias("v"))
+    )
+    mn, mx = both.agg(F.min("v"), F.max("v")).first()
+    span = float(mx) - float(mn)
+    if span <= 0:
+        span = 1.0
+    bin_of = F.least(
+        F.lit(n_bins - 1),
+        F.floor((F.col("v") - F.lit(float(mn))) / F.lit(span) * n_bins),
+    ).cast("int")
+    co = (
+        old.select(F.col(col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .groupBy(bin_of.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_old"))
+    )
+    cn = (
+        new.select(F.col(col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .groupBy(bin_of.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    spine = old.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    z = F.lit(0).cast("long")
+    bins = (
+        spine.join(co, "bin", "left")
+        .join(cn, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_old", z).alias("n_old"),
+            F.coalesce("n_new", z).alias("n_new"),
+        )
+    )
+    w = Window.partitionBy()
+    totals = bins.select(
+        "bin",
+        "n_old",
+        "n_new",
+        F.sum("n_old").over(w).alias("__No"),
+        F.sum("n_new").over(w).alias("__Nn"),
+    )
+    tot = totals.withColumn(
+        "__l1",
+        F.sum(
+            F.abs(F.col("n_old") * F.col("__Nn") - F.col("n_new") * F.col("__No"))
+        ).over(w),
+    )
+    return tot.select(
+        "bin",
+        "n_old",
+        "n_new",
+        round_half_up(
+            F.col("__l1") / (2.0 * F.col("__No") * F.col("__Nn")), 6
+        ).alias("tvd"),
+    )
