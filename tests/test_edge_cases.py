@@ -367,3 +367,46 @@ def test_aggregate_upsert_identity_and_disjoint(spark):
     m = {r["user_id"]: r for r in aggregate_upsert(a, b).collect()}
     assert m[10]["cnt"] == 2 and m[10]["min_v"] == -2.0 and m[10]["max_v"] == 1.5
     assert m[20]["cnt"] == 1 and m[20]["sum_micro"] == 250000
+
+
+def test_substring_spans_short_and_empty_docs(spark):
+    """Docs shorter than k produce no grams (hence no spans) rather
+    than erroring; two identical long docs produce full-length spans
+    on both."""
+    from pubsub_mapreduce_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "tiny"), (4, "")],
+        "doc_id long, text string",
+    )
+    spans = duplicate_substring_spans(docs, k=20, min_span=40).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    for d in (1, 2):
+        (s,) = by_doc[d]
+        assert s["span_start"] == 0 and s["span_len"] == len(text)
+        assert s["span_text"] == text
+    assert not any(r["doc_id"] in (3, 4) for r in spans)
+
+
+def test_snapshot_diff_partitions_ops(spark):
+    """insert/delete/update classification on a hand-built pair of
+    snapshots, including a NULL -> value transition counting as an
+    update (null-safe comparison)."""
+    from pubsub_mapreduce_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    got = {r["k"]: r["op"] for r in snapshot_diff(old, new, "k", ["s", "v"]).collect()}
+    assert got == {2: "update", 3: "delete", 4: "insert"}
