@@ -681,3 +681,24 @@ def test_skyline_no_quadratic_join(spark):
     assert_no_cartesian(df)
     assert node_count(df, "BroadcastNestedLoopJoin") == 0
     assert keyed_shuffle_count(df) <= 3
+
+
+def test_session_additions_scan_pruning(spark):
+    """Column pruning reaches the parquet reader for the new text and
+    relational operators — a scan reading unused columns is wrong at
+    any scale."""
+    spark.catalog.clearCache()
+    for name, allowed in {
+        "vocab": {"text"},
+        "token_ids": {"doc_id", "text"},
+        "pii_scrub": {"doc_id", "text"},
+        "skyline_orders": {"o_orderkey", "o_totalprice", "o_orderdate"},
+        "kanon_customers": {"c_nationkey", "c_mktsegment", "c_acctbal"},
+    }.items():
+        for schema in read_schemas(q(name, spark)):
+            inner = schema[len("struct<"):-1]  # strip() eats field chars
+            cols = {
+                part.split(":")[0] for part in inner.split(",") if part
+            }
+            extra = cols - allowed
+            assert not extra, f"{name} scan reads unused columns {extra}"
