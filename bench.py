@@ -93,7 +93,6 @@ BENCH_QUERIES = [
     "oversample_mix",
     "profile_orders",
     "profile_drift",
-    "entity_match",
     "snapshot_diff",
     "erasure_report",
     "skyline_orders",
