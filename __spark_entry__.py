@@ -572,6 +572,13 @@ def q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q_user_ema(spark, sf_dir):
+    """Per-user integer-exact exponential moving average of event
+    values (robust.user_value_ema) — the non-associative recursion no
+    window frame computes, done as a per-key sorted HOF fold."""
+    return RB.user_value_ema(load_tables(spark, sf_dir)["events"])
+
+
 def q_histogram_drift(spark, sf_dir):
     """Distribution drift of events.value between the first and second
     half of the stream (sketches.histogram_drift): aligned 20-bin
@@ -1309,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "erasure_report": q_erasure_report,
         "skyline_orders": q_skyline_orders,
         "histogram_drift": q_histogram_drift,
+        "user_ema": q_user_ema,
         "pii_audit": q_pii_audit,
         "pii_scrub": q_pii_scrub,
         # text analysis / curation
@@ -3631,6 +3639,32 @@ def oracle_sql() -> dict[str, str]:
             FROM toks LEFT JOIN vocab USING (token)
         """,
         "profile_drift": _profile_drift_oracle_sql(),
+        "user_ema": """
+            WITH r AS (
+              SELECT user_id,
+                     list(struct_pack(c := CAST(round(value * 100) AS BIGINT))
+                          ORDER BY epoch(ts), event_id) AS recs
+              FROM events GROUP BY 1),
+            f AS (
+              SELECT user_id,
+                     list_reduce(
+                       list_prepend(struct_pack(ema := -1::BIGINT,
+                                                last := 0::BIGINT,
+                                                n := 0::BIGINT),
+                                    list_transform(recs, x ->
+                                      struct_pack(ema := x.c, last := x.c,
+                                                  n := 1::BIGINT))),
+                       (acc, x) -> struct_pack(
+                         ema := CASE WHEN acc.n = 0 THEN x.ema
+                                     ELSE (x.ema + 3 * acc.ema) // 4 END,
+                         last := x.last,
+                         n := acc.n + 1)) AS s,
+                     len(recs) AS n
+              FROM r)
+            SELECT user_id, s.ema AS ema_cents, s.last AS last_cents,
+                   CAST(n AS BIGINT) AS n_events
+            FROM f
+        """,
         "histogram_drift": """
             WITH u AS (SELECT value AS v FROM events),
             b AS (SELECT min(v) AS mn, max(v) AS mx FROM u),

@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "mad_outliers",
     "seasonal_outliers",
     "winsorized_values",
+    "user_ema",
     "association_rules",
     "approx_distinct_users",
     "range_join_signup",

@@ -263,3 +263,55 @@ def seasonal_outliers(events: DataFrame, k: int = 3) -> DataFrame:
             (F.col("dev") > F.lit(k) * F.col("mad")).alias("is_outlier"),
         )
     )
+
+
+def user_value_ema(events: DataFrame, shift: int = 2) -> DataFrame:
+    """Per-user exponential moving average of event values — the
+    smoothed baseline an anomaly monitor compares fresh events against.
+    alpha = 1/2^shift, in INTEGER cents:
+
+        ema' = (cents + (2^shift - 1) * ema) div 2^shift
+
+    EMA is a NON-ASSOCIATIVE recursion — no window frame computes it
+    (running sums are associative; this is not). The scalable exact
+    form is a per-key sorted fold: collect each user's (ts, value)
+    history into an array (bounded by per-user event count, the same
+    state assumption every stateful-stream operator makes), array_sort
+    for deterministic (ts, event_id) order, and one codegen'd
+    ``aggregate`` HOF — integer div keeps every step exact, so DuckDB's
+    list_reduce mirror is bit-identical. One user-keyed shuffle.
+
+    Returns the FINAL smoothed value per user plus the raw last value
+    and count — the (key, baseline) table a monitor broadcasts."""
+    denom = 1 << shift
+    ev = events.select(
+        "user_id",
+        F.struct(
+            F.col("ts").cast("double").alias("tt"),
+            F.col("event_id").alias("eid"),
+            _cents().alias("cents"),
+        ).alias("rec"),
+    )
+    fold = F.expr(
+        f"""aggregate(
+              array_sort(collect_list(rec)),
+              named_struct('ema', CAST(-1 AS BIGINT),
+                           'last', CAST(0 AS BIGINT),
+                           'n', CAST(0 AS BIGINT)),
+              (acc, r) -> named_struct(
+                'ema', CASE WHEN acc.n = 0 THEN r.cents
+                            ELSE (r.cents + {denom - 1} * acc.ema)
+                                 div {denom} END,
+                'last', r.cents,
+                'n', acc.n + 1))"""
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(fold.alias("s"))
+        .select(
+            "user_id",
+            F.col("s.ema").alias("ema_cents"),
+            F.col("s.last").alias("last_cents"),
+            F.col("s.n").alias("n_events"),
+        )
+    )
