@@ -502,3 +502,65 @@ def heavy_hitters_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EMA_STATE_SCHEMA = StructType(
+    [
+        StructField("ema", LongType()),
+        StructField("last", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+EMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ema_cents", LongType()),
+        StructField("last_cents", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def ema_stream(events: DataFrame, shift: int = 2) -> DataFrame:
+    """Live form of ``robust.user_value_ema``: per-user exponential
+    smoothing with O(1) state (ema, last, n) — the batch form folds the
+    whole sorted history; the stream pays one integer step per event
+    and carries three longs per key forever. Same arithmetic
+    (non-negative cents, integral division), so after an ordered replay
+    the final per-user snapshot equals the batch fold EXACTLY — pinned
+    in tests. Emits one snapshot row per active user per micro-batch
+    (downstream keeps the latest n_events per user)."""
+    denom = 1 << shift
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ema, last, n = state.get
+        else:
+            ema, last, n = -1, 0, 0
+        batch = []
+        for pdf in pdfs:
+            for ts, eid, v in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+                cents = int(round(float(v) * 100))
+                batch.append((pd.Timestamp(ts).timestamp(), int(eid), cents))
+        batch.sort()
+        for _ts, _eid, cents in batch:
+            ema = cents if n == 0 else (cents + (denom - 1) * ema) // denom
+            last = cents
+            n += 1
+        state.update((ema, last, n))
+        yield pd.DataFrame(
+            [(key[0], ema, last, n)],
+            columns=["user_id", "ema_cents", "last_cents", "n_events"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EMA_OUTPUT_SCHEMA,
+        stateStructType=EMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1087,3 +1087,54 @@ def test_vector_search_stream_equals_batch(spark, tmp_path):
     assert got == want
     n_rows = spark.read.parquet(out + "/results").count()
     assert n_rows == len(want)  # ledger kept replays out
+
+
+def test_ema_stream_matches_batch_fold(spark, tmp_path):
+    """Streaming EMA over a 4-batch ordered replay: the final per-user
+    snapshot must equal the batch sorted-fold exactly (same integer
+    arithmetic, O(1) state vs whole-history fold)."""
+    from pubsub_mapreduce_spark.io import load_tables
+    from pubsub_mapreduce_spark.operators.robust import user_value_ema
+    from pubsub_mapreduce_spark.streaming.pipeline import ema_stream
+    from tests.conftest import SF_SMALL
+
+    events = load_tables(spark, SF_SMALL)["events"].select(
+        "event_id", "ts", "user_id", "value"
+    )
+    rows = sorted(events.collect(), key=lambda r: (r["ts"], r["event_id"]))
+    d = tmp_path / "ema_replay"
+    d.mkdir()
+    chunk = (len(rows) + 3) // 4
+    for i in range(4):
+        spark.createDataFrame(
+            rows[i * chunk : (i + 1) * chunk], events.schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(d / f"f{i}"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/f*")
+    )
+    q = (
+        ema_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ema_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+    out = spark.sql("select * from ema_stream_t").collect()
+    latest: dict = {}
+    for r in out:  # keep the snapshot with the highest n per user
+        if r["user_id"] not in latest or r["n_events"] > latest[r["user_id"]]["n_events"]:
+            latest[r["user_id"]] = r
+    got = {
+        u: (r["ema_cents"], r["last_cents"], r["n_events"])
+        for u, r in latest.items()
+    }
+    want = {
+        r["user_id"]: (r["ema_cents"], r["last_cents"], r["n_events"])
+        for r in user_value_ema(events).collect()
+    }
+    assert got == want
