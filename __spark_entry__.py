@@ -572,6 +572,23 @@ def q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q_dedup_rate(spark, sf_dir):
+    """Per-source duplication telemetry (dedup.dedup_rate_by_source):
+    where the copies come from, before any dedup run commits."""
+    return dedup.dedup_rate_by_source(load_tables(spark, sf_dir)["documents"])
+
+
+def q_oov_rate(spark, sf_dir):
+    """Vocabulary drift (textops.oov_rate): even-doc_id half as the old
+    snapshot, odd half as the new batch — per-source out-of-vocabulary
+    occurrence rate."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TX.oov_rate(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )
+
+
 def q_user_ema(spark, sf_dir):
     """Per-user integer-exact exponential moving average of event
     values (robust.user_value_ema) — the non-associative recursion no
@@ -1317,6 +1334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_orders": q_skyline_orders,
         "histogram_drift": q_histogram_drift,
         "user_ema": q_user_ema,
+        "dedup_rate": q_dedup_rate,
+        "oov_rate": q_oov_rate,
         "pii_audit": q_pii_audit,
         "pii_scrub": q_pii_scrub,
         # text analysis / curation
@@ -3639,6 +3658,31 @@ def oracle_sql() -> dict[str, str]:
             FROM toks LEFT JOIN vocab USING (token)
         """,
         "profile_drift": _profile_drift_oracle_sql(),
+        "dedup_rate": """
+            WITH h AS (
+              SELECT source, md5(lower(trim(text))) AS h FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+                   floor((count(*) - count(DISTINCT h)) * 1.0 / count(*)
+                         * 1e6 + 0.5) / 1e6 AS dup_ratio
+            FROM h GROUP BY 1
+        """,
+        "oov_rate": r"""
+            WITH vo AS (
+              SELECT DISTINCT unnest(list_filter(
+                       string_split_regex(text, '\s+'), t -> t <> '')) AS token
+              FROM documents WHERE doc_id % 2 = 0),
+            nt AS (
+              SELECT source, unnest(list_filter(
+                       string_split_regex(text, '\s+'), t -> t <> '')) AS token
+              FROM documents WHERE doc_id % 2 = 1)
+            SELECT source, count(*) AS n_tokens,
+                   count(CASE WHEN vo.token IS NULL THEN 1 END) AS n_oov,
+                   floor(count(CASE WHEN vo.token IS NULL THEN 1 END) * 1.0
+                         / count(*) * 1e6 + 0.5) / 1e6 AS oov_rate
+            FROM nt LEFT JOIN vo ON nt.token = vo.token
+            GROUP BY 1
+        """,
         "user_ema": """
             WITH r AS (
               SELECT user_id,

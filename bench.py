@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "range_join_launch",
     # training-data ops (scale paths)
     "dedup_exact",
+    "dedup_rate",
     "dedup_minhash_lsh",
     "dedup_minhash_incremental",
     "dedup_simhash",
@@ -141,6 +142,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "rare_tokens",
     "cross_doc_repetition",
+    "oov_rate",
     "decontaminate",
     "decontaminate_bloom",
     "quality_gate",

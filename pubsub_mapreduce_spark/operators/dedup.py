@@ -937,3 +937,31 @@ def dedup_recall_report(
             round_half_up(z("n_matched") / z("n_exact"), 6).alias("recall"),
         )
     )
+
+
+def dedup_rate_by_source(docs: DataFrame) -> DataFrame:
+    """Dedup telemetry: per source, document count, distinct-content
+    count, and the duplication ratio — the report that tells a corpus
+    owner WHERE the copies come from before any dedup run commits
+    (a mirror-heavy source shows up immediately). One pass: the
+    content hash is computed map-side, then a single per-source
+    aggregate with an exact distinct (swap for HLL at 100TB, the
+    profile_table discipline)."""
+    from ..functions.text import round_half_up
+
+    return (
+        docs.select("source", content_hash().alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            round_half_up(
+                (F.col("n_docs") - F.col("n_unique")) / F.col("n_docs"), 6
+            ).alias("dup_ratio"),
+        )
+    )

@@ -771,3 +771,43 @@ def encode_token_ids(
         "pos",
         F.coalesce("token_id", F.lit(0)).alias("token_id"),
     )
+
+
+def oov_rate(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
+    """Vocabulary drift between snapshots: per source of the NEW batch,
+    the fraction of token OCCURRENCES absent from the OLD snapshot's
+    vocabulary — the text-domain drift signal (`histogram_drift` sees
+    numeric shape, this sees a topic/language/spam shift as a rising
+    out-of-vocabulary rate).
+
+    The old vocabulary derives as a distinct token relation (at 100TB:
+    the stored `vocab` table, or a Bloom filter of it — the
+    decontaminate_bloom shape); the new side explodes tokens once and
+    left-joins on the token hash. Integer counts, one division —
+    exact."""
+    from ..functions.text import round_half_up
+    from ..functions.text import tokens as tok
+
+    vocab_old = (
+        widen(old_docs, 8)
+        .select(F.explode(tok(F.col("text"))).alias("token"))
+        .distinct()
+        .withColumn("__known", F.lit(1))
+    )
+    new_toks = widen(new_docs, 8).select(
+        "source", F.explode(tok(F.col("text"))).alias("token")
+    )
+    return (
+        new_toks.join(vocab_old, "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("__known").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            round_half_up(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
