@@ -572,6 +572,51 @@ def q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q_len_histogram_by_lang(spark, sf_dir):
+    """Doc-length histograms per language on one shared bin spec
+    (sketches.grouped_histogram) — cohort shapes directly comparable
+    because every group bins against the same global edges."""
+    from pubsub_mapreduce_spark.operators.sketches import grouped_histogram
+
+    return grouped_histogram(
+        load_tables(spark, sf_dir)["documents"], "n_chars", "lang", n_bins=10
+    )
+
+
+def q_session_paths3(spark, sf_dir):
+    """Top 3-step navigation paths within sessions — one lead deeper
+    than the 2-step transition matrix, same single user-keyed window
+    exchange; the path-mining depth a funnel designer actually reads."""
+    ev = load_tables(spark, sf_dir)["events"]
+    from pyspark.sql import Window
+
+    e = ev.select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("double").alias("tt")
+    )
+    w = Window.partitionBy("user_id").orderBy("tt", "event_id")
+    g = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("tt").over(w).isNull() | (F.col("tt") - F.lag("tt").over(w) > 1800.0),
+            1,
+        ).otherwise(0),
+    ).withColumn("sid", F.sum("is_new").over(w))
+    ws = Window.partitionBy("user_id", "sid").orderBy("tt", "event_id")
+    p = g.select(
+        "event_type",
+        F.lead("event_type", 1).over(ws).alias("t2"),
+        F.lead("event_type", 2).over(ws).alias("t3"),
+    ).where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        p.groupBy(
+            F.col("event_type").alias("step1"),
+            F.col("t2").alias("step2"),
+            F.col("t3").alias("step3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+
+
 def q_dedup_rate(spark, sf_dir):
     """Per-source duplication telemetry (dedup.dedup_rate_by_source):
     where the copies come from, before any dedup run commits."""
@@ -1336,6 +1381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_ema": q_user_ema,
         "dedup_rate": q_dedup_rate,
         "oov_rate": q_oov_rate,
+        "len_histogram_by_lang": q_len_histogram_by_lang,
+        "session_paths3": q_session_paths3,
         "pii_audit": q_pii_audit,
         "pii_scrub": q_pii_scrub,
         # text analysis / curation
@@ -3658,6 +3705,53 @@ def oracle_sql() -> dict[str, str]:
             FROM toks LEFT JOIN vocab USING (token)
         """,
         "profile_drift": _profile_drift_oracle_sql(),
+        "len_histogram_by_lang": """
+            WITH b AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx
+                       FROM documents),
+            s AS (SELECT mn,
+                         CASE WHEN mx - mn <= 0 THEN 1.0 ELSE mx - mn END AS span
+                  FROM b),
+            c AS (SELECT lang,
+                         least(9, CAST(floor((n_chars - mn) / span * 10)
+                                       AS BIGINT)) AS bin,
+                         count(*) AS n
+                  FROM documents, s
+                  WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+            langs AS (SELECT DISTINCT lang FROM documents),
+            spine AS (SELECT unnest(range(10)) AS bin)
+            SELECT langs.lang, CAST(spine.bin AS INTEGER) AS bin,
+                   mn + spine.bin * span / 10 AS lo,
+                   mn + (spine.bin + 1) * span / 10 AS hi,
+                   COALESCE(c.n, 0) AS n
+            FROM langs CROSS JOIN spine CROSS JOIN s
+            LEFT JOIN c ON c.lang = langs.lang AND c.bin = spine.bin
+        """,
+        "session_paths3": """
+            WITH e AS (
+              SELECT user_id, event_id, event_type, epoch(ts) AS tt
+              FROM events),
+            g AS (
+              SELECT *, CASE WHEN prev_tt IS NULL OR tt - prev_tt > 1800.0
+                             THEN 1 ELSE 0 END AS is_new
+              FROM (SELECT *, lag(tt) OVER (PARTITION BY user_id
+                        ORDER BY tt, event_id) AS prev_tt FROM e)),
+            s AS (
+              SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                        ORDER BY tt, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sid
+              FROM g),
+            p AS (
+              SELECT event_type AS step1,
+                     lead(event_type, 1) OVER (PARTITION BY user_id, sid
+                                               ORDER BY tt, event_id) AS step2,
+                     lead(event_type, 2) OVER (PARTITION BY user_id, sid
+                                               ORDER BY tt, event_id) AS step3
+              FROM s)
+            SELECT step1, step2, step3, count(*) AS n_paths
+            FROM p WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+            GROUP BY 1, 2, 3
+        """,
         "dedup_rate": """
             WITH h AS (
               SELECT source, md5(lower(trim(text))) AS h FROM documents)

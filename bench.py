@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "skyline_orders",
     "event_cooccurrence",
     "session_transitions",
+    "session_paths3",
     "event_pagerank",
     # reference pipeline (batch replay)
     "t1_latest_per_key",
@@ -110,6 +111,7 @@ BENCH_QUERIES = [
     "cms_user_counts",
     "cms_join_size",
     "value_histogram",
+    "len_histogram_by_lang",
     "value_quantiles",
     "histogram_drift",
     "ann_eval",

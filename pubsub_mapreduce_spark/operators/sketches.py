@@ -426,3 +426,49 @@ def histogram_drift(
             F.col("__l1") / (2.0 * F.col("__No") * F.col("__Nn")), 6
         ).alias("tvd"),
     )
+
+
+def grouped_histogram(
+    df: DataFrame, col: str, group: str, n_bins: int = 10
+) -> DataFrame:
+    """Per-group value histograms on ONE shared global bin spec — the
+    cohort profiler (doc-length by language, spend by segment): shapes
+    are directly comparable across groups because every group bins
+    against the same edges, and each group's spine is dense (empty
+    bins emitted) so downstream diffing is positional.
+
+    Same bounded-collect + single keyed aggregate shape as
+    ``fixed_width_histogram``; the spine is |groups| x |bins| rows via
+    one cross join of two tiny relations."""
+    from pyspark.sql.functions import broadcast
+
+    mn, mx = df.agg(F.min(col), F.max(col)).first()
+    span = float(mx) - float(mn)
+    if span <= 0:
+        span = 1.0
+    bin_col = F.least(
+        F.lit(n_bins - 1),
+        F.floor((F.col(col) - F.lit(float(mn))) / F.lit(span) * n_bins),
+    ).cast("int")
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(group).alias("grp"), bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    groups = df.select(F.col(group).alias("grp")).distinct()
+    spine = df.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    return (
+        groups.crossJoin(broadcast(spine))
+        .join(counts, ["grp", "bin"], "left")
+        .select(
+            F.col("grp").alias(group),
+            "bin",
+            (F.lit(float(mn)) + F.col("bin") * F.lit(span) / n_bins).alias("lo"),
+            (F.lit(float(mn)) + (F.col("bin") + 1) * F.lit(span) / n_bins).alias(
+                "hi"
+            ),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
