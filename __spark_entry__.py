@@ -572,6 +572,13 @@ def q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q_ab_test(spark, sf_dir):
+    """A/B experiment readout (relational.ab_test_report): users hash-
+    assigned to 2 variants, conversion = any purchase; rates and
+    integer-ratio lift vs control — every number exact cross-engine."""
+    return R.ab_test_report(load_tables(spark, sf_dir)["events"])
+
+
 def q_len_histogram_by_lang(spark, sf_dir):
     """Doc-length histograms per language on one shared bin spec
     (sketches.grouped_histogram) — cohort shapes directly comparable
@@ -1383,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": q_oov_rate,
         "len_histogram_by_lang": q_len_histogram_by_lang,
         "session_paths3": q_session_paths3,
+        "ab_test": q_ab_test,
         "pii_audit": q_pii_audit,
         "pii_scrub": q_pii_scrub,
         # text analysis / curation
@@ -3705,6 +3713,26 @@ def oracle_sql() -> dict[str, str]:
             FROM toks LEFT JOIN vocab USING (token)
         """,
         "profile_drift": _profile_drift_oracle_sql(),
+        "ab_test": """
+            WITH pu AS (
+              SELECT user_id,
+                     max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 2 AS variant
+              FROM events GROUP BY user_id),
+            s AS (
+              SELECT variant, count(*) AS n_users,
+                     CAST(sum(converted) AS BIGINT) AS n_converted
+              FROM pu GROUP BY 1),
+            c AS (SELECT n_users AS cu, n_converted AS cc FROM s
+                  WHERE variant = 0)
+            SELECT variant, n_users, n_converted,
+                   floor(n_converted * 1.0 / n_users * 1e6 + 0.5) / 1e6 AS cvr,
+                   floor((n_converted * cu) * 1.0 / (cc * n_users) * 1e6 + 0.5)
+                     / 1e6 AS lift_vs_control
+            FROM s CROSS JOIN c
+        """,
         "len_histogram_by_lang": """
             WITH b AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx
                        FROM documents),

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "erasure_report",
     "skyline_orders",
     "event_cooccurrence",
+    "ab_test",
     "session_transitions",
     "session_paths3",
     "event_pagerank",

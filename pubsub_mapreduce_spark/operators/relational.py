@@ -2107,3 +2107,58 @@ def skyline_2d(
         .where(F.col(y) == F.col("__gy"))
         .select(keep, x, y)
     )
+
+
+def ab_test_report(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    n_variants: int = 2,
+) -> DataFrame:
+    """Experimentation readout: users assigned to variants by the
+    deterministic hash bucket (``sampling.hash_bucket`` — stable across
+    reruns and engines, the property real experiment assignment needs),
+    conversion = any ``convert_type`` event. Per variant: exposed
+    users, converters, conversion rate; plus each variant's lift vs
+    variant 0 as a ratio of integer counts — every number either an
+    integer or a single rounded division, exact cross-engine.
+
+    One user-level aggregate (exposure + converted flag per user),
+    then a |variants|-row rollup; the control row rides back as a
+    broadcast for the lift column."""
+    from pyspark.sql.functions import broadcast
+
+    from ..functions.text import round_half_up
+    from ..operators.sampling import hash_bucket
+
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == convert_type, 1).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn("variant", hash_bucket(F.col("user_id"), n_variants))
+    )
+    stats = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    control = stats.where(F.col("variant") == 0).select(
+        F.col("n_users").alias("__cu"), F.col("n_converted").alias("__cc")
+    )
+    return (
+        stats.crossJoin(broadcast(control))
+        .select(
+            "variant",
+            "n_users",
+            "n_converted",
+            round_half_up(F.col("n_converted") / F.col("n_users"), 6).alias("cvr"),
+            # lift = (conv_v * users_0) / (conv_0 * users_v): one division
+            # of exact integer products
+            round_half_up(
+                (F.col("n_converted") * F.col("__cu"))
+                / (F.col("__cc") * F.col("n_users")),
+                6,
+            ).alias("lift_vs_control"),
+        )
+    )
