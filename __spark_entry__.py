@@ -572,6 +572,46 @@ def q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q_event_triangles(spark, sf_dir):
+    """Triangle counts over the event-type transition graph
+    (graph.triangle_count) — cohesion alongside components and
+    PageRank; edges canonicalized so each triangle counts once."""
+    from pubsub_mapreduce_spark.operators.graph import triangle_count
+
+    edges = R.session_transitions(load_tables(spark, sf_dir)).select(
+        F.col("type_from").alias("u"), F.col("type_to").alias("v")
+    )
+    return triangle_count(edges)
+
+
+def q_conversion_latency(spark, sf_dir):
+    """Time-to-convert distribution: per user, seconds from first
+    signup to first subsequent purchase, bucketed by hour — the
+    product-analytics latency histogram; exact integer bucketing."""
+    ev = load_tables(spark, sf_dir)["events"]
+    base = ev.select(
+        "user_id", "event_type", F.col("ts").cast("double").alias("tt")
+    )
+    s = base.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("tt").alias("signup_tt")
+    )
+    p = base.where(F.col("event_type") == "purchase").select("user_id", "tt")
+    lat = (
+        s.join(p, "user_id")
+        .where(F.col("tt") >= F.col("signup_tt"))
+        .groupBy("user_id", "signup_tt")
+        .agg(F.min("tt").alias("purchase_tt"))
+        .select(
+            F.floor(
+                (F.col("purchase_tt") - F.col("signup_tt")) / 3600.0
+            ).cast("long").alias("hours_to_convert")
+        )
+    )
+    return lat.groupBy("hours_to_convert").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
 def q_ab_test(spark, sf_dir):
     """A/B experiment readout (relational.ab_test_report): users hash-
     assigned to 2 variants, conversion = any purchase; rates and
@@ -1391,6 +1431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "len_histogram_by_lang": q_len_histogram_by_lang,
         "session_paths3": q_session_paths3,
         "ab_test": q_ab_test,
+        "event_triangles": q_event_triangles,
+        "conversion_latency": q_conversion_latency,
         "pii_audit": q_pii_audit,
         "pii_scrub": q_pii_scrub,
         # text analysis / curation
@@ -3713,6 +3755,57 @@ def oracle_sql() -> dict[str, str]:
             FROM toks LEFT JOIN vocab USING (token)
         """,
         "profile_drift": _profile_drift_oracle_sql(),
+        "event_triangles": """
+            WITH tr AS (
+              WITH ev AS (
+                SELECT user_id, event_id, event_type, epoch(ts) AS tt
+                FROM events),
+              g AS (
+                SELECT *, CASE WHEN prev_tt IS NULL OR tt - prev_tt > 1800.0
+                               THEN 1 ELSE 0 END AS is_new
+                FROM (SELECT *, lag(tt) OVER (PARTITION BY user_id
+                          ORDER BY tt, event_id) AS prev_tt FROM ev)),
+              sid AS (
+                SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                          ORDER BY tt, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS s
+                FROM g),
+              p AS (
+                SELECT event_type AS u, lead(event_type) OVER (
+                         PARTITION BY user_id, s
+                         ORDER BY tt, event_id) AS v
+                FROM sid)
+              SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+              FROM p WHERE v IS NOT NULL AND u <> v),
+            t AS (
+              SELECT ab.a AS x, ab.b AS y, bc.b AS z
+              FROM tr ab
+              JOIN tr bc ON bc.a = ab.b
+              JOIN tr ac ON ac.a = ab.a AND ac.b = bc.b),
+            pn AS (
+              SELECT node, count(*) AS n_triangles
+              FROM (SELECT unnest([x, y, z]) AS node FROM t)
+              GROUP BY 1),
+            tot AS (SELECT count(*) AS total_triangles FROM t)
+            SELECT node, n_triangles, total_triangles
+            FROM pn CROSS JOIN tot
+        """,
+        "conversion_latency": """
+            WITH base AS (
+              SELECT user_id, event_type, epoch(ts) AS tt FROM events),
+            s AS (SELECT user_id, min(tt) AS signup_tt
+                  FROM base WHERE event_type = 'signup' GROUP BY 1),
+            lat AS (
+              SELECT s.user_id,
+                     CAST(floor((min(p.tt) - s.signup_tt) / 3600.0) AS BIGINT)
+                       AS hours_to_convert
+              FROM s JOIN base p ON p.user_id = s.user_id
+                 AND p.event_type = 'purchase' AND p.tt >= s.signup_tt
+              GROUP BY s.user_id, s.signup_tt)
+            SELECT hours_to_convert, count(*) AS n_users
+            FROM lat GROUP BY 1
+        """,
         "ab_test": """
             WITH pu AS (
               SELECT user_id,

@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "skyline_orders",
     "event_cooccurrence",
     "ab_test",
+    "event_triangles",
+    "conversion_latency",
     "session_transitions",
     "session_paths3",
     "event_pagerank",

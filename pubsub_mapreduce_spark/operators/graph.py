@@ -127,3 +127,49 @@ def duckdb_pagerank_sql(
     return (
         "WITH " + ",\n      ".join(blocks) + f"\n      SELECT node, r FROM r{iters}"
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Undirected triangle count per node + the global total — the
+    clustering/community density metric that rounds out the graph
+    toolbox (components = connectivity, PageRank = centrality,
+    triangles = cohesion).
+
+    The classic distributed formulation: canonicalize each edge to
+    (lo, hi), dedupe, then join edge (a,b) with edge (b,c) and close
+    with (a,c) — every triangle found exactly once because a < b < c.
+    Two joins riding the edge-key hash; at scale the standard
+    degree-ordering optimization (orient edges from low- to
+    high-degree endpoints) bounds the wedge fan-out, noted here and
+    unnecessary at the fixture's graph size. Integer counts — exact
+    everywhere."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    ac = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (
+        ab.join(bc, "y")
+        .join(ac, ["x", "z"])
+        .select("x", "y", "z")
+    )
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    total = tri.agg(F.count(F.lit(1)).alias("__t"))
+    from pyspark.sql.functions import broadcast
+
+    return per_node.crossJoin(broadcast(total)).select(
+        "node", "n_triangles", F.col("__t").alias("total_triangles")
+    )

@@ -46,3 +46,22 @@ def test_pagerank_partitioning_independent(spark, tables):
     a = {r["node"]: r["r"] for r in pagerank(edges.coalesce(1)).collect()}
     b = {r["node"]: r["r"] for r in pagerank(edges.repartition(13)).collect()}
     assert a == b and len(a) > 1
+
+
+def test_triangle_count_k4_and_square(spark):
+    """K4 has 4 triangles, every node in 3; a 4-cycle has none; edge
+    direction and duplicates must not double-count."""
+    from pubsub_mapreduce_spark.operators.graph import triangle_count
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d"), ("c", "b")]  # one reversed duplicate
+    e = spark.createDataFrame(k4, "u string, v string")
+    rows = triangle_count(e).collect()
+    assert rows and all(r["total_triangles"] == 4 for r in rows)
+    assert {r["node"]: r["n_triangles"] for r in rows} == {
+        "a": 3, "b": 3, "c": 3, "d": 3,
+    }
+    square = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], "u string, v string"
+    )
+    assert triangle_count(square).count() == 0
