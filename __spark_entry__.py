@@ -572,6 +572,56 @@ def q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q_benford_digits(spark, sf_dir):
+    """First-significant-digit audit of order totals (the Benford
+    screen bookkeeping fraud checks run): observed digit counts and
+    shares — fabricated numbers drift from the logarithmic digit law,
+    and the observed distribution is the integer-exact half of that
+    comparison (the expected-law constants are reader-side)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    # 2dp money: integer cents carry the first significant digit as
+    # their first character (no leading zeros in an integer's string)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    d = orders.where(F.col("o_totalprice") > 0).select(digit.alias("digit"))
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").cast("long").alias("__t"))
+    from pyspark.sql.functions import broadcast
+
+    from pubsub_mapreduce_spark.functions.text import round_half_up
+
+    return counts.crossJoin(broadcast(total)).select(
+        "digit", "n", round_half_up(F.col("n") / F.col("__t"), 6).alias("share")
+    )
+
+
+def q_users_to_date(spark, sf_dir):
+    """Growth curve: per day, first-seen users and the cumulative
+    distinct-user count — computed WITHOUT a distinct-per-day rescan:
+    each user contributes once at their min-day, and the cumulative
+    sum over the |days| relation is exact (the classic first-touch
+    trick that turns an unmergeable distinct into a mergeable count)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    from pyspark.sql import Window
+
+    first_day = (
+        ev.select(
+            "user_id",
+            F.datediff(
+                F.to_date("ts"), F.lit("1992-01-01").cast("date")
+            ).alias("dn"),
+        )
+        .groupBy("user_id")
+        .agg(F.min("dn").alias("dn"))
+    )
+    daily = first_day.groupBy("dn").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("dn").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.withColumn(
+        "cumulative_users", F.sum("new_users").over(w)
+    )
+
+
 def q_event_triangles(spark, sf_dir):
     """Triangle counts over the event-type transition graph
     (graph.triangle_count) — cohesion alongside components and
@@ -1433,6 +1483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": q_ab_test,
         "event_triangles": q_event_triangles,
         "conversion_latency": q_conversion_latency,
+        "benford_digits": q_benford_digits,
+        "users_to_date": q_users_to_date,
         "pii_audit": q_pii_audit,
         "pii_scrub": q_pii_scrub,
         # text analysis / curation
@@ -3755,6 +3807,30 @@ def oracle_sql() -> dict[str, str]:
             FROM toks LEFT JOIN vocab USING (token)
         """,
         "profile_drift": _profile_drift_oracle_sql(),
+        "benford_digits": """
+            WITH d AS (
+              SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                                        AS BIGINT) AS VARCHAR), 1, 1)
+                          AS INTEGER) AS digit
+              FROM orders WHERE o_totalprice > 0),
+            c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM c)
+            SELECT digit, n,
+                   floor(n * 1.0 / tt * 1e6 + 0.5) / 1e6 AS share
+            FROM c CROSS JOIN t
+        """,
+        "users_to_date": """
+            WITH fd AS (
+              SELECT user_id,
+                     min(CAST(datediff('day', DATE '1992-01-01',
+                                       CAST(ts AS DATE)) AS INTEGER)) AS dn
+              FROM events GROUP BY 1),
+            daily AS (SELECT dn, count(*) AS new_users FROM fd GROUP BY 1)
+            SELECT dn, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY dn) AS BIGINT)
+                     AS cumulative_users
+            FROM daily
+        """,
         "event_triangles": """
             WITH tr AS (
               WITH ev AS (

@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "ab_test",
     "event_triangles",
     "conversion_latency",
+    "benford_digits",
+    "users_to_date",
     "session_transitions",
     "session_paths3",
     "event_pagerank",
