@@ -572,6 +572,63 @@ def q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q_rfm_segments(spark, sf_dir):
+    """RFM segmentation: per customer, recency/frequency/monetary
+    quartiles (ntile over deterministic (metric, custkey) orderings —
+    engine-independent tie-breaks) and the 3-digit segment code the
+    lifecycle campaigns key off. Counts per segment reported."""
+    from pyspark.sql import Window
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        ).alias("last_day"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("spend"),
+    )
+    r = F.ntile(4).over(
+        Window.orderBy(F.col("last_day").asc(), F.col("o_custkey").asc())
+    )
+    fq = F.ntile(4).over(
+        Window.orderBy(F.col("n_orders").asc(), F.col("o_custkey").asc())
+    )
+    m = F.ntile(4).over(
+        Window.orderBy(F.col("spend").asc(), F.col("o_custkey").asc())
+    )
+    seg = per_cust.select(
+        r.alias("r_q"), fq.alias("f_q"), m.alias("m_q")
+    )
+    return seg.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+def q_brand_cooccurrence(spark, sf_dir):
+    """Retail basket mining on the star schema: brand pairs bought in
+    the SAME order, with support counts — the parts-level twin of the
+    event-type co-occurrence; pair expansion bounded by items-per-order
+    and brands join via broadcast."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_partkey")
+    parts = t["part"].select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(parts), li["l_partkey"] == parts["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 def q_benford_digits(spark, sf_dir):
     """First-significant-digit audit of order totals (the Benford
     screen bookkeeping fraud checks run): observed digit counts and
@@ -1485,6 +1542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_latency": q_conversion_latency,
         "benford_digits": q_benford_digits,
         "users_to_date": q_users_to_date,
+        "rfm_segments": q_rfm_segments,
+        "brand_cooccurrence": q_brand_cooccurrence,
         "pii_audit": q_pii_audit,
         "pii_scrub": q_pii_scrub,
         # text analysis / curation
@@ -3807,6 +3866,37 @@ def oracle_sql() -> dict[str, str]:
             FROM toks LEFT JOIN vocab USING (token)
         """,
         "profile_drift": _profile_drift_oracle_sql(),
+        "rfm_segments": """
+            WITH pc AS (
+              SELECT o_custkey,
+                     max(datediff('day', DATE '1992-01-01', o_orderdate))
+                       AS last_day,
+                     count(*) AS n_orders,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS spend
+              FROM orders GROUP BY 1),
+            seg AS (
+              SELECT ntile(4) OVER (ORDER BY last_day ASC, o_custkey ASC)
+                       AS r_q,
+                     ntile(4) OVER (ORDER BY n_orders ASC, o_custkey ASC)
+                       AS f_q,
+                     ntile(4) OVER (ORDER BY spend ASC, o_custkey ASC)
+                       AS m_q
+              FROM pc)
+            SELECT CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+                   CAST(m_q AS INTEGER) AS m_q, count(*) AS n_customers
+            FROM seg GROUP BY 1, 2, 3
+        """,
+        "brand_cooccurrence": """
+            WITH ob AS (
+              SELECT DISTINCT l.l_orderkey, p.p_brand
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                   count(*) AS n_orders
+            FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+                              AND a.p_brand < b.p_brand
+            GROUP BY 1, 2
+        """,
         "benford_digits": """
             WITH d AS (
               SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)

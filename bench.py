@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "conversion_latency",
     "benford_digits",
     "users_to_date",
+    "rfm_segments",
+    "brand_cooccurrence",
     "session_transitions",
     "session_paths3",
     "event_pagerank",
