@@ -572,6 +572,88 @@ def q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q_open_orders_by_day(spark, sf_dir):
+    """Backlog curve via the sweep line: each order contributes +1 at
+    its order day and -1 after its last ship day; the cumulative sum
+    over the tiny |days| delta relation is the number of orders open
+    on each day — the interval-stabbing pattern that answers
+    "concurrent intervals" without a per-day interval scan."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    span = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.min(
+                F.datediff(
+                    F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+                )
+            ).alias("start_dn"),
+            F.max(
+                F.datediff(
+                    F.col("l_shipdate"), F.lit("1992-01-01").cast("date")
+                )
+            ).alias("end_dn"),
+        )
+    )
+    deltas = span.select(
+        F.col("start_dn").alias("dn"), F.lit(1).alias("d")
+    ).unionByName(
+        span.select((F.col("end_dn") + 1).alias("dn"), F.lit(-1).alias("d"))
+    )
+    daily = deltas.groupBy("dn").agg(F.sum("d").alias("delta"))
+    w = Window.orderBy("dn").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.withColumn("open_orders", F.sum("delta").over(w))
+        .select("dn", "delta", F.col("open_orders").cast("long"))
+    )
+
+
+def q_supplier_hhi(spark, sf_dir):
+    """Market concentration per nation: the Herfindahl–Hirschman index
+    of supplier revenue shares, computed exactly — sum of squared
+    integer cent revenues divided ONCE by the squared total (DECIMAL
+    intermediates per the z-score overflow discipline), so the
+    concentration metric carries a value-hash oracle."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select(
+        "l_suppkey",
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 10000)"
+            " AS BIGINT)"
+        ).alias("rev"),
+    )
+    sup = t["supplier"].select("s_suppkey", "s_nationkey")
+    per_supp = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    d = "decimal(38,0)"
+    return (
+        per_supp.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("rev").cast(d) * F.col("rev").cast(d)).alias("__sq"),
+            F.sum(F.col("rev").cast(d)).alias("__tot"),
+        )
+        .select(
+            "s_nationkey",
+            "n_suppliers",
+            F.expr(
+                "floor(CAST(__sq AS DOUBLE)"
+                " / (CAST(__tot AS DOUBLE) * CAST(__tot AS DOUBLE))"
+                " * 1e6 + 0.5) / 1e6"
+            ).alias("hhi"),
+        )
+    )
+
+
 def q_rfm_segments(spark, sf_dir):
     """RFM segmentation: per customer, recency/frequency/monetary
     quartiles (ntile over deterministic (metric, custkey) orderings —
@@ -1544,6 +1626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "users_to_date": q_users_to_date,
         "rfm_segments": q_rfm_segments,
         "brand_cooccurrence": q_brand_cooccurrence,
+        "open_orders_by_day": q_open_orders_by_day,
+        "supplier_hhi": q_supplier_hhi,
         "pii_audit": q_pii_audit,
         "pii_scrub": q_pii_scrub,
         # text analysis / curation
@@ -3866,6 +3950,47 @@ def oracle_sql() -> dict[str, str]:
             FROM toks LEFT JOIN vocab USING (token)
         """,
         "profile_drift": _profile_drift_oracle_sql(),
+        "open_orders_by_day": """
+            WITH span AS (
+              SELECT o.o_orderkey,
+                     min(datediff('day', DATE '1992-01-01', o.o_orderdate))
+                       AS start_dn,
+                     max(datediff('day', DATE '1992-01-01', l.l_shipdate))
+                       AS end_dn
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              GROUP BY 1),
+            deltas AS (
+              SELECT start_dn AS dn, 1 AS d FROM span
+              UNION ALL
+              SELECT end_dn + 1, -1 FROM span),
+            daily AS (SELECT dn, CAST(sum(d) AS BIGINT) AS delta
+                      FROM deltas GROUP BY 1)
+            SELECT CAST(dn AS INTEGER) AS dn, delta,
+                   CAST(sum(delta) OVER (ORDER BY dn) AS BIGINT)
+                     AS open_orders
+            FROM daily
+        """,
+        "supplier_hhi": """
+            WITH li AS (
+              SELECT l_suppkey,
+                     CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                          AS BIGINT) AS rev
+              FROM lineitem),
+            ps AS (
+              SELECT s.s_nationkey, li.l_suppkey,
+                     CAST(sum(rev) AS DECIMAL(38,0)) AS rev
+              FROM li JOIN supplier s ON li.l_suppkey = s.s_suppkey
+              GROUP BY 1, 2),
+            agg AS (
+              SELECT s_nationkey, count(*) AS n_suppliers,
+                     sum(rev * rev) AS sq, sum(rev) AS tot
+              FROM ps GROUP BY 1)
+            SELECT s_nationkey, n_suppliers,
+                   floor(CAST(sq AS DOUBLE)
+                         / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
+                         * 1e6 + 0.5) / 1e6 AS hhi
+            FROM agg
+        """,
         "rfm_segments": """
             WITH pc AS (
               SELECT o_custkey,

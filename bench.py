@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "users_to_date",
     "rfm_segments",
     "brand_cooccurrence",
+    "open_orders_by_day",
+    "supplier_hhi",
     "session_transitions",
     "session_paths3",
     "event_pagerank",
