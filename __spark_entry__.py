@@ -572,6 +572,40 @@ def q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q_spend_gini(spark, sf_dir):
+    """Gini coefficient of customer spend — the inequality summary
+    beside supplier_hhi's concentration: G = sum((2i - n - 1) * x_i)
+    / (n * sum(x)) over rank-sorted integer cents, an exact integer
+    numerator (rank ties broken by custkey) and ONE final division."""
+    from pyspark.sql import Window
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "cents"
+        )
+    )
+    w = Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
+    ranked = per_cust.select(
+        "cents", F.row_number().over(w).alias("i")
+    )
+    d = "decimal(38,0)"
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast(d).alias("n"),
+        F.sum(F.col("cents").cast(d)).alias("tot"),
+        F.sum(F.col("i").cast(d) * F.col("cents").cast(d)).alias("ix"),
+    )
+    # numerator 2*sum(i*x) - (n+1)*sum(x) stays exact in DECIMAL;
+    # ONE double division at the end
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.expr(
+            "floor(CAST(2 * ix - (n + 1) * tot AS DOUBLE)"
+            " / CAST(n * tot AS DOUBLE) * 1e6 + 0.5) / 1e6"
+        ).alias("gini"),
+    )
+
+
 def q_open_orders_by_day(spark, sf_dir):
     """Backlog curve via the sweep line: each order contributes +1 at
     its order day and -1 after its last ship day; the cumulative sum
@@ -611,6 +645,60 @@ def q_open_orders_by_day(spark, sf_dir):
     return (
         daily.withColumn("open_orders", F.sum("delta").over(w))
         .select("dn", "delta", F.col("open_orders").cast("long"))
+    )
+
+
+def q_abc_parts(spark, sf_dir):
+    """ABC (Pareto) inventory classification: parts ranked by revenue,
+    class A while the EXCLUSIVE cumulative share is under 80%, B under
+    95%, else C — thresholds compared as integer cross-products
+    (cum * 100 vs threshold * total), no rate rounding anywhere; class
+    counts and revenue totals reported."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(l_extendedprice * (1 - l_discount) * 10000)"
+                    " AS BIGINT)"
+                )
+            ).alias("rev")
+        )
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc())
+    ranked = rev.select(
+        "rev",
+        (F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)) - F.col("rev")).alias("cum_before"),
+    )
+    total = ranked.agg(F.sum("rev").alias("__t"))
+    from pyspark.sql.functions import broadcast
+
+    cls = (
+        ranked.crossJoin(broadcast(total))
+        .withColumn(
+            "abc_class",
+            # DECIMAL cross-products: long*100 would overflow int64 at
+            # warehouse totals under ANSI (DuckDB auto-widens to HUGEINT)
+            F.when(
+                F.col("cum_before").cast("decimal(38,0)") * 100
+                < F.col("__t").cast("decimal(38,0)") * 80,
+                "A",
+            )
+            .when(
+                F.col("cum_before").cast("decimal(38,0)") * 100
+                < F.col("__t").cast("decimal(38,0)") * 95,
+                "B",
+            )
+            .otherwise("C"),
+        )
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev").alias("class_rev"),
     )
 
 
@@ -1628,6 +1716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_cooccurrence": q_brand_cooccurrence,
         "open_orders_by_day": q_open_orders_by_day,
         "supplier_hhi": q_supplier_hhi,
+        "spend_gini": q_spend_gini,
+        "abc_parts": q_abc_parts,
         "pii_audit": q_pii_audit,
         "pii_scrub": q_pii_scrub,
         # text analysis / curation
@@ -3950,6 +4040,50 @@ def oracle_sql() -> dict[str, str]:
             FROM toks LEFT JOIN vocab USING (token)
         """,
         "profile_drift": _profile_drift_oracle_sql(),
+        "spend_gini": """
+            WITH pc AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS DECIMAL(38,0)) AS cents
+              FROM orders GROUP BY 1),
+            ranked AS (
+              SELECT cents,
+                     CAST(row_number() OVER (ORDER BY cents ASC,
+                                             o_custkey ASC)
+                          AS DECIMAL(38,0)) AS i
+              FROM pc),
+            agg AS (
+              SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+                     sum(cents) AS tot, sum(i * cents) AS ix
+              FROM ranked)
+            SELECT CAST(n AS BIGINT) AS n_customers,
+                   floor(CAST(2 * ix - (n + 1) * tot AS DOUBLE)
+                         / CAST(n * tot AS DOUBLE) * 1e6 + 0.5) / 1e6
+                     AS gini
+            FROM agg
+        """,
+        "abc_parts": """
+            WITH rev AS (
+              SELECT l_partkey,
+                     sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                    * 10000) AS BIGINT)) AS rev
+              FROM lineitem GROUP BY 1),
+            ranked AS (
+              SELECT rev,
+                     sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC)
+                       - rev AS cum_before
+              FROM rev),
+            t AS (SELECT sum(rev) AS tt FROM rev),
+            cls AS (
+              SELECT rev,
+                     CASE WHEN cum_before * 100 < tt * 80 THEN 'A'
+                          WHEN cum_before * 100 < tt * 95 THEN 'B'
+                          ELSE 'C' END AS abc_class
+              FROM ranked CROSS JOIN t)
+            SELECT abc_class, count(*) AS n_parts,
+                   CAST(sum(rev) AS BIGINT) AS class_rev
+            FROM cls GROUP BY 1
+        """,
         "open_orders_by_day": """
             WITH span AS (
               SELECT o.o_orderkey,

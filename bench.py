@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "brand_cooccurrence",
     "open_orders_by_day",
     "supplier_hhi",
+    "spend_gini",
+    "abc_parts",
     "session_transitions",
     "session_paths3",
     "event_pagerank",
