@@ -572,6 +572,71 @@ def q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q_double_charges(spark, sf_dir):
+    """Duplicate-submission screen: the same customer placing multiple
+    orders the same day — the replay/double-charge candidate set a
+    payment pipeline reviews; amount bounds reported so exact-amount
+    repeats stand out (min_cents == max_cents). One grouped count on
+    the natural key."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return (
+        orders.select(
+            "o_custkey",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("dn"),
+        )
+        .groupBy("o_custkey", "dn")
+        .agg(
+            F.count(F.lit(1)).alias("n_txns"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .where(F.col("n_txns") > 1)
+    )
+
+
+def q_cycle_time_by_priority(spark, sf_dir):
+    """Order-to-ship cycle time per priority class: min / exact median
+    (type-1 order statistic, deterministic tie-break) / max days from
+    order date to last line shipment — the SLA report; same integer
+    rank machinery as the MAD family."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    cyc = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.max(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            ).alias("days")
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("days", "o_orderkey")
+    ranked = cyc.select(
+        "o_orderpriority",
+        "days",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("o_orderpriority")
+        ).alias("n"),
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.min("days").alias("min_days"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") / 2), F.col("days"))
+        ).alias("median_days"),
+        F.max("days").alias("max_days"),
+    )
+
+
 def q_spend_gini(spark, sf_dir):
     """Gini coefficient of customer spend — the inequality summary
     beside supplier_hhi's concentration: G = sum((2i - n - 1) * x_i)
@@ -1718,6 +1783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_hhi": q_supplier_hhi,
         "spend_gini": q_spend_gini,
         "abc_parts": q_abc_parts,
+        "double_charges": q_double_charges,
+        "cycle_time_by_priority": q_cycle_time_by_priority,
         "pii_audit": q_pii_audit,
         "pii_scrub": q_pii_scrub,
         # text analysis / curation
@@ -4040,6 +4107,39 @@ def oracle_sql() -> dict[str, str]:
             FROM toks LEFT JOIN vocab USING (token)
         """,
         "profile_drift": _profile_drift_oracle_sql(),
+        "double_charges": """
+            SELECT o_custkey,
+                   CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+                        AS INTEGER) AS dn,
+                   count(*) AS n_txns,
+                   min(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS min_cents,
+                   max(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS max_cents
+            FROM orders
+            GROUP BY 1, 2
+            HAVING count(*) > 1
+        """,
+        "cycle_time_by_priority": """
+            WITH cyc AS (
+              SELECT o.o_orderkey, o.o_orderpriority,
+                     CAST(max(datediff('day', o.o_orderdate, l.l_shipdate))
+                          AS INTEGER) AS days
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              GROUP BY 1, 2),
+            ranked AS (
+              SELECT o_orderpriority, days,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY days, o_orderkey) AS rn,
+                     count(*) OVER (PARTITION BY o_orderpriority) AS n
+              FROM cyc)
+            SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_orders,
+                   min(days) AS min_days,
+                   max(CASE WHEN rn = CAST(ceil(n / 2) AS BIGINT)
+                            THEN days END) AS median_days,
+                   max(days) AS max_days
+            FROM ranked GROUP BY 1
+        """,
         "spend_gini": """
             WITH pc AS (
               SELECT o_custkey,

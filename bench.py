@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "supplier_hhi",
     "spend_gini",
     "abc_parts",
+    "double_charges",
+    "cycle_time_by_priority",
     "session_transitions",
     "session_paths3",
     "event_pagerank",
