@@ -332,6 +332,31 @@ def q_rare_tokens(spark, sf_dir):
     return TX.rare_token_profile(load_tables(spark, sf_dir)["documents"], min_df=100)
 
 
+def q_user_cusum(spark, sf_dir):
+    """Per-user CUSUM change-point locator (robust.user_cusum) —
+    integer running sums, one mirrored float expression per row."""
+    return RB.user_cusum(load_tables(spark, sf_dir)["events"])
+
+
+def q_user_twap(spark, sf_dir):
+    """Per-user time-weighted average value (robust.user_twap) —
+    BIGINT second-gap weights, single mirrored division."""
+    return RB.user_twap(load_tables(spark, sf_dir)["events"])
+
+
+def q_text_bm25(spark, sf_dir):
+    """BM25 topical retrieval over documents (textops.bm25_rank) —
+    rational idf so the oracle mirrors every IEEE op."""
+    return TX.bm25_rank(load_tables(spark, sf_dir)["documents"])
+
+
+def q_bigram_collocations(spark, sf_dir):
+    """Adjacent-pair collocation lift (textops.bigram_collocations)."""
+    return TX.bigram_collocations(
+        load_tables(spark, sf_dir)["documents"], min_count=5
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -1727,6 +1752,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_values": q_winsorized_values,
         "association_rules": q_association_rules,
         "rare_tokens": q_rare_tokens,
+        "user_cusum": q_user_cusum,
+        "user_twap": q_user_twap,
+        "text_bm25": q_text_bm25,
+        "bigram_collocations": q_bigram_collocations,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -3354,6 +3383,141 @@ def oracle_sql() -> dict[str, str]:
                          / sum(tf) * 1e6 + 0.5) / 1e6 AS rare_frac
             FROM tf JOIN f USING (term)
             GROUP BY doc_id
+        """,
+        "user_cusum": r"""
+            WITH e AS (
+              SELECT user_id, ts, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            w AS (
+              SELECT user_id, ts,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS i,
+                     sum(cents) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS p,
+                     sum(cents) OVER (PARTITION BY user_id) AS s,
+                     count(*)   OVER (PARTITION BY user_id) AS n
+              FROM e),
+            d AS (
+              SELECT user_id, ts, i, n,
+                     floor(abs(CAST(p AS DOUBLE)
+                               - i * (CAST(s AS DOUBLE) / n)) * 1e4 + 0.5)
+                         / 1e4 AS abs_dev
+              FROM w),
+            r AS (
+              SELECT user_id, ts, i, n, abs_dev,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY abs_dev DESC, i) AS rk
+              FROM d)
+            SELECT user_id,
+                   CAST(n AS BIGINT) AS n_events,
+                   CAST(i AS INTEGER) AS cp_idx,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS cp_ts,
+                   abs_dev AS cusum_max
+            FROM r WHERE rk = 1
+        """,
+        "user_twap": r"""
+            WITH e AS (
+              SELECT user_id, ts, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+              FROM events),
+            g AS (
+              SELECT user_id, cents,
+                     lead(ts_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - ts_s AS gap_s
+              FROM e)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_held,
+                   CAST(sum(gap_s) AS BIGINT) AS held_s,
+                   floor(CAST(sum(cents * gap_s) AS DOUBLE) / sum(gap_s)
+                         * 1e4 + 0.5) / 1e4 AS twap_cents,
+                   floor(CAST(sum(cents) AS DOUBLE) / count(*)
+                         * 1e4 + 0.5) / 1e4 AS mean_cents
+            FROM g WHERE gap_s IS NOT NULL
+            GROUP BY user_id
+        """,
+        "text_bm25": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents),
+            dl AS (SELECT doc_id, len(tk) AS dl FROM toks),
+            terms AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM terms
+              WHERE term IN ('spark', 'merge', 'hash', 'window')
+              GROUP BY 1, 2),
+            idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            stats AS (
+              SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM dl),
+            c AS (
+              SELECT tf.doc_id, tf.term,
+                     ((n_docs - df + CAST(0.5 AS DOUBLE))
+                      / (df + CAST(0.5 AS DOUBLE)))
+                     * ((tf * CAST(2.2 AS DOUBLE))
+                        / (tf + CAST(1.2 AS DOUBLE)
+                                * (CAST(0.25 AS DOUBLE)
+                                   + CAST(0.75 AS DOUBLE) * (dl / avgdl))))
+                         AS c
+              FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN stats),
+            piv AS (
+              SELECT doc_id,
+                     max(CASE WHEN term = 'spark' THEN c
+                              ELSE CAST(0.0 AS DOUBLE) END) AS c0,
+                     max(CASE WHEN term = 'merge' THEN c
+                              ELSE CAST(0.0 AS DOUBLE) END) AS c1,
+                     max(CASE WHEN term = 'hash' THEN c
+                              ELSE CAST(0.0 AS DOUBLE) END) AS c2,
+                     max(CASE WHEN term = 'window' THEN c
+                              ELSE CAST(0.0 AS DOUBLE) END) AS c3
+              FROM c GROUP BY doc_id),
+            scored AS (
+              SELECT doc_id,
+                     floor((CAST(0.0 AS DOUBLE) + c0 + c1 + c2 + c3)
+                           * 1e6 + 0.5) / 1e6 AS bm25
+              FROM piv),
+            top AS (
+              SELECT doc_id, bm25 FROM scored
+              ORDER BY bm25 DESC, doc_id LIMIT 100)
+            SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                        AS INTEGER) AS rank,
+                   doc_id, bm25
+            FROM top
+        """,
+        "bigram_collocations": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents),
+            uni AS (SELECT unnest(tk) AS tok FROM toks),
+            bi AS (
+              SELECT array_to_string(tk[i+1:i+2], ' ') AS bg
+              FROM toks,
+                   LATERAL (SELECT unnest(range(len(tk)-1)) AS i) _
+              WHERE len(tk) >= 2),
+            cab AS (
+              SELECT bg, count(*) AS c_ab FROM bi
+              GROUP BY 1 HAVING count(*) >= 5),
+            ct AS (SELECT tok, count(*) AS c_tok FROM uni GROUP BY 1),
+            tot AS (SELECT (SELECT count(*) FROM bi) AS m,
+                           (SELECT count(*) FROM uni) AS t)
+            SELECT split_part(bg, ' ', 1) AS a,
+                   split_part(bg, ' ', 2) AS b,
+                   CAST(c_ab AS BIGINT) AS c_ab,
+                   floor(((CAST(c_ab AS DOUBLE) / m)
+                          / ((CAST(ca.c_tok AS DOUBLE) / t)
+                             * (CAST(cb.c_tok AS DOUBLE) / t)))
+                         * 1e4 + 0.5) / 1e4 AS lift
+            FROM cab
+            JOIN ct ca ON ca.tok = split_part(bg, ' ', 1)
+            JOIN ct cb ON cb.tok = split_part(bg, ' ', 2)
+            CROSS JOIN tot
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

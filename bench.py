@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "seasonal_outliers",
     "winsorized_values",
     "user_ema",
+    "user_cusum",
+    "user_twap",
     "association_rules",
     "approx_distinct_users",
     "range_join_signup",
@@ -156,6 +158,8 @@ BENCH_QUERIES = [
     "text_char_bigram",
     "text_repetition",
     "rare_tokens",
+    "text_bm25",
+    "bigram_collocations",
     "cross_doc_repetition",
     "oov_rate",
     "decontaminate",

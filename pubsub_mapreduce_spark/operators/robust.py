@@ -319,3 +319,97 @@ def user_value_ema(events: DataFrame, shift: int = 2) -> DataFrame:
             F.col("s.n").alias("n_events"),
         )
     )
+
+
+def user_cusum(events: DataFrame) -> DataFrame:
+    """Per-user CUSUM change-point estimate: the index (and timestamp)
+    where the cumulative deviation from the user's own mean peaks — the
+    standard offline single-change-point locator (argmax |CUSUM|).
+
+    Exactness strategy: the running sum ``P_i`` stays in INTEGER cents
+    (window sum over longs — exact in any engine/order), and the mean
+    enters through ONE deterministic float expression per row,
+    ``dev_i = P_i - i * (S/n)`` with ``S``, ``n``, ``i`` all integers —
+    two IEEE ops in a fixed order, so Spark and the DuckDB oracle agree
+    bit-for-bit. abs + round_half_up(4) for the emitted magnitude; the
+    argmax tie-breaks on the earliest index, so selection is exact too.
+
+    Scale: one user-keyed exchange; both windows (running sum and
+    whole-partition S/n) reuse the SAME partitioning, and state per key
+    is O(1). Reference analogue: T7's running total (reducer.go:79,87)
+    turned into an analytic — the running aggregation reread as a
+    change detector."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    dev = F.col("p").cast("double") - F.col("i") * (
+        F.col("s").cast("double") / F.col("n")
+    )
+    scored = (
+        events.select("user_id", "ts", "event_id", _cents().alias("cents"))
+        .select(
+            "user_id",
+            "ts",
+            F.row_number().over(w).alias("i"),
+            F.sum("cents").over(w).alias("p"),
+            F.sum("cents").over(wall).alias("s"),
+            F.count(F.lit(1)).over(wall).alias("n"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            "i",
+            "n",
+            round_half_up(F.abs(dev), 4).alias("abs_dev"),
+        )
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.desc("abs_dev"), F.asc("i")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(pick))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            F.col("i").alias("cp_idx"),
+            F.unix_timestamp("ts").alias("cp_ts"),
+            F.col("abs_dev").alias("cusum_max"),
+        )
+    )
+
+
+def user_twap(events: DataFrame) -> DataFrame:
+    """Per-user TIME-weighted average value (TWAP): each observation is
+    held until the next one, so its weight is the gap to the successor
+    in whole seconds; the final observation carries no forward interval
+    and is excluded (standard left-closed TWAP). Contrast column
+    ``mean_cents`` is the plain per-event mean over the same rows, so
+    the burst-vs-steady bias is visible in one table.
+
+    Integer-exact core: weights are BIGINT second gaps, values BIGINT
+    cents, so both weighted and plain sums are exact; ONE mirrored
+    division + round_half_up(4) per emitted ratio. One user-keyed
+    exchange shared by the lead() window and the aggregate."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.unix_timestamp("ts")
+    g = (
+        events.select("user_id", "ts", "event_id", _cents().alias("cents"))
+        .select(
+            "user_id",
+            "cents",
+            (F.lead(ts_s).over(w) - ts_s).alias("gap_s"),
+        )
+        .where(F.col("gap_s").isNotNull())
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_held"),
+        F.sum("gap_s").alias("held_s"),
+        round_half_up(
+            F.sum(F.col("cents") * F.col("gap_s")).cast("double")
+            / F.sum("gap_s"),
+            4,
+        ).alias("twap_cents"),
+        round_half_up(
+            F.sum("cents").cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_cents"),
+    )

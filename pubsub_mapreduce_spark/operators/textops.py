@@ -811,3 +811,135 @@ def oov_rate(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
             round_half_up(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
         )
     )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = ("spark", "merge", "hash", "window"),
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 100,
+) -> DataFrame:
+    """BM25 relevance ranking of the corpus against a fixed term query —
+    the retrieval primitive a training-data curator uses to mine
+    topical subsets ("give me the 100 most Spark-ish documents").
+
+    Rational-idf variant: ``idf = (N - df + 0.5)/(df + 0.5)`` (the
+    inside of the classic log, monotone in it, so ranking-equivalent)
+    — division-only arithmetic lets the DuckDB oracle mirror every IEEE
+    op in order, making the float scores bit-identical cross-engine
+    (a ``ln``-based idf would hinge on two libms agreeing). Per-term
+    contributions are summed in FIXED query order via a conditional
+    pivot (never a float SUM aggregate, whose order is engine-chosen).
+
+    Scale shape: tf is one (doc, term)-keyed aggregate over only the
+    rows matching the query terms (the isin filter runs map-side,
+    before the shuffle); df/avgdl are scalar broadcasts; final top-k is
+    TakeOrderedAndProject (orderBy+limit), never a global sort."""
+    from pyspark.sql import Window
+
+    qts = list(query_terms)
+    d = widen(docs, 8).select(
+        "doc_id", T.tokens(F.col("text")).alias("__toks")
+    )
+    dl = d.select("doc_id", F.size("__toks").alias("dl"))
+    terms = d.select("doc_id", F.explode("__toks").alias("term")).where(
+        F.col("term").isin(qts)
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+    )
+    contrib = idf * ((F.col("tf") * F.lit(k1 + 1.0)) / denom)
+    per_term = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", contrib.alias("c"))
+    )
+    cols = [
+        F.max(F.when(F.col("term") == t, F.col("c")).otherwise(0.0)).alias(
+            f"c{i}"
+        )
+        for i, t in enumerate(qts)
+    ]
+    score = F.lit(0.0)
+    for i in range(len(qts)):
+        score = score + F.col(f"c{i}")
+    scored = (
+        per_term.groupBy("doc_id")
+        .agg(*cols)
+        .select("doc_id", rh(score, 6).alias("bm25"))
+    )
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(top_n)
+    wr = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(wr).alias("rank"), "doc_id", "bm25"
+    )
+
+
+def bigram_collocations(docs: DataFrame, min_count: int = 5) -> DataFrame:
+    """Corpus collocation mining: adjacent word pairs scored by LIFT
+    (observed bigram probability over the independence expectation) —
+    the classic PMI signal with the log stripped off so the arithmetic
+    stays a mirrored chain of IEEE divisions (integer counts in, one
+    rounded float out; a log-PMI would bet on libm agreement).
+
+        lift(a,b) = (c_ab / M) / ((c_a / T) * (c_b / T))
+
+    with c_* exact BIGINT counts, M = total bigrams, T = total tokens.
+
+    Scale shape: bigrams come from dedup.word_shingles' single
+    overlapping-regex pass (no per-element HOF string building), both
+    count tables are hash aggregates with map-side partials, the two
+    unigram lookups broadcast only the (token, count) vocabulary (tiny
+    vs the corpus), and totals are scalar broadcasts. min_count prunes
+    the tail BEFORE the lookup joins."""
+    from .dedup import word_shingles
+
+    bi = word_shingles(docs, n=2, distinct=False).where(
+        F.size(F.split(F.col("shingle"), " ")) == 2
+    )
+    uni = word_shingles(docs, n=1, distinct=False)
+    c_ab = (
+        bi.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+        .select(
+            F.split(F.col("shingle"), " ")[0].alias("a"),
+            F.split(F.col("shingle"), " ")[1].alias("b"),
+            "c_ab",
+        )
+    )
+    c_tok = uni.groupBy("shingle").agg(F.count(F.lit(1)).alias("c_tok"))
+    m_tot = bi.agg(F.count(F.lit(1)).alias("m"))
+    t_tot = uni.agg(F.count(F.lit(1)).alias("t"))
+    lift = (F.col("c_ab").cast("double") / F.col("m")) / (
+        (F.col("c_a").cast("double") / F.col("t"))
+        * (F.col("c_b").cast("double") / F.col("t"))
+    )
+    return (
+        c_ab.join(
+            F.broadcast(c_tok.withColumnRenamed("c_tok", "c_a")),
+            F.col("a") == F.col("shingle"),
+        )
+        .drop("shingle")
+        .join(
+            F.broadcast(c_tok.withColumnRenamed("c_tok", "c_b")),
+            F.col("b") == F.col("shingle"),
+        )
+        .drop("shingle")
+        .crossJoin(F.broadcast(m_tot))
+        .crossJoin(F.broadcast(t_tot))
+        .select("a", "b", "c_ab", rh(lift, 4).alias("lift"))
+    )
