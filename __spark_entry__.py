@@ -357,6 +357,26 @@ def q_bigram_collocations(spark, sf_dir):
     )
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Cumulative token-coverage curve by vocab rank
+    (textops.vocab_coverage) — integer-exact, one mirrored division."""
+    return TX.vocab_coverage(load_tables(spark, sf_dir)["documents"])
+
+
+def q_rrf_hybrid(spark, sf_dir):
+    """Reciprocal-rank fusion of BM25 relevance and quality rankings
+    (textops.rrf_hybrid) — integer ranks, mirrored float fusion."""
+    return TX.rrf_hybrid(load_tables(spark, sf_dir)["documents"])
+
+
+def q_multimodal_dup_consensus(spark, sf_dir):
+    """Cross-modal dup consensus: MinHash text pairs AND pHash image
+    pairs (multimodal.dup_consensus) — oracle composes both pair
+    oracles verbatim."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return multimodal.dup_consensus(docs)
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -1756,6 +1776,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_twap": q_user_twap,
         "text_bm25": q_text_bm25,
         "bigram_collocations": q_bigram_collocations,
+        "vocab_coverage": q_vocab_coverage,
+        "rrf_hybrid": q_rrf_hybrid,
+        "multimodal_dup_consensus": q_multimodal_dup_consensus,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -3519,6 +3542,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN ct cb ON cb.tok = split_part(bg, ' ', 2)
             CROSS JOIN tot
         """,
+        "vocab_coverage": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents),
+            uni AS (SELECT unnest(tk) AS token FROM toks),
+            counts AS (SELECT token, count(*) AS n FROM uni GROUP BY 1),
+            ranked AS (
+              SELECT token, n,
+                     row_number() OVER (ORDER BY n DESC, token) AS token_id
+              FROM counts),
+            capped AS (SELECT * FROM ranked WHERE token_id <= 4095),
+            tot AS (SELECT count(*) AS t FROM uni)
+            SELECT CAST(token_id AS INTEGER) AS token_id,
+                   token,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(sum(n) OVER (ORDER BY token_id) AS BIGINT) AS cum_n,
+                   floor(CAST(sum(n) OVER (ORDER BY token_id) AS DOUBLE)
+                         / t * 1e6 + 0.5) / 1e6 AS coverage
+            FROM capped CROSS JOIN tot
+        """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},
             keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
@@ -5013,6 +5058,63 @@ def oracle_sql() -> dict[str, str]:
                  AS precision,
                floor(n_matched * 1.0 / n_exact * 1e6 + 0.5) / 1e6 AS recall
         FROM ce CROSS JOIN ca CROSS JOIN cm
+    """
+    # RRF composes the validated BM25 oracle verbatim; quality ranking
+    # reuses the exact expression text_doc_stats already validates.
+    out["rrf_hybrid"] = f"""
+        WITH brank AS (
+          SELECT doc_id, rank AS rank_bm25 FROM ({out["text_bm25"]})),
+        qf AS (
+          SELECT doc_id,
+                 length(text) AS nchars,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             t -> t <> '') AS tk,
+                 length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+                 length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                     AS alnum
+          FROM documents),
+        q2 AS (
+          SELECT doc_id,
+                 floor((0.4 * (CASE WHEN nchars BETWEEN 100 AND 20000
+                                    THEN 1.0
+                                    WHEN nchars >= 20 THEN 0.5
+                                    ELSE 0.0 END)
+                       + 0.3 * least((CASE WHEN len(tk) > 0
+                                THEN len(list_filter(tk, t -> lower(t) IN
+                                     ('the','a','of','and','to','in','is',
+                                      'it','for','on'))) * 1.0 / len(tk)
+                                ELSE 0.0 END) * 5.0, 1.0)
+                       + 0.3 * (1.0 - (CASE WHEN nonspace > 0
+                                THEN (nonspace - alnum) * 1.0 / nonspace
+                                ELSE 0.0 END))) * 1e4 + 0.5) / 1e4 AS q
+          FROM qf),
+        qtop AS (SELECT doc_id, q FROM q2 ORDER BY q DESC, doc_id LIMIT 100),
+        qrank AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY q DESC, doc_id)
+                      AS INTEGER) AS rank_q
+          FROM qtop),
+        fused AS (
+          SELECT doc_id, rank_bm25, rank_q,
+                 floor((coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_bm25),
+                                 CAST(0.0 AS DOUBLE))
+                        + coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_q),
+                                   CAST(0.0 AS DOUBLE))) * 1e6 + 0.5) / 1e6
+                     AS rrf
+          FROM brank FULL OUTER JOIN qrank USING (doc_id)),
+        ftop AS (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 50)
+        SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+                    AS INTEGER) AS fused_rank,
+               doc_id, rrf,
+               CAST(coalesce(rank_bm25, 0) AS INTEGER) AS rank_bm25,
+               CAST(coalesce(rank_q, 0) AS INTEGER) AS rank_q
+        FROM ftop
+    """
+    # Consensus composes the two validated pair oracles verbatim.
+    out["multimodal_dup_consensus"] = f"""
+        SELECT a, b, jaccard, hamming
+        FROM ({out["dedup_minhash_lsh"]}) tp
+        JOIN ({out["multimodal_phash_pairs"]}) ip USING (a, b)
     """
     out["seasonal_outliers"] = """
         WITH daily AS (

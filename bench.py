@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "rare_tokens",
     "text_bm25",
     "bigram_collocations",
+    "vocab_coverage",
+    "rrf_hybrid",
     "cross_doc_repetition",
     "oov_rate",
     "decontaminate",

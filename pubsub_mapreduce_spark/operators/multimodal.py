@@ -421,3 +421,29 @@ def video_near_pairs(
         .agg(F.count(F.lit(1)).alias("n_matched"))
         .where(F.col("n_matched") >= min_frames)
     )
+
+
+def dup_consensus(
+    docs: DataFrame, threshold: float = 0.5, max_hamming: int = 8
+) -> DataFrame:
+    """Cross-modal duplicate consensus: pairs flagged by BOTH the text
+    MinHash-LSH detector and the image perceptual-hash detector — the
+    high-precision screen a multimodal training-data pipeline applies
+    before destructive dedup (either signal alone over-fires on
+    templated content; agreement across modalities is the strong
+    signal). Fixture media is the text bytes (attach_media), so both
+    detectors see correlated content exactly as captioned images do.
+
+    Plan: each side is its own bucketed candidate generation (banded
+    MinHash / pHash block join — never all-pairs); the consensus is one
+    equi-join on the (a, b) pair key, sized by the SMALLER flag set.
+    Oracle composes the two validated pair oracles verbatim."""
+    from .dedup import minhash_lsh_pairs
+
+    text_pairs = minhash_lsh_pairs(
+        docs, n=3, threshold=threshold, hash_impl="md5"
+    )
+    img_pairs = phash_near_pairs(attach_media(docs), max_hamming=max_hamming)
+    return text_pairs.join(img_pairs, ["a", "b"]).select(
+        "a", "b", "jaccard", "hamming"
+    )

@@ -943,3 +943,108 @@ def bigram_collocations(docs: DataFrame, min_count: int = 5) -> DataFrame:
         .crossJoin(F.broadcast(t_tot))
         .select("a", "b", "c_ab", rh(lift, 4).alias("lift"))
     )
+
+
+def vocab_coverage(docs: DataFrame, vocab_size: int = 4096) -> DataFrame:
+    """Token-coverage curve: for every vocabulary rank k, the cumulative
+    fraction of ALL corpus tokens covered by the top-k entries — the
+    plot a tokenizer designer reads to size the vocab (where does
+    coverage flatten?).
+
+    Integer-exact core: per-rank counts and the cumulative sum are
+    BIGINT; the corpus total enters through ONE mirrored division +
+    round_half_up(6). The cumulative window sorts only the |vocab|-
+    sized aggregate (build_vocab's head cap bounds it), never corpus
+    rows; the total is a scalar broadcast."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    v = build_vocab(docs, vocab_size)  # token, token_id (rank), n
+    total = (
+        widen(docs, 8)
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    wc = Window.orderBy("token_id")
+    return (
+        v.withColumn("cum_n", F.sum("n").over(wc))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token_id",
+            "token",
+            "n",
+            "cum_n",
+            rh(F.col("cum_n").cast("double") / F.col("t"), 6).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+def rrf_hybrid(
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = ("spark", "merge", "hash", "window"),
+    pool: int = 100,
+    top_n: int = 50,
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank-fusion hybrid retrieval: fuse the BM25 relevance
+    ranking with a document-quality ranking, ``rrf = 1/(k+r_bm25) +
+    1/(k+r_quality)`` (k=60 per Cormack et al.) — the curation move
+    that surfaces documents which are both on-topic AND well-formed.
+
+    Every rank is an INTEGER from a deterministically tie-broken top-
+    ``pool`` (score desc, doc_id asc), so the float fusion is two
+    mirrored divisions summed in fixed order — bit-identical in the
+    oracle. Missing membership contributes 0 (standard RRF), emitted
+    rank 0. Both candidate lists are TakeOrderedAndProject top-k's; the
+    fusion join touches only 2*pool rows."""
+    from pyspark.sql import Window
+
+    from ..functions import text as TT
+
+    bm = bm25_rank(docs, query_terms, top_n=pool).select(
+        F.col("rank").alias("rank_bm25"), "doc_id"
+    )
+    q = (
+        widen(docs, 8)
+        .withColumn("__toks", TT.tokens(F.col("text")))
+        .select(
+            "doc_id",
+            rh(TT.quality_score(F.col("text"), F.col("__toks")), 4).alias(
+                "q"
+            ),
+        )
+        .orderBy(F.desc("q"), F.asc("doc_id"))
+        .limit(pool)
+    )
+    wq = Window.orderBy(F.desc("q"), F.asc("doc_id"))
+    qr = q.select(F.row_number().over(wq).alias("rank_q"), "doc_id")
+    fused = (
+        bm.join(qr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "rank_bm25",
+            "rank_q",
+            rh(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(k) + F.col("rank_bm25")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(k) + F.col("rank_q")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(top_n)
+    )
+    wf = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return fused.select(
+        F.row_number().over(wf).alias("fused_rank"),
+        "doc_id",
+        "rrf",
+        F.coalesce(F.col("rank_bm25"), F.lit(0)).alias("rank_bm25"),
+        F.coalesce(F.col("rank_q"), F.lit(0)).alias("rank_q"),
+    )
