@@ -377,6 +377,51 @@ def q_multimodal_dup_consensus(spark, sf_dir):
     return multimodal.dup_consensus(docs)
 
 
+def q_trend_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend per event type (robust.trend_theil_sen):
+    median of pairwise daily-count slopes, order-statistic exact."""
+    return RB.trend_theil_sen(load_tables(spark, sf_dir)["events"])
+
+
+def q_budget_allocation(spark, sf_dir):
+    """Largest-remainder sampling-budget apportionment across sources
+    (sampling.budget_allocation) — pure integer arithmetic."""
+    return SM.budget_allocation(
+        load_tables(spark, sf_dir)["documents"], budget=10000
+    )
+
+
+def q_part_communities(spark, sf_dir):
+    """Weighted label-propagation communities over the part co-purchase
+    graph (graph.label_propagation over graph.copurchase_edges) —
+    iterative yet exactly value-hashable (integer argmax rounds,
+    unrolled-CTE oracle)."""
+    from pubsub_mapreduce_spark.operators.graph import (
+        copurchase_edges,
+        label_propagation,
+    )
+
+    edges = copurchase_edges(load_tables(spark, sf_dir)["lineitem"], min_w=2)
+    return label_propagation(edges, iters=3).select(
+        F.col("node").alias("part"), F.col("label").alias("community")
+    )
+
+
+def q_ldiv_customers(spark, sf_dir):
+    """l-diversity audit over customers (relational.ldiversity_violations):
+    quasi = (nation, mktsegment), sensitive = $1000 balance band;
+    full per-group diversity report; at_risk marks homogeneity-attack
+    exposure (n_sensitive < 3)."""
+    cust = load_tables(spark, sf_dir)["customer"].select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("acctbal_band"),
+    )
+    return R.ldiversity_violations(
+        cust, ["c_nationkey", "c_mktsegment"], "acctbal_band", l=3
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -1779,6 +1824,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "rrf_hybrid": q_rrf_hybrid,
         "multimodal_dup_consensus": q_multimodal_dup_consensus,
+        "trend_theil_sen": q_trend_theil_sen,
+        "budget_allocation": q_budget_allocation,
+        "part_communities": q_part_communities,
+        "ldiv_customers": q_ldiv_customers,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -3564,6 +3613,63 @@ def oracle_sql() -> dict[str, str]:
                          / t * 1e6 + 0.5) / 1e6 AS coverage
             FROM capped CROSS JOIN tot
         """,
+        "trend_theil_sen": r"""
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+              FROM events GROUP BY 1, 2),
+            x AS (
+              SELECT event_type,
+                     datediff('day', DATE '1970-01-01', d) AS x, cnt
+              FROM daily),
+            slopes AS (
+              SELECT a.event_type,
+                     a.x AS x1, b.x AS x2,
+                     CAST(b.cnt - a.cnt AS DOUBLE) / (b.x - a.x) AS slope
+              FROM x a JOIN x b
+                ON a.event_type = b.event_type AND a.x < b.x),
+            ranked AS (
+              SELECT event_type, slope,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY slope, x1, x2) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n_pairs
+              FROM slopes)
+            SELECT event_type,
+                   CAST(n_pairs AS BIGINT) AS n_pairs,
+                   floor(slope * 1e6 + 0.5) / 1e6 AS slope_med
+            FROM ranked
+            WHERE rn = CAST(ceil(n_pairs / 2) AS BIGINT)
+        """,
+        "budget_allocation": r"""
+            WITH counts AS (
+              SELECT source AS stratum, count(*) AS n
+              FROM documents GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM counts),
+            base AS (
+              SELECT stratum, n,
+                     (10000 * n) // n_total AS base,
+                     10000 * n - ((10000 * n) // n_total) * n_total AS rem
+              FROM counts CROSS JOIN tot),
+            lo AS (SELECT CAST(10000 - sum(base) AS BIGINT) AS leftover
+                   FROM base)
+            SELECT stratum,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(base + CASE WHEN row_number() OVER
+                                     (ORDER BY rem DESC, stratum) <= leftover
+                                    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+            FROM base CROSS JOIN lo
+        """,
+        "ldiv_customers": r"""
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(count(DISTINCT acctbal_band) AS BIGINT)
+                       AS n_sensitive,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   count(DISTINCT acctbal_band) < 3 AS at_risk
+            FROM (SELECT c_nationkey, c_mktsegment,
+                         CAST(floor(c_acctbal / 1000) AS BIGINT)
+                             AS acctbal_band
+                  FROM customer)
+            GROUP BY 1, 2
+        """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},
             keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
@@ -5112,9 +5218,65 @@ def oracle_sql() -> dict[str, str]:
     """
     # Consensus composes the two validated pair oracles verbatim.
     out["multimodal_dup_consensus"] = f"""
-        SELECT a, b, jaccard, hamming
+        SELECT a, b,
+               CAST((tp.jaccard IS NOT NULL) AS INTEGER)
+               + CAST((ip.hamming IS NOT NULL) AS INTEGER) AS n_signals,
+               coalesce(tp.jaccard, CAST(-1.0 AS DOUBLE)) AS jaccard,
+               CAST(coalesce(ip.hamming, -1) AS INTEGER) AS hamming
         FROM ({out["dedup_minhash_lsh"]}) tp
-        JOIN ({out["multimodal_phash_pairs"]}) ip USING (a, b)
+        FULL OUTER JOIN ({out["multimodal_phash_pairs"]}) ip USING (a, b)
+    """
+    # LPA unrolls the EXACT rounds the Spark loop runs — same integer
+    # argmax, same tie-break, so an iterative algorithm carries a full
+    # value oracle.
+    out["part_communities"] = """
+        WITH e0 AS (
+          SELECT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem GROUP BY 1, 2),
+        ed AS (
+          SELECT x.pk AS a, y.pk AS b, count(*) AS w
+          FROM e0 x JOIN e0 y ON x.ok = y.ok AND x.pk < y.pk
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS (SELECT a, b, w FROM ed
+                UNION ALL SELECT b, a, w FROM ed),
+        l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+        c1 AS (
+          SELECT u.a AS node, l.label, CAST(sum(u.w) AS BIGINT) AS lw
+          FROM und u JOIN l0 l ON u.b = l.node GROUP BY 1, 2),
+        p1 AS (
+          SELECT node, label AS new_label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY lw DESC, label) AS rn
+            FROM c1) WHERE rn = 1),
+        l1 AS (
+          SELECT l.node, coalesce(p.new_label, l.label) AS label
+          FROM l0 l LEFT JOIN p1 p USING (node)),
+        c2 AS (
+          SELECT u.a AS node, l.label, CAST(sum(u.w) AS BIGINT) AS lw
+          FROM und u JOIN l1 l ON u.b = l.node GROUP BY 1, 2),
+        p2 AS (
+          SELECT node, label AS new_label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY lw DESC, label) AS rn
+            FROM c2) WHERE rn = 1),
+        l2 AS (
+          SELECT l.node, coalesce(p.new_label, l.label) AS label
+          FROM l1 l LEFT JOIN p2 p USING (node)),
+        c3 AS (
+          SELECT u.a AS node, l.label, CAST(sum(u.w) AS BIGINT) AS lw
+          FROM und u JOIN l2 l ON u.b = l.node GROUP BY 1, 2),
+        p3 AS (
+          SELECT node, label AS new_label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY lw DESC, label) AS rn
+            FROM c3) WHERE rn = 1),
+        l3 AS (
+          SELECT l.node, coalesce(p.new_label, l.label) AS label
+          FROM l2 l LEFT JOIN p3 p USING (node))
+        SELECT node AS part, label AS community FROM l3
     """
     out["seasonal_outliers"] = """
         WITH daily AS (

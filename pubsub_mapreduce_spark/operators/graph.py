@@ -11,7 +11,7 @@ value-hash oracle via unrolled-CTE SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000
@@ -173,3 +173,76 @@ def triangle_count(
     return per_node.crossJoin(broadcast(total)).select(
         "node", "n_triangles", F.col("__t").alias("total_triangles")
     )
+
+
+def copurchase_edges(lineitem: DataFrame, min_w: int = 2) -> DataFrame:
+    """Weighted part co-purchase graph: (a, b, w) for parts appearing in
+    the same order at least ``min_w`` times (a < b, undirected-stored-
+    once). The (order, part) dedup collapses line-level volume first;
+    the self-join is keyed on the order and order sizes are bounded
+    (TPC-H: <= 7 lines), so pair fan-out per order is O(size^2), never
+    corpus-quadratic."""
+    e0 = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = e0.alias("x")
+    b = e0.alias("y")
+    return (
+        a.join(
+            b,
+            (F.col("x.ok") == F.col("y.ok")) & (F.col("x.pk") < F.col("y.pk")),
+        )
+        .groupBy(F.col("x.pk").alias("a"), F.col("y.pk").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= min_w)
+    )
+
+
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Deterministic synchronous weighted label propagation: every node
+    starts as its own label; each round it adopts the label with the
+    largest total incident edge weight among its neighbors (ties ->
+    smallest label; isolated nodes keep their own). ``iters`` fixed
+    rounds, so the whole run is a finite composition of joins and
+    integer argmax aggregates — exactly value-hashable, and the DuckDB
+    oracle unrolls the identical rounds.
+
+    Community detection for the dedup/curation family: groups of parts
+    (or docs, via near-dup edges) that hang together. Scale shape: per
+    round ONE node-keyed join + ONE (node, label)-keyed aggregate, all
+    exchanges on the node key so the partitioning is reused; state is
+    the |nodes|-sized label table, never materialized on the driver.
+    Sync variant (not async) so results are order-independent."""
+    und = edges.select("a", "b", "w").union(
+        edges.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+        )
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iters):
+        contrib = (
+            und.join(
+                labels.withColumnRenamed("node", "b_node"),
+                F.col("b") == F.col("b_node"),
+            )
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.sum("w").alias("lw"))
+        )
+        wpick = Window.partitionBy("node").orderBy(
+            F.desc("lw"), F.asc("label")
+        )
+        pick = (
+            contrib.withColumn("rn", F.row_number().over(wpick))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+        )
+    return labels

@@ -426,24 +426,37 @@ def video_near_pairs(
 def dup_consensus(
     docs: DataFrame, threshold: float = 0.5, max_hamming: int = 8
 ) -> DataFrame:
-    """Cross-modal duplicate consensus: pairs flagged by BOTH the text
-    MinHash-LSH detector and the image perceptual-hash detector — the
-    high-precision screen a multimodal training-data pipeline applies
-    before destructive dedup (either signal alone over-fires on
-    templated content; agreement across modalities is the strong
-    signal). Fixture media is the text bytes (attach_media), so both
-    detectors see correlated content exactly as captioned images do.
+    """Multi-signal duplicate report: pairs flagged by the text
+    MinHash-LSH detector, the image perceptual-hash detector, or both
+    — with ``n_signals`` marking cross-modal agreement (the
+    high-precision subset a multimodal pipeline deletes outright;
+    single-signal pairs go to review). Fixture media is the text bytes
+    (attach_media); its fake byte-fold phash is NOT locality-sensitive,
+    so near-identical texts share no phash and agreement only occurs
+    on byte-identical payloads — with real image codecs the n_signals=2
+    band is the dominant one.
 
     Plan: each side is its own bucketed candidate generation (banded
-    MinHash / pHash block join — never all-pairs); the consensus is one
-    equi-join on the (a, b) pair key, sized by the SMALLER flag set.
-    Oracle composes the two validated pair oracles verbatim."""
+    MinHash / pHash block join — never all-pairs); the merge is one
+    full-outer equi-join on the (a, b) pair key, sized by the flag
+    sets, not the corpus. Oracle composes the two validated pair
+    oracles verbatim."""
     from .dedup import minhash_lsh_pairs
 
     text_pairs = minhash_lsh_pairs(
         docs, n=3, threshold=threshold, hash_impl="md5"
     )
     img_pairs = phash_near_pairs(attach_media(docs), max_hamming=max_hamming)
-    return text_pairs.join(img_pairs, ["a", "b"]).select(
-        "a", "b", "jaccard", "hamming"
+    return (
+        text_pairs.join(img_pairs, ["a", "b"], "full_outer")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("jaccard").isNotNull().cast("int")
+                + F.col("hamming").isNotNull().cast("int")
+            ).alias("n_signals"),
+            F.coalesce(F.col("jaccard"), F.lit(-1.0)).alias("jaccard"),
+            F.coalesce(F.col("hamming"), F.lit(-1)).alias("hamming"),
+        )
     )

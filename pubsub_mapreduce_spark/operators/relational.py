@@ -2162,3 +2162,32 @@ def ab_test_report(
             ).alias("lift_vs_control"),
         )
     )
+
+
+def ldiversity_violations(
+    df: DataFrame, quasi_cols: list, sensitive: str, l: int = 3
+) -> DataFrame:
+    """l-diversity audit, the companion to kanon_violations: a
+    quasi-identifier group can be k-anonymous yet still leak if every
+    member shares the same SENSITIVE value. Reports EVERY group with
+    its distinct-sensitive-value count and an ``at_risk`` flag
+    (n_sensitive < l = homogeneity-attack risk the release gate must
+    suppress or generalize) — the full report, not just violations, so
+    the diversity distribution itself is visible (and the audit is
+    non-vacuous on corpora with no violations).
+
+    One aggregate with a distinct count; Spark expands countDistinct
+    into dedup+count exchanges (2 keyed shuffles, budgeted)."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.countDistinct(F.col(sensitive)).alias("n_sensitive"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            *quasi_cols,
+            "n_sensitive",
+            "n_rows",
+            (F.col("n_sensitive") < l).alias("at_risk"),
+        )
+    )

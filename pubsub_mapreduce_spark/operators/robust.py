@@ -413,3 +413,64 @@ def user_twap(events: DataFrame) -> DataFrame:
             F.sum("cents").cast("double") / F.count(F.lit(1)), 4
         ).alias("mean_cents"),
     )
+
+
+def trend_theil_sen(events: DataFrame) -> DataFrame:
+    """Per-``event_type`` Theil–Sen trend: the MEDIAN of all pairwise
+    slopes over the daily-count series — the robust alternative to OLS
+    (up to ~29% wild days cannot move it), the right estimator for
+    "is this event type growing?" over noisy product telemetry.
+
+    Exactness: day index and counts are integers, every slope is ONE
+    mirrored division ``CAST(c2-c1 AS DOUBLE)/(x2-x1)`` (bit-identical
+    cross-engine), and the median is an ORDER STATISTIC (value at
+    row_number = ceil(n/2) under (slope, x1, x2)) — selection, not
+    averaging, so no float accumulation anywhere.
+
+    Scale: pair expansion is quadratic in DAYS (calendar-bounded, not
+    data-bounded — sf-invariant), keyed by event_type; at 100TB the
+    same plan holds because the daily rollup collapses volume before
+    the self-join. Clamp the window (e.g. last 365 days) to bound it
+    further."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    x = daily.select(
+        "event_type",
+        F.datediff(F.col("d"), F.lit("1970-01-01")).alias("x"),
+        "cnt",
+    )
+    a = x.alias("a")
+    b = x.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.x") < F.col("b.x")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.x").alias("x1"),
+            F.col("b.x").alias("x2"),
+            (
+                (F.col("b.cnt") - F.col("a.cnt")).cast("double")
+                / (F.col("b.x") - F.col("a.x"))
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "x1", "x2")
+    wn = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_pairs"),
+    )
+    return (
+        ranked.where(F.col("rn") == F.ceil(F.col("n_pairs") / 2))
+        .select(
+            "event_type",
+            "n_pairs",
+            round_half_up(F.col("slope"), 6).alias("slope_med"),
+        )
+    )

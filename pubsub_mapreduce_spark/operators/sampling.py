@@ -267,3 +267,51 @@ def mixture_weights(docs: DataFrame) -> DataFrame:
             ).alias("boost"),
         )
     )
+
+
+def budget_allocation(
+    docs: DataFrame, budget: int = 10000, by: str = "source"
+) -> DataFrame:
+    """Largest-remainder apportionment of a fixed sampling budget across
+    strata: each stratum gets ``floor(budget * n_i / N)`` seats, then
+    the leftover seats go to the largest integer remainders
+    ``budget*n_i - base_i*N`` (ties by stratum name) — the standard
+    Hamilton method, here sizing how many documents to draw per source
+    when composing a training mix with an exact global row budget
+    (sum(alloc) == budget ALWAYS, which proportional-rounding naive
+    floor/round does not guarantee).
+
+    Pure integer arithmetic end-to-end — no floats to mirror. One
+    stratum-keyed count shuffle; apportionment runs on the |strata|-
+    sized aggregate (the only window sorts strata, never rows)."""
+    from pyspark.sql import Window
+
+    counts = docs.groupBy(F.col(by).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("n_total"))
+    base = (
+        counts.crossJoin(F.broadcast(tot))
+        # integer div, not float floor: budget*n can pass 2^53 at scale
+        .withColumn("base", F.expr(f"({budget} * n) div n_total"))
+        .withColumn(
+            "rem",
+            F.lit(budget) * F.col("n") - F.col("base") * F.col("n_total"),
+        )
+    )
+    wl = Window.orderBy(F.desc("rem"), F.asc("stratum"))
+    wall = Window.partitionBy(F.lit(1))
+    return (
+        base.withColumn("leftover", F.lit(budget) - F.sum("base").over(wall))
+        .withColumn("pos", F.row_number().over(wl))
+        .select(
+            "stratum",
+            "n",
+            (
+                F.col("base")
+                + F.when(F.col("pos") <= F.col("leftover"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("alloc"),
+        )
+    )
