@@ -1,0 +1,151 @@
+"""Property pins for the round-2 tail operators: CUSUM change-point
+location, TWAP vs mean bias, Theil-Sen outlier robustness, Hamilton
+apportionment invariants, LPA community structure, BM25/RRF ranking
+sanity, and vocabulary coverage monotonicity."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from pubsub_mapreduce_spark.operators import robust as RB
+from pubsub_mapreduce_spark.operators import sampling as SM
+from pubsub_mapreduce_spark.operators import textops as TX
+from pubsub_mapreduce_spark.operators.graph import (
+    copurchase_edges,
+    label_propagation,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i), u, v)
+            for i, (u, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+
+
+def test_cusum_locates_planted_shift(spark):
+    # user 1: 30 events at 10.0 then 30 at 50.0 -> CUSUM peaks at the
+    # boundary (index 30, the last pre-shift prefix).
+    rows = [(1, 10.0)] * 30 + [(1, 50.0)] * 30
+    out = RB.user_cusum(_events(spark, rows)).collect()[0]
+    assert out.n_events == 60
+    assert out.cp_idx == 30
+    assert out.cusum_max > 0
+
+
+def test_cusum_flat_series_peaks_nowhere_material(spark):
+    rows = [(1, 7.0)] * 40
+    out = RB.user_cusum(_events(spark, rows)).collect()[0]
+    assert out.cusum_max == 0.0  # constant series: dev identically 0
+
+
+def test_twap_weights_by_holding_time(spark):
+    # value 100 held 1h, value 0 held 3h (gaps to successors), last
+    # event excluded: twap = (100*3600 + 0*3*3600)/(4*3600) = 25.
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (0, base, 1, 100.0),
+            (1, base + datetime.timedelta(hours=1), 1, 0.0),
+            (2, base + datetime.timedelta(hours=4), 1, 33.0),
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    out = RB.user_twap(df).collect()[0]
+    assert out.n_held == 2
+    assert out.held_s == 4 * 3600
+    assert out.twap_cents == 2500.0  # 25.00 in cents
+    assert out.mean_cents == 5000.0  # plain mean of {100, 0} in cents
+
+
+def test_theil_sen_ignores_wild_outlier(spark):
+    # daily counts rise by exactly 2/day; one wild day would wreck OLS
+    # but the median slope stays 2. Counts are made via repeated rows.
+    rows = []
+    base = datetime.datetime(2024, 3, 1)
+    for d in range(9):
+        n = 10 + 2 * d if d != 4 else 500  # wild day 4
+        for k in range(n):
+            rows.append((d * 1000 + k, base + datetime.timedelta(days=d), 1, 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    df = df.withColumn("event_type", F.lit("a")).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = RB.trend_theil_sen(df).collect()[0]
+    assert out.slope_med == 2.0
+
+
+def test_budget_allocation_sums_exactly_and_stays_proportional(spark):
+    docs = spark.range(0, 997).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("source"),
+    )
+    out = SM.budget_allocation(docs, budget=1000, by="source").collect()
+    assert sum(r.alloc for r in out) == 1000  # Hamilton invariant
+    n_total = sum(r.n for r in out)
+    for r in out:
+        exact = 1000 * r.n / n_total
+        assert abs(r.alloc - exact) < 1  # within one seat of proportional
+
+
+def test_lpa_two_cliques_stay_separate(spark):
+    # two weighted triangles joined by nothing: 2 communities, each
+    # labelled by its min node id.
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5), (1, 3, 5), (10, 11, 5), (11, 12, 5), (10, 12, 5)],
+        "a long, b long, w long",
+    )
+    out = {r.node: r.label for r in label_propagation(edges, iters=3).collect()}
+    assert len(set(out.values())) == 2
+    assert len({out[1], out[2], out[3]}) == 1
+    assert len({out[10], out[11], out[12]}) == 1
+
+
+def test_copurchase_edges_threshold(spark):
+    li = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 100), (2, 200), (3, 100), (3, 300)],
+        "l_orderkey long, l_partkey long",
+    )
+    out = copurchase_edges(li, min_w=2).collect()
+    assert [(r.a, r.b, r.w) for r in out] == [(100, 200, 2)]
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark join", "en", "s", 20),
+            (2, "spark join table", "en", "s", 16),
+            (3, "row scan filter", "en", "s", 15),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = TX.bm25_rank(docs, query_terms=("spark",), top_n=10).collect()
+    assert [r.doc_id for r in out] == [1, 2]  # doc 3 never matches
+    assert out[0].bm25 > out[1].bm25
+
+
+def test_vocab_coverage_monotone_and_complete(spark, tables):
+    out = TX.vocab_coverage(tables["documents"]).orderBy("token_id").collect()
+    covers = [r.coverage for r in out]
+    assert covers == sorted(covers)
+    assert covers[-1] == 1.0  # fixture vocab fits under the cap
+    assert out[0].n == max(r.n for r in out)  # rank 1 = most frequent
+
+
+def test_rrf_prefers_docs_on_both_lists(spark, tables):
+    out = TX.rrf_hybrid(tables["documents"], pool=50, top_n=20).collect()
+    both = [r for r in out if r.rank_bm25 > 0 and r.rank_q > 0]
+    only = [r for r in out if r.rank_bm25 == 0 or r.rank_q == 0]
+    if both and only:
+        # every dual-list doc with decent ranks outranks single-list docs
+        # at comparable rank (RRF property: two terms beat one).
+        best_single = max(r.rrf for r in only)
+        top_dual = max(r.rrf for r in both)
+        assert top_dual > best_single
