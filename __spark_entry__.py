@@ -422,6 +422,18 @@ def q_ldiv_customers(spark, sf_dir):
     )
 
 
+def q_holt_forecast(spark, sf_dir):
+    """Holt linear level+trend over daily counts with one-step forecast
+    (robust.holt_forecast) — integer fold, truncation-mirrored oracle."""
+    return RB.holt_forecast(load_tables(spark, sf_dir)["events"])
+
+
+def q_attribution_credit(spark, sf_dir):
+    """Largest-remainder multi-touch attribution
+    (relational.attribution_credit) — cent-exact channel credit."""
+    return R.attribution_credit(load_tables(spark, sf_dir)["events"])
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -1828,6 +1840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_allocation": q_budget_allocation,
         "part_communities": q_part_communities,
         "ldiv_customers": q_ldiv_customers,
+        "holt_forecast": q_holt_forecast,
+        "attribution_credit": q_attribution_credit,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -3669,6 +3683,89 @@ def oracle_sql() -> dict[str, str]:
                              AS acctbal_band
                   FROM customer)
             GROUP BY 1, 2
+        """,
+        # list_reduce is NOT usable here: DuckDB v1.0.0 evaluates the
+        # lambda's struct fields left-to-right with the accumulator
+        # updated IN PLACE, so a later field referencing acc.l sees the
+        # new level (measured: step 9 of the 'error' series folds
+        # t=79+3*65 instead of 79+3*61). The recursive CTE steps the
+        # same truncating-integer recursion functionally.
+        "holt_forecast": r"""
+            WITH RECURSIVE daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+              FROM events GROUP BY 1, 2),
+            series AS (
+              SELECT event_type,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY d) AS i,
+                     CAST(cnt AS BIGINT) AS c
+              FROM daily),
+            hw AS (
+              SELECT event_type, i, c AS l, 0::BIGINT AS b
+              FROM series WHERE i = 1
+              UNION ALL
+              SELECT s.event_type, s.i,
+                     (s.c + 3*(h.l + h.b)) // 4,
+                     (((s.c + 3*(h.l + h.b)) // 4 - h.l) + 3*h.b) // 4
+              FROM hw h JOIN series s
+                ON s.event_type = h.event_type AND s.i = h.i + 1),
+            m AS (SELECT event_type, max(i) AS mi FROM hw GROUP BY 1)
+            SELECT h.event_type,
+                   CAST(h.i AS BIGINT) AS n_days,
+                   h.l AS level,
+                   h.b AS trend,
+                   h.l + h.b AS forecast_next
+            FROM hw h JOIN m
+              ON h.event_type = m.event_type AND h.i = m.mi
+        """,
+        "attribution_credit": r"""
+            WITH e AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     - CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END AS seg
+              FROM events),
+            convs AS (
+              SELECT user_id, seg, cents AS conv_cents,
+                     event_id AS conv_id
+              FROM e WHERE event_type = 'purchase'),
+            touches AS (
+              SELECT user_id, seg, ts, event_id, event_type
+              FROM e WHERE event_type <> 'purchase'),
+            j AS (
+              SELECT t.event_type, c.conv_cents, c.conv_id,
+                     row_number() OVER (
+                       PARTITION BY c.user_id, c.seg, c.conv_id
+                       ORDER BY t.ts, t.event_id) AS pos,
+                     count(*) OVER (
+                       PARTITION BY c.user_id, c.seg, c.conv_id) AS n_touch
+              FROM convs c JOIN touches t USING (user_id, seg)),
+            cr AS (
+              SELECT event_type,
+                     conv_cents // n_touch
+                     + CASE WHEN pos <= conv_cents % n_touch
+                            THEN 1 ELSE 0 END AS credit
+              FROM j),
+            t1 AS (
+              SELECT event_type AS channel,
+                     CAST(count(*) AS BIGINT) AS n_touches,
+                     CAST(sum(credit) AS BIGINT) AS credited_cents
+              FROM cr GROUP BY 1),
+            d0 AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_touches,
+                     CAST(coalesce(sum(conv_cents), 0) AS BIGINT)
+                         AS credited_cents
+              FROM convs c
+              WHERE NOT EXISTS (
+                SELECT 1 FROM touches t
+                WHERE t.user_id = c.user_id AND t.seg = c.seg))
+            SELECT * FROM t1
+            UNION ALL
+            SELECT 'direct' AS channel, n_touches, credited_cents
+            FROM d0 WHERE n_touches > 0
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

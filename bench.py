@@ -137,6 +137,10 @@ BENCH_QUERIES = [
     "user_ema",
     "user_cusum",
     "user_twap",
+    "trend_theil_sen",
+    "holt_forecast",
+    "attribution_credit",
+    "part_communities",
     "association_rules",
     "approx_distinct_users",
     "range_join_signup",

@@ -2191,3 +2191,85 @@ def ldiversity_violations(
             (F.col("n_sensitive") < l).alias("at_risk"),
         )
     )
+
+
+def attribution_credit(
+    events: DataFrame, conversion: str = "purchase"
+) -> DataFrame:
+    """Multi-touch attribution with EXACT integer credit: each
+    conversion's value (cents) is split across the touch events in its
+    segment (the user's events since their previous conversion) by the
+    same largest-remainder rule as budget_allocation — every touch gets
+    ``cents div n``, the ``cents mod n`` leftover goes one cent each to
+    the EARLIEST touches, so per-conversion credit sums exactly to the
+    conversion value and the per-channel rollup is a BIGINT sum (float
+    attribution never reconciles with finance's ledger; this does,
+    cent for cent). Conversions with no touches credit 'direct'.
+
+    Plan: segment ids come from ONE cumulative window over the
+    user-keyed ordering (count of prior conversions); the touch-to-
+    conversion pairing is an equi-join on (user, segment) — never a
+    range join — and every exchange shares the user partitioning."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (
+            F.sum(
+                F.when(F.col("event_type") == conversion, 1).otherwise(0)
+            ).over(w)
+            - F.when(F.col("event_type") == conversion, 1).otherwise(0)
+        ).alias("seg"),
+    )
+    convs = seg.where(F.col("event_type") == conversion).select(
+        "user_id",
+        "seg",
+        F.col("cents").alias("conv_cents"),
+        F.col("event_id").alias("conv_id"),
+    )
+    touches = seg.where(F.col("event_type") != conversion).select(
+        "user_id", "seg", "ts", "event_id", "event_type"
+    )
+    wt = Window.partitionBy("user_id", "seg", "conv_id").orderBy(
+        "ts", "event_id"
+    )
+    credited = (
+        convs.join(touches, ["user_id", "seg"])
+        .select(
+            "event_type",
+            "conv_cents",
+            "conv_id",
+            F.row_number().over(wt).alias("pos"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy("user_id", "seg", "conv_id")
+            ).alias("n_touch"),
+        )
+        .select(
+            "event_type",
+            (
+                F.expr("conv_cents div n_touch")
+                + F.when(
+                    F.col("pos") <= F.col("conv_cents") % F.col("n_touch"), 1
+                ).otherwise(0)
+            ).alias("credit"),
+        )
+    )
+    touched = credited.groupBy(F.col("event_type").alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("credit").alias("credited_cents"),
+    )
+    direct = (
+        convs.join(touches, ["user_id", "seg"], "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.coalesce(F.sum("conv_cents"), F.lit(0)).alias("credited_cents"),
+        )
+        .select(F.lit("direct").alias("channel"), "n_touches", "credited_cents")
+        .where(F.col("n_touches") > 0)
+    )
+    return touched.unionByName(direct)

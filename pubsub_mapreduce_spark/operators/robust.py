@@ -474,3 +474,63 @@ def trend_theil_sen(events: DataFrame) -> DataFrame:
             round_half_up(F.col("slope"), 6).alias("slope_med"),
         )
     )
+
+
+def holt_forecast(events: DataFrame) -> DataFrame:
+    """Per-``event_type`` Holt linear (level + trend) smoothing over the
+    daily-count series, with a one-step-ahead forecast — EMA's big
+    sibling: EMA tracks a level; Holt also tracks where the level is
+    HEADING, which is what capacity planning actually consumes.
+
+    alpha = beta = 1/4 in INTEGER counts with truncating division, so
+    every step is exact:
+
+        l' = (c + 3*(l + b)) div 4
+        b' = ((l' - l) + 3*b) div 4        (init: l = c0, b = 0)
+
+    Like user_value_ema this is a NON-associative recursion — no window
+    frame computes it — so the scalable exact form is the per-key
+    sorted fold: daily counts collapse volume first (the array is
+    calendar-bounded, not data-bounded), then ONE codegen'd
+    ``aggregate`` HOF folds in day order. Trend can go NEGATIVE, where
+    Spark ``div`` (truncates) and DuckDB ``//`` (floors) diverge — the
+    oracle mirrors truncation as ``(a - (a % 4)) // 4`` (``%`` is
+    dividend-signed in both engines, so the quotient is exact and
+    floor == trunc on an exact multiple)."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    rec = daily.select(
+        "event_type",
+        F.struct(
+            F.datediff(F.col("d"), F.lit("1970-01-01")).alias("x"),
+            F.col("cnt").alias("c"),
+        ).alias("r"),
+    )
+    lp = "(r.c + 3 * (acc.l + acc.b)) div 4"
+    fold = F.expr(
+        f"""aggregate(
+              array_sort(collect_list(r)),
+              named_struct('l', CAST(0 AS BIGINT),
+                           'b', CAST(0 AS BIGINT),
+                           'n', CAST(0 AS BIGINT)),
+              (acc, r) -> CASE WHEN acc.n = 0
+                THEN named_struct('l', CAST(r.c AS BIGINT),
+                                  'b', CAST(0 AS BIGINT),
+                                  'n', CAST(1 AS BIGINT))
+                ELSE named_struct(
+                  'l', {lp},
+                  'b', ((({lp}) - acc.l) + 3 * acc.b) div 4,
+                  'n', acc.n + 1) END)"""
+    )
+    return (
+        rec.groupBy("event_type")
+        .agg(fold.alias("s"))
+        .select(
+            "event_type",
+            F.col("s.n").alias("n_days"),
+            F.col("s.l").alias("level"),
+            F.col("s.b").alias("trend"),
+            (F.col("s.l") + F.col("s.b")).alias("forecast_next"),
+        )
+    )

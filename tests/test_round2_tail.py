@@ -149,3 +149,39 @@ def test_rrf_prefers_docs_on_both_lists(spark, tables):
         best_single = max(r.rrf for r in only)
         top_dual = max(r.rrf for r in both)
         assert top_dual > best_single
+
+
+def test_holt_tracks_linear_ramp(spark):
+    # counts rising 8/day: trend locks onto a positive slope and the
+    # forecast continues the ramp (integer smoothing lags but must be
+    # within the ramp's band, and trend must be > 0).
+    rows = []
+    base = datetime.datetime(2024, 3, 1)
+    for d in range(20):
+        for k in range(40 + 8 * d):
+            rows.append((d * 1000 + k, base + datetime.timedelta(days=d), 1, 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    ).withColumn("event_type", F.lit("a"))
+    out = RB.holt_forecast(df).collect()[0]
+    assert out.n_days == 20
+    assert out.trend > 0
+    assert out.forecast_next > out.level
+
+
+def test_attribution_credit_is_cent_exact(spark, tables):
+    from pubsub_mapreduce_spark.operators import relational as R
+
+    ev = tables["events"]
+    out = R.attribution_credit(ev).collect()
+    credited = sum(r.credited_cents for r in out)
+    # conservation: every credited cent traces to a purchase; segments
+    # with no touches route to 'direct', so totals reconcile exactly
+    # for purchases that HAVE a segment (all of them).
+    total = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.sum(F.round(F.col("value") * 100).cast("long")))
+        .collect()[0][0]
+    )
+    assert credited == total
+    assert all(r.n_touches > 0 for r in out)
