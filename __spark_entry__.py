@@ -434,6 +434,26 @@ def q_attribution_credit(spark, sf_dir):
     return R.attribution_credit(load_tables(spark, sf_dir)["events"])
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric shingle containment pairs (dedup.containment_pairs) —
+    the subset-duplicate detector symmetric Jaccard misses."""
+    return dedup.containment_pairs(
+        load_tables(spark, sf_dir)["documents"], n=3, threshold=0.8
+    )
+
+
+def q_user_diversity(spark, sf_dir):
+    """Gini-Simpson behavioral diversity per user
+    (relational.user_type_diversity) — log-free, rational-exact."""
+    return R.user_type_diversity(load_tables(spark, sf_dir)["events"])
+
+
+def q_emb_label_drift(spark, sf_dir):
+    """Cohort centroid-cosine drift per label on int8 codes
+    (similarity.label_centroid_drift) — integer sums, sqrt-mirrored."""
+    return S.label_centroid_drift(load_tables(spark, sf_dir)["embeddings"])
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -1842,6 +1862,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ldiv_customers": q_ldiv_customers,
         "holt_forecast": q_holt_forecast,
         "attribution_credit": q_attribution_credit,
+        "dedup_containment": q_dedup_containment,
+        "user_diversity": q_user_diversity,
+        "emb_label_drift": q_emb_label_drift,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -3766,6 +3789,86 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'direct' AS channel, n_touches, credited_cents
             FROM d0 WHERE n_touches > 0
+        """,
+        "dedup_containment": f"""
+            WITH {_SHINGLES_CTE},
+            keep AS (SELECT shingle FROM sh GROUP BY shingle
+                     HAVING count(*) <= 1000),
+            shf AS (SELECT sh.doc_id, sh.shingle
+                    FROM sh JOIN keep USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY 1),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+              FROM shf x JOIN shf y USING (shingle)
+              WHERE x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+            SELECT a, b, containment, jaccard FROM (
+              SELECT a, b,
+                     floor(common * 1.0 / least(sa.sz, sb.sz) * 1e6 + 0.5)
+                         / 1e6 AS containment,
+                     floor(common * 1.0 / (sa.sz + sb.sz - common) * 1e6
+                           + 0.5) / 1e6 AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b)
+            WHERE containment >= 0.8
+        """,
+        "user_diversity": r"""
+            WITH per_type AS (
+              SELECT user_id, event_type, count(*) AS c
+              FROM events GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(sum(c) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   floor((1.0 - CAST(sum(c * c) AS DOUBLE)
+                          / (sum(c) * sum(c))) * 1e6 + 0.5) / 1e6
+                       AS simpson
+            FROM per_type GROUP BY user_id
+        """,
+        "emb_label_drift": r"""
+            WITH scaled AS (
+              SELECT vec_id, label, embedding,
+                     CASE WHEN s0 > 0 THEN s0 ELSE 1.0 END AS scale
+              FROM (SELECT vec_id, label, embedding,
+                           CAST(list_max(list_transform(embedding,
+                                v -> abs(v))) AS DOUBLE) / 127 AS s0
+                    FROM embeddings)),
+            coded AS (
+              SELECT vec_id, label,
+                     list_transform(embedding, v ->
+                         CAST(floor(CAST(v AS DOUBLE) / scale + 0.5)
+                              AS INTEGER)) AS codes
+              FROM scaled),
+            h AS (
+              SELECT label, vec_id % 2 AS half, i - 1 AS dim,
+                     codes[i] AS code
+              FROM coded,
+                   LATERAL (SELECT unnest(range(1, len(codes) + 1)) AS i) _),
+            sums AS (
+              SELECT label, half, dim, CAST(sum(code) AS BIGINT) AS s
+              FROM h GROUP BY 1, 2, 3),
+            ab AS (
+              SELECT a.label,
+                     CAST(sum(a.s * b.s) AS BIGINT) AS dot,
+                     CAST(sum(a.s * a.s) AS BIGINT) AS na2,
+                     CAST(sum(b.s * b.s) AS BIGINT) AS nb2
+              FROM sums a JOIN sums b
+                ON a.label = b.label AND a.dim = b.dim
+                   AND a.half = 0 AND b.half = 1
+              GROUP BY 1),
+            cnts AS (
+              SELECT label,
+                     CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_a,
+                     CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_b
+              FROM coded GROUP BY 1)
+            SELECT label, n_a, n_b,
+                   floor(CAST(dot AS DOUBLE)
+                         / (sqrt(CAST(na2 AS DOUBLE))
+                            * sqrt(CAST(nb2 AS DOUBLE))) * 1e6 + 0.5) / 1e6
+                       AS drift_cos
+            FROM ab JOIN cnts USING (label)
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "holt_forecast",
     "attribution_credit",
     "part_communities",
+    "user_diversity",
+    "emb_label_drift",
     "association_rules",
     "approx_distinct_users",
     "range_join_signup",
@@ -151,6 +153,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_minhash_incremental",
     "dedup_simhash",
+    "dedup_containment",
     "substring_spans",
     "text_clean",
     "pii_audit",

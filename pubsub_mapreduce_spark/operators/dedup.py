@@ -965,3 +965,55 @@ def dedup_rate_by_source(docs: DataFrame) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment ``|A∩B| / min(|A|,|B|)``
+    — catches a short document embedded inside a long one (quoted
+    posts, boilerplate wrappers, article+comments pages), which
+    symmetric Jaccard misses because the union is dominated by the
+    long side. The containment-vs-jaccard gap IS the signal: high
+    containment + low jaccard = subset duplicate, the case a training-
+    data pipeline keeps ONE of, not both.
+
+    Same inverted-index shape (and max_df skew cap) as
+    ngram_jaccard_pairs — shuffle on shingle, pairs only for docs
+    sharing one, never a cross product."""
+    sh = word_shingles(docs, n=n)
+    max_df = 1000
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+    )
+    sh_f = sh.join(keep.select("shingle"), "shingle")
+    sizes = sh_f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh_f.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh_f.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sz_a")
+    sb = sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sz_b")
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            round_half_up(
+                F.col("common") / F.least(F.col("sz_a"), F.col("sz_b")), 6
+            ).alias("containment"),
+            round_half_up(
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

@@ -2273,3 +2273,39 @@ def attribution_credit(
         .where(F.col("n_touches") > 0)
     )
     return touched.unionByName(direct)
+
+
+def user_type_diversity(events: DataFrame) -> DataFrame:
+    """Per-user behavioral diversity via the Gini–Simpson index
+    ``1 - Σ(c_i/n)²`` over event-type counts — the log-free diversity
+    measure (entropy needs a transcendental no two engines compute
+    bit-equal; Simpson is pure rational arithmetic). 0 = every event
+    the same type (bot-like), -> 1 - 1/k = uniform over k types.
+
+    Integer core: per-(user, type) counts, Σc², and n are BIGINT; the
+    index is ONE mirrored float expression. Two user-keyed aggregates
+    sharing a partitioning."""
+    from ..functions.text import round_half_up
+
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_type.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.col("c") * F.col("c")).alias("sq"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            round_half_up(
+                F.lit(1.0)
+                - F.col("sq").cast("double")
+                / (F.col("n_events") * F.col("n_events")),
+                6,
+            ).alias("simpson"),
+        )
+    )

@@ -1924,3 +1924,60 @@ def duckdb_lsh_multiprobe_sql(
             FROM scored)
       WHERE rank <= {k}
     """
+
+
+def label_centroid_drift(emb: DataFrame) -> DataFrame:
+    """Embedding-distribution drift monitor: split each label's vectors
+    into two cohorts (even/odd vec_id — stand-in for old/new snapshot)
+    and report the cosine between the cohorts' centroid directions. A
+    healthy static distribution reads ~1.0; a drop flags the label
+    whose embedding space moved (encoder update, data shift) — the
+    embedding-side companion to profile_drift/histogram_drift.
+
+    Exactness: centroids are computed on the int8 QUANTIZED codes, so
+    the per-(label, cohort, dim) sums are BIGINT (order-free); the
+    cosine is then ONE mirrored float expression — IEEE-754 requires
+    sqrt correctly rounded, so dot/(sqrt(na2)*sqrt(nb2)) is
+    bit-identical cross-engine. (Float centroids would be summation-
+    order-dependent and unoracleable — the same reason emb_covariance
+    runs on codes.) int64 headroom: |sum| <= 127 * n_vecs, squares need
+    n_vecs <= ~7e8 per (label, cohort); shard-and-rescale beyond.
+
+    Scale: one (label, cohort, dim)-keyed aggregate (|labels| * dims
+    rows out), then a dims-sized join per label — never touches raw
+    vectors after the first map."""
+    from ..functions.text import round_half_up
+
+    q = _int8_codes(emb).join(emb.select("vec_id", "label"), "vec_id")
+    h = q.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("codes").alias("dim", "code"),
+    )
+    sums = h.groupBy("label", "half", "dim").agg(F.sum("code").alias("s"))
+    a = sums.where(F.col("half") == 0).select(
+        "label", "dim", F.col("s").alias("sa")
+    )
+    b = sums.where(F.col("half") == 1).select(
+        "label", "dim", F.col("s").alias("sb")
+    )
+    ab = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).alias("dot"),
+            F.sum(F.col("sa") * F.col("sa")).alias("na2"),
+            F.sum(F.col("sb") * F.col("sb")).alias("nb2"),
+        )
+    )
+    cnts = q.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na2").cast("double"))
+        * F.sqrt(F.col("nb2").cast("double"))
+    )
+    return ab.join(cnts, "label").select(
+        "label", "n_a", "n_b", round_half_up(cos, 6).alias("drift_cos")
+    )
