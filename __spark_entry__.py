@@ -454,6 +454,33 @@ def q_emb_label_drift(spark, sf_dir):
     return S.label_centroid_drift(load_tables(spark, sf_dir)["embeddings"])
 
 
+def q_part_kcore(spark, sf_dir):
+    """Bounded 3-core peel of the part co-purchase graph
+    (graph.kcore_peel) — cohesive-core filter, unrolled-round oracle."""
+    from pubsub_mapreduce_spark.operators.graph import (
+        copurchase_edges,
+        kcore_peel,
+    )
+
+    edges = copurchase_edges(load_tables(spark, sf_dir)["lineitem"], min_w=2)
+    return kcore_peel(edges, k=3, rounds=3)
+
+
+def q_dedup_tfcosine(spark, sf_dir):
+    """Bag-of-words tf-cosine similar pairs (dedup.tf_cosine_pairs) —
+    integer dot/norms, sqrt-mirrored cosine."""
+    return dedup.tf_cosine_pairs(
+        load_tables(spark, sf_dir)["documents"], threshold=0.8
+    )
+
+
+def q_type_correlation(spark, sf_dir):
+    """Pairwise Pearson r (+1 offset) between event types' daily count
+    series (robust.type_correlation) — integer moments, one mirrored
+    float expression."""
+    return RB.type_correlation(load_tables(spark, sf_dir)["events"])
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -1865,6 +1892,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "user_diversity": q_user_diversity,
         "emb_label_drift": q_emb_label_drift,
+        "part_kcore": q_part_kcore,
+        "dedup_tfcosine": q_dedup_tfcosine,
+        "type_correlation": q_type_correlation,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -3870,6 +3900,62 @@ def oracle_sql() -> dict[str, str]:
                        AS drift_cos
             FROM ab JOIN cnts USING (label)
         """,
+        "dedup_tfcosine": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                         string_split_regex(lower(trim(text)), '\s+'),
+                         t -> t <> '')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM tk GROUP BY 1, 2),
+            keep AS (SELECT term FROM tf GROUP BY term
+                     HAVING count(*) <= 1000),
+            tff AS (SELECT tf.* FROM tf JOIN keep USING (term)),
+            norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+                      FROM tff GROUP BY 1),
+            dots AS (
+              SELECT x.doc_id AS a, y.doc_id AS b,
+                     CAST(sum(x.tf * y.tf) AS BIGINT) AS dot
+              FROM tff x JOIN tff y USING (term)
+              WHERE x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+            SELECT a, b, cosine FROM (
+              SELECT a, b,
+                     floor(CAST(dot AS DOUBLE)
+                           / (sqrt(CAST(na.n2 AS DOUBLE))
+                              * sqrt(CAST(nb.n2 AS DOUBLE)))
+                           * 1e6 + 0.5) / 1e6 AS cosine
+              FROM dots
+              JOIN norms na ON na.doc_id = a
+              JOIN norms nb ON nb.doc_id = b)
+            WHERE cosine >= 0.8
+        """,
+        "type_correlation": r"""
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+              FROM events GROUP BY 1, 2),
+            j AS (
+              SELECT a.event_type AS ta, b.event_type AS tb,
+                     a.cnt AS x, b.cnt AS y
+              FROM daily a JOIN daily b
+                ON a.d = b.d AND a.event_type < b.event_type),
+            agg AS (
+              SELECT ta, tb,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sx2,
+                     CAST(sum(y * y) AS BIGINT) AS sy2
+              FROM j GROUP BY 1, 2)
+            SELECT ta, tb, n,
+                   floor((CAST(n * sxy - sx * sy AS DOUBLE)
+                          / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+                             * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)))
+                          + 1.0) * 1e6 + 0.5) / 1e6 AS r_plus1
+            FROM agg
+        """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},
             keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
@@ -5477,6 +5563,37 @@ def oracle_sql() -> dict[str, str]:
           SELECT l.node, coalesce(p.new_label, l.label) AS label
           FROM l2 l LEFT JOIN p3 p USING (node))
         SELECT node AS part, label AS community FROM l3
+    """
+    # k-core unrolls the EXACT peel rounds the Spark loop runs.
+    out["part_kcore"] = """
+        WITH e0 AS (
+          SELECT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem GROUP BY 1, 2),
+        ed AS (
+          SELECT x.pk AS a, y.pk AS b, count(*) AS w
+          FROM e0 x JOIN e0 y ON x.ok = y.ok AND x.pk < y.pk
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        u0 AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+        d1 AS (SELECT a, count(*) AS deg FROM u0 GROUP BY 1),
+        k1 AS (SELECT a FROM d1 WHERE deg >= 3),
+        u1 AS (
+          SELECT u.a, u.b FROM u0 u
+          JOIN k1 x ON u.a = x.a
+          JOIN k1 y ON u.b = y.a),
+        d2 AS (SELECT a, count(*) AS deg FROM u1 GROUP BY 1),
+        k2 AS (SELECT a FROM d2 WHERE deg >= 3),
+        u2 AS (
+          SELECT u.a, u.b FROM u1 u
+          JOIN k2 x ON u.a = x.a
+          JOIN k2 y ON u.b = y.a),
+        d3 AS (SELECT a, count(*) AS deg FROM u2 GROUP BY 1),
+        k3 AS (SELECT a FROM d3 WHERE deg >= 3),
+        u3 AS (
+          SELECT u.a, u.b FROM u2 u
+          JOIN k3 x ON u.a = x.a
+          JOIN k3 y ON u.b = y.a)
+        SELECT a AS node, CAST(count(*) AS BIGINT) AS core_deg
+        FROM u3 GROUP BY 1
     """
     out["seasonal_outliers"] = """
         WITH daily AS (

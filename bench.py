@@ -143,6 +143,9 @@ BENCH_QUERIES = [
     "part_communities",
     "user_diversity",
     "emb_label_drift",
+    "part_kcore",
+    "dedup_tfcosine",
+    "type_correlation",
     "association_rules",
     "approx_distinct_users",
     "range_join_signup",

@@ -1017,3 +1017,59 @@ def containment_pairs(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+def tf_cosine_pairs(
+    docs: DataFrame, threshold: float = 0.8, max_df: int = 1000
+) -> DataFrame:
+    """Bag-of-words COSINE similar pairs over raw term frequencies —
+    the third lexical-similarity geometry next to Jaccard (set) and
+    containment (subset): cosine rewards repeated shared vocabulary
+    even when the sets differ, the right notion for template-y docs.
+
+    Exactness: tf vectors are INTEGER, so the shared-term dot product
+    and the norms are order-free BIGINT sums; the cosine is one
+    mirrored ``dot/(sqrt(na2)*sqrt(nb2))`` (IEEE sqrt is correctly
+    rounded in both engines). Same inverted-index shape as
+    ngram_jaccard_pairs — pairs only materialize for docs sharing a
+    term, with the same ``max_df`` stop-term skew cap, applied
+    CONSISTENTLY to dots and norms (cosine of the filtered vectors)."""
+    from ..functions.text import tokens as _toks
+
+    tf = (
+        docs.select(
+            "doc_id", F.explode(_toks(normalized_text())).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    keep = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("term")
+    )
+    tf_f = tf.join(keep, "term")
+    norms = tf_f.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    a = tf_f.select(F.col("doc_id").alias("a"), "term", F.col("tf").alias("tfa"))
+    b = tf_f.select(F.col("doc_id").alias("b"), "term", F.col("tf").alias("tfb"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).alias("dot"))
+    )
+    na = norms.withColumnRenamed("doc_id", "a").withColumnRenamed("n2", "na2")
+    nb = norms.withColumnRenamed("doc_id", "b").withColumnRenamed("n2", "nb2")
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na2").cast("double"))
+        * F.sqrt(F.col("nb2").cast("double"))
+    )
+    return (
+        dots.join(na, "a")
+        .join(nb, "b")
+        .select("a", "b", round_half_up(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

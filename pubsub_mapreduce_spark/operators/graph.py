@@ -246,3 +246,36 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
             )
         )
     return labels
+
+
+def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` synchronous passes of "drop
+    every node with degree < k (and its edges)" over an undirected
+    weighted edge list — the standard filter for hairball graphs
+    (keep the cohesive core, shed the tendrils) before community or
+    centrality work. Full k-core decomposition iterates to a fixed
+    point whose round count is data-dependent; fixing ``rounds`` keeps
+    the operator a finite relational composition (exact value-hash
+    oracle by unrolling — same contract as label_propagation /
+    pagerank) and each pass only shrinks the graph, so the result is a
+    SUPERSET of the true k-core that converges monotonically; tests
+    pin fixed-point equality on graphs that settle within the budget.
+
+    Per round: one node-keyed degree aggregate + two semi-joins, all
+    exchanges on the node key. Emits surviving nodes with their final
+    within-subgraph degree."""
+    und = edges.select("a", "b").union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    cur = und
+    for _ in range(rounds):
+        deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("a")
+        cur = (
+            cur.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .select("a", "b")
+        )
+    return cur.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_deg")
+    )

@@ -534,3 +534,53 @@ def holt_forecast(events: DataFrame) -> DataFrame:
             (F.col("s.l") + F.col("s.b")).alias("forecast_next"),
         )
     )
+
+
+def type_correlation(events: DataFrame) -> DataFrame:
+    """Pairwise Pearson correlation between event types' DAILY count
+    series — "do errors spike with purchases?" — computed entirely
+    from integer sums: n, Σx, Σy, Σxy, Σx², Σy² are BIGINT over the
+    day-aligned join, and
+
+        r = (n·Σxy − Σx·Σy) / (sqrt(n·Σx² − (Σx)²) · sqrt(n·Σy² − (Σy)²))
+
+    is ONE mirrored float expression (IEEE sqrt correctly rounded), so
+    even a correlation matrix is exactly value-hashable. Days missing
+    for a type count as absent (inner join on day — pairwise-complete
+    semantics, the standard choice).
+
+    Scale: the daily rollup collapses volume first (calendar-bounded
+    series); the pair join is |types|² × days — dimension-sized."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    a = daily.select(
+        F.col("event_type").alias("ta"), "d", F.col("cnt").alias("x")
+    )
+    b = daily.select(
+        F.col("event_type").alias("tb"), "d", F.col("cnt").alias("y")
+    )
+    j = a.join(b, "d").where(F.col("ta") < F.col("tb"))
+    agg = j.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dx = F.sqrt(
+        (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    dy = F.sqrt(
+        (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return agg.select(
+        "ta",
+        "tb",
+        "n",
+        round_half_up(num / (dx * dy) + F.lit(1.0), 6).alias("r_plus1"),
+    )

@@ -185,3 +185,57 @@ def test_attribution_credit_is_cent_exact(spark, tables):
     )
     assert credited == total
     assert all(r.n_touches > 0 for r in out)
+
+
+def test_kcore_reaches_fixed_point_on_small_graph(spark):
+    # triangle + pendant chain: 2-core = the triangle, found in one
+    # round; extra rounds must not change it (fixed point).
+    from pubsub_mapreduce_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (1, 3, 1), (3, 4, 1), (4, 5, 1)],
+        "a long, b long, w long",
+    )
+    out1 = {r.node for r in kcore_peel(edges, k=2, rounds=2).collect()}
+    out2 = {r.node for r in kcore_peel(edges, k=2, rounds=4).collect()}
+    assert out1 == out2 == {1, 2, 3}
+
+
+def test_tf_cosine_catches_repeated_vocab(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha beta beta", "en", "s", 20),
+            (2, "alpha alpha alpha beta beta beta", "en", "s", 30),
+            (3, "gamma delta epsilon zeta", "en", "s", 25),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from pubsub_mapreduce_spark.operators.dedup import tf_cosine_pairs
+
+    out = tf_cosine_pairs(docs, threshold=0.9).collect()
+    assert [(r.a, r.b) for r in out] == [(1, 2)]
+    assert out[0].cosine == 1.0  # proportional tf vectors -> cosine 1
+
+
+def test_type_correlation_detects_comovement(spark):
+    # two types whose daily counts move together exactly -> r = 1
+    # (r_plus1 = 2); a third anti-moving type -> r = -1 (r_plus1 = 0).
+    rows = []
+    base = datetime.datetime(2024, 3, 1)
+    for d in range(6):
+        for k in range(10 + d):
+            rows.append(("up1", d * 10000 + k))
+            rows.append(("up2", d * 10000 + 5000 + k))
+        for k in range(20 - d):
+            rows.append(("down", d * 10000 + 8000 + k))
+    df = spark.createDataFrame(
+        [
+            (i, base + datetime.timedelta(days=eid // 10000), 1, t, 1.0)
+            for i, (t, eid) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = {(r.ta, r.tb): r.r_plus1 for r in RB.type_correlation(df).collect()}
+    assert out[("up1", "up2")] == 2.0
+    assert out[("down", "up1")] == 0.0
+    assert out[("down", "up2")] == 0.0
