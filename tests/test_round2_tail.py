@@ -239,3 +239,45 @@ def test_type_correlation_detects_comovement(spark):
     assert out[("up1", "up2")] == 2.0
     assert out[("down", "up1")] == 0.0
     assert out[("down", "up2")] == 0.0
+
+
+def test_new_ops_plan_shapes(spark, tables):
+    """Scale-contract guards for the session's new operators: no
+    cartesian anywhere, broadcasts where a scalar/dimension side
+    exists, bounded keyed-shuffle budgets."""
+    from pubsub_mapreduce_spark.operators import relational as R
+    from pubsub_mapreduce_spark.operators.dedup import (
+        containment_pairs,
+        tf_cosine_pairs,
+    )
+    from pubsub_mapreduce_spark.plans.explain import (
+        assert_broadcast_join,
+        assert_no_cartesian,
+        keyed_shuffle_count,
+    )
+
+    docs, ev = tables["documents"], tables["events"]
+    for df in (
+        TX.bm25_rank(docs),
+        TX.bigram_collocations(docs),
+        TX.vocab_coverage(docs),
+        TX.rrf_hybrid(docs),
+        tf_cosine_pairs(docs),
+        containment_pairs(docs),
+        RB.trend_theil_sen(ev),
+        RB.type_correlation(ev),
+        RB.holt_forecast(ev),
+        RB.user_cusum(ev),
+        RB.user_twap(ev),
+        R.attribution_credit(ev),
+        R.user_type_diversity(ev),
+        SM.budget_allocation(docs),
+    ):
+        assert_no_cartesian(df)
+    # scalar stats enter via broadcast, not shuffle, in the fused plans
+    assert_broadcast_join(TX.bm25_rank(docs), min_count=2)
+    assert_broadcast_join(SM.budget_allocation(docs), min_count=1)
+    # single user-keyed exchange feeds both TWAP window and aggregate
+    assert keyed_shuffle_count(RB.user_twap(ev)) <= 2
+    # diversity: two aggregates sharing the user partitioning
+    assert keyed_shuffle_count(R.user_type_diversity(ev)) <= 2
