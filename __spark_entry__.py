@@ -481,6 +481,12 @@ def q_type_correlation(spark, sf_dir):
     return RB.type_correlation(load_tables(spark, sf_dir)["events"])
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Top BPE merge candidates (textops.bpe_merge_candidates) — the
+    tokenizer-training statistic, integer-exact."""
+    return TX.bpe_merge_candidates(load_tables(spark, sf_dir)["documents"])
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -1895,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_kcore": q_part_kcore,
         "dedup_tfcosine": q_dedup_tfcosine,
         "type_correlation": q_type_correlation,
+        "bpe_merges": q_bpe_merges,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -3955,6 +3962,29 @@ def oracle_sql() -> dict[str, str]:
                              * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)))
                           + 1.0) * 1e6 + 0.5) / 1e6 AS r_plus1
             FROM agg
+        """,
+        "bpe_merges": r"""
+            WITH words AS (
+              SELECT w, count(*) AS freq FROM (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(text), '\s+'),
+                    t -> t <> '')) AS w
+                FROM documents)
+              GROUP BY 1),
+            pairs AS (
+              SELECT freq, w[i+1:i+2] AS pair
+              FROM words,
+                   LATERAL (SELECT unnest(range(length(w)-1)) AS i) _
+              WHERE length(w) >= 2),
+            counts AS (
+              SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+              FROM pairs GROUP BY 1),
+            top AS (SELECT pair, cnt FROM counts
+                    ORDER BY cnt DESC, pair LIMIT 20)
+            SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair)
+                        AS INTEGER) AS rank,
+                   pair, cnt
+            FROM top
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "emb_label_drift",
     "part_kcore",
     "dedup_tfcosine",
+    "bpe_merges",
     "type_correlation",
     "association_rules",
     "approx_distinct_users",

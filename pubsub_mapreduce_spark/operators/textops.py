@@ -1048,3 +1048,41 @@ def rrf_hybrid(
         F.coalesce(F.col("rank_bm25"), F.lit(0)).alias("rank_bm25"),
         F.coalesce(F.col("rank_q"), F.lit(0)).alias("rank_q"),
     )
+
+
+def bpe_merge_candidates(docs: DataFrame, top_n: int = 20) -> DataFrame:
+    """One BPE-training step, in the engine: the corpus-weighted counts
+    of adjacent CHARACTER pairs inside words, ranked — the exact
+    statistic the tokenizer trainer consumes to pick its next merge
+    (full BPE iterates this with re-segmentation; the candidate table
+    is the per-iteration workhorse and the part worth distributing,
+    since it touches every token occurrence).
+
+    Pure integer counts, deterministic (count desc, pair asc) ranking.
+    Plan: the WORD frequency table collapses the corpus first (one
+    token-keyed aggregate), then pair extraction runs over DISTINCT
+    words only — |vocab| rows, not |corpus| — weighted by freq; the
+    pair rollup is dimension-sized (|charset|²). The overlapping-regex
+    lookahead does the extraction in one pass (word_shingles finding)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    words = (
+        widen(docs, 8)
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.regexp_extract_all("w", F.lit(r"(?=(..))."), 1)
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("freq").alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("pair")).limit(top_n)
+    wr = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return top.select(
+        F.row_number().over(wr).alias("rank"), "pair", "cnt"
+    )
