@@ -487,6 +487,20 @@ def q_bpe_merges(spark, sf_dir):
     return TX.bpe_merge_candidates(load_tables(spark, sf_dir)["documents"])
 
 
+def q_multimodal_audio_pairs(spark, sf_dir):
+    """Audio near-dup via energy-delta-sign fingerprints + Hamming
+    block join (multimodal.audio_near_pairs) — completes the dedup
+    family's audio modality."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return multimodal.audio_near_pairs(multimodal.attach_media(docs))
+
+
+def q_fk_orphans(spark, sf_dir):
+    """Referential-integrity audit of the star schema's FK edges
+    (relational.fk_orphan_report)."""
+    return R.fk_orphan_report(load_tables(spark, sf_dir))
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -1902,6 +1916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_tfcosine": q_dedup_tfcosine,
         "type_correlation": q_type_correlation,
         "bpe_merges": q_bpe_merges,
+        "multimodal_audio_pairs": q_multimodal_audio_pairs,
+        "fk_orphans": q_fk_orphans,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -3985,6 +4001,80 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS rank,
                    pair, cnt
             FROM top
+        """,
+        "multimodal_audio_pairs": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                     lower(hex(encode(text))) AS h
+              FROM documents),
+            w AS (
+              SELECT doc_id, n, h,
+                     unnest(range(0, greatest((n + 3) // 4, 1))) AS w
+              FROM m),
+            bv AS (
+              SELECT doc_id, w AS win,
+                     [ (strpos('0123456789abcdef', h[2*i+1:2*i+1]) - 1) * 16
+                       + (strpos('0123456789abcdef', h[2*i+2:2*i+2]) - 1)
+                       for i in range(w*4, least(n, w*4 + 4)) ] AS vals
+              FROM w),
+            en AS (
+              SELECT doc_id, CAST(win AS BIGINT) AS win,
+                     CAST(list_sum(vals) AS BIGINT) AS energy
+              FROM bv WHERE len(vals) > 0),
+            led AS (
+              SELECT doc_id, win, energy,
+                     lead(energy) OVER (PARTITION BY doc_id
+                                        ORDER BY win) AS nxt
+              FROM en WHERE win <= 32),
+            bits AS (
+              SELECT doc_id, win,
+                     CASE WHEN nxt > energy THEN 1 ELSE 0 END AS bit
+              FROM led WHERE win < 32 AND nxt IS NOT NULL),
+            fp AS (
+              SELECT doc_id,
+                     CAST(sum(bit * (1::BIGINT << CAST(win AS INTEGER)))
+                          AS BIGINT) AS afp,
+                     CAST(count(*) AS BIGINT) AS nw
+              FROM bits GROUP BY 1),
+            blocks AS (
+              SELECT doc_id, afp, nw, b AS blk,
+                     (afp >> CAST(b * 8 AS INTEGER)) & 255 AS blkval
+              FROM fp, LATERAL (SELECT unnest(range(4)) AS b) _)
+            SELECT a, b, hamming FROM (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                     CAST(bit_count(xor(x.afp, y.afp)) AS INTEGER)
+                         AS hamming
+              FROM blocks x JOIN blocks y
+                ON x.blk = y.blk AND x.blkval = y.blkval AND x.nw = y.nw
+                   AND x.doc_id < y.doc_id)
+            WHERE hamming <= 3
+        """,
+        "fk_orphans": r"""
+            SELECT 'orders.o_custkey->customer' AS relationship,
+                   (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_child,
+                   (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey))
+                       AS n_orphans
+            UNION ALL
+            SELECT 'lineitem.l_orderkey->orders',
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey))
+            UNION ALL
+            SELECT 'lineitem.l_partkey->part',
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM part p
+                                      WHERE p.p_partkey = l.l_partkey))
+            UNION ALL
+            SELECT 'lineitem.l_suppkey->supplier',
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                      WHERE s.s_suppkey = l.l_suppkey))
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

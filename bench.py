@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "part_kcore",
     "dedup_tfcosine",
     "bpe_merges",
+    "multimodal_audio_pairs",
+    "fk_orphans",
     "type_correlation",
     "association_rules",
     "approx_distinct_users",

@@ -460,3 +460,101 @@ def dup_consensus(
             F.coalesce(F.col("hamming"), F.lit(-1)).alias("hamming"),
         )
     )
+
+
+def audio_fingerprints(
+    df: DataFrame, n_bits: int = 32, window: int = 4
+) -> DataFrame:
+    """Haitsma–Kalker-style audio fingerprint: the SIGN of successive
+    window-energy deltas, packed into an ``n_bits``-bit integer — the
+    robust shape real audio dedup uses (energy-delta signs survive
+    volume/codec changes; absolute energies don't). Consumes
+    audio_window_energy's integer energies, so the whole fingerprint
+    is exact bit math on BIGINTs. Payloads shorter than
+    ``(n_bits+1)*window`` bytes yield partial prints (high bits 0);
+    ``n_windows`` is emitted so consumers can length-block.
+
+    One doc-keyed window pass (lead) + one packing aggregate — bits at
+    disjoint positions combine with ``+`` (house rule: Column ``|`` is
+    boolean), inputs non-negative by construction."""
+    from pyspark.sql import Window
+
+    en = audio_window_energy(df, window=window).where(F.col("win") <= n_bits)
+    w = Window.partitionBy("doc_id").orderBy("win")
+    bits = (
+        en.withColumn("nxt", F.lead("energy").over(w))
+        .where(F.col("win") < n_bits)
+        .where(F.col("nxt").isNotNull())
+        .select(
+            "doc_id",
+            "win",
+            F.when(F.col("nxt") > F.col("energy"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("bit"),
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        # SQL form: the Python shiftleft binding wants a literal bit
+        # count, the SQL function takes a column
+        F.sum(
+            F.col("bit") * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(win AS INT))")
+        ).alias("afp"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
+
+
+def audio_near_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Audio near-dup pairs by fingerprint Hamming distance — the AUDIO
+    member of the cross-modal dedup family (md5 text / MinHash token /
+    LSH embedding / pHash image / frame-pair video / THIS), using the
+    same block-permutation pigeonhole as simhash_near_pairs: the
+    32-bit fingerprint splits into 4 bytes; any pair within distance 3
+    agrees on >= 1 byte, so candidates come from an equi-join on
+    (block, value) — never all-pairs — and the exact Hamming verify
+    runs only on collisions. The candidate join is ALSO blocked on
+    n_windows (compare same-duration clips only — standard in audio
+    matching, and it keeps zero-padded short prints from piling into
+    one degenerate high-byte-0 bucket at scale)."""
+    n_blocks, block_bits = 4, 8
+    assert max_hamming < n_blocks
+    fp = audio_fingerprints(df)
+    blocks = fp.select(
+        "doc_id",
+        "afp",
+        "n_windows",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("afp"), b * block_bits).bitwiseAND(
+                        F.lit((1 << block_bits) - 1)
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("blk", "blkval"),
+    )
+    left = blocks.select(
+        "blk",
+        "blkval",
+        F.col("n_windows").alias("nw"),
+        F.col("doc_id").alias("a"),
+        F.col("afp").alias("fa"),
+    )
+    right = blocks.select(
+        "blk",
+        "blkval",
+        F.col("n_windows").alias("nw"),
+        F.col("doc_id").alias("b"),
+        F.col("afp").alias("fb"),
+    )
+    return (
+        left.join(right, ["blk", "blkval", "nw"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -2309,3 +2309,39 @@ def user_type_diversity(events: DataFrame) -> DataFrame:
             ).alias("simpson"),
         )
     )
+
+
+def fk_orphan_report(t: Tables) -> DataFrame:
+    """Referential-integrity audit across the star schema's four FK
+    edges: per relationship, child row count and ORPHAN count (child
+    rows whose key misses the parent) — the DQ gate a warehouse load
+    runs after ingest (dq_check validates values WITHIN a table; this
+    validates the edges BETWEEN them). Zero-orphan rows still appear:
+    the report proves the check ran, not just that it fired.
+
+    Each edge is one left-anti count against the parent's key
+    projection — dimension-sized builds broadcast; the fact scan reads
+    only the FK column (pruned schema)."""
+    edges = [
+        ("orders.o_custkey->customer", t["orders"], "o_custkey",
+         t["customer"], "c_custkey"),
+        ("lineitem.l_orderkey->orders", t["lineitem"], "l_orderkey",
+         t["orders"], "o_orderkey"),
+        ("lineitem.l_partkey->part", t["lineitem"], "l_partkey",
+         t["part"], "p_partkey"),
+        ("lineitem.l_suppkey->supplier", t["lineitem"], "l_suppkey",
+         t["supplier"], "s_suppkey"),
+    ]
+    out = None
+    for name, child, ck, parent, pk in edges:
+        c = child.select(F.col(ck).alias("k"))
+        p = parent.select(F.col(pk).alias("k"))
+        part = c.join(p, "k", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        ).crossJoin(
+            c.agg(F.count(F.lit(1)).alias("n_child"))
+        ).select(
+            F.lit(name).alias("relationship"), "n_child", "n_orphans"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
