@@ -213,11 +213,17 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
     exchanges on the node key so the partitioning is reused; state is
     the |nodes|-sized label table, never materialized on the driver.
     Sync variant (not async) so results are order-independent."""
+    # Catalyst has no cross-branch CSE: every round re-references the
+    # edge relation, so an unchecked lineage replays the lineitem
+    # self-join each round. Checkpointing UND alone is the measured
+    # sweet spot at sf0.1 (2.6s vs 3.6s also-checkpointing-labels —
+    # three extra materialization barriers cost more than the pruned
+    # label lineage saves — vs 3.2s unchecked).
     und = edges.select("a", "b", "w").union(
         edges.select(
             F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
         )
-    )
+    ).localCheckpoint(eager=False)
     labels = und.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -264,10 +270,14 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     Per round: one node-keyed degree aggregate + two semi-joins, all
     exchanges on the node key. Emits surviving nodes with their final
     within-subgraph degree."""
+    # same no-cross-branch-CSE hazard as label_propagation: cur feeds
+    # three branches per round (degree + two semi-joins), so without
+    # the per-round checkpoint the edge build replays ~3^rounds times
+    # (measured 6.6s for 3 rounds at sf0.1; checkpointed: ~1s).
     und = edges.select("a", "b").union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    cur = und
+    cur = und.localCheckpoint(eager=False)
     for _ in range(rounds):
         deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.where(F.col("deg") >= k).select("a")
@@ -275,6 +285,7 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
             cur.join(keep, "a", "left_semi")
             .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
             .select("a", "b")
+            .localCheckpoint(eager=False)
         )
     return cur.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("core_deg")
