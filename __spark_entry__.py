@@ -501,6 +501,13 @@ def q_fk_orphans(spark, sf_dir):
     return R.fk_orphan_report(load_tables(spark, sf_dir))
 
 
+def q_user_cusum_target(spark, sf_dir):
+    """Online tabular CUSUM vs a reference level, with alarms+resets
+    (robust.user_cusum_target) — integer fold; live twin
+    streaming.cusum_stream is pinned snapshot-identical."""
+    return RB.user_cusum_target(load_tables(spark, sf_dir)["events"])
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -1918,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "multimodal_audio_pairs": q_multimodal_audio_pairs,
         "fk_orphans": q_fk_orphans,
+        "user_cusum_target": q_user_cusum_target,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -4075,6 +4083,43 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
                     WHERE NOT EXISTS (SELECT 1 FROM supplier s
                                       WHERE s.s_suppkey = l.l_suppkey))
+        """,
+        # Recursive CTE, not list_reduce: the alarm predicate couples
+        # S+ and S- (cross-field accumulator reads hit DuckDB v1.0.0's
+        # in-place lambda evaluation — holt_forecast finding).
+        "user_cusum_target": r"""
+            WITH RECURSIVE e AS (
+              SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS i
+              FROM events),
+            cs AS (
+              SELECT user_id, i,
+                     CAST(CASE WHEN (greatest(0, c - 27500) > 20000 OR greatest(0, 22500 - c) > 20000) THEN 0 ELSE greatest(0, c - 27500) END
+                          AS BIGINT) AS sp,
+                     CAST(CASE WHEN (greatest(0, c - 27500) > 20000 OR greatest(0, 22500 - c) > 20000) THEN 0 ELSE greatest(0, 22500 - c) END
+                          AS BIGINT) AS sn,
+                     CAST(1 AS BIGINT) AS n,
+                     CAST(CASE WHEN (greatest(0, c - 27500) > 20000 OR greatest(0, 22500 - c) > 20000) THEN 1 ELSE 0 END
+                          AS BIGINT) AS na
+              FROM e WHERE i = 1
+              UNION ALL
+              SELECT s.user_id, x.i,
+                     CAST(CASE WHEN (greatest(0, s.sp + (x.c - 27500)) > 20000 OR greatest(0, s.sn + (22500 - x.c)) > 20000) THEN 0 ELSE greatest(0, s.sp + (x.c - 27500)) END
+                          AS BIGINT),
+                     CAST(CASE WHEN (greatest(0, s.sp + (x.c - 27500)) > 20000 OR greatest(0, s.sn + (22500 - x.c)) > 20000) THEN 0 ELSE greatest(0, s.sn + (22500 - x.c)) END
+                          AS BIGINT),
+                     s.n + 1,
+                     s.na + CASE WHEN (greatest(0, s.sp + (x.c - 27500)) > 20000 OR greatest(0, s.sn + (22500 - x.c)) > 20000) THEN 1 ELSE 0 END
+              FROM cs s JOIN e x
+                ON x.user_id = s.user_id AND x.i = s.i + 1),
+            m AS (SELECT user_id, max(i) AS mi FROM cs GROUP BY 1)
+            SELECT c.user_id,
+                   c.n AS n_events,
+                   c.sp AS cusum_pos,
+                   c.sn AS cusum_neg,
+                   c.na AS n_alarms
+            FROM cs c JOIN m ON c.user_id = m.user_id AND c.i = m.mi
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

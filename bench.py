@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "winsorized_values",
     "user_ema",
     "user_cusum",
+    "user_cusum_target",
     "user_twap",
     "trend_theil_sen",
     "holt_forecast",

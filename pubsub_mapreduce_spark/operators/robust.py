@@ -584,3 +584,66 @@ def type_correlation(events: DataFrame) -> DataFrame:
         "n",
         round_half_up(num / (dx * dy) + F.lit(1.0), 6).alias("r_plus1"),
     )
+
+
+def user_cusum_target(
+    events: DataFrame,
+    target_cents: int = 25000,
+    slack_cents: int = 2500,
+    h_cents: int = 20000,
+) -> DataFrame:
+    """ONLINE (tabular) CUSUM against a known reference level — the
+    deployable sibling of ``user_cusum`` (which locates a change
+    offline against the series' own mean): per user, the classic
+    one-sided pair
+
+        S+ = max(0, S+ + (x - target - slack))
+        S- = max(0, S- + (target - slack - x))
+
+    with an ALARM whenever either side crosses ``h`` (then both reset
+    — standard restart-after-signal). All integer cents, so the fold
+    is exact; alarms and final statistics are pure functions of the
+    ordered per-user series. Emits final S+/S-, event count, and the
+    alarm count per user.
+
+    Non-associative recursion -> per-key sorted HOF fold (the
+    user_value_ema pattern); the live twin ``streaming.cusum_stream``
+    carries O(1) state and is pinned snapshot-identical after ordered
+    replay. The oracle steps a recursive CTE: the alarm predicate
+    couples S+ and S-, which is exactly the cross-field accumulator
+    read DuckDB v1.0.0's in-place list_reduce gets wrong
+    (holt_forecast finding)."""
+    up = target_cents + slack_cents
+    dn = target_cents - slack_cents
+    ev = events.select(
+        "user_id",
+        F.struct(
+            F.col("ts").cast("double").alias("tt"),
+            F.col("event_id").alias("eid"),
+            _cents().alias("c"),
+        ).alias("r"),
+    )
+    sp1 = f"greatest(0L, acc.sp + (r.c - {up}))"
+    sn1 = f"greatest(0L, acc.sn + ({dn} - r.c))"
+    alarm = f"({sp1} > {h_cents} OR {sn1} > {h_cents})"
+    fold = F.expr(
+        f"""aggregate(
+              array_sort(collect_list(r)),
+              named_struct('sp', 0L, 'sn', 0L, 'n', 0L, 'na', 0L),
+              (acc, r) -> named_struct(
+                'sp', IF({alarm}, 0L, {sp1}),
+                'sn', IF({alarm}, 0L, {sn1}),
+                'n', acc.n + 1,
+                'na', acc.na + IF({alarm}, 1L, 0L)))"""
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(fold.alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n").alias("n_events"),
+            F.col("s.sp").alias("cusum_pos"),
+            F.col("s.sn").alias("cusum_neg"),
+            F.col("s.na").alias("n_alarms"),
+        )
+    )

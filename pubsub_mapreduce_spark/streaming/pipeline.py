@@ -564,3 +564,76 @@ def ema_stream(events: DataFrame, shift: int = 2) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("sp", LongType()),
+        StructField("sn", LongType()),
+        StructField("n", LongType()),
+        StructField("na", LongType()),
+    ]
+)
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("cusum_pos", LongType()),
+        StructField("cusum_neg", LongType()),
+        StructField("n_alarms", LongType()),
+    ]
+)
+
+
+def cusum_stream(
+    events: DataFrame,
+    target_cents: int = 25000,
+    slack_cents: int = 2500,
+    h_cents: int = 20000,
+) -> DataFrame:
+    """Live form of ``robust.user_cusum_target``: tabular CUSUM against
+    a known reference, O(1) state per key (S+, S-, n, n_alarms) — the
+    drift alarm runs ON the stream instead of on a nightly fold, with
+    the restart-after-signal reset keeping state bounded forever.
+    Same integer recursion, so after ordered replay the final per-user
+    snapshot equals the batch fold EXACTLY (pinned). Emits one
+    snapshot row per active user per micro-batch."""
+    up = target_cents + slack_cents
+    dn = target_cents - slack_cents
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            sp, sn, n, na = state.get
+        else:
+            sp, sn, n, na = 0, 0, 0, 0
+        batch = []
+        for pdf in pdfs:
+            for ts, eid, v in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+                cents = int(round(float(v) * 100))
+                batch.append((pd.Timestamp(ts).timestamp(), int(eid), cents))
+        batch.sort()
+        for _ts, _eid, c in batch:
+            sp1 = max(0, sp + (c - up))
+            sn1 = max(0, sn + (dn - c))
+            if sp1 > h_cents or sn1 > h_cents:
+                sp, sn, na = 0, 0, na + 1
+            else:
+                sp, sn = sp1, sn1
+            n += 1
+        state.update((sp, sn, n, na))
+        yield pd.DataFrame(
+            [(key[0], n, sp, sn, na)],
+            columns=["user_id", "n_events", "cusum_pos", "cusum_neg", "n_alarms"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -281,3 +281,23 @@ def test_new_ops_plan_shapes(spark, tables):
     assert keyed_shuffle_count(RB.user_twap(ev)) <= 2
     # diversity: two aggregates sharing the user partitioning
     assert keyed_shuffle_count(R.user_type_diversity(ev)) <= 2
+
+
+def test_cusum_target_alarm_semantics(spark):
+    # steady at target -> no alarms; sustained +400-cent drift with
+    # slack 25 and h 1000 alarms roughly every ceil(1000/375) steps
+    # and resets after each alarm.
+    steady = [(1, 250.0)] * 20
+    drifted = [(2, 250.0)] * 5 + [(2, 654.0)] * 20
+    out = {
+        r.user_id: r
+        for r in RB.user_cusum_target(
+            _events(spark, steady + drifted),
+            target_cents=25000,
+            slack_cents=2500,
+            h_cents=100000,
+        ).collect()
+    }
+    assert out[1].n_alarms == 0
+    assert out[1].cusum_pos == 0 and out[1].cusum_neg == 0
+    assert out[2].n_alarms > 0  # sustained shift must trip the alarm

@@ -1138,3 +1138,64 @@ def test_ema_stream_matches_batch_fold(spark, tmp_path):
         for r in user_value_ema(events).collect()
     }
     assert got == want
+
+
+def test_cusum_stream_matches_batch_fold(spark, tmp_path):
+    """Streaming tabular CUSUM over a 4-batch ordered replay: final
+    per-user (S+, S-, n, alarms) must equal the batch sorted fold
+    exactly (robust.user_cusum_target)."""
+    from pubsub_mapreduce_spark.io import load_tables
+    from pubsub_mapreduce_spark.operators.robust import user_cusum_target
+    from pubsub_mapreduce_spark.streaming.pipeline import cusum_stream
+    from tests.conftest import SF_SMALL
+
+    events = load_tables(spark, SF_SMALL)["events"].select(
+        "event_id", "ts", "user_id", "value"
+    )
+    rows = sorted(events.collect(), key=lambda r: (r["ts"], r["event_id"]))
+    d = tmp_path / "cusum_replay"
+    d.mkdir()
+    chunk = (len(rows) + 3) // 4
+    for i in range(4):
+        spark.createDataFrame(
+            rows[i * chunk : (i + 1) * chunk], events.schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(d / f"f{i}"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/f*")
+    )
+    q = (
+        cusum_stream(stream)
+        .writeStream.format("memory")
+        .queryName("cusum_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+    out = spark.sql("select * from cusum_stream_t").collect()
+    latest: dict = {}
+    for r in out:
+        if (
+            r["user_id"] not in latest
+            or r["n_events"] > latest[r["user_id"]]["n_events"]
+        ):
+            latest[r["user_id"]] = r
+    got = {
+        u: (r["cusum_pos"], r["cusum_neg"], r["n_events"], r["n_alarms"])
+        for u, r in latest.items()
+    }
+    want = {
+        r["user_id"]: (
+            r["cusum_pos"],
+            r["cusum_neg"],
+            r["n_events"],
+            r["n_alarms"],
+        )
+        for r in user_cusum_target(
+            load_tables(spark, SF_SMALL)["events"]
+        ).collect()
+    }
+    assert got == want
