@@ -84,3 +84,62 @@ def test_ann_lsh_bits_scale_with_corpus(spark, big_emb):
     rows = per_q.collect()
     assert len(rows) == N_VECS // 100
     assert all(r["n"] == 5 for r in rows)
+
+
+def test_bm25_and_retrieval_scale_structurally(spark, big_docs):
+    """BM25 + RRF over the 10x corpus: bounded output, deterministic
+    ranks, no cartesian in the plan."""
+    from pubsub_mapreduce_spark.operators.textops import bm25_rank, rrf_hybrid
+    from pubsub_mapreduce_spark.plans.explain import assert_no_cartesian
+
+    bm = bm25_rank(big_docs, top_n=100)
+    assert_no_cartesian(bm)
+    rows = bm.collect()
+    assert len(rows) <= 100
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    fused = rrf_hybrid(big_docs, pool=100, top_n=50).collect()
+    assert len(fused) <= 50
+
+
+def test_tf_cosine_prunes_stop_terms_at_scale(spark, big_docs):
+    """At 10x the max_df cap must prune ubiquitous terms BEFORE the
+    pair join — the candidate count stays far under all-pairs."""
+    from pubsub_mapreduce_spark.operators.dedup import tf_cosine_pairs
+
+    n = tf_cosine_pairs(big_docs, threshold=0.9, max_df=1000).count()
+    assert n < N_DOCS * 50  # nowhere near the ~2e8 all-pairs
+
+
+def test_vocab_coverage_at_scale_is_complete_curve(spark, big_docs):
+    from pubsub_mapreduce_spark.operators.textops import vocab_coverage
+
+    out = vocab_coverage(big_docs).orderBy("token_id").collect()
+    covers = [r.coverage for r in out]
+    assert covers == sorted(covers)
+    assert covers[-1] <= 1.0
+
+
+def test_lpa_and_kcore_bounded_rounds_at_scale(spark, big_docs):
+    """Graph ops on a synthetic co-occurrence graph built from doc
+    sources: rounds stay bounded, exchanges keyed (no cartesian)."""
+    from pubsub_mapreduce_spark.operators.graph import (
+        kcore_peel,
+        label_propagation,
+    )
+    from pubsub_mapreduce_spark.plans.explain import assert_no_cartesian
+
+    # derive a deterministic edge list: doc_id-bucket co-membership
+    e = (
+        big_docs.select(
+            (F.col("doc_id") % 97).alias("a"),
+            (F.col("doc_id") % 43 + 1000).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+    )
+    lp = label_propagation(e, iters=3)
+    assert_no_cartesian(lp)
+    assert lp.count() > 0
+    kc = kcore_peel(e, k=3, rounds=3)
+    assert kc.count() >= 0
