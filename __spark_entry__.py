@@ -508,6 +508,12 @@ def q_user_cusum_target(spark, sf_dir):
     return RB.user_cusum_target(load_tables(spark, sf_dir)["events"])
 
 
+def q_sim_mmr(spark, sf_dir):
+    """MMR diversified top-k (similarity.mmr_diversify) — greedy
+    relevance-vs-redundancy selection, recursive-CTE mirrored."""
+    return S.mmr_diversify(load_tables(spark, sf_dir)["embeddings"])
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -1926,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_pairs": q_multimodal_audio_pairs,
         "fk_orphans": q_fk_orphans,
         "user_cusum_target": q_user_cusum_target,
+        "sim_mmr": q_sim_mmr,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -4120,6 +4127,43 @@ def oracle_sql() -> dict[str, str]:
                    c.sn AS cusum_neg,
                    c.na AS n_alarms
             FROM cs c JOIN m ON c.user_id = m.user_id AND c.i = m.mi
+        """,
+        "sim_mmr": r"""
+            WITH RECURSIVE e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+            q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+            cand AS (
+              SELECT e.vec_id, e.emb,
+                     list_cosine_similarity(q_emb, emb) AS rel
+              FROM e, q WHERE e.vec_id <> 0
+              ORDER BY rel DESC, e.vec_id LIMIT 50),
+            sel AS (
+              SELECT 1 AS pick, vec_id, rel,
+                     0.5 * rel - 0.5 * 0.0 AS score,
+                     [vec_id] AS chosen
+              FROM (SELECT vec_id, rel FROM cand
+                    ORDER BY (0.5 * rel - 0.5 * 0.0) DESC, vec_id
+                    LIMIT 1)
+              UNION ALL
+              SELECT s.pick + 1, c.vec_id, c.rel, c.score,
+                     list_append(s.chosen, c.vec_id)
+              FROM sel s,
+                   LATERAL (
+                     SELECT cc.vec_id, cc.rel,
+                            0.5 * cc.rel - 0.5 * coalesce(
+                              (SELECT max(list_cosine_similarity(cc.emb,
+                                                                 e2.emb))
+                               FROM e e2
+                               WHERE list_contains(s.chosen, e2.vec_id)),
+                              0.0) AS score
+                     FROM cand cc
+                     WHERE NOT list_contains(s.chosen, cc.vec_id)
+                     ORDER BY score DESC, cc.vec_id LIMIT 1) c
+              WHERE s.pick < 10)
+            SELECT pick, vec_id,
+                   floor(rel * 1e4 + 0.5) / 1e4 AS rel,
+                   floor(score * 1e4 + 0.5) / 1e4 AS score
+            FROM sel
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

@@ -1981,3 +1981,110 @@ def label_centroid_drift(emb: DataFrame) -> DataFrame:
     return ab.join(cnts, "label").select(
         "label", "n_a", "n_b", round_half_up(cos, 6).alias("drift_cos")
     )
+
+
+def mmr_diversify(
+    emb: DataFrame, query_vec_id: int = 0, pool: int = 50, k: int = 10
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified retrieval (Carbonell &
+    Goldstein): greedily pick ``k`` results from the top-``pool``
+    candidates, each step taking
+
+        argmax  0.5 * rel(c) - 0.5 * max_{s in selected} sim(c, s)
+
+    — the vector-search feature that stops a result page from being
+    ten near-copies of the same document. lambda fixed at 1/2 (exact
+    halving, so the float chain mirrors).
+
+    Determinism/oracle: relevance and pair sims use the shared
+    ``_sim_from_dot`` fold (bit-equal to DuckDB list_cosine_similarity
+    — verified corpus-wide), candidates and every greedy argmax
+    tie-break on vec_id, and the DuckDB twin replays the SAME greedy
+    recursion in a recursive CTE carrying the chosen list. Exact value
+    hash on an ITERATIVE float algorithm.
+
+    Scale shape: one broadcast-scored corpus scan -> TakeOrdered pool
+    (the only corpus-sized work), then k tiny rounds over <= pool rows
+    (anti-join + broadcast pair-scoring + 1-row argmax), lineage
+    truncated per round. Everything after the pool is O(pool * k)."""
+    from ..functions.text import round_half_up
+    from ..functions.vectors import norm
+    from ..io import widen
+
+    e = _as_double(emb).select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_nrm"),
+    )
+    cand = (
+        widen(e, 8)
+        .where(F.col("vec_id") != query_vec_id)
+        .crossJoin(broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            norm(F.col("embedding")).alias("nrm"),
+            _sim_from_dot(
+                F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(pool)
+        .localCheckpoint(eager=False)
+    )
+    selected = None
+    for i in range(1, k + 1):
+        if selected is None:
+            scored = cand.select(
+                "vec_id",
+                "embedding",
+                "nrm",
+                "rel",
+                (F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.lit(0.0)).alias(
+                    "score"
+                ),
+            )
+        else:
+            rem = cand.join(selected.select("vec_id"), "vec_id", "left_anti")
+            sel_e = selected.select(
+                F.col("embedding").alias("s_emb"),
+                F.col("nrm").alias("s_nrm"),
+            )
+            sims = (
+                rem.crossJoin(broadcast(sel_e))
+                .select(
+                    "vec_id",
+                    _sim_from_dot(
+                        F.col("s_emb"),
+                        F.col("embedding"),
+                        F.col("s_nrm"),
+                        F.col("nrm"),
+                    ).alias("s"),
+                )
+                .groupBy("vec_id")
+                .agg(F.max("s").alias("maxsim"))
+            )
+            scored = rem.join(sims, "vec_id", "left").select(
+                "vec_id",
+                "embedding",
+                "nrm",
+                "rel",
+                (
+                    F.lit(0.5) * F.col("rel")
+                    - F.lit(0.5) * F.coalesce(F.col("maxsim"), F.lit(0.0))
+                ).alias("score"),
+            )
+        pick = (
+            scored.orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(1)
+            .withColumn("pick", F.lit(i))
+        )
+        selected = (
+            pick if selected is None else selected.unionByName(pick)
+        ).localCheckpoint(eager=False)
+    return selected.select(
+        "pick",
+        "vec_id",
+        round_half_up(F.col("rel"), 4).alias("rel"),
+        round_half_up(F.col("score"), 4).alias("score"),
+    )

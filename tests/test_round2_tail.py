@@ -301,3 +301,34 @@ def test_cusum_target_alarm_semantics(spark):
     assert out[1].n_alarms == 0
     assert out[1].cusum_pos == 0 and out[1].cusum_neg == 0
     assert out[2].n_alarms > 0  # sustained shift must trip the alarm
+
+
+def test_mmr_diversifies_against_planted_clones(spark):
+    # query [1,0,0]; a pack of near-clones hugging it in the xy-plane;
+    # one lower-relevance doc pointing out of the plane. For a clone,
+    # rel ~ maxsim so its marginal score goes slightly NEGATIVE once a
+    # clone is selected; the out-of-plane doc keeps rel > maxsim
+    # (positive margin) and must win pick 2. (In 2D no such doc exists
+    # — every direction is as redundant as it is relevant — which is
+    # itself why MMR only bites in high dimensions.)
+    import math
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta), 0.0]
+
+    rows = [
+        (0, vec(0.0), 0),        # the query
+        (1, vec(0.01), 0),       # clone pack
+        (2, vec(0.012), 0),
+        (3, vec(0.014), 0),
+        (4, [0.6, 0.0, 0.8], 0),  # out-of-plane: distinct direction
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    from pubsub_mapreduce_spark.operators.similarity import mmr_diversify
+
+    out = mmr_diversify(emb, query_vec_id=0, pool=4, k=3).collect()
+    picks = [r.vec_id for r in sorted(out, key=lambda r: r.pick)]
+    assert picks[0] == 1          # most relevant first
+    assert picks[1] == 4          # diversity beats the clone pack
