@@ -514,6 +514,19 @@ def q_sim_mmr(spark, sf_dir):
     return S.mmr_diversify(load_tables(spark, sf_dir)["embeddings"])
 
 
+def q_pps_orders(spark, sf_dir):
+    """Systematic PPS sample of orders by spend
+    (sampling.pps_systematic) — RNG-free weighted sampling on the
+    distributed cumulative-weight line."""
+    t = load_tables(spark, sf_dir)
+    return SM.pps_systematic(
+        t["orders"],
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+        n=500,
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -1933,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_orphans": q_fk_orphans,
         "user_cusum_target": q_user_cusum_target,
         "sim_mmr": q_sim_mmr,
+        "pps_orders": q_pps_orders,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -4164,6 +4178,32 @@ def oracle_sql() -> dict[str, str]:
                    floor(rel * 1e4 + 0.5) / 1e4 AS rel,
                    floor(score * 1e4 + 0.5) / 1e4 AS score
             FROM sel
+        """,
+        "pps_orders": r"""
+            WITH d AS (
+              SELECT o_orderkey AS k,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS w
+              FROM orders),
+            c AS (SELECT k, w,
+                         CAST(sum(w) OVER (ORDER BY k) AS BIGINT) AS cum
+                  FROM d),
+            t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM d),
+            p AS (
+              SELECT k, w, cum, cum - w AS a,
+                     greatest(1, tw // 500) AS stride,
+                     greatest(1, tw // 500) // 2 AS anchor
+              FROM c CROSS JOIN t)
+            SELECT o_orderkey, cents, pos, n_hits FROM (
+              SELECT k AS o_orderkey, w AS cents,
+                     CAST(a AS BIGINT) AS pos,
+                     CAST((CASE WHEN cum - 1 >= anchor
+                                THEN (cum - 1 - anchor) // stride + 1
+                                ELSE 0 END)
+                        - (CASE WHEN a - 1 >= anchor
+                                THEN (a - 1 - anchor) // stride + 1
+                                ELSE 0 END) AS BIGINT) AS n_hits
+              FROM p)
+            WHERE n_hits >= 1
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

@@ -315,3 +315,72 @@ def budget_allocation(
             ).alias("alloc"),
         )
     )
+
+
+def pps_systematic(
+    df: DataFrame,
+    key: str,
+    weight: Column,
+    n: int = 500,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: lay the
+    rows out on the cumulative-weight line (ordered by ``key``), then
+    take one point every ``stride = total/n`` units starting at
+    ``stride/2`` — each row is hit with probability proportional to
+    its weight, heavy rows can be hit multiple times (``n_hits`` is
+    the PPS multiplicity), and the whole draw is deterministic: no
+    RNG, bit-identical across engines/partitionings/reruns. The
+    classic survey/importance-sampling design (Madow), here for
+    weight-proportional corpus subsampling (e.g. sample orders by
+    spend, documents by token count).
+
+    The cumulative line is the SAME distributed two-phase prefix sum
+    as pack_shards (range-bucket -> n_buckets-row offset window ->
+    per-bucket interior cumsum); selection is then a per-row integer
+    expression — hits in [a, a+w) = f(a+w-1) - f(a-1) with
+    f(x) = (x - anchor) div stride + 1 clamped at 0. All integer."""
+    kc = F.col(key)
+    d = df.select(kc.alias("k"), weight.alias("w"))
+    mn, mx = d.agg(F.min("k"), F.max("k")).first()
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col("k") - F.lit(mn)) * n_buckets / F.lit(mx - mn + 1)),
+    ).cast("int")
+    from pyspark.sql.functions import broadcast
+
+    d2 = d.select("k", "w", bucket.alias("bucket"))
+    wo = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d2.groupBy("bucket")
+        .agg(F.sum("w").alias("bw"))
+        .select(
+            "bucket", F.coalesce(F.sum("bw").over(wo), F.lit(0)).alias("off")
+        )
+    )
+    tot = d2.agg(F.sum("w").alias("t"))
+    wi = Window.partitionBy("bucket").orderBy("k")
+    lined = (
+        d2.join(broadcast(offsets), "bucket")
+        .crossJoin(broadcast(tot))
+        .select(
+            "k",
+            "w",
+            (F.col("off") + F.sum("w").over(wi) - F.col("w")).alias("a"),
+            F.expr(f"greatest(1L, t div {n})").alias("stride"),
+            F.expr(f"greatest(1L, t div {n}) div 2").alias("anchor"),
+        )
+    )
+
+    n_hits = F.expr(
+        """(CASE WHEN a + w - 1 >= anchor
+                 THEN (a + w - 1 - anchor) div stride + 1 ELSE 0 END)
+         - (CASE WHEN a - 1 >= anchor
+                 THEN (a - 1 - anchor) div stride + 1 ELSE 0 END)"""
+    )
+    return lined.select(
+        F.col("k").alias(key),
+        F.col("w").alias("cents"),
+        F.col("a").alias("pos"),
+        n_hits.alias("n_hits"),
+    ).where(F.col("n_hits") >= 1)

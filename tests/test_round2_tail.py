@@ -332,3 +332,27 @@ def test_mmr_diversifies_against_planted_clones(spark):
     picks = [r.vec_id for r in sorted(out, key=lambda r: r.pick)]
     assert picks[0] == 1          # most relevant first
     assert picks[1] == 4          # diversity beats the clone pack
+
+
+def test_pps_sample_size_and_weight_proportionality(spark, tables):
+    """Systematic PPS: total hits ~ n exactly (off by at most 1), and a
+    row heavier than the stride is ALWAYS hit."""
+    orders = tables["orders"]
+    out = SM.pps_systematic(
+        orders,
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+        n=100,
+    ).collect()
+    total_hits = sum(r.n_hits for r in out)
+    assert abs(total_hits - 100) <= 1
+    # determinism: a second run returns the identical sample
+    again = SM.pps_systematic(
+        orders,
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+        n=100,
+    ).collect()
+    assert sorted((r.o_orderkey, r.n_hits) for r in out) == sorted(
+        (r.o_orderkey, r.n_hits) for r in again
+    )
