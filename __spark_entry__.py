@@ -527,6 +527,20 @@ def q_pps_orders(spark, sf_dir):
     )
 
 
+def q_weighted_median_price(spark, sf_dir):
+    """Quantity-weighted median line price per return flag
+    (robust.weighted_median) — volume-aware central tendency, pure
+    order statistics."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return RB.weighted_median(
+        li,
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        F.col("l_quantity").cast("long"),
+        tiebreak="l_orderkey",
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -1947,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_cusum_target": q_user_cusum_target,
         "sim_mmr": q_sim_mmr,
         "pps_orders": q_pps_orders,
+        "weighted_median_price": q_weighted_median_price,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -4204,6 +4219,29 @@ def oracle_sql() -> dict[str, str]:
                                 ELSE 0 END) AS BIGINT) AS n_hits
               FROM p)
             WHERE n_hits >= 1
+        """,
+        "weighted_median_price": r"""
+            WITH d AS (
+              SELECT l_returnflag AS g,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                     CAST(l_quantity AS BIGINT) AS w,
+                     l_orderkey AS tb
+              FROM lineitem),
+            c AS (
+              SELECT g, v,
+                     CAST(sum(w) OVER (PARTITION BY g ORDER BY v, tb
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                     CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS tot,
+                     count(*) OVER (PARTITION BY g) AS n_rows
+              FROM d),
+            f AS (SELECT * FROM c WHERE 2 * cum >= tot),
+            r AS (SELECT *, row_number() OVER (PARTITION BY g
+                              ORDER BY cum, v) AS rn FROM f)
+            SELECT g AS l_returnflag,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   tot AS total_weight,
+                   v AS weighted_median
+            FROM r WHERE rn = 1
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

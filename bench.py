@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "mad_outliers",
     "seasonal_outliers",
     "winsorized_values",
+    "weighted_median_price",
     "user_ema",
     "user_cusum",
     "user_cusum_target",

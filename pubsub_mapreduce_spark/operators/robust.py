@@ -647,3 +647,53 @@ def user_cusum_target(
             F.col("s.na").alias("n_alarms"),
         )
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group: str,
+    value: F.Column,
+    weight: F.Column,
+    tiebreak: str = "",
+) -> DataFrame:
+    """Per-group WEIGHTED median: the smallest value v whose cumulative
+    weight reaches half the group total (lower weighted median) — the
+    right central tendency when rows carry volume (a $5 part ordered
+    10,000 times should pull the median more than a $900 part ordered
+    once; the count-median ignores that).
+
+    Pure order statistics on integers: per-group cumulative weight via
+    one window, selection by ``2*cum >= total`` (integer cross-
+    multiplication — no halving division to mirror), ties broken by
+    the value ordering itself. ``tiebreak`` (a unique column) makes
+    the cumulative order total — a ROWS frame over duplicate values
+    would otherwise accumulate in engine-chosen order. One group-keyed
+    exchange shared by the window and the total."""
+    cols = [F.col(group).alias("g"), value.alias("v"), weight.alias("w")]
+    order = ["v"]
+    if tiebreak:
+        cols.append(F.col(tiebreak).alias("tb"))
+        order = ["v", "tb"]
+    d = df.select(*cols)
+    wc = Window.partitionBy("g").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("g")
+    c = d.select(
+        "g",
+        "v",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wt).alias("tot"),
+        F.count(F.lit(1)).over(wt).alias("n_rows"),
+    ).where(F.lit(2) * F.col("cum") >= F.col("tot"))
+    pick = Window.partitionBy("g").orderBy("cum", "v")
+    return (
+        c.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("g").alias(group),
+            F.col("n_rows"),
+            F.col("tot").alias("total_weight"),
+            F.col("v").alias("weighted_median"),
+        )
+    )

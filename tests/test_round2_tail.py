@@ -356,3 +356,16 @@ def test_pps_sample_size_and_weight_proportionality(spark, tables):
     assert sorted((r.o_orderkey, r.n_hits) for r in out) == sorted(
         (r.o_orderkey, r.n_hits) for r in again
     )
+
+
+def test_weighted_median_volume_pull(spark):
+    # value 5 carries weight 10, value 900 weight 1: count-median of
+    # the multiset {5,900} would sit between; weighted median is 5.
+    df = spark.createDataFrame(
+        [("a", 5, 10, 1), ("a", 900, 1, 2)], "g string, v long, w long, k long"
+    )
+    out = RB.weighted_median(
+        df, "g", F.col("v"), F.col("w"), tiebreak="k"
+    ).collect()[0]
+    assert out.weighted_median == 5
+    assert out.total_weight == 11
