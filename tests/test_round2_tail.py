@@ -369,3 +369,33 @@ def test_weighted_median_volume_pull(spark):
     ).collect()[0]
     assert out.weighted_median == 5
     assert out.total_weight == 11
+
+
+def test_new_ops_degrade_gracefully_on_tiny_inputs(spark):
+    """Empty/single-row inputs: no ANSI crashes, sensible row counts
+    (0 where the statistic needs >= 2 points)."""
+    import datetime
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    one_doc = spark.createDataFrame(
+        [(1, "hello world", "en", "s", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    one_ev = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 1, "a", 5.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    assert TX.bm25_rank(empty_docs).count() == 0
+    assert TX.bm25_rank(one_doc).count() == 0  # no query term present
+    assert TX.vocab_coverage(empty_docs).count() == 0
+    assert TX.bigram_collocations(one_doc).count() == 0  # under min_count
+    assert RB.user_cusum(one_ev).count() == 1  # dev 0 at the only row
+    assert RB.user_twap(one_ev).count() == 0  # no holding interval
+    assert RB.trend_theil_sen(one_ev).count() == 0  # no slope pairs
+    assert RB.holt_forecast(empty_ev).count() == 0
+    assert SM.budget_allocation(empty_docs).count() == 0
