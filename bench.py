@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "dq_orders",
     "doc_chunks",
     "oversample_mix",
+    "pps_orders",
     "profile_orders",
     "profile_drift",
     "snapshot_diff",
