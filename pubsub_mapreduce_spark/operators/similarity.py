@@ -1705,7 +1705,13 @@ def ann_recall_report(
     anywhere in the approx top-k (MRR's support set)."""
     from ..functions.text import round_half_up
 
-    exact = cosine_topk(emb, k=k, every=every)
+    # exact is consumed twice (pair-recall + top1/MRR) and the approx
+    # union twice (matched + mrr): with no cross-branch CSE each
+    # consumer would re-run the WHOLE brute-force/index pipeline.
+    # Both relations are bounded by |queries| * k * n_indexes rows —
+    # checkpoint them once (measured ~9% warm at sf0.1 — the index
+    # builds dominate; the win grows with |queries| and corpus size).
+    exact = cosine_topk(emb, k=k, every=every).localCheckpoint(eager=False)
     approx = [
         ("lsh", ann_lsh_topk(emb, k=k, every=every)),
         ("ivf", ann_ivf_topk(emb, k=k, every=every)),
@@ -1721,6 +1727,7 @@ def ann_recall_report(
             F.col("rank").alias("a_rank"),
         )
         a = part if a is None else a.unionByName(part)
+    a = a.localCheckpoint(eager=False)
     ex_pairs = exact.select("query_id", "neighbor_id")
     matched = (
         a.join(ex_pairs, ["query_id", "neighbor_id"])
