@@ -541,6 +541,12 @@ def q_weighted_median_price(spark, sf_dir):
     )
 
 
+def q_markov_accuracy(spark, sf_dir):
+    """Next-event Markov-baseline accuracy per state
+    (relational.markov_accuracy) — the in-engine predictability read."""
+    return R.markov_accuracy(load_tables(spark, sf_dir))
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -1962,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr": q_sim_mmr,
         "pps_orders": q_pps_orders,
         "weighted_median_price": q_weighted_median_price,
+        "markov_accuracy": q_markov_accuracy,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -5881,6 +5888,25 @@ def oracle_sql() -> dict[str, str]:
           JOIN k3 y ON u.b = y.a)
         SELECT a AS node, CAST(count(*) AS BIGINT) AS core_deg
         FROM u3 GROUP BY 1
+    """
+    # Markov eval composes the validated transition oracle verbatim.
+    out["markov_accuracy"] = f"""
+        WITH tr AS (SELECT * FROM ({out["session_transitions"]})),
+        tot AS (SELECT type_from,
+                       CAST(sum(n_transitions) AS BIGINT) AS n_total
+                FROM tr GROUP BY 1),
+        r AS (SELECT type_from, type_to, n_transitions,
+                     row_number() OVER (PARTITION BY type_from
+                         ORDER BY n_transitions DESC, type_to) AS rn
+              FROM tr)
+        SELECT r.type_from,
+               r.type_to AS predicted,
+               CAST(r.n_transitions AS BIGINT) AS n_correct,
+               tot.n_total,
+               floor(CAST(r.n_transitions AS DOUBLE) / tot.n_total
+                     * 1e6 + 0.5) / 1e6 AS accuracy
+        FROM r JOIN tot USING (type_from)
+        WHERE r.rn = 1
     """
     out["seasonal_outliers"] = """
         WITH daily AS (

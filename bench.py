@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "multimodal_audio_pairs",
     "fk_orphans",
     "type_correlation",
+    "markov_accuracy",
     "association_rules",
     "approx_distinct_users",
     "range_join_signup",

@@ -2345,3 +2345,43 @@ def fk_orphan_report(t: Tables) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def markov_accuracy(t: Tables, gap_min: int = 30) -> DataFrame:
+    """In-engine evaluation of the 1st-order Markov next-event model:
+    train = the session-transition counts (session_transitions), the
+    predictor = per from-state argmax (ties -> lexicographically first
+    type, deterministic), and the score = the fraction of observed
+    transitions the mode would have predicted — computed over the SAME
+    corpus in one plan (resubstitution accuracy: the standard quick
+    read on "how predictable are journeys from one step of memory?",
+    and the baseline any sequence model must beat).
+
+    Integer counts end-to-end: n_correct is just the mode's count, so
+    no per-observation re-join is needed — accuracy(from) =
+    max(count) / sum(count), ONE mirrored division per from-state.
+    The transition matrix is |types|^2 — dimension-sized."""
+    from ..functions.text import round_half_up
+
+    trans = session_transitions(t, gap_min=gap_min)
+    w = Window.partitionBy("type_from").orderBy(
+        F.desc("n_transitions"), F.asc("type_to")
+    )
+    per_state = (
+        trans.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_total",
+            F.sum("n_transitions").over(Window.partitionBy("type_from")),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "type_from",
+            F.col("type_to").alias("predicted"),
+            F.col("n_transitions").alias("n_correct"),
+            "n_total",
+            round_half_up(
+                F.col("n_transitions").cast("double") / F.col("n_total"), 6
+            ).alias("accuracy"),
+        )
+    )
+    return per_state
