@@ -114,3 +114,58 @@ def quarantine_stats(df: DataFrame) -> DataFrame:
         F.count(F.when(F.col(CORRUPT_COL).isNull(), 1)).alias("n_parsed"),
         F.count(F.col(CORRUPT_COL)).alias("n_quarantined"),
     )
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: str, sep: str = ","
+) -> DataFrame:
+    """CSV with the SAME quarantine contract as :func:`read_jsonl`:
+    explicit schema (never inference), PERMISSIVE parse via
+    ``from_csv`` over a raw text scan, malformed lines preserved whole
+    in ``_corrupt_record`` — completing the format matrix
+    (parquet / jsonl / csv / kafka / rate) under one poison-line
+    policy. Header rows, if any, quarantine themselves (a header never
+    type-checks against the data schema), which doubles as the audit
+    trail that one was present.
+
+    Same rationale as the JSONL form for going through text +
+    ``from_csv`` instead of ``spark.read.csv``: identical batch and
+    streaming shape, and no QUERY_ONLY_CORRUPT_RECORD_COLUMN
+    restriction on the quarantine count."""
+    parsed = F.from_csv(
+        F.col("value"),
+        f"{schema}, {CORRUPT_COL} string",
+        {
+            "mode": "PERMISSIVE",
+            "columnNameOfCorruptRecord": CORRUPT_COL,
+            "sep": sep,
+        },
+    )
+    return (
+        spark.read.text(path)
+        .where(F.trim("value") != "")
+        .select(parsed.alias("r"))
+        .select("r.*")
+    )
+
+
+def read_csv_stream(
+    spark: SparkSession, path: str, schema: str, sep: str = ","
+) -> DataFrame:
+    """Streaming form of :func:`read_csv` — same schema contract, same
+    quarantine semantics, over a growing directory."""
+    parsed = F.from_csv(
+        F.col("value"),
+        f"{schema}, {CORRUPT_COL} string",
+        {
+            "mode": "PERMISSIVE",
+            "columnNameOfCorruptRecord": CORRUPT_COL,
+            "sep": sep,
+        },
+    )
+    return (
+        spark.readStream.text(path)
+        .where(F.trim("value") != "")
+        .select(parsed.alias("r"))
+        .select("r.*")
+    )
