@@ -1929,12 +1929,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS CONTRACT: the driver's correctness gate covers the
-    # FIRST 50 entries in dict order. Round 1 checked (and greened) the
-    # 50 entries now at the BACK; this round leads with everything the
-    # gate has never touched — the whole LLM-pipeline surface (dedup /
-    # similarity / text / sampling / sketches / multimodal), TPC-H
-    # Q15-Q21, and the new/reworked operators.
-    return {
+    # FIRST 50 entries in dict order. The gate owes rows to the 45
+    # queries round 1 registered but never reached (VERDICT.md item 1:
+    # the dedup/similarity/text/sampling/sketch/multimodal surface +
+    # TPC-H Q15-Q21) — those own the first 45 slots verbatim, the last
+    # 5 go to the strongest round-2 additions, and every other
+    # never-checked query queues behind them for the next round's
+    # window. The 50 round-1-green entries stay at the back.
+    base = {
         # --- newest (this round-2 continuation): validate first ------
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "event_outliers": q_event_outliers,
@@ -2150,6 +2152,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": q_q9_product_profit,
         "q12_priority_class": q_q12_priority_class,
     }
+    r1_gap = ["q15_top_supplier", "q16_supplier_variety", "q17_small_qty_revenue", "q19_disjunctive_revenue", "q21_waiting_suppliers", "q20_dominant_suppliers", "unpivot_metrics", "text_clean", "lang_confusion", "emb_quantize", "hll_user_rollup", "source_knob_sine", "dedup_exact", "dedup_incremental", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding", "dedup_clusters", "dedup_canonical", "text_doc_stats", "text_top_tokens", "text_tfidf", "sample_docs", "stratified_docs", "capped_docs", "split_counts", "curation_pipeline", "heavy_hitter_users", "approx_distinct_users", "range_join_signup", "range_join_launch", "emb_norm_stats", "text_quality_by_source", "sim_cosine_topk", "sim_cosine_topk_matmul", "sim_near_pairs", "user_similarity", "sim_ann_lsh", "knn_graph", "sim_ann_ivf", "binary_meta", "multimodal_decode", "multimodal_resize", "multimodal_frame_sample"]
+    head = [n for n in r1_gap if n in base] + [
+        "dedup_minhash_incremental",
+        "simhash_near_pairs",
+        "multimodal_phash_pairs",
+        "event_outliers",
+        "text_repetition",
+    ]
+    ordered = {n: base[n] for n in head}
+    for n, fn in base.items():
+        if n not in ordered:
+            ordered[n] = fn
+    return ordered
 
 
 def _minhash_lsh_oracle_sql(threshold: float = 0.5) -> str:
