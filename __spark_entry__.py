@@ -547,6 +547,12 @@ def q_markov_accuracy(spark, sf_dir):
     return R.markov_accuracy(load_tables(spark, sf_dir))
 
 
+def q_emb_kmeans(spark, sf_dir):
+    """Exactly value-hashable distributed k-means on int8 codes
+    (similarity.kmeans_int8) — integer Lloyd rounds, unrolled oracle."""
+    return S.kmeans_int8(load_tables(spark, sf_dir)["embeddings"])
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -1971,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pps_orders": q_pps_orders,
         "weighted_median_price": q_weighted_median_price,
         "markov_accuracy": q_markov_accuracy,
+        "emb_kmeans": q_emb_kmeans,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -4264,6 +4271,68 @@ def oracle_sql() -> dict[str, str]:
                    tot AS total_weight,
                    v AS weighted_median
             FROM r WHERE rn = 1
+        """,
+        "emb_kmeans": r"""
+            WITH scaled AS (
+              SELECT vec_id, embedding,
+                     CASE WHEN s0 > 0 THEN s0 ELSE 1.0 END AS scale
+              FROM (SELECT vec_id, embedding,
+                           CAST(list_max(list_transform(embedding,
+                                v -> abs(v))) AS DOUBLE) / 127 AS s0
+                    FROM embeddings)),
+            coded AS (
+              SELECT vec_id,
+                     list_transform(embedding, v ->
+                         CAST(floor(CAST(v AS DOUBLE) / scale + 0.5)
+                              AS INTEGER)) AS codes
+              FROM scaled),
+            q AS (
+              SELECT vec_id, i - 1 AS dim, codes[i] AS code
+              FROM coded,
+                   LATERAL (SELECT unnest(range(1, len(codes) + 1)) AS i) _),
+            seeds0 AS (
+              SELECT vec_id, codes FROM coded
+              WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 8),
+            seedn AS (
+              SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                          AS INTEGER) AS cluster, codes
+              FROM seeds0),
+            cents0 AS (
+              SELECT cluster, i - 1 AS dim, CAST(codes[i] AS BIGINT) AS c
+              FROM seedn,
+                   LATERAL (SELECT unnest(range(1, len(codes) + 1)) AS i) _),
+            d1 AS (
+              SELECT q.vec_id, c.cluster,
+                     CAST(sum((q.code - c.c) * (q.code - c.c)) AS BIGINT)
+                         AS d2
+              FROM q JOIN cents0 c USING (dim) GROUP BY 1, 2),
+            a1 AS (
+              SELECT vec_id, cluster, d2 FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2, cluster) AS rn
+                FROM d1) WHERE rn = 1),
+            cents1 AS (
+              SELECT a.cluster, q.dim,
+                     CAST(sum(q.code) // count(*) AS BIGINT) AS c
+              FROM q JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+            d2 AS (
+              SELECT q.vec_id, c.cluster,
+                     CAST(sum((q.code - c.c) * (q.code - c.c)) AS BIGINT)
+                         AS d2
+              FROM q JOIN cents1 c USING (dim) GROUP BY 1, 2),
+            a2 AS (
+              SELECT vec_id, cluster, d2 FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2, cluster) AS rn
+                FROM d2) WHERE rn = 1),
+            cents2 AS (
+              SELECT a.cluster, q.dim,
+                     CAST(sum(q.code) // count(*) AS BIGINT) AS c
+              FROM q JOIN a2 a USING (vec_id) GROUP BY 1, 2)
+            SELECT CAST(cluster AS INTEGER) AS cluster,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(sum(d2) AS BIGINT) AS wcss
+            FROM a2 GROUP BY 1
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "sim_ann_filtered",
     "sim_ann_multiprobe",
     "sim_mmr",
+    "emb_kmeans",
     "emb_pq_codes",
     "knn_graph",
     "user_similarity",

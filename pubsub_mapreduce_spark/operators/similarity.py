@@ -2095,3 +2095,71 @@ def mmr_diversify(
         round_half_up(F.col("rel"), 4).alias("rel"),
         round_half_up(F.col("score"), 4).alias("score"),
     )
+
+
+def kmeans_int8(
+    emb: DataFrame, k: int = 8, iters: int = 2, seed_every: int = 100
+) -> DataFrame:
+    """Distributed k-means that is EXACTLY value-hashable: Lloyd
+    iterations over the int8 QUANTIZED codes, so assignment distances
+    are integer L2 sums (argmin tie -> lowest cluster id), centroid
+    updates are elementwise integer sums with truncating division, and
+    ``iters`` is fixed — the whole clustering is a pure function of
+    the corpus, bit-identical on any engine/partitioning (float
+    k-means can never carry a cross-engine oracle; this is the same
+    move as emb_covariance/label_centroid_drift). Semantic clustering
+    for the curation pipeline (topic balance, semantic dedup cells) at
+    int8 fidelity.
+
+    Plan per iteration: ONE (vec, dim)-exploded broadcast join against
+    the k*dims centroid relation -> (vec, cluster) integer distance
+    aggregate (vec-keyed shuffle) -> per-vec argmin window on the same
+    partitioning -> (cluster, dim) update aggregate. Centroids are
+    k*dims rows, lazily checkpointed per round (no driver
+    materialization; seeds are an in-engine orderBy+limit). Empty
+    clusters drop (standard Lloyd behavior), deterministically.
+
+    Returns the final per-cluster report: member count and within-
+    cluster sum of squares (integer)."""
+    q = _int8_codes(emb).select(
+        "vec_id", F.posexplode("codes").alias("dim", "code")
+    )
+    wseed = Window.orderBy("vec_id")
+    seeds = (
+        _int8_codes(emb)
+        .where(F.col("vec_id") % seed_every == 0)
+        .orderBy("vec_id")
+        .limit(k)
+        .withColumn("cluster", F.row_number().over(wseed) - 1)
+        .select("cluster", F.posexplode("codes").alias("dim", "c"))
+    )
+    cents = seeds.localCheckpoint(eager=False)
+    assign = None
+    for _ in range(iters):
+        dist = (
+            q.join(broadcast(cents), "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(
+                F.sum(
+                    (F.col("code") - F.col("c"))
+                    * (F.col("code") - F.col("c"))
+                ).alias("d2")
+            )
+        )
+        wmin = Window.partitionBy("vec_id").orderBy(
+            F.asc("d2"), F.asc("cluster")
+        )
+        assign = (
+            dist.withColumn("rn", F.row_number().over(wmin))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cluster", "d2")
+        ).localCheckpoint(eager=False)
+        cents = (
+            q.join(assign.select("vec_id", "cluster"), "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(F.expr("sum(code) div count(1)").alias("c"))
+        ).localCheckpoint(eager=False)
+    return assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("d2").alias("wcss"),
+    )

@@ -421,3 +421,18 @@ def test_csv_ingest_quarantines_poison_lines(spark, tmp_path):
     assert bad.count() == 2  # header + poison line
     raws = {r._corrupt_record for r in bad.collect()}
     assert "2,notanint,beta" in raws
+
+
+def test_kmeans_int8_partition_invariance_and_wcss_decrease(spark, tables):
+    """Exact k-means: result identical under a different partitioning
+    (integer arithmetic is order-free), and a second Lloyd round never
+    increases total WCSS."""
+    from pubsub_mapreduce_spark.operators.similarity import kmeans_int8
+
+    emb = tables["embeddings"]
+    r1 = {(r.cluster): (r.n_members, r.wcss) for r in kmeans_int8(emb, iters=2).collect()}
+    r2 = {(r.cluster): (r.n_members, r.wcss) for r in kmeans_int8(emb.repartition(7), iters=2).collect()}
+    assert r1 == r2
+    w_one = sum(r.wcss for r in kmeans_int8(emb, iters=1).collect())
+    w_two = sum(r.wcss for r in kmeans_int8(emb, iters=2).collect())
+    assert w_two <= w_one
