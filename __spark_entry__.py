@@ -553,6 +553,12 @@ def q_emb_kmeans(spark, sf_dir):
     return S.kmeans_int8(load_tables(spark, sf_dir)["embeddings"])
 
 
+def q_emb_coreset(spark, sf_dir):
+    """Greedy k-center coreset (similarity.kcenter_coreset) —
+    farthest-point data selection, integer-exact, unrolled oracle."""
+    return S.kcenter_coreset(load_tables(spark, sf_dir)["embeddings"])
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -1978,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median_price": q_weighted_median_price,
         "markov_accuracy": q_markov_accuracy,
         "emb_kmeans": q_emb_kmeans,
+        "emb_coreset": q_emb_coreset,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -4333,6 +4340,125 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_members,
                    CAST(sum(d2) AS BIGINT) AS wcss
             FROM a2 GROUP BY 1
+        """,
+        "emb_coreset": r"""
+            WITH scaled AS (
+              SELECT vec_id, embedding,
+                     CASE WHEN s0 > 0 THEN s0 ELSE 1.0 END AS scale
+              FROM (SELECT vec_id, embedding,
+                           CAST(list_max(list_transform(embedding,
+                                v -> abs(v))) AS DOUBLE) / 127 AS s0
+                    FROM embeddings)),
+            coded AS MATERIALIZED (
+              SELECT vec_id,
+                     list_transform(embedding, v ->
+                         CAST(floor(CAST(v AS DOUBLE) / scale + 0.5)
+                              AS INTEGER)) AS codes
+              FROM scaled),
+            m1 AS MATERIALIZED (
+              SELECT m.vec_id, m.codes,
+                     CAST(list_sum(list_transform(
+                         range(1, len(m.codes) + 1),
+                         i -> (m.codes[i] - s.codes[i])
+                              * (m.codes[i] - s.codes[i]))) AS BIGINT)
+                         AS mind
+              FROM coded m,
+                   (SELECT codes FROM coded WHERE vec_id = 0) s
+              WHERE m.vec_id <> 0),
+            p2 AS MATERIALIZED (SELECT vec_id, mind FROM m1
+                     ORDER BY mind DESC, vec_id LIMIT 1),
+            m2 AS MATERIALIZED (
+              SELECT m.vec_id, m.codes,
+                     least(m.mind, CAST(list_sum(list_transform(range(1, len(m.codes) + 1), i -> (m.codes[i] - s.codes[i]) * (m.codes[i] - s.codes[i]))) AS BIGINT)) AS mind
+              FROM m1 m,
+                   (SELECT c.codes FROM coded c
+                    JOIN p2 ON c.vec_id = p2.vec_id) s
+              WHERE m.vec_id <> (SELECT vec_id FROM p2)),
+            p3 AS MATERIALIZED (SELECT vec_id, mind FROM m2
+                     ORDER BY mind DESC, vec_id LIMIT 1),
+            m3 AS MATERIALIZED (
+              SELECT m.vec_id, m.codes,
+                     least(m.mind, CAST(list_sum(list_transform(range(1, len(m.codes) + 1), i -> (m.codes[i] - s.codes[i]) * (m.codes[i] - s.codes[i]))) AS BIGINT)) AS mind
+              FROM m2 m,
+                   (SELECT c.codes FROM coded c
+                    JOIN p3 ON c.vec_id = p3.vec_id) s
+              WHERE m.vec_id <> (SELECT vec_id FROM p3)),
+            p4 AS MATERIALIZED (SELECT vec_id, mind FROM m3
+                     ORDER BY mind DESC, vec_id LIMIT 1),
+            m4 AS MATERIALIZED (
+              SELECT m.vec_id, m.codes,
+                     least(m.mind, CAST(list_sum(list_transform(range(1, len(m.codes) + 1), i -> (m.codes[i] - s.codes[i]) * (m.codes[i] - s.codes[i]))) AS BIGINT)) AS mind
+              FROM m3 m,
+                   (SELECT c.codes FROM coded c
+                    JOIN p4 ON c.vec_id = p4.vec_id) s
+              WHERE m.vec_id <> (SELECT vec_id FROM p4)),
+            p5 AS MATERIALIZED (SELECT vec_id, mind FROM m4
+                     ORDER BY mind DESC, vec_id LIMIT 1),
+            m5 AS MATERIALIZED (
+              SELECT m.vec_id, m.codes,
+                     least(m.mind, CAST(list_sum(list_transform(range(1, len(m.codes) + 1), i -> (m.codes[i] - s.codes[i]) * (m.codes[i] - s.codes[i]))) AS BIGINT)) AS mind
+              FROM m4 m,
+                   (SELECT c.codes FROM coded c
+                    JOIN p5 ON c.vec_id = p5.vec_id) s
+              WHERE m.vec_id <> (SELECT vec_id FROM p5)),
+            p6 AS MATERIALIZED (SELECT vec_id, mind FROM m5
+                     ORDER BY mind DESC, vec_id LIMIT 1),
+            m6 AS MATERIALIZED (
+              SELECT m.vec_id, m.codes,
+                     least(m.mind, CAST(list_sum(list_transform(range(1, len(m.codes) + 1), i -> (m.codes[i] - s.codes[i]) * (m.codes[i] - s.codes[i]))) AS BIGINT)) AS mind
+              FROM m5 m,
+                   (SELECT c.codes FROM coded c
+                    JOIN p6 ON c.vec_id = p6.vec_id) s
+              WHERE m.vec_id <> (SELECT vec_id FROM p6)),
+            p7 AS MATERIALIZED (SELECT vec_id, mind FROM m6
+                     ORDER BY mind DESC, vec_id LIMIT 1),
+            m7 AS MATERIALIZED (
+              SELECT m.vec_id, m.codes,
+                     least(m.mind, CAST(list_sum(list_transform(range(1, len(m.codes) + 1), i -> (m.codes[i] - s.codes[i]) * (m.codes[i] - s.codes[i]))) AS BIGINT)) AS mind
+              FROM m6 m,
+                   (SELECT c.codes FROM coded c
+                    JOIN p7 ON c.vec_id = p7.vec_id) s
+              WHERE m.vec_id <> (SELECT vec_id FROM p7)),
+            p8 AS MATERIALIZED (SELECT vec_id, mind FROM m7
+                     ORDER BY mind DESC, vec_id LIMIT 1),
+            m8 AS MATERIALIZED (
+              SELECT m.vec_id, m.codes,
+                     least(m.mind, CAST(list_sum(list_transform(range(1, len(m.codes) + 1), i -> (m.codes[i] - s.codes[i]) * (m.codes[i] - s.codes[i]))) AS BIGINT)) AS mind
+              FROM m7 m,
+                   (SELECT c.codes FROM coded c
+                    JOIN p8 ON c.vec_id = p8.vec_id) s
+              WHERE m.vec_id <> (SELECT vec_id FROM p8)),
+            p9 AS MATERIALIZED (SELECT vec_id, mind FROM m8
+                     ORDER BY mind DESC, vec_id LIMIT 1),
+            m9 AS MATERIALIZED (
+              SELECT m.vec_id, m.codes,
+                     least(m.mind, CAST(list_sum(list_transform(range(1, len(m.codes) + 1), i -> (m.codes[i] - s.codes[i]) * (m.codes[i] - s.codes[i]))) AS BIGINT)) AS mind
+              FROM m8 m,
+                   (SELECT c.codes FROM coded c
+                    JOIN p9 ON c.vec_id = p9.vec_id) s
+              WHERE m.vec_id <> (SELECT vec_id FROM p9)),
+            p10 AS MATERIALIZED (SELECT vec_id, mind FROM m9
+                     ORDER BY mind DESC, vec_id LIMIT 1),
+            m10 AS MATERIALIZED (
+              SELECT m.vec_id, m.codes,
+                     least(m.mind, CAST(list_sum(list_transform(range(1, len(m.codes) + 1), i -> (m.codes[i] - s.codes[i]) * (m.codes[i] - s.codes[i]))) AS BIGINT)) AS mind
+              FROM m9 m,
+                   (SELECT c.codes FROM coded c
+                    JOIN p10 ON c.vec_id = p10.vec_id) s
+              WHERE m.vec_id <> (SELECT vec_id FROM p10))
+            SELECT CAST(pick AS INTEGER) AS pick,
+                   CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(radius AS BIGINT) AS radius
+            FROM (SELECT 1 AS pick, 0 AS vec_id, 0 AS radius
+            UNION ALL SELECT 2 AS pick, vec_id, mind AS radius FROM p2
+            UNION ALL SELECT 3 AS pick, vec_id, mind AS radius FROM p3
+            UNION ALL SELECT 4 AS pick, vec_id, mind AS radius FROM p4
+            UNION ALL SELECT 5 AS pick, vec_id, mind AS radius FROM p5
+            UNION ALL SELECT 6 AS pick, vec_id, mind AS radius FROM p6
+            UNION ALL SELECT 7 AS pick, vec_id, mind AS radius FROM p7
+            UNION ALL SELECT 8 AS pick, vec_id, mind AS radius FROM p8
+            UNION ALL SELECT 9 AS pick, vec_id, mind AS radius FROM p9
+            UNION ALL SELECT 10 AS pick, vec_id, mind AS radius FROM p10)
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "sim_ann_multiprobe",
     "sim_mmr",
     "emb_kmeans",
+    "emb_coreset",
     "emb_pq_codes",
     "knn_graph",
     "user_similarity",

@@ -2163,3 +2163,55 @@ def kmeans_int8(
         F.count(F.lit(1)).alias("n_members"),
         F.sum("d2").alias("wcss"),
     )
+
+
+def kcenter_coreset(emb: DataFrame, k: int = 10, start_id: int = 0) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal):
+    start from ``start_id``, then repeatedly add the point FARTHEST
+    from everything selected so far — the classic 2-approximation to
+    the k-center cover, and the standard diversity-driven data-
+    selection/pruning move (pick the k most mutually-unlike documents
+    to label/inspect/seed curriculum from). MMR diversifies a RANKING;
+    this covers the SPACE.
+
+    Exact by construction: distances are integer L2 on the int8 codes
+    (argmax ties -> lowest vec_id), so the selected sequence and every
+    coverage radius are pure functions of the corpus — the DuckDB twin
+    unrolls the same greedy rounds. Emits (pick, vec_id, radius):
+    radius is the selection-time distance to the selected set, the
+    non-increasing curve whose elbow says when coverage saturates.
+
+    Scale shape: each round is ONE fused corpus map (the incremental
+    min update against the single new center — k composed 64-int
+    zip_with folds fuse into one codegen stage) + a TakeOrdered
+    argmax; only the 1-row winner reaches the driver (the bounded
+    IVF-seed collect pattern). Exact greedy k-center is inherently k
+    sequential passes; that IS the algorithm, not a plan accident."""
+    c = _int8_codes(emb)
+    start = c.where(F.col("vec_id") == start_id).collect()[0]
+
+    def dist_to(codes_row):
+        lit = F.array(*[F.lit(int(x)) for x in codes_row])
+        return F.aggregate(
+            F.zip_with("codes", lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    state = c.where(F.col("vec_id") != start_id).select(
+        "vec_id", "codes", dist_to(start.codes).alias("mind")
+    )
+    picks = [(1, start_id, 0)]
+    for i in range(2, k + 1):
+        row = (
+            state.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1).collect()
+        )[0]
+        picks.append((i, row.vec_id, row.mind))
+        state = state.where(F.col("vec_id") != row.vec_id).select(
+            "vec_id",
+            "codes",
+            F.least(F.col("mind"), dist_to(row.codes)).alias("mind"),
+        )
+    return emb.sparkSession.createDataFrame(
+        picks, "pick int, vec_id long, radius long"
+    )

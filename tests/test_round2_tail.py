@@ -436,3 +436,15 @@ def test_kmeans_int8_partition_invariance_and_wcss_decrease(spark, tables):
     w_one = sum(r.wcss for r in kmeans_int8(emb, iters=1).collect())
     w_two = sum(r.wcss for r in kmeans_int8(emb, iters=2).collect())
     assert w_two <= w_one
+
+
+def test_kcenter_radius_curve_non_increasing(spark, tables):
+    from pubsub_mapreduce_spark.operators.similarity import kcenter_coreset
+
+    out = sorted(
+        kcenter_coreset(tables["embeddings"], k=6).collect(),
+        key=lambda r: r.pick,
+    )
+    radii = [r.radius for r in out[1:]]  # pick 1 is the seed (radius 0)
+    assert radii == sorted(radii, reverse=True)  # farthest-first property
+    assert len({r.vec_id for r in out}) == 6  # no repeats
