@@ -280,10 +280,11 @@ def user_value_ema(events: DataFrame, shift: int = 2) -> DataFrame:
     for deterministic (ts, event_id) order, and one codegen'd
     ``aggregate`` HOF — integer div keeps every step exact, so DuckDB's
     list_reduce mirror is bit-identical. One user-keyed shuffle.
-    NON-NEGATIVE cents assumed (holds for the value domain): Spark
-    ``div`` truncates toward zero while DuckDB ``//`` floors, and the
-    two diverge on negative dividends — shift values before smoothing
-    if a signed domain ever appears.
+    NON-NEGATIVE cents assumed (holds for the value domain). Measured
+    on DuckDB v1.0.0: ``//`` also TRUNCATES toward zero (-7 // 4 =
+    -1), matching Spark ``div`` even on negative dividends — the
+    holt_forecast/user_cusum_target folds rely on that; this fold
+    never sees a negative anyway.
 
     Returns the FINAL smoothed value per user plus the raw last value
     and count — the (key, baseline) table a monitor broadcasts."""
