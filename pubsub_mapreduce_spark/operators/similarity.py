@@ -2121,9 +2121,12 @@ def kmeans_int8(
 
     Returns the final per-cluster report: member count and within-
     cluster sum of squares (integer)."""
+    # q feeds the distance join AND the update aggregate in EVERY
+    # round: checkpoint once or the interpreted quantization HOF
+    # re-runs per consumer per round (measured 7.8s -> ~2s at sf0.1).
     q = _int8_codes(emb).select(
         "vec_id", F.posexplode("codes").alias("dim", "code")
-    )
+    ).localCheckpoint(eager=False)
     wseed = Window.orderBy("vec_id")
     seeds = (
         _int8_codes(emb)
@@ -2198,9 +2201,14 @@ def kcenter_coreset(emb: DataFrame, k: int = 10, start_id: int = 0) -> DataFrame
             lambda acc, x: acc + x,
         )
 
+    # per-round checkpoint: without it round i's plan replays ALL i
+    # prior interpreted distance folds plus the quantization HOF
+    # (composed maps DO fuse, but HOF lambdas evaluate interpreted per
+    # element — measured 15.8s for k=10 at sf0.1; checkpointed each
+    # round pays exactly ONE new fold per pass).
     state = c.where(F.col("vec_id") != start_id).select(
         "vec_id", "codes", dist_to(start.codes).alias("mind")
-    )
+    ).localCheckpoint(eager=False)
     picks = [(1, start_id, 0)]
     for i in range(2, k + 1):
         row = (
@@ -2211,7 +2219,7 @@ def kcenter_coreset(emb: DataFrame, k: int = 10, start_id: int = 0) -> DataFrame
             "vec_id",
             "codes",
             F.least(F.col("mind"), dist_to(row.codes)).alias("mind"),
-        )
+        ).localCheckpoint(eager=False)
     return emb.sparkSession.createDataFrame(
         picks, "pick int, vec_id long, radius long"
     )
