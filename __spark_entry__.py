@@ -559,6 +559,12 @@ def q_emb_coreset(spark, sf_dir):
     return S.kcenter_coreset(load_tables(spark, sf_dir)["embeddings"])
 
 
+def q_trend_report(spark, sf_dir):
+    """OLS vs Theil-Sen slope divergence per event type
+    (robust.trend_report) — the outlier-vs-trend discriminator."""
+    return RB.trend_report(load_tables(spark, sf_dir)["events"])
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -1985,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_accuracy": q_markov_accuracy,
         "emb_kmeans": q_emb_kmeans,
         "emb_coreset": q_emb_coreset,
+        "trend_report": q_trend_report,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -6117,6 +6124,38 @@ def oracle_sql() -> dict[str, str]:
                      * 1e6 + 0.5) / 1e6 AS accuracy
         FROM r JOIN tot USING (type_from)
         WHERE r.rn = 1
+    """
+    # Trend report composes the validated Theil-Sen oracle verbatim.
+    out["trend_report"] = f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        x AS (
+          SELECT event_type,
+                 datediff('day', DATE '1970-01-01', d) AS x,
+                 cnt AS y
+          FROM daily),
+        m AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sx2
+          FROM x GROUP BY 1),
+        ols AS (
+          SELECT event_type, n AS n_days,
+                 floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (n * sx2 - sx * sx) * 1e6 + 0.5) / 1e6
+                     AS slope_ols
+          FROM m),
+        ts_ AS (SELECT event_type, slope_med AS slope_theil_sen
+                FROM ({out["trend_theil_sen"]}))
+        SELECT ols.event_type, ols.n_days, ols.slope_ols,
+               ts_.slope_theil_sen,
+               floor(abs(ols.slope_ols - ts_.slope_theil_sen) * 1e6 + 0.5)
+                   / 1e6 AS divergence
+        FROM ols JOIN ts_ USING (event_type)
     """
     out["seasonal_outliers"] = """
         WITH daily AS (

@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "user_cusum_target",
     "user_twap",
     "trend_theil_sen",
+    "trend_report",
     "holt_forecast",
     "attribution_credit",
     "part_communities",

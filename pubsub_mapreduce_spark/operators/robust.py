@@ -698,3 +698,55 @@ def weighted_median(
             F.col("v").alias("weighted_median"),
         )
     )
+
+
+def trend_report(events: DataFrame) -> DataFrame:
+    """Robust-vs-OLS trend comparison per event type: the OLS slope
+    from six integer moments (n, Σx, Σy, Σxy, Σx² over day indexes —
+    one mirrored float expression, same family as type_correlation)
+    joined with the Theil–Sen median slope. The DIVERGENCE between the
+    two is the actionable signal: OLS chasing a few wild days while
+    Theil–Sen holds steady means outliers, not trend — exactly what a
+    capacity planner needs to see before believing a forecast.
+
+    Daily rollup collapses volume first; OLS is one tiny aggregate,
+    Theil–Sen the calendar-bounded pair median; the join is
+    |event types| rows."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    x = daily.select(
+        "event_type",
+        F.datediff(F.col("d"), F.lit("1970-01-01")).alias("x"),
+        F.col("cnt").alias("y"),
+    )
+    m = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    ols = m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        round_half_up(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("slope_ols"),
+    )
+    ts_ = trend_theil_sen(events).select(
+        "event_type", F.col("slope_med").alias("slope_theil_sen")
+    )
+    return ols.join(ts_, "event_type").select(
+        "event_type",
+        "n_days",
+        "slope_ols",
+        "slope_theil_sen",
+        round_half_up(
+            F.abs(F.col("slope_ols") - F.col("slope_theil_sen")), 6
+        ).alias("divergence"),
+    )

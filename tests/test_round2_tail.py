@@ -448,3 +448,20 @@ def test_kcenter_radius_curve_non_increasing(spark, tables):
     radii = [r.radius for r in out[1:]]  # pick 1 is the seed (radius 0)
     assert radii == sorted(radii, reverse=True)  # farthest-first property
     assert len({r.vec_id for r in out}) == 6  # no repeats
+
+
+def test_trend_report_flags_ols_theilsen_divergence(spark):
+    # linear ramp + one wild day: Theil-Sen stays 2, OLS moves, the
+    # divergence column captures it.
+    rows = []
+    base = datetime.datetime(2024, 3, 1)
+    for d in range(9):
+        n = 10 + 2 * d if d != 4 else 500
+        for k in range(n):
+            rows.append((d * 1000 + k, base + datetime.timedelta(days=d), 1, 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    ).withColumn("event_type", F.lit("a"))
+    out = RB.trend_report(df).collect()[0]
+    assert out.slope_theil_sen == 2.0
+    assert out.divergence > 1.0  # OLS dragged by the wild day
