@@ -456,7 +456,7 @@ def test_trend_report_flags_ols_theilsen_divergence(spark):
     rows = []
     base = datetime.datetime(2024, 3, 1)
     for d in range(9):
-        n = 10 + 2 * d if d != 4 else 500
+        n = 10 + 2 * d if d != 8 else 500  # wild LAST day tilts OLS
         for k in range(n):
             rows.append((d * 1000 + k, base + datetime.timedelta(days=d), 1, 1.0))
     df = spark.createDataFrame(
