@@ -565,6 +565,12 @@ def q_trend_report(spark, sf_dir):
     return RB.trend_report(load_tables(spark, sf_dir)["events"])
 
 
+def q_pit_features(spark, sf_dir):
+    """Leakage-free point-in-time feature vectors at each user's last
+    purchase (relational.pit_features) — the feature-store contract."""
+    return R.pit_features(load_tables(spark, sf_dir)["events"])
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -1992,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": q_emb_kmeans,
         "emb_coreset": q_emb_coreset,
         "trend_report": q_trend_report,
+        "pit_features": q_pit_features,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -4466,6 +4473,28 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 8 AS pick, vec_id, mind AS radius FROM p8
             UNION ALL SELECT 9 AS pick, vec_id, mind AS radius FROM p9
             UNION ALL SELECT 10 AS pick, vec_id, mind AS radius FROM p10)
+        """,
+        "pit_features": r"""
+            WITH ev AS (
+              SELECT user_id, event_id, event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            cutoffs AS (
+              SELECT user_id, max(ts_s) AS cutoff_s
+              FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+            prior AS (
+              SELECT e.*, c.cutoff_s
+              FROM ev e JOIN cutoffs c USING (user_id)
+              WHERE e.ts_s < c.cutoff_s)
+            SELECT user_id,
+                   max(cutoff_s) AS cutoff_s,
+                   CAST(count(*) AS BIGINT) AS n_prior,
+                   CAST(sum(cents) AS BIGINT) AS spend_cents_prior,
+                   CAST(count(DISTINCT event_type) AS BIGINT)
+                       AS n_types_prior,
+                   max(cutoff_s) - max(ts_s) AS recency_s
+            FROM prior GROUP BY user_id
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "fk_orphans",
     "type_correlation",
     "markov_accuracy",
+    "pit_features",
     "association_rules",
     "approx_distinct_users",
     "range_join_signup",

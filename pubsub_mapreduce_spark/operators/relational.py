@@ -2385,3 +2385,57 @@ def markov_accuracy(t: Tables, gap_min: int = 30) -> DataFrame:
         )
     )
     return per_state
+
+
+def pit_features(events: DataFrame, label_type: str = "purchase") -> DataFrame:
+    """Point-in-time-correct training examples: for every user's LAST
+    ``label_type`` event (the label moment), the feature vector
+    computed from STRICTLY-PRIOR events only — the feature-store
+    correctness rule that prevents label leakage (a feature computed
+    over the whole history trains a model on the future; offline/online
+    skew then eats the lift). One row per labeled user: the cutoff
+    timestamp, prior event count/spend/type-diversity, and seconds
+    since the previous event (the recency feature).
+
+    Integer/epoch-exact throughout. Plan: the cutoff is ONE user-keyed
+    aggregate; the feature pass is a second aggregate over the
+    strictly-prior filter — both ride the same user partitioning, and
+    the distinct-type count is split from the plain aggregates (the
+    countDistinct Expand would otherwise route every row through the
+    N+1x expansion — profiler finding)."""
+    ev = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts"),
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cutoffs = (
+        ev.where(F.col("event_type") == label_type)
+        .groupBy("user_id")
+        .agg(F.max("ts_s").alias("cutoff_s"))
+    )
+    prior = ev.join(cutoffs, "user_id").where(
+        F.col("ts_s") < F.col("cutoff_s")
+    )
+    plain = prior.groupBy("user_id").agg(
+        F.max("cutoff_s").alias("cutoff_s"),
+        F.count(F.lit(1)).alias("n_prior"),
+        F.sum("cents").alias("spend_cents_prior"),
+        F.max("ts_s").alias("last_prior_s"),
+    )
+    types = prior.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types_prior")
+    )
+    return (
+        plain.join(types, "user_id")
+        .select(
+            "user_id",
+            "cutoff_s",
+            "n_prior",
+            "spend_cents_prior",
+            "n_types_prior",
+            (F.col("cutoff_s") - F.col("last_prior_s")).alias("recency_s"),
+        )
+    )

@@ -465,3 +465,26 @@ def test_trend_report_flags_ols_theilsen_divergence(spark):
     out = RB.trend_report(df).collect()[0]
     assert out.slope_theil_sen == 2.0
     assert out.divergence > 1.0  # OLS dragged by the wild day
+
+
+def test_pit_features_never_leak_the_label_moment(spark):
+    # user 1: two events then a purchase then a LATER event — features
+    # must count only the two strictly-prior events (the post-cutoff
+    # event and the label itself excluded).
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (0, base, 1, "view", 10.0),
+            (1, base + datetime.timedelta(hours=1), 1, "click", 20.0),
+            (2, base + datetime.timedelta(hours=2), 1, "purchase", 99.0),
+            (3, base + datetime.timedelta(hours=3), 1, "view", 30.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    from pubsub_mapreduce_spark.operators.relational import pit_features
+
+    out = pit_features(df).collect()[0]
+    assert out.n_prior == 2
+    assert out.spend_cents_prior == 3000  # 10 + 20 dollars, not 99/30
+    assert out.n_types_prior == 2
+    assert out.recency_s == 3600
