@@ -571,6 +571,13 @@ def q_pit_features(spark, sf_dir):
     return R.pit_features(load_tables(spark, sf_dir)["events"])
 
 
+def q_neg_samples(spark, sf_dir):
+    """Deterministic rejection-checked negative sampling
+    (sampling.negative_samples) — reproducible contrastive pairs."""
+    t = load_tables(spark, sf_dir)
+    return SM.negative_samples(t["orders"], t["lineitem"], t["part"])
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -1999,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_coreset": q_emb_coreset,
         "trend_report": q_trend_report,
         "pit_features": q_pit_features,
+        "neg_samples": q_neg_samples,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -4495,6 +4503,29 @@ def oracle_sql() -> dict[str, str]:
                        AS n_types_prior,
                    max(cutoff_s) - max(ts_s) AS recency_s
             FROM prior GROUP BY user_id
+        """,
+        "neg_samples": r"""
+            WITH pos AS (
+              SELECT DISTINCT o.o_custkey AS cust,
+                              l.l_partkey AS pos_part
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_custkey % 50 = 0),
+            np AS (SELECT max(p_partkey) AS n_parts FROM part),
+            cand AS (
+              SELECT cust, pos_part, j,
+                     ('0x' || substr(md5(CAST(cust AS VARCHAR) || '#'
+                                     || CAST(pos_part AS VARCHAR) || '#'
+                                     || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+                       % n_parts + 1 AS neg_part
+              FROM pos CROSS JOIN np,
+                   LATERAL (SELECT unnest(range(3)) AS j) _)
+            SELECT c.cust, c.pos_part, CAST(c.j AS INTEGER) AS j,
+                   c.neg_part
+            FROM cand c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM pos p
+              WHERE p.cust = c.cust AND p.pos_part = c.neg_part)
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

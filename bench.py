@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "doc_chunks",
     "oversample_mix",
     "pps_orders",
+    "neg_samples",
     "profile_orders",
     "profile_drift",
     "snapshot_diff",

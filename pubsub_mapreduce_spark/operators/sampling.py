@@ -384,3 +384,72 @@ def pps_systematic(
         F.col("a").alias("pos"),
         n_hits.alias("n_hits"),
     ).where(F.col("n_hits") >= 1)
+
+
+def negative_samples(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    n_neg: int = 3,
+    cust_every: int = 50,
+) -> DataFrame:
+    """Deterministic NEGATIVE sampling for recommender/contrastive
+    training data: for every (customer, purchased part) positive, draw
+    ``n_neg`` hash-picked candidate parts and keep those the customer
+    NEVER bought (rejection by anti-join, the step naive random
+    sampling skips and then trains on false negatives). Zero RNG: the
+    j-th candidate is ``md5(cust#part#j) mod |parts| + 1``, so the
+    drawn set is reproducible across engines/reruns — the DuckDB twin
+    regenerates it bit-for-bit (same md5 trick as sampling/ordering).
+
+    Collisions with true positives are DROPPED, not resampled (the
+    count per positive is n_neg minus rejections — at 100TB rejection
+    odds are |user's items|/|catalog|, negligible; documenting the
+    drop is honest, resampling loops are not plan-expressible).
+
+    Plan: positives are one (cust, part) distinct; candidate expansion
+    is a literal n_neg-way explode (map-side); the rejection is one
+    broadcast-ready anti-join back on the positive key. ``cust_every``
+    subsamples customers deterministically to bound output."""
+    from ..functions.text import token_hash32
+
+    pos = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("pos_part"))
+        .distinct()
+        .where(F.col("cust") % cust_every == 0)
+    )
+    np_ = part.agg(F.max("p_partkey").alias("n_parts"))
+    cand = (
+        pos.crossJoin(F.broadcast(np_))
+        .select(
+            "cust",
+            "pos_part",
+            "n_parts",
+            F.explode(F.array(*[F.lit(j) for j in range(n_neg)])).alias("j"),
+        )
+        .select(
+            "cust",
+            "pos_part",
+            "j",
+            (
+                token_hash32(
+                    F.concat_ws(
+                        "#",
+                        F.col("cust").cast("string"),
+                        F.col("pos_part").cast("string"),
+                        F.col("j").cast("string"),
+                    )
+                )
+                % F.col("n_parts")
+                + 1
+            ).alias("neg_part"),
+        )
+    )
+    owned = pos.select("cust", F.col("pos_part").alias("neg_part"))
+    return cand.join(owned, ["cust", "neg_part"], "left_anti").select(
+        "cust", "pos_part", "j", "neg_part"
+    )

@@ -488,3 +488,37 @@ def test_pit_features_never_leak_the_label_moment(spark):
     assert out.spend_cents_prior == 3000  # 10 + 20 dollars, not 99/30
     assert out.n_types_prior == 2
     assert out.recency_s == 3600
+
+
+def test_negative_samples_reject_true_positives(spark, tables):
+    from pubsub_mapreduce_spark.operators.sampling import negative_samples
+
+    t = tables
+    out = negative_samples(
+        t["orders"], t["lineitem"], t["part"], cust_every=10
+    )
+    pos = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            t["lineitem"]["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("neg_part"),
+        )
+        .distinct()
+    )
+    # no emitted negative may be something the customer actually bought
+    assert out.join(pos, ["cust", "neg_part"]).count() == 0
+    # determinism across reruns
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(
+        map(
+            tuple,
+            negative_samples(
+                t["orders"], t["lineitem"], t["part"], cust_every=10
+            ).collect(),
+        )
+    )
+    assert a == b
