@@ -578,6 +578,12 @@ def q_neg_samples(spark, sf_dir):
     return SM.negative_samples(t["orders"], t["lineitem"], t["part"])
 
 
+def q_emb_triplets(spark, sf_dir):
+    """Hard-positive/hard-negative triplet mining
+    (similarity.triplet_mining) — the metric-learning batch builder."""
+    return S.triplet_mining(load_tables(spark, sf_dir)["embeddings"])
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -2007,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_report": q_trend_report,
         "pit_features": q_pit_features,
         "neg_samples": q_neg_samples,
+        "emb_triplets": q_emb_triplets,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -4526,6 +4533,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
               SELECT 1 FROM pos p
               WHERE p.cust = c.cust AND p.pos_part = c.neg_part)
+        """,
+        "emb_triplets": r"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, emb AS q_emb
+                  FROM e WHERE vec_id % 50 = 0),
+            scored AS (
+              SELECT query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q_emb, emb) AS sim
+              FROM q JOIN e ON e.vec_id <> q.query_id),
+            topk AS (
+              SELECT query_id, neighbor_id,
+                     floor(sim * 1e4 + 0.5) / 1e4 AS sim
+              FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id ASC) AS rank
+                    FROM scored)
+              WHERE rank <= 20),
+            lab AS (SELECT vec_id, label FROM embeddings),
+            j AS (
+              SELECT t.query_id, t.neighbor_id, t.sim,
+                     ql.label AS q_label, nl.label AS n_label
+              FROM topk t
+              JOIN lab ql ON ql.vec_id = t.query_id
+              JOIN lab nl ON nl.vec_id = t.neighbor_id),
+            pos AS (
+              SELECT query_id, neighbor_id AS pos_id, sim AS pos_sim
+              FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rn
+                    FROM j WHERE q_label = n_label)
+              WHERE rn = 1),
+            neg AS (
+              SELECT query_id, neighbor_id AS neg_id, sim AS neg_sim
+              FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rn
+                    FROM j WHERE q_label <> n_label)
+              WHERE rn = 1)
+            SELECT query_id AS anchor_id, pos_id, neg_id,
+                   pos_sim, neg_sim,
+                   floor((pos_sim - neg_sim + 1.0) * 1e4 + 0.5) / 1e4
+                       AS margin_plus1
+            FROM pos JOIN neg USING (query_id)
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

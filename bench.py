@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "sim_mmr",
     "emb_kmeans",
     "emb_coreset",
+    "emb_triplets",
     "emb_pq_codes",
     "knn_graph",
     "user_similarity",

@@ -2223,3 +2223,75 @@ def kcenter_coreset(emb: DataFrame, k: int = 10, start_id: int = 0) -> DataFrame
     return emb.sparkSession.createDataFrame(
         picks, "pick int, vec_id long, radius long"
     )
+
+
+def triplet_mining(
+    emb: DataFrame, k: int = 20, every: int = 50
+) -> DataFrame:
+    """Contrastive-training triplet builder: for each anchor (the
+    deterministic query subset), the hardest POSITIVE (most-similar
+    same-label neighbor) and the hardest NEGATIVE (most-similar
+    DIFFERENT-label neighbor) from its exact top-``k``, with the
+    margin between them — the batch-mining step metric-learning
+    pipelines run before every epoch (random negatives are too easy;
+    hard negatives carry the gradient). Anchors lacking either side
+    within the top-k are dropped (standard semi-hard mining).
+
+    Composition: exact top-k (shared _topk ranking, rounded sims) +
+    two label joins + per-anchor argmax with neighbor-id tie-breaks —
+    fully deterministic, mirrored verbatim by the oracle. At 100TB
+    the same shape runs over ann_*_topk candidates instead of the
+    brute-force list (swap one relation)."""
+    from ..functions.text import round_half_up
+
+    nb = cosine_topk(emb, k=k, every=every)
+    lab = emb.select("vec_id", "label")
+    j = (
+        nb.join(
+            lab.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("q_label"),
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    pos = (
+        j.where(F.col("q_label") == F.col("n_label"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("pos_id"),
+            F.col("sim").alias("pos_sim"),
+        )
+    )
+    neg = (
+        j.where(F.col("q_label") != F.col("n_label"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("neg_id"),
+            F.col("sim").alias("neg_sim"),
+        )
+    )
+    return pos.join(neg, "query_id").select(
+        F.col("query_id").alias("anchor_id"),
+        "pos_id",
+        "neg_id",
+        "pos_sim",
+        "neg_sim",
+        round_half_up(F.col("pos_sim") - F.col("neg_sim") + F.lit(1.0), 4).alias(
+            "margin_plus1"
+        ),
+    )

@@ -522,3 +522,29 @@ def test_negative_samples_reject_true_positives(spark, tables):
         )
     )
     assert a == b
+
+
+def test_triplet_mining_labels_and_margins(spark):
+    # 2 labels in 3D: anchors' hardest positive shares their label,
+    # hardest negative never does.
+    import math
+
+    rows = []
+    for i in range(120):
+        theta = (i % 60) / 60.0
+        label = i % 2
+        off = 0.5 if label else 0.0
+        rows.append(
+            (i, [math.cos(theta + off), math.sin(theta + off), float(label)], label)
+        )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    from pubsub_mapreduce_spark.operators.similarity import triplet_mining
+
+    out = triplet_mining(emb, k=20, every=10).collect()
+    assert out
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    for r in out:
+        assert labels[r.pos_id] == labels[r.anchor_id]
+        assert labels[r.neg_id] != labels[r.anchor_id]
