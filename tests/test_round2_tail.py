@@ -529,14 +529,13 @@ def test_triplet_mining_labels_and_margins(spark):
     # hardest negative never does.
     import math
 
+    # interleaved labels on one circle: every anchor's close neighbors
+    # alternate labels, so both a hard positive and a hard negative sit
+    # inside the top-k.
     rows = []
     for i in range(120):
-        theta = (i % 60) / 60.0
-        label = i % 2
-        off = 0.5 if label else 0.0
-        rows.append(
-            (i, [math.cos(theta + off), math.sin(theta + off), float(label)], label)
-        )
+        theta = i / 120.0
+        rows.append((i, [math.cos(theta), math.sin(theta), 0.0], i % 2))
     emb = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>, label int"
     )
