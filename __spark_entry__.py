@@ -584,6 +584,19 @@ def q_emb_triplets(spark, sf_dir):
     return S.triplet_mining(load_tables(spark, sf_dir)["embeddings"])
 
 
+def q_label_noise(spark, sf_dir):
+    """k-NN majority-vote label-noise scan
+    (similarity.label_noise_scan) — dataset-QA for annotations."""
+    return S.label_noise_scan(load_tables(spark, sf_dir)["embeddings"])
+
+
+def q_split_leakproof(spark, sf_dir):
+    """Cluster-aware contamination-safe split (dedup.leakproof_split)
+    — near-dup clusters ride one hash, so no cluster straddles
+    train/test."""
+    return dedup.leakproof_split(load_tables(spark, sf_dir)["documents"])
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -2014,6 +2027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_features": q_pit_features,
         "neg_samples": q_neg_samples,
         "emb_triplets": q_emb_triplets,
+        "label_noise": q_label_noise,
+        "split_leakproof": q_split_leakproof,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -4575,6 +4590,39 @@ def oracle_sql() -> dict[str, str]:
                        AS margin_plus1
             FROM pos JOIN neg USING (query_id)
         """,
+        "label_noise": r"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, emb AS q_emb
+                  FROM e WHERE vec_id % 10 = 0),
+            scored AS (
+              SELECT query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q_emb, emb) AS sim
+              FROM q JOIN e ON e.vec_id <> q.query_id),
+            topk AS (
+              SELECT query_id, neighbor_id
+              FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id ASC) AS rank
+                    FROM scored)
+              WHERE rank <= 5),
+            lab AS (SELECT vec_id, label FROM embeddings),
+            votes AS (
+              SELECT t.query_id, nl.label AS n_label, count(*) AS v
+              FROM topk t JOIN lab nl ON nl.vec_id = t.neighbor_id
+              GROUP BY 1, 2),
+            maj AS (
+              SELECT query_id, n_label AS knn_label,
+                     CAST(v AS BIGINT) AS n_votes
+              FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY v DESC, n_label) AS rn FROM votes)
+              WHERE rn = 1)
+            SELECT m.query_id AS vec_id,
+                   ql.label AS own_label,
+                   m.knn_label,
+                   m.n_votes,
+                   ql.label <> m.knn_label AS is_noisy
+            FROM maj m JOIN lab ql ON ql.vec_id = m.query_id
+        """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},
             keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
@@ -6264,6 +6312,35 @@ def oracle_sql() -> dict[str, str]:
                floor(abs(ols.slope_ols - ts_.slope_theil_sen) * 1e6 + 0.5)
                    / 1e6 AS divergence
         FROM ols JOIN ts_ USING (event_type)
+    """
+    # Leakproof split: recursive closure over the validated MinHash
+    # pair oracle, singletons keep their own id, split by component
+    # hash (same thresholds as split_counts).
+    out["split_leakproof"] = f"""
+        WITH RECURSIVE mh AS (SELECT a, b FROM ({out["dedup_minhash_lsh"]})),
+        und AS (SELECT a, b FROM mh UNION SELECT b, a FROM mh),
+        reach AS (
+          SELECT a AS node, b AS r FROM und
+          UNION
+          SELECT r2.node, und.b
+          FROM reach r2 JOIN und ON und.a = r2.r),
+        comp AS (
+          SELECT node AS doc_id,
+                 least(node, min(r)) AS component
+          FROM reach GROUP BY node),
+        assigned AS (
+          SELECT d.doc_id,
+                 COALESCE(c.component, d.doc_id) AS component
+          FROM documents d LEFT JOIN comp c USING (doc_id))
+        SELECT doc_id, component,
+               CASE WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)),
+                                         1, 8))::BIGINT % 100 < 10
+                    THEN 'test'
+                    WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)),
+                                         1, 8))::BIGINT % 100 < 20
+                    THEN 'val'
+                    ELSE 'train' END AS split
+        FROM assigned
     """
     out["seasonal_outliers"] = """
         WITH daily AS (

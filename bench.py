@@ -204,6 +204,8 @@ BENCH_QUERIES = [
     "emb_kmeans",
     "emb_coreset",
     "emb_triplets",
+    "label_noise",
+    "split_leakproof",
     "emb_pq_codes",
     "knn_graph",
     "user_similarity",

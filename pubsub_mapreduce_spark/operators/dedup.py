@@ -1073,3 +1073,51 @@ def tf_cosine_pairs(
         .select("a", "b", round_half_up(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def leakproof_split(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    test_pct: int = 10,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Contamination-safe train/val/test assignment: split by NEAR-DUP
+    CLUSTER, not by document — near-duplicates of a test document in
+    the training set are soft leakage that a doc-keyed split can't
+    prevent (sampling.train_val_test_split keys on doc_id and keeps
+    eval sets stable, but two near-identical docs can straddle the
+    boundary). Here every MinHash-LSH component rides ONE hash, so a
+    whole duplicate cluster lands in one split by construction.
+
+    Deterministic end-to-end: md5-portable MinHash pairs -> min-label
+    components (singletons = own id) -> the same md5 bucket thresholds
+    as split_counts, keyed on the component. The oracle recomputes the
+    closure with a recursive CTE over the validated pair oracle."""
+    from .sampling import hash_bucket
+
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=threshold, hash_impl="md5")
+    comp = connected_components(pairs)
+    assigned = (
+        docs.select("doc_id")
+        .join(
+            comp.select(
+                F.col("doc_id").alias("doc_id"),
+                F.col("component").alias("component"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+    )
+    b = hash_bucket("component")
+    return assigned.select(
+        "doc_id",
+        "component",
+        F.when(b < test_pct, F.lit("test"))
+        .when(b < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

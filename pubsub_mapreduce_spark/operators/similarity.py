@@ -2295,3 +2295,54 @@ def triplet_mining(
             "margin_plus1"
         ),
     )
+
+
+def label_noise_scan(
+    emb: DataFrame, k: int = 5, every: int = 10
+) -> DataFrame:
+    """k-NN label-noise detector (confident-learning-lite): a vector
+    whose neighborhood votes for a DIFFERENT label than its own is a
+    likely mislabel — the dataset-QA pass that catches annotation
+    errors before they train in. Majority vote over the exact top-k
+    (integer counts, ties -> smallest label), flagged against the
+    point's own label.
+
+    Same deterministic composition family as triplet_mining: exact
+    top-k + label join + integer argmax — fully mirrored. At 100TB the
+    neighbor list swaps to an ann_*_topk relation."""
+    nb = cosine_topk(emb, k=k, every=every)
+    lab = emb.select("vec_id", "label")
+    votes = (
+        nb.join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("v"), F.asc("n_label"))
+    maj = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("n_label").alias("knn_label"),
+            F.col("v").alias("n_votes"),
+        )
+    )
+    return maj.join(
+        lab.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("own_label"),
+        ),
+        "query_id",
+    ).select(
+        F.col("query_id").alias("vec_id"),
+        "own_label",
+        "knn_label",
+        "n_votes",
+        (F.col("own_label") != F.col("knn_label")).alias("is_noisy"),
+    )

@@ -547,3 +547,47 @@ def test_triplet_mining_labels_and_margins(spark):
     for r in out:
         assert labels[r.pos_id] == labels[r.anchor_id]
         assert labels[r.neg_id] != labels[r.anchor_id]
+
+
+def test_leakproof_split_keeps_clusters_together(spark, tables):
+    from pubsub_mapreduce_spark.operators.dedup import (
+        leakproof_split,
+        minhash_lsh_pairs,
+    )
+
+    docs = tables["documents"]
+    assigned = leakproof_split(docs)
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.5, hash_impl="md5")
+    a = assigned.select(
+        F.col("doc_id").alias("a"), F.col("split").alias("split_a")
+    )
+    b = assigned.select(
+        F.col("doc_id").alias("b"), F.col("split").alias("split_b")
+    )
+    crossing = (
+        pairs.join(a, "a").join(b, "b").where(F.col("split_a") != F.col("split_b"))
+    )
+    assert crossing.count() == 0  # no near-dup pair straddles splits
+    assert assigned.count() == docs.count()  # every doc assigned
+
+
+def test_label_noise_flags_planted_mislabels(spark):
+    import math
+
+    # tight same-label cluster + one mislabeled member: its 5 nearest
+    # neighbors all vote the true label.
+    rows = []
+    for i in range(40):
+        rows.append((i, [1.0, i * 1e-4, 0.0], 0))
+    rows.append((100, [1.0, 0.002, 0.0], 1))  # planted mislabel
+    for i in range(41, 80):
+        rows.append((i, [0.0, 1.0, i * 1e-4], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    from pubsub_mapreduce_spark.operators.similarity import label_noise_scan
+
+    out = {r.vec_id: r for r in label_noise_scan(emb, k=5, every=100).collect()}
+    assert out[100].is_noisy
+    assert out[100].knn_label == 0
+    assert not out[0].is_noisy
