@@ -597,6 +597,12 @@ def q_split_leakproof(spark, sf_dir):
     return dedup.leakproof_split(load_tables(spark, sf_dir)["documents"])
 
 
+def q_corpus_card(spark, sf_dir):
+    """One-row dataset card (textops.corpus_card) — the release
+    summary panel, integer-exact."""
+    return TX.corpus_card(load_tables(spark, sf_dir)["documents"])
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -2029,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_triplets": q_emb_triplets,
         "label_noise": q_label_noise,
         "split_leakproof": q_split_leakproof,
+        "corpus_card": q_corpus_card,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -4622,6 +4629,68 @@ def oracle_sql() -> dict[str, str]:
                    m.n_votes,
                    ql.label <> m.knn_label AS is_noisy
             FROM maj m JOIN lab ql ON ql.vec_id = m.query_id
+        """,
+        "corpus_card": r"""
+            WITH feat AS (
+              SELECT d.doc_id, d.lang, d.source, d.n_chars,
+                     len(list_filter(string_split_regex(d.text, '\s+'),
+                                     t -> t <> '')) AS toks,
+                     CAST(floor(
+                       floor((0.4 * (CASE WHEN length(d.text)
+                                              BETWEEN 100 AND 20000
+                                          THEN 1.0
+                                          WHEN length(d.text) >= 20
+                                          THEN 0.5 ELSE 0.0 END)
+                             + 0.3 * least((CASE WHEN len(
+                                   list_filter(string_split_regex(d.text,
+                                               '\s+'), t -> t <> '')) > 0
+                                 THEN len(list_filter(
+                                      list_filter(string_split_regex(d.text,
+                                                  '\s+'), t -> t <> ''),
+                                      t -> lower(t) IN
+                                      ('the','a','of','and','to','in','is',
+                                       'it','for','on'))) * 1.0
+                                      / len(list_filter(
+                                        string_split_regex(d.text, '\s+'),
+                                        t -> t <> ''))
+                                 ELSE 0.0 END) * 5.0, 1.0)
+                             + 0.3 * (1.0 - (CASE WHEN length(
+                                   regexp_replace(d.text, '\s', '', 'g')) > 0
+                                 THEN (length(regexp_replace(d.text, '\s',
+                                              '', 'g'))
+                                       - length(regexp_replace(d.text,
+                                         '[^A-Za-z0-9]', '', 'g'))) * 1.0
+                                      / length(regexp_replace(d.text, '\s',
+                                               '', 'g'))
+                                 ELSE 0.0 END))) * 1e4 + 0.5) / 1e4 * 1e4)
+                       AS BIGINT) AS q4,
+                     md5(lower(trim(d.text))) AS h
+              FROM documents d),
+            plain AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(toks) AS BIGINT) AS n_tokens,
+                     CAST(sum(q4) AS BIGINT) AS q4_sum
+              FROM feat),
+            nl AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+                   FROM feat),
+            ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT)
+                       AS n_sources FROM feat),
+            nh AS (SELECT CAST(count(DISTINCT h) AS BIGINT)
+                       AS n_distinct_content FROM feat),
+            med AS (
+              SELECT n_chars AS p50_chars FROM (
+                SELECT n_chars,
+                       row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+                       count(*) OVER () AS n
+                FROM feat)
+              WHERE rn = CAST(ceil(n / 2) AS BIGINT))
+            SELECT n_docs, n_tokens, n_langs, n_sources,
+                   n_docs - n_distinct_content AS n_dupe_docs,
+                   floor(CAST(q4_sum AS DOUBLE) / n_docs / 1e4 * 1e4 + 0.5)
+                       / 1e4 AS mean_quality,
+                   p50_chars
+            FROM plain CROSS JOIN nl CROSS JOIN ns CROSS JOIN nh
+            CROSS JOIN med
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "dedup_containment",
     "substring_spans",
     "text_clean",
+    "corpus_card",
     "pii_audit",
     "pii_scrub",
     "lang_confusion",

@@ -1086,3 +1086,72 @@ def bpe_merge_candidates(docs: DataFrame, top_n: int = 20) -> DataFrame:
     return top.select(
         F.row_number().over(wr).alias("rank"), "pair", "cnt"
     )
+
+
+def corpus_card(docs: DataFrame) -> DataFrame:
+    """The one-row DATASET CARD: corpus size (docs/tokens), language
+    and source spread, exact-duplicate pressure, mean quality, median
+    length — the summary panel a dataset release ships and a curation
+    run diffs before/after. Everything integer-exact: quality is
+    rounded per-doc to 4dp FIRST and summed as a scaled BIGINT (a
+    float mean would be summation-order-dependent), the median is an
+    order statistic, dup counts come from the md5 content hash.
+
+    One pass computes the per-doc features; the card is three tiny
+    aggregates (plain, distinct-ish, median rank) crossJoin'd — each
+    distinct count keeps its own single-purpose aggregate (the Expand
+    finding)."""
+    from pyspark.sql import Window
+
+    from ..functions import text as TT
+    from .dedup import content_hash
+
+    c = F.col("text")
+    d = widen(docs, 8).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars"),
+        TT.token_count_ws(c).alias("toks"),
+        F.floor(rh(TT.quality_score(c, TT.tokens(c)), 4) * 1e4)
+        .cast("long")
+        .alias("q4"),
+        content_hash().alias("h"),
+    )
+    plain = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.sum("q4").alias("q4_sum"),
+    )
+    nl = d.agg(F.countDistinct("lang").alias("n_langs"))
+    ns = d.agg(F.countDistinct("source").alias("n_sources"))
+    nh = d.agg(F.countDistinct("h").alias("n_distinct_content"))
+    wr = Window.orderBy("n_chars", "doc_id")
+    med = (
+        d.select(
+            "n_chars",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
+        )
+        .where(F.col("rn") == F.ceil(F.col("n") / 2))
+        .select(F.col("n_chars").alias("p50_chars"))
+    )
+    return (
+        plain.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(nh))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            "n_sources",
+            (F.col("n_docs") - F.col("n_distinct_content")).alias(
+                "n_dupe_docs"
+            ),
+            rh(
+                F.col("q4_sum").cast("double") / F.col("n_docs") / 1e4, 4
+            ).alias("mean_quality"),
+            "p50_chars",
+        )
+    )
