@@ -603,6 +603,15 @@ def q_corpus_card(spark, sf_dir):
     return TX.corpus_card(load_tables(spark, sf_dir)["documents"])
 
 
+def q_fd_discovery(spark, sf_dir):
+    """Pairwise functional-dependency discovery over lineitem's
+    low-cardinality columns (relational.fd_discovery)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return R.fd_discovery(
+        li, ["l_returnflag", "l_linestatus", "l_quantity", "l_tax"]
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -2036,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_noise": q_label_noise,
         "split_leakproof": q_split_leakproof,
         "corpus_card": q_corpus_card,
+        "fd_discovery": q_fd_discovery,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -4691,6 +4701,91 @@ def oracle_sql() -> dict[str, str]:
                    p50_chars
             FROM plain CROSS JOIN nl CROSS JOIN ns CROSS JOIN nh
             CROSS JOIN med
+        """,
+        "fd_discovery": r"""
+            SELECT 'l_returnflag' AS lhs, 'l_linestatus' AS rhs,
+                   CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_lhs,
+                   CAST(count(DISTINCT (l_returnflag, l_linestatus)) AS BIGINT) AS n_pairs,
+                   count(DISTINCT l_returnflag) = count(DISTINCT (l_returnflag, l_linestatus))
+                       AS holds
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag' AS lhs, 'l_quantity' AS rhs,
+                   CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_lhs,
+                   CAST(count(DISTINCT (l_returnflag, l_quantity)) AS BIGINT) AS n_pairs,
+                   count(DISTINCT l_returnflag) = count(DISTINCT (l_returnflag, l_quantity))
+                       AS holds
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag' AS lhs, 'l_tax' AS rhs,
+                   CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_lhs,
+                   CAST(count(DISTINCT (l_returnflag, l_tax)) AS BIGINT) AS n_pairs,
+                   count(DISTINCT l_returnflag) = count(DISTINCT (l_returnflag, l_tax))
+                       AS holds
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_linestatus' AS lhs, 'l_returnflag' AS rhs,
+                   CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_lhs,
+                   CAST(count(DISTINCT (l_linestatus, l_returnflag)) AS BIGINT) AS n_pairs,
+                   count(DISTINCT l_linestatus) = count(DISTINCT (l_linestatus, l_returnflag))
+                       AS holds
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_linestatus' AS lhs, 'l_quantity' AS rhs,
+                   CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_lhs,
+                   CAST(count(DISTINCT (l_linestatus, l_quantity)) AS BIGINT) AS n_pairs,
+                   count(DISTINCT l_linestatus) = count(DISTINCT (l_linestatus, l_quantity))
+                       AS holds
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_linestatus' AS lhs, 'l_tax' AS rhs,
+                   CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_lhs,
+                   CAST(count(DISTINCT (l_linestatus, l_tax)) AS BIGINT) AS n_pairs,
+                   count(DISTINCT l_linestatus) = count(DISTINCT (l_linestatus, l_tax))
+                       AS holds
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity' AS lhs, 'l_returnflag' AS rhs,
+                   CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_lhs,
+                   CAST(count(DISTINCT (l_quantity, l_returnflag)) AS BIGINT) AS n_pairs,
+                   count(DISTINCT l_quantity) = count(DISTINCT (l_quantity, l_returnflag))
+                       AS holds
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity' AS lhs, 'l_linestatus' AS rhs,
+                   CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_lhs,
+                   CAST(count(DISTINCT (l_quantity, l_linestatus)) AS BIGINT) AS n_pairs,
+                   count(DISTINCT l_quantity) = count(DISTINCT (l_quantity, l_linestatus))
+                       AS holds
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity' AS lhs, 'l_tax' AS rhs,
+                   CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_lhs,
+                   CAST(count(DISTINCT (l_quantity, l_tax)) AS BIGINT) AS n_pairs,
+                   count(DISTINCT l_quantity) = count(DISTINCT (l_quantity, l_tax))
+                       AS holds
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_tax' AS lhs, 'l_returnflag' AS rhs,
+                   CAST(count(DISTINCT l_tax) AS BIGINT) AS n_lhs,
+                   CAST(count(DISTINCT (l_tax, l_returnflag)) AS BIGINT) AS n_pairs,
+                   count(DISTINCT l_tax) = count(DISTINCT (l_tax, l_returnflag))
+                       AS holds
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_tax' AS lhs, 'l_linestatus' AS rhs,
+                   CAST(count(DISTINCT l_tax) AS BIGINT) AS n_lhs,
+                   CAST(count(DISTINCT (l_tax, l_linestatus)) AS BIGINT) AS n_pairs,
+                   count(DISTINCT l_tax) = count(DISTINCT (l_tax, l_linestatus))
+                       AS holds
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_tax' AS lhs, 'l_quantity' AS rhs,
+                   CAST(count(DISTINCT l_tax) AS BIGINT) AS n_lhs,
+                   CAST(count(DISTINCT (l_tax, l_quantity)) AS BIGINT) AS n_pairs,
+                   count(DISTINCT l_tax) = count(DISTINCT (l_tax, l_quantity))
+                       AS holds
+            FROM lineitem
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "bpe_merges",
     "multimodal_audio_pairs",
     "fk_orphans",
+    "fd_discovery",
     "type_correlation",
     "markov_accuracy",
     "pit_features",

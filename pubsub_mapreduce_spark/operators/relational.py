@@ -2439,3 +2439,36 @@ def pit_features(events: DataFrame, label_type: str = "purchase") -> DataFrame:
             (F.col("cutoff_s") - F.col("last_prior_s")).alias("recency_s"),
         )
     )
+
+
+def fd_discovery(df: DataFrame, cols: list) -> DataFrame:
+    """Functional-dependency discovery over candidate columns
+    (Metanome-style profiling, pairwise): A -> B holds iff every A
+    value maps to exactly one B value, checked as
+    ``count_distinct(A) == count_distinct(A, B)`` — pure integer
+    cardinalities, exact at any scale. The schema-inference signal a
+    warehouse uses to find denormalization, derive keys, and catch
+    broken mappings after a bad backfill (an FD that USED to hold and
+    stopped is a data bug).
+
+    One LAZY 1-row aggregate per ordered pair, unioned into a single
+    plan (one action evaluates all |cols|^2 subplans; candidates are
+    picked low-cardinality, so map-side dedup collapses each pass —
+    never a driver-side count loop)."""
+    rows = None
+    for a in cols:
+        for b in cols:
+            if a == b:
+                continue
+            r = df.agg(
+                F.countDistinct(F.col(a)).alias("n_lhs"),
+                F.countDistinct(F.col(a), F.col(b)).alias("n_pairs"),
+            ).select(
+                F.lit(a).alias("lhs"),
+                F.lit(b).alias("rhs"),
+                "n_lhs",
+                "n_pairs",
+                (F.col("n_lhs") == F.col("n_pairs")).alias("holds"),
+            )
+            rows = r if rows is None else rows.unionByName(r)
+    return rows
