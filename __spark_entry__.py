@@ -612,6 +612,12 @@ def q_fd_discovery(spark, sf_dir):
     )
 
 
+def q_ab_wilson(spark, sf_dir):
+    """A/B conversion rates with Wilson 95% intervals
+    (relational.ab_wilson_intervals) — exact-oracled statistics."""
+    return R.ab_wilson_intervals(load_tables(spark, sf_dir)["events"])
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -2046,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakproof": q_split_leakproof,
         "corpus_card": q_corpus_card,
         "fd_discovery": q_fd_discovery,
+        "ab_wilson": q_ab_wilson,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -4786,6 +4793,48 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_tax) = count(DISTINCT (l_tax, l_quantity))
                        AS holds
             FROM lineitem
+        """,
+        "ab_wilson": r"""
+            WITH pu AS (
+              SELECT user_id,
+                     max(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS converted,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 2 AS variant
+              FROM events GROUP BY user_id),
+            s AS (
+              SELECT variant,
+                     CAST(count(*) AS BIGINT) AS n_users,
+                     CAST(sum(converted) AS BIGINT) AS n_converted
+              FROM pu GROUP BY 1),
+            w AS (
+              SELECT variant, n_users, n_converted,
+                     CAST(n_converted AS DOUBLE) / n_users AS p,
+                     CAST(n_users AS DOUBLE) AS n
+              FROM s)
+            SELECT variant, n_users, n_converted,
+                   floor(p * 1e6 + 0.5) / 1e6 AS cvr,
+                   floor(((p + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                               / (2.0 * n))
+                          - CAST(1.96 AS DOUBLE)
+                            * sqrt((p * (1.0 - p)) / n
+                                   + (CAST(1.96 AS DOUBLE)
+                                      * CAST(1.96 AS DOUBLE))
+                                     / (4.0 * (n * n))))
+                         / (1.0 + (CAST(1.96 AS DOUBLE)
+                                   * CAST(1.96 AS DOUBLE)) / n)
+                         * 1e6 + 0.5) / 1e6 AS wilson_lo,
+                   floor(((p + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                               / (2.0 * n))
+                          + CAST(1.96 AS DOUBLE)
+                            * sqrt((p * (1.0 - p)) / n
+                                   + (CAST(1.96 AS DOUBLE)
+                                      * CAST(1.96 AS DOUBLE))
+                                     / (4.0 * (n * n))))
+                         / (1.0 + (CAST(1.96 AS DOUBLE)
+                                   * CAST(1.96 AS DOUBLE)) / n)
+                         * 1e6 + 0.5) / 1e6 AS wilson_hi
+            FROM w
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

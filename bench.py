@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "skyline_orders",
     "event_cooccurrence",
     "ab_test",
+    "ab_wilson",
     "event_triangles",
     "conversion_latency",
     "benford_digits",

@@ -2472,3 +2472,53 @@ def fd_discovery(df: DataFrame, cols: list) -> DataFrame:
             )
             rows = r if rows is None else rows.unionByName(r)
     return rows
+
+
+def ab_wilson_intervals(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    n_variants: int = 2,
+) -> DataFrame:
+    """The A/B readout with WILSON score intervals: per variant, the
+    95% confidence bounds on conversion rate — overlapping intervals
+    are the "don't ship yet" signal the point estimate in
+    ab_test_report can't give. Same deterministic hash assignment.
+
+    Exact cross-engine even though it's real statistics: the interval
+    is one fixed-order chain of IEEE ops over integer counts —
+    divisions, multiplies, and sqrt (correctly rounded per IEEE-754 in
+    both engines), z = 1.96 as a double literal — mirrored op-for-op
+    in the oracle and rounded once at the edge."""
+    from ..functions.text import round_half_up
+    from ..operators.sampling import hash_bucket
+
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == convert_type, 1).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn("variant", hash_bucket(F.col("user_id"), n_variants))
+    )
+    stats = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    z = F.lit(1.96)
+    z2 = z * z
+    n = F.col("n_users").cast("double")
+    p = F.col("n_converted").cast("double") / F.col("n_users")
+    denom = F.lit(1.0) + z2 / n
+    center = p + z2 / (F.lit(2.0) * n)
+    rad = z * F.sqrt(
+        (p * (F.lit(1.0) - p)) / n + z2 / (F.lit(4.0) * (n * n))
+    )
+    return stats.select(
+        "variant",
+        "n_users",
+        "n_converted",
+        round_half_up(p, 6).alias("cvr"),
+        round_half_up((center - rad) / denom, 6).alias("wilson_lo"),
+        round_half_up((center + rad) / denom, 6).alias("wilson_hi"),
+    )

@@ -591,3 +591,17 @@ def test_label_noise_flags_planted_mislabels(spark):
     assert out[100].is_noisy
     assert out[100].knn_label == 0
     assert not out[0].is_noisy
+
+
+def test_wilson_intervals_bracket_rate_and_shrink(spark, tables):
+    from pubsub_mapreduce_spark.operators.relational import (
+        ab_wilson_intervals,
+    )
+
+    out = ab_wilson_intervals(tables["events"]).collect()
+    assert out
+    for r in out:
+        assert r.wilson_lo <= r.cvr <= r.wilson_hi
+        assert 0.0 <= r.wilson_lo and r.wilson_hi <= 1.0
+        # 95% Wilson width at these n is material but sane
+        assert (r.wilson_hi - r.wilson_lo) < 0.9
