@@ -618,6 +618,12 @@ def q_ab_wilson(spark, sf_dir):
     return R.ab_wilson_intervals(load_tables(spark, sf_dir)["events"])
 
 
+def q_ab_health(spark, sf_dir):
+    """Experiment health panel: 2x2 chi-square significance + SRM
+    check (relational.ab_health) — rational statistics, exact."""
+    return R.ab_health(load_tables(spark, sf_dir)["events"])
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -2053,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_card": q_corpus_card,
         "fd_discovery": q_fd_discovery,
         "ab_wilson": q_ab_wilson,
+        "ab_health": q_ab_health,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -4835,6 +4842,56 @@ def oracle_sql() -> dict[str, str]:
                                    * CAST(1.96 AS DOUBLE)) / n)
                          * 1e6 + 0.5) / 1e6 AS wilson_hi
             FROM w
+        """,
+        "ab_health": r"""
+            WITH pu AS (
+              SELECT user_id,
+                     max(CASE WHEN event_type = 'purchase'
+                                   AND CAST(round(value * 100) AS BIGINT)
+                                       >= 20000
+                              THEN 1 ELSE 0 END) AS converted,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 2 AS variant
+              FROM events GROUP BY user_id),
+            cells AS (
+              SELECT
+                CAST(sum(CASE WHEN variant = 0 AND converted = 1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                CAST(sum(CASE WHEN variant = 0 AND converted = 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                CAST(sum(CASE WHEN variant = 1 AND converted = 1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                CAST(sum(CASE WHEN variant = 1 AND converted = 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS d
+              FROM pu),
+            m AS (
+              SELECT a, b, c, d,
+                     CAST(a + b + c + d AS DOUBLE) AS n,
+                     CAST(a * d - b * c AS DOUBLE) AS num,
+                     CAST(a + b AS DOUBLE) AS na,
+                     CAST(c + d AS DOUBLE) AS nb
+              FROM cells),
+            x AS (
+              SELECT a, b, c, d, na, nb,
+                     CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) > 0
+                          THEN n * (num * num)
+                               / (CAST(a + b AS DOUBLE)
+                                  * CAST(c + d AS DOUBLE)
+                                  * CAST(a + c AS DOUBLE)
+                                  * CAST(b + d AS DOUBLE))
+                          ELSE 0.0 END AS chi2,
+                     (na - n / 2.0) * (na - n / 2.0) / (n / 2.0)
+                     + (nb - n / 2.0) * (nb - n / 2.0) / (n / 2.0) AS srm
+              FROM m)
+            SELECT a + b AS n_variant0,
+                   c + d AS n_variant1,
+                   a AS conv0,
+                   c AS conv1,
+                   floor(chi2 * 1e6 + 0.5) / 1e6 AS chi2,
+                   chi2 > 3.841 AS significant,
+                   floor(srm * 1e6 + 0.5) / 1e6 AS chi2_srm,
+                   srm > 3.841 AS srm_flag
+            FROM x
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "event_cooccurrence",
     "ab_test",
     "ab_wilson",
+    "ab_health",
     "event_triangles",
     "conversion_latency",
     "benford_digits",

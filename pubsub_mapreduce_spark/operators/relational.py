@@ -2522,3 +2522,86 @@ def ab_wilson_intervals(
         round_half_up((center - rad) / denom, 6).alias("wilson_lo"),
         round_half_up((center + rad) / denom, 6).alias("wilson_hi"),
     )
+
+
+def ab_health(
+    events: DataFrame, convert_type: str = "purchase"
+) -> DataFrame:
+    """One-row experiment health panel: the 2x2 chi-square for
+    conversion-vs-variant independence (``chi2 > 3.841`` ~ p < .05 at
+    1 dof — the ship/don't-ship significance read) AND the
+    sample-ratio-mismatch chi-square against the designed 50/50 split
+    (SRM is the assignment-bug detector every experimentation platform
+    runs before believing ANY metric). Chi-square is rational —
+    ``n(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d))`` — so both statistics are
+    mirrored float chains over integer cell counts, exactly
+    value-hashable (int-product magnitudes stay under 2^53 here;
+    at billions of users compute the quad products in DECIMAL).
+
+    Conversion = a HIGH-VALUE ``convert_type`` event (>= min_cents) so
+    the 2x2 has variance on this fixture (every user makes SOME
+    purchase); degenerate margins guard to 0 via a lazily-evaluated
+    CASE on both engines. One user-level aggregate -> one 4-cell
+    rollup -> scalar math."""
+    from ..functions.text import round_half_up
+    from ..operators.sampling import hash_bucket
+
+    min_cents = 20000
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == convert_type)
+                    & (
+                        F.round(F.col("value") * 100).cast("long")
+                        >= min_cents
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn("variant", hash_bucket(F.col("user_id"), 2))
+    )
+    cells = per_user.agg(
+        F.sum(
+            F.when((F.col("variant") == 0) & (F.col("converted") == 1), 1).otherwise(0)
+        ).alias("a"),
+        F.sum(
+            F.when((F.col("variant") == 0) & (F.col("converted") == 0), 1).otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when((F.col("variant") == 1) & (F.col("converted") == 1), 1).otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when((F.col("variant") == 1) & (F.col("converted") == 0), 1).otherwise(0)
+        ).alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    n = (a + b + c + d).cast("double")
+    num = (a * d - b * c).cast("double")
+    margins = (a + b) * (c + d) * (a + c) * (b + d)
+    chi2 = F.when(
+        margins > 0,
+        n * (num * num)
+        / (
+            (a + b).cast("double")
+            * (c + d).cast("double")
+            * (a + c).cast("double")
+            * (b + d).cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    na = (a + b).cast("double")
+    nb = (c + d).cast("double")
+    half = n / F.lit(2.0)
+    srm = (na - half) * (na - half) / half + (nb - half) * (nb - half) / half
+    return cells.select(
+        (a + b).alias("n_variant0"),
+        (c + d).alias("n_variant1"),
+        a.alias("conv0"),
+        c.alias("conv1"),
+        round_half_up(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("significant"),
+        round_half_up(srm, 6).alias("chi2_srm"),
+        (srm > 3.841).alias("srm_flag"),
+    )

@@ -605,3 +605,32 @@ def test_wilson_intervals_bracket_rate_and_shrink(spark, tables):
         assert 0.0 <= r.wilson_lo and r.wilson_hi <= 1.0
         # 95% Wilson width at these n is material but sane
         assert (r.wilson_hi - r.wilson_lo) < 0.9
+
+
+def test_ab_health_chi2_and_srm_semantics(spark):
+    import datetime
+
+    # planted: variant split from md5 hash, conversions heavily skewed
+    # to one side -> chi2 must flag; balanced assignment -> no SRM.
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(200):
+        rows.append((eid, base, u, "view", 1.0)); eid += 1
+    # heavy conversions only for users whose md5 bucket is 0
+    from pubsub_mapreduce_spark.operators.sampling import hash_bucket
+    probe = spark.createDataFrame(
+        [(u,) for u in range(200)], "user_id long"
+    ).withColumn("v", hash_bucket(F.col("user_id"), 2))
+    v0 = {r.user_id for r in probe.collect() if r.v == 0}
+    for u in range(200):
+        if u in v0:
+            rows.append((eid, base, u, "purchase", 400.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    from pubsub_mapreduce_spark.operators.relational import ab_health
+
+    out = ab_health(df).collect()[0]
+    assert out.significant  # all conversions on one side
+    assert not out.srm_flag  # hash split is ~50/50
