@@ -634,3 +634,27 @@ def test_ab_health_chi2_and_srm_semantics(spark):
     out = ab_health(df).collect()[0]
     assert out.significant  # all conversions on one side
     assert not out.srm_flag  # hash split is ~50/50
+
+
+def test_gate_window_ordering_contract():
+    """The driver's correctness gate reads the FIRST 50 queries() keys:
+    pin that the round-1 verification gap owns the head (45 names) and
+    the chosen round-2 five follow — accidental reorderings would
+    silently spend the gate's window on already-green queries."""
+    import json
+
+    import __spark_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    r1_checked = set(json.load(open("/root/repo/CORRECTNESS_r01.json")))
+    head = names[:50]
+    assert not [n for n in head if n in r1_checked]
+    assert head[45:] == [
+        "dedup_minhash_incremental",
+        "simhash_near_pairs",
+        "multimodal_phash_pairs",
+        "event_outliers",
+        "text_repetition",
+    ]
+    # every registered oracle still has a queries() twin
+    assert not set(entrymod.oracle_sql()) - set(names)
