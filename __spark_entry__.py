@@ -624,6 +624,31 @@ def q_ab_health(spark, sf_dir):
     return R.ab_health(load_tables(spark, sf_dir)["events"])
 
 
+def q_acf_daily(spark, sf_dir):
+    """Lag-1..7 autocorrelation of each event type's daily count
+    series (robust.daily_autocorr) — the seasonality correlogram,
+    integer moments + one mirrored float expression per (type, lag)."""
+    return RB.daily_autocorr(load_tables(spark, sf_dir)["events"])
+
+
+def q_key_skew_report(spark, sf_dir):
+    """Key-skew diagnostic over the shuffle-hot key columns
+    (skew.key_skew_report) — exact p50/p99/max per-key counts via the
+    counts-of-counts rank trick; the planner input that decides when
+    salted_agg/salted_broadcast_join are worth their shuffle."""
+    from pubsub_mapreduce_spark.operators.skew import key_skew_report
+
+    t = load_tables(spark, sf_dir)
+    return key_skew_report(
+        [
+            ("events.user_id", t["events"], "user_id"),
+            ("events.event_type", t["events"], "event_type"),
+            ("orders.o_custkey", t["orders"], "o_custkey"),
+            ("lineitem.l_partkey", t["lineitem"], "l_partkey"),
+        ]
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], n=3, threshold=0.5
@@ -2060,6 +2085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_discovery": q_fd_discovery,
         "ab_wilson": q_ab_wilson,
         "ab_health": q_ab_health,
+        "acf_daily": q_acf_daily,
+        "key_skew_report": q_key_skew_report,
         # --- never driver-checked (round-1 gap) + new this round -----
         # dedup family
         "dedup_exact": q_dedup_exact,
@@ -4892,6 +4919,106 @@ def oracle_sql() -> dict[str, str]:
                    floor(srm * 1e6 + 0.5) / 1e6 AS chi2_srm,
                    srm > 3.841 AS srm_flag
             FROM x
+        """,
+        "acf_daily": r"""
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+              FROM events GROUP BY 1, 2),
+            lags AS (SELECT CAST(unnest(range(1, 8)) AS INTEGER) AS lag),
+            j AS (
+              SELECT a.event_type, l.lag, a.cnt AS x, b.cnt AS y
+              FROM daily a CROSS JOIN lags l
+              JOIN daily b ON b.event_type = a.event_type
+                          AND b.d = a.d + l.lag),
+            agg AS (
+              SELECT event_type, lag,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sx2,
+                     CAST(sum(y * y) AS BIGINT) AS sy2
+              FROM j GROUP BY 1, 2)
+            SELECT event_type, lag, n,
+                   floor((CAST(n * sxy - sx * sy AS DOUBLE)
+                          / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+                             * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)))
+                          + 1.0) * 1e6 + 0.5) / 1e6 AS r_plus1
+            FROM agg
+            WHERE n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+        """,
+        "key_skew_report": r"""
+            WITH
+            c1 AS (SELECT count(*) AS cnt FROM events GROUP BY user_id),
+            cc1 AS (SELECT cnt, CAST(count(*) AS BIGINT) AS freq
+                    FROM c1 GROUP BY cnt),
+            r1 AS (SELECT cnt, freq,
+                          sum(freq) OVER (ORDER BY cnt) AS cum,
+                          sum(freq) OVER () AS nk
+                   FROM cc1),
+            s1 AS (SELECT 'events.user_id' AS key_col,
+                          CAST(sum(cnt * freq) AS BIGINT) AS n_rows,
+                          CAST(max(nk) AS BIGINT) AS n_keys,
+                          CAST(max(cnt) AS BIGINT) AS max_cnt,
+                          CAST(min(CASE WHEN 2 * cum >= nk THEN cnt END)
+                               AS BIGINT) AS p50_cnt,
+                          CAST(min(CASE WHEN 100 * cum >= 99 * nk THEN cnt END)
+                               AS BIGINT) AS p99_cnt
+                   FROM r1),
+            c2 AS (SELECT count(*) AS cnt FROM events GROUP BY event_type),
+            cc2 AS (SELECT cnt, CAST(count(*) AS BIGINT) AS freq
+                    FROM c2 GROUP BY cnt),
+            r2 AS (SELECT cnt, freq,
+                          sum(freq) OVER (ORDER BY cnt) AS cum,
+                          sum(freq) OVER () AS nk
+                   FROM cc2),
+            s2 AS (SELECT 'events.event_type' AS key_col,
+                          CAST(sum(cnt * freq) AS BIGINT) AS n_rows,
+                          CAST(max(nk) AS BIGINT) AS n_keys,
+                          CAST(max(cnt) AS BIGINT) AS max_cnt,
+                          CAST(min(CASE WHEN 2 * cum >= nk THEN cnt END)
+                               AS BIGINT) AS p50_cnt,
+                          CAST(min(CASE WHEN 100 * cum >= 99 * nk THEN cnt END)
+                               AS BIGINT) AS p99_cnt
+                   FROM r2),
+            c3 AS (SELECT count(*) AS cnt FROM orders GROUP BY o_custkey),
+            cc3 AS (SELECT cnt, CAST(count(*) AS BIGINT) AS freq
+                    FROM c3 GROUP BY cnt),
+            r3 AS (SELECT cnt, freq,
+                          sum(freq) OVER (ORDER BY cnt) AS cum,
+                          sum(freq) OVER () AS nk
+                   FROM cc3),
+            s3 AS (SELECT 'orders.o_custkey' AS key_col,
+                          CAST(sum(cnt * freq) AS BIGINT) AS n_rows,
+                          CAST(max(nk) AS BIGINT) AS n_keys,
+                          CAST(max(cnt) AS BIGINT) AS max_cnt,
+                          CAST(min(CASE WHEN 2 * cum >= nk THEN cnt END)
+                               AS BIGINT) AS p50_cnt,
+                          CAST(min(CASE WHEN 100 * cum >= 99 * nk THEN cnt END)
+                               AS BIGINT) AS p99_cnt
+                   FROM r3),
+            c4 AS (SELECT count(*) AS cnt FROM lineitem GROUP BY l_partkey),
+            cc4 AS (SELECT cnt, CAST(count(*) AS BIGINT) AS freq
+                    FROM c4 GROUP BY cnt),
+            r4 AS (SELECT cnt, freq,
+                          sum(freq) OVER (ORDER BY cnt) AS cum,
+                          sum(freq) OVER () AS nk
+                   FROM cc4),
+            s4 AS (SELECT 'lineitem.l_partkey' AS key_col,
+                          CAST(sum(cnt * freq) AS BIGINT) AS n_rows,
+                          CAST(max(nk) AS BIGINT) AS n_keys,
+                          CAST(max(cnt) AS BIGINT) AS max_cnt,
+                          CAST(min(CASE WHEN 2 * cum >= nk THEN cnt END)
+                               AS BIGINT) AS p50_cnt,
+                          CAST(min(CASE WHEN 100 * cum >= 99 * nk THEN cnt END)
+                               AS BIGINT) AS p99_cnt
+                   FROM r4),
+            u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+                  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+            SELECT key_col, n_rows, n_keys, max_cnt, p50_cnt, p99_cnt,
+                   max_cnt * 1000000 // n_rows AS top1_ppm,
+                   max_cnt * 1000 // p50_cnt AS skew_x1000
+            FROM u
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

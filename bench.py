@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "fk_orphans",
     "fd_discovery",
     "type_correlation",
+    "acf_daily",
+    "key_skew_report",
     "markov_accuracy",
     "pit_features",
     "association_rules",

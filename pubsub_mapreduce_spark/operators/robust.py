@@ -750,3 +750,71 @@ def trend_report(events: DataFrame) -> DataFrame:
             F.abs(F.col("slope_ols") - F.col("slope_theil_sen")), 6
         ).alias("divergence"),
     )
+
+
+def daily_autocorr(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Lag-k autocorrelation of each event type's DAILY count series,
+    k = 1..``max_lag`` — the seasonality detector (a weekly-cycled
+    type shows r spiking at lag 7, a momentum-driven one decays
+    smoothly, white noise sits at 0). Semantics: Pearson r between the
+    pairs (x_t, x_{t+k}) over days where BOTH ends exist — the
+    "lagged Pearson" form, which (unlike the textbook ACF that reuses
+    one global mean) stays exact under missing days and mirrors
+    ``type_correlation``'s arithmetic verbatim: n, Σx, Σy, Σxy, Σx²,
+    Σy² are BIGINT over the day-aligned self-join, and r is ONE
+    mirrored float expression (IEEE sqrt correctly rounded), so the
+    whole correlogram is exactly value-hashable. Degenerate windows
+    (zero variance on either end — constant series) are dropped by an
+    INTEGER predicate on the two variance terms, not a float compare.
+
+    Scale: the daily rollup collapses volume first; the lag spine is
+    an explode of a literal sequence, and the self-join fans each
+    daily row out |lags| times — |types| x days x max_lag rows,
+    calendar-bounded regardless of event volume. Output +1 offset on
+    r (r_plus1 in [0, 2]) sidesteps the -0.0 repr divergence, same as
+    type_correlation."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    a = daily.select(
+        "event_type",
+        "d",
+        F.col("cnt").alias("x"),
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("tb"),
+        F.col("d").alias("db"),
+        F.col("cnt").alias("y"),
+    )
+    j = a.join(
+        b,
+        (F.col("event_type") == F.col("tb"))
+        & (F.col("db") == F.date_add(F.col("d"), F.col("lag"))),
+    )
+    agg = j.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    vx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    return (
+        agg.where((vx > 0) & (vy > 0))
+        .select(
+            "event_type",
+            "lag",
+            "n",
+            round_half_up(
+                num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+                + F.lit(1.0),
+                6,
+            ).alias("r_plus1"),
+        )
+    )

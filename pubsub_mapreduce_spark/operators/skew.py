@@ -88,3 +88,74 @@ def salted_broadcast_join(
     )
     out = big_s.join(F.broadcast(small_s), on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def key_skew_report(
+    tables: list[tuple[str, DataFrame, str]],
+) -> DataFrame:
+    """The DIAGNOSTIC that decides when the salting above is worth it:
+    one row per candidate grouping/join key with integer-exact skew
+    statistics — total rows, distinct keys, the hottest key's count,
+    exact p50/p99 per-key counts, the hot key's row share in ppm, and
+    max/median as a x1000 ratio. "l_partkey skew_x1000 = 1200" reads
+    as a healthy key; "user_id top1_ppm = 180000" says one user owns
+    18% of the table and every shuffle on it will strangle a task at
+    100 TB (reference has no planner; this is the operational input
+    its fixed topology never needed — see SURVEY.md §4).
+
+    Scale design: per-key counts are one keyed exchange with map-side
+    partial aggregation (skew-immune by itself — see module header);
+    the order statistics then run on the COUNTS-OF-COUNTS relation
+    (distinct count values, typically a few thousand rows even at
+    billions of keys) via the cumulative-rank cross-multiplication
+    trick from ``robust.weighted_median`` — the single-partition
+    window is over that tiny relation, never over keys or rows.
+    p50 = smallest count with 2*cum >= n_keys, p99 with
+    100*cum >= 99*n_keys (cum >= ceil(a/b) <=> b*cum >= a for
+    positive integers — rank selection with zero division). All
+    outputs BIGINT or truncating integer division (`div` here, `//`
+    in the oracle — identical for non-negative operands), so the
+    report is exactly value-hashable on any engine."""
+    outs = []
+    for label, df, key in tables:
+        counts = df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        cc = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("freq"))
+        from pyspark.sql import Window
+
+        wc = Window.orderBy("cnt").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wt = Window.partitionBy()
+        r = cc.select(
+            "cnt",
+            "freq",
+            F.sum("freq").over(wc).alias("cum"),
+            F.sum("freq").over(wt).alias("nk"),
+        )
+        one = r.agg(
+            F.sum(F.col("cnt") * F.col("freq")).alias("n_rows"),
+            F.max("nk").alias("n_keys"),
+            F.max("cnt").alias("max_cnt"),
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("nk"), F.col("cnt"))
+            ).alias("p50_cnt"),
+            F.min(
+                F.when(100 * F.col("cum") >= 99 * F.col("nk"), F.col("cnt"))
+            ).alias("p99_cnt"),
+        ).select(
+            F.lit(label).alias("key_col"),
+            "n_rows",
+            "n_keys",
+            "max_cnt",
+            "p50_cnt",
+            "p99_cnt",
+            F.expr("max_cnt * 1000000L div n_rows").alias("top1_ppm"),
+            F.expr("max_cnt * 1000L div p50_cnt").alias("skew_x1000"),
+        )
+        outs.append(one)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -658,3 +658,59 @@ def test_gate_window_ordering_contract():
     ]
     # every registered oracle still has a queries() twin
     assert not set(entrymod.oracle_sql()) - set(names)
+
+
+def test_key_skew_report_exact_stats(spark):
+    # counts: four keys with 1 row, one hot key with 10 -> the
+    # counts-of-counts line is (1,freq=4,cum=4),(10,freq=1,cum=5):
+    # p50 = 1 (2*4 >= 5), p99 = 10 (first cum with 100*cum >= 495).
+    from pubsub_mapreduce_spark.operators.skew import key_skew_report
+
+    rows = [(k, 0.0) for k in [1, 2, 3, 4]] + [(5, 0.0)] * 10
+    df = _events(spark, rows)
+    out = key_skew_report([("user_id", df, "user_id")]).collect()[0]
+    assert out.key_col == "user_id"
+    assert out.n_rows == 14 and out.n_keys == 5 and out.max_cnt == 10
+    assert out.p50_cnt == 1 and out.p99_cnt == 10
+    assert out.top1_ppm == 10 * 1_000_000 // 14  # truncating div
+    assert out.skew_x1000 == 10_000
+
+
+def test_daily_autocorr_linear_series_is_perfect(spark):
+    # one event type whose daily count is exactly t+1 for t=0..9: every
+    # lagged pair set is a perfect line -> r = 1, r_plus1 = 2.0 at all
+    # lags, with n = 10 - lag pairs.
+    import datetime as dt
+
+    rows = []
+    i = 0
+    for t in range(10):
+        for _ in range(t + 1):
+            rows.append((i, dt.datetime(2024, 3, 1 + t, 12), 1, "a", 0.0))
+            i += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    out = {r.lag: r for r in RB.daily_autocorr(df, max_lag=3).collect()}
+    assert set(out) == {1, 2, 3}
+    for lag, r in out.items():
+        assert r.n == 10 - lag
+        assert r.r_plus1 == 2.0
+
+
+def test_daily_autocorr_drops_constant_series(spark):
+    # a constant daily series has zero variance at every lag: the
+    # integer predicate drops it instead of emitting NaN/inf.
+    import datetime as dt
+
+    rows = [
+        (t, dt.datetime(2024, 3, 1 + t, 12), 1, "c", 0.0) for t in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    assert RB.daily_autocorr(df, max_lag=3).count() == 0
