@@ -702,3 +702,18 @@ def test_session_additions_scan_pruning(spark):
             }
             extra = cols - allowed
             assert not extra, f"{name} scan reads unused columns {extra}"
+
+
+def test_acf_and_skew_report_shuffle_budgets(spark):
+    """acf_daily: daily rollup (1 keyed exchange) + the lag self-join
+    (2 more for the join sides at most) + the (type, lag) aggregate
+    share; key_skew_report: per column, one keyed exchange for per-key
+    counts, one for counts-of-counts, and the global window/aggregate
+    run on the tiny counts-of-counts relation — the budget catches any
+    rewrite that accidentally shuffles key-sized data again."""
+    for name, budget in {"acf_daily": 4, "key_skew_report": 12}.items():
+        spark.catalog.clearCache()
+        df = q(name, spark)
+        got = keyed_shuffle_count(df)
+        assert got <= budget, f"{name}: {got} keyed shuffles (budget {budget})"
+        assert_no_cartesian(df)
