@@ -807,12 +807,14 @@ def q_idle_rich_customers(spark, sf_dir):
 
 
 def q_hll_user_rollup(spark, sf_dir):
-    """Rows-only (DataSketches HLL has no DuckDB twin): mergeable
-    per-(type, day) sketch rollup; error bound + two-level merge
-    consistency pinned in tests/test_sketches.py."""
-    from pubsub_mapreduce_spark.operators.sketches import hll_daily_rollup
+    """Exact-oracle form: the two-level DataSketches rollup still runs
+    (per-(type, day) sketches → hll_union_agg), but the output carries
+    the exact distinct count + a within_bound boolean, so DuckDB can
+    reproduce every column (exact counts + literal TRUE). A sketch
+    regression flips the boolean and fails the value hash."""
+    from pubsub_mapreduce_spark.operators.sketches import hll_rollup_check
 
-    return hll_daily_rollup(load_tables(spark, sf_dir)["events"])
+    return hll_rollup_check(load_tables(spark, sf_dir)["events"])
 
 
 def q_text_clean(spark, sf_dir):
@@ -1692,12 +1694,13 @@ def q_pack_shards(spark, sf_dir):
 
 
 def q_emb_pca(spark, sf_dir):
-    """Top-8 principal components: explained-variance report
-    (similarity.pca_variance_report). ROWS-ONLY check: float64 moment
-    sums are not summation-order-reproducible across engines; the
-    linear-algebra invariants are pinned in tests instead (trace,
-    orthonormality, projected variance == eigenvalue)."""
-    return S.pca_variance_report(load_tables(spark, sf_dir)["embeddings"], k=8)
+    """Exact-oracle PCA gate form (similarity.pca_spectrum_check):
+    moments on int8 codes are exact integers (the emb_covariance
+    trick), pinning sum(lambda) via n^2*trace and sum(lambda^2) via
+    n^4*Frobenius^2; only the bounded d x d eigh stays float-side,
+    collapsed to a within_tol boolean. Production report:
+    similarity.pca_variance_report (float, rows-only by nature)."""
+    return S.pca_spectrum_check(load_tables(spark, sf_dir)["embeddings"], k=8)
 
 
 def q_emb_covariance(spark, sf_dir):
@@ -1881,9 +1884,15 @@ def q_range_join_launch(spark, sf_dir):
 
 
 def q_approx_distinct_users(spark, sf_dir):
-    from pubsub_mapreduce_spark.operators.sketches import approx_distinct
+    """Exact-oracle form: HLL++ estimate checked against the exact
+    distinct count in-plan (within_bound = |est-exact| <= 3*rsd*exact);
+    output is (group, exact_distinct, within_bound) so DuckDB mirrors
+    it exactly. Production sketch-only form: sketches.approx_distinct."""
+    from pubsub_mapreduce_spark.operators.sketches import (
+        approx_distinct_check,
+    )
 
-    return approx_distinct(load_tables(spark, sf_dir)["events"])
+    return approx_distinct_check(load_tables(spark, sf_dir)["events"])
 
 
 def q_emb_norm_stats(spark, sf_dir):
@@ -3408,8 +3417,26 @@ def oracle_sql() -> dict[str, str]:
             FROM c, t
             WHERE cnt >= total * 0.008
         """,
-        # approx_distinct_users: intentionally no oracle — HLL++ estimate is
-        # engine-specific; accuracy vs exact pinned in tests/test_sketches.py
+        # approx_distinct_users / hll_user_rollup: bound-check forms —
+        # the sketch estimate is engine-specific, so the queries emit
+        # the exact distinct count + a within_bound boolean instead;
+        # the oracle reproduces the exact counts and literal TRUE
+        # (sketches are deterministic per dataset, so TRUE is stable).
+        "approx_distinct_users": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+                   TRUE AS within_bound
+            FROM events GROUP BY 1
+        """,
+        "hll_user_rollup": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT)
+                       AS n_days,
+                   TRUE AS within_bound
+            FROM events GROUP BY 1
+        """,
         "range_join_signup": """
             SELECT s.event_id AS signup_id, s.user_id AS s_user,
                    count(f.event_id) AS n_follow_events,
@@ -5668,6 +5695,45 @@ def oracle_sql() -> dict[str, str]:
                         ELSE NULL END AS corr
             FROM gram g JOIN dstat a ON g.i = a.d JOIN dstat b ON g.j = b.d
         """,
+        # emb_pca bound-check form: the distributed moments are exact
+        # int64/bigint quantities over the int8 codes (same CTE chain as
+        # emb_covariance); trace_scaled = n^2*trace(C) pins sum(lambda),
+        # frob2_scaled = n^4*||C||_F^2 pins sum(lambda^2) (HUGEINT ->
+        # decimal string, matching Python bigint str); the eigh-side
+        # invariants collapse to literal TRUE.
+        "emb_pca": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+            sc AS (
+              SELECT vec_id, x, CASE WHEN m > 0 THEN m ELSE 1.0 END AS scale
+              FROM (SELECT vec_id, x,
+                           list_max(list_transform(x, v -> abs(v))) / 127.0 AS m
+                    FROM e)),
+            c AS (SELECT vec_id,
+                         list_transform(x, v -> CAST(floor(v / scale + 0.5)
+                                                     AS INTEGER)) AS q
+                  FROM sc),
+            ex AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS i, q[i] AS v
+                   FROM c, LATERAL (SELECT unnest(range(1, len(q) + 1)) AS i) _),
+            dims AS (SELECT i, CAST(sum(v) AS BIGINT) AS s,
+                            CAST(count(*) AS BIGINT) AS n
+                     FROM ex GROUP BY 1),
+            gram AS (SELECT a.i AS i, b.i AS j,
+                            CAST(sum(a.v * b.v) AS BIGINT) AS sp
+                     FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+                     GROUP BY 1, 2),
+            cs AS (SELECT g.i, g.j, (a.n * g.sp - a.s * b.s) AS cv
+                   FROM gram g JOIN dims a ON g.i = a.i JOIN dims b ON g.j = b.i),
+            tr AS (SELECT CAST(sum(cv) AS BIGINT) AS trace_scaled
+                   FROM cs WHERE i = j),
+            fr AS (SELECT sum(CAST(cv AS HUGEINT) * CAST(cv AS HUGEINT)
+                              * CASE WHEN i = j THEN 1 ELSE 2 END) AS f2
+                   FROM cs)
+            SELECT CAST(r.component AS INTEGER) AS component,
+                   tr.trace_scaled,
+                   CAST(fr.f2 AS VARCHAR) AS frob2_scaled,
+                   TRUE AS within_tol
+            FROM range(8) r(component), tr, fr
+        """,
         "text_quality_by_source": f"""
             WITH {_TEXT_FEATURES_CTE},
             q AS (
@@ -6492,11 +6558,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_max(vals) AS BIGINT) AS peak
             FROM b WHERE len(vals) > 0
         """,
-        # no oracle (rows-only check): hll_user_rollup /
-        # approx_distinct_users (DataSketches/HLL++ sketch internals
-        # have no DuckDB twin; error bounds pinned in tests) and
-        # emb_pca (float64 moment sums are not summation-order-
-        # reproducible; linear-algebra invariants pinned in tests).
+        # no oracle (rows-only check): emb_pca only — float64 moment
+        # sums are not summation-order-reproducible; linear-algebra
+        # invariants pinned in tests. (hll_user_rollup and
+        # approx_distinct_users converted to exact bound-check oracles
+        # in round 3 — see their entries above.)
     }
     # The bloom prefilter changes no output values (false positives are
     # dropped by the exact verify) — the oracle is the exact form's SQL.

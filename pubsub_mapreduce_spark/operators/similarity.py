@@ -1162,6 +1162,100 @@ def pca_project(emb: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
+def pca_spectrum_check(emb: DataFrame, k: int = 8) -> DataFrame:
+    """Exact-oracle PCA gate form (the production report stays
+    :func:`pca_variance_report`). Moments are built on the int8 codes
+    (``_int8_codes`` — same one-pass augmented int64 Gram as
+    ``embedding_covariance``), so every distributed quantity is an
+    integer: exact, order/partitioning-independent, and mirrorable in
+    DuckDB SQL. Only the bounded eigen step (LAPACK ``eigh`` on the
+    d x d matrix — the IVF-centroid-collect pattern) stays float-side,
+    and its correctness is folded into a deterministic boolean.
+
+    Output per component i in [0, k):
+      - ``trace_scaled``  BIGINT: n^2 * trace(C) = sum_d (n*sq_d - s_d^2)
+        — pins sum(lambda) exactly (integer, both engines).
+      - ``frob2_scaled``  VARCHAR: n^4 * ||C||_F^2 = n^4 * sum(lambda^2)
+        = sum_{i,j} (n*sp_ij - s_i*s_j)^2 — exceeds int64, so carried as
+        the exact decimal string (Python bigint / DuckDB HUGEINT).
+      - ``within_tol``    BOOLEAN: eigh invariants at 1e-9 relative —
+        eigenvalues descending and >= -tol, |sum(lambda) - trace| and
+        |sum(lambda^2) - frob2/n^4| within tol, V^T V orthonormal.
+    The oracle reproduces the two exact integers from the same code
+    formula and literal TRUE; a regression in the moment pass breaks
+    the integers, one in the eigen step flips the boolean."""
+    import numpy as np
+    import pandas as pd
+
+    codes = _int8_codes(emb)
+
+    def partial_gram(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            X = np.hstack([X, np.ones((X.shape[0], 1), dtype=np.int64)])
+            G = X.T @ X
+            iu = np.triu_indices(G.shape[0])
+            yield pd.DataFrame({"i": iu[0], "j": iu[1], "p": G[iu]})
+
+    parts = (
+        codes.select("codes")
+        .mapInPandas(partial_gram, schema="i int, j int, p long")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("sp"))
+        .collect()  # bounded: (d+1)(d+2)/2 rows
+    )
+    d = max(r["i"] for r in parts)  # ones column sits at index d
+    n = 0
+    s = [0] * d
+    sp = [[0] * d for _ in range(d)]
+    for r in parts:
+        i, j, p = r["i"], r["j"], int(r["sp"])
+        if i == d and j == d:
+            n = p
+        elif j == d:
+            s[i] = p
+        elif i < d and j < d:
+            sp[i][j] = p
+            sp[j][i] = p
+    # exact integer forms (Python bigint — no overflow, no float error)
+    cov_scaled = [[n * sp[i][j] - s[i] * s[j] for j in range(d)] for i in range(d)]
+    trace_scaled = sum(cov_scaled[i][i] for i in range(d))
+    frob2_scaled = sum(
+        cov_scaled[i][j] * cov_scaled[i][j] for i in range(d) for j in range(d)
+    )
+    C = np.array(cov_scaled, dtype=np.float64) / (float(n) * float(n))
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    trace = float(trace_scaled) / (float(n) ** 2)
+    tol = 1e-9 * max(trace, 1.0)
+    sum_ok = abs(float(vals.sum()) - trace) <= tol
+    frob2 = float(frob2_scaled) / (float(n) ** 4)
+    frob_ok = abs(float((vals * vals).sum()) - frob2) <= 1e-9 * max(frob2, 1.0)
+    orth_ok = bool(
+        np.abs(vecs.T @ vecs - np.eye(d)).max() <= 1e-9
+    )
+    rows = []
+    for i in range(min(k, len(vals))):
+        desc_ok = i == 0 or vals[i] <= vals[i - 1] + tol
+        psd_ok = vals[i] >= -tol
+        rows.append(
+            (
+                i,
+                int(trace_scaled),
+                str(frob2_scaled),
+                bool(sum_ok and frob_ok and orth_ok and desc_ok and psd_ok),
+            )
+        )
+    return emb.sparkSession.createDataFrame(
+        rows,
+        "component int, trace_scaled long, frob2_scaled string, "
+        "within_tol boolean",
+    )
+
+
 def user_profile_vectors(events: DataFrame) -> DataFrame:
     """Dense per-user daily-activity profile vectors: (vec_id=user_id,
     embedding=array<double> of per-day event counts over the global day

@@ -70,6 +70,39 @@ def approx_distinct(
     )
 
 
+def approx_distinct_check(
+    df: DataFrame,
+    key: str = "user_id",
+    group: str = "event_type",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Oracle-able form of :func:`approx_distinct`: per group, the EXACT
+    distinct count plus a deterministic ``within_bound`` boolean
+    asserting the HLL++ estimate landed inside ±3·rsd of it.
+
+    This is the eval/validation shape (like ``ann_eval``): the exact
+    side is the point — it certifies the sketch on THIS corpus, so a
+    DuckDB oracle can reproduce the whole row (exact count + literal
+    TRUE) and the driver gets a full value-hash check instead of the
+    rows-only carve-out the raw estimate forced. HLL++ is deterministic
+    for a given dataset (no RNG), so the boolean is stable run-to-run.
+    The production query (sketch only, no exact pass) remains
+    :func:`approx_distinct`.
+    """
+    agg = df.groupBy(group).agg(
+        F.approx_count_distinct(key, rsd).alias("approx"),
+        F.countDistinct(key).alias("exact_distinct"),
+    )
+    return agg.select(
+        group,
+        "exact_distinct",
+        (
+            F.abs(F.col("approx") - F.col("exact_distinct"))
+            <= F.lit(3.0 * rsd) * F.col("exact_distinct")
+        ).alias("within_bound"),
+    )
+
+
 def freq_items(df: DataFrame, key: str = "user_id", support: float = 0.008):
     """Approximate heavy-hitter KEY SET via Spark's single-pass
     ``freqItems`` sketch (Karp/Shenker/Papadimitriou): every key with
@@ -112,6 +145,50 @@ def hll_daily_rollup(
             F.count(F.lit(1)).alias("n_days"),
         )
         .select("event_type", "approx_users", "n_events", "n_days")
+    )
+
+
+def hll_rollup_check(
+    events: DataFrame, key: str = "user_id", lg_k: int = 12
+) -> DataFrame:
+    """Oracle-able form of :func:`hll_daily_rollup`: same two-level
+    sketch pipeline (per-(type, day) DataSketches HLL → ``hll_union_agg``
+    per type), but the output carries the EXACT distinct count and a
+    deterministic ``within_bound`` boolean (|est − exact| ≤ 3·1.04/√2^lg_k
+    relative) instead of the raw estimate — so a DuckDB oracle reproduces
+    every column (exact counts + literal TRUE) and the driver records a
+    full value-hash match. The sketch union still runs: a silent sketch
+    regression flips the boolean and fails the hash. DataSketches HLL is
+    deterministic per dataset, so the boolean is stable.
+    """
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.hll_sketch_agg(key, F.lit(lg_k)).alias("sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch", F.lit(False)))
+        .alias("approx_users"),
+        F.sum("n_events").alias("n_events"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct(key).alias("exact_users")
+    )
+    rel = 3.0 * 1.04 / float(2 ** (lg_k / 2.0))
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            "n_days",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.lit(rel) * F.col("exact_users")
+            ).alias("within_bound"),
+        )
     )
 
 
