@@ -2277,14 +2277,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": q_q9_product_profit,
         "q12_priority_class": q_q12_priority_class,
     }
-    r1_gap = ["q15_top_supplier", "q16_supplier_variety", "q17_small_qty_revenue", "q19_disjunctive_revenue", "q21_waiting_suppliers", "q20_dominant_suppliers", "unpivot_metrics", "text_clean", "lang_confusion", "emb_quantize", "hll_user_rollup", "source_knob_sine", "dedup_exact", "dedup_incremental", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding", "dedup_clusters", "dedup_canonical", "text_doc_stats", "text_top_tokens", "text_tfidf", "sample_docs", "stratified_docs", "capped_docs", "split_counts", "curation_pipeline", "heavy_hitter_users", "approx_distinct_users", "range_join_signup", "range_join_launch", "emb_norm_stats", "text_quality_by_source", "sim_cosine_topk", "sim_cosine_topk_matmul", "sim_near_pairs", "user_similarity", "sim_ann_lsh", "knn_graph", "sim_ann_ivf", "binary_meta", "multimodal_decode", "multimodal_resize", "multimodal_frame_sample"]
-    head = [n for n in r1_gap if n in base] + [
-        "dedup_minhash_incremental",
-        "simhash_near_pairs",
-        "multimodal_phash_pairs",
-        "event_outliers",
-        "text_repetition",
+    # Round-3 gate window: the driver checks the FIRST 50 queries() keys.
+    # Slots 0-44: the never-driver-checked round-2 continuation tail in
+    # original registration order (CORRECTNESS_r01+r02 cover the other
+    # 100). Slots 45-49: the two ex-no_oracle sketch queries (now exact
+    # bound-check oracles), the ex-rows-only emb_pca (now exact spectrum
+    # pins), and the next two never-checked names. The ordering contract
+    # is pinned by tests/test_round2_tail.py.
+    r3_head = [
+        "mad_outliers", "winsorized_values", "association_rules",
+        "rare_tokens", "user_cusum", "user_twap", "text_bm25",
+        "bigram_collocations", "vocab_coverage", "rrf_hybrid",
+        "multimodal_dup_consensus", "trend_theil_sen", "budget_allocation",
+        "part_communities", "ldiv_customers", "holt_forecast",
+        "attribution_credit", "dedup_containment", "user_diversity",
+        "emb_label_drift", "part_kcore", "dedup_tfcosine",
+        "type_correlation", "bpe_merges", "multimodal_audio_pairs",
+        "fk_orphans", "user_cusum_target", "sim_mmr", "pps_orders",
+        "weighted_median_price", "markov_accuracy", "emb_kmeans",
+        "emb_coreset", "trend_report", "pit_features", "neg_samples",
+        "emb_triplets", "label_noise", "split_leakproof", "corpus_card",
+        "fd_discovery", "ab_wilson", "ab_health", "acf_daily",
+        "key_skew_report",
+        "hll_user_rollup", "approx_distinct_users", "emb_pca",
+        "dedup_fingerprint", "user_similarity_sparse",
     ]
+    head = [n for n in r3_head if n in base]
     ordered = {n: base[n] for n in head}
     for n, fn in base.items():
         if n not in ordered:
@@ -3807,6 +3825,7 @@ def oracle_sql() -> dict[str, str]:
                          * 1e4 + 0.5) / 1e4 AS mean_cents
             FROM g WHERE gap_s IS NOT NULL
             GROUP BY user_id
+            HAVING sum(gap_s) > 0
         """,
         "text_bm25": r"""
             WITH toks AS (
@@ -4187,6 +4206,7 @@ def oracle_sql() -> dict[str, str]:
                              * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)))
                           + 1.0) * 1e6 + 0.5) / 1e6 AS r_plus1
             FROM agg
+            WHERE n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
         """,
         "bpe_merges": r"""
             WITH words AS (
@@ -4713,8 +4733,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT d.doc_id, d.lang, d.source, d.n_chars,
                      len(list_filter(string_split_regex(d.text, '\s+'),
                                      t -> t <> '')) AS toks,
-                     CAST(floor(
-                       floor((0.4 * (CASE WHEN length(d.text)
+                     CAST(floor((0.4 * (CASE WHEN length(d.text)
                                               BETWEEN 100 AND 20000
                                           THEN 1.0
                                           WHEN length(d.text) >= 20
@@ -4740,7 +4759,7 @@ def oracle_sql() -> dict[str, str]:
                                          '[^A-Za-z0-9]', '', 'g'))) * 1.0
                                       / length(regexp_replace(d.text, '\s',
                                                '', 'g'))
-                                 ELSE 0.0 END))) * 1e4 + 0.5) / 1e4 * 1e4)
+                                 ELSE 0.0 END))) * 1e4 + 0.5)
                        AS BIGINT) AS q4,
                      md5(lower(trim(d.text))) AS h
               FROM documents d),

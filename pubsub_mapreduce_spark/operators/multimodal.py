@@ -472,7 +472,11 @@ def audio_fingerprints(
     audio_window_energy's integer energies, so the whole fingerprint
     is exact bit math on BIGINTs. Payloads shorter than
     ``(n_bits+1)*window`` bytes yield partial prints (high bits 0);
-    ``n_windows`` is emitted so consumers can length-block.
+    ``n_windows`` is emitted so consumers can length-block. A payload
+    with FEWER THAN TWO energy windows (< ~2*window bytes) has no
+    delta to sign: it still gets a row, with ``afp = 0, n_windows =
+    0``, so consumers can tell short audio from missing audio (docs
+    with NO energy window at all stay absent — that is 'no audio').
 
     One doc-keyed window pass (lead) + one packing aggregate — bits at
     disjoint positions combine with ``+`` (house rule: Column ``|`` is
@@ -493,13 +497,28 @@ def audio_fingerprints(
             .alias("bit"),
         )
     )
-    return bits.groupBy("doc_id").agg(
+    fps = bits.groupBy("doc_id").agg(
         # SQL form: the Python shiftleft binding wants a literal bit
         # count, the SQL function takes a column
         F.sum(
             F.col("bit") * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(win AS INT))")
         ).alias("afp"),
         F.count(F.lit(1)).alias("n_windows"),
+    )
+    # sub-2-window docs have no delta rows and would vanish from the
+    # groupBy — emit them as (afp=0, n_windows=0) via a left join from
+    # the set of docs that produced at least one energy window.
+    return (
+        en.select("doc_id")
+        .distinct()
+        .join(fps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("afp", F.lit(0).cast("long")).alias("afp"),
+            F.coalesce("n_windows", F.lit(0).cast("long")).alias(
+                "n_windows"
+            ),
+        )
     )
 
 
@@ -517,7 +536,10 @@ def audio_near_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
     one degenerate high-byte-0 bucket at scale)."""
     n_blocks, block_bits = 4, 8
     assert max_hamming < n_blocks
-    fp = audio_fingerprints(df)
+    # n_windows = 0 rows are the "too short to fingerprint" marker from
+    # audio_fingerprints — they carry no signal (afp = 0 for all of
+    # them) and would otherwise all collide into one degenerate bucket.
+    fp = audio_fingerprints(df).where(F.col("n_windows") >= 1)
     blocks = fp.select(
         "doc_id",
         "afp",

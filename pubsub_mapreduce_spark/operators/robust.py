@@ -402,17 +402,25 @@ def user_twap(events: DataFrame) -> DataFrame:
         )
         .where(F.col("gap_s").isNotNull())
     )
-    return g.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_held"),
-        F.sum("gap_s").alias("held_s"),
-        round_half_up(
-            F.sum(F.col("cents") * F.col("gap_s")).cast("double")
-            / F.sum("gap_s"),
-            4,
-        ).alias("twap_cents"),
-        round_half_up(
-            F.sum("cents").cast("double") / F.count(F.lit(1)), 4
-        ).alias("mean_cents"),
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_held"),
+            F.sum("gap_s").alias("held_s"),
+            round_half_up(
+                F.sum(F.col("cents") * F.col("gap_s")).cast("double")
+                / F.sum("gap_s"),
+                4,
+            ).alias("twap_cents"),
+            round_half_up(
+                F.sum("cents").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_cents"),
+        )
+        # zero-total-weight guard: a user whose held observations all
+        # fall in the same epoch second has sum(gap_s) = 0 — TWAP is
+        # undefined (0/0: Spark NaN vs DuckDB NULL would diverge), so
+        # the user is dropped, mirrored by HAVING in the oracle.
+        .where(F.col("held_s") > 0)
     )
 
 
@@ -493,11 +501,12 @@ def holt_forecast(events: DataFrame) -> DataFrame:
     frame computes it — so the scalable exact form is the per-key
     sorted fold: daily counts collapse volume first (the array is
     calendar-bounded, not data-bounded), then ONE codegen'd
-    ``aggregate`` HOF folds in day order. Trend can go NEGATIVE, where
-    Spark ``div`` (truncates) and DuckDB ``//`` (floors) diverge — the
-    oracle mirrors truncation as ``(a - (a % 4)) // 4`` (``%`` is
-    dividend-signed in both engines, so the quotient is exact and
-    floor == trunc on an exact multiple)."""
+    ``aggregate`` HOF folds in day order. Trend can go NEGATIVE, but
+    that is safe: DuckDB v1.0.0 integer ``//`` TRUNCATES toward zero
+    (measured: ``-7 // 4 = -1``), exactly like Spark ``div``, so the
+    oracle's plain ``// 4`` mirrors the fold bit-for-bit on signed
+    steps too (same finding recorded for user_value_ema and in the
+    verify skill notes)."""
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count(F.lit(1)).alias("cnt"))
@@ -579,11 +588,22 @@ def type_correlation(events: DataFrame) -> DataFrame:
     dy = F.sqrt(
         (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double")
     )
-    return agg.select(
-        "ta",
-        "tb",
-        "n",
-        round_half_up(num / (dx * dy) + F.lit(1.0), 6).alias("r_plus1"),
+    return (
+        agg
+        # zero-variance guard (same integer predicate as daily_autocorr):
+        # a constant series makes dx*dy = 0 and r undefined — drop the
+        # pair BEFORE the division so no engine ever evaluates x/0
+        # (Spark NaN vs DuckDB NULL would diverge).
+        .where(
+            (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy") > 0)
+        )
+        .select(
+            "ta",
+            "tb",
+            "n",
+            round_half_up(num / (dx * dy) + F.lit(1.0), 6).alias("r_plus1"),
+        )
     )
 
 

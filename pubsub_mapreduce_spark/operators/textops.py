@@ -1113,7 +1113,11 @@ def corpus_card(docs: DataFrame) -> DataFrame:
         "source",
         F.col("n_chars"),
         TT.token_count_ws(c).alias("toks"),
-        F.floor(rh(TT.quality_score(c, TT.tokens(c)), 4) * 1e4)
+        # scaled 4-dp integer built DIRECTLY from the unrounded score:
+        # floor(q*1e4 + 0.5). The previous round_half_up(q,4)*1e4 round
+        # trip (/1e4 then *1e4) loses 1 ulp on ~6% of 4-dp values and
+        # floor then drops them by one, biasing q4 downward.
+        F.floor(TT.quality_score(c, TT.tokens(c)) * 1e4 + F.lit(0.5))
         .cast("long")
         .alias("q4"),
         content_hash().alias("h"),

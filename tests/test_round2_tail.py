@@ -638,23 +638,37 @@ def test_ab_health_chi2_and_srm_semantics(spark):
 
 def test_gate_window_ordering_contract():
     """The driver's correctness gate reads the FIRST 50 queries() keys:
-    pin that the round-1 verification gap owns the head (45 names) and
-    the chosen round-2 five follow — accidental reorderings would
-    silently spend the gate's window on already-green queries."""
+    pin the round-3 window — 45 never-driver-checked round-2-tail names
+    in registration order, then the three upgraded ex-weak rows (the two
+    ex-no_oracle sketches + ex-rows-only emb_pca) and the next two
+    never-checked names. Accidental reorderings would silently spend
+    the gate's window on already-green queries."""
     import json
 
     import __spark_entry__ as entrymod
 
     names = list(entrymod.queries())
-    r1_checked = set(json.load(open("/root/repo/CORRECTNESS_r01.json")))
+    checked = set(json.load(open("/root/repo/CORRECTNESS_r01.json"))) | set(
+        json.load(open("/root/repo/CORRECTNESS_r02.json"))
+    )
     head = names[:50]
-    assert not [n for n in head if n in r1_checked]
+    # the only previously-checked rows allowed in the head are the three
+    # deliberately re-gated upgrades (they were err/rows-only, not green)
+    regated = {"hll_user_rollup", "approx_distinct_users"}
+    assert [n for n in head if n in checked and n not in regated] == []
+    assert head[:5] == [
+        "mad_outliers",
+        "winsorized_values",
+        "association_rules",
+        "rare_tokens",
+        "user_cusum",
+    ]
     assert head[45:] == [
-        "dedup_minhash_incremental",
-        "simhash_near_pairs",
-        "multimodal_phash_pairs",
-        "event_outliers",
-        "text_repetition",
+        "hll_user_rollup",
+        "approx_distinct_users",
+        "emb_pca",
+        "dedup_fingerprint",
+        "user_similarity_sparse",
     ]
     # every registered oracle still has a queries() twin
     assert not set(entrymod.oracle_sql()) - set(names)
