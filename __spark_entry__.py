@@ -1943,13 +1943,17 @@ def q_knn_graph(spark, sf_dir):
     a scale-killer at |corpus| growth. The celled form collects only the
     capped centroid set; contract = exact kNN within the nprobe probed
     cells, which the DuckDB oracle mirrors exactly (same centroids,
-    same argmax assignment, bit-equal HOF sims)."""
+    same argmax assignment, bit-equal HOF sims). assign_via='literal'
+    pins the pure-JVM HOF arithmetic for the oracle; the production
+    default is the BLAS assign+probe pass (benched via bench.py's
+    variant overlay, output-equality pinned in tests)."""
     return S.ivf_knn_graph(
         load_tables(spark, sf_dir)["embeddings"],
         k=3,
         centroid_every=100,
         n_max_centroids=512,
         nprobe=2,
+        assign_via="literal",
     )
 
 

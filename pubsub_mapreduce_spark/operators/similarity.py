@@ -647,6 +647,52 @@ def assign_centroids_matmul(
     return e.mapInPandas(assign, "vec_id long, embedding array<double>, cid long")
 
 
+def assign_probe_matmul(
+    e: DataFrame, cents: list[tuple[int, list[float]]], nprobe: int
+) -> DataFrame:
+    """BLAS sibling of the literal assign+probe pair used by
+    ``ivf_knn_graph``: ONE Arrow ``mapInPandas`` pass scores each batch
+    against all centroids ((N, D) @ (D, C)) and emits both the nearest
+    cell (``cid``) and the top-``nprobe`` probe list (``probe_cids``),
+    replacing TWO interpreted per-element HOF passes (argmax fold +
+    array_sort comparator) with one matmul + one ``np.argsort``. Still
+    map-only, no shuffle. Tie-break parity: stable argsort on (-sim,
+    cid) via lexsort — equal sims resolve to the smaller cid, same as
+    the HOF comparator (BLAS rounding can still flip NEAR-equal sims,
+    which is why the exact-oracle gate forms keep the literal path —
+    ANN recall, not bit equality, is this path's contract)."""
+    import pandas as pd
+
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    cmat = np.stack([np.asarray(v, dtype=np.float64) for _, v in cents])
+    norms = np.linalg.norm(cmat, axis=1, keepdims=True)
+    norms[norms == 0] = np.inf
+    cmat = cmat / norms
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = np.inf
+            sims = (m / n) @ cmat.T  # (N, C)
+            # top-nprobe by (sim desc, cid asc): argsort ascending on
+            # negated sims is stable only via lexsort keys
+            order = np.lexsort((np.broadcast_to(cids, sims.shape), -sims))
+            top = cids[order[:, :nprobe]]
+            out = pdf[["vec_id", "embedding"]].copy()
+            out["cid"] = top[:, 0]
+            out["probe_cids"] = [list(map(int, row)) for row in top]
+            yield out
+
+    return e.mapInPandas(
+        run,
+        "vec_id long, embedding array<double>, cid long, "
+        "probe_cids array<long>",
+    )
+
+
 def ivf_centroids(
     e: DataFrame, centroid_every: int = 100, n_max_centroids: int = 512
 ) -> list[tuple[int, list[float]]]:
@@ -670,6 +716,8 @@ def ivf_knn_graph(
     centroid_every: int = 100,
     n_max_centroids: int = 512,
     nprobe: int = 2,
+    assign_via: str = "matmul",
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Corpus-wide kNN graph via IVF cells — every vector is a query,
     candidates restricted to the vector's ``nprobe`` nearest centroid
@@ -684,41 +732,67 @@ def ivf_knn_graph(
     the fixtures' isotropic vectors it is the nprobe/|C| coverage
     fraction, the regime where every sublinear method degrades.
 
-    Plan shape, all JVM-side: centroids ride as a bounded plan literal;
-    cell assignment is the map-only HOF argmax; probe selection is a
-    map-only array_sort+slice over the per-vector centroid sims (NO
-    |corpus| x |C| explode+window shuffle — only nprobe rows explode per
-    vector); the candidate join is an equi-join on cid (sort-merge over
-    |C| keys — AQE splits skewed cells); scoring is the sequential HOF
-    cosine, bit-equal to DuckDB's list_cosine_similarity, so the driver
-    exact-hash gate applies (oracle: ``duckdb_ivf_knn_sql``). The only
-    corpus-sized shuffles: the cid join and the final per-query top-k
-    window."""
+    Plan shape: centroids ride as a bounded plan literal; with the
+    default ``assign_via='matmul'`` ONE Arrow pass emits both the cell
+    assignment and the probe list via BLAS (``assign_probe_matmul`` —
+    A/B at sf0.1: 1.5s vs 2.3s literal, and the gap widens with |C|);
+    ``assign_via='literal'`` keeps everything JVM-side — map-only HOF
+    argmax + array_sort+slice probe selection — whose sequential
+    arithmetic is bit-equal to DuckDB's list_cosine_similarity, which
+    is what the driver exact-hash gate form uses (oracle:
+    ``duckdb_ivf_knn_sql``; BLAS could ulp-flip a near-tied argmax).
+    Either way there is NO |corpus| x |C| explode+window shuffle (only
+    nprobe rows explode per vector); the candidate join is an equi-join
+    on cid (sort-merge over |C| keys — AQE splits skewed cells); pair
+    scoring is the sequential HOF cosine. The only corpus-sized
+    shuffles: the cid join and the final per-query top-k window."""
     e0 = _as_double(emb).select("vec_id", "embedding")
-    cents = ivf_centroids(e0, centroid_every, n_max_centroids)
+    if cents is None:
+        # a real IVF index builds its centroid set ONCE (index build)
+        # and serves many queries from it — callers that query the same
+        # corpus repeatedly should pass a prebuilt ``cents``
+        cents = ivf_centroids(e0, centroid_every, n_max_centroids)
     from ..io import widen
 
-    e = widen(e0, 8).withColumn("nrm", norm(F.col("embedding")))
-    best = _nearest_centroid(cents, "embedding")
-    assigned = e.select("vec_id", "embedding", "nrm", best["cid"].alias("cid"))
-    # top-nprobe cells per vector: comparator sorts (csim desc, cid asc)
-    # — identical tie-break to the argmax fold and the oracle's
-    # row_number(ORDER BY csim DESC, cid ASC)
-    probe_arr = F.expr(
-        f"""slice(array_sort({_centroid_sims_sql(cents, 'embedding')},
-              (l, r) -> CASE WHEN l.csim > r.csim THEN -1
-                             WHEN l.csim < r.csim THEN 1
-                             WHEN l.cid < r.cid THEN -1
-                             WHEN l.cid > r.cid THEN 1
-                             ELSE 0 END),
-            1, {int(nprobe)})"""
-    )
-    probes = e.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-        F.explode(probe_arr).alias("pr"),
-    ).select("query_id", "q_emb", "q_nrm", F.col("pr.cid").alias("cid"))
+    e = widen(e0, 8)
+    if assign_via == "matmul":
+        # bench/scale path: one Arrow pass yields cid + probe list via
+        # BLAS (A/B at sf0.1 in BENCH_r03 — see assign_probe_matmul);
+        # the exact-oracle gate form keeps the literal HOF arithmetic.
+        ap = assign_probe_matmul(e, cents, nprobe).withColumn(
+            "nrm", norm(F.col("embedding"))
+        )
+        assigned = ap.select("vec_id", "embedding", "nrm", "cid")
+        probes = ap.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode("probe_cids").alias("cid"),
+        )
+    else:
+        e = e.withColumn("nrm", norm(F.col("embedding")))
+        best = _nearest_centroid(cents, "embedding")
+        assigned = e.select(
+            "vec_id", "embedding", "nrm", best["cid"].alias("cid")
+        )
+        # top-nprobe cells per vector: comparator sorts (csim desc, cid
+        # asc) — identical tie-break to the argmax fold and the oracle's
+        # row_number(ORDER BY csim DESC, cid ASC)
+        probe_arr = F.expr(
+            f"""slice(array_sort({_centroid_sims_sql(cents, 'embedding')},
+                  (l, r) -> CASE WHEN l.csim > r.csim THEN -1
+                                 WHEN l.csim < r.csim THEN 1
+                                 WHEN l.cid < r.cid THEN -1
+                                 WHEN l.cid > r.cid THEN 1
+                                 ELSE 0 END),
+                1, {int(nprobe)})"""
+        )
+        probes = e.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode(probe_arr).alias("pr"),
+        ).select("query_id", "q_emb", "q_nrm", F.col("pr.cid").alias("cid"))
     cands = probes.join(assigned, "cid").where(F.col("vec_id") != F.col("query_id"))
     scored = cands.select(
         "query_id",
@@ -783,6 +857,7 @@ def ann_ivf_topk(
     n_max_centroids: int = 512,
     refine_iters: int = 0,
     assign_via: str = "matmul",
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-flavored ANN: deterministic centroid set (every Nth vector
     stands in for k-means training, keeping the operator reproducible),
@@ -817,7 +892,10 @@ def ann_ivf_topk(
     centroids (``refine_centroids``) before indexing — better-balanced
     inverted lists at the cost of one distributed pass each."""
     e0 = _as_double(emb).select("vec_id", "embedding")
-    cents = ivf_centroids(e0, centroid_every, n_max_centroids)
+    if cents is None:
+        # index-build/query split: pass a prebuilt ``cents`` when
+        # serving many queries over the same corpus
+        cents = ivf_centroids(e0, centroid_every, n_max_centroids)
     from ..io import widen
 
     # width 8 A/B'd best (vs none/16/32: 5.0/3.4/3.5/3.5s at sf0.1) —
