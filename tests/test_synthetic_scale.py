@@ -119,6 +119,123 @@ def test_vocab_coverage_at_scale_is_complete_curve(spark, big_docs):
     assert covers[-1] <= 1.0
 
 
+def test_minhash_incremental_at_scale_resolves_planted_batch(spark, big_docs):
+    """Incremental near-dup at 10x: a 40-doc ingest batch (20 perturbed
+    copies of corpus docs + 20 genuinely new) against the 20k corpus
+    with a PREBUILT index — every copy must resolve to its source,
+    every new doc must pass clean, and the candidate work must ride the
+    touched-bucket semi-join (no all-pairs, no corpus re-sign)."""
+    from pubsub_mapreduce_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_incremental,
+    )
+    from pubsub_mapreduce_spark.plans.explain import assert_no_cartesian
+
+    copies = big_docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    fresh = big_docs.where(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 120)
+    ).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.lit("entirely novel payload "), F.col("doc_id").cast("string"),
+                 F.lit(" zxqv"), F.col("text").substr(1, 0)).alias("text"),
+        "lang",
+        "source",
+        F.lit(40).alias("n_chars"),
+    )
+    batch = copies.unionByName(fresh)
+    idx = build_minhash_index(big_docs)
+    out = minhash_lsh_incremental(batch, big_docs, corpus_index=idx)
+    assert_no_cartesian(out)
+    got = {(r["new_id"], r["dup_of"]) for r in out.collect()}
+    assert {(i + 1_000_000, i) for i in range(20)} <= got
+    assert not any(a >= 2_000_000 for a, _ in got)
+
+
+def test_leakproof_split_at_scale_partitions_and_coheres(spark, big_docs):
+    """Leakproof split at 10x with planted near-dup clusters: the split
+    must partition the corpus exactly once per doc, keep every planted
+    copy in its source's split (no leakage across train/val/test), and
+    land within loose bounds of the 80/10/10 bucket targets."""
+    from pubsub_mapreduce_spark.operators.dedup import leakproof_split
+
+    copies = big_docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = big_docs.unionByName(copies)
+    out = leakproof_split(corpus).cache()
+    try:
+        n = corpus.count()
+        assert out.count() == n
+        assert out.select("doc_id").distinct().count() == n
+        splits = {r["doc_id"]: r["split"] for r in out.where(
+            (F.col("doc_id") < 50) | (F.col("doc_id") >= 1_000_000)
+        ).collect()}
+        for i in range(50):
+            assert splits[i] == splits[i + 1_000_000], i
+        frac = {
+            r["split"]: r["c"] / n
+            for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        assert 0.7 < frac.get("train", 0) < 0.9
+        assert 0.05 < frac.get("test", 0) < 0.15
+        assert 0.05 < frac.get("val", 0) < 0.15
+    finally:
+        out.unpersist()
+
+
+def test_kmeans_int8_at_scale_covers_corpus(spark, big_emb):
+    """kmeans_int8 at 10x: members sum to the corpus, every cluster id
+    in range, wcss non-negative, and the plan stays keyed (no
+    cartesian)."""
+    from pubsub_mapreduce_spark.operators.similarity import kmeans_int8
+    from pubsub_mapreduce_spark.plans.explain import assert_no_cartesian
+
+    out = kmeans_int8(big_emb, k=8, iters=2)
+    assert_no_cartesian(out)
+    rows = out.collect()
+    assert sum(r["n_members"] for r in rows) == N_VECS
+    assert all(0 <= r["cluster"] < 8 and r["wcss"] >= 0 for r in rows)
+
+
+def test_kcenter_coreset_at_scale_radii_shrink(spark, big_emb):
+    """Farthest-point traversal at 10x: k distinct picks and a
+    non-increasing coverage radius (each added center can only shrink
+    the farthest distance)."""
+    from pubsub_mapreduce_spark.operators.similarity import kcenter_coreset
+
+    rows = kcenter_coreset(big_emb, k=6).orderBy("pick").collect()
+    assert len(rows) == 6
+    assert len({r["vec_id"] for r in rows}) == 6
+    # pick 1 is the start point (radius 0 by convention); from pick 2
+    # on, each new farthest-point distance can only shrink
+    radii = [r["radius"] for r in rows[1:]]
+    assert radii == sorted(radii, reverse=True) and radii[0] > 0
+
+
+def test_mmr_at_scale_selects_bounded_diverse_set(spark, big_emb):
+    """MMR at 10x: k distinct picks from the bounded pool, relevance of
+    the first pick is the pool maximum (greedy start), and everything
+    after the TakeOrdered pool is O(pool*k) — output bounded by k."""
+    from pubsub_mapreduce_spark.operators.similarity import mmr_diversify
+
+    rows = mmr_diversify(big_emb, query_vec_id=0, pool=50, k=8).orderBy(
+        "pick"
+    ).collect()
+    assert len(rows) == 8
+    assert len({r["vec_id"] for r in rows}) == 8
+    assert rows[0]["rel"] == max(r["rel"] for r in rows)
+
+
 def test_lpa_and_kcore_bounded_rounds_at_scale(spark, big_docs):
     """Graph ops on a synthetic co-occurrence graph built from doc
     sources: rounds stay bounded, exchanges keyed (no cartesian)."""
