@@ -580,3 +580,45 @@ def audio_near_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def image_gate(
+    docs: DataFrame, min_dim: int = 32, max_aspect: int = 3
+) -> DataFrame:
+    """Resolution/aspect-ratio quality gate — the first filter a
+    multimodal training pipeline applies after decode (drop icons,
+    banners, and degenerate strips before any expensive featurization).
+    A decoded image passes when both dimensions reach ``min_dim`` and
+    the aspect ratio is within ``max_aspect`` : 1 — checked as the
+    integer cross-multiplication ``max(w, h) <= max_aspect * min(w, h)``
+    (no float division anywhere), so the per-source report is exactly
+    value-hashable.
+
+    Composes the existing decode stage (``attach_media`` ->
+    ``decode_image_batch``, Arrow map-only); the rollup is one
+    |sources|-keyed aggregate. Emits (source, n_images, n_pass,
+    pass_ppm) with ppm as a truncating integer division, mirrored."""
+    meta = decode_image_batch(attach_media(docs)).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    ok = (
+        (F.col("width") >= min_dim)
+        & (F.col("height") >= min_dim)
+        & (
+            F.greatest("width", "height")
+            <= F.lit(max_aspect) * F.least("width", "height")
+        )
+    )
+    return (
+        meta.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum(ok.cast("long")).alias("n_pass"),
+        )
+        .select(
+            "source",
+            "n_images",
+            "n_pass",
+            F.expr("n_pass * 1000000 div n_images").alias("pass_ppm"),
+        )
+    )

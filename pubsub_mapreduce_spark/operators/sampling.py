@@ -453,3 +453,77 @@ def negative_samples(
     return cand.join(owned, ["cust", "neg_part"], "left_anti").select(
         "cust", "pos_part", "j", "neg_part"
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style data selection weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by how target-like its hashed-n-gram feature
+    profile is, so a curation run can resample the raw crawl toward a
+    small high-quality target domain. DSIR proper uses a sum of
+    per-feature log probability ratios; logs are transcendental and
+    NOT bit-reproducible across engines, so this exact-oracle form
+    scores the ratio of EXPECTED bucket frequencies instead:
+
+        importance = (S_t / N_t) / (S_r / N_r)
+                   = (S_t * N_r) / (S_r * N_t)     (one float division)
+
+    where S_t / S_r sum the Laplace-smoothed target/raw bucket counts
+    over the doc's tokens and N_t / N_r are the corresponding totals —
+    every accumulated quantity an exact BIGINT, > 1 meaning
+    "target-like". Feature = whitespace token hashed into ``n_buckets``
+    via the md5-portable ``token_hash32`` (same trick as the sampling
+    buckets above, so the DuckDB oracle reproduces it verbatim).
+
+    Scale shape (build/apply, like a real DSIR run): the bucket-count
+    model is ONE |buckets|-sized aggregate over the exploded tokens
+    (map-side combine makes the exchange |buckets|-sized); scoring is
+    a broadcast join of that tiny model onto the token stream plus one
+    doc-keyed sum. No driver state beyond the broadcast model."""
+    from ..functions.text import round_half_up as rh
+    from ..functions.text import token_hash32, tokens
+
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        (token_hash32(F.col("tok")) % n_buckets).alias("bkt"),
+    )
+    model = (
+        toks.groupBy("bkt")
+        .agg(
+            (F.count(F.lit(1)) + 1).alias("r1"),
+            (
+                F.count(F.when(F.col("lang") == target_lang, 1)) + 1
+            ).alias("t1"),
+        )
+    )
+    totals = model.agg(
+        F.sum("r1").cast("long").alias("nr"),
+        F.sum("t1").cast("long").alias("nt"),
+    )
+    scored = (
+        toks.join(F.broadcast(model), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_toks"),
+            F.sum("t1").cast("long").alias("st"),
+            F.sum("r1").cast("long").alias("sr"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(totals)).select(
+        "doc_id",
+        "n_toks",
+        rh(
+            (F.col("st") * F.col("nr")).cast("double")
+            / (F.col("sr") * F.col("nt")),
+            6,
+        ).alias("importance"),
+    )

@@ -549,3 +549,78 @@ def grouped_histogram(
             F.coalesce(F.col("n"), F.lit(0)).alias("n"),
         )
     )
+
+
+def approx_quantile_check(
+    events: DataFrame,
+    group: str = "event_type",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Oracle-able quantile-sketch validation (the HLL bound-check
+    pattern applied to ``percentile_approx``): per group, the exact
+    lower median of the integer cent values plus a deterministic
+    ``within_bound`` boolean asserting the Greenwald–Khanna sketch's
+    pick has rank within ``n/accuracy`` (+1 slack) of the true median
+    rank. The production form is the sketch alone — a fixed-size
+    mergeable summary whose exchange is |groups|-sized where exact
+    percentiles must shuffle every (group, value) pair; this eval form
+    certifies it on the corpus so DuckDB can reproduce every column
+    (exact order statistics + literal TRUE).
+
+    Integer discipline: values are exact cents; the exact median is an
+    order statistic via the cross-multiplication rank rule (first v
+    with 2*cum >= n — no division); the rank check compares integer
+    counts. percentile_approx is deterministic per dataset, so the
+    boolean is stable."""
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = events.select(F.col(group).alias("g"), cents.alias("c"))
+    sk = base.groupBy("g").agg(
+        F.percentile_approx("c", 0.5, accuracy).alias("approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # exact lower median: per-(group, value) counts -> cumulative -> the
+    # first value whose 2*cum >= n (cross-multiplication, no division)
+    vc = base.groupBy("g", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("g")
+    med = (
+        vc.select(
+            "g",
+            "c",
+            F.sum("cnt").over(wcum).alias("cum"),
+            F.sum("cnt").over(wn).alias("tot"),
+        )
+        .where(F.lit(2) * F.col("cum") >= F.col("tot"))
+        .groupBy("g")
+        .agg(F.min("c").alias("exact_p50_cents"))
+    )
+    # rank interval of the sketch's pick: [lt+1, le]; pass when it
+    # intersects [target - err, target + err], target = ceil(n/2)
+    ranks = (
+        base.join(F.broadcast(sk), "g")
+        .groupBy("g", "approx", "n")
+        .agg(
+            F.sum((F.col("c") < F.col("approx")).cast("long")).alias("lt"),
+            F.sum((F.col("c") <= F.col("approx")).cast("long")).alias("le"),
+        )
+    )
+    err = F.expr(f"n div {int(accuracy)}") + F.lit(1)
+    target = F.expr("(n + 1) div 2")
+    return (
+        ranks.join(med, "g")
+        .select(
+            F.col("g").alias(group),
+            F.col("n"),
+            "exact_p50_cents",
+            (
+                (F.col("lt") + F.lit(1) <= target + err)
+                & (F.col("le") >= target - err)
+            ).alias("within_bound"),
+        )
+    )

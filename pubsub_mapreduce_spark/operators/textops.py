@@ -1159,3 +1159,38 @@ def corpus_card(docs: DataFrame) -> DataFrame:
             "p50_chars",
         )
     )
+
+
+def tokenizer_fertility(docs: DataFrame) -> DataFrame:
+    """Per-language tokenizer fertility: BPE-ish subword tokens per
+    whitespace word (``functions.text.BPE_TOKEN_RE`` vs whitespace
+    split) — the standard multilingual-tokenizer health metric (a
+    language whose fertility is 2-3x the corpus base pays that factor
+    in sequence length and compute, the first thing a vocab rebuild
+    looks at). Integer token sums per language (map-side combined,
+    |langs|-sized exchange) and ONE mirrored division per row."""
+    from ..functions import text as T
+    from ..functions.text import round_half_up as rh
+
+    c = F.col("text")
+    per = widen(docs, 8).select(
+        "lang",
+        T.token_count_ws(c).alias("ws"),
+        T.token_count_bpe(c).alias("bpe"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").cast("long").alias("n_words"),
+            F.sum("bpe").cast("long").alias("n_subwords"),
+        )
+        .where(F.col("n_words") > 0)
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_subwords",
+            rh(F.col("n_subwords") / F.col("n_words"), 6).alias("fertility"),
+        )
+    )

@@ -1,0 +1,83 @@
+"""Behavioral pins for the round-3 additions: DSIR importance,
+tokenizer fertility, the image gate, and the quantile-sketch check
+(cross-engine parity is covered by test_oracle_parity; these pin the
+operator semantics on constructed inputs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, lang, "s", len(t)) for i, (t, lang) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+
+
+def test_dsir_importance_ranks_target_like_docs_higher(spark):
+    """Docs made of tokens that only occur in the target slice must
+    outscore docs made of tokens that only occur outside it."""
+    from pubsub_mapreduce_spark.operators.sampling import dsir_importance
+
+    rows = (
+        [("alpha beta gamma", "en")] * 8
+        + [("uno dos tres", "es")] * 8
+        + [("alpha beta gamma", "xx"), ("uno dos tres", "yy")]
+    )
+    out = {
+        r["doc_id"]: r["importance"]
+        for r in dsir_importance(_docs(spark, rows)).collect()
+    }
+    assert out[16] > 1.0 > out[17]  # target-like probe vs raw-only probe
+
+
+def test_dsir_importance_is_partitioning_invariant(spark):
+    from pubsub_mapreduce_spark.operators.sampling import dsir_importance
+
+    rows = [(f"tok{i % 7} tok{i % 3} filler", "en" if i % 2 else "de")
+            for i in range(40)]
+    d = _docs(spark, rows)
+    a = sorted(map(tuple, dsir_importance(d).collect()))
+    b = sorted(map(tuple, dsir_importance(d.repartition(7)).collect()))
+    assert a == b
+
+
+def test_tokenizer_fertility_counts_subword_pieces(spark):
+    from pubsub_mapreduce_spark.operators.textops import tokenizer_fertility
+
+    # "ab1cd!" -> pieces [ab, 1, cd, !] = 4 over 1 word; "plain words" -> 2/2
+    rows = [("ab1cd!", "hi"), ("plain words", "en")]
+    out = {r["lang"]: r for r in tokenizer_fertility(_docs(spark, rows)).collect()}
+    assert out["hi"]["n_words"] == 1 and out["hi"]["n_subwords"] == 4
+    assert out["hi"]["fertility"] == 4.0
+    assert out["en"]["fertility"] == 1.0
+
+
+def test_image_gate_aspect_and_min_dim(spark):
+    """Gate math on the fake decoder: width = (len % 640) + 1, height =
+    (sum of first 16 bytes % 480) + 1 — construct a payload failing the
+    min-dim check and one passing everything."""
+    from pubsub_mapreduce_spark.operators.multimodal import image_gate
+
+    small = "x" * 10  # width 11; height = (sum of 10 'x' bytes) % 480 + 1
+    ok = "A" * 100  # width 101, height = (16*65) % 480 + 1 = 81 -> pass
+    rows = [(small, "en"), (ok, "en")]
+    out = image_gate(_docs(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_images"] == 2 and r["n_pass"] == 1
+    assert r["pass_ppm"] == 500000
+
+
+def test_approx_quantile_check_bound_holds_and_median_exact(spark):
+    from pubsub_mapreduce_spark.operators.sketches import approx_quantile_check
+
+    rows = [(i, "t", float(v)) for i, v in enumerate(range(1, 102))]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = approx_quantile_check(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 101
+    assert r["exact_p50_cents"] == 5100  # lower median of 1..101 = 51
+    assert r["within_bound"] is True
