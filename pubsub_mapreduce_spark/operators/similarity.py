@@ -1372,6 +1372,7 @@ def behavioral_similarity(
     centroid_every: int = 25,
     n_max_centroids: int = 256,
     nprobe: int = 2,
+    assign_via: str = "literal",
 ) -> DataFrame:
     """Time-series similarity search over activity profiles: for each
     user, the top-k users with the most similar daily event-count
@@ -1399,12 +1400,17 @@ def behavioral_similarity(
     # 2.4s -> ~1.5s; same lineage-truncation idiom as
     # dedup.connected_components)
     profiles = user_profile_vectors(events).localCheckpoint(eager=False)
+    # assign_via defaults to 'literal' HERE (unlike ivf_knn_graph):
+    # the integer-count profiles make the literal HOF arithmetic exact
+    # end-to-end, which is this operator's oracle contract; pass
+    # 'matmul' for the BLAS bench/scale variant.
     out = ivf_knn_graph(
         profiles,
         k=k,
         centroid_every=centroid_every,
         n_max_centroids=n_max_centroids,
         nprobe=nprobe,
+        assign_via=assign_via,
     )
     return out.select(
         F.col("query_id").alias("user_id"),

@@ -89,11 +89,14 @@ def approx_distinct_check(
     The production query (sketch only, no exact pass) remains
     :func:`approx_distinct`.
     """
-    agg = df.groupBy(group).agg(
-        F.approx_count_distinct(key, rsd).alias("approx"),
-        F.countDistinct(key).alias("exact_distinct"),
+    # two single-purpose aggregates joined on the group key — mixing
+    # countDistinct with other aggregates in ONE agg routes everything
+    # through the N+1x Expand (the measured house finding)
+    sk = df.groupBy(group).agg(
+        F.approx_count_distinct(key, rsd).alias("approx")
     )
-    return agg.select(
+    ex = df.groupBy(group).agg(F.countDistinct(key).alias("exact_distinct"))
+    return sk.join(ex, group).select(
         group,
         "exact_distinct",
         (

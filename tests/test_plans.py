@@ -156,12 +156,24 @@ def test_range_join_plans_never_nested_loop(spark):
 
 
 def test_approx_distinct_single_tiny_shuffle(spark):
-    """HLL distinct: one |groups|-sized exchange of fixed-size sketch
-    buffers — the plan must show a single partial/final aggregate pair,
-    never a distinct-expand or second shuffle."""
-    df = q("approx_distinct_users", spark)
-    assert_max_shuffles(df, 1)
-    assert node_count(df, "Expand") == 0
+    """HLL distinct: the PRODUCTION sketch form is one |groups|-sized
+    exchange of fixed-size sketch buffers — a single partial/final
+    aggregate pair, never a distinct-expand or second shuffle. The
+    registered gate form (approx_distinct_check) adds the exact
+    countDistinct side for the bound check; it must still avoid the
+    Expand by running two single-purpose aggregates joined on the
+    group key (count-distinct's own dedup+count pair plus the sketch
+    exchange and the join — 4 keyed exchanges, no Expand)."""
+    from pubsub_mapreduce_spark import io
+    from pubsub_mapreduce_spark.operators.sketches import approx_distinct
+
+    ev = io.read_table(spark, "/root/testdata/sf0.001", "events")
+    prod = approx_distinct(ev)
+    assert_max_shuffles(prod, 1)
+    assert node_count(prod, "Expand") == 0
+    gate = q("approx_distinct_users", spark)
+    assert_max_shuffles(gate, 4)
+    assert node_count(gate, "Expand") == 0
 
 
 def test_cheapest_supplier_plan(spark):
