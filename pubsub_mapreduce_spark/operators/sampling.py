@@ -484,10 +484,15 @@ def dsir_importance(
     (map-side combine makes the exchange |buckets|-sized); scoring is
     a broadcast join of that tiny model onto the token stream plus one
     doc-keyed sum. No driver state beyond the broadcast model."""
-    from ..functions.text import round_half_up as rh
+    return dsir_score(docs, dsir_model(docs, target_lang, n_buckets), n_buckets)
+
+
+def _dsir_buckets(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, lang, bkt) token-bucket stream shared by build and
+    apply — one row per token, bucket via the md5-portable hash."""
     from ..functions.text import token_hash32, tokens
 
-    toks = docs.select(
+    return docs.select(
         "doc_id",
         "lang",
         F.explode(tokens(F.col("text"))).alias("tok"),
@@ -496,8 +501,18 @@ def dsir_importance(
         "lang",
         (token_hash32(F.col("tok")) % n_buckets).alias("bkt"),
     )
-    model = (
-        toks.groupBy("bkt")
+
+
+def dsir_model(
+    docs: DataFrame, target_lang: str = "en", n_buckets: int = 256
+) -> DataFrame:
+    """BUILD step: the |buckets|-sized Laplace-smoothed count model
+    (bkt, r1, t1) — the thing a production DSIR run materializes once
+    and reuses across every scoring pass (batch re-curation or the
+    streaming ingest scorer)."""
+    return (
+        _dsir_buckets(docs, n_buckets)
+        .groupBy("bkt")
         .agg(
             (F.count(F.lit(1)) + 1).alias("r1"),
             (
@@ -505,12 +520,24 @@ def dsir_importance(
             ).alias("t1"),
         )
     )
+
+
+def dsir_score(
+    docs: DataFrame, model: DataFrame, n_buckets: int = 256
+) -> DataFrame:
+    """APPLY step: broadcast the bucket model onto the token stream,
+    one doc-keyed integer aggregate, one mirrored division. Shared by
+    the batch operator and the streaming scorer so stream == batch by
+    construction."""
+    from ..functions.text import round_half_up as rh
+
     totals = model.agg(
         F.sum("r1").cast("long").alias("nr"),
         F.sum("t1").cast("long").alias("nt"),
     )
     scored = (
-        toks.join(F.broadcast(model), "bkt")
+        _dsir_buckets(docs, n_buckets)
+        .join(F.broadcast(model), "bkt")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_toks"),

@@ -82,3 +82,32 @@ def test_audio_window_energy_partial_window_and_exact_sums(spark):
     assert rows[(1, 1)]["n_samples"] == 44
     assert rows[(1, 1)]["energy"] == 200 * 44
     assert rows[(2, 0)] ["energy"] == 5 and rows[(2, 0)]["n_samples"] == 1
+
+
+def test_audio_fingerprints_short_audio_gets_zero_row(spark):
+    """Contract pin (round-3 advisor fix): a payload with fewer than two
+    energy windows still yields a fingerprint row — (afp=0, n_windows=0)
+    — so consumers can tell short audio from missing audio, and
+    audio_near_pairs excludes those signal-less rows from pairing."""
+    from pubsub_mapreduce_spark.operators.multimodal import (
+        audio_fingerprints,
+        audio_near_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, bytes(range(64)) * 8),  # plenty of windows
+            (2, b"\x07\x07"),  # one window only -> no delta bits
+            (3, b""),  # zero windows -> truly 'no audio'
+        ],
+        "doc_id long, data binary",
+    )
+    rows = {r["doc_id"]: r for r in audio_fingerprints(df, window=4).collect()}
+    assert rows[1]["n_windows"] > 0
+    assert rows[2]["afp"] == 0 and rows[2]["n_windows"] == 0
+    assert 3 not in rows
+    # short-audio rows never reach the pair join
+    pairs = audio_near_pairs(df)
+    assert not any(
+        2 in (r["a"], r["b"]) for r in pairs.collect()
+    )

@@ -1199,3 +1199,47 @@ def test_cusum_stream_matches_batch_fold(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_dsir_stream_matches_batch_scores(spark, tmp_path):
+    """Streaming DSIR ingest scoring over a 2-batch document replay
+    must equal the batch dsir_score of the union against the same
+    stored model (shared kernel), and a replay must not duplicate
+    rows (ledger)."""
+    from pubsub_mapreduce_spark.io import load_tables
+    from pubsub_mapreduce_spark.operators.sampling import dsir_model, dsir_score
+    from pubsub_mapreduce_spark.streaming.dsir_score import score_stream
+    from tests.conftest import SF_SMALL
+
+    docs = load_tables(spark, SF_SMALL)["documents"]
+    reference = docs.where(F.col("doc_id") % 2 == 0)
+    incoming = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "lang"
+    )
+    d = tmp_path / "dsir_replay"
+    d.mkdir()
+    rows = incoming.collect()
+    half = (len(rows) + 1) // 2
+    schema = "doc_id long, text string, lang string"
+    for i, chunk in enumerate([rows[:half], rows[half:]]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"f{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/f*")
+    )
+    out = str(tmp_path / "dsir_out")
+    q = score_stream(stream, reference, out, str(tmp_path / "dsir_ckpt"))
+    assert q.awaitTermination(240)
+    q.stop()
+    got = {
+        r["doc_id"]: (r["n_toks"], r["importance"])
+        for r in spark.read.parquet(out + "/scores").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_toks"], r["importance"])
+        for r in dsir_score(incoming, dsir_model(reference)).collect()
+    }
+    assert got == want and len(got) > 0
