@@ -299,13 +299,17 @@ VARIANT_NOTES = {
 }
 
 
-def regression_diff(timings: dict[str, float], factor: float = 1.5) -> dict:
+def regression_diff(
+    timings: dict[str, float], factor: float = 1.5, min_now: float = 0.3
+) -> dict:
     """Per-query diff vs the most recent BENCH_r*.json in the repo root:
     flags queries slower than ``factor``x their previous-round time.
     Box variance is huge (the same code has measured 39s and 62s totals
     across sessions), so the flag is a review pointer, not a hard gate —
     but a >1.5x single-query jump on warm-min timing is almost always a
-    plan change, not noise."""
+    plan change, not noise. ``min_now`` suppresses flags on
+    sub-0.3s queries, where scheduler jitter routinely doubles a
+    0.1s measurement with no plan change behind it."""
     import glob
     import re
 
@@ -326,12 +330,19 @@ def regression_diff(timings: dict[str, float], factor: float = 1.5) -> dict:
     # per-query floats out of the tail fragment.
     prev = doc.get("queries") or (doc.get("parsed") or {}).get("queries")
     if not prev and isinstance(doc.get("tail"), str):
-        m = re.search(r'"queries":\s*\{([^}]*)\}', doc["tail"])
-        if m:
-            prev = {
-                k: float(v)
-                for k, v in re.findall(r'"(\w+)":\s*([0-9.]+)', m.group(1))
-            }
+        tail = doc["tail"]
+        m = re.search(r'"queries":\s*\{([^}]*)\}', tail)
+        # driver truncation can cut the tail MID-dict (r02 did): fall
+        # back to every "name": float pair up to the first closing
+        # brace, dropping the known non-query scalar keys
+        frag = m.group(1) if m else tail.split("}", 1)[0]
+        skip = {"value", "sf", "reps", "stream_mps",
+                "stream_mps_baseline_local", "n", "rc", "cpus"}
+        prev = {
+            k: float(v)
+            for k, v in re.findall(r'"(\w+)":\s*([0-9.]+)', frag)
+            if k not in skip
+        }
     if not prev:
         return {}
     # Known intentional trades (r2): slower-but-scale-safe paths that
@@ -354,7 +365,10 @@ def regression_diff(timings: dict[str, float], factor: float = 1.5) -> dict:
             **({"intentional": known[name]} if name in known else {}),
         }
         for name, now in timings.items()
-        if name in prev and prev[name] > 0 and now > prev[name] * factor
+        if name in prev
+        and prev[name] > 0
+        and now > prev[name] * factor
+        and now >= min_now
     }
     return {
         "baseline_file": os.path.basename(path),
