@@ -2067,6 +2067,30 @@ def q_value_p50_check(spark, sf_dir):
     return approx_quantile_check(load_tables(spark, sf_dir)["events"])
 
 
+def q_cross_source_dups(spark, sf_dir):
+    """Near-dup pairs spanning two sources (dedup.cross_source_dups)
+    — the mirrored/syndicated-content audit a source-balanced mix
+    needs; rides the validated md5-portable MinHash pair oracle."""
+    return dedup.cross_source_dups(load_tables(spark, sf_dir)["documents"])
+
+
+def q_dedup_keeper_quality(spark, sf_dir):
+    """Quality-aware exact-dedup retention (dedup.quality_keeper): keeper
+    = highest 4dp-integer quality per content group, tie -> lowest id."""
+    return dedup.quality_keeper(load_tables(spark, sf_dir)["documents"])
+
+
+def q_contamination_report(spark, sf_dir):
+    """Per-source decontamination rollup (textops.contamination_report)
+    over the same src0-benchmark split as q_decontaminate."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TX.contamination_report(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        n=3,
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2265,6 +2289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "image_gate": q_image_gate,
         "value_p50_check": q_value_p50_check,
+        "cross_source_dups": q_cross_source_dups,
+        "dedup_keeper_quality": q_dedup_keeper_quality,
+        "contamination_report": q_contamination_report,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -6704,6 +6731,84 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.g AS event_type, n.n, med.exact_p50_cents,
                    TRUE AS within_bound
             FROM n JOIN med ON n.g = med.g
+        """,
+        "cross_source_dups": f"""
+            SELECT p.a, p.b, da.source AS source_a, db.source AS source_b,
+                   p.jaccard
+            FROM ({_minhash_lsh_oracle_sql()}) p
+            JOIN documents da ON da.doc_id = p.a
+            JOIN documents db ON db.doc_id = p.b
+            WHERE da.source <> db.source
+        """,
+        "dedup_keeper_quality": r"""
+            WITH feat AS (
+              SELECT doc_id, source, md5(lower(trim(text))) AS content_md5,
+                     CAST(floor((0.4 * (CASE WHEN length(text)
+                                              BETWEEN 100 AND 20000
+                                          THEN 1.0
+                                          WHEN length(text) >= 20
+                                          THEN 0.5 ELSE 0.0 END)
+                             + 0.3 * least((CASE WHEN len(
+                                   list_filter(string_split_regex(text,
+                                               '\s+'), t -> t <> '')) > 0
+                                 THEN len(list_filter(
+                                      list_filter(string_split_regex(text,
+                                                  '\s+'), t -> t <> ''),
+                                      t -> lower(t) IN
+                                      ('the','a','of','and','to','in','is',
+                                       'it','for','on'))) * 1.0
+                                      / len(list_filter(
+                                        string_split_regex(text, '\s+'),
+                                        t -> t <> ''))
+                                 ELSE 0.0 END) * 5.0, 1.0)
+                             + 0.3 * (1.0 - (CASE WHEN length(
+                                   regexp_replace(text, '\s', '', 'g')) > 0
+                                 THEN (length(regexp_replace(text, '\s',
+                                              '', 'g'))
+                                       - length(regexp_replace(text,
+                                         '[^A-Za-z0-9]', '', 'g'))) * 1.0
+                                      / length(regexp_replace(text, '\s',
+                                               '', 'g'))
+                                 ELSE 0.0 END))) * 1e4 + 0.5)
+                       AS BIGINT) AS q4
+              FROM documents),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY content_md5
+                                            ORDER BY q4 DESC, doc_id) AS rn,
+                         count(*) OVER (PARTITION BY content_md5)
+                             AS n_copies
+                  FROM feat)
+            SELECT doc_id, source, content_md5, q4,
+                   CAST(n_copies AS BIGINT) AS n_copies
+            FROM r WHERE rn = 1
+        """,
+        "contamination_report": r"""
+            WITH tk AS (
+              SELECT doc_id, source,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 t -> t <> '') AS t
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id, source,
+                     array_to_string(t[i:i+2], ' ') AS g
+              FROM tk, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) _
+              WHERE len(t) >= 3),
+            bench AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+            tr AS (SELECT doc_id, g FROM g WHERE source <> 'src0'),
+            hit_docs AS (SELECT DISTINCT doc_id
+                         FROM tr JOIN bench USING (g)),
+            train AS (SELECT doc_id, source FROM documents
+                      WHERE source <> 'src0'),
+            per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                    FROM train GROUP BY 1),
+            cont AS (SELECT t.source,
+                            CAST(count(*) AS BIGINT) AS n_contaminated
+                     FROM train t JOIN hit_docs USING (doc_id) GROUP BY 1)
+            SELECT p.source, p.n_docs,
+                   COALESCE(c.n_contaminated, 0) AS n_contaminated,
+                   COALESCE(c.n_contaminated, 0) * 1000000 // p.n_docs
+                       AS contam_ppm
+            FROM per p LEFT JOIN cont c ON p.source = c.source
         """,
         # Every registered query above carries an exact oracle as of
         # round 3: hll_user_rollup / approx_distinct_users / emb_pca

@@ -1121,3 +1121,77 @@ def leakproof_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def cross_source_dups(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Provenance-aware dedup audit: NEAR-duplicate pairs whose two
+    copies come from DIFFERENT sources — the 'same page mirrored /
+    syndicated article / template reshared' signal that per-source
+    dedup never sees and that silently double-weights content in a
+    source-balanced mix. (Exact cross-source copies are the degenerate
+    case and surface here too at jaccard 1.0.)
+
+    Rides the validated MinHash-LSH pair source (``minhash_lsh_pairs``
+    with the md5-portable hash, so the whole table value-hashes); the
+    only additions are two broadcast-friendly doc_id->source
+    decorations and the inequality filter. Output bounded by the
+    near-dup pair count."""
+    pairs = minhash_lsh_pairs(docs, threshold=threshold, hash_impl="md5")
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("a"), F.col("source").alias("source_a")
+            ),
+            "a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("b"), F.col("source").alias("source_b")
+            ),
+            "b",
+        )
+        .where(F.col("source_a") != F.col("source_b"))
+        .select("a", "b", "source_a", "source_b", "jaccard")
+    )
+
+
+def quality_keeper(docs: DataFrame) -> DataFrame:
+    """Quality-aware exact dedup: like ``exact_dedup`` but the keeper
+    per content group is the HIGHEST-quality copy (tie -> lowest
+    doc_id), not blindly the lowest id — the curation-grade retention
+    rule (duplicate groups often span a clean original and a
+    boilerplate-wrapped mirror; keep the clean one). Quality is the
+    scaled 4-dp integer ``floor(q*1e4 + 0.5)`` (corpus_card's formula),
+    so the argmax is an integer comparison and the whole table
+    value-hashes. One md5-keyed window; emits the retained corpus with
+    group audit columns."""
+    from pyspark.sql import Window
+
+    from ..functions import text as TT
+
+    c = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        content_hash().alias("content_md5"),
+        F.floor(TT.quality_score(c, TT.tokens(c)) * 1e4 + F.lit(0.5))
+        .cast("long")
+        .alias("q4"),
+    )
+    w = Window.partitionBy("content_md5").orderBy(
+        F.desc("q4"), F.asc("doc_id")
+    )
+    wn = Window.partitionBy("content_md5")
+    return (
+        scored.select(
+            "doc_id",
+            "source",
+            "content_md5",
+            "q4",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n_copies"),
+        )
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source", "content_md5", "q4", "n_copies")
+    )

@@ -1194,3 +1194,42 @@ def tokenizer_fertility(docs: DataFrame) -> DataFrame:
             rh(F.col("n_subwords") / F.col("n_words"), 6).alias("fertility"),
         )
     )
+
+
+def contamination_report(
+    train: DataFrame, bench: DataFrame, n: int = 3
+) -> DataFrame:
+    """Corpus-level decontamination rollup: per training source, how
+    many documents share at least one word ``n``-gram with the
+    benchmark set — the release-gate statistic (the per-doc detail is
+    ``ngram_decontaminate``; this is the table a dataset card prints
+    and a re-crawl diffs). Contaminated doc_ids ride the same
+    broadcast-semi plan; the rollup adds one |sources|-keyed aggregate
+    and an integer-ppm division (truncating, mirrored)."""
+    hits = ngram_decontaminate(train, bench, n=n).select("doc_id")
+    per_src = train.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    contaminated = (
+        train.join(hits, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        per_src.join(contaminated, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_contaminated", F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_contaminated",
+            F.expr("n_contaminated * 1000000 div n_docs").alias(
+                "contam_ppm"
+            ),
+        )
+    )

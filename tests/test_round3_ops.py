@@ -81,3 +81,58 @@ def test_approx_quantile_check_bound_holds_and_median_exact(spark):
     assert r["n"] == 101
     assert r["exact_p50_cents"] == 5100  # lower median of 1..101 = 51
     assert r["within_bound"] is True
+
+
+def test_quality_keeper_prefers_high_quality_copy(spark):
+    """Two exact-content copies (same normalized text): the keeper must
+    be chosen per-group; identical quality -> lowest doc_id wins, and
+    n_copies audits the group size."""
+    from pubsub_mapreduce_spark.operators.dedup import quality_keeper
+
+    good = "This is a perfectly reasonable document about the spark engine and the data it processes for training runs."
+    rows = [(good, "en"), (good.upper(), "en"), ("zz", "xx")]
+    out = {r["doc_id"]: r for r in quality_keeper(_docs(spark, rows)).collect()}
+    # normalized content hash lowercases: docs 0 and 1 form one group
+    assert set(out) == {0, 2}
+    assert out[0]["n_copies"] == 2 and out[2]["n_copies"] == 1
+
+
+def test_cross_source_dups_only_cross_source_pairs(spark):
+    from pubsub_mapreduce_spark.operators.dedup import cross_source_dups
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    df = spark.createDataFrame(
+        [
+            (0, base, "en", "sA", len(base)),
+            (1, base + " tail", "en", "sB", len(base) + 5),
+            (2, base + " tail2", "en", "sA", len(base) + 6),
+            (3, "completely different words entirely here now", "en", "sC", 44),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    pairs = {(r["a"], r["b"]): (r["source_a"], r["source_b"])
+             for r in cross_source_dups(df).collect()}
+    assert (0, 1) in pairs and (1, 2) in pairs
+    assert (0, 2) not in pairs  # same source -> excluded
+    assert all(sa != sb for sa, sb in pairs.values())
+
+
+def test_contamination_report_counts_and_clean_sources(spark):
+    from pubsub_mapreduce_spark.operators.textops import contamination_report
+
+    bench = _docs(spark, [("the quick brown fox jumps", "en")])
+    train = spark.createDataFrame(
+        [
+            (10, "the quick brown fox sleeps", "en", "sA", 26),
+            (11, "nothing shared here at all", "en", "sA", 26),
+            (12, "unrelated text entirely again", "en", "sB", 29),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    out = {r["source"]: r for r in contamination_report(train, bench).collect()}
+    assert out["sA"]["n_docs"] == 2 and out["sA"]["n_contaminated"] == 1
+    assert out["sA"]["contam_ppm"] == 500000
+    assert out["sB"]["n_contaminated"] == 0 and out["sB"]["contam_ppm"] == 0
