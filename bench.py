@@ -227,6 +227,14 @@ BENCH_QUERIES = [
     "multimodal_video_pairs",
     "multimodal_audio_energy",
     "kanon_customers",
+    # round-3 additions
+    "dsir_weights",
+    "tokenizer_fertility",
+    "image_gate",
+    "value_p50_check",
+    "cross_source_dups",
+    "dedup_keeper_quality",
+    "contamination_report",
 ]
 
 
