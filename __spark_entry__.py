@@ -2091,6 +2091,15 @@ def q_contamination_report(spark, sf_dir):
     )
 
 
+def q_dedup_scrub_spans(spark, sf_dir):
+    """Duplicate-substring REMOVAL (dedup.scrub_duplicate_spans): the
+    rewrite half of Lee et al. 2022 — every doc returned with corpus-
+    duplicated >=40-char spans (20-gram evidence) cut out, plus span
+    count and chars removed. The span *report* (q_substring_spans)
+    locates boilerplate; this is the operator the pipeline runs."""
+    return dedup.scrub_duplicate_spans(load_tables(spark, sf_dir)["documents"])
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2292,6 +2301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dups": q_cross_source_dups,
         "dedup_keeper_quality": q_dedup_keeper_quality,
         "contamination_report": q_contamination_report,
+        "dedup_scrub_spans": q_dedup_scrub_spans,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -5330,6 +5340,84 @@ def oracle_sql() -> dict[str, str]:
                    substring(nt.t, span_start + 1, span_len) AS span_text
             FROM s JOIN nt USING (doc_id)
             WHERE span_len >= 40
+        """,
+        "dedup_scrub_spans": r"""
+            WITH nt AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id, i AS pos, substring(t, i+1, 20) AS gram
+              FROM nt, LATERAL (SELECT unnest(range(
+                   greatest(length(t) - 20 + 1, 0))) AS i) _),
+            d AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+            dg AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+            r AS (
+              SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS grp
+              FROM dg),
+            s AS (
+              SELECT doc_id, min(pos) AS span_start,
+                     max(pos) - min(pos) + 20 AS span_len
+              FROM r GROUP BY doc_id, grp
+              HAVING max(pos) - min(pos) + 20 >= 40),
+            m0 AS (
+              SELECT doc_id, span_start,
+                     span_start + span_len AS span_end,
+                     max(span_start + span_len) OVER (
+                       PARTITION BY doc_id ORDER BY span_start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS prev_max_end
+              FROM s),
+            m1 AS (
+              SELECT doc_id, span_start, span_end,
+                     sum(CASE WHEN prev_max_end IS NULL
+                                OR span_start > prev_max_end
+                              THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY doc_id ORDER BY span_start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS grp
+              FROM m0),
+            m AS (
+              SELECT doc_id, grp, min(span_start) AS mstart,
+                     max(span_end) AS mend
+              FROM m1 GROUP BY doc_id, grp),
+            gaps AS (
+              SELECT doc_id,
+                     coalesce(lag(mend) OVER (PARTITION BY doc_id
+                                              ORDER BY mstart), 0)
+                       AS seg_start,
+                     mstart AS seg_end
+              FROM m),
+            pd AS (
+              SELECT doc_id, max(mend) AS tail_start,
+                     count(*) AS n_spans,
+                     CAST(sum(mend - mstart) AS BIGINT) AS chars_removed
+              FROM m GROUP BY doc_id),
+            tails AS (
+              SELECT doc_id, tail_start AS seg_start,
+                     length(t) AS seg_end
+              FROM pd JOIN nt USING (doc_id)),
+            allseg AS (
+              SELECT * FROM gaps UNION ALL SELECT * FROM tails),
+            segs AS (
+              SELECT doc_id,
+                     string_agg(substring(t, seg_start + 1,
+                                          seg_end - seg_start), ''
+                                ORDER BY seg_start) AS scrubbed
+              FROM allseg JOIN nt USING (doc_id)
+              WHERE seg_end > seg_start
+              GROUP BY doc_id)
+            SELECT nt.doc_id,
+                   CASE WHEN pd.doc_id IS NOT NULL
+                        THEN coalesce(segs.scrubbed, '')
+                        ELSE nt.t END AS clean_text,
+                   CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
+                   coalesce(pd.chars_removed, 0) AS chars_removed
+            FROM nt
+            LEFT JOIN pd ON nt.doc_id = pd.doc_id
+            LEFT JOIN segs ON nt.doc_id = segs.doc_id
         """,
         "cms_user_counts": """
             WITH kd AS (

@@ -893,6 +893,125 @@ def duplicate_substring_spans(
     )
 
 
+def scrub_duplicate_spans(
+    docs: DataFrame,
+    k: int = 20,
+    min_span: int = 40,
+    text: str = "text",
+) -> DataFrame:
+    """Duplicate-substring REMOVAL (the rewrite half of Lee et al.
+    2022): every doc comes back with the corpus-duplicated spans cut
+    out of its normalized text, plus removal telemetry. The span
+    *report* (``duplicate_substring_spans``) tells you where the
+    boilerplate is; this operator is the one a training-data pipeline
+    actually runs — C4-style template scrubbing, but corpus-global
+    rather than per-page heuristics. Reference scope: the reference
+    engine has no text surface (core is util/knobs/mapper/reducer Go
+    loops); this extends the demanded LLM-pipeline family.
+
+    Plan: reuses the span machinery (one corpus-char-order shuffle for
+    the k-gram inverted index), then everything else is doc-keyed and
+    small:
+
+      1. spans from ``duplicate_substring_spans`` (>= min_span);
+      2. char-interval MERGE per doc — two runs of duplicated offsets
+         separated by one clean offset still overlap in char space for
+         k >= 3, so a running-max-end window groups overlapping
+         [start, end) intervals (start > max(prior ends) opens a
+         group);
+      3. kept segments are the gaps between merged spans plus the tail
+         (lag(end) default 0 -> [prev_end, start)); the scrubbed text
+         is the order-preserving concat of segment substrings — a
+         sort_array over the per-doc segment structs, never a window
+         over corpus chars;
+      4. docs with no qualifying span pass through with the normalized
+         text and zero counters (left join on the span relation).
+
+    At 100TB the added cost over the span report is one groupBy(doc)
+    over span rows (tiny: only flagged docs) — the k-gram index shuffle
+    dominates, exactly as in the report form. Output is deterministic:
+    merged spans are disjoint, segments reassemble by start offset."""
+    from pyspark.sql import Window
+
+    nt = F.regexp_replace(normalized_text(text), r"\s+", " ")
+    base = docs.select("doc_id", nt.alias("__nt"))
+    spans = duplicate_substring_spans(docs, k=k, min_span=min_span, text=text)
+
+    w = Window.partitionBy("doc_id").orderBy("span_start")
+    prev_max_end = F.max(F.col("span_start") + F.col("span_len")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = F.when(
+        prev_max_end.isNull() | (F.col("span_start") > prev_max_end), 1
+    ).otherwise(0)
+    merged = (
+        spans.withColumn(
+            "grp",
+            F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("span_start").alias("mstart"),
+            F.max(F.col("span_start") + F.col("span_len")).alias("mend"),
+        )
+    )
+    wm = Window.partitionBy("doc_id").orderBy("mstart")
+    gaps = merged.select(
+        "doc_id",
+        F.coalesce(F.lag("mend").over(wm), F.lit(0)).alias("seg_start"),
+        F.col("mstart").alias("seg_end"),
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.max("mend").alias("tail_start"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("mend") - F.col("mstart")).alias("chars_removed"),
+    )
+    tails = per_doc.join(base, "doc_id").select(
+        "doc_id",
+        F.col("tail_start").alias("seg_start"),
+        F.length("__nt").cast("long").alias("seg_end"),
+    )
+    segs = (
+        gaps.unionByName(tails)
+        .where(F.col("seg_end") > F.col("seg_start"))
+        .join(base, "doc_id")
+        .select(
+            "doc_id",
+            F.struct(
+                F.col("seg_start"),
+                F.substring(
+                    F.col("__nt"),
+                    (F.col("seg_start") + 1).cast("int"),
+                    (F.col("seg_end") - F.col("seg_start")).cast("int"),
+                ).alias("seg"),
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("s")), lambda x: x["seg"]
+                ),
+                "",
+            ).alias("__scrubbed")
+        )
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .join(segs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("n_spans").isNotNull(), F.coalesce("__scrubbed", F.lit("")))
+            .otherwise(F.col("__nt"))
+            .alias("clean_text"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("chars_removed", F.lit(0))
+            .cast("long")
+            .alias("chars_removed"),
+        )
+    )
+
+
 def dedup_recall_report(
     docs: DataFrame,
     n: int = 3,

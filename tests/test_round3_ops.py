@@ -136,3 +136,44 @@ def test_contamination_report_counts_and_clean_sources(spark):
     assert out["sA"]["n_docs"] == 2 and out["sA"]["n_contaminated"] == 1
     assert out["sA"]["contam_ppm"] == 500000
     assert out["sB"]["n_contaminated"] == 0 and out["sB"]["contam_ppm"] == 0
+
+
+def test_scrub_duplicate_spans_removes_shared_boilerplate(spark):
+    """Two docs sharing a long template paragraph: the template is cut
+    from both, unique prose survives, clean docs pass through."""
+    from pubsub_mapreduce_spark.operators.dedup import scrub_duplicate_spans
+
+    boiler = "subscribe to our newsletter for updates and offers today"
+    rows = [
+        (f"unique first story text here {boiler} and a distinct tail one",
+         "en"),
+        (f"another unrelated opening {boiler} with its own closing words",
+         "en"),
+        ("a completely unique document with no repeated content at all",
+         "en"),
+    ]
+    out = {r["doc_id"]: r for r in
+           scrub_duplicate_spans(_docs(spark, rows), k=20, min_span=40)
+           .collect()}
+    assert out[0]["n_spans"] >= 1 and out[1]["n_spans"] >= 1
+    assert boiler not in out[0]["clean_text"]
+    assert boiler not in out[1]["clean_text"]
+    assert out[0]["clean_text"].startswith("unique first story")
+    assert out[1]["clean_text"].endswith("closing words")
+    assert out[2]["n_spans"] == 0 and out[2]["chars_removed"] == 0
+    assert out[2]["clean_text"] == rows[2][0]
+
+
+def test_scrub_duplicate_spans_overlapping_runs_merge(spark):
+    """A doc that is ENTIRELY boilerplate (exact copy of another) must
+    come back empty with one merged span covering the whole text."""
+    from pubsub_mapreduce_spark.operators.dedup import scrub_duplicate_spans
+
+    text = "the exact same document body repeated verbatim in two rows"
+    out = {r["doc_id"]: r for r in
+           scrub_duplicate_spans(_docs(spark, [(text, "en"), (text, "en")]),
+                                 k=20, min_span=40).collect()}
+    for i in (0, 1):
+        assert out[i]["clean_text"] == ""
+        assert out[i]["n_spans"] == 1
+        assert out[i]["chars_removed"] == len(text)
