@@ -2091,6 +2091,69 @@ def q_contamination_report(spark, sf_dir):
     )
 
 
+def q_asof_next_order(spark, sf_dir):
+    """FORWARD as-of with tolerance (rangejoin.asof_join): each event
+    attaches the user's first order at-or-after the event, but only if
+    it lands within 30 days — pandas merge_asof(direction='forward',
+    tolerance=...) semantics, executed as one keyed union-carry window
+    (no LATERAL point lookups). Tie-break: min o_orderkey."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+    )
+    j = RJ.asof_join(
+        t["events"].select("event_id", "user_id", "ts"),
+        orders,
+        on=["user_id"],
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+        direction="forward",
+        tolerance_s=30 * 86400,
+        tie_cols=["o_orderkey"],
+        prefix="next_",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.col("next_o_orderkey").alias("next_orderkey"),
+        F.col("next_o_totalprice").alias("next_totalprice"),
+    )
+
+
+def q_overlapping_orders(spark, sf_dir):
+    """Interval-interval overlap join (rangejoin.interval_overlap_join):
+    7-day order windows of the SAME customer that overlap — i.e. order
+    pairs placed within a week of each other — summarized as a
+    gap-in-days histogram. Self-join via bin decomposition: linear
+    shuffle, first-shared-bin dedup, no distinct pass."""
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").alias("start"),
+        (F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 7 DAYS")).alias(
+            "end"
+        ),
+    )
+    pairs = RJ.interval_overlap_join(
+        o, o, on=["o_custkey"], bin_width_s=7 * 86400
+    ).where(F.col("o_orderkey_l") < F.col("o_orderkey_r"))
+    return (
+        pairs.select(
+            F.abs(F.datediff(F.col("start_r"), F.col("start_l"))).alias(
+                "gap_days"
+            )
+        )
+        .groupBy("gap_days")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(F.col("gap_days").cast("int").alias("gap_days"), "n_pairs")
+    )
+
+
 def q_dedup_scrub_spans(spark, sf_dir):
     """Duplicate-substring REMOVAL (dedup.scrub_duplicate_spans): the
     rewrite half of Lee et al. 2022 — every doc returned with corpus-
@@ -2302,6 +2365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keeper_quality": q_dedup_keeper_quality,
         "contamination_report": q_contamination_report,
         "dedup_scrub_spans": q_dedup_scrub_spans,
+        "asof_next_order": q_asof_next_order,
+        "overlapping_orders": q_overlapping_orders,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -5418,6 +5483,29 @@ def oracle_sql() -> dict[str, str]:
             FROM nt
             LEFT JOIN pd ON nt.doc_id = pd.doc_id
             LEFT JOIN segs ON nt.doc_id = segs.doc_id
+        """,
+        "asof_next_order": """
+            SELECT e.event_id, e.user_id,
+                   CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s,
+                   o.o_orderkey AS next_orderkey,
+                   o.o_totalprice AS next_totalprice
+            FROM events e LEFT JOIN LATERAL (
+              SELECT o_orderkey, o_totalprice
+              FROM orders
+              WHERE o_custkey = e.user_id AND o_orderdate >= e.ts
+                AND epoch(o_orderdate) - floor(epoch(e.ts)) <= 2592000
+              ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1) o ON TRUE
+        """,
+        "overlapping_orders": """
+            SELECT CAST(abs(datediff('day', a.o_orderdate, b.o_orderdate))
+                        AS INTEGER) AS gap_days,
+                   count(*) AS n_pairs
+            FROM orders a JOIN orders b
+              ON a.o_custkey = b.o_custkey
+             AND a.o_orderkey < b.o_orderkey
+             AND abs(epoch(a.o_orderdate) - epoch(b.o_orderdate))
+                 < 7 * 86400
+            GROUP BY 1
         """,
         "cms_user_counts": """
             WITH kd AS (

@@ -149,3 +149,175 @@ def launch_window_events(t: Tables, days: int = 3) -> DataFrame:
         F.count(F.lit(1)).alias("n_events_in_window"),
         round_half_up(F.sum("value"), 2).alias("window_value"),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    tolerance_s: int | None = None,
+    tie_cols: list[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Generic AS-OF join (the pandas ``merge_asof`` / kdb ``aj``
+    operator Spark lacks as a primitive): for every left row, attach
+    ``value_cols`` from the single right row sharing the ``on`` keys
+    whose ``right_time`` is the nearest at-or-before (``backward``) or
+    at-or-after (``forward``) the left row's ``left_time``; rows with
+    no qualifying match keep nulls (left as-of).
+
+    The scalable plan is the union-and-carry-forward composition the
+    specialized queries already use (relational.events_asof_latest_order):
+    tag both sides, union, and per key carry the last (backward:
+    ``last(ignorenulls)`` over an unbounded-preceding window) or first
+    (forward: ``first(ignorenulls)`` over an unbounded-following
+    window) non-null right payload. ONE shuffle on the join keys plus a
+    within-partition sort — a sort-merge join's cost shape, never the
+    per-row LATERAL point lookup, and never a range-only nested loop.
+
+    Determinism at equal times is contract: the right side sorts
+    before (backward) / after (forward) left rows at the same
+    timestamp, making the boundary inclusive, and ``tie_cols`` break
+    right-right ties (the carried row is the tie-cols MAX for backward,
+    MIN for forward — the "latest wins" reading in both directions).
+    Pass tie columns whenever right times can collide or results feed
+    an exact-hash oracle.
+
+    ``tolerance_s`` bounds the match gap in whole seconds (timestamps
+    compare via ``unix_timestamp``, second precision): a carried match
+    farther than the tolerance is nulled out, exactly pandas
+    ``merge_asof(tolerance=...)``. At 100TB: one keyed exchange of
+    |left|+|right| rows; skewed keys respond to the same salting as any
+    sort-merge join, and the window state is O(1) per row (a handful of
+    carried columns), never a buffered group."""
+    assert direction in ("backward", "forward"), direction
+    tie_cols = tie_cols or []
+    rdt = dict(right.dtypes)
+    ldt = dict(left.dtypes)
+    lpay = [c for c in left.columns if c not in on]
+    kind_left, carry = (1, "last") if direction == "backward" else (0, "first")
+
+    lt = left.select(
+        *on,
+        F.col(left_time).cast("timestamp").alias("__t"),
+        F.lit(kind_left).alias("__kind"),
+        *lpay,
+        *[F.lit(None).cast(rdt[c]).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast("timestamp").alias("__rt"),
+        *[F.lit(None).cast(rdt[c]).alias(f"__tb_{c}") for c in tie_cols],
+    )
+    rt = right.select(
+        *on,
+        F.col(right_time).cast("timestamp").alias("__t"),
+        F.lit(1 - kind_left).alias("__kind"),
+        *[F.lit(None).cast(ldt[c]).alias(c) for c in lpay],
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.col(right_time).cast("timestamp").alias("__rt"),
+        *[F.col(c).alias(f"__tb_{c}") for c in tie_cols],
+    )
+    order = [F.col("__t"), F.col("__kind")] + [
+        F.col(f"__tb_{c}") for c in tie_cols
+    ]
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+
+    u = lt.unionByName(rt)
+    carried = [pick(f"__v_{c}").alias(f"__c_{c}") for c in value_cols]
+    u = u.select("*", *carried, pick("__rt").alias("__crt")).where(
+        F.col("__kind") == kind_left
+    )
+    if tolerance_s is not None:
+        gap = (
+            F.unix_timestamp("__t") - F.unix_timestamp("__crt")
+            if direction == "backward"
+            else F.unix_timestamp("__crt") - F.unix_timestamp("__t")
+        )
+        ok = F.col("__crt").isNotNull() & (gap <= F.lit(int(tolerance_s)))
+        vals = [
+            F.when(ok, F.col(f"__c_{c}")).alias(prefix + c)
+            for c in value_cols
+        ]
+    else:
+        vals = [F.col(f"__c_{c}").alias(prefix + c) for c in value_cols]
+    return u.select(*on, *lpay, *vals)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | None = None,
+    bin_width_s: int = 86400,
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """Interval-interval OVERLAP join: all (left, right) interval pairs
+    with ``l_start < r_end AND r_start < l_end`` (half-open overlap),
+    optionally under equality keys. Both inputs carry ``start``/``end``
+    timestamp columns plus payload.
+
+    The keyless big-big case is where Spark's planner gives up
+    (BroadcastNestedLoopJoin): the scalable plan decomposes TIME into
+    fixed-width bins — each interval explodes across the bins it
+    touches, pairs meet in an equi-join on the bin, and a pair that
+    overlaps multiple shared bins is kept once by crediting it to the
+    FIRST shared bin (``greatest(l_bin_start, r_bin_start) == bin``) —
+    dedup by construction, no distinct shuffle. Replication is
+    span/bin_width per row (pick bin_width near the median interval
+    length); the equi-join hash-partitions both sides so the overlap
+    predicate only runs within a bin. With ``on`` keys the bin rides
+    along as an extra equi column, bounding skew within key groups.
+
+    At 100TB: shuffle = Σ spans/bin_width + |rows|, linear; the classic
+    alternative (range-only theta join) is quadratic. Same envelope as
+    ``binned_range_join`` (its interval-point special case)."""
+    on = on or []
+
+    def _binned(df: DataFrame, side: str) -> DataFrame:
+        s = F.unix_timestamp("start")
+        e = F.unix_timestamp("end")
+        first_bin = F.floor(s / bin_width_s).cast("long")
+        # half-open [start, end): an interval touching a bin boundary at
+        # its end does not occupy the next bin
+        last_bin = F.floor((e - 1) / bin_width_s).cast("long")
+        pay = [c for c in df.columns if c not in on]
+        # every output column is side-suffixed so the self-join case
+        # (left IS right) resolves unambiguously
+        return df.select(
+            *[F.col(k).alias(k + side) for k in on],
+            F.explode(F.sequence(first_bin, last_bin)).alias("__bin" + side),
+            first_bin.alias("__fb" + side),
+            *[F.col(c).alias(c + side) for c in pay],
+        )
+
+    li, ri = suffixes
+    lb, rb = _binned(left, li), _binned(right, ri)
+    cond = F.col("__bin" + li) == F.col("__bin" + ri)
+    for k in on:
+        cond = cond & (F.col(k + li) == F.col(k + ri))
+    j = lb.join(rb, cond)
+    keep = (
+        (F.unix_timestamp(f"start{li}") < F.unix_timestamp(f"end{ri}"))
+        & (F.unix_timestamp(f"start{ri}") < F.unix_timestamp(f"end{li}"))
+        & (F.greatest("__fb" + li, "__fb" + ri) == F.col("__bin" + li))
+    )
+    out_cols = (
+        [F.col(k + li).alias(k) for k in on]
+        + [F.col(c + li) for c in left.columns if c not in on]
+        + [F.col(c + ri) for c in right.columns if c not in on]
+    )
+    return j.where(keep).select(*out_cols)

@@ -729,3 +729,22 @@ def test_acf_and_skew_report_shuffle_budgets(spark):
         got = keyed_shuffle_count(df)
         assert got <= budget, f"{name}: {got} keyed shuffles (budget {budget})"
         assert_no_cartesian(df)
+
+
+def test_asof_next_order_plan(spark):
+    """Generic as-of join: union-carry-forward must plan as ONE keyed
+    exchange (both sides shuffle on user_id for the window sort) — no
+    nested-loop, no per-row lookup join."""
+    df = q("asof_next_order", spark)
+    assert_max_shuffles(df, 1)
+    assert_no_cartesian(df)
+
+
+def test_overlapping_orders_plan(spark):
+    """Bin-decomposed interval self-overlap: the pair source is an
+    equi-join on (custkey, bin) — a hash-partitionable exchange, never
+    a BroadcastNestedLoopJoin — plus the final histogram aggregate."""
+    df = q("overlapping_orders", spark)
+    assert_no_cartesian(df)
+    assert node_count(df, "BroadcastNestedLoopJoin") == 0
+    assert_max_shuffles(df, 4)
