@@ -2091,6 +2091,17 @@ def q_contamination_report(spark, sf_dir):
     )
 
 
+def q_hll_overlap_users(spark, sf_dir):
+    """Sketch set-intersection (sketches.hll_overlap_check): per event-
+    type pair, user overlap estimated by HLL inclusion–exclusion over
+    stored sketches; output = exact overlap + within_bound boolean
+    (the bound-check oracle pattern), so a sketch regression fails the
+    value hash while DuckDB reproduces every column."""
+    from pubsub_mapreduce_spark.operators.sketches import hll_overlap_check
+
+    return hll_overlap_check(load_tables(spark, sf_dir)["events"])
+
+
 def q_asof_next_order(spark, sf_dir):
     """FORWARD as-of with tolerance (rangejoin.asof_join): each event
     attaches the user's first order at-or-after the event, but only if
@@ -2367,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_scrub_spans": q_dedup_scrub_spans,
         "asof_next_order": q_asof_next_order,
         "overlapping_orders": q_overlapping_orders,
+        "hll_overlap_users": q_hll_overlap_users,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -5483,6 +5495,26 @@ def oracle_sql() -> dict[str, str]:
             FROM nt
             LEFT JOIN pd ON nt.doc_id = pd.doc_id
             LEFT JOIN segs ON nt.doc_id = segs.doc_id
+        """,
+        "hll_overlap_users": """
+            WITH du AS (
+              SELECT DISTINCT event_type, user_id FROM events),
+            p AS (
+              SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     count(*) AS exact_overlap
+              FROM du a JOIN du b
+                ON a.user_id = b.user_id
+               AND a.event_type < b.event_type
+              GROUP BY 1, 2),
+            t AS (
+              SELECT event_type, count(*) AS n FROM du GROUP BY 1)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(coalesce(p.exact_overlap, 0) AS BIGINT)
+                     AS exact_overlap,
+                   TRUE AS within_bound
+            FROM t a JOIN t b ON a.event_type < b.event_type
+            LEFT JOIN p ON p.type_a = a.event_type
+                       AND p.type_b = b.event_type
         """,
         "asof_next_order": """
             SELECT e.event_id, e.user_id,

@@ -195,6 +195,87 @@ def hll_rollup_check(
     )
 
 
+def hll_overlap_check(
+    events: DataFrame,
+    key: str = "user_id",
+    group: str = "event_type",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Sketch SET-INTERSECTION — audience-overlap estimation, the
+    theta-sketch use case, on HLL via inclusion–exclusion: for every
+    group pair, |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union
+    estimate comes from ``hll_union`` of the two stored sketches (never
+    a rescan). This is how a 100TB pipeline answers "how many users do
+    these two segments share" from kilobyte sketches computed once at
+    ingest: per-group sketches are |groups| rows, the pair expansion is
+    tiny-×-tiny, and no raw-data pass happens at query time.
+
+    Oracle-able ``_check`` form (the house pattern for approximate
+    ops): the output carries the EXACT overlap plus a deterministic
+    ``within_bound`` boolean. I–E error compounds three estimates, each
+    relatively bounded by its own cardinality, so the bound is
+    3·1.04/√2^lg_k · (|A| + |B| + |A∪B|) with exact cardinalities on
+    the right-hand side — DuckDB reproduces every column (exact counts
+    + literal TRUE). The sketches still run: a sketch regression flips
+    the boolean and fails the value hash. Zero-overlap pairs stay in
+    the output (left join, coalesce 0)."""
+    sk = events.groupBy(group).agg(
+        F.hll_sketch_agg(key, F.lit(lg_k)).alias("sketch")
+    )
+    a = sk.select(F.col(group).alias("type_a"), F.col("sketch").alias("sk_a"))
+    b = sk.select(F.col(group).alias("type_b"), F.col("sketch").alias("sk_b"))
+    est = (
+        a.join(broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            (
+                F.hll_sketch_estimate("sk_a")
+                + F.hll_sketch_estimate("sk_b")
+                - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+            ).alias("est_overlap"),
+        )
+    )
+    du = events.select(group, key).distinct()
+    dua = du.select(F.col(group).alias("type_a"), F.col(key).alias("k"))
+    dub = du.select(F.col(group).alias("type_b"), F.col(key).alias("k"))
+    overlap = (
+        dua.join(dub, (dua["k"] == dub["k"]) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    sizes = du.groupBy(group).agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col(group).alias("type_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(group).alias("type_b"), F.col("n").alias("n_b"))
+    rel = 3.0 * 1.04 / float(2 ** (lg_k / 2.0))
+    return (
+        est.join(overlap, ["type_a", "type_b"], "left")
+        .join(broadcast(na), "type_a")
+        .join(broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce("exact_overlap", F.lit(0)).alias("exact_overlap"),
+            (
+                F.abs(
+                    F.col("est_overlap")
+                    - F.coalesce("exact_overlap", F.lit(0))
+                )
+                <= F.lit(rel)
+                * (
+                    F.col("n_a")
+                    + F.col("n_b")
+                    + (
+                        F.col("n_a")
+                        + F.col("n_b")
+                        - F.coalesce("exact_overlap", F.lit(0))
+                    )
+                )
+            ).alias("within_bound"),
+        )
+    )
+
+
 def fixed_width_histogram(
     df: DataFrame, col: str, n_bins: int = 20
 ) -> DataFrame:

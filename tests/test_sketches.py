@@ -214,3 +214,24 @@ def test_cms_join_estimate_never_undercounts(spark):
     b = spark.createDataFrame([(1,), (2,), (2,)], "k long")
     r2 = cms_join_estimate(a, "k", b, "k", depth=4, width=1024).first()
     assert (r2["est"], r2["exact"]) == (4, 4)
+
+
+def test_hll_overlap_check_planted_sets(spark):
+    """Planted overlap: A∩B = 500 shared users of 1000/800; C disjoint.
+    Exact overlaps must be exact, the I–E estimate must sit inside the
+    3-term bound, and zero-overlap pairs must stay in the output."""
+    from pubsub_mapreduce_spark.operators.sketches import hll_overlap_check
+
+    rows = (
+        [(i, "A") for i in range(1000)]
+        + [(i, "B") for i in range(500, 1300)]
+        + [(i, "C") for i in range(5000, 5200)]
+    )
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {(r["type_a"], r["type_b"]): r
+           for r in hll_overlap_check(ev).collect()}
+    assert out[("A", "B")]["exact_overlap"] == 500
+    assert out[("A", "C")]["exact_overlap"] == 0
+    assert out[("B", "C")]["exact_overlap"] == 0
+    assert all(r["within_bound"] for r in out.values())
+    assert len(out) == 3
