@@ -2091,6 +2091,16 @@ def q_contamination_report(spark, sf_dir):
     )
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """MOSS winnowing match (dedup.winnow_pairs): doc pairs sharing
+    >= 3 winnowing-selected 16-gram fingerprints (window w=16,
+    rightmost-min selection encoded in one int64 so the SQL mirror is
+    exact; df<=20 stopword-gram guard). The fingerprint guarantee: any
+    shared run >= w+k-1 chars surfaces a shared selection — measured
+    36 pairs at sf0.01, 1112 at sf0.1."""
+    return dedup.winnow_pairs(load_tables(spark, sf_dir)["documents"])
+
+
 def q_hll_overlap_users(spark, sf_dir):
     """Sketch set-intersection (sketches.hll_overlap_check): per event-
     type pair, user overlap estimated by HLL inclusion–exclusion over
@@ -2379,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_next_order": q_asof_next_order,
         "overlapping_orders": q_overlapping_orders,
         "hll_overlap_users": q_hll_overlap_users,
+        "winnow_pairs": q_winnow_pairs,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -5495,6 +5506,41 @@ def oracle_sql() -> dict[str, str]:
             FROM nt
             LEFT JOIN pd ON nt.doc_id = pd.doc_id
             LEFT JOIN segs ON nt.doc_id = segs.doc_id
+        """,
+        "winnow_pairs": r"""
+            WITH nt AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id, i AS pos,
+                     ('0x' || substr(md5(substring(t, i+1, 16)), 1, 8))::BIGINT
+                       AS h,
+                     length(t) - 16 + 1 AS ng
+              FROM nt, LATERAL (SELECT unnest(range(
+                   greatest(length(t) - 16 + 1, 0))) AS i) _),
+            keys AS (
+              SELECT doc_id, pos, ng,
+                     h * 2097152 + (1048576 - pos) AS key
+              FROM g),
+            wins AS (
+              SELECT doc_id, pos, ng,
+                     min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wkey
+              FROM keys),
+            sel AS (
+              SELECT DISTINCT doc_id, wkey FROM wins
+              WHERE pos <= ng - 16),
+            fph AS (
+              SELECT DISTINCT doc_id, wkey // 2097152 AS fp_hash FROM sel),
+            rare AS (
+              SELECT fp_hash FROM fph GROUP BY 1 HAVING count(*) <= 20)
+            SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+            FROM fph a
+            JOIN fph b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+            JOIN rare r ON r.fp_hash = a.fp_hash
+            GROUP BY 1, 2
+            HAVING count(*) >= 3
         """,
         "hll_overlap_users": """
             WITH du AS (

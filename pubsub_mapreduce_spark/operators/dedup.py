@@ -1012,6 +1012,114 @@ def scrub_duplicate_spans(
     )
 
 
+_WINNOW_POS = 1 << 20  # max normalized doc length the pos encoding admits
+_WINNOW_ENC = 1 << 21
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 8, w: int = 16, text: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every overlapping char k-gram, slide a
+    w-wide window over the hash sequence, and select each window's
+    minimum (rightmost position on hash ties). Guarantee: any shared
+    substring of length >= w + k - 1 between two documents yields at
+    least one shared selected fingerprint — the density/recall contract
+    plain "every n-th hash" sampling cannot give.
+
+    All integer, exactly mirrored in SQL: the 32-bit gram hash is the
+    shared-with-DuckDB md5 prefix; (hash, rightmost-pos) tie-break is
+    encoded into ONE int64 key ``h * 2^21 + (2^20 - pos)`` so the
+    window MIN picks min-hash-then-max-pos in a single orderable value
+    (struct-min is not portable across engines). Positions must stay
+    under 2^20 — chunk first (``textops.chunk_documents``) for longer
+    docs, which a 100TB pipeline does anyway.
+
+    Plan shape: one corpus-char-order generate (the lookahead-regex
+    k-gram pass, same as the duplicate-span family), one doc-keyed
+    window, one distinct — no corpus-wide shuffle beyond the distinct
+    on (doc, selected-key), which is fingerprint-sized (~2/(w+1)
+    density), not gram-sized. Docs with fewer than w + k - 1 chars
+    have no complete window and yield no fingerprints (documented
+    contract; lower w for short-doc corpora)."""
+    from pyspark.sql import Window
+
+    from ..io import widen
+
+    nt = F.regexp_replace(normalized_text(text), r"\s+", " ")
+    grams = F.regexp_extract_all(nt, F.lit(rf"(?=(.{{{k}}}))."), 1)
+    g = widen(docs, 8).select(
+        "doc_id",
+        F.posexplode(grams).alias("pos", "gram"),
+        (F.length(nt) - k + 1).alias("ng"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("gram").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    keys = g.select(
+        "doc_id",
+        "pos",
+        "ng",
+        (h * F.lit(_WINNOW_ENC) + (F.lit(_WINNOW_POS) - F.col("pos"))).alias(
+            "key"
+        ),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        keys.withColumn("wkey", F.min("key").over(win))
+        .where(F.col("pos") <= F.col("ng") - w)
+        .select("doc_id", "wkey")
+        .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        (F.lit(_WINNOW_POS) - F.col("wkey") % F.lit(_WINNOW_ENC)).alias(
+            "fp_pos"
+        ),
+        F.expr(f"wkey div {_WINNOW_ENC}").alias("fp_hash"),
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 16,
+    w: int = 16,
+    min_shared: int = 3,
+    max_df: int = 20,
+    text: str = "text",
+) -> DataFrame:
+    """Document-pair matching over winnowing fingerprints — the MOSS
+    similarity report: pairs sharing >= min_shared distinct selected
+    hashes, with the shared count. The inverted-index join rides the
+    fingerprint hash; hashes selected in more than ``max_df`` docs are
+    dropped first (the stopword-gram guard every inverted-index pair
+    source in this module carries), so one boilerplate gram cannot
+    quadratically explode a bucket. Fingerprint relation is
+    ~2/(w+1) of gram volume, so the join input is a small fraction of
+    what the MinHash path already shuffles."""
+    fp = (
+        winnow_fingerprints(docs, k=k, w=w, text=text)
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    rare = (
+        fp.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("fp_hash")
+    )
+    fpr = fp.join(rare, "fp_hash", "left_semi")
+    a = fpr.select(F.col("doc_id").alias("a"), "fp_hash")
+    b = fpr.select(F.col("doc_id").alias("b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def dedup_recall_report(
     docs: DataFrame,
     n: int = 3,

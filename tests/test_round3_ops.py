@@ -177,3 +177,38 @@ def test_scrub_duplicate_spans_overlapping_runs_merge(spark):
         assert out[i]["clean_text"] == ""
         assert out[i]["n_spans"] == 1
         assert out[i]["chars_removed"] == len(text)
+
+
+def test_winnow_guarantee_shared_run_yields_shared_fingerprint(spark):
+    """The winnowing contract (Schleimer et al.): any shared substring
+    of length >= w + k - 1 produces at least one shared selected
+    fingerprint; disjoint-content docs share none."""
+    from pubsub_mapreduce_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    run = "the quick brown fox jumps over the lazy dog again"  # 49 > w+k-1
+    rows = [
+        ("prefix one " + run + " suffix alpha", "en"),
+        ("different opening " + run + " other ending", "en"),
+        ("zq wv kj xc bn md pl rt yu io as df gh jk lz", "en"),
+    ]
+    docs = _docs(spark, rows)
+    fp = winnow_fingerprints(docs, k=8, w=16).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by_doc[0] & by_doc[1], "shared 49-char run must share a fingerprint"
+    assert not (by_doc.get(2, set()) & by_doc[0])
+    pairs = winnow_pairs(docs, k=8, w=16, min_shared=1, max_df=50).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(0, 1)}
+
+
+def test_winnow_short_doc_no_fingerprints(spark):
+    """Docs shorter than w + k - 1 normalized chars yield no complete
+    window and therefore no fingerprints (documented contract)."""
+    from pubsub_mapreduce_spark.operators.dedup import winnow_fingerprints
+
+    docs = _docs(spark, [("tiny doc", "en"), ("also very small", "en")])
+    assert winnow_fingerprints(docs, k=8, w=16).count() == 0
