@@ -2091,6 +2091,15 @@ def q_contamination_report(spark, sf_dir):
     )
 
 
+def q_forecast_backtest(spark, sf_dir):
+    """Rolling-origin backtest (robust.forecast_backtest): per-type MAE
+    of naive-1 vs trailing-7 moving-average one-step forecasts over the
+    daily count series, plus the skill ratio — BIGINT error sums, three
+    mirrored divisions, constant-series types dropped by an integer
+    predicate."""
+    return RB.forecast_backtest(load_tables(spark, sf_dir)["events"])
+
+
 def q_winnow_pairs(spark, sf_dir):
     """MOSS winnowing match (dedup.winnow_pairs): doc pairs sharing
     >= 3 winnowing-selected 16-gram fingerprints (window w=16,
@@ -2390,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlapping_orders": q_overlapping_orders,
         "hll_overlap_users": q_hll_overlap_users,
         "winnow_pairs": q_winnow_pairs,
+        "forecast_backtest": q_forecast_backtest,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -5506,6 +5516,33 @@ def oracle_sql() -> dict[str, str]:
             FROM nt
             LEFT JOIN pd ON nt.doc_id = pd.doc_id
             LEFT JOIN segs ON nt.doc_id = segs.doc_id
+        """,
+        "forecast_backtest": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS d,
+                     count(*) AS cnt
+              FROM events GROUP BY 1, 2),
+            b AS (
+              SELECT event_type, cnt,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY d) AS rn,
+                     lag(cnt) OVER (PARTITION BY event_type
+                                    ORDER BY d) AS prev,
+                     sum(cnt) OVER (PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sw
+              FROM daily),
+            agg AS (
+              SELECT event_type,
+                     count(*) AS n_evals,
+                     CAST(sum(abs(cnt - prev)) AS BIGINT) AS e1,
+                     CAST(sum(abs(7 * cnt - sw)) AS BIGINT) AS ew
+              FROM b WHERE rn > 7 GROUP BY 1)
+            SELECT event_type, n_evals,
+                   floor(e1 / n_evals * 1e4 + 0.5) / 1e4 AS mae_naive,
+                   floor(ew / (7 * n_evals) * 1e4 + 0.5) / 1e4 AS mae_ma,
+                   floor(ew / (7 * e1) * 1e6 + 0.5) / 1e6
+                     AS skill_ma_vs_naive
+            FROM agg WHERE e1 > 0
         """,
         "winnow_pairs": r"""
             WITH nt AS (

@@ -838,3 +838,66 @@ def daily_autocorr(events: DataFrame, max_lag: int = 7) -> DataFrame:
             ).alias("r_plus1"),
         )
     )
+
+
+def forecast_backtest(events: DataFrame, window: int = 7) -> DataFrame:
+    """Rolling-origin forecast BACKTEST — the eval harness for the
+    forecasting family (``holt_forecast`` fits; this measures): for
+    every observed day past the warm-up, forecast the day's event count
+    per type using ONLY prior days, under two baselines — naive-1
+    (yesterday's count) and the trailing ``window``-day moving average —
+    and report per-type MAE for both plus the skill ratio (MA error /
+    naive error; < 1 means smoothing helps, the decision number behind
+    choosing a forecaster before committing one at scale).
+
+    Exactness discipline (the ``daily_autocorr`` arithmetic): errors
+    accumulate as BIGINTs — naive error is |c_t − c_{t−1}|, the MA
+    error is kept pre-division as |window·c_t − Σ_{t−w..t−1}c| — so
+    the only floats are three final mirrored divisions. The warm-up
+    (row_number > window) makes both forecasters evaluate on the SAME
+    days, and a zero-total-naive-error type (perfectly constant
+    series) is dropped by an INTEGER predicate before the skill
+    division (the type_correlation zero-variance rule). "Rolling" is
+    over OBSERVED days (ROWS frame, not RANGE): a gap day shortens
+    nothing — documented, and mirrored exactly in the oracle.
+
+    Scale: one daily-rollup shuffle collapses volume (|types × days|
+    rows), the backtest itself is a per-type window over a
+    calendar-bounded series — O(1) state per row, no replay of raw
+    events, same envelope at 100TB."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    w7 = w.rowsBetween(-window, -1)
+    b = daily.select(
+        "event_type",
+        "cnt",
+        F.row_number().over(w).alias("rn"),
+        F.lag("cnt", 1).over(w).alias("prev"),
+        F.sum("cnt").over(w7).alias("sw"),
+    ).where(F.col("rn") > window)
+    return (
+        b.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_evals"),
+            F.sum(F.abs(F.col("cnt") - F.col("prev"))).alias("e1"),
+            F.sum(
+                F.abs(F.lit(window) * F.col("cnt") - F.col("sw"))
+            ).alias("ew"),
+        )
+        .where(F.col("e1") > 0)
+        .select(
+            "event_type",
+            "n_evals",
+            round_half_up(F.col("e1") / F.col("n_evals"), 4).alias(
+                "mae_naive"
+            ),
+            round_half_up(
+                F.col("ew") / (F.lit(window) * F.col("n_evals")), 4
+            ).alias("mae_ma"),
+            round_half_up(
+                F.col("ew") / (F.lit(window) * F.col("e1")), 6
+            ).alias("skill_ma_vs_naive"),
+        )
+    )

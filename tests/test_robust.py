@@ -107,3 +107,30 @@ def test_association_rules_values(spark):
     assert ab.confidence == 0.666667  # 2 of 3 a-users
     assert ba.confidence == 1.0       # 2 of 2 b-users
     assert ab.lift == ba.lift == 1.0  # 2*3/(3*2)
+
+
+def test_forecast_backtest_known_series(spark):
+    """Constructed series: a perfectly linear ramp makes naive error
+    exactly 1/day and the MA-7 forecast lag behind by (w+1)/2 = 4/day;
+    a constant series (zero naive error) is dropped by the integer
+    guard."""
+    from datetime import datetime, timedelta
+
+    from pubsub_mapreduce_spark.operators.robust import forecast_backtest
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for day in range(20):
+        # type "ramp": count = day+1 events that day; type "flat": always 3
+        for i in range(day + 1):
+            rows.append((base + timedelta(days=day), "ramp"))
+        for i in range(3):
+            rows.append((base + timedelta(days=day), "flat"))
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {r["event_type"]: r for r in forecast_backtest(ev).collect()}
+    assert "flat" not in out  # zero naive error -> integer-guard drop
+    r = out["ramp"]
+    assert r["n_evals"] == 13  # 20 days - 7 warmup
+    assert r["mae_naive"] == 1.0
+    assert r["mae_ma"] == 4.0  # trailing-7 mean lags a ramp by 4
+    assert r["skill_ma_vs_naive"] == 4.0
