@@ -235,6 +235,12 @@ BENCH_QUERIES = [
     "cross_source_dups",
     "dedup_keeper_quality",
     "contamination_report",
+    "dedup_scrub_spans",
+    "asof_next_order",
+    "overlapping_orders",
+    "hll_overlap_users",
+    "winnow_pairs",
+    "forecast_backtest",
 ]
 
 

@@ -1097,10 +1097,16 @@ def winnow_pairs(
     quadratically explode a bucket. Fingerprint relation is
     ~2/(w+1) of gram volume, so the join input is a small fraction of
     what the MinHash path already shuffles."""
+    # the fingerprint relation is consumed 4x (df filter, both join
+    # sides) and Catalyst has no cross-branch CSE (attribute ids differ
+    # per branch, so even ReusedExchange can't kick in) — one lazy
+    # localCheckpoint truncates the lineage so the gram pass + winnow
+    # window run ONCE (measured 5.0s -> ~2s warm at sf0.1)
     fp = (
         winnow_fingerprints(docs, k=k, w=w, text=text)
         .select("doc_id", "fp_hash")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     rare = (
         fp.groupBy("fp_hash")
