@@ -1243,3 +1243,60 @@ def test_dsir_stream_matches_batch_scores(spark, tmp_path):
         for r in dsir_score(incoming, dsir_model(reference)).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_hll_maintain_stream_equals_batch(spark, tmp_path):
+    """Streaming HLL maintenance over a 4-batch replay must converge to
+    the SAME estimates as one sketch built over the whole fixture (HLL
+    registers are per-bucket maxima — union is exact regardless of
+    batching), and a replayed batch must be a no-op (ledger)."""
+    from pubsub_mapreduce_spark.io import load_tables
+    from pubsub_mapreduce_spark.streaming.hll_maintain import (
+        HllMaintain,
+        estimates,
+        start_hll_maintain,
+    )
+    from tests.conftest import SF_SMALL
+
+    events = load_tables(spark, SF_SMALL)["events"].select(
+        "event_id", "user_id", "event_type"
+    )
+    rows = sorted(events.collect(), key=lambda r: r["event_id"])
+    d = tmp_path / "hll_replay"
+    d.mkdir()
+    chunk = (len(rows) + 3) // 4
+    for i in range(4):
+        spark.createDataFrame(
+            rows[i * chunk : (i + 1) * chunk], events.schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(d / f"f{i}"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/f*")
+    )
+    store = str(tmp_path / "hll_store")
+    q = start_hll_maintain(stream, store, str(tmp_path / "hll_ckpt"))
+    assert q.awaitTermination(180)
+    q.stop()
+    got = {
+        r["event_type"]: r["approx_distinct"]
+        for r in estimates(spark, store).collect()
+    }
+    want = {
+        r["event_type"]: r["approx_distinct"]
+        for r in events.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("approx_distinct")
+        )
+        .collect()
+    }
+    assert got == want
+    # replayed batch: ledger makes it a no-op
+    HllMaintain(store)(spark.createDataFrame(rows[:chunk], events.schema), 0)
+    after = {
+        r["event_type"]: r["approx_distinct"]
+        for r in estimates(spark, store).collect()
+    }
+    assert after == want
