@@ -260,3 +260,83 @@ def test_lpa_and_kcore_bounded_rounds_at_scale(spark, big_docs):
     assert lp.count() > 0
     kc = kcore_peel(e, k=3, rounds=3)
     assert kc.count() >= 0
+
+
+def test_winnow_finds_planted_shared_runs_at_scale(spark, big_docs):
+    """Plant 10 docs sharing a long template paragraph into the 20k
+    corpus: winnowing must pair all of them through the df-capped
+    inverted index (45 pairs), and the fingerprint density must stay
+    near the 2/(w+1) theory — the structural guarantee that the pair
+    source stays fingerprint-sized, never gram-sized."""
+    from pubsub_mapreduce_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    boiler = (
+        "this exact template paragraph is shared verbatim across the "
+        "planted documents and is long enough to guarantee fingerprints"
+    )
+    planted = spark.range(10).select(
+        (F.col("id") + 2_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("unique prefix "),
+            F.col("id").cast("string"),
+            F.lit(" " + boiler),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("planted").alias("source"),
+        F.lit(len(boiler) + 16).alias("n_chars"),
+    )
+    corpus = big_docs.unionByName(planted)
+    pairs = winnow_pairs(corpus, k=16, w=16, min_shared=1, max_df=30)
+    among_planted = pairs.where(
+        (F.col("a") >= 2_000_000) & (F.col("b") >= 2_000_000)
+    ).count()
+    assert among_planted == 45  # C(10,2): every planted pair surfaces
+    fp = winnow_fingerprints(big_docs, k=16, w=16)
+    n_fp = fp.count()
+    n_grams = (
+        big_docs.select(
+            F.greatest(
+                F.length(
+                    F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+                )
+                - 16 + 1,
+                F.lit(0),
+            ).alias("g")
+        ).agg(F.sum("g")).first()[0]
+    )
+    density = n_fp / n_grams
+    assert 0.05 < density < 0.25, density  # theory: 2/(w+1) ~= 0.12
+
+
+def test_scrub_spans_conserves_chars_at_scale(spark, big_docs):
+    """Duplicate-span scrubbing over the 20k corpus + 5 full copies:
+    per doc, len(clean) + chars_removed == normalized length (segment
+    reassembly loses nothing), and every full-copy doc scrubs to
+    empty."""
+    from pubsub_mapreduce_spark.operators.dedup import scrub_duplicate_spans
+
+    copies = big_docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = big_docs.unionByName(copies)
+    out = scrub_duplicate_spans(corpus)
+    bad = (
+        out.join(corpus, "doc_id")
+        .where(
+            F.length("clean_text") + F.col("chars_removed")
+            != F.length(
+                F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+            )
+        )
+        .count()
+    )
+    assert bad == 0
+    fully = out.where(F.col("doc_id") >= 3_000_000)
+    assert fully.where(F.col("clean_text") != "").count() == 0
