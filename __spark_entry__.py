@@ -2091,6 +2091,15 @@ def q_contamination_report(spark, sf_dir):
     )
 
 
+def q_survival_km(spark, sf_dir):
+    """Kaplan-Meier churn survival per event type
+    (robust.survival_km): last-active-day churn with final-day
+    censoring; BIGINT risk sets, and the survival product folds in day
+    order on both engines (Spark aggregate-HOF prefix vs recursive
+    CTE), so the raw doubles are bit-equal."""
+    return RB.survival_km(load_tables(spark, sf_dir)["events"])
+
+
 def q_forecast_backtest(spark, sf_dir):
     """Rolling-origin backtest (robust.forecast_backtest): per-type MAE
     of naive-1 vs trailing-7 moving-average one-step forecasts over the
@@ -2400,6 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_overlap_users": q_hll_overlap_users,
         "winnow_pairs": q_winnow_pairs,
         "forecast_backtest": q_forecast_backtest,
+        "survival_km": q_survival_km,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -5516,6 +5526,58 @@ def oracle_sql() -> dict[str, str]:
             FROM nt
             LEFT JOIN pd ON nt.doc_id = pd.doc_id
             LEFT JOIN segs ON nt.doc_id = segs.doc_id
+        """,
+        "survival_km": """
+            WITH RECURSIVE d0 AS (
+              SELECT event_type, user_id, CAST(ts AS DATE) AS day
+              FROM events),
+            ul AS (
+              SELECT event_type, user_id, min(day) AS f, max(day) AS l
+              FROM d0 GROUP BY 1, 2),
+            mx AS (SELECT max(day) AS maxday FROM d0),
+            starts AS (
+              SELECT event_type, f AS day, count(*) AS s
+              FROM ul GROUP BY 1, 2),
+            churns AS (
+              SELECT event_type, l AS day, count(*) AS d
+              FROM ul, mx WHERE l < maxday GROUP BY 1, 2),
+            spine AS (
+              SELECT event_type, day,
+                     coalesce(s, 0) AS s, coalesce(d, 0) AS d
+              FROM (SELECT event_type, day FROM starts
+                    UNION
+                    SELECT event_type, day FROM churns) u
+              LEFT JOIN starts USING (event_type, day)
+              LEFT JOIN churns USING (event_type, day)),
+            n0 AS (
+              SELECT event_type, day, d,
+                     CAST(sum(s) OVER (PARTITION BY event_type
+                            ORDER BY day ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW)
+                          - coalesce(sum(d) OVER (PARTITION BY
+                            event_type ORDER BY day ROWS BETWEEN
+                            UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                          AS BIGINT) AS n
+              FROM spine),
+            steps AS (
+              SELECT event_type, day, n, d,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY day) AS rn
+              FROM n0 WHERE d > 0),
+            km AS (
+              SELECT event_type, day, n, d, rn,
+                     1.0 * (1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE))
+                       AS surv
+              FROM steps WHERE rn = 1
+              UNION ALL
+              SELECT s.event_type, s.day, s.n, s.d, s.rn,
+                     km.surv * (1.0 - CAST(s.d AS DOUBLE)
+                                      / CAST(s.n AS DOUBLE))
+              FROM steps s JOIN km
+                ON s.event_type = km.event_type AND s.rn = km.rn + 1)
+            SELECT event_type, CAST(day AS VARCHAR) AS day,
+                   n AS n_risk, CAST(d AS BIGINT) AS churned, surv
+            FROM km
         """,
         "forecast_backtest": """
             WITH daily AS (

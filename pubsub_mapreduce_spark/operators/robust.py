@@ -901,3 +901,96 @@ def forecast_backtest(events: DataFrame, window: int = 7) -> DataFrame:
             ).alias("skill_ma_vs_naive"),
         )
     )
+
+
+def survival_km(events: DataFrame, group: str = "event_type") -> DataFrame:
+    """Kaplan–Meier survival curve for user churn, per group: treating
+    each user's LAST active day as their churn event (right-censored if
+    it falls on the corpus's final day — still alive as far as the data
+    can tell), emit the KM step points (days with >= 1 churn) with the
+    at-risk count, churn count, and the survival estimate
+    S_t = Π_{s<=t} (1 − d_s/n_s). The retention statistic
+    ``cohort_retention`` cannot give: censoring-correct curves that
+    remain comparable across groups with different observation spans.
+
+    Exactness: s/e/n are BIGINT prefix sums over the per-group day
+    spine; S is a PRODUCT fold in day order — both engines multiply
+    the same IEEE doubles in the same sequence (Spark: one ``aggregate``
+    HOF per step prefix; oracle: a forward-only recursive CTE, the
+    Holt discipline), so the raw doubles are bit-equal and exactly
+    value-hashable. The O(steps²) prefix fold is calendar-bounded
+    (|days|, never |rows|), the same envelope as every daily-series
+    operator here: one user-keyed rollup collapses 100TB of events to
+    |users| rows, everything after is |groups × days|-sized."""
+    from pyspark.sql.functions import broadcast
+
+    d0 = events.select(group, "user_id", F.to_date("ts").alias("day"))
+    ul = d0.groupBy(group, "user_id").agg(
+        F.min("day").alias("f"), F.max("day").alias("l")
+    )
+    maxday = d0.agg(F.max("day").alias("__maxday"))
+    ul2 = ul.join(broadcast(maxday))
+    starts = ul2.groupBy(group, F.col("f").alias("day")).agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    churns = (
+        ul2.where(F.col("l") < F.col("__maxday"))
+        .groupBy(group, F.col("l").alias("day"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    spine = (
+        starts.select(group, "day")
+        .unionByName(churns.select(group, "day"))
+        .distinct()
+        .join(starts, [group, "day"], "left")
+        .join(churns, [group, "day"], "left")
+        .select(
+            group,
+            "day",
+            F.coalesce("s", F.lit(0)).alias("s"),
+            F.coalesce("d", F.lit(0)).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy(group)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wprev = (
+        Window.partitionBy(group)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_risk = F.sum("s").over(w) - F.coalesce(
+        F.sum("d").over(wprev), F.lit(0)
+    )
+    steps = (
+        spine.withColumn("n", n_risk)
+        .where(F.col("d") > 0)
+        .select(group, "day", "n", "d")
+    )
+    arr = steps.groupBy(group).agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "n", "d"))
+        ).alias("arr")
+    )
+    km = arr.select(
+        group,
+        F.explode(
+            F.expr(
+                """transform(arr, (x, i) -> named_struct(
+                     'day', x.day, 'n', x.n, 'd', x.d,
+                     'surv', aggregate(
+                       slice(arr, 1, i + 1), CAST(1.0 AS DOUBLE),
+                       (acc, y) -> acc * (1.0 - CAST(y.d AS DOUBLE)
+                                                / CAST(y.n AS DOUBLE)))))"""
+            )
+        ).alias("p"),
+    )
+    return km.select(
+        group,
+        F.col("p.day").cast("string").alias("day"),
+        F.col("p.n").alias("n_risk"),
+        F.col("p.d").alias("churned"),
+        F.col("p.surv").alias("surv"),
+    )

@@ -134,3 +134,28 @@ def test_forecast_backtest_known_series(spark):
     assert r["mae_naive"] == 1.0
     assert r["mae_ma"] == 4.0  # trailing-7 mean lags a ramp by 4
     assert r["skill_ma_vs_naive"] == 4.0
+
+
+def test_survival_km_constructed_cohort(spark):
+    """4 users, known churn days: KM steps must match the hand-computed
+    product, and the user surviving to the final day must be censored
+    (never a churn event)."""
+    from datetime import datetime, timedelta
+
+    from pubsub_mapreduce_spark.operators.robust import survival_km
+
+    b = datetime(2024, 1, 1)
+    rows = []
+    # u1 active days 0-1 (churn d1), u2 days 0-3 (churn d3),
+    # u3 days 0-3 (churn d3), u4 days 0-5 (censored at corpus end)
+    spans = {1: 1, 2: 3, 3: 3, 4: 5}
+    for u, last in spans.items():
+        for day in range(last + 1):
+            rows.append((b + timedelta(days=day), u, "t"))
+    ev = spark.createDataFrame(rows, "ts timestamp, user_id long, event_type string")
+    out = {r["day"]: r for r in survival_km(ev).collect()}
+    assert set(out) == {"2024-01-02", "2024-01-04"}
+    d1 = out["2024-01-02"]  # n=4 at risk, 1 churn -> S = 3/4
+    assert d1["n_risk"] == 4 and d1["churned"] == 1 and d1["surv"] == 0.75
+    d3 = out["2024-01-04"]  # n=3, 2 churn -> S = 0.75 * (1/3) = 0.25
+    assert d3["n_risk"] == 3 and d3["churned"] == 2 and d3["surv"] == 0.25
