@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "hll_overlap_users",
     "winnow_pairs",
     "forecast_backtest",
+    "survival_km",
 ]
 
 

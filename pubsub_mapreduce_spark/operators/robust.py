@@ -925,31 +925,44 @@ def survival_km(events: DataFrame, group: str = "event_type") -> DataFrame:
     from pyspark.sql.functions import broadcast
 
     d0 = events.select(group, "user_id", F.to_date("ts").alias("day"))
-    ul = d0.groupBy(group, "user_id").agg(
-        F.min("day").alias("f"), F.max("day").alias("l")
+    # ONE |users x groups|-sized rollup is the only |rows|-sized pass;
+    # it feeds two consumers (the 1-row max-day scalar and the spine),
+    # so a lazy localCheckpoint keeps the events scan from replaying
+    # per branch (plan pin: exactly one events read)
+    ul = (
+        d0.groupBy(group, "user_id")
+        .agg(F.min("day").alias("f"), F.max("day").alias("l"))
+        .localCheckpoint(eager=False)
     )
-    maxday = d0.agg(F.max("day").alias("__maxday"))
+    maxday = ul.agg(F.max("l").alias("__maxday"))
     ul2 = ul.join(broadcast(maxday))
-    starts = ul2.groupBy(group, F.col("f").alias("day")).agg(
-        F.count(F.lit(1)).alias("s")
-    )
-    churns = (
-        ul2.where(F.col("l") < F.col("__maxday"))
-        .groupBy(group, F.col("l").alias("day"))
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    # start and churn contributions emit from ONE pass over the user
+    # rollup (2-row explode per user), so the spine needs no self-join
+    # of starts against churns — censored-only days enter as (0, 0)
+    # rows, which the prefix sums and the d > 0 step filter ignore
     spine = (
-        starts.select(group, "day")
-        .unionByName(churns.select(group, "day"))
-        .distinct()
-        .join(starts, [group, "day"], "left")
-        .join(churns, [group, "day"], "left")
-        .select(
+        ul2.select(
             group,
-            "day",
-            F.coalesce("s", F.lit(0)).alias("s"),
-            F.coalesce("d", F.lit(0)).alias("d"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("f").alias("day"),
+                        F.lit(1).alias("s"),
+                        F.lit(0).alias("d"),
+                    ),
+                    F.struct(
+                        F.col("l").alias("day"),
+                        F.lit(0).alias("s"),
+                        (F.col("l") < F.col("__maxday"))
+                        .cast("int")
+                        .alias("d"),
+                    ),
+                )
+            ).alias("x"),
         )
+        .select(group, "x.day", "x.s", "x.d")
+        .groupBy(group, "day")
+        .agg(F.sum("s").alias("s"), F.sum("d").alias("d"))
     )
     w = (
         Window.partitionBy(group)

@@ -748,3 +748,39 @@ def test_overlapping_orders_plan(spark):
     assert_no_cartesian(df)
     assert node_count(df, "BroadcastNestedLoopJoin") == 0
     assert_max_shuffles(df, 4)
+
+
+def test_forecast_backtest_plan(spark):
+    """Backtest rides the daily rollup: one keyed shuffle collapses
+    volume, the window + final aggregate stay on the type key — and
+    the raw events table is scanned exactly once."""
+    df = q("forecast_backtest", spark)
+    assert_max_shuffles(df, 3)
+    assert_no_cartesian(df)
+    ev = [s for s in read_schemas(df) if "event_type" in s or "ts" in s]
+    assert len(ev) == 1, f"events scanned {len(ev)}x"
+
+
+def test_survival_km_plan(spark):
+    """KM: the user-keyed rollup is the only |rows|-sized exchange;
+    everything downstream is |groups x days|-sized. The 1-row max-day
+    aggregate must attach as a broadcast, never a re-scan per row."""
+    df = q("survival_km", spark)
+    assert_no_cartesian(df)
+    assert node_count(df, "BroadcastNestedLoopJoin") <= 1  # 1-row attach
+    # the user rollup carries a LAZY localCheckpoint: the pre-execution
+    # plan still prints the lineage under both consumers (max-day scalar
+    # + spine), but at runtime the persisted rollup materializes once —
+    # so the pin allows the two DISPLAYED scans and rejects anything
+    # beyond (the pre-fix plan showed four)
+    ev = read_schemas(df)
+    assert len([s for s in ev if "user_id" in s]) <= 2, "events re-scanned"
+
+
+def test_hll_overlap_plan(spark):
+    """Sketch overlap: the pair expansion is tiny-x-tiny (broadcast),
+    the |rows|-sized work is one sketch aggregate and one distinct —
+    no shuffled join on raw data."""
+    df = q("hll_overlap_users", spark)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df, min_count=2)
