@@ -410,3 +410,40 @@ def test_snapshot_diff_partitions_ops(spark):
     )
     got = {r["k"]: r["op"] for r in snapshot_diff(old, new, "k", ["s", "v"]).collect()}
     assert got == {2: "update", 3: "delete", 4: "insert"}
+
+
+def test_scrub_spans_empty_and_null_text(spark):
+    """Empty/short/null-text docs pass through the scrub untouched
+    (zero counters) rather than erroring or vanishing; a doc that is
+    entirely one duplicated span scrubs to the empty string."""
+    from pubsub_mapreduce_spark.operators.dedup import scrub_duplicate_spans
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "tiny"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_duplicate_spans(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    for d in (1, 2):
+        assert out[d]["clean_text"] == ""
+        assert out[d]["chars_removed"] == len(text)
+    assert out[3]["clean_text"] == "tiny" and out[3]["n_spans"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_spans"] == 0
+    assert out[5]["clean_text"] is None and out[5]["n_spans"] == 0
+
+
+def test_winnow_empty_and_null_text(spark):
+    """Empty and null texts yield no fingerprints and no pairs, without
+    erroring under ANSI mode."""
+    from pubsub_mapreduce_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "short")],
+        "doc_id long, text string",
+    )
+    assert winnow_fingerprints(docs, k=8, w=16).count() == 0
+    assert winnow_pairs(docs, k=8, w=16, min_shared=1).count() == 0
