@@ -466,6 +466,21 @@ def q_part_kcore(spark, sf_dir):
     return kcore_peel(edges, k=3, rounds=3)
 
 
+def q_part_reach_hops(spark, sf_dir):
+    """Single-source BFS over the part co-purchase graph
+    (graph.bfs_hops over graph.copurchase_edges): min hop distance
+    from the smallest part in the graph to every part within 4 hops —
+    frontier-expansion reachability, in-plan seed, hop-bounded
+    recursive-CTE oracle."""
+    from pubsub_mapreduce_spark.operators.graph import (
+        bfs_hops,
+        copurchase_edges,
+    )
+
+    edges = copurchase_edges(load_tables(spark, sf_dir)["lineitem"], min_w=2)
+    return bfs_hops(edges, max_hops=4)
+
+
 def q_dedup_tfcosine(spark, sf_dir):
     """Bag-of-words tf-cosine similar pairs (dedup.tf_cosine_pairs) —
     integer dot/norms, sqrt-mirrored cosine."""
@@ -2410,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "forecast_backtest": q_forecast_backtest,
         "survival_km": q_survival_km,
+        "part_reach_hops": q_part_reach_hops,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -7328,6 +7344,26 @@ def oracle_sql() -> dict[str, str]:
           JOIN k3 y ON u.b = y.a)
         SELECT a AS node, CAST(count(*) AS BIGINT) AS core_deg
         FROM u3 GROUP BY 1
+    """
+    out["part_reach_hops"] = """
+        WITH RECURSIVE e0 AS (
+          SELECT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem GROUP BY 1, 2),
+        ed AS (
+          SELECT x.pk AS a, y.pk AS b
+          FROM e0 x JOIN e0 y ON x.ok = y.ok AND x.pk < y.pk
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+        deg AS (SELECT a, count(*) AS deg FROM und GROUP BY 1),
+        reach(node, hop) AS (
+          SELECT min(a), 0 FROM deg
+          WHERE deg = (SELECT max(deg) FROM deg)
+          UNION
+          SELECT u.b, r.hop + 1
+          FROM reach r JOIN und u ON u.a = r.node
+          WHERE r.hop < 4)
+        SELECT node, CAST(min(hop) AS INTEGER) AS hop
+        FROM reach GROUP BY 1
     """
     # Markov eval composes the validated transition oracle verbatim.
     out["markov_accuracy"] = f"""

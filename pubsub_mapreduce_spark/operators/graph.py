@@ -290,3 +290,61 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     return cur.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("core_deg")
     )
+
+
+def bfs_hops(edges: DataFrame, max_hops: int = 4) -> DataFrame:
+    """Single-source BFS: minimum hop distance from the smallest node
+    in the edge list to every node within ``max_hops``, over the
+    undirected graph — the frontier-expansion primitive (reachability,
+    blast-radius, recommendation radius) that LPA/PageRank/k-core
+    don't cover: those iterate over ALL nodes every round, BFS's working
+    set is only the newly-reached frontier.
+
+    The seed is picked IN-PLAN (the max-degree node, ties to the
+    smallest id — two 1-row aggregates broadcast into round 1):
+    deterministic at any SF, no driver collect, and it lands in the
+    dense region of the graph (the min-id seed it replaced sat in a
+    2-node component at sf0.1 — a seed rule must be
+    degree-aware to survive refixturing). Level-set formulation:
+    L_h = distinct neighbors of
+    L_{h-1}; hop(v) = min h with v in L_h, taken by ONE final
+    (node)-keyed min aggregate over the unioned level relations — so
+    each round is a single join + distinct (one keyed shuffle), with
+    no per-round anti-join. Measured A/B at sf0.01 (warm): level-set
+    1.7s vs the Pregel frontier/visited anti-join form 2.8s (and 10.1s
+    with per-round localCheckpoint barriers — 2 scheduled jobs per
+    round cost more than the replayed frontier-sized joins they
+    truncate). The level sets re-join the full <=h reach set each
+    round, which for the small fixed ``max_hops`` this op targets is
+    within a constant of the frontier (growth regime); a deep-BFS
+    variant (max_hops >~ 6, saturating reach) should flip to
+    frontier + anti-join with per-round checkpoints.
+
+    Rounds are fixed (``max_hops``), keeping the plan static and the
+    oracle unrollable by a hop-bounded recursive CTE; only the edge
+    list is localCheckpoint'd (Catalyst has no cross-branch CSE — an
+    unchecked lineage would replay the upstream edge build every
+    round). Integer-exact throughout (node ids + hop counters), so
+    the oracle value-hashes bit-for-bit."""
+    und = (
+        edges.select("a", "b")
+        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=False)
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    maxdeg = deg.agg(F.max("deg").alias("maxdeg"))
+    level = (
+        deg.join(F.broadcast(maxdeg), F.col("deg") == F.col("maxdeg"))
+        .agg(F.min("a").alias("node"))
+    )
+    out = level.select("node", F.lit(0).cast("int").alias("hop"))
+    for h in range(1, max_hops + 1):
+        level = (
+            level.join(und, F.col("node") == F.col("a"))
+            .select(F.col("b").alias("node"))
+            .distinct()
+        )
+        out = out.union(
+            level.select("node", F.lit(h).cast("int").alias("hop"))
+        )
+    return out.groupBy("node").agg(F.min("hop").alias("hop"))

@@ -65,3 +65,29 @@ def test_triangle_count_k4_and_square(spark):
         [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], "u string, v string"
     )
     assert triangle_count(square).count() == 0
+
+
+def test_bfs_hops_star_with_tail(spark):
+    """Star centre (max degree) is the seed; hop = path length; nodes
+    in other components never appear; max_hops truncates the frontier.
+    Graph: 1-{2,3,4}, 4-5, 5-6 plus a disconnected 10-11 edge."""
+    from pubsub_mapreduce_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (4, 5), (5, 6), (10, 11)],
+        "a long, b long",
+    )
+    full = {r["node"]: r["hop"] for r in bfs_hops(e, max_hops=4).collect()}
+    assert full == {1: 0, 2: 1, 3: 1, 4: 1, 5: 2, 6: 3}
+    near = {r["node"]: r["hop"] for r in bfs_hops(e, max_hops=1).collect()}
+    assert near == {1: 0, 2: 1, 3: 1, 4: 1}
+
+
+def test_bfs_hops_seed_tiebreak_min_id(spark):
+    """All nodes tie on degree -> the smallest id wins the seed slot,
+    deterministically, whatever the physical partitioning."""
+    from pubsub_mapreduce_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame([(7, 8), (3, 9)], "a long, b long")
+    got = {r["node"]: r["hop"] for r in bfs_hops(e.repartition(5)).collect()}
+    assert got == {3: 0, 9: 1}
