@@ -2115,6 +2115,18 @@ def q_survival_km(spark, sf_dir):
     return RB.survival_km(load_tables(spark, sf_dir)["events"])
 
 
+def q_retrieval_label_eval(spark, sf_dir):
+    """Label-relevance retrieval eval (similarity.retrieval_label_eval):
+    exact cosine top-10 per sampled query, relevance = label match,
+    per-label precision@10 / MAP@10 / MRR@10 — every per-position term
+    an exact lcm(1..10)=2520-scaled integer, one rounded division per
+    metric. Grades the EMBEDDING against labels (ann_eval grades the
+    index against exact search)."""
+    return S.retrieval_label_eval(
+        load_tables(spark, sf_dir)["embeddings"], k=10, every=50
+    )
+
+
 def q_forecast_backtest(spark, sf_dir):
     """Rolling-origin backtest (robust.forecast_backtest): per-type MAE
     of naive-1 vs trailing-7 moving-average one-step forecasts over the
@@ -2426,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_backtest": q_forecast_backtest,
         "survival_km": q_survival_km,
         "part_reach_hops": q_part_reach_hops,
+        "retrieval_label_eval": q_retrieval_label_eval,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -7364,6 +7377,48 @@ def oracle_sql() -> dict[str, str]:
           WHERE r.hop < 4)
         SELECT node, CAST(min(hop) AS INTEGER) AS hop
         FROM reach GROUP BY 1
+    """
+    out["retrieval_label_eval"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, emb AS q_emb, label AS q_label
+              FROM e WHERE vec_id % 50 = 0),
+        scored AS (SELECT query_id, q_label, e.vec_id AS neighbor_id,
+                          e.label AS n_label,
+                          list_cosine_similarity(q_emb, emb) AS sim
+                   FROM q JOIN e ON e.vec_id <> q.query_id),
+        tk AS (SELECT query_id, q_label, n_label, rank FROM
+                (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id ASC) AS rank
+                 FROM scored)
+               WHERE rank <= 10),
+        r AS (SELECT query_id, q_label, rank,
+                     CASE WHEN n_label = q_label THEN 1 ELSE 0 END AS rel
+              FROM tk),
+        c AS (SELECT query_id, q_label, rank, rel,
+                     sum(rel) OVER (PARTITION BY query_id
+                                    ORDER BY rank) AS hits
+              FROM r),
+        pq AS (SELECT query_id, q_label,
+                      sum(rel) AS n_rel,
+                      sum(CASE WHEN rel = 1
+                          THEN (2520 // rank) * hits ELSE 0 END) AS ap2520,
+                      min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+               FROM c GROUP BY 1, 2)
+        SELECT q_label AS label,
+               CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(sum(n_rel) AS BIGINT) AS n_rel_at_k,
+               CAST(sum(CASE WHEN first_rel IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+               floor(sum(n_rel) * 1.0 / (10 * count(*)) * 1e6 + 0.5) / 1e6
+                 AS precision_at_k,
+               floor(sum(ap2520) * 1.0 / (CAST(2520 * 10 * count(*) AS BIGINT))
+                     * 1e6 + 0.5) / 1e6 AS map_at_k,
+               floor(sum(CASE WHEN first_rel IS NOT NULL
+                         THEN 2520 // first_rel ELSE 0 END) * 1.0
+                     / (CAST(2520 * count(*) AS BIGINT)) * 1e6 + 0.5) / 1e6
+                 AS mrr_at_k
+        FROM pq GROUP BY 1
     """
     # Markov eval composes the validated transition oracle verbatim.
     out["markov_accuracy"] = f"""

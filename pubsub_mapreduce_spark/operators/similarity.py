@@ -2524,3 +2524,109 @@ def label_noise_scan(
         "n_votes",
         (F.col("own_label") != F.col("knn_label")).alias("is_noisy"),
     )
+
+
+def retrieval_label_eval(
+    emb: DataFrame, k: int = 10, every: int = 50
+) -> DataFrame:
+    """Embedding-quality evaluation against LABEL ground truth: exact
+    cosine top-k per sampled query, relevance = neighbor shares the
+    query's label, rolled up per label into precision@k, MAP@k and
+    MRR@k — the companion to ``ann_recall_report`` (which grades the
+    INDEX against exact search; this grades the EMBEDDING against the
+    labels — the report that decides whether a new encoder checkpoint
+    ships). Reference parity: the reference has no retrieval surface
+    at all (mapreduce/mapper.go, reducer.go are knob pipelines); this
+    extends the engine's training-data QA family.
+
+    Determinism discipline: every per-position quantity is an exact
+    integer — lcm(1..k)=2520 (k=10) makes each precision@i term
+    ``cum_hits * (2520 div i)`` and each reciprocal rank ``2520 div
+    first_rel_rank`` integral, so per-label sums are order-free and
+    the ONE division per metric happens at the end under
+    round_half_up. MAP uses the @k-normalized variant (AP denominator
+    = k, not |relevant|) so the denominator stays a constant — the
+    standard choice for fixed-depth eval. Scale: the exact top-k side
+    is bounded by the query SAMPLE (``every``), like ann_recall_report;
+    everything after is |queries|*k rows."""
+    from ..functions.text import round_half_up
+
+    if k > 10:
+        raise ValueError("retrieval_label_eval: k > 10 breaks lcm=2520")
+    labels = emb.select("vec_id", "label")
+    t = (
+        cosine_topk(emb, k=k, every=every)
+        .join(
+            labels.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("q_label"),
+            ),
+            "query_id",
+        )
+        .join(
+            broadcast(
+                labels.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("n_label"),
+                )
+            ),
+            "neighbor_id",
+        )
+        .withColumn(
+            "rel", (F.col("q_label") == F.col("n_label")).cast("int")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    per_q = (
+        t.withColumn("hits", F.sum("rel").over(w))
+        .groupBy("query_id", "q_label")
+        .agg(
+            F.sum("rel").cast("long").alias("n_rel"),
+            F.sum(
+                F.when(
+                    F.col("rel") == 1,
+                    F.expr("2520 div rank") * F.col("hits"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("ap2520"),
+            F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias(
+                "first_rel"
+            ),
+        )
+    )
+    kq = F.lit(k) * F.col("n_queries")
+    return (
+        per_q.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("n_rel").cast("long").alias("n_rel_at_k"),
+            F.sum("ap2520").cast("long").alias("ap2520_sum"),
+            F.sum(
+                F.when(
+                    F.col("first_rel").isNotNull(),
+                    F.expr("2520 div first_rel"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("rr2520_sum"),
+            F.sum(F.col("first_rel").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_rel_at_k",
+            "n_covered",
+            round_half_up(F.col("n_rel_at_k") / kq, 6).alias(
+                "precision_at_k"
+            ),
+            round_half_up(
+                F.col("ap2520_sum") / (F.lit(2520) * kq), 6
+            ).alias("map_at_k"),
+            round_half_up(
+                F.col("rr2520_sum") / (F.lit(2520) * F.col("n_queries")), 6
+            ).alias("mrr_at_k"),
+        )
+    )

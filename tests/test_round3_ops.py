@@ -212,3 +212,54 @@ def test_winnow_short_doc_no_fingerprints(spark):
 
     docs = _docs(spark, [("tiny doc", "en"), ("also very small", "en")])
     assert winnow_fingerprints(docs, k=8, w=16).count() == 0
+
+
+def test_retrieval_label_eval_by_hand(spark):
+    """One query (vec_id 0, label 1) against four 2-D candidates with a
+    hand-known cosine order 1 > 2 > 3 > 4: relevant hits at ranks 1 and
+    3 give P@10 = 0.2, AP2520 = 2520*1 + (2520//3)*2 = 4200 so
+    MAP@10 = 4200/25200 = 1/6, and MRR = 1.0 (first hit at rank 1)."""
+    from pubsub_mapreduce_spark.operators.similarity import (
+        retrieval_label_eval,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [1.0, 0.01], 1),
+        (2, [1.0, 0.2], 0),
+        (3, [1.0, 0.5], 1),
+        (4, [0.0, 1.0], 0),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = retrieval_label_eval(emb, k=10, every=50).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["label"], r["n_queries"], r["n_rel_at_k"], r["n_covered"]) == (
+        1, 1, 2, 1,
+    )
+    assert r["precision_at_k"] == 0.2
+    assert r["map_at_k"] == 0.166667
+    assert r["mrr_at_k"] == 1.0
+
+
+def test_retrieval_label_eval_no_relevant(spark):
+    """A query whose label never recurs: zero hits everywhere, metrics
+    all 0 — the coverage column distinguishes it from an absent label."""
+    from pubsub_mapreduce_spark.operators.similarity import (
+        retrieval_label_eval,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 9),
+        (1, [1.0, 0.1], 2),
+        (2, [0.5, 1.0], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    r = retrieval_label_eval(emb, k=10, every=50).collect()[0]
+    assert (r["label"], r["n_rel_at_k"], r["n_covered"]) == (9, 0, 0)
+    assert r["precision_at_k"] == 0.0 and r["map_at_k"] == 0.0
+    assert r["mrr_at_k"] == 0.0
