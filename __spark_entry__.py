@@ -2127,6 +2127,14 @@ def q_retrieval_label_eval(spark, sf_dir):
     )
 
 
+def q_dedup_edit_verify(spark, sf_dir):
+    """Levenshtein second-opinion verification of the MinHash-LSH
+    candidate pairs (dedup.edit_verify_pairs): distance over an
+    ASCII-normalized prefix (where Spark code-point and DuckDB byte
+    semantics coincide), length-relative score, is_dup verdict."""
+    return dedup.edit_verify_pairs(load_tables(spark, sf_dir)["documents"])
+
+
 def q_forecast_backtest(spark, sf_dir):
     """Rolling-origin backtest (robust.forecast_backtest): per-type MAE
     of naive-1 vs trailing-7 moving-average one-step forecasts over the
@@ -2439,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_km": q_survival_km,
         "part_reach_hops": q_part_reach_hops,
         "retrieval_label_eval": q_retrieval_label_eval,
+        "dedup_edit_verify": q_dedup_edit_verify,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -7419,6 +7428,29 @@ def oracle_sql() -> dict[str, str]:
                      / (CAST(2520 * count(*) AS BIGINT)) * 1e6 + 0.5) / 1e6
                  AS mrr_at_k
         FROM pq GROUP BY 1
+    """
+    out["dedup_edit_verify"] = f"""
+        WITH cmp AS (
+          SELECT doc_id,
+                 substr(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')),
+                        1, 2000) AS t
+          FROM documents),
+        p AS (SELECT * FROM ({_minhash_lsh_oracle_sql(0.5)}) mh),
+        d AS (SELECT p.a, p.b, p.jaccard,
+                     CAST(length(ca.t) AS INTEGER) AS len_a,
+                     CAST(length(cb.t) AS INTEGER) AS len_b,
+                     CAST(levenshtein(ca.t, cb.t) AS INTEGER) AS edit_dist
+              FROM p JOIN cmp ca ON ca.doc_id = p.a
+                     JOIN cmp cb ON cb.doc_id = p.b)
+        SELECT a, b, jaccard, len_a, len_b, edit_dist,
+               CASE WHEN greatest(len_a, len_b) = 0 THEN 0.0
+                    ELSE floor(edit_dist * 1.0 / greatest(len_a, len_b)
+                               * 1e6 + 0.5) / 1e6 END AS rel_edit,
+               (CASE WHEN greatest(len_a, len_b) = 0 THEN 0.0
+                     ELSE floor(edit_dist * 1.0 / greatest(len_a, len_b)
+                                * 1e6 + 0.5) / 1e6 END) <= 0.4 AS is_dup
+        FROM d
     """
     # Markov eval composes the validated transition oracle verbatim.
     out["markov_accuracy"] = f"""

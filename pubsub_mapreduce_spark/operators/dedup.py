@@ -1428,3 +1428,86 @@ def quality_keeper(docs: DataFrame) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "source", "content_md5", "q4", "n_copies")
     )
+
+
+def edit_verify_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_rel_edit: float = 0.4,
+    max_len: int = 2000,
+) -> DataFrame:
+    """Edit-distance verification of near-dup candidates: every
+    MinHash-LSH candidate pair re-scored with character Levenshtein
+    over an ASCII-normalized prefix, emitting the distance, the
+    length-relative distance and an ``is_dup`` verdict — the
+    second-opinion verifier for the shingle-based pipeline (Jaccard is
+    order-insensitive; edit distance catches reshuffled-paragraph
+    false "duplicates" that bag-of-shingles scoring cannot). Candidate
+    generation stays the validated bucketed LSH source
+    (``minhash_lsh_pairs``), so the quadratic-per-pair DP runs only on
+    the bounded candidate set, and ``max_len`` caps each DP at
+    O(max_len^2) regardless of document size (dominant-prefix
+    verification, documented contract).
+
+    Cross-engine discipline: Spark's levenshtein counts CODE POINTS,
+    DuckDB's counts BYTES — they diverge on any non-ASCII character
+    (measured: 'café' vs 'cafe' = 1 vs 2). The comparison string is
+    therefore normalized to [a-z0-9 ] (lower -> strip non-alnum ->
+    collapse spaces -> trim -> prefix), where bytes == code points
+    and the two engines agree exactly; DuckDB mirrors with the same
+    regexes under the 'g' flag. Division happens once per pair under
+    round_half_up; the both-empty edge pins rel_edit = 0 (a dup)
+    instead of 0/0."""
+    from ..functions.text import round_half_up
+
+    cmp = docs.select(
+        "doc_id",
+        F.substring(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.lower(F.col("text")), "[^a-z0-9 ]", ""
+                    ),
+                    " +",
+                    " ",
+                )
+            ),
+            1,
+            max_len,
+        ).alias("cmp_text"),
+    )
+    pairs = minhash_lsh_pairs(docs, threshold=threshold, hash_impl="md5")
+    scored = (
+        pairs.join(
+            cmp.select(
+                F.col("doc_id").alias("a"), F.col("cmp_text").alias("ta")
+            ),
+            "a",
+        )
+        .join(
+            cmp.select(
+                F.col("doc_id").alias("b"), F.col("cmp_text").alias("tb")
+            ),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "jaccard",
+            F.length("ta").alias("len_a"),
+            F.length("tb").alias("len_b"),
+            F.levenshtein("ta", "tb").alias("edit_dist"),
+        )
+        .withColumn(
+            "rel_edit",
+            F.when(
+                F.greatest("len_a", "len_b") == 0, F.lit(0.0)
+            ).otherwise(
+                round_half_up(
+                    F.col("edit_dist") / F.greatest("len_a", "len_b"), 6
+                )
+            ),
+        )
+        .withColumn("is_dup", F.col("rel_edit") <= F.lit(max_rel_edit))
+    )
+    return scored

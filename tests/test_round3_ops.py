@@ -263,3 +263,44 @@ def test_retrieval_label_eval_no_relevant(spark):
     assert (r["label"], r["n_rel_at_k"], r["n_covered"]) == (9, 0, 0)
     assert r["precision_at_k"] == 0.0 and r["map_at_k"] == 0.0
     assert r["mrr_at_k"] == 0.0
+
+
+def test_edit_verify_exact_copy_and_accent_fold(spark):
+    """A copy differing only in case, punctuation and non-ASCII chars
+    must verify at edit_dist 0 / rel_edit 0 / is_dup true: the
+    comparison string is ASCII-normalized (non-[a-z0-9 ] REMOVED, so
+    'Café;' and 'café,' both become 'caf') — the normalization that
+    keeps Spark code-point and DuckDB byte Levenshtein in agreement."""
+    from pubsub_mapreduce_spark.operators.dedup import edit_verify_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the small "
+        "cat watches from the old wooden fence near the river bank "
+        "and the birds sing in the tall green trees every morning"
+    )
+    docs = _docs(spark, [(base + " café, naïve!", "en"),
+                         (base + " Café; NAÏVE?", "en")])
+    rows = edit_verify_pairs(docs, threshold=0.3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"], r["edit_dist"], r["rel_edit"], r["is_dup"]) == (
+        0, 1, 0, 0.0, True,
+    )
+
+
+def test_edit_verify_flags_reshuffled_paragraphs(spark):
+    """Two docs with the same sentences in swapped order share most
+    shingles (high Jaccard -> LSH candidate) but need many edits to
+    align: rel_edit exceeds the 0.4 duplicate bar, so is_dup = false —
+    the false-duplicate class edit verification exists to catch."""
+    from pubsub_mapreduce_spark.operators.dedup import edit_verify_pairs
+
+    s1 = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+          "juliet kilo lima mike november oscar papa quebec romeo")
+    s2 = ("sierra tango uniform victor whiskey xray yankee zulu one "
+          "two three four five six seven eight nine ten eleven twelve")
+    docs = _docs(spark, [(s1 + " " + s2, "en"), (s2 + " " + s1, "en")])
+    rows = edit_verify_pairs(docs, threshold=0.3, max_rel_edit=0.4).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["edit_dist"] > 0 and r["rel_edit"] > 0.4 and not r["is_dup"]
