@@ -2135,6 +2135,13 @@ def q_dedup_edit_verify(spark, sf_dir):
     return dedup.edit_verify_pairs(load_tables(spark, sf_dir)["documents"])
 
 
+def q_ks_source_drift(spark, sf_dir):
+    """Exact two-sample KS drift per source (robust.ks_source_drift):
+    source-vs-rest distribution distance on doc length — BIGINT
+    cross-multiplied cumulative counts, one rounded division."""
+    return RB.ks_source_drift(load_tables(spark, sf_dir)["documents"])
+
+
 def q_forecast_backtest(spark, sf_dir):
     """Rolling-origin backtest (robust.forecast_backtest): per-type MAE
     of naive-1 vs trailing-7 moving-average one-step forecasts over the
@@ -2448,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_reach_hops": q_part_reach_hops,
         "retrieval_label_eval": q_retrieval_label_eval,
         "dedup_edit_verify": q_dedup_edit_verify,
+        "ks_source_drift": q_ks_source_drift,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -7450,6 +7458,35 @@ def oracle_sql() -> dict[str, str]:
                (CASE WHEN greatest(len_a, len_b) = 0 THEN 0.0
                      ELSE floor(edit_dist * 1.0 / greatest(len_a, len_b)
                                 * 1e6 + 0.5) / 1e6 END) <= 0.4 AS is_dup
+        FROM d
+    """
+    out["ks_source_drift"] = """
+        WITH base AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+                      FROM documents),
+        gv AS (SELECT v, count(*) AS c_all FROM base GROUP BY 1),
+        sv AS (SELECT source, v, count(*) AS c_s FROM base GROUP BY 1, 2),
+        srcs AS (SELECT source, count(*) AS n1 FROM base GROUP BY 1),
+        tot AS (SELECT count(*) AS n_total FROM base),
+        grid AS (SELECT srcs.source, srcs.n1, gv.v, gv.c_all,
+                        COALESCE(sv.c_s, 0) AS c_s
+                 FROM gv CROSS JOIN srcs
+                 LEFT JOIN sv ON sv.source = srcs.source AND sv.v = gv.v),
+        cum AS (SELECT source, n1,
+                       sum(c_s) OVER (PARTITION BY source
+                                      ORDER BY v) AS cum_s,
+                       sum(c_all) OVER (PARTITION BY source
+                                        ORDER BY v) AS cum_all
+                FROM grid),
+        d AS (SELECT source, CAST(n1 AS BIGINT) AS n1,
+                     CAST(n_total - n1 AS BIGINT) AS n2,
+                     CAST(max(abs((n_total - n1) * cum_s
+                                  - n1 * (cum_all - cum_s))) AS BIGINT)
+                       AS d_num
+              FROM cum CROSS JOIN tot
+              WHERE n1 > 0 AND n_total - n1 > 0
+              GROUP BY 1, 2, 3)
+        SELECT source, n1, n2, d_num,
+               floor(d_num * 1.0 / (n1 * n2) * 1e6 + 0.5) / 1e6 AS ks
         FROM d
     """
     # Markov eval composes the validated transition oracle verbatim.

@@ -1007,3 +1007,73 @@ def survival_km(events: DataFrame, group: str = "event_type") -> DataFrame:
         F.col("p.d").alias("churned"),
         F.col("p.surv").alias("surv"),
     )
+
+
+def ks_source_drift(docs: DataFrame, col: str = "n_chars") -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift test, one row per
+    source: the KS distance between a source's distribution of ``col``
+    and the REST of the corpus — the distribution-free "is this feed
+    drifting?" monitor that histogram_drift's fixed-bin L1 only
+    approximates (KS is the sup over EVERY threshold, so it cannot be
+    hidden by bin placement).
+
+    Exactness discipline: with c1(v)/c2(v) the cumulative counts at
+    value v, D = max_v |c1/n1 - c2/n2| = max_v |n2*c1 - n1*c2| /
+    (n1*n2) — the numerator is a pure BIGINT order statistic (the
+    cross-multiplication trick the rank-selection oracles use), so the
+    max is order-free and the ONE division happens at the end under
+    round_half_up. Plan shape: one (source, value) rollup, one value
+    rollup, a broadcast |sources|-row grid joined against the value
+    spine, and per-source cumulative windows over the DISTINCT-VALUE
+    relation — the windows order value counts, never rows, so the
+    sort is bounded by the value domain (n_chars here; bucket
+    unbounded doubles first). Sources covering the whole corpus or
+    none of it are dropped by an integer predicate (n1, n2 > 0), the
+    KS statistic being undefined there."""
+    x = F.col(col).cast("long")
+    base = docs.select(F.col("source"), x.alias("v"))
+    gv = base.groupBy("v").agg(F.count(F.lit(1)).alias("c_all"))
+    sv = base.groupBy("source", "v").agg(F.count(F.lit(1)).alias("c_s"))
+    srcs = base.groupBy("source").agg(F.count(F.lit(1)).alias("n1"))
+    tot = base.agg(F.count(F.lit(1)).alias("n_total"))
+    grid = (
+        gv.crossJoin(F.broadcast(srcs))
+        .join(sv, ["source", "v"], "left")
+        .withColumn("c_s", F.coalesce("c_s", F.lit(0).cast("long")))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "source",
+        "n1",
+        F.sum("c_s").over(w).alias("cum_s"),
+        F.sum("c_all").over(w).alias("cum_all"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("n2", F.col("n_total") - F.col("n1"))
+        .where((F.col("n1") > 0) & (F.col("n2") > 0))
+        .groupBy("source", "n1", "n2")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("n2") * F.col("cum_s")
+                    - F.col("n1") * (F.col("cum_all") - F.col("cum_s"))
+                )
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+        .select(
+            "source",
+            "n1",
+            "n2",
+            "d_num",
+            round_half_up(
+                F.col("d_num") / (F.col("n1") * F.col("n2")), 6
+            ).alias("ks"),
+        )
+    )

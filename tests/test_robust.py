@@ -159,3 +159,39 @@ def test_survival_km_constructed_cohort(spark):
     assert d1["n_risk"] == 4 and d1["churned"] == 1 and d1["surv"] == 0.75
     d3 = out["2024-01-04"]  # n=3, 2 churn -> S = 0.75 * (1/3) = 0.25
     assert d3["n_risk"] == 3 and d3["churned"] == 2 and d3["surv"] == 0.25
+
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, "t", "en", s, n) for i, (s, n) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+
+
+def test_ks_source_drift_disjoint_and_identical(spark):
+    """Disjoint supports give KS = 1 (d_num = n1*n2); an identically
+    distributed source gives KS = 0 against its mirror."""
+    from pubsub_mapreduce_spark.operators.robust import ks_source_drift
+
+    rows = [("a", v) for v in (1, 2, 3, 4)] + [("b", v) for v in (5, 6, 7, 8)]
+    got = {r["source"]: r for r in ks_source_drift(_src_docs(spark, rows)).collect()}
+    assert got["a"]["d_num"] == 16 and got["a"]["ks"] == 1.0
+    assert got["b"]["ks"] == 1.0
+
+    same = [("a", v) for v in (1, 2)] + [("b", v) for v in (1, 2)]
+    got = {r["source"]: r for r in ks_source_drift(_src_docs(spark, same)).collect()}
+    assert got["a"]["d_num"] == 0 and got["a"]["ks"] == 0.0
+
+
+def test_ks_source_drift_hand_value(spark):
+    """Hand case: a = {1, 2}, rest = {2, 3}. Cumulatives at v = 1:
+    (1, 0); v = 2: (2, 1); v = 3: (2, 2) -> max |2*c1 - 2*c2| = 2,
+    KS = 2/4 = 0.5. Single-source corpora produce no rows (n2 = 0)."""
+    from pubsub_mapreduce_spark.operators.robust import ks_source_drift
+
+    rows = [("a", 1), ("a", 2), ("b", 2), ("b", 3)]
+    got = {r["source"]: r for r in ks_source_drift(_src_docs(spark, rows)).collect()}
+    assert got["a"]["d_num"] == 2 and got["a"]["ks"] == 0.5
+
+    solo = [("only", v) for v in (1, 2, 3)]
+    assert ks_source_drift(_src_docs(spark, solo)).count() == 0
