@@ -1300,3 +1300,71 @@ def test_hll_maintain_stream_equals_batch(spark, tmp_path):
         for r in estimates(spark, store).collect()
     }
     assert after == want
+
+
+def test_histogram_maintain_stream_equals_batch(spark, tmp_path):
+    """Streaming histogram maintenance over a 4-batch replay must be
+    BIT-EQUAL to the one-pass batch bucket counts (integer adds merge
+    exactly, the strongest member of the maintain family), the stored
+    table must answer the lower-median query, and a replayed batch
+    must be a no-op (ledger)."""
+    from pubsub_mapreduce_spark.io import load_tables
+    from pubsub_mapreduce_spark.streaming.histogram_maintain import (
+        HistogramMaintain,
+        histogram,
+        quantile_estimates,
+        start_histogram_maintain,
+    )
+    from tests.conftest import SF_SMALL
+
+    events = load_tables(spark, SF_SMALL)["events"].select(
+        "event_id", "event_type", "value"
+    )
+    rows = sorted(events.collect(), key=lambda r: r["event_id"])
+    d = tmp_path / "hist_replay"
+    d.mkdir()
+    chunk = (len(rows) + 3) // 4
+    for i in range(4):
+        spark.createDataFrame(
+            rows[i * chunk : (i + 1) * chunk], events.schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(d / f"f{i}"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/f*")
+    )
+    store = str(tmp_path / "hist_store")
+    q = start_histogram_maintain(stream, store, str(tmp_path / "hist_ckpt"))
+    assert q.awaitTermination(180)
+    q.stop()
+    got = {
+        (r["g"], r["bucket"]): r["cnt"]
+        for r in histogram(spark, store).collect()
+    }
+    cents = F.round(F.col("value") * 100).cast("long")
+    want = {
+        (r["g"], r["bucket"]): r["cnt"]
+        for r in events.select(
+            F.col("event_type").alias("g"),
+            ((cents - cents % 100) / 100).cast("long").alias("bucket"),
+        )
+        .groupBy("g", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    }
+    assert got == want and len(got) > 1
+    # the stored table answers the median query per group
+    med = {
+        r["g"]: r["quantile_bucket"]
+        for r in quantile_estimates(spark, store).collect()
+    }
+    assert set(med) == {g for g, _ in got}
+    # replayed batch: ledger makes it a no-op
+    HistogramMaintain(store)(
+        spark.createDataFrame(rows[:chunk], events.schema), 0
+    )
+    after = {
+        (r["g"], r["bucket"]): r["cnt"]
+        for r in histogram(spark, store).collect()
+    }
+    assert after == got
