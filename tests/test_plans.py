@@ -784,3 +784,36 @@ def test_hll_overlap_plan(spark):
     df = q("hll_overlap_users", spark)
     assert_no_cartesian(df)
     assert_broadcast_join(df, min_count=2)
+
+
+def test_ks_source_drift_value_spine_shuffles(spark):
+    """KS drift runs entirely on the distinct-value spine: two rollup
+    shuffles (value, source x value), the per-source count, the
+    source-partitioned cumulative window and the final rollup — 5
+    keyed exchanges, none of them row-sized after the first pair; the
+    |sources|-row grid and the 1-row total attach as broadcasts."""
+    df = q("ks_source_drift", spark)
+    assert keyed_shuffle_count(df) <= 5
+    assert_broadcast_join(df, min_count=2)
+    assert_no_cartesian(df)
+
+
+def test_edit_verify_rides_lsh_budget(spark):
+    """Levenshtein verification adds only the two doc-text joins on top
+    of the validated MinHash-LSH candidate pipeline — the pair source's
+    shuffle budget (12 keyed exchanges at this SF) must not grow, and
+    nothing may degenerate to a cartesian: the whole point is that the
+    quadratic DP runs per-candidate, never per-pair-of-docs."""
+    df = q("dedup_edit_verify", spark)
+    assert keyed_shuffle_count(df) <= 12
+    assert_no_cartesian(df)
+
+
+def test_retrieval_label_eval_broadcast_and_two_shuffles(spark):
+    """Label-retrieval eval: query side and label decoration broadcast;
+    only the per-query top-k window and the per-label rollup shuffle —
+    2 keyed exchanges for the whole eval."""
+    df = q("retrieval_label_eval", spark)
+    assert keyed_shuffle_count(df) <= 2
+    assert_broadcast_join(df, min_count=2)
+    assert_no_cartesian(df)
