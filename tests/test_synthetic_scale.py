@@ -340,3 +340,53 @@ def test_scrub_spans_conserves_chars_at_scale(spark, big_docs):
     assert bad == 0
     fully = out.where(F.col("doc_id") >= 3_000_000)
     assert fully.where(F.col("clean_text") != "").count() == 0
+
+
+def test_ks_drift_at_scale_detects_planted_shift(spark, big_docs):
+    """Shift one synthetic source's length distribution by +5000 chars
+    on 20k docs: that source's KS must dominate every unshifted source,
+    and the statistic must stay a valid probability (d_num <= n1*n2) —
+    the cross-multiplied integer form cannot overflow or leave [0,1]
+    at scale."""
+    from pubsub_mapreduce_spark.operators.robust import ks_source_drift
+
+    shifted = big_docs.withColumn(
+        "n_chars",
+        F.when(
+            F.col("source") == "src0", F.col("n_chars") + 5000
+        ).otherwise(F.col("n_chars")),
+    )
+    rows = ks_source_drift(shifted).collect()
+    by_src = {r["source"]: r for r in rows}
+    assert "src0" in by_src and len(by_src) > 2
+    top = max(rows, key=lambda r: r["ks"])
+    assert top["source"] == "src0" and top["ks"] > 0.9
+    assert all(0 <= r["d_num"] <= r["n1"] * r["n2"] for r in rows)
+
+
+def test_bfs_hops_at_scale_layers_are_consistent(spark, big_docs):
+    """BFS over a 20k-node synthetic graph (doc_id i -- i+1 chain plus
+    i -- 2i skips): hop counts must be monotone non-vacuous layers and
+    every reported hop must be <= max_hops — the level-set formulation
+    cannot emit a node beyond the frontier bound at any graph size."""
+    from pubsub_mapreduce_spark.operators.graph import bfs_hops
+
+    ids = big_docs.select(F.col("doc_id").alias("a")).where(
+        F.col("a") < 20_000
+    )
+    chain = ids.select("a", (F.col("a") + 1).alias("b")).where(
+        F.col("b") < 20_000
+    )
+    skips = ids.select("a", (F.col("a") * 2).alias("b")).where(
+        (F.col("b") < 20_000) & (F.col("a") > 0)
+    )
+    edges = chain.unionByName(skips)
+    got = bfs_hops(edges, max_hops=4).collect()
+    hops = {r["node"]: r["hop"] for r in got}
+    assert max(hops.values()) <= 4
+    layer_sizes = [
+        sum(1 for h in hops.values() if h == i) for i in range(5)
+    ]
+    assert layer_sizes[0] == 1 and all(s > 0 for s in layer_sizes[1:])
+    # frontier grows through the skip edges: deeper layers widen
+    assert layer_sizes[4] > layer_sizes[1]
