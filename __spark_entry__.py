@@ -481,6 +481,21 @@ def q_part_reach_hops(spark, sf_dir):
     return bfs_hops(edges, max_hops=4)
 
 
+def q_part_component_census(spark, sf_dir):
+    """Connected-component size histogram of the part co-purchase
+    graph (graph.component_size_histogram over copurchase_edges):
+    true transitive closure via the validated hybrid union-find /
+    min-label machinery, then counts-of-sizes — fixpoint recursive-CTE
+    oracle."""
+    from pubsub_mapreduce_spark.operators.graph import (
+        component_size_histogram,
+        copurchase_edges,
+    )
+
+    edges = copurchase_edges(load_tables(spark, sf_dir)["lineitem"], min_w=2)
+    return component_size_histogram(edges)
+
+
 def q_dedup_tfcosine(spark, sf_dir):
     """Bag-of-words tf-cosine similar pairs (dedup.tf_cosine_pairs) —
     integer dot/norms, sqrt-mirrored cosine."""
@@ -2456,6 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_label_eval": q_retrieval_label_eval,
         "dedup_edit_verify": q_dedup_edit_verify,
         "ks_source_drift": q_ks_source_drift,
+        "part_component_census": q_part_component_census,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -7488,6 +7504,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, n1, n2, d_num,
                floor(d_num * 1.0 / (n1 * n2) * 1e6 + 0.5) / 1e6 AS ks
         FROM d
+    """
+    out["part_component_census"] = """
+        WITH RECURSIVE e0 AS (
+          SELECT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem GROUP BY 1, 2),
+        ed AS (
+          SELECT x.pk AS a, y.pk AS b
+          FROM e0 x JOIN e0 y ON x.ok = y.ok AND x.pk < y.pk
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS (SELECT a AS u, b AS v FROM ed
+                UNION ALL SELECT b, a FROM ed),
+        n AS (SELECT DISTINCT u AS node FROM und),
+        reach AS (
+          SELECT node AS src, node AS dst FROM n
+          UNION
+          SELECT r.src, und.v AS dst FROM reach r JOIN und ON r.dst = und.u),
+        comp AS (SELECT src AS node, min(dst) AS component
+                 FROM reach GROUP BY 1),
+        sz AS (SELECT component, count(*) AS size FROM comp GROUP BY 1)
+        SELECT CAST(size AS BIGINT) AS size,
+               CAST(count(*) AS BIGINT) AS n_components,
+               CAST(size * count(*) AS BIGINT) AS n_nodes
+        FROM sz GROUP BY size
     """
     # Markov eval composes the validated transition oracle verbatim.
     out["markov_accuracy"] = f"""

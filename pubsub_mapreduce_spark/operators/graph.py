@@ -348,3 +348,40 @@ def bfs_hops(edges: DataFrame, max_hops: int = 4) -> DataFrame:
             level.select("node", F.lit(h).cast("int").alias("hop"))
         )
     return out.groupBy("node").agg(F.min("hop").alias("hop"))
+
+
+def component_size_histogram(edges: DataFrame) -> DataFrame:
+    """Component census over an undirected edge list: true transitive-
+    closure connected components (the hybrid driver-union-find /
+    distributed min-label machinery from ``dedup.connected_components``
+    — same cap, same convergence contract), rolled into a
+    counts-of-sizes histogram (size, n_components, n_nodes). The
+    one-number health check for any pairwise relation: a dedup pair
+    source whose largest component suddenly spans half the corpus, or
+    a co-purchase graph collapsing into one giant hairball, shows up
+    here before any downstream consumer breaks.
+
+    Scale shape: closure cost is the validated hybrid's (bounded
+    driver collect under the 5M-edge cap, per-round checkpointed
+    min-label loop above it); the census itself is two keyed rollups
+    over |nodes| then |components| rows — the histogram relation is
+    bounded by the number of DISTINCT sizes, which is at most
+    O(sqrt(n_nodes)) (sum of distinct sizes <= n). Exact integers
+    throughout."""
+    from .dedup import connected_components
+
+    comps = connected_components(edges, a="a", b="b")
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
+        .select(
+            "size",
+            "n_components",
+            (F.col("size") * F.col("n_components"))
+            .cast("long")
+            .alias("n_nodes"),
+        )
+    )

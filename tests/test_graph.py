@@ -91,3 +91,41 @@ def test_bfs_hops_seed_tiebreak_min_id(spark):
     e = spark.createDataFrame([(7, 8), (3, 9)], "a long, b long")
     got = {r["node"]: r["hop"] for r in bfs_hops(e.repartition(5)).collect()}
     assert got == {3: 0, 9: 1}
+
+
+def test_component_size_histogram_by_hand(spark):
+    """Two triangles, a chain of 3 and a lone pair: three size-3
+    components (the chain counts by reach, not by shape) plus one
+    size-2 — histogram {3: (3 comps, 9 nodes), 2: (1, 2)}."""
+    from pubsub_mapreduce_spark.operators.graph import (
+        component_size_histogram,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3),
+         (4, 5), (5, 6), (4, 6),
+         (10, 11),
+         (20, 21), (21, 22)],
+        "a long, b long",
+    )
+    got = {r["size"]: (r["n_components"], r["n_nodes"])
+           for r in component_size_histogram(e).collect()}
+    assert got == {3: (3, 9), 2: (1, 2)}
+
+
+def test_component_size_histogram_distributed_path(spark):
+    """Forcing the distributed min-label path (cap 0) must produce the
+    same census as the driver union-find."""
+    from pubsub_mapreduce_spark.operators.dedup import connected_components
+    from pyspark.sql import functions as F2
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "a long, b long"
+    )
+    dist = connected_components(e, max_driver_edges=0)
+    sizes = (
+        dist.groupBy("component").agg(F2.count(F2.lit(1)).alias("size"))
+        .groupBy("size").count()
+    )
+    got = {r["size"]: r["count"] for r in sizes.collect()}
+    assert got == {3: 2, 2: 1}
