@@ -148,3 +148,68 @@ def start_histogram_maintain(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def drift_alarms(
+    spark, store_dir: str, baseline: DataFrame, threshold: float = 0.25
+) -> DataFrame:
+    """Drift monitor on the maintained table: per-group total-variation
+    distance between the CURRENT histogram and a frozen baseline
+    (g, bucket, cnt) snapshot, plus an alarm verdict — the
+    streaming-side consumer the maintain loop exists for. A batch
+    pipeline freezes the baseline once (e.g. the histogram at model-
+    training time); each later call compares live ingest against it
+    without rescanning any history.
+
+    Same integer discipline as ``sketches.histogram_drift``: the TV
+    numerator is sum |n_base*c_cur - n_cur*c_base| over the unioned
+    bucket spine — exact int64 — divided once by 2*n_cur*n_base under
+    round_half_up. Groups missing from either side carry no defined
+    distance and are dropped by the integer n>0 predicates."""
+    from ..functions.text import round_half_up
+
+    z = F.lit(0).cast("long")
+    cur = histogram(spark, store_dir).select(
+        "g", "bucket", F.col("cnt").alias("c_cur")
+    )
+    base = baseline.select("g", "bucket", F.col("cnt").alias("c_base"))
+    joined = (
+        cur.join(base, ["g", "bucket"], "full_outer")
+        .select(
+            "g",
+            F.coalesce("c_cur", z).alias("c_cur"),
+            F.coalesce("c_base", z).alias("c_base"),
+        )
+    )
+    per_g = (
+        joined.groupBy("g")
+        .agg(
+            F.sum("c_cur").cast("long").alias("n_cur"),
+            F.sum("c_base").cast("long").alias("n_base"),
+        )
+    )
+    return (
+        joined.join(per_g, "g")
+        .where((F.col("n_cur") > 0) & (F.col("n_base") > 0))
+        .groupBy("g", "n_cur", "n_base")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("n_base") * F.col("c_cur")
+                    - F.col("n_cur") * F.col("c_base")
+                )
+            )
+            .cast("long")
+            .alias("tv_num")
+        )
+        .select(
+            "g",
+            "n_cur",
+            "n_base",
+            "tv_num",
+            round_half_up(
+                F.col("tv_num") / (2 * F.col("n_cur") * F.col("n_base")), 6
+            ).alias("tv"),
+        )
+        .withColumn("alarm", F.col("tv") > F.lit(threshold))
+    )

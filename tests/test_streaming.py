@@ -1368,3 +1368,31 @@ def test_histogram_maintain_stream_equals_batch(spark, tmp_path):
         for r in histogram(spark, store).collect()
     }
     assert after == got
+
+
+def test_histogram_drift_alarms_from_store(spark, tmp_path):
+    """Maintain a store from the fixture, then compare: against its own
+    batch histogram the TV distance is exactly 0 (bit-equal merge) and
+    no alarm fires; against a baseline shifted beyond the whole
+    bucket range every group alarms at TV 1.0 (disjoint supports)."""
+    from pubsub_mapreduce_spark.io import load_tables
+    from pubsub_mapreduce_spark.streaming.histogram_maintain import (
+        HistogramMaintain,
+        drift_alarms,
+        histogram,
+    )
+    from tests.conftest import SF_SMALL
+
+    events = load_tables(spark, SF_SMALL)["events"].select(
+        "event_type", "value"
+    )
+    store = str(tmp_path / "drift_store")
+    HistogramMaintain(store)(events, 0)
+    base = histogram(spark, store)
+    same = drift_alarms(spark, store, base).collect()
+    assert same and all(r["tv"] == 0.0 and not r["alarm"] for r in same)
+    shifted = base.select(
+        "g", (F.col("bucket") + 1000).alias("bucket"), "cnt"
+    )
+    moved = drift_alarms(spark, store, shifted).collect()
+    assert moved and all(r["tv"] == 1.0 and r["alarm"] for r in moved)
