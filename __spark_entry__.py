@@ -2150,6 +2150,14 @@ def q_dedup_edit_verify(spark, sf_dir):
     return dedup.edit_verify_pairs(load_tables(spark, sf_dir)["documents"])
 
 
+def q_pettitt_changepoint(spark, sf_dir):
+    """Rank-based Pettitt changepoint per event type
+    (robust.pettitt_changepoint): pure-integer U_t via the V_t
+    recursion (one calendar-bounded day-pair self-join + prefix-sum
+    window), earliest-day argmax tie-break."""
+    return RB.pettitt_changepoint(load_tables(spark, sf_dir)["events"])
+
+
 def q_ks_source_drift(spark, sf_dir):
     """Exact two-sample KS drift per source (robust.ks_source_drift):
     source-vs-rest distribution distance on doc length — BIGINT
@@ -2472,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit_verify": q_dedup_edit_verify,
         "ks_source_drift": q_ks_source_drift,
         "part_component_census": q_part_component_census,
+        "pettitt_changepoint": q_pettitt_changepoint,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -7527,6 +7536,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_components,
                CAST(size * count(*) AS BIGINT) AS n_nodes
         FROM sz GROUP BY size
+    """
+    out["pettitt_changepoint"] = """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        v AS (
+          SELECT a.event_type, a.d,
+                 CAST(sum(CASE WHEN a.cnt > b.cnt THEN 1
+                               WHEN a.cnt < b.cnt THEN -1
+                               ELSE 0 END) AS BIGINT) AS v
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.d <> b.d
+          GROUP BY 1, 2),
+        u AS (
+          SELECT event_type, d,
+                 sum(v) OVER (PARTITION BY event_type ORDER BY d) AS u,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY d) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM v),
+        c AS (
+          SELECT event_type, CAST(n AS BIGINT) AS n_days,
+                 strftime(d, '%Y-%m-%d') AS cp_day,
+                 CAST(abs(u) AS BIGINT) AS k_stat,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY abs(u) DESC, d ASC) AS p
+          FROM u WHERE rn < n)
+        SELECT event_type, n_days, cp_day, k_stat FROM c WHERE p = 1
     """
     # Markov eval composes the validated transition oracle verbatim.
     out["markov_accuracy"] = f"""

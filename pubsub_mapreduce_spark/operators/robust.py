@@ -1077,3 +1077,70 @@ def ks_source_drift(docs: DataFrame, col: str = "n_chars") -> DataFrame:
             ).alias("ks"),
         )
     )
+
+
+def pettitt_changepoint(events: DataFrame) -> DataFrame:
+    """Pettitt changepoint test per event type over the daily count
+    series: the rank-based (distribution-free) single-changepoint
+    locator — where did this metric's LEVEL shift? — complementing
+    CUSUM (which needs a target mean) and Theil-Sen (monotone trend,
+    not a step). Emits the split day t maximizing |U_t|, the statistic
+    K = max|U_t|, and the series length.
+
+    Exactness discipline: U_t = sum_{i<=t, j>t} sgn(x_i - x_j) is pure
+    integer; the O(n^2) double sum collapses through the Pettitt
+    recursion U_t = U_{t-1} + V_t with V_t = sum_{j != t}
+    sgn(x_t - x_j), so the plan is ONE within-type day-pair self-join
+    (|days|^2 per type — calendar-bounded regardless of event volume,
+    the same budget as daily_autocorr's lag join) for the V_t column,
+    then a prefix-sum window in day order. The argmax tie-breaks to
+    the EARLIEST day via a row_number over (|U| DESC, day ASC) — both
+    orderings integer/date, so the pick is engine-independent. t
+    ranges over 1..n-1 (U_n = 0 identically); single-day types have
+    no interior split and emit nothing. The day is emitted as an ISO
+    string (raw DATE host dtypes diverge cross-engine)."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    other = daily.select(
+        F.col("event_type").alias("tb"),
+        F.col("d").alias("db"),
+        F.col("cnt").alias("y"),
+    )
+    sgn = (
+        F.when(F.col("cnt") > F.col("y"), F.lit(1))
+        .when(F.col("cnt") < F.col("y"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    v = (
+        daily.join(
+            other,
+            (F.col("event_type") == F.col("tb"))
+            & (F.col("d") != F.col("db")),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum(sgn).cast("long").alias("v"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    u = v.select(
+        "event_type",
+        "d",
+        F.sum("v").over(wd).alias("u"),
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    ).where(F.col("rn") < F.col("n"))
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("u")).desc(), F.col("d").asc()
+    )
+    return (
+        u.withColumn("p", F.row_number().over(pick))
+        .where(F.col("p") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.date_format("d", "yyyy-MM-dd").alias("cp_day"),
+            F.abs(F.col("u")).cast("long").alias("k_stat"),
+        )
+    )

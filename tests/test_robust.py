@@ -195,3 +195,42 @@ def test_ks_source_drift_hand_value(spark):
 
     solo = [("only", v) for v in (1, 2, 3)]
     assert ks_source_drift(_src_docs(spark, solo)).count() == 0
+
+
+def test_pettitt_changepoint_planted_step(spark):
+    """Daily counts [1,1,1,1,9,9,9,9]: U_t = -4t for t <= 4 then
+    rebounds, so K = 16 at the 4th day — the exact Pettitt argmax —
+    and a single-day type emits nothing (no interior split)."""
+    import datetime as dt
+
+    from pubsub_mapreduce_spark.operators.robust import pettitt_changepoint
+
+    rows = []
+    for day in range(8):
+        n = 1 if day < 4 else 9
+        for i in range(n):
+            rows.append(
+                ("step", dt.datetime(2024, 1, 1 + day, 12, 0, i))
+            )
+    rows.append(("lonely", dt.datetime(2024, 1, 1, 0, 0, 0)))
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r["event_type"]: r for r in pettitt_changepoint(ev).collect()}
+    assert "lonely" not in got
+    r = got["step"]
+    assert (r["n_days"], r["cp_day"], r["k_stat"]) == (8, "2024-01-04", 16)
+
+
+def test_pettitt_changepoint_tie_breaks_earliest(spark):
+    """A symmetric two-level series makes |U_t| tie across the
+    plateau: the earliest tied day must win on both engines."""
+    import datetime as dt
+
+    from pubsub_mapreduce_spark.operators.robust import pettitt_changepoint
+
+    rows = []
+    for day, n in enumerate([1, 5, 1, 5]):
+        for i in range(n):
+            rows.append(("z", dt.datetime(2024, 2, 1 + day, 8, 0, i)))
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    (r,) = pettitt_changepoint(ev).collect()
+    assert r["k_stat"] >= 1 and r["cp_day"] == "2024-02-01"
