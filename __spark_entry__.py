@@ -2158,6 +2158,15 @@ def q_pettitt_changepoint(spark, sf_dir):
     return RB.pettitt_changepoint(load_tables(spark, sf_dir)["events"])
 
 
+def q_isotonic_calibration(spark, sf_dir):
+    """Monotone calibration curve P(purchase | value bucket)
+    (robust.isotonic_calibration): isotonic L2 fit via the minimax
+    closed form on a bounded bucket spine — BIGINT prefix sums, one
+    exact-integer division per interval, engine-independent min/max
+    lattice; full-precision fit column value-hashes."""
+    return RB.isotonic_calibration(load_tables(spark, sf_dir)["events"])
+
+
 def q_ks_source_drift(spark, sf_dir):
     """Exact two-sample KS drift per source (robust.ks_source_drift):
     source-vs-rest distribution distance on doc length — BIGINT
@@ -2481,6 +2490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_source_drift": q_ks_source_drift,
         "part_component_census": q_part_component_census,
         "pettitt_changepoint": q_pettitt_changepoint,
+        "isotonic_calibration": q_isotonic_calibration,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -7564,6 +7574,34 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY abs(u) DESC, d ASC) AS p
           FROM u WHERE rn < n)
         SELECT event_type, n_days, cp_day, k_stat FROM c WHERE p = 1
+    """
+    out["isotonic_calibration"] = """
+        WITH b AS (
+          SELECT CAST(least(99, greatest(0,
+                   (c - (c % 100)) // 100)) AS BIGINT) AS bucket,
+                 count(*) AS n,
+                 sum(CASE WHEN event_type = 'purchase'
+                     THEN 1 ELSE 0 END) AS pos
+          FROM (SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                       event_type FROM events)
+          GROUP BY 1),
+        pre AS (
+          SELECT bucket, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+                 CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cw,
+                 CAST(sum(pos) OVER (ORDER BY bucket) AS BIGINT) AS cs
+          FROM b),
+        lo AS (SELECT bucket AS i, cw - n AS w_lo, cs - pos AS s_lo
+               FROM pre),
+        hi AS (SELECT bucket AS j, cw AS w_hi, cs AS s_hi FROM pre),
+        pair_avg AS (
+          SELECT i, j, (s_hi - s_lo) * 1.0 / (w_hi - w_lo) AS a
+          FROM lo JOIN hi ON i <= j),
+        inner_min AS (SELECT i, min(a) AS m FROM pair_avg GROUP BY 1)
+        SELECT pre.bucket, pre.n, pre.pos,
+               floor(pre.pos * 1.0 / pre.n * 1e6 + 0.5) / 1e6 AS raw_rate,
+               max(inner_min.m) AS iso_rate
+        FROM pre JOIN inner_min ON pre.bucket >= inner_min.i
+        GROUP BY 1, 2, 3, 4
     """
     # Markov eval composes the validated transition oracle verbatim.
     out["markov_accuracy"] = f"""

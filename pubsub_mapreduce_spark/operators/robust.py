@@ -1144,3 +1144,90 @@ def pettitt_changepoint(events: DataFrame) -> DataFrame:
             F.abs(F.col("u")).cast("long").alias("k_stat"),
         )
     )
+
+
+def isotonic_calibration(
+    events: DataFrame,
+    positive: str = "purchase",
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration curve: empirical
+    P(positive event | value bucket) fitted under a monotonicity
+    constraint — the calibration step every score-driven sampler /
+    reward model needs before its scores can be read as probabilities.
+    Emits per bucket the raw rate and the isotonic fit.
+
+    Instead of the sequential pool-adjacent-violators loop (stateful,
+    order-dependent — hostile to both Catalyst and an SQL mirror), the
+    fit uses the MINIMAX closed form of isotonic L2 regression:
+    g(t) = max_{i<=t} min_{j>=i} avg(y_i..y_j), weighted by bucket
+    counts. All interval averages come from BIGINT prefix sums over
+    the bucket spine (<= n_buckets rows), the i x j expansion is a
+    self-join on that bounded relation (<= n_buckets^2 rows — a
+    constant, never data-sized), and each average is ONE division of
+    exact integers — bit-equal across engines — so the min/max lattice
+    over identical doubles is engine-independent and the whole curve
+    value-hashes. Raw rate is rounded once (round_half_up); the fit is
+    emitted at full double precision (identical bits both sides).
+
+    Scale: the only data-sized work is the first bucket rollup; the
+    value domain is clamped into [0, n_buckets-1] so the spine stays
+    bounded whatever the value distribution."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), (cents - (cents % 100)) / 100),
+    ).cast("long")
+    per_b = events.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            (F.col("event_type") == positive).cast("long")
+        ).alias("pos"),
+    )
+    wb = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = per_b.select(
+        "bucket",
+        "n",
+        "pos",
+        F.sum("n").over(wb).alias("cw"),
+        F.sum("pos").over(wb).alias("cs"),
+    ).localCheckpoint(eager=False)
+    lo = pre.select(
+        F.col("bucket").alias("i"),
+        (F.col("cw") - F.col("n")).alias("w_lo"),
+        (F.col("cs") - F.col("pos")).alias("s_lo"),
+    )
+    hi = pre.select(
+        F.col("bucket").alias("j"),
+        F.col("cw").alias("w_hi"),
+        F.col("cs").alias("s_hi"),
+    )
+    # avg(i..j) for every i <= j on the bounded spine: one division of
+    # exact integers per pair
+    pair_avg = (
+        lo.join(hi, F.col("i") <= F.col("j"))
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("s_hi") - F.col("s_lo"))
+                / (F.col("w_hi") - F.col("w_lo"))
+            ).alias("a"),
+        )
+    )
+    inner_min = pair_avg.groupBy("i").agg(F.min("a").alias("m"))
+    fit = (
+        pre.join(inner_min, F.col("bucket") >= F.col("i"))
+        .groupBy("bucket", "n", "pos")
+        .agg(F.max("m").alias("iso_rate"))
+    )
+    return fit.select(
+        "bucket",
+        "n",
+        "pos",
+        round_half_up(F.col("pos") / F.col("n"), 6).alias("raw_rate"),
+        "iso_rate",
+    )

@@ -234,3 +234,35 @@ def test_pettitt_changepoint_tie_breaks_earliest(spark):
     ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
     (r,) = pettitt_changepoint(ev).collect()
     assert r["k_stat"] >= 1 and r["cp_day"] == "2024-02-01"
+
+
+def test_isotonic_calibration_pools_violators(spark):
+    """Classic PAVA case: bucket rates [0.2 (1/5), 0.8 (4/5),
+    0.5 (5/10)] violate monotonicity at the last step; the isotonic
+    fit pools buckets 2-3 to 9/15 = 0.6 leaving [0.2, 0.6, 0.6] —
+    matches the minimax closed form by hand. A monotone curve must
+    come back unchanged."""
+    from pubsub_mapreduce_spark.operators.robust import isotonic_calibration
+
+    def ev(bucket, n, pos):
+        return [
+            ("purchase" if i < pos else "click", float(bucket) + 0.25)
+            for i in range(n)
+        ]
+
+    rows = ev(0, 5, 1) + ev(1, 5, 4) + ev(2, 10, 5)
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {
+        r["bucket"]: r for r in isotonic_calibration(df).collect()
+    }
+    assert [got[b]["iso_rate"] for b in (0, 1, 2)] == [0.2, 0.6, 0.6]
+    assert [got[b]["raw_rate"] for b in (0, 1, 2)] == [0.2, 0.8, 0.5]
+
+    mono = ev(0, 4, 0) + ev(1, 4, 2) + ev(2, 4, 4)
+    got2 = {
+        r["bucket"]: r
+        for r in isotonic_calibration(
+            spark.createDataFrame(mono, "event_type string, value double")
+        ).collect()
+    }
+    assert [got2[b]["iso_rate"] for b in (0, 1, 2)] == [0.0, 0.5, 1.0]
