@@ -2167,6 +2167,14 @@ def q_isotonic_calibration(spark, sf_dir):
     return RB.isotonic_calibration(load_tables(spark, sf_dir)["events"])
 
 
+def q_logrank_churn(spark, sf_dir):
+    """Pairwise log-rank test between event types' churn survival
+    (robust.logrank_test) — KM's significance companion. Every day
+    term is one division of BIGINT products; E1/V fold in day order on
+    both engines, so chi2 value-hashes at full precision."""
+    return RB.logrank_test(load_tables(spark, sf_dir)["events"])
+
+
 def q_ks_source_drift(spark, sf_dir):
     """Exact two-sample KS drift per source (robust.ks_source_drift):
     source-vs-rest distribution distance on doc length — BIGINT
@@ -2491,6 +2499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_component_census": q_part_component_census,
         "pettitt_changepoint": q_pettitt_changepoint,
         "isotonic_calibration": q_isotonic_calibration,
+        "logrank_churn": q_logrank_churn,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -7602,6 +7611,65 @@ def oracle_sql() -> dict[str, str]:
                max(inner_min.m) AS iso_rate
         FROM pre JOIN inner_min ON pre.bucket >= inner_min.i
         GROUP BY 1, 2, 3, 4
+    """
+    out["logrank_churn"] = """
+        WITH d0 AS (SELECT event_type AS g, user_id,
+                           CAST(ts AS DATE) AS day FROM events),
+        ul AS (SELECT g, user_id, min(day) AS f, max(day) AS l
+               FROM d0 GROUP BY 1, 2),
+        bounds AS (SELECT min(f) AS mn, max(l) AS mx FROM ul),
+        sparse AS (
+          SELECT g, day, CAST(sum(s) AS BIGINT) AS s,
+                 CAST(sum(d) AS BIGINT) AS d
+          FROM (
+            SELECT g, f AS day, 1 AS s, 0 AS d FROM ul
+            UNION ALL
+            SELECT g, l, 0,
+                   CASE WHEN l < (SELECT mx FROM bounds)
+                        THEN 1 ELSE 0 END
+            FROM ul)
+          GROUP BY 1, 2),
+        cal AS (
+          SELECT gg.g,
+                 CAST(unnest(generate_series(CAST(b.mn AS TIMESTAMP),
+                        CAST(b.mx AS TIMESTAMP),
+                        INTERVAL 1 DAY)) AS DATE) AS day
+          FROM (SELECT DISTINCT g FROM sparse) gg CROSS JOIN bounds b),
+        f AS (SELECT cal.g, cal.day, COALESCE(sp.s, 0) AS s,
+                     COALESCE(sp.d, 0) AS d
+              FROM cal LEFT JOIN sparse sp
+                ON sp.g = cal.g AND sp.day = cal.day),
+        nd AS (SELECT g, day, d,
+                      sum(s) OVER (PARTITION BY g ORDER BY day)
+                      - COALESCE(sum(d) OVER (PARTITION BY g ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS n
+               FROM f),
+        p AS (SELECT a.g AS g1, b.g AS g2, a.day,
+                     a.n AS n1, a.d AS d1, b.n AS n2, b.d AS d2
+              FROM nd a JOIN nd b ON a.day = b.day AND a.g < b.g),
+        t AS (SELECT g1, g2, day, d1, d2,
+                     ((d1 + d2) * n1) * 1.0 / (n1 + n2) AS e_term,
+                     ((d1 + d2) * n1 * n2
+                      * ((n1 + n2) - (d1 + d2))) * 1.0
+                     / ((n1 + n2) * (n1 + n2) * ((n1 + n2) - 1))
+                       AS v_term
+              FROM p
+              WHERE d1 + d2 > 0 AND n1 + n2 >= 2),
+        fd AS (SELECT g1, g2,
+                      CAST(sum(d1) AS BIGINT) AS o1,
+                      CAST(sum(d2) AS BIGINT) AS o2,
+                      list_reduce(list_prepend(0.0,
+                        list(e_term ORDER BY day)),
+                        (a, b) -> a + b) AS e1,
+                      list_reduce(list_prepend(0.0,
+                        list(v_term ORDER BY day)),
+                        (a, b) -> a + b) AS v
+               FROM t GROUP BY 1, 2)
+        SELECT g1, g2, o1, o2, e1, v,
+               (o1 - e1) * (o1 - e1) / v AS chi2,
+               (o1 - e1) * (o1 - e1) / v > 3.841 AS significant
+        FROM fd WHERE v > 0
     """
     # Markov eval composes the validated transition oracle verbatim.
     out["markov_accuracy"] = f"""

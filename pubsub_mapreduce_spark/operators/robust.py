@@ -1231,3 +1231,163 @@ def isotonic_calibration(
         round_half_up(F.col("pos") / F.col("n"), 6).alias("raw_rate"),
         "iso_rate",
     )
+
+
+def logrank_test(events: DataFrame, group: str = "event_type") -> DataFrame:
+    """Pairwise log-rank test between every pair of groups' churn
+    survival — the significance companion to ``survival_km``: KM draws
+    the curves, this says whether two of them differ beyond chance
+    (the standard A/B readout for retention experiments). Same churn
+    framing: a user's last active day is their event, censored on the
+    corpus's final day; staggered entry enters the risk set on the
+    user's first day (left truncation handled by the risk-set
+    definition itself).
+
+    Per pair, over the shared calendar spine: O1 = observed group-1
+    churns, E1 = sum over churn days of d_t*n1_t/n_t, V = sum of
+    d_t*n1_t*n2_t*(n_t-d_t) / (n_t^2*(n_t-1)), chi2 = (O1-E1)^2/V.
+    Exactness: every numerator/denominator is a BIGINT product, each
+    day's term is ONE division of exact integers (bit-equal doubles on
+    both engines), and the two sums fold in DAY ORDER via an aggregate
+    HOF over the sorted day array (oracle: single-field list_reduce
+    over a day-ordered list — no cross-field accumulator reads), so
+    E1/V/chi2 value-hash at full precision. Int64 headroom: the V
+    numerator d*n1*n2*(n-d) stays under 2^63 while n < ~55k users per
+    pair-day; larger cohorts should pre-scale (the fixture and any
+    per-day risk set this engine targets are far below).
+
+    Scale: one |rows|-sized user rollup (shared, checkpointed), then
+    everything is |groups x calendar-days| — the spine is an explode
+    of a literal date sequence, pairs come from a broadcast
+    |groups|^2 grid, and the folds run over per-pair day arrays
+    (calendar-bounded)."""
+    from pyspark.sql.functions import broadcast
+
+    d0 = events.select(group, "user_id", F.to_date("ts").alias("day"))
+    ul = (
+        d0.groupBy(group, "user_id")
+        .agg(F.min("day").alias("f"), F.max("day").alias("l"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = ul.agg(
+        F.min("f").alias("__mn"), F.max("l").alias("__mx")
+    )
+    ul2 = ul.join(broadcast(bounds))
+    sparse = (
+        ul2.select(
+            group,
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("f").alias("day"),
+                        F.lit(1).alias("s"),
+                        F.lit(0).alias("d"),
+                    ),
+                    F.struct(
+                        F.col("l").alias("day"),
+                        F.lit(0).alias("s"),
+                        (F.col("l") < F.col("__mx")).cast("int").alias("d"),
+                    ),
+                )
+            ).alias("x"),
+        )
+        .select(group, "x.day", "x.s", "x.d")
+        .groupBy(group, "day")
+        .agg(F.sum("s").alias("s"), F.sum("d").alias("d"))
+    )
+    cal = (
+        sparse.select(group)
+        .distinct()
+        .join(broadcast(bounds))
+        .select(
+            group,
+            F.explode(
+                F.expr("sequence(__mn, __mx, interval 1 day)")
+            ).alias("day"),
+        )
+    )
+    z = F.lit(0).cast("long")
+    full = (
+        cal.join(sparse, [group, "day"], "left")
+        .select(
+            group,
+            "day",
+            F.coalesce("s", z).alias("s"),
+            F.coalesce("d", z).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy(group)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wprev = (
+        Window.partitionBy(group)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nd = full.select(
+        group,
+        "day",
+        "d",
+        (
+            F.sum("s").over(w)
+            - F.coalesce(F.sum("d").over(wprev), z)
+        ).alias("n"),
+    ).localCheckpoint(eager=False)
+    a = nd.select(
+        F.col(group).alias("g1"),
+        "day",
+        F.col("n").alias("n1"),
+        F.col("d").alias("d1"),
+    )
+    b = nd.select(
+        F.col(group).alias("g2"),
+        F.col("day").alias("day2"),
+        F.col("n").alias("n2"),
+        F.col("d").alias("d2"),
+    )
+    pairs = a.join(
+        b, (F.col("day") == F.col("day2")) & (F.col("g1") < F.col("g2"))
+    )
+    n = F.col("n1") + F.col("n2")
+    d = F.col("d1") + F.col("d2")
+    terms = pairs.where((d > 0) & (n >= 2)).select(
+        "g1",
+        "g2",
+        "day",
+        "d1",
+        "d2",
+        (d * F.col("n1") / n).alias("e_term"),
+        (
+            (d * F.col("n1") * F.col("n2") * (n - d))
+            / (n * n * (n - 1))
+        ).alias("v_term"),
+    )
+    folded = terms.groupBy("g1", "g2").agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("d2").cast("long").alias("o2"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("day", "e_term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["e_term"],
+        ).alias("e1"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("day", "v_term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v_term"],
+        ).alias("v"),
+    )
+    chi2 = (F.col("o1") - F.col("e1")) * (
+        F.col("o1") - F.col("e1")
+    ) / F.col("v")
+    return folded.where(F.col("v") > 0).select(
+        "g1",
+        "g2",
+        "o1",
+        "o2",
+        "e1",
+        "v",
+        chi2.alias("chi2"),
+        (chi2 > F.lit(3.841)).alias("significant"),
+    )

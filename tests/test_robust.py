@@ -266,3 +266,49 @@ def test_isotonic_calibration_pools_violators(spark):
         ).collect()
     }
     assert [got2[b]["iso_rate"] for b in (0, 1, 2)] == [0.0, 0.5, 1.0]
+
+
+def test_logrank_identical_groups_not_significant(spark):
+    """Two groups with identical churn patterns: O1 = E1 exactly, so
+    chi2 = 0 and no significance — the null case by construction."""
+    import datetime as dt
+
+    from pubsub_mapreduce_spark.operators.robust import logrank_test
+
+    rows = []
+    for g in ("a", "b"):
+        for u in range(10):
+            churn_day = 3 if u < 5 else 6
+            rows.append((g, f"{g}{u}", dt.datetime(2024, 1, 1)))
+            rows.append((g, f"{g}{u}", dt.datetime(2024, 1, churn_day)))
+        rows.append((g, f"{g}_last", dt.datetime(2024, 1, 1)))
+        rows.append((g, f"{g}_last", dt.datetime(2024, 1, 8)))
+    ev = spark.createDataFrame(
+        rows, "event_type string, user_id string, ts timestamp"
+    )
+    (r,) = logrank_test(ev).collect()
+    assert (r["g1"], r["g2"]) == ("a", "b")
+    assert r["o1"] == r["o2"] == 10
+    assert r["chi2"] == 0.0 and not r["significant"]
+
+
+def test_logrank_detects_divergent_churn(spark):
+    """Group a churns everyone on day 1, group b survives to day 9:
+    the test must flag the difference as significant, and the censored
+    day-10 user must not count as a churn."""
+    import datetime as dt
+
+    from pubsub_mapreduce_spark.operators.robust import logrank_test
+
+    rows = [("a", f"a{u}", dt.datetime(2024, 2, 1)) for u in range(10)]
+    for u in range(10):
+        rows.append(("b", f"b{u}", dt.datetime(2024, 2, 1)))
+        rows.append(("b", f"b{u}", dt.datetime(2024, 2, 9)))
+    rows.append(("b", "b_censored", dt.datetime(2024, 2, 1)))
+    rows.append(("b", "b_censored", dt.datetime(2024, 2, 10)))
+    ev = spark.createDataFrame(
+        rows, "event_type string, user_id string, ts timestamp"
+    )
+    (r,) = logrank_test(ev).collect()
+    assert r["o1"] == 10 and r["o2"] == 10  # censored user excluded
+    assert r["significant"] and r["chi2"] > 10
