@@ -7506,7 +7506,7 @@ def oracle_sql() -> dict[str, str]:
     """
     out["ks_source_drift"] = """
         WITH base AS (SELECT source, CAST(n_chars AS BIGINT) AS v
-                      FROM documents),
+                      FROM documents WHERE n_chars IS NOT NULL),
         gv AS (SELECT v, count(*) AS c_all FROM base GROUP BY 1),
         sv AS (SELECT source, v, count(*) AS c_s FROM base GROUP BY 1, 2),
         srcs AS (SELECT source, count(*) AS n1 FROM base GROUP BY 1),
@@ -7559,7 +7559,7 @@ def oracle_sql() -> dict[str, str]:
     out["pettitt_changepoint"] = """
         WITH daily AS (
           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
-          FROM events GROUP BY 1, 2),
+          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
         v AS (
           SELECT a.event_type, a.d,
                  CAST(sum(CASE WHEN a.cnt > b.cnt THEN 1
@@ -7592,7 +7592,8 @@ def oracle_sql() -> dict[str, str]:
                  sum(CASE WHEN event_type = 'purchase'
                      THEN 1 ELSE 0 END) AS pos
           FROM (SELECT CAST(round(value * 100) AS BIGINT) AS c,
-                       event_type FROM events)
+                       event_type FROM events
+                WHERE value IS NOT NULL)
           GROUP BY 1),
         pre AS (
           SELECT bucket, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,

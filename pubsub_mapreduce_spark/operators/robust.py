@@ -1031,7 +1031,9 @@ def ks_source_drift(docs: DataFrame, col: str = "n_chars") -> DataFrame:
     none of it are dropped by an integer predicate (n1, n2 > 0), the
     KS statistic being undefined there."""
     x = F.col(col).cast("long")
-    base = docs.select(F.col("source"), x.alias("v"))
+    base = docs.select(F.col("source"), x.alias("v")).where(
+        F.col("v").isNotNull()
+    )
     gv = base.groupBy("v").agg(F.count(F.lit(1)).alias("c_all"))
     sv = base.groupBy("source", "v").agg(F.count(F.lit(1)).alias("c_s"))
     srcs = base.groupBy("source").agg(F.count(F.lit(1)).alias("n1"))
@@ -1099,7 +1101,7 @@ def pettitt_changepoint(events: DataFrame) -> DataFrame:
     ranges over 1..n-1 (U_n = 0 identically); single-day types have
     no interior split and emit nothing. The day is emitted as an ISO
     string (raw DATE host dtypes diverge cross-engine)."""
-    daily = events.groupBy(
+    daily = events.where(F.col("ts").isNotNull()).groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count(F.lit(1)).alias("cnt"))
     other = daily.select(
@@ -1178,7 +1180,9 @@ def isotonic_calibration(
         F.lit(n_buckets - 1),
         F.greatest(F.lit(0), (cents - (cents % 100)) / 100),
     ).cast("long")
-    per_b = events.groupBy(bucket.alias("bucket")).agg(
+    per_b = events.where(F.col("value").isNotNull()).groupBy(
+        bucket.alias("bucket")
+    ).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(
             (F.col("event_type") == positive).cast("long")
