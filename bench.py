@@ -242,6 +242,15 @@ BENCH_QUERIES = [
     "winnow_pairs",
     "forecast_backtest",
     "survival_km",
+    # late round-3 wave
+    "part_reach_hops",
+    "retrieval_label_eval",
+    "dedup_edit_verify",
+    "ks_source_drift",
+    "part_component_census",
+    "pettitt_changepoint",
+    "isotonic_calibration",
+    "logrank_churn",
 ]
 
 
