@@ -2175,6 +2175,14 @@ def q_logrank_churn(spark, sf_dir):
     return RB.logrank_test(load_tables(spark, sf_dir)["events"])
 
 
+def q_mwu_source_shift(spark, sf_dir):
+    """Mann-Whitney U shift test per source (robust.mwu_source_shift):
+    2*U1 as BIGINT on the distinct-value spine, rank-biserial effect
+    size (+1 offset), tie-corrected z at full precision — the
+    direction/magnitude companion to the KS drift test."""
+    return RB.mwu_source_shift(load_tables(spark, sf_dir)["documents"])
+
+
 def q_ks_source_drift(spark, sf_dir):
     """Exact two-sample KS drift per source (robust.ks_source_drift):
     source-vs-rest distribution distance on doc length — BIGINT
@@ -2500,6 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pettitt_changepoint": q_pettitt_changepoint,
         "isotonic_calibration": q_isotonic_calibration,
         "logrank_churn": q_logrank_churn,
+        "mwu_source_shift": q_mwu_source_shift,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -7671,6 +7680,53 @@ def oracle_sql() -> dict[str, str]:
                (o1 - e1) * (o1 - e1) / v AS chi2,
                (o1 - e1) * (o1 - e1) / v > 3.841 AS significant
         FROM fd WHERE v > 0
+    """
+    out["mwu_source_shift"] = """
+        WITH base AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+                      FROM documents WHERE n_chars IS NOT NULL),
+        gv AS (SELECT v, count(*) AS c_all FROM base GROUP BY 1),
+        sv AS (SELECT source, v, count(*) AS c_s FROM base GROUP BY 1, 2),
+        srcs AS (SELECT source, count(*) AS n1 FROM base GROUP BY 1),
+        consts AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_total,
+                          CAST(sum(c_all * c_all * c_all - c_all)
+                               AS BIGINT) AS tie_t
+                   FROM gv),
+        grid AS (SELECT srcs.source, srcs.n1, gv.v, gv.c_all,
+                        COALESCE(sv.c_s, 0) AS c_s
+                 FROM gv CROSS JOIN srcs
+                 LEFT JOIN sv ON sv.source = srcs.source AND sv.v = gv.v),
+        cum AS (SELECT source, n1, c_all, c_s,
+                       sum(c_all) OVER (PARTITION BY source ORDER BY v)
+                         - c_all AS less_all,
+                       sum(c_s) OVER (PARTITION BY source ORDER BY v)
+                         - c_s AS less_s
+                FROM grid),
+        agg AS (SELECT source, CAST(n1 AS BIGINT) AS n1,
+                       CAST(sum(c_s * (2 * (less_all - less_s)
+                                       + (c_all - c_s))) AS BIGINT)
+                         AS u1_x2
+                FROM cum GROUP BY 1, 2),
+        j AS (SELECT agg.*, consts.n_total, consts.tie_t,
+                     CAST(n_total - n1 AS BIGINT) AS n2,
+                     (n_total + 1) * n_total * (n_total - 1) - tie_t
+                       AS var_num
+              FROM agg CROSS JOIN consts)
+        SELECT source, n1, n2, u1_x2,
+               floor(u1_x2 * 1.0 / (n1 * n2) * 1e6 + 0.5) / 1e6
+                 AS rb_plus1,
+               ((u1_x2 - n1 * n2) / 2.0)
+               / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                      * CAST(var_num AS DOUBLE)
+                      / (12.0 * CAST(n_total AS DOUBLE)
+                         * CAST(n_total - 1 AS DOUBLE))) AS z,
+               abs(((u1_x2 - n1 * n2) / 2.0)
+                   / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                          * CAST(var_num AS DOUBLE)
+                          / (12.0 * CAST(n_total AS DOUBLE)
+                             * CAST(n_total - 1 AS DOUBLE)))) > 1.96
+                 AS significant
+        FROM j
+        WHERE n1 > 0 AND n2 > 0 AND var_num > 0
     """
     # Markov eval composes the validated transition oracle verbatim.
     out["markov_accuracy"] = f"""

@@ -1395,3 +1395,104 @@ def logrank_test(events: DataFrame, group: str = "event_type") -> DataFrame:
         chi2.alias("chi2"),
         (chi2 > F.lit(3.841)).alias("significant"),
     )
+
+
+def mwu_source_shift(docs: DataFrame, col: str = "n_chars") -> DataFrame:
+    """Mann-Whitney U shift test per source (source vs rest of corpus)
+    on ``col``, with the rank-biserial effect size and the tie-corrected
+    normal-approximation z — KS (``ks_source_drift``) answers "do the
+    distributions differ anywhere?"; this answers "is this source's
+    metric systematically LARGER or smaller, and by how much?" — the
+    direction and magnitude a mix rebalancer actually acts on.
+
+    Integer discipline: with ties, U is a half-integer, so the engine
+    carries 2*U1 = sum_v c1(v) * (2*rest_less(v) + rest_eq(v)) — pure
+    BIGINT on the same distinct-value spine as the KS op (windows
+    order value counts, never rows). The effect size ships as
+    rb_plus1 = 2*U1/(n1*n2) = rank-biserial r + 1 in [0, 2] — one
+    rounded division; the +1 offset sidesteps the -0.0 repr divergence
+    (type_correlation convention), and rb_plus1 > 1 reads "this
+    source's values run systematically larger than the rest".
+    The z-score's tie-corrected variance uses
+    the global tie term T = sum_v (c^3 - c): numerator
+    (n+1)n(n-1) - T stays int64 (n < ~2M rows), converted ONCE per
+    factor to double with an identical association order on both
+    engines, and sqrt is IEEE-correctly-rounded — so even z
+    value-hashes at full precision. Degenerate cases (empty side, all
+    values tied corpus-wide) are dropped by integer predicates."""
+    x = F.col(col).cast("long")
+    base = docs.select(F.col("source"), x.alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    gv = base.groupBy("v").agg(F.count(F.lit(1)).alias("c_all"))
+    sv = base.groupBy("source", "v").agg(F.count(F.lit(1)).alias("c_s"))
+    srcs = base.groupBy("source").agg(F.count(F.lit(1)).alias("n1"))
+    consts = gv.agg(
+        F.sum("c_all").cast("long").alias("n_total"),
+        F.sum(
+            F.col("c_all") * F.col("c_all") * F.col("c_all")
+            - F.col("c_all")
+        )
+        .cast("long")
+        .alias("tie_t"),
+    )
+    grid = (
+        gv.crossJoin(F.broadcast(srcs))
+        .join(sv, ["source", "v"], "left")
+        .withColumn("c_s", F.coalesce("c_s", F.lit(0).cast("long")))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "source",
+        "n1",
+        "c_all",
+        "c_s",
+        (F.sum("c_all").over(w) - F.col("c_all")).alias("less_all"),
+        (F.sum("c_s").over(w) - F.col("c_s")).alias("less_s"),
+    )
+    agg = (
+        cum.groupBy("source", "n1")
+        .agg(
+            F.sum(
+                F.col("c_s")
+                * (
+                    2 * (F.col("less_all") - F.col("less_s"))
+                    + (F.col("c_all") - F.col("c_s"))
+                )
+            )
+            .cast("long")
+            .alias("u1_x2")
+        )
+        .crossJoin(F.broadcast(consts))
+        .withColumn("n2", F.col("n_total") - F.col("n1"))
+    )
+    n = F.col("n_total")
+    var_num = (n + 1) * n * (n - 1) - F.col("tie_t")
+    z = (
+        (F.col("u1_x2") - F.col("n1") * F.col("n2")) / F.lit(2.0)
+    ) / F.sqrt(
+        F.col("n1").cast("double")
+        * F.col("n2").cast("double")
+        * var_num.cast("double")
+        / (F.lit(12.0) * n.cast("double") * (n - 1).cast("double"))
+    )
+    return (
+        agg.where(
+            (F.col("n1") > 0) & (F.col("n2") > 0) & (var_num > 0)
+        )
+        .select(
+            "source",
+            "n1",
+            "n2",
+            "u1_x2",
+            round_half_up(
+                F.col("u1_x2") / (F.col("n1") * F.col("n2")), 6
+            ).alias("rb_plus1"),
+            z.alias("z"),
+            (F.abs(z) > F.lit(1.96)).alias("significant"),
+        )
+    )

@@ -312,3 +312,41 @@ def test_logrank_detects_divergent_churn(spark):
     (r,) = logrank_test(ev).collect()
     assert r["o1"] == 10 and r["o2"] == 10  # censored user excluded
     assert r["significant"] and r["chi2"] > 10
+
+
+def test_mwu_source_shift_hand_values(spark):
+    """Source a = {1, 2}, rest = {3, 4}: every rest value beats every
+    a value, so 2*U1 = 0, rb_plus1 = 0 (maximally smaller) and z < 0;
+    flipping to a = {3, 4} gives 2*U1 = 2*n1*n2 = 8, rb_plus1 = 2.
+    A tie-only corpus (all values equal) emits nothing (var_num = 0)."""
+    from pubsub_mapreduce_spark.operators.robust import mwu_source_shift
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, "t", "en", s, n) for i, (s, n) in enumerate(rows)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars int",
+        )
+
+    low = [("a", 1), ("a", 2), ("b", 3), ("b", 4)]
+    got = {r["source"]: r for r in mwu_source_shift(docs(low)).collect()}
+    assert got["a"]["u1_x2"] == 0 and got["a"]["rb_plus1"] == 0.0
+    assert got["a"]["z"] < 0 and got["b"]["rb_plus1"] == 2.0
+
+    tied = [("a", 7), ("a", 7), ("b", 7), ("b", 7)]
+    assert mwu_source_shift(docs(tied)).count() == 0
+
+
+def test_mwu_source_shift_tie_half_credit(spark):
+    """A tie between a and rest contributes exactly half a pair:
+    a = {1, 2}, rest = {2, 3} -> 2*U1 = 2*#(a>rest) + #ties = 0 + 1,
+    rb_plus1 = 1/4."""
+    from pubsub_mapreduce_spark.operators.robust import mwu_source_shift
+
+    rows = [("a", 1), ("a", 2), ("b", 2), ("b", 3)]
+    df = spark.createDataFrame(
+        [(i, "t", "en", s, n) for i, (s, n) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    got = {r["source"]: r for r in mwu_source_shift(df).collect()}
+    assert got["a"]["u1_x2"] == 1 and got["a"]["rb_plus1"] == 0.25
