@@ -817,3 +817,39 @@ def test_retrieval_label_eval_broadcast_and_two_shuffles(spark):
     assert keyed_shuffle_count(df) <= 2
     assert_broadcast_join(df, min_count=2)
     assert_no_cartesian(df)
+
+
+def test_pettitt_calendar_bounded_shuffles(spark):
+    """Pettitt: the daily rollup, the day-pair V_t aggregate and the
+    prefix/argmax windows share 3 keyed exchanges; everything after
+    the rollup is calendar-sized."""
+    df = q("pettitt_changepoint", spark)
+    assert keyed_shuffle_count(df) <= 3
+    assert_no_cartesian(df)
+
+
+def test_isotonic_bounded_spine_shuffles(spark):
+    """Isotonic calibration: one data-sized bucket rollup, one
+    spine-sized exchange — the i x j expansion and the prefix sums
+    live on the <=100-row bucket spine, never on rows."""
+    df = q("isotonic_calibration", spark)
+    assert keyed_shuffle_count(df) <= 2
+
+
+def test_logrank_single_keyed_exchange(spark):
+    """Log-rank: the user rollup is the only row-sized pass; the
+    calendar spine, pair grid and day-ordered folds ride one keyed
+    exchange plus broadcasts."""
+    df = q("logrank_churn", spark)
+    assert keyed_shuffle_count(df) <= 1
+    assert_broadcast_join(df, min_count=2)
+
+
+def test_mwu_value_spine_shuffles(spark):
+    """Mann-Whitney U: same distinct-value-spine discipline as the KS
+    op — 6 keyed exchanges (two rollups, source counts, tie constants,
+    cumulative window, final aggregate), grid and constants broadcast."""
+    df = q("mwu_source_shift", spark)
+    assert keyed_shuffle_count(df) <= 6
+    assert_broadcast_join(df, min_count=2)
+    assert_no_cartesian(df)
