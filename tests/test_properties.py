@@ -191,3 +191,106 @@ def test_pack_shards_equals_sequential_scan(spark, ws, budget, nb):
     for k, w in rows:
         assert got[k] == cum // budget, (k, w, budget, nb)
         cum += w
+
+
+mwu_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 6)),
+    min_size=4,
+    max_size=24,
+).filter(lambda rs: len({s for s, _ in rs}) == 2)
+
+
+@PROP
+@given(rows=mwu_rows)
+def test_mwu_matches_bruteforce_pairs(spark, rows):
+    """2*U1 must equal the literal pair count 2*#(x>y) + #(x==y) for
+    every source against the rest, whatever the tie structure."""
+    from pubsub_mapreduce_spark.operators.robust import mwu_source_shift
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", s, v) for i, (s, v) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    got = {
+        r["source"]: r["u1_x2"] for r in mwu_source_shift(docs).collect()
+    }
+    for src in {s for s, _ in rows}:
+        mine = [v for s, v in rows if s == src]
+        rest = [v for s, v in rows if s != src]
+        brute = sum(
+            2 if x > y else (1 if x == y else 0)
+            for x in mine
+            for y in rest
+        )
+        all_tied = len({v for _, v in rows}) == 1
+        if all_tied:
+            assert src not in got  # var_num = 0 -> dropped
+        else:
+            assert got[src] == brute
+
+
+@PROP
+@given(rows=mwu_rows)
+def test_ks_matches_bruteforce_sup(spark, rows):
+    """The KS numerator must equal the brute-force sup over every
+    threshold of |n2*c1(v) - n1*c2(v)|."""
+    from pubsub_mapreduce_spark.operators.robust import ks_source_drift
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", s, v) for i, (s, v) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    got = {
+        r["source"]: r["d_num"] for r in ks_source_drift(docs).collect()
+    }
+    vals = sorted({v for _, v in rows})
+    for src in {s for s, _ in rows}:
+        mine = [v for s, v in rows if s == src]
+        rest = [v for s, v in rows if s != src]
+        brute = max(
+            abs(
+                len(rest) * sum(1 for x in mine if x <= t)
+                - len(mine) * sum(1 for y in rest if y <= t)
+            )
+            for t in vals
+        )
+        assert got[src] == brute
+
+
+pettitt_series = st.lists(st.integers(1, 5), min_size=2, max_size=10)
+
+
+@PROP
+@given(series=pettitt_series)
+def test_pettitt_matches_bruteforce_u(spark, series):
+    """K must equal max_t |sum_{i<=t, j>t} sgn(x_i - x_j)| over the
+    interior splits, with the earliest-day argmax."""
+    import datetime as dt
+
+    from pubsub_mapreduce_spark.operators.robust import pettitt_changepoint
+
+    rows = []
+    for day, n in enumerate(series):
+        for i in range(n):
+            rows.append(("t", dt.datetime(2024, 3, 1 + day, 10, 0, i)))
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    (r,) = pettitt_changepoint(ev).collect()
+    n = len(series)
+
+    def sgn(a, b):
+        return (a > b) - (a < b)
+
+    us = [
+        sum(
+            sgn(series[i], series[j])
+            for i in range(t + 1)
+            for j in range(t + 1, n)
+        )
+        for t in range(n - 1)
+    ]
+    k = max(abs(u) for u in us)
+    first = min(t for t, u in enumerate(us) if abs(u) == k)
+    assert r["k_stat"] == k
+    assert r["cp_day"] == (
+        dt.date(2024, 3, 1) + dt.timedelta(days=first)
+    ).isoformat()
