@@ -2183,6 +2183,13 @@ def q_mwu_source_shift(spark, sf_dir):
     return RB.mwu_source_shift(load_tables(spark, sf_dir)["documents"])
 
 
+def q_distinctive_tokens(spark, sf_dir):
+    """Distinctive vocabulary per source (textops.distinctive_tokens):
+    top-10 tokens by add-one-smoothed odds ratio in-source vs rest —
+    BIGINT products, one exact division, (odds DESC, term) ranking."""
+    return TX.distinctive_tokens(load_tables(spark, sf_dir)["documents"])
+
+
 def q_ks_source_drift(spark, sf_dir):
     """Exact two-sample KS drift per source (robust.ks_source_drift):
     source-vs-rest distribution distance on doc length — BIGINT
@@ -2509,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calibration": q_isotonic_calibration,
         "logrank_churn": q_logrank_churn,
         "mwu_source_shift": q_mwu_source_shift,
+        "distinctive_tokens": q_distinctive_tokens,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -7727,6 +7735,35 @@ def oracle_sql() -> dict[str, str]:
                  AS significant
         FROM j
         WHERE n1 > 0 AND n2 > 0 AND var_num > 0
+    """
+    out["distinctive_tokens"] = r"""
+        WITH st AS (
+          SELECT source, term, CAST(count(*) AS BIGINT) AS a
+          FROM (SELECT source,
+                       unnest(list_filter(string_split_regex(text, '\s+'),
+                                          t -> t <> '')) AS term
+                FROM documents)
+          GROUP BY 1, 2),
+        tot AS (SELECT source, CAST(sum(a) AS BIGINT) AS a_tot
+                FROM st GROUP BY 1),
+        gt AS (SELECT term, CAST(sum(a) AS BIGINT) AS t_all
+               FROM st GROUP BY 1),
+        gtot AS (SELECT CAST(sum(a) AS BIGINT) AS all_tot FROM st),
+        scored AS (
+          SELECT st.source, st.term, st.a,
+                 gt.t_all - st.a AS b,
+                 ((st.a + 1)
+                  * (all_tot - a_tot - (gt.t_all - st.a) + 1)) * 1.0
+                 / ((gt.t_all - st.a + 1) * (a_tot - st.a + 1)) AS odds
+          FROM st JOIN gt USING (term) JOIN tot USING (source)
+               CROSS JOIN gtot
+          WHERE gt.t_all >= 5),
+        r AS (SELECT *, row_number() OVER (PARTITION BY source
+                  ORDER BY odds DESC, term ASC) AS rnk
+              FROM scored)
+        SELECT source, CAST(rnk AS INTEGER) AS rnk, term, a, b,
+               floor(odds * 1e6 + 0.5) / 1e6 AS odds_r
+        FROM r WHERE rnk <= 10
     """
     # Markov eval composes the validated transition oracle verbatim.
     out["markov_accuracy"] = f"""

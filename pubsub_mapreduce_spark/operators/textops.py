@@ -1233,3 +1233,75 @@ def contamination_report(
             ),
         )
     )
+
+
+def distinctive_tokens(
+    docs: DataFrame, k: int = 10, min_df: int = 5
+) -> DataFrame:
+    """Distinctive vocabulary per source: the top-``k`` tokens ranked
+    by add-one-smoothed odds ratio of in-source vs rest-of-corpus
+    frequency — the corpus-comparison readout (Monroe et al.'s
+    "Fightin' Words" family) that tells a mix curator WHAT makes a feed
+    different, where `ks_source_drift`/`mwu_source_shift` only say THAT
+    it differs. ``min_df`` drops hapax noise before ranking.
+
+    Exactness: odds = ((a+1)*(B-b+1)) / ((b+1)*(A-a+1)) with a/b the
+    in/out token counts and A/B the in/out totals — both products are
+    BIGINT (headroom to ~3e9 tokens per side; larger corpora should
+    pre-aggregate counts per shard), the score is ONE division of
+    exact integers (bit-equal doubles), and the per-source top-k
+    row_number orders by (odds DESC, term ASC) — engine-independent.
+    Plan: one tokenize-explode pass rolled up to (source, term) —
+    |vocab x sources| rows — a broadcast |sources|-row totals join,
+    and a per-source window over vocab rows, never token rows."""
+    from pyspark.sql import Window
+
+    st = (
+        widen(docs, 8)
+        .select("source", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    tot = st.groupBy("source").agg(F.sum("a").cast("long").alias("a_tot"))
+    gt = st.groupBy("term").agg(
+        F.sum("a").cast("long").alias("t_all")
+    )
+    gtot = st.agg(F.sum("a").cast("long").alias("all_tot"))
+    scored = (
+        st.join(gt, "term")
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(gtot))
+        .where(F.col("t_all") >= min_df)
+        .select(
+            "source",
+            "term",
+            F.col("a").cast("long").alias("a"),
+            (F.col("t_all") - F.col("a")).cast("long").alias("b"),
+            (
+                (
+                    (F.col("a") + 1)
+                    * (F.col("all_tot") - F.col("a_tot")
+                       - (F.col("t_all") - F.col("a")) + 1)
+                )
+                / (
+                    (F.col("t_all") - F.col("a") + 1)
+                    * (F.col("a_tot") - F.col("a") + 1)
+                )
+            ).alias("odds"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("odds").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "source",
+            "rnk",
+            "term",
+            "a",
+            "b",
+            rh(F.col("odds"), 6).alias("odds_r"),
+        )
+    )

@@ -304,3 +304,32 @@ def test_edit_verify_flags_reshuffled_paragraphs(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r["edit_dist"] > 0 and r["rel_edit"] > 0.4 and not r["is_dup"]
+
+
+def test_distinctive_tokens_surfaces_exclusive_vocab(spark):
+    """A token appearing only in one source must top that source's
+    distinctive list, with the hand-computed smoothed odds; shared
+    uniform vocabulary ranks below it, and sub-min_df tokens never
+    appear."""
+    from pubsub_mapreduce_spark.operators.textops import distinctive_tokens
+
+    common = "alpha beta gamma delta epsilon"
+    rows = []
+    for i in range(5):
+        rows.append((common + " zebra zebra", "en"))   # source s (set below)
+    for i in range(5):
+        rows.append((common + " quux quux", "en"))
+    docs = spark.createDataFrame(
+        [(i, t, lang, "sa" if i < 5 else "sb", len(t))
+         for i, (t, lang) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    got = distinctive_tokens(docs, k=3, min_df=5).collect()
+    top = {r["source"]: r for r in got if r["rnk"] == 1}
+    assert top["sa"]["term"] == "zebra" and top["sb"]["term"] == "quux"
+    # hand-check sa/zebra: a=10, b=0, a_tot=35, rest_tot=35
+    # odds = (11 * (35 - 0 + 1)) / ((0 + 1) * (35 - 10 + 1)) = 396/26
+    assert top["sa"]["a"] == 10 and top["sa"]["b"] == 0
+    assert top["sa"]["odds_r"] == round(396 / 26, 6)
+    # rare token (df < 5) is ineligible even though exclusive
+    assert all(r["term"] not in {"rare"} for r in got)
