@@ -251,6 +251,8 @@ BENCH_QUERIES = [
     "pettitt_changepoint",
     "isotonic_calibration",
     "logrank_churn",
+    "mwu_source_shift",
+    "distinctive_tokens",
 ]
 
 
