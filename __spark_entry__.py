@@ -2190,6 +2190,15 @@ def q_distinctive_tokens(spark, sf_dir):
     return TX.distinctive_tokens(load_tables(spark, sf_dir)["documents"])
 
 
+def q_aqp_revenue_check(spark, sf_dir):
+    """Sampling-based approximate SUM with a measured error column
+    (sampling.aqp_sum_check): 5% md5-hash sample, integer estimate,
+    err_ppm via one BIGINT division, within_tol verdict — the
+    BlinkDB-style shortcut with its own accuracy audit, every column
+    exactly mirrored (deterministic sample, no bound-check carve-out)."""
+    return SM.aqp_sum_check(load_tables(spark, sf_dir)["lineitem"])
+
+
 def q_ks_source_drift(spark, sf_dir):
     """Exact two-sample KS drift per source (robust.ks_source_drift):
     source-vs-rest distribution distance on doc length — BIGINT
@@ -2517,6 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logrank_churn": q_logrank_churn,
         "mwu_source_shift": q_mwu_source_shift,
         "distinctive_tokens": q_distinctive_tokens,
+        "aqp_revenue_check": q_aqp_revenue_check,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -7764,6 +7774,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, CAST(rnk AS INTEGER) AS rnk, term, a, b,
                floor(odds * 1e6 + 0.5) / 1e6 AS odds_r
         FROM r WHERE rnk <= 10
+    """
+    out["aqp_revenue_check"] = """
+        WITH base AS (
+          SELECT l_returnflag AS flag,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+                 ('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
+                      AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+          FROM lineitem),
+        e AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(c) AS BIGINT) AS exact_cents
+              FROM base GROUP BY 1),
+        s AS (SELECT flag, CAST(count(*) AS BIGINT) AS n_sample,
+                     CAST(sum(c) * 20 AS BIGINT) AS est_cents
+              FROM base WHERE bucket < 5 GROUP BY 1)
+        SELECT e.flag, n, n_sample, exact_cents, est_cents,
+               CAST(floor(abs(est_cents - exact_cents) * 1.0
+                          / exact_cents * 1e6 + 0.5) AS BIGINT) AS err_ppm,
+               CAST(floor(abs(est_cents - exact_cents) * 1.0
+                          / exact_cents * 1e6 + 0.5) AS BIGINT) <= 50000
+                 AS within_tol
+        FROM e JOIN s USING (flag)
+        WHERE exact_cents > 0
     """
     # Markov eval composes the validated transition oracle verbatim.
     out["markov_accuracy"] = f"""

@@ -554,3 +554,62 @@ def dsir_score(
             6,
         ).alias("importance"),
     )
+
+
+def aqp_sum_check(
+    lineitem: DataFrame, pct: int = 5, tol_ppm: int = 50_000
+) -> DataFrame:
+    """Approximate-query-processing readout: per return flag, estimate
+    SUM(extendedprice) from a deterministic ``pct``% hash sample and
+    report the measured error against the exact sum — the BlinkDB-style
+    "scan 5%, answer within tolerance" capability, with the error
+    CLAIM itself a first-class, exactly-checkable column (the sampling
+    is ``hash_bucket`` membership, so both the sample and therefore
+    the estimate are pure integers any engine reproduces — no
+    bound-check carve-out needed, every column value-hashes).
+
+    est = sample_cents * (100/pct) (integer), err_ppm =
+    round(|est - exact| * 1e6 / exact) via one division of BIGINTs,
+    within_tol = err_ppm <= tol_ppm. At 100TB this is the point: the
+    5% scan is ~20x cheaper and the report says per group whether the
+    shortcut held. Scale shape: two partial-agg rollups (full + the
+    filter-pushed sample — Catalyst prunes to the same single scan
+    when both sides share it; here they are two scans of the same
+    table, each map-side combined)."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    base = lineitem.select(
+        F.col("l_returnflag").alias("flag"),
+        cents.alias("c"),
+        hash_bucket(F.col("l_orderkey") * 10 + F.col("l_linenumber")),
+    )
+    exact = base.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("exact_cents"),
+    )
+    samp = (
+        base.where(F.col("bucket") < pct)
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sample"),
+            (F.sum("c") * (100 // pct)).cast("long").alias("est_cents"),
+        )
+    )
+    err_ppm = F.floor(
+        F.abs(F.col("est_cents") - F.col("exact_cents"))
+        / F.col("exact_cents")
+        * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        exact.join(samp, "flag")
+        .where(F.col("exact_cents") > 0)
+        .select(
+            "flag",
+            "n",
+            "n_sample",
+            "exact_cents",
+            "est_cents",
+            err_ppm.alias("err_ppm"),
+            (err_ppm <= F.lit(tol_ppm)).alias("within_tol"),
+        )
+    )

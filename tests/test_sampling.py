@@ -137,3 +137,39 @@ def test_oversample_replication_counts(spark, tables):
         F.sort_array(F.collect_list("copy")).alias("c")
     ).first()["c"]
     assert copies == [0, 1, 2]
+
+
+def test_aqp_sum_check_matches_hashlib_reference(spark):
+    """est_cents must equal 20x the cents sum over exactly the rows
+    whose md5 line-key bucket < 5 (recomputed with hashlib), and
+    err_ppm must follow from the integer formula."""
+    import hashlib
+    import math
+
+    from pubsub_mapreduce_spark.operators.sampling import aqp_sum_check
+
+    rows = [
+        (k, ln, "A", float(100 + (k * 7 + ln) % 50) + 0.25)
+        for k in range(1, 40)
+        for ln in (1, 2)
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_returnflag string,"
+        " l_extendedprice double",
+    )
+    (r,) = aqp_sum_check(li).collect()
+
+    def bucket(k, ln):
+        h = hashlib.md5(str(k * 10 + ln).encode()).hexdigest()[:8]
+        return int(h, 16) % 100
+
+    cents = {(k, ln): round(v * 100) for k, ln, _, v in rows}
+    exact = sum(cents.values())
+    sampled = [c for (k, ln), c in cents.items() if bucket(k, ln) < 5]
+    assert r["n"] == len(rows) and r["exact_cents"] == exact
+    assert r["n_sample"] == len(sampled)
+    assert r["est_cents"] == 20 * sum(sampled)
+    err = math.floor(abs(r["est_cents"] - exact) / exact * 1e6 + 0.5)
+    assert r["err_ppm"] == err
+    assert r["within_tol"] == (err <= 50_000)
