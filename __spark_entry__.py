@@ -2199,6 +2199,13 @@ def q_aqp_revenue_check(spark, sf_dir):
     return SM.aqp_sum_check(load_tables(spark, sf_dir)["lineitem"])
 
 
+def q_rolling_wau(spark, sf_dir):
+    """DAU + trailing-7-day WAU per day (relational.rolling_wau):
+    sliding distinct via the explode trick — two dedups and a count,
+    all mergeable; report days clamped to the corpus max."""
+    return R.rolling_wau(load_tables(spark, sf_dir))
+
+
 def q_ks_source_drift(spark, sf_dir):
     """Exact two-sample KS drift per source (robust.ks_source_drift):
     source-vs-rest distribution distance on doc length — BIGINT
@@ -2527,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwu_source_shift": q_mwu_source_shift,
         "distinctive_tokens": q_distinctive_tokens,
         "aqp_revenue_check": q_aqp_revenue_check,
+        "rolling_wau": q_rolling_wau,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -7796,6 +7804,23 @@ def oracle_sql() -> dict[str, str]:
                  AS within_tol
         FROM e JOIN s USING (flag)
         WHERE exact_cents > 0
+    """
+    out["rolling_wau"] = """
+        WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                    FROM events WHERE ts IS NOT NULL),
+        b AS (SELECT max(day) AS mx FROM du),
+        ex AS (SELECT DISTINCT user_id,
+                      CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+                           CAST(day + INTERVAL 6 DAY AS TIMESTAMP),
+                           INTERVAL 1 DAY)) AS DATE) AS d
+               FROM du),
+        w AS (SELECT ex.d, CAST(count(*) AS BIGINT) AS wau
+              FROM ex CROSS JOIN b WHERE ex.d <= b.mx GROUP BY 1),
+        dau AS (SELECT day AS d, CAST(count(*) AS BIGINT) AS dau
+                FROM du GROUP BY 1)
+        SELECT strftime(w.d, '%Y-%m-%d') AS day,
+               COALESCE(dau.dau, 0) AS dau, w.wau
+        FROM w LEFT JOIN dau ON dau.d = w.d
     """
     # Markov eval composes the validated transition oracle verbatim.
     out["markov_accuracy"] = f"""

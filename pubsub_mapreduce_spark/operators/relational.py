@@ -2605,3 +2605,57 @@ def ab_health(
         round_half_up(srm, 6).alias("chi2_srm"),
         (srm > 3.841).alias("srm_flag"),
     )
+
+
+def rolling_wau(t: Tables, window_days: int = 7) -> DataFrame:
+    """Rolling active users: per day, the DAU and the trailing-7-day
+    WAU — the engagement pair every growth dashboard leads with. A
+    sliding distinct-count is NOT window-decomposable (users repeat
+    across days), so the exact form rides the explode trick: each
+    distinct (user, active-day) pair contributes to the ``window_days``
+    report days it covers, a second distinct collapses multi-active
+    users within a window, and a plain count per report day finishes —
+    turning "distinct over a sliding window" into two dedups and a
+    count, all mergeable. Report days past the corpus's last day are
+    clamped (broadcast 1-row max), so the curve never claims windows
+    the data can't see; days are emitted as ISO strings.
+
+    Scale: the first dedup collapses event volume to |users x
+    active-days|; the explode multiplies that by the constant
+    ``window_days``; everything downstream is day-keyed. Exact
+    integers throughout."""
+    from pyspark.sql.functions import broadcast
+
+    ev = t["events"]
+    du = (
+        ev.where(F.col("ts").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    mx = du.agg(F.max("day").alias("__mx"))
+    ex = (
+        du.select(
+            "user_id",
+            F.explode(
+                F.expr(
+                    f"sequence(day, date_add(day, {window_days - 1}),"
+                    " interval 1 day)"
+                )
+            ).alias("d"),
+        )
+        .join(broadcast(mx), F.col("d") <= F.col("__mx"))
+        .select("user_id", "d")
+        .distinct()
+    )
+    wau = ex.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    dau = du.groupBy(F.col("day").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    return (
+        wau.join(dau, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("dau", F.lit(0).cast("long")).alias("dau"),
+            "wau",
+        )
+    )

@@ -333,3 +333,27 @@ def test_distinctive_tokens_surfaces_exclusive_vocab(spark):
     assert top["sa"]["odds_r"] == round(396 / 26, 6)
     # rare token (df < 5) is ineligible even though exclusive
     assert all(r["term"] not in {"rare"} for r in got)
+
+
+def test_rolling_wau_hand_case(spark):
+    """u1 active day 1, u2 active days 1 and 3: DAU = [2, 0, 1]; WAU
+    at day 3 counts both users once (u2's two active days collapse),
+    and trailing windows extend coverage to day 7 (clamped at the
+    corpus max = day 3 here, so report days stop at day 3)."""
+    import datetime as dt
+
+    from pubsub_mapreduce_spark.operators.relational import rolling_wau
+
+    rows = [
+        (1, dt.datetime(2024, 5, 1, 9)),
+        (2, dt.datetime(2024, 5, 1, 10)),
+        (2, dt.datetime(2024, 5, 3, 11)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["day"]: (r["dau"], r["wau"])
+           for r in rolling_wau({"events": ev}).collect()}
+    assert got == {
+        "2024-05-01": (2, 2),
+        "2024-05-02": (0, 2),
+        "2024-05-03": (1, 2),
+    }
