@@ -253,6 +253,8 @@ BENCH_QUERIES = [
     "logrank_churn",
     "mwu_source_shift",
     "distinctive_tokens",
+    "aqp_revenue_check",
+    "rolling_wau",
 ]
 
 
