@@ -2206,6 +2206,19 @@ def q_rolling_wau(spark, sf_dir):
     return R.rolling_wau(load_tables(spark, sf_dir))
 
 
+def q_part_recommendations(spark, sf_dir):
+    """Item-item CF top-5 per part from the co-purchase graph
+    (graph.item_cf_recs): co-occurrence cosine over BIGINT weighted
+    degrees, sqrt-mirrored, engine-independent (sim DESC, rec) rank."""
+    from pubsub_mapreduce_spark.operators.graph import (
+        copurchase_edges,
+        item_cf_recs,
+    )
+
+    edges = copurchase_edges(load_tables(spark, sf_dir)["lineitem"], min_w=2)
+    return item_cf_recs(edges)
+
+
 def q_ks_source_drift(spark, sf_dir):
     """Exact two-sample KS drift per source (robust.ks_source_drift):
     source-vs-rest distribution distance on doc length — BIGINT
@@ -2535,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinctive_tokens": q_distinctive_tokens,
         "aqp_revenue_check": q_aqp_revenue_check,
         "rolling_wau": q_rolling_wau,
+        "part_recommendations": q_part_recommendations,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -7821,6 +7835,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT strftime(w.d, '%Y-%m-%d') AS day,
                COALESCE(dau.dau, 0) AS dau, w.wau
         FROM w LEFT JOIN dau ON dau.d = w.d
+    """
+    out["part_recommendations"] = """
+        WITH e0 AS (
+          SELECT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem GROUP BY 1, 2),
+        ed AS (
+          SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS w
+          FROM e0 x JOIN e0 y ON x.ok = y.ok AND x.pk < y.pk
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS (SELECT a, b, w FROM ed
+                UNION ALL SELECT b, a, w FROM ed),
+        deg AS (SELECT a, CAST(sum(w) AS BIGINT) AS s
+                FROM und GROUP BY 1),
+        scored AS (
+          SELECT und.a AS item, und.b AS rec, und.w,
+                 und.w / sqrt(CAST(da.s * db.s AS DOUBLE)) AS sim
+          FROM und JOIN deg da ON da.a = und.a
+                   JOIN deg db ON db.a = und.b),
+        r AS (SELECT *, row_number() OVER (PARTITION BY item
+                  ORDER BY sim DESC, rec ASC) AS rnk
+              FROM scored)
+        SELECT item, CAST(rnk AS INTEGER) AS rnk, rec, w,
+               floor(sim * 1e6 + 0.5) / 1e6 AS sim_r
+        FROM r WHERE rnk <= 5
     """
     # Markov eval composes the validated transition oracle verbatim.
     out["markov_accuracy"] = f"""

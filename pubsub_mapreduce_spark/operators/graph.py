@@ -385,3 +385,60 @@ def component_size_histogram(edges: DataFrame) -> DataFrame:
             .alias("n_nodes"),
         )
     )
+
+
+def item_cf_recs(edges: DataFrame, k: int = 5) -> DataFrame:
+    """Item-item collaborative-filtering recommendations from the
+    weighted co-purchase graph: for every part, the top-``k`` most
+    similar parts by co-occurrence cosine sim(a,b) =
+    w_ab / sqrt(s_a * s_b), where s_x is x's weighted degree — the
+    classic "customers who bought X also bought" readout, computed
+    entirely from the edge list (no user-item matrix materialized).
+
+    Exactness: w and the degrees are BIGINT sums; the degree product
+    is one int64 multiply and the score one division by an
+    IEEE-correctly-rounded sqrt — bit-equal doubles, so the
+    (sim DESC, neighbor ASC) top-k ordering is engine-independent and
+    the rounded score value-hashes. Scale: degrees are one keyed
+    rollup over edges; scoring decorates each edge twice via the
+    degree relation (broadcast when |parts| is small, shuffle-join
+    otherwise — Catalyst's call); the per-item window orders each
+    item's neighbor list only."""
+    und = edges.select("a", "b", "w").union(
+        edges.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+        )
+    )
+    deg = und.groupBy("a").agg(F.sum("w").cast("long").alias("s"))
+    scored = (
+        und.join(deg.select(F.col("a"), F.col("s").alias("sa")), "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("s").alias("sb")),
+            "b",
+        )
+        .select(
+            F.col("a").alias("item"),
+            F.col("b").alias("rec"),
+            F.col("w").cast("long").alias("w"),
+            (
+                F.col("w")
+                / F.sqrt((F.col("sa") * F.col("sb")).cast("double"))
+            ).alias("sim"),
+        )
+    )
+    win = Window.partitionBy("item").orderBy(
+        F.col("sim").desc(), F.col("rec").asc()
+    )
+    from ..functions.text import round_half_up
+
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .where(F.col("rnk") <= k)
+        .select(
+            "item",
+            "rnk",
+            "rec",
+            "w",
+            round_half_up(F.col("sim"), 6).alias("sim_r"),
+        )
+    )

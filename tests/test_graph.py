@@ -129,3 +129,21 @@ def test_component_size_histogram_distributed_path(spark):
     )
     got = {r["size"]: r["count"] for r in sizes.collect()}
     assert got == {3: 2, 2: 1}
+
+
+def test_item_cf_recs_hand_cosines(spark):
+    """Edges 1-2 (w=4) and 1-3 (w=1): degrees s1=5, s2=4, s3=1, so
+    sim(1,2) = 4/sqrt(20) and sim(1,3) = 1/sqrt(5) — item 1 ranks 2
+    before 3, and the leaf items each recommend only item 1."""
+    import math
+
+    from pubsub_mapreduce_spark.operators.graph import item_cf_recs
+
+    e = spark.createDataFrame([(1, 2, 4), (1, 3, 1)], "a long, b long, w long")
+    rows = item_cf_recs(e, k=5).collect()
+    got = {(r["item"], r["rnk"]): (r["rec"], r["sim_r"]) for r in rows}
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    assert got[(1, 1)] == (2, r6(4 / math.sqrt(20)))
+    assert got[(1, 2)] == (3, r6(1 / math.sqrt(5)))
+    assert got[(2, 1)][0] == 1 and got[(3, 1)][0] == 1
+    assert len(rows) == 4
