@@ -255,6 +255,7 @@ BENCH_QUERIES = [
     "distinctive_tokens",
     "aqp_revenue_check",
     "rolling_wau",
+    "part_recommendations",
 ]
 
 
