@@ -7664,7 +7664,8 @@ def oracle_sql() -> dict[str, str]:
     """
     out["logrank_churn"] = """
         WITH d0 AS (SELECT event_type AS g, user_id,
-                           CAST(ts AS DATE) AS day FROM events),
+                           CAST(ts AS DATE) AS day FROM events
+                    WHERE ts IS NOT NULL),
         ul AS (SELECT g, user_id, min(day) AS f, max(day) AS l
                FROM d0 GROUP BY 1, 2),
         bounds AS (SELECT min(f) AS mn, max(l) AS mx FROM ul),

@@ -1267,7 +1267,9 @@ def logrank_test(events: DataFrame, group: str = "event_type") -> DataFrame:
     (calendar-bounded)."""
     from pyspark.sql.functions import broadcast
 
-    d0 = events.select(group, "user_id", F.to_date("ts").alias("day"))
+    d0 = events.where(F.col("ts").isNotNull()).select(
+        group, "user_id", F.to_date("ts").alias("day")
+    )
     ul = (
         d0.groupBy(group, "user_id")
         .agg(F.min("day").alias("f"), F.max("day").alias("l"))

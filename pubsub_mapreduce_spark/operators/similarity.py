@@ -2573,7 +2573,13 @@ def retrieval_label_eval(
             "neighbor_id",
         )
         .withColumn(
-            "rel", (F.col("q_label") == F.col("n_label")).cast("int")
+            "rel",
+            # when/otherwise, not a bare ==-cast: a NULL label must
+            # read "not relevant" (0) on BOTH engines — Spark's ==
+            # yields NULL where the DuckDB CASE yields 0
+            F.when(
+                F.col("q_label") == F.col("n_label"), F.lit(1)
+            ).otherwise(F.lit(0)),
         )
     )
     w = Window.partitionBy("query_id").orderBy("rank")
