@@ -2219,6 +2219,14 @@ def q_part_recommendations(spark, sf_dir):
     return item_cf_recs(edges)
 
 
+def q_price_elasticity(spark, sf_dir):
+    """Per-brand OLS slope of quantity on unit price
+    (robust.ols_slope_by_group): six BIGINT moments, one exact
+    division, floor-cent unit prices via integer div."""
+    t = load_tables(spark, sf_dir)
+    return RB.ols_slope_by_group(t["lineitem"], t["part"])
+
+
 def q_ks_source_drift(spark, sf_dir):
     """Exact two-sample KS drift per source (robust.ks_source_drift):
     source-vs-rest distribution distance on doc length — BIGINT
@@ -2549,6 +2557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aqp_revenue_check": q_aqp_revenue_check,
         "rolling_wau": q_rolling_wau,
         "part_recommendations": q_part_recommendations,
+        "price_elasticity": q_price_elasticity,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -7860,6 +7869,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT item, CAST(rnk AS INTEGER) AS rnk, rec, w,
                floor(sim * 1e6 + 0.5) / 1e6 AS sim_r
         FROM r WHERE rnk <= 5
+    """
+    out["price_elasticity"] = """
+        WITH j AS (
+          SELECT p.p_brand,
+                 CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   // CAST(round(l.l_quantity) AS BIGINT) // 100 AS x,
+                 CAST(round(l.l_quantity) AS BIGINT) AS y
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE l.l_quantity > 0),
+        a AS (
+          SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sx2
+          FROM j GROUP BY 1)
+        SELECT p_brand, n,
+               floor(((n * sxy - sx * sy) * 1.0 / (n * sx2 - sx * sx)
+                      * 1000 + 1000.0) * 1e4 + 0.5) / 1e4
+                 AS slope_x1k_p1k,
+               floor((sy - ((n * sxy - sx * sy) * 1.0
+                            / (n * sx2 - sx * sx)) * sx) / n
+                     * 1e4 + 0.5) / 1e4 AS intercept_qty
+        FROM a
+        WHERE n * sx2 - sx * sx > 0
     """
     # Markov eval composes the validated transition oracle verbatim.
     out["markov_accuracy"] = f"""

@@ -1498,3 +1498,74 @@ def mwu_source_shift(docs: DataFrame, col: str = "n_chars") -> DataFrame:
             (F.abs(z) > F.lit(1.96)).alias("significant"),
         )
     )
+
+
+def ols_slope_by_group(
+    lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """Per-brand OLS regression of quantity on unit price — the
+    price-sensitivity readout (does demand fall as price rises, and
+    how steeply?) and the engine's plain-regression primitive beside
+    the correlation family (type_correlation/acf share the same
+    six-moment skeleton; this exposes slope+intercept instead of r).
+
+    Exactness: x = unit price in floor-DOLLARS (cents div quantity
+    div 100 — integer div mirrors DuckDB //; never engine round() on
+    a computed ratio; dollars not cents so n*Σx² keeps int64 headroom
+    to ~2e9 rows per group), y = quantity — both exact BIGINTs — so
+    n, Σx, Σy, Σxy, Σx² are order-free integer sums and slope =
+    (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) is ONE division of exact integers;
+    the intercept reuses the same bit-equal slope in an identically-
+    associated expression, and the slope ships x1000 with a +1000
+    offset (qty per $1000, -0.0-proof). Int64 headroom: Σx² of cents
+    caps at ~2M rows per group at TPC-H price ranges — above that,
+    pre-scale to dollars (documented trade, same as the covariance
+    op). Degenerate groups (constant price) are dropped by the
+    integer variance predicate. One join to decorate the brand
+    (broadcast — |part| rows), one keyed rollup; slope/intercept are
+    emitted rounded (round_half_up)."""
+    from pyspark.sql.functions import broadcast
+
+    # unit price in floor-cents via INTEGER div (cents are exact, and
+    # div == DuckDB // — never engine round() on a computed ratio,
+    # that's the known half-boundary divergence class)
+    x = F.expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " div CAST(round(l_quantity) AS BIGINT) div 100"
+    )
+    joined = lineitem.where(
+        F.col("l_quantity") > 0
+    ).join(
+        broadcast(
+            part.select(
+                F.col("p_partkey").alias("l_partkey"), "p_brand"
+            )
+        ),
+        "l_partkey",
+    ).select(
+        "p_brand",
+        x.cast("long").alias("x"),
+        F.round(F.col("l_quantity")).cast("long").alias("y"),
+    )
+    agg = joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+    )
+    vx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = num / vx
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return (
+        agg.where(vx > 0)
+        .select(
+            "p_brand",
+            "n",
+            round_half_up(slope * 1000 + F.lit(1000.0), 4).alias(
+                "slope_x1k_p1k"
+            ),
+            round_half_up(intercept, 4).alias("intercept_qty"),
+        )
+    )

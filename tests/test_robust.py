@@ -350,3 +350,33 @@ def test_mwu_source_shift_tie_half_credit(spark):
     )
     got = {r["source"]: r for r in mwu_source_shift(df).collect()}
     assert got["a"]["u1_x2"] == 1 and got["a"]["rb_plus1"] == 0.25
+
+
+def test_ols_slope_hand_line(spark):
+    """Points on an exact line y = 2x + 3 (x = unit price in whole
+    dollars) recover slope 2 and intercept 3 exactly; a constant-price
+    brand is dropped by the integer variance guard."""
+    from pubsub_mapreduce_spark.operators.robust import ols_slope_by_group
+
+    rows = []
+    for i, x in enumerate((1, 2, 3, 4)):
+        y = 2 * x + 3
+        # unit price x dollars: extendedprice = x * qty
+        rows.append((100 + i, float(y), float(x * y), "L"))
+    for i in range(3):
+        rows.append((200 + i, float(i + 1), float(5 * (i + 1)), "C"))
+    li = spark.createDataFrame(
+        rows, "l_partkey long, l_quantity double, l_extendedprice double"
+        ", tag string"
+    ).drop("tag")
+    part = spark.createDataFrame(
+        [(100 + i, "BrandL") for i in range(4)]
+        + [(200 + i, "BrandC") for i in range(3)],
+        "p_partkey long, p_brand string",
+    )
+    got = {r["p_brand"]: r for r in ols_slope_by_group(li, part).collect()}
+    assert "BrandC" not in got  # constant price -> zero variance
+    r = got["BrandL"]
+    assert r["n"] == 4
+    assert r["slope_x1k_p1k"] == 2 * 1000 + 1000.0
+    assert r["intercept_qty"] == 3.0
