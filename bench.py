@@ -256,6 +256,7 @@ BENCH_QUERIES = [
     "aqp_revenue_check",
     "rolling_wau",
     "part_recommendations",
+    "price_elasticity",
 ]
 
 
