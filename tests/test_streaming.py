@@ -1396,3 +1396,59 @@ def test_histogram_drift_alarms_from_store(spark, tmp_path):
     )
     moved = drift_alarms(spark, store, shifted).collect()
     assert moved and all(r["tv"] == 1.0 and r["alarm"] for r in moved)
+
+
+def test_wau_estimates_from_day_sketches(spark, tmp_path):
+    """Maintain day-keyed user HLLs over a 4-batch replay, then read
+    trailing-7-day WAU estimates: every day's estimate must land
+    within 5% of the exact rolling WAU (lg_k=12 sketches), report days
+    must match the exact op's spine exactly, and batching must not
+    matter (union is register-lossless)."""
+    from pubsub_mapreduce_spark.io import load_tables
+    from pubsub_mapreduce_spark.operators.relational import rolling_wau
+    from pubsub_mapreduce_spark.streaming.hll_maintain import (
+        start_hll_maintain,
+        wau_estimates,
+    )
+    from tests.conftest import SF_SMALL
+
+    events = (
+        load_tables(spark, SF_SMALL)["events"]
+        .select(
+            "event_id",
+            "user_id",
+            F.to_date("ts").cast("string").alias("day"),
+        )
+    )
+    rows = sorted(events.collect(), key=lambda r: r["event_id"])
+    d = tmp_path / "wau_replay"
+    d.mkdir()
+    chunk = (len(rows) + 3) // 4
+    for i in range(4):
+        spark.createDataFrame(
+            rows[i * chunk : (i + 1) * chunk], events.schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(d / f"f{i}"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/f*")
+    )
+    store = str(tmp_path / "wau_store")
+    q = start_hll_maintain(
+        stream, store, str(tmp_path / "wau_ckpt"), group="day"
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+    est = {
+        r["day"]: r["wau_est"]
+        for r in wau_estimates(spark, store).collect()
+    }
+    exact = {
+        r["day"]: r["wau"]
+        for r in rolling_wau(
+            {"events": load_tables(spark, SF_SMALL)["events"]}
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for day, w in exact.items():
+        assert abs(est[day] - w) <= max(2.0, 0.05 * w), (day, est[day], w)
