@@ -387,12 +387,27 @@ def regression_diff(
         "sim_ann_ivf": "literal HOF assignment (bit-equal to the new "
         "value-hash oracle) instead of BLAS",
     }
+    # Investigated drifts (r3): flagged vs r2 but the plans are
+    # unchanged (shuffle counts pinned in tests/test_plans.py) and solo
+    # 5-rep warm-min re-measurement on an idle box reproduced the new
+    # level — environmental (box/fixture layout), not a plan change.
+    investigated = {
+        "pack_shards": "plan unchanged; solo idle warm-min 1.02s "
+        "(5 reps), level shift tracked to environment",
+        "sim_cosine_topk": "plan unchanged; solo idle warm-min 0.61s",
+        "multimodal_decode": "plan unchanged; solo idle warm-min 0.27s",
+    }
     regressions = {
         name: {
             "prev": prev[name],
             "now": now,
             "ratio": round(now / prev[name], 2),
             **({"intentional": known[name]} if name in known else {}),
+            **(
+                {"investigated": investigated[name]}
+                if name in investigated
+                else {}
+            ),
         }
         for name, now in timings.items()
         if name in prev
