@@ -2227,6 +2227,13 @@ def q_price_elasticity(spark, sf_dir):
     return RB.ols_slope_by_group(t["lineitem"], t["part"])
 
 
+def q_type_burstiness(spark, sf_dir):
+    """Fano factor of daily counts per event type
+    (robust.type_burstiness): BIGINT moments, one division, and an
+    integer-predicate overdispersion verdict."""
+    return RB.type_burstiness(load_tables(spark, sf_dir)["events"])
+
+
 def q_ks_source_drift(spark, sf_dir):
     """Exact two-sample KS drift per source (robust.ks_source_drift):
     source-vs-rest distribution distance on doc length — BIGINT
@@ -2558,6 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_wau": q_rolling_wau,
         "part_recommendations": q_part_recommendations,
         "price_elasticity": q_price_elasticity,
+        "type_burstiness": q_type_burstiness,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -7894,6 +7902,21 @@ def oracle_sql() -> dict[str, str]:
                      * 1e4 + 0.5) / 1e4 AS intercept_qty
         FROM a
         WHERE n * sx2 - sx * sx > 0
+    """
+    out["type_burstiness"] = """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS x
+          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        a AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(x * x) AS BIGINT) AS sx2
+          FROM daily GROUP BY 1)
+        SELECT event_type, n AS n_days, sx,
+               floor((n * sx2 - sx * sx) * 1.0 / (n * sx) * 1e6 + 0.5)
+                 / 1e6 AS fano,
+               (n * sx2 - sx * sx) > (n * sx) AS overdispersed
+        FROM a WHERE sx > 0
     """
     # Markov eval composes the validated transition oracle verbatim.
     out["markov_accuracy"] = f"""

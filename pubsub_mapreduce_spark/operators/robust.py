@@ -1569,3 +1569,43 @@ def ols_slope_by_group(
             round_half_up(intercept, 4).alias("intercept_qty"),
         )
     )
+
+
+def type_burstiness(events: DataFrame) -> DataFrame:
+    """Fano factor (variance-to-mean of the daily count series) per
+    event type — the burstiness readout: F ~ 1 is Poisson-like
+    arrivals, F >> 1 means clumped/bursty traffic (retry storms,
+    campaign spikes) and F < 1 means suspiciously regular (bots,
+    schedulers). Complements pettitt (WHERE did the level shift) and
+    acf (is it periodic) with HOW dispersed.
+
+    Exactness: with daily counts x over n days, F = sigma^2 / mu =
+    (n*Sx2 - Sx^2) / (n*Sx) — BIGINT moments, ONE division under
+    round_half_up; the overdispersed verdict is the pure INTEGER
+    predicate n*Sx2 - Sx^2 > n*Sx (F > 1 without touching floats).
+    Empty/degenerate types (Sx = 0) are dropped by an integer guard.
+    Calendar-bounded after the daily rollup, like every op in this
+    family. NOTE: days with zero events do not appear in the rollup —
+    the statistic is over ACTIVE days (documented contract; gap-filled
+    variants can ride gap_fill_daily upstream)."""
+    daily = events.where(F.col("ts").isNotNull()).groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+    )
+    var_num = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    return (
+        agg.where(F.col("sx") > 0)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "sx",
+            round_half_up(
+                var_num / (F.col("n") * F.col("sx")), 6
+            ).alias("fano"),
+            (var_num > F.col("n") * F.col("sx")).alias("overdispersed"),
+        )
+    )

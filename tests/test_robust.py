@@ -380,3 +380,28 @@ def test_ols_slope_hand_line(spark):
     assert r["n"] == 4
     assert r["slope_x1k_p1k"] == 2 * 1000 + 1000.0
     assert r["intercept_qty"] == 3.0
+
+
+def test_type_burstiness_poisson_vs_bursty(spark):
+    """Constant daily counts give Fano 0 (no variance); a one-day
+    burst drives Fano above 1 and flips the integer overdispersion
+    verdict. Hand case: counts [1,1,1,9] -> mean 3, pop var 12,
+    F = 12/3 = 4."""
+    import datetime as dt
+
+    from pubsub_mapreduce_spark.operators.robust import type_burstiness
+
+    rows = []
+    for day, n in enumerate([1, 1, 1, 9]):
+        for i in range(n):
+            rows.append(("bursty", dt.datetime(2024, 6, 1 + day, 8, 0, i)))
+    for day in range(4):
+        for i in range(3):
+            rows.append(("flat", dt.datetime(2024, 6, 1 + day, 8, 0, i)))
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r["event_type"]: r for r in type_burstiness(ev).collect()}
+    b, f = got["bursty"], got["flat"]
+    assert (b["n_days"], b["sx"], b["fano"], b["overdispersed"]) == (
+        4, 12, 4.0, True,
+    )
+    assert (f["fano"], f["overdispersed"]) == (0.0, False)
