@@ -2234,6 +2234,13 @@ def q_type_burstiness(spark, sf_dir):
     return RB.type_burstiness(load_tables(spark, sf_dir)["events"])
 
 
+def q_dow_uniformity(spark, sf_dir):
+    """Weekly-cycle chi-square per event type (robust.dow_uniformity):
+    7-cell uniformity test, BIGINT (7*O - n)^2 sums, one division,
+    integer-safe significance verdict at df=6."""
+    return RB.dow_uniformity(load_tables(spark, sf_dir)["events"])
+
+
 def q_ks_source_drift(spark, sf_dir):
     """Exact two-sample KS drift per source (robust.ks_source_drift):
     source-vs-rest distribution distance on doc length — BIGINT
@@ -2566,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_recommendations": q_part_recommendations,
         "price_elasticity": q_price_elasticity,
         "type_burstiness": q_type_burstiness,
+        "dow_uniformity": q_dow_uniformity,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -7917,6 +7925,30 @@ def oracle_sql() -> dict[str, str]:
                  / 1e6 AS fano,
                (n * sx2 - sx * sx) > (n * sx) AS overdispersed
         FROM a WHERE sx > 0
+    """
+    out["dow_uniformity"] = """
+        WITH cells AS (
+          SELECT event_type, dayofweek(ts) + 1 AS dw,
+                 CAST(count(*) AS BIGINT) AS o
+          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS n
+              FROM cells GROUP BY 1),
+        spine AS (SELECT t.event_type, t.n, g.dw
+                  FROM t CROSS JOIN
+                       (SELECT unnest(generate_series(1, 7)) AS dw) g),
+        f AS (SELECT spine.event_type, spine.n,
+                     COALESCE(cells.o, 0) AS o
+              FROM spine LEFT JOIN cells
+                ON cells.event_type = spine.event_type
+               AND cells.dw = spine.dw),
+        a AS (SELECT event_type, n,
+                     CAST(sum((7 * o - n) * (7 * o - n)) AS BIGINT)
+                       AS chi_num
+              FROM f GROUP BY 1, 2)
+        SELECT event_type, n, chi_num,
+               floor(chi_num * 1.0 / (7 * n) * 1e6 + 0.5) / 1e6 AS chi2,
+               chi_num * 1.0 / (7 * n) > 12.592 AS weekly_pattern
+        FROM a WHERE n > 0
     """
     # Markov eval composes the validated transition oracle verbatim.
     out["markov_accuracy"] = f"""

@@ -1609,3 +1609,53 @@ def type_burstiness(events: DataFrame) -> DataFrame:
             (var_num > F.col("n") * F.col("sx")).alias("overdispersed"),
         )
     )
+
+
+def dow_uniformity(events: DataFrame) -> DataFrame:
+    """Day-of-week uniformity chi-square per event type: are arrivals
+    flat across the week, or is there a weekly cycle? The categorical
+    companion to acf_daily's lag-7 correlogram (acf needs a long
+    series; this pools ALL events into 7 cells and gets power from
+    volume). chi2 = sum (O_i - n/7)^2 / (n/7) over the 7 dow cells =
+    sum (7*O_i - n)^2 / (7*n) — the numerator is a BIGINT sum over at
+    most 7 integers (absent cells contribute n^2 via O=0, handled by a
+    7-row spine), ONE division at the end, and the significance
+    verdict (df=6, alpha=0.05 -> 12.592) compares the same bit-equal
+    double on both engines. Int64 headroom: (7*O - n)^2 caps at ~49n^2
+    -> safe under ~360M events per type; larger types pre-aggregate.
+    Scale: one dow rollup (7 rows per type), spine join, 7-row sums."""
+    dow = events.where(F.col("ts").isNotNull()).select(
+        "event_type", F.dayofweek("ts").cast("int").alias("dw")
+    )
+    cells = dow.groupBy("event_type", "dw").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    types = cells.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("n")
+    )
+    spine = types.select(
+        "event_type",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("dw"),
+    )
+    z = F.lit(0).cast("long")
+    full = spine.join(cells, ["event_type", "dw"], "left").select(
+        "event_type",
+        "n",
+        F.coalesce("o", z).alias("o"),
+    )
+    dev = 7 * F.col("o") - F.col("n")
+    agg = full.groupBy("event_type", "n").agg(
+        F.sum(dev * dev).cast("long").alias("chi_num")
+    )
+    chi2 = F.col("chi_num") / (7 * F.col("n"))
+    return (
+        agg.where(F.col("n") > 0)
+        .select(
+            "event_type",
+            "n",
+            "chi_num",
+            round_half_up(chi2, 6).alias("chi2"),
+            (chi2 > F.lit(12.592)).alias("weekly_pattern"),
+        )
+    )

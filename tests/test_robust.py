@@ -405,3 +405,27 @@ def test_type_burstiness_poisson_vs_bursty(spark):
         4, 12, 4.0, True,
     )
     assert (f["fano"], f["overdispersed"]) == (0.0, False)
+
+
+def test_dow_uniformity_flat_vs_weekend_spike(spark):
+    """Perfectly flat week: chi2 = 0, no pattern. All mass on one dow
+    across many events: chi2 = 6n (maximal), flagged. Hand case: 7
+    events one per dow -> chi_num = 0; 14 events all on the same dow
+    -> chi_num = (7*14-14)^2 + 6*14^2 = 84^2 + 1176 = 8232,
+    chi2 = 8232/98 = 84 = 6n."""
+    import datetime as dt
+
+    from pubsub_mapreduce_spark.operators.robust import dow_uniformity
+
+    rows = []
+    for day in range(7):  # 2024-07-01 is a Monday; 7 consecutive days
+        rows.append(("flat", dt.datetime(2024, 7, 1 + day, 9)))
+    for i in range(14):
+        rows.append(("spike", dt.datetime(2024, 7, 7, 9, 0, i)))  # Sunday
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r["event_type"]: r for r in dow_uniformity(ev).collect()}
+    f, s = got["flat"], got["spike"]
+    assert (f["chi_num"], f["chi2"], f["weekly_pattern"]) == (0, 0.0, False)
+    assert (s["n"], s["chi_num"], s["chi2"], s["weekly_pattern"]) == (
+        14, 8232, 84.0, True,
+    )
