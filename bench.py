@@ -257,6 +257,8 @@ BENCH_QUERIES = [
     "rolling_wau",
     "part_recommendations",
     "price_elasticity",
+    "type_burstiness",
+    "dow_uniformity",
 ]
 
 
