@@ -7,7 +7,7 @@ oracle-paired query at a bigger SF. Run:
 
     python tools/oracle_sweep.py [/root/testdata/sf0.1]
 
-Last full run (2026-08-15, sf0.1): 238/238 exact matches, 0 mismatches
+Last full run (2026-08-15, sf0.1): 245/245 exact matches, 0 mismatches
 — every oracle holds at 10x the gate's data volume.
 """
 
