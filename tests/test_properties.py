@@ -294,3 +294,57 @@ def test_pettitt_matches_bruteforce_u(spark, series):
     assert r["cp_day"] == (
         dt.date(2024, 3, 1) + dt.timedelta(days=first)
     ).isoformat()
+
+
+iso_buckets = st.lists(
+    st.tuples(st.integers(1, 6), st.integers(0, 6)),
+    min_size=1,
+    max_size=8,
+).map(lambda bs: [(n, min(p, n)) for n, p in bs])
+
+
+@PROP
+@given(buckets=iso_buckets)
+def test_isotonic_minimax_equals_sequential_pava(spark, buckets):
+    """The minimax closed form must agree with the textbook sequential
+    pool-adjacent-violators algorithm on every weighted bucket
+    profile."""
+    from pubsub_mapreduce_spark.operators.robust import isotonic_calibration
+
+    rows = []
+    for b, (n, pos) in enumerate(buckets):
+        for i in range(n):
+            rows.append(
+                ("purchase" if i < pos else "click", float(b) + 0.5)
+            )
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    got = {
+        r["bucket"]: r["iso_rate"]
+        for r in isotonic_calibration(ev).collect()
+    }
+
+    # sequential PAVA reference: pool adjacent violating blocks
+    blocks = [
+        [float(pos), float(n)] for (n, pos) in buckets
+    ]  # [sum_y, weight]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] * blocks[i + 1][1] > blocks[i + 1][0] * blocks[i][1]:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            del blocks[i + 1]
+            i = max(0, i - 1)
+        else:
+            i += 1
+    # expand block fit back to buckets (blocks pooled whole buckets)
+    per_bucket = []
+    bi = 0
+    for s, w in blocks:
+        covered = 0
+        while covered < w:
+            per_bucket.append(s / w)
+            covered += buckets[bi][0]
+            bi += 1
+    assert len(per_bucket) == len(buckets)
+    for b, expect in enumerate(per_bucket):
+        assert abs(got[b] - expect) < 1e-9, (b, got[b], expect, buckets)
