@@ -348,3 +348,61 @@ def test_isotonic_minimax_equals_sequential_pava(spark, buckets):
     assert len(per_bucket) == len(buckets)
     for b, expect in enumerate(per_bucket):
         assert abs(got[b] - expect) < 1e-9, (b, got[b], expect, buckets)
+
+
+lr_users = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(0, 3),  # first active day
+        st.integers(0, 5),  # extra active span
+    ),
+    min_size=2,
+    max_size=12,
+).filter(lambda us: len({g for g, _, _ in us}) == 2)
+
+
+@PROP
+@given(users=lr_users)
+def test_logrank_matches_python_reference(spark, users):
+    """O1/E1/V must equal a from-scratch risk-set replay: per day,
+    n_g = entered - churned_before, d_g = churns (last day < corpus
+    max), terms only where d > 0 and n >= 2."""
+    import datetime as dt
+
+    from pubsub_mapreduce_spark.operators.robust import logrank_test
+
+    rows = []
+    spans = []
+    for i, (g, f, extra) in enumerate(users):
+        last = f + extra
+        spans.append((g, f, last))
+        rows.append((g, f"u{i}", dt.datetime(2024, 4, 1 + f, 9)))
+        rows.append((g, f"u{i}", dt.datetime(2024, 4, 1 + last, 9)))
+    ev = spark.createDataFrame(
+        rows, "event_type string, user_id string, ts timestamp"
+    )
+    got = logrank_test(ev).collect()
+
+    mx = max(l for _, _, l in spans)
+    o1 = e1 = v = 0.0
+    for day in range(mx + 1):
+        n = {"a": 0, "b": 0}
+        d = {"a": 0, "b": 0}
+        for g, f, l in spans:
+            if f <= day and not (l < day):
+                n[g] += 1
+            if l == day and l < mx:
+                d[g] += 1
+        nt, dt_ = n["a"] + n["b"], d["a"] + d["b"]
+        if dt_ > 0 and nt >= 2:
+            o1 += d["a"]
+            e1 += dt_ * n["a"] / nt
+            v += dt_ * n["a"] * n["b"] * (nt - dt_) / (nt * nt * (nt - 1))
+    if v <= 0:
+        assert got == []
+    else:
+        (r,) = got
+        assert r["o1"] == o1
+        assert abs(r["e1"] - e1) < 1e-9
+        assert abs(r["v"] - v) < 1e-9
+        assert abs(r["chi2"] - (o1 - e1) ** 2 / v) < 1e-9
