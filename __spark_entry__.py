@@ -2628,32 +2628,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": q_q9_product_profit,
         "q12_priority_class": q_q12_priority_class,
     }
-    # Round-3 gate window: the driver checks the FIRST 50 queries() keys.
-    # Slots 0-44: the never-driver-checked round-2 continuation tail in
-    # original registration order (CORRECTNESS_r01+r02 cover the other
-    # 100). Slots 45-49: the two ex-no_oracle sketch queries (now exact
-    # bound-check oracles), the ex-rows-only emb_pca (now exact spectrum
-    # pins), and the next two never-checked names. The ordering contract
-    # is pinned by tests/test_round2_tail.py.
-    r3_head = [
-        "mad_outliers", "winsorized_values", "association_rules",
-        "rare_tokens", "user_cusum", "user_twap", "text_bm25",
-        "bigram_collocations", "vocab_coverage", "rrf_hybrid",
-        "multimodal_dup_consensus", "trend_theil_sen", "budget_allocation",
-        "part_communities", "ldiv_customers", "holt_forecast",
-        "attribution_credit", "dedup_containment", "user_diversity",
-        "emb_label_drift", "part_kcore", "dedup_tfcosine",
-        "type_correlation", "bpe_merges", "multimodal_audio_pairs",
-        "fk_orphans", "user_cusum_target", "sim_mmr", "pps_orders",
-        "weighted_median_price", "markov_accuracy", "emb_kmeans",
-        "emb_coreset", "trend_report", "pit_features", "neg_samples",
-        "emb_triplets", "label_noise", "split_leakproof", "corpus_card",
-        "fd_discovery", "ab_wilson", "ab_health", "acf_daily",
-        "key_skew_report",
-        "hll_user_rollup", "approx_distinct_users", "emb_pca",
-        "dedup_fingerprint", "user_similarity_sparse",
+    # Round-4 gate window: the driver checks the FIRST 50 queries() keys.
+    # CORRECTNESS_r01+r02+r03 have verified 148 distinct queries; the 97
+    # never-driver-checked names queue in original registration order and
+    # this window takes the first 50 of them (emb_pq_codes .. scd2_history),
+    # leaving 47 for round 5. The ordering contract is pinned by
+    # tests/test_round2_tail.py.
+    r4_head = [
+        "emb_pq_codes", "sim_ann_pq", "sim_ann_ivfpq", "sim_ann_filtered",
+        "sim_ann_multiprobe", "ann_eval", "mixture_weights", "vocab",
+        "token_ids", "dedup_eval", "seasonal_outliers", "profile_drift",
+        "entity_match", "snapshot_diff", "erasure_report", "skyline_orders",
+        "histogram_drift", "user_ema", "dedup_rate", "oov_rate",
+        "len_histogram_by_lang", "session_paths3", "ab_test",
+        "event_triangles", "conversion_latency", "benford_digits",
+        "users_to_date", "rfm_segments", "brand_cooccurrence",
+        "open_orders_by_day", "supplier_hhi", "spend_gini", "abc_parts",
+        "double_charges", "cycle_time_by_priority", "pii_audit",
+        "pii_scrub", "text_char_bigram", "multimodal_video_pairs",
+        "decontaminate", "quality_gate", "pack_shards", "emb_covariance",
+        "cross_doc_repetition", "multimodal_audio_energy",
+        "funnel_conversion", "gap_fill_daily", "merge_upsert",
+        "zorder_stats", "scd2_history",
     ]
-    head = [n for n in r3_head if n in base]
+    head = [n for n in r4_head if n in base]
     ordered = {n: base[n] for n in head}
     for n, fn in base.items():
         if n not in ordered:
@@ -7178,14 +7176,16 @@ def oracle_sql() -> dict[str, str]:
                          count(*) + 1 AS r1,
                          count(*) FILTER (WHERE lang = 'en') + 1 AS t1
                   FROM b GROUP BY 1),
-            tot AS (SELECT CAST(sum(r1) AS BIGINT) AS nr,
-                           CAST(sum(t1) AS BIGINT) AS nt
+            -- dense-model totals: buckets absent from m hold the Laplace
+            -- prior 1 on both sides (mirrors sampling.dsir_score's pad)
+            tot AS (SELECT CAST(sum(r1) + (256 - count(*)) AS BIGINT) AS nr,
+                           CAST(sum(t1) + (256 - count(*)) AS BIGINT) AS nt
                     FROM m),
             sc AS (SELECT b.doc_id,
                           CAST(count(*) AS INTEGER) AS n_toks,
-                          CAST(sum(m.t1) AS BIGINT) AS st,
-                          CAST(sum(m.r1) AS BIGINT) AS sr
-                   FROM b JOIN m USING (bkt) GROUP BY 1)
+                          CAST(sum(coalesce(m.t1, 1)) AS BIGINT) AS st,
+                          CAST(sum(coalesce(m.r1, 1)) AS BIGINT) AS sr
+                   FROM b LEFT JOIN m USING (bkt) GROUP BY 1)
             SELECT doc_id, n_toks,
                    floor(CAST(st * nr AS DOUBLE) / (sr * nt) * 1e6 + 0.5)
                        / 1e6 AS importance

@@ -1032,8 +1032,13 @@ def winnow_fingerprints(
     encoded into ONE int64 key ``h * 2^21 + (2^20 - pos)`` so the
     window MIN picks min-hash-then-max-pos in a single orderable value
     (struct-min is not portable across engines). Positions must stay
-    under 2^20 — chunk first (``textops.chunk_documents``) for longer
-    docs, which a 100TB pipeline does anyway.
+    under 2^20 for the encoding to be order-correct, so the normalized
+    text is HARD-TRUNCATED to 2^20 + k - 1 chars before gram extraction
+    — an over-length doc degrades predictably (fingerprints cover its
+    first ~1M chars) instead of silently corrupting keys with negative
+    position offsets. Chunk first (``textops.chunk_documents``) when
+    full coverage of longer docs matters, which a 100TB pipeline does
+    anyway.
 
     Plan shape: one corpus-char-order generate (the lookahead-regex
     k-gram pass, same as the duplicate-span family), one doc-keyed
@@ -1046,13 +1051,29 @@ def winnow_fingerprints(
 
     from ..io import widen
 
-    nt = F.regexp_replace(normalized_text(text), r"\s+", " ")
-    grams = F.regexp_extract_all(nt, F.lit(rf"(?=(.{{{k}}}))."), 1)
-    g = widen(docs, 8).select(
-        "doc_id",
-        F.posexplode(grams).alias("pos", "gram"),
-        (F.length(nt) - k + 1).alias("ng"),
+    # cap at 2^20 + k - 1 chars so every gram position fits the int64
+    # (hash, 2^20 - pos) encoding — see docstring
+    nt = F.substring(
+        F.regexp_replace(normalized_text(text), r"\s+", " "),
+        1,
+        _WINNOW_POS + k - 1,
     )
+    # materialize the normalized text ONCE per doc before the explode:
+    # an `ng` expression referencing `nt` directly would land in the
+    # Project AFTER the Generate and re-run lower()+regexp_replace over
+    # the full document for EVERY exploded gram row — O(len^2) per doc
+    # (a 1M-char doc turns into ~10^12 char ops). Two stacked selects
+    # keep `__nt` an attribute (CollapseProject won't re-inline a
+    # non-cheap expression referenced twice), so the Generate carries
+    # plain attributes only.
+    base = widen(docs, 8).select("doc_id", nt.alias("__nt"))
+    g = base.select(
+        "doc_id",
+        F.regexp_extract_all("__nt", F.lit(rf"(?=(.{{{k}}}))."), 1).alias(
+            "__grams"
+        ),
+        (F.length("__nt") - k + 1).alias("ng"),
+    ).select("doc_id", "ng", F.posexplode("__grams").alias("pos", "gram"))
     h = F.conv(
         F.substring(F.md5(F.col("gram").cast("binary")), 1, 8), 16, 10
     ).cast("long")

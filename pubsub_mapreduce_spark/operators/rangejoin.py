@@ -187,6 +187,14 @@ def asof_join(
     Pass tie columns whenever right times can collide or results feed
     an exact-hash oracle.
 
+    Single-row carry is contract too: ALL carried fields (__rt plus
+    every value column) travel in ONE struct picked by ONE
+    last/first(ignorenulls) window, so a right row with NULLs in some
+    value columns still contributes exactly its own values — never a
+    stitch of fields from different right rows (merge_asof semantics).
+    Right rows with a NULL ``right_time`` are not match candidates (no
+    time, no as-of position — pandas requires non-null keys).
+
     ``tolerance_s`` bounds the match gap in whole seconds (timestamps
     compare via ``unix_timestamp``, second precision): a carried match
     farther than the tolerance is nulled out, exactly pandas
@@ -238,23 +246,33 @@ def asof_join(
         pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
 
     u = lt.unionByName(rt)
-    carried = [pick(f"__v_{c}").alias(f"__c_{c}") for c in value_cols]
-    u = u.select("*", *carried, pick("__rt").alias("__crt")).where(
+    # one struct = one right row: the ignorenulls pick lands on a whole
+    # right payload atomically (null on left rows and on right rows with
+    # no timestamp), so __rt and every value column come from the SAME row
+    payload = F.when(
+        (F.col("__kind") == (1 - kind_left)) & F.col("__rt").isNotNull(),
+        F.struct(
+            F.col("__rt").alias("rt"),
+            *[F.col(f"__v_{c}").alias(c) for c in value_cols],
+        ),
+    )
+    u = u.select("*", pick(payload).alias("__p")).where(
         F.col("__kind") == kind_left
     )
+    crt = F.col("__p.rt")
     if tolerance_s is not None:
         gap = (
-            F.unix_timestamp("__t") - F.unix_timestamp("__crt")
+            F.unix_timestamp("__t") - F.unix_timestamp(crt)
             if direction == "backward"
-            else F.unix_timestamp("__crt") - F.unix_timestamp("__t")
+            else F.unix_timestamp(crt) - F.unix_timestamp("__t")
         )
-        ok = F.col("__crt").isNotNull() & (gap <= F.lit(int(tolerance_s)))
+        ok = crt.isNotNull() & (gap <= F.lit(int(tolerance_s)))
         vals = [
-            F.when(ok, F.col(f"__c_{c}")).alias(prefix + c)
+            F.when(ok, F.col(f"__p.{c}")).alias(prefix + c)
             for c in value_cols
         ]
     else:
-        vals = [F.col(f"__c_{c}").alias(prefix + c) for c in value_cols]
+        vals = [F.col(f"__p.{c}").alias(prefix + c) for c in value_cols]
     return u.select(*on, *lpay, *vals)
 
 
@@ -268,7 +286,10 @@ def interval_overlap_join(
     """Interval-interval OVERLAP join: all (left, right) interval pairs
     with ``l_start < r_end AND r_start < l_end`` (half-open overlap),
     optionally under equality keys. Both inputs carry ``start``/``end``
-    timestamp columns plus payload.
+    timestamp columns plus payload. Degenerate intervals (``end <=
+    start``) are empty under half-open semantics and overlap NOTHING —
+    they are filtered out of both sides (the pure predicate would
+    wrongly match an empty interval strictly inside another).
 
     The keyless big-big case is where Spark's planner gives up
     (BroadcastNestedLoopJoin): the scalable plan decomposes TIME into
@@ -288,6 +309,10 @@ def interval_overlap_join(
     on = on or []
 
     def _binned(df: DataFrame, side: str) -> DataFrame:
+        # degenerate (end <= start) intervals are empty under half-open
+        # semantics and overlap nothing — drop them up front (also keeps
+        # sequence() from running backwards and exploding phantom bins)
+        df = df.where(F.col("end") > F.col("start"))
         s = F.unix_timestamp("start")
         e = F.unix_timestamp("end")
         first_bin = F.floor(s / bin_width_s).cast("long")

@@ -528,16 +528,29 @@ def dsir_score(
     """APPLY step: broadcast the bucket model onto the token stream,
     one doc-keyed integer aggregate, one mirrored division. Shared by
     the batch operator and the streaming scorer so stream == batch by
-    construction."""
+    construction.
+
+    Tokens hashing to buckets ABSENT from the model (possible whenever
+    the scored corpus is not the model's build corpus — the streaming
+    scorer's normal case) still count: the left join coalesces their
+    r1/t1 to 1, i.e. exactly the Laplace +1 prior an all-buckets-dense
+    model would hold for a zero-count bucket, and n_toks counts every
+    token."""
     from ..functions.text import round_half_up as rh
 
+    # totals as the DENSE model would hold them: every bucket absent
+    # from the sparse model contributes its Laplace prior of 1 to both
+    # sides, so scoring here == scoring against an n_buckets-row model
+    pad = F.lit(int(n_buckets)) - F.count(F.lit(1))
     totals = model.agg(
-        F.sum("r1").cast("long").alias("nr"),
-        F.sum("t1").cast("long").alias("nt"),
+        (F.sum("r1") + pad).cast("long").alias("nr"),
+        (F.sum("t1") + pad).cast("long").alias("nt"),
     )
     scored = (
         _dsir_buckets(docs, n_buckets)
-        .join(F.broadcast(model), "bkt")
+        .join(F.broadcast(model), "bkt", "left")
+        .withColumn("r1", F.coalesce("r1", F.lit(1)))
+        .withColumn("t1", F.coalesce("t1", F.lit(1)))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_toks"),

@@ -34,6 +34,8 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .store import store_exists, store_read, store_write
+
 
 def _bucket(value_col: str, width_cents: int) -> F.Column:
     """Cents-exact bucketing shared by the batch and stream forms:
@@ -87,8 +89,8 @@ class HistogramMaintain:
             .groupBy("g", "bucket")
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         )
-        if os.path.isdir(self.hist_dir):
-            old = spark.read.parquet(self.hist_dir)
+        if store_exists(self.hist_dir):
+            old = store_read(spark, self.hist_dir)
             merged = (
                 old.unionByName(delta)
                 .groupBy("g", "bucket")
@@ -96,18 +98,18 @@ class HistogramMaintain:
             )
         else:
             merged = delta
-        # bounded |groups x buckets| materialization: collect to a local
-        # relation so the overwrite never reads its own input
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(self.hist_dir)
+        # bounded |groups x buckets| materialization; the versioned store
+        # commits atomically so a crash mid-write cannot destroy the
+        # accumulated histogram (see streaming/store.py)
+        store_write(
+            spark, merged.collect(), merged.schema, self.hist_dir, batch_id
+        )
         self._mark(batch_id)
 
 
 def histogram(spark, store_dir: str) -> DataFrame:
     """The maintained (g, bucket, cnt) table."""
-    return spark.read.parquet(os.path.join(store_dir, "histogram"))
+    return store_read(spark, os.path.join(store_dir, "histogram"))
 
 
 def quantile_estimates(spark, store_dir: str, q2: int = 1) -> DataFrame:

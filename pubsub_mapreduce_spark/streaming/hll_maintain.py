@@ -30,6 +30,8 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .store import store_exists, store_read, store_write
+
 
 class HllMaintain:
     """foreachBatch handler owning the stored (group, sketch) table."""
@@ -62,8 +64,8 @@ class HllMaintain:
         delta = batch.groupBy(self.group).agg(
             F.hll_sketch_agg(self.key, F.lit(self.lg_k)).alias("sketch")
         )
-        if os.path.isdir(self.sk_dir):
-            old = spark.read.parquet(self.sk_dir)
+        if store_exists(self.sk_dir):
+            old = store_read(spark, self.sk_dir)
             merged = (
                 old.unionByName(delta)
                 .groupBy(self.group)
@@ -73,23 +75,20 @@ class HllMaintain:
             )
         else:
             merged = delta
-        # |groups|-sized materialization: collect to a local relation so
-        # the overwrite never reads its own input
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(self.sk_dir)
+        # |groups|-sized materialization; the versioned store commits the
+        # snapshot atomically (pointer flip), so a crash mid-write leaves
+        # the previous snapshot live and the unmarked batch replays clean
+        store_write(
+            spark, merged.collect(), merged.schema, self.sk_dir, batch_id
+        )
         self._mark(batch_id)
 
 
 def estimates(spark, store_dir: str, group: str = "event_type") -> DataFrame:
     """Current distinct-count estimates from the maintained table."""
-    return (
-        spark.read.parquet(os.path.join(store_dir, "sketches"))
-        .select(
-            group,
-            F.hll_sketch_estimate("sketch").alias("approx_distinct"),
-        )
+    return store_read(spark, os.path.join(store_dir, "sketches")).select(
+        group,
+        F.hll_sketch_estimate("sketch").alias("approx_distinct"),
     )
 
 
@@ -130,7 +129,7 @@ def wau_estimates(
     rows). Report days clamp at the table's max day."""
     from pyspark.sql.functions import broadcast
 
-    sk = spark.read.parquet(os.path.join(store_dir, "sketches")).select(
+    sk = store_read(spark, os.path.join(store_dir, "sketches")).select(
         F.to_date("day").alias("day"), "sketch"
     )
     mx = sk.agg(F.max("day").alias("__mx"))

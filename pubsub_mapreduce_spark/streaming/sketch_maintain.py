@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.sketches import cms_build
+from .store import store_exists, store_read, store_write
 
 
 class CmsMaintain:
@@ -53,8 +54,8 @@ class CmsMaintain:
         delta = cms_build(
             batch, key=self.key, depth=self.depth, width=self.width
         )
-        if os.path.isdir(self.cells_dir):
-            old = spark.read.parquet(self.cells_dir)
+        if store_exists(self.cells_dir):
+            old = store_read(spark, self.cells_dir)
             merged = (
                 old.unionByName(delta)
                 .groupBy("d", "cell")
@@ -62,12 +63,12 @@ class CmsMaintain:
             )
         else:
             merged = delta
-        # cells-sized materialization (<= depth*width rows): collect to
-        # a local relation so the overwrite never reads its own input
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(self.cells_dir)
+        # cells-sized materialization (<= depth*width rows); the
+        # versioned store commits atomically so a crash mid-write cannot
+        # destroy the accumulated grid (see streaming/store.py)
+        store_write(
+            spark, merged.collect(), merged.schema, self.cells_dir, batch_id
+        )
         self._mark(batch_id)
 
 

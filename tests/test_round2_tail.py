@@ -638,37 +638,34 @@ def test_ab_health_chi2_and_srm_semantics(spark):
 
 def test_gate_window_ordering_contract():
     """The driver's correctness gate reads the FIRST 50 queries() keys:
-    pin the round-3 window — 45 never-driver-checked round-2-tail names
-    in registration order, then the three upgraded ex-weak rows (the two
-    ex-no_oracle sketches + ex-rows-only emb_pca) and the next two
-    never-checked names. Accidental reorderings would silently spend
-    the gate's window on already-green queries."""
+    pin the round-4 window — the first 50 never-driver-checked names in
+    original registration order (emb_pq_codes .. scd2_history), leaving
+    47 for round 5. Accidental reorderings would silently spend the
+    gate's window on already-green queries."""
     import json
 
     import __spark_entry__ as entrymod
 
     names = list(entrymod.queries())
-    checked = set(json.load(open("/root/repo/CORRECTNESS_r01.json"))) | set(
-        json.load(open("/root/repo/CORRECTNESS_r02.json"))
-    )
+    checked = set()
+    for r in (1, 2, 3):
+        checked |= set(json.load(open(f"/root/repo/CORRECTNESS_r0{r}.json")))
     head = names[:50]
-    # the only previously-checked rows allowed in the head are the three
-    # deliberately re-gated upgrades (they were err/rows-only, not green)
-    regated = {"hll_user_rollup", "approx_distinct_users"}
-    assert [n for n in head if n in checked and n not in regated] == []
+    # nothing in the head may already carry a driver row
+    assert [n for n in head if n in checked] == []
     assert head[:5] == [
-        "mad_outliers",
-        "winsorized_values",
-        "association_rules",
-        "rare_tokens",
-        "user_cusum",
+        "emb_pq_codes",
+        "sim_ann_pq",
+        "sim_ann_ivfpq",
+        "sim_ann_filtered",
+        "sim_ann_multiprobe",
     ]
     assert head[45:] == [
-        "hll_user_rollup",
-        "approx_distinct_users",
-        "emb_pca",
-        "dedup_fingerprint",
-        "user_similarity_sparse",
+        "funnel_conversion",
+        "gap_fill_daily",
+        "merge_upsert",
+        "zorder_stats",
+        "scd2_history",
     ]
     # every registered oracle still has a queries() twin
     assert not set(entrymod.oracle_sql()) - set(names)

@@ -1020,9 +1020,11 @@ def test_cms_maintain_stream_equals_batch(spark, tmp_path):
     q = start_cms_maintain(stream, store, str(tmp_path / "cms_ckpt"))
     assert q.awaitTermination(180)
     q.stop()
+    from pubsub_mapreduce_spark.streaming.store import store_read
+
     got = {
         (r["d"], r["cell"]): r["cnt"]
-        for r in spark.read.parquet(store + "/cells").collect()
+        for r in store_read(spark, store + "/cells").collect()
     }
     want = {
         (r["d"], r["cell"]): r["cnt"] for r in cms_build(events, "user_id").collect()
@@ -1033,7 +1035,7 @@ def test_cms_maintain_stream_equals_batch(spark, tmp_path):
     handler(spark.createDataFrame(rows[:chunk], events.schema), 0)
     after = {
         (r["d"], r["cell"]): r["cnt"]
-        for r in spark.read.parquet(store + "/cells").collect()
+        for r in store_read(spark, store + "/cells").collect()
     }
     assert after == want
 

@@ -445,3 +445,69 @@ def test_item_cf_recs_at_scale_bounded_lists(spark, big_docs):
         edges.select(F.col("b").alias("x"))
     ).distinct().count()
     assert recs.count() <= 3 * n_items
+
+
+def test_cross_source_dups_at_scale_tracks_lsh_bound(spark, big_docs):
+    """Plant 15 cross-source near-copies into the 20k corpus: every
+    planted pair surfaces with its two distinct sources, and the audit's
+    total volume is bounded by its LSH pair source (it adds only two
+    key joins + a filter — it can never amplify the validated candidate
+    bound)."""
+    from pubsub_mapreduce_spark.operators.dedup import (
+        cross_source_dups,
+        minhash_lsh_pairs,
+    )
+
+    base = big_docs.where(F.col("doc_id") < 15)
+    copies = base.select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "lang",
+        F.lit("mirror_site").alias("source"),
+        "n_chars",
+    )
+    corpus = big_docs.unionByName(copies)
+    out = cross_source_dups(corpus, threshold=0.6)
+    planted = {
+        r["a"]: r
+        for r in out.where(F.col("b") >= 4_000_000).collect()
+    }
+    assert set(planted) >= set(range(15))
+    for r in planted.values():
+        assert r["source_a"] != r["source_b"]
+    n_pairs = minhash_lsh_pairs(
+        corpus, threshold=0.6, hash_impl="md5"
+    ).count()
+    assert out.count() <= n_pairs
+
+
+def test_winnow_pair_volume_bounded_by_df_cap_at_scale(spark, big_docs):
+    """Global winnow pair volume at 20k docs respects the inverted
+    index's STRUCTURAL ceiling — distinct pairs <= sum over surviving
+    (df <= max_df) fingerprint hashes of C(df, 2) — and stays two-plus
+    orders of magnitude under all-pairs, the no-quadratic-blowup
+    guarantee of the df-capped plan. (The synthetic corpus is heavily
+    templated, so a naive per-doc bound does NOT hold at min_shared=1;
+    the combinatorial one must.)"""
+    from pubsub_mapreduce_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    max_df = 20
+    n = winnow_pairs(
+        big_docs, k=16, w=16, min_shared=1, max_df=max_df
+    ).count()
+    fp = winnow_fingerprints(big_docs, k=16, w=16).select(
+        "doc_id", "fp_hash"
+    ).distinct()
+    ceiling = (
+        fp.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .agg(F.sum(F.expr("df * (df - 1) div 2")).alias("c2"))
+        .collect()[0]["c2"]
+    )
+    assert n <= ceiling
+    n_docs = big_docs.count()
+    assert n < 0.01 * (n_docs * (n_docs - 1) / 2)
