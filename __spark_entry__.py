@@ -2350,6 +2350,92 @@ def q_dedup_scrub_spans(spark, sf_dir):
     return dedup.scrub_duplicate_spans(load_tables(spark, sf_dir)["documents"])
 
 
+def q_kendall_daily(spark, sf_dir):
+    """Kendall tau-b per order priority (robust.kendall_daily): rank
+    association between the daily order-count and daily-revenue series
+    — sign-only BIGINT concordance folds (no delta products, no
+    overflow at any scale), one mirrored sqrt expression, pair join
+    calendar-bounded (|days|^2 regardless of row count)."""
+    return RB.kendall_daily(load_tables(spark, sf_dir)["orders"])
+
+
+def q_spearman_types(spark, sf_dir):
+    """Spearman rho between event types' daily count series
+    (robust.spearman_types): Pearson on DOUBLED average ranks
+    (u = 2*rank + ties - 1, integer), so all six moments are BIGINT and
+    the x2 scaling cancels in the one mirrored float expression —
+    type_correlation's outlier-robust twin."""
+    return RB.spearman_types(load_tables(spark, sf_dir)["events"])
+
+
+def q_cramers_v(spark, sf_dir):
+    """Cramér's V for order priority x status (robust.cramers_v):
+    chi-square over the 15-cell contingency table accumulated by a
+    SEQUENTIAL fold over (p, s)-sorted cells — the float-sum-order
+    hazard pinned down the same way as the cosine fold mirrors — then
+    the [0,1] normalization with one mirrored sqrt."""
+    return RB.cramers_v(load_tables(spark, sf_dir)["orders"])
+
+
+def q_runs_test_daily(spark, sf_dir):
+    """Wald–Wolfowitz runs test per event type (robust.runs_test_daily):
+    randomness of the daily count series around its lower median —
+    integer run/side counts via window rank + lag, z-score with integer
+    numerator and fixed-association float factors."""
+    return RB.runs_test_daily(load_tables(spark, sf_dir)["events"])
+
+
+def q_asof_prev_click(spark, sf_dir):
+    """BACKWARD as-of with tolerance (rangejoin.asof_join): each
+    purchase event attaches the same user's most recent CLICK at-or-
+    before it within 24 hours — the attribution lookup ("what did they
+    click right before buying?"), exercising the backward carry (last
+    ignorenulls window, tie-break MAX event_id = latest wins) on a
+    DENSE self-asof where most purchases really match, unlike the
+    orders/events calendars which never overlap. Same one-shuffle
+    union-carry plan as the forward twin."""
+    ev = load_tables(spark, sf_dir)["events"]
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    j = RJ.asof_join(
+        left,
+        right,
+        on=["user_id"],
+        left_time="ts",
+        right_time="click_ts",
+        value_cols=["click_id", "click_value"],
+        direction="backward",
+        tolerance_s=86400,
+        tie_cols=["click_id"],
+        prefix="prev_",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.col("prev_click_id").alias("prev_click"),
+        F.col("prev_click_value").alias("prev_click_value"),
+    )
+
+
+def q_semdedup_prune(spark, sf_dir):
+    """SemDeDup cluster-scoped semantic dedup (similarity.semdedup_prune,
+    Abbas et al. 2023): int8-exact k-means cells, then within-cell
+    cosine >= 0.35 prunes the higher vec_id of each near-dup pair —
+    the cosine test cleared to pure int64 (tau_den^2 dot^2 vs
+    tau_num^2 |a|^2 |b|^2), so the per-cluster prune report
+    value-hashes. Candidate pairs never cross a cluster boundary:
+    that is the paper's web-scale tractability contract."""
+    return S.semdedup_prune(load_tables(spark, sf_dir)["embeddings"])
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2574,6 +2660,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_elasticity": q_price_elasticity,
         "type_burstiness": q_type_burstiness,
         "dow_uniformity": q_dow_uniformity,
+        # --- round-4 additions (never driver-checked; queue after the
+        # r3 tail in registration order) -------------------------------
+        "kendall_daily": q_kendall_daily,
+        "spearman_types": q_spearman_types,
+        "cramers_v": q_cramers_v,
+        "runs_test_daily": q_runs_test_daily,
+        "asof_prev_click": q_asof_prev_click,
+        "semdedup_prune": q_semdedup_prune,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -6837,19 +6931,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "skyline_orders": """
+            -- sorted-pass form of the quadratic NOT-EXISTS dominance
+            -- test (equivalence pinned in tests/test_round4_fixes.py):
+            -- a row survives iff its price equals its day-group min AND
+            -- that min is strictly below every earlier day's min
             WITH t AS (
               SELECT o_orderkey, o_totalprice,
                      CAST(datediff('day', DATE '1992-01-01', o_orderdate)
                           AS INTEGER) AS order_day
-              FROM orders)
+              FROM orders),
+            g AS (SELECT order_day, min(o_totalprice) AS gy
+                  FROM t GROUP BY 1),
+            fr AS (SELECT order_day, gy,
+                          min(gy) OVER (ORDER BY order_day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS prev
+                   FROM g)
             SELECT q.o_orderkey, q.o_totalprice, q.order_day
-            FROM t q
-            WHERE NOT EXISTS (
-              SELECT 1 FROM t p
-              WHERE (p.o_totalprice <= q.o_totalprice
-                     AND p.order_day < q.order_day)
-                 OR (p.o_totalprice < q.o_totalprice
-                     AND p.order_day <= q.order_day))
+            FROM t q JOIN fr
+              ON q.order_day = fr.order_day AND q.o_totalprice = fr.gy
+            WHERE fr.prev IS NULL OR fr.gy < fr.prev
         """,
         "entity_match": """
             WITH b AS (
@@ -7949,6 +8050,269 @@ def oracle_sql() -> dict[str, str]:
                floor(chi_num * 1.0 / (7 * n) * 1e6 + 0.5) / 1e6 AS chi2,
                chi_num * 1.0 / (7 * n) > 12.592 AS weekly_pattern
         FROM a WHERE n > 0
+    """
+    out["kendall_daily"] = """
+        WITH daily AS (
+          SELECT o_orderpriority AS p, CAST(o_orderdate AS DATE) AS d,
+                 CAST(count(*) AS BIGINT) AS x,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS y
+          FROM orders GROUP BY 1, 2),
+        pr AS (
+          SELECT a.p,
+                 CASE WHEN a.x > b.x THEN 1 WHEN a.x < b.x THEN -1
+                      ELSE 0 END AS sx,
+                 CASE WHEN a.y > b.y THEN 1 WHEN a.y < b.y THEN -1
+                      ELSE 0 END AS sy
+          FROM daily a JOIN daily b ON a.p = b.p AND a.d < b.d),
+        agg AS (
+          SELECT p, CAST(count(*) AS BIGINT) AS n0,
+                 CAST(sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS nc,
+                 CAST(sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS nd,
+                 CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n2
+          FROM pr GROUP BY 1)
+        SELECT p AS o_orderpriority, n0, nc, nd, n1, n2,
+               floor((CAST(nc - nd AS DOUBLE)
+                      / (sqrt(CAST(n0 - n1 AS DOUBLE))
+                         * sqrt(CAST(n0 - n2 AS DOUBLE)))
+                      + 1.0) * 1e6 + 0.5) / 1e6 AS tau_plus1
+        FROM agg WHERE n0 > n1 AND n0 > n2
+    """
+    out["spearman_types"] = """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2),
+        ranked AS (
+          SELECT event_type, d,
+                 CAST(2 * rank() OVER (PARTITION BY event_type
+                                       ORDER BY cnt)
+                      + count(*) OVER (PARTITION BY event_type, cnt)
+                      - 1 AS BIGINT) AS u
+          FROM daily),
+        j AS (
+          SELECT a.event_type AS ta, b.event_type AS tb,
+                 a.u AS x, b.u AS y
+          FROM ranked a JOIN ranked b
+            ON a.d = b.d AND a.event_type < b.event_type),
+        agg AS (
+          SELECT ta, tb,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sx2,
+                 CAST(sum(y * y) AS BIGINT) AS sy2
+          FROM j GROUP BY 1, 2)
+        SELECT ta, tb, n,
+               floor((CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+                         * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)))
+                      + 1.0) * 1e6 + 0.5) / 1e6 AS rho_plus1
+        FROM agg
+        WHERE n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+    """
+    out["cramers_v"] = """
+        WITH cells AS (
+          SELECT o_orderpriority AS p, o_orderstatus AS s,
+                 CAST(count(*) AS BIGINT) AS o
+          FROM orders GROUP BY 1, 2),
+        rm AS (SELECT p, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        cm AS (SELECT s, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                     CAST(count(DISTINCT p) AS BIGINT) AS rk,
+                     CAST(count(DISTINCT s) AS BIGINT) AS ck
+              FROM cells),
+        f AS (SELECT cells.p, cells.s, cells.o, rm.r, cm.c,
+                     t.n, t.rk, t.ck
+              FROM cells JOIN rm USING (p) JOIN cm USING (s) CROSS JOIN t),
+        arr AS (
+          SELECT n, rk, ck,
+                 list(struct_pack(
+                        d := CAST(o * n - r * c AS DOUBLE),
+                        rc := CAST(r * c AS DOUBLE))
+                      ORDER BY p, s) AS cl
+          FROM f GROUP BY 1, 2, 3),
+        chi AS (
+          SELECT n, rk, ck,
+                 list_reduce(
+                   list_prepend(
+                     0.0,
+                     list_transform(cl,
+                       x -> (x.d / CAST(n AS DOUBLE))
+                            * (x.d / x.rc))),
+                   (a, b) -> a + b) AS chi2
+          FROM arr)
+        SELECT n, rk AS n_priorities, ck AS n_statuses,
+               floor(chi2 * 1e6 + 0.5) / 1e6 AS chi2,
+               floor(sqrt(chi2 / (CAST(n AS DOUBLE)
+                                  * CAST(least(rk - 1, ck - 1) AS DOUBLE)))
+                     * 1e6 + 0.5) / 1e6 AS cramers_v
+        FROM chi WHERE n > 0 AND rk > 1 AND ck > 1
+    """
+    out["runs_test_daily"] = """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        rk AS (
+          SELECT event_type, d, cnt,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY cnt, d) AS rk,
+                 count(*) OVER (PARTITION BY event_type) AS nn
+          FROM daily),
+        med AS (SELECT event_type, cnt AS med FROM rk
+                WHERE rk = (nn + 1) // 2),
+        signed AS (
+          SELECT daily.event_type, daily.d,
+                 CASE WHEN daily.cnt > med.med THEN 1 ELSE 0 END AS s
+          FROM daily JOIN med USING (event_type)
+          WHERE daily.cnt <> med.med),
+        flips AS (
+          SELECT event_type, s,
+                 CASE WHEN lag(s) OVER (PARTITION BY event_type
+                                        ORDER BY d) IS NULL
+                        OR lag(s) OVER (PARTITION BY event_type
+                                        ORDER BY d) <> s
+                      THEN 1 ELSE 0 END AS flip
+          FROM signed),
+        agg AS (
+          SELECT event_type,
+                 CAST(sum(flip) AS BIGINT) AS r,
+                 CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n2
+          FROM flips GROUP BY 1),
+        zc AS (
+          SELECT event_type, r, n1, n2,
+                 n1 + n2 AS m, 2 * n1 * n2 AS p2
+          FROM agg)
+        SELECT event_type, r, n1, n2,
+               floor(CAST(r * m - p2 - m AS DOUBLE)
+                     / (CAST(m AS DOUBLE)
+                        * sqrt(CAST(p2 AS DOUBLE) * CAST(p2 - m AS DOUBLE)
+                               / CAST(m * m AS DOUBLE)
+                               / CAST(m - 1 AS DOUBLE)))
+                     * 1e6 + 0.5) / 1e6 AS z,
+               abs(CAST(r * m - p2 - m AS DOUBLE)
+                   / (CAST(m AS DOUBLE)
+                      * sqrt(CAST(p2 AS DOUBLE) * CAST(p2 - m AS DOUBLE)
+                             / CAST(m * m AS DOUBLE)
+                             / CAST(m - 1 AS DOUBLE)))) > 1.96
+                 AS nonrandom
+        FROM zc
+        WHERE n1 > 0 AND n2 > 0 AND m > 1 AND p2 > m
+    """
+    out["asof_prev_click"] = """
+        SELECT e.event_id, e.user_id,
+               CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s,
+               c.event_id AS prev_click,
+               c.value AS prev_click_value
+        FROM events e LEFT JOIN LATERAL (
+          SELECT e2.event_id, e2.value
+          FROM events e2
+          WHERE e2.event_type = 'click' AND e2.user_id = e.user_id
+            AND e2.ts <= e.ts
+            AND floor(epoch(e.ts)) - floor(epoch(e2.ts)) <= 86400
+          ORDER BY e2.ts DESC, e2.event_id DESC LIMIT 1) c ON TRUE
+        WHERE e.event_type = 'purchase'
+    """
+    # SemDeDup rides the validated emb_kmeans Lloyd CTE chain verbatim,
+    # then adds the integer-cleared within-cluster cosine prune.
+    out["semdedup_prune"] = r"""
+        WITH scaled AS (
+          SELECT vec_id, embedding,
+                 CASE WHEN s0 > 0 THEN s0 ELSE 1.0 END AS scale
+          FROM (SELECT vec_id, embedding,
+                       CAST(list_max(list_transform(embedding,
+                            v -> abs(v))) AS DOUBLE) / 127 AS s0
+                FROM embeddings)),
+        coded AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding, v ->
+                     CAST(floor(CAST(v AS DOUBLE) / scale + 0.5)
+                          AS INTEGER)) AS codes
+          FROM scaled),
+        q AS (
+          SELECT vec_id, i - 1 AS dim, codes[i] AS code
+          FROM coded,
+               LATERAL (SELECT unnest(range(1, len(codes) + 1)) AS i) _),
+        seeds0 AS (
+          SELECT vec_id, codes FROM coded
+          WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 8),
+        seedn AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                      AS INTEGER) AS cluster, codes
+          FROM seeds0),
+        cents0 AS (
+          SELECT cluster, i - 1 AS dim, CAST(codes[i] AS BIGINT) AS c
+          FROM seedn,
+               LATERAL (SELECT unnest(range(1, len(codes) + 1)) AS i) _),
+        d1 AS (
+          SELECT q.vec_id, c.cluster,
+                 CAST(sum((q.code - c.c) * (q.code - c.c)) AS BIGINT)
+                     AS d2
+          FROM q JOIN cents0 c USING (dim) GROUP BY 1, 2),
+        a1 AS (
+          SELECT vec_id, cluster, d2 FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY d2, cluster) AS rn
+            FROM d1) WHERE rn = 1),
+        cents1 AS (
+          SELECT a.cluster, q.dim,
+                 CAST(sum(q.code) // count(*) AS BIGINT) AS c
+          FROM q JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+        dd2 AS (
+          SELECT q.vec_id, c.cluster,
+                 CAST(sum((q.code - c.c) * (q.code - c.c)) AS BIGINT)
+                     AS d2
+          FROM q JOIN cents1 c USING (dim) GROUP BY 1, 2),
+        a2 AS (
+          SELECT vec_id, cluster FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY d2, cluster) AS rn
+            FROM dd2) WHERE rn = 1),
+        mem AS MATERIALIZED (
+          SELECT a2.vec_id, a2.cluster, coded.codes,
+                 CAST(list_sum(list_transform(coded.codes,
+                      c -> CAST(c AS BIGINT) * c)) AS BIGINT) AS n2
+          FROM a2 JOIN coded USING (vec_id)),
+        dup AS (
+          SELECT a.cluster, a.vec_id AS va, b.vec_id AS vb
+          FROM mem a JOIN mem b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE CAST(list_sum(list_transform(
+                    range(1, len(a.codes) + 1),
+                    i -> CAST(a.codes[i] AS BIGINT) * b.codes[i]))
+                  AS BIGINT) > 0
+            AND 400 * CAST(list_sum(list_transform(
+                    range(1, len(a.codes) + 1),
+                    i -> CAST(a.codes[i] AS BIGINT) * b.codes[i]))
+                  AS BIGINT)
+                * CAST(list_sum(list_transform(
+                    range(1, len(a.codes) + 1),
+                    i -> CAST(a.codes[i] AS BIGINT) * b.codes[i]))
+                  AS BIGINT)
+                >= 49 * a.n2 * b.n2),
+        pr AS (
+          SELECT cluster, CAST(count(*) AS BIGINT) AS n_dup_pairs,
+                 CAST(count(DISTINCT vb) AS BIGINT) AS n_pruned
+          FROM dup GROUP BY 1),
+        mm AS (
+          SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+          FROM mem GROUP BY 1)
+        SELECT mm.cluster, mm.n_members,
+               COALESCE(pr.n_dup_pairs, 0) AS n_dup_pairs,
+               COALESCE(pr.n_pruned, 0) AS n_pruned,
+               floor(CAST(COALESCE(pr.n_pruned, 0) AS DOUBLE)
+                     / mm.n_members * 1e6 + 0.5) / 1e6 AS prune_rate
+        FROM mm LEFT JOIN pr USING (cluster)
     """
     # Markov eval composes the validated transition oracle verbatim.
     out["markov_accuracy"] = f"""

@@ -1659,3 +1659,294 @@ def dow_uniformity(events: DataFrame) -> DataFrame:
             (chi2 > F.lit(12.592)).alias("weekly_pattern"),
         )
     )
+
+
+def kendall_daily(orders: DataFrame) -> DataFrame:
+    """Kendall tau-b between the DAILY order count and DAILY revenue
+    series, per order priority: the rank-based twin of
+    ``type_correlation``'s Pearson — robust to outlier days and to any
+    monotone transform of either series, the association measure to
+    trust when revenue is heavy-tailed.
+
+    Integer discipline: every pair verdict is a SIGN comparison —
+    concordant/discordant/tied counts are BIGINT sums of
+    sign(dx)*sign(dy) cases (no products of deltas, so no overflow at
+    any scale), and
+
+        tau_b = (nc - nd) / (sqrt(n0 - n1) * sqrt(n0 - n2))
+
+    is one mirrored float expression (IEEE sqrt) over integer factors;
+    ships as tau_plus1 (the +1 offset sidesteps -0.0 repr divergence,
+    ``type_correlation`` convention). Pairs with a zero-variance side
+    are dropped by an integer predicate before any division.
+
+    Scale: the daily rollup collapses volume first — the pair self-join
+    is calendar-bounded (|days|^2/2 per priority, ~3M pairs for a
+    7-year span regardless of row count), broadcast-joinable."""
+    daily = orders.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("y"),
+    )
+    a = daily.select(
+        F.col("o_orderpriority").alias("p"),
+        F.col("d").alias("d1"), F.col("x").alias("x1"), F.col("y").alias("y1"),
+    )
+    b = daily.select(
+        F.col("o_orderpriority").alias("p"),
+        F.col("d").alias("d2"), F.col("x").alias("x2"), F.col("y").alias("y2"),
+    )
+    sx = F.signum((F.col("x1") - F.col("x2")).cast("double")).cast("int")
+    sy = F.signum((F.col("y1") - F.col("y2")).cast("double")).cast("int")
+    pairs = a.join(b, "p").where(F.col("d1") < F.col("d2"))
+    one = F.lit(1).cast("long")
+    z = F.lit(0).cast("long")
+    agg = pairs.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.when(sx * sy == 1, one).otherwise(z)).alias("nc"),
+        F.sum(F.when(sx * sy == -1, one).otherwise(z)).alias("nd"),
+        F.sum(F.when(sx == 0, one).otherwise(z)).alias("n1"),
+        F.sum(F.when(sy == 0, one).otherwise(z)).alias("n2"),
+    )
+    tau = (F.col("nc") - F.col("nd")).cast("double") / (
+        F.sqrt((F.col("n0") - F.col("n1")).cast("double"))
+        * F.sqrt((F.col("n0") - F.col("n2")).cast("double"))
+    )
+    return (
+        agg.where((F.col("n0") > F.col("n1")) & (F.col("n0") > F.col("n2")))
+        .select(
+            F.col("p").alias("o_orderpriority"),
+            "n0", "nc", "nd", "n1", "n2",
+            round_half_up(tau + F.lit(1.0), 6).alias("tau_plus1"),
+        )
+    )
+
+
+def spearman_types(events: DataFrame) -> DataFrame:
+    """Spearman rank correlation between event types' DAILY count
+    series — ``type_correlation``'s Pearson on AVERAGE RANKS instead of
+    raw counts, so one anomalous day cannot dominate the association.
+
+    Integer discipline: the average rank of a value with ``less`` days
+    strictly below it and ``ties`` days equal is (2*less + ties + 1)/2
+    — carried DOUBLED (u = 2*less + ties + 1, an integer), so all six
+    Pearson moments over (u, v) are BIGINT and
+
+        rho = (n*Suv - Su*Sv) / (sqrt(n*Su2 - Su^2) * sqrt(n*Sv2 - Sv^2))
+
+    is the same one mirrored float expression (the x2 scaling cancels).
+    Headroom: u <= 2*|days| ~ 5e3, n*Suv ~ |days|^2 * u * v ~ 1.6e14 —
+    int64-safe to ~100x longer calendars.
+
+    Scale: identical shape to type_correlation — daily rollup, per-type
+    rank window over a calendar-bounded series, |types|^2-sized pair
+    join."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wl = Window.partitionBy("event_type").orderBy("cnt")
+    we = Window.partitionBy("event_type", "cnt")
+    # doubled average rank: min_rank + max_rank = 2*rank + ties - 1
+    ranked = daily.select(
+        "event_type",
+        "d",
+        (2 * F.rank().over(wl) + F.count(F.lit(1)).over(we) - 1)
+        .cast("long")
+        .alias("u"),
+    )
+    a = ranked.select(
+        F.col("event_type").alias("ta"), "d", F.col("u").alias("x")
+    )
+    b = ranked.select(
+        F.col("event_type").alias("tb"), "d", F.col("u").alias("y")
+    )
+    j = a.join(b, "d").where(F.col("ta") < F.col("tb"))
+    agg = j.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    vx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    return (
+        agg.where((vx > 0) & (vy > 0))
+        .select(
+            "ta",
+            "tb",
+            "n",
+            round_half_up(
+                num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+                + F.lit(1.0),
+                6,
+            ).alias("rho_plus1"),
+        )
+    )
+
+
+def cramers_v(orders: DataFrame) -> DataFrame:
+    """Cramér's V association between order priority and order status —
+    the [0, 1]-normalized chi-square for a categorical x categorical
+    contingency table (chi2 alone grows with N; V is comparable across
+    table sizes), the dependence screen run before treating two
+    categorical features as independent.
+
+    Exactness: cell/margin counts O, R, C and the total N are BIGINT;
+    the per-cell term (O*N - R*C)^2 / (N*R*C) is float, so the
+    cross-engine hazard is SUMMATION ORDER — solved by folding the
+    cells in ONE deterministic sequence: cells are collected into a
+    (priority, status)-sorted array (bounded: |priorities| x |statuses|
+    rows) and chi2 accumulates via a sequential left fold
+    (``F.aggregate`` here, ordered ``list_transform`` + ``list_reduce``
+    in the oracle) — every intermediate IEEE op is order-pinned and
+    bit-equal, the same discipline as the cosine fold mirrors.
+    d = O*N - R*C stays exact in int64 up to N ~ 2^26 rows and converts
+    losslessly below 2^53.
+
+    Scale: one 15-cell rollup + two margin rollups; everything after
+    the first aggregate is dimension-sized."""
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rows = cells.groupBy("p").agg(F.sum("o").alias("r"))
+    colm = cells.groupBy("s").agg(F.sum("o").alias("c"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("p").cast("long").alias("rk"),
+        F.count_distinct("s").cast("long").alias("ck"),
+    )
+    full = (
+        cells.join(rows, "p")
+        .join(colm, "s")
+        .crossJoin(F.broadcast(tot))
+    )
+    d = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    terms = full.groupBy("n", "rk", "ck").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "p",
+                    "s",
+                    d.cast("double").alias("d"),
+                    (F.col("r") * F.col("c")).cast("double").alias("rc"),
+                )
+            )
+        ).alias("cells")
+    )
+    nd = F.col("n").cast("double")
+    chi2 = F.aggregate(
+        F.col("cells"),
+        F.lit(0.0),
+        lambda acc, t: acc + (t["d"] / nd) * (t["d"] / t["rc"]),
+    )
+    v = F.sqrt(
+        chi2
+        / (nd * F.least(F.col("rk") - 1, F.col("ck") - 1).cast("double"))
+    )
+    return terms.where(
+        (F.col("n") > 0) & (F.col("rk") > 1) & (F.col("ck") > 1)
+    ).select(
+        "n",
+        F.col("rk").alias("n_priorities"),
+        F.col("ck").alias("n_statuses"),
+        round_half_up(chi2, 6).alias("chi2"),
+        round_half_up(v, 6).alias("cramers_v"),
+    )
+
+
+def runs_test_daily(events: DataFrame) -> DataFrame:
+    """Wald–Wolfowitz runs test per event type: is the daily count
+    series random around its median, or does it cluster (trends /
+    regimes -> few long runs) or oscillate (alternation -> many short
+    runs)? The nonparametric randomness screen behind "is this metric
+    stable or drifting" — complements dow_uniformity (fixed weekly
+    cycle) and pettitt (single changepoint).
+
+    Integer discipline: the LOWER MEDIAN is selected by window rank
+    (row_number over (cnt, d) — deterministic, no division); days equal
+    to the median are discarded (standard treatment), the remainder is
+    signed above/below, and the run count R = 1 + sum[sign flips] is a
+    pure integer lag comparison. The z-score clears the rational mean:
+
+        z = (R*m - 2*n1*n2 - m) / (m * sqrt(var)),
+        var = 2*n1*n2*(2*n1*n2 - m) / (m^2 * (m - 1)),  m = n1 + n2
+
+    — integer numerator, each float factor converted once with a fixed
+    association order (mwu_source_shift convention), int64-safe to
+    ~3e9 kept days per type.
+
+    Scale: daily rollup first; the rank window and lag run over a
+    calendar-bounded series per type."""
+    daily = events.where(F.col("ts").isNotNull()).groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wr = Window.partitionBy("event_type").orderBy("cnt", "d")
+    wn = Window.partitionBy("event_type")
+    med = (
+        daily.select(
+            "event_type",
+            "d",
+            "cnt",
+            F.row_number().over(wr).alias("rk"),
+            F.count(F.lit(1)).over(wn).alias("nn"),
+        )
+        .where(F.col("rk") == F.expr("(nn + 1) div 2"))
+        .select("event_type", F.col("cnt").alias("med"))
+    )
+    signed = (
+        daily.join(med, "event_type")
+        .where(F.col("cnt") != F.col("med"))
+        .select(
+            "event_type",
+            "d",
+            F.when(F.col("cnt") > F.col("med"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("s"),
+        )
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    runs = signed.select(
+        "event_type",
+        "s",
+        F.when(
+            F.lag("s").over(wd).isNull() | (F.lag("s").over(wd) != F.col("s")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("flip"),
+    )
+    one = F.lit(1).cast("long")
+    z0 = F.lit(0).cast("long")
+    agg = runs.groupBy("event_type").agg(
+        F.sum("flip").cast("long").alias("r"),
+        F.sum(F.when(F.col("s") == 1, one).otherwise(z0)).alias("n1"),
+        F.sum(F.when(F.col("s") == 0, one).otherwise(z0)).alias("n2"),
+    )
+    m = F.col("n1") + F.col("n2")
+    p2 = 2 * F.col("n1") * F.col("n2")
+    var = (
+        p2.cast("double")
+        * (p2 - m).cast("double")
+        / (m * m).cast("double")
+        / (m - 1).cast("double")
+    )
+    z = (F.col("r") * m - p2 - m).cast("double") / (
+        m.cast("double") * F.sqrt(var)
+    )
+    return (
+        agg.where((F.col("n1") > 0) & (F.col("n2") > 0) & (m > 1) & (p2 > m))
+        .select(
+            "event_type",
+            "r",
+            "n1",
+            "n2",
+            round_half_up(z, 6).alias("z"),
+            (F.abs(z) > F.lit(1.96)).alias("nonrandom"),
+        )
+    )

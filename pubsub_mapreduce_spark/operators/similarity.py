@@ -2299,6 +2299,21 @@ def kmeans_int8(
 
     Returns the final per-cluster report: member count and within-
     cluster sum of squares (integer)."""
+    assign = kmeans_assign(emb, k=k, iters=iters, seed_every=seed_every)
+    return assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("d2").alias("wcss"),
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame, k: int = 8, iters: int = 2, seed_every: int = 100
+) -> DataFrame:
+    """The (vec_id, cluster, d2) assignment relation behind
+    ``kmeans_int8`` — exposed so cluster-scoped consumers (SemDeDup
+    pruning, per-cluster balance reports) share the exact,
+    value-hashable Lloyd rounds instead of re-deriving them. Same plan
+    notes as kmeans_int8."""
     # q feeds the distance join AND the update aggregate in EVERY
     # round: checkpoint once or the interpreted quantization HOF
     # re-runs per consumer per round (measured 7.8s -> ~2s at sf0.1).
@@ -2340,9 +2355,112 @@ def kmeans_int8(
             .groupBy("cluster", "dim")
             .agg(F.expr("sum(code) div count(1)").alias("c"))
         ).localCheckpoint(eager=False)
-    return assign.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.sum("d2").alias("wcss"),
+    return assign
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    tau_num: int = 7,
+    tau_den: int = 20,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space, then inside each cluster prune every vector that
+    is near-duplicate (cosine >= tau) of a LOWER-id member — the
+    cluster-scoped semantic dedup pass that makes web-scale pruning
+    tractable: candidate pairs exist only WITHIN a cluster, never
+    across the corpus.
+
+    Exactness: rides ``kmeans_assign``'s integer Lloyd rounds, and the
+    cosine test is cleared of sqrt/floats entirely —
+
+        cos(a, b) >= tau  (tau = tau_num/tau_den, dot > 0)
+        <=>  tau_den^2 * dot^2 >= tau_num^2 * |a|^2 * |b|^2
+
+    — pure int64 on the int8 codes (|dot| <= 64*127^2 ~ 1e6, both
+    sides < 2^50), so prune verdicts are bit-identical cross-engine.
+    Keeper rule: lowest vec_id in each dominating pair survives
+    (deterministic; SemDeDup's keep-one-per-group with an explicit
+    total order).
+
+    Returns the per-cluster pruning report: members, near-dup pairs,
+    pruned count, and the prune rate (one rounded division).
+
+    Scale shape: the pairwise stage is the SemDeDup contract — O(sum
+    of cluster sizes squared), controlled by k (clusters sized to
+    ~corpus/k); the dot fold is one fused zip_with per pair, and the
+    pair relation never leaves the cluster key, so the shuffle is
+    cluster-bucketed. For 100 TB, k grows with the corpus so cluster
+    cardinality stays bounded — the knob the paper's recipe sets."""
+    assign = kmeans_assign(emb, k=k, iters=iters)
+    coded = _int8_codes(emb).select("vec_id", "codes")
+    n2 = F.aggregate(
+        F.transform(
+            "codes", lambda c: c.cast("long") * c.cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    m = (
+        assign.select("vec_id", "cluster")
+        .join(coded, "vec_id")
+        .select("vec_id", "cluster", "codes", n2.alias("n2"))
+    ).localCheckpoint(eager=False)
+    a = m.select(
+        F.col("vec_id").alias("va"),
+        "cluster",
+        F.col("codes").alias("ca"),
+        F.col("n2").alias("na2"),
+    )
+    b = m.select(
+        F.col("vec_id").alias("vb"),
+        "cluster",
+        F.col("codes").alias("cb"),
+        F.col("n2").alias("nb2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("va") < F.col("vb"))
+        .select("cluster", "va", "vb", dot.alias("dot"), "na2", "nb2")
+        .where(
+            (F.col("dot") > 0)
+            & (
+                F.lit(tau_den * tau_den) * F.col("dot") * F.col("dot")
+                >= F.lit(tau_num * tau_num) * F.col("na2") * F.col("nb2")
+            )
+        )
+    )
+    pruned = pairs.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+        F.count_distinct("vb").cast("long").alias("n_pruned"),
+    )
+    members = m.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    from ..functions.text import round_half_up
+
+    return (
+        members.join(pruned, "cluster", "left")
+        .select(
+            "cluster",
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0).cast("long")).alias(
+                "n_dup_pairs"
+            ),
+            F.coalesce("n_pruned", F.lit(0).cast("long")).alias("n_pruned"),
+            round_half_up(
+                F.coalesce("n_pruned", F.lit(0).cast("long"))
+                / F.col("n_members"),
+                6,
+            ).alias("prune_rate"),
+        )
     )
 
 

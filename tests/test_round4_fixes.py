@@ -198,3 +198,41 @@ def test_store_crash_mid_write_keeps_previous_snapshot(spark, tmp_path):
     store_write(spark, df1.collect(), df1.schema, base, 2)
     vdirs = sorted(d for d in os.listdir(base) if d.startswith("v"))
     assert vdirs == ["v1", "v2"]
+
+
+def test_skyline_oracle_window_form_equals_not_exists():
+    """The sweep-killing O(n^2) NOT-EXISTS skyline oracle was rewritten
+    as the sorted-pass window form; pin their equivalence (DuckDB-only,
+    row-set equality at sf0.01)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        "'/root/testdata/sf0.01/orders.parquet'"
+    )
+    naive = """
+        WITH t AS (
+          SELECT o_orderkey, o_totalprice,
+                 CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+                      AS INTEGER) AS order_day
+          FROM orders)
+        SELECT q.o_orderkey, q.o_totalprice, q.order_day
+        FROM t q
+        WHERE NOT EXISTS (
+          SELECT 1 FROM t p
+          WHERE (p.o_totalprice <= q.o_totalprice
+                 AND p.order_day < q.order_day)
+             OR (p.o_totalprice < q.o_totalprice
+                 AND p.order_day <= q.order_day))
+    """
+    a = sorted(map(tuple, con.execute(naive).fetchall()))
+    b = sorted(
+        map(
+            tuple,
+            con.execute(entrymod.oracle_sql()["skyline_orders"]).fetchall(),
+        )
+    )
+    assert a and a == b

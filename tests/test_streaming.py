@@ -1454,3 +1454,97 @@ def test_wau_estimates_from_day_sketches(spark, tmp_path):
     assert set(est) == set(exact)
     for day, w in exact.items():
         assert abs(est[day] - w) <= max(2.0, 0.05 * w), (day, est[day], w)
+
+
+def test_topk_maintain_space_saving_guarantees(spark, tmp_path):
+    """Space-Saving top-k maintained over a 4-batch replay must honor
+    its deterministic guarantees against exact batch counts:
+    cnt - err <= true <= cnt for every reported key, every key with
+    true frequency > N/K is reported, and a replayed batch is a no-op
+    (ledger effectively-once)."""
+    from pubsub_mapreduce_spark.io import load_tables
+    from pubsub_mapreduce_spark.streaming.topk_maintain import (
+        TopKMaintain,
+        start_topk_maintain,
+        topk,
+    )
+    from tests.conftest import SF_SMALL
+
+    K = 8
+    events = load_tables(spark, SF_SMALL)["events"].select(
+        "event_id", "event_type", "user_id"
+    )
+    rows = sorted(events.collect(), key=lambda r: r["event_id"])
+    d = tmp_path / "tk_replay"
+    d.mkdir()
+    chunk = (len(rows) + 3) // 4
+    for i in range(4):
+        spark.createDataFrame(
+            rows[i * chunk : (i + 1) * chunk], events.schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(d / f"f{i}"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/f*")
+    )
+    store = str(tmp_path / "tk_store")
+    q = start_topk_maintain(stream, store, str(tmp_path / "tk_ckpt"), k=K)
+    assert q.awaitTermination(180)
+    q.stop()
+
+    exact = {
+        (r["event_type"], str(r["user_id"])): r["n"]
+        for r in events.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    totals = {}
+    for (g, _), n in exact.items():
+        totals[g] = totals.get(g, 0) + n
+    got = topk(spark, store).collect()
+    assert got, "summary must not be empty"
+    per_group = {}
+    for r in got:
+        per_group.setdefault(r["group"], set()).add(r["key"])
+        true = exact.get((r["group"], r["key"]), 0)
+        assert r["cnt_lo"] <= true <= r["cnt"], (r, true)
+    for g, n_total in totals.items():
+        assert len(per_group.get(g, ())) <= K
+        for (gg, k), n in exact.items():
+            if gg == g and n > n_total / K:
+                assert k in per_group[g], (g, k, n, n_total)
+
+    # replayed batch: ledger makes it a no-op
+    before = sorted(map(tuple, got))
+    handler = TopKMaintain(store, k=K)
+    handler(spark.createDataFrame(rows[:chunk], events.schema), 0)
+    assert sorted(map(tuple, topk(spark, store).collect())) == before
+
+
+def test_topk_maintain_min_monotone_and_capacity(spark, tmp_path):
+    """Adversarial small-K merge: keys dropped at a cut re-enter at
+    delta + m (m = group min at entry) so their reported count can
+    only OVERestimate; the summary never exceeds K rows per group."""
+    from pubsub_mapreduce_spark.streaming.topk_maintain import (
+        TopKMaintain,
+        topk,
+    )
+
+    K = 2
+    store = str(tmp_path / "tk2")
+    handler = TopKMaintain(store, key="k", group="g", k=K)
+    schema = "g string, k string"
+    # batch 0: a x3, b x2, c x1 -> keep (a,3)(b,2); c dropped
+    handler(
+        spark.createDataFrame(
+            [("x", "a")] * 3 + [("x", "b")] * 2 + [("x", "c")], schema
+        ),
+        0,
+    )
+    # batch 1: c x4 -> c enters at 4 + m(=2), evicting b
+    handler(spark.createDataFrame([("x", "c")] * 4, schema), 1)
+    got = {r["key"]: (r["cnt"], r["cnt_lo"]) for r in topk(spark, store).collect()}
+    assert set(got) == {"a", "c"}
+    assert got["c"][0] == 6 and got["c"][1] == 4  # err records the absorbed 2
+    assert got["c"][0] >= 5 >= got["c"][1]  # true total c = 5 inside bounds
+    assert got["a"] == (3, 3)
