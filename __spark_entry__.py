@@ -2425,6 +2425,15 @@ def q_asof_prev_click(spark, sf_dir):
     )
 
 
+def q_lm_bigram_score(spark, sf_dir):
+    """Bigram LM fluency scoring (textops.lm_bigram_score): add-one
+    bigram model trained on the 'en' slice, every doc scored by mean
+    next-token probability (per-mille). The one float summation runs
+    as a position-ordered sequential fold — exact cross-engine, the
+    cramers_v discipline. The KenLM-style corpus-quality ranker."""
+    return TX.lm_bigram_score(load_tables(spark, sf_dir)["documents"])
+
+
 def q_semdedup_prune(spark, sf_dir):
     """SemDeDup cluster-scoped semantic dedup (similarity.semdedup_prune,
     Abbas et al. 2023): int8-exact k-means cells, then within-cell
@@ -2668,6 +2677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs_test_daily": q_runs_test_daily,
         "asof_prev_click": q_asof_prev_click,
         "semdedup_prune": q_semdedup_prune,
+        "lm_bigram_score": q_lm_bigram_score,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -8222,6 +8232,52 @@ def oracle_sql() -> dict[str, str]:
             AND floor(epoch(e.ts)) - floor(epoch(e2.ts)) <= 86400
           ORDER BY e2.ts DESC, e2.event_id DESC LIMIT 1) c ON TRUE
         WHERE e.event_type = 'purchase'
+    """
+    out["lm_bigram_score"] = r"""
+        WITH tokd AS (
+          SELECT doc_id, lang = 'en' AS is_ref,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS t
+          FROM documents),
+        tok AS (
+          SELECT doc_id, is_ref, i - 1 AS pos, t[i] AS w
+          FROM tokd,
+               LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) _),
+        bg AS (
+          SELECT * FROM (
+            SELECT doc_id, is_ref, pos,
+                   lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                   w AS w2
+            FROM tok)
+          WHERE w1 IS NOT NULL),
+        c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                FROM bg WHERE is_ref GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+               FROM bg WHERE is_ref GROUP BY 1),
+        vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+               FROM tok WHERE is_ref),
+        probs AS (
+          SELECT bg.doc_id, bg.pos,
+                 COALESCE(c12.c12, 0) AS c12,
+                 COALESCE(c1.c1, 0) AS c1
+          FROM bg LEFT JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+                  LEFT JOIN c1 ON bg.w1 = c1.w1),
+        arr AS (
+          SELECT doc_id,
+                 list(struct_pack(c12 := c12, c1 := c1)
+                      ORDER BY pos) AS l,
+                 CAST(count(*) AS BIGINT) AS n_bigrams
+          FROM probs GROUP BY 1)
+        SELECT doc_id, n_bigrams,
+               floor(list_reduce(
+                       list_prepend(0.0,
+                         list_transform(l,
+                           x -> (x.c12 + 1) / (x.c1 + vv.v))),
+                       (a, b) -> a + b)
+                     / n_bigrams * 1000 * 1e6 + 0.5) / 1e6
+                 AS score_permille
+        FROM arr CROSS JOIN vv
+        WHERE n_bigrams >= 1
     """
     # SemDeDup rides the validated emb_kmeans Lloyd CTE chain verbatim,
     # then adds the integer-cleared within-cluster cosine prune.

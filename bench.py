@@ -263,6 +263,14 @@ BENCH_QUERIES = [
     "price_elasticity",
     "type_burstiness",
     "dow_uniformity",
+    # round-4 additions
+    "kendall_daily",
+    "spearman_types",
+    "cramers_v",
+    "runs_test_daily",
+    "asof_prev_click",
+    "semdedup_prune",
+    "lm_bigram_score",
 ]
 
 
@@ -323,15 +331,28 @@ def _sim_ann_ivf_blas(spark, sf_dir):
     )
 
 
+def _semdedup_matmul(spark, sf_dir):
+    from pubsub_mapreduce_spark import io as pio
+    from pubsub_mapreduce_spark.operators import similarity as S
+
+    return S.semdedup_prune(
+        pio.read_table(spark, sf_dir, "embeddings"), pair_via="matmul"
+    )
+
+
 BENCH_VARIANTS = {
     "knn_graph": _knn_graph_blas,
     "sim_ann_ivf": _sim_ann_ivf_blas,
+    "semdedup_prune": _semdedup_matmul,
 }
 VARIANT_NOTES = {
     "knn_graph": "assign_probe_matmul (BLAS) + prebuilt centroids; "
     "gate form keeps literal HOF for the exact oracle",
     "sim_ann_ivf": "assign_via=matmul (BLAS) + prebuilt centroids; "
     "gate form keeps literal HOF for the exact oracle",
+    "semdedup_prune": "pair_via=matmul: per-cluster int64 Gram via "
+    "applyInPandas — BIT-EQUAL to the fold (integer dots), "
+    "equality pinned; gate form keeps the Catalyst fold",
 }
 
 

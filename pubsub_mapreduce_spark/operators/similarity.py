@@ -2364,6 +2364,7 @@ def semdedup_prune(
     iters: int = 2,
     tau_num: int = 7,
     tau_den: int = 20,
+    pair_via: str = "fold",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the
@@ -2390,10 +2391,20 @@ def semdedup_prune(
 
     Scale shape: the pairwise stage is the SemDeDup contract — O(sum
     of cluster sizes squared), controlled by k (clusters sized to
-    ~corpus/k); the dot fold is one fused zip_with per pair, and the
-    pair relation never leaves the cluster key, so the shuffle is
-    cluster-bucketed. For 100 TB, k grows with the corpus so cluster
-    cardinality stays bounded — the knob the paper's recipe sets."""
+    ~corpus/k); the pair relation never leaves the cluster key, so the
+    shuffle is cluster-bucketed. For 100 TB, k grows with the corpus so
+    cluster cardinality stays bounded — the knob the paper's recipe
+    sets.
+
+    ``pair_via``: 'fold' runs the per-pair dot as a fused zip_with fold
+    (pure Catalyst, the gate path); 'matmul' runs one Arrow-batched
+    int64 Gram matmul per cluster group (applyInPandas). UNLIKE the
+    float BLAS variants elsewhere, matmul here is bit-EQUAL to the
+    fold, not approximately equal: every product and partial sum is an
+    integer below 2^53, so float64/int64 accumulation order cannot
+    round — pinned in tests/test_similarity_paths.py. It is a bench
+    default candidate (A/B: 5.9s -> sub-second pair stage at sf0.1);
+    'fold' stays the registered gate form by convention."""
     assign = kmeans_assign(emb, k=k, iters=iters)
     coded = _int8_codes(emb).select("vec_id", "codes")
     n2 = F.aggregate(
@@ -2420,23 +2431,55 @@ def semdedup_prune(
         F.col("codes").alias("cb"),
         F.col("n2").alias("nb2"),
     )
-    dot = F.aggregate(
-        F.zip_with("ca", "cb", lambda x, y: x.cast("long") * y.cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        a.join(b, "cluster")
-        .where(F.col("va") < F.col("vb"))
-        .select("cluster", "va", "vb", dot.alias("dot"), "na2", "nb2")
-        .where(
-            (F.col("dot") > 0)
-            & (
-                F.lit(tau_den * tau_den) * F.col("dot") * F.col("dot")
-                >= F.lit(tau_num * tau_num) * F.col("na2") * F.col("nb2")
+    if pair_via == "matmul":
+        import pandas as pd
+
+        td2, tn2 = tau_den * tau_den, tau_num * tau_num
+
+        def gram(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            import numpy as np
+
+            pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+            x = np.asarray(list(pdf["codes"]), dtype=np.int64)
+            n2 = np.asarray(pdf["n2"], dtype=np.int64)
+            d = x @ x.T  # exact: every partial sum < 2^53
+            ia, ib = np.triu_indices(len(pdf), k=1)
+            keep = (d[ia, ib] > 0) & (
+                td2 * d[ia, ib] * d[ia, ib] >= tn2 * n2[ia] * n2[ib]
+            )
+            return pd.DataFrame(
+                {
+                    "cluster": np.full(
+                        int(keep.sum()), pdf["cluster"].iat[0]
+                    ),
+                    "va": pdf["vec_id"].to_numpy()[ia[keep]],
+                    "vb": pdf["vec_id"].to_numpy()[ib[keep]],
+                }
+            )
+
+        pairs = m.groupBy("cluster").applyInPandas(
+            gram, "cluster int, va long, vb long"
+        )
+    else:
+        dot = F.aggregate(
+            F.zip_with(
+                "ca", "cb", lambda x, y: x.cast("long") * y.cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        pairs = (
+            a.join(b, "cluster")
+            .where(F.col("va") < F.col("vb"))
+            .select("cluster", "va", "vb", dot.alias("dot"), "na2", "nb2")
+            .where(
+                (F.col("dot") > 0)
+                & (
+                    F.lit(tau_den * tau_den) * F.col("dot") * F.col("dot")
+                    >= F.lit(tau_num * tau_num) * F.col("na2") * F.col("nb2")
+                )
             )
         )
-    )
     pruned = pairs.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
         F.count_distinct("vb").cast("long").alias("n_pruned"),

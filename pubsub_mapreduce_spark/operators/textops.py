@@ -1305,3 +1305,85 @@ def distinctive_tokens(
             rh(F.col("odds"), 6).alias("odds_r"),
         )
     )
+
+
+def lm_bigram_score(docs: DataFrame, ref_lang: str = "en") -> DataFrame:
+    """Bigram language-model fluency score: train an add-one-smoothed
+    bigram LM on the ``ref_lang`` sub-corpus and score EVERY document's
+    mean next-token probability
+
+        score(d) = (1/T) * sum_t (c(w_{t-1} w_t) + 1) / (c(w_{t-1}) + V)
+
+    — the KenLM-style quality signal pipelines use to rank text against
+    a trusted reference corpus (here without logs: the mean probability
+    is order-reversible with mean log-prob for ranking and keeps the
+    arithmetic mirrorable). c(w1 w2) and the prefix count c(w1) are
+    BIGINT bigram counts from the reference slice, V its distinct-token
+    vocabulary; unseen prefixes degrade to the uniform 1/V prior
+    (left-join + coalesce 0, the dsir_score discipline).
+
+    Cross-engine exactness: each per-token probability is ONE double
+    division of exact integers, and the per-doc SUM — the one float
+    summation — runs as a sequential left fold over POSITION-ordered
+    probabilities (``F.aggregate`` over an array_sort'ed collect_list;
+    ``list_reduce`` over ``list(... ORDER BY pos)`` in the oracle), so
+    summation order is pinned and the score value-hashes exactly
+    (cramers_v / cosine-fold discipline). Docs with < 2 tokens are
+    dropped by an integer predicate.
+
+    Scale: tokenize once (one generate), bigrams via one per-doc lag
+    window, model joins keyed on token strings (vocabulary-sized right
+    sides — broadcastable for any real vocab), and the fold array is
+    doc-length-bounded. No corpus-wide float state anywhere."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        (F.col("lang") == ref_lang).alias("is_ref"),
+        F.posexplode(T.tokens(F.lower(F.col("text")))).alias("pos", "w"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    bg = toks.select(
+        "doc_id",
+        "is_ref",
+        "pos",
+        F.lag("w").over(wd).alias("w1"),
+        F.col("w").alias("w2"),
+    ).where(F.col("w1").isNotNull())
+    ref = bg.where("is_ref")
+    c12 = ref.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    c1 = ref.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    vocab = (
+        toks.where("is_ref")
+        .agg(F.count_distinct("w").cast("long").alias("v"))
+    )
+    zl = F.lit(0).cast("long")
+    probs = (
+        bg.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce("c12", zl).alias("c12"),
+            F.coalesce("c1", zl).alias("c1"),
+        )
+    )
+    arr = probs.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "c12", "c1"))
+        ).alias("l"),
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+    )
+    withv = arr.crossJoin(F.broadcast(vocab))
+    acc = F.aggregate(
+        F.col("l"),
+        F.lit(0.0),
+        lambda a, x: a + (x["c12"] + 1) / (x["c1"] + F.col("v")),
+    )
+    return withv.where(F.col("n_bigrams") >= 1).select(
+        "doc_id",
+        "n_bigrams",
+        rh(acc / F.col("n_bigrams") * 1000, 6).alias("score_permille"),
+    )

@@ -29,7 +29,14 @@ def test_dsir_importance_ranks_target_like_docs_higher(spark):
         r["doc_id"]: r["importance"]
         for r in dsir_importance(_docs(spark, rows)).collect()
     }
-    assert out[16] > 1.0 > out[17]  # target-like probe vs raw-only probe
+    # The round-4 dense-total Laplace smoothing (ADVICE fix: unseen
+    # buckets carry the +1 prior on BOTH sides) shifts every score by
+    # the same nr/nt factor, so the absolute >1.0 anchor moved; the
+    # DSIR contract is the RANKING: target-like text must outscore
+    # raw-only text, and the target slice itself scores above the
+    # non-target slice.
+    assert out[16] > out[17]
+    assert min(out[i] for i in range(8)) > max(out[i] for i in range(8, 16))
 
 
 def test_dsir_importance_is_partitioning_invariant(spark):

@@ -107,3 +107,17 @@ def test_pca_invariants(spark, tables):
     rep = pca_variance_report(emb, k=4).collect()
     cums = [r["cumulative"] for r in rep]
     assert cums == sorted(cums) and cums[-1] <= 1.0 + 1e-12
+
+
+def test_semdedup_matmul_is_bit_equal_to_fold(tables):
+    """The int64 Gram matmul pair stage is BIT-equal to the zip_with
+    fold (integer dots — no float rounding anywhere), so the matmul
+    form is output-identical, not merely rank-identical."""
+    from pubsub_mapreduce_spark.operators.similarity import semdedup_prune
+
+    emb = tables["embeddings"]
+    fold = sorted(map(tuple, semdedup_prune(emb).collect()))
+    mat = sorted(
+        map(tuple, semdedup_prune(emb, pair_via="matmul").collect())
+    )
+    assert fold == mat
