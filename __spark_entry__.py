@@ -2425,6 +2425,23 @@ def q_asof_prev_click(spark, sf_dir):
     )
 
 
+def q_cochran_armitage(spark, sf_dir):
+    """Cochran–Armitage trend test (robust.cochran_armitage): monotone
+    conversion trend across 4 hash-assigned ordered variants — BIGINT
+    score moments, one mirrored sqrt, the dose-response companion to
+    ab_health's omnibus chi-square."""
+    return RB.cochran_armitage(load_tables(spark, sf_dir)["events"])
+
+
+def q_wasserstein_drift(spark, sf_dir):
+    """1-D Wasserstein drift per source (robust.wasserstein_source_drift):
+    earth-mover distance between each source's doc-length distribution
+    and the rest of the corpus — integrated CDF gaps on the KS ops'
+    distinct-value spine, BIGINT numerator fold, one division. The
+    metric a distribution-matching mixer minimizes."""
+    return RB.wasserstein_source_drift(load_tables(spark, sf_dir)["documents"])
+
+
 def q_lm_bigram_score(spark, sf_dir):
     """Bigram LM fluency scoring (textops.lm_bigram_score): add-one
     bigram model trained on the 'en' slice, every doc scored by mean
@@ -2678,6 +2695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_prev_click": q_asof_prev_click,
         "semdedup_prune": q_semdedup_prune,
         "lm_bigram_score": q_lm_bigram_score,
+        "cochran_armitage": q_cochran_armitage,
+        "wasserstein_drift": q_wasserstein_drift,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -8232,6 +8251,84 @@ def oracle_sql() -> dict[str, str]:
             AND floor(epoch(e.ts)) - floor(epoch(e2.ts)) <= 86400
           ORDER BY e2.ts DESC, e2.event_id DESC LIMIT 1) c ON TRUE
         WHERE e.event_type = 'purchase'
+    """
+    out["cochran_armitage"] = """
+        WITH users AS (
+          SELECT user_id,
+                 CAST(CASE WHEN
+                      sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) >
+                      sum(CASE WHEN event_type = 'error'
+                               THEN 1 ELSE 0 END)
+                      THEN 1 ELSE 0 END AS BIGINT) AS conv,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 4 AS variant
+          FROM events GROUP BY user_id),
+        per AS (
+          SELECT variant, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(conv) AS BIGINT) AS r
+          FROM users GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(n) AS BIGINT) AS nn,
+                 CAST(sum(r) AS BIGINT) AS rr,
+                 CAST(sum(variant * n) AS BIGINT) AS snt,
+                 CAST(sum(variant * variant * n) AS BIGINT) AS snt2,
+                 CAST(sum(variant * r) AS BIGINT) AS srt,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM per)
+        SELECT k AS n_variants, nn AS n_users, rr AS n_converted,
+               CAST(srt * nn - rr * snt AS BIGINT) AS t_num,
+               floor(CAST(srt * nn - rr * snt AS DOUBLE)
+                     / sqrt(CAST(rr AS DOUBLE) * CAST(nn - rr AS DOUBLE)
+                            * CAST(nn * snt2 - snt * snt AS DOUBLE)
+                            / CAST(nn AS DOUBLE))
+                     * 1e6 + 0.5) / 1e6 AS z,
+               abs(CAST(srt * nn - rr * snt AS DOUBLE)
+                   / sqrt(CAST(rr AS DOUBLE) * CAST(nn - rr AS DOUBLE)
+                          * CAST(nn * snt2 - snt * snt AS DOUBLE)
+                          / CAST(nn AS DOUBLE))) > 1.96 AS trend
+        FROM tot
+        WHERE rr > 0 AND rr < nn AND nn * snt2 - snt * snt > 0 AND k > 1
+    """
+    out["wasserstein_drift"] = """
+        WITH base AS (
+          SELECT source, CAST(n_chars AS BIGINT) AS v
+          FROM documents WHERE n_chars IS NOT NULL),
+        gv AS (SELECT v, CAST(count(*) AS BIGINT) AS c_all
+               FROM base GROUP BY 1),
+        sv AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c_s
+               FROM base GROUP BY 1, 2),
+        srcs AS (SELECT source, CAST(count(*) AS BIGINT) AS n1
+                 FROM base GROUP BY 1),
+        tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_total FROM gv),
+        grid AS (
+          SELECT srcs.source, srcs.n1, gv.v, gv.c_all,
+                 COALESCE(sv.c_s, 0) AS c_s
+          FROM gv CROSS JOIN srcs
+          LEFT JOIN sv ON sv.source = srcs.source AND sv.v = gv.v),
+        cum AS (
+          SELECT source, n1, v,
+                 sum(c_s) OVER (PARTITION BY source ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_s,
+                 sum(c_all) OVER (PARTITION BY source ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_all,
+                 lead(v) OVER (PARTITION BY source ORDER BY v) - v
+                   AS gap
+          FROM grid),
+        agg AS (
+          SELECT source, n1, n_total - n1 AS n2,
+                 CAST(sum(abs(cum_s * (n_total - n1)
+                              - (cum_all - cum_s) * n1) * gap)
+                      AS BIGINT) AS w1_num
+          FROM cum CROSS JOIN tot
+          WHERE gap IS NOT NULL
+          GROUP BY 1, 2, 3)
+        SELECT source, n1, n2, w1_num,
+               floor(w1_num / (CAST(n1 AS DOUBLE) * n2) * 1e6 + 0.5)
+                 / 1e6 AS w1
+        FROM agg WHERE n1 > 0 AND n2 > 0
     """
     out["lm_bigram_score"] = r"""
         WITH tokd AS (

@@ -271,6 +271,8 @@ BENCH_QUERIES = [
     "asof_prev_click",
     "semdedup_prune",
     "lm_bigram_score",
+    "cochran_armitage",
+    "wasserstein_drift",
 ]
 
 

@@ -1950,3 +1950,161 @@ def runs_test_daily(events: DataFrame) -> DataFrame:
             (F.abs(z) > F.lit(1.96)).alias("nonrandom"),
         )
     )
+
+
+def cochran_armitage(events: DataFrame, n_variants: int = 4) -> DataFrame:
+    """Cochran–Armitage trend test: is conversion rate MONOTONE across
+    ordered experiment variants? The chi-square independence test
+    (ab_health) asks "any difference?"; this asks the dose-response
+    question an ordered rollout actually poses, with more power for a
+    monotone alternative.
+
+    Users are assigned to ``n_variants`` ordered buckets by the
+    deterministic md5 hash (the ``ab_test`` assignment, stable
+    cross-engine); converted = strictly more 'purchase' than 'error'
+    events (an integer per-user predicate — the fixture's users all
+    purchase at least once, so the naive any-purchase flag is
+    degenerate-1 and the test vacuous). With scores
+    t_i = i (0..k-1), per-variant exposed n_i and converted r_i:
+
+        T     = sum_i t_i * (r_i * N - n_i * R)          (BIGINT)
+        VarT' = R * (N - R) * (N * sum n_i t_i^2 - (sum n_i t_i)^2)
+        z     = T / sqrt(VarT' / N)
+
+    — T and every Var factor are exact int64 folds over k rows (N, R
+    the grand totals), converted ONCE per factor to double with fixed
+    association, IEEE sqrt. Headroom: N < ~2M users keeps R*(N-R)*...
+    under 2^63 via the /N split (the variance product is carried as
+    two doubles). Degenerate trends (all converted / none / one
+    variant) drop by integer predicates.
+
+    Scale: one user-level aggregate (conversion flag per user), one
+    k-row rollup — dimension-sized after the first shuffle."""
+    from ..operators.sampling import hash_bucket
+
+    users = (
+        events.groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("np"),
+            F.sum(
+                (F.col("event_type") == "error").cast("long")
+            ).alias("ne"),
+        )
+        .select(
+            hash_bucket(F.col("user_id"), n_variants).alias("variant"),
+            (F.col("np") > F.col("ne")).cast("long").alias("conv"),
+        )
+    )
+    per = users.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("r"),
+    )
+    t = F.col("variant").cast("long")
+    tot = per.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("r").cast("long").alias("rr"),
+        F.sum(t * F.col("n")).cast("long").alias("snt"),
+        F.sum(t * t * F.col("n")).cast("long").alias("snt2"),
+        F.sum(t * (F.col("r"))).cast("long").alias("srt"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    # T = sum t_i r_i N - R sum t_i n_i  (all from the totals row)
+    bigt = F.col("srt") * F.col("nn") - F.col("rr") * F.col("snt")
+    svar = F.col("nn") * F.col("snt2") - F.col("snt") * F.col("snt")
+    z = bigt.cast("double") / F.sqrt(
+        F.col("rr").cast("double")
+        * (F.col("nn") - F.col("rr")).cast("double")
+        * svar.cast("double")
+        / F.col("nn").cast("double")
+    )
+    return tot.where(
+        (F.col("rr") > 0)
+        & (F.col("rr") < F.col("nn"))
+        & (svar > 0)
+        & (F.col("k") > 1)
+    ).select(
+        F.col("k").alias("n_variants"),
+        F.col("nn").alias("n_users"),
+        F.col("rr").alias("n_converted"),
+        bigt.alias("t_num"),
+        round_half_up(z, 6).alias("z"),
+        (F.abs(z) > F.lit(1.96)).alias("trend"),
+    )
+
+
+def wasserstein_source_drift(
+    docs: DataFrame, col: str = "n_chars"
+) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance per source vs the rest of
+    the corpus on ``col`` — KS (``ks_source_drift``) reports the WORST
+    single gap between the distributions; W1 integrates ALL the gaps,
+    so it sees broad small shifts KS is blind to, and it is the metric
+    distribution-matching mixers actually minimize.
+
+        W1 = sum_i |F_s(v_i) - F_rest(v_i)| * (v_{i+1} - v_i)
+           = (1/(n1*n2)) * sum_i |c1_i*n2 - c2_i*n1| * gap_i
+
+    — cumulative counts ride the same distinct-value spine as the KS
+    op (windows order VALUE COUNTS, never rows), the numerator is one
+    BIGINT fold (|c1*n2 - c2*n1| <= n1*n2 ~ 2.5e9 at sf1.0, * gap
+    <= value range — int64 headroom to ~1e5-wide ranges at millions of
+    rows per side; wider ranges pre-bucket), and ONE division lands at
+    the end. Sources with an empty complement drop by predicate.
+
+    Scale: |distinct values| spine per source — bounded by the value
+    domain, not the row count."""
+    x = F.col(col).cast("long")
+    base = docs.select(F.col("source"), x.alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    gv = base.groupBy("v").agg(F.count(F.lit(1)).alias("c_all"))
+    sv = base.groupBy("source", "v").agg(F.count(F.lit(1)).alias("c_s"))
+    srcs = base.groupBy("source").agg(F.count(F.lit(1)).alias("n1"))
+    tot = gv.agg(F.sum("c_all").cast("long").alias("n_total"))
+    grid = (
+        gv.crossJoin(F.broadcast(srcs))
+        .join(sv, ["source", "v"], "left")
+        .withColumn("c_s", F.coalesce("c_s", F.lit(0).cast("long")))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("source").orderBy("v")
+    cum = grid.select(
+        "source",
+        "n1",
+        "v",
+        F.sum("c_s").over(w).alias("cum_s"),
+        F.sum("c_all").over(w).alias("cum_all"),
+        (F.lead("v").over(wl) - F.col("v")).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    agg = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("n2", F.col("n_total") - F.col("n1"))
+        .groupBy("source", "n1", "n2")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_s") * F.col("n2")
+                    - (F.col("cum_all") - F.col("cum_s")) * F.col("n1")
+                )
+                * F.col("gap")
+            )
+            .cast("long")
+            .alias("w1_num")
+        )
+    )
+    return agg.where((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        "source",
+        "n1",
+        "n2",
+        "w1_num",
+        round_half_up(
+            F.col("w1_num") / (F.col("n1").cast("double") * F.col("n2")),
+            6,
+        ).alias("w1"),
+    )

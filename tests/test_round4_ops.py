@@ -169,3 +169,85 @@ def test_semdedup_prunes_planted_duplicates(spark):
     assert sum(r["n_members"] for r in out) == 43
     for r in out:
         assert 0 <= r["n_pruned"] < r["n_members"] or r["n_members"] == 0
+
+
+def test_cochran_armitage_matches_closed_form(spark):
+    """Hand-replicate the trend statistic from the operator's own
+    per-variant table (conversion = more purchases than errors)."""
+    from collections import defaultdict
+
+    from pubsub_mapreduce_spark.operators.sampling import hash_bucket
+
+    rows = []
+    eid = 0
+    # 12 users: purchases/errors chosen to mix converted / not
+    for u in range(12):
+        np_, ne_ = (u % 4 + 1, 1) if u % 3 else (1, 2)
+        for _ in range(np_):
+            rows.append((eid, datetime(2024, 1, 1), u, "purchase", 1.0, "{}")); eid += 1
+        for _ in range(ne_):
+            rows.append((eid, datetime(2024, 1, 1), u, "error", 1.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = RB.cochran_armitage(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    # replicate assignment + conversion in python
+    buckets = {
+        row["user_id"]: row["bucket"]
+        for row in spark.createDataFrame(
+            [(u,) for u in range(12)], "user_id long"
+        ).select("user_id", hash_bucket(F.col("user_id"), 4)).collect()
+    }
+    conv = {u: (u % 3 != 0 and (u % 4 + 1) > 1) for u in range(12)}
+    per = defaultdict(lambda: [0, 0])
+    for u in range(12):
+        per[buckets[u]][0] += 1
+        per[buckets[u]][1] += int(conv[u])
+    N = sum(n for n, _ in per.values())
+    R = sum(r_ for _, r_ in per.values())
+    snt = sum(t * n for t, (n, _) in per.items())
+    snt2 = sum(t * t * n for t, (n, _) in per.items())
+    srt = sum(t * r_ for t, (_, r_) in per.items())
+    T = srt * N - R * snt
+    var = R * (N - R) * (N * snt2 - snt * snt) / N
+    z = T / math.sqrt(var)
+    assert r["n_users"] == N and r["n_converted"] == R and r["t_num"] == T
+    assert abs(r["z"] - round(z, 6)) < 1e-9
+
+
+def test_wasserstein_shift_detects_offset_distribution(spark):
+    """Source A = values {10..19}, source B = same values + 100: the
+    W1 of each vs rest must equal the mean shift (100), exactly."""
+    rows = []
+    i = 0
+    for v in range(10, 20):
+        rows.append((i, "x" * v, "en", "A", v)); i += 1
+        rows.append((i, "x" * v, "en", "B", v + 100)); i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = {r["source"]: r for r in
+           RB.wasserstein_source_drift(docs).collect()}
+    # two equal-size sources offset by a constant: W1 = the offset
+    assert out["A"]["w1"] == 100.0 and out["B"]["w1"] == 100.0
+    assert out["A"]["n1"] == 10 and out["A"]["n2"] == 10
+
+
+def test_wasserstein_zero_for_identical_distributions(spark):
+    rows = []
+    i = 0
+    for v in (5, 5, 7, 9):
+        for s in ("A", "B"):
+            rows.append((i, "t", "en", s, v)); i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = {r["source"]: r["w1"] for r in
+           RB.wasserstein_source_drift(docs).collect()}
+    assert out == {"A": 0.0, "B": 0.0}

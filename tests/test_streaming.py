@@ -1548,3 +1548,63 @@ def test_topk_maintain_min_monotone_and_capacity(spark, tmp_path):
     assert got["c"][0] == 6 and got["c"][1] == 4  # err records the absorbed 2
     assert got["c"][0] >= 5 >= got["c"][1]  # true total c = 5 inside bounds
     assert got["a"] == (3, 3)
+
+
+def test_attribution_join_stream_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join over a 3-file replay of
+    each side must emit EXACTLY the batch join's pairs (all data is
+    inside the watermark horizon under availableNow)."""
+    from pubsub_mapreduce_spark.io import load_tables
+    from pubsub_mapreduce_spark.streaming.attribution_join import (
+        attribution_join,
+        start_attribution_join,
+    )
+    from tests.conftest import SF_SMALL
+
+    ev = load_tables(spark, SF_SMALL)["events"].select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    clicks = ev.where(F.col("event_type") == "click").drop("event_type")
+    purchases = ev.where(F.col("event_type") == "purchase").drop(
+        "event_type"
+    )
+    d = tmp_path / "attr"
+    for name, df in (("c", clicks), ("p", purchases)):
+        rows = sorted(df.collect(), key=lambda r: r["event_id"])
+        chunk = (len(rows) + 2) // 3
+        for i in range(3):
+            (d / name).mkdir(parents=True, exist_ok=True)
+            spark.createDataFrame(
+                rows[i * chunk : (i + 1) * chunk], df.schema
+            ).coalesce(1).write.mode("overwrite").parquet(
+                str(d / name / f"f{i}")
+            )
+    cs = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "c") + "/f*")
+    )
+    ps = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "p") + "/f*")
+    )
+    out_dir = str(tmp_path / "attr_out")
+    # watermark wider than the fixture's 30-day span: no state eviction
+    # can fire mid-replay, so the equality pin is deterministic (the
+    # production default trades completeness for bounded state).
+    q = start_attribution_join(
+        cs, ps, out_dir, str(tmp_path / "attr_ckpt"),
+        window_s=3600, watermark="40 days",
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in attribution_join(clicks, purchases, 3600).collect()
+    }
+    assert got == want and want, "stream result must equal batch join"
