@@ -1337,19 +1337,28 @@ def lm_bigram_score(docs: DataFrame, ref_lang: str = "en") -> DataFrame:
     doc-length-bounded. No corpus-wide float state anywhere."""
     from pyspark.sql import Window
 
+    # toks feeds bg AND the vocab count; bg feeds the scoring stream,
+    # c12 AND c1 — four consumers total, and Catalyst has no cross-
+    # branch CSE, so without the lazy checkpoints the tokenize+explode
+    # (+ the bigram window) would replay once PER BRANCH (4 corpus
+    # scans observed in the formatted plan).
     toks = docs.select(
         "doc_id",
         (F.col("lang") == ref_lang).alias("is_ref"),
         F.posexplode(T.tokens(F.lower(F.col("text")))).alias("pos", "w"),
-    )
+    ).localCheckpoint(eager=False)
     wd = Window.partitionBy("doc_id").orderBy("pos")
-    bg = toks.select(
-        "doc_id",
-        "is_ref",
-        "pos",
-        F.lag("w").over(wd).alias("w1"),
-        F.col("w").alias("w2"),
-    ).where(F.col("w1").isNotNull())
+    bg = (
+        toks.select(
+            "doc_id",
+            "is_ref",
+            "pos",
+            F.lag("w").over(wd).alias("w1"),
+            F.col("w").alias("w2"),
+        )
+        .where(F.col("w1").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     ref = bg.where("is_ref")
     c12 = ref.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("c12")
