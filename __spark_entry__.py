@@ -2425,6 +2425,23 @@ def q_asof_prev_click(spark, sf_dir):
     )
 
 
+def q_theils_u(spark, sf_dir):
+    """Theil's uncertainty coefficient both ways between order priority
+    and status (robust.theils_u): entropy folds over sorted margins /
+    cells (the cramers_v sequential-fold discipline), asymmetric
+    which-predicts-which association."""
+    return RB.theils_u(load_tables(spark, sf_dir)["orders"])
+
+
+def q_frame_scene_cuts(spark, sf_dir):
+    """Video shot-boundary census (multimodal.frame_scene_cuts): per
+    video, frames whose pHash jumps >= 20 Hamming bits from the
+    previous frame — keyframe/static-content screen on the fake-decoder
+    contract, integer end-to-end (bit_count(xor) vs threshold)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return multimodal.frame_scene_cuts(multimodal.attach_media(docs))
+
+
 def q_cochran_armitage(spark, sf_dir):
     """Cochran–Armitage trend test (robust.cochran_armitage): monotone
     conversion trend across 4 hash-assigned ordered variants — BIGINT
@@ -2697,6 +2714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_score": q_lm_bigram_score,
         "cochran_armitage": q_cochran_armitage,
         "wasserstein_drift": q_wasserstein_drift,
+        "frame_scene_cuts": q_frame_scene_cuts,
+        "theils_u": q_theils_u,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -8251,6 +8270,95 @@ def oracle_sql() -> dict[str, str]:
             AND floor(epoch(e.ts)) - floor(epoch(e2.ts)) <= 86400
           ORDER BY e2.ts DESC, e2.event_id DESC LIMIT 1) c ON TRUE
         WHERE e.event_type = 'purchase'
+    """
+    out["theils_u"] = """
+        WITH cells AS (
+          SELECT o_orderpriority AS p, o_orderstatus AS s,
+                 CAST(count(*) AS BIGINT) AS o
+          FROM orders GROUP BY 1, 2),
+        rm AS (SELECT p, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        cm AS (SELECT s, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                     CAST(count(DISTINCT p) AS BIGINT) AS rk,
+                     CAST(count(DISTINCT s) AS BIGINT) AS ck
+              FROM cells),
+        lp AS (SELECT list(struct_pack(p := p, r := r) ORDER BY p) AS lp
+               FROM rm),
+        ls AS (SELECT list(struct_pack(s := s, c := c) ORDER BY s) AS ls
+               FROM cm),
+        lc AS (SELECT list(struct_pack(p := cells.p, s := cells.s,
+                             o := CAST(cells.o AS DOUBLE),
+                             r := CAST(rm.r AS DOUBLE),
+                             c := CAST(cm.c AS DOUBLE))
+                           ORDER BY cells.p, cells.s) AS lc
+               FROM cells JOIN rm USING (p) JOIN cm USING (s)),
+        ent AS (
+          SELECT t.n, t.rk, t.ck,
+                 list_reduce(list_prepend(0.0, list_transform(lp.lp,
+                   x -> -(x.r / t.n) * ln(x.r / t.n))),
+                   (a, b) -> a + b) AS hx,
+                 list_reduce(list_prepend(0.0, list_transform(ls.ls,
+                   x -> -(x.c / t.n) * ln(x.c / t.n))),
+                   (a, b) -> a + b) AS hy,
+                 list_reduce(list_prepend(0.0, list_transform(lc.lc,
+                   x -> -(x.o / t.n) * ln(x.o / x.c))),
+                   (a, b) -> a + b) AS hxy,
+                 list_reduce(list_prepend(0.0, list_transform(lc.lc,
+                   x -> -(x.o / t.n) * ln(x.o / x.r))),
+                   (a, b) -> a + b) AS hyx
+          FROM t CROSS JOIN lp CROSS JOIN ls CROSS JOIN lc)
+        SELECT CAST(n AS BIGINT) AS n,
+               floor(hx * 1e6 + 0.5) / 1e6 AS h_priority,
+               floor(hy * 1e6 + 0.5) / 1e6 AS h_status,
+               floor((hx - hxy) / hx * 1e6 + 0.5) / 1e6
+                 AS u_priority_given_status,
+               floor((hy - hyx) / hy * 1e6 + 0.5) / 1e6
+                 AS u_status_given_priority
+        FROM ent WHERE rk > 1 AND ck > 1
+    """
+    # Scene cuts ride the validated frame-phash byte-math CTE chain
+    # (multimodal_video_pairs oracle) + one lag window.
+    out["frame_scene_cuts"] = r"""
+        WITH m AS (
+          SELECT doc_id,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                 lower(hex(encode(text))) AS h
+          FROM documents),
+        fr AS (
+          SELECT doc_id, h, i, least(256, n - i * 256) AS L
+          FROM m, LATERAL (SELECT unnest(range(
+               greatest(n // 256, 1))) AS i) _),
+        sampled AS (
+          SELECT doc_id, i,
+                 [ (strpos('0123456789abcdef',
+                      h[2*(i*256 + (j*L)//63)+1 : 2*(i*256 + (j*L)//63)+1]) - 1) * 16
+                   + (strpos('0123456789abcdef',
+                      h[2*(i*256 + (j*L)//63)+2 : 2*(i*256 + (j*L)//63)+2]) - 1)
+                   for j in range(0, 63) ] AS bs
+          FROM fr WHERE L > 0),
+        ph AS (
+          SELECT doc_id, i,
+                 CAST(COALESCE(list_sum(
+                   [CASE WHEN 63 * bs[j+1] >= total
+                         THEN (1::BIGINT << j) ELSE 0::BIGINT END
+                    for j in range(0, 63)]), 0) AS BIGINT) AS phash
+          FROM (SELECT doc_id, i, bs,
+                       CAST(list_sum(bs) AS BIGINT) AS total
+                FROM sampled)
+          UNION ALL
+          SELECT doc_id, i, 0::BIGINT FROM fr WHERE L = 0),
+        d AS (
+          SELECT doc_id,
+                 bit_count(xor(phash,
+                   lag(phash) OVER (PARTITION BY doc_id ORDER BY i)))
+                   AS hm
+          FROM ph)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_frames,
+               CAST(sum(CASE WHEN hm >= 20 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cuts,
+               CAST(COALESCE(max(hm), 0) AS BIGINT) AS max_jump
+        FROM d GROUP BY 1
     """
     out["cochran_armitage"] = """
         WITH users AS (

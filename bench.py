@@ -273,6 +273,8 @@ BENCH_QUERIES = [
     "lm_bigram_score",
     "cochran_armitage",
     "wasserstein_drift",
+    "frame_scene_cuts",
+    "theils_u",
 ]
 
 

@@ -622,3 +622,50 @@ def image_gate(
             F.expr("n_pass * 1000000 div n_images").alias("pass_ppm"),
         )
     )
+
+
+def frame_scene_cuts(
+    df: DataFrame, threshold: int = 20, fake: bool = True
+) -> DataFrame:
+    """Scene-cut detection: a cut is a frame whose perceptual hash jumps
+    >= ``threshold`` Hamming bits from the PREVIOUS frame — the standard
+    cheap shot-boundary heuristic (a hard cut changes most of the
+    frame's spectral signature at once; within-scene motion changes a
+    few bits). Video curation uses the cut census to pick keyframes and
+    to flag slideshow-like or static content (n_cuts == 0 with many
+    frames).
+
+    Rides the same fake-decoder contract as the rest of the video
+    family (``frame_phash`` byte-math — the Spark-side plumbing is
+    real: frame generate, Arrow hash pass, per-video lag window; only
+    the codec is faked in this container). Integer end-to-end:
+    bit_count(xor) vs an integer threshold, so the census value-hashes
+    exactly.
+
+    Scale: one frame generate + hash pass (map-only), one per-video
+    window — no joins, no corpus-wide shuffle beyond the doc_id
+    partitioning the window needs."""
+    from pyspark.sql import Window
+
+    fh = frame_phash(frame_sample(df, every_n=1), fake=fake)
+    wd = Window.partitionBy("doc_id").orderBy("frame_idx")
+    hm = fh.select(
+        "doc_id",
+        F.bit_count(
+            F.col("phash").bitwiseXOR(F.lag("phash").over(wd))
+        ).alias("hm"),
+    )
+    return (
+        hm.groupBy("doc_id")
+        .agg(
+            (F.count(F.lit(1))).cast("long").alias("n_frames"),
+            F.sum(
+                F.when(F.col("hm") >= threshold, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_cuts"),
+            F.coalesce(F.max("hm"), F.lit(0)).cast("long").alias(
+                "max_jump"
+            ),
+        )
+    )

@@ -2108,3 +2108,90 @@ def wasserstein_source_drift(
             6,
         ).alias("w1"),
     )
+
+
+def theils_u(orders: DataFrame) -> DataFrame:
+    """Theil's uncertainty coefficient U between order priority and
+    order status, BOTH directions — the asymmetric companion to
+    ``cramers_v``: U(X|Y) = (H(X) - H(X|Y)) / H(X) reads "knowing Y
+    removes this fraction of X's entropy", and unlike V it tells you
+    WHICH variable predicts which.
+
+    Float discipline: every entropy is a sum of per-cell ln terms —
+    accumulated by the same SEQUENTIAL fold as cramers_v (sorted
+    margins / sorted cells, ``F.aggregate`` vs ``list_reduce``), so
+    summation order is pinned; ln itself is the one library call both
+    engines evaluate on identical exact-integer ratios (the tfidf
+    oracle precedent), absorbed by the 1e6 rounding. Degenerate
+    marginals (single category) drop by integer predicate.
+
+    Scale: one 15-cell rollup + margin rollups; dimension-sized
+    after the first aggregate."""
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rows = cells.groupBy("p").agg(F.sum("o").alias("r"))
+    colm = cells.groupBy("s").agg(F.sum("o").alias("c"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("p").cast("long").alias("rk"),
+        F.count_distinct("s").cast("long").alias("ck"),
+    )
+    nd = F.col("n").cast("double")
+    hx_arr = rows.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("p", "r"))).alias("lp")
+    )
+    hy_arr = colm.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("s", "c"))).alias("ls")
+    )
+    cell_arr = (
+        cells.join(rows, "p")
+        .join(colm, "s")
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "p",
+                        "s",
+                        F.col("o").cast("double").alias("o"),
+                        F.col("r").cast("double").alias("r"),
+                        F.col("c").cast("double").alias("c"),
+                    )
+                )
+            ).alias("lc")
+        )
+    )
+    j = (
+        tot.crossJoin(F.broadcast(hx_arr))
+        .crossJoin(F.broadcast(hy_arr))
+        .crossJoin(F.broadcast(cell_arr))
+    )
+    hx = F.aggregate(
+        F.col("lp"),
+        F.lit(0.0),
+        lambda a, t: a - (t["r"] / nd) * F.log(t["r"] / nd),
+    )
+    hy = F.aggregate(
+        F.col("ls"),
+        F.lit(0.0),
+        lambda a, t: a - (t["c"] / nd) * F.log(t["c"] / nd),
+    )
+    # H(X|Y) over cells: -sum (o/n) ln(o/c); H(Y|X): -sum (o/n) ln(o/r)
+    hxy = F.aggregate(
+        F.col("lc"),
+        F.lit(0.0),
+        lambda a, t: a - (t["o"] / nd) * F.log(t["o"] / t["c"]),
+    )
+    hyx = F.aggregate(
+        F.col("lc"),
+        F.lit(0.0),
+        lambda a, t: a - (t["o"] / nd) * F.log(t["o"] / t["r"]),
+    )
+    return j.where((F.col("rk") > 1) & (F.col("ck") > 1)).select(
+        F.col("n").cast("long").alias("n"),
+        round_half_up(hx, 6).alias("h_priority"),
+        round_half_up(hy, 6).alias("h_status"),
+        round_half_up((hx - hxy) / hx, 6).alias("u_priority_given_status"),
+        round_half_up((hy - hyx) / hy, 6).alias("u_status_given_priority"),
+    )

@@ -251,3 +251,48 @@ def test_wasserstein_zero_for_identical_distributions(spark):
     out = {r["source"]: r["w1"] for r in
            RB.wasserstein_source_drift(docs).collect()}
     assert out == {"A": 0.0, "B": 0.0}
+
+
+def test_theils_u_matches_direct_entropy(spark):
+    cells = {
+        ("A", "F"): 30, ("A", "O"): 2,
+        ("B", "F"): 3, ("B", "O"): 25,
+    }
+    rows = []
+    for (p, s), c in cells.items():
+        rows += [(0, 1.0, s, p)] * c
+    out = RB.theils_u(_orders(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    n = sum(cells.values())
+    rs = {p: cells[(p, "F")] + cells[(p, "O")] for p in "AB"}
+    cs = {s: cells[("A", s)] + cells[("B", s)] for s in "FO"}
+    hx = -sum(v / n * math.log(v / n) for v in rs.values())
+    hy = -sum(v / n * math.log(v / n) for v in cs.values())
+    hxy = -sum(o / n * math.log(o / cs[s]) for (p, s), o in cells.items())
+    hyx = -sum(o / n * math.log(o / rs[p]) for (p, s), o in cells.items())
+    assert abs(r["u_priority_given_status"] - (hx - hxy) / hx) < 1e-6
+    assert abs(r["u_status_given_priority"] - (hy - hyx) / hy) < 1e-6
+    # strongly associated table: knowing one removes most uncertainty
+    assert r["u_priority_given_status"] > 0.5
+
+
+def test_frame_scene_cuts_counts_jumps(spark):
+    """Two synthetic 'videos' via the fake decoder: a repeated-content
+    video (identical 256-byte frames -> zero-hamming transitions, no
+    cuts) and doc-level invariants on the fixture shape."""
+    from pubsub_mapreduce_spark.operators.multimodal import (
+        attach_media,
+        frame_scene_cuts,
+    )
+
+    static_text = ("A" * 256) * 4  # 4 identical frames
+    docs = spark.createDataFrame(
+        [(1, static_text, "en", "s", len(static_text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = frame_scene_cuts(attach_media(docs)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_frames"] == 4
+    assert r["n_cuts"] == 0 and r["max_jump"] == 0
