@@ -511,3 +511,39 @@ def test_winnow_pair_volume_bounded_by_df_cap_at_scale(spark, big_docs):
     assert n <= ceiling
     n_docs = big_docs.count()
     assert n < 0.01 * (n_docs * (n_docs - 1) / 2)
+
+
+def test_semdedup_at_scale_planted_dups_and_bounded_pairs(spark, big_emb):
+    """Plant 10 near-copies of one vector into the synthetic corpus:
+    semdedup must prune >= 9 of them (all land in one cluster; one
+    keeper survives), and its candidate volume is STRUCTURALLY bounded
+    by sum over clusters of C(size, 2) — the SemDeDup tractability
+    contract (pairs never cross a cluster)."""
+    from pubsub_mapreduce_spark.operators.similarity import (
+        kmeans_assign,
+        semdedup_prune,
+    )
+
+    base = big_emb.where(F.col("vec_id") == 1).collect()[0]["embedding"]
+    planted = spark.createDataFrame(
+        [
+            (9_000_000 + j, [float(v) + 0.001 * j for v in base], 0)
+            for j in range(10)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    corpus = big_emb.unionByName(planted)
+    out = semdedup_prune(corpus, tau_num=9, tau_den=10).collect()
+    total_pruned = sum(r["n_pruned"] for r in out)
+    assert total_pruned >= 9  # at least the 9 non-keeper copies
+    sizes = [
+        r["n_members"]
+        for r in kmeans_assign(corpus)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .collect()
+    ]
+    ceiling = sum(s * (s - 1) // 2 for s in sizes)
+    total_pairs = sum(r["n_dup_pairs"] for r in out)
+    assert total_pairs <= ceiling
+    assert sum(r["n_members"] for r in out) == corpus.count()
