@@ -296,3 +296,39 @@ def test_frame_scene_cuts_counts_jumps(spark):
     r = out[0]
     assert r["n_frames"] == 4
     assert r["n_cuts"] == 0 and r["max_jump"] == 0
+
+
+def test_round4_stats_degenerate_inputs_drop_cleanly(spark):
+    """Degenerate shapes must DROP rows via the integer predicates —
+    never divide by zero or emit NaN (Spark NaN vs DuckDB NULL would
+    diverge cross-engine)."""
+    # kendall: single day per priority -> no pairs -> empty
+    one_day = _orders(spark, [(0, 10.0, "O", "P"), (0, 12.0, "O", "Q")])
+    assert RB.kendall_daily(one_day).count() == 0
+    # kendall: constant x series (one order per day -> every pair tied
+    # in x -> n0 == n1) must drop before the zero division
+    const_x = _orders(
+        spark, [(d, 10.0 + d, "O", "P") for d in range(4)]
+    )
+    assert RB.kendall_daily(const_x).count() == 0
+    # cramers_v: single status column -> ck == 1 -> empty
+    single_s = _orders(spark, [(0, 1.0, "F", p) for p in "ABC"] * 3)
+    assert RB.cramers_v(single_s).count() == 0
+    # theils_u: same degenerate table -> empty
+    assert RB.theils_u(single_s).count() == 0
+    # runs test: every day equals the median (constant series) -> all
+    # days discarded -> no row survives the predicates
+    ev = spark.createDataFrame(
+        [(i, datetime(2024, 1, 1 + (i % 5)), 1, "t", 1.0, "{}")
+         for i in range(10)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    assert RB.runs_test_daily(ev).count() == 0
+    # wasserstein: single source -> empty complement -> empty result
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "only", 10 + i) for i in range(4)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    assert RB.wasserstein_source_drift(docs).count() == 0
