@@ -2283,7 +2283,15 @@ def q_asof_next_order(spark, sf_dir):
     attaches the user's first order at-or-after the event, but only if
     it lands within 30 days — pandas merge_asof(direction='forward',
     tolerance=...) semantics, executed as one keyed union-carry window
-    (no LATERAL point lookups). Tie-break: min o_orderkey."""
+    (no LATERAL point lookups). Tie-break: min o_orderkey.
+
+    Fixture caveat (found round 4): the orders calendar (1995-2001)
+    ends BEFORE the events calendar (2024), so on these fixtures every
+    match is NULL — the query still verifies the left-preservation /
+    all-NULL carry path, but the VALUE-carrying semantics of the same
+    operator are exercised by q_asof_prev_click (dense events
+    self-asof, ~35% real matches) and tests/test_rangejoin.py +
+    tests/test_round4_fixes.py."""
     t = load_tables(spark, sf_dir)
     orders = t["orders"].select(
         F.col("o_custkey").alias("user_id"),
