@@ -452,3 +452,90 @@ def test_space_saving_bounds_any_batching(spark, tmp_path_factory, items, nsplit
     for key, n in exact.items():
         if n > n_total / k:
             assert key in reported, (key, n, n_total, k, got)
+
+
+# asof_join vs pandas merge_asof: random NULL patterns in value columns
+# must never stitch fields across right rows (the round-4 single-struct
+# carry fix); unique right times sidestep pandas' tie ordering.
+asof_case = st.tuples(
+    st.lists(st.integers(0, 200), min_size=1, max_size=12),  # left times
+    st.lists(
+        st.tuples(
+            st.integers(0, 200),          # right time (deduped below)
+            st.one_of(st.none(), st.integers(-5, 5)),  # nullable value
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from(["backward", "forward"]),
+    st.one_of(st.none(), st.integers(1, 100)),  # tolerance seconds
+)
+
+
+@PROP
+@given(case=asof_case)
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    import pandas as pd
+
+    from pubsub_mapreduce_spark.operators.rangejoin import asof_join
+
+    lts, rrows, direction, tol = case
+    rseen = {}
+    for t, v in rrows:
+        rseen.setdefault(t, v)  # unique right times
+    rts = sorted(rseen.items())
+    base = pd.Timestamp("2024-01-01")
+    lpdf = pd.DataFrame(
+        {
+            "k": [1] * len(lts),
+            "lt": [base + pd.Timedelta(seconds=s) for s in sorted(lts)],
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "k": [1] * len(rts),
+            "rt": [base + pd.Timedelta(seconds=s) for s, _ in rts],
+            "v": pd.array(
+                [v for _, v in rts], dtype="Int64"
+            ),
+        }
+    )
+    want = pd.merge_asof(
+        lpdf,
+        rpdf,
+        left_on="lt",
+        right_on="rt",
+        by="k",
+        direction=direction,
+        tolerance=(pd.Timedelta(seconds=tol) if tol is not None else None),
+    )
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(
+        [
+            (
+                1,
+                (base + pd.Timedelta(seconds=s)).to_pydatetime(),
+                None if v is None else v,
+            )
+            for s, v in rts
+        ],
+        "k long, rt timestamp, v long",
+    )
+    got = (
+        asof_join(
+            left,
+            right,
+            on=["k"],
+            left_time="lt",
+            right_time="rt",
+            value_cols=["v"],
+            direction=direction,
+            tolerance_s=tol,
+        )
+        .orderBy("lt")
+        .collect()
+    )
+    assert len(got) == len(want)
+    for row, (_, w) in zip(got, want.iterrows()):
+        wv = None if pd.isna(w["v"]) else int(w["v"])
+        assert row["asof_v"] == wv, (direction, tol, row, dict(w))
