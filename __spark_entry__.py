@@ -2278,45 +2278,48 @@ def q_hll_overlap_users(spark, sf_dir):
     return hll_overlap_check(load_tables(spark, sf_dir)["events"])
 
 
-def q_asof_next_order(spark, sf_dir):
-    """FORWARD as-of with tolerance (rangejoin.asof_join): each event
-    attaches the user's first order at-or-after the event, but only if
-    it lands within 30 days — pandas merge_asof(direction='forward',
-    tolerance=...) semantics, executed as one keyed union-carry window
-    (no LATERAL point lookups). Tie-break: min o_orderkey.
+def q_asof_next_click(spark, sf_dir):
+    """FORWARD as-of with tolerance (rangejoin.asof_join): each click
+    event attaches the same user's first PURCHASE at-or-after it within
+    7 days — the "did this click convert?" lookup, pandas
+    merge_asof(direction='forward', tolerance=...) semantics executed
+    as one keyed union-carry window (no LATERAL point lookups).
+    Tie-break: min event_id (earliest-keyed purchase wins among ties).
 
-    Fixture caveat (found round 4): the orders calendar (1995-2001)
-    ends BEFORE the events calendar (2024), so on these fixtures every
-    match is NULL — the query still verifies the left-preservation /
-    all-NULL carry path, but the VALUE-carrying semantics of the same
-    operator are exercised by q_asof_prev_click (dense events
-    self-asof, ~35% real matches) and tests/test_rangejoin.py +
-    tests/test_round4_fixes.py."""
-    t = load_tables(spark, sf_dir)
-    orders = t["orders"].select(
-        F.col("o_custkey").alias("user_id"),
-        "o_orderdate",
-        "o_orderkey",
-        "o_totalprice",
+    Round-5 replacement for the retired q_asof_next_order: the orders
+    calendar (1995-2001) ends BEFORE the events calendar (2024), so the
+    old orders-target form verified only the all-NULL carry path
+    (VERDICT r4 residual #2). This dense events self-asof exercises the
+    forward VALUE-carry on rows that really match, mirroring
+    q_asof_prev_click's backward form."""
+    ev = load_tables(spark, sf_dir)["events"]
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+        F.col("value").alias("buy_value"),
     )
     j = RJ.asof_join(
-        t["events"].select("event_id", "user_id", "ts"),
-        orders,
+        left,
+        right,
         on=["user_id"],
         left_time="ts",
-        right_time="o_orderdate",
-        value_cols=["o_orderkey", "o_totalprice"],
+        right_time="buy_ts",
+        value_cols=["buy_id", "buy_value"],
         direction="forward",
-        tolerance_s=30 * 86400,
-        tie_cols=["o_orderkey"],
+        tolerance_s=7 * 86400,
+        tie_cols=["buy_id"],
         prefix="next_",
     )
     return j.select(
         "event_id",
         "user_id",
         F.unix_timestamp("ts").alias("ts_s"),
-        F.col("next_o_orderkey").alias("next_orderkey"),
-        F.col("next_o_totalprice").alias("next_totalprice"),
+        F.col("next_buy_id").alias("next_buy"),
+        F.col("next_buy_value").alias("next_buy_value"),
     )
 
 
@@ -2689,7 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keeper_quality": q_dedup_keeper_quality,
         "contamination_report": q_contamination_report,
         "dedup_scrub_spans": q_dedup_scrub_spans,
-        "asof_next_order": q_asof_next_order,
+        "asof_next_click": q_asof_next_click,
         "overlapping_orders": q_overlapping_orders,
         "hll_overlap_users": q_hll_overlap_users,
         "winnow_pairs": q_winnow_pairs,
@@ -2778,30 +2781,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": q_q9_product_profit,
         "q12_priority_class": q_q12_priority_class,
     }
-    # Round-4 gate window: the driver checks the FIRST 50 queries() keys.
-    # CORRECTNESS_r01+r02+r03 have verified 148 distinct queries; the 97
+    # Round-5 gate window: the driver checks the FIRST 50 queries() keys.
+    # CORRECTNESS_r01..r04 have verified 198 distinct queries; the 58
     # never-driver-checked names queue in original registration order and
-    # this window takes the first 50 of them (emb_pq_codes .. scd2_history),
-    # leaving 47 for round 5. The ordering contract is pinned by
-    # tests/test_round2_tail.py.
-    r4_head = [
-        "emb_pq_codes", "sim_ann_pq", "sim_ann_ivfpq", "sim_ann_filtered",
-        "sim_ann_multiprobe", "ann_eval", "mixture_weights", "vocab",
-        "token_ids", "dedup_eval", "seasonal_outliers", "profile_drift",
-        "entity_match", "snapshot_diff", "erasure_report", "skyline_orders",
-        "histogram_drift", "user_ema", "dedup_rate", "oov_rate",
-        "len_histogram_by_lang", "session_paths3", "ab_test",
-        "event_triangles", "conversion_latency", "benford_digits",
-        "users_to_date", "rfm_segments", "brand_cooccurrence",
-        "open_orders_by_day", "supplier_hhi", "spend_gini", "abc_parts",
-        "double_charges", "cycle_time_by_priority", "pii_audit",
-        "pii_scrub", "text_char_bigram", "multimodal_video_pairs",
-        "decontaminate", "quality_gate", "pack_shards", "emb_covariance",
-        "cross_doc_repetition", "multimodal_audio_energy",
-        "funnel_conversion", "gap_fill_daily", "merge_upsert",
-        "zorder_stats", "scd2_history",
+    # this window takes the first 50 of them — the 17 remaining round-2
+    # tail names (dq_orders .. lateness_profile), all 30 round-3 ops
+    # (dsir_weights .. dow_uniformity, with asof_next_click replacing the
+    # retired degenerate asof_next_order), and the first 3 round-4 ops.
+    # ROTATION PLAN (VERDICT r4 #7): after this window lands, exactly 8
+    # round-4 names remain unchecked (runs_test_daily, asof_prev_click,
+    # semdedup_prune, lm_bigram_score, cochran_armitage,
+    # wasserstein_drift, frame_scene_cuts, theils_u); round-5 additions
+    # register AFTER them so the round-6 window (8 + new, kept <= 50)
+    # closes the book — every registered query driver-checked at least
+    # once. The ordering contract is pinned by tests/test_round2_tail.py.
+    r5_head = [
+        # 17 never-checked round-2-tail names, registration order
+        "dq_orders", "doc_chunks", "oversample_mix", "profile_orders",
+        "event_cooccurrence", "session_transitions", "value_histogram",
+        "substring_spans", "decontaminate_bloom", "cms_user_counts",
+        "cms_join_size", "value_quantiles", "event_pagerank", "agg_upsert",
+        "kanon_customers", "orders_checksum", "lateness_profile",
+        # 30 round-3 ops, registration order
+        "dsir_weights", "tokenizer_fertility", "image_gate",
+        "value_p50_check", "cross_source_dups", "dedup_keeper_quality",
+        "contamination_report", "dedup_scrub_spans", "asof_next_click",
+        "overlapping_orders", "hll_overlap_users", "winnow_pairs",
+        "forecast_backtest", "survival_km", "part_reach_hops",
+        "retrieval_label_eval", "dedup_edit_verify", "ks_source_drift",
+        "part_component_census", "pettitt_changepoint",
+        "isotonic_calibration", "logrank_churn", "mwu_source_shift",
+        "distinctive_tokens", "aqp_revenue_check", "rolling_wau",
+        "part_recommendations", "price_elasticity", "type_burstiness",
+        "dow_uniformity",
+        # first 3 round-4 ops, registration order
+        "kendall_daily", "spearman_types", "cramers_v",
     ]
-    head = [n for n in r4_head if n in base]
+    # Round-6 queue: the names still owed a driver row sit IMMEDIATELY
+    # after the 50-slot window so the next rotation is a pure prefix
+    # shift. Round-5 additions append here (keep total <= 50).
+    r6_queue = [
+        "runs_test_daily", "asof_prev_click", "semdedup_prune",
+        "lm_bigram_score", "cochran_armitage", "wasserstein_drift",
+        "frame_scene_cuts", "theils_u",
+    ]
+    head = [n for n in r5_head + r6_queue if n in base]
     ordered = {n: base[n] for n in head}
     for n, fn in base.items():
         if n not in ordered:
@@ -5973,17 +5997,19 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN p ON p.type_a = a.event_type
                        AND p.type_b = b.event_type
         """,
-        "asof_next_order": """
+        "asof_next_click": """
             SELECT e.event_id, e.user_id,
                    CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s,
-                   o.o_orderkey AS next_orderkey,
-                   o.o_totalprice AS next_totalprice
+                   b.event_id AS next_buy,
+                   b.value AS next_buy_value
             FROM events e LEFT JOIN LATERAL (
-              SELECT o_orderkey, o_totalprice
-              FROM orders
-              WHERE o_custkey = e.user_id AND o_orderdate >= e.ts
-                AND epoch(o_orderdate) - floor(epoch(e.ts)) <= 2592000
-              ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1) o ON TRUE
+              SELECT e2.event_id, e2.value
+              FROM events e2
+              WHERE e2.event_type = 'purchase' AND e2.user_id = e.user_id
+                AND e2.ts >= e.ts
+                AND floor(epoch(e2.ts)) - floor(epoch(e.ts)) <= 604800
+              ORDER BY e2.ts ASC, e2.event_id ASC LIMIT 1) b ON TRUE
+            WHERE e.event_type = 'click'
         """,
         "overlapping_orders": """
             SELECT CAST(abs(datediff('day', a.o_orderdate, b.o_orderdate))

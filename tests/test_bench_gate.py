@@ -41,6 +41,79 @@ def test_regression_diff_tail_wrapped_format(tmp_path, monkeypatch):
     assert list(out["regressions"]) == ["q2"]
 
 
+def test_compact_stdout_line_fits_driver_tail_buffer():
+    """Root cause of BENCH_r03/r04 ``parsed: null``: the driver keeps
+    only the LAST 2000 chars of bench stdout and the full per-query
+    line was ~6.7KB, so the captured tail started mid-line. The stdout
+    line must therefore survive ``line[-2000:]`` intact — i.e. be
+    <= 1999 chars INCLUDING under a pathological regressions map."""
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    doc = {
+        "metric": "total_query_wall_sec",
+        "value": 123.456,
+        "unit": "sec",
+        "sf": 0.1,
+        "reps": 3,
+        "stream_mps": 188476,
+        "stream_mps_baseline_local": 10000,
+        "queries": {f"query_name_{i:03d}": round(0.05 + i * 0.017, 3) for i in range(300)},
+        "variants": {"x": "note " * 50},
+        "variants_ab": {f"v{i}": 1.0 for i in range(40)},
+        "vs_prev_round": {
+            "baseline_file": "BENCH_r04.json",
+            "flag_factor": 1.5,
+            "regressions": {
+                f"query_name_{i:03d}": {
+                    "prev": 1.0,
+                    "now": 2.0,
+                    "ratio": 2.0,
+                    "solo": 1.1,
+                    "solo_reps": 5,
+                    "solo_clears": False,
+                }
+                for i in range(40)
+            },
+        },
+    }
+    line = bench.compact_stdout_line(doc)
+    assert len(line) <= 1999
+    # the simulated driver capture must contain the WHOLE line
+    captured_tail = ("junk-before\n" + line)[-2000:]
+    parsed = json.loads(captured_tail[captured_tail.index("{"):])
+    assert parsed["metric"] == "total_query_wall_sec"
+    assert parsed["value"] == 123.456
+    assert parsed["n_queries"] == 300  # trim is flagged, not silent
+    assert parsed["queries_full"] == "BENCH_LOCAL.json"
+    # the SLOWEST queries are the ones retained
+    kept = parsed["queries"]
+    assert kept
+    slowest = max(doc["queries"], key=doc["queries"].get)
+    assert slowest in kept
+    assert min(kept.values()) >= max(
+        v for k, v in doc["queries"].items() if k not in kept
+    )
+
+
+def test_compact_stdout_line_small_doc_keeps_everything():
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    doc = {
+        "metric": "total_query_wall_sec",
+        "value": 1.0,
+        "unit": "sec",
+        "sf": 0.01,
+        "reps": 1,
+        "queries": {"q1": 0.5, "q2": 0.5},
+        "vs_prev_round": {},
+    }
+    parsed = json.loads(bench.compact_stdout_line(doc))
+    assert parsed["queries"] == {"q1": 0.5, "q2": 0.5}
+    assert parsed["n_queries"] == 2
+
+
 def test_regression_diff_no_prior(tmp_path, monkeypatch):
     sys.path.insert(0, "/root/repo")
     import bench

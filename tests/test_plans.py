@@ -731,11 +731,11 @@ def test_acf_and_skew_report_shuffle_budgets(spark):
         assert_no_cartesian(df)
 
 
-def test_asof_next_order_plan(spark):
+def test_asof_next_click_plan(spark):
     """Generic as-of join: union-carry-forward must plan as ONE keyed
     exchange (both sides shuffle on user_id for the window sort) — no
     nested-loop, no per-row lookup join."""
-    df = q("asof_next_order", spark)
+    df = q("asof_next_click", spark)
     assert_max_shuffles(df, 1)
     assert_no_cartesian(df)
 

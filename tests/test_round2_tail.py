@@ -638,34 +638,49 @@ def test_ab_health_chi2_and_srm_semantics(spark):
 
 def test_gate_window_ordering_contract():
     """The driver's correctness gate reads the FIRST 50 queries() keys:
-    pin the round-4 window — the first 50 never-driver-checked names in
-    original registration order (emb_pq_codes .. scd2_history), leaving
-    47 for round 5. Accidental reorderings would silently spend the
-    gate's window on already-green queries."""
+    pin the round-5 window — the first 50 never-driver-checked names in
+    original registration order (the 17-name round-2 tail dq_orders ..
+    lateness_profile, all 30 round-3 ops with asof_next_click replacing
+    the retired asof_next_order, then kendall_daily/spearman_types/
+    cramers_v), leaving exactly 8 round-4 names + round-5 additions for
+    the round-6 window to close the book. Accidental reorderings would
+    silently spend the gate's window on already-green queries."""
     import json
 
     import __spark_entry__ as entrymod
 
     names = list(entrymod.queries())
     checked = set()
-    for r in (1, 2, 3):
+    for r in (1, 2, 3, 4):
         checked |= set(json.load(open(f"/root/repo/CORRECTNESS_r0{r}.json")))
     head = names[:50]
     # nothing in the head may already carry a driver row
     assert [n for n in head if n in checked] == []
     assert head[:5] == [
-        "emb_pq_codes",
-        "sim_ann_pq",
-        "sim_ann_ivfpq",
-        "sim_ann_filtered",
-        "sim_ann_multiprobe",
+        "dq_orders",
+        "doc_chunks",
+        "oversample_mix",
+        "profile_orders",
+        "event_cooccurrence",
     ]
     assert head[45:] == [
-        "funnel_conversion",
-        "gap_fill_daily",
-        "merge_upsert",
-        "zorder_stats",
-        "scd2_history",
+        "type_burstiness",
+        "dow_uniformity",
+        "kendall_daily",
+        "spearman_types",
+        "cramers_v",
+    ]
+    # the 8 round-4 names owed a driver row queue IMMEDIATELY after the
+    # window (registration order), so round 6's rotation starts clean
+    assert names[50:58] == [
+        "runs_test_daily",
+        "asof_prev_click",
+        "semdedup_prune",
+        "lm_bigram_score",
+        "cochran_armitage",
+        "wasserstein_drift",
+        "frame_scene_cuts",
+        "theils_u",
     ]
     # every registered oracle still has a queries() twin
     assert not set(entrymod.oracle_sql()) - set(names)
