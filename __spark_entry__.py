@@ -8170,18 +8170,20 @@ def oracle_sql() -> dict[str, str]:
           SELECT event_type, CAST(ts AS DATE) AS d,
                  CAST(count(*) AS BIGINT) AS cnt
           FROM events GROUP BY 1, 2),
-        ranked AS (
-          SELECT event_type, d,
-                 CAST(2 * rank() OVER (PARTITION BY event_type
-                                       ORDER BY cnt)
-                      + count(*) OVER (PARTITION BY event_type, cnt)
-                      - 1 AS BIGINT) AS u
-          FROM daily),
-        j AS (
+        shared AS (
           SELECT a.event_type AS ta, b.event_type AS tb,
-                 a.u AS x, b.u AS y
-          FROM ranked a JOIN ranked b
+                 a.cnt AS xc, b.cnt AS yc
+          FROM daily a JOIN daily b
             ON a.d = b.d AND a.event_type < b.event_type),
+        j AS (
+          SELECT ta, tb,
+                 CAST(2 * rank() OVER (PARTITION BY ta, tb ORDER BY xc)
+                      + count(*) OVER (PARTITION BY ta, tb, xc)
+                      - 1 AS BIGINT) AS x,
+                 CAST(2 * rank() OVER (PARTITION BY ta, tb ORDER BY yc)
+                      + count(*) OVER (PARTITION BY ta, tb, yc)
+                      - 1 AS BIGINT) AS y
+          FROM shared),
         agg AS (
           SELECT ta, tb,
                  CAST(count(*) AS BIGINT) AS n,

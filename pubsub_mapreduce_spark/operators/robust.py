@@ -1739,30 +1739,44 @@ def spearman_types(events: DataFrame) -> DataFrame:
     Headroom: u <= 2*|days| ~ 5e3, n*Suv ~ |days|^2 * u * v ~ 1.6e14 —
     int64-safe to ~100x longer calendars.
 
-    Scale: identical shape to type_correlation — daily rollup, per-type
-    rank window over a calendar-bounded series, |types|^2-sized pair
-    join."""
+    Ranks are computed over each pair's SHARED-day intersection
+    (ADVICE r4): ranking each type over its own calendar and then
+    pairing only shared days leaves paired ranks that are not a
+    permutation of 1..n of the common subset whenever the calendars
+    differ — the statistic would not be the Spearman rho of the paired
+    series. So the pair join on day comes FIRST (raw daily counts),
+    and the doubled average ranks are windowed per (ta, tb) pair side.
+
+    Scale: identical shape to type_correlation — daily rollup collapses
+    volume first, the day-keyed pair join and the per-pair rank windows
+    are |types|^2 x |days| regardless of row count."""
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    wl = Window.partitionBy("event_type").orderBy("cnt")
-    we = Window.partitionBy("event_type", "cnt")
-    # doubled average rank: min_rank + max_rank = 2*rank + ties - 1
-    ranked = daily.select(
-        "event_type",
-        "d",
-        (2 * F.rank().over(wl) + F.count(F.lit(1)).over(we) - 1)
-        .cast("long")
-        .alias("u"),
+    a = daily.select(
+        F.col("event_type").alias("ta"), "d", F.col("cnt").alias("xc")
     )
-    a = ranked.select(
-        F.col("event_type").alias("ta"), "d", F.col("u").alias("x")
-    )
-    b = ranked.select(
-        F.col("event_type").alias("tb"), "d", F.col("u").alias("y")
+    b = daily.select(
+        F.col("event_type").alias("tb"), "d", F.col("cnt").alias("yc")
     )
     j = a.join(b, "d").where(F.col("ta") < F.col("tb"))
-    agg = j.groupBy("ta", "tb").agg(
+    # doubled average rank: min_rank + max_rank = 2*rank + ties - 1,
+    # windowed over the pair's shared days only
+    wx = Window.partitionBy("ta", "tb").orderBy("xc")
+    wex = Window.partitionBy("ta", "tb", "xc")
+    wy = Window.partitionBy("ta", "tb").orderBy("yc")
+    wey = Window.partitionBy("ta", "tb", "yc")
+    ranked = j.select(
+        "ta",
+        "tb",
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(wex) - 1)
+        .cast("long")
+        .alias("x"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(wey) - 1)
+        .cast("long")
+        .alias("y"),
+    )
+    agg = ranked.groupBy("ta", "tb").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),

@@ -34,7 +34,12 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .store import store_exists, store_read, store_write
+from .store import (
+    store_committed,
+    store_exists,
+    store_read,
+    store_write,
+)
 
 
 def _bucket(value_col: str, width_cents: int) -> F.Column:
@@ -77,6 +82,12 @@ class HistogramMaintain:
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         if self._seen(batch_id):
+            return
+        if store_committed(self.hist_dir, batch_id):
+            # crash landed between the pointer flip and the ledger mark
+            # (ADVICE r4): the batch is already inside the committed
+            # snapshot — re-merging would double-count; just re-mark.
+            self._mark(batch_id)
             return
         spark = batch.sparkSession
         delta = (

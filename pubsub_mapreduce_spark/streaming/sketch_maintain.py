@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.sketches import cms_build
-from .store import store_exists, store_read, store_write
+from .store import (
+    store_committed,
+    store_exists,
+    store_read,
+    store_write,
+)
 
 
 class CmsMaintain:
@@ -49,6 +54,12 @@ class CmsMaintain:
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         if self._seen(batch_id):
+            return
+        if store_committed(self.cells_dir, batch_id):
+            # crash landed between the pointer flip and the ledger mark
+            # (ADVICE r4): the batch is already inside the committed
+            # snapshot — re-merging would double-count; just re-mark.
+            self._mark(batch_id)
             return
         spark = batch.sparkSession
         delta = cms_build(
