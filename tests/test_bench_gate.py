@@ -114,6 +114,24 @@ def test_compact_stdout_line_small_doc_keeps_everything():
     assert parsed["n_queries"] == 2
 
 
+def test_bench_covers_every_registered_query():
+    """VERDICT r4 #4: a registered query outside the bench lists is a
+    silent regression blind spot. Every queries() key must be in
+    BENCH_QUERIES (3-rep warm-min) or BENCH_QUERIES_SLOW (1-rep heavy
+    composites) — new registrations must be appended to one of them."""
+    sys.path.insert(0, "/root/repo")
+    import bench
+    import __spark_entry__ as entrymod
+
+    registered = set(entrymod.queries())
+    benched = set(bench.BENCH_QUERIES) | set(bench.BENCH_QUERIES_SLOW)
+    assert registered - benched == set(), sorted(registered - benched)
+    assert benched - registered == set(), sorted(benched - registered)
+    # no double-listing: a slow query must not also run at 3 reps
+    assert set(bench.BENCH_QUERIES) & set(bench.BENCH_QUERIES_SLOW) == set()
+    assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES))
+
+
 def test_regression_diff_no_prior(tmp_path, monkeypatch):
     sys.path.insert(0, "/root/repo")
     import bench
