@@ -1608,3 +1608,125 @@ def test_attribution_join_stream_equals_batch(spark, tmp_path):
         for r in attribution_join(clicks, purchases, 3600).collect()
     }
     assert got == want and want, "stream result must equal batch join"
+
+
+def test_topk_maintain_state_bounded_at_scale(spark, tmp_path):
+    """10x-scale state bound (VERDICT r4 #5): 200k rows across 5k
+    distinct keys and 4 groups must leave AT MOST |groups| x K rows in
+    the store after EVERY batch, and planted heavy hitters (> N/K of
+    their group) must survive the churn."""
+    from pubsub_mapreduce_spark.streaming.topk_maintain import (
+        TopKMaintain,
+        topk,
+    )
+
+    K = 8
+    store = str(tmp_path / "tk_scale")
+    handler = TopKMaintain(store, key="k", group="g", k=K)
+    # deterministic synthetic batches: per batch, 50k tail rows spread
+    # over 5k keys + a planted hot key per group with ~20% of the mass
+    n_batches, tail_n, hot_n = 4, 12_500, 3_500
+    groups = ["g0", "g1", "g2", "g3"]
+    for b in range(n_batches):
+        rows = (
+            spark.range(tail_n * len(groups))
+            .select(
+                F.concat(F.lit("g"), (F.col("id") % 4).cast("string")).alias("g"),
+                F.concat(
+                    F.lit("k"),
+                    F.pmod(F.xxhash64("id", F.lit(b)), 5000).cast("string"),
+                ).alias("k"),
+            )
+            .unionAll(
+                spark.range(hot_n * len(groups)).select(
+                    F.concat(
+                        F.lit("g"), (F.col("id") % 4).cast("string")
+                    ).alias("g"),
+                    F.concat(
+                        F.lit("hot"), (F.col("id") % 4).cast("string")
+                    ).alias("k"),
+                )
+            )
+        )
+        handler(rows, b)
+        state = topk(spark, store).collect()
+        per_group = {}
+        for r in state:
+            per_group[r["group"]] = per_group.get(r["group"], 0) + 1
+        assert all(c <= K for c in per_group.values()), per_group
+        assert len(state) <= len(groups) * K
+    # hot keys carry ~22% of each group's mass (>> N/K = 12.5%): the
+    # Space-Saving guarantee says they MUST be in the summary
+    final = topk(spark, store).collect()
+    keys_by_group = {}
+    for r in final:
+        keys_by_group.setdefault(r["group"], set()).add(r["key"])
+    for i, g in enumerate(groups):
+        assert f"hot{i}" in keys_by_group[g], (g, keys_by_group[g])
+        # overcount-only bound: reported cnt >= true count
+        hot = [r for r in final if r["group"] == g and r["key"] == f"hot{i}"][0]
+        assert hot["cnt"] >= n_batches * hot_n
+        assert hot["cnt_lo"] <= n_batches * hot_n
+
+
+def test_attribution_join_state_evicted_past_watermark(spark, tmp_path):
+    """The range condition must BOUND the stream-stream join state: two
+    event waves 30 days apart (window 1h, watermark 10min) — after the
+    late wave's watermark passes, wave-1 state is evicted, so the final
+    state row count tracks the horizon, not history."""
+    import datetime
+
+    from pubsub_mapreduce_spark.streaming.attribution_join import (
+        start_attribution_join,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    waves = [
+        (base, 1000),
+        (base + datetime.timedelta(days=30), 100),
+        (base + datetime.timedelta(days=60), 10),
+    ]
+    d = tmp_path / "attr_scale"
+    schema = "event_id long, user_id long, ts timestamp"
+    eid = 0
+    for i, (t0, n) in enumerate(waves):
+        for name in ("c", "p"):
+            rows = []
+            for j in range(n):
+                rows.append(
+                    (eid, j % 50, t0 + datetime.timedelta(seconds=j % 1800))
+                )
+                eid += 1
+            (d / name).mkdir(parents=True, exist_ok=True)
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(d / name / f"f{i}"))
+    cs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "c") + "/f*")
+    )
+    ps = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "p") + "/f*")
+    )
+    q = start_attribution_join(
+        cs, ps, str(tmp_path / "attr_s_out"), str(tmp_path / "attr_s_ckpt"),
+        window_s=3600, watermark="10 minutes",
+    )
+    assert q.awaitTermination(180)
+    prog = [p for p in q.recentProgress if p.get("stateOperators")]
+    q.stop()
+    assert prog, "no state metrics captured"
+    last = prog[-1]["stateOperators"][0]
+    total_rows = 2 * sum(n for _, n in waves)
+    # without eviction the join would buffer every row of both sides
+    # (~2220); with the watermark bound only the newest wave's horizon
+    # survives. Generous margin: well under half of history.
+    assert last["numRowsTotal"] < total_rows / 2, last["numRowsTotal"]
+    # and rows really were REMOVED by the watermark, not never-added
+    removed = sum(
+        p["stateOperators"][0].get("numRowsRemoved", 0) for p in prog
+    )
+    assert removed > 0

@@ -547,3 +547,67 @@ def test_semdedup_at_scale_planted_dups_and_bounded_pairs(spark, big_emb):
     total_pairs = sum(r["n_dup_pairs"] for r in out)
     assert total_pairs <= ceiling
     assert sum(r["n_members"] for r in out) == corpus.count()
+
+
+def test_lm_bigram_model_vocab_bounded_at_scale(spark, big_docs):
+    """lm_bigram_score's only corpus-wide state is the trained model:
+    distinct reference bigrams m and prefix vocabulary v. At 10x the
+    model must stay VOCAB-bounded (m <= v^2, both independent of corpus
+    size), never corpus-sized — and every >=2-token doc gets a score in
+    (0, 1000] permille."""
+    from pyspark.sql import Window
+
+    from pubsub_mapreduce_spark.functions import text as T
+    from pubsub_mapreduce_spark.operators.textops import lm_bigram_score
+
+    toks = big_docs.where(F.col("lang") == "en").select(
+        "doc_id", F.posexplode(T.tokens(F.lower(F.col("text")))).alias("pos", "w")
+    )
+    v = toks.agg(F.count_distinct("w")).collect()[0][0]
+    n_ref_tokens = toks.count()
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    m = (
+        toks.select(F.lag("w").over(wd).alias("w1"), F.col("w").alias("w2"))
+        .where(F.col("w1").isNotNull())
+        .select("w1", "w2")
+        .distinct()
+        .count()
+    )
+    # the generator vocabulary is a fixed word list: v is corpus-
+    # independent and the model is dwarfed by the token stream
+    assert v <= 64
+    assert m <= v * v
+    assert n_ref_tokens > 20 * m  # model state << corpus volume
+
+    out = lm_bigram_score(big_docs).collect()
+    scorable = (
+        big_docs.where(T.token_count_ws(F.lower(F.col("text"))) >= 2).count()
+    )
+    assert len(out) == scorable
+    for r in out[:500]:
+        assert 0.0 < r["score_permille"] <= 1000.0
+
+
+def test_frame_scene_cuts_at_scale_frame_counts_exact(spark, big_docs):
+    """frame_scene_cuts at 10x: one output row per video, n_frames
+    exactly the fake-decoder contract (one frame per 256-byte block),
+    cuts never exceed frames — per-video state is video-length-bounded
+    (a lag window partitioned by doc_id), no corpus-wide shuffle."""
+    from pubsub_mapreduce_spark.operators.multimodal import (
+        attach_media,
+        frame_scene_cuts,
+    )
+
+    media = attach_media(big_docs)
+    out = frame_scene_cuts(media)
+    expect = media.select(
+        "doc_id",
+        F.greatest(
+            F.lit(1).cast("long"), (F.col("n_bytes") / 256).cast("long")
+        ).alias("want_frames"),
+    )
+    j = out.join(expect, "doc_id")
+    n = big_docs.count()
+    assert out.count() == n
+    assert j.where(F.col("n_frames") != F.col("want_frames")).count() == 0
+    assert j.where(F.col("n_cuts") > F.col("n_frames")).count() == 0
