@@ -2490,6 +2490,61 @@ def q_semdedup_prune(spark, sf_dir):
     return S.semdedup_prune(load_tables(spark, sf_dir)["embeddings"])
 
 
+# --- round-5 additions ---------------------------------------------------
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality-filter rule battery (textops.gopher_rules, Rae et
+    al. 2021 table A1): per-doc boolean per rule + the conjunction,
+    every ratio test cross-multiplied to an integer comparison — the
+    auditable hard gate next to doc_stats' scored heuristic."""
+    return TX.gopher_rules(load_tables(spark, sf_dir)["documents"])
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit per language (textops.zipf_slope): OLS slope of
+    ln(freq) on ln(rank) over the top-200 tokens — the distributional
+    sanity check (natural text ~ -1; templates flat; degenerate
+    repetition steep). Four OLS moments as rank-ordered sequential
+    folds, ln on exact integers (theils_u discipline)."""
+    return TX.zipf_slope(load_tables(spark, sf_dir)["documents"])
+
+
+def q_kruskal_wallis(spark, sf_dir):
+    """Kruskal–Wallis omnibus k-sample rank test across sources on doc
+    length (robust.kruskal_wallis): tie-corrected H on the doubled-
+    average-rank distinct-value spine (mwu/ks discipline), the one
+    float reduction a group-sorted sequential fold."""
+    return RB.kruskal_wallis(load_tables(spark, sf_dir)["documents"])
+
+
+def q_mantel_haenszel(spark, sf_dir):
+    """Mantel–Haenszel stratified A/B readout (robust.mantel_haenszel):
+    per-day-of-week 2x2 tables of hash-variant x purchase pooled into
+    the common odds ratio + CMH chi-square — the Simpson's-paradox-
+    proof twin of ab_test's pooled 2x2. BIGINT margins, one
+    stratum-sorted fold."""
+    return RB.mantel_haenszel(load_tables(spark, sf_dir)["events"])
+
+
+def q_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend of daily order volume
+    (robust.theil_sen_daily): median of all pairwise slopes — 29%-
+    breakdown alternative to the OLS trend; pair join calendar-bounded
+    (C(|days|,2) regardless of row count), each slope one exact-integer
+    division, median by order-by-value selection."""
+    return RB.theil_sen_daily(load_tables(spark, sf_dir)["orders"])
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (similarity.hard_negatives):
+    per sampled query vector, the top-5 most-similar vectors with a
+    DIFFERENT label, via the IVF cell plan with the label predicate
+    inside the candidate join — the mined-negatives feed of a
+    DPR/SimCSE-style embedding trainer."""
+    return S.hard_negatives(load_tables(spark, sf_dir)["embeddings"])
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2727,6 +2782,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein_drift": q_wasserstein_drift,
         "frame_scene_cuts": q_frame_scene_cuts,
         "theils_u": q_theils_u,
+        # --- round-5 additions (never driver-checked; queue after the
+        # r4 tail in registration order via r6_queue) ------------------
+        "gopher_rules": q_gopher_rules,
+        "zipf_slope": q_zipf_slope,
+        "kruskal_wallis": q_kruskal_wallis,
+        "mantel_haenszel": q_mantel_haenszel,
+        "theil_sen": q_theil_sen,
+        "hard_negatives": q_hard_negatives,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -2824,6 +2887,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs_test_daily", "asof_prev_click", "semdedup_prune",
         "lm_bigram_score", "cochran_armitage", "wasserstein_drift",
         "frame_scene_cuts", "theils_u",
+        # round-5 additions (registration order)
+        "gopher_rules", "zipf_slope", "kruskal_wallis",
+        "mantel_haenszel", "theil_sen", "hard_negatives",
     ]
     head = [n for n in r5_head + r6_queue if n in base]
     ordered = {n: base[n] for n in head}
@@ -8724,4 +8790,208 @@ def oracle_sql() -> dict[str, str]:
                dev.dev > 3 * mad.mad AS is_outlier
         FROM dev JOIN mad USING (dow)
     """
+    # --- round-5 additions -------------------------------------------
+    out["gopher_rules"] = r"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '') AS toks,
+                 list_filter(string_split(text, chr(10)),
+                             x -> x <> '') AS lines
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_words,
+            CAST(coalesce(list_sum(list_transform(toks,
+                 x -> length(x))), 0) AS BIGINT) AS ncw,
+            CAST(length(text) - length(replace(text, '#', ''))
+                 AS BIGINT) AS n_hash,
+            CAST((length(text) - length(replace(text, '...', ''))) // 3
+                 AS BIGINT) AS n_ell,
+            CAST(len(lines) AS BIGINT) AS n_lines,
+            CAST(len(list_filter(lines, l ->
+                 regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT) AS n_bullet,
+            CAST(len(list_filter(lines, l ->
+                 regexp_matches(rtrim(l), '\.\.\.$'))) AS BIGINT)
+                 AS n_ell_end,
+            CAST(len(list_filter(toks, x ->
+                 regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+            CAST(len(list_intersect(
+                 list_distinct(list_transform(toks, x -> lower(x))),
+                 ['the','be','to','of','and','that','have','with']))
+                 AS BIGINT) AS n_stop
+          FROM t)
+        SELECT doc_id, n_words,
+          (n_words >= 50 AND n_words <= 100000) AS r_wc,
+          (3*n_words <= ncw AND ncw <= 10*n_words) AS r_wlen,
+          (10*(n_hash + n_ell) <= n_words) AS r_symbol,
+          (10*n_bullet <= 9*n_lines) AS r_bullet,
+          (10*n_ell_end <= 3*n_lines) AS r_ellipsis,
+          (5*n_alpha >= 4*n_words) AS r_alpha,
+          (n_stop >= 2) AS r_stop,
+          ((n_words >= 50 AND n_words <= 100000)
+           AND (3*n_words <= ncw AND ncw <= 10*n_words)
+           AND (10*(n_hash + n_ell) <= n_words)
+           AND (10*n_bullet <= 9*n_lines)
+           AND (10*n_ell_end <= 3*n_lines)
+           AND (5*n_alpha >= 4*n_words)
+           AND (n_stop >= 2)) AS "pass"
+        FROM m
+    """
+    out["zipf_slope"] = r"""
+        WITH tf AS (
+          SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT lang,
+                       unnest(list_filter(
+                         string_split_regex(lower(text), '\s+'),
+                         t -> t <> '')) AS w
+                FROM documents)
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT lang, cnt,
+                 CAST(row_number() OVER (PARTITION BY lang
+                      ORDER BY cnt DESC, w ASC) AS BIGINT) AS rnk
+          FROM tf),
+        top AS (SELECT * FROM ranked WHERE rnk <= 200),
+        lst AS (SELECT lang,
+                       list(struct_pack(rnk := rnk, cnt := cnt)
+                            ORDER BY rnk) AS l,
+                       CAST(count(*) AS BIGINT) AS n_terms
+                FROM top GROUP BY 1),
+        f AS (SELECT lang, n_terms,
+          list_reduce(list_prepend(0.0, list_transform(l, t ->
+            ln(CAST(t.rnk AS DOUBLE)))), (a, b) -> a + b) AS sx,
+          list_reduce(list_prepend(0.0, list_transform(l, t ->
+            ln(CAST(t.cnt AS DOUBLE)))), (a, b) -> a + b) AS sy,
+          list_reduce(list_prepend(0.0, list_transform(l, t ->
+            ln(CAST(t.rnk AS DOUBLE)) * ln(CAST(t.cnt AS DOUBLE)))),
+            (a, b) -> a + b) AS sxy,
+          list_reduce(list_prepend(0.0, list_transform(l, t ->
+            ln(CAST(t.rnk AS DOUBLE)) * ln(CAST(t.rnk AS DOUBLE)))),
+            (a, b) -> a + b) AS sx2
+          FROM lst)
+        SELECT lang, n_terms,
+          floor(((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n_terms AS DOUBLE) * sx2 - sx * sx))
+                * 1e6 + 0.5) / 1e6 AS slope
+        FROM f
+        WHERE n_terms > 2
+          AND (CAST(n_terms AS DOUBLE) * sx2 - sx * sx) > 0
+    """
+    out["kruskal_wallis"] = """
+        WITH base AS (
+          SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+          FROM documents WHERE n_chars IS NOT NULL),
+        gv AS (SELECT v, CAST(count(*) AS BIGINT) AS c_all
+               FROM base GROUP BY 1),
+        consts AS (SELECT CAST(sum(c_all) AS BIGINT) AS n,
+                          CAST(sum(c_all*c_all*c_all - c_all) AS BIGINT)
+                            AS tie_t
+                   FROM gv),
+        spine AS (SELECT v,
+                 CAST(2*(sum(c_all) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - c_all) + c_all + 1 AS BIGINT) AS u
+                  FROM gv),
+        sv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c_g
+               FROM base GROUP BY 1, 2),
+        per_g AS (SELECT g, CAST(sum(c_g) AS BIGINT) AS ng,
+                         CAST(sum(c_g*u) AS BIGINT) AS r2
+                  FROM sv JOIN spine USING (v) GROUP BY 1),
+        lst AS (SELECT list(struct_pack(g := g, ng := ng, r2 := r2)
+                            ORDER BY g) AS l,
+                       CAST(count(*) AS BIGINT) AS k
+                FROM per_g),
+        agg AS (SELECT k, n, tie_t,
+          list_reduce(list_prepend(0.0, list_transform(l, t ->
+            (CAST(t.r2 AS DOUBLE) * CAST(t.r2 AS DOUBLE))
+            / (CAST(t.ng AS DOUBLE) * 4.0))), (a, b) -> a + b) AS s12
+          FROM lst, consts)
+        SELECT n, k, tie_t,
+          floor(((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                  * s12 - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                 / (1.0 - CAST(tie_t AS DOUBLE)
+                    / (((CAST(n AS DOUBLE) - 1.0) * CAST(n AS DOUBLE))
+                       * (CAST(n AS DOUBLE) + 1.0))))
+                * 1e6 + 0.5) / 1e6 AS h
+        FROM agg
+        WHERE k > 1 AND n > 2
+          AND (1.0 - CAST(tie_t AS DOUBLE)
+               / (((CAST(n AS DOUBLE) - 1.0) * CAST(n AS DOUBLE))
+                  * (CAST(n AS DOUBLE) + 1.0))) > 0
+    """
+    out["mantel_haenszel"] = """
+        WITH per AS (
+          SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS m,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 2 AS variant,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS conv
+          FROM events),
+        cells AS (SELECT m,
+          CAST(sum(CASE WHEN variant=0 AND conv=1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS a,
+          CAST(sum(CASE WHEN variant=0 AND conv=0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS b,
+          CAST(sum(CASE WHEN variant=1 AND conv=1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c,
+          CAST(sum(CASE WHEN variant=1 AND conv=0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS d
+          FROM per GROUP BY 1),
+        ok AS (SELECT * FROM cells WHERE a + b + c + d >= 2),
+        lst AS (SELECT list(struct_pack(m := m, a := a, b := b,
+                                        c := c, d := d) ORDER BY m) AS l,
+                       CAST(count(*) AS BIGINT) AS k_strata,
+                       CAST(sum(a) AS BIGINT) AS sum_a
+                FROM ok),
+        f AS (SELECT k_strata, sum_a,
+          list_reduce(list_prepend(0.0, list_transform(l, t ->
+            (CAST(t.a AS DOUBLE) * CAST(t.d AS DOUBLE))
+            / CAST(t.a + t.b + t.c + t.d AS DOUBLE))),
+            (x, y) -> x + y) AS or_num,
+          list_reduce(list_prepend(0.0, list_transform(l, t ->
+            (CAST(t.b AS DOUBLE) * CAST(t.c AS DOUBLE))
+            / CAST(t.a + t.b + t.c + t.d AS DOUBLE))),
+            (x, y) -> x + y) AS or_den,
+          list_reduce(list_prepend(0.0, list_transform(l, t ->
+            (CAST(t.a + t.b AS DOUBLE) * CAST(t.a + t.c AS DOUBLE))
+            / CAST(t.a + t.b + t.c + t.d AS DOUBLE))),
+            (x, y) -> x + y) AS se,
+          list_reduce(list_prepend(0.0, list_transform(l, t ->
+            (((CAST(t.a + t.b AS DOUBLE) * CAST(t.c + t.d AS DOUBLE))
+              * CAST(t.a + t.c AS DOUBLE)) * CAST(t.b + t.d AS DOUBLE))
+            / ((CAST(t.a + t.b + t.c + t.d AS DOUBLE)
+                * CAST(t.a + t.b + t.c + t.d AS DOUBLE))
+               * (CAST(t.a + t.b + t.c + t.d AS DOUBLE) - 1.0)))),
+            (x, y) -> x + y) AS sv
+          FROM lst)
+        SELECT k_strata, sum_a,
+          floor((or_num / or_den) * 1e6 + 0.5) / 1e6 AS or_mh,
+          floor((((CAST(sum_a AS DOUBLE) - se)
+                  * (CAST(sum_a AS DOUBLE) - se)) / sv)
+                * 1e6 + 0.5) / 1e6 AS cmh
+        FROM f
+        WHERE k_strata > 0 AND or_den > 0 AND sv > 0
+    """
+    out["theil_sen"] = """
+        WITH daily AS (SELECT o_orderdate AS d,
+                              CAST(count(*) AS BIGINT) AS cnt
+                       FROM orders GROUP BY 1),
+        x0 AS (SELECT min(d) AS d0 FROM daily),
+        idx AS (SELECT CAST(datediff('day', d0, d) AS BIGINT) AS x, cnt
+                FROM daily, x0),
+        pairs AS (SELECT CAST(b.cnt - a.cnt AS DOUBLE)
+                         / CAST(b.x - a.x AS DOUBLE) AS slope
+                  FROM idx a JOIN idx b ON a.x < b.x),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs),
+        r AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn
+              FROM pairs)
+        SELECT n_pairs,
+               floor(avg(slope) * 1e6 + 0.5) / 1e6 AS slope_med,
+               CAST(count(*) AS BIGINT) AS n_mid
+        FROM r, m
+        WHERE rn = (n_pairs + 1) // 2 OR rn = n_pairs // 2 + 1
+        GROUP BY n_pairs
+    """
+    out["hard_negatives"] = S.duckdb_hard_negatives_sql()
     return out

@@ -307,6 +307,13 @@ BENCH_QUERIES = [
     "setops_users",
     "orders_by_month",
     "cohort_retention",
+    # round-5 additions
+    "gopher_rules",
+    "zipf_slope",
+    "kruskal_wallis",
+    "mantel_haenszel",
+    "theil_sen",
+    "hard_negatives",
 ]
 
 # Heavy composite queries (>10s at sf0.1: eval harnesses that build

@@ -2209,3 +2209,217 @@ def theils_u(orders: DataFrame) -> DataFrame:
         round_half_up((hx - hxy) / hx, 6).alias("u_priority_given_status"),
         round_half_up((hy - hyx) / hy, 6).alias("u_status_given_priority"),
     )
+
+
+def kruskal_wallis(
+    docs: DataFrame, col: str = "n_chars", group: str = "source"
+) -> DataFrame:
+    """Kruskal–Wallis H: the k-sample generalization of the Mann-
+    Whitney shift test (``mwu_source_shift`` answers "does THIS source
+    differ from the rest?"; this answers "do the sources differ AT ALL"
+    in one omnibus rank test — the screen run before k pairwise MWUs).
+    Tie-corrected:
+
+        H = [ 12/(N(N+1)) * sum_g R_g^2/n_g - 3(N+1) ]
+            / (1 - T/((N-1)N(N+1))),   T = sum_v (c_v^3 - c_v)
+
+    Integer discipline: ranks ride the same distinct-value spine as
+    mwu/ks — the DOUBLED average rank of value v is u(v) =
+    2*less_all(v) + c_all(v) + 1, an integer, so each group's doubled
+    rank sum R2_g = sum_v c_g(v) u(v) is BIGINT (R_g = R2_g/2 folds
+    into the /4 below). The one float reduction sum_g R2_g^2/(4 n_g)
+    runs as a SEQUENTIAL fold over the group-name-sorted list
+    (cramers_v discipline), each term cast to double in a mirrored
+    order, so H value-hashes exactly. Degenerate corpora (all values
+    tied, or a single group) are dropped by integer predicates.
+
+    Scale: one shuffle to the distinct-value spine (|V| rows), one to
+    per-group sums (k rows), and a k-element fold — volume-independent
+    past the first rollup."""
+    base = docs.select(
+        F.col(group).alias("g"), F.col(col).cast("long").alias("v")
+    ).where(F.col("v").isNotNull())
+    gv = base.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c_all"))
+    sv = base.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c_g")
+    )
+    consts = gv.agg(
+        F.sum("c_all").cast("long").alias("n"),
+        F.sum(
+            F.col("c_all") * F.col("c_all") * F.col("c_all") - F.col("c_all")
+        )
+        .cast("long")
+        .alias("tie_t"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    spine = gv.select(
+        "v",
+        "c_all",
+        (2 * (F.sum("c_all").over(w) - F.col("c_all")) + F.col("c_all") + 1)
+        .cast("long")
+        .alias("u"),
+    )
+    per_g = (
+        sv.join(spine, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c_g").cast("long").alias("ng"),
+            F.sum(F.col("c_g") * F.col("u")).cast("long").alias("r2"),
+        )
+    )
+    lst = per_g.agg(
+        F.array_sort(F.collect_list(F.struct("g", "ng", "r2"))).alias("l"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    j = lst.crossJoin(F.broadcast(consts))
+    s12 = F.aggregate(
+        F.col("l"),
+        F.lit(0.0),
+        lambda a, t: a
+        + (t["r2"].cast("double") * t["r2"].cast("double"))
+        / (t["ng"].cast("double") * 4.0),
+    )
+    nd = F.col("n").cast("double")
+    h_raw = F.lit(12.0) / (nd * (nd + 1.0)) * s12 - 3.0 * (nd + 1.0)
+    corr = 1.0 - F.col("tie_t").cast("double") / (((nd - 1.0) * nd) * (nd + 1.0))
+    return j.where(
+        (F.col("k") > 1) & (F.col("n") > 2) & (corr > 0)
+    ).select(
+        "n",
+        "k",
+        "tie_t",
+        round_half_up(h_raw / corr, 6).alias("h"),
+    )
+
+
+def mantel_haenszel(events: DataFrame) -> DataFrame:
+    """Mantel–Haenszel stratified 2x2 analysis of the hash-assigned A/B
+    experiment: per-DAY-OF-WEEK strata of (variant x purchased) counts
+    (the weekly-mix confounder; the fixture events span a single month,
+    so calendar months would collapse to one stratum) pooled into the
+    common odds ratio and the CMH chi-square —
+
+        OR_MH = sum_i (a_i d_i / n_i) / sum_i (b_i c_i / n_i)
+        CMH   = (sum_i a_i - sum_i E_i)^2 / sum_i V_i
+
+    with E_i = r1_i c1_i / n_i and V_i = r1_i r0_i c1_i c0_i /
+    (n_i^2 (n_i - 1)). ``ab_test_report`` reads the pooled 2x2;
+    Simpson's paradox lives exactly in that pooling — MH is the
+    stratification-adjusted readout.
+
+    Exactness: all eight margins per stratum are BIGINT; the four float
+    reductions run as ONE sequential fold over the month-sorted strata
+    list with a struct accumulator whose fields never read each other
+    (forward-only, the DuckDB list_reduce-safe shape), every per-term
+    division mirrored. Strata with n < 2 or a zero V denominator drop
+    by integer predicate. Scale: a 12-row fold after one keyed rollup."""
+    from .sampling import hash_bucket
+
+    per = events.select(
+        F.dayofweek("ts").cast("int").alias("m"),
+        hash_bucket(F.col("user_id"), 2).alias("variant"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("conv"),
+    )
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    cells = per.groupBy("m").agg(
+        F.sum(F.when((F.col("variant") == 0) & (F.col("conv") == 1), one).otherwise(zero)).alias("a"),
+        F.sum(F.when((F.col("variant") == 0) & (F.col("conv") == 0), one).otherwise(zero)).alias("b"),
+        F.sum(F.when((F.col("variant") == 1) & (F.col("conv") == 1), one).otherwise(zero)).alias("c"),
+        F.sum(F.when((F.col("variant") == 1) & (F.col("conv") == 0), one).otherwise(zero)).alias("d"),
+    )
+    ok = cells.where(F.col("a") + F.col("b") + F.col("c") + F.col("d") >= 2)
+    lst = ok.agg(
+        F.array_sort(
+            F.collect_list(F.struct("m", "a", "b", "c", "d"))
+        ).alias("l"),
+        F.count(F.lit(1)).cast("long").alias("k_strata"),
+        F.sum("a").cast("long").alias("sum_a"),
+    )
+    nd = lambda t: (  # noqa: E731
+        t["a"] + t["b"] + t["c"] + t["d"]
+    ).cast("double")
+
+    def term_or_num(a, t):
+        return a + (t["a"].cast("double") * t["d"].cast("double")) / nd(t)
+
+    def term_or_den(a, t):
+        return a + (t["b"].cast("double") * t["c"].cast("double")) / nd(t)
+
+    def term_e(a, t):
+        return a + (
+            (t["a"] + t["b"]).cast("double") * (t["a"] + t["c"]).cast("double")
+        ) / nd(t)
+
+    def term_v(a, t):
+        n = nd(t)
+        return a + (
+            (t["a"] + t["b"]).cast("double")
+            * (t["c"] + t["d"]).cast("double")
+            * (t["a"] + t["c"]).cast("double")
+            * (t["b"] + t["d"]).cast("double")
+        ) / ((n * n) * (n - 1.0))
+
+    or_num = F.aggregate(F.col("l"), F.lit(0.0), term_or_num)
+    or_den = F.aggregate(F.col("l"), F.lit(0.0), term_or_den)
+    se = F.aggregate(F.col("l"), F.lit(0.0), term_e)
+    sv = F.aggregate(F.col("l"), F.lit(0.0), term_v)
+    dev = F.col("sum_a").cast("double") - se
+    return lst.where((F.col("k_strata") > 0) & (or_den > 0) & (sv > 0)).select(
+        "k_strata",
+        "sum_a",
+        round_half_up(or_num / or_den, 6).alias("or_mh"),
+        round_half_up((dev * dev) / sv, 6).alias("cmh"),
+    )
+
+
+def theil_sen_daily(orders: DataFrame) -> DataFrame:
+    """Theil–Sen robust trend of the daily order-count series: the
+    MEDIAN of all pairwise slopes (c_j - c_i)/(x_j - x_i) — a 29%-
+    breakdown estimator immune to the spike days that drag an OLS
+    slope (the robust twin of q6_forecast_revenue's trend read).
+
+    Exactness: counts and day indexes are integers, each slope is ONE
+    double division of exact integers (bit-equal cross-engine), and
+    the median is selected by ORDER BY value — tie order between equal
+    doubles cannot change the selected VALUE; the even-n midpoint is
+    the mean of two doubles (one add, one halving, both mirrored).
+
+    Scale: the pair join is CALENDAR-bounded — C(|days|, 2) pairs
+    regardless of row count (the kendall_daily argument; ~2.9M pairs
+    for a 7-year span). The median's global sort runs on those pairs
+    only; at extreme calendars, sample days or pre-bucket slopes —
+    knobs, not redesigns."""
+    daily = orders.groupBy(
+        F.col("o_orderdate").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    x0 = daily.agg(F.min("d").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(x0)).select(
+        F.datediff("d", "d0").cast("long").alias("x"), "cnt"
+    )
+    a = idx.select(F.col("x").alias("x1"), F.col("cnt").alias("c1"))
+    b = idx.select(F.col("x").alias("x2"), F.col("cnt").alias("c2"))
+    pairs = a.join(b, F.col("x1") < F.col("x2")).select(
+        (
+            (F.col("c2") - F.col("c1")).cast("double")
+            / (F.col("x2") - F.col("x1")).cast("double")
+        ).alias("slope")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    rn = F.row_number().over(Window.orderBy("slope"))
+    mid = (
+        pairs.select("slope", rn.alias("rn"))
+        .crossJoin(F.broadcast(m))
+        .where(
+            (F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("n_pairs") / 2) + 1)
+        )
+    )
+    return mid.groupBy("n_pairs").agg(
+        round_half_up(F.avg("slope"), 6).alias("slope_med"),
+        F.count(F.lit(1)).cast("long").alias("n_mid"),
+    )

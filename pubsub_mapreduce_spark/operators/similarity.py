@@ -2797,3 +2797,145 @@ def retrieval_label_eval(
             ).alias("mrr_at_k"),
         )
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    k: int = 5,
+    every: int = 50,
+    centroid_every: int = 100,
+    n_max_centroids: int = 512,
+    nprobe: int = 5,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each sampled query vector,
+    the top-``k`` most-similar vectors carrying a DIFFERENT label —
+    the pairs an embedding-model trainer feeds the contrastive loss
+    (easy negatives are free; the hard ones near the decision boundary
+    are what moves the model; cf. DPR / SimCSE-style in-batch vs mined
+    negatives).
+
+    Same IVF plan shape as ``ann_ivf_topk`` (literal centroid table,
+    map-only argmax assignment, broadcast probes, one corpus-sized
+    candidate join) with the label riding both sides and the
+    ``label != query_label`` predicate applied INSIDE the candidate
+    join — pruning before scoring, so mining costs no more than plain
+    ANN. Assignment stays on the pure-JVM literal path: this query is
+    exact-oracle-paired (BLAS stays out of oracle-paired plans).
+
+    At 100 TB: identical envelope to the ANN family — the only
+    corpus-sized exchange is the per-query top-k window over probed-
+    cell candidates; queries are a bounded sample by construction."""
+    e0 = _as_double(emb).select("vec_id", "embedding", "label")
+    cents = ivf_centroids(e0, centroid_every, n_max_centroids)
+    from ..io import widen
+
+    e = widen(e0, 8)
+    best = _nearest_centroid(cents, "embedding")
+    assigned = e.select(
+        "vec_id", "embedding", "label", best["cid"].alias("cid")
+    ).withColumn("nrm", norm(F.col("embedding")))
+    q = query_subset(e, every).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_nrm"),
+    )
+    probes = (
+        q.select(
+            "query_id",
+            "q_label",
+            "q_emb",
+            "q_nrm",
+            F.explode(_centroid_sims(cents, "q_emb")).alias("pr"),
+        )
+        .select(
+            "query_id",
+            "q_label",
+            "q_emb",
+            "q_nrm",
+            F.col("pr.cid").alias("cid"),
+            F.col("pr.csim").alias("csim"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("csim").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .where(F.col("rk") <= nprobe)
+        .select("query_id", "q_label", "q_emb", "q_nrm", "cid")
+    )
+    cands = broadcast(probes).join(assigned, on="cid").where(
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("q_label"))
+    )
+    scored = cands.select(
+        "query_id",
+        "q_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        _sim_from_dot(
+            F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+        ).alias("sim"),
+    )
+    from ..functions.text import round_half_up
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "q_label",
+            "neighbor_id",
+            "neg_label",
+            F.col("rank").cast("int").alias("rank"),
+            round_half_up(F.col("sim"), 4).alias("sim"),
+        )
+    )
+
+
+def duckdb_hard_negatives_sql(
+    k: int = 5,
+    every: int = 50,
+    centroid_every: int = 100,
+    n_max_centroids: int = 512,
+    nprobe: int = 5,
+) -> str:
+    """DuckDB mirror of ``hard_negatives``: same centroid selection and
+    argmax assignment tie-break as ``duckdb_ivf_knn_sql``, with the
+    label carried and the != predicate in the candidate join."""
+    return f"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label
+                 FROM embeddings),
+      cents AS (SELECT vec_id AS cid, emb AS cemb FROM e
+                WHERE vec_id % {centroid_every} = 0
+                ORDER BY vec_id LIMIT {n_max_centroids}),
+      csims AS (SELECT e.vec_id, e.emb, e.label, cents.cid,
+                       list_cosine_similarity(e.emb, cents.cemb) AS csim
+                FROM e CROSS JOIN cents),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY csim DESC, cid ASC) AS rn FROM csims),
+      assigned AS (SELECT vec_id, emb, label, cid FROM ranked WHERE rn = 1),
+      probes AS (SELECT vec_id AS query_id, label AS q_label,
+                        emb AS q_emb, cid
+                 FROM ranked
+                 WHERE rn <= {nprobe} AND vec_id % {every} = 0),
+      scored AS (SELECT p.query_id, p.q_label, a.vec_id AS neighbor_id,
+                        a.label AS neg_label,
+                        list_cosine_similarity(p.q_emb, a.emb) AS sim
+                 FROM probes p JOIN assigned a
+                   ON p.cid = a.cid AND a.vec_id <> p.query_id
+                  AND a.label <> p.q_label)
+      SELECT query_id, q_label, neighbor_id, neg_label,
+             CAST(rank AS INTEGER) AS rank,
+             floor(sim * 1e4 + 0.5) / 1e4 AS sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored)
+      WHERE rank <= {k}
+    """

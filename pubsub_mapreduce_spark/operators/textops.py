@@ -1396,3 +1396,146 @@ def lm_bigram_score(docs: DataFrame, ref_lang: str = "en") -> DataFrame:
         "n_bigrams",
         rh(acc / F.col("n_bigrams") * 1000, 6).alias("score_permille"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher quality-filter rule set (Rae et al. 2021, table A1 — the
+    public heuristic battery most LLM corpus pipelines start from):
+    per-document boolean per rule plus the conjunction, so the gate is
+    auditable rule-by-rule instead of a single opaque score
+    (``doc_stats.quality`` is the scored twin; this is the hard gate).
+
+      r_wc       50 <= |words| <= 100000
+      r_wlen     3 <= mean word length <= 10
+      r_symbol   (#hashes + #ellipses) <= 0.1 * |words|
+      r_bullet   bullet-started lines <= 90% of lines
+      r_ellipsis ellipsis-ended lines <= 30% of lines
+      r_alpha    words containing an alphabetic char >= 80% of words
+      r_stop     >= 2 distinct required stopwords present
+
+    Exactness: every ratio test is cross-multiplied to an INTEGER
+    comparison (10*symbols <= words, 3*words <= chars <= 10*words,
+    10*bullets <= 9*lines, 10*ellipsis_ends <= 3*lines, 5*alpha >=
+    4*words) — no float anywhere, so the flags value-hash exactly.
+
+    Scale: one projection over the corpus (tokenize once, shared array
+    column), no shuffle at all — the cheapest possible full-corpus
+    pass, which is the point of running the rule gate FIRST."""
+    c = F.col("text")
+    toks = F.col("__toks")
+    lines = F.col("__lines")
+    n_words = F.size(toks).cast("long")
+    n_chars_in_words = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    n_hash = (
+        F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+    ).cast("long")
+    n_ellipsis = (
+        (F.length(c) - F.length(F.regexp_replace(c, r"\.\.\.", ""))) / 3
+    ).cast("long")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[-*•]"))
+    ).cast("long")
+    n_ell_end = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"\.\.\.$"))
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    flags = {
+        "r_wc": (n_words >= 50) & (n_words <= 100000),
+        "r_wlen": (3 * n_words <= n_chars_in_words)
+        & (n_chars_in_words <= 10 * n_words),
+        "r_symbol": 10 * (n_hash + n_ellipsis) <= n_words,
+        "r_bullet": 10 * n_bullet <= 9 * n_lines,
+        "r_ellipsis": 10 * n_ell_end <= 3 * n_lines,
+        "r_alpha": 5 * n_alpha >= 4 * n_words,
+        "r_stop": n_stop >= 2,
+    }
+    out = (
+        widen(docs, 8)
+        .withColumn("__toks", T.tokens(c))
+        .withColumn(
+            "__lines", F.filter(F.split(c, "\n"), lambda l: l != "")
+        )
+        .select(
+            "doc_id",
+            n_words.alias("n_words"),
+            *[v.alias(k) for k, v in flags.items()],
+        )
+    )
+    return out.withColumn(
+        "pass",
+        F.col("r_wc")
+        & F.col("r_wlen")
+        & F.col("r_symbol")
+        & F.col("r_bullet")
+        & F.col("r_ellipsis")
+        & F.col("r_alpha")
+        & F.col("r_stop"),
+    )
+
+
+def zipf_slope(docs: DataFrame, top_k: int = 200) -> DataFrame:
+    """Zipf's-law fit per language: OLS slope of ln(freq) on ln(rank)
+    over the top ``top_k`` tokens — natural text tracks slope ~ -1;
+    a corpus slice that deviates hard (flat: template/boilerplate
+    spam; steep: degenerate repetition) fails the distributional sanity
+    check no per-document rule can see.
+
+    Exactness: ranks are deterministic integers (count desc, token asc
+    row_number), each ln() is a correctly-rounded libm call on an exact
+    integer (the theils_u precedent), and all four OLS moments run as
+    SEQUENTIAL folds over the rank-sorted list — mirrored term-for-term
+    in the DuckDB oracle, so the slope value-hashes exactly.
+
+    Scale: one shuffle to (lang, token) counts, a per-lang top-k window
+    on the counts relation, then a k-element fold per lang."""
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(
+            "lang", F.explode(T.tokens(F.lower(F.col("text")))).alias("w")
+        )
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wr = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("w").asc()
+    )
+    ranked = tf.select(
+        "lang", "cnt", F.row_number().over(wr).cast("long").alias("rnk")
+    ).where(F.col("rnk") <= top_k)
+    lst = ranked.groupBy("lang").agg(
+        F.array_sort(F.collect_list(F.struct("rnk", "cnt"))).alias("l"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    fold = lambda fn: F.aggregate(F.col("l"), F.lit(0.0), fn)  # noqa: E731
+    sx = fold(lambda a, t: a + F.log(t["rnk"].cast("double")))
+    sy = fold(lambda a, t: a + F.log(t["cnt"].cast("double")))
+    sxy = fold(
+        lambda a, t: a
+        + F.log(t["rnk"].cast("double")) * F.log(t["cnt"].cast("double"))
+    )
+    sx2 = fold(
+        lambda a, t: a
+        + F.log(t["rnk"].cast("double")) * F.log(t["rnk"].cast("double"))
+    )
+    n = F.col("n_terms").cast("double")
+    den = n * sx2 - sx * sx
+    return lst.where((F.col("n_terms") > 2) & (den > 0)).select(
+        "lang",
+        "n_terms",
+        rh((n * sxy - sx * sy) / den, 6).alias("slope"),
+    )

@@ -1,0 +1,233 @@
+"""Round-5 operator pins: planted-fixture references for the new stats
+ops (Kruskal–Wallis, Mantel–Haenszel, Theil–Sen), the Gopher rule gate,
+Zipf slope, and hard-negative mining."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pyspark.sql.functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, text, "en", src, len(text))
+            for i, (text, src) in enumerate(rows)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_kruskal_wallis_matches_python_reference(spark):
+    from pubsub_mapreduce_spark.operators.robust import kruskal_wallis
+
+    # three groups with overlapping values and heavy ties
+    data = {
+        "s1": [10, 12, 12, 15, 20],
+        "s2": [12, 18, 20, 20, 25, 30],
+        "s3": [5, 10, 10, 12],
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(
+        [(i, "x" * v, "en", g, v) for i, (g, v) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = kruskal_wallis(df).collect()
+    assert len(out) == 1
+    got = out[0]
+
+    # reference: classic tie-corrected H over average ranks
+    allv = sorted(v for _, v in rows)
+    n = len(allv)
+
+    def avg_rank(v):
+        less = sum(1 for x in allv if x < v)
+        eq = sum(1 for x in allv if x == v)
+        return less + (eq + 1) / 2
+
+    s12 = 0.0
+    for vs in data.values():
+        rg = sum(avg_rank(v) for v in vs)
+        s12 += rg * rg / len(vs)
+    from collections import Counter
+
+    t = sum(c**3 - c for c in Counter(allv).values())
+    h = (12.0 / (n * (n + 1)) * s12 - 3 * (n + 1)) / (
+        1 - t / ((n - 1) * n * (n + 1))
+    )
+    assert got["n"] == n and got["k"] == 3 and got["tie_t"] == t
+    assert abs(got["h"] - h) < 1e-6
+
+
+def test_mantel_haenszel_matches_hand_computation(spark):
+    """Two planted strata (different weekdays) with a KNOWN common odds
+    ratio; MH must recover it while the pooled 2x2 is confounded."""
+    from pubsub_mapreduce_spark.operators.robust import mantel_haenszel
+    from pubsub_mapreduce_spark.operators.sampling import hash_bucket
+
+    # find user ids hashed to each variant
+    probe = spark.createDataFrame(
+        [(u,) for u in range(4000)], "user_id long"
+    ).select("user_id", hash_bucket(F.col("user_id"), 2).alias("v"))
+    v0 = [r["user_id"] for r in probe.collect() if r["v"] == 0]
+    v1 = [r["user_id"] for r in probe.collect() if r["v"] == 1]
+    # stratum 1 on a Monday, stratum 2 on a Friday; per stratum plant
+    # (a, b, c, d): rows are single events per synthetic user
+    strata = [
+        (datetime.datetime(2024, 1, 1, 12), (30, 70, 20, 80)),  # Monday
+        (datetime.datetime(2024, 1, 5, 12), (60, 40, 50, 50)),  # Friday
+    ]
+    rows, eid = [], 0
+    for ts, (a, b, c, d) in strata:
+        it0, it1 = iter(v0), iter(v1)
+        for _ in range(a):
+            rows.append((eid, ts, next(it0), "purchase", 1.0)); eid += 1
+        for _ in range(b):
+            rows.append((eid, ts, next(it0), "view", 1.0)); eid += 1
+        for _ in range(c):
+            rows.append((eid, ts, next(it1), "purchase", 1.0)); eid += 1
+        for _ in range(d):
+            rows.append((eid, ts, next(it1), "view", 1.0)); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = mantel_haenszel(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["k_strata"] == 2 and r["sum_a"] == 90
+    num = sum(a * d / (a + b + c + d) for _, (a, b, c, d) in strata)
+    den = sum(b * c / (a + b + c + d) for _, (a, b, c, d) in strata)
+    assert abs(r["or_mh"] - num / den) < 1e-6
+    se = sum(
+        (a + b) * (a + c) / (a + b + c + d) for _, (a, b, c, d) in strata
+    )
+    sv = sum(
+        (a + b) * (c + d) * (a + c) * (b + d)
+        / ((a + b + c + d) ** 2 * (a + b + c + d - 1))
+        for _, (a, b, c, d) in strata
+    )
+    assert abs(r["cmh"] - (90 - se) ** 2 / sv) < 1e-6
+
+
+def test_theil_sen_recovers_planted_trend(spark):
+    """Daily counts = 10 + day + alternating noise + two huge spike
+    days: the Theil–Sen median slope must stay ~1 (OLS would not)."""
+    from pubsub_mapreduce_spark.operators.robust import theil_sen_daily
+
+    base = datetime.date(2024, 1, 1)
+    days = 40
+    rows, oid = [], 0
+    for i in range(days):
+        cnt = 10 + i + (1 if i % 2 else 0)
+        if i in (13, 29):
+            cnt += 500  # outlier spikes
+        for _ in range(cnt):
+            rows.append((oid, base + datetime.timedelta(days=i))); oid += 1
+    df = spark.createDataFrame(rows, "o_orderkey long, o_orderdate date")
+    out = theil_sen_daily(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_pairs"] == days * (days - 1) // 2
+    # python reference median of pairwise slopes
+    cnts = []
+    for i in range(days):
+        c = 10 + i + (1 if i % 2 else 0)
+        if i in (13, 29):
+            c += 500
+        cnts.append(c)
+    slopes = sorted(
+        (cnts[j] - cnts[i]) / (j - i)
+        for i in range(days)
+        for j in range(i + 1, days)
+    )
+    m = len(slopes)
+    ref = (
+        slopes[(m - 1) // 2]
+        if m % 2
+        else (slopes[m // 2 - 1] + slopes[m // 2]) / 2
+    )
+    assert abs(r["slope_med"] - ref) < 1e-6
+    assert 0.9 <= r["slope_med"] <= 1.1  # robust to the spikes
+
+
+def test_gopher_rules_boundaries(spark):
+    from pubsub_mapreduce_spark.operators.textops import gopher_rules
+
+    good = "the be to of and " + "word " * 60  # 65 words, stopwords, alpha
+    rows = [
+        (good, "s"),  # passes everything
+        ("word " * 49, "s"),  # 49 words -> r_wc False
+        ("the be " + "zzzz " * 60, "s"),  # fine
+        ("the be " + ("x" * 20 + " ") * 60, "s"),  # mean len > 10
+        ("the be " + "#### " * 30 + "word " * 30, "s"),  # symbols heavy
+        ("the be of " + "123 " * 60, "s"),  # digits: r_alpha False
+        ("word " * 60, "s"),  # no stopwords -> r_stop False
+        (
+            "the be of " + "word " * 60 + "\n" + "\n".join("- b" for _ in range(20)),
+            "s",
+        ),  # 20/21 bullet lines -> r_bullet False
+    ]
+    out = {r["doc_id"]: r for r in gopher_rules(_docs(spark, rows)).collect()}
+    assert out[0]["pass"] is True
+    assert out[1]["r_wc"] is False
+    assert out[2]["pass"] is True
+    assert out[3]["r_wlen"] is False
+    assert out[4]["r_symbol"] is False
+    assert out[5]["r_alpha"] is False and out[5]["r_stop"] is True
+    assert out[6]["r_stop"] is False
+    assert out[7]["r_bullet"] is False
+
+
+def test_zipf_slope_matches_python_ols(spark):
+    from pubsub_mapreduce_spark.operators.textops import zipf_slope
+
+    # plant exact token counts: token w_i appears c_i times
+    counts = [64, 32, 16, 8, 4, 2, 1]
+    text = " ".join(
+        " ".join(f"w{i}" for _ in range(c)) for i, c in enumerate(counts)
+    )
+    df = _docs(spark, [(text, "s")])
+    out = zipf_slope(df, top_k=10).collect()
+    assert len(out) == 1
+    xs = [math.log(i + 1) for i in range(len(counts))]
+    ys = [math.log(c) for c in sorted(counts, reverse=True)]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sx2 = sum(x * x for x in xs)
+    ref = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    assert abs(out[0]["slope"] - ref) < 1e-6
+    assert out[0]["slope"] < -0.5  # steep planted power law
+
+
+def test_hard_negatives_label_constraint_and_planted_neighbor(spark):
+    from pubsub_mapreduce_spark.operators.similarity import hard_negatives
+
+    # 60 random-ish vectors in 2 labels + a planted near-duplicate of
+    # query 0 carrying the OTHER label
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(60):
+        rows.append(
+            (i, [rnd.uniform(-1, 1) for _ in range(8)], i % 2)
+        )
+    q0 = rows[0][1]
+    planted = [x + 0.001 for x in q0]
+    rows.append((60, planted, 1))  # query 0 has label 0
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = hard_negatives(
+        emb, k=3, every=20, centroid_every=10, nprobe=5
+    ).collect()
+    assert out
+    for r in out:
+        assert r["neg_label"] != r["q_label"]
+    mine0 = [r for r in out if r["query_id"] == 0]
+    assert mine0 and mine0[0]["neighbor_id"] == 60  # planted near-dup ranks 1
+    assert mine0[0]["sim"] > 0.99

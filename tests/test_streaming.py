@@ -1730,3 +1730,71 @@ def test_attribution_join_state_evicted_past_watermark(spark, tmp_path):
         p["stateOperators"][0].get("numRowsRemoved", 0) for p in prog
     )
     assert removed > 0
+
+
+def test_session_agg_stream_equals_batch(spark, tmp_path):
+    """Native session_window streaming aggregation: a 3-file replay
+    plus a watermark-pushing sentinel must emit EXACTLY the batch
+    sessionization of the real events (append mode finalizes a session
+    once the watermark passes its end; the sentinel, a lone far-future
+    event, closes every real session and is itself never emitted)."""
+    import datetime
+
+    from pubsub_mapreduce_spark.io import load_tables
+    from pubsub_mapreduce_spark.streaming.session_agg import (
+        session_stats,
+        start_session_agg,
+    )
+    from tests.conftest import SF_SMALL
+
+    ev = load_tables(spark, SF_SMALL)["events"].select(
+        "event_id", "user_id", "ts", "value"
+    )
+    rows = sorted(ev.collect(), key=lambda r: r["event_id"])
+    max_ts = max(r["ts"] for r in rows)
+    d = tmp_path / "sess"
+    d.mkdir()
+    chunk = (len(rows) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * chunk : (i + 1) * chunk], ev.schema
+        ).coalesce(1).write.parquet(str(d / f"f{i}"))
+    sentinel_user = 10**9
+    spark.createDataFrame(
+        [(10**9, sentinel_user, max_ts + datetime.timedelta(days=365), 0.0)],
+        ev.schema,
+    ).coalesce(1).write.parquet(str(d / "f3"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/f*")
+    )
+    out_dir = str(tmp_path / "sess_out")
+    q = start_session_agg(
+        stream, out_dir, str(tmp_path / "sess_ckpt"),
+        gap="30 minutes", watermark="10 minutes",
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+    got = {
+        (
+            r["user_id"],
+            r["session_start_s"],
+            r["session_end_s"],
+            r["n_events"],
+            r["session_value"],
+        )
+        for r in spark.read.parquet(out_dir).collect()
+        if r["user_id"] != sentinel_user
+    }
+    want = {
+        (
+            r["user_id"],
+            r["session_start_s"],
+            r["session_end_s"],
+            r["n_events"],
+            r["session_value"],
+        )
+        for r in session_stats(ev).collect()
+    }
+    assert got == want and want, (len(got), len(want))
