@@ -2545,6 +2545,29 @@ def q_hard_negatives(spark, sf_dir):
     return S.hard_negatives(load_tables(spark, sf_dir)["embeddings"])
 
 
+def q_cvm_drift(spark, sf_dir):
+    """Cramér–von Mises drift per source (robust.cvm_source_drift):
+    the L2 member of the drift trio (KS sup / Wasserstein L1 / CvM
+    weighted-L2) — DECIMAL(38,0)-exact squared-gap sum on the shared
+    distinct-value spine, one mirrored division."""
+    return RB.cvm_source_drift(load_tables(spark, sf_dir)["documents"])
+
+
+def q_jonckheere(spark, sf_dir):
+    """Jonckheere–Terpstra ordered trend of order value across the
+    ORDERED priority factor (robust.jonckheere_terpstra): doubled
+    BIGINT statistic on the value spine, integer expectation, one
+    mirrored sqrt — the dose-response sharpening of kruskal_wallis."""
+    return RB.jonckheere_terpstra(load_tables(spark, sf_dir)["orders"])
+
+
+def q_kappa_lang(spark, sf_dir):
+    """Cohen's kappa between declared and predicted language
+    (textops.kappa_lang_agreement): chance-corrected agreement, all
+    margins BIGINT, one final division — lang_confusion's scalar."""
+    return TX.kappa_lang_agreement(load_tables(spark, sf_dir)["documents"])
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2790,6 +2813,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mantel_haenszel": q_mantel_haenszel,
         "theil_sen": q_theil_sen,
         "hard_negatives": q_hard_negatives,
+        "cvm_drift": q_cvm_drift,
+        "jonckheere": q_jonckheere,
+        "kappa_lang": q_kappa_lang,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -2890,6 +2916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions (registration order)
         "gopher_rules", "zipf_slope", "kruskal_wallis",
         "mantel_haenszel", "theil_sen", "hard_negatives",
+        "cvm_drift", "jonckheere", "kappa_lang",
     ]
     head = [n for n in r5_head + r6_queue if n in base]
     ordered = {n: base[n] for n in head}
@@ -8994,4 +9021,106 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY n_pairs
     """
     out["hard_negatives"] = S.duckdb_hard_negatives_sql()
+    out["cvm_drift"] = """
+        WITH base AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+                      FROM documents WHERE n_chars IS NOT NULL),
+        gv AS (SELECT v, count(*) AS c_all FROM base GROUP BY 1),
+        sv AS (SELECT source, v, count(*) AS c_s FROM base GROUP BY 1, 2),
+        srcs AS (SELECT source, count(*) AS n1 FROM base GROUP BY 1),
+        tot AS (SELECT count(*) AS n_total FROM base),
+        grid AS (SELECT srcs.source, srcs.n1, gv.v, gv.c_all,
+                        COALESCE(sv.c_s, 0) AS c_s
+                 FROM gv CROSS JOIN srcs
+                 LEFT JOIN sv ON sv.source = srcs.source AND sv.v = gv.v),
+        cum AS (SELECT source, n1, c_all,
+                       sum(c_s) OVER (PARTITION BY source
+                                      ORDER BY v) AS cum_s,
+                       sum(c_all) OVER (PARTITION BY source
+                                        ORDER BY v) AS cum_all
+                FROM grid),
+        agg AS (SELECT source, CAST(n1 AS BIGINT) AS n1,
+                       CAST(n_total - n1 AS BIGINT) AS n2,
+                       CAST(n_total AS BIGINT) AS n_total,
+                       sum(CAST(c_all AS HUGEINT)
+                           * CAST((n_total - n1) * cum_s
+                                  - n1 * (cum_all - cum_s) AS HUGEINT)
+                           * CAST((n_total - n1) * cum_s
+                                  - n1 * (cum_all - cum_s) AS HUGEINT))
+                         AS s
+                FROM cum CROSS JOIN tot
+                WHERE n1 > 0 AND n_total - n1 > 0
+                GROUP BY 1, 2, 3, 4)
+        SELECT source, n1, n2,
+               floor((CAST(s AS DOUBLE)
+                      / (((CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE))
+                          * CAST(n1 AS DOUBLE)) * CAST(n2 AS DOUBLE)))
+                     * 1e6 + 0.5) / 1e6 AS cvm
+        FROM agg
+    """
+    out["jonckheere"] = """
+        WITH base AS (SELECT o_orderpriority AS g,
+                             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                      FROM orders WHERE o_totalprice IS NOT NULL),
+        sv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+               FROM base GROUP BY 1, 2),
+        vs AS (SELECT DISTINCT v FROM sv),
+        gs AS (SELECT DISTINCT g FROM sv),
+        grid AS (SELECT gs.g, vs.v, COALESCE(sv.c, 0) AS c
+                 FROM vs CROSS JOIN gs
+                 LEFT JOIN sv ON sv.g = gs.g AND sv.v = vs.v),
+        cum AS (SELECT g, v, c,
+                       CAST(sum(c) OVER (PARTITION BY g ORDER BY v) - c
+                            AS BIGINT) AS less
+                FROM grid),
+        jt AS (SELECT CAST(sum(b.c * (2 * a.less + a.c)) AS BIGINT) AS jt2
+               FROM cum a JOIN sv b ON a.v = b.v AND a.g < b.g),
+        per_g AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng
+                  FROM sv GROUP BY 1),
+        consts AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+                          CAST(count(*) AS BIGINT) AS k,
+                          CAST(sum(ng * ng) AS BIGINT) AS sn2
+                   FROM per_g),
+        bl AS (SELECT list(struct_pack(g := g, ng := ng) ORDER BY g) AS l
+               FROM per_g),
+        bt AS (SELECT list_reduce(list_prepend(0.0, list_transform(l, t ->
+                 (CAST(t.ng AS DOUBLE) * CAST(t.ng AS DOUBLE))
+                 * (2.0 * CAST(t.ng AS DOUBLE) + 3.0))),
+                 (a, b) -> a + b) AS bterm
+               FROM bl)
+        SELECT n, k, jt2,
+               floor((CAST(jt2 - (n * n - sn2) // 2 AS DOUBLE)
+                      / (2.0 * sqrt(((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                                     * (2.0 * CAST(n AS DOUBLE) + 3.0)
+                                     - bterm) / 72.0)))
+                     * 1e6 + 0.5) / 1e6 AS z
+        FROM jt, consts, bt
+        WHERE ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+               * (2.0 * CAST(n AS DOUBLE) + 3.0) - bterm) / 72.0 > 0
+    """
+    out["kappa_lang"] = f"""
+        WITH {_TEXT_FEATURES_CTE},
+        per AS (SELECT CASE WHEN d.lang = 'en' THEN 'en' ELSE 'other' END
+                         AS actual,
+                       CASE WHEN f.swr >= 0.08 THEN 'en' ELSE 'other' END
+                         AS pred
+                FROM documents d JOIN feat2 f ON d.doc_id = f.doc_id),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN actual = pred THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_agree,
+                       CAST(sum(CASE WHEN actual = 'en' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS r_en,
+                       CAST(sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS c_en
+                FROM per)
+        SELECT n, n_agree,
+               floor((CAST(n * n_agree
+                           - (r_en * c_en + (n - r_en) * (n - c_en))
+                           AS DOUBLE)
+                      / CAST(n * n
+                             - (r_en * c_en + (n - r_en) * (n - c_en))
+                             AS DOUBLE))
+                     * 1e6 + 0.5) / 1e6 AS kappa
+        FROM agg
+        WHERE n * n > r_en * c_en + (n - r_en) * (n - c_en)
+    """
     return out

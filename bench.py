@@ -314,6 +314,9 @@ BENCH_QUERIES = [
     "mantel_haenszel",
     "theil_sen",
     "hard_negatives",
+    "cvm_drift",
+    "jonckheere",
+    "kappa_lang",
 ]
 
 # Heavy composite queries (>10s at sf0.1: eval harnesses that build

@@ -2233,16 +2233,21 @@ def kruskal_wallis(
     order, so H value-hashes exactly. Degenerate corpora (all values
     tied, or a single group) are dropped by integer predicates.
 
-    Scale: one shuffle to the distinct-value spine (|V| rows), one to
-    per-group sums (k rows), and a k-element fold — volume-independent
-    past the first rollup."""
+    Scale: ONE corpus-sized shuffle — the (group, value) rollup — then
+    everything (value spine, tie constants, per-group rank sums, the
+    fold) derives from that |G x V|-bounded relation. The rollup and
+    the spine are lazily checkpointed: both feed two consumers, and
+    Catalyst has no cross-branch CSE (the corpus scan would replay per
+    branch otherwise)."""
     base = docs.select(
         F.col(group).alias("g"), F.col(col).cast("long").alias("v")
     ).where(F.col("v").isNotNull())
-    gv = base.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c_all"))
     sv = base.groupBy("g", "v").agg(
         F.count(F.lit(1)).cast("long").alias("c_g")
-    )
+    ).localCheckpoint(eager=False)
+    gv = sv.groupBy("v").agg(
+        F.sum("c_g").cast("long").alias("c_all")
+    ).localCheckpoint(eager=False)
     consts = gv.agg(
         F.sum("c_all").cast("long").alias("n"),
         F.sum(
@@ -2422,4 +2427,160 @@ def theil_sen_daily(orders: DataFrame) -> DataFrame:
     return mid.groupBy("n_pairs").agg(
         round_half_up(F.avg("slope"), 6).alias("slope_med"),
         F.count(F.lit(1)).cast("long").alias("n_mid"),
+    )
+
+
+def cvm_source_drift(docs: DataFrame, col: str = "n_chars") -> DataFrame:
+    """Exact two-sample Cramér–von Mises drift per source (source vs
+    rest): the L2 companion completing the drift trio — KS
+    (``ks_source_drift``) is the sup gap, Wasserstein the L1 area, CvM
+    the variance-weighted squared gap
+
+        T = sum_v c_all(v) * (n2*c1(v) - n1*c2(v))^2 / (N^2 * n1 * n2)
+
+    — most sensitive to body (not tail) distribution shifts, the
+    standard complement when KS misses a broad low-amplitude drift.
+
+    Exactness: the numerator S = sum_v c_all * (n2*c1 - n1*c2)^2 is
+    summed in DECIMAL(38,0) — exact, order-independent, equal to
+    DuckDB's HUGEINT sum (headroom: diff^2 <= (n1*n2)^2 ~ 1e24 at
+    N=1e6, x c_all x |V| well under 1e38) — and the ONE float step is
+    the final mirrored division. Same |V|-bounded spine plan as KS:
+    per-source cumulative windows over distinct values only."""
+    x = F.col(col).cast("long")
+    base = docs.select(F.col("source"), x.alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    gv = base.groupBy("v").agg(F.count(F.lit(1)).alias("c_all"))
+    sv = base.groupBy("source", "v").agg(F.count(F.lit(1)).alias("c_s"))
+    srcs = base.groupBy("source").agg(F.count(F.lit(1)).alias("n1"))
+    tot = base.agg(F.count(F.lit(1)).alias("n_total"))
+    grid = (
+        gv.crossJoin(F.broadcast(srcs))
+        .join(sv, ["source", "v"], "left")
+        .withColumn("c_s", F.coalesce("c_s", F.lit(0).cast("long")))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "source",
+        "n1",
+        "c_all",
+        F.sum("c_s").over(w).alias("cum_s"),
+        F.sum("c_all").over(w).alias("cum_all"),
+    )
+    diff = (
+        F.col("n2") * F.col("cum_s")
+        - F.col("n1") * (F.col("cum_all") - F.col("cum_s"))
+    ).cast(DEC)
+    agg = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("n2", F.col("n_total") - F.col("n1"))
+        .where((F.col("n1") > 0) & (F.col("n2") > 0))
+        .groupBy("source", "n1", "n2", "n_total")
+        .agg(F.sum(F.col("c_all").cast(DEC) * diff * diff).alias("s"))
+    )
+    nd = F.col("n_total").cast("double")
+    t = F.col("s").cast("double") / (
+        ((nd * nd) * F.col("n1").cast("double")) * F.col("n2").cast("double")
+    )
+    return agg.select(
+        "source",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        round_half_up(t, 6).alias("cvm"),
+    )
+
+
+def jonckheere_terpstra(orders: DataFrame) -> DataFrame:
+    """Jonckheere–Terpstra ordered-alternative test: is order VALUE
+    monotonically associated with order PRIORITY (an ORDERED factor
+    '1-URGENT' < ... < '5-LOW')? Kruskal–Wallis asks "any difference";
+    JT asks the sharper dose-response question and wins power when the
+    ordering is real (the cochran_armitage of continuous outcomes).
+
+        JT = sum_{i<j} U_ij,  U_ij = #(x_i < y_j) + 1/2 #(x_i = y_j)
+
+    Doubled-statistic discipline: 2*U_ij = sum_v c_j(v) * (2*less_i(v)
+    + c_i(v)) is BIGINT on the shared value spine; the expectation
+    2E = (N^2 - sum n_g^2)/2 is integer (N^2 - sum n^2 is even), so
+    the z numerator is exact. The variance uses the standard untied
+    form [N^2(2N+3) - sum n^2(2n+3)]/72 (documented approximation
+    under heavy ties; both engines compute the identical formula),
+    evaluated in mirrored doubles, z = num / (2*sqrt(var)).
+
+    Scale: value spine + per-group cumulative windows (|G x V| rows),
+    a |G^2 x V| pair-of-groups join (G = 5 priorities), and a G-sized
+    fold for the variance term."""
+    base = orders.select(
+        F.col("o_orderpriority").alias("g"), _cents("o_totalprice").alias("v")
+    ).where(F.col("v").isNotNull())
+    sv = base.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=False)
+    gv = sv.groupBy("v").agg(F.lit(1).alias("one")).select("v")
+    grid = (
+        gv.crossJoin(F.broadcast(sv.select("g").distinct()))
+        .join(sv, ["g", "v"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0).cast("long")))
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "g",
+        "v",
+        "c",
+        (F.sum("c").over(w) - F.col("c")).alias("less"),
+    ).localCheckpoint(eager=False)
+    a = cum.select(
+        F.col("g").alias("gi"), "v",
+        F.col("less").alias("less_i"), F.col("c").alias("c_i"),
+    )
+    b = sv.select(
+        F.col("g").alias("gj"), "v", F.col("c").alias("c_j")
+    )
+    jt2 = (
+        a.join(b, "v")
+        .where(F.col("gi") < F.col("gj"))
+        .agg(
+            F.sum(
+                F.col("c_j") * (2 * F.col("less_i") + F.col("c_i"))
+            )
+            .cast("long")
+            .alias("jt2")
+        )
+    )
+    per_g = sv.groupBy("g").agg(F.sum("c").cast("long").alias("ng"))
+    consts = per_g.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("ng") * F.col("ng")).cast("long").alias("sn2"),
+    )
+    bsum = per_g.agg(
+        F.array_sort(F.collect_list(F.struct("g", "ng"))).alias("l")
+    ).select(
+        F.aggregate(
+            F.col("l"),
+            F.lit(0.0),
+            lambda acc, t: acc
+            + (t["ng"].cast("double") * t["ng"].cast("double"))
+            * (2.0 * t["ng"].cast("double") + 3.0),
+        ).alias("bterm")
+    )
+    j = jt2.crossJoin(F.broadcast(consts)).crossJoin(F.broadcast(bsum))
+    nd = F.col("n").cast("double")
+    var = ((nd * nd) * (2.0 * nd + 3.0) - F.col("bterm")) / 72.0
+    # 2E = (N^2 - sum n^2)/2 is exactly even — integer div keeps it BIGINT
+    num = (F.col("jt2") - F.expr("(n * n - sn2) div 2")).cast("double")
+    return j.where(var > 0).select(
+        "n",
+        "k",
+        "jt2",
+        round_half_up(num / (2.0 * F.sqrt(var)), 6).alias("z"),
     )

@@ -1539,3 +1539,57 @@ def zipf_slope(docs: DataFrame, top_k: int = 200) -> DataFrame:
         "n_terms",
         rh((n * sxy - sx * sy) / den, 6).alias("slope"),
     )
+
+
+def kappa_lang_agreement(docs: DataFrame) -> DataFrame:
+    """Cohen's kappa between the DECLARED language ('en' vs other) and
+    the heuristic ``lang_id`` prediction — chance-corrected agreement,
+    the scalar readout on top of ``lang_confusion``'s full matrix (raw
+    accuracy flatters any skewed-class classifier; kappa doesn't).
+
+    Exactness: with diagonal agreement A, per-class row/column margins
+    r_c, c_c and total N,
+
+        kappa = (N*A - sum_c r_c*c_c) / (N^2 - sum_c r_c*c_c)
+
+    — every term BIGINT, ONE final division under round_half_up, so
+    the statistic value-hashes exactly. Degenerate corpora where a
+    rater uses one class only (pe = 1) drop by integer predicate.
+
+    Scale: one projection (tokenize once) + one 4-cell rollup."""
+    c = F.col("text")
+    toks = F.col("__toks")
+    per = (
+        docs.withColumn("__toks", T.tokens(c))
+        .select(
+            F.when(F.col("lang") == "en", F.lit("en"))
+            .otherwise(F.lit("other"))
+            .alias("actual"),
+            T.lang_id(c, toks).alias("pred"),
+        )
+    )
+    cells = per.groupBy("actual", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    agg = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.sum(F.when(F.col("actual") == F.col("pred"), F.col("o")).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+        F.sum(F.when(F.col("actual") == "en", F.col("o")).otherwise(0))
+        .cast("long")
+        .alias("r_en"),
+        F.sum(F.when(F.col("pred") == "en", F.col("o")).otherwise(0))
+        .cast("long")
+        .alias("c_en"),
+    )
+    chance = F.col("r_en") * F.col("c_en") + (
+        F.col("n") - F.col("r_en")
+    ) * (F.col("n") - F.col("c_en"))
+    num = (F.col("n") * F.col("n_agree") - chance).cast("double")
+    den = (F.col("n") * F.col("n") - chance).cast("double")
+    return agg.where(F.col("n") * F.col("n") > chance).select(
+        "n",
+        "n_agree",
+        rh(num / den, 6).alias("kappa"),
+    )

