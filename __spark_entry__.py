@@ -40,6 +40,7 @@ from pubsub_mapreduce_spark.operators import (
     robust as RB,
     sampling as SM,
     similarity as S,
+    sketches as SK,
     textops as TX,
 )
 
@@ -2568,6 +2569,35 @@ def q_kappa_lang(spark, sf_dir):
     return TX.kappa_lang_agreement(load_tables(spark, sf_dir)["documents"])
 
 
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index of order value, pre-1998 era vs
+    after (sketches.psi_drift): the scorecard-standard drift metric on
+    histogram_drift's shared-bin histograms — Laplace-smoothed bins,
+    one bin-sorted ln fold."""
+    o = load_tables(spark, sf_dir)["orders"]
+    cut = F.lit("1998-01-01").cast("date")
+    return SK.psi_drift(
+        o.where(F.col("o_orderdate") < cut),
+        o.where(F.col("o_orderdate") >= cut),
+        "o_totalprice",
+    )
+
+
+def q_hill_tail(spark, sf_dir):
+    """Hill tail-index of order value (robust.hill_tail_index): how
+    heavy is the spend tail — alpha < 2 means variance-free spend.
+    Top-k selection via local top-k merge, rank-ordered ln fold."""
+    return RB.hill_tail_index(load_tables(spark, sf_dir)["orders"])
+
+
+def q_quantile_normalize(spark, sf_dir):
+    """Quantile normalization of doc length across sources
+    (robust.quantile_normalize): each value mapped to the pooled value
+    at its within-source quantile — integer midrank/nearest-rank
+    selection on bounded spines, the batch-effect remover."""
+    return RB.quantile_normalize(load_tables(spark, sf_dir)["documents"])
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2816,6 +2846,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cvm_drift": q_cvm_drift,
         "jonckheere": q_jonckheere,
         "kappa_lang": q_kappa_lang,
+        "psi_drift": q_psi_drift,
+        "hill_tail": q_hill_tail,
+        "quantile_normalize": q_quantile_normalize,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -2917,6 +2950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules", "zipf_slope", "kruskal_wallis",
         "mantel_haenszel", "theil_sen", "hard_negatives",
         "cvm_drift", "jonckheere", "kappa_lang",
+        "psi_drift", "hill_tail", "quantile_normalize",
     ]
     head = [n for n in r5_head + r6_queue if n in base]
     ordered = {n: base[n] for n in head}
@@ -9122,5 +9156,97 @@ def oracle_sql() -> dict[str, str]:
                      * 1e6 + 0.5) / 1e6 AS kappa
         FROM agg
         WHERE n * n > r_en * c_en + (n - r_en) * (n - c_en)
+    """
+    out["psi_drift"] = """
+        WITH u AS (SELECT o_totalprice AS v FROM orders),
+        b AS (SELECT min(v) AS mn, max(v) AS mx FROM u),
+        s AS (SELECT mn,
+                     CASE WHEN mx - mn <= 0 THEN 1.0 ELSE mx - mn END AS span
+              FROM b),
+        o AS (SELECT least(19, CAST(floor((o_totalprice - mn) / span * 20)
+                                    AS BIGINT)) AS bin, count(*) AS n_old
+              FROM orders, s
+              WHERE o_orderdate < DATE '1998-01-01'
+                AND o_totalprice IS NOT NULL GROUP BY 1),
+        n AS (SELECT least(19, CAST(floor((o_totalprice - mn) / span * 20)
+                                    AS BIGINT)) AS bin, count(*) AS n_new
+              FROM orders, s
+              WHERE o_orderdate >= DATE '1998-01-01'
+                AND o_totalprice IS NOT NULL GROUP BY 1),
+        spine AS (SELECT unnest(range(20)) AS bin),
+        bins AS (SELECT CAST(spine.bin AS INTEGER) AS bin,
+                        COALESCE(o.n_old, 0) AS n_old,
+                        COALESCE(n.n_new, 0) AS n_new
+                 FROM spine LEFT JOIN o ON o.bin = spine.bin
+                            LEFT JOIN n ON n.bin = spine.bin),
+        lst AS (SELECT list(struct_pack(bin := bin, n_old := n_old,
+                                        n_new := n_new) ORDER BY bin) AS l,
+                       CAST(sum(n_old) AS BIGINT) AS n_old_total,
+                       CAST(sum(n_new) AS BIGINT) AS n_new_total
+                FROM bins)
+        SELECT n_old_total, n_new_total,
+          floor(list_reduce(list_prepend(0.0, list_transform(l, t ->
+            ((CAST(t.n_old AS DOUBLE) + 1.0)
+             / (CAST(n_old_total AS DOUBLE) + 20.0)
+             - (CAST(t.n_new AS DOUBLE) + 1.0)
+               / (CAST(n_new_total AS DOUBLE) + 20.0))
+            * ln(((CAST(t.n_old AS DOUBLE) + 1.0)
+                  / (CAST(n_old_total AS DOUBLE) + 20.0))
+                 / ((CAST(t.n_new AS DOUBLE) + 1.0)
+                    / (CAST(n_new_total AS DOUBLE) + 20.0))))),
+            (a, b) -> a + b) * 1e6 + 0.5) / 1e6 AS psi
+        FROM lst
+        WHERE n_old_total > 0 AND n_new_total > 0
+    """
+    out["hill_tail"] = """
+        WITH ranked AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+                 row_number() OVER (
+                   ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                            o_orderkey ASC) AS rn
+          FROM orders),
+        xk1 AS (SELECT x AS xk1 FROM ranked WHERE rn = 501),
+        lst AS (SELECT list(struct_pack(rn := rn, x := x) ORDER BY rn) AS l,
+                       CAST(count(*) AS BIGINT) AS kk
+                FROM ranked WHERE rn <= 500),
+        f AS (SELECT kk, xk1,
+                list_reduce(list_prepend(0.0, list_transform(l, t ->
+                  ln(CAST(t.x AS DOUBLE) / CAST(xk1 AS DOUBLE)))),
+                  (a, b) -> a + b) AS s
+              FROM lst, xk1)
+        SELECT kk AS k, CAST(xk1 AS BIGINT) AS xk1_cents,
+               floor((s / CAST(kk AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS hill,
+               floor((1.0 / (s / CAST(kk AS DOUBLE))) * 1e6 + 0.5) / 1e6
+                 AS alpha
+        FROM f
+        WHERE kk = 500 AND xk1 > 0 AND s > 0
+    """
+    out["quantile_normalize"] = """
+        WITH base AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v
+                      FROM documents WHERE n_chars IS NOT NULL),
+        sv AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c
+               FROM base GROUP BY 1, 2),
+        gv AS (SELECT v, CAST(sum(c) AS BIGINT) AS c_all
+               FROM sv GROUP BY 1),
+        tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_total FROM gv),
+        idxd AS (SELECT source, v,
+                        CAST(2 * (sum(c) OVER (PARTITION BY source
+                                               ORDER BY v) - c) + c + 1
+                             AS BIGINT) AS u,
+                        CAST(sum(c) OVER (PARTITION BY source) AS BIGINT)
+                          AS n_s
+                 FROM sv),
+        idx2 AS (SELECT source, v, (u * n_total + n_s) // (2 * n_s) AS idx
+                 FROM idxd, tot),
+        spine AS (SELECT v AS v_norm,
+                         CAST(sum(c_all) OVER (ORDER BY v) - c_all
+                              AS BIGINT) AS cum_prev,
+                         CAST(sum(c_all) OVER (ORDER BY v) AS BIGINT) AS cum
+                  FROM gv),
+        mapped AS (SELECT source, v, v_norm
+                   FROM idx2 JOIN spine
+                     ON idx > cum_prev AND idx <= cum)
+        SELECT b.doc_id, b.source, b.v, m.v_norm
+        FROM base b JOIN mapped m ON b.source = m.source AND b.v = m.v
     """
     return out

@@ -317,6 +317,9 @@ BENCH_QUERIES = [
     "cvm_drift",
     "jonckheere",
     "kappa_lang",
+    "psi_drift",
+    "hill_tail",
+    "quantile_normalize",
 ]
 
 # Heavy composite queries (>10s at sf0.1: eval harnesses that build

@@ -2584,3 +2584,112 @@ def jonckheere_terpstra(orders: DataFrame) -> DataFrame:
         "jt2",
         round_half_up(num / (2.0 * F.sqrt(var)), 6).alias("z"),
     )
+
+
+def hill_tail_index(orders: DataFrame, k: int = 500) -> DataFrame:
+    """Hill estimator of the Pareto tail index of order value — HOW
+    heavy is the heavy tail? (spend_gini summarizes inequality; the
+    tail index alpha says whether moments even exist: alpha < 2 means
+    variance-free spend, the regime where mean-based monitors lie).
+
+        hill = (1/k) sum_{i=1..k} ln(x_(i) / x_(k+1)),   alpha = 1/hill
+
+    over the top-k order statistics (cents, BIGINT). Selection is a
+    deterministic row_number (value DESC, orderkey ASC); each ln is a
+    correctly-rounded libm call on a double ratio of exact integers,
+    and the sum runs as a rank-ordered sequential fold — exact
+    cross-engine (theils_u discipline).
+
+    Scale: top-(k+1) selection is a per-partition local top-k merged
+    once (never a global sort of the corpus); the fold is k-sized."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    ranked = orders.select(
+        cents.alias("x"), F.col("o_orderkey").alias("okey")
+    ).select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy(F.col("x").desc(), F.col("okey").asc()))
+        .alias("rn"),
+    ).where(F.col("rn") <= k + 1)
+    xk1 = ranked.where(F.col("rn") == k + 1).select(
+        F.col("x").alias("xk1")
+    )
+    lst = (
+        ranked.where(F.col("rn") <= k)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("rn", "x"))).alias("l"),
+            F.count(F.lit(1)).cast("long").alias("kk"),
+        )
+        .crossJoin(F.broadcast(xk1))
+    )
+    s = F.aggregate(
+        F.col("l"),
+        F.lit(0.0),
+        lambda a, t: a
+        + F.log(t["x"].cast("double") / F.col("xk1").cast("double")),
+    )
+    hill = s / F.col("kk").cast("double")
+    return lst.where((F.col("kk") == k) & (F.col("xk1") > 0) & (s > 0)).select(
+        F.col("kk").alias("k"),
+        F.col("xk1").cast("long").alias("xk1_cents"),
+        round_half_up(hill, 6).alias("hill"),
+        round_half_up(F.lit(1.0) / hill, 6).alias("alpha"),
+    )
+
+
+def quantile_normalize(docs: DataFrame, col: str = "n_chars") -> DataFrame:
+    """Quantile normalization of ``col`` across sources: every source's
+    distribution is mapped onto the POOLED distribution (each value is
+    replaced by the pooled value at its within-source quantile) — the
+    classic batch-effect remover (microarray heritage), here the
+    "make feeds comparable before thresholding" curation step.
+
+    Deterministic integer selection: within a source, a value with
+    doubled midrank u = 2*less + c + 1 (integer, ties share it) maps to
+    pooled nearest-rank index idx = (u*N + n_s) div (2*n_s), and the
+    pooled value at idx is looked up on the cumulative distinct-value
+    spine (min v with cum >= idx) — every step integer, so the mapping
+    value-hashes exactly.
+
+    Scale: ALL heavy relations are bounded — the (source, value) rollup
+    |S x V|, the pooled spine |V|, and the idx lookup joins idx ranges
+    against the broadcast spine; docs then join the mapping map-side on
+    (source, value). No global row-level sort anywhere."""
+    base = docs.select(
+        "doc_id", "source", F.col(col).cast("long").alias("v")
+    ).where(F.col("v").isNotNull())
+    sv = base.groupBy("source", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=False)
+    gv = sv.groupBy("v").agg(F.sum("c").cast("long").alias("c_all"))
+    ws = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ns = Window.partitionBy("source")
+    idxd = sv.select(
+        "source",
+        "v",
+        (2 * (F.sum("c").over(ws) - F.col("c")) + F.col("c") + 1).alias("u"),
+        F.sum("c").over(ns).alias("n_s"),
+    )
+    tot = gv.agg(F.sum("c_all").cast("long").alias("n_total"))
+    idxd = idxd.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "v",
+        F.expr("(u * n_total + n_s) div (2 * n_s)").alias("idx"),
+    )
+    wg = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    spine = gv.select(
+        "v",
+        (F.sum("c_all").over(wg) - F.col("c_all")).alias("cum_prev"),
+        F.sum("c_all").over(wg).alias("cum"),
+    )
+    mapped = idxd.join(
+        F.broadcast(spine.select(F.col("v").alias("v_norm"), "cum_prev", "cum")),
+        (F.col("idx") > F.col("cum_prev")) & (F.col("idx") <= F.col("cum")),
+    ).select("source", "v", "v_norm")
+    return base.join(mapped, ["source", "v"]).select(
+        "doc_id", "source", "v", "v_norm"
+    )

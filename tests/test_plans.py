@@ -919,3 +919,18 @@ def test_round5_batch2_plans(spark):
         got = keyed_shuffle_count(df)
         assert got <= budget, f"{name}: {got} keyed shuffles (budget {budget})"
         assert_no_cartesian(df)
+
+
+def test_round5_batch3_plans(spark):
+    """PSI is |bins|-sized after two map-side rollups; Hill is a local
+    top-k merge + k-fold; quantile normalization touches only bounded
+    spines (|S x V|, |V|) plus one map-side join back to docs."""
+    for name, budget in {
+        "psi_drift": 5,
+        "hill_tail": 3,
+        "quantile_normalize": 8,
+    }.items():
+        df = q(name, spark)
+        got = keyed_shuffle_count(df)
+        assert got <= budget, f"{name}: {got} keyed shuffles (budget {budget})"
+        assert_no_cartesian(df)

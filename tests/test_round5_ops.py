@@ -334,3 +334,98 @@ def test_kappa_matches_hand_formula(spark):
     assert r["n"] == n and r["n_agree"] == a + d
     assert abs(r["kappa"] - ref) < 1e-6
     assert r["kappa"] > 0.5  # strong planted agreement
+
+
+def test_psi_matches_python_reference(spark):
+    from pubsub_mapreduce_spark.operators.sketches import psi_drift
+
+    old_vals = [1.0, 2.0, 2.5, 3.0, 10.0, 10.5]
+    new_vals = [8.0, 9.0, 9.5, 10.0, 10.5, 11.0, 1.0]
+    mk = lambda vals: spark.createDataFrame(  # noqa: E731
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, x double"
+    )
+    out = psi_drift(mk(old_vals), mk(new_vals), "x", n_bins=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    mn, mx = 1.0, 11.0
+    span = mx - mn
+    nb = 5
+
+    def hist(vals):
+        h = [0] * nb
+        for v in vals:
+            h[min(nb - 1, int((v - mn) / span * nb))] += 1
+        return h
+
+    ho, hn = hist(old_vals), hist(new_vals)
+    no, nn = sum(ho), sum(hn)
+    import math
+
+    psi = sum(
+        ((a + 1) / (no + nb) - (b + 1) / (nn + nb))
+        * math.log(((a + 1) / (no + nb)) / ((b + 1) / (nn + nb)))
+        for a, b in zip(ho, hn)
+    )
+    assert r["n_old_total"] == no and r["n_new_total"] == nn
+    assert abs(r["psi"] - psi) < 1e-6
+    assert r["psi"] > 0  # planted shift
+
+
+def test_hill_matches_python_reference(spark):
+    from pubsub_mapreduce_spark.operators.robust import hill_tail_index
+
+    # planted Pareto(alpha=2)-ish: x_i = 100 / sqrt(u_i)
+    import math
+    import random
+
+    rnd = random.Random(11)
+    vals = [round(100.0 / math.sqrt(rnd.uniform(0.001, 1.0)), 2) for _ in range(400)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)],
+        "o_orderkey long, o_totalprice double",
+    )
+    k = 50
+    out = hill_tail_index(df, k=k).collect()
+    assert len(out) == 1
+    r = out[0]
+    cents = sorted((round(v * 100) for v in vals), reverse=True)
+    xk1 = cents[k]
+    ref = sum(math.log(c / xk1) for c in cents[:k]) / k
+    assert r["xk1_cents"] == xk1
+    assert abs(r["hill"] - ref) < 1e-6
+    # alpha should land near the planted tail index 2
+    assert 1.2 < r["alpha"] < 3.0
+
+
+def test_quantile_normalize_semantics(spark):
+    from pubsub_mapreduce_spark.operators.robust import quantile_normalize
+
+    # two sources with shifted distributions; pooled set is their union
+    data = {"sA": [10, 20, 30, 40], "sB": [110, 120, 130, 140]}
+    rows = [
+        (i, "x", "en", g, v)
+        for i, (g, v) in enumerate(
+            (g, v) for g, vs in data.items() for v in vs
+        )
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = quantile_normalize(df).collect()
+    assert len(out) == len(rows)
+    pooled = sorted(v for vs in data.values() for v in vs)
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append((r["v"], r["v_norm"]))
+        assert r["v_norm"] in pooled  # normalized values come from the pool
+    for src, pairs in by_src.items():
+        pairs.sort()
+        norms = [vn for _, vn in pairs]
+        assert norms == sorted(norms)  # monotone mapping
+    # both sources map onto the SAME pooled quantile values: untied
+    # rank r has doubled midrank u = 2r, so idx = (2r*N + n_s)//(2*n_s)
+    a = dict(by_src["sA"])
+    b = dict(by_src["sB"])
+    want = [pooled[(2 * r * 8 + 4) // 8 - 1] for r in (1, 2, 3, 4)]
+    assert list(a.values()) == list(b.values()) == want == [20, 40, 120, 140]
