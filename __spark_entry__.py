@@ -2598,6 +2598,15 @@ def q_quantile_normalize(spark, sf_dir):
     return RB.quantile_normalize(load_tables(spark, sf_dir)["documents"])
 
 
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit over (nation, mktsegment) quasi-identifier
+    groups (relational.t_closeness): ordered-EMD of each group's
+    account-balance band distribution vs global — BIGINT cross-
+    multiplied cumulative gaps, one division. Completes the release-
+    gate trio with kanon_customers and ldiv_customers."""
+    return R.t_closeness(load_tables(spark, sf_dir))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2849,6 +2858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "hill_tail": q_hill_tail,
         "quantile_normalize": q_quantile_normalize,
+        "t_closeness": q_t_closeness,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -2950,7 +2960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules", "zipf_slope", "kruskal_wallis",
         "mantel_haenszel", "theil_sen", "hard_negatives",
         "cvm_drift", "jonckheere", "kappa_lang",
-        "psi_drift", "hill_tail", "quantile_normalize",
+        "psi_drift", "hill_tail", "quantile_normalize", "t_closeness",
     ]
     head = [n for n in r5_head + r6_queue if n in base]
     ordered = {n: base[n] for n in head}
@@ -9248,5 +9258,46 @@ def oracle_sql() -> dict[str, str]:
                      ON idx > cum_prev AND idx <= cum)
         SELECT b.doc_id, b.source, b.v, m.v_norm
         FROM base b JOIN mapped m ON b.source = m.source AND b.v = m.v
+    """
+    out["t_closeness"] = """
+        WITH cust AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,
+                             CAST(floor(c_acctbal / 1000) AS BIGINT) AS b
+                      FROM customer),
+        gv AS (SELECT b, CAST(count(*) AS BIGINT) AS c_all
+               FROM cust GROUP BY 1),
+        sv AS (SELECT nation, segment, b, CAST(count(*) AS BIGINT) AS c_g
+               FROM cust GROUP BY 1, 2, 3),
+        grp AS (SELECT nation, segment, CAST(count(*) AS BIGINT) AS n_g
+                FROM cust GROUP BY 1, 2),
+        consts AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_total,
+                          CAST(count(*) AS BIGINT) AS m
+                   FROM gv),
+        grid AS (SELECT grp.nation, grp.segment, grp.n_g, gv.b, gv.c_all,
+                        COALESCE(sv.c_g, 0) AS c_g
+                 FROM gv CROSS JOIN grp
+                 LEFT JOIN sv ON sv.nation = grp.nation
+                            AND sv.segment = grp.segment AND sv.b = gv.b),
+        cum AS (SELECT nation, segment, n_g,
+                       sum(c_g) OVER (PARTITION BY nation, segment
+                                      ORDER BY b) AS cum_g,
+                       sum(c_all) OVER (PARTITION BY nation, segment
+                                        ORDER BY b) AS cum_all
+                FROM grid),
+        agg AS (SELECT nation, segment, n_g, n_total, m,
+                       CAST(sum(abs(n_total * cum_g - n_g * cum_all))
+                            AS BIGINT) AS emd_num
+                FROM cum CROSS JOIN consts
+                WHERE m > 1
+                GROUP BY 1, 2, 3, 4, 5)
+        SELECT CAST(nation AS BIGINT) AS nation, segment,
+               n_g AS n_rows, emd_num,
+               floor((CAST(emd_num AS DOUBLE)
+                      / ((CAST(n_g AS DOUBLE) * CAST(n_total AS DOUBLE))
+                         * (CAST(m AS DOUBLE) - 1.0)))
+                     * 1e6 + 0.5) / 1e6 AS emd,
+               (CAST(emd_num AS DOUBLE)
+                / ((CAST(n_g AS DOUBLE) * CAST(n_total AS DOUBLE))
+                   * (CAST(m AS DOUBLE) - 1.0))) > 0.2 AS at_risk
+        FROM agg
     """
     return out

@@ -320,6 +320,7 @@ BENCH_QUERIES = [
     "psi_drift",
     "hill_tail",
     "quantile_normalize",
+    "t_closeness",
 ]
 
 # Heavy composite queries (>10s at sf0.1: eval harnesses that build

@@ -2659,3 +2659,89 @@ def rolling_wau(t: Tables, window_days: int = 7) -> DataFrame:
             "wau",
         )
     )
+
+
+def t_closeness(
+    t: Tables, t_threshold: float = 0.2, band: int = 1000
+) -> DataFrame:
+    """t-closeness audit completing the release-gate trio (k-anonymity
+    -> l-diversity -> t-closeness): a quasi-identifier group can be
+    k-anonymous AND l-diverse yet still leak if its SENSITIVE
+    distribution differs from the table's (skewness attack). Per
+    (nation, mktsegment) group, the ordered-attribute Earth Mover's
+    Distance between the group's account-balance band distribution and
+    the GLOBAL one:
+
+        EMD = sum_j |cum_g(j)/n_g - cum_all(j)/N| / (m - 1)
+
+    Exactness: bands are integers (acctbal div ``band`` dollars), and
+    each cumulative gap clears to the BIGINT |N*cum_g - n_g*cum_all|
+    (the KS cross-multiplication), so the EMD numerator is an exact
+    integer sum with ONE final division under round_half_up. Groups
+    with emd > t are flagged ``at_risk``.
+
+    Scale: the same |groups x bands| grid plan as ks_source_drift —
+    one (group, band) rollup, a broadcast group list against the band
+    spine, per-group cumulative windows over DISTINCT bands only."""
+    from pyspark.sql import Window
+
+    cust = t["customer"].select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / band).cast("long").alias("b"),
+    )
+    gv = cust.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c_all"))
+    sv = cust.groupBy("nation", "segment", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_g")
+    )
+    grp = cust.groupBy("nation", "segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g")
+    )
+    consts = gv.agg(
+        F.sum("c_all").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    grid = (
+        gv.crossJoin(F.broadcast(grp))
+        .join(sv, ["nation", "segment", "b"], "left")
+        .withColumn("c_g", F.coalesce("c_g", F.lit(0).cast("long")))
+    )
+    w = (
+        Window.partitionBy("nation", "segment")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "nation",
+        "segment",
+        "n_g",
+        F.sum("c_g").over(w).alias("cum_g"),
+        F.sum("c_all").over(w).alias("cum_all"),
+    )
+    agg = (
+        cum.crossJoin(F.broadcast(consts))
+        .where(F.col("m") > 1)
+        .groupBy("nation", "segment", "n_g", "n_total", "m")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("n_total") * F.col("cum_g")
+                    - F.col("n_g") * F.col("cum_all")
+                )
+            )
+            .cast("long")
+            .alias("emd_num")
+        )
+    )
+    emd = F.col("emd_num").cast("double") / (
+        (F.col("n_g").cast("double") * F.col("n_total").cast("double"))
+        * (F.col("m").cast("double") - 1.0)
+    )
+    return agg.select(
+        F.col("nation").cast("long").alias("nation"),
+        "segment",
+        F.col("n_g").alias("n_rows"),
+        "emd_num",
+        round_half_up(emd, 6).alias("emd"),
+        (emd > t_threshold).alias("at_risk"),
+    )

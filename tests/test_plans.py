@@ -934,3 +934,11 @@ def test_round5_batch3_plans(spark):
         got = keyed_shuffle_count(df)
         assert got <= budget, f"{name}: {got} keyed shuffles (budget {budget})"
         assert_no_cartesian(df)
+
+
+def test_t_closeness_plan(spark):
+    """t-closeness rides the KS grid plan: |groups x bands| windows,
+    broadcast group list, no cartesian on data-sized inputs."""
+    df = q("t_closeness", spark)
+    assert keyed_shuffle_count(df) <= 7
+    assert_no_cartesian(df)

@@ -429,3 +429,46 @@ def test_quantile_normalize_semantics(spark):
     b = dict(by_src["sB"])
     want = [pooled[(2 * r * 8 + 4) // 8 - 1] for r in (1, 2, 3, 4)]
     assert list(a.values()) == list(b.values()) == want == [20, 40, 120, 140]
+
+
+def test_t_closeness_matches_python_reference(spark):
+    from pubsub_mapreduce_spark.operators.relational import t_closeness
+
+    # two groups: one mirroring the global distribution (t-close), one
+    # concentrated in the top band (skewness attack)
+    fixture = {
+        # mirrors the global shape -> small EMD (t-close)
+        "CLOSE": [
+            500.0, 600.0, 700.0, 1500.0, 1600.0, 1700.0,
+            2500.0, 2600.0, 2700.0, 3500.0, 3600.0, 3700.0,
+        ],
+        # concentrated in the top band -> skewness attack
+        "SKEW": [3500.0, 3550.0, 3650.0, 3800.0],
+    }
+    rows = []
+    cid = 0
+    for seg, bals in fixture.items():
+        for b in bals:
+            rows.append((cid, 1, seg, b)); cid += 1
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey long, c_mktsegment string, c_acctbal double"
+    )
+    out = {r["segment"]: r for r in t_closeness({"customer": df}).collect()}
+    bands = {seg: [int(b // 1000) for b in bals] for seg, bals in fixture.items()}
+    allb = [b for bs in bands.values() for b in bs]
+    from collections import Counter
+
+    gc = Counter(allb)
+    for seg, bals in bands.items():
+        sc = Counter(bals)
+        n_g, N = len(bals), len(allb)
+        emd_num, cg, ca = 0, 0, 0
+        for b in sorted(gc):
+            cg += sc.get(b, 0)
+            ca += gc[b]
+            emd_num += abs(N * cg - n_g * ca)
+        ref = emd_num / (n_g * N * (len(gc) - 1))
+        assert out[seg]["emd_num"] == emd_num, seg
+        assert abs(out[seg]["emd"] - ref) < 1e-6
+    assert not out["CLOSE"]["at_risk"]
+    assert out["SKEW"]["at_risk"]

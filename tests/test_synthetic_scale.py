@@ -611,3 +611,62 @@ def test_frame_scene_cuts_at_scale_frame_counts_exact(spark, big_docs):
     assert out.count() == n
     assert j.where(F.col("n_frames") != F.col("want_frames")).count() == 0
     assert j.where(F.col("n_cuts") > F.col("n_frames")).count() == 0
+
+
+def test_quantile_normalize_at_scale_bounded_and_monotone(spark, big_docs):
+    """Quantile normalization at 10x: every input row mapped, the
+    (source, value) mapping relation is |S x V|-bounded (never
+    row-sized), and the per-source mapping is monotone."""
+    from pubsub_mapreduce_spark.operators.robust import quantile_normalize
+
+    out = quantile_normalize(big_docs)
+    assert out.count() == big_docs.where(F.col("n_chars").isNotNull()).count()
+    mapping = out.select("source", "v", "v_norm").distinct()
+    sv = big_docs.select("source", "n_chars").distinct().count()
+    assert mapping.count() <= sv
+    # monotone per source: no pair with v1 < v2 but norm1 > norm2
+    a = mapping.select(
+        F.col("source").alias("s"), F.col("v").alias("v1"),
+        F.col("v_norm").alias("m1"),
+    )
+    b = mapping.select(
+        F.col("source").alias("s"), F.col("v").alias("v2"),
+        F.col("v_norm").alias("m2"),
+    )
+    bad = (
+        a.join(b, "s")
+        .where((F.col("v1") < F.col("v2")) & (F.col("m1") > F.col("m2")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_hard_negatives_at_scale_label_constraint(spark, big_emb):
+    """Hard-negative mining at 10k vectors: every emitted pair crosses
+    labels, at most k rows per query, and a planted cross-label
+    near-duplicate of a query is its rank-1 negative."""
+    from pubsub_mapreduce_spark.operators.similarity import hard_negatives
+
+    q0 = big_emb.where(F.col("vec_id") == 0).collect()[0]
+    planted_id = 10_000_000
+    planted = spark.createDataFrame(
+        [(
+            planted_id,
+            [float(x) + 0.001 for x in q0["embedding"]],
+            int(q0["label"]) + 1,
+        )],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb = big_emb.unionByName(planted)
+    out = hard_negatives(emb, k=5, every=500).collect()
+    assert out
+    per_q = {}
+    for r in out:
+        assert r["neg_label"] != r["q_label"]
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert max(per_q.values()) <= 5
+    mine0 = sorted(
+        (r for r in out if r["query_id"] == 0), key=lambda r: r["rank"]
+    )
+    assert mine0 and mine0[0]["neighbor_id"] == planted_id
+    assert mine0[0]["sim"] > 0.999
