@@ -2923,10 +2923,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION PLAN (VERDICT r4 #7): after this window lands, exactly 8
     # round-4 names remain unchecked (runs_test_daily, asof_prev_click,
     # semdedup_prune, lm_bigram_score, cochran_armitage,
-    # wasserstein_drift, frame_scene_cuts, theils_u); round-5 additions
-    # register AFTER them so the round-6 window (8 + new, kept <= 50)
-    # closes the book — every registered query driver-checked at least
-    # once. The ordering contract is pinned by tests/test_round2_tail.py.
+    # wasserstein_drift, frame_scene_cuts, theils_u); the 13 round-5
+    # additions queue AFTER them, so the round-6 window starts at 21
+    # never-checked names and closes the book (every registered query
+    # driver-checked at least once) provided round 6 registers at most
+    # 29 new queries ahead of its rotation. The ordering contract is
+    # pinned by tests/test_round2_tail.py.
     r5_head = [
         # 17 never-checked round-2-tail names, registration order
         "dq_orders", "doc_chunks", "oversample_mix", "profile_orders",
