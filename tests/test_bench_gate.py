@@ -125,8 +125,15 @@ def test_bench_covers_every_registered_query():
 
     registered = set(entrymod.queries())
     benched = set(bench.BENCH_QUERIES) | set(bench.BENCH_QUERIES_SLOW)
-    assert registered - benched == set(), sorted(registered - benched)
+    excluded = set(bench.BENCH_EXCLUDED)
+    assert registered - benched - excluded == set(), sorted(
+        registered - benched - excluded
+    )
     assert benched - registered == set(), sorted(benched - registered)
+    # exclusions must be justified, registered, and not double-listed
+    for name, reason in bench.BENCH_EXCLUDED.items():
+        assert name in registered and len(reason) > 40, name
+    assert excluded & benched == set()
     # no double-listing: a slow query must not also run at 3 reps
     assert set(bench.BENCH_QUERIES) & set(bench.BENCH_QUERIES_SLOW) == set()
     assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES))
