@@ -1798,3 +1798,61 @@ def test_session_agg_stream_equals_batch(spark, tmp_path):
         for r in session_stats(ev).collect()
     }
     assert got == want and want, (len(got), len(want))
+
+
+def test_session_agg_late_event_cannot_reopen_closed_session(spark, tmp_path):
+    """Append-mode finalize-once contract: an event arriving AFTER the
+    watermark passed its session's end must not re-emit or mutate the
+    already-written session row (it is dropped as too-late state)."""
+    import datetime
+
+    from pubsub_mapreduce_spark.streaming.session_agg import (
+        start_session_agg,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    d = tmp_path / "late"
+    d.mkdir()
+    # f0: a 2-event session for user 7
+    spark.createDataFrame(
+        [(0, 7, base, 1.0), (1, 7, base + datetime.timedelta(minutes=5), 2.0)],
+        schema,
+    ).coalesce(1).write.parquet(str(d / "f0"))
+    # f1 + f2: watermark pushers (other user). TWO of them because the
+    # operative watermark lags one micro-batch — a late row landing in
+    # the very batch that closes its window still merges (documented
+    # gotcha); the guarantee is for windows closed BEFORE the batch.
+    spark.createDataFrame(
+        [(2, 99, base + datetime.timedelta(days=10), 0.0)], schema
+    ).coalesce(1).write.parquet(str(d / "f1"))
+    spark.createDataFrame(
+        [(3, 99, base + datetime.timedelta(days=11), 0.0)], schema
+    ).coalesce(1).write.parquet(str(d / "f2"))
+    # f3: a LATE event that would have extended user 7's session
+    spark.createDataFrame(
+        [(4, 7, base + datetime.timedelta(minutes=10), 100.0)], schema
+    ).coalesce(1).write.parquet(str(d / "f3"))
+    # f4: final pusher so any (wrongly) accepted late state flushes
+    spark.createDataFrame(
+        [(5, 99, base + datetime.timedelta(days=20), 0.0)], schema
+    ).coalesce(1).write.parquet(str(d / "f4"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/f*")
+    )
+    out_dir = str(tmp_path / "late_out")
+    q = start_session_agg(
+        stream, out_dir, str(tmp_path / "late_ckpt"),
+        gap="30 minutes", watermark="10 minutes",
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+    rows = [
+        r for r in spark.read.parquet(out_dir).collect() if r["user_id"] == 7
+    ]
+    # exactly ONE session for user 7, with only the two on-time events
+    assert len(rows) == 1
+    assert rows[0]["n_events"] == 2
+    assert rows[0]["session_value"] == 3.0
