@@ -2607,6 +2607,15 @@ def q_t_closeness(spark, sf_dir):
     return R.t_closeness(load_tables(spark, sf_dir))
 
 
+def q_matryoshka_eval(spark, sf_dir):
+    """Matryoshka truncation eval (similarity.matryoshka_eval):
+    recall@5 of first-8/16/32-dim cosine search vs the full-64-dim
+    exact top-k on the query sample — the store-small/search-fast
+    decision table. Prefix dots are sequential folds, bit-equal to the
+    oracle's list_dot_product on the same slices."""
+    return S.matryoshka_eval(load_tables(spark, sf_dir)["embeddings"])
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2859,6 +2868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hill_tail": q_hill_tail,
         "quantile_normalize": q_quantile_normalize,
         "t_closeness": q_t_closeness,
+        "matryoshka_eval": q_matryoshka_eval,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -2963,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mantel_haenszel", "theil_sen", "hard_negatives",
         "cvm_drift", "jonckheere", "kappa_lang",
         "psi_drift", "hill_tail", "quantile_normalize", "t_closeness",
+        "matryoshka_eval",
     ]
     head = [n for n in r5_head + r6_queue if n in base]
     ordered = {n: base[n] for n in head}
@@ -9067,6 +9078,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY n_pairs
     """
     out["hard_negatives"] = S.duckdb_hard_negatives_sql()
+    out["matryoshka_eval"] = S.duckdb_matryoshka_sql()
     out["cvm_drift"] = """
         WITH base AS (SELECT source, CAST(n_chars AS BIGINT) AS v
                       FROM documents WHERE n_chars IS NOT NULL),

@@ -321,6 +321,7 @@ BENCH_QUERIES = [
     "hill_tail",
     "quantile_normalize",
     "t_closeness",
+    "matryoshka_eval",
 ]
 
 # Heavy composite queries (>10s at sf0.1: eval harnesses that build

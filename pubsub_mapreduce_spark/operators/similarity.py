@@ -2939,3 +2939,162 @@ def duckdb_hard_negatives_sql(
             FROM scored)
       WHERE rank <= {k}
     """
+
+
+def matryoshka_eval(
+    emb: DataFrame,
+    dims: tuple = (8, 16, 32),
+    k: int = 5,
+    every: int = 50,
+    full_dim: int = 64,
+) -> DataFrame:
+    """Matryoshka truncation eval (Kusupati et al. 2022): recall@k of
+    cosine search over the FIRST-d dimensions against the full-dim
+    exact top-k, per truncation d — the measurement behind the
+    store-small/search-fast embedding trade (truncate to d floats, keep
+    X% of neighbors). The decision table a 100TB vector store consults
+    before dropping 8x of its footprint.
+
+    One plan: the query sample broadcasts against the corpus once, each
+    pair scores all |dims|+1 prefixes (per-dim norms precomputed as
+    columns; each prefix dot is ONE sequential fold over the slice —
+    bit-equal to DuckDB list_dot_product on the same slice), a stacked
+    (dim, sim) relation ranks per (dim, query), and truncated hit sets
+    join the full-dim reference. Integer hits, one division per dim.
+
+    At 100TB: cost = (|dims|+1) x the exact-topk sampled eval (bounded
+    query set by construction), corpus scanned once."""
+    from ..functions.text import round_half_up
+    from ..functions.vectors import dot
+    from ..io import widen
+
+    all_dims = tuple(dims) + (full_dim,)
+    e = _as_double(emb).select("vec_id", "embedding")
+
+    def with_norms(df, col, prefix):
+        out = df
+        for d in all_dims:
+            out = out.withColumn(
+                f"{prefix}nrm_{d}", norm(F.slice(F.col(col), 1, d))
+            )
+        return out
+
+    q = with_norms(
+        query_subset(e, every).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        ),
+        "q_emb",
+        "q_",
+    )
+    cand = with_norms(widen(e, 8), "embedding", "c_")
+    pairs = cand.join(broadcast(q), F.col("vec_id") != F.col("query_id"))
+    sims = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        *[
+            F.when(
+                (F.col(f"q_nrm_{d}") > 0) & (F.col(f"c_nrm_{d}") > 0),
+                dot(
+                    F.slice(F.col("q_emb"), 1, d),
+                    F.slice(F.col("embedding"), 1, d),
+                )
+                / (F.col(f"q_nrm_{d}") * F.col(f"c_nrm_{d}")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"sim_{d}")
+            for d in all_dims
+        ],
+    )
+    stack_expr = "stack({}, {}) as (dim, sim)".format(
+        len(all_dims), ", ".join(f"{d}, sim_{d}" for d in all_dims)
+    )
+    stacked = sims.select("query_id", "neighbor_id", F.expr(stack_expr))
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    topk = (
+        stacked.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("dim", "query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    ref = topk.where(F.col("dim") == full_dim).select(
+        "query_id", "neighbor_id"
+    )
+    trunc = topk.where(F.col("dim") != full_dim)
+    hits = (
+        trunc.join(ref, ["query_id", "neighbor_id"])
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    nq = ref.select("query_id").distinct().count()
+    spine = emb.sparkSession.createDataFrame(
+        [(int(d),) for d in dims], "dim int"
+    )
+    z = F.lit(0).cast("long")
+    return (
+        spine.join(hits, "dim", "left")
+        .select(
+            "dim",
+            F.lit(int(nq)).cast("long").alias("n_queries"),
+            F.coalesce("hits", z).alias("hits"),
+            round_half_up(
+                F.coalesce("hits", z) / F.lit(float(nq * k)), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def duckdb_matryoshka_sql(
+    dims: tuple = (8, 16, 32),
+    k: int = 5,
+    every: int = 50,
+    full_dim: int = 64,
+) -> str:
+    """DuckDB mirror of ``matryoshka_eval``: same prefix slices, same
+    list_dot_product (bit-equal to the engine's sequential fold), same
+    tie-breaks and hit counting."""
+    all_dims = tuple(dims) + (full_dim,)
+    sim_selects = "\n UNION ALL ".join(
+        f"""SELECT {d} AS dim, query_id, neighbor_id,
+              CASE WHEN sqrt(list_dot_product(q_emb[1:{d}], q_emb[1:{d}])) > 0
+                    AND sqrt(list_dot_product(emb[1:{d}], emb[1:{d}])) > 0
+                   THEN list_dot_product(q_emb[1:{d}], emb[1:{d}])
+                        / (sqrt(list_dot_product(q_emb[1:{d}], q_emb[1:{d}]))
+                           * sqrt(list_dot_product(emb[1:{d}], emb[1:{d}])))
+                   ELSE 0.0 END AS sim
+            FROM pairs"""
+        for d in all_dims
+    )
+    return f"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                 FROM embeddings),
+      q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
+            WHERE vec_id % {every} = 0),
+      pairs AS (SELECT q.query_id, q.q_emb, e.vec_id AS neighbor_id, e.emb
+                FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id),
+      sims AS ({sim_selects}),
+      topk AS (SELECT dim, query_id, neighbor_id
+               FROM (SELECT *, row_number() OVER (
+                       PARTITION BY dim, query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rk
+                     FROM sims)
+               WHERE rk <= {k}),
+      ref AS (SELECT query_id, neighbor_id FROM topk
+              WHERE dim = {full_dim}),
+      nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM ref),
+      hits AS (SELECT t.dim, CAST(count(*) AS BIGINT) AS hits
+               FROM topk t JOIN ref r
+                 ON t.query_id = r.query_id
+                AND t.neighbor_id = r.neighbor_id
+               WHERE t.dim <> {full_dim}
+               GROUP BY 1),
+      spine AS (SELECT unnest([{', '.join(str(d) for d in dims)}]) AS dim)
+      SELECT CAST(spine.dim AS INTEGER) AS dim,
+             nq.n AS n_queries,
+             COALESCE(hits.hits, 0) AS hits,
+             floor(COALESCE(hits.hits, 0)
+                   / CAST(nq.n * {k} AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall
+      FROM spine CROSS JOIN nq LEFT JOIN hits ON hits.dim = spine.dim
+    """

@@ -472,3 +472,30 @@ def test_t_closeness_matches_python_reference(spark):
         assert abs(out[seg]["emd"] - ref) < 1e-6
     assert not out["CLOSE"]["at_risk"]
     assert out["SKEW"]["at_risk"]
+
+
+def test_matryoshka_planted_prefix_structure(spark):
+    """Vectors whose energy lives in the FIRST 8 dims: truncated search
+    at dim 8 must recover (nearly) the full-dim neighbors, while on
+    isotropic noise it cannot — the eval must expose that contrast."""
+    import random
+
+    rnd = random.Random(3)
+    rows = []
+    for i in range(120):
+        head = [rnd.uniform(-1, 1) for _ in range(8)]
+        tail = [rnd.uniform(-0.01, 0.01) for _ in range(56)]
+        rows.append((i, [float(x) for x in head + tail], i % 3))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {
+        r["dim"]: r
+        for r in __import__(
+            "pubsub_mapreduce_spark.operators.similarity",
+            fromlist=["matryoshka_eval"],
+        ).matryoshka_eval(emb, dims=(2, 8), k=5, every=20).collect()
+    }
+    assert out[8]["recall"] >= 0.9  # head carries the geometry
+    assert out[2]["recall"] < out[8]["recall"]  # 2 dims lose neighbors
+    assert out[8]["n_queries"] == 6
