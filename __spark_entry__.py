@@ -2616,6 +2616,20 @@ def q_matryoshka_eval(spark, sf_dir):
     return S.matryoshka_eval(load_tables(spark, sf_dir)["embeddings"])
 
 
+def q_purchase_streaks(spark, sf_dir):
+    """Per-user purchase streaks (streak_maintain.streaks_batch):
+    consecutive-day runs via gaps-and-islands, reporting the streak
+    ending at each user's latest purchase day — the engagement metric
+    the transformWithState streaming twin maintains incrementally
+    (streaming form env-gated: transformWithState's state protocol
+    needs protobuf, absent in this container; see TESTDATA.md)."""
+    from pubsub_mapreduce_spark.streaming.streak_maintain import (
+        streaks_batch,
+    )
+
+    return streaks_batch(load_tables(spark, sf_dir)["events"])
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2869,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "t_closeness": q_t_closeness,
         "matryoshka_eval": q_matryoshka_eval,
+        "purchase_streaks": q_purchase_streaks,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -2973,7 +2988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mantel_haenszel", "theil_sen", "hard_negatives",
         "cvm_drift", "jonckheere", "kappa_lang",
         "psi_drift", "hill_tail", "quantile_normalize", "t_closeness",
-        "matryoshka_eval",
+        "matryoshka_eval", "purchase_streaks",
     ]
     head = [n for n in r5_head + r6_queue if n in base]
     ordered = {n: base[n] for n in head}
@@ -9079,6 +9094,22 @@ def oracle_sql() -> dict[str, str]:
     """
     out["hard_negatives"] = S.duckdb_hard_negatives_sql()
     out["matryoshka_eval"] = S.duckdb_matryoshka_sql()
+    out["purchase_streaks"] = """
+        WITH d AS (SELECT DISTINCT user_id,
+                          CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+                   FROM events WHERE event_type = 'purchase'),
+        isl AS (SELECT user_id, day,
+                       day - row_number() OVER (PARTITION BY user_id
+                                                ORDER BY day) AS island
+                FROM d),
+        agg AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS len,
+                       CAST(max(day) AS BIGINT) AS last_day
+                FROM isl GROUP BY 1, 2),
+        mx AS (SELECT user_id, max(last_day) AS mxd FROM agg GROUP BY 1)
+        SELECT a.user_id, a.len AS streak, a.last_day
+        FROM agg a JOIN mx ON a.user_id = mx.user_id
+                          AND a.last_day = mx.mxd
+    """
     out["cvm_drift"] = """
         WITH base AS (SELECT source, CAST(n_chars AS BIGINT) AS v
                       FROM documents WHERE n_chars IS NOT NULL),

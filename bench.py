@@ -322,6 +322,7 @@ BENCH_QUERIES = [
     "quantile_normalize",
     "t_closeness",
     "matryoshka_eval",
+    "purchase_streaks",
 ]
 
 # Heavy composite queries (>10s at sf0.1: eval harnesses that build

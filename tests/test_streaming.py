@@ -1856,3 +1856,123 @@ def test_session_agg_late_event_cannot_reopen_closed_session(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["n_events"] == 2
     assert rows[0]["session_value"] == 3.0
+
+
+def test_streak_maintain_stream_equals_batch(spark, tmp_path):
+    """transformWithState streak tracker: a 3-file replay whose streaks
+    BUILD ACROSS micro-batches must end at exactly the batch gaps-and-
+    islands result (final emission per user == batch streak).
+
+    Env-gated: the transformWithState state-server protocol imports
+    protobuf, which this container does not ship (the driver-side
+    Python worker crashes on import) — same documented constraint as
+    the Kafka twins. The batch twin runs unconditionally below."""
+    import datetime
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs protobuf; not in this container",
+    )
+
+    from pubsub_mapreduce_spark.streaming.streak_maintain import (
+        start_streak_maintain,
+        streaks_batch,
+    )
+
+    base = datetime.datetime(2024, 5, 1, 12)
+    day = datetime.timedelta(days=1)
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    # user 1: days 0,1,2,4,5 (streak 2 ending day 5, built across files)
+    # user 2: days 0, 2, 3, 4 (streak 3); user 3: day 1 only (streak 1)
+    plan = {
+        1: [0, 1, 2, 4, 5],
+        2: [0, 2, 3, 4],
+        3: [1],
+    }
+    rows = []
+    eid = 0
+    for u, ds in plan.items():
+        for d in ds:
+            rows.append((eid, u, base + d * day, "purchase")); eid += 1
+            rows.append((eid, u, base + d * day, "view")); eid += 1
+    rows.sort(key=lambda r: r[2])  # time order -> batches split mid-streak
+    d3 = (len(rows) + 2) // 3
+    d = tmp_path / "streak"
+    d.mkdir()
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * d3 : (i + 1) * d3], schema
+        ).coalesce(1).write.parquet(str(d / f"f{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/f*")
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = start_streak_maintain(
+            stream, str(tmp_path / "streak_out"), str(tmp_path / "streak_ckpt")
+        )
+        assert q.awaitTermination(180)
+        q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    import pyspark.sql.functions as SF
+
+    emitted = spark.read.parquet(str(tmp_path / "streak_out"))
+    final = {
+        r["user_id"]: (r["streak"], r["last_day"])
+        for r in emitted.withColumn(
+            "rk",
+            SF.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy(SF.col("last_day").desc())
+            ),
+        )
+        .where(SF.col("rk") == 1)
+        .collect()
+    }
+    df = spark.createDataFrame(rows, schema)
+    want = {
+        r["user_id"]: (r["streak"], r["last_day"])
+        for r in streaks_batch(df).collect()
+    }
+    assert final == want and len(want) == 3
+    assert want[1][0] == 2 and want[2][0] == 3 and want[3][0] == 1
+
+
+def test_streaks_batch_gaps_and_islands_semantics(spark):
+    """The batch streak computation (registered as purchase_streaks)
+    runs unconditionally even where the streaming twin is env-gated:
+    same-day repeats don't extend, gaps reset, the reported streak is
+    the island ending at the user's LATEST purchase day."""
+    import datetime
+
+    from pubsub_mapreduce_spark.streaming.streak_maintain import (
+        streaks_batch,
+    )
+
+    base = datetime.datetime(2024, 5, 1, 12)
+    day = datetime.timedelta(days=1)
+    plan = {1: [0, 1, 2, 4, 5], 2: [0, 2, 3, 4], 3: [1, 1, 1]}
+    rows, eid = [], 0
+    for u, ds in plan.items():
+        for d in ds:
+            rows.append((eid, u, base + d * day, "purchase")); eid += 1
+    rows.append((eid, 1, base, "view"))  # non-purchase never counts
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r["user_id"]: r["streak"] for r in streaks_batch(df).collect()}
+    assert got == {1: 2, 2: 3, 3: 1}
