@@ -620,3 +620,142 @@ def test_interval_overlap_matches_bruteforce(spark, case):
         for r in pairs.select("lid_l", "rid_r").collect()
     )
     assert got == _brute_overlaps(lrows, rrows, keyed)
+
+
+# -------------------------------------------------------------------
+# Round-5 rank statistics vs brute-force Python references under
+# random group/value layouts (heavy ties, singleton groups, constant
+# corpora) — the degenerate shapes unit fixtures don't enumerate.
+kw_case = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 6)),  # (group, value)
+    min_size=2,
+    max_size=40,
+)
+
+
+@PROP
+@given(rows=kw_case)
+def test_kruskal_wallis_matches_bruteforce(spark, rows):
+    from collections import Counter
+
+    from pubsub_mapreduce_spark.operators.robust import kruskal_wallis
+
+    df = spark.createDataFrame(
+        [
+            (i, "x", "en", f"g{g}", v)
+            for i, (g, v) in enumerate(rows)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = kruskal_wallis(df).collect()
+    allv = sorted(v for _, v in rows)
+    n = len(allv)
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    t = sum(c**3 - c for c in Counter(allv).values())
+    corr = 1 - t / ((n - 1) * n * (n + 1)) if n > 2 else 0.0
+    if len(groups) < 2 or n <= 2 or corr <= 0:
+        assert out == []  # degenerate: dropped by integer predicates
+        return
+
+    def avg_rank(v):
+        less = sum(1 for x in allv if x < v)
+        eq = sum(1 for x in allv if x == v)
+        return less + (eq + 1) / 2
+
+    s12 = sum(
+        sum(avg_rank(v) for v in vs) ** 2 / len(vs)
+        for vs in groups.values()
+    )
+    h = (12.0 / (n * (n + 1)) * s12 - 3 * (n + 1)) / corr
+    assert len(out) == 1
+    assert out[0]["k"] == len(groups) and out[0]["tie_t"] == t
+    assert abs(out[0]["h"] - h) < 1e-5
+
+
+jt_case = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 5)),
+    min_size=2,
+    max_size=30,
+)
+
+
+@PROP
+@given(rows=jt_case)
+def test_jonckheere_matches_bruteforce(spark, rows):
+    from pubsub_mapreduce_spark.operators.robust import jonckheere_terpstra
+
+    df = spark.createDataFrame(
+        [
+            (i, f"g{g}", float(v))
+            for i, (g, v) in enumerate(rows)
+        ],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    out = jonckheere_terpstra(df).collect()
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(f"g{g}", []).append(round(v * 100))
+    gs = sorted(groups)
+    jt2 = sum(
+        2 * (x < y) + (x == y)
+        for i in range(len(gs))
+        for j in range(i + 1, len(gs))
+        for x in groups[gs[i]]
+        for y in groups[gs[j]]
+    )
+    n = len(rows)
+    sn2 = sum(len(v) ** 2 for v in groups.values())
+    var = (
+        n * n * (2 * n + 3)
+        - sum(len(v) ** 2 * (2 * len(v) + 3) for v in groups.values())
+    ) / 72.0
+    if var <= 0:
+        assert out == []
+        return
+    z = (jt2 - (n * n - sn2) / 2) / (2 * var**0.5)
+    assert len(out) == 1
+    assert out[0]["jt2"] == jt2 and out[0]["n"] == n
+    assert abs(out[0]["z"] - z) < 1e-5
+
+
+qn_case = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 9)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@PROP
+@given(rows=qn_case)
+def test_quantile_normalize_matches_bruteforce(spark, rows):
+    from pubsub_mapreduce_spark.operators.robust import quantile_normalize
+
+    df = spark.createDataFrame(
+        [
+            (i, "x", "en", f"s{g}", v)
+            for i, (g, v) in enumerate(rows)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = quantile_normalize(df).collect()
+    pooled = sorted(v for _, v in rows)
+    n_total = len(pooled)
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(f"s{g}", []).append(v)
+    # reference: doubled midrank u(v) = 2*less + c + 1 within source;
+    # idx = (u*N + n_s) // (2*n_s); v_norm = pooled[idx-1]
+    want = {}
+    for src, vs in groups.items():
+        n_s = len(vs)
+        for v in set(vs):
+            less = sum(1 for x in vs if x < v)
+            c = sum(1 for x in vs if x == v)
+            u = 2 * less + c + 1
+            idx = (u * n_total + n_s) // (2 * n_s)
+            want[(src, v)] = pooled[idx - 1]
+    assert len(out) == len(rows)
+    for r in out:
+        assert r["v_norm"] == want[(r["source"], r["v"])], r
