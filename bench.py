@@ -325,11 +325,18 @@ BENCH_QUERIES = [
     "purchase_streaks",
 ]
 
-# Heavy composite queries (>10s at sf0.1: eval harnesses that build
-# several indexes / pair sources in one plan). Benched at ONE rep so the
+# Heavy composite queries (>3s at sf0.1). Benched at ONE rep so the
 # per-round artifact still tracks them without tripling bench wall time;
 # a flagged regression here gets the same automatic solo re-measure (5
-# warm reps) as everything else.
+# warm reps) as everything else. Why each is expensive BY DESIGN:
+# - multimodal_dup_consensus (~3.4s): unions three modality pair sources
+#   (text LSH + image pHash + audio fingerprint), each already bounded.
+# - dedup_eval (~12s): recall report of banded MinHash vs the EXACT
+#   n-gram-Jaccard ground truth — the O(n^2) exact pass IS the measured
+#   ceiling (ann_eval precedent); at 100TB it runs on a sampled slice.
+# - entity_match (~12.6s): blocked record linkage whose verify stage is
+#   per-candidate Levenshtein inside (nation, half-key) blocks — cost
+#   tracks candidate volume, which the blocking keys bound.
 BENCH_QUERIES_SLOW = [
     "multimodal_dup_consensus",
     "dedup_eval",

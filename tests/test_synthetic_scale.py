@@ -670,3 +670,25 @@ def test_hard_negatives_at_scale_label_constraint(spark, big_emb):
     )
     assert mine0 and mine0[0]["neighbor_id"] == planted_id
     assert mine0[0]["sim"] > 0.999
+
+
+def test_matryoshka_eval_at_scale_bounded_and_sane(spark, big_emb):
+    """Matryoshka eval at 10k vectors: one row per truncation dim,
+    hits bounded by n_queries*k, and recall weakly increases with the
+    truncation dimension on ANY corpus (a longer prefix can only add
+    information under the same deterministic tie-break ranking —
+    checked as a monotone-up-to-noise envelope: dim 32 must not be
+    WORSE than dim 8)."""
+    from pubsub_mapreduce_spark.operators.similarity import matryoshka_eval
+
+    out = {
+        r["dim"]: r
+        for r in matryoshka_eval(big_emb, dims=(8, 32), k=5, every=200).collect()
+    }
+    assert set(out) == {8, 32}
+    nq = out[8]["n_queries"]
+    assert nq == out[32]["n_queries"] > 0
+    for d, r in out.items():
+        assert 0 <= r["hits"] <= nq * 5
+        assert 0.0 <= r["recall"] <= 1.0
+    assert out[32]["recall"] >= out[8]["recall"]
