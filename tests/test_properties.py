@@ -759,3 +759,107 @@ def test_quantile_normalize_matches_bruteforce(spark, rows):
     assert len(out) == len(rows)
     for r in out:
         assert r["v_norm"] == want[(r["source"], r["v"])], r
+
+
+cvm_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 6)),
+    min_size=2,
+    max_size=30,
+).filter(lambda rs: len({s for s, _ in rs}) >= 2)
+
+
+@PROP
+@given(rows=cvm_rows)
+def test_cvm_matches_bruteforce(spark, rows):
+    from pubsub_mapreduce_spark.operators.robust import cvm_source_drift
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", s, v) for i, (s, v) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    got = {r["source"]: r for r in cvm_source_drift(docs).collect()}
+    allv = [v for _, v in rows]
+    n_tot = len(allv)
+    srcs = {s for s, _ in rows}
+    for src in srcs:
+        vs = [v for s, v in rows if s == src]
+        rest = [v for s, v in rows if s != src]
+        if not vs or not rest:
+            assert src not in got
+            continue
+        n1, n2 = len(vs), len(rest)
+        s_num = 0
+        for x in sorted(set(allv)):
+            c_all = sum(1 for v in allv if v == x)
+            c1 = sum(1 for v in vs if v <= x)
+            c2 = sum(1 for v in rest if v <= x)
+            s_num += c_all * (n2 * c1 - n1 * c2) ** 2
+        ref = s_num / (n_tot**2 * n1 * n2)
+        assert abs(got[src]["cvm"] - ref) < 1e-6, src
+
+
+mh_rows = st.lists(
+    st.tuples(
+        st.integers(0, 4),  # weekday offset within the first week
+        st.booleans(),  # variant-0 user?
+        st.booleans(),  # purchase?
+    ),
+    min_size=4,
+    max_size=60,
+)
+
+
+@PROP
+@given(rows=mh_rows)
+def test_mantel_haenszel_matches_bruteforce(spark, rows):
+    import datetime
+
+    from pubsub_mapreduce_spark.operators.robust import mantel_haenszel
+    from pubsub_mapreduce_spark.operators.sampling import hash_bucket
+
+    probe = spark.createDataFrame(
+        [(u,) for u in range(400)], "user_id long"
+    ).select("user_id", hash_bucket(F.col("user_id"), 2).alias("v"))
+    by_v = {0: [], 1: []}
+    for r in probe.collect():
+        by_v[r["v"]].append(r["user_id"])
+    base = datetime.datetime(2024, 1, 1, 12)  # Monday
+    data, eid = [], 0
+    iters = {0: iter(by_v[0] * 50), 1: iter(by_v[1] * 50)}
+    strata = {}
+    for dow, v0, conv in rows:
+        u = next(iters[0 if v0 else 1])
+        data.append(
+            (eid, base + datetime.timedelta(days=dow), u,
+             "purchase" if conv else "view", 1.0)
+        )
+        eid += 1
+        cell = strata.setdefault(dow, [0, 0, 0, 0])
+        idx = (0 if v0 else 2) + (0 if conv else 1)
+        cell[idx] += 1
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = mantel_haenszel(df).collect()
+    keep = {k: c for k, c in strata.items() if sum(c) >= 2}
+    or_num = sum(a * d / (a + b + c + d) for a, b, c, d in keep.values())
+    or_den = sum(b * c / (a + b + c + d) for a, b, c, d in keep.values())
+    se = sum(
+        (a + b) * (a + c) / (a + b + c + d) for a, b, c, d in keep.values()
+    )
+    sv = sum(
+        (a + b) * (c + d) * (a + c) * (b + d)
+        / ((a + b + c + d) ** 2 * (a + b + c + d - 1))
+        for a, b, c, d in keep.values()
+        if (a + b + c + d) > 1
+    )
+    if not keep or or_den <= 0 or sv <= 0:
+        assert out == []
+        return
+    sum_a = sum(c[0] for c in keep.values())
+    assert len(out) == 1
+    r = out[0]
+    assert r["k_strata"] == len(keep) and r["sum_a"] == sum_a
+    assert abs(r["or_mh"] - or_num / or_den) < 1e-6
+    assert abs(r["cmh"] - (sum_a - se) ** 2 / sv) < 1e-6
