@@ -863,3 +863,64 @@ def test_mantel_haenszel_matches_bruteforce(spark, rows):
     assert r["k_strata"] == len(keep) and r["sum_a"] == sum_a
     assert abs(r["or_mh"] - or_num / or_den) < 1e-6
     assert abs(r["cmh"] - (sum_a - se) ** 2 / sv) < 1e-6
+
+
+gopher_texts = st.lists(
+    st.text(
+        alphabet="ab the# .\n-*•\t123", min_size=0, max_size=120
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@PROP
+@given(docs=gopher_texts)
+def test_gopher_rules_match_python_reference(spark, docs):
+    """The integer-cross-multiplied rule battery must agree with a
+    literal Python reimplementation on adversarial text: mixed
+    whitespace, unicode bullets, ellipses runs, empty lines/docs."""
+    import re
+
+    from pubsub_mapreduce_spark.operators.textops import (
+        GOPHER_STOPWORDS,
+        gopher_rules,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    for i, t in enumerate(docs):
+        toks = [w for w in re.split(r"\s+", t) if w != ""]
+        lines = [l for l in t.split("\n") if l != ""]
+        n_words = len(toks)
+        ncw = sum(len(w) for w in toks)
+        n_hash = t.count("#")
+        n_ell = (len(t) - len(t.replace("...", ""))) // 3
+        n_lines = len(lines)
+        n_bullet = sum(
+            1 for l in lines if re.match(r"^[-*•]", l.lstrip(" "))
+        )
+        n_ell_end = sum(
+            1 for l in lines if re.search(r"\.\.\.$", l.rstrip(" "))
+        )
+        n_alpha = sum(1 for w in toks if re.search("[A-Za-z]", w))
+        n_stop = len(
+            {w.lower() for w in toks} & set(GOPHER_STOPWORDS)
+        )
+        want = {
+            "r_wc": 50 <= n_words <= 100000,
+            "r_wlen": 3 * n_words <= ncw <= 10 * n_words,
+            "r_symbol": 10 * (n_hash + n_ell) <= n_words,
+            "r_bullet": 10 * n_bullet <= 9 * n_lines,
+            "r_ellipsis": 10 * n_ell_end <= 3 * n_lines,
+            "r_alpha": 5 * n_alpha >= 4 * n_words,
+            "r_stop": n_stop >= 2,
+        }
+        r = got[i]
+        assert r["n_words"] == n_words, (i, t)
+        for k, v in want.items():
+            assert r[k] == v, (i, k, t)
+        assert r["pass"] == all(want.values())
