@@ -2313,11 +2313,14 @@ def mantel_haenszel(events: DataFrame) -> DataFrame:
     stratification-adjusted readout.
 
     Exactness: all eight margins per stratum are BIGINT; the four float
-    reductions run as ONE sequential fold over the month-sorted strata
-    list with a struct accumulator whose fields never read each other
-    (forward-only, the DuckDB list_reduce-safe shape), every per-term
-    division mirrored. Strata with n < 2 or a zero V denominator drop
-    by integer predicate. Scale: a 12-row fold after one keyed rollup."""
+    reductions run as ONE sequential fold over the day-of-week-sorted
+    strata list with a struct accumulator whose fields never read each
+    other (forward-only, the DuckDB list_reduce-safe shape), every
+    per-term division mirrored. Strata with n < 2 drop by integer
+    predicate (their V denominator n^2 (n-1) would be zero; any
+    stratum with n >= 2 contributes finite terms), and the final
+    chi-square emits only under the aggregate sv > 0 guard. Scale: a
+    7-row fold after one keyed rollup."""
     from .sampling import hash_bucket
 
     per = events.select(

@@ -3033,15 +3033,21 @@ def matryoshka_eval(
         [(int(d),) for d in dims], "dim int"
     )
     z = F.lit(0).cast("long")
+    # nq == 0 (empty query sample) would make recall = hits/0 — emit a
+    # NULL recall on the spine instead so the degenerate case reads as
+    # "no queries evaluated", not NaN (oracle mirrors with CASE WHEN).
+    recall = (
+        F.lit(None).cast("double")
+        if nq == 0
+        else round_half_up(F.coalesce("hits", z) / F.lit(float(nq * k)), 6)
+    )
     return (
         spine.join(hits, "dim", "left")
         .select(
             "dim",
             F.lit(int(nq)).cast("long").alias("n_queries"),
             F.coalesce("hits", z).alias("hits"),
-            round_half_up(
-                F.coalesce("hits", z) / F.lit(float(nq * k)), 6
-            ).alias("recall"),
+            recall.alias("recall"),
         )
     )
 
@@ -3094,7 +3100,9 @@ def duckdb_matryoshka_sql(
       SELECT CAST(spine.dim AS INTEGER) AS dim,
              nq.n AS n_queries,
              COALESCE(hits.hits, 0) AS hits,
-             floor(COALESCE(hits.hits, 0)
-                   / CAST(nq.n * {k} AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall
+             CASE WHEN nq.n > 0
+                  THEN floor(COALESCE(hits.hits, 0)
+                        / CAST(nq.n * {k} AS DOUBLE) * 1e6 + 0.5) / 1e6
+             END AS recall
       FROM spine CROSS JOIN nq LEFT JOIN hits ON hits.dim = spine.dim
     """

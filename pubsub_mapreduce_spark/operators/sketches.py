@@ -740,6 +740,14 @@ def psi_drift(
         new.select(F.col(col).alias("v"))
     )
     mn, mx = both.agg(F.min("v"), F.max("v")).first()
+    if mn is None or mx is None:
+        # Both snapshots empty / all-NULL in the binned column: no bin
+        # spec exists — return the empty report (same degenerate-guard
+        # discipline as the integer predicates below) instead of
+        # raising on float(None).
+        return old.sparkSession.createDataFrame(
+            [], "n_old_total long, n_new_total long, psi double"
+        )
     span = float(mx) - float(mn)
     if span <= 0:
         span = 1.0

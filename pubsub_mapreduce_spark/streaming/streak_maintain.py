@@ -13,17 +13,32 @@ purchase days in order — state crosses batch boundaries, so a streak
 built over many batches reads exactly as the batch gaps-and-islands
 computation (``streaks_batch`` below), which the test pins.
 
+Out-of-order arrivals ACROSS micro-batches: the fold is MONOTONE — a
+day ``<= last_day`` arriving in a later batch is skipped (it can only
+be a replay or a late event for a day the fold already passed), so
+late data never moves ``last_day`` backwards or resets a live streak.
+The divergence from the order-insensitive batch form is one-sided and
+bounded: a late day that would have BRIDGED a gap (extending the
+current island leftwards) is not retroactively counted — the stream
+reports a streak <= the batch answer, never a longer or reset one.
+Exact stream==batch equality therefore assumes per-user day-ordered
+arrival across batches (within a batch, any order is fine — days are
+set-deduped and sorted before the fold), which the replay test
+satisfies and a production deployment gets from watermarked ordered
+replay of a keyed log.
+
 Reference scope: the reference has no per-key custom state machine
 (its only keyed state is latest-per-key, knobs.go:101); this is part
 of the beyond-reference streaming surface.
 
-ENVIRONMENT CONSTRAINT (documented like the Kafka twins, TESTDATA.md):
-the transformWithState state-server protocol needs ``protobuf`` (and
-``grpc`` for Connect), which this container does not ship and cannot
-install — the driver-side Python worker crashes on the proto import.
-The module is therefore import-complete and the stream==batch pin is
-env-gated (skips without protobuf); ``streaks_batch`` is the
-registered, exact-oracle-paired batch form of the same semantics.
+ENVIRONMENT: the transformWithState state-server protocol needs
+``google.protobuf``. Containers without the wheel get it from the
+Cloud SDK's pure-Python copy via ``compat.ensure_protobuf()`` (wired
+into ``session.get_spark()``; see compat.py and TESTDATA.md), under
+which the stream==batch pin runs LIVE and bit-exact. Where neither a
+wheel nor an SDK copy exists the pin skips; ``streaks_batch`` is the
+registered, exact-oracle-paired batch form of the same semantics
+either way.
 
 100 TB notes: state is one tiny struct per user sharded by the group
 key; RocksDB keeps it off-heap and checkpointed. Emissions are one row
@@ -81,7 +96,10 @@ class StreakProcessor(StatefulProcessor):
         else:
             last_day, streak = None, 0
         for d in sorted(days):
-            if last_day is not None and d == last_day:
+            # Monotone fold: a day at-or-before the stored last_day is
+            # a same-day repeat or a cross-batch late arrival — skip
+            # (never move last_day backwards / reset a live streak).
+            if last_day is not None and d <= last_day:
                 continue
             if last_day is not None and d == last_day + 1:
                 streak += 1

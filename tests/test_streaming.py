@@ -1863,15 +1863,22 @@ def test_streak_maintain_stream_equals_batch(spark, tmp_path):
     BUILD ACROSS micro-batches must end at exactly the batch gaps-and-
     islands result (final emission per user == batch streak).
 
-    Env-gated: the transformWithState state-server protocol imports
-    protobuf, which this container does not ship (the driver-side
-    Python worker crashes on import) — same documented constraint as
-    the Kafka twins. The batch twin runs unconditionally below."""
+    Env-gated on protobuf availability: the transformWithState
+    state-server protocol imports google.protobuf, which this
+    container ships no wheel for — ``compat.ensure_protobuf()``
+    resolves it from the Cloud SDK's pure-Python copy (see compat.py),
+    under which this pin runs LIVE and bit-exact; where neither a
+    wheel nor an SDK copy exists the test skips (TESTDATA.md). The
+    batch twin runs unconditionally below."""
     import datetime
 
+    from pubsub_mapreduce_spark.compat import ensure_protobuf
+
+    ensure_protobuf()
     pytest.importorskip(
         "google.protobuf",
-        reason="transformWithState needs protobuf; not in this container",
+        reason="transformWithState needs protobuf; no wheel and no "
+        "Cloud-SDK copy in this container",
     )
 
     from pubsub_mapreduce_spark.streaming.streak_maintain import (
@@ -1976,3 +1983,59 @@ def test_streaks_batch_gaps_and_islands_semantics(spark):
     )
     got = {r["user_id"]: r["streak"] for r in streaks_batch(df).collect()}
     assert got == {1: 2, 2: 3, 3: 1}
+
+
+def test_streak_processor_transitions_direct():
+    """Direct execution of StreakProcessor.handleInputRows against a
+    fake state handle — the state machine runs under pytest even where
+    the transformWithState protocol is unavailable, and the monotone
+    cross-batch fold is pinned: a later batch carrying a day at or
+    before the stored last_day is SKIPPED (no backwards last_day, no
+    spurious reset), extension and gap-reset still work."""
+    import pandas as pd
+
+    from pubsub_mapreduce_spark.streaming.streak_maintain import (
+        StreakProcessor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    def feed(proc, days):
+        out = list(
+            proc.handleInputRows(
+                (1,), iter([pd.DataFrame({"day": days})]), None
+            )
+        )
+        assert len(out) == 1
+        row = out[0].iloc[0]
+        return int(row["streak"]), int(row["last_day"])
+
+    proc = StreakProcessor()
+    proc._state = FakeValueState()
+    # batch 1: days 10, 11 (out of order within batch -> sorted fold)
+    assert feed(proc, [11, 10]) == (2, 11)
+    # batch 2: duplicate day 11 + extension 12
+    assert feed(proc, [11, 12]) == (3, 12)
+    # batch 3: LATE day 9 only -> skipped entirely, state unchanged
+    assert feed(proc, [9]) == (3, 12)
+    # batch 4: late 9 mixed with extension 13 -> late skipped, 13 counts
+    assert feed(proc, [9, 13]) == (4, 13)
+    # batch 5: gap to 20 resets to 1
+    assert feed(proc, [20]) == (1, 20)
+    # empty batch emits nothing and leaves state intact
+    assert (
+        list(proc.handleInputRows((1,), iter([pd.DataFrame({"day": []})]), None))
+        == []
+    )
+    assert proc._state.get() == (20, 1)
