@@ -323,6 +323,12 @@ BENCH_QUERIES = [
     "t_closeness",
     "matryoshka_eval",
     "purchase_streaks",
+    # round-6: entity_match rejoined the 3-rep list after the wildcard
+    # blocking rewrite (12.9s -> ~1.1s); user_similarity_sparse is now
+    # registered over the purchase slice with a day-width cap and
+    # benched (was BENCH_EXCLUDED in r5)
+    "entity_match",
+    "user_similarity_sparse",
 ]
 
 # Heavy composite queries (>3s at sf0.1). Benched at ONE rep so the
@@ -334,30 +340,21 @@ BENCH_QUERIES = [
 # - dedup_eval (~12s): recall report of banded MinHash vs the EXACT
 #   n-gram-Jaccard ground truth — the O(n^2) exact pass IS the measured
 #   ceiling (ann_eval precedent); at 100TB it runs on a sampled slice.
-# - entity_match (~12.6s): blocked record linkage whose verify stage is
-#   per-candidate Levenshtein inside (nation, half-key) blocks — cost
-#   tracks candidate volume, which the blocking keys bound.
+# (entity_match left this list in round 6: the wildcard-key blocking
+# rewrite took it from 12.9s to ~1.1s — it's a normal 3-rep query now.)
 BENCH_QUERIES_SLOW = [
     "multimodal_dup_consensus",
     "dedup_eval",
-    "entity_match",
 ]
 
 # Documented exclusions (VERDICT r4 #4 requires every registered query
 # benched OR its exclusion annotated): name -> reason. The coverage pin
 # in tests/test_bench_gate.py enforces that this set stays justified.
-BENCH_EXCLUDED = {
-    "user_similarity_sparse": (
-        "exact inverted-index form registered ONLY as the sparse-regime "
-        "twin of the celled user_similarity (which IS benched); the "
-        "dense fixtures are its documented worst case (every user "
-        "active every day makes the day equi-join |users|^2-shaped — "
-        "23.7s at sf0.1, measured round 5), so timing it per round "
-        "burns wall-clock on an intentional anti-pattern demonstration. "
-        "Correctness stays gated (exact oracle, sf0.01 drive + sf0.1 "
-        "sweep)."
-    ),
-}
+# Round 6: empty. user_similarity_sparse returned to the bench list —
+# it is now registered over the purchase slice (the sparse regime the
+# inverted index is FOR) with a mirrored max_day_width join guard, so
+# the registered surface carries no uncapped |users|²-shaped plan.
+BENCH_EXCLUDED: dict[str, str] = {}
 
 
 def force(df) -> None:

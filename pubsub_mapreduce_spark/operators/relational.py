@@ -1935,29 +1935,108 @@ def entity_match_pairs(
     name: str = "c_name",
     block_extra: tuple = ("c_nationkey",),
     max_edit: int = 1,
+    max_block: int = 1000,
 ) -> DataFrame:
-    """Record linkage (entity resolution): candidate pairs by HALF-
-    STRING blocking, verified by edit distance — near-identical names
-    that exact dedup misses (typos, OCR noise, one-digit id drift).
+    """Record linkage (entity resolution): substitution-distance-1
+    pairs by WILDCARD-KEY blocking, verified by edit distance —
+    near-identical names that exact dedup misses (typos, OCR noise,
+    one-digit id drift).
 
-    The blocking is the simhash/pHash pigeonhole applied to strings:
-    two equal-length strings within ``max_edit`` = 1 SUBSTITUTION
-    agree on at least one half, so candidates come from equi-joins on
-    (half-value, extra blocking keys) over two passes (first half,
-    second half) — never an all-pairs name comparison. Insertions
-    shift every later character, so the completeness guarantee covers
-    substitution edits (the dominant noise for fixed-format
-    keys/names); general small-edit linkage raises the block count
-    the same way simhash raises permutations. The Levenshtein verify
-    runs only on collisions; its integer result is the output.
+    Blocking (the FastSS / SymSpell deletion-neighborhood idea applied
+    to substitutions): each row emits length(name) keys — ``(p, name
+    with character p replaced by a sentinel)``. Two equal-length
+    strings are within one SUBSTITUTION iff they share a wildcard key
+    (equal strings share every key), so the equi-join on (position,
+    wildcard, extra blocking keys) yields EXACTLY the true pairs —
+    candidate volume tracks answer volume, never |rows|² within a
+    block. This replaces the round-2 half-string blocking, whose
+    constant-half block ("Customer#…" prefixes) degenerated to C(n,2)
+    per nation — quadratic at scale (VERDICT r5); the half-block form
+    survives as ``entity_match_pairs_halfblock`` below purely as the
+    test oracle, and tests pin the two equal on fixture names.
+    Insertions shift every later character, so the completeness
+    guarantee covers substitution edits (the dominant noise for
+    fixed-format keys/names), same contract as before.
 
-    Worst case: a block whose value is CONSTANT across the table (the
-    fixtures' shared "Customer#" prefix half) degenerates to quadratic
-    within its extra-key groups — the stopword-shingle problem. A
-    production deployment keys the blocks on the DISCRIMINATIVE region
-    of the format (or caps degenerate blocks, trading the recall of
-    pairs whose only agreement is the degenerate half); kept exact
-    here because the oracle checks the complete contract."""
+    ``max_block`` caps a wildcard block's row count (counted per
+    (p, wildcard, extra) with one window): a block over the cap means
+    >= max_block strings identical up to one position — a mass-
+    duplicate cluster that exact dedup already owns — and is dropped,
+    the ``max_df`` stopword-shingle precedent (dedup.py). The cap is
+    mirrored in the DuckDB oracle and a 10x synthetic pin asserts the
+    candidate volume bound (tests/test_synthetic_scale.py).
+
+    Cost at scale: |rows| x avg_len blocking rows (map-side explode,
+    one shuffle on the wildcard key), join output ~= true pair count,
+    Levenshtein only on deduped candidates. Assumes names do not
+    contain the \\x01 sentinel."""
+    base = df.select(
+        F.col(key).alias("k"), F.col(name).alias("nm"), *block_extra
+    )
+    wkeys = base.select(
+        "k",
+        "nm",
+        *block_extra,
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, length(nm)), p -> "
+                "concat(substring(nm, 1, p - 1), chr(1), "
+                "substring(nm, p + 1, length(nm))))"
+            )
+        ).alias("p", "wkey"),
+    )
+    within_cap = (
+        wkeys.withColumn(
+            "bsz",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("p", "wkey", *block_extra)
+            ),
+        )
+        .where(F.col("bsz") <= max_block)
+        .drop("bsz")
+    )
+    left = within_cap.select(
+        "p", "wkey", *block_extra,
+        F.col("k").alias("a"), F.col("nm").alias("nm_a"),
+    )
+    right = within_cap.select(
+        "p", "wkey", *block_extra,
+        F.col("k").alias("b"), F.col("nm").alias("nm_b"),
+    )
+    # A substitution pair collides on exactly ONE key; only equal
+    # strings produce duplicate candidates (one per position) — dedup
+    # on the key pair BEFORE the verify (candidate volume ~= answer
+    # volume here, unlike the half-block form where dedup-first was
+    # A/B'd worse). The verify is a belt: wildcard equality already
+    # implies edit distance <= 1.
+    return (
+        left.join(right, ["p", "wkey", *block_extra])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "nm_a", "nm_b")
+        .distinct()
+        .select(
+            "a", "b", F.levenshtein("nm_a", "nm_b").alias("edit_distance")
+        )
+        .where(F.col("edit_distance") <= max_edit)
+    )
+
+
+def entity_match_pairs_halfblock(
+    df: DataFrame,
+    key: str = "c_custkey",
+    name: str = "c_name",
+    block_extra: tuple = ("c_nationkey",),
+    max_edit: int = 1,
+) -> DataFrame:
+    """The round-2 HALF-STRING blocking form, retained as the test
+    oracle for ``entity_match_pairs`` (the registered wildcard form):
+    two equal-length strings within one substitution agree on at least
+    one half, so candidates come from equi-joins on (half-value,
+    extras) over two passes. NOT registered and NOT benched — a block
+    whose half is constant across the table (the fixtures' shared
+    "Customer#" prefix) degenerates to C(n,2) within its extra-key
+    groups, quadratic at scale; see entity_match_pairs for the plan
+    that replaced it and the equality pin."""
     base = df.select(
         F.col(key).alias("k"), F.col(name).alias("nm"), *block_extra
     )
@@ -1980,12 +2059,6 @@ def entity_match_pairs(
         "blk", "blkval", *block_extra,
         F.col("k").alias("b"), F.col("nm").alias("nm_b"),
     )
-    # |len(a)-len(b)| <= max_edit is an O(1) necessary condition —
-    # filter before the O(len^2) verify. The verify stays INLINE
-    # (before the pair-dedup shuffle): deduping first was A/B'd WORSE
-    # at sf0.1 (26s vs 13s) — it widens the exchange to carry both
-    # name strings while the second half-block contributes almost no
-    # duplicate pairs to remove.
     return (
         left.join(right, ["blk", "blkval", *block_extra])
         .where(
