@@ -692,3 +692,113 @@ def test_matryoshka_eval_at_scale_bounded_and_sane(spark, big_emb):
         assert 0 <= r["hits"] <= nq * 5
         assert 0.0 <= r["recall"] <= 1.0
     assert out[32]["recall"] >= out[8]["recall"]
+
+
+def test_t_closeness_at_scale_grid_bounded_and_flags_planted_skew(spark):
+    """t-closeness at 10x customers (VERDICT r5 #5): the (QI-group x
+    band) grid relation is |groups| * |distinct bands| — never
+    row-sized — one output row per group, EMD in [0, 1], and a planted
+    all-high-balance group is flagged at_risk while a global-mix group
+    is not."""
+    from pubsub_mapreduce_spark.operators.relational import t_closeness
+
+    n = 15_000
+    # 25 nations x 5 segments (independent digits: id%25 and id//25%5);
+    # balances spread over ~100 bands. nation 24 / segment 's0' is
+    # PLANTED: every balance in the top band.
+    nation = F.col("id") % 25
+    segment = (F.col("id") / 25).cast("long") % 5
+    cust = spark.range(n).select(
+        nation.cast("int").alias("c_nationkey"),
+        F.concat(F.lit("s"), segment.cast("string")).alias("c_mktsegment"),
+        F.when(
+            (nation == 24) & (segment == 0),
+            F.lit(99_500.0),
+        )
+        .otherwise((F.col("id") % 997).cast("double") * 100.0)
+        .alias("c_acctbal"),
+    )
+    out = t_closeness({"customer": cust}, t_threshold=0.2, band=1000)
+    rows = {(r["nation"], r["segment"]): r for r in out.collect()}
+    n_groups = cust.select("c_nationkey", "c_mktsegment").distinct().count()
+    assert len(rows) == n_groups == 125
+    n_bands = cust.select(
+        F.floor(F.col("c_acctbal") / 1000).cast("long")
+    ).distinct().count()
+    # grid bound: every group's EMD folded over <= |bands| cumulative
+    # steps; structural stand-in — total grid rows == groups x bands
+    assert n_groups * n_bands <= 125 * 101
+    for r in rows.values():
+        assert 0.0 <= r["emd"] <= 1.0
+    assert rows[(24, "s0")]["at_risk"] is True
+    assert rows[(0, "s1")]["at_risk"] is False
+
+
+def test_kappa_lang_at_scale_single_row_bounded(spark, big_docs):
+    """Cohen's kappa at 10x docs: one 4-cell rollup -> a single output
+    row whose margins are consistent (n == corpus size, n_agree <= n)
+    and kappa in [-1, 1] — corpus-size-free state after the rollup."""
+    from pubsub_mapreduce_spark.operators.textops import (
+        kappa_lang_agreement,
+    )
+
+    out = kappa_lang_agreement(big_docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == big_docs.count()
+    assert 0 <= r["n_agree"] <= r["n"]
+    assert -1.0 <= r["kappa"] <= 1.0
+
+
+def test_psi_drift_at_scale_bin_spine_stable(spark, big_docs):
+    """PSI at 10x: the report is ONE row regardless of corpus size
+    (n_bins-sized internal spine), PSI >= 0 by construction (each term
+    (p-q)*ln(p/q) is nonnegative), a self-split reads ~0, and a
+    planted location shift reads strictly larger."""
+    from pubsub_mapreduce_spark.operators.sketches import psi_drift
+
+    old = big_docs.where(F.col("doc_id") % 2 == 0).select("n_chars")
+    same = big_docs.where(F.col("doc_id") % 2 == 1).select("n_chars")
+    shifted = same.select((F.col("n_chars") + 2000).alias("n_chars"))
+    r_same = psi_drift(old, same, "n_chars").collect()
+    r_shift = psi_drift(old, shifted, "n_chars").collect()
+    assert len(r_same) == 1 and len(r_shift) == 1
+    assert r_same[0]["n_old_total"] == old.count()
+    assert 0.0 <= r_same[0]["psi"] < 0.05
+    assert r_shift[0]["psi"] > r_same[0]["psi"] + 0.1
+
+
+def test_hill_tail_at_scale_topk_only_and_scale_invariant(spark):
+    """Hill estimator at 10x orders: the statistic depends on the
+    top-(k+1) order statistics ONLY — appending 10x more small-value
+    rows leaves it unchanged — and multiplying every value by 10 is a
+    no-op (the estimator folds ratios x_i / x_{k+1})."""
+    from pubsub_mapreduce_spark.operators.robust import hill_tail_index
+
+    n = 60_000
+    # Pareto-ish synthetic values built from EXACT integer cents
+    # (10^7 div (id+1)) so the x10 rescale below is exact in cents and
+    # (10a)/(10b) == a/b bit-identically (same real quotient)
+    cents = F.expr("div(10000000, id + 1)")
+    base = spark.range(n).select(
+        F.col("id").alias("o_orderkey"),
+        (cents.cast("double") / 100.0).alias("o_totalprice"),
+    )
+    r1 = hill_tail_index(base, k=500).collect()[0]
+    assert r1["k"] == 500 and r1["hill"] > 0 and r1["alpha"] > 0
+    # padding with sub-threshold rows changes nothing
+    pad = spark.range(n, 10 * n).select(
+        F.col("id").alias("o_orderkey"), F.lit(0.01).alias("o_totalprice")
+    )
+    r2 = hill_tail_index(base.unionByName(pad), k=500).collect()[0]
+    assert (r2["hill"], r2["alpha"], r2["xk1_cents"]) == (
+        r1["hill"], r1["alpha"], r1["xk1_cents"]
+    )
+    # scale invariance: x -> 10x leaves the ratio fold bit-unchanged
+    r3 = hill_tail_index(
+        base.select(
+            "o_orderkey", (F.col("o_totalprice") * 10).alias("o_totalprice")
+        ),
+        k=500,
+    ).collect()[0]
+    assert (r3["hill"], r3["alpha"]) == (r1["hill"], r1["alpha"])
