@@ -825,6 +825,100 @@ def q_q21_waiting_suppliers(spark, sf_dir):
     return R.q21_waiting_suppliers(load_tables(spark, sf_dir))
 
 
+def q_friedman_test(spark, sf_dir):
+    """Friedman test over (day blocks x event-type treatments) daily
+    counts (robust.friedman_test): within-block doubled midranks make
+    numerator and denominator exact BIGINTs, one division — the
+    repeated-measures companion to kruskal_wallis."""
+    return RB.friedman_test(load_tables(spark, sf_dir)["events"])
+
+
+def q_cliffs_delta(spark, sf_dir):
+    """Cliff's delta effect size of src0 doc length vs the rest
+    (robust.cliffs_delta): dominance pair counts folded over the
+    distinct-value spine (the mwu/ks plan), one division, standard
+    magnitude labels on the rounded value."""
+    return RB.cliffs_delta(load_tables(spark, sf_dir)["documents"])
+
+
+def q_calibration_bins(spark, sf_dir):
+    """Reliability table for 'value predicts purchase'
+    (robust.calibration_bins): exact rank-cut decile bins of event
+    value, per-bin observed purchase rate vs base rate — the binned
+    diagnostic isotonic_calibration fits."""
+    return RB.calibration_bins(load_tables(spark, sf_dir)["events"])
+
+
+def q_ndcg_eval(spark, sf_dir):
+    """NDCG@10 against label ground truth (similarity.ndcg_eval):
+    ln-discount DCG (the base cancels in the ratio — bit-equal to the
+    log2 form), rank-sorted sequential folds, query-sorted label mean.
+    Completes the retrieval suite next to retrieval_label_eval."""
+    return S.ndcg_eval(load_tables(spark, sf_dir)["embeddings"])
+
+
+def q_js_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence between purchase-event and view-event
+    value distributions (sketches.js_divergence): bounded symmetric
+    drift on psi_drift's shared-bin Laplace-smoothed histograms, one
+    bin-sorted ln fold."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return SK.js_divergence(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "view"),
+        "value",
+    )
+
+
+def q_source_entropy(spark, sf_dir):
+    """Shannon entropy + evenness of the corpus source mix in token
+    share (textops.source_entropy): the one-number diversity monitor on
+    top of mixture_weights — source-sorted ln fold, BIGINT counts."""
+    return TX.source_entropy(load_tables(spark, sf_dir)["documents"])
+
+
+def q_rolling_spend(spark, sf_dir):
+    """Per-user last-3-purchase rolling spend (feature_maintain.
+    rolling_spend_batch): bounded last-N window on (ts, event_id)
+    order, integer cents — the batch twin of the transformWithState
+    ListState maintainer (stream==batch pinned live)."""
+    from pubsub_mapreduce_spark.streaming.feature_maintain import (
+        rolling_spend_batch,
+    )
+
+    return rolling_spend_batch(load_tables(spark, sf_dir)["events"])
+
+
+def q_favorite_event_type(spark, sf_dir):
+    """Per-user modal event type under the (count DESC, type ASC)
+    tie-break (feature_maintain.favorite_type_batch) — the batch twin
+    of the transformWithState MapState counter maintainer
+    (stream==batch pinned live)."""
+    from pubsub_mapreduce_spark.streaming.feature_maintain import (
+        favorite_type_batch,
+    )
+
+    return favorite_type_batch(load_tables(spark, sf_dir)["events"])
+
+
+def q_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 (relational.q7_volume_shipping): two-nation shipping
+    volume by ship year, both directions, dims broadcast."""
+    return R.q7_volume_shipping(load_tables(spark, sf_dir))
+
+
+def q_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 (relational.q10_returned_items): top-20 customers by
+    returned revenue in one order quarter, deterministic rank."""
+    return R.q10_returned_items(load_tables(spark, sf_dir))
+
+
+def q_q18_big_orders(spark, sf_dir):
+    """TPC-H Q18 (relational.q18_big_orders): orders whose total line
+    quantity exceeds 190, with the ordering customer."""
+    return R.q18_big_orders(load_tables(spark, sf_dir))
+
+
 def q_q20_dominant_suppliers(spark, sf_dir):
     return R.q20_dominant_suppliers(load_tables(spark, sf_dir))
 
@@ -2627,8 +2721,8 @@ def q_purchase_streaks(spark, sf_dir):
     consecutive-day runs via gaps-and-islands, reporting the streak
     ending at each user's latest purchase day — the engagement metric
     the transformWithState streaming twin maintains incrementally
-    (streaming form env-gated: transformWithState's state protocol
-    needs protobuf, absent in this container; see TESTDATA.md)."""
+    (the stream==batch pin runs LIVE under the round-6 protobuf shim;
+    see compat.py and TESTDATA.md)."""
     from pubsub_mapreduce_spark.streaming.streak_maintain import (
         streaks_batch,
     )
@@ -2890,6 +2984,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": q_t_closeness,
         "matryoshka_eval": q_matryoshka_eval,
         "purchase_streaks": q_purchase_streaks,
+        # --- round-6 additions (join the r6 gate window) --------------
+        "q7_volume_shipping": q_q7_volume_shipping,
+        "q10_returned_items": q_q10_returned_items,
+        "q18_big_orders": q_q18_big_orders,
+        "friedman_test": q_friedman_test,
+        "cliffs_delta": q_cliffs_delta,
+        "calibration_bins": q_calibration_bins,
+        "ndcg_eval": q_ndcg_eval,
+        "js_divergence": q_js_divergence,
+        "source_entropy": q_source_entropy,
+        "rolling_spend": q_rolling_spend,
+        "favorite_event_type": q_favorite_event_type,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -3714,6 +3820,62 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             WHERE p_name LIKE '%widget%'
             GROUP BY 1, 2
+        """,
+        "q7_volume_shipping": """
+            SELECT supp_nation, cust_nation,
+                   CAST(l_year AS INTEGER) AS l_year,
+                   CAST(round(sum(rev), 2) AS DOUBLE) AS revenue,
+                   count(*) AS n_lineitems
+            FROM (
+              SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                     year(l_shipdate) AS l_year,
+                     CAST(l_extendedprice AS DECIMAL(18,4))
+                       * (1 - CAST(l_discount AS DECIMAL(6,4))) AS rev
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-01-01'
+                AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+                  OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')))
+            GROUP BY 1, 2, 3
+        """,
+        "q10_returned_items": """
+            SELECT CAST(rank AS INTEGER) AS rank, c_custkey, c_name,
+                   nation, c_acctbal, revenue, n_lineitems
+            FROM (
+              SELECT *, row_number() OVER (
+                       ORDER BY revenue DESC, c_custkey ASC) AS rank
+              FROM (
+                SELECT c_custkey, c_name, n_name AS nation, c_acctbal,
+                       CAST(round(sum(
+                         CAST(l_extendedprice AS DECIMAL(18,4))
+                           * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2)
+                            AS DOUBLE) AS revenue,
+                       count(*) AS n_lineitems
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1996-04-01'
+                GROUP BY 1, 2, 3, 4))
+            WHERE rank <= 20
+        """,
+        "q18_big_orders": """
+            SELECT c_custkey, c_name, o_orderkey,
+                   CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                       AS o_orderdate_s,
+                   o_totalprice,
+                   CAST(sum_qty AS BIGINT) AS sum_qty
+            FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 190) q
+            JOIN orders ON q.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
         """,
         "q12_priority_class": """
             SELECT l_returnflag,
@@ -9367,5 +9529,226 @@ def oracle_sql() -> dict[str, str]:
                 / ((CAST(n_g AS DOUBLE) * CAST(n_total AS DOUBLE))
                    * (CAST(m AS DOUBLE) - 1.0))) > 0.2 AS at_risk
         FROM agg
+    """
+    # --- round-6 additions -------------------------------------------
+    out["friedman_test"] = """
+        WITH counts AS (SELECT date_trunc('day', ts) AS d,
+                               event_type AS t,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+        grid AS (SELECT dd.d, tt.t, COALESCE(c.c, 0) AS c
+                 FROM (SELECT DISTINCT d FROM counts) dd
+                 CROSS JOIN (SELECT DISTINCT t FROM counts) tt
+                 LEFT JOIN counts c ON c.d = dd.d AND c.t = tt.t),
+        u AS (SELECT g.d, g.t,
+                     CAST(2 * sum(CASE WHEN o.c < g.c THEN 1 ELSE 0 END)
+                          + sum(CASE WHEN o.c = g.c THEN 1 ELSE 0 END)
+                          + 1 AS BIGINT) AS u
+              FROM grid g JOIN grid o ON o.d = g.d
+              GROUP BY g.d, g.t, g.c),
+        per_t AS (SELECT t, CAST(sum(u) AS BIGINT) AS r2 FROM u GROUP BY 1),
+        consts AS (SELECT CAST(sum(u * u) AS BIGINT) AS sum_u2,
+                          (SELECT CAST(count(DISTINCT d) AS BIGINT) FROM u)
+                              AS n,
+                          (SELECT CAST(count(*) AS BIGINT) FROM per_t) AS k
+                   FROM u),
+        agg AS (SELECT k, n, sum_u2,
+                       CAST(sum((r2 - n * (k + 1)) * (r2 - n * (k + 1)))
+                            AS BIGINT) AS num4
+                FROM per_t, consts GROUP BY 1, 2, 3)
+        SELECT n AS n_blocks, k, sum_u2,
+               floor(CAST(k - 1 AS DOUBLE) * CAST(num4 AS DOUBLE)
+                     / CAST(sum_u2 - n * k * (k + 1) * (k + 1) AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS q
+        FROM agg
+        WHERE k > 1 AND sum_u2 - n * k * (k + 1) * (k + 1) > 0
+    """
+    out["cliffs_delta"] = """
+        WITH base AS (SELECT CASE WHEN source = 'src0' THEN 'a'
+                                  ELSE 'b' END AS g,
+                             CAST(n_chars AS BIGINT) AS v
+                      FROM documents WHERE n_chars IS NOT NULL),
+        sv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+               FROM base GROUP BY 1, 2),
+        piv AS (SELECT v,
+                       CAST(sum(CASE WHEN g = 'a' THEN c ELSE 0 END)
+                            AS BIGINT) AS ca,
+                       CAST(sum(CASE WHEN g = 'b' THEN c ELSE 0 END)
+                            AS BIGINT) AS cb
+                FROM sv GROUP BY 1),
+        cum AS (SELECT v, ca, cb,
+                       CAST(sum(cb) OVER (ORDER BY v) - cb AS BIGINT)
+                           AS b_less,
+                       CAST(sum(ca) OVER (ORDER BY v) - ca AS BIGINT)
+                           AS a_less
+                FROM piv),
+        agg AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                       CAST(sum(cb) AS BIGINT) AS n_b,
+                       CAST(sum(ca * b_less) AS BIGINT) AS n_gt,
+                       CAST(sum(cb * a_less) AS BIGINT) AS n_lt,
+                       CAST(sum(ca * cb) AS BIGINT) AS n_eq
+                FROM cum),
+        scored AS (SELECT *,
+                          floor(CAST(n_gt - n_lt AS DOUBLE)
+                                / (CAST(n_a AS DOUBLE)
+                                   * CAST(n_b AS DOUBLE))
+                                * 1e6 + 0.5) / 1e6 AS delta
+                   FROM agg WHERE n_a > 0 AND n_b > 0)
+        SELECT n_a, n_b, n_gt, n_lt, n_eq, delta,
+               CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+                    WHEN abs(delta) < 0.33 THEN 'small'
+                    WHEN abs(delta) < 0.474 THEN 'medium'
+                    ELSE 'large' END AS magnitude
+        FROM scored
+    """
+    out["calibration_bins"] = """
+        WITH base AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                             event_id AS eid,
+                             CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END AS pos
+                      FROM events WHERE value IS NOT NULL),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM base),
+        ranked AS (SELECT cents, pos,
+                          row_number() OVER (ORDER BY cents ASC, eid ASC)
+                              AS rn
+                   FROM base),
+        binned AS (SELECT cents, pos,
+                          CAST((rn - 1) * 10 // n_total AS INTEGER) AS bin
+                   FROM ranked, n),
+        per AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(pos) AS BIGINT) AS n_pos,
+                       CAST(min(cents) AS BIGINT) AS cents_min,
+                       CAST(max(cents) AS BIGINT) AS cents_max
+                FROM binned GROUP BY 1),
+        br AS (SELECT CAST(sum(pos) AS DOUBLE) / count(*) AS base
+               FROM binned)
+        SELECT bin, n, n_pos, cents_min, cents_max,
+               floor(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS pos_rate,
+               floor(base * 1e6 + 0.5) / 1e6 AS base_rate
+        FROM per, br
+    """
+    out["ndcg_eval"] = S.duckdb_ndcg_sql()
+    out["js_divergence"] = """
+        WITH u AS (SELECT value AS v FROM events
+                   WHERE event_type IN ('purchase', 'view')),
+        b AS (SELECT min(v) AS mn, max(v) AS mx FROM u),
+        s AS (SELECT mn,
+                     CASE WHEN mx - mn <= 0 THEN 1.0 ELSE mx - mn END AS span
+              FROM b),
+        o AS (SELECT least(19, CAST(floor((value - mn) / span * 20)
+                                    AS BIGINT)) AS bin, count(*) AS n_old
+              FROM events, s
+              WHERE event_type = 'purchase' AND value IS NOT NULL
+              GROUP BY 1),
+        n AS (SELECT least(19, CAST(floor((value - mn) / span * 20)
+                                    AS BIGINT)) AS bin, count(*) AS n_new
+              FROM events, s
+              WHERE event_type = 'view' AND value IS NOT NULL
+              GROUP BY 1),
+        spine AS (SELECT unnest(range(20)) AS bin),
+        bins AS (SELECT CAST(spine.bin AS INTEGER) AS bin,
+                        COALESCE(o.n_old, 0) AS n_old,
+                        COALESCE(n.n_new, 0) AS n_new
+                 FROM spine LEFT JOIN o ON o.bin = spine.bin
+                            LEFT JOIN n ON n.bin = spine.bin),
+        lst AS (SELECT list(struct_pack(bin := bin, n_old := n_old,
+                                        n_new := n_new) ORDER BY bin) AS l,
+                       CAST(sum(n_old) AS BIGINT) AS n_old_total,
+                       CAST(sum(n_new) AS BIGINT) AS n_new_total
+                FROM bins)
+        SELECT n_old_total, n_new_total,
+          floor(list_reduce(list_prepend(0.0, list_transform(l, t ->
+            0.5 * ((CAST(t.n_old AS DOUBLE) + 1.0)
+                   / (CAST(n_old_total AS DOUBLE) + 20.0)
+                   * ln(((CAST(t.n_old AS DOUBLE) + 1.0)
+                         / (CAST(n_old_total AS DOUBLE) + 20.0))
+                        / (((CAST(t.n_old AS DOUBLE) + 1.0)
+                            / (CAST(n_old_total AS DOUBLE) + 20.0)
+                            + (CAST(t.n_new AS DOUBLE) + 1.0)
+                              / (CAST(n_new_total AS DOUBLE) + 20.0))
+                           / 2.0)))
+            + 0.5 * ((CAST(t.n_new AS DOUBLE) + 1.0)
+                     / (CAST(n_new_total AS DOUBLE) + 20.0)
+                     * ln(((CAST(t.n_new AS DOUBLE) + 1.0)
+                           / (CAST(n_new_total AS DOUBLE) + 20.0))
+                          / (((CAST(t.n_old AS DOUBLE) + 1.0)
+                              / (CAST(n_old_total AS DOUBLE) + 20.0)
+                              + (CAST(t.n_new AS DOUBLE) + 1.0)
+                                / (CAST(n_new_total AS DOUBLE) + 20.0))
+                             / 2.0))))),
+            (a, b) -> a + b) * 1e6 + 0.5) / 1e6 AS jsd
+        FROM lst
+        WHERE n_old_total > 0 AND n_new_total > 0
+    """
+    out["source_entropy"] = r"""
+        WITH tk AS (SELECT source,
+                           CAST(len(list_filter(
+                             string_split_regex(text, '\s+'),
+                             t -> t <> '')) AS BIGINT) AS nt
+                    FROM documents),
+        per AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens
+                FROM tk GROUP BY 1 HAVING sum(nt) > 0),
+        lst AS (SELECT list(struct_pack(source := source,
+                                        n_tokens := n_tokens)
+                            ORDER BY source) AS l,
+                       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                       CAST(count(*) AS BIGINT) AS n_sources
+                FROM per),
+        h AS (SELECT n_sources, total_tokens,
+                     list_reduce(list_prepend(0.0, list_transform(l, t ->
+                       -(CAST(t.n_tokens AS DOUBLE)
+                         / CAST(total_tokens AS DOUBLE))
+                       * ln(CAST(t.n_tokens AS DOUBLE)
+                            / CAST(total_tokens AS DOUBLE)))),
+                       (a, b) -> a + b) AS hv
+              FROM lst
+              WHERE n_sources > 1 AND total_tokens > 0)
+        SELECT n_sources, total_tokens,
+               floor(hv * 1e6 + 0.5) / 1e6 AS entropy,
+               floor(hv / ln(CAST(n_sources AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                   AS evenness
+        FROM h
+    """
+    out["rolling_spend"] = """
+        WITH p AS (SELECT user_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                          event_id AS eid,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events WHERE event_type = 'purchase'),
+        w AS (SELECT user_id,
+                     CAST(sum(cents) OVER (
+                       PARTITION BY user_id ORDER BY ts_s, eid
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS lastn_cents,
+                     CAST(count(*) OVER (
+                       PARTITION BY user_id ORDER BY ts_s, eid
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS lastn_len,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts_s DESC, eid DESC) AS rk,
+                     CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                         AS n_purchases
+              FROM p)
+        SELECT user_id, n_purchases, lastn_cents, lastn_len,
+               floor(CAST(lastn_cents AS DOUBLE)
+                     / CAST(lastn_len AS DOUBLE) / 100.0
+                     * 1e4 + 0.5) / 1e4 AS lastn_avg
+        FROM w WHERE rk = 1
+    """
+    out["favorite_event_type"] = """
+        WITH c AS (SELECT user_id, event_type,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT user_id, event_type, c,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY c DESC, event_type ASC) AS rk,
+                     CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT)
+                         AS n_total
+              FROM c)
+        SELECT user_id, event_type AS fav_type, c AS n_fav, n_total
+        FROM r WHERE rk = 1
     """
     return out

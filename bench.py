@@ -329,6 +329,18 @@ BENCH_QUERIES = [
     # benched (was BENCH_EXCLUDED in r5)
     "entity_match",
     "user_similarity_sparse",
+    # round-6 additions
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q18_big_orders",
+    "friedman_test",
+    "cliffs_delta",
+    "calibration_bins",
+    "ndcg_eval",
+    "js_divergence",
+    "source_entropy",
+    "rolling_spend",
+    "favorite_event_type",
 ]
 
 # Heavy composite queries (>3s at sf0.1). Benched at ONE rep so the

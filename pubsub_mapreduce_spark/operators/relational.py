@@ -2818,3 +2818,170 @@ def t_closeness(
         round_half_up(emd, 6).alias("emd"),
         (emd > t_threshold).alias("at_risk"),
     )
+
+
+def q7_volume_shipping(
+    t: Tables,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_from: str = "1995-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q7 — volume shipping between two nations: discounted
+    revenue of lineitems where the SUPPLIER sits in one nation and the
+    ORDERING CUSTOMER in the other (either direction), by ship year.
+
+    Plan: both nation-filtered dimension maps (supplier->nation,
+    customer-via-orders->nation) broadcast; the fact table is scanned
+    once with the ship-date range pushed to parquet, and the pair
+    filter ((a,b) or (b,a)) applies after two broadcast-hash joins —
+    the grouped shuffle is |2 pairs x years| rows. Revenue aggregates
+    in DECIMAL (order-independent), rounded once (module helpers)."""
+    nations = broadcast(
+        t["nation"]
+        .where(F.col("n_name").isin(nation_a, nation_b))
+        .select("n_nationkey", "n_name")
+    )
+    supp = broadcast(
+        t["supplier"]
+        .join(nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = broadcast(
+        t["customer"]
+        .join(nations, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit(date_from))
+        & (F.col("l_shipdate") < F.lit(date_to))
+    )
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            (
+                (F.col("supp_nation") == nation_a)
+                & (F.col("cust_nation") == nation_b)
+            )
+            | (
+                (F.col("supp_nation") == nation_b)
+                & (F.col("cust_nation") == nation_a)
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            _dsum(_rev()).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q10_returned_items(
+    t: Tables,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 — returned-item reporting: the top-k customers by
+    revenue LOST to returns (returnflag 'R') on orders placed in one
+    quarter — who to call first.
+
+    Plan: the order-date range prunes orders before the fact join, the
+    returnflag filter prunes lineitem at the scan; customer + nation
+    broadcast onto the |matching customers| aggregate. Top-k by a
+    deterministic (revenue DESC, custkey ASC) row_number — a k-row
+    result at any scale. Revenue in DECIMAL, rounded once."""
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit(date_from))
+        & (F.col("o_orderdate") < F.lit(date_to))
+    )
+    li = t["lineitem"].where(F.col("l_returnflag") == "R")
+    per_cust = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            _dsum(_rev()).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+    cust = broadcast(
+        t["customer"]
+        .join(
+            broadcast(
+                t["nation"].select(
+                    "n_nationkey", F.col("n_name").alias("nation")
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "c_acctbal", "nation")
+    )
+    ranked = (
+        per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "nation", "c_acctbal",
+            "revenue", "n_lineitems",
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("revenue").desc(), F.col("c_custkey").asc()
+                )
+            ),
+        )
+    )
+    return ranked.where(F.col("rank") <= k).select(
+        "rank", "c_custkey", "c_name", "nation", "c_acctbal",
+        "revenue", "n_lineitems",
+    )
+
+
+def q18_big_orders(t: Tables, min_qty: int = 190) -> DataFrame:
+    """TPC-H Q18 — large-volume orders: orders whose total line
+    quantity exceeds ``min_qty``, with the ordering customer.
+
+    Plan: ONE group-by on the fact's join key (l_orderkey) with a
+    HAVING-style filter — the shuffled aggregate is |orders|-keyed but
+    the filter passes a tiny fraction, and orders+customer join only
+    that survivor set (quantities are integral doubles; the sum is
+    exact and cast to BIGINT). Order date emitted as epoch seconds
+    (raw temporal columns never cross the oracle compare)."""
+    qty = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+        .where(F.col("sum_qty") > min_qty)
+    )
+    return (
+        qty.join(
+            t["orders"].select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            broadcast(t["customer"].select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_s"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )

@@ -2696,3 +2696,230 @@ def quantile_normalize(docs: DataFrame, col: str = "n_chars") -> DataFrame:
     return base.join(mapped, ["source", "v"]).select(
         "doc_id", "source", "v", "v_norm"
     )
+
+
+def friedman_test(events: DataFrame) -> DataFrame:
+    """Friedman test — the repeated-measures companion to
+    ``kruskal_wallis`` (KW asks "do independent groups differ?"; this
+    asks "do the k TREATMENTS differ when measured on the same
+    blocks?"): blocks are calendar days, treatments are event types,
+    the measurement is the day's count of that type (a day with no
+    events of a type measures 0 — the block design is complete by
+    construction over the day x type spine). Tie-corrected statistic,
+    chi-square with k-1 df under H0:
+
+        Q = (k-1) * sum_j (R_j - n(k+1)/2)^2
+                  / (sum_ij r_ij^2 - n k (k+1)^2 / 4)
+
+    Integer discipline: within-block DOUBLED midranks u = 2*less +
+    ties + 1 (the quantile_normalize identity) make every rank an
+    integer, so both the numerator sum_j (2R_j - n(k+1))^2 and the
+    denominator sum u^2 - n k (k+1)^2 are exact BIGINTs (the /4 scale
+    factors cancel between them), leaving ONE float division under
+    round_half_up. Degenerate designs (k < 2, all-tied blocks) drop by
+    integer predicate.
+
+    Scale: one (day, type) rollup; ranking happens on the |days x k|
+    grid (k is a handful), the per-treatment rollup is k rows, and the
+    final fold is k-sized — nothing downstream of the first shuffle is
+    corpus-sized."""
+    base = events.select(
+        F.date_trunc("day", "ts").alias("d"),
+        F.col("event_type").alias("t"),
+    )
+    counts = base.groupBy("d", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    days = counts.select("d").distinct()
+    types = counts.select("t").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(counts, ["d", "t"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0).cast("long")))
+        .localCheckpoint(eager=False)
+    )
+    # doubled within-block midrank of c among the block's k values
+    other = grid.select(
+        F.col("d").alias("d2"), F.col("c").alias("c2")
+    )
+    u = (
+        grid.join(other, F.col("d") == F.col("d2"))
+        .groupBy("d", "t", "c")
+        .agg(
+            (
+                2 * F.sum(F.when(F.col("c2") < F.col("c"), 1).otherwise(0))
+                + F.sum(F.when(F.col("c2") == F.col("c"), 1).otherwise(0))
+                + 1
+            )
+            .cast("long")
+            .alias("u")
+        )
+    )
+    per_t = u.groupBy("t").agg(
+        F.sum("u").cast("long").alias("r2"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+    usq = u.agg(
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("sum_u2")
+    )
+    lst = per_t.agg(
+        F.array_sort(F.collect_list(F.struct("t", "r2"))).alias("l"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("n_blocks").cast("long").alias("n"),
+    )
+    j = lst.crossJoin(F.broadcast(usq))
+    kk, nn = F.col("k"), F.col("n")
+    # numerator (doubled scale): sum_j (2R_j - n(k+1))^2 == 4 * true num
+    num4 = F.aggregate(
+        F.col("l"),
+        F.lit(0).cast("long"),
+        lambda a, t: a
+        + (t["r2"] - nn * (kk + 1)) * (t["r2"] - nn * (kk + 1)),
+    )
+    # denominator (doubled scale): sum u^2 - n k (k+1)^2 == 4 * true den
+    den4 = F.col("sum_u2") - nn * kk * (kk + 1) * (kk + 1)
+    q = (kk - 1).cast("double") * num4.cast("double") / den4.cast("double")
+    return j.where((F.col("k") > 1) & (den4 > 0)).select(
+        nn.alias("n_blocks"),
+        kk.alias("k"),
+        F.col("sum_u2"),
+        round_half_up(q, 6).alias("q"),
+    )
+
+
+def cliffs_delta(
+    docs: DataFrame, col: str = "n_chars", source: str = "src0"
+) -> DataFrame:
+    """Cliff's delta — the EFFECT SIZE the Mann–Whitney test omits
+    (``mwu_source_shift`` says whether one source's length
+    distribution differs; this says by HOW MUCH, on the robust
+    [-1, 1] dominance scale):
+
+        delta = (#{x > y} - #{x < y}) / (n_a * n_b)
+
+    over all (source-doc, rest-doc) pairs — +1 means total dominance,
+    0 stochastic equality. Standard magnitude labels (|d| < 0.147
+    negligible, < 0.33 small, < 0.474 medium, else large).
+
+    Integer discipline: the pair counts fold over the shared
+    distinct-value spine (the mwu/ks plan) — gt = sum_v c_a(v) *
+    less_b(v) via one cumulative window, all BIGINT; ONE final
+    division under round_half_up. The magnitude CASE compares the
+    rounded delta, so the label is a pure function of the emitted
+    value. Scale: one (group, value) rollup; everything after is
+    |V|-bounded."""
+    base = docs.select(
+        F.when(F.col("source") == source, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("g"),
+        F.col(col).cast("long").alias("v"),
+    ).where(F.col("v").isNotNull())
+    sv = (
+        base.groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    z = F.lit(0).cast("long")
+    piv = (
+        sv.groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("g") == "a", F.col("c")).otherwise(z))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("g") == "b", F.col("c")).otherwise(z))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = piv.select(
+        "v",
+        "ca",
+        "cb",
+        (F.sum("cb").over(w) - F.col("cb")).cast("long").alias("b_less"),
+        (F.sum("ca").over(w) - F.col("ca")).cast("long").alias("a_less"),
+    )
+    agg = cum.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.col("ca") * F.col("b_less")).cast("long").alias("n_gt"),
+        F.sum(F.col("cb") * F.col("a_less")).cast("long").alias("n_lt"),
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("n_eq"),
+    )
+    delta = round_half_up(
+        (F.col("n_gt") - F.col("n_lt")).cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        6,
+    )
+    mag = (
+        F.when(F.abs(delta) < 0.147, F.lit("negligible"))
+        .when(F.abs(delta) < 0.33, F.lit("small"))
+        .when(F.abs(delta) < 0.474, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    return agg.where((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
+        "n_a",
+        "n_b",
+        "n_gt",
+        "n_lt",
+        "n_eq",
+        delta.alias("delta"),
+        mag.alias("magnitude"),
+    )
+
+
+def calibration_bins(events: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Reliability table (calibration curve) for "event value predicts
+    purchase": events are ranked by value into ``n_bins`` equal-count
+    bins (exact integer rank cuts — no quantile sketch), and each bin
+    reports its observed purchase rate next to the overall base rate —
+    the binned diagnostic ``isotonic_calibration`` fits a curve to.
+
+    Exactness: bin of a row = (rank-1) * n_bins div N on the
+    deterministic (value cents, event_id) ordering; counts are BIGINT
+    and each rate is ONE division under round_half_up. Scale: one
+    global sort-rank — at 100TB the rank comes from a range-partitioned
+    sort (Spark's default exchange for a global window), everything
+    after is |bins|-sized."""
+    base = events.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.col("event_id").alias("eid"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("pos"),
+    ).where(F.col("cents").isNotNull())
+    n = base.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    ranked = base.select(
+        "cents",
+        "pos",
+        F.row_number()
+        .over(Window.orderBy(F.col("cents").asc(), F.col("eid").asc()))
+        .cast("long")
+        .alias("rn"),
+    )
+    binned = ranked.crossJoin(F.broadcast(n)).select(
+        "cents",
+        "pos",
+        F.expr(f"(rn - 1) * {n_bins} div n_total").cast("int").alias("bin"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.min("cents").cast("long").alias("cents_min"),
+        F.max("cents").cast("long").alias("cents_max"),
+    )
+    base_rate = binned.agg(
+        (F.sum("pos").cast("double") / F.count(F.lit(1))).alias("base")
+    )
+    return per_bin.crossJoin(F.broadcast(base_rate)).select(
+        "bin",
+        "n",
+        "n_pos",
+        "cents_min",
+        "cents_max",
+        round_half_up(F.col("n_pos").cast("double") / F.col("n"), 6).alias(
+            "pos_rate"
+        ),
+        round_half_up(F.col("base"), 6).alias("base_rate"),
+    )

@@ -3143,3 +3143,160 @@ def duckdb_matryoshka_sql(
              END AS recall
       FROM spine CROSS JOIN nq LEFT JOIN hits ON hits.dim = spine.dim
     """
+
+
+def ndcg_eval(emb: DataFrame, k: int = 10, every: int = 50) -> DataFrame:
+    """NDCG@k against label ground truth — the GRADED-position metric
+    completing the retrieval-eval suite (``retrieval_label_eval``'s
+    P@k/MAP/MRR weight positions by reciprocal rank; NDCG discounts by
+    log-position, the standard leaderboard metric):
+
+        DCG  = sum_i rel_i / ln(i + 1)
+        IDCG = sum_{i<=n_rel} 1 / ln(i + 1)
+        NDCG = DCG / IDCG          (0 when the query has no relevant)
+
+    Natural-log discounts: NDCG is a RATIO, so the log base cancels —
+    ln gives bit-for-bit the standard log2 NDCG value while staying on
+    the correctly-rounded libm ln both engines share (zipf/theils_u
+    discipline). Float sums are position-ordered sequential folds
+    (rank-sorted per query, query_id-sorted per label), never
+    hash-order aggregates, so the metric value-hashes exactly.
+
+    Scale: identical envelope to retrieval_label_eval — the exact
+    top-k runs on the ``every``-strided query sample; per-query folds
+    are k-sized, per-label folds |queries/label|-sized."""
+    from ..functions.text import round_half_up
+
+    labels = emb.select("vec_id", "label")
+    t = (
+        cosine_topk(emb, k=k, every=every)
+        .join(
+            labels.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("q_label"),
+            ),
+            "query_id",
+        )
+        .join(
+            broadcast(
+                labels.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("n_label"),
+                )
+            ),
+            "neighbor_id",
+        )
+        .withColumn(
+            "rel",
+            F.when(
+                F.col("q_label") == F.col("n_label"), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+    )
+    per_q = t.groupBy("query_id", "q_label").agg(
+        F.array_sort(F.collect_list(F.struct("rank", "rel"))).alias("l"),
+        F.sum("rel").cast("long").alias("n_rel"),
+    )
+    dcg = F.aggregate(
+        F.col("l"),
+        F.lit(0.0),
+        lambda a, s: a
+        + s["rel"].cast("double")
+        / F.log(s["rank"].cast("double") + 1.0),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.col("n_rel")),
+        F.lit(0.0),
+        lambda a, i: a + F.lit(1.0) / F.log(i.cast("double") + 1.0),
+    )
+    scored = per_q.select(
+        "query_id",
+        "q_label",
+        "n_rel",
+        F.when(F.col("n_rel") > 0, dcg / idcg)
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+    )
+    per_label = scored.groupBy(F.col("q_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(F.when(F.col("n_rel") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_covered"),
+        F.array_sort(
+            F.collect_list(F.struct("query_id", "ndcg"))
+        ).alias("ql"),
+    )
+    mean_ndcg = (
+        F.aggregate(
+            F.col("ql"), F.lit(0.0), lambda a, s: a + s["ndcg"]
+        )
+        / F.col("n_queries").cast("double")
+    )
+    return per_label.select(
+        "label",
+        "n_queries",
+        "n_covered",
+        round_half_up(mean_ndcg, 6).alias("ndcg_at_k"),
+    )
+
+
+def duckdb_ndcg_sql(k: int = 10, every: int = 50) -> str:
+    """DuckDB mirror of ``ndcg_eval``: same exact cosine top-k (the
+    sequential-fold dot is bit-equal to list_dot_product), same
+    rank-sorted DCG / positional IDCG folds, same query-sorted label
+    mean."""
+    return f"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label
+                 FROM embeddings),
+      q AS (SELECT vec_id AS query_id, emb AS q_emb, label AS q_label
+            FROM e WHERE vec_id % {every} = 0),
+      sims AS (
+        SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id,
+               e.label AS n_label,
+               CASE WHEN sqrt(list_dot_product(q.q_emb, q.q_emb)) > 0
+                     AND sqrt(list_dot_product(e.emb, e.emb)) > 0
+                    THEN list_dot_product(q.q_emb, e.emb)
+                         / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                            * sqrt(list_dot_product(e.emb, e.emb)))
+                    ELSE 0.0 END AS sim
+        FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id),
+      topk AS (
+        SELECT query_id, q_label, neighbor_id, n_label, rk AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS rk
+              FROM sims)
+        WHERE rk <= {k}),
+      marked AS (
+        SELECT query_id, q_label, rank,
+               CASE WHEN q_label = n_label THEN 1 ELSE 0 END AS rel
+        FROM topk),
+      per_q AS (
+        SELECT query_id, q_label,
+               CAST(sum(rel) AS BIGINT) AS n_rel,
+               list_reduce(
+                 list_prepend(0.0,
+                   list(CAST(rel AS DOUBLE)
+                        / ln(CAST(rank AS DOUBLE) + 1.0) ORDER BY rank)),
+                 (a, b) -> a + b) AS dcg
+        FROM marked GROUP BY 1, 2),
+      scored AS (
+        SELECT query_id, q_label, n_rel,
+               CASE WHEN n_rel > 0 THEN dcg / list_reduce(
+                 list_prepend(0.0,
+                   list_transform(range(1, CAST(n_rel AS INTEGER) + 1),
+                     i -> 1.0 / ln(CAST(i AS DOUBLE) + 1.0))),
+                 (a, b) -> a + b)
+               ELSE 0.0 END AS ndcg
+        FROM per_q)
+      SELECT q_label AS label,
+             CAST(count(*) AS BIGINT) AS n_queries,
+             CAST(sum(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_covered,
+             floor(list_reduce(
+                     list_prepend(0.0, list(ndcg ORDER BY query_id)),
+                     (a, b) -> a + b)
+                   / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+                 AS ndcg_at_k
+      FROM scored GROUP BY 1
+    """

@@ -1593,3 +1593,57 @@ def kappa_lang_agreement(docs: DataFrame) -> DataFrame:
         "n_agree",
         rh(num / den, 6).alias("kappa"),
     )
+
+
+def source_entropy(docs: DataFrame) -> DataFrame:
+    """Shannon entropy of the corpus's SOURCE MIX, in token share — the
+    one-number diversity readout on top of ``mixture_weights`` (which
+    proposes sampling weights) and ``corpus_card`` (which lists the
+    shares): H = -sum_s p_s ln p_s with p_s = source tokens / total,
+    plus the evenness H / ln(S) in [0, 1] (1 = perfectly balanced mix,
+    0 = single-source collapse) — the alarm a pretraining-mix monitor
+    tracks per snapshot.
+
+    Exactness: token counts are BIGINT; each p is one mirrored double
+    division, the ln terms fold SEQUENTIALLY over the source-sorted
+    list (zipf/theils_u discipline), and ln(S) is a correctly-rounded
+    libm call on an exact integer. Sources with zero tokens contribute
+    nothing and drop by integer predicate (p ln p -> 0 limit).
+
+    Scale: one map-side (source, token-count) rollup; the fold is
+    |sources|-sized."""
+    from ..functions import text as T
+
+    per = (
+        docs.select(
+            "source", T.token_count_ws(F.col("text")).alias("nt")
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
+    )
+    lst = per.agg(
+        F.array_sort(
+            F.collect_list(F.struct("source", "n_tokens"))
+        ).alias("l"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    h = F.aggregate(
+        F.col("l"),
+        F.lit(0.0),
+        lambda a, t: a
+        - (t["n_tokens"].cast("double") / F.col("total_tokens").cast("double"))
+        * F.log(
+            t["n_tokens"].cast("double")
+            / F.col("total_tokens").cast("double")
+        ),
+    )
+    return lst.where((F.col("n_sources") > 1) & (F.col("total_tokens") > 0)).select(
+        "n_sources",
+        "total_tokens",
+        rh(h, 6).alias("entropy"),
+        rh(h / F.log(F.col("n_sources").cast("double")), 6).alias(
+            "evenness"
+        ),
+    )

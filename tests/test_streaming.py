@@ -2039,3 +2039,309 @@ def test_streak_processor_transitions_direct():
         == []
     )
     assert proc._state.get() == (20, 1)
+
+
+def test_rolling_spend_stream_equals_batch(spark, tmp_path):
+    """transformWithState ListState maintainer: 3-file ordered replay of
+    a purchase stream; each user's FINAL emission must equal the batch
+    last-N window twin (sum + length + lifetime count)."""
+    import datetime
+
+    from pubsub_mapreduce_spark.compat import ensure_protobuf
+
+    ensure_protobuf()
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs protobuf; no wheel and no "
+        "Cloud-SDK copy in this container",
+    )
+    from pubsub_mapreduce_spark.streaming.feature_maintain import (
+        rolling_spend_batch,
+        rolling_spend_stream,
+    )
+
+    base = datetime.datetime(2024, 5, 1, 12)
+    hour = datetime.timedelta(hours=1)
+    schema = (
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double"
+    )
+    rows, eid = [], 0
+    # user 1: 5 purchases (last-3 = 30+40+50), user 2: 2 (last-3 = both),
+    # user 3: 1; interleaved views never count
+    for u, vals in {1: [10, 20, 30, 40, 50], 2: [7, 9], 3: [5]}.items():
+        for i, v in enumerate(vals):
+            rows.append((eid, u, base + i * hour, "purchase", float(v)))
+            eid += 1
+            rows.append((eid, u, base + i * hour, "view", 99.0))
+            eid += 1
+    rows.sort(key=lambda r: (r[2], r[0]))
+    d3 = (len(rows) + 2) // 3
+    d = tmp_path / "roll"
+    d.mkdir()
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * d3 : (i + 1) * d3], schema
+        ).coalesce(1).write.parquet(str(d / f"f{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/f*")
+    )
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            rolling_spend_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "roll_out"))
+            .option("checkpointLocation", str(tmp_path / "roll_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+    import pyspark.sql.functions as SF
+    from pyspark.sql.window import Window
+
+    emitted = spark.read.parquet(str(tmp_path / "roll_out"))
+    final = {
+        r["user_id"]: (r["n_purchases"], r["lastn_cents"], r["lastn_len"])
+        for r in emitted.withColumn(
+            "rk",
+            SF.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    SF.col("n_purchases").desc()
+                )
+            ),
+        )
+        .where(SF.col("rk") == 1)
+        .collect()
+    }
+    df = spark.createDataFrame(rows, schema)
+    want = {
+        r["user_id"]: (r["n_purchases"], r["lastn_cents"], r["lastn_len"])
+        for r in rolling_spend_batch(df).collect()
+    }
+    assert final == want and len(want) == 3
+    assert want[1] == (5, 12000, 3)
+    assert want[2] == (2, 1600, 2)
+    assert want[3] == (1, 500, 1)
+
+
+def test_favorite_type_stream_equals_batch(spark, tmp_path):
+    """transformWithState MapState maintainer: per-user counter table
+    built across 3 micro-batches; final argmax emission must equal the
+    batch mode twin under the (count DESC, type ASC) tie-break."""
+    import datetime
+
+    from pubsub_mapreduce_spark.compat import ensure_protobuf
+
+    ensure_protobuf()
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs protobuf; no wheel and no "
+        "Cloud-SDK copy in this container",
+    )
+    from pubsub_mapreduce_spark.streaming.feature_maintain import (
+        favorite_type_batch,
+        favorite_type_stream,
+    )
+
+    base = datetime.datetime(2024, 6, 1)
+    minute = datetime.timedelta(minutes=1)
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    plan = {
+        1: ["view", "view", "click", "purchase", "view"],  # fav view 3
+        2: ["click", "purchase", "click", "purchase"],     # tie -> click
+        3: ["error"],                                      # fav error 1
+    }
+    rows, eid = [], 0
+    for u, types in plan.items():
+        for i, t in enumerate(types):
+            rows.append((eid, u, base + i * minute, t))
+            eid += 1
+    rows.sort(key=lambda r: (r[2], r[0]))
+    d3 = (len(rows) + 2) // 3
+    d = tmp_path / "fav"
+    d.mkdir()
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * d3 : (i + 1) * d3], schema
+        ).coalesce(1).write.parquet(str(d / f"f{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/f*")
+    )
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            favorite_type_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "fav_out"))
+            .option("checkpointLocation", str(tmp_path / "fav_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+    import pyspark.sql.functions as SF
+    from pyspark.sql.window import Window
+
+    emitted = spark.read.parquet(str(tmp_path / "fav_out"))
+    final = {
+        r["user_id"]: (r["fav_type"], r["n_fav"], r["n_total"])
+        for r in emitted.withColumn(
+            "rk",
+            SF.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    SF.col("n_total").desc()
+                )
+            ),
+        )
+        .where(SF.col("rk") == 1)
+        .collect()
+    }
+    df = spark.createDataFrame(rows, schema)
+    want = {
+        r["user_id"]: (r["fav_type"], r["n_fav"], r["n_total"])
+        for r in favorite_type_batch(df).collect()
+    }
+    assert final == want and len(want) == 3
+    assert want[1] == ("view", 3, 5)
+    assert want[2] == ("click", 2, 4)  # 2-2 tie -> 'click' < 'purchase'
+    assert want[3] == ("error", 1, 1)
+
+
+def test_feature_processors_transitions_direct():
+    """Direct execution of both new processors against fake state
+    handles — ListState merge keeps the last N in (ts, eid) order
+    across batches; MapState counters accumulate and the argmax
+    tie-break matches the batch twin."""
+    import pandas as pd
+
+    from pubsub_mapreduce_spark.streaming.feature_maintain import (
+        FavoriteTypeProcessor,
+        RollingSpendProcessor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class FakeListState:
+        def __init__(self):
+            self._l = []
+
+        def get(self):
+            return iter(self._l)
+
+        def put(self, l):
+            self._l = [tuple(x) for x in l]
+
+    class FakeMapState:
+        def __init__(self):
+            self._m = {}
+
+        def containsKey(self, k):
+            return tuple(k) in self._m
+
+        def getValue(self, k):
+            return self._m[tuple(k)]
+
+        def updateValue(self, k, v):
+            self._m[tuple(k)] = tuple(v)
+
+        def iterator(self):
+            return iter(self._m.items())
+
+    rp = RollingSpendProcessor()
+    rp._last, rp._count = FakeListState(), FakeValueState()
+
+    def feed_roll(ts_eid_cents):
+        out = list(
+            rp.handleInputRows(
+                (1,),
+                iter(
+                    [
+                        pd.DataFrame(
+                            ts_eid_cents,
+                            columns=["ts_s", "eid", "cents"],
+                        )
+                    ]
+                ),
+                None,
+            )
+        )
+        r = out[0].iloc[0]
+        return (
+            int(r["n_purchases"]),
+            int(r["lastn_cents"]),
+            int(r["lastn_len"]),
+        )
+
+    assert feed_roll([(10, 1, 100), (11, 2, 200)]) == (2, 300, 2)
+    assert feed_roll([(12, 3, 300), (13, 4, 400)]) == (4, 900, 3)
+    # same-second tie orders by eid: (14,6) after (14,5)
+    assert feed_roll([(14, 6, 50), (14, 5, 10)]) == (6, 460, 3)
+
+    fp = FavoriteTypeProcessor()
+    fp._counts = FakeMapState()
+
+    def feed_fav(types):
+        out = list(
+            fp.handleInputRows(
+                (2,),
+                iter([pd.DataFrame({"event_type": types})]),
+                None,
+            )
+        )
+        r = out[0].iloc[0]
+        return (str(r["fav_type"]), int(r["n_fav"]), int(r["n_total"]))
+
+    assert feed_fav(["view", "click"]) in {("click", 1, 2)}  # tie -> click
+    assert feed_fav(["view", "view"]) == ("view", 3, 4)
+    assert feed_fav(["click", "click", "purchase"]) == ("click", 3, 7)
