@@ -3050,59 +3050,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": q_q9_product_profit,
         "q12_priority_class": q_q12_priority_class,
     }
-    # Round-5 gate window: the driver checks the FIRST 50 queries() keys.
-    # CORRECTNESS_r01..r04 have verified 198 distinct queries; the 58
-    # never-driver-checked names queue in original registration order and
-    # this window takes the first 50 of them — the 17 remaining round-2
-    # tail names (dq_orders .. lateness_profile), all 30 round-3 ops
-    # (dsir_weights .. dow_uniformity, with asof_next_click replacing the
-    # retired degenerate asof_next_order), and the first 3 round-4 ops.
-    # ROTATION PLAN (VERDICT r4 #7): after this window lands, exactly 8
-    # round-4 names remain unchecked (runs_test_daily, asof_prev_click,
-    # semdedup_prune, lm_bigram_score, cochran_armitage,
-    # wasserstein_drift, frame_scene_cuts, theils_u); the 13 round-5
-    # additions queue AFTER them, so the round-6 window starts at 21
-    # never-checked names and closes the book (every registered query
-    # driver-checked at least once) provided round 6 registers at most
-    # 29 new queries ahead of its rotation. The ordering contract is
-    # pinned by tests/test_round2_tail.py.
-    r5_head = [
-        # 17 never-checked round-2-tail names, registration order
+    # Round-6 gate window: the driver checks the FIRST 50 queries() keys.
+    # CORRECTNESS_r01..r05 have verified 248 distinct queries; this
+    # window CLOSES THE BOOK — slots 1-34 are every never-driver-checked
+    # name (the 8 round-4 leftovers and 15 round-5 additions in original
+    # registration order, then the 11 round-6 additions), so after it
+    # lands every registered query has been driver-checked at least
+    # once. Slots 35-50 re-check green names: the two queries whose
+    # semantics changed this round (entity_match's wildcard blocking,
+    # user_similarity_sparse's purchase slice + day-width cap) lead the
+    # re-checks, then the round-5 window head in order. The ordering
+    # contract and the closed-book bookkeeping are pinned by
+    # tests/test_round2_tail.py.
+    r6_head = [
+        # 8 round-4 names owed a driver row, registration order
+        "runs_test_daily", "asof_prev_click", "semdedup_prune",
+        "lm_bigram_score", "cochran_armitage", "wasserstein_drift",
+        "frame_scene_cuts", "theils_u",
+        # 15 round-5 names owed a driver row, registration order
+        "gopher_rules", "zipf_slope", "kruskal_wallis", "mantel_haenszel",
+        "theil_sen", "hard_negatives", "cvm_drift", "jonckheere",
+        "kappa_lang", "psi_drift", "hill_tail", "quantile_normalize",
+        "t_closeness", "matryoshka_eval", "purchase_streaks",
+        # 11 round-6 additions, registration order
+        "q7_volume_shipping", "q10_returned_items", "q18_big_orders",
+        "friedman_test", "cliffs_delta", "calibration_bins", "ndcg_eval",
+        "js_divergence", "source_entropy", "rolling_spend",
+        "favorite_event_type",
+        # 16 re-checks: this round's reworked queries first, then the
+        # round-5 window head in order
+        "entity_match", "user_similarity_sparse",
         "dq_orders", "doc_chunks", "oversample_mix", "profile_orders",
         "event_cooccurrence", "session_transitions", "value_histogram",
         "substring_spans", "decontaminate_bloom", "cms_user_counts",
         "cms_join_size", "value_quantiles", "event_pagerank", "agg_upsert",
-        "kanon_customers", "orders_checksum", "lateness_profile",
-        # 30 round-3 ops, registration order
-        "dsir_weights", "tokenizer_fertility", "image_gate",
-        "value_p50_check", "cross_source_dups", "dedup_keeper_quality",
-        "contamination_report", "dedup_scrub_spans", "asof_next_click",
-        "overlapping_orders", "hll_overlap_users", "winnow_pairs",
-        "forecast_backtest", "survival_km", "part_reach_hops",
-        "retrieval_label_eval", "dedup_edit_verify", "ks_source_drift",
-        "part_component_census", "pettitt_changepoint",
-        "isotonic_calibration", "logrank_churn", "mwu_source_shift",
-        "distinctive_tokens", "aqp_revenue_check", "rolling_wau",
-        "part_recommendations", "price_elasticity", "type_burstiness",
-        "dow_uniformity",
-        # first 3 round-4 ops, registration order
-        "kendall_daily", "spearman_types", "cramers_v",
     ]
-    # Round-6 queue: the names still owed a driver row sit IMMEDIATELY
-    # after the 50-slot window so the next rotation is a pure prefix
-    # shift. Round-5 additions append here (keep total <= 50).
-    r6_queue = [
-        "runs_test_daily", "asof_prev_click", "semdedup_prune",
-        "lm_bigram_score", "cochran_armitage", "wasserstein_drift",
-        "frame_scene_cuts", "theils_u",
-        # round-5 additions (registration order)
-        "gopher_rules", "zipf_slope", "kruskal_wallis",
-        "mantel_haenszel", "theil_sen", "hard_negatives",
-        "cvm_drift", "jonckheere", "kappa_lang",
-        "psi_drift", "hill_tail", "quantile_normalize", "t_closeness",
-        "matryoshka_eval", "purchase_streaks",
-    ]
-    head = [n for n in r5_head + r6_queue if n in base]
+    head = [n for n in r6_head if n in base]
     ordered = {n: base[n] for n in head}
     for n, fn in base.items():
         if n not in ordered:

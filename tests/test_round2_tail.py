@@ -638,52 +638,68 @@ def test_ab_health_chi2_and_srm_semantics(spark):
 
 def test_gate_window_ordering_contract():
     """The driver's correctness gate reads the FIRST 50 queries() keys:
-    pin the round-5 window — the first 50 never-driver-checked names in
-    original registration order (the 17-name round-2 tail dq_orders ..
-    lateness_profile, all 30 round-3 ops with asof_next_click replacing
-    the retired asof_next_order, then kendall_daily/spearman_types/
-    cramers_v), leaving exactly 8 round-4 names + round-5 additions for
-    the round-6 window to close the book. Accidental reorderings would
-    silently spend the gate's window on already-green queries."""
+    pin the round-6 window — slots 1-34 are EVERY name never driver-
+    checked through round 5 (8 round-4 leftovers, 15 round-5 additions,
+    11 round-6 additions, registration order), slots 35-50 re-check the
+    two queries reworked this round (entity_match,
+    user_similarity_sparse) and the round-5 window head. Accidental
+    reorderings would silently spend the gate's window on already-green
+    queries."""
     import json
 
     import __spark_entry__ as entrymod
 
     names = list(entrymod.queries())
     checked = set()
-    for r in (1, 2, 3, 4):
+    for r in (1, 2, 3, 4, 5):
         checked |= set(json.load(open(f"/root/repo/CORRECTNESS_r0{r}.json")))
     head = names[:50]
-    # nothing in the head may already carry a driver row
-    assert [n for n in head if n in checked] == []
+    # slots 1-34: never-driver-checked, in the pinned order
+    assert [n for n in head[:34] if n in checked] == []
     assert head[:5] == [
-        "dq_orders",
-        "doc_chunks",
-        "oversample_mix",
-        "profile_orders",
-        "event_cooccurrence",
-    ]
-    assert head[45:] == [
-        "type_burstiness",
-        "dow_uniformity",
-        "kendall_daily",
-        "spearman_types",
-        "cramers_v",
-    ]
-    # the 8 round-4 names owed a driver row queue IMMEDIATELY after the
-    # window (registration order), so round 6's rotation starts clean
-    assert names[50:58] == [
         "runs_test_daily",
         "asof_prev_click",
         "semdedup_prune",
         "lm_bigram_score",
         "cochran_armitage",
-        "wasserstein_drift",
-        "frame_scene_cuts",
-        "theils_u",
     ]
+    assert head[28:34] == [
+        "calibration_bins",
+        "ndcg_eval",
+        "js_divergence",
+        "source_entropy",
+        "rolling_spend",
+        "favorite_event_type",
+    ]
+    assert head[34] == "entity_match"
+    assert head[35] == "user_similarity_sparse"
+    assert head[49] == "agg_upsert"
     # every registered oracle still has a queries() twin
     assert not set(entrymod.oracle_sql()) - set(names)
+
+
+def test_every_registered_query_driver_checked_or_in_window():
+    """Close-the-book bookkeeping (VERDICT r5 #7): every registered
+    query either already carries a driver CORRECTNESS row (rounds 1-5)
+    or sits inside the current 50-slot gate window — so once this
+    round's gate runs, cumulative driver coverage is total. A new
+    registration that never enters a window plan FAILS here: appending
+    a query re-opens the debt and must come with a window rotation."""
+    import json
+
+    import __spark_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    checked = set()
+    for r in (1, 2, 3, 4, 5):
+        checked |= set(json.load(open(f"/root/repo/CORRECTNESS_r0{r}.json")))
+    debt = [n for n in names if n not in checked and n not in names[:50]]
+    assert debt == [], (
+        "registered but neither driver-checked nor in the gate window: "
+        f"{debt}"
+    )
+    # and the window is exactly full: the driver reads 50 slots
+    assert len(names) >= 50
 
 
 def test_key_skew_report_exact_stats(spark):
