@@ -901,6 +901,39 @@ def q_favorite_event_type(spark, sf_dir):
     return favorite_type_batch(load_tables(spark, sf_dir)["events"])
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sample without replacement
+    (sampling.weighted_sample): ln(u)/w exponential keys from exact
+    md5-derived uniforms, top-k by key — the one-pass distributed
+    proportional-to-weight draw (pps_systematic needs the ordered
+    cumulative pass; this needs no total-weight state at all)."""
+    return SM.weighted_sample(load_tables(spark, sf_dir)["documents"], k=50)
+
+
+def q_part_clustering(spark, sf_dir):
+    """Local clustering coefficient on the part co-purchase graph
+    (graph.clustering_coefficient over graph.copurchase_edges):
+    2*tri/(deg*(deg-1)) per part, integer counts, one division —
+    cohesion DENSITY next to event_triangles' raw counts."""
+    from pubsub_mapreduce_spark.operators.graph import (
+        clustering_coefficient,
+        copurchase_edges,
+    )
+
+    edges = copurchase_edges(load_tables(spark, sf_dir)["lineitem"]).select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    )
+    return clustering_coefficient(edges)
+
+
+def q_kanon_band_search(spark, sf_dir):
+    """k-anonymity repair search (relational.kanon_band_search): the
+    smallest acctbal band generalization under which every
+    (nation, band) group clears k=5 — the privacy/utility dial after
+    kanon_customers flags violations. One plan, |widths| rollups."""
+    return R.kanon_band_search(load_tables(spark, sf_dir))
+
+
 def q_q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7 (relational.q7_volume_shipping): two-nation shipping
     volume by ship year, both directions, dims broadcast."""
@@ -2996,6 +3029,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_entropy": q_source_entropy,
         "rolling_spend": q_rolling_spend,
         "favorite_event_type": q_favorite_event_type,
+        "weighted_sample": q_weighted_sample,
+        "part_clustering": q_part_clustering,
+        "kanon_band_search": q_kanon_band_search,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -3072,18 +3108,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen", "hard_negatives", "cvm_drift", "jonckheere",
         "kappa_lang", "psi_drift", "hill_tail", "quantile_normalize",
         "t_closeness", "matryoshka_eval", "purchase_streaks",
-        # 11 round-6 additions, registration order
+        # 14 round-6 additions, registration order
         "q7_volume_shipping", "q10_returned_items", "q18_big_orders",
         "friedman_test", "cliffs_delta", "calibration_bins", "ndcg_eval",
         "js_divergence", "source_entropy", "rolling_spend",
-        "favorite_event_type",
-        # 16 re-checks: this round's reworked queries first, then the
+        "favorite_event_type", "weighted_sample", "part_clustering",
+        "kanon_band_search",
+        # 13 re-checks: this round's reworked queries first, then the
         # round-5 window head in order
         "entity_match", "user_similarity_sparse",
         "dq_orders", "doc_chunks", "oversample_mix", "profile_orders",
         "event_cooccurrence", "session_transitions", "value_histogram",
         "substring_spans", "decontaminate_bloom", "cms_user_counts",
-        "cms_join_size", "value_quantiles", "event_pagerank", "agg_upsert",
+        "cms_join_size",
     ]
     head = [n for n in r6_head if n in base]
     ordered = {n: base[n] for n in head}
@@ -9733,5 +9770,68 @@ def oracle_sql() -> dict[str, str]:
               FROM c)
         SELECT user_id, event_type AS fav_type, c AS n_fav, n_total
         FROM r WHERE rk = 1
+    """
+    out["weighted_sample"] = """
+        WITH keyed AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                 ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 13))::BIGINT AS DOUBLE) + 0.5)
+                    / 4503599627370496.0)
+                 / CAST(n_chars AS DOUBLE) AS key
+          FROM documents
+          WHERE n_chars IS NOT NULL AND n_chars > 0),
+        ranked AS (
+          SELECT *, row_number() OVER (ORDER BY key DESC, doc_id ASC)
+                        AS rank
+          FROM keyed)
+        SELECT CAST(rank AS INTEGER) AS rank, doc_id, w,
+               floor(key * 1e6 + 0.5) / 1e6 AS key
+        FROM ranked WHERE rank <= 50
+    """
+    out["part_clustering"] = """
+        WITH e0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                    FROM lineitem),
+        ce AS (SELECT x.pk AS a, y.pk AS b
+               FROM e0 x JOIN e0 y ON x.ok = y.ok AND x.pk < y.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+        e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+              FROM ce WHERE a <> b),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+                FROM (SELECT a AS node FROM e
+                      UNION ALL SELECT b FROM e)
+                GROUP BY 1),
+        tri AS (SELECT ab.a AS x, ab.b AS y, bc.b AS z
+                FROM e ab JOIN e bc ON ab.b = bc.a
+                          JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
+        per_node AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+                     FROM (SELECT x AS node FROM tri
+                           UNION ALL SELECT y FROM tri
+                           UNION ALL SELECT z FROM tri)
+                     GROUP BY 1)
+        SELECT d.node, d.degree,
+               COALESCE(p.n_triangles, 0) AS n_triangles,
+               floor(CAST(2 * COALESCE(p.n_triangles, 0) AS DOUBLE)
+                     / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS clustering_coeff
+        FROM deg d LEFT JOIN per_node p ON p.node = d.node
+        WHERE d.degree >= 2
+    """
+    out["kanon_band_search"] = """
+        WITH spine AS (SELECT unnest([1, 2, 4, 8, 16]) AS w),
+        banded AS (SELECT s.w, c_nationkey AS nation,
+                          CAST(floor(c_acctbal / (1000 * s.w)) AS BIGINT)
+                              AS band
+                   FROM customer CROSS JOIN spine s),
+        groups AS (SELECT w, nation, band, CAST(count(*) AS BIGINT) AS n
+                   FROM banded GROUP BY 1, 2, 3),
+        per_w AS (SELECT w, CAST(count(*) AS BIGINT) AS n_groups,
+                         CAST(min(n) AS BIGINT) AS min_group
+                  FROM groups GROUP BY 1),
+        best AS (SELECT min(CASE WHEN min_group >= 5 THEN w END) AS bw
+                 FROM per_w)
+        SELECT CAST(w AS INTEGER) AS w, n_groups, min_group,
+               min_group >= 5 AS k_ok,
+               COALESCE(w = bw, FALSE) AS chosen
+        FROM per_w, best
     """
     return out

@@ -341,6 +341,9 @@ BENCH_QUERIES = [
     "source_entropy",
     "rolling_spend",
     "favorite_event_type",
+    "weighted_sample",
+    "part_clustering",
+    "kanon_band_search",
 ]
 
 # Heavy composite queries (>3s at sf0.1). Benched at ONE rep so the

@@ -442,3 +442,62 @@ def item_cf_recs(edges: DataFrame, k: int = 5) -> DataFrame:
             round_half_up(F.col("sim"), 6).alias("sim_r"),
         )
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "u", dst: str = "v", min_degree: int = 2
+) -> DataFrame:
+    """Local clustering coefficient per node — triangles normalized by
+    the node's wedge count, the cohesion DENSITY readout on top of
+    ``triangle_count``'s raw counts:
+
+        cc(v) = 2 * tri(v) / (deg(v) * (deg(v) - 1))
+
+    Integer everywhere (triangle and degree counts) with ONE division
+    under round_half_up; nodes below ``min_degree`` have no wedges and
+    drop by integer predicate. Scale shape: the triangle join is
+    triangle_count's (canonical a<b<c closure); degrees are one keyed
+    rollup of the deduped edge set — both exchanges on the node key."""
+    from pyspark.sql.functions import broadcast  # noqa: F401
+
+    from ..functions.text import round_half_up
+
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    ac = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = ab.join(bc, "y").join(ac, ["x", "z"]).select("x", "y", "z")
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    z = F.lit(0).cast("long")
+    joined = deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("n_triangles", z).alias("n_triangles"),
+    )
+    cc = (2 * F.col("n_triangles")).cast("double") / (
+        F.col("degree") * (F.col("degree") - 1)
+    ).cast("double")
+    return joined.where(F.col("degree") >= min_degree).select(
+        "node",
+        "degree",
+        "n_triangles",
+        round_half_up(cc, 6).alias("clustering_coeff"),
+    )

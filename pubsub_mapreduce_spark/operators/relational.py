@@ -2985,3 +2985,57 @@ def q18_big_orders(t: Tables, min_qty: int = 190) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+def kanon_band_search(
+    t: Tables, k: int = 5, widths: tuple = (1, 2, 4, 8, 16)
+) -> DataFrame:
+    """k-anonymity REPAIR search — the generalization step after
+    ``kanon_customers`` finds violating groups: for each candidate
+    band width (acctbal generalized to ``1000 * w``-dollar bands under
+    the (nation, band) quasi-identifier), report the group-size
+    minimum and whether the whole table clears k; flag the SMALLEST
+    clearing width. The privacy/utility dial a release pipeline reads:
+    coarser bands always pass eventually — the chosen row is the least
+    generalization that suffices.
+
+    All-integer (band ids, group counts, min fold); the candidate
+    widths ride a unioned grid so the whole search is ONE plan —
+    |widths| keyed rollups over the same scan, each |groups|-sized
+    after the map side. The chosen flag derives from the per-width
+    mins relationally (min passing width via a window), no driver
+    logic."""
+    from pyspark.sql import Window
+
+    cust = t["customer"].select("c_nationkey", "c_acctbal")
+    spine = cust.sparkSession.createDataFrame(
+        [(int(w),) for w in widths], "w int"
+    )
+    banded = cust.crossJoin(F.broadcast(spine)).select(
+        "w",
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / (F.lit(1000) * F.col("w")))
+        .cast("long")
+        .alias("band"),
+    )
+    groups = banded.groupBy("w", "nation", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    per_w = groups.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("n").cast("long").alias("min_group"),
+    )
+    passing = F.col("min_group") >= k
+    w_best = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    best = F.min(F.when(passing, F.col("w"))).over(w_best)
+    return per_w.select(
+        "w",
+        "n_groups",
+        "min_group",
+        passing.alias("k_ok"),
+        # NULL-safe: when NO width passes, best is NULL and every
+        # chosen flag must read false, not NULL
+        F.coalesce(F.col("w") == best, F.lit(False)).alias("chosen"),
+    )

@@ -626,3 +626,56 @@ def aqp_sum_check(
             (err_ppm <= F.lit(tol_ppm)).alias("within_tol"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame, k: int = 50, weight: str = "n_chars"
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
+    exponential keys — the one-pass distributed answer to "draw k docs
+    with probability proportional to weight" (a training-mix sampler
+    that needs no total-weight pass and no sequential state; compare
+    ``pps_systematic``, which needs the ordered cumulative pass):
+
+        key_i = ln(u_i) / w_i,   u_i ~ U(0,1);   take the top-k keys.
+
+    (Classically key = u^(1/w) maximized; ln is monotone, so ranking
+    ln(u)/w descending is the same draw — and ln + division mirror
+    bit-exactly cross-engine where pow() would not.)
+
+    Determinism discipline: u_i derives from md5 of the doc id — the
+    13-hex-digit (52-bit) prefix h makes u = (h + 0.5) / 2^52 an EXACT
+    double in (0, 1), identical in DuckDB; ln is the correctly-rounded
+    libm call both engines share. Deterministic tie-break on doc_id.
+    Zero/NULL weights are excluded (their inclusion probability is 0).
+
+    Scale: pure projection + one top-k (local per-partition top-k
+    merged once) — no shuffle of the corpus, no driver state."""
+    c = F.col("doc_id")
+    h = F.conv(
+        F.substring(F.md5(c.cast("string").cast("binary")), 1, 13), 16, 10
+    ).cast("long")
+    u = (h.cast("double") + 0.5) / F.lit(float(1 << 52))
+    key = F.log(u) / F.col(weight).cast("double")
+    ranked = (
+        docs.where(F.col(weight).isNotNull() & (F.col(weight) > 0))
+        .select(
+            "doc_id",
+            F.col(weight).alias("w"),
+            key.alias("key"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("key").desc(), F.col("doc_id").asc())
+            ),
+        )
+    )
+    from ..functions.text import round_half_up
+
+    return ranked.where(F.col("rank") <= k).select(
+        "rank",
+        "doc_id",
+        F.col("w").cast("long").alias("w"),
+        round_half_up(F.col("key"), 6).alias("key"),
+    )
