@@ -2345,3 +2345,185 @@ def test_feature_processors_transitions_direct():
     assert feed_fav(["view", "click"]) in {("click", 1, 2)}  # tie -> click
     assert feed_fav(["view", "view"]) == ("view", 3, 4)
     assert feed_fav(["click", "click", "purchase"]) == ("click", 3, 7)
+
+
+def test_session_timer_stream_equals_batch(spark, tmp_path):
+    """Event-time TIMERS (the fourth transformWithState primitive):
+    gap-timeout sessionizer — intra-batch gaps emit immediately, the
+    trailing open session per user closes from handleExpiredTimer when
+    the watermark (pushed by a far-future sentinel) passes last+gap.
+    Full closed-session set must equal the batch lag/gap-sum twin."""
+    import datetime
+
+    from pubsub_mapreduce_spark.compat import ensure_protobuf
+
+    ensure_protobuf()
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs protobuf; no wheel and no "
+        "Cloud-SDK copy in this container",
+    )
+    from pubsub_mapreduce_spark.streaming.session_timer_maintain import (
+        sessions_batch,
+        sessions_stream,
+    )
+
+    base = datetime.datetime(2024, 5, 1)
+    m = datetime.timedelta(minutes=1)
+    schema = "event_id long, user_id long, ts timestamp"
+    rows, eid = [], 0
+    # user 1: sessions of 3, 2, 1 events; user 2: three singletons
+    for u, mins in {1: [0, 10, 20, 120, 125, 300], 2: [0, 60, 120]}.items():
+        for mm in mins:
+            rows.append((eid, u, base + mm * m))
+            eid += 1
+    rows.sort(key=lambda r: r[2])
+    d = tmp_path / "sess"
+    d.mkdir()
+    d3 = (len(rows) + 2) // 3
+    for i in range(3):
+        chunk = rows[i * d3 : (i + 1) * d3]
+        if i == 2:
+            # sentinel pushes the final watermark past every close
+            chunk = chunk + [
+                (9999, 999, base + datetime.timedelta(days=10))
+            ]
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            str(d / f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/f*")
+    )
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            sessions_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "sess_out"))
+            .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+    import pyspark.sql.functions as SF
+
+    emitted = spark.read.parquet(str(tmp_path / "sess_out")).where(
+        SF.col("user_id") != 999
+    )
+    got = sorted(tuple(r) for r in emitted.collect())
+    df = spark.createDataFrame(rows, schema)
+    want = sorted(tuple(r) for r in sessions_batch(df).collect())
+    assert got == want and len(want) == 6
+    # session shape spot-checks: user 1 has a 3-event, a 2-event and a
+    # trailing 1-event session (the trailing one ONLY a timer can close)
+    by_user = {}
+    for u, s, e, n in want:
+        by_user.setdefault(u, []).append(n)
+    assert sorted(by_user[1]) == [1, 2, 3]
+    assert by_user[2] == [1, 1, 1]
+
+
+def test_session_timer_processor_transitions_direct():
+    """Direct execution of SessionTimerProcessor against fake state and
+    timer handles: intra-batch gap emits immediately; the re-armed
+    timer tracks the latest close boundary; a stale timer (expiry
+    before last+gap) does NOT close a live session; the true-boundary
+    expiry emits and clears."""
+    import pandas as pd
+
+    from pubsub_mapreduce_spark.streaming.session_timer_maintain import (
+        GAP_MS,
+        SessionTimerProcessor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def clear(self):
+            self._v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.timers = []
+
+        def listTimers(self):
+            return iter(list(self.timers))
+
+        def deleteTimer(self, t):
+            self.timers.remove(t)
+
+        def registerTimer(self, t):
+            self.timers.append(t)
+
+    class FakeExpiry:
+        def __init__(self, t):
+            self._t = t
+
+        def getExpiryTimeInMs(self):
+            return self._t
+
+    p = SessionTimerProcessor()
+    p._handle, p._state = FakeHandle(), FakeValueState()
+
+    def feed(ts_ms):
+        return [
+            tuple(int(x) for x in df.iloc[0][["start_ms", "end_ms", "n_events"]])
+            for df in p.handleInputRows(
+                (7,), iter([pd.DataFrame({"ts_ms": ts_ms})]), None
+            )
+        ]
+
+    t0 = 1_000_000
+    # one batch containing an intra-batch gap: first session emits NOW
+    out = feed([t0, t0 + 60_000, t0 + GAP_MS + 120_000])
+    assert out == [(t0, t0 + 60_000, 2)]
+    assert p._handle.timers == [t0 + GAP_MS + 120_000 + GAP_MS]
+    # stale expiry (before last+gap) must not close the live session
+    assert list(
+        p.handleExpiredTimer((7,), None, FakeExpiry(t0 + GAP_MS))
+    ) == []
+    assert p._state.exists()
+    # true boundary closes and clears
+    fired = list(
+        p.handleExpiredTimer(
+            (7,), None, FakeExpiry(t0 + GAP_MS + 120_000 + GAP_MS)
+        )
+    )
+    assert len(fired) == 1
+    r = fired[0].iloc[0]
+    assert (int(r["start_ms"]), int(r["end_ms"]), int(r["n_events"])) == (
+        t0 + GAP_MS + 120_000,
+        t0 + GAP_MS + 120_000,
+        1,
+    )
+    assert not p._state.exists()
