@@ -657,23 +657,22 @@ def weighted_sample(
     ).cast("long")
     u = (h.cast("double") + 0.5) / F.lit(float(1 << 52))
     key = F.log(u) / F.col(weight).cast("double")
-    ranked = (
-        docs.where(F.col(weight).isNotNull() & (F.col(weight) > 0))
-        .select(
-            "doc_id",
-            F.col(weight).alias("w"),
-            key.alias("key"),
-        )
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.col("key").desc(), F.col("doc_id").asc())
-            ),
-        )
-    )
+    keyed = docs.where(
+        F.col(weight).isNotNull() & (F.col(weight) > 0)
+    ).select("doc_id", F.col(weight).alias("w"), key.alias("key"))
+    # orderBy().limit(k) plans as TakeOrderedAndProject — per-partition
+    # top-k merged once, NEVER a single-partition global sort (the
+    # row_number-over-unpartitioned-window shape moves the corpus to
+    # one task); the rank window then runs on the k-row survivor set.
+    top = keyed.orderBy(F.col("key").desc(), F.col("doc_id").asc()).limit(k)
     from ..functions.text import round_half_up
 
-    return ranked.where(F.col("rank") <= k).select(
+    return top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("key").desc(), F.col("doc_id").asc())
+        ),
+    ).select(
         "rank",
         "doc_id",
         F.col("w").cast("long").alias("w"),

@@ -942,3 +942,71 @@ def test_t_closeness_plan(spark):
     df = q("t_closeness", spark)
     assert keyed_shuffle_count(df) <= 7
     assert_no_cartesian(df)
+
+
+def test_q7_volume_shipping_plan(spark):
+    """TPC-H Q7: ship-date range pushed to the fact scan, every
+    dimension (nation-filtered supplier/customer maps) broadcast, no
+    cartesian anywhere."""
+    df = q("q7_volume_shipping", spark)
+    assert_pushed_filters(df, "l_shipdate", "n_name")
+    assert_broadcast_join(df, min_count=3)
+    assert_no_cartesian(df)
+
+
+def test_q10_returned_items_plan(spark):
+    """TPC-H Q10: returnflag equality AND the order-date range both
+    reach parquet; customer+nation broadcast onto the per-customer
+    aggregate; top-20 never globally sorts the aggregate."""
+    df = q("q10_returned_items", spark)
+    assert_pushed_filters(df, "l_returnflag", "o_orderdate")
+    assert_broadcast_join(df, min_count=2)
+    assert_no_cartesian(df)
+
+
+def test_q18_big_orders_plan(spark):
+    """TPC-H Q18: ONE keyed shuffle (the per-order quantity rollup);
+    orders and customer join the tiny survivor set by broadcast."""
+    df = q("q18_big_orders", spark)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
+    assert keyed_shuffle_count(df) <= 2
+
+
+def test_entity_match_wildcard_plan(spark):
+    """The wildcard-key rewrite must never degenerate: the self-join is
+    keyed on (p, wkey, nation) — no cartesian, no nested loop — and
+    the block-size cap rides a window, not a second scan-join."""
+    df = q("entity_match", spark)
+    assert_no_cartesian(df)
+
+
+def test_sparse_similarity_plan(spark):
+    """user_similarity_sparse: the day equi-join is keyed (never
+    cartesian) and the halved pair source is unioned back without an
+    extra corpus scan (the dots relation feeds both directions)."""
+    df = q("user_similarity_sparse", spark)
+    assert_no_cartesian(df)
+
+
+def test_weighted_sample_plan(spark):
+    """Efraimidis-Spirakis draw: pure projection + TakeOrdered top-k —
+    per-partition top-k merged once, never a single-partition global
+    sort of the corpus; the only window runs on the k-row survivors."""
+    from pubsub_mapreduce_spark.plans.explain import explain_str
+
+    df = q("weighted_sample", spark)
+    assert_no_cartesian(df)
+    assert "TakeOrderedAndProject" in explain_str(df)
+    assert keyed_shuffle_count(df) <= 1
+
+
+def test_kanon_band_search_plan(spark):
+    """Width grid rides a broadcast; the only keyed exchanges are the
+    (w, nation, band) rollup chain — never a per-width rescan of the
+    customer table."""
+    df = q("kanon_band_search", spark)
+    assert_no_cartesian(df)
+    schemas = read_schemas(df)
+    cust = [s for s in schemas if "c_acctbal" in s]
+    assert len(cust) == 1, f"customer must be scanned once: {schemas}"
