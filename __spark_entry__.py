@@ -934,6 +934,14 @@ def q_kanon_band_search(spark, sf_dir):
     return R.kanon_band_search(load_tables(spark, sf_dir))
 
 
+def q_ann_nprobe_sweep(spark, sf_dir):
+    """IVF nprobe tuning table (similarity.ann_nprobe_sweep): recall@5
+    vs exact at probe widths 1/2/4 — the latency/recall dial sweep
+    (recall monotone: probed cell sets nest). Literal HOF assignment
+    keeps the full value-hash oracle."""
+    return S.ann_nprobe_sweep(load_tables(spark, sf_dir)["embeddings"])
+
+
 def q_q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7 (relational.q7_volume_shipping): two-nation shipping
     volume by ship year, both directions, dims broadcast."""
@@ -3032,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "part_clustering": q_part_clustering,
         "kanon_band_search": q_kanon_band_search,
+        "ann_nprobe_sweep": q_ann_nprobe_sweep,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -3108,19 +3117,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen", "hard_negatives", "cvm_drift", "jonckheere",
         "kappa_lang", "psi_drift", "hill_tail", "quantile_normalize",
         "t_closeness", "matryoshka_eval", "purchase_streaks",
-        # 14 round-6 additions, registration order
+        # 15 round-6 additions, registration order
         "q7_volume_shipping", "q10_returned_items", "q18_big_orders",
         "friedman_test", "cliffs_delta", "calibration_bins", "ndcg_eval",
         "js_divergence", "source_entropy", "rolling_spend",
         "favorite_event_type", "weighted_sample", "part_clustering",
-        "kanon_band_search",
-        # 13 re-checks: this round's reworked queries first, then the
+        "kanon_band_search", "ann_nprobe_sweep",
+        # 12 re-checks: this round's reworked queries first, then the
         # round-5 window head in order
         "entity_match", "user_similarity_sparse",
         "dq_orders", "doc_chunks", "oversample_mix", "profile_orders",
         "event_cooccurrence", "session_transitions", "value_histogram",
         "substring_spans", "decontaminate_bloom", "cms_user_counts",
-        "cms_join_size",
     ]
     head = [n for n in r6_head if n in base]
     ordered = {n: base[n] for n in head}
@@ -9834,4 +9842,5 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(w = bw, FALSE) AS chosen
         FROM per_w, best
     """
+    out["ann_nprobe_sweep"] = S.duckdb_nprobe_sweep_sql()
     return out

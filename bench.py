@@ -344,6 +344,7 @@ BENCH_QUERIES = [
     "weighted_sample",
     "part_clustering",
     "kanon_band_search",
+    "ann_nprobe_sweep",
 ]
 
 # Heavy composite queries (>3s at sf0.1). Benched at ONE rep so the

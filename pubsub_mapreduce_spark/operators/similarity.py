@@ -3300,3 +3300,112 @@ def duckdb_ndcg_sql(k: int = 10, every: int = 50) -> str:
                  AS ndcg_at_k
       FROM scored GROUP BY 1
     """
+
+
+def ann_nprobe_sweep(
+    emb: DataFrame,
+    k: int = 5,
+    every: int = 50,
+    nprobes: tuple = (1, 2, 4),
+) -> DataFrame:
+    """IVF nprobe TUNING TABLE: recall@k of the IVF index against the
+    exact top-k at each candidate probe width — the knob sweep that
+    sizes an index deployment (``ann_recall_report`` compares index
+    FAMILIES at fixed knobs; this walks ONE family's latency/recall
+    dial; recall is monotone in nprobe since probed cell sets nest).
+
+    Each probe width re-derives the same deterministic centroid set
+    (nprobe is a QUERY-side knob — a production sweep reuses one built
+    index; in-plan the rebuild is the bounded centroid collect, not a
+    corpus pass). ``assign_via='literal'`` keeps the sequential HOF
+    dots bit-equal to the oracle's list arithmetic. Integer counts,
+    one division per row; the exact side is lazily checkpointed (it
+    feeds every probe width's join — no cross-branch CSE otherwise).
+
+    Scale: the exact brute force is bounded by the ``every``-strided
+    query sample (the recall-monitoring pattern); everything after is
+    |queries| * k * |nprobes| rows."""
+    from functools import reduce
+
+    from ..functions.text import round_half_up
+
+    exact = cosine_topk(emb, k=k, every=every).localCheckpoint(eager=False)
+    consts = exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+    )
+    unions = [
+        ann_ivf_topk(
+            emb, k=k, every=every, nprobe=p, assign_via="literal"
+        ).select(
+            F.lit(int(p)).alias("nprobe"), "query_id", "neighbor_id"
+        )
+        for p in nprobes
+    ]
+    a = reduce(lambda x, y: x.unionByName(y), unions)
+    matched = a.join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+    ).groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched")
+    )
+    spine = emb.sparkSession.createDataFrame(
+        [(int(p),) for p in nprobes], "nprobe int"
+    )
+    z = F.lit(0).cast("long")
+    return (
+        spine.join(matched, "nprobe", "left")
+        .crossJoin(broadcast(consts))
+        .select(
+            "nprobe",
+            "n_queries",
+            F.coalesce("n_matched", z).alias("n_matched"),
+            "n_exact",
+            round_half_up(
+                F.coalesce("n_matched", z) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def duckdb_nprobe_sweep_sql(
+    k: int = 5, every: int = 50, nprobes: tuple = (1, 2, 4)
+) -> str:
+    """DuckDB mirror of ``ann_nprobe_sweep``: the same IVF oracle per
+    probe width (shared centroid/assignment arithmetic via
+    duckdb_ivf_knn_sql), the same exact side and integer recall."""
+    branches = "\n UNION ALL ".join(
+        f"""SELECT {int(p)} AS nprobe, query_id, neighbor_id
+            FROM ({duckdb_ivf_knn_sql(k=k, nprobe=int(p),
+                                      query_filter=f"vec_id % {every} = 0")})"""
+        for p in nprobes
+    )
+    plist = ", ".join(str(int(p)) for p in nprobes)
+    return f"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
+            WHERE vec_id % {every} = 0),
+      scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                        list_cosine_similarity(q_emb, emb) AS sim
+                 FROM q JOIN e ON e.vec_id <> q.query_id),
+      exact AS (SELECT query_id, neighbor_id
+                FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, neighbor_id ASC) AS rank
+                      FROM scored)
+                WHERE rank <= {k}),
+      a AS ({branches}),
+      matched AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_matched
+                  FROM a JOIN exact USING (query_id, neighbor_id)
+                  GROUP BY 1),
+      consts AS (SELECT CAST(count(*) AS BIGINT) AS n_exact,
+                        CAST(count(DISTINCT query_id) AS BIGINT)
+                            AS n_queries
+                 FROM exact),
+      spine AS (SELECT unnest([{plist}]) AS nprobe)
+      SELECT CAST(spine.nprobe AS INTEGER) AS nprobe, n_queries,
+             COALESCE(n_matched, 0) AS n_matched, n_exact,
+             floor(COALESCE(n_matched, 0) * 1.0 / n_exact * 1e6 + 0.5)
+                 / 1e6 AS recall
+      FROM spine CROSS JOIN consts
+      LEFT JOIN matched ON matched.nprobe = spine.nprobe
+    """

@@ -654,8 +654,8 @@ def test_gate_window_ordering_contract():
     for r in (1, 2, 3, 4, 5):
         checked |= set(json.load(open(f"/root/repo/CORRECTNESS_r0{r}.json")))
     head = names[:50]
-    # slots 1-37: never-driver-checked, in the pinned order
-    assert [n for n in head[:37] if n in checked] == []
+    # slots 1-38: never-driver-checked, in the pinned order
+    assert [n for n in head[:38] if n in checked] == []
     assert head[:5] == [
         "runs_test_daily",
         "asof_prev_click",
@@ -663,17 +663,17 @@ def test_gate_window_ordering_contract():
         "lm_bigram_score",
         "cochran_armitage",
     ]
-    assert head[31:37] == [
-        "source_entropy",
+    assert head[32:38] == [
         "rolling_spend",
         "favorite_event_type",
         "weighted_sample",
         "part_clustering",
         "kanon_band_search",
+        "ann_nprobe_sweep",
     ]
-    assert head[37] == "entity_match"
-    assert head[38] == "user_similarity_sparse"
-    assert head[49] == "cms_join_size"
+    assert head[38] == "entity_match"
+    assert head[39] == "user_similarity_sparse"
+    assert head[49] == "cms_user_counts"
     # every registered oracle still has a queries() twin
     assert not set(entrymod.oracle_sql()) - set(names)
 
