@@ -469,13 +469,31 @@ def regression_diff(
     import glob
     import re
 
+    here = os.path.dirname(os.path.abspath(__file__))
     prior = sorted(
-        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
     )
     if not prior:
         return {}
     path = prior[-1]
+    rnd = int(re.search(r"BENCH_r(\d+)", path).group(1))
+    # Prefer the committed FULL per-query artifact for the same round
+    # (BENCH_LOCAL_r{N}.json, VERDICT r5 #6): the driver-side
+    # BENCH_r{N}.json carries only the compact stdout line (slowest
+    # queries), so diffing against it covers a fraction of the surface.
+    full = os.path.join(here, f"BENCH_LOCAL_r{rnd}.json")
+    if os.path.exists(full):
+        try:
+            with open(full) as f:
+                fdoc = json.load(f)
+            if fdoc.get("queries"):
+                return _diff_against(
+                    timings, fdoc["queries"], os.path.basename(full),
+                    factor, min_now,
+                )
+        except (OSError, ValueError):
+            pass
     try:
         with open(path) as f:
             doc = json.load(f)
@@ -501,6 +519,18 @@ def regression_diff(
         }
     if not prev:
         return {}
+    return _diff_against(
+        timings, prev, os.path.basename(path), factor, min_now
+    )
+
+
+def _diff_against(
+    timings: dict[str, float],
+    prev: dict[str, float],
+    baseline_name: str,
+    factor: float,
+    min_now: float,
+) -> dict:
     # Accepted-trade ledger: ONLY live intentional slowdowns belong here
     # (a stale acceptance masks real regressions). The r2 entries
     # (knn_graph / sim_ann_ivf / user_similarity celled-vs-BLAS trades)
@@ -520,8 +550,9 @@ def regression_diff(
         and now >= min_now
     }
     return {
-        "baseline_file": os.path.basename(path),
+        "baseline_file": baseline_name,
         "flag_factor": factor,
+        "n_compared": sum(1 for n in timings if n in prev),
         "regressions": regressions,
     }
 
