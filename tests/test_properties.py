@@ -924,3 +924,144 @@ def test_gopher_rules_match_python_reference(spark, docs):
         for k, v in want.items():
             assert r[k] == v, (i, k, t)
         assert r["pass"] == all(want.values())
+
+
+fr_case = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 3)),  # (day, type)
+    min_size=2,
+    max_size=40,
+)
+
+
+@PROP
+@given(rows=fr_case)
+def test_friedman_matches_bruteforce(spark, rows):
+    """friedman_test vs a literal float computation: counts per
+    (day, type) on the observed day x type grid (missing cell = 0),
+    midranks within each day, tie-corrected Q."""
+    import datetime
+
+    from pubsub_mapreduce_spark.operators.robust import friedman_test
+
+    base = datetime.datetime(2024, 3, 1, 12)
+    df = spark.createDataFrame(
+        [
+            (i, 1, base + datetime.timedelta(days=d), f"t{t}")
+            for i, (d, t) in enumerate(rows)
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    out = friedman_test(df).collect()
+    days = sorted({d for d, _ in rows})
+    types = sorted({t for _, t in rows})
+    from collections import Counter
+
+    counts = Counter(rows)
+    grid = {
+        d: [counts.get((d, t), 0) for t in types] for d in days
+    }
+    k, n = len(types), len(days)
+
+    def midranks(vals):
+        return [
+            sum(1 for x in vals if x < v)
+            + (sum(1 for x in vals if x == v) + 1) / 2
+            for v in vals
+        ]
+
+    ranks = {d: midranks(grid[d]) for d in days}
+    rj = [sum(ranks[d][j] for d in days) for j in range(k)]
+    num = sum((r - n * (k + 1) / 2) ** 2 for r in rj)
+    den = sum(r**2 for d in days for r in ranks[d]) - n * k * (k + 1) ** 2 / 4
+    if k < 2 or den <= 0:
+        assert out == []
+        return
+    q = (k - 1) * num / den
+    assert len(out) == 1
+    assert out[0]["k"] == k and out[0]["n_blocks"] == n
+    assert abs(out[0]["q"] - q) < 1e-5
+
+
+cd_case = st.lists(
+    st.tuples(st.booleans(), st.integers(0, 8)),  # (in src0?, n_chars)
+    min_size=2,
+    max_size=40,
+)
+
+
+@PROP
+@given(rows=cd_case)
+def test_cliffs_delta_matches_bruteforce(spark, rows):
+    """cliffs_delta vs the O(n*m) literal pair count."""
+    from pubsub_mapreduce_spark.operators.robust import cliffs_delta
+
+    df = spark.createDataFrame(
+        [
+            (i, "x", "en", "src0" if a else "srcZ", v)
+            for i, (a, v) in enumerate(rows)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = cliffs_delta(df).collect()
+    xs = [v for a, v in rows if a]
+    ys = [v for a, v in rows if not a]
+    if not xs or not ys:
+        assert out == []
+        return
+    gt = sum(1 for x in xs for y in ys if x > y)
+    lt = sum(1 for x in xs for y in ys if x < y)
+    eq = sum(1 for x in xs for y in ys if x == y)
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_a"], r["n_b"], r["n_gt"], r["n_lt"], r["n_eq"]) == (
+        len(xs), len(ys), gt, lt, eq,
+    )
+    assert abs(r["delta"] - (gt - lt) / (len(xs) * len(ys))) < 1e-5
+    d = abs((gt - lt) / (len(xs) * len(ys)))
+    want_mag = (
+        "negligible" if abs(r["delta"]) < 0.147
+        else "small" if abs(r["delta"]) < 0.33
+        else "medium" if abs(r["delta"]) < 0.474
+        else "large"
+    )
+    assert r["magnitude"] == want_mag
+
+
+ws_case = st.lists(
+    st.tuples(st.integers(0, 10_000), st.integers(0, 600)),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@PROP
+@given(rows=ws_case, k=st.integers(1, 8))
+def test_weighted_sample_matches_exact_replication(spark, rows, k):
+    """weighted_sample vs a literal Python replication of the key
+    derivation (hashlib md5 == Spark md5; same 52-bit uniform, same
+    ln(u)/w) — the draw is a pure deterministic function of ids and
+    weights, so ranks and doc ids match exactly."""
+    import hashlib
+    import math
+
+    from pubsub_mapreduce_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, "x", "en", "s", w) for i, w in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = sorted(
+        (r["rank"], r["doc_id"], r["w"])
+        for r in weighted_sample(df, k=k).collect()
+    )
+    keyed = []
+    for i, w in rows:
+        if w <= 0:
+            continue
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+        u = (h + 0.5) / 2.0**52
+        keyed.append((math.log(u) / w, i, w))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    want = [(r + 1, i, w) for r, (_, i, w) in enumerate(keyed[:k])]
+    assert got == want
