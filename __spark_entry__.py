@@ -44,6 +44,16 @@ from pubsub_mapreduce_spark.operators import (
     textops as TX,
 )
 
+# SPRT log-constants: computed ONCE in Python (libm) and embedded as
+# literals on both engines (robust.sprt_conversion embeds the same
+# expressions with its default parameters p0=0.18 p1=0.22 a=b=0.05).
+import math  # noqa: E402
+
+_SPRT_LR_POS = math.log(0.22 / 0.18)
+_SPRT_LR_NEG = math.log((1.0 - 0.22) / (1.0 - 0.18))
+_SPRT_HI = math.log((1.0 - 0.05) / 0.05)
+_SPRT_LO = math.log(0.05 / (1.0 - 0.05))
+
 # ---------------------------------------------------------------- helpers
 
 
@@ -958,6 +968,87 @@ def q_q18_big_orders(spark, sf_dir):
     """TPC-H Q18 (relational.q18_big_orders): orders whose total line
     quantity exceeds 190, with the ordering customer."""
     return R.q18_big_orders(load_tables(spark, sf_dir))
+
+
+def q_mcnemar_test(spark, sf_dir):
+    """McNemar paired-proportion test (robust.mcnemar_purchase_shift):
+    did users' heavy-buyer status flip between the two halves of the
+    month? Discordant-cell chi2 + continuity-corrected form, all
+    integers until two final divisions."""
+    return RB.mcnemar_purchase_shift(load_tables(spark, sf_dir)["events"])
+
+
+def q_cuped_adjustment(spark, sf_dir):
+    """CUPED variance reduction (robust.cuped_adjustment): pre-period
+    spend as the control covariate, theta = cov/var from exact
+    DECIMAL(38,0) cent moments, per-variant raw vs adjusted means +
+    rho^2 (the variance fraction CUPED removes)."""
+    return RB.cuped_adjustment(load_tables(spark, sf_dir)["events"])
+
+
+def q_levene_variance(spark, sf_dir):
+    """Brown-Forsythe homogeneity of variance across sources
+    (robust.brown_forsythe): ANOVA F on |v - median| with integer
+    medians/deviations and a k-row sequential fold for the one float
+    stage — the scale-shift drift screen."""
+    return RB.brown_forsythe(load_tables(spark, sf_dir)["documents"])
+
+
+def q_ad_twosample(spark, sf_dir):
+    """Anderson-Darling two-sample drift per source (robust.
+    ad_source_drift): tail-weighted ECDF distance on the distinct-
+    value spine, tie-aware Scholz-Stephens form, value-sorted
+    sequential fold — completes the KS/Wasserstein/CvM drift
+    quartet."""
+    return RB.ad_source_drift(load_tables(spark, sf_dir)["documents"])
+
+
+def q_sprt_ab(spark, sf_dir):
+    """Wald SPRT monitoring (robust.sprt_conversion): daily cumulative
+    LLR for H0 p=0.18 vs H1 p=0.22 against the Wald boundaries — the
+    always-valid early-stop readout; LLR is a CLOSED FORM of integer
+    cumulatives x shared log literals."""
+    return RB.sprt_conversion(load_tables(spark, sf_dir)["events"])
+
+
+def q_page_hinkley(spark, sf_dir):
+    """Page-Hinkley online drift monitor (robust.page_hinkley_drift):
+    day-ordered cross-field float recursion run as ONE sequential
+    fold (DuckDB mirror: RECURSIVE CTE), per-day PH statistic vs its
+    running min + alarm flag."""
+    return RB.page_hinkley_drift(load_tables(spark, sf_dir)["events"])
+
+
+def q_chao1_vocab(spark, sf_dir):
+    """Chao1 + Good-Turing vocabulary richness per source
+    (textops.chao1_vocab): singleton/doubleton counts-of-counts ->
+    bias-corrected unseen-species estimate and unseen probability
+    mass — 'is this source mined out?'."""
+    return TX.chao1_vocab(load_tables(spark, sf_dir)["documents"])
+
+
+def q_heaps_law(spark, sf_dir):
+    """Heaps'-law growth fit per source (textops.heaps_law): OLS of
+    ln(vocab) on ln(tokens) over the per-doc cumulative growth curve
+    (integer cumulatives, ln folds) — vocabulary scaling exponent for
+    the data-mix planner."""
+    return TX.heaps_law(load_tables(spark, sf_dir)["documents"])
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc n-gram novelty (dedup.ngram_novelty): share of a doc's
+    distinct word trigrams first seen in that doc — integer ppm off
+    the LSH family's exact shingle relation; the per-document
+    memorization/boilerplate signal."""
+    return dedup.ngram_novelty(load_tables(spark, sf_dir)["documents"])
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail terciles per language by bigram-LM
+    score (textops.perplexity_buckets over lm_bigram_score): the
+    quality-bucket cutoff table corpus triage applies — deterministic
+    integer bucketing over the exactly-mirrored LM fold."""
+    return TX.perplexity_buckets(load_tables(spark, sf_dir)["documents"])
 
 
 def q_q20_dominant_suppliers(spark, sf_dir):
@@ -3041,6 +3132,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_clustering": q_part_clustering,
         "kanon_band_search": q_kanon_band_search,
         "ann_nprobe_sweep": q_ann_nprobe_sweep,
+        "mcnemar_test": q_mcnemar_test,
+        "cuped_adjustment": q_cuped_adjustment,
+        "levene_variance": q_levene_variance,
+        "ad_twosample": q_ad_twosample,
+        "sprt_ab": q_sprt_ab,
+        "page_hinkley": q_page_hinkley,
+        "chao1_vocab": q_chao1_vocab,
+        "heaps_law": q_heaps_law,
+        "ngram_novelty": q_ngram_novelty,
+        "perplexity_buckets": q_perplexity_buckets,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -3097,16 +3198,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # Round-6 gate window: the driver checks the FIRST 50 queries() keys.
     # CORRECTNESS_r01..r05 have verified 248 distinct queries; this
-    # window CLOSES THE BOOK — slots 1-34 are every never-driver-checked
-    # name (the 8 round-4 leftovers and 15 round-5 additions in original
-    # registration order, then the 11 round-6 additions), so after it
-    # lands every registered query has been driver-checked at least
-    # once. Slots 35-50 re-check green names: the two queries whose
-    # semantics changed this round (entity_match's wildcard blocking,
-    # user_similarity_sparse's purchase slice + day-width cap) lead the
-    # re-checks, then the round-5 window head in order. The ordering
-    # contract and the closed-book bookkeeping are pinned by
-    # tests/test_round2_tail.py.
+    # window CLOSES THE BOOK — slots 1-48 are EVERY never-driver-checked
+    # name (the 8 round-4 leftovers, 15 round-5 additions, then the 25
+    # round-6 additions in registration order), so after it lands every
+    # registered query has been driver-checked at least once. Slots
+    # 49-50 re-check the two queries whose semantics changed this round
+    # (entity_match's wildcard blocking, user_similarity_sparse's
+    # purchase slice + day-width cap). The ordering contract and the
+    # closed-book bookkeeping are pinned by tests/test_round2_tail.py.
     r6_head = [
         # 8 round-4 names owed a driver row, registration order
         "runs_test_daily", "asof_prev_click", "semdedup_prune",
@@ -3123,12 +3222,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_divergence", "source_entropy", "rolling_spend",
         "favorite_event_type", "weighted_sample", "part_clustering",
         "kanon_band_search", "ann_nprobe_sweep",
-        # 12 re-checks: this round's reworked queries first, then the
-        # round-5 window head in order
+        # 10 late round-6 additions (never checked), registration order
+        "mcnemar_test", "cuped_adjustment", "levene_variance",
+        "ad_twosample", "sprt_ab", "page_hinkley", "chao1_vocab",
+        "heaps_law", "ngram_novelty", "perplexity_buckets",
+        # 2 re-checks: the queries whose semantics were reworked this
+        # round (wildcard-key blocking; purchase slice + day-width cap)
         "entity_match", "user_similarity_sparse",
-        "dq_orders", "doc_chunks", "oversample_mix", "profile_orders",
-        "event_cooccurrence", "session_transitions", "value_histogram",
-        "substring_spans", "decontaminate_bloom", "cms_user_counts",
     ]
     head = [n for n in r6_head if n in base]
     ordered = {n: base[n] for n in head}
@@ -9841,6 +9941,363 @@ def oracle_sql() -> dict[str, str]:
                min_group >= 5 AS k_ok,
                COALESCE(w = bw, FALSE) AS chosen
         FROM per_w, best
+    """
+    out["mcnemar_test"] = """
+        WITH pu AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                                AND CAST(ts AS DATE) < DATE '2024-01-16'
+                               THEN 1 ELSE 0 END) >= 7 AS INT) AS x1,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                                AND CAST(ts AS DATE) >= DATE '2024-01-16'
+                               THEN 1 ELSE 0 END) >= 7 AS INT) AS x2
+          FROM events GROUP BY 1),
+        cells AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum((1 - x1) * (1 - x2)) AS BIGINT) AS n00,
+                 CAST(sum(x1 * (1 - x2)) AS BIGINT) AS n10,
+                 CAST(sum((1 - x1) * x2) AS BIGINT) AS n01,
+                 CAST(sum(x1 * x2) AS BIGINT) AS n11
+          FROM pu)
+        SELECT n_users, n00, n10, n01, n11,
+               floor(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+                     / CAST(n10 + n01 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2,
+               floor(CAST(greatest(abs(n10 - n01) - 1, 0)
+                          * greatest(abs(n10 - n01) - 1, 0) AS DOUBLE)
+                     / CAST(n10 + n01 AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS chi2_cc
+        FROM cells WHERE n10 + n01 > 0
+    """
+    out["cuped_adjustment"] = """
+        WITH pu AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                                AND CAST(ts AS DATE) < DATE '2024-01-16'
+                               THEN CAST(round(value * 100) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                                AND CAST(ts AS DATE) >= DATE '2024-01-16'
+                               THEN CAST(round(value * 100) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS y,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 2 AS variant
+          FROM events GROUP BY user_id),
+        pooled AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy,
+                 sum(CAST(y AS HUGEINT) * y) AS syy
+          FROM pu),
+        pv AS (
+          SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+                 sum(CAST(x AS HUGEINT)) AS svx,
+                 sum(CAST(y AS HUGEINT)) AS svy
+          FROM pu GROUP BY 1),
+        m AS (
+          SELECT variant, n_users, svx, svy, n, sx, sy,
+                 CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n,
+                 CAST(n * sxx - sx * sx AS DOUBLE) AS varx_n,
+                 CAST(n * syy - sy * sy AS DOUBLE) AS vary_n
+          FROM pv CROSS JOIN pooled)
+        SELECT variant, n_users,
+               floor(CAST(svy AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0
+                     * 1e6 + 0.5) / 1e6 AS mean_y,
+               floor((CAST(svy AS DOUBLE)
+                      - (cov_n / varx_n)
+                        * (CAST(svx AS DOUBLE)
+                           - CAST(n_users AS DOUBLE) * CAST(sx AS DOUBLE)
+                             / CAST(n AS DOUBLE)))
+                     / CAST(n_users AS DOUBLE) / 100.0 * 1e6 + 0.5) / 1e6
+                   AS mean_y_adj,
+               floor(cov_n / varx_n * 1e6 + 0.5) / 1e6 AS theta,
+               floor(cov_n * cov_n / (varx_n * vary_n) * 1e6 + 0.5) / 1e6
+                   AS rho2
+        FROM m
+        WHERE n > 1 AND varx_n > 0 AND vary_n > 0
+    """
+    out["levene_variance"] = """
+        WITH base AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+                      FROM documents WHERE n_chars IS NOT NULL),
+        sv AS (SELECT source, v, count(*) AS c FROM base GROUP BY 1, 2),
+        cum AS (SELECT source, v,
+                       sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+                       sum(c) OVER (PARTITION BY source) AS n_g
+                FROM sv),
+        med AS (SELECT source, min(v) AS med FROM cum
+                WHERE 2 * cum >= n_g + 1 GROUP BY 1),
+        z AS (SELECT base.source, abs(base.v - med.med) AS z
+              FROM base JOIN med ON base.source = med.source),
+        grp AS (SELECT source, CAST(count(*) AS BIGINT) AS ng,
+                       CAST(sum(z) AS BIGINT) AS zg,
+                       sum(CAST(z AS HUGEINT) * z) AS ssg
+                FROM z GROUP BY 1),
+        lst AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                       CAST(sum(ng) AS BIGINT) AS n_total,
+                       CAST(sum(CAST(zg AS HUGEINT)) AS DOUBLE) AS z_all,
+                       CAST(sum(ssg) AS DOUBLE) AS ss_all,
+                       list(struct_pack(source := source, ng := ng,
+                                        zg := zg)
+                            ORDER BY source) AS l
+                FROM grp),
+        f AS (SELECT k, n_total, z_all, ss_all,
+                     list_reduce(list_prepend(0.0, list_transform(l, t ->
+                       (CAST(t.zg AS DOUBLE) * CAST(t.zg AS DOUBLE))
+                       / CAST(t.ng AS DOUBLE))),
+                       (a, b) -> a + b) AS q
+              FROM lst)
+        SELECT k, n_total,
+               floor((q - z_all * z_all / CAST(n_total AS DOUBLE))
+                     * 1e6 + 0.5) / 1e6 AS ssb,
+               floor((ss_all - q) * 1e6 + 0.5) / 1e6 AS ssw,
+               floor((CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))
+                     / (CAST(k AS DOUBLE) - 1.0)
+                     * (q - z_all * z_all / CAST(n_total AS DOUBLE))
+                     / (ss_all - q) * 1e6 + 0.5) / 1e6 AS f_stat
+        FROM f
+        WHERE k > 1 AND (ss_all - q) > 0
+    """
+    out["ad_twosample"] = """
+        WITH base AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+                      FROM documents WHERE n_chars IS NOT NULL),
+        gv AS (SELECT v, count(*) AS c_all FROM base GROUP BY 1),
+        sv AS (SELECT source, v, count(*) AS c_s FROM base GROUP BY 1, 2),
+        srcs AS (SELECT source, count(*) AS n1 FROM base GROUP BY 1),
+        tot AS (SELECT count(*) AS n_total FROM base),
+        grid AS (SELECT srcs.source, srcs.n1, gv.v, gv.c_all,
+                        COALESCE(sv.c_s, 0) AS c_s
+                 FROM gv CROSS JOIN srcs
+                 LEFT JOIN sv ON sv.source = srcs.source AND sv.v = gv.v),
+        cum AS (SELECT source, n1, CAST(c_all AS BIGINT) AS l, v,
+                       CAST(sum(c_s) OVER (PARTITION BY source
+                                           ORDER BY v) AS BIGINT) AS m,
+                       CAST(sum(c_all) OVER (PARTITION BY source
+                                             ORDER BY v) AS BIGINT) AS b
+                FROM grid),
+        spine AS (SELECT source, n1, n_total,
+                         struct_pack(v := v, l := l,
+                                     num := CAST(n_total * m - n1 * b
+                                                 AS BIGINT),
+                                     b := b) AS s
+                  FROM cum CROSS JOIN tot
+                  WHERE b < n_total),
+        lst AS (SELECT source, n1, n_total,
+                       list(s ORDER BY s.v) AS l
+                FROM spine GROUP BY 1, 2, 3),
+        acc AS (SELECT source, n1, n_total,
+                       list_reduce(list_prepend(0.0, list_transform(l, t ->
+                         CAST(t.l AS DOUBLE)
+                         * (CAST(t.num AS DOUBLE) * CAST(t.num AS DOUBLE))
+                         / (CAST(t.b AS DOUBLE)
+                            * (CAST(n_total AS DOUBLE)
+                               - CAST(t.b AS DOUBLE))))),
+                         (a, b) -> a + b) AS a
+                FROM lst)
+        SELECT source, CAST(n1 AS BIGINT) AS n1,
+               CAST(n_total - n1 AS BIGINT) AS n2,
+               floor(a / (CAST(n1 AS DOUBLE)
+                          * CAST(n_total - n1 AS DOUBLE))
+                     * 1e6 + 0.5) / 1e6 AS a2
+        FROM acc
+        WHERE n1 > 0 AND n_total - n1 > 0
+    """
+    out["sprt_ab"] = f"""
+        WITH daily AS (
+          SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                 CAST(count(*) AS BIGINT) AS n_d,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS x_d
+          FROM events GROUP BY 1),
+        cum AS (SELECT day,
+                       CAST(sum(n_d) OVER (ORDER BY day) AS BIGINT)
+                           AS n_cum,
+                       CAST(sum(x_d) OVER (ORDER BY day) AS BIGINT)
+                           AS x_cum
+                FROM daily),
+        l AS (SELECT day, n_cum, x_cum,
+                     CAST(x_cum AS DOUBLE) * {_SPRT_LR_POS!r}
+                     + CAST(n_cum - x_cum AS DOUBLE) * {_SPRT_LR_NEG!r}
+                         AS llr
+              FROM cum)
+        SELECT day, n_cum, x_cum,
+               floor(llr * 1e6 + 0.5) / 1e6 AS llr,
+               CASE WHEN llr >= {_SPRT_HI!r} THEN 'accept_h1'
+                    WHEN llr <= {_SPRT_LO!r} THEN 'accept_h0'
+                    ELSE 'continue' END AS decision
+        FROM l
+    """
+    out["page_hinkley"] = """
+        WITH RECURSIVE daily AS (
+          SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS cents,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1),
+        series AS (SELECT day, cents, cnt,
+                          CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+                              AS i
+                   FROM daily),
+        ph AS (
+          SELECT i, day,
+                 CAST(cents AS DOUBLE) / (100.0 * CAST(cnt AS DOUBLE))
+                     AS x,
+                 0.0 + CAST(cents AS DOUBLE) / (100.0 * CAST(cnt AS DOUBLE))
+                     AS sum_x,
+                 0.0 + (CAST(cents AS DOUBLE)
+                        / (100.0 * CAST(cnt AS DOUBLE))
+                        - (0.0 + CAST(cents AS DOUBLE)
+                           / (100.0 * CAST(cnt AS DOUBLE))) / 1.0
+                        - 0.05) AS m,
+                 least(0.0,
+                       0.0 + (CAST(cents AS DOUBLE)
+                              / (100.0 * CAST(cnt AS DOUBLE))
+                              - (0.0 + CAST(cents AS DOUBLE)
+                                 / (100.0 * CAST(cnt AS DOUBLE))) / 1.0
+                              - 0.05)) AS mmin
+          FROM series WHERE i = 1
+          UNION ALL
+          SELECT s.i, s.day,
+                 CAST(s.cents AS DOUBLE) / (100.0 * CAST(s.cnt AS DOUBLE))
+                     AS x,
+                 p.sum_x + CAST(s.cents AS DOUBLE)
+                           / (100.0 * CAST(s.cnt AS DOUBLE)) AS sum_x,
+                 p.m + (CAST(s.cents AS DOUBLE)
+                        / (100.0 * CAST(s.cnt AS DOUBLE))
+                        - (p.sum_x + CAST(s.cents AS DOUBLE)
+                           / (100.0 * CAST(s.cnt AS DOUBLE)))
+                          / CAST(s.i AS DOUBLE)
+                        - 0.05) AS m,
+                 least(p.mmin,
+                       p.m + (CAST(s.cents AS DOUBLE)
+                              / (100.0 * CAST(s.cnt AS DOUBLE))
+                              - (p.sum_x + CAST(s.cents AS DOUBLE)
+                                 / (100.0 * CAST(s.cnt AS DOUBLE)))
+                                / CAST(s.i AS DOUBLE)
+                              - 0.05)) AS mmin
+          FROM ph p JOIN series s ON s.i = p.i + 1)
+        SELECT day,
+               floor(x * 1e6 + 0.5) / 1e6 AS x,
+               floor(m * 1e6 + 0.5) / 1e6 AS ph,
+               floor(mmin * 1e6 + 0.5) / 1e6 AS ph_min,
+               (m - mmin) > 5.0 AS alarm
+        FROM ph
+    """
+    out["chao1_vocab"] = r"""
+        WITH tf AS (
+          SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT source,
+                       unnest(list_filter(
+                         string_split_regex(lower(text), '\s+'),
+                         t -> t <> '')) AS w
+                FROM documents)
+          GROUP BY 1, 2),
+        per AS (SELECT source,
+                       CAST(count(*) AS BIGINT) AS vocab,
+                       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS f1,
+                       CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS f2
+                FROM tf GROUP BY 1)
+        SELECT source, n_tokens, vocab, f1, f2,
+               floor((CAST(vocab AS DOUBLE)
+                      + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+                        / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)))
+                     * 1e6 + 0.5) / 1e6 AS chao1,
+               floor(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS gt_unseen
+        FROM per WHERE n_tokens > 0
+    """
+    out["heaps_law"] = r"""
+        WITH tok AS (
+          SELECT source, doc_id, w
+          FROM (SELECT source, doc_id,
+                       unnest(list_filter(
+                         string_split_regex(lower(text), '\s+'),
+                         t -> t <> '')) AS w
+                FROM documents)),
+        per_doc AS (SELECT source, doc_id,
+                           CAST(count(*) AS BIGINT) AS tok_d
+                    FROM tok GROUP BY 1, 2),
+        firsts AS (SELECT source, w, min(doc_id) AS fd
+                   FROM tok GROUP BY 1, 2),
+        new_d AS (SELECT source, fd AS doc_id,
+                         CAST(count(*) AS BIGINT) AS new_d
+                  FROM firsts GROUP BY 1, 2),
+        spine AS (SELECT p.source, p.doc_id, p.tok_d,
+                         COALESCE(n.new_d, 0) AS new_d
+                  FROM per_doc p LEFT JOIN new_d n
+                    ON n.source = p.source AND n.doc_id = p.doc_id),
+        curve AS (SELECT source, doc_id,
+                         CAST(sum(tok_d) OVER (PARTITION BY source
+                                               ORDER BY doc_id) AS BIGINT)
+                             AS n_t,
+                         CAST(sum(new_d) OVER (PARTITION BY source
+                                               ORDER BY doc_id) AS BIGINT)
+                             AS v_t
+                  FROM spine),
+        lst AS (SELECT source,
+                       list(struct_pack(doc_id := doc_id, n_t := n_t,
+                                        v_t := v_t)
+                            ORDER BY doc_id) AS l,
+                       CAST(count(*) AS BIGINT) AS n_docs
+                FROM curve WHERE n_t > 0 AND v_t > 0 GROUP BY 1),
+        f AS (SELECT source, n_docs,
+          list_reduce(list_prepend(0.0, list_transform(l, t ->
+            ln(CAST(t.n_t AS DOUBLE)))), (a, b) -> a + b) AS sx,
+          list_reduce(list_prepend(0.0, list_transform(l, t ->
+            ln(CAST(t.v_t AS DOUBLE)))), (a, b) -> a + b) AS sy,
+          list_reduce(list_prepend(0.0, list_transform(l, t ->
+            ln(CAST(t.n_t AS DOUBLE)) * ln(CAST(t.v_t AS DOUBLE)))),
+            (a, b) -> a + b) AS sxy,
+          list_reduce(list_prepend(0.0, list_transform(l, t ->
+            ln(CAST(t.n_t AS DOUBLE)) * ln(CAST(t.n_t AS DOUBLE)))),
+            (a, b) -> a + b) AS sx2
+          FROM lst),
+        b AS (SELECT source, n_docs, sx, sy,
+                     (CAST(n_docs AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n_docs AS DOUBLE) * sx2 - sx * sx) AS beta
+              FROM f
+              WHERE n_docs > 2
+                AND (CAST(n_docs AS DOUBLE) * sx2 - sx * sx) > 0)
+        SELECT source, n_docs,
+               floor(beta * 1e6 + 0.5) / 1e6 AS beta,
+               floor((sy - beta * sx) / CAST(n_docs AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS ln_k
+        FROM b
+    """
+    out["ngram_novelty"] = f"""
+        WITH {_SHINGLES_CTE},
+        grams AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                  FROM sh GROUP BY 1),
+        firsts AS (SELECT shingle, min(doc_id) AS doc_id
+                   FROM sh GROUP BY 1),
+        novel AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+                  FROM firsts GROUP BY 1)
+        SELECT g.doc_id, g.n_grams,
+               COALESCE(n.n_novel, 0) AS n_novel,
+               CAST(1000000 * COALESCE(n.n_novel, 0) // g.n_grams
+                    AS BIGINT) AS novelty_ppm
+        FROM grams g LEFT JOIN novel n ON n.doc_id = g.doc_id
+    """
+    out["perplexity_buckets"] = f"""
+        WITH lm AS ({out["lm_bigram_score"]}),
+        d AS (SELECT lm.doc_id, lm.score_permille, documents.lang
+              FROM lm JOIN documents ON documents.doc_id = lm.doc_id),
+        r AS (SELECT lang, score_permille,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY score_permille DESC, doc_id ASC)
+                       AS BIGINT) AS rn,
+                     CAST(count(*) OVER (PARTITION BY lang) AS BIGINT)
+                         AS n_lang
+              FROM d)
+        SELECT lang, CAST((rn - 1) * 3 // n_lang AS INTEGER) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(score_permille) AS score_min,
+               max(score_permille) AS score_max
+        FROM r GROUP BY 1, 2
     """
     out["ann_nprobe_sweep"] = S.duckdb_nprobe_sweep_sql()
     return out

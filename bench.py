@@ -345,6 +345,16 @@ BENCH_QUERIES = [
     "part_clustering",
     "kanon_band_search",
     "ann_nprobe_sweep",
+    "mcnemar_test",
+    "cuped_adjustment",
+    "levene_variance",
+    "ad_twosample",
+    "sprt_ab",
+    "page_hinkley",
+    "chao1_vocab",
+    "heaps_law",
+    "ngram_novelty",
+    "perplexity_buckets",
 ]
 
 # Heavy composite queries (>3s at sf0.1). Benched at ONE rep so the

@@ -1532,3 +1532,46 @@ def edit_verify_pairs(
         .withColumn("is_dup", F.col("rel_edit") <= F.lit(max_rel_edit))
     )
     return scored
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    word n-grams whose FIRST corpus occurrence (min doc_id) is this
+    doc — the memorization/repetition signal a training-data mix
+    reads per document where ``cross_doc_repetition`` reads it per
+    gram: novelty ~ 1 is fresh text, novelty ~ 0 is a doc assembled
+    entirely from phrases the corpus already contains (boilerplate,
+    near-copies the pairwise dedup family scores only against single
+    partners).
+
+    Exactness: all counts are BIGINTs off the distinct (doc, shingle)
+    relation (``word_shingles``, the LSH family's exact shingle
+    definition); the ratio ships as integer parts-per-million
+    (1e6 * novel // grams) — no float anywhere.
+
+    Scale: one shuffle keyed by shingle for the min-doc firsts
+    (map-side combinable), one |docs|-keyed count join back. The
+    first-occurrence relation is exactly the incremental-dedup
+    keeper scan, reused as a per-doc statistic."""
+    sh = word_shingles(docs, n=n, distinct=True)
+    grams = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    novel = (
+        sh.groupBy("shingle")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    return (
+        grams.join(novel, "doc_id", "left")
+        .withColumn("n_novel", F.coalesce("n_novel", F.lit(0).cast("long")))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("1000000 * n_novel div n_grams")
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+    )

@@ -2923,3 +2923,500 @@ def calibration_bins(events: DataFrame, n_bins: int = 10) -> DataFrame:
         ),
         round_half_up(F.col("base"), 6).alias("base_rate"),
     )
+
+
+def mcnemar_purchase_shift(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    split_date: str = "2024-01-16",
+    min_events: int = 7,
+) -> DataFrame:
+    """McNemar's paired-proportion test: did individual users CHANGE
+    their heavy-buyer status (>= ``min_events`` ``convert_type``
+    events in the half) between the first and second half of the
+    observation window? The marginal rates can be identical while the
+    same users flip in both directions — the within-subject question
+    an unpaired chi-square (``ab_test``/``cochran_armitage``) cannot
+    answer. Discordant cells only: chi2 = (b - c)^2 / (b + c), plus
+    the Edwards continuity-corrected form (|b - c| - 1)^2 / (b + c).
+    (An any-event flag is degenerate on dense panels — every user
+    converts in both halves, b = c = 0 — the cochran_armitage
+    any-purchase finding; the count threshold keeps the pairing
+    informative.)
+
+    Reference parity: beyond-reference experimentation surface (the
+    reference's mapper.go/reducer.go compute no statistics).
+
+    Exactness: the 2x2 paired table is four integer counts from one
+    user-keyed aggregate; both statistics are ONE double division of
+    exact integers, rounded once (round_half_up). Degenerate b+c == 0
+    is dropped by an integer predicate.
+
+    Scale: one shuffle on user_id (map-side partial max), then a
+    single global rollup — no row-count-shaped state anywhere."""
+    d = F.to_date("ts")
+    per_user = events.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(
+                    (F.col("event_type") == convert_type)
+                    & (d < F.lit(split_date)),
+                    1,
+                ).otherwise(0)
+            )
+            >= min_events
+        )
+        .cast("int")
+        .alias("x1"),
+        (
+            F.sum(
+                F.when(
+                    (F.col("event_type") == convert_type)
+                    & (d >= F.lit(split_date)),
+                    1,
+                ).otherwise(0)
+            )
+            >= min_events
+        )
+        .cast("int")
+        .alias("x2"),
+    )
+    cells = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum((1 - F.col("x1")) * (1 - F.col("x2"))).cast("long").alias("n00"),
+        F.sum(F.col("x1") * (1 - F.col("x2"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("x1")) * F.col("x2")).cast("long").alias("n01"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("n11"),
+    )
+    b, c = F.col("n10"), F.col("n01")
+    disc = (b + c).cast("double")
+    cc = F.greatest(F.abs(b - c) - 1, F.lit(0).cast("long"))
+    return cells.where((b + c) > 0).select(
+        "n_users",
+        "n00",
+        "n10",
+        "n01",
+        "n11",
+        round_half_up(((b - c) * (b - c)).cast("double") / disc, 6).alias(
+            "chi2"
+        ),
+        round_half_up((cc * cc).cast("double") / disc, 6).alias("chi2_cc"),
+    )
+
+
+def cuped_adjustment(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    split_date: str = "2024-01-16",
+    n_variants: int = 2,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13): adjust each
+    user's experiment-period spend Y by their PRE-period spend X via
+    theta = cov(X, Y)/var(X), so the variant means are compared on
+    Y - theta*(X - mean(X)) — the standard trick that cuts experiment
+    runtime by the squared X/Y correlation. Emits per-variant raw and
+    adjusted means plus the pooled theta and rho^2 (the variance
+    fraction removed).
+
+    Exactness: X and Y are per-user BIGINT cent sums; every pooled and
+    per-variant moment (Sx, Sy, Sxx, Sxy, Syy) is an exact
+    DECIMAL(38,0) sum of BIGINT products (|x*y| <= ~1e14 per user at
+    any plausible per-user spend, summed exactly). theta, rho^2 and
+    the adjusted means are pure double arithmetic over those exact
+    integers with an identical association order in the DuckDB mirror.
+    Variant assignment is the deterministic md5 bucket
+    (``sampling.hash_bucket``) — engine-stable, as real assignment
+    must be.
+
+    Scale: one user-keyed aggregate (map-side combine), then TWO tiny
+    rollups (pooled 1-row, per-variant |variants| rows) broadcast back
+    together — no second fact scan, no row-shaped driver state."""
+    from ..operators.sampling import hash_bucket
+
+    d = F.to_date("ts")
+    cents = _cents("value")
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == convert_type)
+                    & (d < F.lit(split_date)),
+                    cents,
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == convert_type)
+                    & (d >= F.lit(split_date)),
+                    cents,
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .withColumn("variant", hash_bucket(F.col("user_id"), n_variants))
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(DEC)).alias("sx"),
+        F.sum(F.col("y").cast(DEC)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC)).alias("syy"),
+    )
+    per_var = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("x").cast(DEC)).alias("svx"),
+        F.sum(F.col("y").cast(DEC)).alias("svy"),
+    )
+    nd = F.col("n").cast(DEC)
+    cov_n = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx_n = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary_n = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    theta = cov_n / varx_n
+    nvd = F.col("n_users").cast("double")
+    mean_y = F.col("svy").cast("double") / nvd / 100.0
+    adj = (
+        F.col("svy").cast("double")
+        - theta
+        * (
+            F.col("svx").cast("double")
+            - nvd * F.col("sx").cast("double") / F.col("n").cast("double")
+        )
+    ) / nvd / 100.0
+    return (
+        per_var.crossJoin(F.broadcast(pooled))
+        .where((F.col("n") > 1) & (varx_n > 0) & (vary_n > 0))
+        .select(
+            "variant",
+            "n_users",
+            round_half_up(mean_y, 6).alias("mean_y"),
+            round_half_up(adj, 6).alias("mean_y_adj"),
+            round_half_up(theta, 6).alias("theta"),
+            round_half_up(cov_n * cov_n / (varx_n * vary_n), 6).alias(
+                "rho2"
+            ),
+        )
+    )
+
+
+def brown_forsythe(docs: DataFrame, col: str = "n_chars") -> DataFrame:
+    """Brown-Forsythe homogeneity-of-variance test across sources: the
+    one-way ANOVA F statistic on z = |v - median(source)| — Levene's
+    test with the median center, the robust pre-check before any
+    equal-variance assumption (and a drift screen in its own right: a
+    source whose SPREAD shifts while its center holds fools every
+    location test in the battery; this is the scale-shift detector).
+
+    Exactness: per-source medians are nearest-rank LOWER medians picked
+    by an integer cumulative predicate on the distinct-value spine
+    (2*cum >= n_g + 1 form), so z is an exact integer per row; group
+    sums Zg and squared sums SSg aggregate in DECIMAL(38,0). The one
+    float stage — Q = sum_g Zg^2/n_g, then SSB/SSW/F — runs as a
+    SEQUENTIAL fold over the source-sorted k-row group list (k tiny),
+    mirrored term-for-term in DuckDB list_reduce. Degenerate SSW == 0
+    or k < 2 drops by predicate.
+
+    Scale: spine windows touch |distinct values| rows per source, the
+    medians broadcast back onto one fact pass, and the fold folds k
+    group rows — nothing row-shaped leaves the executors."""
+    x = F.col(col).cast("long")
+    base = docs.select(F.col("source"), x.alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    sv = base.groupBy("source", "v").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sv.select(
+        "source",
+        "v",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("source")).alias("n_g"),
+    )
+    med = (
+        cum.where(2 * F.col("cum") >= F.col("n_g") + 1)
+        .groupBy("source")
+        .agg(F.min("v").alias("med"))
+    )
+    z = base.join(F.broadcast(med), "source").select(
+        "source", F.abs(F.col("v") - F.col("med")).alias("z")
+    )
+    grp = z.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(F.col("z").cast(DEC)).cast("long").alias("zg"),
+        F.sum((F.col("z") * F.col("z")).cast(DEC)).alias("ssg"),
+    )
+    lst = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n_total"),
+        F.sum(F.col("zg").cast(DEC)).cast("double").alias("z_all"),
+        F.sum("ssg").cast("double").alias("ss_all"),
+        F.array_sort(F.collect_list(F.struct("source", "ng", "zg"))).alias(
+            "l"
+        ),
+    )
+    q = F.aggregate(
+        F.col("l"),
+        F.lit(0.0),
+        lambda a, t: a
+        + (t["zg"].cast("double") * t["zg"].cast("double"))
+        / t["ng"].cast("double"),
+    )
+    nd = F.col("n_total").cast("double")
+    kd = F.col("k").cast("double")
+    withq = lst.withColumn("q", q)
+    ssb = F.col("q") - F.col("z_all") * F.col("z_all") / nd
+    ssw = F.col("ss_all") - F.col("q")
+    return withq.where((F.col("k") > 1) & (ssw > 0)).select(
+        "k",
+        "n_total",
+        round_half_up(ssb, 6).alias("ssb"),
+        round_half_up(ssw, 6).alias("ssw"),
+        round_half_up((nd - kd) / (kd - 1.0) * ssb / ssw, 6).alias("f_stat"),
+    )
+
+
+def ad_source_drift(docs: DataFrame, col: str = "n_chars") -> DataFrame:
+    """Exact two-sample Anderson-Darling drift per source (source vs
+    rest): the TAIL-weighted member completing the drift quartet — KS
+    is the sup gap, Wasserstein the L1 area, CvM the variance-weighted
+    L2, and AD re-weights the squared ECDF gap by 1/(F(1-F)), making
+    it the most sensitive of the four to tail divergence (truncation,
+    contamination by extreme lengths) that body-weighted tests miss.
+
+    Tie-aware Scholz-Stephens form (k = 2); with two samples the two
+    per-sample numerators coincide ((N*M2 - n2*B) = -(N*M1 - n1*B)),
+    so
+
+        A2 = (1/(n1*n2)) * sum_{j: B_j < N} l_j * (N*M_j - n1*B_j)^2
+                                              / (B_j * (N - B_j))
+
+    over the distinct-value spine (l_j tie count, M_j/B_j cumulative
+    in-source/total counts).
+
+    Exactness: M, B, l and the numerator are exact BIGINTs on the same
+    |V|-bounded spine as KS/CvM; the per-j division forces float, so
+    the j-sum runs as a SEQUENTIAL fold over the value-sorted spine
+    list per source, mirrored in DuckDB list_reduce — the statistic
+    value-hashes at full precision. Degenerate sides drop by integer
+    predicate.
+
+    Scale: the fold list is |distinct values| long per source — value-
+    spine-bounded, never row-count-bounded; everything before it is
+    two keyed aggregates and a broadcast cross of the |sources| row
+    set."""
+    x = F.col(col).cast("long")
+    base = docs.select(F.col("source"), x.alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    gv = base.groupBy("v").agg(F.count(F.lit(1)).alias("c_all"))
+    sv = base.groupBy("source", "v").agg(F.count(F.lit(1)).alias("c_s"))
+    srcs = base.groupBy("source").agg(F.count(F.lit(1)).alias("n1"))
+    tot = base.agg(F.count(F.lit(1)).alias("n_total"))
+    grid = (
+        gv.crossJoin(F.broadcast(srcs))
+        .join(sv, ["source", "v"], "left")
+        .withColumn("c_s", F.coalesce("c_s", F.lit(0).cast("long")))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "source",
+        "n1",
+        F.col("c_all").cast("long").alias("l"),
+        F.col("v"),
+        F.sum("c_s").over(w).cast("long").alias("m"),
+        F.sum("c_all").over(w).cast("long").alias("b"),
+    )
+    spine = (
+        cum.crossJoin(F.broadcast(tot))
+        .where((F.col("b") < F.col("n_total")))
+        .select(
+            "source",
+            "n1",
+            "n_total",
+            F.struct(
+                F.col("v"),
+                F.col("l"),
+                (
+                    F.col("n_total") * F.col("m") - F.col("n1") * F.col("b")
+                ).alias("num"),
+                F.col("b"),
+            ).alias("s"),
+        )
+    )
+    lst = spine.groupBy("source", "n1", "n_total").agg(
+        F.array_sort(F.collect_list("s")).alias("l")
+    )
+    nd = F.col("n_total").cast("double")
+    acc = F.aggregate(
+        F.col("l"),
+        F.lit(0.0),
+        lambda a, t: a
+        + t["l"].cast("double")
+        * (t["num"].cast("double") * t["num"].cast("double"))
+        / (t["b"].cast("double") * (nd - t["b"].cast("double"))),
+    )
+    n2 = F.col("n_total") - F.col("n1")
+    return (
+        lst.where((F.col("n1") > 0) & (n2 > 0))
+        .select(
+            "source",
+            F.col("n1").cast("long").alias("n1"),
+            n2.cast("long").alias("n2"),
+            round_half_up(
+                acc / (F.col("n1").cast("double") * n2.cast("double")), 6
+            ).alias("a2"),
+        )
+    )
+
+
+def sprt_conversion(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    p0: float = 0.18,
+    p1: float = 0.22,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test on the daily conversion
+    stream: H0 p = p0 vs H1 p = p1, the optimal always-valid early-stop
+    rule for "is the conversion rate at its target?" monitoring —
+    cumulative log-likelihood ratio per day against the
+    ln((1-beta)/alpha) / ln(beta/(1-alpha)) boundaries, with the
+    decision the pipeline would have taken at each close of day.
+
+    Exactness: the Bernoulli LLR telescopes to a CLOSED FORM of the
+    cumulative integer counts — llr_t = x_t*ln(p1/p0) +
+    (n_t - x_t)*ln((1-p1)/(1-p0)) — so no per-day float recursion
+    exists at all: two integer cumulative windows, two shared ln
+    literals (correctly-rounded libm on identical IEEE quotients), one
+    multiply-add. The boundaries are the same two-literal expressions
+    on both engines.
+
+    Scale: one day-keyed aggregate (|days| rows), one ordered window
+    over it — the whole statistic lives on the calendar spine."""
+    d = F.to_date("ts").cast("string")
+    daily = events.groupBy(d.alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+        F.sum(
+            F.when(F.col("event_type") == convert_type, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("x_d"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day",
+        F.sum("n_d").over(w).cast("long").alias("n_cum"),
+        F.sum("x_d").over(w).cast("long").alias("x_cum"),
+    )
+    import math
+
+    # the four log-constants are computed ONCE in Python (libm) and
+    # embedded as literals on BOTH engines — no reliance on engine-side
+    # ln agreement for derived literals
+    lr_pos = F.lit(math.log(p1 / p0))
+    lr_neg = F.lit(math.log((1.0 - p1) / (1.0 - p0)))
+    llr = (
+        F.col("x_cum").cast("double") * lr_pos
+        + (F.col("n_cum") - F.col("x_cum")).cast("double") * lr_neg
+    )
+    hi = F.lit(math.log((1.0 - beta) / alpha))
+    lo = F.lit(math.log(beta / (1.0 - alpha)))
+    return cum.select(
+        "day",
+        "n_cum",
+        "x_cum",
+        round_half_up(llr, 6).alias("llr"),
+        F.when(llr >= hi, F.lit("accept_h1"))
+        .when(llr <= lo, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+
+
+def page_hinkley_drift(
+    events: DataFrame, delta: float = 0.05, lam: float = 5.0
+) -> DataFrame:
+    """Page-Hinkley mean-drift detector over the daily mean event
+    value: the classic streaming changepoint monitor — accumulate
+    m_t = sum_{i<=t} (x_i - xbar_i - delta) against its running
+    minimum and alarm when the gap clears lambda. Complements the
+    battery's RETROSPECTIVE tests (pettitt locates a past change;
+    CUSUM tracks a KNOWN target): PH needs no target and runs forward,
+    the form an online monitor actually deploys.
+
+    Exactness: x_t and the running mean make the recursion float and
+    CROSS-FIELD (m_t needs xbar_t which needs the running sum), so the
+    whole trajectory runs as ONE sequential fold over the day-ordered
+    calendar list with an appending accumulator — and the DuckDB
+    mirror is a RECURSIVE CTE (the list_reduce in-place-accumulator
+    hazard documented in the Holt fold). Inputs to every float step
+    are exact integers (day cent sums / counts).
+
+    Scale: the fold list is |days| long — calendar-bounded. One
+    day-keyed aggregate feeds it; at 100 TB the same plan holds with
+    the day rollup the only shuffle."""
+    d = F.to_date("ts").cast("string")
+    daily = events.groupBy(d.alias("day")).agg(
+        F.sum(_cents("value")).cast("long").alias("cents"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    lst = daily.agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "cents", "cnt"))
+        ).alias("l")
+    )
+    out_t = (
+        "array<struct<day:string,x:double,ph:double,ph_min:double>>"
+    )
+    acc0 = F.struct(
+        F.lit(0.0).alias("sum_x"),
+        F.lit(0.0).alias("m"),
+        F.lit(0.0).alias("mmin"),
+        F.lit(0).cast("long").alias("t"),
+        F.lit([]).cast(out_t).alias("out"),
+    )
+
+    def step(a, r):
+        x = r["cents"].cast("double") / (100.0 * r["cnt"].cast("double"))
+        t = a["t"] + 1
+        sum_x = a["sum_x"] + x
+        m = a["m"] + (x - sum_x / t.cast("double") - F.lit(delta))
+        mmin = F.least(a["mmin"], m)
+        row = F.struct(
+            r["day"].alias("day"),
+            x.alias("x"),
+            m.alias("ph"),
+            mmin.alias("ph_min"),
+        )
+        return F.struct(
+            sum_x.alias("sum_x"),
+            m.alias("m"),
+            mmin.alias("mmin"),
+            t.alias("t"),
+            F.concat(a["out"], F.array(row)).alias("out"),
+        )
+
+    rows = lst.select(
+        F.explode(F.aggregate(F.col("l"), acc0, step)["out"]).alias("r")
+    )
+    return rows.select(
+        F.col("r.day").alias("day"),
+        round_half_up(F.col("r.x"), 6).alias("x"),
+        round_half_up(F.col("r.ph"), 6).alias("ph"),
+        round_half_up(F.col("r.ph_min"), 6).alias("ph_min"),
+        (F.col("r.ph") - F.col("r.ph_min") > F.lit(lam)).alias("alarm"),
+    )

@@ -1647,3 +1647,188 @@ def source_entropy(docs: DataFrame) -> DataFrame:
             "evenness"
         ),
     )
+
+
+def chao1_vocab(docs: DataFrame) -> DataFrame:
+    """Vocabulary-richness estimate per source: Chao1 (bias-corrected)
+    and the Good-Turing unseen-probability mass — "how much vocabulary
+    does this slice have that we have NOT seen yet?" The scaling-law
+    companion to ``zipf_slope``: a source whose chao1 barely exceeds
+    its observed vocab is mined out; a large Good-Turing mass says
+    more data from the source still buys new tokens.
+
+        chao1 = D + f1*(f1 - 1) / (2*(f2 + 1))     (defined at f2 = 0)
+        gt_unseen = f1 / N
+
+    Exactness: D, f1 (singletons), f2 (doubletons) and N are exact
+    BIGINTs off the (source, token) count relation; both statistics
+    are ONE double division of integer products, rounded once.
+
+    Scale: one shuffle to (source, token) counts with map-side
+    combine, then a |sources|-keyed counts-of-counts rollup — the
+    second aggregate's input is vocabulary-sized, not corpus-sized."""
+    tf = (
+        widen(docs, 8)
+        .select(
+            "source", F.explode(T.tokens(F.lower(F.col("text")))).alias("w")
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    per_src = tf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    f1d = F.col("f1").cast("double")
+    return per_src.where(F.col("n_tokens") > 0).select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        rh(
+            F.col("vocab").cast("double")
+            + f1d * (f1d - 1.0) / (2.0 * (F.col("f2").cast("double") + 1.0)),
+            6,
+        ).alias("chao1"),
+        rh(f1d / F.col("n_tokens").cast("double"), 6).alias("gt_unseen"),
+    )
+
+
+def heaps_law(docs: DataFrame) -> DataFrame:
+    """Heaps'-law fit per source: OLS of ln(vocab) on ln(tokens) over
+    the per-document cumulative (tokens-seen, distinct-tokens-seen)
+    growth curve in doc_id order — natural text grows vocabulary as
+    V ~ K*n^beta with beta ~ 0.4-0.6; template/boilerplate slices go
+    flat (tiny beta), random-ish slices run hot. With ``zipf_slope``
+    (rank-frequency) and ``chao1_vocab`` (richness), this completes
+    the corpus-growth triptych a data-mix planner reads.
+
+    Exactness: the growth curve is two INTEGER cumulative windows
+    (per-doc token counts; per-doc count of tokens whose FIRST source
+    occurrence is that doc), each ln() a correctly-rounded libm call
+    on an exact integer, and the four OLS moments run as SEQUENTIAL
+    folds over the doc-ordered checkpoint list (zipf_slope
+    discipline) — slope and intercept value-hash exactly.
+
+    Scale: first occurrences shuffle by token (min doc per token —
+    map-side combinable), checkpoints are |docs per source|-bounded;
+    at petabyte scale the fold list thins to log-spaced checkpoints
+    (sample doc boundaries), which changes the fit's sampling, not
+    the plan shape."""
+    from pyspark.sql import Window
+
+    tok = widen(docs, 8).select(
+        "source",
+        "doc_id",
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("w"),
+    )
+    per_doc = tok.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tok_d")
+    )
+    new_d = (
+        tok.groupBy("source", "w")
+        .agg(F.min("doc_id").alias("fd"))
+        .groupBy("source", F.col("fd").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("new_d"))
+    )
+    spine = per_doc.join(new_d, ["source", "doc_id"], "left").withColumn(
+        "new_d", F.coalesce("new_d", F.lit(0).cast("long"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = spine.select(
+        "source",
+        "doc_id",
+        F.sum("tok_d").over(w).cast("long").alias("n_t"),
+        F.sum("new_d").over(w).cast("long").alias("v_t"),
+    ).where((F.col("n_t") > 0) & (F.col("v_t") > 0))
+    lst = curve.groupBy("source").agg(
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "n_t", "v_t"))
+        ).alias("l"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    fold = lambda fn: F.aggregate(F.col("l"), F.lit(0.0), fn)  # noqa: E731
+    sx = fold(lambda a, t: a + F.log(t["n_t"].cast("double")))
+    sy = fold(lambda a, t: a + F.log(t["v_t"].cast("double")))
+    sxy = fold(
+        lambda a, t: a
+        + F.log(t["n_t"].cast("double")) * F.log(t["v_t"].cast("double"))
+    )
+    sx2 = fold(
+        lambda a, t: a
+        + F.log(t["n_t"].cast("double")) * F.log(t["n_t"].cast("double"))
+    )
+    moments = lst.select(
+        "source",
+        "n_docs",
+        sx.alias("sx"),
+        sy.alias("sy"),
+        sxy.alias("sxy"),
+        sx2.alias("sx2"),
+    )
+    nd = F.col("n_docs").cast("double")
+    den2 = nd * F.col("sx2") - F.col("sx") * F.col("sx")
+    beta2 = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / den2
+    return moments.where((F.col("n_docs") > 2) & (den2 > 0)).select(
+        "source",
+        "n_docs",
+        rh(beta2, 6).alias("beta"),
+        rh((F.col("sy") - beta2 * F.col("sx")) / nd, 6).alias("ln_k"),
+    )
+
+
+def perplexity_buckets(docs: DataFrame, ref_lang: str = "en") -> DataFrame:
+    """CCNet-style quality bucketing: score every document with the
+    reference-corpus bigram LM (``lm_bigram_score``) and split each
+    language into HEAD / MIDDLE / TAIL terciles by that score — the
+    standard corpus triage (Wenzek et al., CCNet) where head feeds
+    training directly, middle gets a second look, and tail is
+    suspect. Emits per (lang, bucket): doc count and the score range,
+    i.e. the cutoff table a curation pipeline applies downstream.
+
+    Exactness: per-doc scores are the exactly-mirrored lm_bigram fold;
+    bucketing is a deterministic integer computation on the
+    (score DESC, doc_id ASC) row_number — (rn-1)*3 div n — and the
+    emitted min/max ride the already-rounded score values. No new
+    float arithmetic at all.
+
+    Scale: adds one |scored docs|-keyed window per lang on top of the
+    LM scoring plan; the window input is (doc_id, lang, score) — three
+    columns, never text."""
+    from pyspark.sql import Window
+
+    scores = lm_bigram_score(docs, ref_lang=ref_lang)
+    with_lang = scores.join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    wr = Window.partitionBy("lang").orderBy(
+        F.col("score_permille").desc(), F.col("doc_id").asc()
+    )
+    wn = Window.partitionBy("lang")
+    ranked = with_lang.select(
+        "lang",
+        "score_permille",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n_lang"),
+    )
+    bucketed = ranked.select(
+        "lang",
+        "score_permille",
+        F.expr("(rn - 1) * 3 div n_lang").cast("int").alias("bucket"),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("score_permille").alias("score_min"),
+        F.max("score_permille").alias("score_max"),
+    )

@@ -638,13 +638,12 @@ def test_ab_health_chi2_and_srm_semantics(spark):
 
 def test_gate_window_ordering_contract():
     """The driver's correctness gate reads the FIRST 50 queries() keys:
-    pin the round-6 window — slots 1-34 are EVERY name never driver-
+    pin the round-6 window — slots 1-48 are EVERY name never driver-
     checked through round 5 (8 round-4 leftovers, 15 round-5 additions,
-    11 round-6 additions, registration order), slots 35-50 re-check the
+    25 round-6 additions, registration order), slots 49-50 re-check the
     two queries reworked this round (entity_match,
-    user_similarity_sparse) and the round-5 window head. Accidental
-    reorderings would silently spend the gate's window on already-green
-    queries."""
+    user_similarity_sparse). Accidental reorderings would silently
+    spend the gate's window on already-green queries."""
     import json
 
     import __spark_entry__ as entrymod
@@ -654,8 +653,8 @@ def test_gate_window_ordering_contract():
     for r in (1, 2, 3, 4, 5):
         checked |= set(json.load(open(f"/root/repo/CORRECTNESS_r0{r}.json")))
     head = names[:50]
-    # slots 1-38: never-driver-checked, in the pinned order
-    assert [n for n in head[:38] if n in checked] == []
+    # slots 1-48: never-driver-checked, in the pinned order
+    assert [n for n in head[:48] if n in checked] == []
     assert head[:5] == [
         "runs_test_daily",
         "asof_prev_click",
@@ -663,17 +662,20 @@ def test_gate_window_ordering_contract():
         "lm_bigram_score",
         "cochran_armitage",
     ]
-    assert head[32:38] == [
-        "rolling_spend",
-        "favorite_event_type",
-        "weighted_sample",
-        "part_clustering",
-        "kanon_band_search",
-        "ann_nprobe_sweep",
+    assert head[38:48] == [
+        "mcnemar_test",
+        "cuped_adjustment",
+        "levene_variance",
+        "ad_twosample",
+        "sprt_ab",
+        "page_hinkley",
+        "chao1_vocab",
+        "heaps_law",
+        "ngram_novelty",
+        "perplexity_buckets",
     ]
-    assert head[38] == "entity_match"
-    assert head[39] == "user_similarity_sparse"
-    assert head[49] == "cms_user_counts"
+    assert head[48] == "entity_match"
+    assert head[49] == "user_similarity_sparse"
     # every registered oracle still has a queries() twin
     assert not set(entrymod.oracle_sql()) - set(names)
 
