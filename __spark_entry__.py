@@ -1051,6 +1051,65 @@ def q_perplexity_buckets(spark, sf_dir):
     return TX.perplexity_buckets(load_tables(spark, sf_dir)["documents"])
 
 
+def q_mann_kendall(spark, sf_dir):
+    """Mann–Kendall trend test on daily order counts
+    (robust.mann_kendall): BIGINT pair-fold S, tie-corrected var18,
+    continuity-corrected Z — the hypothesis-test companion to
+    theil_sen's slope estimate."""
+    return RB.mann_kendall(load_tables(spark, sf_dir)["orders"])
+
+
+def q_cochrans_q(spark, sf_dir):
+    """Cochran's Q over user blocks x event-type treatments
+    (robust.cochrans_q): success = type emitted on >= 8 distinct days;
+    integer numerator/denominator, one division — McNemar's k-treatment
+    generalization."""
+    return RB.cochrans_q(load_tables(spark, sf_dir)["events"])
+
+
+def q_durbin_watson(spark, sf_dir):
+    """Durbin–Watson residual-autocorrelation audit of the daily-revenue
+    OLS trend (robust.durbin_watson): exact DECIMAL moments, quantized
+    BIGINT residuals, one mirrored division."""
+    return RB.durbin_watson(load_tables(spark, sf_dir)["orders"])
+
+
+def q_dunn_posthoc(spark, sf_dir):
+    """Dunn's post-hoc pairwise z matrix after kruskal_wallis
+    (robust.dunn_posthoc): pooled doubled-midrank spine, shared tie
+    correction, C(k,2) source pairs."""
+    return RB.dunn_posthoc(load_tables(spark, sf_dir)["documents"])
+
+
+def q_markov_entropy(spark, sf_dir):
+    """Per-state conditional entropy + stationary weight of the
+    session-transition chain (relational.markov_entropy_rate): the
+    information ceiling on any next-event predictor, fold-mirrored
+    ln() terms."""
+    return R.markov_entropy_rate(load_tables(spark, sf_dir))
+
+
+def q_adamic_adar(spark, sf_dir):
+    """Adamic–Adar link prediction on the part co-purchase graph
+    (graph.adamic_adar over graph.copurchase_edges): integer-micro
+    quantized 1/ln(deg) contributions, degree-capped common-neighbor
+    expansion, top-100 non-edges."""
+    from pubsub_mapreduce_spark.operators.graph import (
+        adamic_adar,
+        copurchase_edges,
+    )
+
+    edges = copurchase_edges(load_tables(spark, sf_dir)["lineitem"], min_w=2)
+    return adamic_adar(edges, top_k=100, max_deg=200)
+
+
+def q_jl_distortion(spark, sf_dir):
+    """Johnson–Lindenstrauss ±1-projection distance-distortion audit
+    (similarity.jl_distortion): md5-derived sign matrix shared with the
+    oracle, sequential-fold dots/distances, bounded pair sample."""
+    return S.jl_distortion(load_tables(spark, sf_dir)["embeddings"])
+
+
 def q_q20_dominant_suppliers(spark, sf_dir):
     return R.q20_dominant_suppliers(load_tables(spark, sf_dir))
 
@@ -2870,6 +2929,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_q5_revenue_by_nation(spark, "/root/testdata/sf0.001")
 
 
+# Registered after the round-6 gate window froze: first in line for the
+# round-7 gate rotation, in registration order. The closed-book pin
+# (tests/test_round2_tail.py) asserts this list is EXACTLY the set of
+# registered-but-never-driver-checked names outside the current window,
+# so any future registration must consciously join it.
+R7_QUEUE = [
+    "mann_kendall", "cochrans_q", "durbin_watson", "dunn_posthoc",
+    "markov_entropy", "adamic_adar", "jl_distortion",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS CONTRACT: the driver's correctness gate covers the
     # FIRST 50 entries in dict order. The gate owes rows to the 45
@@ -3142,6 +3212,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_law": q_heaps_law,
         "ngram_novelty": q_ngram_novelty,
         "perplexity_buckets": q_perplexity_buckets,
+        # --- late round-6 additions (registered AFTER the 50-slot gate
+        # window was frozen; they owe driver rows and sit in R7_QUEUE
+        # in this registration order — the conscious debt re-opening
+        # the closed-book pin demands) ---------------------------------
+        "mann_kendall": q_mann_kendall,
+        "cochrans_q": q_cochrans_q,
+        "durbin_watson": q_durbin_watson,
+        "dunn_posthoc": q_dunn_posthoc,
+        "markov_entropy": q_markov_entropy,
+        "adamic_adar": q_adamic_adar,
+        "jl_distortion": q_jl_distortion,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -10298,6 +10379,232 @@ def oracle_sql() -> dict[str, str]:
                min(score_permille) AS score_min,
                max(score_permille) AS score_max
         FROM r GROUP BY 1, 2
+    """
+    out["mann_kendall"] = """
+        WITH daily AS (SELECT date_trunc('day', o_orderdate) AS d,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM orders GROUP BY 1),
+        s AS (SELECT CAST(sum(CASE WHEN b.c > a.c THEN 1
+                                   WHEN b.c < a.c THEN -1
+                                   ELSE 0 END) AS BIGINT) AS s
+              FROM daily a JOIN daily b ON a.d < b.d),
+        consts AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+                          CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                              AS tie18
+                   FROM (SELECT CAST(count(*) AS BIGINT) AS t
+                         FROM daily GROUP BY c)),
+        j AS (SELECT s, n, n * (n - 1) * (2 * n + 5) - tie18 AS var18
+              FROM s, consts)
+        SELECT n AS n_days, s, var18,
+               floor((CASE WHEN s > 0 THEN CAST(s AS DOUBLE) - 1.0
+                           WHEN s < 0 THEN CAST(s AS DOUBLE) + 1.0
+                           ELSE 0.0 END
+                      / sqrt(CAST(var18 AS DOUBLE) / 18.0))
+                     * 1e6 + 0.5) / 1e6 AS z
+        FROM j WHERE var18 > 0
+    """
+    out["cochrans_q"] = """
+        WITH ut AS (SELECT user_id AS b, event_type AS t,
+                           CAST(count(DISTINCT date_trunc('day', ts))
+                                AS BIGINT) AS nd
+                    FROM events GROUP BY 1, 2),
+        grid AS (SELECT u.b, tt.t,
+                        CASE WHEN COALESCE(x.nd, 0) >= 8
+                             THEN 1 ELSE 0 END AS x
+                 FROM (SELECT DISTINCT b FROM ut) u
+                 CROSS JOIN (SELECT DISTINCT t FROM ut) tt
+                 LEFT JOIN ut x ON x.b = u.b AND x.t = tt.t),
+        per_b AS (SELECT b, CAST(sum(x) AS BIGINT) AS rb
+                  FROM grid GROUP BY 1),
+        blocks AS (SELECT CAST(sum(rb) AS BIGINT) AS n_succ,
+                          CAST(sum(rb * rb) AS BIGINT) AS sum_rb2,
+                          CAST(count(*) AS BIGINT) AS n_blocks
+                   FROM per_b),
+        per_t AS (SELECT t, CAST(sum(x) AS BIGINT) AS cj
+                  FROM grid GROUP BY 1),
+        lst AS (SELECT list(struct_pack(t := t, cj := cj) ORDER BY t, cj)
+                           AS l,
+                       CAST(count(*) AS BIGINT) AS k
+                FROM per_t),
+        j AS (SELECT n_blocks, k, n_succ,
+                     (k - 1) * list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(l, e ->
+                           (k * e.cj - n_succ) * (k * e.cj - n_succ))),
+                       (p, q) -> p + q) AS num,
+                     k * (k * n_succ - sum_rb2) AS den
+              FROM lst, blocks)
+        SELECT n_blocks, k, n_succ,
+               floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS q
+        FROM j WHERE k > 1 AND den > 0
+    """
+    out["durbin_watson"] = """
+        WITH daily AS (SELECT date_trunc('day', o_orderdate) AS d,
+                              CAST(sum(CAST(round(o_totalprice * 100)
+                                            AS BIGINT)) AS BIGINT) AS y
+                       FROM orders GROUP BY 1),
+        dt AS (SELECT d, y,
+                      CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+               FROM daily),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(t) AS HUGEINT) AS st,
+                     CAST(sum(t * t) AS HUGEINT) AS st2,
+                     CAST(sum(y) AS HUGEINT) AS sy,
+                     CAST(sum(CAST(t AS HUGEINT) * CAST(y AS HUGEINT))
+                          AS HUGEINT) AS sty
+              FROM dt),
+        mb AS (SELECT n,
+                      CAST(CAST(n AS HUGEINT) * sty - st * sy AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT) * st2 - st * st AS DOUBLE)
+                          AS b
+               FROM m),
+        ma AS (SELECT mb.n, mb.b,
+                      (CAST(m.sy AS DOUBLE)
+                       - mb.b * CAST(m.st AS DOUBLE))
+                      / CAST(mb.n AS DOUBLE) AS a
+               FROM mb, m),
+        res AS (SELECT ma.n, ma.b,
+                       CAST(floor((CAST(dt.y AS DOUBLE) - ma.a
+                                   - ma.b * CAST(dt.t AS DOUBLE))
+                                  * 10000.0 + 0.5) AS HUGEINT) AS eq,
+                       lag(CAST(floor((CAST(dt.y AS DOUBLE) - ma.a
+                                       - ma.b * CAST(dt.t AS DOUBLE))
+                                      * 10000.0 + 0.5) AS HUGEINT))
+                           OVER (ORDER BY dt.t) AS eq_prev
+                FROM dt, ma),
+        agg AS (SELECT n, b,
+                       CAST(sum(eq * eq) AS HUGEINT) AS sse,
+                       CAST(sum((eq - eq_prev) * (eq - eq_prev))
+                            AS HUGEINT) AS ssd
+                FROM res GROUP BY 1, 2)
+        SELECT n AS n_days,
+               floor(b * 1e6 + 0.5) / 1e6 AS slope_cents_per_day,
+               floor(CAST(ssd AS DOUBLE) / CAST(sse AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS dw
+        FROM agg WHERE sse > 0
+    """
+    out["dunn_posthoc"] = """
+        WITH base AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+                      FROM documents WHERE n_chars IS NOT NULL),
+        gv AS (SELECT v, CAST(count(*) AS BIGINT) AS c_all
+               FROM base GROUP BY 1),
+        consts AS (SELECT CAST(sum(c_all) AS BIGINT) AS n,
+                          CAST(sum(c_all * c_all * c_all - c_all)
+                               AS BIGINT) AS tie_t
+                   FROM gv),
+        spine AS (SELECT v,
+                 CAST(2 * (sum(c_all) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - c_all) + c_all + 1 AS BIGINT) AS u
+                  FROM gv),
+        sv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c_g
+               FROM base GROUP BY 1, 2),
+        per_g AS (SELECT g, CAST(sum(c_g) AS BIGINT) AS ng,
+                         CAST(sum(c_g * u) AS BIGINT) AS r2
+                  FROM sv JOIN spine USING (v) GROUP BY 1),
+        pairs AS (SELECT a.g AS g_a, b.g AS g_b, a.ng AS na, b.ng AS nb,
+                         a.r2 AS r2a, b.r2 AS r2b, n, tie_t
+                  FROM per_g a JOIN per_g b ON a.g < b.g, consts)
+        SELECT g_a, g_b, na, nb,
+               floor(((CAST(r2a AS DOUBLE) / (2.0 * CAST(na AS DOUBLE))
+                       - CAST(r2b AS DOUBLE) / (2.0 * CAST(nb AS DOUBLE)))
+                      / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                              / 12.0
+                              - CAST(tie_t AS DOUBLE)
+                                / (12.0 * (CAST(n AS DOUBLE) - 1.0)))
+                             * (1.0 / CAST(na AS DOUBLE)
+                                + 1.0 / CAST(nb AS DOUBLE))))
+                     * 1e6 + 0.5) / 1e6 AS z
+        FROM pairs
+        WHERE n > 2
+          AND (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 12.0
+               - CAST(tie_t AS DOUBLE)
+                 / (12.0 * (CAST(n AS DOUBLE) - 1.0)))
+              * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)) > 0
+    """
+    # Entropy rate composes the validated transition oracle verbatim
+    # (the markov_accuracy pattern).
+    out["markov_entropy"] = f"""
+        WITH tr AS (SELECT * FROM ({out["session_transitions"]})),
+        lst AS (SELECT type_from,
+                       CAST(sum(n_transitions) AS BIGINT) AS ni,
+                       list(struct_pack(type_to := type_to,
+                                        nij := CAST(n_transitions
+                                                    AS BIGINT))
+                            ORDER BY type_to, n_transitions) AS l
+                FROM tr GROUP BY 1),
+        tot AS (SELECT CAST(sum(ni) AS BIGINT) AS n_all FROM lst)
+        SELECT type_from, ni AS n_trans,
+               floor(CAST(ni AS DOUBLE) / CAST(n_all AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS pi,
+               floor(list_reduce(list_prepend(0.0,
+                       list_transform(l, e ->
+                         (CAST(e.nij AS DOUBLE) / CAST(ni AS DOUBLE))
+                         * (ln(CAST(ni AS DOUBLE))
+                            - ln(CAST(e.nij AS DOUBLE))))),
+                     (p, q) -> p + q) * 1e6 + 0.5) / 1e6 AS h_cond
+        FROM lst, tot
+    """
+    out["adamic_adar"] = """
+        WITH e0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                    FROM lineitem),
+        edges AS (SELECT x.pk AS a, y.pk AS b, count(*) AS w
+                  FROM e0 x JOIN e0 y ON x.ok = y.ok AND x.pk < y.pk
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS (SELECT a, b FROM edges
+                UNION ALL SELECT b AS a, a AS b FROM edges),
+        deg AS (SELECT a AS wn, CAST(count(*) AS BIGINT) AS d
+                FROM und GROUP BY 1),
+        mid AS (SELECT wn,
+                       CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE)) + 0.5)
+                            AS BIGINT) AS contrib
+                FROM deg WHERE d >= 2 AND d <= 200),
+        nbr AS (SELECT b AS wn, a AS n FROM und),
+        pairs AS (SELECT x.n AS u, y.n AS v,
+                         CAST(sum(m.contrib) AS BIGINT) AS aa_micro,
+                         CAST(count(*) AS BIGINT) AS n_common
+                  FROM nbr x JOIN mid m ON m.wn = x.wn
+                  JOIN nbr y ON y.wn = x.wn
+                  WHERE x.n < y.n GROUP BY 1, 2),
+        ne AS (SELECT p.u, p.v, p.n_common, p.aa_micro
+               FROM pairs p ANTI JOIN und e
+                 ON p.u = e.a AND p.v = e.b)
+        SELECT u, v, n_common, aa_micro,
+               CAST(aa_micro AS DOUBLE) / 1000000.0 AS aa
+        FROM ne ORDER BY aa_micro DESC, u ASC, v ASC LIMIT 100
+    """
+    out["jl_distortion"] = """
+        WITH signs AS (SELECT j,
+                 list_transform(range(0, 64), i ->
+                   CASE WHEN substr(md5('jl:' || CAST(j AS VARCHAR)
+                                    || ':' || CAST(i AS VARCHAR)), 1, 1)
+                        IN ('0','1','2','3','4','5','6','7')
+                        THEN CAST(1.0 AS DOUBLE)
+                        ELSE CAST(-1.0 AS DOUBLE) END) AS srow
+               FROM range(0, 16) t(j)),
+        s AS (SELECT vec_id,
+                     list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE)) AS emb
+              FROM embeddings WHERE vec_id % 11 = 0),
+        proj AS (SELECT s.vec_id, any_value(s.emb) AS emb,
+                        list(list_dot_product(sg.srow, s.emb)
+                             ORDER BY sg.j) AS y
+                 FROM s CROSS JOIN signs sg GROUP BY s.vec_id),
+        pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_reduce(list_prepend(0.0,
+                   list_transform(list_zip(a.emb, b.emb),
+                     z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                   (p, q) -> p + q) AS d2o,
+                 list_reduce(list_prepend(0.0,
+                   list_transform(list_zip(a.y, b.y),
+                     z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                   (p, q) -> p + q) AS d2p
+                 FROM proj a JOIN proj b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b,
+               floor(d2o * 1e6 + 0.5) / 1e6 AS d2_orig,
+               floor((d2p / 16.0) / d2o * 1e6 + 0.5) / 1e6 AS ratio
+        FROM pairs WHERE d2o > 0
     """
     out["ann_nprobe_sweep"] = S.duckdb_nprobe_sweep_sql()
     return out

@@ -355,6 +355,14 @@ BENCH_QUERIES = [
     "heaps_law",
     "ngram_novelty",
     "perplexity_buckets",
+    # late round-6 additions (R7_QUEUE)
+    "mann_kendall",
+    "cochrans_q",
+    "durbin_watson",
+    "dunn_posthoc",
+    "markov_entropy",
+    "adamic_adar",
+    "jl_distortion",
 ]
 
 # Heavy composite queries (>3s at sf0.1). Benched at ONE rep so the

@@ -501,3 +501,79 @@ def clustering_coefficient(
         "n_triangles",
         round_half_up(cc, 6).alias("clustering_coeff"),
     )
+
+
+def adamic_adar(
+    edges: DataFrame, top_k: int = 100, max_deg: int = 200
+) -> DataFrame:
+    """Adamic–Adar link prediction over the co-purchase graph: for every
+    NON-edge pair (u, v) sharing at least one neighbor, score
+
+        AA(u, v) = sum_{w in N(u) & N(v), 2 <= deg(w) <= max_deg}
+                   1 / ln(deg(w))
+
+    and emit the ``top_k`` candidates — "parts that are not yet bought
+    together but whose neighborhoods say they will be" (the classic
+    complement to ``item_cf_recs``: CF ranks within observed edges,
+    this predicts MISSING ones, rare-neighbor-weighted so sharing a
+    niche part means more than sharing a bestseller).
+
+    Exactness: each neighbor's contribution is QUANTIZED to integer
+    micros — floor(1e6 / ln(deg) + 0.5) on a BIGINT degree — so the
+    per-pair score is an exact BIGINT sum (no float-sum reassociation),
+    and ranking/tie-breaks are integer-deterministic (aa_micro desc,
+    u, v). deg >= 2 is definitional (ln 1 = 0); ``max_deg`` is the skew
+    cap: the common-neighbor expansion fans out sum_w C(deg_w, 2), so
+    one hub node would otherwise quadratically dominate the shuffle
+    (the dedup max_df precedent) while contributing the least possible
+    weight per pair — at the default cap each dropped hub term is
+    worth < 1/ln(200) ~ 0.19.
+
+    Scale: neighbor lists shuffle once on the common node w; the
+    expansion is bounded per w by the cap; the anti-join that removes
+    existing edges and the final TakeOrdered(top_k) keep the output
+    constant-sized."""
+    und = (
+        edges.select("a", "b")
+        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=False)
+    )
+    deg = und.groupBy(F.col("a").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    mid = deg.where((F.col("d") >= 2) & (F.col("d") <= max_deg)).select(
+        "w",
+        F.floor(F.lit(1000000.0) / F.log(F.col("d").cast("double")) + 0.5)
+        .cast("long")
+        .alias("contrib"),
+    )
+    nbr = und.select(F.col("b").alias("w"), F.col("a").alias("n"))
+    x = nbr.join(mid, "w").select("w", "contrib", F.col("n").alias("u"))
+    y = nbr.select("w", F.col("n").alias("v"))
+    pairs = (
+        x.join(y, "w")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.sum("contrib").cast("long").alias("aa_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+        )
+    )
+    non_edges = pairs.join(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    return (
+        non_edges.orderBy(
+            F.desc("aa_micro"), F.asc("u"), F.asc("v")
+        )
+        .limit(top_k)
+        .select(
+            "u",
+            "v",
+            "n_common",
+            "aa_micro",
+            (F.col("aa_micro").cast("double") / 1000000.0).alias("aa"),
+        )
+    )

@@ -2460,6 +2460,60 @@ def markov_accuracy(t: Tables, gap_min: int = 30) -> DataFrame:
     return per_state
 
 
+def markov_entropy_rate(t: Tables, gap_min: int = 30) -> DataFrame:
+    """Per-state conditional entropy of the session-transition Markov
+    chain — the information-theoretic summary the chain trio lacks
+    (``session_transitions`` estimates the matrix, ``markov_accuracy``
+    scores its argmax; this measures how much surprise REMAINS given
+    one step of memory — the ceiling on any next-event predictor):
+
+        H(next | from=i) = sum_j (n_ij / n_i) * ln(n_i / n_ij)
+        pi_i             = n_i / N   (empirical state weight)
+
+    (the entropy RATE of the chain is sum_i pi_i H_i — recoverable from
+    the emitted columns; per-state rows keep the output auditable).
+
+    Exactness: transition counts are BIGINT; each per-state entropy is
+    a SEQUENTIAL fold over the to-type-sorted list (zipf discipline —
+    ln() on exact integers is a correctly-rounded libm call, mirrored
+    term-for-term in the oracle), and pi is one mirrored division.
+    Deterministic single-count states emit h_cond = 0 exactly (the
+    fold contributes n_i/n_i * ln(1) terms).
+
+    Scale: rides session_transitions' one user-keyed exchange; the
+    matrix is |types|^2 rows, so the fold and rollup are
+    dimension-sized."""
+    from ..functions.text import round_half_up
+
+    trans = session_transitions(t, gap_min=gap_min).select(
+        "type_from",
+        "type_to",
+        F.col("n_transitions").cast("long").alias("nij"),
+    )
+    lst = trans.groupBy("type_from").agg(
+        F.sum("nij").cast("long").alias("ni"),
+        F.array_sort(F.collect_list(F.struct("type_to", "nij"))).alias("l"),
+    )
+    total = lst.agg(F.sum("ni").cast("long").alias("n_all"))
+    j = lst.crossJoin(F.broadcast(total))
+    nid = F.col("ni").cast("double")
+    h = F.aggregate(
+        F.col("l"),
+        F.lit(0.0),
+        lambda a, x: a
+        + (x["nij"].cast("double") / nid)
+        * (F.log(nid) - F.log(x["nij"].cast("double"))),
+    )
+    return j.select(
+        "type_from",
+        F.col("ni").alias("n_trans"),
+        round_half_up(
+            F.col("ni").cast("double") / F.col("n_all").cast("double"), 6
+        ).alias("pi"),
+        round_half_up(h, 6).alias("h_cond"),
+    )
+
+
 def pit_features(events: DataFrame, label_type: str = "purchase") -> DataFrame:
     """Point-in-time-correct training examples: for every user's LAST
     ``label_type`` event (the label moment), the feature vector

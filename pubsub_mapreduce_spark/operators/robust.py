@@ -3420,3 +3420,323 @@ def page_hinkley_drift(
         round_half_up(F.col("r.ph_min"), 6).alias("ph_min"),
         (F.col("r.ph") - F.col("r.ph_min") > F.lit(lam)).alias("alarm"),
     )
+
+
+def mann_kendall(orders: DataFrame) -> DataFrame:
+    """Mann–Kendall trend test on the daily order-count series — the
+    HYPOTHESIS-TEST companion to ``theil_sen`` (that one estimates the
+    slope; this one says whether a monotone trend exists at all, with a
+    tie-corrected normal approximation):
+
+        S     = sum_{i<j} sign(c_j - c_i)
+        VarS  = [ n(n-1)(2n+5) - sum_t t(t-1)(2t+5) ] / 18
+        Z     = (S - sign(S)) / sqrt(VarS)     (continuity-corrected)
+
+    Integer discipline: daily counts are BIGINT, so S is an exact
+    BIGINT pair fold and ``var18`` (= 18*VarS, emitted for audit) is an
+    exact BIGINT from the count-of-counts tie rollup; the ONE float
+    expression is the final Z under round_half_up. Degenerate series
+    (all days tied -> var18 == 0) drop by integer predicate.
+
+    Scale: the pair join is calendar-bounded — C(|days|, 2) pairs
+    regardless of row count (the theil_sen envelope, ~2.9M pairs on a
+    7-year fixture) — and the tie rollup rides the |distinct count|
+    spine. Nothing downstream of the daily rollup is corpus-sized."""
+    daily = (
+        orders.select(F.date_trunc("day", "o_orderdate").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select(F.col("d").alias("d1"), F.col("c").alias("c1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("c").alias("c2"))
+    s = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .agg(
+            F.sum(
+                F.when(F.col("c2") > F.col("c1"), 1)
+                .when(F.col("c2") < F.col("c1"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    consts = (
+        daily.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum("t").cast("long").alias("n"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie18"),
+        )
+    )
+    j = s.crossJoin(F.broadcast(consts))
+    nn = F.col("n")
+    var18 = nn * (nn - 1) * (2 * nn + 5) - F.col("tie18")
+    sc = F.col("s").cast("double")
+    z = F.when(F.col("s") > 0, sc - 1.0).when(
+        F.col("s") < 0, sc + 1.0
+    ).otherwise(F.lit(0.0)) / F.sqrt(var18.cast("double") / 18.0)
+    return j.where(var18 > 0).select(
+        nn.alias("n_days"),
+        F.col("s"),
+        var18.alias("var18"),
+        round_half_up(z, 6).alias("z"),
+    )
+
+
+def cochrans_q(events: DataFrame, min_days: int = 8) -> DataFrame:
+    """Cochran's Q — the k-treatment generalization of McNemar
+    (``mcnemar_purchase_shift`` compares TWO paired proportions; this
+    asks whether ANY of the k event types differ in adoption when every
+    user is their own block): blocks are users, treatments are event
+    types, success = the user emitted that type on >= ``min_days``
+    DISTINCT days (bare incidence saturates — every fixture user
+    touches every type — so the threshold is what makes the design
+    informative; it is part of the operator contract, not a tuning
+    knob).
+
+        Q = (k-1) * sum_j (k*C_j - N)^2 / ( k * (k*N - sum_b R_b^2) )
+
+    (C_j = per-treatment success totals, R_b = per-block success
+    counts, N = sum R_b; the k^2 scale factors between the textbook
+    form and this one cancel exactly.)
+
+    Integer discipline: successes are integer predicates on BIGINT
+    day counts, so numerator and denominator are exact BIGINTs; the
+    ONE float division sits under round_half_up. The degenerate
+    all-blocks-uniform design (den == 0) drops by integer predicate.
+
+    Scale: one (user, type) rollup — the corpus-sized shuffle — then a
+    |users| x k grid completed by a broadcast type spine; everything
+    after is |users|- or k-bounded, partial-aggregated map-side."""
+    ut = (
+        events.select(
+            F.col("user_id").alias("b"),
+            F.col("event_type").alias("t"),
+            F.date_trunc("day", "ts").alias("d"),
+        )
+        .groupBy("b", "t")
+        .agg(F.countDistinct("d").cast("long").alias("nd"))
+    )
+    types = ut.select("t").distinct()
+    users = ut.select("b").distinct()
+    grid = (
+        users.crossJoin(F.broadcast(types))
+        .join(ut, ["b", "t"], "left")
+        .select(
+            "b",
+            "t",
+            F.when(F.coalesce("nd", F.lit(0)) >= min_days, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("x"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    per_b = grid.groupBy("b").agg(F.sum("x").cast("long").alias("rb"))
+    blocks = per_b.agg(
+        F.sum("rb").cast("long").alias("n_succ"),
+        F.sum(F.col("rb") * F.col("rb")).cast("long").alias("sum_rb2"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+    per_t = grid.groupBy("t").agg(F.sum("x").cast("long").alias("cj"))
+    lst = per_t.agg(
+        F.array_sort(F.collect_list(F.struct("t", "cj"))).alias("l"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    j = lst.crossJoin(F.broadcast(blocks))
+    kk, nnum = F.col("k"), F.col("n_succ")
+    num = (kk - 1) * F.aggregate(
+        F.col("l"),
+        F.lit(0).cast("long"),
+        lambda a, t: a
+        + (kk * t["cj"] - nnum) * (kk * t["cj"] - nnum),
+    )
+    den = kk * (kk * nnum - F.col("sum_rb2"))
+    return j.where((kk > 1) & (den > 0)).select(
+        F.col("n_blocks"),
+        kk.alias("k"),
+        nnum.alias("n_succ"),
+        round_half_up(num.cast("double") / den.cast("double"), 6).alias(
+            "q"
+        ),
+    )
+
+
+def durbin_watson(orders: DataFrame) -> DataFrame:
+    """Durbin–Watson statistic on the residuals of the daily-revenue
+    OLS trend — the serial-correlation audit the trend battery lacks
+    (``acf_daily`` describes raw autocorrelation; this asks the
+    regression question: AFTER removing the linear trend, do adjacent
+    days still co-move? dw < 2 -> positive residual autocorrelation,
+    the classic symptom of seasonality or level shifts under a line
+    fit):
+
+        dw = sum_t (e_t - e_{t-1})^2 / sum_t e_t^2
+
+    Exactness: the OLS moments (n, St, St2, Sy, Sty) are exact
+    DECIMAL(38,0) on integer day indexes and integer CENTS, so the
+    slope/intercept doubles are single mirrored divisions of exact
+    integers. Residuals are then QUANTIZED — e_t is computed in double
+    (identical expression tree both engines, hence identical IEEE
+    values) and immediately rounded to a BIGINT at 1e-4 cents — so
+    both quadratic sums are exact DECIMAL reductions, immune to
+    float-sum reassociation across partitions (the one hazard a
+    naive double sum-of-squares has on a cluster). ONE float division
+    at the end under round_half_up.
+
+    Scale: one daily rollup shuffle; the residual window is
+    calendar-bounded (|days| rows on one partition, the theil_sen
+    envelope), and the moments are a broadcast 1-row aggregate."""
+    daily = (
+        orders.select(
+            F.date_trunc("day", "o_orderdate").alias("d"),
+            _cents("o_totalprice").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    w_t = Window.orderBy("d")
+    dt = daily.select(
+        "d", "y", F.row_number().over(w_t).cast("long").alias("t")
+    ).localCheckpoint(eager=False)
+    m = dt.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast(DEC).alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast(DEC).alias("st2"),
+        F.sum("y").cast(DEC).alias("sy"),
+        F.sum(F.col("t").cast(DEC) * F.col("y").cast(DEC))
+        .cast(DEC)
+        .alias("sty"),
+    )
+    nn = F.col("n").cast(DEC)
+    num_b = (nn * F.col("sty") - F.col("st") * F.col("sy")).cast("double")
+    den_b = (nn * F.col("st2") - F.col("st") * F.col("st")).cast("double")
+    b = num_b / den_b
+    aa = (
+        F.col("sy").cast("double") - b * F.col("st").cast("double")
+    ) / F.col("n").cast("double")
+    withm = dt.crossJoin(
+        F.broadcast(m.select("n", b.alias("b"), aa.alias("a")))
+    )
+    e = (
+        F.col("y").cast("double")
+        - F.col("a")
+        - F.col("b") * F.col("t").cast("double")
+    )
+    eq = F.floor(e * 10000.0 + F.lit(0.5)).cast(DEC)
+    res = withm.select(
+        "n", "b", "t", eq.alias("eq"), F.lag(eq).over(w_t).alias("eq_prev")
+    )
+    out = res.groupBy("n", "b").agg(
+        F.sum(F.col("eq") * F.col("eq")).cast(DEC).alias("sse"),
+        F.sum(
+            (F.col("eq") - F.col("eq_prev"))
+            * (F.col("eq") - F.col("eq_prev"))
+        )
+        .cast(DEC)
+        .alias("ssd"),
+    )
+    return out.where(F.col("sse") > 0).select(
+        F.col("n").alias("n_days"),
+        round_half_up(F.col("b"), 6).alias("slope_cents_per_day"),
+        round_half_up(
+            F.col("ssd").cast("double") / F.col("sse").cast("double"), 6
+        ).alias("dw"),
+    )
+
+
+def dunn_posthoc(
+    docs: DataFrame, col: str = "n_chars", group: str = "source"
+) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons — the follow-up
+    ``kruskal_wallis`` demands (the omnibus H says "the sources
+    differ"; this says WHICH pairs differ, on the same pooled-rank
+    scale with the same tie correction):
+
+        z_ab = (Rbar_a - Rbar_b)
+               / sqrt( [ N(N+1)/12 - T/(12(N-1)) ] (1/n_a + 1/n_b) )
+
+    with T = sum_v (c_v^3 - c_v) over pooled tie groups.
+
+    Integer discipline: mean ranks ride the same doubled-midrank
+    BIGINT spine as KW (Rbar = R2/(2n), each term a mirrored exact
+    division), T and N are BIGINT, and the z expression is one
+    mirrored float tree under round_half_up. Degenerate pools (N < 3)
+    drop by integer predicate.
+
+    Scale: identical envelope to kruskal_wallis — ONE corpus-sized
+    (group, value) rollup, then a C(k, 2) self-join on the k-row
+    per-group relation (k = |sources|, a constant)."""
+    base = docs.select(
+        F.col(group).alias("g"), F.col(col).cast("long").alias("v")
+    ).where(F.col("v").isNotNull())
+    sv = (
+        base.groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_g"))
+        .localCheckpoint(eager=False)
+    )
+    gv = (
+        sv.groupBy("v")
+        .agg(F.sum("c_g").cast("long").alias("c_all"))
+        .localCheckpoint(eager=False)
+    )
+    consts = gv.agg(
+        F.sum("c_all").cast("long").alias("n"),
+        F.sum(
+            F.col("c_all") * F.col("c_all") * F.col("c_all") - F.col("c_all")
+        )
+        .cast("long")
+        .alias("tie_t"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    spine = gv.select(
+        "v",
+        (2 * (F.sum("c_all").over(w) - F.col("c_all")) + F.col("c_all") + 1)
+        .cast("long")
+        .alias("u"),
+    )
+    per_g = (
+        sv.join(spine, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c_g").cast("long").alias("ng"),
+            F.sum(F.col("c_g") * F.col("u")).cast("long").alias("r2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pa = per_g.select(
+        F.col("g").alias("g_a"),
+        F.col("ng").alias("na"),
+        F.col("r2").alias("r2a"),
+    )
+    pb = per_g.select(
+        F.col("g").alias("g_b"),
+        F.col("ng").alias("nb"),
+        F.col("r2").alias("r2b"),
+    )
+    pairs = pa.join(pb, F.col("g_a") < F.col("g_b")).crossJoin(
+        F.broadcast(consts)
+    )
+    nd = F.col("n").cast("double")
+    diff = F.col("r2a").cast("double") / (
+        2.0 * F.col("na").cast("double")
+    ) - F.col("r2b").cast("double") / (2.0 * F.col("nb").cast("double"))
+    var = (
+        nd * (nd + 1.0) / 12.0
+        - F.col("tie_t").cast("double") / (12.0 * (nd - 1.0))
+    ) * (
+        1.0 / F.col("na").cast("double") + 1.0 / F.col("nb").cast("double")
+    )
+    return pairs.where((F.col("n") > 2) & (var > 0)).select(
+        "g_a",
+        "g_b",
+        "na",
+        "nb",
+        round_half_up(diff / F.sqrt(var), 6).alias("z"),
+    )

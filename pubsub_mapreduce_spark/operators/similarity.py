@@ -3409,3 +3409,118 @@ def duckdb_nprobe_sweep_sql(
       FROM spine CROSS JOIN consts
       LEFT JOIN matched ON matched.nprobe = spine.nprobe
     """
+
+
+def jl_signs(proj_dim: int = 16, full_dim: int = 64) -> list:
+    """Deterministic Achlioptas-style ±1 JL sign matrix: sign(j, i) is
+    +1 iff the first hex digit of md5('jl:j:i') is 0-7 (the top bit of
+    the first nibble). A pure function of (j, i) — no RNG, no state —
+    so the oracle SQL re-derives the identical matrix with DuckDB's
+    md5() and the projection is reproducible on any engine."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[0]
+            in "01234567"
+            else -1.0
+            for i in range(full_dim)
+        ]
+        for j in range(proj_dim)
+    ]
+
+
+def _sqdist(a, b):
+    """Squared L2 distance as ONE sequential fold over the zipped pair —
+    mirrored term-for-term in the oracle (list_reduce over the same
+    transform), so the double is bit-identical cross-engine."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def jl_distortion(
+    emb: DataFrame,
+    proj_dim: int = 16,
+    every: int = 11,
+    full_dim: int = 64,
+) -> DataFrame:
+    """Johnson–Lindenstrauss projection audit: project embeddings onto
+    ``proj_dim`` deterministic ±1 directions (``jl_signs``) and report,
+    for every sampled pair, the squared-distance distortion
+
+        ratio = ( ||Rx - Ry||^2 / proj_dim ) / ||x - y||^2
+
+    — the measurement behind the dimensionality-reduction trade every
+    100TB vector pipeline faces (JL says ratios concentrate near 1 as
+    proj_dim grows; pairs far from 1 are where a 4x-cheaper index would
+    misrank). The ±1 matrix is the database-friendly JL construction
+    (Achlioptas 2003): projection is 16 sign-flipped sequential-fold
+    dots, no Gaussian sampling, derived bit-identically in both engines
+    from md5 (``jl_signs``).
+
+    Exactness: doubles throughout, but every reduction is a SEQUENTIAL
+    fold (projection dots via the shared ``dot``; distances via
+    ``_sqdist``) mirrored term-for-term in the oracle — no
+    partition-order reassociation anywhere — and the two final
+    divisions are mirrored verbatim under round_half_up. Coincident
+    pairs (d2_orig == 0) drop by exact-zero predicate.
+
+    Scale: the sample is bounded by construction (every ``every``-th
+    vec_id — the ANN-eval envelope), so pairs are (n/every)^2
+    regardless of corpus size; the projection touches only sampled
+    rows. Auditing the FULL corpus would instead project once
+    (16 folds/row, one map) and sample pairs per LSH bucket."""
+    from ..functions.text import round_half_up
+    from ..functions.vectors import dot
+
+    signs = jl_signs(proj_dim, full_dim)
+    e = _as_double(emb).select("vec_id", "embedding")
+    s = query_subset(e, every)
+    proj = s.select(
+        "vec_id",
+        "embedding",
+        F.array(
+            *[
+                dot(
+                    F.array(*[F.lit(v) for v in signs[j]]),
+                    F.col("embedding"),
+                )
+                for j in range(proj_dim)
+            ]
+        ).alias("y"),
+    ).localCheckpoint(eager=False)
+    a = proj.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("y").alias("ya"),
+    )
+    b = proj.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("y").alias("yb"),
+    )
+    d2o = _sqdist(F.col("ea"), F.col("eb"))
+    d2p = _sqdist(F.col("ya"), F.col("yb"))
+    return (
+        a.join(broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            d2o.alias("__d2o"),
+            d2p.alias("__d2p"),
+        )
+        .where(F.col("__d2o") > 0)
+        .select(
+            "id_a",
+            "id_b",
+            round_half_up(F.col("__d2o"), 6).alias("d2_orig"),
+            round_half_up(
+                (F.col("__d2p") / F.lit(float(proj_dim))) / F.col("__d2o"),
+                6,
+            ).alias("ratio"),
+        )
+    )

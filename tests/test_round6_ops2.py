@@ -1,0 +1,253 @@
+"""Late round-6 operators: Mann-Kendall, Cochran's Q, Durbin-Watson,
+Dunn's post-hoc, Markov entropy rate, Adamic-Adar, JL distortion.
+
+Each test pins the operator against a hand-computed (or literal-Python
+brute force) reference on a planted fixture — the oracle sweep covers
+the fixture corpora; these pin the SEMANTICS on cases small enough to
+verify by hand.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pubsub_mapreduce_spark.operators import relational as R
+from pubsub_mapreduce_spark.operators import robust as RB
+
+D = dt.datetime
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+
+
+def test_mann_kendall_hand_computed(spark):
+    # daily counts [1, 2, 2, 3]: S = +1+1+1+0+1+1 = 5; tie group {2}
+    # has t=2 -> tie18 = 2*1*9 = 18; var18 = 4*3*13 - 18 = 138;
+    # z = (5-1)/sqrt(138/18).
+    rows = []
+    ok = 0
+    for day, n in [(1, 1), (2, 2), (3, 2), (4, 3)]:
+        for _ in range(n):
+            ok += 1
+            rows.append((ok, 1, "O", 10.0, D(2024, 3, day), "1-URGENT"))
+    out = RB.mann_kendall(_orders(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_days == 4 and r.s == 5 and r.var18 == 138
+    want = math.floor((4.0 / math.sqrt(138.0 / 18.0)) * 1e6 + 0.5) / 1e6
+    assert r.z == want
+
+
+def test_mann_kendall_all_tied_is_degenerate(spark):
+    # constant daily counts -> every day ties -> var18 == 0 -> no row.
+    rows = [
+        (i, 1, "O", 10.0, D(2024, 3, 1 + i), "1-URGENT") for i in range(5)
+    ]
+    assert RB.mann_kendall(_orders(spark, rows)).count() == 0
+
+
+def test_cochrans_q_hand_computed(spark):
+    # min_days=1 -> success = type present. u1: A; u2: A,B; u3: A.
+    # C_A=3, C_B=1, N=4, R=(1,2,1), sum R^2=6, k=2:
+    # num = 1*[(2*3-4)^2 + (2*1-4)^2] = 8; den = 2*(2*4-6) = 4; Q=2.
+    rows = [
+        (1, D(2024, 3, 1, 10), 1, "A", 0.0),
+        (2, D(2024, 3, 1, 10), 2, "A", 0.0),
+        (3, D(2024, 3, 2, 10), 2, "B", 0.0),
+        (4, D(2024, 3, 1, 10), 3, "A", 0.0),
+    ]
+    out = RB.cochrans_q(_events(spark, rows), min_days=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_blocks == 3 and r.k == 2 and r.n_succ == 4
+    assert r.q == 2.0
+
+
+def test_cochrans_q_uniform_design_degenerate(spark):
+    # every user did every type -> R_b = k for all -> den = 0 -> empty.
+    rows = [
+        (i * 2 + j, D(2024, 3, 1, 10), i, t, 0.0)
+        for i in range(3)
+        for j, t in enumerate(["A", "B"])
+    ]
+    assert RB.cochrans_q(_events(spark, rows), min_days=1).count() == 0
+
+
+def _dw_reference(days_cents):
+    """Literal-Python mirror of durbin_watson's spec (exact moments,
+    double slope/intercept, quantized residuals)."""
+    n = len(days_cents)
+    ts = list(range(1, n + 1))
+    st, st2 = sum(ts), sum(t * t for t in ts)
+    sy = sum(days_cents)
+    sty = sum(t * y for t, y in zip(ts, days_cents))
+    b = float(n * sty - st * sy) / float(n * st2 - st * st)
+    a = (float(sy) - b * float(st)) / float(n)
+    eq = [
+        math.floor((float(y) - a - b * float(t)) * 10000.0 + 0.5)
+        for t, y in zip(ts, days_cents)
+    ]
+    sse = sum(e * e for e in eq)
+    ssd = sum(
+        (e2 - e1) * (e2 - e1) for e1, e2 in zip(eq, eq[1:])
+    )
+    dw = math.floor(float(ssd) / float(sse) * 1e6 + 0.5) / 1e6
+    slope = math.floor(b * 1e6 + 0.5) / 1e6
+    return slope, dw
+
+
+def test_durbin_watson_matches_literal_reference(spark):
+    # alternating series around a flat trend -> dw near 4 (negative
+    # residual autocorrelation); pin the exact quantized value.
+    vals = [1.00, 2.00, 1.00, 2.00, 1.00, 2.00]
+    rows = [
+        (i, 1, "O", v, D(2024, 3, 1 + i), "1-URGENT")
+        for i, v in enumerate(vals)
+    ]
+    out = RB.durbin_watson(_orders(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    slope, dw = _dw_reference([round(v * 100) for v in vals])
+    assert r.n_days == 6
+    assert r.slope_cents_per_day == slope
+    assert r.dw == dw
+    assert dw > 3.0  # alternation -> strong negative autocorrelation
+
+
+def test_durbin_watson_perfect_line_is_degenerate(spark):
+    # exactly linear revenue -> zero residuals -> sse == 0 -> no row.
+    rows = [
+        (i, 1, "O", 1.0 * (i + 1), D(2024, 3, 1 + i), "1-URGENT")
+        for i in range(5)
+    ]
+    assert RB.durbin_watson(_orders(spark, rows)).count() == 0
+
+
+def test_dunn_posthoc_hand_computed(spark):
+    # A={1,2}, B={3,4}: no ties, mean ranks 1.5 vs 3.5,
+    # var = (4*5/12) * (1/2 + 1/2) = 5/3, z = -2/sqrt(5/3).
+    rows = [
+        (1, "x", "en", "a", 1),
+        (2, "x", "en", "a", 2),
+        (3, "x", "en", "b", 3),
+        (4, "x", "en", "b", 4),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    out = RB.dunn_posthoc(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.g_a, r.g_b, r.na, r.nb) == ("a", "b", 2, 2)
+    want = math.floor((-2.0 / math.sqrt(5.0 / 3.0)) * 1e6 + 0.5) / 1e6
+    assert r.z == want
+
+
+def test_markov_entropy_deterministic_and_branching_states(spark):
+    # user 1: A B A B A (one session) -> from A always to B (h=0),
+    # from B always to A (h=0). user 2: C A2 C B2 -> from C: {A2, B2}
+    # equally -> h = ln 2. (types suffixed so user-2 chains don't mix
+    # into user-1 states except through C's branches.)
+    rows = []
+    t0 = D(2024, 3, 1, 10, 0)
+    for i, ty in enumerate(["A", "B", "A", "B", "A"]):
+        rows.append((i, t0 + dt.timedelta(minutes=i), 1, ty, 0.0))
+    for i, ty in enumerate(["C", "A2", "C", "B2"]):
+        rows.append((10 + i, t0 + dt.timedelta(minutes=i), 2, ty, 0.0))
+    out = {
+        r.type_from: r
+        for r in R.markov_entropy_rate(
+            {"events": _events(spark, rows)}
+        ).collect()
+    }
+    assert out["A"].h_cond == 0.0 and out["A"].n_trans == 2
+    assert out["B"].h_cond == 0.0 and out["B"].n_trans == 2
+    ln2 = math.floor(math.log(2.0) * 1e6 + 0.5) / 1e6
+    assert out["C"].h_cond == ln2 and out["C"].n_trans == 2
+    # pi sums to 1 over states (7 transitions total)
+    assert sum(r.n_trans for r in out.values()) == 7
+
+
+def test_adamic_adar_star_graph(spark):
+    # star 1-{2,3,4}: every leaf pair shares hub 1 (deg 3) and no other
+    # neighbor -> AA = 1/ln 3 for (2,3),(2,4),(3,4); leaves have deg 1
+    # so they never serve as middle nodes; no pair is an edge.
+    from pubsub_mapreduce_spark.operators.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (1, 3, 1), (1, 4, 1)], "a long, b long, w long"
+    )
+    out = adamic_adar(edges, top_k=10, max_deg=200).collect()
+    micro = math.floor(1e6 / math.log(3.0) + 0.5)
+    assert sorted((r.u, r.v) for r in out) == [(2, 3), (2, 4), (3, 4)]
+    assert all(r.aa_micro == micro and r.n_common == 1 for r in out)
+
+
+def test_adamic_adar_existing_edges_excluded_and_cap(spark):
+    # triangle 1-2, 2-3, 1-3 plus leaf 4 on node 1: pair (2,4)/(3,4)
+    # share neighbor 1; pair (2,3) IS an edge -> excluded even though
+    # it shares neighbor 1. max_deg=2 drops hub 1 (deg 3) -> no pairs.
+    from pubsub_mapreduce_spark.operators.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (1, 3, 1), (1, 4, 1)],
+        "a long, b long, w long",
+    )
+    out = adamic_adar(edges, top_k=10, max_deg=200).collect()
+    got = sorted((r.u, r.v) for r in out)
+    assert (2, 3) not in got
+    assert (2, 4) in got and (3, 4) in got
+    assert adamic_adar(edges, top_k=10, max_deg=2).count() == 0
+
+
+def test_jl_distortion_axis_vectors_ratio_one(spark):
+    # vectors 0, e1, 2*e1: every pair's difference is along dim 0, so
+    # ||R(x-y)||^2/16 = (sum_j s_j0^2) * c^2 / 16 = c^2 = ||x-y||^2
+    # -> ratio exactly 1 for all three pairs (signs are +-1).
+    from pubsub_mapreduce_spark.operators.similarity import jl_distortion
+
+    def vec(c):
+        return [float(c)] + [0.0] * 63
+
+    emb = spark.createDataFrame(
+        [(0, vec(0)), (1, vec(1)), (2, vec(2))],
+        "vec_id long, embedding array<float>",
+    )
+    out = jl_distortion(emb, every=1).collect()
+    assert sorted((r.id_a, r.id_b) for r in out) == [(0, 1), (0, 2), (1, 2)]
+    assert all(r.ratio == 1.0 for r in out)
+    d2 = {(r.id_a, r.id_b): r.d2_orig for r in out}
+    assert d2[(0, 1)] == 1.0 and d2[(0, 2)] == 4.0 and d2[(1, 2)] == 1.0
+
+
+def test_jl_signs_deterministic_md5_derivation(spark):
+    # pure function of (j, i) via md5 — re-derive two entries by hand.
+    import hashlib
+
+    from pubsub_mapreduce_spark.operators.similarity import jl_signs
+
+    signs = jl_signs(16, 64)
+    assert len(signs) == 16 and all(len(r) == 64 for r in signs)
+    assert all(v in (1.0, -1.0) for r in signs for v in r)
+    for j, i in [(0, 0), (7, 33)]:
+        h = hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[0]
+        assert signs[j][i] == (1.0 if h in "01234567" else -1.0)
+    # roughly balanced (md5 uniformity): between 40% and 60% positive
+    pos = sum(v == 1.0 for r in signs for v in r)
+    assert 0.4 < pos / 1024 < 0.6
