@@ -1110,6 +1110,27 @@ def q_jl_distortion(spark, sf_dir):
     return S.jl_distortion(load_tables(spark, sf_dir)["embeddings"])
 
 
+def q_ccf_daily(spark, sf_dir):
+    """Cross-correlation between event-type pairs' daily series at lags
+    -3..3 (robust.ccf_daily): the lead-lag detector; BIGINT moments,
+    one mirrored float expression per (pair, lag)."""
+    return RB.ccf_daily(load_tables(spark, sf_dir)["events"])
+
+
+def q_stl_lite(spark, sf_dir):
+    """Classical additive trend/DOW-seasonal/residual decomposition of
+    daily revenue (robust.stl_lite): exact rational components from
+    integer cents, per-day rows."""
+    return RB.stl_lite(load_tables(spark, sf_dir)["orders"])
+
+
+def q_silhouette_eval(spark, sf_dir):
+    """Squared-distance silhouette audit of the int8 k-means clustering
+    on a bounded sample (similarity.silhouette_eval over kmeans_assign):
+    integer pair distances, mirrored mean/min/score expressions."""
+    return S.silhouette_eval(load_tables(spark, sf_dir)["embeddings"])
+
+
 def q_q20_dominant_suppliers(spark, sf_dir):
     return R.q20_dominant_suppliers(load_tables(spark, sf_dir))
 
@@ -2937,6 +2958,7 @@ def entry(spark: SparkSession) -> DataFrame:
 R7_QUEUE = [
     "mann_kendall", "cochrans_q", "durbin_watson", "dunn_posthoc",
     "markov_entropy", "adamic_adar", "jl_distortion",
+    "ccf_daily", "stl_lite", "silhouette_eval",
 ]
 
 
@@ -3223,6 +3245,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_entropy": q_markov_entropy,
         "adamic_adar": q_adamic_adar,
         "jl_distortion": q_jl_distortion,
+        "ccf_daily": q_ccf_daily,
+        "stl_lite": q_stl_lite,
+        "silhouette_eval": q_silhouette_eval,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -10605,6 +10630,155 @@ def oracle_sql() -> dict[str, str]:
                floor(d2o * 1e6 + 0.5) / 1e6 AS d2_orig,
                floor((d2p / 16.0) / d2o * 1e6 + 0.5) / 1e6 AS ratio
         FROM pairs WHERE d2o > 0
+    """
+    out["ccf_daily"] = """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        lags AS (SELECT CAST(unnest(range(-3, 4)) AS INTEGER) AS lag),
+        j AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 l.lag, a.cnt AS x, b.cnt AS y
+          FROM daily a CROSS JOIN lags l
+          JOIN daily b ON a.event_type < b.event_type
+                      AND b.d = a.d + l.lag),
+        agg AS (
+          SELECT type_a, type_b, lag,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sx2,
+                 CAST(sum(y * y) AS BIGINT) AS sy2
+          FROM j GROUP BY 1, 2, 3)
+        SELECT type_a, type_b, lag, n,
+               floor((CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+                         * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)))
+                      + 1.0) * 1e6 + 0.5) / 1e6 AS r_plus1
+        FROM agg
+        WHERE n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+    """
+    out["stl_lite"] = """
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS d,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        t0 AS (
+          SELECT d, y,
+                 CAST(sum(y) OVER w AS BIGINT) AS trend7,
+                 CAST(count(*) OVER w AS BIGINT) AS c7
+          FROM daily
+          WINDOW w AS (ORDER BY d
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        t AS (
+          SELECT d, y, trend7,
+                 CAST(dayofweek(d) AS INTEGER) AS dow,
+                 7 * y - trend7 AS detr7
+          FROM t0 WHERE c7 = 7),
+        seas AS (
+          SELECT dow, CAST(sum(detr7) AS BIGINT) AS sn,
+                 CAST(count(*) AS BIGINT) AS sc
+          FROM t GROUP BY 1)
+        SELECT strftime(t.d, '%Y-%m-%d') AS day, t.y,
+               floor(CAST(t.trend7 AS DOUBLE) / 7.0 * 1e6 + 0.5) / 1e6
+                   AS trend,
+               floor(CAST(s.sn AS DOUBLE)
+                     / CAST(7 * s.sc AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS seasonal,
+               floor(CAST(7 * s.sc * t.y - s.sc * t.trend7 - s.sn
+                          AS DOUBLE)
+                     / CAST(7 * s.sc AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS residual
+        FROM t JOIN seas s USING (dow)
+    """
+    # Silhouette composes the emb_kmeans oracle's Lloyd rounds verbatim
+    # (coded / q / seeds / two assign-update rounds), then scores the
+    # final assignment on the same integer code metric.
+    out["silhouette_eval"] = """
+        WITH scaled AS (
+          SELECT vec_id, embedding,
+                 CASE WHEN s0 > 0 THEN s0 ELSE 1.0 END AS scale
+          FROM (SELECT vec_id, embedding,
+                       CAST(list_max(list_transform(embedding,
+                            v -> abs(v))) AS DOUBLE) / 127 AS s0
+                FROM embeddings)),
+        coded AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding, v ->
+                     CAST(floor(CAST(v AS DOUBLE) / scale + 0.5)
+                          AS INTEGER)) AS codes
+          FROM scaled),
+        q AS MATERIALIZED (
+          SELECT vec_id, i - 1 AS dim, codes[i] AS code
+          FROM coded,
+               LATERAL (SELECT unnest(range(1, len(codes) + 1)) AS i) _),
+        seeds0 AS (
+          SELECT vec_id, codes FROM coded
+          WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 8),
+        seedn AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                      AS INTEGER) AS cluster, codes
+          FROM seeds0),
+        cents0 AS (
+          SELECT cluster, i - 1 AS dim, CAST(codes[i] AS BIGINT) AS c
+          FROM seedn,
+               LATERAL (SELECT unnest(range(1, len(codes) + 1)) AS i) _),
+        d1 AS (
+          SELECT q.vec_id, c.cluster,
+                 CAST(sum((q.code - c.c) * (q.code - c.c)) AS BIGINT)
+                     AS d2
+          FROM q JOIN cents0 c USING (dim) GROUP BY 1, 2),
+        a1 AS (
+          SELECT vec_id, cluster FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY d2, cluster) AS rn
+            FROM d1) WHERE rn = 1),
+        cents1 AS (
+          SELECT a.cluster, q.dim,
+                 CAST(sum(q.code) // count(*) AS BIGINT) AS c
+          FROM q JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+        dd2 AS (
+          SELECT q.vec_id, c.cluster,
+                 CAST(sum((q.code - c.c) * (q.code - c.c)) AS BIGINT)
+                     AS d2
+          FROM q JOIN cents1 c USING (dim) GROUP BY 1, 2),
+        a2 AS MATERIALIZED (
+          SELECT vec_id, cluster FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY d2, cluster) AS rn
+            FROM dd2) WHERE rn = 1),
+        memb AS MATERIALIZED (
+          SELECT c.vec_id, c.codes, a.cluster
+          FROM coded c JOIN a2 a USING (vec_id)),
+        samp AS (
+          SELECT vec_id AS i, codes AS ci, cluster AS gi
+          FROM memb WHERE vec_id % 25 = 0),
+        percl AS (
+          SELECT s.i, s.gi, m.cluster AS gj,
+                 CAST(sum(list_sum(list_transform(
+                      range(1, len(s.ci) + 1),
+                      t -> CAST(s.ci[t] - m.codes[t] AS BIGINT)
+                           * CAST(s.ci[t] - m.codes[t] AS BIGINT))))
+                      AS BIGINT) AS sd,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM samp s JOIN memb m ON m.vec_id <> s.i
+          GROUP BY 1, 2, 3),
+        own AS (
+          SELECT i, gi,
+                 CAST(sd AS DOUBLE) / CAST(cnt AS DOUBLE) AS a_mean
+          FROM percl WHERE gj = gi),
+        oth AS (
+          SELECT i,
+                 min(CAST(sd AS DOUBLE) / CAST(cnt AS DOUBLE)) AS b_mean
+          FROM percl WHERE gj <> gi GROUP BY 1)
+        SELECT own.i AS vec_id, own.gi AS cluster,
+               floor(a_mean * 1e6 + 0.5) / 1e6 AS a_mean,
+               floor(b_mean * 1e6 + 0.5) / 1e6 AS b_mean,
+               floor((b_mean - a_mean) / greatest(a_mean, b_mean)
+                     * 1e6 + 0.5) / 1e6 AS s
+        FROM own JOIN oth ON oth.i = own.i
     """
     out["ann_nprobe_sweep"] = S.duckdb_nprobe_sweep_sql()
     return out

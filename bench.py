@@ -363,6 +363,8 @@ BENCH_QUERIES = [
     "markov_entropy",
     "adamic_adar",
     "jl_distortion",
+    "ccf_daily",
+    "stl_lite",
 ]
 
 # Heavy composite queries (>3s at sf0.1). Benched at ONE rep so the
@@ -376,9 +378,15 @@ BENCH_QUERIES = [
 #   ceiling (ann_eval precedent); at 100TB it runs on a sampled slice.
 # (entity_match left this list in round 6: the wildcard-key blocking
 # rewrite took it from 12.9s to ~1.1s — it's a normal 3-rep query now.)
+# - silhouette_eval (~5s): re-runs the full 2-round int8 Lloyd
+#   clustering (the audited artifact) AND scores a bounded sample
+#   against the whole corpus — the clustering is the cost, the audit
+#   rides it; at 100TB the assignment relation would be reused from
+#   the kmeans job, not recomputed.
 BENCH_QUERIES_SLOW = [
     "multimodal_dup_consensus",
     "dedup_eval",
+    "silhouette_eval",
 ]
 
 # Documented exclusions (VERDICT r4 #4 requires every registered query

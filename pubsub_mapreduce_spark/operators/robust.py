@@ -3740,3 +3740,138 @@ def dunn_posthoc(
         "nb",
         round_half_up(diff / F.sqrt(var), 6).alias("z"),
     )
+
+
+def ccf_daily(events: DataFrame, max_lag: int = 3) -> DataFrame:
+    """Cross-correlation function between every PAIR of event types'
+    daily count series, lags -``max_lag``..+``max_lag`` — the lead-lag
+    detector ``daily_autocorr`` can't see (ACF asks "does a type
+    predict ITSELF k days out?"; this asks "do clicks lead purchases,
+    and by how many days?" — positive-lag peaks mean type_a leads
+    type_b). Pairs are stored once (type_a < type_b); the reverse
+    direction is the mirrored lag (r_ab(l) = r_ba(-l)), so the full
+    matrix is derivable.
+
+    Exactness: identical arithmetic to daily_autocorr /
+    type_correlation — BIGINT moments over the day-aligned join, ONE
+    mirrored float expression, r_plus1 output to dodge the -0.0 repr
+    divergence, zero-variance windows dropped by INTEGER predicate.
+
+    Scale: daily rollup collapses volume first; the lag fan-out is
+    |type pairs| x |days| x (2*max_lag+1) rows — calendar-bounded."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    a = daily.select(
+        F.col("event_type").alias("type_a"),
+        "d",
+        F.col("cnt").alias("x"),
+        F.explode(
+            F.sequence(F.lit(-max_lag), F.lit(max_lag))
+        ).alias("lag"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("d").alias("db"),
+        F.col("cnt").alias("y"),
+    )
+    j = a.join(
+        b,
+        (F.col("type_a") < F.col("type_b"))
+        & (F.col("db") == F.date_add(F.col("d"), F.col("lag"))),
+    )
+    agg = j.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    vx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    return (
+        agg.where((vx > 0) & (vy > 0))
+        .select(
+            "type_a",
+            "type_b",
+            "lag",
+            "n",
+            round_half_up(
+                num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+                + F.lit(1.0),
+                6,
+            ).alias("r_plus1"),
+        )
+    )
+
+
+def stl_lite(orders: DataFrame) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition of the daily
+    revenue series (classical decomposition, the non-iterative core of
+    STL): trend = centered 7-day moving average, seasonal = day-of-week
+    mean of the detrended series, residual = the rest — the
+    decomposition behind every "is this dip seasonality or a real
+    drop?" question (``seasonal_outliers`` flags; this EXPLAINS, one
+    row per day).
+
+    Exactness: the series is integer CENTS, so every component is an
+    exact RATIONAL — trend = trend7/7 (windowed BIGINT sum), seasonal
+    = sn/(7*sc) (BIGINT day-of-week rollup of the 7x-scaled detrended
+    values), residual = (7*sc*y - sc*trend7 - sn)/(7*sc) — and each
+    emitted double is ONE mirrored division of exact BIGINTs under
+    round_half_up. Edge days without a full 7-day window are trimmed
+    by an integer count predicate (count == 7), the classical
+    convention.
+
+    Scale: one daily rollup shuffle; the moving-average window is
+    calendar-bounded (the theil_sen envelope) and the seasonal rollup
+    has 7 rows. Day emitted as an ISO string (never raw DATE in an
+    oracle-compared result)."""
+    daily = (
+        orders.select(
+            F.date_trunc("day", "o_orderdate").alias("d"),
+            _cents("o_totalprice").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    t = daily.select(
+        "d",
+        "y",
+        F.sum("y").over(w7).cast("long").alias("trend7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("c7"),
+    ).where(F.col("c7") == 7)
+    # Spark dayofweek is 1=Sunday..7; DuckDB dayofweek is 0=Sunday..6.
+    t = t.withColumn(
+        "dow", (F.dayofweek("d") - 1).cast("int")
+    ).withColumn("detr7", 7 * F.col("y") - F.col("trend7"))
+    seas = t.groupBy("dow").agg(
+        F.sum("detr7").cast("long").alias("sn"),
+        F.count(F.lit(1)).cast("long").alias("sc"),
+    )
+    j = t.join(F.broadcast(seas), "dow")
+    den = (7 * F.col("sc")).cast("double")
+    return j.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "y",
+        round_half_up(F.col("trend7").cast("double") / 7.0, 6).alias(
+            "trend"
+        ),
+        round_half_up(F.col("sn").cast("double") / den, 6).alias(
+            "seasonal"
+        ),
+        round_half_up(
+            (
+                7 * F.col("sc") * F.col("y")
+                - F.col("sc") * F.col("trend7")
+                - F.col("sn")
+            ).cast("double")
+            / den,
+            6,
+        ).alias("residual"),
+    )

@@ -3524,3 +3524,94 @@ def jl_distortion(
             ).alias("ratio"),
         )
     )
+
+
+def silhouette_eval(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    seed_every: int = 100,
+    every: int = 25,
+) -> DataFrame:
+    """Silhouette audit of the int8 k-means clustering — the quality
+    score the clustering family lacks (``kmeans_int8`` reports WCSS,
+    which always improves with k; silhouette asks whether each point
+    actually SITS in its cluster): for every sampled point i,
+
+        a(i) = mean squared-code-distance to its own cluster's other
+               members,   b(i) = min over other clusters of the mean
+               squared distance,   s(i) = (b - a) / max(a, b)
+
+    — the squared-distance silhouette variant on the SAME integer
+    int8-code metric the Lloyd rounds use, so the audit scores exactly
+    the geometry the clustering optimized.
+
+    Exactness: assignments come from the exactly-value-hashable
+    ``kmeans_assign``; pair distances are INTEGER L2 sums over int8
+    codes (order-free BIGINT reductions); a and b are mirrored
+    divisions of exact BIGINTs, and s is one mirrored float expression
+    under round_half_up. Points whose cluster has no other member drop
+    by integer predicate (silhouette undefined), as do samples with no
+    other cluster.
+
+    Scale: the sample is every ``every``-th vec_id (the ANN-eval
+    envelope), so the pair stage is |corpus| x |sample| integer folds
+    — corpus scanned once; everything downstream is |sample| x k."""
+    from ..functions.text import round_half_up
+
+    assign = kmeans_assign(
+        emb, k=k, iters=iters, seed_every=seed_every
+    ).select("vec_id", "cluster")
+    codes = (
+        _int8_codes(emb)
+        .join(assign, "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    samp = codes.where(F.col("vec_id") % every == 0).select(
+        F.col("vec_id").alias("i"),
+        F.col("codes").alias("ci"),
+        F.col("cluster").alias("gi"),
+    )
+    pairs = codes.join(broadcast(samp), F.col("vec_id") != F.col("i"))
+    dd = F.aggregate(
+        F.zip_with(
+            F.col("ci"),
+            F.col("codes"),
+            lambda x, y: (x - y).cast("long") * (x - y).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    percl = pairs.groupBy("i", "gi", F.col("cluster").alias("gj")).agg(
+        F.sum(dd).cast("long").alias("sd"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    own = percl.where(F.col("gj") == F.col("gi")).select(
+        "i",
+        "gi",
+        (F.col("sd").cast("double") / F.col("cnt").cast("double")).alias(
+            "a_mean"
+        ),
+    )
+    other = (
+        percl.where(F.col("gj") != F.col("gi"))
+        .select(
+            "i",
+            (
+                F.col("sd").cast("double") / F.col("cnt").cast("double")
+            ).alias("m"),
+        )
+        .groupBy("i")
+        .agg(F.min("m").alias("b_mean"))
+    )
+    j = own.join(other, "i")
+    s = (F.col("b_mean") - F.col("a_mean")) / F.greatest(
+        "a_mean", "b_mean"
+    )
+    return j.select(
+        F.col("i").alias("vec_id"),
+        F.col("gi").alias("cluster"),
+        round_half_up(F.col("a_mean"), 6).alias("a_mean"),
+        round_half_up(F.col("b_mean"), 6).alias("b_mean"),
+        round_half_up(s, 6).alias("s"),
+    )

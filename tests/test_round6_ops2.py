@@ -251,3 +251,71 @@ def test_jl_signs_deterministic_md5_derivation(spark):
     # roughly balanced (md5 uniformity): between 40% and 60% positive
     pos = sum(v == 1.0 for r in signs for v in r)
     assert 0.4 < pos / 1024 < 0.6
+
+
+def test_ccf_daily_planted_lead_lag(spark):
+    # type B's daily count equals type A's PREVIOUS day's count (B lags
+    # A by one day) on a non-monotone pattern -> r == 1 exactly at
+    # lag +1 (and not at lag 0 for this pattern).
+    pat = [1, 5, 2, 8, 3, 9, 4]
+    rows, eid = [], 0
+    for t, v in enumerate(pat):
+        for _ in range(v):
+            rows.append((eid, D(2024, 3, 3 + t, 12), 1, "A", 0.0))
+            eid += 1
+    for t, v in enumerate(pat):  # B on day t+1 = A on day t
+        for _ in range(v):
+            rows.append((eid, D(2024, 3, 4 + t, 12), 1, "B", 0.0))
+            eid += 1
+    out = {
+        (r.type_a, r.type_b, r.lag): r
+        for r in RB.ccf_daily(_events(spark, rows)).collect()
+    }
+    assert out[("A", "B", 1)].r_plus1 == 2.0
+    assert out[("A", "B", 1)].n == 7
+    assert out[("A", "B", 0)].r_plus1 < 2.0
+
+
+def test_stl_lite_pure_weekly_pattern_zero_residual(spark):
+    # a perfectly weekly series: trend = the 7-day mean (constant),
+    # seasonal = the day's offset from it, residual = 0 everywhere.
+    pat_cents = [100, 250, 300, 150, 500, 700, 200]  # by weekday slot
+    rows = []
+    for t in range(21):
+        v = pat_cents[t % 7] / 100.0
+        rows.append((t, 1, "O", v, D(2024, 3, 3 + t), "1-URGENT"))
+    out = RB.stl_lite(_orders(spark, rows)).collect()
+    assert len(out) == 21 - 6  # 3 trimmed each edge
+    mean7 = sum(pat_cents) / 7.0
+    for r in out:
+        assert r.residual == 0.0
+        assert r.trend == math.floor(mean7 * 1e6 + 0.5) / 1e6
+        want_seas = math.floor((r.y - mean7) * 1e6 + 0.5) / 1e6
+        assert r.seasonal == want_seas
+
+
+def test_silhouette_two_direction_clusters(spark):
+    # two 2-member clusters along different axes: every point's only
+    # same-cluster peer sits at integer code distance 1, the other
+    # cluster is ~2*127^2 away -> a_mean == 1, s ~ 1.
+    from pubsub_mapreduce_spark.operators.similarity import (
+        silhouette_eval,
+    )
+
+    def vec(a, b):
+        return [float(a), float(b)] + [0.0] * 62
+
+    emb = spark.createDataFrame(
+        [
+            (0, vec(1, 0)),
+            (1, vec(1, 0.01)),
+            (2, vec(0, 1)),
+            (3, vec(0.01, 1)),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = silhouette_eval(emb, k=2, seed_every=2, every=1).collect()
+    assert len(out) == 4
+    assert all(r.a_mean == 1.0 for r in out)
+    assert all(r.s > 0.99 for r in out)
+    assert len({r.cluster for r in out}) == 2
