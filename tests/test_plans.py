@@ -1010,3 +1010,63 @@ def test_kanon_band_search_plan(spark):
     schemas = read_schemas(df)
     cust = [s for s in schemas if "c_acctbal" in s]
     assert len(cust) == 1, f"customer must be scanned once: {schemas}"
+
+
+def test_mann_kendall_scan_and_pair_source(spark):
+    """The pair join must run on the DAILY aggregate (calendar-bounded
+    C(days,2), the theil_sen envelope), never the raw orders; the
+    orders scan reads only the date column."""
+    df = q("mann_kendall", spark)
+    assert_no_cartesian(df)
+    schemas = read_schemas(df)
+    assert all(s.count(":") == 1 and "o_orderdate" in s for s in schemas), (
+        f"orders scan not pruned to the date column: {schemas}"
+    )
+
+
+def test_durbin_watson_and_stl_scan_pruning(spark):
+    """Both daily-revenue decompositions read exactly (date, price) —
+    two columns — and keep every exchange keyed on the daily rollup."""
+    for name in ("durbin_watson", "stl_lite"):
+        df = q(name, spark)
+        assert_no_cartesian(df)
+        for s in read_schemas(df):
+            assert s.count(":") == 2 and "o_totalprice" in s, (
+                f"{name} scan not pruned to 2 columns: {s}"
+            )
+
+
+def test_adamic_adar_plan_keyed_joins(spark):
+    """Common-neighbor expansion joins on the middle node w (keyed,
+    never cartesian) and the top-k is a TakeOrdered merge, not a
+    single-partition global sort."""
+    from pubsub_mapreduce_spark.plans.explain import explain_str
+
+    df = q("adamic_adar", spark)
+    assert_no_cartesian(df)
+    assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_jl_distortion_plan_broadcast_sample(spark):
+    """The pair stage broadcasts the bounded sample; the embeddings
+    scan is pruned to (vec_id, embedding) — the label column never
+    leaves the reader."""
+    df = q("jl_distortion", spark)
+    assert_broadcast_join(df, min_count=1)
+    for s in read_schemas(df):
+        assert "label" not in s, f"label column not pruned: {s}"
+
+
+def test_silhouette_plan_broadcast_sample(spark):
+    """Silhouette's corpus x sample stage broadcasts the sample side;
+    nothing degenerates to a cartesian product."""
+    df = q("silhouette_eval", spark)
+    assert_broadcast_join(df, min_count=1)
+    assert_no_cartesian(df)
+
+
+def test_ccf_daily_plan(spark):
+    """The lag fan-out joins on an equality over the shifted date —
+    hash-joinable, never cartesian — and rides the daily rollup."""
+    df = q("ccf_daily", spark)
+    assert_no_cartesian(df)

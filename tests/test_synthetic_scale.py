@@ -802,3 +802,62 @@ def test_hill_tail_at_scale_topk_only_and_scale_invariant(spark):
         k=500,
     ).collect()[0]
     assert (r3["hill"], r3["alpha"]) == (r1["hill"], r1["alpha"])
+
+
+def test_adamic_adar_at_scale_hub_capped(spark):
+    """A planted hub of degree >> max_deg must contribute NOTHING to
+    the common-neighbor expansion (the skew cap), while mid-degree
+    middles still produce scores — so pair volume is bounded by
+    sum C(min(deg, cap), 2) over middle nodes, never |nodes|^2."""
+    from pubsub_mapreduce_spark.operators.graph import adamic_adar
+
+    # 2000 leaves all attached to hub 100000 (deg 2000, over the cap);
+    # leaves 0..49 also share mid node 200000 (deg 50, under the cap).
+    hub = spark.range(2000).selectExpr(
+        "CAST(100000 AS LONG) a", "id AS b", "CAST(1 AS LONG) w"
+    )
+    mid = spark.range(50).selectExpr(
+        "CAST(200000 AS LONG) a", "id AS b", "CAST(1 AS LONG) w"
+    )
+    edges = hub.unionByName(mid)
+    out = adamic_adar(edges, top_k=2000, max_deg=200).collect()
+    # the hub NEVER mediates: no pair of hub-only leaves (ids 50..1999)
+    # appears — those C(1950, 2) ~ 1.9M pairs are exactly what the cap
+    # prunes. Survivors: mid-mediated leaf pairs (both ends < 50) plus
+    # the (hub, mid) pair itself, mediated by the 50 degree-2 leaves.
+    assert out
+    assert not any(50 <= r.u < 100000 and 50 <= r.v < 100000 for r in out)
+    leaf_pairs = [r for r in out if r.u < 50 and r.v < 50]
+    assert 0 < len(leaf_pairs) <= 50 * 49 // 2
+    import math
+
+    micro = math.floor(1e6 / math.log(50.0) + 0.5)
+    assert all(r.aa_micro == micro for r in leaf_pairs)
+    hub_mid = [r for r in out if r.v == 200000]
+    assert len(hub_mid) == 1 and hub_mid[0].n_common == 50
+
+
+def test_jl_distortion_at_scale_bounded_and_concentrated(spark, big_emb):
+    """Pair volume is (n/every choose 2) regardless of corpus size, and
+    the JL distortion ratios concentrate around 1 (the theorem's
+    promise) — loose band, structural not statistical."""
+    from pubsub_mapreduce_spark.operators.similarity import jl_distortion
+
+    every = 101
+    out = jl_distortion(big_emb, every=every).toPandas()
+    n_s = (N_VECS + every - 1) // every
+    assert len(out) <= n_s * (n_s - 1) // 2
+    assert out["ratio"].between(0.05, 5.0).all()
+    assert 0.7 < out["ratio"].mean() < 1.3
+
+
+def test_silhouette_at_scale_bounded_sample_and_range(spark, big_emb):
+    """Output rows bounded by the sample size; every silhouette sits in
+    [-1, 1] (exact rational inputs make the bound hard, not
+    approximate)."""
+    from pubsub_mapreduce_spark.operators.similarity import silhouette_eval
+
+    every = 101
+    out = silhouette_eval(big_emb, every=every).toPandas()
+    assert 0 < len(out) <= (N_VECS + every - 1) // every
+    assert out["s"].between(-1.0, 1.0).all()
