@@ -1131,6 +1131,27 @@ def q_silhouette_eval(spark, sf_dir):
     return S.silhouette_eval(load_tables(spark, sf_dir)["embeddings"])
 
 
+def q_disparate_impact(spark, sf_dir):
+    """Four-fifths-rule disparate-impact audit of order placement by
+    customer nation (robust.disparate_impact): integer cross-multiplied
+    80% screen, deterministic reference group."""
+    return RB.disparate_impact(load_tables(spark, sf_dir))
+
+
+def q_brier_decomposition(spark, sf_dir):
+    """Murphy decomposition (reliability/resolution/uncertainty) of the
+    value-rank purchase forecaster (robust.brier_decomposition):
+    bin-sorted sequential folds over exact-integer bin moments."""
+    return RB.brier_decomposition(load_tables(spark, sf_dir)["events"])
+
+
+def q_lift_curve(spark, sf_dir):
+    """Cumulative-gains / lift deciles for the value-ranked forecaster
+    (robust.lift_curve): integer rank cuts, windowed cumulative counts,
+    mirrored capture/lift divisions."""
+    return RB.lift_curve(load_tables(spark, sf_dir)["events"])
+
+
 def q_q20_dominant_suppliers(spark, sf_dir):
     return R.q20_dominant_suppliers(load_tables(spark, sf_dir))
 
@@ -2959,6 +2980,7 @@ R7_QUEUE = [
     "mann_kendall", "cochrans_q", "durbin_watson", "dunn_posthoc",
     "markov_entropy", "adamic_adar", "jl_distortion",
     "ccf_daily", "stl_lite", "silhouette_eval",
+    "disparate_impact", "brier_decomposition", "lift_curve",
 ]
 
 
@@ -3248,6 +3270,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccf_daily": q_ccf_daily,
         "stl_lite": q_stl_lite,
         "silhouette_eval": q_silhouette_eval,
+        "disparate_impact": q_disparate_impact,
+        "brier_decomposition": q_brier_decomposition,
+        "lift_curve": q_lift_curve,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -10779,6 +10804,121 @@ def oracle_sql() -> dict[str, str]:
                floor((b_mean - a_mean) / greatest(a_mean, b_mean)
                      * 1e6 + 0.5) / 1e6 AS s
         FROM own JOIN oth ON oth.i = own.i
+    """
+    out["disparate_impact"] = """
+        WITH pc AS (
+          SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1),
+        sel AS (
+          SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN COALESCE(pc.n_orders, 0) >= 10
+                               THEN 1 ELSE 0 END) AS BIGINT) AS sel
+          FROM customer c
+          LEFT JOIN pc ON c.c_custkey = pc.o_custkey
+          GROUP BY 1),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                   ORDER BY CAST(sel AS DOUBLE) / CAST(n AS DOUBLE) DESC,
+                            nationkey ASC) AS rn
+          FROM sel),
+        ref AS (SELECT sel AS sel_ref, n AS n_ref
+                FROM ranked WHERE rn = 1)
+        SELECT nationkey, n, sel,
+               floor(CAST(sel AS DOUBLE) / CAST(n AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS rate,
+               floor(CAST(sel * n_ref AS DOUBLE)
+                     / CAST(sel_ref * n AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS di_ratio,
+               (5 * sel * n_ref < 4 * sel_ref * n) AS flag_80pct
+        FROM ranked, ref
+    """
+    out["brier_decomposition"] = """
+        WITH base AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                             event_id AS eid,
+                             CAST(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END AS BIGINT) AS pos
+                      FROM events WHERE value IS NOT NULL),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(pos) AS BIGINT) AS p
+               FROM base),
+        ranked AS (SELECT pos,
+                          CAST(row_number() OVER (
+                            ORDER BY cents ASC, eid ASC) - 1
+                            AS BIGINT) AS r0
+                   FROM base),
+        binned AS (SELECT pos, r0, r0 * 10 // n AS b
+                   FROM ranked, nn),
+        per AS (SELECT b, CAST(count(*) AS BIGINT) AS nb,
+                       CAST(sum(pos) AS BIGINT) AS pb,
+                       CAST(sum(r0) AS BIGINT) AS sr
+                FROM binned GROUP BY 1),
+        lst AS (SELECT list(struct_pack(b := b, nb := nb, pb := pb,
+                                        sr := sr)
+                            ORDER BY b) AS l
+                FROM per),
+        f AS (SELECT n, p,
+                CAST(p AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+                list_reduce(list_prepend(0.0, list_transform(l, t ->
+                  CAST(t.nb AS DOUBLE)
+                  * (CAST(t.sr AS DOUBLE) / (CAST(t.nb AS DOUBLE)
+                                             * CAST(n AS DOUBLE))
+                     - CAST(t.pb AS DOUBLE) / CAST(t.nb AS DOUBLE))
+                  * (CAST(t.sr AS DOUBLE) / (CAST(t.nb AS DOUBLE)
+                                             * CAST(n AS DOUBLE))
+                     - CAST(t.pb AS DOUBLE) / CAST(t.nb AS DOUBLE)))),
+                  (x, y) -> x + y) / CAST(n AS DOUBLE) AS rel,
+                list_reduce(list_prepend(0.0, list_transform(l, t ->
+                  CAST(t.nb AS DOUBLE)
+                  * (CAST(t.pb AS DOUBLE) / CAST(t.nb AS DOUBLE)
+                     - CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(t.pb AS DOUBLE) / CAST(t.nb AS DOUBLE)
+                     - CAST(p AS DOUBLE) / CAST(n AS DOUBLE)))),
+                  (x, y) -> x + y) / CAST(n AS DOUBLE) AS res
+              FROM lst, nn)
+        SELECT n AS n_events,
+               floor(ybar * 1e6 + 0.5) / 1e6 AS base_rate,
+               floor(rel * 1e6 + 0.5) / 1e6 AS reliability,
+               floor(res * 1e6 + 0.5) / 1e6 AS resolution,
+               floor(ybar * (1.0 - ybar) * 1e6 + 0.5) / 1e6
+                   AS uncertainty,
+               floor((rel - res + ybar * (1.0 - ybar)) * 1e6 + 0.5) / 1e6
+                   AS brier_binned
+        FROM f WHERE n > 0
+    """
+    out["lift_curve"] = """
+        WITH base AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                             event_id AS eid,
+                             CAST(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END AS BIGINT) AS pos
+                      FROM events WHERE value IS NOT NULL),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+                      CAST(sum(pos) AS BIGINT) AS pt
+               FROM base),
+        ranked AS (SELECT pos,
+                          CAST(row_number() OVER (
+                            ORDER BY cents DESC, eid ASC) AS BIGINT)
+                            AS rn
+                   FROM base),
+        binned AS (SELECT pos,
+                          CAST((rn - 1) * 10 // nt AS INTEGER) AS decile
+                   FROM ranked, nn),
+        per AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(pos) AS BIGINT) AS n_pos
+                FROM binned GROUP BY 1),
+        cum AS (SELECT decile, n, n_pos,
+                       CAST(sum(n) OVER (ORDER BY decile) AS BIGINT)
+                           AS cum_n,
+                       CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT)
+                           AS cum_pos
+                FROM per)
+        SELECT decile, n, n_pos, cum_pos,
+               floor(CAST(cum_pos AS DOUBLE) / CAST(pt AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS capture,
+               floor(CAST(cum_pos * nt AS DOUBLE)
+                     / CAST(cum_n * pt AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS lift
+        FROM cum, nn WHERE pt > 0
     """
     out["ann_nprobe_sweep"] = S.duckdb_nprobe_sweep_sql()
     return out

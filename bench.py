@@ -365,6 +365,9 @@ BENCH_QUERIES = [
     "jl_distortion",
     "ccf_daily",
     "stl_lite",
+    "disparate_impact",
+    "brier_decomposition",
+    "lift_curve",
 ]
 
 # Heavy composite queries (>3s at sf0.1). Benched at ONE rep so the

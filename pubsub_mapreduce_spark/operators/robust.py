@@ -3875,3 +3875,245 @@ def stl_lite(orders: DataFrame) -> DataFrame:
             6,
         ).alias("residual"),
     )
+
+
+def disparate_impact(t, min_orders: int = 10) -> DataFrame:
+    """Four-fifths-rule disparate-impact audit over customer nations:
+    selection = "placed at least ``min_orders`` orders" (the
+    heavy-user screen a loyalty program or a training-label cut would
+    apply — bare has-any-order saturates at 100% on the fixtures),
+    rate_g = selected_g / n_g per nation, reference = the highest-rate
+    nation (ties -> lowest nationkey), and the flag is the EEOC 80%
+    screen — rate_g < 0.8 * rate_ref — the fairness gate a
+    training-data pipeline runs before a protected attribute ships in
+    a label or a sampling weight (``kanon_customers``/``t_closeness``
+    audit privacy; this audits allocation).
+
+    Integer discipline: the flag is the cross-multiplied INTEGER
+    predicate 5 * sel_g * n_ref < 4 * sel_ref * n_g (no float
+    boundary); rates and the DI ratio are mirrored divisions of exact
+    BIGINTs under round_half_up. Reference choice rides a
+    deterministic (rate desc, nationkey asc) window on the |nations|-
+    row rollup — rate doubles are exact-integer divisions, identical
+    cross-engine.
+
+    Scale: one order-count rollup (keys only), one left join, ONE
+    nation rollup; everything after is |nations|-sized."""
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    sel = (
+        t["customer"]
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    F.coalesce("n_orders", F.lit(0)) >= min_orders, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("sel"),
+        )
+    )
+    w = Window.orderBy(
+        (F.col("sel").cast("double") / F.col("n").cast("double")).desc(),
+        F.col("nationkey").asc(),
+    )
+    ranked = sel.withColumn("rn", F.row_number().over(w))
+    ref = ranked.where(F.col("rn") == 1).select(
+        F.col("sel").alias("sel_ref"), F.col("n").alias("n_ref")
+    )
+    j = ranked.crossJoin(F.broadcast(ref))
+    return j.select(
+        "nationkey",
+        "n",
+        "sel",
+        round_half_up(
+            F.col("sel").cast("double") / F.col("n").cast("double"), 6
+        ).alias("rate"),
+        round_half_up(
+            (F.col("sel") * F.col("n_ref")).cast("double")
+            / (F.col("sel_ref") * F.col("n")).cast("double"),
+            6,
+        ).alias("di_ratio"),
+        (
+            5 * F.col("sel") * F.col("n_ref")
+            < 4 * F.col("sel_ref") * F.col("n")
+        ).alias("flag_80pct"),
+    )
+
+
+def brier_decomposition(events: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Murphy decomposition of the Brier score for the
+    "value predicts purchase" forecaster that ``calibration_bins``
+    tabulates: forecast p_i = the value's percentile rank (rank-1)/N on
+    the deterministic (cents, event_id) ordering, binned into
+    ``n_bins`` equal-count bins; then
+
+        REL = (1/N) sum_b n_b (f_b - ybar_b)^2     (reliability)
+        RES = (1/N) sum_b n_b (ybar_b - ybar)^2    (resolution)
+        UNC = ybar (1 - ybar)                       (uncertainty)
+        brier_binned = REL - RES + UNC
+
+    — the one-row answer to "is the score bad because it's
+    miscalibrated (REL) or because it can't discriminate (RES)?".
+
+    Exactness: ranks, bin ids and counts are BIGINT; the per-bin
+    forecast mean f_b = sum(rank-1) / (n_b * N) and observed rate
+    ybar_b = pos_b / n_b are exact-integer divisions, and the two
+    quadratic sums run as SEQUENTIAL folds over the bin-id-sorted
+    10-row list (zipf discipline), mirrored term-for-term. ONE
+    round_half_up per emitted column.
+
+    Scale: identical envelope to calibration_bins — one global
+    sort-rank (range-partitioned at scale), then |bins|-sized."""
+    base = events.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.col("event_id").alias("eid"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("pos"),
+    ).where(F.col("cents").isNotNull())
+    n = base.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    ranked = base.select(
+        "pos",
+        F.row_number()
+        .over(Window.orderBy(F.col("cents").asc(), F.col("eid").asc()))
+        .cast("long")
+        .alias("rn"),
+    )
+    binned = ranked.crossJoin(F.broadcast(n)).select(
+        "pos",
+        "n_total",
+        (F.col("rn") - 1).alias("r0"),
+        F.expr(f"(rn - 1) * {n_bins} div n_total").cast("long").alias("b"),
+    )
+    per_bin = binned.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("pos").cast("long").alias("pb"),
+        F.sum("r0").cast("long").alias("sr"),
+        F.max("n_total").cast("long").alias("nt"),
+    )
+    lst = per_bin.agg(
+        F.array_sort(
+            F.collect_list(F.struct("b", "nb", "pb", "sr"))
+        ).alias("l"),
+        F.max("nt").cast("long").alias("n"),
+        F.sum("pb").cast("long").alias("p"),
+    )
+    nd = F.col("n").cast("double")
+    ybar = F.col("p").cast("double") / nd
+    fb = lambda t: t["sr"].cast("double") / (  # noqa: E731
+        t["nb"].cast("double") * nd
+    )
+    yb = lambda t: t["pb"].cast("double") / t["nb"].cast("double")  # noqa: E731
+    rel = (
+        F.aggregate(
+            F.col("l"),
+            F.lit(0.0),
+            lambda a, t: a
+            + t["nb"].cast("double") * (fb(t) - yb(t)) * (fb(t) - yb(t)),
+        )
+        / nd
+    )
+    res = (
+        F.aggregate(
+            F.col("l"),
+            F.lit(0.0),
+            lambda a, t: a
+            + t["nb"].cast("double") * (yb(t) - ybar) * (yb(t) - ybar),
+        )
+        / nd
+    )
+    unc = ybar * (F.lit(1.0) - ybar)
+    return lst.where(F.col("n") > 0).select(
+        F.col("n").alias("n_events"),
+        round_half_up(ybar, 6).alias("base_rate"),
+        round_half_up(rel, 6).alias("reliability"),
+        round_half_up(res, 6).alias("resolution"),
+        round_half_up(unc, 6).alias("uncertainty"),
+        round_half_up(rel - res + unc, 6).alias("brier_binned"),
+    )
+
+
+def lift_curve(events: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Cumulative-gains / lift table for the same value-ranked
+    forecaster: rank events by value DESC into ``n_bins`` equal-count
+    deciles and report, per decile, the cumulative share of all
+    purchases captured and the lift over random targeting —
+    ``calibration_bins`` asks "are the probabilities right?"; this
+    asks the campaign question "how much of the outcome do the top
+    k% hold?".
+
+    Exactness: decile of a row = (rank-1) * n_bins div N on the
+    deterministic (cents DESC, event_id ASC) ordering; cumulative
+    sums ride a window over the |bins|-row rollup; capture and lift
+    are mirrored divisions of exact BIGINTs under round_half_up.
+    Degenerate corpora with zero positives drop by integer predicate.
+
+    Scale: one global sort-rank, then |bins|-sized."""
+    base = events.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.col("event_id").alias("eid"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("pos"),
+    ).where(F.col("cents").isNotNull())
+    n = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("pos").cast("long").alias("p_total"),
+    )
+    ranked = base.select(
+        "pos",
+        F.row_number()
+        .over(Window.orderBy(F.col("cents").desc(), F.col("eid").asc()))
+        .cast("long")
+        .alias("rn"),
+    )
+    binned = ranked.crossJoin(F.broadcast(n)).select(
+        "pos",
+        "n_total",
+        "p_total",
+        F.expr(f"(rn - 1) * {n_bins} div n_total").cast("int").alias(
+            "decile"
+        ),
+    )
+    per = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.max("n_total").cast("long").alias("nt"),
+        F.max("p_total").cast("long").alias("pt"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select(
+        "decile",
+        "n",
+        "n_pos",
+        "nt",
+        "pt",
+        F.sum("n").over(wc).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(wc).cast("long").alias("cum_pos"),
+    )
+    return cum.where(F.col("pt") > 0).select(
+        "decile",
+        "n",
+        "n_pos",
+        "cum_pos",
+        round_half_up(
+            F.col("cum_pos").cast("double") / F.col("pt").cast("double"),
+            6,
+        ).alias("capture"),
+        round_half_up(
+            (F.col("cum_pos") * F.col("nt")).cast("double")
+            / (F.col("cum_n") * F.col("pt")).cast("double"),
+            6,
+        ).alias("lift"),
+    )

@@ -319,3 +319,70 @@ def test_silhouette_two_direction_clusters(spark):
     assert all(r.a_mean == 1.0 for r in out)
     assert all(r.s > 0.99 for r in out)
     assert len({r.cluster for r in out}) == 2
+
+
+def test_disparate_impact_planted_gap(spark):
+    # nation 0: 4/4 selected (reference), nation 1: 3/4 (0.75 < 0.8 ->
+    # flag), nation 2: 2/4 (flag). min_orders=1 -> selected == ordered.
+    cust = spark.createDataFrame(
+        [(i + 10 * nk, f"c{i}", nk, 0.0, "SEG")
+         for nk in (0, 1, 2) for i in range(4)],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    sel_keys = (
+        [10 * 0 + i for i in range(4)]
+        + [10 * 1 + i for i in range(3)]
+        + [10 * 2 + i for i in range(2)]
+    )
+    orders = _orders(
+        spark,
+        [(k, k, "O", 1.0, D(2024, 3, 1), "1") for k in sel_keys],
+    )
+    out = {
+        r.nationkey: r
+        for r in RB.disparate_impact(
+            {"customer": cust, "orders": orders}, min_orders=1
+        ).collect()
+    }
+    assert out[0].rate == 1.0 and out[0].di_ratio == 1.0
+    assert not out[0].flag_80pct
+    assert out[1].di_ratio == 0.75 and out[1].flag_80pct
+    assert out[2].di_ratio == 0.5 and out[2].flag_80pct
+
+
+def test_brier_decomposition_hand_computed(spark):
+    # values 1..4 cents, purchases on the top two: with 2 bins,
+    # f = (0.125, 0.625), y = (0, 1), ybar = 0.5:
+    # REL = (2*0.125^2 + 2*0.375^2)/4 = 0.078125, RES = 0.25,
+    # UNC = 0.25, brier = REL - RES + UNC = 0.078125.
+    rows = [
+        (0, D(2024, 3, 1), 1, "view", 0.01),
+        (1, D(2024, 3, 1), 1, "view", 0.02),
+        (2, D(2024, 3, 1), 1, "purchase", 0.03),
+        (3, D(2024, 3, 1), 1, "purchase", 0.04),
+    ]
+    out = RB.brier_decomposition(_events(spark, rows), n_bins=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_events == 4 and r.base_rate == 0.5
+    assert r.reliability == 0.078125
+    assert r.resolution == 0.25 and r.uncertainty == 0.25
+    assert r.brier_binned == 0.078125
+
+
+def test_lift_curve_perfect_ranker(spark):
+    # purchases hold the top two values: top decile (of 2) captures
+    # 100% at lift 2x; the full population is lift 1 by definition.
+    rows = [
+        (0, D(2024, 3, 1), 1, "purchase", 0.04),
+        (1, D(2024, 3, 1), 1, "purchase", 0.03),
+        (2, D(2024, 3, 1), 1, "view", 0.02),
+        (3, D(2024, 3, 1), 1, "view", 0.01),
+    ]
+    out = {
+        r.decile: r
+        for r in RB.lift_curve(_events(spark, rows), n_bins=2).collect()
+    }
+    assert out[0].n_pos == 2 and out[0].capture == 1.0 and out[0].lift == 2.0
+    assert out[1].n_pos == 0 and out[1].capture == 1.0 and out[1].lift == 1.0
