@@ -1065,3 +1065,161 @@ def test_weighted_sample_matches_exact_replication(spark, rows, k):
     keyed.sort(key=lambda t: (-t[0], t[1]))
     want = [(r + 1, i, w) for r, (_, i, w) in enumerate(keyed[:k])]
     assert got == want
+
+
+# -------------------------------------------------------------------
+# Late round-6 statistics vs brute-force Python references under
+# random layouts (ties, constant series, singleton groups).
+mk_case = st.lists(st.integers(0, 5), min_size=2, max_size=15)
+
+
+@PROP
+@given(counts=mk_case)
+def test_mann_kendall_matches_bruteforce(spark, counts):
+    import datetime as dt
+    import math
+    from collections import Counter
+
+    from pubsub_mapreduce_spark.operators.robust import mann_kendall
+
+    rows, eid = [], 0
+    for day, c in enumerate(counts):
+        for _ in range(c + 1):  # +1 so every day exists
+            rows.append(
+                (eid, 1, "O", 1.0,
+                 dt.datetime(2024, 3, 1) + dt.timedelta(days=day), "1")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    out = mann_kendall(df).collect()
+    daily = [c + 1 for c in counts]
+    n = len(daily)
+    s = sum(
+        (0 if daily[j] == daily[i] else (1 if daily[j] > daily[i] else -1))
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    tie18 = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(daily).values()
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - tie18
+    if var18 <= 0:
+        assert out == []
+        return
+    zc = s - 1.0 if s > 0 else (s + 1.0 if s < 0 else 0.0)
+    z = math.floor(zc / math.sqrt(var18 / 18.0) * 1e6 + 0.5) / 1e6
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_days == n and r.s == s and r.var18 == var18
+    assert r.z == z
+
+
+cq_case = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 2)),  # (user, type)
+    min_size=1,
+    max_size=25,
+)
+
+
+@PROP
+@given(rows=cq_case)
+def test_cochrans_q_matches_bruteforce(spark, rows):
+    import datetime as dt
+    import math
+
+    from pubsub_mapreduce_spark.operators.robust import cochrans_q
+
+    df = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 3, 1, 10), u, f"t{ty}", 0.0)
+            for i, (u, ty) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    out = cochrans_q(df, min_days=1).collect()
+    users = sorted({u for u, _ in rows})
+    types = sorted({ty for _, ty in rows})
+    k = len(types)
+    x = {
+        (u, ty): 1 if (u, ty) in {(a, b) for a, b in rows} else 0
+        for u in users
+        for ty in types
+    }
+    rb = {u: sum(x[(u, ty)] for ty in types) for u in users}
+    cj = {ty: sum(x[(u, ty)] for u in users) for ty in types}
+    nsucc = sum(rb.values())
+    num = (k - 1) * sum((k * cj[ty] - nsucc) ** 2 for ty in types)
+    den = k * (k * nsucc - sum(v * v for v in rb.values()))
+    if k < 2 or den <= 0:
+        assert out == []
+        return
+    q = math.floor(num / den * 1e6 + 0.5) / 1e6
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_blocks == len(users) and r.k == k and r.n_succ == nsucc
+    assert r.q == q
+
+
+dn_case = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 6)),  # (group, value)
+    min_size=2,
+    max_size=30,
+)
+
+
+@PROP
+@given(rows=dn_case)
+def test_dunn_posthoc_matches_bruteforce(spark, rows):
+    import math
+    from collections import Counter
+
+    from pubsub_mapreduce_spark.operators.robust import dunn_posthoc
+
+    df = spark.createDataFrame(
+        [
+            (i, "x", "en", f"g{g}", v)
+            for i, (g, v) in enumerate(rows)
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    out = {
+        (r.g_a, r.g_b): r for r in dunn_posthoc(df).collect()
+    }
+    allv = sorted(v for _, v in rows)
+    n = len(allv)
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(f"g{g}", []).append(v)
+    t = sum(c**3 - c for c in Counter(allv).values())
+
+    def avg_rank(v):
+        less = sum(1 for x in allv if x < v)
+        eq = sum(1 for x in allv if x == v)
+        return less + (eq + 1) / 2
+
+    names = sorted(groups)
+    expected = {}
+    for i, ga in enumerate(names):
+        for gb in names[i + 1:]:
+            na, nb = len(groups[ga]), len(groups[gb])
+            var = (n * (n + 1) / 12 - t / (12 * (n - 1))) * (
+                1 / na + 1 / nb
+            ) if n > 2 else 0.0
+            if n <= 2 or var <= 0:
+                continue
+            diff = sum(avg_rank(v) for v in groups[ga]) / na - sum(
+                avg_rank(v) for v in groups[gb]
+            ) / nb
+            expected[(ga, gb)] = diff / math.sqrt(var)
+    assert set(out) == set(expected)
+    for key, z in expected.items():
+        assert abs(out[key].z - z) < 1e-5
+        assert out[key].na == len(groups[key[0]])
+        assert out[key].nb == len(groups[key[1]])
