@@ -3720,7 +3720,10 @@ def dunn_posthoc(
         F.col("ng").alias("nb"),
         F.col("r2").alias("r2b"),
     )
-    pairs = pa.join(pb, F.col("g_a") < F.col("g_b")).crossJoin(
+    # broadcast the k-row side: the inequality pair join would
+    # otherwise plan as a CartesianProduct (correct but the wrong
+    # node at scale — BNLJ keeps the big side partition-local)
+    pairs = pa.join(F.broadcast(pb), F.col("g_a") < F.col("g_b")).crossJoin(
         F.broadcast(consts)
     )
     nd = F.col("n").cast("double")
