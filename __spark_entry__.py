@@ -1152,6 +1152,27 @@ def q_lift_curve(spark, sf_dir):
     return RB.lift_curve(load_tables(spark, sf_dir)["events"])
 
 
+def q_ljung_box(spark, sf_dir):
+    """Ljung–Box portmanteau terms on the daily-revenue OLS residuals
+    (robust.ljung_box over the shared quantized residual series):
+    per-lag autocorrelation + chi-square term, lags 1..7."""
+    return RB.ljung_box(load_tables(spark, sf_dir)["orders"])
+
+
+def q_conformal_coverage(spark, sf_dir):
+    """Split-conformal [q05, q95] interval calibrated on even days,
+    coverage measured on odd days (robust.conformal_coverage):
+    integer nearest-rank cuts, one mirrored division."""
+    return RB.conformal_coverage(load_tables(spark, sf_dir)["events"])
+
+
+def q_weighted_quantiles(spark, sf_dir):
+    """Quantity-weighted price quantile table q25/q50/q75/q90
+    (robust.weighted_quantiles): cross-multiplied integer cut test on
+    the cumulative-weight spine."""
+    return RB.weighted_quantiles(load_tables(spark, sf_dir)["lineitem"])
+
+
 def q_q20_dominant_suppliers(spark, sf_dir):
     return R.q20_dominant_suppliers(load_tables(spark, sf_dir))
 
@@ -2981,6 +3002,7 @@ R7_QUEUE = [
     "markov_entropy", "adamic_adar", "jl_distortion",
     "ccf_daily", "stl_lite", "silhouette_eval",
     "disparate_impact", "brier_decomposition", "lift_curve",
+    "ljung_box", "conformal_coverage", "weighted_quantiles",
 ]
 
 
@@ -3273,6 +3295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disparate_impact": q_disparate_impact,
         "brier_decomposition": q_brier_decomposition,
         "lift_curve": q_lift_curve,
+        "ljung_box": q_ljung_box,
+        "conformal_coverage": q_conformal_coverage,
+        "weighted_quantiles": q_weighted_quantiles,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -10919,6 +10944,107 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(cum_n * pt AS DOUBLE) * 1e6 + 0.5) / 1e6
                    AS lift
         FROM cum, nn WHERE pt > 0
+    """
+    out["ljung_box"] = """
+        WITH daily AS (SELECT date_trunc('day', o_orderdate) AS d,
+                              CAST(sum(CAST(round(o_totalprice * 100)
+                                            AS BIGINT)) AS BIGINT) AS y
+                       FROM orders GROUP BY 1),
+        dt AS (SELECT d, y,
+                      CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+               FROM daily),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(t) AS HUGEINT) AS st,
+                     CAST(sum(t * t) AS HUGEINT) AS st2,
+                     CAST(sum(y) AS HUGEINT) AS sy,
+                     CAST(sum(CAST(t AS HUGEINT) * CAST(y AS HUGEINT))
+                          AS HUGEINT) AS sty
+              FROM dt),
+        mb AS (SELECT n,
+                      CAST(CAST(n AS HUGEINT) * sty - st * sy AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT) * st2 - st * st AS DOUBLE)
+                          AS b
+               FROM m),
+        ma AS (SELECT mb.n, mb.b,
+                      (CAST(m.sy AS DOUBLE)
+                       - mb.b * CAST(m.st AS DOUBLE))
+                      / CAST(mb.n AS DOUBLE) AS a
+               FROM mb, m),
+        res AS (SELECT ma.n, dt.t,
+                       CAST(floor((CAST(dt.y AS DOUBLE) - ma.a
+                                   - ma.b * CAST(dt.t AS DOUBLE))
+                                  * 10000.0 + 0.5) AS HUGEINT) AS eq
+                FROM dt, ma),
+        sse AS (SELECT CAST(sum(eq * eq) AS HUGEINT) AS sse FROM res),
+        lags AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
+        lagged AS (SELECT l.lag, a.n, a.eq AS eqa, b.eq AS eqb
+                   FROM res a CROSS JOIN lags l
+                   JOIN res b ON b.t = a.t + l.lag),
+        per AS (SELECT lag, CAST(max(n) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS n_pairs,
+                       CAST(sum(eqa * eqb) AS HUGEINT) AS sk
+                FROM lagged GROUP BY 1)
+        SELECT lag, n_pairs,
+               floor(CAST(sk AS DOUBLE) / CAST(sse AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS r,
+               floor(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                     * (CAST(sk AS DOUBLE) / CAST(sse AS DOUBLE))
+                     * (CAST(sk AS DOUBLE) / CAST(sse AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE))
+                     * 1e6 + 0.5) / 1e6 AS q_term
+        FROM per, sse WHERE sse > 0
+    """
+    out["conformal_coverage"] = """
+        WITH base AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                             event_id AS eid,
+                             (dayofmonth(ts) % 2 = 0) AS is_train
+                      FROM events WHERE value IS NOT NULL),
+        train AS (SELECT cents, eid FROM base WHERE is_train),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM train),
+        ranked AS (SELECT cents,
+                          CAST(row_number() OVER (
+                            ORDER BY cents ASC, eid ASC) AS BIGINT) AS rn
+                   FROM train),
+        itv AS (SELECT max(n_train) AS n_train,
+                       min(CASE WHEN rn = (5 * n_train + 99) // 100
+                                THEN cents END) AS lo_cents,
+                       min(CASE WHEN rn = (95 * n_train + 99) // 100
+                                THEN cents END) AS hi_cents
+                FROM ranked, nt),
+        test AS (SELECT cents FROM base WHERE NOT is_train),
+        agg AS (SELECT CAST(max(n_train) AS BIGINT) AS n_train,
+                       CAST(count(*) AS BIGINT) AS n_test,
+                       CAST(max(lo_cents) AS BIGINT) AS lo_cents,
+                       CAST(max(hi_cents) AS BIGINT) AS hi_cents,
+                       CAST(sum(CASE WHEN cents >= lo_cents
+                                      AND cents <= hi_cents
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_covered
+                FROM test, itv)
+        SELECT n_train, n_test, lo_cents, hi_cents, n_covered,
+               floor(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS coverage
+        FROM agg WHERE n_test > 0 AND n_train IS NOT NULL
+    """
+    out["weighted_quantiles"] = """
+        WITH gv AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                               AS cents,
+                           CAST(sum(CAST(l_quantity AS BIGINT))
+                                AS BIGINT) AS w
+                    FROM lineitem GROUP BY 1),
+        cum AS (SELECT cents,
+                       CAST(sum(w) OVER (ORDER BY cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS BIGINT) AS cumw
+                FROM gv),
+        wt AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM gv),
+        qs AS (SELECT CAST(unnest([25, 50, 75, 90]) AS INTEGER) AS q)
+        SELECT q, CAST(min(cents) AS BIGINT) AS cents,
+               CAST(max(wtot) AS BIGINT) AS total_qty,
+               CAST(min(cents) AS DOUBLE) / 100.0 AS price
+        FROM cum, wt, qs
+        WHERE 100 * cumw >= CAST(q AS BIGINT) * wtot
+        GROUP BY q
     """
     out["ann_nprobe_sweep"] = S.duckdb_nprobe_sweep_sql()
     return out

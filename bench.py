@@ -368,6 +368,9 @@ BENCH_QUERIES = [
     "disparate_impact",
     "brier_decomposition",
     "lift_curve",
+    "ljung_box",
+    "conformal_coverage",
+    "weighted_quantiles",
 ]
 
 # Heavy composite queries (>3s at sf0.1). Benched at ONE rep so the

@@ -3568,31 +3568,13 @@ def cochrans_q(events: DataFrame, min_days: int = 8) -> DataFrame:
     )
 
 
-def durbin_watson(orders: DataFrame) -> DataFrame:
-    """Durbin–Watson statistic on the residuals of the daily-revenue
-    OLS trend — the serial-correlation audit the trend battery lacks
-    (``acf_daily`` describes raw autocorrelation; this asks the
-    regression question: AFTER removing the linear trend, do adjacent
-    days still co-move? dw < 2 -> positive residual autocorrelation,
-    the classic symptom of seasonality or level shifts under a line
-    fit):
-
-        dw = sum_t (e_t - e_{t-1})^2 / sum_t e_t^2
-
-    Exactness: the OLS moments (n, St, St2, Sy, Sty) are exact
-    DECIMAL(38,0) on integer day indexes and integer CENTS, so the
-    slope/intercept doubles are single mirrored divisions of exact
-    integers. Residuals are then QUANTIZED — e_t is computed in double
-    (identical expression tree both engines, hence identical IEEE
-    values) and immediately rounded to a BIGINT at 1e-4 cents — so
-    both quadratic sums are exact DECIMAL reductions, immune to
-    float-sum reassociation across partitions (the one hazard a
-    naive double sum-of-squares has on a cluster). ONE float division
-    at the end under round_half_up.
-
-    Scale: one daily rollup shuffle; the residual window is
-    calendar-bounded (|days| rows on one partition, the theil_sen
-    envelope), and the moments are a broadcast 1-row aggregate."""
+def _daily_ols_residuals(orders: DataFrame) -> DataFrame:
+    """Shared machinery for the residual-diagnostic family
+    (``durbin_watson``, ``ljung_box``): daily revenue in integer CENTS,
+    exact DECIMAL OLS moments, mirrored double slope/intercept, and the
+    QUANTIZED (1e-4 cents, BIGINT-in-DECIMAL) residual series with its
+    lag-1 neighbor. Returns (n, b, t, eq, eq_prev) — one row per day
+    with a full-window trend fit."""
     daily = (
         orders.select(
             F.date_trunc("day", "o_orderdate").alias("d"),
@@ -3630,9 +3612,37 @@ def durbin_watson(orders: DataFrame) -> DataFrame:
         - F.col("b") * F.col("t").cast("double")
     )
     eq = F.floor(e * 10000.0 + F.lit(0.5)).cast(DEC)
-    res = withm.select(
+    return withm.select(
         "n", "b", "t", eq.alias("eq"), F.lag(eq).over(w_t).alias("eq_prev")
     )
+
+
+def durbin_watson(orders: DataFrame) -> DataFrame:
+    """Durbin–Watson statistic on the residuals of the daily-revenue
+    OLS trend — the serial-correlation audit the trend battery lacks
+    (``acf_daily`` describes raw autocorrelation; this asks the
+    regression question: AFTER removing the linear trend, do adjacent
+    days still co-move? dw < 2 -> positive residual autocorrelation,
+    the classic symptom of seasonality or level shifts under a line
+    fit):
+
+        dw = sum_t (e_t - e_{t-1})^2 / sum_t e_t^2
+
+    Exactness: the OLS moments (n, St, St2, Sy, Sty) are exact
+    DECIMAL(38,0) on integer day indexes and integer CENTS, so the
+    slope/intercept doubles are single mirrored divisions of exact
+    integers. Residuals are then QUANTIZED — e_t is computed in double
+    (identical expression tree both engines, hence identical IEEE
+    values) and immediately rounded to a BIGINT at 1e-4 cents — so
+    both quadratic sums are exact DECIMAL reductions, immune to
+    float-sum reassociation across partitions (the one hazard a
+    naive double sum-of-squares has on a cluster). ONE float division
+    at the end under round_half_up.
+
+    Scale: one daily rollup shuffle; the residual window is
+    calendar-bounded (|days| rows on one partition, the theil_sen
+    envelope), and the moments are a broadcast 1-row aggregate."""
+    res = _daily_ols_residuals(orders)
     out = res.groupBy("n", "b").agg(
         F.sum(F.col("eq") * F.col("eq")).cast(DEC).alias("sse"),
         F.sum(
@@ -4119,4 +4129,186 @@ def lift_curve(events: DataFrame, n_bins: int = 10) -> DataFrame:
             / (F.col("cum_n") * F.col("pt")).cast("double"),
             6,
         ).alias("lift"),
+    )
+
+
+def ljung_box(orders: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Ljung–Box portmanteau terms on the daily-revenue OLS residuals —
+    the multi-lag completion of the residual-diagnostic family
+    (``durbin_watson`` sees lag 1; this tabulates lags 1..``max_lag``,
+    with Q(m) = sum of the first m ``q_term`` values, chi-square_m
+    under white-noise residuals):
+
+        r_k    = sum_t e_t e_{t+k} / sum_t e_t^2
+        q_term = n (n+2) r_k^2 / (n - k)
+
+    Exactness: residuals are the same QUANTIZED BIGINT series
+    durbin_watson reduces (``_daily_ols_residuals``), so both the
+    lag-k cross sums and the energy are exact DECIMAL reductions;
+    r_k and q_term are mirrored float expressions under
+    round_half_up. Per-lag rows (not a windowed cumulative) keep
+    every emitted double a function of exact integers — a windowed
+    running double sum would expose engine summation-tree order.
+
+    Scale: the lag join fans the |days|-row residual series out
+    ``max_lag`` times — calendar-bounded (the acf_daily envelope)."""
+    res = _daily_ols_residuals(orders).localCheckpoint(eager=False)
+    sse = res.agg(F.sum(F.col("eq") * F.col("eq")).cast(DEC).alias("sse"))
+    a = res.select(
+        "n",
+        "t",
+        "eq",
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
+    )
+    b = res.select(F.col("t").alias("tb"), F.col("eq").alias("eqb"))
+    lagged = a.join(b, F.col("tb") == F.col("t") + F.col("lag"))
+    per = lagged.groupBy("lag").agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("eq") * F.col("eqb")).cast(DEC).alias("sk"),
+    )
+    j = per.crossJoin(F.broadcast(sse))
+    nd = F.col("n").cast("double")
+    r = F.col("sk").cast("double") / F.col("sse").cast("double")
+    q_term = nd * (nd + 2.0) * r * r / (nd - F.col("lag").cast("double"))
+    return j.where(F.col("sse") > 0).select(
+        "lag",
+        "n_pairs",
+        round_half_up(r, 6).alias("r"),
+        round_half_up(q_term, 6).alias("q_term"),
+    )
+
+
+def conformal_coverage(events: DataFrame) -> DataFrame:
+    """Split-conformal interval audit: calibrate a [q05, q95] value
+    interval on EVEN calendar days, measure its empirical coverage on
+    ODD days — the exchangeability check behind every distribution-
+    free prediction interval (a coverage far from the nominal 90%
+    says the two halves are not exchangeable: drift, day-of-week
+    structure, or a fat tail the quantiles missed).
+
+    Exactness: quantile cuts are nearest-rank on integer cents with
+    cross-multiplied INTEGER rank thresholds (lo = ceil(5n/100),
+    hi = ceil(95n/100) over the deterministic (cents, event_id)
+    order), the covered count is an integer BETWEEN predicate, and
+    coverage is ONE mirrored division under round_half_up.
+
+    Scale: one global sort-rank on the train half (range-partitioned
+    at scale), one broadcast of the 1-row interval back onto the test
+    scan."""
+    base = events.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.col("event_id").alias("eid"),
+        (F.dayofmonth("ts") % 2 == 0).alias("is_train"),
+    ).where(F.col("cents").isNotNull())
+    train = base.where(F.col("is_train"))
+    nt = train.agg(F.count(F.lit(1)).cast("long").alias("n_train"))
+    ranked = train.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy(F.col("cents").asc(), F.col("eid").asc()))
+        .cast("long")
+        .alias("rn"),
+    ).crossJoin(F.broadcast(nt))
+    interval = ranked.agg(
+        F.max("n_train").alias("n_train"),
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.expr("(5 * n_train + 99) div 100"),
+                F.col("cents"),
+            )
+        ).alias("lo_cents"),
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.expr("(95 * n_train + 99) div 100"),
+                F.col("cents"),
+            )
+        ).alias("hi_cents"),
+    )
+    test = base.where(~F.col("is_train"))
+    scored = test.crossJoin(F.broadcast(interval))
+    return scored.agg(
+        F.max("n_train").cast("long").alias("n_train"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.max("lo_cents").cast("long").alias("lo_cents"),
+        F.max("hi_cents").cast("long").alias("hi_cents"),
+        F.sum(
+            F.when(
+                (F.col("cents") >= F.col("lo_cents"))
+                & (F.col("cents") <= F.col("hi_cents")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_covered"),
+    ).where(
+        (F.col("n_test") > 0) & F.col("n_train").isNotNull()
+    ).select(
+        "n_train",
+        "n_test",
+        "lo_cents",
+        "hi_cents",
+        "n_covered",
+        round_half_up(
+            F.col("n_covered").cast("double")
+            / F.col("n_test").cast("double"),
+            6,
+        ).alias("coverage"),
+    )
+
+
+def weighted_quantiles(lineitem: DataFrame) -> DataFrame:
+    """Quantity-weighted price quantiles (q25/q50/q75/q90): the
+    smallest extended price whose cumulative QUANTITY share clears
+    each cut — the volume-weighted generalization of
+    ``weighted_median_price`` (a thin high-volume SKU moves these;
+    an expensive one-off doesn't).
+
+    Exactness: prices ride the integer-cents spine, weights are
+    integer quantities, the cut test is the cross-multiplied INTEGER
+    predicate 100 * cumw >= q * W (never a float share), and the
+    per-q pick is an integer MIN over qualifying spine rows.
+
+    Scale: one (cents) rollup — the corpus-sized shuffle — then a
+    cumulative window over the |distinct price| spine and a 4-row
+    broadcast quantile spine."""
+    gv = (
+        lineitem.select(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .groupBy("cents")
+        .agg(F.sum("qty").cast("long").alias("w"))
+    )
+    wc = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = gv.select(
+        "cents",
+        F.sum("w").over(wc).cast("long").alias("cumw"),
+    ).crossJoin(
+        F.broadcast(gv.agg(F.sum("w").cast("long").alias("wtot")))
+    )
+    spark = lineitem.sparkSession
+    qs = spark.createDataFrame([(25,), (50,), (75,), (90,)], "q int")
+    hit = cum.join(
+        F.broadcast(qs),
+        100 * F.col("cumw") >= F.col("q").cast("long") * F.col("wtot"),
+    )
+    return (
+        hit.groupBy("q")
+        .agg(
+            F.min("cents").cast("long").alias("cents"),
+            F.max("wtot").cast("long").alias("total_qty"),
+        )
+        .select(
+            "q",
+            "cents",
+            "total_qty",
+            (F.col("cents").cast("double") / 100.0).alias("price"),
+        )
     )

@@ -386,3 +386,92 @@ def test_lift_curve_perfect_ranker(spark):
     }
     assert out[0].n_pos == 2 and out[0].capture == 1.0 and out[0].lift == 2.0
     assert out[1].n_pos == 0 and out[1].capture == 1.0 and out[1].lift == 1.0
+
+
+def test_ljung_box_matches_literal_reference(spark):
+    # same alternating series as the DW pin: compute the reference
+    # lag-k terms from the same quantized residuals.
+    vals = [1.00, 2.00, 1.00, 2.00, 1.00, 2.00, 1.00, 2.00]
+    rows = [
+        (i, 1, "O", v, D(2024, 3, 1 + i), "1-URGENT")
+        for i, v in enumerate(vals)
+    ]
+    out = {r.lag: r for r in RB.ljung_box(_orders(spark, rows)).collect()}
+    cents = [round(v * 100) for v in vals]
+    n = len(cents)
+    ts = list(range(1, n + 1))
+    st, st2 = sum(ts), sum(t * t for t in ts)
+    sy, sty = sum(cents), sum(t * y for t, y in zip(ts, cents))
+    b = float(n * sty - st * sy) / float(n * st2 - st * st)
+    a = (float(sy) - b * float(st)) / float(n)
+    eq = [
+        math.floor((float(y) - a - b * float(t)) * 10000.0 + 0.5)
+        for t, y in zip(ts, cents)
+    ]
+    sse = sum(e * e for e in eq)
+    for k in range(1, 8):
+        pairs = list(zip(eq, eq[k:]))
+        if not pairs:
+            assert k not in out
+            continue
+        sk = sum(x * y for x, y in pairs)
+        r = math.floor(sk / sse * 1e6 + 0.5) / 1e6
+        q = math.floor(
+            n * (n + 2.0) * (sk / sse) * (sk / sse) / (n - k) * 1e6 + 0.5
+        ) / 1e6
+        assert out[k].n_pairs == len(pairs)
+        assert out[k].r == r and out[k].q_term == q
+    # alternating residuals: lag-1 autocorrelation strongly negative
+    assert out[1].r < -0.5
+
+
+def test_conformal_coverage_planted_interval(spark):
+    # train (even days): values 1..20 -> lo = ceil(0.05*20)=1st -> 1,
+    # hi = ceil(0.95*20)=19th -> 19. test (odd days): 10 values, two
+    # outside [1,19] (0.21, 0.25) -> coverage 0.8.
+    rows = []
+    for i in range(20):  # even day: March 2
+        rows.append((i, D(2024, 3, 2, 10), 1, "view", (i + 1) / 100.0))
+    test_vals = [0.05, 0.06, 0.07, 0.08, 0.10, 0.12, 0.15, 0.19, 0.21, 0.25]
+    for j, v in enumerate(test_vals):  # odd day: March 3
+        rows.append((100 + j, D(2024, 3, 3, 10), 1, "view", v))
+    out = RB.conformal_coverage(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_train == 20 and r.n_test == 10
+    assert r.lo_cents == 1 and r.hi_cents == 19
+    assert r.n_covered == 8 and r.coverage == 0.8
+
+
+def test_weighted_quantiles_hand_computed(spark):
+    # prices 1.00/2.00/3.00 with quantities 10/10/80: cum shares are
+    # 10%, 20%, 100% -> q25/q50/q75/q90 all land on 3.00; q10 would be
+    # 1.00 (not emitted). Swap weights to 80/10/10: q25/50/75 -> 1.00,
+    # q90 -> 2.00.
+    def li(rows):
+        return spark.createDataFrame(
+            [
+                (i, 1, 1, 1, float(q), float(p), 0.0, 0.0, "N", "O",
+                 D(2024, 3, 1))
+                for i, (p, q) in enumerate(rows)
+            ],
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber int, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate timestamp",
+        )
+
+    out = {
+        r.q: r for r in RB.weighted_quantiles(
+            li([(1.00, 10), (2.00, 10), (3.00, 80)])
+        ).collect()
+    }
+    assert all(out[q].cents == 300 for q in (25, 50, 75, 90))
+    assert out[25].total_qty == 100 and out[25].price == 3.0
+    out2 = {
+        r.q: r for r in RB.weighted_quantiles(
+            li([(1.00, 80), (2.00, 10), (3.00, 10)])
+        ).collect()
+    }
+    assert all(out2[q].cents == 100 for q in (25, 50, 75))
+    assert out2[90].cents == 200
