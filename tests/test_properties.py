@@ -1223,3 +1223,161 @@ def test_dunn_posthoc_matches_bruteforce(spark, rows):
         assert abs(out[key].z - z) < 1e-5
         assert out[key].na == len(groups[key[0]])
         assert out[key].nb == len(groups[key[1]])
+
+
+stl_case = st.lists(st.integers(0, 500), min_size=8, max_size=28)
+
+
+@PROP
+@given(cents=stl_case)
+def test_stl_reconstruction_identity(spark, cents):
+    """trend + seasonal + residual must reconstruct y exactly (each
+    emitted at 6dp, so the identity holds within 3 rounding ulps) —
+    the additive-decomposition contract, on random daily series."""
+    import datetime as dt
+
+    from pubsub_mapreduce_spark.operators.robust import stl_lite
+
+    rows = [
+        (i, 1, "O", c / 100.0,
+         dt.datetime(2024, 3, 1) + dt.timedelta(days=i), "1")
+        for i, c in enumerate(cents)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    out = stl_lite(df).collect()
+    assert len(out) == len(cents) - 6
+    for r in out:
+        assert abs(r.y - (r.trend + r.seasonal + r.residual)) < 2e-6
+
+
+brier_case = st.lists(
+    st.tuples(st.integers(1, 60), st.booleans()),  # (cents, purchased)
+    min_size=4,
+    max_size=40,
+)
+
+
+@PROP
+@given(rows=brier_case)
+def test_brier_decomposition_murphy_identity(spark, rows):
+    """REL - RES + UNC must equal the directly-computed binned Brier
+    score mean((f_bin(i) - y_i)^2) — Murphy's identity, exact for
+    binned forecasts, on random corpora."""
+    import datetime as dt
+
+    from pubsub_mapreduce_spark.operators.robust import brier_decomposition
+
+    ev = [
+        (i, dt.datetime(2024, 3, 1, 10), 1,
+         "purchase" if p else "view", c / 100.0)
+        for i, (c, p) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    n_bins = 4
+    out = brier_decomposition(df, n_bins=n_bins).collect()
+    assert len(out) == 1
+    r = out[0]
+    # brute force: rank by (cents, event_id), bin, mean forecast per
+    # bin, direct binned brier
+    n = len(rows)
+    order = sorted(range(n), key=lambda i: (rows[i][0], i))
+    binof = {i: (k * n_bins) // n for k, i in enumerate(order)}
+    rankof = {i: k for k, i in enumerate(order)}
+    fbin = {}
+    for b in set(binof.values()):
+        members = [i for i in range(n) if binof[i] == b]
+        fbin[b] = sum(rankof[i] / n for i in members) / len(members)
+    direct = sum(
+        (fbin[binof[i]] - (1.0 if rows[i][1] else 0.0)) ** 2
+        for i in range(n)
+    ) / n
+    assert abs(r.brier_binned - direct) < 1e-5
+    assert r.reliability >= 0 and r.resolution >= -1e-12
+
+
+lift_case = st.lists(
+    st.tuples(st.integers(1, 50), st.booleans()),
+    min_size=5,
+    max_size=40,
+)
+
+
+@PROP
+@given(rows=lift_case)
+def test_lift_curve_capture_monotone_and_complete(spark, rows):
+    """Cumulative capture is nondecreasing in decile and reaches
+    exactly 1.0 at the last decile (when any positive exists)."""
+    import datetime as dt
+
+    from pubsub_mapreduce_spark.operators.robust import lift_curve
+
+    ev = [
+        (i, dt.datetime(2024, 3, 1, 10), 1,
+         "purchase" if p else "view", c / 100.0)
+        for i, (c, p) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    out = sorted(lift_curve(df, n_bins=5).collect(), key=lambda r: r.decile)
+    if not any(p for _, p in rows):
+        assert out == []
+        return
+    caps = [r.capture for r in out]
+    assert caps == sorted(caps)
+    assert caps[-1] == 1.0
+    assert sum(r.n_pos for r in out) == sum(1 for _, p in rows if p)
+
+
+conf_case = st.lists(
+    st.tuples(st.integers(1, 99), st.integers(1, 28)),  # (cents, day)
+    min_size=4,
+    max_size=40,
+)
+
+
+@PROP
+@given(rows=conf_case)
+def test_conformal_coverage_matches_bruteforce(spark, rows):
+    import datetime as dt
+    import math
+
+    from pubsub_mapreduce_spark.operators.robust import conformal_coverage
+
+    ev = [
+        (i, dt.datetime(2024, 3, d, 10), 1, "view", c / 100.0)
+        for i, (c, d) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    out = conformal_coverage(df).collect()
+    train = sorted(
+        (c, i) for i, (c, d) in enumerate(rows) if d % 2 == 0
+    )
+    test = [c for c, d in rows if d % 2 == 1]
+    if not train or not test:
+        assert out == []
+        return
+    n = len(train)
+    lo = train[(5 * n + 99) // 100 - 1][0]
+    hi = train[(95 * n + 99) // 100 - 1][0]
+    covered = sum(1 for c in test if lo <= c <= hi)
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_train, r.n_test) == (n, len(test))
+    assert (r.lo_cents, r.hi_cents, r.n_covered) == (lo, hi, covered)
+    assert r.coverage == math.floor(covered / len(test) * 1e6 + 0.5) / 1e6
