@@ -1173,6 +1173,14 @@ def q_weighted_quantiles(spark, sf_dir):
     return RB.weighted_quantiles(load_tables(spark, sf_dir)["lineitem"])
 
 
+def q_ann_bits_sweep(spark, sf_dir):
+    """LSH bucket-bits tuning table (similarity.ann_bits_sweep):
+    recall@5 of the 8-table sign-LSH index at 3/4/5/6 bits per table
+    against the exact sampled top-k — the index-side dial the
+    b ~ log2(N) sizing rule walks."""
+    return S.ann_bits_sweep(load_tables(spark, sf_dir)["embeddings"])
+
+
 def q_q20_dominant_suppliers(spark, sf_dir):
     return R.q20_dominant_suppliers(load_tables(spark, sf_dir))
 
@@ -3003,6 +3011,7 @@ R7_QUEUE = [
     "ccf_daily", "stl_lite", "silhouette_eval",
     "disparate_impact", "brier_decomposition", "lift_curve",
     "ljung_box", "conformal_coverage", "weighted_quantiles",
+    "ann_bits_sweep",
 ]
 
 
@@ -3298,6 +3307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ljung_box": q_ljung_box,
         "conformal_coverage": q_conformal_coverage,
         "weighted_quantiles": q_weighted_quantiles,
+        "ann_bits_sweep": q_ann_bits_sweep,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -11047,4 +11057,5 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY q
     """
     out["ann_nprobe_sweep"] = S.duckdb_nprobe_sweep_sql()
+    out["ann_bits_sweep"] = S.duckdb_bits_sweep_sql()
     return out

@@ -384,6 +384,9 @@ BENCH_QUERIES = [
 #   ceiling (ann_eval precedent); at 100TB it runs on a sampled slice.
 # (entity_match left this list in round 6: the wildcard-key blocking
 # rewrite took it from 12.9s to ~1.1s — it's a normal 3-rep query now.)
+# - ann_bits_sweep (~4.4s): four complete LSH index builds (one per
+#   bit width) plus the exact sampled ceiling — the sweep IS four
+#   indexes by definition; production sizes b on a sampled slice.
 # - silhouette_eval (~5s): re-runs the full 2-round int8 Lloyd
 #   clustering (the audited artifact) AND scores a bounded sample
 #   against the whole corpus — the clustering is the cost, the audit
@@ -393,6 +396,7 @@ BENCH_QUERIES_SLOW = [
     "multimodal_dup_consensus",
     "dedup_eval",
     "silhouette_eval",
+    "ann_bits_sweep",
 ]
 
 # Documented exclusions (VERDICT r4 #4 requires every registered query

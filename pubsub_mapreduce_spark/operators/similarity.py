@@ -3615,3 +3615,125 @@ def silhouette_eval(
         round_half_up(F.col("b_mean"), 6).alias("b_mean"),
         round_half_up(s, 6).alias("s"),
     )
+
+
+def ann_bits_sweep(
+    emb: DataFrame,
+    k: int = 5,
+    every: int = 50,
+    bits: tuple = (3, 4, 5, 6),
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH bucket-bits TUNING TABLE: recall@k of the multi-table
+    sign-LSH index against the exact top-k at each per-table bit width
+    — the sweep behind the b ~ log2(N / target_bucket) sizing rule the
+    ann_lsh_topk docstring prescribes (``ann_nprobe_sweep`` walks the
+    IVF family's query-side dial; this walks LSH's INDEX-side dial:
+    more bits -> smaller buckets -> fewer candidates scored but a
+    higher per-table miss rate, recall decaying roughly like
+    (1 - p^b)^L).
+
+    Each width derives its own plane table from the same seed
+    (deterministic literals shared with the oracle), candidates are
+    OR-amplified across ``n_tables`` tables, and the exact side is one
+    lazily-checkpointed brute-force pass over the bounded query
+    sample. Integer counts, one division per row.
+
+    Scale: sweep cost = |bits| x the bucketed kNN (each bounded by
+    bucket collisions, never all-pairs) + ONE exact sampled pass;
+    at production N the same sweep runs on a sampled slice to pick b
+    before the full index build."""
+    from functools import reduce
+
+    from ..functions.text import round_half_up
+
+    exact = cosine_topk(emb, k=k, every=every).localCheckpoint(eager=False)
+    consts = exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+    )
+    unions = [
+        ann_lsh_topk(
+            emb,
+            k=k,
+            every=every,
+            n_tables=n_tables,
+            planes_per_table=int(b),
+            seed=seed,
+        ).select(F.lit(int(b)).alias("bits"), "query_id", "neighbor_id")
+        for b in bits
+    ]
+    a = reduce(lambda x, y: x.unionByName(y), unions)
+    matched = a.join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+    ).groupBy("bits").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched")
+    )
+    spine = emb.sparkSession.createDataFrame(
+        [(int(b),) for b in bits], "bits int"
+    )
+    z = F.lit(0).cast("long")
+    return (
+        spine.join(matched, "bits", "left")
+        .crossJoin(broadcast(consts))
+        .select(
+            "bits",
+            "n_queries",
+            F.coalesce("n_matched", z).alias("n_matched"),
+            "n_exact",
+            round_half_up(
+                F.coalesce("n_matched", z) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def duckdb_bits_sweep_sql(
+    k: int = 5,
+    every: int = 50,
+    bits: tuple = (3, 4, 5, 6),
+    n_tables: int = 8,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of ``ann_bits_sweep``: the same LSH oracle per bit
+    width (shared plane literals via duckdb_lsh_topk_sql), the same
+    exact side and integer recall."""
+    branches = "\n UNION ALL ".join(
+        f"""SELECT {int(b)} AS bits, query_id, neighbor_id
+            FROM ({duckdb_lsh_topk_sql(k=k, every=every,
+                                       n_tables=n_tables,
+                                       planes_per_table=int(b),
+                                       seed=seed)})"""
+        for b in bits
+    )
+    blist = ", ".join(str(int(b)) for b in bits)
+    return f"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
+            WHERE vec_id % {every} = 0),
+      scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                        list_cosine_similarity(q_emb, emb) AS sim
+                 FROM q JOIN e ON e.vec_id <> q.query_id),
+      exact AS (SELECT query_id, neighbor_id
+                FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, neighbor_id ASC) AS rank
+                      FROM scored)
+                WHERE rank <= {k}),
+      a AS ({branches}),
+      matched AS (SELECT bits, CAST(count(*) AS BIGINT) AS n_matched
+                  FROM a JOIN exact USING (query_id, neighbor_id)
+                  GROUP BY 1),
+      consts AS (SELECT CAST(count(*) AS BIGINT) AS n_exact,
+                        CAST(count(DISTINCT query_id) AS BIGINT)
+                            AS n_queries
+                 FROM exact),
+      spine AS (SELECT unnest([{blist}]) AS bits)
+      SELECT CAST(spine.bits AS INTEGER) AS bits, n_queries,
+             COALESCE(n_matched, 0) AS n_matched, n_exact,
+             floor(COALESCE(n_matched, 0) * 1.0 / n_exact * 1e6 + 0.5)
+                 / 1e6 AS recall
+      FROM spine CROSS JOIN consts
+      LEFT JOIN matched ON matched.bits = spine.bits
+    """

@@ -475,3 +475,19 @@ def test_weighted_quantiles_hand_computed(spark):
     }
     assert all(out2[q].cents == 100 for q in (25, 50, 75))
     assert out2[90].cents == 200
+
+
+def test_ann_bits_sweep_structure(spark):
+    # structural contract on the fixture: every requested width has a
+    # row, the exact denominator is k * |queries|, recall in [0, 1],
+    # and wider tables (fewer bits) dominate on this corpus size.
+    from pubsub_mapreduce_spark.operators.similarity import ann_bits_sweep
+    from pubsub_mapreduce_spark.io import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    out = {r.bits: r for r in ann_bits_sweep(emb).collect()}
+    assert sorted(out) == [3, 4, 5, 6]
+    for r in out.values():
+        assert r.n_exact == 5 * r.n_queries
+        assert 0.0 <= r.recall <= 1.0
+    assert out[3].recall >= out[6].recall
