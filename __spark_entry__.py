@@ -1181,6 +1181,21 @@ def q_ann_bits_sweep(spark, sf_dir):
     return S.ann_bits_sweep(load_tables(spark, sf_dir)["embeddings"])
 
 
+def q_cluster_balance(spark, sf_dir):
+    """Label composition per int8 k-means cluster
+    (similarity.cluster_balance over kmeans_assign): dominant label,
+    purity and Simpson concentration — the topic-balance report next
+    to silhouette_eval's geometry score."""
+    return S.cluster_balance(load_tables(spark, sf_dir)["embeddings"])
+
+
+def q_rake_keyphrases(spark, sf_dir):
+    """RAKE keyphrase extraction per language (textops.rake_keyphrases):
+    stopword-gap islands, integer-micro deg/freq word scores, top-20
+    phrases per lang."""
+    return TX.rake_keyphrases(load_tables(spark, sf_dir)["documents"])
+
+
 def q_q20_dominant_suppliers(spark, sf_dir):
     return R.q20_dominant_suppliers(load_tables(spark, sf_dir))
 
@@ -3011,7 +3026,7 @@ R7_QUEUE = [
     "ccf_daily", "stl_lite", "silhouette_eval",
     "disparate_impact", "brier_decomposition", "lift_curve",
     "ljung_box", "conformal_coverage", "weighted_quantiles",
-    "ann_bits_sweep",
+    "ann_bits_sweep", "cluster_balance", "rake_keyphrases",
 ]
 
 
@@ -3308,6 +3323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_coverage": q_conformal_coverage,
         "weighted_quantiles": q_weighted_quantiles,
         "ann_bits_sweep": q_ann_bits_sweep,
+        "cluster_balance": q_cluster_balance,
+        "rake_keyphrases": q_rake_keyphrases,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -11058,4 +11075,138 @@ def oracle_sql() -> dict[str, str]:
     """
     out["ann_nprobe_sweep"] = S.duckdb_nprobe_sweep_sql()
     out["ann_bits_sweep"] = S.duckdb_bits_sweep_sql()
+    # cluster_balance composes the emb_kmeans oracle's Lloyd rounds
+    # (the silhouette_eval pattern) and scores label composition.
+    out["cluster_balance"] = """
+        WITH scaled AS (
+          SELECT vec_id, embedding,
+                 CASE WHEN s0 > 0 THEN s0 ELSE 1.0 END AS scale
+          FROM (SELECT vec_id, embedding,
+                       CAST(list_max(list_transform(embedding,
+                            v -> abs(v))) AS DOUBLE) / 127 AS s0
+                FROM embeddings)),
+        coded AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding, v ->
+                     CAST(floor(CAST(v AS DOUBLE) / scale + 0.5)
+                          AS INTEGER)) AS codes
+          FROM scaled),
+        q AS MATERIALIZED (
+          SELECT vec_id, i - 1 AS dim, codes[i] AS code
+          FROM coded,
+               LATERAL (SELECT unnest(range(1, len(codes) + 1)) AS i) _),
+        seeds0 AS (
+          SELECT vec_id, codes FROM coded
+          WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 8),
+        seedn AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                      AS INTEGER) AS cluster, codes
+          FROM seeds0),
+        cents0 AS (
+          SELECT cluster, i - 1 AS dim, CAST(codes[i] AS BIGINT) AS c
+          FROM seedn,
+               LATERAL (SELECT unnest(range(1, len(codes) + 1)) AS i) _),
+        d1 AS (
+          SELECT q.vec_id, c.cluster,
+                 CAST(sum((q.code - c.c) * (q.code - c.c)) AS BIGINT)
+                     AS d2
+          FROM q JOIN cents0 c USING (dim) GROUP BY 1, 2),
+        a1 AS (
+          SELECT vec_id, cluster FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY d2, cluster) AS rn
+            FROM d1) WHERE rn = 1),
+        cents1 AS (
+          SELECT a.cluster, q.dim,
+                 CAST(sum(q.code) // count(*) AS BIGINT) AS c
+          FROM q JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+        dd2 AS (
+          SELECT q.vec_id, c.cluster,
+                 CAST(sum((q.code - c.c) * (q.code - c.c)) AS BIGINT)
+                     AS d2
+          FROM q JOIN cents1 c USING (dim) GROUP BY 1, 2),
+        a2 AS MATERIALIZED (
+          SELECT vec_id, cluster FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY d2, cluster) AS rn
+            FROM dd2) WHERE rn = 1),
+        cl AS (
+          SELECT a.cluster, e.label, CAST(count(*) AS BIGINT) AS cnt
+          FROM a2 a JOIN embeddings e USING (vec_id)
+          GROUP BY 1, 2),
+        per AS (
+          SELECT cluster, label, cnt,
+                 row_number() OVER (PARTITION BY cluster
+                     ORDER BY cnt DESC, label ASC) AS rn,
+                 CAST(sum(cnt) OVER (PARTITION BY cluster) AS BIGINT)
+                     AS n_members,
+                 CAST(sum(cnt * cnt) OVER (PARTITION BY cluster)
+                      AS BIGINT) AS sum_c2
+          FROM cl)
+        SELECT cluster, n_members, label AS top_label, cnt AS n_top,
+               floor(CAST(cnt AS DOUBLE) / CAST(n_members AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS purity,
+               floor(CAST(sum_c2 AS DOUBLE)
+                     / (CAST(n_members AS DOUBLE)
+                        * CAST(n_members AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                   AS simpson
+        FROM per WHERE rn = 1
+    """
+    out["rake_keyphrases"] = r"""
+        WITH toks AS (
+          SELECT doc_id, lang, i - 1 AS pos, t[i] AS w
+          FROM (SELECT doc_id, lang,
+                       list_filter(string_split_regex(lower(text),
+                                                      '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents),
+               LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) _),
+        flag AS (SELECT *,
+                        (w IN ('the','a','of','and','to','in','is',
+                               'it','for','on')) AS is_stop
+                 FROM toks),
+        isl AS (SELECT *,
+                       sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS island
+                FROM flag),
+        ph AS MATERIALIZED (
+          SELECT doc_id, lang, island,
+                 list(w ORDER BY pos) AS ws,
+                 CAST(count(*) AS BIGINT) AS n_words
+          FROM isl WHERE NOT is_stop
+          GROUP BY 1, 2, 3 HAVING count(*) <= 5),
+        pw AS (SELECT doc_id, lang, island, n_words, unnest(ws) AS w
+               FROM ph),
+        stats AS (SELECT lang, w,
+                         CAST(count(*) AS BIGINT) AS freq,
+                         CAST(sum(n_words) AS BIGINT) AS deg
+                  FROM pw GROUP BY 1, 2),
+        inst AS (SELECT pw.doc_id, pw.lang, pw.island,
+                        CAST(sum(CAST(floor((CAST(s.deg AS DOUBLE)
+                                             / CAST(s.freq AS DOUBLE))
+                                            * 1000000.0 + 0.5)
+                                      AS BIGINT)) AS BIGINT)
+                            AS score_micro
+                 FROM pw JOIN stats s
+                   ON s.lang = pw.lang AND s.w = pw.w
+                 GROUP BY 1, 2, 3),
+        agg AS (SELECT ph.lang,
+                       array_to_string(ph.ws, ' ') AS phrase,
+                       CAST(count(*) AS BIGINT) AS n_occ,
+                       CAST(max(ph.n_words) AS BIGINT) AS n_words,
+                       CAST(max(i.score_micro) AS BIGINT) AS score_micro
+                FROM inst i
+                JOIN ph ON ph.doc_id = i.doc_id
+                       AND ph.lang = i.lang AND ph.island = i.island
+                GROUP BY 1, 2)
+        SELECT lang,
+               CAST(row_number() OVER (PARTITION BY lang
+                   ORDER BY score_micro DESC, phrase ASC)
+                   AS INTEGER) AS rank,
+               phrase, n_words, n_occ,
+               CAST(score_micro AS DOUBLE) / 1000000.0 AS score
+        FROM agg
+        QUALIFY rank <= 20
+    """
     return out

@@ -371,6 +371,8 @@ BENCH_QUERIES = [
     "ljung_box",
     "conformal_coverage",
     "weighted_quantiles",
+    "cluster_balance",
+    "rake_keyphrases",
 ]
 
 # Heavy composite queries (>3s at sf0.1). Benched at ONE rep so the

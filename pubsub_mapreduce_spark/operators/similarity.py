@@ -3737,3 +3737,61 @@ def duckdb_bits_sweep_sql(
       FROM spine CROSS JOIN consts
       LEFT JOIN matched ON matched.bits = spine.bits
     """
+
+
+def cluster_balance(
+    emb: DataFrame, k: int = 8, iters: int = 2, seed_every: int = 100
+) -> DataFrame:
+    """Label composition of each int8 k-means cluster — the topic-
+    balance report a curation pipeline reads next to ``silhouette_eval``
+    (silhouette asks "is the geometry tight?"; this asks "does the
+    cluster MEAN anything?" — per cluster: the dominant label, its
+    purity, and the Simpson concentration index sum_l (c_l / n)^2,
+    1/k-ish when mixed, 1.0 when pure).
+
+    Exactness: label counts ride the exactly-value-hashable
+    ``kmeans_assign``; the dominant label is a deterministic
+    (count desc, label asc) window pick; purity and Simpson are
+    mirrored divisions of exact BIGINTs under round_half_up.
+
+    Scale: one (cluster, label) rollup over the assignment relation —
+    k x |labels| rows downstream."""
+    from ..functions.text import round_half_up
+
+    assign = kmeans_assign(
+        emb, k=k, iters=iters, seed_every=seed_every
+    ).select("vec_id", "cluster")
+    j = assign.join(emb.select("vec_id", "label"), "vec_id")
+    cl = j.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("cnt"), F.asc("label")
+    )
+    per = cl.select(
+        "cluster",
+        "label",
+        "cnt",
+        F.row_number().over(w).alias("rn"),
+        F.sum("cnt")
+        .over(Window.partitionBy("cluster"))
+        .cast("long")
+        .alias("n_members"),
+        F.sum(F.col("cnt") * F.col("cnt"))
+        .over(Window.partitionBy("cluster"))
+        .cast("long")
+        .alias("sum_c2"),
+    ).where(F.col("rn") == 1)
+    nd = F.col("n_members").cast("double")
+    return per.select(
+        "cluster",
+        "n_members",
+        F.col("label").alias("top_label"),
+        F.col("cnt").alias("n_top"),
+        round_half_up(F.col("cnt").cast("double") / nd, 6).alias(
+            "purity"
+        ),
+        round_half_up(
+            F.col("sum_c2").cast("double") / (nd * nd), 6
+        ).alias("simpson"),
+    )

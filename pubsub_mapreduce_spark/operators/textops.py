@@ -1832,3 +1832,108 @@ def perplexity_buckets(docs: DataFrame, ref_lang: str = "en") -> DataFrame:
         F.min("score_permille").alias("score_min"),
         F.max("score_permille").alias("score_max"),
     )
+
+
+def rake_keyphrases(
+    docs: DataFrame, top_n: int = 20, max_words: int = 5
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) per language:
+    candidate phrases are maximal stopword-free token runs (the
+    gaps-and-islands trick over the EN_STOPWORDS delimiters), each
+    word scores deg(w)/freq(w) over the language's candidate set
+    (degree = total length of phrases containing w — co-occurring
+    words inflate each other), and a phrase scores the sum of its
+    words — the unsupervised topic-labeling pass a corpus card runs
+    (``tfidf_top_terms`` ranks single tokens; this surfaces PHRASES).
+
+    Exactness: runs/lengths/freq/degree are BIGINT; each word's
+    deg/freq contribution is QUANTIZED to integer micros (the
+    adamic_adar move), so phrase scores are exact BIGINT sums —
+    immune to summation order — and the per-language top-``top_n``
+    rank is integer-deterministic (score desc, phrase asc). Runs
+    longer than ``max_words`` drop (standard RAKE practice; also the
+    fan-out bound).
+
+    Scale: tokenize once (one projection), islands ride the per-doc
+    position window (document-bounded partitions), and everything
+    after the phrase rollup is |distinct phrases|-sized."""
+    from pyspark.sql import Window
+
+    from ..functions.text import EN_STOPWORDS
+    from ..functions.text import tokens as tok
+
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(tok(F.lower(F.col("text")))).alias("pos", "w"),
+    ).withColumn("is_stop", F.col("w").isin(*EN_STOPWORDS))
+    wI = Window.partitionBy("doc_id").orderBy("pos")
+    isl = t.withColumn(
+        "island", F.sum(F.col("is_stop").cast("int")).over(wI)
+    )
+    ph = (
+        isl.where(~F.col("is_stop"))
+        .groupBy("doc_id", "lang", "island")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "w"))).alias("l"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+        .where(F.col("n_words") <= max_words)
+        .select(
+            "doc_id",
+            "lang",
+            "island",
+            "n_words",
+            F.transform(F.col("l"), lambda x: x["w"]).alias("ws"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pw = ph.select(
+        "doc_id", "lang", "island", "n_words", F.explode("ws").alias("w")
+    )
+    stats = pw.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("n_words").cast("long").alias("deg"),
+    )
+    micro = F.floor(
+        (F.col("deg").cast("double") / F.col("freq").cast("double"))
+        * 1000000.0
+        + 0.5
+    ).cast("long")
+    inst = (
+        pw.join(stats.select("lang", "w", micro.alias("c")), ["lang", "w"])
+        .groupBy("doc_id", "lang", "island")
+        .agg(F.sum("c").cast("long").alias("score_micro"))
+    )
+    agg = (
+        inst.join(ph, ["doc_id", "lang", "island"])
+        .select(
+            "lang",
+            F.array_join("ws", " ").alias("phrase"),
+            "n_words",
+            "score_micro",
+        )
+        .groupBy("lang", "phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.max("n_words").cast("long").alias("n_words"),
+            F.max("score_micro").cast("long").alias("score_micro"),
+        )
+    )
+    wr = Window.partitionBy("lang").orderBy(
+        F.desc("score_micro"), F.asc("phrase")
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= top_n)
+        .select(
+            "lang",
+            F.col("rn").cast("int").alias("rank"),
+            "phrase",
+            "n_words",
+            "n_occ",
+            (F.col("score_micro").cast("double") / 1000000.0).alias(
+                "score"
+            ),
+        )
+    )

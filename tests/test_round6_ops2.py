@@ -491,3 +491,55 @@ def test_ann_bits_sweep_structure(spark):
         assert r.n_exact == 5 * r.n_queries
         assert 0.0 <= r.recall <= 1.0
     assert out[3].recall >= out[6].recall
+
+
+def test_cluster_balance_pure_clusters(spark):
+    # two 2-member direction clusters with label == cluster identity:
+    # purity and Simpson both exactly 1.0.
+    from pubsub_mapreduce_spark.operators.similarity import cluster_balance
+
+    def vec(a, b):
+        return [float(a), float(b)] + [0.0] * 62
+
+    emb = spark.createDataFrame(
+        [
+            (0, vec(1, 0), 7),
+            (1, vec(1, 0.01), 7),
+            (2, vec(0, 1), 3),
+            (3, vec(0.01, 1), 3),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = cluster_balance(emb, k=2, seed_every=2).collect()
+    assert len(out) == 2
+    assert sorted(r.top_label for r in out) == [3, 7]
+    assert all(
+        r.n_members == 2 and r.n_top == 2
+        and r.purity == 1.0 and r.simpson == 1.0
+        for r in out
+    )
+
+
+def test_rake_keyphrases_hand_computed(spark):
+    # doc1: "the quick brown fox is very fast" -> islands
+    # [quick brown fox] (each word deg 3, freq 1 -> phrase 9.0) and
+    # [very fast]. doc2: "fast data" -> fast has freq 2, deg 4 ->
+    # contribution 2.0; "very fast" = 2+2 = 4.0, "fast data" = 4.0,
+    # tie broken by phrase asc.
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox is very fast", "en", "s", 0),
+            (2, "fast data", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    from pubsub_mapreduce_spark.operators.textops import rake_keyphrases
+
+    out = rake_keyphrases(docs).collect()
+    by_rank = {r.rank: r for r in out}
+    assert by_rank[1].phrase == "quick brown fox"
+    assert by_rank[1].score == 9.0 and by_rank[1].n_words == 3
+    assert by_rank[2].phrase == "fast data" and by_rank[2].score == 4.0
+    assert by_rank[3].phrase == "very fast" and by_rank[3].score == 4.0
+    assert len(out) == 3
