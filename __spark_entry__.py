@@ -10879,9 +10879,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT nationkey, n, sel,
                floor(CAST(sel AS DOUBLE) / CAST(n AS DOUBLE)
                      * 1e6 + 0.5) / 1e6 AS rate,
-               floor(CAST(sel * n_ref AS DOUBLE)
-                     / CAST(sel_ref * n AS DOUBLE) * 1e6 + 0.5) / 1e6
-                   AS di_ratio,
+               CASE WHEN sel_ref > 0 THEN
+                 floor(CAST(sel * n_ref AS DOUBLE)
+                       / CAST(sel_ref * n AS DOUBLE) * 1e6 + 0.5) / 1e6
+               END AS di_ratio,
                (5 * sel * n_ref < 4 * sel_ref * n) AS flag_80pct
         FROM ranked, ref
     """

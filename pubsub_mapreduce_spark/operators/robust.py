@@ -3948,10 +3948,16 @@ def disparate_impact(t, min_orders: int = 10) -> DataFrame:
         round_half_up(
             F.col("sel").cast("double") / F.col("n").cast("double"), 6
         ).alias("rate"),
-        round_half_up(
-            (F.col("sel") * F.col("n_ref")).cast("double")
-            / (F.col("sel_ref") * F.col("n")).cast("double"),
-            6,
+        # sel_ref == 0 (no group selects anyone) leaves the DI ratio
+        # undefined — NULL, never a divide-by-zero (ANSI mode throws;
+        # found by the Hypothesis brute-force pin)
+        F.when(
+            F.col("sel_ref") > 0,
+            round_half_up(
+                (F.col("sel") * F.col("n_ref")).cast("double")
+                / (F.col("sel_ref") * F.col("n")).cast("double"),
+                6,
+            ),
         ).alias("di_ratio"),
         (
             5 * F.col("sel") * F.col("n_ref")

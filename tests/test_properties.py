@@ -1381,3 +1381,198 @@ def test_conformal_coverage_matches_bruteforce(spark, rows):
     assert (r.n_train, r.n_test) == (n, len(test))
     assert (r.lo_cents, r.hi_cents, r.n_covered) == (lo, hi, covered)
     assert r.coverage == math.floor(covered / len(test) * 1e6 + 0.5) / 1e6
+
+
+aa_case = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)),
+    min_size=1,
+    max_size=15,
+)
+
+
+@PROP
+@given(raw=aa_case, max_deg=st.integers(2, 5))
+def test_adamic_adar_matches_bruteforce(spark, raw, max_deg):
+    import math
+
+    from pubsub_mapreduce_spark.operators.graph import adamic_adar
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    if not edges:
+        return
+    df = spark.createDataFrame(
+        [(a, b, 1) for a, b in edges], "a long, b long, w long"
+    )
+    out = {
+        (r.u, r.v): (r.aa_micro, r.n_common)
+        for r in adamic_adar(df, top_k=1000, max_deg=max_deg).collect()
+    }
+    nbr = {}
+    for a, b in edges:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    expected = {}
+    for w, ns in nbr.items():
+        d = len(ns)
+        if d < 2 or d > max_deg:
+            continue
+        c = math.floor(1e6 / math.log(d) + 0.5)
+        for u in ns:
+            for v in ns:
+                if u < v and (u, v) not in edges:
+                    micro, com = expected.get((u, v), (0, 0))
+                    expected[(u, v)] = (micro + c, com + 1)
+    assert out == expected
+
+
+wq_case = st.lists(
+    st.tuples(st.integers(1, 20), st.integers(1, 5)),  # (price, qty)
+    min_size=1,
+    max_size=25,
+)
+
+
+@PROP
+@given(rows=wq_case)
+def test_weighted_quantiles_matches_bruteforce(spark, rows):
+    import datetime as dt
+
+    from pubsub_mapreduce_spark.operators.robust import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [
+            (i, 1, 1, 1, float(q), float(p), 0.0, 0.0, "N", "O",
+             dt.datetime(2024, 3, 1))
+            for i, (p, q) in enumerate(rows)
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    )
+    out = {r.q: r.cents for r in weighted_quantiles(df).collect()}
+    agg = {}
+    for p, q in rows:
+        agg[p * 100] = agg.get(p * 100, 0) + q
+    total = sum(agg.values())
+    for qq in (25, 50, 75, 90):
+        cum = 0
+        want = None
+        for cents in sorted(agg):
+            cum += agg[cents]
+            if 100 * cum >= qq * total:
+                want = cents
+                break
+        assert out[qq] == want
+
+
+me_case = st.lists(
+    st.lists(st.integers(0, 3), min_size=2, max_size=8),  # per-user seq
+    min_size=1,
+    max_size=4,
+)
+
+
+@PROP
+@given(seqs=me_case)
+def test_markov_entropy_matches_bruteforce(spark, seqs):
+    import datetime as dt
+    import math
+    from collections import Counter, defaultdict
+
+    from pubsub_mapreduce_spark.operators.relational import (
+        markov_entropy_rate,
+    )
+
+    rows, eid = [], 0
+    t0 = dt.datetime(2024, 3, 1, 10)
+    for u, seq in enumerate(seqs):
+        for i, ty in enumerate(seq):
+            rows.append(
+                (eid, t0 + dt.timedelta(minutes=i), u, f"t{ty}", 0.0)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    out = {
+        r.type_from: r
+        for r in markov_entropy_rate({"events": df}).collect()
+    }
+    trans = defaultdict(Counter)
+    for seq in seqs:
+        for a, b in zip(seq, seq[1:]):
+            trans[f"t{a}"][f"t{b}"] += 1
+    n_all = sum(sum(c.values()) for c in trans.values())
+    assert set(out) == set(trans)
+    for s, c in trans.items():
+        ni = sum(c.values())
+        h = sum(
+            (nij / ni) * (math.log(ni) - math.log(nij))
+            for _, nij in sorted(c.items())
+        )
+        assert out[s].n_trans == ni
+        assert abs(out[s].h_cond - h) < 1e-5
+        assert out[s].pi == math.floor(ni / n_all * 1e6 + 0.5) / 1e6
+
+
+di_case = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 3)),  # (nation, n_orders)
+    min_size=1,
+    max_size=20,
+)
+
+
+@PROP
+@given(custs=di_case)
+def test_disparate_impact_matches_bruteforce(spark, custs):
+    import datetime as dt
+    import math
+    from collections import defaultdict
+
+    from pubsub_mapreduce_spark.operators.robust import disparate_impact
+
+    cust = spark.createDataFrame(
+        [(i, f"c{i}", nk, 0.0, "SEG") for i, (nk, _) in enumerate(custs)],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    orows, oid = [], 0
+    for i, (_, n) in enumerate(custs):
+        for _ in range(n):
+            orows.append(
+                (oid, i, "O", 1.0, dt.datetime(2024, 3, 1), "1")
+            )
+            oid += 1
+    orders = spark.createDataFrame(
+        orows or [(0, 10**9, "O", 1.0, dt.datetime(2024, 3, 1), "1")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    out = {
+        r.nationkey: r
+        for r in disparate_impact(
+            {"customer": cust, "orders": orders}, min_orders=2
+        ).collect()
+    }
+    grp = defaultdict(lambda: [0, 0])
+    for nk, n in custs:
+        grp[nk][0] += 1
+        grp[nk][1] += 1 if n >= 2 else 0
+    ref_nk = min(
+        grp, key=lambda nk: (-grp[nk][1] / grp[nk][0], nk)
+    )
+    sr, nr = grp[ref_nk][1], grp[ref_nk][0]
+    assert set(out) == set(grp)
+    for nk, (n, sel) in grp.items():
+        r = out[nk]
+        assert (r.n, r.sel) == (n, sel)
+        assert r.flag_80pct == (5 * sel * nr < 4 * sr * n)
+        if sr > 0:
+            want = math.floor(sel * nr / (sr * n) * 1e6 + 0.5) / 1e6
+            assert r.di_ratio == want
+        else:
+            assert r.di_ratio is None
