@@ -10853,7 +10853,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT own.i AS vec_id, own.gi AS cluster,
                floor(a_mean * 1e6 + 0.5) / 1e6 AS a_mean,
                floor(b_mean * 1e6 + 0.5) / 1e6 AS b_mean,
-               floor((b_mean - a_mean) / greatest(a_mean, b_mean)
+               floor(CASE WHEN greatest(a_mean, b_mean) > 0
+                          THEN (b_mean - a_mean)
+                               / greatest(a_mean, b_mean)
+                          ELSE 0.0 END
                      * 1e6 + 0.5) / 1e6 AS s
         FROM own JOIN oth ON oth.i = own.i
     """

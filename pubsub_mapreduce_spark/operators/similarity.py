@@ -3605,9 +3605,15 @@ def silhouette_eval(
         .agg(F.min("m").alias("b_mean"))
     )
     j = own.join(other, "i")
-    s = (F.col("b_mean") - F.col("a_mean")) / F.greatest(
-        "a_mean", "b_mean"
-    )
+    # a == b == 0 (the point and BOTH nearest clusters are exact
+    # duplicates at quantized distance 0): silhouette is 0 by
+    # convention — never a 0/0 (ANSI division throws; the
+    # disparate_impact precedent)
+    s = F.when(
+        F.greatest("a_mean", "b_mean") > 0,
+        (F.col("b_mean") - F.col("a_mean"))
+        / F.greatest("a_mean", "b_mean"),
+    ).otherwise(F.lit(0.0))
     return j.select(
         F.col("i").alias("vec_id"),
         F.col("gi").alias("cluster"),
@@ -3678,6 +3684,7 @@ def ann_bits_sweep(
     return (
         spine.join(matched, "bits", "left")
         .crossJoin(broadcast(consts))
+        .where(F.col("n_exact") > 0)  # empty query sample: no table
         .select(
             "bits",
             "n_queries",
@@ -3736,6 +3743,7 @@ def duckdb_bits_sweep_sql(
                  / 1e6 AS recall
       FROM spine CROSS JOIN consts
       LEFT JOIN matched ON matched.bits = spine.bits
+      WHERE n_exact > 0
     """
 
 

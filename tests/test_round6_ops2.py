@@ -543,3 +543,31 @@ def test_rake_keyphrases_hand_computed(spark):
     assert by_rank[2].phrase == "fast data" and by_rank[2].score == 4.0
     assert by_rank[3].phrase == "very fast" and by_rank[3].score == 4.0
     assert len(out) == 3
+
+
+def test_silhouette_all_duplicate_vectors_degenerate_empty(spark):
+    # every vector identical: Lloyd tie-breaking assigns them ALL to
+    # one cluster (identical distances -> same argmin), so there is no
+    # "other" cluster and silhouette is undefined -> empty result,
+    # never a NaN or an ANSI divide-by-zero. (The in-plan 0/0 guard
+    # covers the only other conceivable path.)
+    from pubsub_mapreduce_spark.operators.similarity import silhouette_eval
+
+    v = [1.0] + [0.0] * 63
+    emb = spark.createDataFrame(
+        [(i, v) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    assert silhouette_eval(emb, k=2, seed_every=2, every=1).count() == 0
+
+
+def test_ann_bits_sweep_empty_query_sample(spark):
+    # no vec_id divisible by `every` -> empty exact side -> empty
+    # sweep (never a 0-denominator recall row).
+    from pubsub_mapreduce_spark.operators.similarity import ann_bits_sweep
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)] + [0.0] * 63) for i in range(1, 6)],
+        "vec_id long, embedding array<float>",
+    )
+    assert ann_bits_sweep(emb, every=1000).count() == 0
