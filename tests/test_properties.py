@@ -1576,3 +1576,101 @@ def test_disparate_impact_matches_bruteforce(spark, custs):
             assert r.di_ratio == want
         else:
             assert r.di_ratio is None
+
+
+ccf_case = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 9)),  # (day, extra B events)
+    min_size=1,
+    max_size=10,
+)
+
+
+@PROP
+@given(spec=ccf_case)
+def test_ccf_daily_matches_bruteforce(spark, spec):
+    import datetime as dt
+    import math
+    from collections import Counter
+
+    from pubsub_mapreduce_spark.operators.robust import ccf_daily
+
+    # type A: one event per spec entry on its day; type B: `extra`+1
+    # events on the same day — random daily count pairs with gaps.
+    rows, eid = [], 0
+    for day, extra in spec:
+        rows.append((eid, dt.datetime(2024, 3, 1 + day, 10), 1, "A", 0.0))
+        eid += 1
+        for _ in range(extra + 1):
+            rows.append(
+                (eid, dt.datetime(2024, 3, 1 + day, 11), 1, "B", 0.0)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    out = {
+        (r.type_a, r.type_b, r.lag): r for r in ccf_daily(df).collect()
+    }
+    a_cnt = Counter(day for day, _ in spec)
+    b_cnt = Counter()
+    for day, extra in spec:
+        b_cnt[day] += extra + 1
+    for lag in range(-3, 4):
+        pairs = [
+            (a_cnt[d], b_cnt[d + lag])
+            for d in a_cnt
+            if (d + lag) in b_cnt
+        ]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sx2 = sum(x * x for x, _ in pairs)
+        sy2 = sum(y * y for _, y in pairs)
+        vx, vy = n * sx2 - sx * sx, n * sy2 - sy * sy
+        key = ("A", "B", lag)
+        if vx <= 0 or vy <= 0:
+            assert key not in out
+            continue
+        r = (n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy))
+        want = math.floor((r + 1.0) * 1e6 + 0.5) / 1e6
+        assert out[key].n == n and out[key].r_plus1 == want
+
+
+@PROP
+@given(
+    scale=st.integers(2, 9),
+    seed_ids=st.lists(st.integers(0, 30), min_size=2, max_size=6,
+                      unique=True),
+)
+def test_jl_distortion_scale_invariance(spark, scale, seed_ids):
+    """The JL ratio is invariant under uniformly scaling every vector
+    by an integer factor: both squared distances pick up scale^2 and
+    it cancels exactly (pure double multiplies by an integer are
+    exact here — components are small integers)."""
+    from pubsub_mapreduce_spark.operators.similarity import jl_distortion
+
+    def vecs(mult):
+        out = []
+        for vid in seed_ids:
+            v = [float(((vid * 7 + j * 3) % 5 - 2) * mult) for j in range(64)]
+            out.append((vid, v))
+        return out
+
+    emb1 = spark.createDataFrame(
+        vecs(1), "vec_id long, embedding array<float>"
+    )
+    emb2 = spark.createDataFrame(
+        vecs(scale), "vec_id long, embedding array<float>"
+    )
+    r1 = {
+        (r.id_a, r.id_b): r.ratio
+        for r in jl_distortion(emb1, every=1).collect()
+    }
+    r2 = {
+        (r.id_a, r.id_b): r.ratio
+        for r in jl_distortion(emb2, every=1).collect()
+    }
+    assert r1 == r2
