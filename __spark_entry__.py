@@ -1196,6 +1196,14 @@ def q_rake_keyphrases(spark, sf_dir):
     return TX.rake_keyphrases(load_tables(spark, sf_dir)["documents"])
 
 
+def q_theil_index(spark, sf_dir):
+    """Theil T inequality of customer spend decomposed by nation
+    (robust.theil_index): nano-quantized within-group contributions
+    summed as exact BIGINTs, mirrored between-group terms — the
+    additive split spend_gini can't give."""
+    return RB.theil_index(load_tables(spark, sf_dir))
+
+
 def q_q20_dominant_suppliers(spark, sf_dir):
     return R.q20_dominant_suppliers(load_tables(spark, sf_dir))
 
@@ -3027,6 +3035,7 @@ R7_QUEUE = [
     "disparate_impact", "brier_decomposition", "lift_curve",
     "ljung_box", "conformal_coverage", "weighted_quantiles",
     "ann_bits_sweep", "cluster_balance", "rake_keyphrases",
+    "theil_index",
 ]
 
 
@@ -3325,6 +3334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bits_sweep": q_ann_bits_sweep,
         "cluster_balance": q_cluster_balance,
         "rake_keyphrases": q_rake_keyphrases,
+        "theil_index": q_theil_index,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -11212,5 +11222,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(score_micro AS DOUBLE) / 1000000.0 AS score
         FROM agg
         QUALIFY rank <= 20
+    """
+    out["theil_index"] = """
+        WITH pc AS (SELECT o_custkey,
+                           CAST(sum(CAST(round(o_totalprice * 100)
+                                         AS BIGINT)) AS BIGINT) AS cents
+                    FROM orders GROUP BY 1),
+        j AS (SELECT CAST(c.c_nationkey AS INTEGER) AS nationkey,
+                     pc.cents
+              FROM pc JOIN customer c ON c.c_custkey = pc.o_custkey
+              WHERE pc.cents > 0),
+        g AS (SELECT nationkey, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(cents) AS BIGINT) AS yg
+              FROM j GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                       CAST(sum(yg) AS BIGINT) AS yy
+                FROM g),
+        w AS (SELECT j.nationkey,
+                     CAST(sum(CAST(floor(
+                       (CAST(j.cents AS DOUBLE) / CAST(g.yg AS DOUBLE))
+                       * ln(CAST(g.n * j.cents AS DOUBLE)
+                            / CAST(g.yg AS DOUBLE))
+                       * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                         AS micro
+              FROM j JOIN g USING (nationkey)
+              GROUP BY 1)
+        SELECT g.nationkey, g.n, g.yg AS spend_cents,
+               floor(CAST(g.yg AS DOUBLE) / CAST(yy AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS s_share,
+               floor(CAST(w.micro AS DOUBLE) / 1000000000.0
+                     * 1e6 + 0.5) / 1e6 AS t_within,
+               floor((CAST(g.yg AS DOUBLE) / CAST(yy AS DOUBLE))
+                     * ln(CAST(g.yg AS DOUBLE) * CAST(nn AS DOUBLE)
+                          / (CAST(yy AS DOUBLE) * CAST(g.n AS DOUBLE)))
+                     * 1e6 + 0.5) / 1e6 AS t_between_term
+        FROM g JOIN w USING (nationkey), tot
     """
     return out

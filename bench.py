@@ -373,6 +373,7 @@ BENCH_QUERIES = [
     "weighted_quantiles",
     "cluster_balance",
     "rake_keyphrases",
+    "theil_index",
 ]
 
 # Heavy composite queries (>3s at sf0.1). Benched at ONE rep so the

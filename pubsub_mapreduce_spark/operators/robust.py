@@ -4318,3 +4318,89 @@ def weighted_quantiles(lineitem: DataFrame) -> DataFrame:
             (F.col("cents").cast("double") / 100.0).alias("price"),
         )
     )
+
+
+def theil_index(t) -> DataFrame:
+    """Theil T inequality of customer spend, DECOMPOSED by nation —
+    the additive split ``spend_gini`` can't give (Gini doesn't
+    decompose): per nation g, the within-group index
+
+        T_g = sum_i (y_i / Y_g) * ln(n_g * y_i / Y_g)
+
+    and the between-group term s_g * ln(s_g * N / n_g) with
+    s_g = Y_g / Y; total inequality = sum_g s_g * T_g + sum_g
+    between_g — "is spend inequality a between-nations story or a
+    within-nation one?".
+
+    Exactness: counts and spend are BIGINT; each member's within-group
+    contribution is QUANTIZED to integer nanos — floor((y/Y_g) *
+    ln(n_g*y/Y_g) * 1e9 + 0.5), a mirrored double expression on exact
+    integers — so the per-group reduction is an exact BIGINT sum,
+    order-free (the adamic_adar move; per-term quantization error
+    <= 0.5e-9 * n_g is part of the operator's defined semantics).
+    Emitted shares/terms are single mirrored expressions under
+    round_half_up. Zero-spend members drop (ln undefined) by integer
+    predicate.
+
+    Scale: one custkey rollup, one broadcast nation-stats join back
+    onto it, one nation rollup — no per-group collect anywhere, so
+    group size is unbounded."""
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(_cents("o_totalprice")).cast("long").alias("cents")
+        )
+    )
+    j = (
+        per_cust.join(
+            t["customer"],
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+            "cents",
+        )
+        .where(F.col("cents") > 0)
+        .localCheckpoint(eager=False)
+    )
+    g = j.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("yg"),
+    ).localCheckpoint(eager=False)
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("yg").cast("long").alias("yy"),
+    )
+    m = F.floor(
+        (F.col("cents").cast("double") / F.col("yg").cast("double"))
+        * F.log(
+            (F.col("n") * F.col("cents")).cast("double")
+            / F.col("yg").cast("double")
+        )
+        * 1000000000.0
+        + 0.5
+    ).cast("long")
+    w = (
+        j.join(F.broadcast(g), "nationkey")
+        .select("nationkey", m.alias("m"))
+        .groupBy("nationkey")
+        .agg(F.sum("m").cast("long").alias("micro"))
+    )
+    out = g.join(w, "nationkey").crossJoin(F.broadcast(tot))
+    s_share = F.col("yg").cast("double") / F.col("yy").cast("double")
+    between = s_share * F.log(
+        F.col("yg").cast("double")
+        * F.col("nn").cast("double")
+        / (F.col("yy").cast("double") * F.col("n").cast("double"))
+    )
+    return out.select(
+        "nationkey",
+        "n",
+        F.col("yg").alias("spend_cents"),
+        round_half_up(s_share, 6).alias("s_share"),
+        round_half_up(
+            F.col("micro").cast("double") / 1000000000.0, 6
+        ).alias("t_within"),
+        round_half_up(between, 6).alias("t_between_term"),
+    )

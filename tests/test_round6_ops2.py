@@ -571,3 +571,46 @@ def test_ann_bits_sweep_empty_query_sample(spark):
         "vec_id long, embedding array<float>",
     )
     assert ann_bits_sweep(emb, every=1000).count() == 0
+
+
+def test_theil_index_hand_computed(spark):
+    # nation 0: equal spends -> t_within = 0; nation 1: [1.00, 3.00]
+    # -> 0.25*ln(0.5) + 0.75*ln(1.5) (nano-quantized per term);
+    # between terms from shares 1/3 and 2/3 of the 6.00 total.
+    cust = spark.createDataFrame(
+        [(1, "a", 0, 0.0, "S"), (2, "b", 0, 0.0, "S"),
+         (3, "c", 1, 0.0, "S"), (4, "d", 1, 0.0, "S")],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    orders = _orders(
+        spark,
+        [(10, 1, "O", 1.0, D(2024, 3, 1), "1"),
+         (11, 2, "O", 1.0, D(2024, 3, 1), "1"),
+         (12, 3, "O", 1.0, D(2024, 3, 1), "1"),
+         (13, 4, "O", 3.0, D(2024, 3, 1), "1")],
+    )
+    out = {
+        r.nationkey: r
+        for r in RB.theil_index(
+            {"customer": cust, "orders": orders}
+        ).collect()
+    }
+
+    def nano(x):
+        return math.floor(x * 1e9 + 0.5)
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    assert out[0].t_within == 0.0 and out[0].n == 2
+    t1 = (
+        nano(0.25 * math.log(2 * 100 / 400))
+        + nano(0.75 * math.log(2 * 300 / 400))
+    ) / 1e9
+    assert out[1].t_within == r6(t1)
+    assert out[0].s_share == r6(200 / 600)
+    assert out[0].t_between_term == r6((200 / 600) * math.log(
+        (200 * 4) / (600 * 2)))
+    assert out[1].t_between_term == r6((400 / 600) * math.log(
+        (400 * 4) / (600 * 2)))
