@@ -861,3 +861,19 @@ def test_silhouette_at_scale_bounded_sample_and_range(spark, big_emb):
     out = silhouette_eval(big_emb, every=every).toPandas()
     assert 0 < len(out) <= (N_VECS + every - 1) // every
     assert out["s"].between(-1.0, 1.0).all()
+
+
+def test_rake_keyphrases_at_scale_bounded_output(spark, big_docs):
+    """At 10x sf0.1 the RAKE output stays top-20-per-language, every
+    phrase respects the run-length cap, scores are positive, and ranks
+    are dense from 1 — the |langs| x top_n output contract regardless
+    of corpus size."""
+    from pubsub_mapreduce_spark.operators.textops import rake_keyphrases
+
+    out = rake_keyphrases(big_docs).toPandas()
+    assert len(out) > 0
+    for lang, grp in out.groupby("lang"):
+        assert len(grp) <= 20
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+    assert (out["n_words"] <= 5).all()
+    assert (out["score"] > 0).all()
