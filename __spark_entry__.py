@@ -1204,6 +1204,14 @@ def q_theil_index(spark, sf_dir):
     return RB.theil_index(load_tables(spark, sf_dir))
 
 
+def q_ann_tradeoff(spark, sf_dir):
+    """Both ANN families' knob sweeps fused with analytic per-query
+    candidate costs (similarity.ann_tradeoff_table): the deployment
+    decision table — which family, at which knob, buys recall X
+    cheapest."""
+    return S.ann_tradeoff_table(load_tables(spark, sf_dir)["embeddings"])
+
+
 def q_q20_dominant_suppliers(spark, sf_dir):
     return R.q20_dominant_suppliers(load_tables(spark, sf_dir))
 
@@ -3035,7 +3043,7 @@ R7_QUEUE = [
     "disparate_impact", "brier_decomposition", "lift_curve",
     "ljung_box", "conformal_coverage", "weighted_quantiles",
     "ann_bits_sweep", "cluster_balance", "rake_keyphrases",
-    "theil_index",
+    "theil_index", "ann_tradeoff",
 ]
 
 
@@ -3335,6 +3343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balance": q_cluster_balance,
         "rake_keyphrases": q_rake_keyphrases,
         "theil_index": q_theil_index,
+        "ann_tradeoff": q_ann_tradeoff,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -11089,6 +11098,7 @@ def oracle_sql() -> dict[str, str]:
     """
     out["ann_nprobe_sweep"] = S.duckdb_nprobe_sweep_sql()
     out["ann_bits_sweep"] = S.duckdb_bits_sweep_sql()
+    out["ann_tradeoff"] = S.duckdb_tradeoff_sql()
     # cluster_balance composes the emb_kmeans oracle's Lloyd rounds
     # (the silhouette_eval pattern) and scores label composition.
     out["cluster_balance"] = """

@@ -390,6 +390,9 @@ BENCH_QUERIES = [
 # - ann_bits_sweep (~4.4s): four complete LSH index builds (one per
 #   bit width) plus the exact sampled ceiling — the sweep IS four
 #   indexes by definition; production sizes b on a sampled slice.
+# - ann_tradeoff (~8s): runs BOTH family sweeps (seven index builds)
+#   plus the shared exact ceiling — the fusion is the point; each
+#   constituent sweep is also benched on its own.
 # - silhouette_eval (~5s): re-runs the full 2-round int8 Lloyd
 #   clustering (the audited artifact) AND scores a bounded sample
 #   against the whole corpus — the clustering is the cost, the audit
@@ -400,6 +403,7 @@ BENCH_QUERIES_SLOW = [
     "dedup_eval",
     "silhouette_eval",
     "ann_bits_sweep",
+    "ann_tradeoff",
 ]
 
 # Documented exclusions (VERDICT r4 #4 requires every registered query

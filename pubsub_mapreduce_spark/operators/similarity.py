@@ -3803,3 +3803,120 @@ def cluster_balance(
             F.col("sum_c2").cast("double") / (nd * nd), 6
         ).alias("simpson"),
     )
+
+
+def ann_tradeoff_table(
+    emb: DataFrame,
+    k: int = 5,
+    every: int = 50,
+    bits: tuple = (3, 4, 5, 6),
+    nprobes: tuple = (1, 2, 4),
+    n_tables: int = 8,
+    centroid_every: int = 100,
+    n_max_centroids: int = 512,
+) -> DataFrame:
+    """The ANN DEPLOYMENT DECISION TABLE: both index families' knob
+    sweeps (``ann_bits_sweep``, ``ann_nprobe_sweep``) fused into one
+    relation with the analytic per-query candidate cost each knob
+    implies —
+
+        LSH:  est = n_tables * N / 2^bits      (OR-amplified buckets)
+        IVF:  est = nprobe * N / n_cells       (probed cell mass)
+
+    — so "which family, at which knob, buys recall X cheapest?" is one
+    ORDER BY over this output instead of two artifacts and a napkin.
+
+    Exactness: both sweeps are already exact-oracle relations; the
+    cost columns are INTEGER expressions (div) of the exact corpus
+    count and the exact centroid-seed count (the same % stride and
+    cap the index build uses). Scale: the two sweeps' envelopes,
+    unchanged; the fusion is a constant-row union."""
+    consts = emb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_corpus"),
+        F.least(
+            F.lit(n_max_centroids).cast("long"),
+            F.sum(
+                F.when(F.col("vec_id") % centroid_every == 0, 1).otherwise(
+                    0
+                )
+            ).cast("long"),
+        ).alias("n_cells"),
+    )
+    lsh = (
+        ann_bits_sweep(
+            emb, k=k, every=every, bits=bits, n_tables=n_tables
+        )
+        .crossJoin(broadcast(consts))
+        .select(
+            F.lit("lsh").alias("family"),
+            F.col("bits").cast("int").alias("knob"),
+            "n_queries",
+            "recall",
+            F.expr(f"CAST({n_tables} AS BIGINT) * n_corpus")
+            .cast("long")
+            .alias("__num"),
+            F.pow(F.lit(2.0), F.col("bits").cast("double"))
+            .cast("long")
+            .alias("__den"),
+        )
+        .select(
+            "family",
+            "knob",
+            "n_queries",
+            "recall",
+            F.expr("__num div __den").cast("long").alias("est_candidates"),
+        )
+    )
+    ivf = (
+        ann_nprobe_sweep(emb, k=k, every=every, nprobes=nprobes)
+        .crossJoin(broadcast(consts))
+        .select(
+            F.lit("ivf").alias("family"),
+            F.col("nprobe").cast("int").alias("knob"),
+            "n_queries",
+            "recall",
+            F.expr("CAST(nprobe AS BIGINT) * n_corpus div n_cells")
+            .cast("long")
+            .alias("est_candidates"),
+        )
+    )
+    return lsh.unionByName(ivf)
+
+
+def duckdb_tradeoff_sql(
+    k: int = 5,
+    every: int = 50,
+    bits: tuple = (3, 4, 5, 6),
+    nprobes: tuple = (1, 2, 4),
+    n_tables: int = 8,
+    centroid_every: int = 100,
+    n_max_centroids: int = 512,
+) -> str:
+    """DuckDB mirror of ``ann_tradeoff_table``: both sweep oracles
+    verbatim plus the same integer cost expressions."""
+    return f"""
+      WITH consts AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+               least(CAST({n_max_centroids} AS BIGINT),
+                     CAST(sum(CASE WHEN vec_id % {centroid_every} = 0
+                                   THEN 1 ELSE 0 END) AS BIGINT))
+                   AS n_cells
+        FROM embeddings),
+      lsh AS (SELECT * FROM (
+        {duckdb_bits_sweep_sql(k=k, every=every, bits=bits,
+                               n_tables=n_tables)})),
+      ivf AS (SELECT * FROM (
+        {duckdb_nprobe_sweep_sql(k=k, every=every, nprobes=nprobes)}))
+      SELECT 'lsh' AS family, CAST(bits AS INTEGER) AS knob,
+             n_queries, recall,
+             CAST((CAST({n_tables} AS BIGINT) * n_corpus)
+                  // CAST(power(2.0, CAST(bits AS DOUBLE)) AS BIGINT)
+                  AS BIGINT) AS est_candidates
+      FROM lsh, consts
+      UNION ALL
+      SELECT 'ivf' AS family, CAST(nprobe AS INTEGER) AS knob,
+             n_queries, recall,
+             CAST(CAST(nprobe AS BIGINT) * n_corpus // n_cells
+                  AS BIGINT) AS est_candidates
+      FROM ivf, consts
+    """

@@ -614,3 +614,25 @@ def test_theil_index_hand_computed(spark):
         (200 * 4) / (600 * 2)))
     assert out[1].t_between_term == r6((400 / 600) * math.log(
         (400 * 4) / (600 * 2)))
+
+
+def test_ann_tradeoff_fuses_both_sweeps(spark):
+    # the fused table must contain exactly the two families' spines
+    # with positive integer cost estimates, LSH cost halving per bit
+    # and IVF cost linear in nprobe.
+    from pubsub_mapreduce_spark.io import load_tables
+    from pubsub_mapreduce_spark.operators.similarity import (
+        ann_tradeoff_table,
+    )
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    out = {(r.family, r.knob): r for r in ann_tradeoff_table(emb).collect()}
+    assert {f for f, _ in out} == {"lsh", "ivf"}
+    assert sorted(k for f, k in out if f == "lsh") == [3, 4, 5, 6]
+    assert sorted(k for f, k in out if f == "ivf") == [1, 2, 4]
+    n = emb.count()
+    for b in (3, 4, 5, 6):
+        assert out[("lsh", b)].est_candidates == 8 * n // (2**b)
+    ivf1 = out[("ivf", 1)].est_candidates
+    assert out[("ivf", 2)].est_candidates == 2 * ivf1
+    assert all(r.est_candidates > 0 for r in out.values())
