@@ -16,8 +16,17 @@ from pyspark.sql import functions as F
 
 
 def round_half_up(col: Column, n: int) -> Column:
-    """Deterministic cross-engine rounding for NON-NEGATIVE ratio columns:
-    ``floor(x*10^n + 0.5)/10^n``.
+    """Deterministic cross-engine rounding: ``floor(x*10^n + 0.5)/10^n``.
+
+    SIGNED-INPUT CONTRACT: on negative inputs this rounds exact halves
+    toward +inf (``floor(-0.5 + 0.5) = -0`` -> 0.0, not -1's "away from
+    zero") — i.e. it is "half-up" on the number line, not "half away
+    from zero". Operators that feed signed values (mann_kendall z,
+    dunn_posthoc z, durbin_watson slope, stl_lite seasonal/residual,
+    theil_index t_between_term, ...) rely on this being mirrored
+    verbatim in the DuckDB oracle (same floor(x*1eN+0.5)/1eN), so the
+    half-toward-+inf behavior IS part of the cross-engine contract,
+    for negative values as much as positive ones.
 
     Spark's ``round`` (BigDecimal half-up on the shortest decimal repr)
     and DuckDB's (numeric) disagree on values whose shortest repr

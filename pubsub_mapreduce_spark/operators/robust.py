@@ -3765,6 +3765,16 @@ def ccf_daily(events: DataFrame, max_lag: int = 3) -> DataFrame:
     direction is the mirrored lag (r_ab(l) = r_ba(-l)), so the full
     matrix is derivable.
 
+    Output contract (DROPPED-DAY convention): r is Pearson over only
+    the day-offsets where BOTH types have >=1 event — the day-aligned
+    join is INNER, so a day one type is silent on contributes nothing
+    rather than a 0. This biases r for sparse types versus a
+    zero-filled series and makes n vary by lag; it is the deliberate
+    convention here (mirrored in the oracle), chosen so a type's dead
+    calendar stretches don't manufacture correlation out of shared
+    zeros. Zero-fill over a shared calendar spine if you need the
+    classical signal-processing CCF.
+
     Exactness: identical arithmetic to daily_autocorr /
     type_correlation — BIGINT moments over the day-aligned join, ONE
     mirrored float expression, r_plus1 output to dodge the -0.0 repr
@@ -3839,6 +3849,14 @@ def stl_lite(orders: DataFrame) -> DataFrame:
     round_half_up. Edge days without a full 7-day window are trimmed
     by an integer count predicate (count == 7), the classical
     convention.
+
+    CONTIGUITY ASSUMPTION: the 7-ROW centered window (rowsBetween(-3,3))
+    assumes a gapless daily calendar — on a series with missing days
+    'trend7' silently spans more than 7 calendar days (the c7==7
+    predicate only trims the series edges, it does not detect interior
+    gaps). TPC-H orderdates are dense at every SF so this holds on the
+    fixtures; on gapped data, gap-fill the day spine first
+    (``gap_fill_daily``) or switch to a rangeBetween day window.
 
     Scale: one daily rollup shuffle; the moving-average window is
     calendar-bounded (the theil_sen envelope) and the seasonal rollup
