@@ -3023,6 +3023,114 @@ def q_purchase_streaks(spark, sf_dir):
     return streaks_batch(load_tables(spark, sf_dir)["events"])
 
 
+# ---------------------------------------------------------------- round 7
+
+
+def q_bartlett_test(spark, sf_dir):
+    """Bartlett variance-homogeneity chi-square across order priorities
+    (robust.bartlett_test): exact DECIMAL moments, priority-sorted ln
+    folds — the parametric scale test beside levene/brown_forsythe."""
+    return RB.bartlett_test(load_tables(spark, sf_dir)["orders"])
+
+
+def q_grubbs_outlier(spark, sf_dir):
+    """Grubbs' max-deviation statistic per event type on daily counts
+    (robust.grubbs_outlier): integer argmax pick, one mirrored sqrt."""
+    return RB.grubbs_outlier(load_tables(spark, sf_dir)["events"])
+
+
+def q_anova_oneway(spark, sf_dir):
+    """One-way ANOVA F across order priorities on order value
+    (robust.anova_oneway): DECIMAL moments, sorted fold of per-group
+    terms, mean squares in dollars^2 — kruskal_wallis's parametric
+    twin."""
+    return RB.anova_oneway(load_tables(spark, sf_dir)["orders"])
+
+
+def q_mutual_information(spark, sf_dir):
+    """Mutual information + NMI between event type and day-of-week
+    (robust.mutual_information): nano-quantized per-cell terms summed
+    as order-free BIGINTs — the symmetric dependence screen."""
+    return RB.mutual_information(load_tables(spark, sf_dir)["events"])
+
+
+def q_g_test(spark, sf_dir):
+    """Likelihood-ratio G-test of independence on the event_type x
+    day-of-week contingency (robust.g_test): micro-quantized cell
+    terms, exact BIGINT sum, df=(r-1)(c-1)."""
+    return RB.g_test(load_tables(spark, sf_dir)["events"])
+
+
+def q_ewma_control(spark, sf_dir):
+    """EWMA control chart per event type's daily counts
+    (robust.ewma_control): day-sorted prefix folds (lam=0.3), BIGINT
+    moments for the 3-sigma limits, per-day breach flags."""
+    return RB.ewma_control(load_tables(spark, sf_dir)["events"])
+
+
+def q_hurst_rs(spark, sf_dir):
+    """Hurst exponent of daily revenue via rescaled range
+    (robust.hurst_rs): integer R picks per tumbling window, nano-
+    quantized R/S, 3-point log-log slope."""
+    return RB.hurst_rs(load_tables(spark, sf_dir)["orders"])
+
+
+def q_lorenz_deciles(spark, sf_dir):
+    """Lorenz decile table of customer spend (robust.lorenz_deciles):
+    deterministic ntile over (cents, custkey), BIGINT cumulative
+    shares — the curve behind spend_gini."""
+    return RB.lorenz_deciles(load_tables(spark, sf_dir))
+
+
+def q_atkinson_index(spark, sf_dir):
+    """Atkinson inequality (eps=1) of spend per nation
+    (robust.atkinson_index): nano-quantized ln sums -> geometric mean,
+    one mirrored ratio."""
+    return RB.atkinson_index(load_tables(spark, sf_dir))
+
+
+def q_good_turing(spark, sf_dir):
+    """Good-Turing frequency-of-frequencies over bigram types
+    (textops.good_turing): 10 smallest observed r bands, integer
+    counts-of-counts, r* = (r+1) N_{r+1} / N_r."""
+    return TX.good_turing(load_tables(spark, sf_dir)["documents"])
+
+
+def q_kn_continuation(spark, sf_dir):
+    """Kneser-Ney continuation probabilities for the top-20 tokens
+    (textops.kn_continuation): distinct-left-context counts over the
+    bigram type set, one mirrored division."""
+    return TX.kn_continuation(load_tables(spark, sf_dir)["documents"])
+
+
+def q_simpson_diversity(spark, sf_dir):
+    """Gini-Simpson lexical diversity per language
+    (textops.simpson_diversity): BIGINT pair counts, one division —
+    the size-unbiased diversity beside chao1/heaps."""
+    return TX.simpson_diversity(load_tables(spark, sf_dir)["documents"])
+
+
+def q_readability_scores(spark, sf_dir):
+    """Flesch-style readability per language (textops.
+    readability_scores): vowel-group syllable counts, one mirrored
+    float expression of BIGINT sums."""
+    return TX.readability_scores(load_tables(spark, sf_dir)["documents"])
+
+
+def q_script_profile(spark, sf_dir):
+    """Character-class profile per source (textops.script_profile):
+    mirrored regexp-length counts, single-division ratios — the
+    encoding/garbage screen before language ID."""
+    return TX.script_profile(load_tables(spark, sf_dir)["documents"])
+
+
+def q_ttr_windows(spark, sf_dir):
+    """Tumbling-window type-token ratio per language
+    (textops.ttr_windows): per-window integer distinct counts, ONE
+    division — the length-controlled MATTR-style diversity."""
+    return TX.ttr_windows(load_tables(spark, sf_dir)["documents"])
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3045,6 +3153,19 @@ R7_QUEUE = [
     "ann_bits_sweep", "cluster_balance", "rake_keyphrases",
     "theil_index", "ann_tradeoff",
 ]
+
+# Round-7 registrations, registration order. The first 29 fill gate
+# slots 22-50 behind R7_QUEUE; anything past that is R8_QUEUE — the
+# consciously re-opened debt the round-8 window must head with.
+R7_NEW: list[str] = [
+    "bartlett_test", "grubbs_outlier", "anova_oneway",
+    "mutual_information", "g_test", "ewma_control", "hurst_rs",
+    "lorenz_deciles", "atkinson_index",
+    "good_turing", "kn_continuation", "simpson_diversity",
+    "readability_scores", "script_profile", "ttr_windows",
+]
+
+R8_QUEUE = R7_NEW[29:]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3344,6 +3465,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keyphrases": q_rake_keyphrases,
         "theil_index": q_theil_index,
         "ann_tradeoff": q_ann_tradeoff,
+        # --- round-7 additions (fill gate slots 22-50 behind R7_QUEUE;
+        # overflow past slot 50 derives into R8_QUEUE) -----------------
+        "bartlett_test": q_bartlett_test,
+        "grubbs_outlier": q_grubbs_outlier,
+        "anova_oneway": q_anova_oneway,
+        "mutual_information": q_mutual_information,
+        "g_test": q_g_test,
+        "ewma_control": q_ewma_control,
+        "hurst_rs": q_hurst_rs,
+        "lorenz_deciles": q_lorenz_deciles,
+        "atkinson_index": q_atkinson_index,
+        "good_turing": q_good_turing,
+        "kn_continuation": q_kn_continuation,
+        "simpson_diversity": q_simpson_diversity,
+        "readability_scores": q_readability_scores,
+        "script_profile": q_script_profile,
+        "ttr_windows": q_ttr_windows,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -3398,41 +3536,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": q_q9_product_profit,
         "q12_priority_class": q_q12_priority_class,
     }
-    # Round-6 gate window: the driver checks the FIRST 50 queries() keys.
-    # CORRECTNESS_r01..r05 have verified 248 distinct queries; this
-    # window CLOSES THE BOOK — slots 1-48 are EVERY never-driver-checked
-    # name (the 8 round-4 leftovers, 15 round-5 additions, then the 25
-    # round-6 additions in registration order), so after it lands every
-    # registered query has been driver-checked at least once. Slots
-    # 49-50 re-check the two queries whose semantics changed this round
-    # (entity_match's wildcard blocking, user_similarity_sparse's
-    # purchase slice + day-width cap). The ordering contract and the
-    # closed-book bookkeeping are pinned by tests/test_round2_tail.py.
-    r6_head = [
-        # 8 round-4 names owed a driver row, registration order
-        "runs_test_daily", "asof_prev_click", "semdedup_prune",
-        "lm_bigram_score", "cochran_armitage", "wasserstein_drift",
-        "frame_scene_cuts", "theils_u",
-        # 15 round-5 names owed a driver row, registration order
-        "gopher_rules", "zipf_slope", "kruskal_wallis", "mantel_haenszel",
-        "theil_sen", "hard_negatives", "cvm_drift", "jonckheere",
-        "kappa_lang", "psi_drift", "hill_tail", "quantile_normalize",
-        "t_closeness", "matryoshka_eval", "purchase_streaks",
-        # 15 round-6 additions, registration order
-        "q7_volume_shipping", "q10_returned_items", "q18_big_orders",
-        "friedman_test", "cliffs_delta", "calibration_bins", "ndcg_eval",
-        "js_divergence", "source_entropy", "rolling_spend",
-        "favorite_event_type", "weighted_sample", "part_clustering",
-        "kanon_band_search", "ann_nprobe_sweep",
-        # 10 late round-6 additions (never checked), registration order
-        "mcnemar_test", "cuped_adjustment", "levene_variance",
-        "ad_twosample", "sprt_ab", "page_hinkley", "chao1_vocab",
-        "heaps_law", "ngram_novelty", "perplexity_buckets",
-        # 2 re-checks: the queries whose semantics were reworked this
-        # round (wildcard-key blocking; purchase slice + day-width cap)
-        "entity_match", "user_similarity_sparse",
-    ]
-    head = [n for n in r6_head if n in base]
+    # Round-7 gate window (VERDICT r6 ask #1): the driver checks the
+    # FIRST 50 queries() keys. Slots 1-21 are the R7_QUEUE — the late
+    # round-6 registrations that have NEVER had a driver row (the only
+    # remaining debt after six rounds; closing it makes cumulative
+    # driver coverage total). Slots 22-50 go to this round's new
+    # registrations (R7_NEW, registration order); any round-7 overflow
+    # past slot 50 derives into R8_QUEUE and owes the round-8 window.
+    # Pinned by tests/test_round2_tail.py.
+    head = [n for n in R7_QUEUE + R7_NEW[:50 - len(R7_QUEUE)] if n in base]
     ordered = {n: base[n] for n in head}
     for n, fn in base.items():
         if n not in ordered:
@@ -10707,7 +10819,10 @@ def oracle_sql() -> dict[str, str]:
         s AS (SELECT vec_id,
                      list_transform(embedding,
                                     x -> CAST(x AS DOUBLE)) AS emb
-              FROM embeddings WHERE vec_id % 11 = 0),
+              FROM embeddings
+              WHERE vec_id % (11 * CAST(ceil(
+                  (SELECT count(*) FROM embeddings) / 22000.0)
+                  AS BIGINT)) = 0),
         proj AS (SELECT s.vec_id, any_value(s.emb) AS emb,
                         list(list_dot_product(sg.srow, s.emb)
                              ORDER BY sg.j) AS y
@@ -10850,7 +10965,10 @@ def oracle_sql() -> dict[str, str]:
           FROM coded c JOIN a2 a USING (vec_id)),
         samp AS (
           SELECT vec_id AS i, codes AS ci, cluster AS gi
-          FROM memb WHERE vec_id % 25 = 0),
+          FROM memb
+          WHERE vec_id % (25 * CAST(ceil(
+              (SELECT count(*) FROM embeddings) / 50000.0)
+              AS BIGINT)) = 0),
         percl AS (
           SELECT s.i, s.gi, m.cluster AS gj,
                  CAST(sum(list_sum(list_transform(
@@ -11267,5 +11385,505 @@ def oracle_sql() -> dict[str, str]:
                           / (CAST(yy AS DOUBLE) * CAST(g.n AS DOUBLE)))
                      * 1e6 + 0.5) / 1e6 AS t_between_term
         FROM g JOIN w USING (nationkey), tot
+    """
+
+    # ---- round-7 additions ------------------------------------------
+    out["bartlett_test"] = """
+        WITH g AS (
+          SELECT o_orderpriority AS p, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS s,
+                 sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS HUGEINT)
+                     * CAST(round(o_totalprice * 100) AS BIGINT)) AS q
+          FROM orders GROUP BY 1 HAVING count(*) >= 2),
+        arr AS (
+          SELECT list(struct_pack(p := p, n := n,
+                   s2 := CAST(CAST(n AS HUGEINT) * q
+                              - CAST(s AS HUGEINT) * s AS DOUBLE)
+                         / CAST(n * (n - 1) AS DOUBLE)) ORDER BY p) AS gs,
+                 CAST(sum(n) AS BIGINT) AS nn,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM g),
+        f AS (
+          SELECT nn, k,
+            list_reduce(list_prepend(0.0, list_transform(gs,
+                t -> (t.n - 1) * t.s2)), (a, b) -> a + b) AS pooled_num,
+            list_reduce(list_prepend(0.0, list_transform(gs,
+                t -> (t.n - 1) * ln(t.s2))), (a, b) -> a + b) AS ln_sum,
+            list_reduce(list_prepend(0.0, list_transform(gs,
+                t -> 1.0 / CAST(t.n - 1 AS DOUBLE))), (a, b) -> a + b)
+                AS inv_sum,
+            len(list_filter(gs, t -> t.s2 <= 0)) AS bad
+          FROM arr)
+        SELECT nn AS n, k AS n_groups,
+          floor((pooled_num / CAST(nn - k AS DOUBLE)) / 10000.0
+                * 100.0 + 0.5) / 100.0 AS pooled_var_usd2,
+          floor((1.0 + (inv_sum - 1.0 / CAST(nn - k AS DOUBLE))
+                       / (3.0 * CAST(k - 1 AS DOUBLE))) * 1e6 + 0.5)
+              / 1e6 AS c_factor,
+          floor(((CAST(nn - k AS DOUBLE)
+                  * ln(pooled_num / CAST(nn - k AS DOUBLE)) - ln_sum)
+                 / (1.0 + (inv_sum - 1.0 / CAST(nn - k AS DOUBLE))
+                          / (3.0 * CAST(k - 1 AS DOUBLE))))
+                * 1e6 + 0.5) / 1e6 AS chi2
+        FROM f WHERE k > 1 AND bad = 0
+    """
+    out["grubbs_outlier"] = """
+        WITH daily AS (
+          SELECT event_type AS t, CAST(ts AS DATE) AS d,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        g AS (
+          SELECT t, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS s,
+                 sum(CAST(x AS HUGEINT) * x) AS q
+          FROM daily GROUP BY 1),
+        j AS (
+          SELECT daily.t, d, x, n, s, q,
+                 (CAST(n AS HUGEINT) * x - s)
+                 * (CAST(n AS HUGEINT) * x - s) AS dev2
+          FROM daily JOIN g USING (t)),
+        top AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY t ORDER BY dev2 DESC, d ASC) AS rn
+          FROM j)
+        SELECT t AS event_type, n,
+               strftime(d, '%Y-%m-%d') AS worst_day, x AS cnt,
+          floor(sqrt(CAST(dev2 AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+                     / (CAST(n AS DOUBLE)
+                        * CAST(CAST(n AS HUGEINT) * q
+                               - CAST(s AS HUGEINT) * s AS DOUBLE)))
+                * 1e6 + 0.5) / 1e6 AS grubbs_g
+        FROM top
+        WHERE rn = 1 AND n >= 3
+          AND CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s > 0
+    """
+    out["anova_oneway"] = """
+        WITH g AS (
+          SELECT o_orderpriority AS p, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS s,
+                 sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS HUGEINT)
+                     * CAST(round(o_totalprice * 100) AS BIGINT)) AS q
+          FROM orders GROUP BY 1),
+        arr AS (
+          SELECT list(struct_pack(p := p, n := n, s := s)
+                      ORDER BY p) AS gs,
+                 CAST(sum(n) AS BIGINT) AS nn,
+                 sum(CAST(s AS HUGEINT)) AS ss,
+                 sum(q) AS qq,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM g),
+        f AS (
+          SELECT nn, ss, qq, k,
+            list_reduce(list_prepend(0.0, list_transform(gs,
+                t -> CAST(CAST(t.s AS HUGEINT) * t.s AS DOUBLE)
+                     / CAST(t.n AS DOUBLE))), (a, b) -> a + b)
+                AS between_raw
+          FROM arr),
+        ff AS (
+          SELECT nn, k,
+                 between_raw - CAST(ss * ss AS DOUBLE)
+                               / CAST(nn AS DOUBLE) AS ssb,
+                 CAST(qq AS DOUBLE) - between_raw AS ssw
+          FROM f)
+        SELECT nn AS n, k AS n_groups,
+          floor(ssb / CAST(k - 1 AS DOUBLE) / 10000.0 * 100.0 + 0.5)
+              / 100.0 AS ms_between_usd2,
+          floor(ssw / CAST(nn - k AS DOUBLE) / 10000.0 * 100.0 + 0.5)
+              / 100.0 AS ms_within_usd2,
+          floor(((ssb / CAST(k - 1 AS DOUBLE))
+                 / (ssw / CAST(nn - k AS DOUBLE))) * 1e6 + 0.5) / 1e6
+              AS f_stat
+        FROM ff WHERE k > 1 AND nn > k AND ssw > 0
+    """
+    out["mutual_information"] = """
+        WITH cells AS (
+          SELECT event_type AS t,
+                 CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS dow,
+                 CAST(count(*) AS BIGINT) AS o
+          FROM events GROUP BY 1, 2),
+        rows_ AS (SELECT t, CAST(sum(o) AS BIGINT) AS r
+                  FROM cells GROUP BY 1),
+        cols_ AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c
+                  FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                       CAST(count(DISTINCT t) AS BIGINT) AS rk,
+                       CAST(count(DISTINCT dow) AS BIGINT) AS ck
+                FROM cells),
+        mi_q AS (
+          SELECT CAST(sum(CAST(floor(
+                   (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(n * o AS DOUBLE) / CAST(r * c AS DOUBLE))
+                   * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS mi_nano
+          FROM cells JOIN rows_ USING (t) JOIN cols_ USING (dow), tot),
+        ht_q AS (
+          SELECT CAST(sum(CAST(floor(
+                   -(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                   * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS ht_nano
+          FROM rows_, tot),
+        hd_q AS (
+          SELECT CAST(sum(CAST(floor(
+                   -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS hd_nano
+          FROM cols_, tot)
+        SELECT n, rk AS n_types, ck AS n_dows,
+          floor(CAST(mi_nano AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS mi,
+          floor(CAST(ht_nano AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6
+              AS h_type,
+          floor(CAST(hd_nano AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6
+              AS h_dow,
+          floor(CASE WHEN (CAST(ht_nano AS DOUBLE) / 1e9)
+                          * (CAST(hd_nano AS DOUBLE) / 1e9) > 0
+                     THEN (CAST(mi_nano AS DOUBLE) / 1e9)
+                          / sqrt((CAST(ht_nano AS DOUBLE) / 1e9)
+                                 * (CAST(hd_nano AS DOUBLE) / 1e9))
+                     ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS nmi
+        FROM tot, mi_q, ht_q, hd_q
+        WHERE rk > 1 AND ck > 1
+    """
+    out["g_test"] = """
+        WITH cells AS (
+          SELECT event_type AS t,
+                 CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS dow,
+                 CAST(count(*) AS BIGINT) AS o
+          FROM events GROUP BY 1, 2),
+        rows_ AS (SELECT t, CAST(sum(o) AS BIGINT) AS r
+                  FROM cells GROUP BY 1),
+        cols_ AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c
+                  FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                       CAST(count(DISTINCT t) AS BIGINT) AS rk,
+                       CAST(count(DISTINCT dow) AS BIGINT) AS ck
+                FROM cells),
+        agg AS (
+          SELECT n, rk, ck,
+                 CAST(sum(CAST(floor(
+                   CAST(o AS DOUBLE)
+                   * ln(CAST(o * n AS DOUBLE) / CAST(r * c AS DOUBLE))
+                   * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g_micro
+          FROM cells JOIN rows_ USING (t) JOIN cols_ USING (dow), tot
+          GROUP BY 1, 2, 3)
+        SELECT n, CAST((rk - 1) * (ck - 1) AS BIGINT) AS df,
+          floor(2.0 * CAST(g_micro AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6
+              AS g_stat
+        FROM agg WHERE rk > 1 AND ck > 1
+    """
+    out["ewma_control"] = """
+        WITH daily AS (
+          SELECT event_type AS t, CAST(ts AS DATE) AS d,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        st AS (
+          SELECT t, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS s,
+                 sum(CAST(x AS HUGEINT) * x) AS q,
+                 list(CAST(x AS DOUBLE) ORDER BY d) AS xs
+          FROM daily GROUP BY 1),
+        idx AS (
+          SELECT t, d, x,
+                 CAST(row_number() OVER (PARTITION BY t ORDER BY d)
+                      AS BIGINT) AS i
+          FROM daily),
+        j AS (SELECT idx.*, n, s, q, xs FROM idx JOIN st USING (t)),
+        z AS (
+          SELECT *, list_reduce(xs[1:i],
+                                (acc, v) -> 0.3 * v + 0.7 * acc) AS zz
+          FROM j)
+        SELECT t AS event_type, strftime(d, '%Y-%m-%d') AS day,
+               x AS cnt,
+          floor(zz * 1e6 + 0.5) / 1e6 AS ewma,
+          CAST(CASE WHEN abs(zz - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       > 3.0 * sqrt(CAST(CAST(n AS HUGEINT) * q
+                                    - CAST(s AS HUGEINT) * s AS DOUBLE)
+                                    / (CAST(n AS DOUBLE)
+                                       * CAST(n - 1 AS DOUBLE)))
+                         * sqrt(0.3 / (2.0 - 0.3))
+                    THEN 1 ELSE 0 END AS INTEGER) AS breach
+        FROM z WHERE n >= 2
+    """
+    out["hurst_rs"] = """
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS d,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        idx AS (
+          SELECT d, y,
+                 CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS r
+          FROM daily),
+        e AS (
+          SELECT r, y, w, r // w AS win, r % w AS tpos
+          FROM idx, (SELECT unnest([8, 16, 32]) AS w) _),
+        c AS (
+          SELECT *, CAST(sum(y) OVER (PARTITION BY w, win ORDER BY tpos
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM e),
+        g AS (
+          SELECT w, win, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS s,
+                 sum(CAST(y AS HUGEINT) * y) AS q
+          FROM c GROUP BY 1, 2),
+        adj AS (
+          SELECT c.w, c.win, n, s, q,
+                 CAST(n AS HUGEINT) * cum
+                 - CAST(tpos + 1 AS HUGEINT) * s AS adj
+          FROM c JOIN g USING (w, win)),
+        pwin AS (
+          SELECT w, win, n, s, q, max(adj) AS mx, min(adj) AS mn
+          FROM adj GROUP BY 1, 2, 3, 4, 5),
+        perw AS (
+          SELECT w,
+                 CAST(sum(CAST(floor(
+                     CAST(mx - mn AS DOUBLE)
+                     / sqrt(CAST(CAST(n AS HUGEINT) * q
+                                 - CAST(s AS HUGEINT) * s AS DOUBLE))
+                     * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS rs_nano,
+                 CAST(count(*) AS BIGINT) AS n_win
+          FROM pwin
+          WHERE n = w
+            AND CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s > 0
+          GROUP BY 1),
+        arr AS (
+          SELECT list(struct_pack(
+                     w := w,
+                     mean_rs := CAST(rs_nano AS DOUBLE)
+                                / (CAST(n_win AS DOUBLE) * 1e9),
+                     n_win := n_win) ORDER BY w) AS ps,
+                 CAST(count(*) AS BIGINT) AS np
+          FROM perw),
+        f AS (
+          SELECT np, ps,
+            list_reduce(list_prepend(0.0, list_transform(ps,
+                t -> ln(CAST(t.w AS DOUBLE)))), (a, b) -> a + b) AS sx,
+            list_reduce(list_prepend(0.0, list_transform(ps,
+                t -> ln(t.mean_rs))), (a, b) -> a + b) AS sy,
+            list_reduce(list_prepend(0.0, list_transform(ps,
+                t -> ln(CAST(t.w AS DOUBLE)) * ln(t.mean_rs))),
+                (a, b) -> a + b) AS sxy,
+            list_reduce(list_prepend(0.0, list_transform(ps,
+                t -> ln(CAST(t.w AS DOUBLE)) * ln(CAST(t.w AS DOUBLE)))),
+                (a, b) -> a + b) AS sx2
+          FROM arr)
+        SELECT
+          floor(list_filter(ps, t -> t.w = 8)[1].mean_rs * 1e6 + 0.5)
+              / 1e6 AS rs8,
+          floor(list_filter(ps, t -> t.w = 16)[1].mean_rs * 1e6 + 0.5)
+              / 1e6 AS rs16,
+          floor(list_filter(ps, t -> t.w = 32)[1].mean_rs * 1e6 + 0.5)
+              / 1e6 AS rs32,
+          floor(((CAST(np AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(np AS DOUBLE) * sx2 - sx * sx)) * 1e6 + 0.5)
+              / 1e6 AS hurst
+        FROM f WHERE np = 3
+    """
+    out["lorenz_deciles"] = """
+        WITH pc AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        d AS (
+          SELECT *, CAST(ntile(10) OVER (ORDER BY cents, o_custkey)
+                         AS INTEGER) AS decile
+          FROM pc),
+        g AS (
+          SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+                 CAST(sum(cents) AS BIGINT) AS spend_cents
+          FROM d GROUP BY 1),
+        c AS (
+          SELECT *, CAST(sum(spend_cents) OVER (ORDER BY decile
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM g),
+        t AS (SELECT CAST(sum(spend_cents) AS BIGINT) AS tt FROM g)
+        SELECT decile, n_customers, spend_cents,
+          floor(CAST(spend_cents AS DOUBLE) / CAST(tt AS DOUBLE)
+                * 1e6 + 0.5) / 1e6 AS share,
+          floor(CAST(cum AS DOUBLE) / CAST(tt AS DOUBLE)
+                * 1e6 + 0.5) / 1e6 AS cum_share
+        FROM c, t
+    """
+    out["atkinson_index"] = """
+        WITH pc AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        j AS (
+          SELECT CAST(c_nationkey AS INTEGER) AS nationkey, cents
+          FROM pc JOIN customer ON c_custkey = o_custkey
+          WHERE cents > 0),
+        g AS (
+          SELECT nationkey, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS spend_cents,
+                 CAST(sum(CAST(floor(ln(CAST(cents AS DOUBLE))
+                                     * 1e9 + 0.5) AS BIGINT))
+                      AS BIGINT) AS ln_nano
+          FROM j GROUP BY 1)
+        SELECT nationkey, n, spend_cents,
+          floor(exp(CAST(ln_nano AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * 1e9)) * 100.0 + 0.5) / 100.0
+              AS geo_mean_cents,
+          floor((1.0 - exp(CAST(ln_nano AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * 1e9))
+                       / (CAST(spend_cents AS DOUBLE)
+                          / CAST(n AS DOUBLE))) * 1e6 + 0.5) / 1e6
+              AS atkinson
+        FROM g
+    """
+
+    out["good_turing"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                             t -> t <> '') AS tk
+          FROM documents),
+        bi AS (
+          SELECT tk[i + 1] AS w1, tk[i + 2] AS w2
+          FROM toks,
+               LATERAL (SELECT unnest(range(len(tk) - 1)) AS i) _
+          WHERE len(tk) >= 2),
+        tf AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS r
+               FROM bi GROUP BY 1, 2),
+        cc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+               FROM tf GROUP BY 1),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (ORDER BY r ASC) AS INTEGER)
+                        AS band
+          FROM cc),
+        nxt AS (SELECT r - 1 AS r, n_r AS n_r1 FROM cc)
+        SELECT band, r, n_r,
+          floor(CAST(r + 1 AS DOUBLE) * CAST(COALESCE(n_r1, 0) AS DOUBLE)
+                / CAST(n_r AS DOUBLE) * 1e6 + 0.5) / 1e6 AS r_star
+        FROM ranked LEFT JOIN nxt USING (r)
+        WHERE band <= 10
+    """
+    out["kn_continuation"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                             t -> t <> '') AS tk
+          FROM documents),
+        bi AS (
+          SELECT DISTINCT tk[i + 1] AS w1, tk[i + 2] AS w2
+          FROM toks,
+               LATERAL (SELECT unnest(range(len(tk) - 1)) AS i) _
+          WHERE len(tk) >= 2),
+        total AS (SELECT CAST(count(*) AS BIGINT) AS n_bigram_types
+                  FROM bi),
+        cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS cont_types
+                 FROM bi GROUP BY 1),
+        tf AS (SELECT unnest(tk) AS tok FROM toks),
+        freqs AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+                  FROM tf GROUP BY 1),
+        top AS (
+          SELECT *, CAST(row_number() OVER (
+                     ORDER BY freq DESC, tok ASC) AS INTEGER) AS rank
+          FROM freqs QUALIFY rank <= 20)
+        SELECT rank, tok, freq,
+               CAST(COALESCE(cont_types, 0) AS BIGINT) AS cont_types,
+          floor(CAST(COALESCE(cont_types, 0) AS DOUBLE)
+                / CAST(n_bigram_types AS DOUBLE) * 1e6 + 0.5) / 1e6
+              AS p_continuation
+        FROM top LEFT JOIN cont ON cont.w2 = top.tok, total
+    """
+    out["simpson_diversity"] = r"""
+        WITH tf AS (
+          SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT lang,
+                       unnest(list_filter(
+                           string_split_regex(text, '\s+'),
+                           t -> t <> '')) AS tok
+                FROM documents)
+          GROUP BY 1, 2),
+        g AS (
+          SELECT lang, CAST(sum(n) AS BIGINT) AS nn,
+                 CAST(count(*) AS BIGINT) AS types,
+                 CAST(sum(n * (n - 1)) AS BIGINT) AS pairs
+          FROM tf GROUP BY 1)
+        SELECT lang, nn AS tokens, types,
+          floor((1.0 - CAST(pairs AS DOUBLE)
+                       / CAST(nn * (nn - 1) AS DOUBLE)) * 1e6 + 0.5)
+              / 1e6 AS simpson_diversity
+        FROM g WHERE nn >= 2
+    """
+    out["readability_scores"] = r"""
+        WITH per AS (
+          SELECT lang,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                      t -> t <> '')) AS BIGINT) AS words,
+                 CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                      AS BIGINT) AS syl
+          FROM documents),
+        g AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(words) AS BIGINT) AS words,
+                 CAST(sum(syl) AS BIGINT) AS syllables
+          FROM per GROUP BY 1)
+        SELECT lang, n_docs, words, syllables,
+          floor((206.835
+                 - 1.015 * (CAST(words AS DOUBLE)
+                            / CAST(n_docs AS DOUBLE))
+                 - 84.6 * (CAST(syllables AS DOUBLE)
+                           / CAST(words AS DOUBLE))) * 1e6 + 0.5) / 1e6
+              AS flesch
+        FROM g WHERE words > 0
+    """
+    out["script_profile"] = r"""
+        WITH per AS (
+          SELECT source,
+                 CAST(length(text) AS BIGINT) AS chars,
+                 CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                      AS BIGINT) AS alpha,
+                 CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                      AS BIGINT) AS digit,
+                 CAST(length(regexp_replace(text, '\S', '', 'g'))
+                      AS BIGINT) AS space
+          FROM documents),
+        g AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(chars) AS BIGINT) AS chars,
+                 CAST(sum(alpha) AS BIGINT) AS alpha,
+                 CAST(sum(digit) AS BIGINT) AS digit,
+                 CAST(sum(space) AS BIGINT) AS space
+          FROM per GROUP BY 1)
+        SELECT source, n_docs, chars,
+          floor(CAST(alpha AS DOUBLE) / CAST(chars AS DOUBLE)
+                * 1e6 + 0.5) / 1e6 AS alpha_ratio,
+          floor(CAST(digit AS DOUBLE) / CAST(chars AS DOUBLE)
+                * 1e6 + 0.5) / 1e6 AS digit_ratio,
+          floor(CAST(space AS DOUBLE) / CAST(chars AS DOUBLE)
+                * 1e6 + 0.5) / 1e6 AS space_ratio,
+          floor(CAST(chars - alpha - digit - space AS DOUBLE)
+                / CAST(chars AS DOUBLE) * 1e6 + 0.5) / 1e6
+              AS other_ratio
+        FROM g WHERE chars > 0
+    """
+    out["ttr_windows"] = r"""
+        WITH toks AS (
+          SELECT lang, doc_id, (i - 1) // 20 AS w, tk[i] AS tok
+          FROM (SELECT lang, doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   t -> t <> '') AS tk
+                FROM documents),
+               LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) _),
+        sizes AS (
+          SELECT lang, doc_id, w,
+                 CAST(count(*) AS BIGINT) AS n_tok,
+                 CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+          FROM toks GROUP BY 1, 2, 3),
+        g AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_windows,
+                 CAST(sum(n_types) AS BIGINT) AS sum_types
+          FROM sizes WHERE n_tok = 20 GROUP BY 1)
+        SELECT lang, n_windows,
+          floor(CAST(sum_types AS DOUBLE)
+                / CAST(n_windows * 20 AS DOUBLE) * 1e6 + 0.5) / 1e6
+              AS mean_ttr
+        FROM g
     """
     return out

@@ -4422,3 +4422,649 @@ def theil_index(t) -> DataFrame:
         ).alias("t_within"),
         round_half_up(between, 6).alias("t_between_term"),
     )
+
+
+# --------------------------------------------------------------------
+# round-7 additions: classical-test tail + inequality + control charts
+# --------------------------------------------------------------------
+
+
+def bartlett_test(orders: DataFrame) -> DataFrame:
+    """Bartlett's test of variance homogeneity of order value across
+    order priorities — the PARAMETRIC scale test completing the
+    variance-family (``levene_variance``/``brown_forsythe`` are the
+    robust members; Bartlett is the classical chi-square form, more
+    powerful under normality and the one ANOVA textbooks gate on):
+
+        T = [(N-k) ln s_p^2 - sum_i v_i ln s_i^2] / C,
+        C = 1 + (sum_i 1/v_i - 1/(N-k)) / (3(k-1)),   v_i = n_i - 1
+
+    Exactness: per-group moments are exact integers (cents, DECIMAL(38)
+    squares); each s_i^2 = (n_i*Q_i - S_i^2)/(n_i*v_i) is ONE mirrored
+    division of exact integers, and every cross-group reduction (the
+    pooled variance, the ln sum, the 1/v_i sum) is a SEQUENTIAL fold
+    over the priority-sorted group list — order pinned, value-hashes
+    exactly. Groups with n_i < 2 drop by integer predicate.
+
+    Scale: one keyed rollup to k=|priorities| rows; everything after
+    is dimension-sized."""
+    g = (
+        orders.groupBy(F.col("o_orderpriority").alias("p"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(_cents("o_totalprice")).cast("long").alias("s"),
+            F.sum(
+                _cents("o_totalprice").cast(DEC)
+                * _cents("o_totalprice").cast(DEC)
+            )
+            .cast(DEC)
+            .alias("q"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    arr = g.groupBy().agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "p",
+                    F.col("n").alias("n"),
+                    # s2 = (n*Q - S^2) / (n*(n-1)): exact ints in, one
+                    # mirrored double division out
+                    (
+                        (
+                            F.col("n").cast(DEC) * F.col("q")
+                            - F.col("s").cast(DEC) * F.col("s").cast(DEC)
+                        ).cast("double")
+                        / (F.col("n") * (F.col("n") - 1)).cast("double")
+                    ).alias("s2"),
+                )
+            )
+        ).alias("gs"),
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    pooled_num = F.aggregate(
+        F.col("gs"), F.lit(0.0), lambda a, t: a + (t["n"] - 1) * t["s2"]
+    )
+    s2p = pooled_num / (F.col("nn") - F.col("k")).cast("double")
+    ln_sum = F.aggregate(
+        F.col("gs"),
+        F.lit(0.0),
+        lambda a, t: a + (t["n"] - 1) * F.log(t["s2"]),
+    )
+    inv_sum = F.aggregate(
+        F.col("gs"),
+        F.lit(0.0),
+        lambda a, t: a + F.lit(1.0) / (t["n"] - 1).cast("double"),
+    )
+    c = F.lit(1.0) + (
+        inv_sum - F.lit(1.0) / (F.col("nn") - F.col("k")).cast("double")
+    ) / (3.0 * (F.col("k") - 1).cast("double"))
+    t_stat = (
+        (F.col("nn") - F.col("k")).cast("double") * F.log(s2p) - ln_sum
+    )
+    return arr.where(
+        (F.col("k") > 1)
+        & F.aggregate(
+            F.col("gs"),
+            F.lit(True),
+            lambda a, t: a & (t["s2"] > 0),
+        )
+    ).select(
+        F.col("nn").alias("n"),
+        F.col("k").alias("n_groups"),
+        # variance reported in DOLLARS^2 (cents^2 / 1e4): keeps the
+        # round_half_up long-quantization in range at any fixture SF
+        round_half_up(s2p / 10000.0, 2).alias("pooled_var_usd2"),
+        round_half_up(c, 6).alias("c_factor"),
+        round_half_up(t_stat / c, 6).alias("chi2"),
+    )
+
+
+def grubbs_outlier(events: DataFrame) -> DataFrame:
+    """Grubbs' statistic per event type over the DAILY-count series:
+    G = max_t |x_t - mean| / sd — "is the single worst day a genuine
+    outlier, or just the tail of normal variation?" — the one-point
+    screen the MAD/CUSUM family doesn't give (MAD flags many points;
+    Grubbs scores THE extreme one against a studentized bound).
+
+    Exactness: the argmax day is chosen by an INTEGER ordering
+    ((n*x - S)^2 DECIMAL desc, day asc — no float enters the pick);
+    G itself is one mirrored sqrt of exact-integer ratios,
+    G^2 = (n*x - S)^2 * (n-1) / (n * (n*Q - S^2)). Types with n < 3
+    or zero variance drop by integer predicate.
+
+    Scale: daily rollup, then a per-type window over calendar-bounded
+    rows."""
+    daily = events.groupBy(
+        F.col("event_type").alias("t"), F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    g = daily.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x").cast(DEC) * F.col("x").cast(DEC))
+        .cast(DEC)
+        .alias("q"),
+    )
+    j = daily.join(F.broadcast(g), "t")
+    dev = F.col("n").cast(DEC) * F.col("x").cast(DEC) - F.col("s").cast(
+        DEC
+    )
+    j = j.withColumn("dev2", (dev * dev).cast(DEC))
+    w = Window.partitionBy("t").orderBy(
+        F.col("dev2").desc(), F.col("d").asc()
+    )
+    top = j.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    var_num = (
+        F.col("n").cast(DEC) * F.col("q")
+        - F.col("s").cast(DEC) * F.col("s").cast(DEC)
+    ).cast(DEC)
+    g2 = (
+        F.col("dev2").cast("double")
+        * (F.col("n") - 1).cast("double")
+        / (F.col("n").cast("double") * var_num.cast("double"))
+    )
+    return (
+        top.where((F.col("n") >= 3) & (var_num > 0))
+        .select(
+            F.col("t").alias("event_type"),
+            "n",
+            F.date_format("d", "yyyy-MM-dd").alias("worst_day"),
+            F.col("x").alias("cnt"),
+            round_half_up(F.sqrt(g2), 6).alias("grubbs_g"),
+        )
+    )
+
+
+def anova_oneway(orders: DataFrame) -> DataFrame:
+    """Classical one-way ANOVA F across order priorities on order value
+    — the parametric mean test the family lacked (``kruskal_wallis``
+    is its rank twin, ``levene_variance``/``bartlett_test`` its
+    variance preconditions):
+
+        F = (SSB / (k-1)) / (SSW / (N-k)),
+        SSB = sum_g S_g^2/n_g - S^2/N,   SSW = Q - sum_g S_g^2/n_g
+
+    Exactness: all moments are exact integers (cents, DECIMAL(38)
+    squares); sum_g S_g^2/n_g is a SEQUENTIAL fold over the
+    priority-sorted group list of single mirrored divisions; SSB/SSW/F
+    are mirrored float expressions of those. Output in cents^2 units.
+
+    Scale: one keyed rollup to k rows + one grand rollup."""
+    c = _cents("o_totalprice")
+    g = orders.groupBy(F.col("o_orderpriority").alias("p")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).cast("long").alias("s"),
+        F.sum(c.cast(DEC) * c.cast(DEC)).cast(DEC).alias("q"),
+    )
+    arr = g.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("p", "n", "s"))
+        ).alias("gs"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast(DEC).alias("ss"),
+        F.sum("q").cast(DEC).alias("qq"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    between_raw = F.aggregate(
+        F.col("gs"),
+        F.lit(0.0),
+        lambda a, t: a
+        + (t["s"].cast(DEC) * t["s"].cast(DEC)).cast("double")
+        / t["n"].cast("double"),
+    )
+    ssb = between_raw - (F.col("ss") * F.col("ss")).cast(
+        "double"
+    ) / F.col("nn").cast("double")
+    ssw = F.col("qq").cast("double") - between_raw
+    f_stat = (ssb / (F.col("k") - 1).cast("double")) / (
+        ssw / (F.col("nn") - F.col("k")).cast("double")
+    )
+    return arr.where(
+        (F.col("k") > 1) & (F.col("nn") > F.col("k")) & (ssw > 0)
+    ).select(
+        F.col("nn").alias("n"),
+        F.col("k").alias("n_groups"),
+        # mean squares in DOLLARS^2 (cents^2 / 1e4): magnitude-safe for
+        # the round_half_up long quantization (raw SS in cents^2
+        # overflows it past ~1e16)
+        round_half_up(
+            ssb / (F.col("k") - 1).cast("double") / 10000.0, 2
+        ).alias("ms_between_usd2"),
+        round_half_up(
+            ssw / (F.col("nn") - F.col("k")).cast("double") / 10000.0, 2
+        ).alias("ms_within_usd2"),
+        round_half_up(f_stat, 6).alias("f_stat"),
+    )
+
+
+def _type_dow_cells(events: DataFrame):
+    """Shared contingency for mutual_information / g_test: event_type x
+    day-of-week cell counts with margins — all exact BIGINTs. Spark
+    dayofweek is 1=Sunday..7; minus 1 mirrors DuckDB's 0=Sunday..6
+    (the stl_lite precedent)."""
+    cells = events.groupBy(
+        F.col("event_type").alias("t"),
+        (F.dayofweek(F.to_date("ts")) - 1).cast("int").alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rows = cells.groupBy("t").agg(F.sum("o").cast("long").alias("r"))
+    cols = cells.groupBy("dow").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count_distinct("t").cast("long").alias("rk"),
+        F.count_distinct("dow").cast("long").alias("ck"),
+    )
+    full = cells.join(rows, "t").join(cols, "dow")
+    return full, rows, cols, tot
+
+
+def mutual_information(events: DataFrame) -> DataFrame:
+    """Plug-in mutual information between event type and day-of-week,
+    with marginal entropies and the sqrt-normalized NMI — "how much
+    does WHEN predict WHAT?" as one number in [0, 1] (``theils_u`` is
+    the asymmetric cousin on a different pair; this is the symmetric
+    standard for feature screens):
+
+        MI = sum_ij (o/N) ln(N*o / (r_i*c_j)),
+        NMI = MI / sqrt(H_type * H_dow)
+
+    Exactness: every per-cell/per-margin term is QUANTIZED to integer
+    nanos — floor(term * 1e9 + 0.5), a mirrored double expression on
+    exact BIGINTs — so the reductions are exact BIGINT sums, ORDER-FREE
+    (the theil_index move; no sorted fold needed). NMI is one mirrored
+    float expression of the three quantized sums.
+
+    Scale: one |types| x 7 rollup; dimension-sized after."""
+    full, rows, cols, tot = _type_dow_cells(events)
+    nano = lambda e: F.floor(e * 1000000000.0 + F.lit(0.5)).cast("long")
+    j = full.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    mi_q = j.agg(
+        F.sum(
+            nano(
+                (F.col("o").cast("double") / nd)
+                * F.log(
+                    (F.col("n") * F.col("o")).cast("double")
+                    / (F.col("r") * F.col("c")).cast("double")
+                )
+            )
+        )
+        .cast("long")
+        .alias("mi_nano")
+    )
+    ht_q = rows.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            nano(
+                -(F.col("r").cast("double") / nd)
+                * F.log(F.col("r").cast("double") / nd)
+            )
+        )
+        .cast("long")
+        .alias("ht_nano")
+    )
+    hd_q = cols.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            nano(
+                -(F.col("c").cast("double") / nd)
+                * F.log(F.col("c").cast("double") / nd)
+            )
+        )
+        .cast("long")
+        .alias("hd_nano")
+    )
+    out = (
+        tot.crossJoin(F.broadcast(mi_q))
+        .crossJoin(F.broadcast(ht_q))
+        .crossJoin(F.broadcast(hd_q))
+    )
+    mi = F.col("mi_nano").cast("double") / 1000000000.0
+    ht = F.col("ht_nano").cast("double") / 1000000000.0
+    hd = F.col("hd_nano").cast("double") / 1000000000.0
+    return out.where((F.col("rk") > 1) & (F.col("ck") > 1)).select(
+        "n",
+        F.col("rk").alias("n_types"),
+        F.col("ck").alias("n_dows"),
+        round_half_up(mi, 6).alias("mi"),
+        round_half_up(ht, 6).alias("h_type"),
+        round_half_up(hd, 6).alias("h_dow"),
+        round_half_up(
+            F.when(ht * hd > 0, mi / F.sqrt(ht * hd)).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("nmi"),
+    )
+
+
+def g_test(events: DataFrame) -> DataFrame:
+    """G-test (likelihood-ratio chi-square) of independence on the same
+    event_type x day-of-week contingency as ``mutual_information`` —
+    the additive test statisticians prefer over Pearson chi2 when cells
+    are thin (G decomposes exactly across partitions of the table;
+    G = 2*N*MI, which the two registered outputs let you check):
+
+        G = 2 * sum_ij o * ln(o * N / (r_i * c_j)),  df = (r-1)(c-1)
+
+    Exactness: per-cell terms quantized to integer MICROS (1e6 — o
+    multiplies the log, so micro keeps 100TB-scale headroom inside
+    BIGINT), exact order-free BIGINT sum, one mirrored division out.
+
+    Scale: dimension-sized after the one contingency rollup."""
+    full, _rows, _cols, tot = _type_dow_cells(events)
+    j = full.crossJoin(F.broadcast(tot))
+    term = F.floor(
+        F.col("o").cast("double")
+        * F.log(
+            (F.col("o") * F.col("n")).cast("double")
+            / (F.col("r") * F.col("c")).cast("double")
+        )
+        * 1000000.0
+        + F.lit(0.5)
+    ).cast("long")
+    agg = j.groupBy("n", "rk", "ck").agg(
+        F.sum(term).cast("long").alias("g_micro")
+    )
+    return agg.where((F.col("rk") > 1) & (F.col("ck") > 1)).select(
+        "n",
+        ((F.col("rk") - 1) * (F.col("ck") - 1)).cast("long").alias("df"),
+        round_half_up(
+            2.0 * F.col("g_micro").cast("double") / 1000000.0, 6
+        ).alias("g_stat"),
+    )
+
+
+def ewma_control(events: DataFrame, lam: float = 0.3) -> DataFrame:
+    """EWMA control chart over each event type's daily count series:
+    z_t = lam*x_t + (1-lam)*z_{t-1} (z_1 = x_1), control limits
+    mean +- 3*sd*sqrt(lam/(2-lam)) — the small-shift detector the
+    CUSUM family complements (``page_hinkley`` alarms once; this
+    emits the full monitored series with per-day breach flags, the
+    chart an SRE actually plots).
+
+    Exactness: the recursion is evaluated per day as a SEQUENTIAL fold
+    over the day-sorted count PREFIX (init = first count, then
+    lam*x + (1-lam)*acc — single-accumulator, forward-only, the
+    user_ema-safe list_reduce shape in DuckDB); mean/sd come from
+    exact BIGINT moments; the breach flag is a mirrored float
+    comparison. O(days^2) fold steps per type — calendar-bounded by
+    construction, never data-sized.
+
+    Scale: one daily rollup shuffle; the fold runs over a per-type
+    array that is calendar-bounded (~3.6k elements at a decade)."""
+    daily = events.groupBy(
+        F.col("event_type").alias("t"), F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    stats = daily.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x").cast(DEC) * F.col("x").cast(DEC))
+        .cast(DEC)
+        .alias("q"),
+        F.array_sort(
+            F.collect_list(
+                F.struct("d", F.col("x").cast("double").alias("x"))
+            )
+        ).alias("xs"),
+    )
+    idx = daily.withColumn(
+        "i",
+        F.row_number().over(
+            Window.partitionBy("t").orderBy("d")
+        ),
+    )
+    j = idx.join(F.broadcast(stats), "t")
+    lam_l = F.lit(float(lam))
+    z = F.aggregate(
+        F.slice(F.transform(F.col("xs"), lambda s: s["x"]), 2, F.col("i") - 1),
+        F.element_at(F.col("xs"), 1)["x"],
+        lambda acc, x: lam_l * x + (F.lit(1.0) - lam_l) * acc,
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var_num = (
+        F.col("n").cast(DEC) * F.col("q")
+        - F.col("s").cast(DEC) * F.col("s").cast(DEC)
+    ).cast("double")
+    sd = F.sqrt(
+        var_num / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+    )
+    limit = 3.0 * sd * F.sqrt(lam_l / (F.lit(2.0) - lam_l))
+    return (
+        j.where(F.col("n") >= 2)
+        .select(
+            F.col("t").alias("event_type"),
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("x").alias("cnt"),
+            round_half_up(z, 6).alias("ewma"),
+            F.when(
+                F.abs(z - mean) > limit, F.lit(1)
+            ).otherwise(F.lit(0)).cast("int").alias("breach"),
+        )
+    )
+
+
+def hurst_rs(orders: DataFrame, windows: tuple = (8, 16, 32)) -> DataFrame:
+    """Hurst exponent of the daily-revenue series via rescaled-range
+    (R/S) analysis: split the series into tumbling windows of each
+    size w, compute R/S per window (R = range of mean-adjusted
+    cumulative sums, S = population sd), and fit ln(mean R/S) ~
+    H * ln(w) — H > 0.5 reads "trending / long-memory", < 0.5
+    "mean-reverting", the regime diagnostic behind capacity planning
+    on heavy-tailed series.
+
+    Exactness: within a window, n*cumsum_t - (t)*S is an exact BIGINT
+    (cents), so R's max/min pick is INTEGER; R/S = (max-min) /
+    sqrt(n*Q - S^2) is one mirrored float per window, QUANTIZED to
+    nanos; per-size means are exact rationals of the BIGINT sums; the
+    3-point log-log slope is a sequential fold over the size-sorted
+    list. Windows shorter than w drop by integer predicate.
+
+    Scale: one daily rollup; everything after is calendar-bounded."""
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.sum(_cents("o_totalprice")).cast("long").alias("y"))
+    )
+    idx = daily.withColumn(
+        "r", F.row_number().over(Window.orderBy("d")) - 1
+    )
+    sizes = F.explode(
+        F.array(*[F.lit(int(w)) for w in windows])
+    ).alias("w")
+    e = idx.select("r", "y", sizes).withColumn(
+        "win", F.expr("r div w")
+    ).withColumn("tpos", (F.col("r") % F.col("w")).cast("long"))
+    cw = Window.partitionBy("w", "win").orderBy("tpos")
+    c = e.withColumn("cum", F.sum("y").over(cw).cast("long"))
+    g = c.groupBy("w", "win").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y").cast(DEC) * F.col("y").cast(DEC))
+        .cast(DEC)
+        .alias("q"),
+    )
+    # adj_t = n*cum_t - (tpos+1)*S: exact BIGINT; R*n = max - min
+    adj = c.join(
+        g.select("w", "win", "n", "s", "q"), ["w", "win"]
+    ).withColumn(
+        "adj",
+        (
+            F.col("n").cast(DEC) * F.col("cum").cast(DEC)
+            - (F.col("tpos") + 1).cast(DEC) * F.col("s").cast(DEC)
+        ).cast(DEC),
+    )
+    per_win = adj.groupBy("w", "win", "n", "s", "q").agg(
+        F.max("adj").alias("mx"), F.min("adj").alias("mn")
+    )
+    var_num = (
+        F.col("n").cast(DEC) * F.col("q")
+        - F.col("s").cast(DEC) * F.col("s").cast(DEC)
+    ).cast("double")
+    # R/S = [(max-min adj)/n] / [sqrt(n*Q - S^2)/n]: the two 1/n
+    # factors cancel exactly
+    rs = (F.col("mx") - F.col("mn")).cast("double") / F.sqrt(var_num)
+    q_rs = F.floor(rs * 1000000000.0 + F.lit(0.5)).cast("long")
+    per_w = (
+        per_win.where(
+            (F.col("n") == F.col("w").cast("long")) & (var_num > 0)
+        )
+        .groupBy("w")
+        .agg(
+            F.sum(q_rs).cast("long").alias("rs_nano"),
+            F.count(F.lit(1)).cast("long").alias("n_win"),
+        )
+        .withColumn(
+            "mean_rs",
+            F.col("rs_nano").cast("double")
+            / (F.col("n_win").cast("double") * 1000000000.0),
+        )
+    )
+    arr = per_w.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("w", "mean_rs", "n_win"))
+        ).alias("ps"),
+        F.count(F.lit(1)).cast("long").alias("np"),
+    )
+    sx = F.aggregate(
+        F.col("ps"), F.lit(0.0), lambda a, t: a + F.log(t["w"].cast("double"))
+    )
+    sy = F.aggregate(
+        F.col("ps"), F.lit(0.0), lambda a, t: a + F.log(t["mean_rs"])
+    )
+    sxy = F.aggregate(
+        F.col("ps"),
+        F.lit(0.0),
+        lambda a, t: a + F.log(t["w"].cast("double")) * F.log(t["mean_rs"]),
+    )
+    sx2 = F.aggregate(
+        F.col("ps"),
+        F.lit(0.0),
+        lambda a, t: a
+        + F.log(t["w"].cast("double")) * F.log(t["w"].cast("double")),
+    )
+    npd = F.col("np").cast("double")
+    hurst = (npd * sxy - sx * sy) / (npd * sx2 - sx * sx)
+    def _pick(wv):
+        return lambda a, t: F.when(
+            t["w"] == wv, a + t["mean_rs"]
+        ).otherwise(a)
+
+    wide = arr.select(
+        "np",
+        hurst.alias("h"),
+        *[
+            F.aggregate(F.col("ps"), F.lit(0.0), _pick(int(w))).alias(
+                f"rs{int(w)}"
+            )
+            for w in windows
+        ],
+    )
+    return wide.where(F.col("np") == len(windows)).select(
+        *[
+            round_half_up(F.col(f"rs{int(w)}"), 6).alias(f"rs{int(w)}")
+            for w in windows
+        ],
+        round_half_up(F.col("h"), 6).alias("hurst"),
+    )
+
+
+def lorenz_deciles(t) -> DataFrame:
+    """Lorenz-curve decile table of customer spend: customers ranked by
+    total spend into ntile(10) buckets (ties broken by custkey — a
+    DETERMINISTIC total order), per-decile share and cumulative share
+    of total spend — the table behind ``spend_gini``'s single number
+    ("the top decile holds X% of spend" is read straight off row 10).
+
+    Exactness: spend is BIGINT cents; ntile over the (cents, custkey)
+    integer ordering is engine-identical; shares are single mirrored
+    divisions of BIGINT cumulative sums under round_half_up.
+
+    Scale: per-customer rollup, then a rank over customers — the one
+    global-sort stage (range-partitioned at scale); deciles and shares
+    are 10-row arithmetic."""
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).cast("long").alias("cents"))
+    )
+    w = Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
+    d = per_cust.withColumn("decile", F.ntile(10).over(w))
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("spend_cents"),
+    )
+    cw = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = g.agg(F.sum("spend_cents").cast("long").alias("tt"))
+    return (
+        g.withColumn("cum_cents", F.sum("spend_cents").over(cw).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            "spend_cents",
+            round_half_up(
+                F.col("spend_cents").cast("double")
+                / F.col("tt").cast("double"),
+                6,
+            ).alias("share"),
+            round_half_up(
+                F.col("cum_cents").cast("double")
+                / F.col("tt").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+    )
+
+
+def atkinson_index(t) -> DataFrame:
+    """Atkinson inequality index (inequality-aversion eps = 1) of
+    customer spend per nation: A = 1 - geometric_mean(y) / mean(y) —
+    the WELFARE-weighted member of the inequality family
+    (``spend_gini`` weighs transfers equally; ``theil_index``
+    decomposes; Atkinson at eps=1 prices inequality by log utility, so
+    it reacts hardest to the poorest members).
+
+    Exactness: spends are BIGINT cents; each member's ln(cents) is
+    quantized to integer nanos (mirrored floor(ln*1e9 + 0.5)), so the
+    per-nation reduction is an exact ORDER-FREE BIGINT sum; the
+    geometric mean exp(sum/n/1e9) and the final ratio are one mirrored
+    float expression. Zero-spend members drop (ln undefined) by
+    integer predicate — the theil_index convention.
+
+    Scale: one custkey rollup, one broadcast join, one nation rollup."""
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).cast("long").alias("cents"))
+    )
+    j = (
+        per_cust.join(
+            t["customer"], F.col("c_custkey") == F.col("o_custkey")
+        )
+        .select(
+            F.col("c_nationkey").cast("int").alias("nationkey"), "cents"
+        )
+        .where(F.col("cents") > 0)
+    )
+    ln_nano = F.floor(
+        F.log(F.col("cents").cast("double")) * 1000000000.0 + F.lit(0.5)
+    ).cast("long")
+    g = j.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("spend_cents"),
+        F.sum(ln_nano).cast("long").alias("ln_nano"),
+    )
+    geo = F.exp(
+        F.col("ln_nano").cast("double")
+        / (F.col("n").cast("double") * 1000000000.0)
+    )
+    mean = F.col("spend_cents").cast("double") / F.col("n").cast("double")
+    return g.select(
+        "nationkey",
+        "n",
+        "spend_cents",
+        round_half_up(geo, 2).alias("geo_mean_cents"),
+        round_half_up(F.lit(1.0) - geo / mean, 6).alias("atkinson"),
+    )

@@ -41,9 +41,60 @@ def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
     return df.withColumn(col, F.col(col).cast("array<double>"))
 
 
-def query_subset(emb: DataFrame, every: int = 50) -> DataFrame:
-    """Deterministic query set: every ``every``-th vec_id."""
-    return emb.where(F.col("vec_id") % every == 0)
+# Absolute ceiling on eval/query samples (VERDICT r6 advisory): the
+# fixed-FRACTION stride (vec_id % every) grows the broadcast sample
+# linearly with the corpus, so default knobs at 100x data would ship a
+# 100x query matrix to every task. The effective stride is derived
+# RELATIONALLY from the corpus count —
+#     every_eff = every * ceil(n / (every * max_sample))
+# — which keeps the sample <= max_sample (+1) at any scale while being
+# the IDENTITY whenever n <= every * max_sample (ceil(..) == 1), so
+# every registered fixture output (n <= 2000 vectors at sf0.1) is
+# byte-identical. Mirrored verbatim in the oracles via query_mod_sql.
+QUERY_MAX_SAMPLE = 2000
+
+
+def query_subset(
+    emb: DataFrame,
+    every: int = 50,
+    max_sample: int = QUERY_MAX_SAMPLE,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic query set: every ``every_eff``-th vec_id, where
+    ``every_eff`` is ``every`` scaled up (relationally, from a one-row
+    broadcast count — no driver collect) so the sample never exceeds
+    ``max_sample`` regardless of corpus size.
+
+    ``corpus``: the frame whose ROW COUNT defines the cap — pass it
+    when ``emb`` is not corpus-shaped (e.g. the per-(vector, table)
+    LSH index, n_tables rows per vector); defaults to ``emb`` itself.
+    The oracle twin is ``query_mod_sql``, byte-for-byte the same
+    arithmetic (BIGINT count / double literal, ceil, BIGINT modulo)."""
+    src = emb if corpus is None else corpus
+    cnt = src.agg(F.count(F.lit(1)).cast("long").alias("_qs_n"))
+    eff = (
+        F.ceil(F.col("_qs_n") / F.lit(float(every * max_sample))).cast(
+            "long"
+        )
+        * every
+    )
+    return (
+        emb.crossJoin(F.broadcast(cnt))
+        .where(F.col("vec_id") % eff == 0)
+        .drop("_qs_n")
+    )
+
+
+def query_mod_sql(
+    every: int, tbl: str = "e", max_sample: int = QUERY_MAX_SAMPLE
+) -> str:
+    """DuckDB twin of ``query_subset``'s capped stride: a WHERE-clause
+    fragment. The scalar count subquery must reference the same
+    corpus-shaped relation the Spark side counts."""
+    return (
+        f"vec_id % ({every} * CAST(ceil((SELECT count(*) FROM {tbl})"
+        f" / {float(every * max_sample)}) AS BIGINT)) = 0"
+    )
 
 
 def _sim_from_dot(q_emb, emb, nq, ne):
@@ -385,7 +436,7 @@ def duckdb_lsh_topk_sql(
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM {src}),
       idx0 AS ({_duckdb_lsh_idx(tables)}),
       q AS (SELECT vec_id AS query_id, tbl, bucket FROM idx0
-            WHERE vec_id % {every} = 0),
+            WHERE {query_mod_sql(every)}),
       cand AS (SELECT DISTINCT q.query_id, i.vec_id AS neighbor_id
                FROM q JOIN idx0 i
                  ON q.tbl = i.tbl AND q.bucket = i.bucket
@@ -497,7 +548,7 @@ def ann_lsh_topk(
     indexed = e.select(
         "vec_id", "embedding", "nrm", F.posexplode(buckets).alias("table", "bucket")
     )
-    q = query_subset(indexed, every).select(
+    q = query_subset(indexed, every, corpus=emb).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -858,6 +909,7 @@ def ann_ivf_topk(
     refine_iters: int = 0,
     assign_via: str = "matmul",
     cents: list[tuple[int, list[float]]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flavored ANN: deterministic centroid set (every Nth vector
     stands in for k-means training, keeping the operator reproducible),
@@ -903,13 +955,20 @@ def ann_ivf_topk(
     e = widen(e0, 8)
     if refine_iters:
         cents = refine_centroids(e, cents, iters=refine_iters)
-    if assign_via == "matmul":
-        assigned = assign_centroids_matmul(e, cents)
-    else:
-        best = _nearest_centroid(cents, "embedding")
-        assigned = e.select("vec_id", "embedding", best["cid"].alias("cid"))
-    # candidate-side norm precomputed once per vector (see _sim_from_dot)
-    assigned = assigned.withColumn("nrm", norm(F.col("embedding")))
+    if assigned is None:
+        if assign_via == "matmul":
+            assigned = assign_centroids_matmul(e, cents)
+        else:
+            best = _nearest_centroid(cents, "embedding")
+            assigned = e.select(
+                "vec_id", "embedding", best["cid"].alias("cid")
+            )
+        # candidate-side norm precomputed once per vector
+        # (see _sim_from_dot)
+        assigned = assigned.withColumn("nrm", norm(F.col("embedding")))
+    # else: a sweep passed a prebuilt (vec_id, embedding, cid, nrm)
+    # index relation — nprobe is a query-side knob, so sharing the
+    # assignment across probe widths is value-identical by definition
     q = query_subset(e, every).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -1662,7 +1721,7 @@ def duckdb_pq_sql(
         """
     return base + f""",
       q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
-            WHERE vec_id % {every} = 0),
+            WHERE {query_mod_sql(every)}),
       ad AS (
         SELECT q.query_id, cd.vec_id AS neighbor_id,
                CAST(list_reduce(list(({qsq}) ORDER BY cd.s),
@@ -1836,7 +1895,7 @@ def duckdb_ivfpq_sql(
                      ORDER BY csim DESC, cid ASC) AS rn FROM csims),
       assigned AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
       probes AS (SELECT vec_id AS query_id, emb AS q_emb, cid
-                 FROM ranked WHERE rn <= {nprobe} AND vec_id % {every} = 0),
+                 FROM ranked WHERE rn <= {nprobe} AND {query_mod_sql(every)}),
       seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, emb
                 FROM (SELECT vec_id, emb FROM e WHERE vec_id % {code_every} = 0
                       ORDER BY vec_id LIMIT {n_codes}) _),
@@ -1991,7 +2050,7 @@ def duckdb_ann_eval_sql(k: int = 5, every: int = 50) -> str:
     exact = f"""
       (WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
-             WHERE vec_id % {every} = 0),
+             WHERE {query_mod_sql(every)}),
        scored AS (SELECT query_id, e.vec_id AS neighbor_id,
                          list_cosine_similarity(q_emb, emb) AS sim
                   FROM q JOIN e ON e.vec_id <> q.query_id)
@@ -2008,7 +2067,7 @@ def duckdb_ann_eval_sql(k: int = 5, every: int = 50) -> str:
         UNION ALL
         SELECT 'ivf', query_id, neighbor_id, rank
         FROM ({duckdb_ivf_knn_sql(k=k, nprobe=5,
-                                  query_filter=f"vec_id % {every} = 0")})
+                                  query_filter=query_mod_sql(every))})
         UNION ALL
         SELECT 'pq', query_id, neighbor_id, rank
         FROM ({duckdb_pq_sql(k=k, every=every)})
@@ -2073,7 +2132,7 @@ def ann_lsh_multiprobe_topk(
     )
     # query side: the home bucket (f = 0) and each 1-bit flip (f >= 1)
     q = (
-        query_subset(indexed, every)
+        query_subset(indexed, every, corpus=emb)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
@@ -2129,7 +2188,7 @@ def duckdb_lsh_multiprobe_sql(
                    CASE WHEN f = 0 THEN bucket
                         ELSE xor(bucket, 1 << (f - 1)) END AS bucket
             FROM idx0, (SELECT unnest(range({b + 1})) AS f) _
-            WHERE vec_id % {every} = 0),
+            WHERE {query_mod_sql(every)}),
       cand AS (SELECT DISTINCT q.query_id, i.vec_id AS neighbor_id
                FROM q JOIN idx0 i
                  ON q.tbl = i.tbl AND q.bucket = i.bucket
@@ -2961,7 +3020,7 @@ def duckdb_hard_negatives_sql(
       probes AS (SELECT vec_id AS query_id, label AS q_label,
                         emb AS q_emb, cid
                  FROM ranked
-                 WHERE rn <= {nprobe} AND vec_id % {every} = 0),
+                 WHERE rn <= {nprobe} AND {query_mod_sql(every)}),
       scored AS (SELECT p.query_id, p.q_label, a.vec_id AS neighbor_id,
                         a.label AS neg_label,
                         list_cosine_similarity(p.q_emb, a.emb) AS sim
@@ -3114,7 +3173,7 @@ def duckdb_matryoshka_sql(
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
                  FROM embeddings),
       q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
-            WHERE vec_id % {every} = 0),
+            WHERE {query_mod_sql(every)}),
       pairs AS (SELECT q.query_id, q.q_emb, e.vec_id AS neighbor_id, e.emb
                 FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id),
       sims AS ({sim_selects}),
@@ -3249,7 +3308,7 @@ def duckdb_ndcg_sql(k: int = 10, every: int = 50) -> str:
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label
                  FROM embeddings),
       q AS (SELECT vec_id AS query_id, emb AS q_emb, label AS q_label
-            FROM e WHERE vec_id % {every} = 0),
+            FROM e WHERE {query_mod_sql(every)}),
       sims AS (
         SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id,
                e.label AS n_label,
@@ -3307,6 +3366,8 @@ def ann_nprobe_sweep(
     k: int = 5,
     every: int = 50,
     nprobes: tuple = (1, 2, 4),
+    exact: DataFrame | None = None,
+    cents: list | None = None,
 ) -> DataFrame:
     """IVF nprobe TUNING TABLE: recall@k of the IVF index against the
     exact top-k at each candidate probe width — the knob sweep that
@@ -3321,6 +3382,10 @@ def ann_nprobe_sweep(
     dots bit-equal to the oracle's list arithmetic. Integer counts,
     one division per row; the exact side is lazily checkpointed (it
     feeds every probe width's join — no cross-branch CSE otherwise).
+    ``exact``/``cents`` accept a precomputed brute-force top-k relation
+    and centroid table so a composer (``ann_tradeoff_table``) shares
+    them instead of rebuilding — value-identical, both are
+    deterministic functions of (emb, k, every) / (emb, stride, cap).
 
     Scale: the exact brute force is bounded by the ``every``-strided
     query sample (the recall-monitoring pattern); everything after is
@@ -3329,14 +3394,34 @@ def ann_nprobe_sweep(
 
     from ..functions.text import round_half_up
 
-    exact = cosine_topk(emb, k=k, every=every).localCheckpoint(eager=False)
+    if exact is None:
+        exact = cosine_topk(emb, k=k, every=every).localCheckpoint(
+            eager=False
+        )
+    from ..io import widen
+
+    e0 = _as_double(emb).select("vec_id", "embedding")
+    if cents is None:
+        # one bounded centroid collect shared by every probe width
+        cents = ivf_centroids(e0)
+    # the corpus->cell assignment is a pure function of (emb, cents):
+    # build it ONCE (lazily checkpointed — three probe widths would
+    # otherwise each replay the |corpus| x |cells| argmax)
+    best = _nearest_centroid(cents, "embedding")
+    assigned = (
+        widen(e0, 8)
+        .select("vec_id", "embedding", best["cid"].alias("cid"))
+        .withColumn("nrm", norm(F.col("embedding")))
+        .localCheckpoint(eager=False)
+    )
     consts = exact.agg(
         F.count(F.lit(1)).cast("long").alias("n_exact"),
         F.countDistinct("query_id").cast("long").alias("n_queries"),
     )
     unions = [
         ann_ivf_topk(
-            emb, k=k, every=every, nprobe=p, assign_via="literal"
+            emb, k=k, every=every, nprobe=p, assign_via="literal",
+            cents=cents, assigned=assigned,
         ).select(
             F.lit(int(p)).alias("nprobe"), "query_id", "neighbor_id"
         )
@@ -3377,14 +3462,14 @@ def duckdb_nprobe_sweep_sql(
     branches = "\n UNION ALL ".join(
         f"""SELECT {int(p)} AS nprobe, query_id, neighbor_id
             FROM ({duckdb_ivf_knn_sql(k=k, nprobe=int(p),
-                                      query_filter=f"vec_id % {every} = 0")})"""
+                                      query_filter=query_mod_sql(every))})"""
         for p in nprobes
     )
     plist = ", ".join(str(int(p)) for p in nprobes)
     return f"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
-            WHERE vec_id % {every} = 0),
+            WHERE {query_mod_sql(every)}),
       scored AS (SELECT query_id, e.vec_id AS neighbor_id,
                         list_cosine_similarity(q_emb, emb) AS sim
                  FROM q JOIN e ON e.vec_id <> q.query_id),
@@ -3567,7 +3652,7 @@ def silhouette_eval(
         .join(assign, "vec_id")
         .localCheckpoint(eager=False)
     )
-    samp = codes.where(F.col("vec_id") % every == 0).select(
+    samp = query_subset(codes, every, corpus=emb).select(
         F.col("vec_id").alias("i"),
         F.col("codes").alias("ci"),
         F.col("cluster").alias("gi"),
@@ -3630,6 +3715,7 @@ def ann_bits_sweep(
     bits: tuple = (3, 4, 5, 6),
     n_tables: int = 8,
     seed: int = 42,
+    exact: DataFrame | None = None,
 ) -> DataFrame:
     """LSH bucket-bits TUNING TABLE: recall@k of the multi-table
     sign-LSH index against the exact top-k at each per-table bit width
@@ -3640,11 +3726,18 @@ def ann_bits_sweep(
     higher per-table miss rate, recall decaying roughly like
     (1 - p^b)^L).
 
-    Each width derives its own plane table from the same seed
-    (deterministic literals shared with the oracle), candidates are
+    Every width's planes are PREFIXES of one seed-derived stream
+    (lsh_tables(L, b) = planes[0:L*b] reshaped), so the 64-element
+    plane dots — the hot map stage — are computed ONCE for the widest
+    width as a per-vector sign-bit array (lazily checkpointed); each
+    width's per-table bucket is then an integer slice-and-weigh of
+    those bits, bit-identical to ann_lsh_topk's bucket expression by
+    construction (signs of the same dots, same 2^i weights — pinned
+    against the standalone operator in tests). Candidates are
     OR-amplified across ``n_tables`` tables, and the exact side is one
-    lazily-checkpointed brute-force pass over the bounded query
-    sample. Integer counts, one division per row.
+    lazily-checkpointed brute-force pass over the bounded query sample
+    (shareable via ``exact`` — ann_tradeoff_table passes it in).
+    Integer counts, one division per row.
 
     Scale: sweep cost = |bits| x the bucketed kNN (each bounded by
     bucket collisions, never all-pairs) + ONE exact sampled pass;
@@ -3654,22 +3747,78 @@ def ann_bits_sweep(
 
     from ..functions.text import round_half_up
 
-    exact = cosine_topk(emb, k=k, every=every).localCheckpoint(eager=False)
+    from ..functions.vectors import sql_array_lit, sql_dot
+    from ..io import widen
+
+    if exact is None:
+        exact = cosine_topk(emb, k=k, every=every).localCheckpoint(
+            eager=False
+        )
     consts = exact.agg(
         F.count(F.lit(1)).cast("long").alias("n_exact"),
         F.countDistinct("query_id").cast("long").alias("n_queries"),
     )
-    unions = [
-        ann_lsh_topk(
-            emb,
-            k=k,
-            every=every,
-            n_tables=n_tables,
-            planes_per_table=int(b),
-            seed=seed,
-        ).select(F.lit(int(b)).alias("bits"), "query_id", "neighbor_id")
-        for b in bits
-    ]
+    max_b = max(int(x) for x in bits)
+    planes = _hyperplanes(n_tables * max_b, seed=seed)
+    sbits = F.expr(
+        f"transform({sql_array_lit(planes)}, p -> CASE WHEN "
+        f"{sql_dot('p', 'embedding')} >= 0 THEN 1L ELSE 0L END)"
+    )
+    e = (
+        widen(_as_double(emb).select("vec_id", "embedding"), 8)
+        .withColumn("nrm", norm(F.col("embedding")))
+        .withColumn("sbits", sbits)
+        .localCheckpoint(eager=False)
+    )
+    unions = []
+    for x in bits:
+        width = int(x)
+        wts = (
+            "array(" + ",".join(f"{1 << i}L" for i in range(width)) + ")"
+        )
+        # table t's bucket = sum_i 2^i * sign(planes[t*b + i] . emb):
+        # exactly lsh_tables(L, b)'s layout, read off the shared bits
+        bucket_arr = F.expr(
+            f"transform(sequence(0, {n_tables - 1}), t -> aggregate("
+            f"zip_with(slice(sbits, t * {width} + 1, {width}), {wts},"
+            " (x, w) -> x * w), 0L, (acc, v) -> acc + v))"
+        )
+        indexed = e.select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.posexplode(bucket_arr).alias("table", "bucket"),
+        )
+        q = query_subset(indexed, every, corpus=emb).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            "table",
+            "bucket",
+        )
+        cands = (
+            indexed.join(broadcast(q), on=["table", "bucket"])
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id", "q_emb", "q_nrm", "vec_id", "embedding", "nrm"
+            )
+            .dropDuplicates(["query_id", "vec_id"])
+        )
+        scored = cands.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _sim_from_dot(
+                F.col("q_emb"),
+                F.col("embedding"),
+                F.col("q_nrm"),
+                F.col("nrm"),
+            ).alias("sim"),
+        )
+        unions.append(
+            _topk(scored, k).select(
+                F.lit(width).alias("bits"), "query_id", "neighbor_id"
+            )
+        )
     a = reduce(lambda x, y: x.unionByName(y), unions)
     matched = a.join(
         exact.select("query_id", "neighbor_id"),
@@ -3719,7 +3868,7 @@ def duckdb_bits_sweep_sql(
     return f"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
-            WHERE vec_id % {every} = 0),
+            WHERE {query_mod_sql(every)}),
       scored AS (SELECT query_id, e.vec_id AS neighbor_id,
                         list_cosine_similarity(q_emb, emb) AS sim
                  FROM q JOIN e ON e.vec_id <> q.query_id),
@@ -3830,7 +3979,17 @@ def ann_tradeoff_table(
     cost columns are INTEGER expressions (div) of the exact corpus
     count and the exact centroid-seed count (the same % stride and
     cap the index build uses). Scale: the two sweeps' envelopes,
-    unchanged; the fusion is a constant-row union."""
+    unchanged; the fusion is a constant-row union.
+
+    The EXACT brute-force pass — the most expensive relation either
+    sweep builds — is computed ONCE here (lazily checkpointed, the
+    part_kcore precedent) and fed to both sweeps; both consume the
+    identical deterministic (emb, k, every) relation, so the fusion
+    is bit-identical to the standalone sweeps (pinned in
+    tests/test_round6_ops2.py)."""
+    exact = cosine_topk(emb, k=k, every=every).localCheckpoint(
+        eager=False
+    )
     consts = emb.agg(
         F.count(F.lit(1)).cast("long").alias("n_corpus"),
         F.least(
@@ -3844,7 +4003,8 @@ def ann_tradeoff_table(
     )
     lsh = (
         ann_bits_sweep(
-            emb, k=k, every=every, bits=bits, n_tables=n_tables
+            emb, k=k, every=every, bits=bits, n_tables=n_tables,
+            exact=exact,
         )
         .crossJoin(broadcast(consts))
         .select(
@@ -3868,7 +4028,9 @@ def ann_tradeoff_table(
         )
     )
     ivf = (
-        ann_nprobe_sweep(emb, k=k, every=every, nprobes=nprobes)
+        ann_nprobe_sweep(
+            emb, k=k, every=every, nprobes=nprobes, exact=exact
+        )
         .crossJoin(broadcast(consts))
         .select(
             F.lit("ivf").alias("family"),

@@ -6,7 +6,7 @@ codegen'd built-ins, no UDFs, so they run at scan speed over 100TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -1936,4 +1936,308 @@ def rake_keyphrases(
                 "score"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------
+# round-7 additions: LM-smoothing / lexical-diversity / profile tail
+# --------------------------------------------------------------------
+
+
+def good_turing(docs: DataFrame, n_bands: int = 10) -> DataFrame:
+    """Good–Turing frequency-of-frequencies table over BIGRAM types:
+    for the ``n_bands`` SMALLEST observed frequencies r, the number of
+    bigram types N_r seen exactly r times and the smoothed count
+    r* = (r+1) N_{r+1} / N_r (N_{r+1} = 0 when that band is empty) —
+    the classic answer to "how much probability mass do unseen n-grams
+    deserve?" The lowest row's N_r / N is the unseen-mass estimate
+    every LM-smoothing / vocabulary-cutoff decision reads.
+
+    Bigrams, not unigrams, and rank-selected bands, not a fixed
+    r <= 10: the fixtures' unigram vocabulary is closed (~31 types,
+    every count in the hundreds), so a fixed low-r window would emit
+    ZERO rows — a vacuous pass. The n smallest PRESENT r values keep
+    the table populated at any corpus scale while still centering on
+    the rare-band structure GT smoothing is about.
+
+    Exactness: pure INTEGER counts-of-counts; the band pick is an
+    integer dense ordering; r* is one mirrored division. Scale: one
+    adjacent-pair explode -> |bigram types| rows -> counts-of-counts
+    collapses to <= |distinct r| rows."""
+    from ..functions.text import round_half_up as rh
+
+    toks = docs.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "tok")
+    )
+    big = (
+        toks.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .select(F.col("a.tok").alias("w1"), F.col("b.tok").alias("w2"))
+    )
+    tf = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("r")
+    )
+    cc = tf.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    nxt = cc.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    ranked = cc.withColumn(
+        "band", F.row_number().over(Window.orderBy(F.col("r").asc()))
+    )
+    return (
+        ranked.where(F.col("band") <= n_bands)
+        .join(nxt, "r", "left")
+        .select(
+            "band",
+            "r",
+            "n_r",
+            rh(
+                (F.col("r") + 1).cast("double")
+                * F.coalesce(F.col("n_r1"), F.lit(0)).cast("double")
+                / F.col("n_r").cast("double"),
+                6,
+            ).alias("r_star"),
+        )
+    )
+
+
+def kn_continuation(docs: DataFrame, top_n: int = 20) -> DataFrame:
+    """Kneser–Ney continuation probability for the ``top_n`` most
+    frequent tokens: p_cont(w) = |distinct left contexts of w| /
+    |distinct bigram types| — the insight behind KN smoothing ("San
+    Francisco" makes 'Francisco' frequent but nearly useless as a
+    continuation; raw frequency can't see that, continuation counts
+    can). High-frequency / low-continuation tokens are collocation
+    tails a tokenizer should merge.
+
+    Exactness: integer distinct counts, deterministic top-n pick
+    (frequency desc, token asc), one mirrored division.
+
+    Scale: the bigram set is one adjacent-pair explode (positions via
+    posexplode, join on pos+1 within doc), distinct-collapsed before
+    any counting; output is top_n rows."""
+    from ..functions.text import round_half_up as rh
+
+    toks = docs.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "tok")
+    )
+    big = (
+        toks.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .select(
+            F.col("a.tok").alias("w1"), F.col("b.tok").alias("w2")
+        )
+        .distinct()
+    )
+    total = big.agg(F.count(F.lit(1)).cast("long").alias("n_bigram_types"))
+    cont = big.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cont_types")
+    )
+    tf = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    top = tf.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= top_n
+    )
+    return (
+        top.join(cont, top["tok"] == cont["w2"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "tok",
+            "freq",
+            F.coalesce("cont_types", F.lit(0)).cast("long").alias(
+                "cont_types"
+            ),
+            rh(
+                F.coalesce("cont_types", F.lit(0)).cast("double")
+                / F.col("n_bigram_types").cast("double"),
+                6,
+            ).alias("p_continuation"),
+        )
+    )
+
+
+def simpson_diversity(docs: DataFrame) -> DataFrame:
+    """Gini–Simpson lexical diversity per language: D = 1 - sum_i
+    n_i(n_i-1) / (N(N-1)) over token frequencies — the "probability
+    two random tokens differ" diversity that, unlike TTR, is unbiased
+    by corpus size (``user_diversity`` applies the same index to
+    behavior; this is the corpus-vocabulary member, and ``chao1_vocab``
+    its richness cousin).
+
+    Exactness: pure integer arithmetic (BIGINT pair counts), one
+    mirrored division. Scale: one (lang, token) rollup, then
+    lang-sized."""
+    from ..functions.text import round_half_up as rh
+
+    tf = (
+        docs.select("lang", F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    g = tf.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("types"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("long").alias("pairs"),
+    )
+    return g.where(F.col("nn") >= 2).select(
+        "lang",
+        F.col("nn").alias("tokens"),
+        "types",
+        rh(
+            F.lit(1.0)
+            - F.col("pairs").cast("double")
+            / (F.col("nn") * (F.col("nn") - 1)).cast("double"),
+            6,
+        ).alias("simpson_diversity"),
+    )
+
+
+def readability_scores(docs: DataFrame) -> DataFrame:
+    """Flesch-style readability per language over the corpus: reading
+    ease = 206.835 - 1.015 * (words/doc) - 84.6 * (syllables/word),
+    with SYLLABLES approximated as vowel-group runs ('[aeiouy]+') and
+    the fixture's unpunctuated docs standing in for sentences — the
+    standard quality-screen feature a curation pipeline computes
+    next to stopword/length ratios (absolute values carry the
+    vowel-run convention; COMPARISONS across languages/sources are
+    what the gate consumes).
+
+    Exactness: words and vowel-group counts are exact integers from
+    one regexp pass; the score is one mirrored float expression of
+    BIGINT sums. Scale: map-side counting, lang-sized rollup."""
+    from ..functions.text import round_half_up as rh
+
+    per_doc = docs.select(
+        "lang",
+        T.token_count_ws(F.col("text")).cast("long").alias("words"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[aeiouy]+"), 0
+            )
+        )
+        .cast("long")
+        .alias("syl"),
+    )
+    g = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("words"),
+        F.sum("syl").cast("long").alias("syllables"),
+    )
+    wpd = F.col("words").cast("double") / F.col("n_docs").cast("double")
+    spw = F.col("syllables").cast("double") / F.col("words").cast("double")
+    return g.where(F.col("words") > 0).select(
+        "lang",
+        "n_docs",
+        "words",
+        "syllables",
+        rh(
+            F.lit(206.835) - F.lit(1.015) * wpd - F.lit(84.6) * spw, 6
+        ).alias("flesch"),
+    )
+
+
+def script_profile(docs: DataFrame) -> DataFrame:
+    """Character-class profile per source: fractions of alphabetic,
+    digit, whitespace and other characters — the cheap encoding/
+    garbage screen a crawl pipeline runs before language ID (a source
+    whose 'other' ratio jumps is emitting markup, mojibake, or binary
+    spill; a digit-heavy source is tables, not prose).
+
+    Exactness: counts are exact integers from mirrored
+    regexp_replace-length arithmetic; ratios are single divisions.
+    Scale: map-side char counting, source-sized rollup."""
+    from ..functions.text import round_half_up as rh
+
+    t = F.col("text")
+    total = F.length(t)
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    space = F.length(F.regexp_replace(t, r"\S", ""))
+    per = docs.select(
+        "source",
+        total.cast("long").alias("chars"),
+        alpha.cast("long").alias("alpha"),
+        digit.cast("long").alias("digit"),
+        space.cast("long").alias("space"),
+    )
+    g = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("chars"),
+        F.sum("alpha").cast("long").alias("alpha"),
+        F.sum("digit").cast("long").alias("digit"),
+        F.sum("space").cast("long").alias("space"),
+    )
+    cd = F.col("chars").cast("double")
+    return g.where(F.col("chars") > 0).select(
+        "source",
+        "n_docs",
+        "chars",
+        rh(F.col("alpha").cast("double") / cd, 6).alias("alpha_ratio"),
+        rh(F.col("digit").cast("double") / cd, 6).alias("digit_ratio"),
+        rh(F.col("space").cast("double") / cd, 6).alias("space_ratio"),
+        rh(
+            (
+                F.col("chars")
+                - F.col("alpha")
+                - F.col("digit")
+                - F.col("space")
+            ).cast("double")
+            / cd,
+            6,
+        ).alias("other_ratio"),
+    )
+
+
+def ttr_windows(docs: DataFrame, window: int = 20) -> DataFrame:
+    """Moving-window type-token ratio per language: split each doc's
+    token stream into FULL tumbling windows of ``window`` tokens,
+    TTR = distinct/window per window, report the mean — the
+    length-controlled lexical-diversity measure plain TTR isn't
+    (long docs mechanically depress corpus TTR; fixed windows remove
+    the length confound, the MATTR idea on tumbling windows).
+
+    Exactness: per-window distinct counts are integers; the mean is
+    sum(distinct) / (window * n_windows) — ONE division of exact
+    BIGINTs. Partial trailing windows drop by integer predicate.
+
+    Scale: posexplode + one (doc, window) distinct rollup; output is
+    lang-sized."""
+    from ..functions.text import round_half_up as rh
+
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.posexplode(T.tokens("text")).alias("pos", "tok"),
+    ).withColumn("w", F.expr(f"pos div {window}"))
+    sizes = toks.groupBy("lang", "doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.count_distinct("tok").cast("long").alias("n_types"),
+    )
+    g = (
+        sizes.where(F.col("n_tok") == window)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum("n_types").cast("long").alias("sum_types"),
+        )
+    )
+    return g.select(
+        "lang",
+        "n_windows",
+        rh(
+            F.col("sum_types").cast("double")
+            / (F.col("n_windows") * window).cast("double"),
+            6,
+        ).alias("mean_ttr"),
     )

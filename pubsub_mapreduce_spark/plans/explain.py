@@ -66,11 +66,16 @@ def keyed_shuffle_count(df: DataFrame) -> int:
     a RoundRobinPartitioning exchange purely to spread a single-row-group
     fixture scan across cores — a no-op at scale where scans already
     carry >= cores partitions — so the single-shuffle-per-key contract
-    counts only keyed (hash/range) exchanges."""
+    counts only keyed (hash/range) exchanges. SinglePartition exchanges
+    are likewise excluded: they are the epilogue of a GLOBAL aggregate
+    (one partial-agg row per upstream partition — #partitions rows total,
+    e.g. the one-row corpus count query_subset's sample cap derives), not
+    a data-sized keyed redistribution, and by definition not keyed."""
     plan = explain_str(df)
     headers = re.findall(r"\(\d+\) Exchange\b", plan)
     rr = plan.count("Arguments: RoundRobinPartitioning")
-    return max(0, len(headers) - rr)
+    sp = plan.count("Arguments: SinglePartition")
+    return max(0, len(headers) - rr - sp)
 
 
 def assert_max_shuffles(df: DataFrame, n: int) -> None:

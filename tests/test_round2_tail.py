@@ -638,70 +638,49 @@ def test_ab_health_chi2_and_srm_semantics(spark):
 
 def test_gate_window_ordering_contract():
     """The driver's correctness gate reads the FIRST 50 queries() keys:
-    pin the round-6 window — slots 1-48 are EVERY name never driver-
-    checked through round 5 (8 round-4 leftovers, 15 round-5 additions,
-    25 round-6 additions, registration order), slots 49-50 re-check the
-    two queries reworked this round (entity_match,
-    user_similarity_sparse). Accidental reorderings would silently
+    pin the round-7 window — slots 1-21 are the R7_QUEUE (the late
+    round-6 registrations, the ONLY names never driver-checked through
+    round 6), slots 22+ are this round's new registrations in
+    registration order (R7_NEW). Accidental reorderings would silently
     spend the gate's window on already-green queries."""
     import json
 
     import __spark_entry__ as entrymod
 
     names = list(entrymod.queries())
+    nq = len(entrymod.R7_QUEUE)
+    assert names[:nq] == entrymod.R7_QUEUE
+    fill = entrymod.R7_NEW[: 50 - nq]
+    assert names[nq : nq + len(fill)] == fill
+    # window head must be spent on never-checked names only
     checked = set()
-    for r in (1, 2, 3, 4, 5):
+    for r in (1, 2, 3, 4, 5, 6):
         checked |= set(json.load(open(f"/root/repo/CORRECTNESS_r0{r}.json")))
-    head = names[:50]
-    # slots 1-48: never-driver-checked, in the pinned order
-    assert [n for n in head[:48] if n in checked] == []
-    assert head[:5] == [
-        "runs_test_daily",
-        "asof_prev_click",
-        "semdedup_prune",
-        "lm_bigram_score",
-        "cochran_armitage",
-    ]
-    assert head[38:48] == [
-        "mcnemar_test",
-        "cuped_adjustment",
-        "levene_variance",
-        "ad_twosample",
-        "sprt_ab",
-        "page_hinkley",
-        "chao1_vocab",
-        "heaps_law",
-        "ngram_novelty",
-        "perplexity_buckets",
-    ]
-    assert head[48] == "entity_match"
-    assert head[49] == "user_similarity_sparse"
+    assert [n for n in names[: nq + len(fill)] if n in checked] == []
     # every registered oracle still has a queries() twin
     assert not set(entrymod.oracle_sql()) - set(names)
 
 
 def test_every_registered_query_driver_checked_or_in_window():
-    """Close-the-book bookkeeping (VERDICT r5 #7): every registered
-    query either already carries a driver CORRECTNESS row (rounds 1-5)
-    or sits inside the current 50-slot gate window — so once this
-    round's gate runs, cumulative driver coverage is total. A new
-    registration that never enters a window plan FAILS here: appending
-    a query re-opens the debt and must come with a window rotation."""
+    """Close-the-book bookkeeping (VERDICT r5 #7 / r6 #1): every
+    registered query either already carries a driver CORRECTNESS row
+    (rounds 1-6) or sits inside the current 50-slot gate window — so
+    once this round's gate runs, cumulative driver coverage is total.
+    A new registration that never enters a window plan FAILS here
+    unless it consciously joins R8_QUEUE (= R7_NEW overflow past slot
+    50), which the round-8 window must then head with."""
     import json
 
     import __spark_entry__ as entrymod
 
     names = list(entrymod.queries())
     checked = set()
-    for r in (1, 2, 3, 4, 5):
+    for r in (1, 2, 3, 4, 5, 6):
         checked |= set(json.load(open(f"/root/repo/CORRECTNESS_r0{r}.json")))
     debt = [n for n in names if n not in checked and n not in names[:50]]
-    # Late round-6 registrations consciously re-open the debt: they are
-    # enumerated in R7_QUEUE (registration order) and MUST head the
-    # round-7 gate window. Anything else outside a window is a bug.
-    assert debt == entrymod.R7_QUEUE, (
+    assert debt == entrymod.R8_QUEUE, (
         "registered but neither driver-checked nor in the gate window "
-        f"nor in R7_QUEUE: {sorted(set(debt) ^ set(entrymod.R7_QUEUE))}"
+        f"nor in R8_QUEUE: {sorted(set(debt) ^ set(entrymod.R8_QUEUE))}"
     )
     # and the window is exactly full: the driver reads 50 slots
     assert len(names) >= 50

@@ -12,6 +12,9 @@ from __future__ import annotations
 import datetime as dt
 import math
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
 from pubsub_mapreduce_spark.operators import relational as R
 from pubsub_mapreduce_spark.operators import robust as RB
 
@@ -636,3 +639,283 @@ def test_ann_tradeoff_fuses_both_sweeps(spark):
     ivf1 = out[("ivf", 1)].est_candidates
     assert out[("ivf", 2)].est_candidates == 2 * ivf1
     assert all(r.est_candidates > 0 for r in out.values())
+
+
+def test_bits_sweep_bit_identical_to_standalone_lsh_topk(spark):
+    """VERDICT r7 refactor pin: ann_bits_sweep's shared sign-bit
+    restructure (one plane-dot pass, per-width slice-and-weigh) must
+    reproduce EXACTLY the recall the per-width ann_lsh_topk
+    formulation computes — same candidate sets, same matches."""
+    from pubsub_mapreduce_spark.io import load_tables
+    from pubsub_mapreduce_spark.operators.similarity import (
+        ann_bits_sweep,
+        ann_lsh_topk,
+        cosine_topk,
+    )
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    got = {r.bits: r for r in ann_bits_sweep(emb).collect()}
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, k=5, every=50).collect()
+    }
+    for b in (3, 4, 5, 6):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ann_lsh_topk(
+                emb, k=5, every=50, n_tables=8, planes_per_table=b
+            ).collect()
+        }
+        assert got[b].n_matched == len(approx & exact), f"bits={b}"
+        assert got[b].n_exact == len(exact)
+
+
+def test_nprobe_sweep_bit_identical_to_standalone_ivf_topk(spark):
+    """Same pin for the shared-assignment nprobe sweep vs per-width
+    ann_ivf_topk(assign_via='literal')."""
+    from pubsub_mapreduce_spark.io import load_tables
+    from pubsub_mapreduce_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_nprobe_sweep,
+        cosine_topk,
+    )
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    got = {r.nprobe: r for r in ann_nprobe_sweep(emb).collect()}
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, k=5, every=50).collect()
+    }
+    for p in (1, 2, 4):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ann_ivf_topk(
+                emb, k=5, every=50, nprobe=p, assign_via="literal"
+            ).collect()
+        }
+        assert got[p].n_matched == len(approx & exact), f"nprobe={p}"
+
+
+def test_tradeoff_equals_standalone_sweeps(spark):
+    """The fused table's recall/n_matched columns must equal the
+    standalone sweeps' rows value-for-value (the shared exact pass is
+    a pure deterministic function of (emb, k, every))."""
+    from pubsub_mapreduce_spark.io import load_tables
+    from pubsub_mapreduce_spark.operators.similarity import (
+        ann_bits_sweep,
+        ann_nprobe_sweep,
+        ann_tradeoff_table,
+    )
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    fused = {
+        (r.family, r.knob): (r.n_queries, r.recall)
+        for r in ann_tradeoff_table(emb).collect()
+    }
+    for r in ann_bits_sweep(emb).collect():
+        assert fused[("lsh", r.bits)] == (r.n_queries, r.recall)
+    for r in ann_nprobe_sweep(emb).collect():
+        assert fused[("ivf", r.nprobe)] == (r.n_queries, r.recall)
+
+
+# ---- VERDICT r6 ask #4: literal-reference pins for the last unpinned
+# round-6 statistics ---------------------------------------------------
+
+
+def _theil_reference(assignments):
+    """Literal Python recomputation of theil_index's defined semantics:
+    BIGINT cents, nano-quantized per-member within terms, round_half_up
+    outputs. ``assignments``: list of (custkey, nationkey, price)."""
+    import collections
+
+    def nano(x):
+        return math.floor(x * 1e9 + 0.5)
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    per_cust = collections.defaultdict(int)
+    nation = {}
+    for ck, nk, price in assignments:
+        per_cust[ck] += round(price * 100)
+        nation[ck] = nk
+    members = collections.defaultdict(list)
+    for ck, cents in per_cust.items():
+        if cents > 0:
+            members[nation[ck]].append(cents)
+    nn = sum(len(v) for v in members.values())
+    yy = sum(sum(v) for v in members.values())
+    out = {}
+    for nk, ys in members.items():
+        n_g, y_g = len(ys), sum(ys)
+        micro = sum(
+            nano((y / y_g) * math.log(n_g * y / y_g)) for y in ys
+        )
+        s = y_g / yy
+        out[nk] = {
+            "n": n_g,
+            "spend_cents": y_g,
+            "s_share": r6(s),
+            "t_within": r6(micro / 1e9),
+            "t_between_term": r6(s * math.log(y_g * nn / (yy * n_g))),
+        }
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    spends=st.lists(
+        st.tuples(
+            st.integers(1, 8),  # custkey (nation = custkey % 3)
+            st.integers(1, 40000),  # price in cents
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_theil_index_matches_literal_reference(spark, spends):
+    rows = [(ck, f"c{ck}", ck % 3, 0.0, "S") for ck in range(1, 9)]
+    cust = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    orders = _orders(
+        spark,
+        [
+            (i, ck, "O", cents / 100.0, D(2024, 3, 1), "1")
+            for i, (ck, cents) in enumerate(spends)
+        ],
+    )
+    got = {
+        r.nationkey: r
+        for r in RB.theil_index(
+            {"customer": cust, "orders": orders}
+        ).collect()
+    }
+    want = _theil_reference(
+        [(ck, ck % 3, cents / 100.0) for ck, cents in spends]
+    )
+    assert set(got) == set(want)
+    for nk, w in want.items():
+        g = got[nk]
+        assert g.n == w["n"] and g.spend_cents == w["spend_cents"]
+        assert g.s_share == w["s_share"]
+        assert g.t_within == w["t_within"]
+        assert g.t_between_term == w["t_between_term"]
+
+
+def test_silhouette_matches_literal_reference(spark):
+    """Value pin (not directional): collect the SAME int8 codes +
+    cluster assignment the operator consumes, recompute a/b/s with
+    plain Python ints/floats from the docstring's formulas, compare
+    every emitted value."""
+    from pubsub_mapreduce_spark.operators.similarity import (
+        _int8_codes,
+        kmeans_assign,
+        silhouette_eval,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (
+                i,
+                [
+                    float(((i * 7 + j * 13) % 11) - 5) / 3.0
+                    for j in range(8)
+                ],
+            )
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    k, iters, seed_every, every = 3, 2, 7, 4
+    assign = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(
+            emb, k=k, iters=iters, seed_every=seed_every
+        ).collect()
+    }
+    codes = {r.vec_id: list(r.codes) for r in _int8_codes(emb).collect()}
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    want = {}
+    sample = [i for i in codes if i % every == 0]
+    clusters = set(assign.values())
+    for i in sample:
+        sums = {g: [0, 0] for g in clusters}
+        for j, cj in codes.items():
+            if j == i:
+                continue
+            g = assign[j]
+            sums[g][0] += d2(codes[i], cj)
+            sums[g][1] += 1
+        own = sums[assign[i]]
+        if own[1] == 0:
+            continue  # no other member: silhouette undefined
+        a_mean = own[0] / own[1]
+        others = [
+            s / c for g, (s, c) in sums.items()
+            if g != assign[i] and c > 0
+        ]
+        if not others:
+            continue
+        b_mean = min(others)
+        s = (
+            (b_mean - a_mean) / max(a_mean, b_mean)
+            if max(a_mean, b_mean) > 0
+            else 0.0
+        )
+        want[i] = (r6(a_mean), r6(b_mean), r6(s))
+    got = {
+        r.vec_id: (r.a_mean, r.b_mean, r.s)
+        for r in silhouette_eval(
+            emb, k=k, iters=iters, seed_every=seed_every, every=every
+        ).collect()
+    }
+    assert got == want and len(want) > 5
+
+
+def test_ann_tradeoff_cost_columns_literal(spark):
+    """The analytic est_candidates columns against a plain-Python
+    recomputation of n_tables*N // 2^bits and nprobe*N // n_cells on a
+    synthetic corpus whose vec_ids are NOT dense (so n_cells really is
+    the count of stride-hitting ids, not N/100)."""
+    from pubsub_mapreduce_spark.operators.similarity import (
+        ann_tradeoff_table,
+    )
+
+    n = 120
+    ids = [3 * i for i in range(n)]  # 0..357: ids % 100 == 0 -> {0, 300}
+    emb = spark.createDataFrame(
+        [
+            (
+                i,
+                [
+                    float(((i * 5 + j * 17) % 13) - 6) / 4.0
+                    for j in range(64)
+                ],
+            )
+            for i in ids
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    n_cells = min(512, sum(1 for i in ids if i % 100 == 0))
+    assert n_cells == 2
+    out = {
+        (r.family, r.knob): r.est_candidates
+        for r in ann_tradeoff_table(emb).collect()
+    }
+    for b in (3, 4, 5, 6):
+        assert out[("lsh", b)] == 8 * n // (2**b), f"bits={b}"
+    for p in (1, 2, 4):
+        assert out[("ivf", p)] == p * n // n_cells, f"nprobe={p}"

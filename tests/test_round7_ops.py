@@ -1,0 +1,349 @@
+"""Round-7 operator pins: classical-test tail (Bartlett, Grubbs, ANOVA,
+MI/G-test), control charts (EWMA), long-memory (Hurst R/S), inequality
+(Lorenz deciles, Atkinson).
+
+Each pins the operator against a hand-computed or literal-Python
+reference on planted inputs — the oracle sweep proves cross-engine
+equality; these prove the VALUE is the textbook one."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pubsub_mapreduce_spark.operators import robust as RB
+
+D = dt.datetime
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+
+
+def _r6(x):
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def test_bartlett_hand_computed(spark):
+    # group a: [1, 3] -> s2 = 2; group b: [2, 2, 8] -> s2 = 12
+    # (prices in dollars -> cents: 100,300 / 200,200,800)
+    rows = [
+        (1, 1, "O", 1.0, D(2024, 1, 1), "a"),
+        (2, 1, "O", 3.0, D(2024, 1, 1), "a"),
+        (3, 1, "O", 2.0, D(2024, 1, 1), "b"),
+        (4, 1, "O", 2.0, D(2024, 1, 1), "b"),
+        (5, 1, "O", 8.0, D(2024, 1, 1), "b"),
+    ]
+    out = RB.bartlett_test(_orders(spark, rows)).collect()[0]
+    s2a, s2b = 20000.0, 120000.0  # cents^2
+    nn, k = 5, 2
+    s2p = (1 * s2a + 2 * s2b) / (nn - k)
+    ln_sum = 1 * math.log(s2a) + 2 * math.log(s2b)
+    inv_sum = 1.0 / 1 + 1.0 / 2
+    c = 1.0 + (inv_sum - 1.0 / (nn - k)) / (3.0 * (k - 1))
+    t = (nn - k) * math.log(s2p) - ln_sum
+    assert out.n == 5 and out.n_groups == 2
+    assert out.pooled_var_usd2 == math.floor(s2p / 1e4 * 100 + 0.5) / 100
+    assert out.c_factor == _r6(c)
+    assert out.chi2 == _r6(t / c)
+
+
+def test_grubbs_planted_outlier(spark):
+    # type 'a' daily counts: [2, 2, 2, 10] -> worst day is the 10
+    rows = []
+    eid = 0
+    for day, cnt in [(1, 2), (2, 2), (3, 2), (4, 10)]:
+        for _ in range(cnt):
+            rows.append((eid, D(2024, 1, day), 1, "a", 0.0))
+            eid += 1
+    out = RB.grubbs_outlier(_events(spark, rows)).collect()[0]
+    xs = [2, 2, 2, 10]
+    n, s = 4, 16
+    mean = s / n
+    sd = math.sqrt(sum((x - mean) ** 2 for x in xs) / (n - 1))
+    assert out.worst_day == "2024-01-04" and out.cnt == 10
+    assert out.grubbs_g == _r6((10 - mean) / sd)
+
+
+def test_anova_hand_computed(spark):
+    # groups (cents): a=[100, 300], b=[500, 700] -> ssb/ssw by hand
+    rows = [
+        (1, 1, "O", 1.0, D(2024, 1, 1), "a"),
+        (2, 1, "O", 3.0, D(2024, 1, 1), "a"),
+        (3, 1, "O", 5.0, D(2024, 1, 1), "b"),
+        (4, 1, "O", 7.0, D(2024, 1, 1), "b"),
+    ]
+    out = RB.anova_oneway(_orders(spark, rows)).collect()[0]
+    xs = {"a": [100, 300], "b": [500, 700]}
+    allx = [x for v in xs.values() for x in v]
+    gm = sum(allx) / len(allx)
+    ssb = sum(len(v) * (sum(v) / len(v) - gm) ** 2 for v in xs.values())
+    ssw = sum(
+        (x - sum(v) / len(v)) ** 2 for v in xs.values() for x in v
+    )
+    f = (ssb / 1) / (ssw / 2)
+    assert out.n == 4 and out.n_groups == 2
+    assert out.ms_between_usd2 == math.floor(
+        ssb / 1 / 1e4 * 100 + 0.5
+    ) / 100
+    assert out.ms_within_usd2 == math.floor(
+        ssw / 2 / 1e4 * 100 + 0.5
+    ) / 100
+    assert out.f_stat == _r6(f)
+
+
+def test_mi_independent_is_zero_and_g_equals_2n_mi(spark):
+    # perfectly independent 2x2: each (type, dow) cell = 5 -> MI = 0
+    rows = []
+    eid = 0
+    for t in ("a", "b"):
+        for day in (1, 2):  # Mon & Tue
+            for _ in range(5):
+                rows.append((eid, D(2024, 1, day), 1, t, 0.0))
+                eid += 1
+    df = _events(spark, rows)
+    mi = RB.mutual_information(df).collect()[0]
+    g = RB.g_test(df).collect()[0]
+    assert mi.mi == 0.0 and mi.nmi == 0.0
+    assert mi.h_type == _r6(math.log(2)) and mi.h_dow == _r6(math.log(2))
+    assert g.g_stat == 0.0 and g.df == 1
+    # dependent table: a only Mon, b only Tue -> MI = ln 2, G = 2N ln 2
+    rows2 = []
+    eid = 0
+    for _ in range(6):
+        rows2.append((eid, D(2024, 1, 1), 1, "a", 0.0)); eid += 1
+        rows2.append((eid, D(2024, 1, 2), 1, "b", 0.0)); eid += 1
+    df2 = _events(spark, rows2)
+    mi2 = RB.mutual_information(df2).collect()[0]
+    g2 = RB.g_test(df2).collect()[0]
+    assert mi2.mi == _r6(math.log(2)) and mi2.nmi == 1.0
+    assert g2.g_stat == _r6(2 * 12 * math.log(2))
+
+
+def test_ewma_recursion_and_breach(spark):
+    # counts [10, 10, 10, 50]: z = 10, 10, 10, 22; the spike day
+    # breaches the 3-sigma EWMA band
+    rows = []
+    eid = 0
+    for day, cnt in [(1, 10), (2, 10), (3, 10), (4, 50)]:
+        for _ in range(cnt):
+            rows.append((eid, D(2024, 2, day), 1, "a", 0.0))
+            eid += 1
+    out = {
+        r.day: r for r in RB.ewma_control(_events(spark, rows)).collect()
+    }
+    xs = [10.0, 10.0, 10.0, 50.0]
+    z = xs[0]
+    zs = [z]
+    for x in xs[1:]:
+        z = 0.3 * x + 0.7 * z
+        zs.append(z)
+    for i, day in enumerate(
+        ["2024-02-01", "2024-02-02", "2024-02-03", "2024-02-04"]
+    ):
+        assert out[day].ewma == _r6(zs[i])
+    mean = sum(xs) / 4
+    sd = math.sqrt(sum((x - mean) ** 2 for x in xs) / 3)
+    lim = 3 * sd * math.sqrt(0.3 / 1.7)
+    assert out["2024-02-04"].breach == (
+        1 if abs(zs[3] - mean) > lim else 0
+    )
+    assert out["2024-02-01"].breach == 0
+
+
+def test_hurst_literal_reference(spark):
+    # 64 days of a deterministic wiggle: recompute R/S and the slope
+    # with plain Python from the operator's defined arithmetic
+    vals = [((i * 37) % 19) + 1 for i in range(64)]  # dollars
+    rows = [
+        (i, 1, "O", float(vals[i]), D(2024, 1, 1) + dt.timedelta(days=i), "1")
+        for i in range(64)
+    ]
+    out = RB.hurst_rs(_orders(spark, rows)).collect()[0]
+    cents = [v * 100 for v in vals]
+
+    def mean_rs(w):
+        qs = []
+        for start in range(0, 64 - w + 1, w):
+            win = cents[start : start + w]
+            if len(win) < w:
+                continue
+            n, s = len(win), sum(win)
+            q = sum(x * x for x in win)
+            if n * q - s * s <= 0:
+                continue
+            cum, adjs = 0, []
+            for t, x in enumerate(win):
+                cum += x
+                adjs.append(n * cum - (t + 1) * s)
+            rs = (max(adjs) - min(adjs)) / math.sqrt(n * q - s * s)
+            qs.append(math.floor(rs * 1e9 + 0.5))
+        return sum(qs) / (len(qs) * 1e9)
+
+    ms = {w: mean_rs(w) for w in (8, 16, 32)}
+    assert out.rs8 == _r6(ms[8])
+    assert out.rs16 == _r6(ms[16])
+    assert out.rs32 == _r6(ms[32])
+    xs = [math.log(w) for w in (8, 16, 32)]
+    ys = [math.log(ms[w]) for w in (8, 16, 32)]
+    n = 3
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sx2 = sum(a * a for a in xs)
+    assert out.hurst == _r6((n * sxy - sx * sy) / (n * sx2 - sx * sx))
+
+
+def test_lorenz_deciles_hand(spark):
+    # 10 customers spending 1..10 dollars: decile i holds customer i,
+    # share i/55, cum share = tri(i)/55
+    rows = [
+        (i, i, "O", float(i), D(2024, 1, 1), "1") for i in range(1, 11)
+    ]
+    out = {
+        r.decile: r
+        for r in RB.lorenz_deciles(
+            {"orders": _orders(spark, rows)}
+        ).collect()
+    }
+    assert len(out) == 10
+    for i in range(1, 11):
+        assert out[i].n_customers == 1
+        assert out[i].spend_cents == i * 100
+        assert out[i].share == _r6(i / 55)
+        assert out[i].cum_share == _r6(i * (i + 1) / 2 / 55)
+
+
+def test_atkinson_equal_is_zero_and_two_member(spark):
+    cust = spark.createDataFrame(
+        [(1, "a", 0, 0.0, "S"), (2, "b", 0, 0.0, "S"),
+         (3, "c", 1, 0.0, "S"), (4, "d", 1, 0.0, "S")],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    rows = [
+        (1, 1, "O", 5.0, D(2024, 1, 1), "1"),
+        (2, 2, "O", 5.0, D(2024, 1, 1), "1"),
+        (3, 3, "O", 1.0, D(2024, 1, 1), "1"),
+        (4, 4, "O", 4.0, D(2024, 1, 1), "1"),
+    ]
+    out = {
+        r.nationkey: r
+        for r in RB.atkinson_index(
+            {"customer": cust, "orders": _orders(spark, rows)}
+        ).collect()
+    }
+    assert out[0].atkinson == 0.0  # equal spends -> no inequality
+
+    def nano(x):
+        return math.floor(x * 1e9 + 0.5)
+
+    ln_sum = nano(math.log(100)) + nano(math.log(400))
+    geo = math.exp(ln_sum / (2 * 1e9))
+    assert out[1].geo_mean_cents == math.floor(geo * 100 + 0.5) / 100
+    assert out[1].atkinson == _r6(1.0 - geo / 250.0)
+
+
+# ---- batch 2: text/LM operators --------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars int"
+    )
+
+
+def test_good_turing_hand_computed(spark):
+    # bigrams: "a b" x3, "b a" x2, "a c" x1  (from "a b a b a b" etc.)
+    from pubsub_mapreduce_spark.operators.textops import good_turing
+
+    rows = [
+        (1, "a b", "en", "s", 3),
+        (2, "a b", "en", "s", 3),
+        (3, "a b", "en", "s", 3),
+        (4, "b a", "en", "s", 3),
+        (5, "b a", "en", "s", 3),
+        (6, "a c", "en", "s", 3),
+    ]
+    out = {r.r: r for r in good_turing(_docs(spark, rows)).collect()}
+    # N_1 = 1 (a c), N_2 = 1 (b a), N_3 = 1 (a b)
+    assert out[1].n_r == 1 and out[2].n_r == 1 and out[3].n_r == 1
+    assert out[1].r_star == 2.0  # (1+1)*N_2/N_1
+    assert out[2].r_star == 3.0
+    assert out[3].r_star == 0.0  # N_4 empty
+    assert [out[r].band for r in (1, 2, 3)] == [1, 2, 3]
+
+
+def test_kn_continuation_san_francisco(spark):
+    # 'francisco' is frequent but only ever follows 'san': continuation
+    # types = 1; 'the' follows many distinct words.
+    from pubsub_mapreduce_spark.operators.textops import kn_continuation
+
+    rows = [
+        (1, "san francisco san francisco san francisco", "en", "s", 1),
+        (2, "cat the dog the bird the fish the", "en", "s", 1),
+    ]
+    out = {
+        r.tok: r
+        for r in kn_continuation(_docs(spark, rows), top_n=10).collect()
+    }
+    assert out["francisco"].cont_types == 1
+    assert out["the"].cont_types == 4
+    # distinct bigram types: (san,francisco),(francisco,san),
+    # (cat,the),(the,dog),(dog,the),(the,bird),(bird,the),(the,fish),
+    # (fish,the) = 9
+    assert out["the"].p_continuation == math.floor(4 / 9 * 1e6 + 0.5) / 1e6
+
+
+def test_simpson_and_ttr_hand(spark):
+    from pubsub_mapreduce_spark.operators.textops import (
+        simpson_diversity,
+        ttr_windows,
+    )
+
+    # lang en: tokens a a b -> D = 1 - (2*1)/(3*2) = 2/3
+    rows = [(1, "a a b", "en", "s", 5)]
+    out = simpson_diversity(_docs(spark, rows)).collect()[0]
+    assert out.tokens == 3 and out.types == 2
+    assert out.simpson_diversity == math.floor(2 / 3 * 1e6 + 0.5) / 1e6
+    # ttr: one full 20-token window with 5 distinct -> 0.25; the
+    # 3-token remainder window drops
+    text = " ".join(["t%d" % (i % 5) for i in range(23)])
+    out2 = ttr_windows(_docs(spark, [(1, text, "en", "s", 1)])).collect()
+    assert len(out2) == 1
+    assert out2[0].n_windows == 1 and out2[0].mean_ttr == 0.25
+
+
+def test_readability_and_script_profile_hand(spark):
+    from pubsub_mapreduce_spark.operators.textops import (
+        readability_scores,
+        script_profile,
+    )
+
+    # "hello world": 2 words; vowel groups: e,o / o -> 3 syllables
+    rows = [(1, "hello world", "en", "s", 11)]
+    out = readability_scores(_docs(spark, rows)).collect()[0]
+    assert out.words == 2 and out.syllables == 3
+    want = 206.835 - 1.015 * 2.0 - 84.6 * 1.5
+    assert out.flesch == math.floor(want * 1e6 + 0.5) / 1e6
+    # "ab 12 !": 7 chars, 2 alpha, 2 digit, 2 space, 1 other
+    sp = script_profile(_docs(spark, [(1, "ab 12 !", "en", "s0", 7)]))
+    r = sp.collect()[0]
+    assert r.chars == 7
+    assert r.alpha_ratio == math.floor(2 / 7 * 1e6 + 0.5) / 1e6
+    assert r.digit_ratio == math.floor(2 / 7 * 1e6 + 0.5) / 1e6
+    assert r.space_ratio == math.floor(2 / 7 * 1e6 + 0.5) / 1e6
+    assert r.other_ratio == math.floor(1 / 7 * 1e6 + 0.5) / 1e6
