@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pubsub_mapreduce_spark.io import load_tables
 from pubsub_mapreduce_spark.operators import (
     dedup,
+    graph as G,
     multimodal,
     pipeline as P,
     rangejoin as RJ,
@@ -3131,6 +3132,106 @@ def q_ttr_windows(spark, sf_dir):
     return TX.ttr_windows(load_tables(spark, sf_dir)["documents"])
 
 
+def q_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative churn hazard per event type
+    (robust.nelson_aalen): survival_km's additive companion — BIGINT
+    risk sets, day-ordered prefix folds for H and Klein's variance."""
+    return RB.nelson_aalen(load_tables(spark, sf_dir)["events"])
+
+
+def q_gehan_wilcoxon(spark, sf_dir):
+    """Gehan-Breslow-Wilcoxon early-weighted survival test per group
+    pair (robust.gehan_wilcoxon): logrank's hypergeometric terms with
+    at-risk-count weights, day-ordered folds."""
+    return RB.gehan_wilcoxon(load_tables(spark, sf_dir)["events"])
+
+
+def q_auc_scores(spark, sf_dir):
+    """Exact tie-corrected ROC AUC of the coordinate-sum projection
+    predicting label==1 (robust.auc_scores): BIGINT rank-sum on the
+    micro-quantized score spine."""
+    return RB.auc_scores(load_tables(spark, sf_dir)["embeddings"])
+
+
+def q_pr_auc(spark, sf_dir):
+    """Average precision of the same projection score (robust.pr_auc):
+    BIGINT threshold cumulatives, score-desc ordered fold."""
+    return RB.pr_auc(load_tables(spark, sf_dir)["embeddings"])
+
+
+def q_equalized_odds(spark, sf_dir):
+    """Equalized-odds audit per customer nation (robust.
+    equalized_odds): TPR/FPR of the acctbal>=5000 classifier against
+    the heavy-user outcome, signed gaps to the global rates."""
+    return RB.equalized_odds(load_tables(spark, sf_dir))
+
+
+def q_lang_id_f1(spark, sf_dir):
+    """Precision/recall/F1 of heuristic language-ID as a binary
+    is-English classifier (textops.lang_id_f1), per class + macro row
+    of micro-quantized F1s."""
+    return TX.lang_id_f1(load_tables(spark, sf_dir)["documents"])
+
+
+def q_neighbor_jaccard(spark, sf_dir):
+    """Hub-capped neighborhood Jaccard over the co-purchase graph
+    (graph.neighbor_jaccard): integer jac_micro ranking on the
+    adamic_adar pair envelope."""
+    t = load_tables(spark, sf_dir)
+    return G.neighbor_jaccard(G.copurchase_edges(t["lineitem"]))
+
+
+def q_degree_assortativity(spark, sf_dir):
+    """Newman degree assortativity of the co-purchase graph
+    (graph.degree_assortativity): DECIMAL moments over ordered edge
+    incidences, r_plus1 output."""
+    t = load_tables(spark, sf_dir)
+    return G.degree_assortativity(G.copurchase_edges(t["lineitem"]))
+
+
+def q_hits_scores(spark, sf_dir):
+    """Two-iteration all-integer HITS authorities over the
+    customer-part purchase bipartite graph (graph.hits_scores):
+    top-20 parts, one final normalization."""
+    t = load_tables(spark, sf_dir)
+    return G.hits_scores(t["orders"], t["lineitem"])
+
+
+def q_emb_outliers(spark, sf_dir):
+    """Top-20 vectors farthest from the corpus centroid
+    (similarity.emb_outliers): micro-quantized coordinates, BIGINT
+    centroid sums, dim-ordered distance folds."""
+    return S.emb_outliers(load_tables(spark, sf_dir)["embeddings"])
+
+
+def q_ann_k_sweep(spark, sf_dir):
+    """Recall@k curve of the LSH index for k in (1,5,10,20)
+    (similarity.ann_k_sweep): one max-k index pass + one bounded
+    exact pass, rank-prefix counting."""
+    return S.ann_k_sweep(load_tables(spark, sf_dir)["embeddings"])
+
+
+def q_ts_downsample_minmax(spark, sf_dir):
+    """M4 min/max downsample of daily revenue into 50 buckets
+    (robust.ts_downsample_minmax): integer bucket ids,
+    first/last/min/max cents per bucket."""
+    return RB.ts_downsample_minmax(load_tables(spark, sf_dir)["orders"])
+
+
+def q_croston_forecast(spark, sf_dir):
+    """Croston intermittent-demand forecast per event type
+    (robust.croston_forecast): zero-filled calendar, day-ordered
+    demand/interval EWMA folds, one mirrored division."""
+    return RB.croston_forecast(load_tables(spark, sf_dir)["events"])
+
+
+def q_order_reconciliation(spark, sf_dir):
+    """Order-vs-lineitem ledger reconciliation buckets
+    (relational.order_reconciliation): mirrored per-line cents floor,
+    BIGINT diffs, share per bucket."""
+    return R.order_reconciliation(load_tables(spark, sf_dir))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3163,6 +3264,11 @@ R7_NEW: list[str] = [
     "lorenz_deciles", "atkinson_index",
     "good_turing", "kn_continuation", "simpson_diversity",
     "readability_scores", "script_profile", "ttr_windows",
+    "nelson_aalen", "gehan_wilcoxon", "auc_scores", "pr_auc",
+    "equalized_odds", "lang_id_f1",
+    "neighbor_jaccard", "degree_assortativity", "hits_scores",
+    "emb_outliers", "ann_k_sweep", "ts_downsample_minmax",
+    "croston_forecast", "order_reconciliation",
 ]
 
 R8_QUEUE = R7_NEW[29:]
@@ -3482,6 +3588,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_scores": q_readability_scores,
         "script_profile": q_script_profile,
         "ttr_windows": q_ttr_windows,
+        "nelson_aalen": q_nelson_aalen,
+        "gehan_wilcoxon": q_gehan_wilcoxon,
+        "auc_scores": q_auc_scores,
+        "pr_auc": q_pr_auc,
+        "equalized_odds": q_equalized_odds,
+        "lang_id_f1": q_lang_id_f1,
+        "neighbor_jaccard": q_neighbor_jaccard,
+        "degree_assortativity": q_degree_assortativity,
+        "hits_scores": q_hits_scores,
+        "emb_outliers": q_emb_outliers,
+        "ann_k_sweep": q_ann_k_sweep,
+        "ts_downsample_minmax": q_ts_downsample_minmax,
+        "croston_forecast": q_croston_forecast,
+        "order_reconciliation": q_order_reconciliation,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -11885,5 +12005,472 @@ def oracle_sql() -> dict[str, str]:
                 / CAST(n_windows * 20 AS DOUBLE) * 1e6 + 0.5) / 1e6
               AS mean_ttr
         FROM g
+    """
+
+    out["nelson_aalen"] = """
+        WITH d0 AS (
+          SELECT event_type, user_id, CAST(ts AS DATE) AS day
+          FROM events),
+        ul AS (
+          SELECT event_type, user_id, min(day) AS f, max(day) AS l
+          FROM d0 GROUP BY 1, 2),
+        mx AS (SELECT max(day) AS maxday FROM d0),
+        starts AS (
+          SELECT event_type, f AS day, count(*) AS s
+          FROM ul GROUP BY 1, 2),
+        churns AS (
+          SELECT event_type, l AS day, count(*) AS d
+          FROM ul, mx WHERE l < maxday GROUP BY 1, 2),
+        spine AS (
+          SELECT event_type, day,
+                 coalesce(s, 0) AS s, coalesce(d, 0) AS d
+          FROM (SELECT event_type, day FROM starts
+                UNION
+                SELECT event_type, day FROM churns) u
+          LEFT JOIN starts USING (event_type, day)
+          LEFT JOIN churns USING (event_type, day)),
+        n0 AS (
+          SELECT event_type, day, d,
+                 CAST(sum(s) OVER (PARTITION BY event_type
+                        ORDER BY day ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW)
+                      - coalesce(sum(d) OVER (PARTITION BY
+                        event_type ORDER BY day ROWS BETWEEN
+                        UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS n
+          FROM spine),
+        steps AS (
+          SELECT event_type, day, n, CAST(d AS BIGINT) AS d
+          FROM n0 WHERE d > 0),
+        arr AS (
+          SELECT event_type,
+                 list(struct_pack(day := day, n := n, d := d)
+                      ORDER BY day) AS l
+          FROM steps GROUP BY 1),
+        ex AS (
+          SELECT event_type, l[i] AS x,
+                 list_reduce(list_prepend(0.0,
+                   list_transform(l[1:i],
+                     y -> CAST(y.d AS DOUBLE) / CAST(y.n AS DOUBLE))),
+                   (a, b) -> a + b) AS haz,
+                 list_reduce(list_prepend(0.0,
+                   list_transform(l[1:i],
+                     y -> CAST(y.d AS DOUBLE)
+                          / (CAST(y.n AS DOUBLE)
+                             * CAST(y.n AS DOUBLE)))),
+                   (a, b) -> a + b) AS var
+          FROM arr,
+               LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) _)
+        SELECT event_type, strftime(x.day, '%Y-%m-%d') AS day,
+               x.n AS n_risk, x.d AS n_churn,
+               floor(haz * 1e6 + 0.5) / 1e6 AS cum_hazard,
+               floor(var * 1e6 + 0.5) / 1e6 AS hazard_var
+        FROM ex
+    """
+    out["gehan_wilcoxon"] = """
+        WITH d0 AS (SELECT event_type AS g, user_id,
+                           CAST(ts AS DATE) AS day FROM events
+                    WHERE ts IS NOT NULL),
+        ul AS (SELECT g, user_id, min(day) AS f, max(day) AS l
+               FROM d0 GROUP BY 1, 2),
+        bounds AS (SELECT min(f) AS mn, max(l) AS mx FROM ul),
+        sparse AS (
+          SELECT g, day, CAST(sum(s) AS BIGINT) AS s,
+                 CAST(sum(d) AS BIGINT) AS d
+          FROM (
+            SELECT g, f AS day, 1 AS s, 0 AS d FROM ul
+            UNION ALL
+            SELECT g, l, 0,
+                   CASE WHEN l < (SELECT mx FROM bounds)
+                        THEN 1 ELSE 0 END
+            FROM ul)
+          GROUP BY 1, 2),
+        cal AS (
+          SELECT gg.g,
+                 CAST(unnest(generate_series(CAST(b.mn AS TIMESTAMP),
+                        CAST(b.mx AS TIMESTAMP),
+                        INTERVAL 1 DAY)) AS DATE) AS day
+          FROM (SELECT DISTINCT g FROM sparse) gg CROSS JOIN bounds b),
+        f AS (SELECT cal.g, cal.day, COALESCE(sp.s, 0) AS s,
+                     COALESCE(sp.d, 0) AS d
+              FROM cal LEFT JOIN sparse sp
+                ON sp.g = cal.g AND sp.day = cal.day),
+        nd AS (SELECT g, day, d,
+                      sum(s) OVER (PARTITION BY g ORDER BY day)
+                      - COALESCE(sum(d) OVER (PARTITION BY g ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS n
+               FROM f),
+        p AS (SELECT a.g AS g1, b.g AS g2, a.day,
+                     a.n AS n1, a.d AS d1, b.n AS n2, b.d AS d2
+              FROM nd a JOIN nd b ON a.day = b.day AND a.g < b.g),
+        t AS (SELECT g1, g2, day, d1, d2,
+                     CAST(n1 + n2 AS DOUBLE)
+                     * (CAST(d1 AS DOUBLE)
+                        - ((d1 + d2) * n1) * 1.0 / (n1 + n2)) AS w_term,
+                     CAST((n1 + n2) * (n1 + n2) AS DOUBLE)
+                     * (((d1 + d2) * n1 * n2
+                         * ((n1 + n2) - (d1 + d2))) * 1.0
+                        / ((n1 + n2) * (n1 + n2) * ((n1 + n2) - 1)))
+                       AS v_term
+              FROM p
+              WHERE d1 + d2 > 0 AND n1 + n2 >= 2),
+        fd AS (SELECT g1, g2,
+                      CAST(sum(d1) AS BIGINT) AS o1,
+                      CAST(sum(d2) AS BIGINT) AS o2,
+                      list_reduce(list_prepend(0.0,
+                        list(w_term ORDER BY day)),
+                        (a, b) -> a + b) AS w_stat,
+                      list_reduce(list_prepend(0.0,
+                        list(v_term ORDER BY day)),
+                        (a, b) -> a + b) AS v_w
+               FROM t GROUP BY 1, 2)
+        SELECT g1, g2, o1, o2,
+               floor(w_stat * 1e6 + 0.5) / 1e6 AS w_stat,
+               floor(v_w * 1e6 + 0.5) / 1e6 AS v_w,
+               floor((w_stat * w_stat) / v_w * 1e6 + 0.5) / 1e6 AS chi2,
+               (w_stat * w_stat) / v_w > 3.841 AS significant
+        FROM fd WHERE v_w > 0
+    """
+    out["auc_scores"] = """
+        WITH scored AS (
+          SELECT CAST(floor(list_reduce(list_prepend(0.0,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                   (a, b) -> a + b) * 1e6 + 0.5) AS BIGINT) AS v,
+                 CASE WHEN label = 1 THEN 1 ELSE 0 END AS pos
+          FROM embeddings),
+        gv AS (SELECT v, CAST(sum(pos) AS BIGINT) AS pc,
+                      CAST(sum(1 - pos) AS BIGINT) AS nc
+               FROM scored GROUP BY 1),
+        cum AS (SELECT *,
+                       COALESCE(sum(nc) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS neg_below
+                FROM gv),
+        u AS (SELECT CAST(sum(pc * (2 * neg_below + nc)) AS BIGINT)
+                         AS u2
+              FROM cum),
+        tot AS (SELECT CAST(sum(pc) AS BIGINT) AS n_pos,
+                       CAST(sum(nc) AS BIGINT) AS n_neg
+                FROM gv)
+        SELECT n_pos, n_neg,
+          floor(CAST(u2 AS DOUBLE)
+                / (2.0 * CAST(n_pos * n_neg AS DOUBLE))
+                * 1e6 + 0.5) / 1e6 AS auc,
+          floor(2.0 * (CAST(u2 AS DOUBLE)
+                       / (2.0 * CAST(n_pos * n_neg AS DOUBLE)))
+                * 1e6 + 0.5) / 1e6 AS gini_plus1
+        FROM tot, u WHERE n_pos > 0 AND n_neg > 0
+    """
+    out["pr_auc"] = """
+        WITH scored AS (
+          SELECT CAST(floor(list_reduce(list_prepend(0.0,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                   (a, b) -> a + b) * 1e6 + 0.5) AS BIGINT) AS v,
+                 CASE WHEN label = 1 THEN 1 ELSE 0 END AS pos
+          FROM embeddings),
+        gv AS (SELECT v, CAST(sum(pos) AS BIGINT) AS pc,
+                      CAST(sum(1 - pos) AS BIGINT) AS nc
+               FROM scored GROUP BY 1),
+        cum AS (SELECT v, pc,
+                       CAST(sum(pc) OVER (ORDER BY v DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS BIGINT) AS tp,
+                       CAST(sum(nc) OVER (ORDER BY v DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS BIGINT) AS fp
+                FROM gv),
+        tot AS (SELECT CAST(sum(pc) AS BIGINT) AS n_pos,
+                       CAST(sum(nc) AS BIGINT) AS n_neg,
+                       CAST(count(*) AS BIGINT) AS n_thresholds
+                FROM gv),
+        terms AS (
+          SELECT (CAST(pc AS DOUBLE) / CAST(n_pos AS DOUBLE))
+                 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+                   AS t,
+                 v, n_pos, n_neg, n_thresholds
+          FROM cum, tot WHERE pc > 0),
+        ap AS (SELECT n_pos, n_neg, n_thresholds,
+                      list_reduce(list_prepend(0.0,
+                        list(t ORDER BY v DESC)),
+                        (a, b) -> a + b) AS ap
+               FROM terms GROUP BY 1, 2, 3)
+        SELECT n_pos, n_neg, n_thresholds,
+               floor(ap * 1e6 + 0.5) / 1e6 AS average_precision
+        FROM ap WHERE n_pos > 0
+    """
+    out["equalized_odds"] = """
+        WITH pc AS (
+          SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1),
+        j AS (
+          SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+                 CASE WHEN COALESCE(pc.n_orders, 0) >= 10
+                      THEN 1 ELSE 0 END AS y,
+                 CASE WHEN c_acctbal >= 5000.0 THEN 1 ELSE 0 END AS p
+          FROM customer c
+          LEFT JOIN pc ON c.c_custkey = pc.o_custkey),
+        g AS (
+          SELECT nationkey, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y * p) AS BIGINT) AS tp,
+                 CAST(sum(y * (1 - p)) AS BIGINT) AS fn,
+                 CAST(sum((1 - y) * p) AS BIGINT) AS fp,
+                 CAST(sum((1 - y) * (1 - p)) AS BIGINT) AS tn
+          FROM j GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(tp) AS BIGINT) AS gtp,
+                 CAST(sum(fn) AS BIGINT) AS gfn,
+                 CAST(sum(fp) AS BIGINT) AS gfp,
+                 CAST(sum(tn) AS BIGINT) AS gtn
+          FROM g)
+        SELECT nationkey, n, tp, fn, fp, tn,
+          floor(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+                * 1e6 + 0.5) / 1e6 AS tpr,
+          floor(CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE)
+                * 1e6 + 0.5) / 1e6 AS fpr,
+          floor((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+                 - CAST(gtp AS DOUBLE) / CAST(gtp + gfn AS DOUBLE))
+                * 1e6 + 0.5) / 1e6 AS tpr_gap,
+          floor((CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE)
+                 - CAST(gfp AS DOUBLE) / CAST(gfp + gtn AS DOUBLE))
+                * 1e6 + 0.5) / 1e6 AS fpr_gap
+        FROM g, tot WHERE tp + fn > 0 AND fp + tn > 0
+    """
+
+    out["lang_id_f1"] = f"""
+        WITH {_TEXT_FEATURES_CTE},
+        pred AS (
+          SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+                 CASE WHEN f.swr >= 0.08 THEN 1 ELSE 0 END AS p
+          FROM documents d JOIN feat2 f ON d.doc_id = f.doc_id),
+        base AS (
+          SELECT cls,
+                 CASE WHEN cls = 'en' THEN y ELSE 1 - y END AS yy,
+                 CASE WHEN cls = 'en' THEN p ELSE 1 - p END AS pp
+          FROM pred, (SELECT unnest(['en', 'other']) AS cls) _),
+        g AS (
+          SELECT cls AS class,
+                 CAST(sum(yy * pp) AS BIGINT) AS tp,
+                 CAST(sum((1 - yy) * pp) AS BIGINT) AS fp,
+                 CAST(sum(yy * (1 - pp)) AS BIGINT) AS fn
+          FROM base GROUP BY 1),
+        per2 AS (
+          SELECT class, tp, fp, fn, prec, rec,
+                 CASE WHEN prec + rec > 0
+                      THEN 2.0 * prec * rec / (prec + rec)
+                      ELSE 0.0 END AS f1
+          FROM (
+            SELECT *,
+              CASE WHEN tp + fp > 0
+                   THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                   ELSE 0.0 END AS prec,
+              CASE WHEN tp + fn > 0
+                   THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+                   ELSE 0.0 END AS rec
+            FROM g)),
+        macro AS (
+          SELECT 'macro' AS class,
+                 CAST(sum(tp) AS BIGINT) AS tp,
+                 CAST(sum(fp) AS BIGINT) AS fp,
+                 CAST(sum(fn) AS BIGINT) AS fn,
+                 CAST(NULL AS DOUBLE) AS precision,
+                 CAST(NULL AS DOUBLE) AS recall,
+                 floor(CAST(sum(CAST(floor(f1 * 1e6 + 0.5) AS BIGINT))
+                            AS DOUBLE)
+                       / (CAST(count(*) AS DOUBLE) * 1e6)
+                       * 1e6 + 0.5) / 1e6 AS f1
+          FROM per2)
+        SELECT class, tp, fp, fn,
+               floor(prec * 1e6 + 0.5) / 1e6 AS precision,
+               floor(rec * 1e6 + 0.5) / 1e6 AS recall,
+               floor(f1 * 1e6 + 0.5) / 1e6 AS f1
+        FROM per2
+        UNION ALL SELECT * FROM macro
+    """
+
+    out["neighbor_jaccard"] = """
+        WITH e0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                    FROM lineitem),
+        edges AS (SELECT x.pk AS a, y.pk AS b, count(*) AS w
+                  FROM e0 x JOIN e0 y ON x.ok = y.ok AND x.pk < y.pk
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS (SELECT a, b FROM edges
+                UNION ALL SELECT b AS a, a AS b FROM edges),
+        deg AS (SELECT a AS wn, CAST(count(*) AS BIGINT) AS d
+                FROM und GROUP BY 1),
+        mid AS (SELECT wn FROM deg WHERE d >= 2 AND d <= 200),
+        elig AS (SELECT u.b AS wn, u.a AS n
+                 FROM und u JOIN mid ON mid.wn = u.b),
+        cap_deg AS (SELECT n AS node, CAST(count(*) AS BIGINT) AS dcap
+                    FROM elig GROUP BY 1),
+        pairs AS (SELECT x.n AS u, y.n AS v,
+                         CAST(count(*) AS BIGINT) AS n_common
+                  FROM elig x JOIN elig y ON y.wn = x.wn
+                  WHERE x.n < y.n GROUP BY 1, 2),
+        scored AS (
+          SELECT u, v, n_common, du.dcap AS du, dv.dcap AS dv,
+                 CAST(floor(CAST(n_common AS DOUBLE) * 1000000.0
+                            / CAST(du.dcap + dv.dcap - n_common
+                                   AS DOUBLE) + 0.5) AS BIGINT)
+                     AS jac_micro
+          FROM pairs
+          JOIN cap_deg du ON du.node = pairs.u
+          JOIN cap_deg dv ON dv.node = pairs.v)
+        SELECT u, v, n_common, du, dv, jac_micro,
+               CAST(jac_micro AS DOUBLE) / 1000000.0 AS jaccard
+        FROM scored
+        ORDER BY jac_micro DESC, n_common DESC, u ASC, v ASC
+        LIMIT 100
+    """
+    out["degree_assortativity"] = """
+        WITH e0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                    FROM lineitem),
+        edges AS (SELECT x.pk AS a, y.pk AS b, count(*) AS w
+                  FROM e0 x JOIN e0 y ON x.ok = y.ok AND x.pk < y.pk
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS (SELECT a, b FROM edges
+                UNION ALL SELECT b AS a, a AS b FROM edges),
+        deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d
+                FROM und GROUP BY 1),
+        inc AS (SELECT dx.d AS x, dy.d AS y
+                FROM und u
+                JOIN deg dx ON dx.node = u.a
+                JOIN deg dy ON dy.node = u.b),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     sum(CAST(x AS HUGEINT) * y) AS sxy,
+                     sum(CAST(x AS HUGEINT) * x) AS sx2,
+                     sum(CAST(y AS HUGEINT) * y) AS sy2
+              FROM inc)
+        SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+          floor((CAST(CAST(m AS HUGEINT) * sxy
+                      - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / (sqrt(CAST(CAST(m AS HUGEINT) * sx2
+                              - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                    * sqrt(CAST(CAST(m AS HUGEINT) * sy2
+                                - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+                 + 1.0) * 1e6 + 0.5) / 1e6 AS r_plus1
+        FROM m
+        WHERE CAST(m AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx > 0
+          AND CAST(m AS HUGEINT) * sy2 - CAST(sy AS HUGEINT) * sy > 0
+    """
+    out["hits_scores"] = """
+        WITH edges AS (
+          SELECT DISTINCT o_custkey AS u, l_partkey AS p
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        a1 AS (SELECT p, CAST(count(*) AS BIGINT) AS a1
+               FROM edges GROUP BY 1),
+        h1 AS (SELECT u, CAST(sum(a1) AS BIGINT) AS h1
+               FROM edges JOIN a1 USING (p) GROUP BY 1),
+        a2 AS (SELECT p, CAST(sum(h1) AS BIGINT) AS a2
+               FROM edges JOIN h1 USING (u) GROUP BY 1),
+        mx AS (SELECT max(a2) AS mx FROM a2)
+        SELECT p AS partkey, a2 AS authority,
+               floor(CAST(a2 AS DOUBLE) / CAST(mx AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS auth_ratio
+        FROM a2, mx
+        ORDER BY a2 DESC, p ASC LIMIT 20
+    """
+    out["emb_outliers"] = S.duckdb_emb_outliers_sql()
+    out["ann_k_sweep"] = S.duckdb_k_sweep_sql()
+    out["ts_downsample_minmax"] = """
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS d,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        idx AS (SELECT d, y,
+                       CAST(row_number() OVER (ORDER BY d) - 1
+                            AS BIGINT) AS r
+                FROM daily),
+        cnt AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM idx),
+        b AS (SELECT *, CAST((r * 50) // nd AS INTEGER) AS bucket
+              FROM idx, cnt),
+        br AS (SELECT *, min(r) OVER (PARTITION BY bucket) AS rmin,
+                      max(r) OVER (PARTITION BY bucket) AS rmax
+               FROM b)
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_days,
+               strftime(min(d), '%Y-%m-%d') AS day_from,
+               strftime(max(d), '%Y-%m-%d') AS day_to,
+               CAST(min(y) AS BIGINT) AS y_min,
+               CAST(max(y) AS BIGINT) AS y_max,
+               CAST(max(CASE WHEN r = rmin THEN y END) AS BIGINT)
+                   AS y_first,
+               CAST(max(CASE WHEN r = rmax THEN y END) AS BIGINT)
+                   AS y_last
+        FROM br GROUP BY 1
+    """
+    out["croston_forecast"] = """
+        WITH daily AS (
+          SELECT event_type AS t, CAST(ts AS DATE) AS d,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        bounds AS (SELECT min(d) AS mn, max(d) AS mx FROM daily),
+        cal AS (
+          SELECT tt.t,
+                 CAST(unnest(generate_series(CAST(b.mn AS TIMESTAMP),
+                        CAST(b.mx AS TIMESTAMP),
+                        INTERVAL 1 DAY)) AS DATE) AS d
+          FROM (SELECT DISTINCT t FROM daily) tt CROSS JOIN bounds b),
+        full_ AS (SELECT cal.t, cal.d, COALESCE(daily.x, 0) AS x
+                  FROM cal LEFT JOIN daily
+                    ON daily.t = cal.t AND daily.d = cal.d),
+        pos AS (SELECT t, d, x,
+                       CAST(row_number() OVER (PARTITION BY t
+                            ORDER BY d) AS BIGINT) AS i
+                FROM full_),
+        dem AS (SELECT t, i, x,
+                       i - COALESCE(lag(i) OVER (PARTITION BY t
+                            ORDER BY i), 0) AS gap
+                FROM pos WHERE x > 0),
+        arr AS (SELECT t, CAST(count(*) AS BIGINT) AS n_demands,
+                       list(CAST(x AS DOUBLE) ORDER BY i) AS zs,
+                       list(CAST(gap AS DOUBLE) ORDER BY i) AS gs
+                FROM dem GROUP BY 1),
+        nd AS (SELECT t, CAST(count(*) AS BIGINT) AS n_days
+               FROM full_ GROUP BY 1),
+        f AS (SELECT arr.t, n_days, n_demands,
+                     list_reduce(zs,
+                       (acc, z) -> 0.1 * z + 0.9 * acc) AS level,
+                     list_reduce(gs,
+                       (acc, g) -> 0.1 * g + 0.9 * acc) AS itv
+              FROM arr JOIN nd ON nd.t = arr.t
+              WHERE n_demands >= 1)
+        SELECT t AS event_type, n_days, n_demands,
+               floor(level * 1e6 + 0.5) / 1e6 AS level,
+               floor(itv * 1e6 + 0.5) / 1e6 AS interval,
+               floor(level / itv * 1e6 + 0.5) / 1e6 AS forecast
+        FROM f
+    """
+    out["order_reconciliation"] = """
+        WITH per_line AS (
+          SELECT l_orderkey AS ok,
+                 CAST(floor(l_extendedprice * (1.0 - l_discount)
+                            * (1.0 + l_tax) * 100.0 + 0.5) AS BIGINT)
+                     AS lc
+          FROM lineitem),
+        per_order AS (SELECT ok, CAST(sum(lc) AS BIGINT) AS net_cents
+                      FROM per_line GROUP BY 1),
+        o AS (SELECT o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT)
+                         AS o_cents
+              FROM orders),
+        j AS (
+          SELECT o_cents, net_cents,
+                 CASE WHEN net_cents IS NULL THEN 'no_lines'
+                      WHEN o_cents = net_cents THEN 'exact'
+                      WHEN abs(o_cents - net_cents) <= 100
+                           THEN 'sub_dollar'
+                      ELSE 'large' END AS bucket
+          FROM o LEFT JOIN per_order ON per_order.ok = o.o_orderkey),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM j)
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(max(abs(o_cents - COALESCE(net_cents, 0)))
+                    AS BIGINT) AS max_abs_diff_cents,
+               floor(CAST(count(*) AS DOUBLE)
+                     / CAST(n_total AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS share
+        FROM j, tot GROUP BY 1, n_total
     """
     return out

@@ -577,3 +577,229 @@ def adamic_adar(
             (F.col("aa_micro").cast("double") / 1000000.0).alias("aa"),
         )
     )
+
+
+def neighbor_jaccard(
+    edges: DataFrame, top_k: int = 100, max_deg: int = 200
+) -> DataFrame:
+    """Neighborhood Jaccard similarity over the co-purchase graph: for
+    every pair (u, v) sharing >= 1 eligible common neighbor,
+
+        J(u, v) = |N*(u) & N*(v)| / |N*(u) | N*(v)|
+
+    where N* keeps only neighbors w with 2 <= deg(w) <= ``max_deg`` —
+    the set-overlap companion to ``adamic_adar`` (AA weights shared
+    rare neighbors; Jaccard normalizes by neighborhood SIZE, so a
+    2-neighbor part sharing both with another reads 1.0 while a
+    500-neighbor hub sharing two reads ~0) — the substitutable-parts
+    signal deduplication and recommendation both consume.
+
+    The hub cap is SEMANTIC here, not just a shuffle guard: both the
+    intersection and the capped degrees |N*| count the same eligible
+    neighbor set, so J is the exact Jaccard of the hub-filtered
+    neighborhoods (documented contract; the adamic_adar max_deg
+    precedent, same C(deg, 2) expansion bound).
+
+    Exactness: pure integer counts; the score ships as jac_micro =
+    floor(common * 1e6 / union + 0.5) so ranking and tie-breaks
+    (jac_micro desc, n_common desc, u, v) never touch a float."""
+    und = (
+        edges.select("a", "b")
+        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=False)
+    )
+    deg = und.groupBy(F.col("a").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    mid = deg.where((F.col("d") >= 2) & (F.col("d") <= max_deg)).select(
+        "w"
+    )
+    nbr = und.select(F.col("b").alias("w"), F.col("a").alias("n"))
+    elig = nbr.join(mid, "w").localCheckpoint(eager=False)
+    cap_deg = elig.groupBy(F.col("n").alias("u")).agg(
+        F.count(F.lit(1)).cast("long").alias("dcap")
+    )
+    x = elig.select("w", F.col("n").alias("u"))
+    y = elig.select("w", F.col("n").alias("v"))
+    pairs = (
+        x.join(y, "w")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    j = (
+        pairs.join(cap_deg, "u")
+        .withColumnRenamed("dcap", "du")
+        .join(
+            cap_deg.select(
+                F.col("u").alias("v"), F.col("dcap").alias("dv")
+            ),
+            "v",
+        )
+    )
+    uni = F.col("du") + F.col("dv") - F.col("n_common")
+    scored = j.select(
+        "u",
+        "v",
+        "n_common",
+        F.col("du").cast("long").alias("du"),
+        F.col("dv").cast("long").alias("dv"),
+        F.floor(
+            F.col("n_common").cast("double")
+            * 1000000.0
+            / uni.cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("jac_micro"),
+    )
+    return (
+        scored.orderBy(
+            F.desc("jac_micro"), F.desc("n_common"), F.asc("u"), F.asc("v")
+        )
+        .limit(top_k)
+        .select(
+            "u",
+            "v",
+            "n_common",
+            "du",
+            "dv",
+            "jac_micro",
+            (F.col("jac_micro").cast("double") / 1000000.0).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over all ORDERED edge incidences
+    (each undirected edge contributes both orientations, the standard
+    Newman r) — positive reads "popular parts co-purchase with popular
+    parts" (assortative mixing), negative the hub-and-spoke opposite;
+    the one-number topology summary that says whether degree-targeted
+    partitioning/salting will pay.
+
+    Exactness: all five moments are exact integers (DECIMAL(38)
+    squares — degree products overflow int64 on dense graphs); r is
+    ONE mirrored float expression, shipped as r_plus1 (the -0.0
+    convention). Zero-variance (regular) graphs drop by integer
+    predicate.
+
+    Scale: one degree rollup, one broadcast-degree decoration of the
+    edge list, one global moment rollup — no quadratic stage."""
+    und = (
+        edges.select("a", "b")
+        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=False)
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    DEC = "decimal(38,0)"
+    inc = (
+        und.join(
+            deg.select(F.col("node").alias("a"), F.col("d").alias("x")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("d").alias("y")),
+            "b",
+        )
+    )
+    m = inc.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(DEC) * F.col("y").cast(DEC))
+        .cast(DEC)
+        .alias("sxy"),
+        F.sum(F.col("x").cast(DEC) * F.col("x").cast(DEC))
+        .cast(DEC)
+        .alias("sx2"),
+        F.sum(F.col("y").cast(DEC) * F.col("y").cast(DEC))
+        .cast(DEC)
+        .alias("sy2"),
+    )
+    vx = (
+        F.col("m").cast(DEC) * F.col("sx2")
+        - F.col("sx").cast(DEC) * F.col("sx").cast(DEC)
+    ).cast("double")
+    vy = (
+        F.col("m").cast(DEC) * F.col("sy2")
+        - F.col("sy").cast(DEC) * F.col("sy").cast(DEC)
+    ).cast("double")
+    num = (
+        F.col("m").cast(DEC) * F.col("sxy")
+        - F.col("sx").cast(DEC) * F.col("sy").cast(DEC)
+    ).cast("double")
+    from ..functions.text import round_half_up
+
+    return m.where((vx > 0) & (vy > 0)).select(
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        round_half_up(
+            num / (F.sqrt(vx) * F.sqrt(vy)) + F.lit(1.0), 6
+        ).alias("r_plus1"),
+    )
+
+
+def hits_scores(
+    orders: DataFrame, lineitem: DataFrame, top_k: int = 20
+) -> DataFrame:
+    """Two-iteration HITS over the customer-part purchase bipartite
+    graph, ALL-INTEGER: h0(u) = 1; a1(p) = in-degree; h1(u) = sum of
+    a1 over u's parts; a2(p) = sum of h1 over p's buyers — authority
+    reads "parts bought by customers who buy well-bought parts", the
+    mutual-reinforcement ranking plain degree can't give (event_pagerank
+    ranks a unipartite session graph; this ranks the bipartite
+    purchase structure). Unnormalized integer iterations, normalized
+    ONCE at the end — so every intermediate is an exact BIGINT and the
+    oracle mirrors by two unrolled joins, no float drift to chase.
+
+    Exactness: integer sums; auth_ratio = a2/max(a2) is the single
+    mirrored division; ordering (a2 desc, part asc) is integer.
+
+    Scale: the edge list shuffles twice (once per iteration side) on
+    its natural keys; at 1000 executors each iteration is one keyed
+    aggregate — the degree-bounded fan-out never materializes pairs.
+    Int64 envelope: a2 <= max_deg_p * max_deg_u * max_deg_p."""
+    edges = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            lineitem.select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a1 = edges.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("a1"))
+    h1 = (
+        edges.join(a1, "p")
+        .groupBy("u")
+        .agg(F.sum("a1").cast("long").alias("h1"))
+    )
+    a2 = (
+        edges.join(h1, "u")
+        .groupBy("p")
+        .agg(F.sum("h1").cast("long").alias("a2"))
+    )
+    mx = a2.agg(F.max("a2").alias("mx"))
+    from ..functions.text import round_half_up
+
+    return (
+        a2.crossJoin(F.broadcast(mx))
+        .orderBy(F.desc("a2"), F.asc("p"))
+        .limit(top_k)
+        .select(
+            F.col("p").alias("partkey"),
+            F.col("a2").alias("authority"),
+            round_half_up(
+                F.col("a2").cast("double") / F.col("mx").cast("double"),
+                6,
+            ).alias("auth_ratio"),
+        )
+    )

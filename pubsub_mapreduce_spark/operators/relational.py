@@ -3093,3 +3093,77 @@ def kanon_band_search(
         # chosen flag must read false, not NULL
         F.coalesce(F.col("w") == best, F.lit(False)).alias("chosen"),
     )
+
+
+def order_reconciliation(t) -> DataFrame:
+    """Order-vs-lineitem ledger reconciliation: recompute every order's
+    net total from its line items (sum over lines of
+    floor(extendedprice * (1-discount) * (1+tax) * 100 + 0.5) cents),
+    diff it against o_totalprice, and report mismatch BUCKETS — the
+    financial-integrity check ``dq_orders``'s row-local rules can't
+    express (it validates each table alone; this validates the
+    cross-table invariant the ledger actually cares about). TPC-H's
+    totalprice is gross-of-tax line revenue, so the bucket histogram
+    IS the fingerprint of the pricing formula drifting.
+
+    Exactness: per-line cents are one mirrored floor each (2-dp inputs
+    -> the product is engine-identical); sums/diffs are BIGINT; shares
+    one division. Orders with no lines land in their own bucket via
+    the left join.
+
+    Scale: one join shuffled on orderkey (the natural co-partition
+    key), one order rollup, then a 4-row bucket rollup."""
+    from ..functions.text import round_half_up
+
+    line_cents = F.floor(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+        * 100.0
+        + F.lit(0.5)
+    ).cast("long")
+    per_line = t["lineitem"].select(
+        F.col("l_orderkey").alias("ok"), line_cents.alias("lc")
+    )
+    per_order = per_line.groupBy("ok").agg(
+        F.sum("lc").cast("long").alias("net_cents")
+    )
+    o = t["orders"].select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+            "o_cents"
+        ),
+    )
+    j = o.join(
+        per_order, F.col("o_orderkey") == F.col("ok"), "left"
+    ).select(
+        "o_cents",
+        "net_cents",
+        F.when(F.col("net_cents").isNull(), F.lit("no_lines"))
+        .when(F.col("o_cents") == F.col("net_cents"), F.lit("exact"))
+        .when(
+            F.abs(F.col("o_cents") - F.col("net_cents")) <= 100,
+            F.lit("sub_dollar"),
+        )
+        .otherwise(F.lit("large"))
+        .alias("bucket"),
+    )
+    tot = j.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    g = j.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.max(
+            F.abs(F.col("o_cents") - F.coalesce("net_cents", F.lit(0)))
+        )
+        .cast("long")
+        .alias("max_abs_diff_cents"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_orders",
+        "max_abs_diff_cents",
+        round_half_up(
+            F.col("n_orders").cast("double")
+            / F.col("n_total").cast("double"),
+            6,
+        ).alias("share"),
+    )

@@ -4536,9 +4536,14 @@ def grubbs_outlier(events: DataFrame) -> DataFrame:
 
     Scale: daily rollup, then a per-type window over calendar-bounded
     rows."""
-    daily = events.groupBy(
-        F.col("event_type").alias("t"), F.to_date("ts").alias("d")
-    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    daily = (
+        events.groupBy(
+            F.col("event_type").alias("t"), F.to_date("ts").alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        # calendar x types rows, two consumers -> one events scan
+        .localCheckpoint(eager=False)
+    )
     g = daily.groupBy("t").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("s"),
@@ -4645,10 +4650,16 @@ def _type_dow_cells(events: DataFrame):
     day-of-week cell counts with margins — all exact BIGINTs. Spark
     dayofweek is 1=Sunday..7; minus 1 mirrors DuckDB's 0=Sunday..6
     (the stl_lite precedent)."""
-    cells = events.groupBy(
-        F.col("event_type").alias("t"),
-        (F.dayofweek(F.to_date("ts")) - 1).cast("int").alias("dow"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    cells = (
+        events.groupBy(
+            F.col("event_type").alias("t"),
+            (F.dayofweek(F.to_date("ts")) - 1).cast("int").alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        # <= |types| x 7 rows feeding four consumers: one events scan,
+        # not four (Catalyst has no cross-branch CSE)
+        .localCheckpoint(eager=False)
+    )
     rows = cells.groupBy("t").agg(F.sum("o").cast("long").alias("r"))
     cols = cells.groupBy("dow").agg(F.sum("o").cast("long").alias("c"))
     tot = cells.agg(
@@ -4793,9 +4804,13 @@ def ewma_control(events: DataFrame, lam: float = 0.3) -> DataFrame:
 
     Scale: one daily rollup shuffle; the fold runs over a per-type
     array that is calendar-bounded (~3.6k elements at a decade)."""
-    daily = events.groupBy(
-        F.col("event_type").alias("t"), F.to_date("ts").alias("d")
-    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    daily = (
+        events.groupBy(
+            F.col("event_type").alias("t"), F.to_date("ts").alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
     stats = daily.groupBy("t").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("s"),
@@ -4992,7 +5007,7 @@ def lorenz_deciles(t) -> DataFrame:
     g = d.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("cents").cast("long").alias("spend_cents"),
-    )
+    ).localCheckpoint(eager=False)
     cw = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -5067,4 +5082,648 @@ def atkinson_index(t) -> DataFrame:
         "spend_cents",
         round_half_up(geo, 2).alias("geo_mean_cents"),
         round_half_up(F.lit(1.0) - geo / mean, 6).alias("atkinson"),
+    )
+
+
+def nelson_aalen(events: DataFrame, group: str = "event_type") -> DataFrame:
+    """Nelson–Aalen cumulative-hazard curve for user churn, per group —
+    the additive companion to ``survival_km`` (KM multiplies survival
+    fractions; NA sums hazard increments d_s/n_s, the estimator of
+    choice for comparing cumulative risk and for small risk sets where
+    KM's product degenerates), with Klein's variance sum d/n^2:
+
+        H_t = sum_{s<=t} d_s / n_s,   Var_t = sum_{s<=t} d_s / n_s^2
+
+    Same churn framing and risk-set arithmetic as survival_km (last
+    active day = event, censored on the corpus's final day).
+
+    Exactness: BIGINT risk sets; both prefix sums fold in DAY ORDER
+    (aggregate HOF over the sorted step array; oracle: single-field
+    list_reduce — forward-only, the user_ema-safe shape), so the raw
+    doubles are bit-equal. Scale: one user rollup collapses volume;
+    everything after is |groups x days|."""
+    from pyspark.sql.functions import broadcast
+
+    d0 = events.select(group, "user_id", F.to_date("ts").alias("day"))
+    ul = (
+        d0.groupBy(group, "user_id")
+        .agg(F.min("day").alias("f"), F.max("day").alias("l"))
+        .localCheckpoint(eager=False)
+    )
+    maxday = ul.agg(F.max("l").alias("__maxday"))
+    ul2 = ul.join(broadcast(maxday))
+    spine = (
+        ul2.select(
+            group,
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("f").alias("day"),
+                        F.lit(1).alias("s"),
+                        F.lit(0).alias("d"),
+                    ),
+                    F.struct(
+                        F.col("l").alias("day"),
+                        F.lit(0).alias("s"),
+                        (F.col("l") < F.col("__maxday"))
+                        .cast("int")
+                        .alias("d"),
+                    ),
+                )
+            ).alias("x"),
+        )
+        .select(group, "x.day", "x.s", "x.d")
+        .groupBy(group, "day")
+        .agg(F.sum("s").alias("s"), F.sum("d").alias("d"))
+    )
+    w = (
+        Window.partitionBy(group)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wprev = (
+        Window.partitionBy(group)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_risk = F.sum("s").over(w) - F.coalesce(
+        F.sum("d").over(wprev), F.lit(0)
+    )
+    steps = (
+        spine.withColumn("n", n_risk)
+        .where(F.col("d") > 0)
+        .select(group, "day", "n", "d")
+    )
+    arr = steps.groupBy(group).agg(
+        F.array_sort(F.collect_list(F.struct("day", "n", "d"))).alias(
+            "arr"
+        )
+    )
+    na = arr.select(
+        group,
+        F.explode(
+            F.expr(
+                """transform(arr, (x, i) -> named_struct(
+                     'day', x.day, 'n', x.n, 'd', x.d,
+                     'haz', aggregate(
+                       slice(arr, 1, i + 1), CAST(0.0 AS DOUBLE),
+                       (acc, y) -> acc + CAST(y.d AS DOUBLE)
+                                         / CAST(y.n AS DOUBLE)),
+                     'var', aggregate(
+                       slice(arr, 1, i + 1), CAST(0.0 AS DOUBLE),
+                       (acc, y) -> acc + CAST(y.d AS DOUBLE)
+                                         / (CAST(y.n AS DOUBLE)
+                                            * CAST(y.n AS DOUBLE)))))"""
+            )
+        ).alias("x"),
+    )
+    return na.select(
+        group,
+        F.date_format("x.day", "yyyy-MM-dd").alias("day"),
+        F.col("x.n").cast("long").alias("n_risk"),
+        F.col("x.d").cast("long").alias("n_churn"),
+        round_half_up(F.col("x.haz"), 6).alias("cum_hazard"),
+        round_half_up(F.col("x.var"), 6).alias("hazard_var"),
+    )
+
+
+def gehan_wilcoxon(events: DataFrame, group: str = "event_type") -> DataFrame:
+    """Gehan–Breslow–Wilcoxon test between every pair of groups' churn
+    survival — the EARLY-difference-weighted companion to
+    ``logrank_test`` (log-rank weights every churn day equally, so late
+    divergence dominates; Gehan weights each day by the at-risk count
+    n_t, so a treatment that loses users in week 1 but converges later
+    still flags):
+
+        W = sum_t n_t (d1_t - E1_t),  VarW = sum_t n_t^2 V_t,
+        chi2 = W^2 / VarW
+
+    with E1/V the same hypergeometric terms as logrank_test, over the
+    same shared calendar spine / risk-set arithmetic.
+
+    Exactness: integer risk sets, one mirrored division per day term,
+    day-ordered folds — logrank_test's discipline verbatim, with the
+    n and n^2 weights as exact-integer multipliers. Int64 envelope:
+    n^2 * d * n1 * n2 * (n-d) promotes through DOUBLE after one exact
+    division, same association order both engines.
+
+    Scale: identical to logrank_test — |rows|-sized user rollup, then
+    |groups x days|."""
+    from pyspark.sql.functions import broadcast
+
+    d0 = events.where(F.col("ts").isNotNull()).select(
+        group, "user_id", F.to_date("ts").alias("day")
+    )
+    ul = (
+        d0.groupBy(group, "user_id")
+        .agg(F.min("day").alias("f"), F.max("day").alias("l"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = ul.agg(F.min("f").alias("__mn"), F.max("l").alias("__mx"))
+    ul2 = ul.join(broadcast(bounds))
+    sparse = (
+        ul2.select(
+            group,
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("f").alias("day"),
+                        F.lit(1).alias("s"),
+                        F.lit(0).alias("d"),
+                    ),
+                    F.struct(
+                        F.col("l").alias("day"),
+                        F.lit(0).alias("s"),
+                        (F.col("l") < F.col("__mx")).cast("int").alias("d"),
+                    ),
+                )
+            ).alias("x"),
+        )
+        .select(group, "x.day", "x.s", "x.d")
+        .groupBy(group, "day")
+        .agg(F.sum("s").alias("s"), F.sum("d").alias("d"))
+    )
+    cal = (
+        sparse.select(group)
+        .distinct()
+        .join(broadcast(bounds))
+        .select(
+            group,
+            F.explode(
+                F.expr("sequence(__mn, __mx, interval 1 day)")
+            ).alias("day"),
+        )
+    )
+    z = F.lit(0).cast("long")
+    full = cal.join(sparse, [group, "day"], "left").select(
+        group,
+        "day",
+        F.coalesce("s", z).alias("s"),
+        F.coalesce("d", z).alias("d"),
+    )
+    w = (
+        Window.partitionBy(group)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wprev = (
+        Window.partitionBy(group)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nd = full.select(
+        group,
+        "day",
+        "d",
+        (
+            F.sum("s").over(w) - F.coalesce(F.sum("d").over(wprev), z)
+        ).alias("n"),
+    ).localCheckpoint(eager=False)
+    a = nd.select(
+        F.col(group).alias("g1"),
+        "day",
+        F.col("n").alias("n1"),
+        F.col("d").alias("d1"),
+    )
+    b = nd.select(
+        F.col(group).alias("g2"),
+        F.col("day").alias("day2"),
+        F.col("n").alias("n2"),
+        F.col("d").alias("d2"),
+    )
+    pairs = a.join(
+        b, (F.col("day") == F.col("day2")) & (F.col("g1") < F.col("g2"))
+    )
+    n = F.col("n1") + F.col("n2")
+    d = F.col("d1") + F.col("d2")
+    terms = pairs.where((d > 0) & (n >= 2)).select(
+        "g1",
+        "g2",
+        "day",
+        "d1",
+        "d2",
+        (
+            n.cast("double")
+            * (F.col("d1").cast("double") - d * F.col("n1") / n)
+        ).alias("w_term"),
+        (
+            (n * n).cast("double")
+            * (
+                (d * F.col("n1") * F.col("n2") * (n - d))
+                / (n * n * (n - 1))
+            )
+        ).alias("v_term"),
+    )
+    folded = terms.groupBy("g1", "g2").agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("d2").cast("long").alias("o2"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("day", "w_term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w_term"],
+        ).alias("w_stat"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("day", "v_term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v_term"],
+        ).alias("v_w"),
+    )
+    chi2 = (F.col("w_stat") * F.col("w_stat")) / F.col("v_w")
+    return folded.where(F.col("v_w") > 0).select(
+        "g1",
+        "g2",
+        "o1",
+        "o2",
+        round_half_up(F.col("w_stat"), 6).alias("w_stat"),
+        round_half_up(F.col("v_w"), 6).alias("v_w"),
+        round_half_up(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(3.841)).alias("significant"),
+    )
+
+
+def auc_scores(emb: DataFrame) -> DataFrame:
+    """Exact ROC AUC of "embedding coordinate-sum projection predicts
+    label == 1" (the all-ones-direction projection — the fixture
+    embeddings are unit-norm, so the norm itself is constant) — the
+    rank-sum (Mann–Whitney) formulation, tie-corrected by average
+    ranks: AUC = U / (n_pos * n_neg) where 2U = sum over distinct
+    score values v of pos_c(v) * (2*neg_below(v) + neg_eq(v)). The
+    single-number ranking-quality gate a feature store runs before
+    shipping a score (``retrieval_label_eval`` grades retrieval; this
+    grades a SCALAR feature as a classifier).
+
+    Exactness: scores quantized to integer micros (floor(norm*1e6 +
+    0.5) — part of the operator's defined semantics, making ties and
+    ranks engine-exact); everything after is pure BIGINT on the
+    distinct-value spine (the mwu_source_shift machinery), one final
+    division. Gini ships as gini_plus1 = 2*AUC in [0,2] (= Gini+1),
+    dodging -0.0 repr (type_correlation convention).
+
+    Scale: one distinct-value rollup; windows over the value spine,
+    never rows."""
+    scored = emb.select(
+        F.floor(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * 1000000.0
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("v"),
+        (F.col("label") == 1).cast("int").alias("pos"),
+    )
+    gv = scored.groupBy("v").agg(
+        F.sum("pos").cast("long").alias("pc"),
+        F.sum(1 - F.col("pos")).cast("long").alias("nc"),
+    ).localCheckpoint(eager=False)
+    wv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    u2 = gv.select(
+        (
+            F.col("pc")
+            * (
+                2 * F.coalesce(F.sum("nc").over(wv), F.lit(0))
+                + F.col("nc")
+            )
+        ).alias("t")
+    ).agg(F.sum("t").cast("long").alias("u2"))
+    tot = gv.agg(
+        F.sum("pc").cast("long").alias("n_pos"),
+        F.sum("nc").cast("long").alias("n_neg"),
+    )
+    j = tot.crossJoin(F.broadcast(u2))
+    auc = F.col("u2").cast("double") / (
+        2.0 * (F.col("n_pos") * F.col("n_neg")).cast("double")
+    )
+    return j.where((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
+        "n_pos",
+        "n_neg",
+        round_half_up(auc, 6).alias("auc"),
+        round_half_up(2.0 * auc, 6).alias("gini_plus1"),
+    )
+
+
+def pr_auc(emb: DataFrame) -> DataFrame:
+    """Average precision (step-interpolated area under the precision-
+    recall curve) of the same projection-predicts-label score as
+    ``auc_scores`` — the imbalance-honest companion (ROC AUC flatters
+    a classifier when negatives dominate; AP weights by the positive
+    class):
+
+        AP = sum over thresholds t (desc) of
+             (tp_t - tp_prev) / n_pos * (tp_t / (tp_t + fp_t))
+
+    Exactness: integer-micro scores; tp/fp cumulatives are BIGINT
+    window sums over the distinct-score spine; each step's term is
+    one mirrored double product; the sum folds in SCORE-DESC order
+    (reverse-sorted list aggregate vs ORDER BY DESC list_reduce).
+
+    Scale: distinct-value spine throughout."""
+    scored = emb.select(
+        F.floor(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * 1000000.0
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("v"),
+        (F.col("label") == 1).cast("int").alias("pos"),
+    )
+    gv = scored.groupBy("v").agg(
+        F.sum("pos").cast("long").alias("pc"),
+        F.sum(1 - F.col("pos")).cast("long").alias("nc"),
+    ).localCheckpoint(eager=False)
+    wd = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = gv.select(
+        "v",
+        "pc",
+        F.sum("pc").over(wd).cast("long").alias("tp"),
+        F.sum("nc").over(wd).cast("long").alias("fp"),
+    )
+    tot = gv.agg(
+        F.sum("pc").cast("long").alias("n_pos"),
+        F.sum("nc").cast("long").alias("n_neg"),
+        F.count(F.lit(1)).cast("long").alias("n_thresholds"),
+    )
+    term = (
+        F.col("pc").cast("double") / F.col("n_pos").cast("double")
+    ) * (
+        F.col("tp").cast("double")
+        / (F.col("tp") + F.col("fp")).cast("double")
+    )
+    arr = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("pc") > 0)
+        .groupBy("n_pos", "n_neg", "n_thresholds")
+        .agg(
+            F.reverse(
+                F.array_sort(
+                    F.collect_list(F.struct("v", term.alias("t")))
+                )
+            ).alias("ts")
+        )
+    )
+    ap = F.aggregate(
+        F.col("ts"), F.lit(0.0), lambda acc, x: acc + x["t"]
+    )
+    return arr.where(F.col("n_pos") > 0).select(
+        "n_pos",
+        "n_neg",
+        "n_thresholds",
+        round_half_up(ap, 6).alias("average_precision"),
+    )
+
+
+def equalized_odds(t, min_orders: int = 10, bal_cut: float = 5000.0) -> DataFrame:
+    """Equalized-odds audit over customer nations: classifier =
+    "account balance >= ``bal_cut``", outcome = "placed at least
+    ``min_orders`` orders" (the heavy-user label disparate_impact
+    screens on) — per nation, TPR and FPR with signed gaps to the
+    GLOBAL rates. Disparate impact checks selection RATES; equalized
+    odds checks ERROR parity — a group can pass the 80% rule while the
+    classifier is systematically blind to its true positives, which is
+    exactly what the tpr_gap column exposes.
+
+    Exactness: pure integer confusion counts; rates and signed gaps
+    are single mirrored divisions/subtractions under round_half_up
+    (signed-contract documented). Nations lacking both outcome classes
+    drop by integer predicate.
+
+    Scale: one custkey rollup, broadcast join, nation rollup + one
+    global rollup broadcast back."""
+    pc = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    j = t["customer"].join(
+        pc, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        (F.coalesce("n_orders", F.lit(0)) >= min_orders)
+        .cast("int")
+        .alias("y"),
+        (F.col("c_acctbal") >= bal_cut).cast("int").alias("p"),
+    )
+    g = j.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("y") * F.col("p")).cast("long").alias("tp"),
+        F.sum(F.col("y") * (1 - F.col("p"))).cast("long").alias("fn"),
+        F.sum((1 - F.col("y")) * F.col("p")).cast("long").alias("fp"),
+        F.sum((1 - F.col("y")) * (1 - F.col("p")))
+        .cast("long")
+        .alias("tn"),
+    ).localCheckpoint(eager=False)
+    tot = g.agg(
+        F.sum("tp").cast("long").alias("gtp"),
+        F.sum("fn").cast("long").alias("gfn"),
+        F.sum("fp").cast("long").alias("gfp"),
+        F.sum("tn").cast("long").alias("gtn"),
+    )
+    jj = g.crossJoin(F.broadcast(tot))
+    tpr = F.col("tp").cast("double") / (
+        F.col("tp") + F.col("fn")
+    ).cast("double")
+    fpr = F.col("fp").cast("double") / (
+        F.col("fp") + F.col("tn")
+    ).cast("double")
+    gtpr = F.col("gtp").cast("double") / (
+        F.col("gtp") + F.col("gfn")
+    ).cast("double")
+    gfpr = F.col("gfp").cast("double") / (
+        F.col("gfp") + F.col("gtn")
+    ).cast("double")
+    return (
+        jj.where(
+            (F.col("tp") + F.col("fn") > 0)
+            & (F.col("fp") + F.col("tn") > 0)
+        )
+        .select(
+            "nationkey",
+            "n",
+            "tp",
+            "fn",
+            "fp",
+            "tn",
+            round_half_up(tpr, 6).alias("tpr"),
+            round_half_up(fpr, 6).alias("fpr"),
+            round_half_up(tpr - gtpr, 6).alias("tpr_gap"),
+            round_half_up(fpr - gfpr, 6).alias("fpr_gap"),
+        )
+    )
+
+
+def ts_downsample_minmax(orders: DataFrame, n_buckets: int = 50) -> DataFrame:
+    """M4-style min/max downsample of the daily-revenue series: the day
+    spine split into ``n_buckets`` contiguous buckets (bucket =
+    day_index * n_buckets div n_days), each emitting first/last/min/max
+    — the downsample that PRESERVES EXTREMES for plotting and anomaly
+    triage (plain per-bucket averaging erases exactly the spikes you
+    resample to find; M4 is the standard dashboard reduction).
+
+    Exactness: pure integer arithmetic — cents, integer bucket ids,
+    first/last picked by integer day order (min_by/arg_min parity via
+    self-contained window ranks). Scale: one daily rollup, one
+    calendar-sized window pass; output is n_buckets rows regardless of
+    input volume."""
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.sum(_cents("o_totalprice")).cast("long").alias("y"))
+    )
+    idx = daily.withColumn(
+        "r", F.row_number().over(Window.orderBy("d")) - 1
+    ).localCheckpoint(eager=False)
+    cnt = idx.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    b = (
+        idx.crossJoin(F.broadcast(cnt))
+        .withColumn(
+            "bucket",
+            F.expr(f"CAST(r * {int(n_buckets)} AS BIGINT) div nd").cast(
+                "int"
+            ),
+        )
+    )
+    wsp = Window.partitionBy("bucket")
+    g = (
+        b.withColumn("rmin", F.min("r").over(wsp))
+        .withColumn("rmax", F.max("r").over(wsp))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("day_from"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("day_to"),
+            F.min("y").cast("long").alias("y_min"),
+            F.max("y").cast("long").alias("y_max"),
+            F.max(
+                F.when(F.col("r") == F.col("rmin"), F.col("y"))
+            )
+            .cast("long")
+            .alias("y_first"),
+            F.max(
+                F.when(F.col("r") == F.col("rmax"), F.col("y"))
+            )
+            .cast("long")
+            .alias("y_last"),
+        )
+    )
+    return g
+
+
+def croston_forecast(
+    events: DataFrame, alpha: float = 0.1
+) -> DataFrame:
+    """Croston's method for intermittent demand, per event type: on the
+    ZERO-FILLED daily calendar, split the series into demand sizes z_k
+    (counts on active days) and inter-demand intervals p_k (days since
+    the previous active day; p_1 = the first active day's 1-based
+    position), EWMA-smooth each with ``alpha``, and forecast
+    level/interval demand per day — the standard estimator when a
+    series is mostly zeros and plain EWMA chases the gaps
+    (``ewma_control`` monitors a dense series; this FORECASTS a sparse
+    one).
+
+    Exactness: both recursions are single-accumulator forward-only
+    folds over day-ordered lists (the user_ema-safe list_reduce
+    shape), on exact-integer inputs; the forecast is one mirrored
+    division. Types with no demand days drop by integer predicate.
+
+    Scale: one daily rollup; folds run over per-type demand lists
+    (calendar-bounded)."""
+    from pyspark.sql.functions import broadcast
+
+    daily = (
+        events.groupBy(
+            F.col("event_type").alias("t"), F.to_date("ts").alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = daily.agg(
+        F.min("d").alias("__mn"), F.max("d").alias("__mx")
+    )
+    cal = (
+        daily.select("t")
+        .distinct()
+        .join(broadcast(bounds))
+        .select(
+            "t",
+            F.explode(
+                F.expr("sequence(__mn, __mx, interval 1 day)")
+            ).alias("d"),
+        )
+    )
+    full = (
+        cal.join(daily, ["t", "d"], "left")
+        .select(
+            "t", "d", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+        )
+        .localCheckpoint(eager=False)
+    )
+    pos = full.withColumn(
+        "i",
+        F.row_number().over(Window.partitionBy("t").orderBy("d")),
+    )
+    dem = pos.where(F.col("x") > 0).withColumn(
+        "gap",
+        F.col("i")
+        - F.coalesce(
+            F.lag("i").over(Window.partitionBy("t").orderBy("i")),
+            F.lit(0),
+        ),
+    )
+    arr = dem.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_demands"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "i",
+                    F.col("x").cast("double").alias("z"),
+                    F.col("gap").cast("double").alias("g"),
+                )
+            )
+        ).alias("zs"),
+    )
+    nd = full.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    al = F.lit(float(alpha))
+    level = F.aggregate(
+        F.slice(
+            F.transform(F.col("zs"), lambda s: s["z"]),
+            2,
+            F.size(F.col("zs")) - 1,
+        ),
+        F.element_at(F.col("zs"), 1)["z"],
+        lambda acc, z: al * z + (F.lit(1.0) - al) * acc,
+    )
+    interval = F.aggregate(
+        F.slice(
+            F.transform(F.col("zs"), lambda s: s["g"]),
+            2,
+            F.size(F.col("zs")) - 1,
+        ),
+        F.element_at(F.col("zs"), 1)["g"],
+        lambda acc, g: al * g + (F.lit(1.0) - al) * acc,
+    )
+    return (
+        arr.join(nd, "t")
+        .where(F.col("n_demands") >= 1)
+        .select(
+            F.col("t").alias("event_type"),
+            "n_days",
+            "n_demands",
+            round_half_up(level, 6).alias("level"),
+            round_half_up(interval, 6).alias("interval"),
+            round_half_up(level / interval, 6).alias("forecast"),
+        )
     )

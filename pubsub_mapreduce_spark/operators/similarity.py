@@ -4082,3 +4082,231 @@ def duckdb_tradeoff_sql(
                   AS BIGINT) AS est_candidates
       FROM ivf, consts
     """
+
+
+def emb_outliers(emb: DataFrame, top_k: int = 20) -> DataFrame:
+    """Global embedding outliers: the ``top_k`` vectors farthest (L2)
+    from the corpus centroid — the "these vectors are not like the
+    others" screen an embedding batch gets before indexing (model-
+    version strays, zero-shot garbage, corrupt rows), complementing
+    ``emb_norm_stats`` (scale drift) and ``label_noise`` (label-local
+    neighbors) with a corpus-global geometric check.
+
+    Exactness: coordinates are quantized to integer micros up front
+    (floor(x*1e6 + 0.5), defined semantics); per-dim sums are exact
+    BIGINTs, so n*c_d - S_d is an exact integer and the squared
+    distance to the centroid, sum_d (n*c_d - S_d)^2 / n^2, folds
+    SEQUENTIALLY in dim order over identical doubles — ordering
+    (dist2 desc, vec_id asc) is engine-exact.
+
+    Scale: one posexplode rollup to 64 rows (the centroid), broadcast
+    back as a sorted array; the distance pass is map-side; TakeOrdered
+    for the top_k. No pairwise stage anywhere."""
+    from ..functions.text import round_half_up
+
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda v: F.floor(v * 1000000.0 + F.lit(0.5)).cast("long"),
+        ).alias("c"),
+    )
+    dims = e.select(
+        "vec_id", F.posexplode(F.col("c")).alias("dim", "x")
+    )
+    sums = dims.groupBy("dim").agg(F.sum("x").cast("long").alias("s"))
+    sarr = sums.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("ss"),
+        F.lit(1).alias("__one"),
+    )
+    cnt = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = e.crossJoin(F.broadcast(sarr)).crossJoin(F.broadcast(cnt))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("c"),
+            F.transform(F.col("ss"), lambda t: t["s"]),
+            lambda x, t: (
+                (F.col("n") * x - t).cast("double")
+                * (F.col("n") * x - t).cast("double")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / (F.col("n") * F.col("n")).cast("double")
+    return (
+        j.select("vec_id", "label", d2.alias("d2"))
+        .orderBy(F.desc("d2"), F.asc("vec_id"))
+        .limit(top_k)
+        .select(
+            "vec_id",
+            "label",
+            round_half_up(
+                F.sqrt(F.col("d2")) / 1000000.0, 6
+            ).alias("dist_to_centroid"),
+        )
+    )
+
+
+def duckdb_emb_outliers_sql(top_k: int = 20) -> str:
+    """DuckDB mirror of ``emb_outliers``: same micro quantization,
+    BIGINT centroid sums, dim-ordered distance fold, integer-double
+    ordering."""
+    return """
+      WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                 v -> CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5)
+                           AS BIGINT)) AS c
+        FROM embeddings),
+      sums AS (
+        SELECT i AS dim, CAST(sum(c[i]) AS BIGINT) AS s
+        FROM e, LATERAL (SELECT unnest(range(1, len(c) + 1)) AS i) _
+        GROUP BY 1),
+      sarr AS (SELECT list(s ORDER BY dim) AS ss FROM sums),
+      cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+      d AS (
+        SELECT vec_id, label,
+               list_reduce(list_prepend(0.0,
+                 list_transform(range(1, len(c) + 1),
+                   i -> CAST(n * c[i] - ss[i] AS DOUBLE)
+                        * CAST(n * c[i] - ss[i] AS DOUBLE))),
+                 (a, b) -> a + b) / CAST(n * n AS DOUBLE) AS d2
+        FROM e, sarr, cnt)
+      SELECT vec_id, label,
+             floor(sqrt(d2) / 1e6 * 1e6 + 0.5) / 1e6
+                 AS dist_to_centroid
+      FROM d
+      ORDER BY d2 DESC, vec_id ASC
+      LIMIT {top_k}
+    """.replace("{top_k}", str(int(top_k)))
+
+
+def ann_k_sweep(
+    emb: DataFrame,
+    ks: tuple = (1, 5, 10, 20),
+    every: int = 50,
+    n_tables: int = 16,
+    planes_per_table: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Recall-at-k CURVE of the multi-table LSH index: one max-k index
+    pass and one max-k exact pass, then recall@k for every k in ``ks``
+    read off the rank prefixes — the third ANN tuning dial
+    (``ann_bits_sweep`` walks the index knob, ``ann_nprobe_sweep`` the
+    query knob; this walks the CONSUMER's k, answering "is the index
+    still good enough if the application asks for 20 neighbors instead
+    of 5?" — recall@k typically decays with k since deeper true
+    neighbors sit in colder buckets).
+
+    Exactness: both sides are the deterministic rank relations
+    (_topk's integer tie-breaks); matching and counting are pure
+    integer; recall is one mirrored division.
+
+    Scale: ONE bucketed index pass + ONE bounded exact pass at
+    max(ks) — the sweep itself adds only constant-sized counting."""
+    from functools import reduce as _reduce
+
+    from ..functions.text import round_half_up
+
+    kmax = max(int(k) for k in ks)
+    exact = cosine_topk(emb, k=kmax, every=every).localCheckpoint(
+        eager=False
+    )
+    approx = ann_lsh_topk(
+        emb,
+        k=kmax,
+        every=every,
+        n_tables=n_tables,
+        planes_per_table=planes_per_table,
+        seed=seed,
+    )
+    j = exact.select(
+        "query_id", "neighbor_id", F.col("rank").alias("re")
+    ).join(
+        approx.select(
+            "query_id", "neighbor_id", F.col("rank").alias("ra")
+        ),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    ke = F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k")
+    per = (
+        j.select("re", "ra", ke)
+        .where(F.col("re") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(
+                F.when(
+                    F.col("ra").isNotNull()
+                    & (F.col("ra") <= F.col("k")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_matched"),
+        )
+    )
+    nq = exact.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries")
+    )
+    return per.crossJoin(broadcast(nq)).select(
+        "k",
+        "n_queries",
+        "n_matched",
+        "n_exact",
+        round_half_up(
+            F.col("n_matched").cast("double")
+            / F.col("n_exact").cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
+def duckdb_k_sweep_sql(
+    ks: tuple = (1, 5, 10, 20),
+    every: int = 50,
+    n_tables: int = 16,
+    planes_per_table: int = 4,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of ``ann_k_sweep``: the LSH top-kmax oracle and
+    the exact top-kmax brute force, prefix-matched per k."""
+    kmax = max(int(k) for k in ks)
+    klist = ", ".join(str(int(k)) for k in ks)
+    return f"""
+      WITH approx AS (
+        SELECT query_id, neighbor_id, rank AS ra
+        FROM ({duckdb_lsh_topk_sql(k=kmax, every=every,
+                                   n_tables=n_tables,
+                                   planes_per_table=planes_per_table,
+                                   seed=seed)})),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
+            WHERE {query_mod_sql(every)}),
+      scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                        list_cosine_similarity(q_emb, emb) AS sim
+                 FROM q JOIN e ON e.vec_id <> q.query_id),
+      exact AS (SELECT query_id, neighbor_id, re FROM (
+                  SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id ASC) AS re
+                  FROM scored) WHERE re <= {kmax}),
+      nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT)
+                 AS n_queries FROM exact),
+      jj AS (SELECT exact.query_id, exact.neighbor_id, re, ra
+             FROM exact LEFT JOIN approx
+               ON approx.query_id = exact.query_id
+              AND approx.neighbor_id = exact.neighbor_id),
+      per AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(sum(CASE WHEN ra IS NOT NULL AND ra <= k
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+        FROM jj, (SELECT unnest([{klist}]) AS k) _
+        WHERE re <= k GROUP BY 1)
+      SELECT CAST(k AS INTEGER) AS k, n_queries, n_matched, n_exact,
+        floor(CAST(n_matched AS DOUBLE) / CAST(n_exact AS DOUBLE)
+              * 1e6 + 0.5) / 1e6 AS recall
+      FROM per, nq
+    """

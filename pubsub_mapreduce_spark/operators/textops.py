@@ -1966,22 +1966,25 @@ def good_turing(docs: DataFrame, n_bands: int = 10) -> DataFrame:
     collapses to <= |distinct r| rows."""
     from ..functions.text import round_half_up as rh
 
-    toks = docs.select(
-        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "tok")
-    )
-    big = (
-        toks.alias("a")
-        .join(
-            toks.alias("b"),
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("b.pos") == F.col("a.pos") + 1),
-        )
-        .select(F.col("a.tok").alias("w1"), F.col("b.tok").alias("w2"))
-    )
+    # adjacent pairs in ONE map-side pass (zip of the token array with
+    # its own 1-shift) — the posexplode self-join formulation scans and
+    # shuffles the exploded tokens twice for the same pair set
+    big = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(T.tokens("text"), 1, F.size(T.tokens("text")) - 1),
+                F.slice(T.tokens("text"), 2, F.size(T.tokens("text")) - 1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
     tf = big.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("r")
     )
-    cc = tf.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    # counts-of-counts is <= |distinct r| rows and feeds two consumers
+    cc = tf.groupBy("r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    ).localCheckpoint(eager=False)
     nxt = cc.select(
         (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
     )
@@ -2022,28 +2025,32 @@ def kn_continuation(docs: DataFrame, top_n: int = 20) -> DataFrame:
     any counting; output is top_n rows."""
     from ..functions.text import round_half_up as rh
 
-    toks = docs.select(
-        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "tok")
-    )
     big = (
-        toks.alias("a")
-        .join(
-            toks.alias("b"),
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("b.pos") == F.col("a.pos") + 1),
+        docs.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(
+                        T.tokens("text"), 1, F.size(T.tokens("text")) - 1
+                    ),
+                    F.slice(
+                        T.tokens("text"), 2, F.size(T.tokens("text")) - 1
+                    ),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                )
+            ).alias("bg")
         )
-        .select(
-            F.col("a.tok").alias("w1"), F.col("b.tok").alias("w2")
-        )
+        .select("bg.w1", "bg.w2")
         .distinct()
+        # |bigram types|-sized, feeds the total and the per-w2 rollup
+        .localCheckpoint(eager=False)
     )
     total = big.agg(F.count(F.lit(1)).cast("long").alias("n_bigram_types"))
     cont = big.groupBy("w2").agg(
         F.count(F.lit(1)).cast("long").alias("cont_types")
     )
-    tf = toks.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("long").alias("freq")
-    )
+    tf = docs.select(
+        F.explode(T.tokens("text")).alias("tok")
+    ).groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("freq"))
     w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
     top = tf.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= top_n
@@ -2241,3 +2248,88 @@ def ttr_windows(docs: DataFrame, window: int = 20) -> DataFrame:
             6,
         ).alias("mean_ttr"),
     )
+
+
+def lang_id_f1(docs: DataFrame) -> DataFrame:
+    """Precision/recall/F1 of the heuristic language-ID treated as a
+    binary "is English" classifier against the corpus label, per class
+    plus a macro row — the SCORED summary ``lang_confusion``'s raw
+    contingency leaves to the reader (a mix-rebalancer gates on "did
+    lang-ID's F1 drop", not on eyeballing a table).
+
+    Exactness: integer confusion counts; each P/R/F1 is a mirrored
+    division (0-denominator -> 0.0 by convention); the macro row
+    averages the MICRO-QUANTIZED per-class F1s (exact BIGINT mean),
+    so no float-sum reassociation anywhere.
+
+    Scale: one map-side predict + tiny class rollup."""
+    from ..functions.text import round_half_up as rh
+
+    c = F.col("text")
+    pred = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        (T.lang_id(c) == "en").cast("int").alias("p"),
+    )
+    base = pred.select(
+        F.explode(
+            F.array(F.lit("en"), F.lit("other"))
+        ).alias("class"),
+        "y",
+        "p",
+    ).select(
+        "class",
+        F.when(F.col("class") == "en", F.col("y"))
+        .otherwise(1 - F.col("y"))
+        .alias("yy"),
+        F.when(F.col("class") == "en", F.col("p"))
+        .otherwise(1 - F.col("p"))
+        .alias("pp"),
+    )
+    g = base.groupBy("class").agg(
+        F.sum(F.col("yy") * F.col("pp")).cast("long").alias("tp"),
+        F.sum((1 - F.col("yy")) * F.col("pp")).cast("long").alias("fp"),
+        F.sum(F.col("yy") * (1 - F.col("pp"))).cast("long").alias("fn"),
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp").cast("double")
+        / (F.col("tp") + F.col("fp")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp").cast("double")
+        / (F.col("tp") + F.col("fn")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(
+        prec + rec > 0, 2.0 * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    per = g.select(
+        "class",
+        "tp",
+        "fp",
+        "fn",
+        rh(prec, 6).alias("precision"),
+        rh(rec, 6).alias("recall"),
+        rh(f1, 6).alias("f1"),
+        F.floor(f1 * 1000000.0 + F.lit(0.5)).cast("long").alias("__f1u"),
+    )
+    macro = per.agg(
+        F.sum("tp").cast("long").alias("tp"),
+        F.sum("fp").cast("long").alias("fp"),
+        F.sum("fn").cast("long").alias("fn"),
+        F.sum("__f1u").cast("long").alias("su"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    ).select(
+        F.lit("macro").alias("class"),
+        "tp",
+        "fp",
+        "fn",
+        F.lit(None).cast("double").alias("precision"),
+        F.lit(None).cast("double").alias("recall"),
+        rh(
+            F.col("su").cast("double")
+            / (F.col("k").cast("double") * 1000000.0),
+            6,
+        ).alias("f1"),
+    )
+    return per.drop("__f1u").unionByName(macro)

@@ -347,3 +347,293 @@ def test_readability_and_script_profile_hand(spark):
     assert r.digit_ratio == math.floor(2 / 7 * 1e6 + 0.5) / 1e6
     assert r.space_ratio == math.floor(2 / 7 * 1e6 + 0.5) / 1e6
     assert r.other_ratio == math.floor(1 / 7 * 1e6 + 0.5) / 1e6
+
+
+# ---- batch 3: survival / eval / fairness ------------------------------
+
+
+def test_nelson_aalen_hand(spark):
+    # two users of type a: both start day 1; u1 churns day 2 (corpus
+    # max day 3 via type b) -> H(day2) = 1/2
+    rows = [
+        (0, D(2024, 1, 1), 1, "a", 0.0),
+        (1, D(2024, 1, 2), 1, "a", 0.0),
+        (2, D(2024, 1, 1), 2, "a", 0.0),
+        (3, D(2024, 1, 3), 2, "a", 0.0),
+        (4, D(2024, 1, 3), 3, "b", 0.0),
+    ]
+    out = {
+        (r.event_type, r.day): r
+        for r in RB.nelson_aalen(_events(spark, rows)).collect()
+    }
+    a2 = out[("a", "2024-01-02")]
+    assert a2.n_risk == 2 and a2.n_churn == 1
+    assert a2.cum_hazard == 0.5 and a2.hazard_var == 0.25
+
+
+def test_gehan_matches_weighted_logrank_reference(spark):
+    # recompute W and VarW with plain Python from the same calendar
+    # spine the operator defines
+    import collections
+
+    rows = []
+    eid = 0
+    spans = {"a": [(1, 2), (1, 4), (2, 5)], "b": [(1, 5), (3, 5), (1, 3)]}
+    for g, us in spans.items():
+        for uid, (f, l) in enumerate(us):
+            u = hash((g, uid)) % 10000 + (0 if g == "a" else 50000)
+            rows.append((eid, D(2024, 1, f), u, g, 0.0)); eid += 1
+            rows.append((eid, D(2024, 1, l), u, g, 0.0)); eid += 1
+    out = RB.gehan_wilcoxon(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    mx = 5
+    days = range(1, 6)
+    stats = {}
+    for g, us in spans.items():
+        s = collections.Counter(f for f, _ in us)
+        d = collections.Counter(l for _, l in us if l < mx)
+        stats[g] = (s, d)
+    W = V = 0.0
+    o1 = 0
+    n_at = {g: 0 for g in spans}
+    churned = {g: 0 for g in spans}
+    for day in days:
+        for g in spans:
+            n_at[g] += stats[g][0].get(day, 0)
+        n1 = n_at["a"] - churned["a"]
+        n2 = n_at["b"] - churned["b"]
+        d1 = stats["a"][1].get(day, 0)
+        d2 = stats["b"][1].get(day, 0)
+        n, d = n1 + n2, d1 + d2
+        if d > 0 and n >= 2:
+            e = d * n1 / n
+            v = (d * n1 * n2 * (n - d)) / (n * n * (n - 1))
+            W += n * (d1 - e)
+            V += n * n * v
+            o1 += d1
+        churned["a"] += d1
+        churned["b"] += d2
+    assert r.o1 == o1
+    assert r.w_stat == _r6(W) and r.v_w == _r6(V)
+    assert r.chi2 == _r6(W * W / V)
+
+
+def test_auc_and_ap_hand(spark):
+    # scores: pos at {3, 1}, neg at {2, 0} (coordinate-sum of 1-dim
+    # embeddings); AUC by hand = (2 + 1) / 4 = 0.75
+    emb = spark.createDataFrame(
+        [
+            (1, [3.0], 1),
+            (2, [1.0], 1),
+            (3, [2.0], 0),
+            (4, [0.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    auc = RB.auc_scores(emb).collect()[0]
+    assert auc.n_pos == 2 and auc.n_neg == 2
+    assert auc.auc == 0.75
+    # AP: thresholds desc 3(P=1,R=.5), 2, 1(P=2/3,R=1), 0
+    # AP = .5*1 + .5*(2/3)
+    ap = RB.pr_auc(emb).collect()[0]
+    assert ap.average_precision == _r6(0.5 + 0.5 * 2 / 3)
+
+
+def test_equalized_odds_hand(spark):
+    cust = spark.createDataFrame(
+        [
+            (1, "a", 0, 9000.0, "S"),  # pred 1
+            (2, "b", 0, 1000.0, "S"),  # pred 0
+            (3, "c", 1, 9000.0, "S"),
+            (4, "d", 1, 1000.0, "S"),
+        ],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    # custs 1 and 4 are heavy users (>=10 orders)
+    rows = []
+    k = 0
+    for ck in (1, 4):
+        for _ in range(10):
+            rows.append((k, ck, "O", 1.0, D(2024, 1, 1), "1")); k += 1
+    out = {
+        r.nationkey: r
+        for r in RB.equalized_odds(
+            {"customer": cust, "orders": _orders(spark, rows)}
+        ).collect()
+    }
+    # nation 0: y=(1,0), p=(1,0) -> tpr=1, fpr=0
+    assert out[0].tpr == 1.0 and out[0].fpr == 0.0
+    # nation 1: y=(0,1), p=(1,0) -> tpr=0, fpr=1
+    assert out[1].tpr == 0.0 and out[1].fpr == 1.0
+    # global tpr = 1/2, fpr = 1/2 -> gaps
+    assert out[0].tpr_gap == 0.5 and out[1].tpr_gap == -0.5
+
+
+def test_lang_id_f1_macro(spark):
+    from pubsub_mapreduce_spark.operators.textops import lang_id_f1
+
+    # doc1: en-labeled, stopword-heavy -> predicted en (TP for 'en');
+    # doc2: de-labeled, no stopwords -> predicted other (TP for other)
+    docs = spark.createDataFrame(
+        [
+            (1, "the of and to in is it for on a", "en", "s", 1),
+            (2, "blah blub zzz qqq", "de", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars int",
+    )
+    out = {r["class"]: r for r in lang_id_f1(docs).collect()}
+    assert out["en"].tp == 1 and out["en"].fp == 0 and out["en"].fn == 0
+    assert out["en"].f1 == 1.0 and out["other"].f1 == 1.0
+    assert out["macro"].f1 == 1.0
+
+
+# ---- batch 4/5: graph, embedding, series ------------------------------
+
+
+def test_neighbor_jaccard_hand(spark):
+    # square 1-2-3-4-1: nodes 1,3 share neighbors {2,4} -> J = 1.0
+    edges = spark.createDataFrame(
+        [(1, 2, 2), (2, 3, 2), (3, 4, 2), (1, 4, 2)], "a long, b long, w long"
+    )
+    from pubsub_mapreduce_spark.operators.graph import neighbor_jaccard
+
+    out = {(r.u, r.v): r for r in neighbor_jaccard(edges).collect()}
+    assert out[(1, 3)].jaccard == 1.0 and out[(1, 3)].n_common == 2
+    assert out[(2, 4)].jaccard == 1.0
+
+
+def test_degree_assortativity_star_is_negative(spark):
+    # star graph: hub degree 4, leaves degree 1 -> perfectly
+    # disassortative, r = -1 -> r_plus1 = 0
+    edges = spark.createDataFrame(
+        [(0, i, 2) for i in range(1, 5)], "a long, b long, w long"
+    )
+    from pubsub_mapreduce_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    out = degree_assortativity(edges).collect()[0]
+    assert out.n_edges == 4 and out.r_plus1 == 0.0
+
+
+def test_hits_two_iteration_hand(spark):
+    # orders: cust 1 -> order 10 {p1, p2}; cust 2 -> order 20 {p2}
+    orders = _orders(
+        spark,
+        [(10, 1, "O", 1.0, D(2024, 1, 1), "1"),
+         (20, 2, "O", 1.0, D(2024, 1, 1), "1")],
+    )
+    li = spark.createDataFrame(
+        [(10, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", D(2024, 1, 2)),
+         (10, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", D(2024, 1, 2)),
+         (20, 2, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", D(2024, 1, 2))],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    )
+    from pubsub_mapreduce_spark.operators.graph import hits_scores
+
+    out = {r.partkey: r for r in hits_scores(orders, li).collect()}
+    # a1: p1=1, p2=2; h1: u1=3, u2=2; a2: p1=3, p2=5
+    assert out[1].authority == 3 and out[2].authority == 5
+    assert out[2].auth_ratio == 1.0 and out[1].auth_ratio == 0.6
+
+
+def test_emb_outliers_planted(spark):
+    # 20 vectors at origin-ish, one far away -> it tops the list
+    rows = [(i, [0.0, 0.0], 0) for i in range(20)] + [(99, [10.0, 0.0], 1)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    from pubsub_mapreduce_spark.operators.similarity import emb_outliers
+
+    out = emb_outliers(emb, top_k=3).collect()
+    assert out[0].vec_id == 99
+    # centroid = (10/21, 0); dist = 10 - 10/21
+    want = 10.0 - 10.0 / 21.0
+    assert abs(out[0].dist_to_centroid - want) < 1e-4
+
+
+def test_ann_k_sweep_monotone_counts(spark):
+    from pubsub_mapreduce_spark.io import load_tables
+    from pubsub_mapreduce_spark.operators.similarity import ann_k_sweep
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    out = {r.k: r for r in ann_k_sweep(emb).collect()}
+    assert set(out) == {1, 5, 10, 20}
+    nq = out[1].n_queries
+    for k in (1, 5, 10, 20):
+        assert out[k].n_exact == k * nq
+        assert 0 <= out[k].n_matched <= out[k].n_exact
+
+
+def test_downsample_and_croston_hand(spark):
+    # 10 days of revenue 1..10 dollars into 5 buckets of 2 days
+    rows = [
+        (i, 1, "O", float(i + 1), D(2024, 1, 1) + dt.timedelta(days=i), "1")
+        for i in range(10)
+    ]
+    out = {
+        r.bucket: r
+        for r in RB.ts_downsample_minmax(
+            _orders(spark, rows), n_buckets=5
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[0].y_min == 100 and out[0].y_max == 200
+    assert out[0].y_first == 100 and out[0].y_last == 200
+    assert out[4].y_min == 900 and out[4].y_max == 1000
+    # croston: type a active days 1 and 4 (of 1..4 calendar via type b),
+    # z = [2, 3], gaps = [1, 3]
+    ev = []
+    eid = 0
+    for _ in range(2):
+        ev.append((eid, D(2024, 3, 1), 1, "a", 0.0)); eid += 1
+    for _ in range(3):
+        ev.append((eid, D(2024, 3, 4), 1, "a", 0.0)); eid += 1
+    ev.append((eid, D(2024, 3, 2), 2, "b", 0.0)); eid += 1
+    out2 = {
+        r.event_type: r
+        for r in RB.croston_forecast(_events(spark, ev)).collect()
+    }
+    a = out2["a"]
+    lvl = 0.1 * 3 + 0.9 * 2
+    itv = 0.1 * 3 + 0.9 * 1
+    assert a.n_demands == 2 and a.n_days == 4
+    assert a.level == _r6(lvl) and a.interval == _r6(itv)
+    assert a.forecast == _r6(lvl / itv)
+
+
+def test_order_reconciliation_buckets(spark):
+    from pubsub_mapreduce_spark.operators.relational import (
+        order_reconciliation,
+    )
+
+    orders = _orders(
+        spark,
+        [(1, 1, "O", 2.0, D(2024, 1, 1), "1"),   # lines sum to 2.00
+         (2, 1, "O", 2.5, D(2024, 1, 1), "1"),   # lines sum to 2.00
+         (3, 1, "O", 99.0, D(2024, 1, 1), "1")],  # no lines
+    )
+    li = spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 2.0, 0.0, 0.0, "N", "O", D(2024, 1, 2)),
+         (2, 1, 1, 1, 1.0, 2.0, 0.0, 0.0, "N", "O", D(2024, 1, 2))],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    )
+    out = {
+        r.bucket: r
+        for r in order_reconciliation(
+            {"orders": orders, "lineitem": li}
+        ).collect()
+    }
+    assert out["exact"].n_orders == 1
+    assert out["sub_dollar"].n_orders == 1
+    assert out["sub_dollar"].max_abs_diff_cents == 50
+    assert out["no_lines"].n_orders == 1
