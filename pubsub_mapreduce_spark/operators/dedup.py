@@ -954,6 +954,12 @@ def scrub_duplicate_spans(
             F.min("span_start").alias("mstart"),
             F.max(F.col("span_start") + F.col("span_len")).alias("mend"),
         )
+        # merged spans are tiny (flagged docs only) but feed TWO
+        # consumers (gaps + per_doc): without the checkpoint the whole
+        # k-gram span pipeline replays per branch (r7 solo profile:
+        # scrub 3.0s warm vs the span report's 1.5s — the delta was
+        # exactly one replay; 3.0 -> ~2.1s with the boundary)
+        .localCheckpoint(eager=False)
     )
     wm = Window.partitionBy("doc_id").orderBy("mstart")
     gaps = merged.select(
