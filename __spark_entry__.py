@@ -3232,6 +3232,28 @@ def q_order_reconciliation(spark, sf_dir):
     return R.order_reconciliation(load_tables(spark, sf_dir))
 
 
+def q_tukey_hsd(spark, sf_dir):
+    """Tukey HSD studentized-range q per priority pair
+    (robust.tukey_hsd): anova_oneway's post-hoc — DECIMAL moments,
+    priority-sorted MSW fold, one mirrored expression per pair."""
+    return RB.tukey_hsd(load_tables(spark, sf_dir)["orders"])
+
+
+def q_chow_test(spark, sf_dir):
+    """Chow structural-break F of the daily order-count trend at the
+    midpoint (robust.chow_test): per-segment closed-form OLS RSS from
+    centered BIGINT moments."""
+    return RB.chow_test(load_tables(spark, sf_dir)["orders"])
+
+
+def q_granger_lite(spark, sf_dir):
+    """Lag-1 Granger predictability between the two busiest event
+    types, both directions (robust.granger_lite): zero-filled shared
+    calendar, closed-form 2-regressor OLS from centered DECIMAL
+    moments."""
+    return RB.granger_lite(load_tables(spark, sf_dir)["events"])
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3269,6 +3291,7 @@ R7_NEW: list[str] = [
     "neighbor_jaccard", "degree_assortativity", "hits_scores",
     "emb_outliers", "ann_k_sweep", "ts_downsample_minmax",
     "croston_forecast", "order_reconciliation",
+    "tukey_hsd", "chow_test", "granger_lite",
 ]
 
 R8_QUEUE = R7_NEW[29:]
@@ -3602,6 +3625,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_downsample_minmax": q_ts_downsample_minmax,
         "croston_forecast": q_croston_forecast,
         "order_reconciliation": q_order_reconciliation,
+        # --- late round-7 additions (past gate slot 50: they derive
+        # into R8_QUEUE and owe the round-8 window) --------------------
+        "tukey_hsd": q_tukey_hsd,
+        "chow_test": q_chow_test,
+        "granger_lite": q_granger_lite,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -12472,5 +12500,187 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(n_total AS DOUBLE) * 1e6 + 0.5) / 1e6
                    AS share
         FROM j, tot GROUP BY 1, n_total
+    """
+
+    out["tukey_hsd"] = """
+        WITH g AS (
+          SELECT o_orderpriority AS p, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS s,
+                 sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS HUGEINT)
+                     * CAST(round(o_totalprice * 100) AS BIGINT)) AS q
+          FROM orders GROUP BY 1),
+        arr AS (
+          SELECT list(struct_pack(p := p, n := n, s := s)
+                      ORDER BY p) AS gs,
+                 CAST(sum(n) AS BIGINT) AS nn,
+                 sum(q) AS qq,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM g),
+        msw AS (
+          SELECT nn, k,
+            (CAST(qq AS DOUBLE)
+             - list_reduce(list_prepend(0.0, list_transform(gs,
+                 t -> CAST(CAST(t.s AS HUGEINT) * t.s AS DOUBLE)
+                      / CAST(t.n AS DOUBLE))), (a, b) -> a + b))
+            / CAST(nn - k AS DOUBLE) AS msw
+          FROM arr)
+        SELECT a.p AS p1, b.p AS p2, a.n AS n1, b.n AS n2,
+          floor((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                 - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)) / 100.0
+                * 100.0 + 0.5) / 100.0 AS mean_diff_usd,
+          floor(abs(CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                    - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+                / sqrt(msw / 2.0 * (1.0 / CAST(a.n AS DOUBLE)
+                                    + 1.0 / CAST(b.n AS DOUBLE)))
+                * 1e6 + 0.5) / 1e6 AS q_stat
+        FROM g a JOIN g b ON a.p < b.p, msw
+        WHERE msw > 0 AND nn > k
+    """
+    out["chow_test"] = """
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        idx AS (
+          SELECT d, y,
+                 CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS t
+          FROM daily),
+        cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM idx),
+        seg AS (
+          SELECT t, y,
+                 CASE WHEN t < n_all // 2 THEN 1 ELSE 2 END AS half
+          FROM idx, cnt),
+        bothg AS (
+          SELECT t, y, grp
+          FROM seg, LATERAL (SELECT unnest([half, 0]) AS grp) _),
+        m AS (
+          SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(t) AS BIGINT) AS st,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 sum(CAST(t AS HUGEINT) * t) AS stt,
+                 sum(CAST(t AS HUGEINT) * y) AS sty,
+                 sum(CAST(y AS HUGEINT) * y) AS syy
+          FROM bothg GROUP BY 1),
+        terms AS (
+          SELECT grp, n,
+            (CAST(CAST(n AS HUGEINT) * syy
+                  - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+             - CAST(CAST(n AS HUGEINT) * sty
+                    - CAST(st AS HUGEINT) * sy AS DOUBLE)
+               * CAST(CAST(n AS HUGEINT) * sty
+                      - CAST(st AS HUGEINT) * sy AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * stt
+                      - CAST(st AS HUGEINT) * st AS DOUBLE))
+            / CAST(n AS DOUBLE) AS rss
+          FROM m
+          WHERE CAST(n AS HUGEINT) * stt - CAST(st AS HUGEINT) * st > 0),
+        arr AS (
+          SELECT list(struct_pack(grp := grp, n := n, rss := rss)
+                      ORDER BY grp) AS xs,
+                 CAST(count(*) AS BIGINT) AS kk
+          FROM terms)
+        SELECT
+          list_filter(xs, t -> t.grp = 0)[1].n AS n_days,
+          CAST(list_filter(xs, t -> t.grp = 0)[1].n // 2 AS BIGINT)
+              AS break_index,
+          floor(list_filter(xs, t -> t.grp = 0)[1].rss * 1e6 + 0.5)
+              / 1e6 AS rss_pooled,
+          floor((list_filter(xs, t -> t.grp = 1)[1].rss
+                 + list_filter(xs, t -> t.grp = 2)[1].rss)
+                * 1e6 + 0.5) / 1e6 AS rss_split,
+          floor(((list_filter(xs, t -> t.grp = 0)[1].rss
+                  - list_filter(xs, t -> t.grp = 1)[1].rss
+                  - list_filter(xs, t -> t.grp = 2)[1].rss) / 2.0)
+                / ((list_filter(xs, t -> t.grp = 1)[1].rss
+                    + list_filter(xs, t -> t.grp = 2)[1].rss)
+                   / CAST(list_filter(xs, t -> t.grp = 0)[1].n - 4
+                          AS DOUBLE))
+                * 1e6 + 0.5) / 1e6 AS f_stat
+        FROM arr
+        WHERE kk = 3
+          AND list_filter(xs, t -> t.grp = 1)[1].rss
+              + list_filter(xs, t -> t.grp = 2)[1].rss > 0
+          AND list_filter(xs, t -> t.grp = 0)[1].n > 4
+    """
+    out["granger_lite"] = """
+        WITH daily AS (
+          SELECT event_type AS t, CAST(ts AS DATE) AS d,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        totals AS (SELECT t, CAST(sum(x) AS BIGINT) AS tot
+                   FROM daily GROUP BY 1),
+        ranked AS (
+          SELECT t, row_number() OVER (ORDER BY tot DESC, t ASC) AS rk
+          FROM totals QUALIFY rk <= 2),
+        bounds AS (SELECT min(d) AS mn, max(d) AS mx FROM daily),
+        cal AS (
+          SELECT r.t, r.rk,
+                 CAST(unnest(generate_series(CAST(b.mn AS TIMESTAMP),
+                        CAST(b.mx AS TIMESTAMP),
+                        INTERVAL 1 DAY)) AS DATE) AS d
+          FROM ranked r CROSS JOIN bounds b),
+        filled AS (
+          SELECT cal.rk, cal.d, COALESCE(daily.x, 0) AS x
+          FROM cal LEFT JOIN daily
+            ON daily.t = cal.t AND daily.d = cal.d),
+        wide AS (
+          SELECT d, max(CASE WHEN rk = 1 THEN x END) AS a,
+                    max(CASE WHEN rk = 2 THEN x END) AS b
+          FROM filled GROUP BY 1),
+        lagged AS (
+          SELECT d, a AS ya, b AS yb,
+                 lag(a) OVER (ORDER BY d) AS la,
+                 lag(b) OVER (ORDER BY d) AS lb
+          FROM wide QUALIFY la IS NOT NULL),
+        dirs AS (
+          SELECT 'b_causes_a' AS direction, ya AS y, la AS l1, lb AS l2
+          FROM lagged
+          UNION ALL
+          SELECT 'a_causes_b', yb, lb, la FROM lagged),
+        mom AS (
+          SELECT direction, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(l1) AS BIGINT) AS s1,
+                 CAST(sum(l2) AS BIGINT) AS s2,
+                 sum(CAST(y AS HUGEINT) * y) AS syy,
+                 sum(CAST(l1 AS HUGEINT) * l1) AS s11,
+                 sum(CAST(l2 AS HUGEINT) * l2) AS s22,
+                 sum(CAST(l1 AS HUGEINT) * l2) AS s12,
+                 sum(CAST(l1 AS HUGEINT) * y) AS s1y,
+                 sum(CAST(l2 AS HUGEINT) * y) AS s2y
+          FROM dirs GROUP BY 1),
+        c AS (
+          SELECT direction, n,
+            CAST(CAST(n AS HUGEINT) * s11
+                 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) AS c11,
+            CAST(CAST(n AS HUGEINT) * s22
+                 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE) AS c22,
+            CAST(CAST(n AS HUGEINT) * s12
+                 - CAST(s1 AS HUGEINT) * s2 AS DOUBLE) AS c12,
+            CAST(CAST(n AS HUGEINT) * s1y
+                 - CAST(s1 AS HUGEINT) * sy AS DOUBLE) AS c1y,
+            CAST(CAST(n AS HUGEINT) * s2y
+                 - CAST(s2 AS HUGEINT) * sy AS DOUBLE) AS c2y,
+            CAST(CAST(n AS HUGEINT) * syy
+                 - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS cyy
+          FROM mom),
+        f AS (
+          SELECT direction, n,
+                 cyy - c1y * c1y / c11 AS rss_r,
+                 cyy - (c22 * c1y * c1y
+                        - 2.0 * c12 * c1y * c2y
+                        + c11 * c2y * c2y)
+                       / (c11 * c22 - c12 * c12) AS rss_u,
+                 c11, c11 * c22 - c12 * c12 AS det
+          FROM c)
+        SELECT direction, n,
+          floor((rss_r - rss_u) / rss_r * 1e6 + 0.5) / 1e6
+              AS rss_reduction,
+          floor((rss_r - rss_u) / (rss_u / CAST(n - 3 AS DOUBLE))
+                * 1e6 + 0.5) / 1e6 AS f_stat
+        FROM f
+        WHERE c11 > 0 AND det > 0 AND rss_u > 0 AND n > 3
     """
     return out

@@ -404,6 +404,9 @@ BENCH_QUERIES = [
     "ts_downsample_minmax",
     "croston_forecast",
     "order_reconciliation",
+    "tukey_hsd",
+    "chow_test",
+    "granger_lite",
 ]
 
 # Heavy composite queries (>3s at sf0.1). Benched at ONE rep so the

@@ -5727,3 +5727,309 @@ def croston_forecast(
             round_half_up(level / interval, 6).alias("forecast"),
         )
     )
+
+
+def tukey_hsd(orders: DataFrame) -> DataFrame:
+    """Tukey HSD q statistics for every pair of order priorities —
+    the post-hoc that belongs to ``anova_oneway`` exactly as
+    ``dunn_posthoc`` belongs to ``kruskal_wallis``: once the omnibus F
+    flags A difference, q_ij = |mean_i - mean_j| /
+    sqrt(MSW/2 * (1/n_i + 1/n_j)) says WHICH pairs differ, on the
+    studentized-range scale (compare to q_crit from the k, N-k table;
+    the statistic, not the table lookup, is the data-side work).
+
+    Exactness: group moments are exact integers (cents, DECIMAL(38)
+    squares); MSW reuses the ANOVA identity (Q - sum S_g^2/n_g) with
+    the per-group terms folded in priority order; each pair row is one
+    mirrored float expression. Zero-variance pools drop by predicate.
+
+    Scale: one k-row rollup; the pair grid is k^2 dimension-sized."""
+    c = _cents("o_totalprice")
+    g = orders.groupBy(F.col("o_orderpriority").alias("p")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).cast("long").alias("s"),
+        F.sum(c.cast(DEC) * c.cast(DEC)).cast(DEC).alias("q"),
+    ).localCheckpoint(eager=False)
+    arr = g.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("p", "n", "s"))).alias(
+            "gs"
+        ),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("q").cast(DEC).alias("qq"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    between_raw = F.aggregate(
+        F.col("gs"),
+        F.lit(0.0),
+        lambda a, t: a
+        + (t["s"].cast(DEC) * t["s"].cast(DEC)).cast("double")
+        / t["n"].cast("double"),
+    )
+    msw_row = arr.select(
+        "nn",
+        "k",
+        (
+            (F.col("qq").cast("double") - between_raw)
+            / (F.col("nn") - F.col("k")).cast("double")
+        ).alias("msw"),
+    )
+    a = g.select(
+        F.col("p").alias("p1"),
+        F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
+    )
+    b = g.select(
+        F.col("p").alias("p2"),
+        F.col("n").alias("n2"),
+        F.col("s").alias("s2"),
+    )
+    pairs = a.join(b, F.col("p1") < F.col("p2")).crossJoin(
+        F.broadcast(msw_row)
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1").cast("double")
+    m2 = F.col("s2").cast("double") / F.col("n2").cast("double")
+    se = F.sqrt(
+        F.col("msw")
+        / 2.0
+        * (
+            F.lit(1.0) / F.col("n1").cast("double")
+            + F.lit(1.0) / F.col("n2").cast("double")
+        )
+    )
+    return pairs.where((F.col("msw") > 0) & (F.col("nn") > F.col("k"))).select(
+        "p1",
+        "p2",
+        "n1",
+        "n2",
+        round_half_up((m1 - m2) / 100.0, 2).alias("mean_diff_usd"),
+        round_half_up(F.abs(m1 - m2) / se, 6).alias("q_stat"),
+    )
+
+
+def chow_test(orders: DataFrame) -> DataFrame:
+    """Chow structural-break test of the daily order-count series at
+    the midpoint: fit y ~ t by OLS on each half and pooled, F =
+    ((RSS_p - RSS_1 - RSS_2) / 2) / ((RSS_1 + RSS_2) / (n - 4)) — the
+    "did the data-generating process CHANGE?" test the changepoint
+    family's detectors (pettitt, page_hinkley) flag but don't
+    formally score against a fitted trend.
+
+    Exactness: per-segment regression moments are exact integers
+    (DECIMAL squares); each RSS is ONE mirrored float expression
+    RSS = (Cyy - Cty^2 / Ctt) / n of the centered BIGINT sums
+    (C.. = n*S.. - S.*S.), and F is one more. Degenerate halves
+    (constant t or n <= 4) drop by integer predicate.
+
+    Scale: one daily rollup, one calendar-sized indexed pass, a 3-row
+    moment rollup (half 1 / half 2 / pooled)."""
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    idx = daily.withColumn(
+        "t", (F.row_number().over(Window.orderBy("d")) - 1).cast("long")
+    ).localCheckpoint(eager=False)
+    cnt = idx.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    seg = idx.crossJoin(F.broadcast(cnt)).select(
+        "t",
+        "y",
+        F.when(F.col("t") < F.expr("n_all div 2"), F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("half"),
+    )
+    both = seg.select("t", "y", F.explode(
+        F.array(F.col("half"), F.lit(0))
+    ).alias("grp"))  # grp 0 = pooled
+
+    def moments(df):
+        return df.groupBy("grp").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("t").cast("long").alias("st"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("t").cast(DEC) * F.col("t").cast(DEC))
+            .cast(DEC)
+            .alias("stt"),
+            F.sum(F.col("t").cast(DEC) * F.col("y").cast(DEC))
+            .cast(DEC)
+            .alias("sty"),
+            F.sum(F.col("y").cast(DEC) * F.col("y").cast(DEC))
+            .cast(DEC)
+            .alias("syy"),
+        )
+
+    m = moments(both)
+    ctt = (
+        F.col("n").cast(DEC) * F.col("stt")
+        - F.col("st").cast(DEC) * F.col("st").cast(DEC)
+    ).cast("double")
+    cty = (
+        F.col("n").cast(DEC) * F.col("sty")
+        - F.col("st").cast(DEC) * F.col("sy").cast(DEC)
+    ).cast("double")
+    cyy = (
+        F.col("n").cast(DEC) * F.col("syy")
+        - F.col("sy").cast(DEC) * F.col("sy").cast(DEC)
+    ).cast("double")
+    rss = (cyy - cty * cty / ctt) / F.col("n").cast("double")
+    terms = m.where(ctt > 0).select(
+        "grp", F.col("n").alias("n"), rss.alias("rss")
+    )
+    arr = terms.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("grp", "n", "rss"))).alias(
+            "xs"
+        ),
+        F.count(F.lit(1)).cast("long").alias("kk"),
+    )
+
+    def pick(grp):
+        return F.element_at(
+            F.filter(F.col("xs"), lambda t: t["grp"] == grp), 1
+        )
+
+    rss_p = pick(0)["rss"]
+    rss_1 = pick(1)["rss"]
+    rss_2 = pick(2)["rss"]
+    n_all = pick(0)["n"]
+    f_stat = ((rss_p - rss_1 - rss_2) / 2.0) / (
+        (rss_1 + rss_2) / (n_all - 4).cast("double")
+    )
+    return arr.where(
+        (F.col("kk") == 3) & (rss_1 + rss_2 > 0) & (n_all > 4)
+    ).select(
+        n_all.alias("n_days"),
+        F.expr("element_at(filter(xs, t -> t.grp = 0), 1).n div 2")
+        .cast("long")
+        .alias("break_index"),
+        round_half_up(rss_p, 6).alias("rss_pooled"),
+        round_half_up(rss_1 + rss_2, 6).alias("rss_split"),
+        round_half_up(f_stat, 6).alias("f_stat"),
+    )
+
+
+def granger_lite(events: DataFrame) -> DataFrame:
+    """Lag-1 Granger-style predictability between the two BUSIEST event
+    types (deterministic pick: count desc, type asc): does adding
+    x_{t-1} (the other type's daily count) to y ~ y_{t-1} cut the
+    residual sum of squares?
+
+        F = (RSS_r - RSS_u) / (RSS_u / (n - 3))
+
+    with the unrestricted fit solved in closed form from the centered
+    2x2 normal equations — the DIRECTIONAL lead-lag test ``ccf_daily``
+    only hints at (a CCF peak at +1 says "correlated at lag 1"; this
+    says "x still helps AFTER y's own history is accounted for"). Both
+    directions emitted (x->y and y->x).
+
+    Exactness: zero-filled shared calendar; all centered moments are
+    exact integers (C.. = n*S.. - S.*S., DECIMAL); RSS_r, RSS_u
+    (via the explicit 2x2 inverse) and F are mirrored float
+    expressions of those. Degenerate series (zero variance, singular
+    normal matrix) drop by predicate.
+
+    Scale: one daily rollup, one 2-type calendar join — everything
+    after the rollup is calendar-sized."""
+    from pyspark.sql.functions import broadcast
+
+    daily = events.groupBy(
+        F.col("event_type").alias("t"), F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x")).localCheckpoint(
+        eager=False
+    )
+    totals = daily.groupBy("t").agg(F.sum("x").cast("long").alias("tot"))
+    ranked = totals.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("tot").desc(), F.col("t").asc())
+        ),
+    ).where(F.col("rk") <= 2)
+    bounds = daily.agg(F.min("d").alias("__mn"), F.max("d").alias("__mx"))
+    cal = ranked.select("t", "rk").join(broadcast(bounds)).select(
+        "t",
+        "rk",
+        F.explode(F.expr("sequence(__mn, __mx, interval 1 day)")).alias(
+            "d"
+        ),
+    )
+    filled = cal.join(daily, ["t", "d"], "left").select(
+        "rk", "d", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    )
+    wide = (
+        filled.groupBy("d")
+        .pivot("rk", [1, 2])
+        .agg(F.first("x"))
+        .select(
+            "d",
+            F.col("1").alias("a"),
+            F.col("2").alias("b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = Window.orderBy("d")
+    lagged = wide.select(
+        "d",
+        F.col("a").alias("ya"),
+        F.col("b").alias("yb"),
+        F.lag("a").over(w).alias("la"),
+        F.lag("b").over(w).alias("lb"),
+    ).where(F.col("la").isNotNull())
+
+    def direction(y, own_lag, other_lag, label):
+        g = lagged.select(
+            F.col(y).alias("y"),
+            F.col(own_lag).alias("l1"),
+            F.col(other_lag).alias("l2"),
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum("l1").cast("long").alias("s1"),
+            F.sum("l2").cast("long").alias("s2"),
+            F.sum(F.col("y").cast(DEC) * F.col("y").cast(DEC))
+            .cast(DEC)
+            .alias("syy"),
+            F.sum(F.col("l1").cast(DEC) * F.col("l1").cast(DEC))
+            .cast(DEC)
+            .alias("s11"),
+            F.sum(F.col("l2").cast(DEC) * F.col("l2").cast(DEC))
+            .cast(DEC)
+            .alias("s22"),
+            F.sum(F.col("l1").cast(DEC) * F.col("l2").cast(DEC))
+            .cast(DEC)
+            .alias("s12"),
+            F.sum(F.col("l1").cast(DEC) * F.col("y").cast(DEC))
+            .cast(DEC)
+            .alias("s1y"),
+            F.sum(F.col("l2").cast(DEC) * F.col("y").cast(DEC))
+            .cast(DEC)
+            .alias("s2y"),
+        )
+        nD = F.col("n").cast(DEC)
+        c11 = (nD * F.col("s11") - F.col("s1").cast(DEC) * F.col("s1").cast(DEC)).cast("double")
+        c22 = (nD * F.col("s22") - F.col("s2").cast(DEC) * F.col("s2").cast(DEC)).cast("double")
+        c12 = (nD * F.col("s12") - F.col("s1").cast(DEC) * F.col("s2").cast(DEC)).cast("double")
+        c1y = (nD * F.col("s1y") - F.col("s1").cast(DEC) * F.col("sy").cast(DEC)).cast("double")
+        c2y = (nD * F.col("s2y") - F.col("s2").cast(DEC) * F.col("sy").cast(DEC)).cast("double")
+        cyy = (nD * F.col("syy") - F.col("sy").cast(DEC) * F.col("sy").cast(DEC)).cast("double")
+        det = c11 * c22 - c12 * c12
+        rss_r = cyy - c1y * c1y / c11
+        rss_u = cyy - (
+            c22 * c1y * c1y
+            - 2.0 * c12 * c1y * c2y
+            + c11 * c2y * c2y
+        ) / det
+        f_stat = (rss_r - rss_u) / (
+            rss_u / (F.col("n") - 3).cast("double")
+        )
+        return g.where(
+            (c11 > 0) & (det > 0) & (rss_u > 0) & (F.col("n") > 3)
+        ).select(
+            F.lit(label).alias("direction"),
+            "n",
+            round_half_up((rss_r - rss_u) / rss_r, 6).alias(
+                "rss_reduction"
+            ),
+            round_half_up(f_stat, 6).alias("f_stat"),
+        )
+
+    return direction("ya", "la", "lb", "b_causes_a").unionByName(
+        direction("yb", "lb", "la", "a_causes_b")
+    )

@@ -637,3 +637,86 @@ def test_order_reconciliation_buckets(spark):
     assert out["sub_dollar"].n_orders == 1
     assert out["sub_dollar"].max_abs_diff_cents == 50
     assert out["no_lines"].n_orders == 1
+
+
+# ---- batch 6: post-hoc / structural-break / lead-lag ------------------
+
+
+def test_tukey_hsd_hand(spark):
+    # groups (cents): a=[100, 300], b=[500, 700]; MSW = (20000+20000)/2
+    rows = [
+        (1, 1, "O", 1.0, D(2024, 1, 1), "a"),
+        (2, 1, "O", 3.0, D(2024, 1, 1), "a"),
+        (3, 1, "O", 5.0, D(2024, 1, 1), "b"),
+        (4, 1, "O", 7.0, D(2024, 1, 1), "b"),
+    ]
+    out = RB.tukey_hsd(_orders(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    msw = 20000.0
+    se = math.sqrt(msw / 2 * (1 / 2 + 1 / 2))
+    assert r.mean_diff_usd == -4.0
+    assert r.q_stat == _r6(400.0 / se)
+
+
+def test_chow_planted_break(spark):
+    # first 16 days flat at 2/day, next 16 days ramping 2,4,6,... ->
+    # the split fit beats the pooled fit, F > 0; verify against a
+    # literal Python recomputation
+    # noisy halves (an exactly-linear segment has RSS 0 and the
+    # degenerate-fit predicate drops it)
+    counts = [2 + (i % 3) for i in range(16)] + [
+        2 * (i + 1) + ((i * 5) % 7) for i in range(16)
+    ]
+    rows = []
+    k = 0
+    for i, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (k, 1, "O", 1.0, D(2024, 1, 1) + dt.timedelta(days=i), "1")
+            )
+            k += 1
+    out = RB.chow_test(_orders(spark, rows)).collect()[0]
+
+    def rss(pts):
+        n = len(pts)
+        st = sum(t for t, _ in pts); sy = sum(y for _, y in pts)
+        stt = sum(t * t for t, _ in pts)
+        sty = sum(t * y for t, y in pts)
+        syy = sum(y * y for _, y in pts)
+        ctt = n * stt - st * st
+        cty = n * sty - st * sy
+        cyy = n * syy - sy * sy
+        return (cyy - cty * cty / ctt) / n
+
+    pts = list(enumerate(counts))
+    r_p = rss(pts); r_1 = rss(pts[:16]); r_2 = rss(pts[16:])
+    f = ((r_p - r_1 - r_2) / 2) / ((r_1 + r_2) / (32 - 4))
+    assert out.n_days == 32 and out.break_index == 16
+    assert out.f_stat == _r6(f) and out.f_stat > 10
+
+
+def test_granger_planted_lead(spark):
+    # type a's count at t predicts type b's count at t+1 exactly
+    # (b_t = a_{t-1}); a itself is an uninformative wiggle ->
+    # a_causes_b has a large F, b_causes_a does not
+    a_counts = [((i * 7) % 5) + 1 for i in range(20)]
+    rows, k = [], 0
+    for i, c in enumerate(a_counts):
+        for _ in range(c):
+            rows.append((k, D(2024, 1, 1 + i), 1, "aa", 0.0)); k += 1
+    # b_t tracks a_{t-1} plus a small independent wiggle (an EXACT
+    # functional dependence gives RSS_u = 0, which the degenerate-fit
+    # predicate drops)
+    for i in range(1, 20):
+        for _ in range(a_counts[i - 1] + (i % 2)):
+            rows.append((k, D(2024, 1, 1 + i), 2, "bb", 0.0)); k += 1
+    ev = _events(spark, rows)
+    out = {r.direction: r for r in RB.granger_lite(ev).collect()}
+    # ranked: 'aa' and 'bb' are the two busiest (only) types; rk order
+    # by total count. Whichever direction captures lagged-a -> b must
+    # dominate the reverse.
+    fwd = max(out.values(), key=lambda r: r.f_stat)
+    rev = min(out.values(), key=lambda r: r.f_stat)
+    assert fwd.f_stat > 10 * max(rev.f_stat, 0.001)
+    assert fwd.rss_reduction > 0.8

@@ -931,3 +931,79 @@ def test_jl_distortion_default_knobs_bounded_at_scale(spark):
     # eff = 11 * ceil(30000 / 22000) = 22
     assert n_q <= (n + 21) // 22
     assert out.count() <= n_q * (n_q - 1) // 2
+
+
+def test_neighbor_jaccard_hub_capped_at_scale(spark):
+    """Same envelope proof as adamic_adar: a 100k-degree hub must not
+    mediate pairs (C(100k,2) would be ~5e9 rows); only the bounded
+    mid-degree node does. The capped degrees count ELIGIBLE neighbors
+    only, so the emitted Jaccard is exact on the filtered graph."""
+    from pubsub_mapreduce_spark.operators.graph import neighbor_jaccard
+
+    hub = spark.range(100_000).selectExpr(
+        "CAST(100000 AS LONG) a", "id AS b", "CAST(1 AS LONG) w"
+    )
+    mid = spark.range(50).selectExpr(
+        "CAST(200000 AS LONG) a", "id AS b", "CAST(1 AS LONG) w"
+    )
+    edges = hub.unionByName(mid)
+    out = neighbor_jaccard(edges, top_k=200, max_deg=200).collect()
+    assert out
+    # no pair of hub-only leaves (ids 50..99999) may appear
+    assert not any(
+        50 <= r.u < 100_000 and 50 <= r.v < 100_000 for r in out
+    )
+    # leaves 0..49 share exactly their one eligible mediator (the mid
+    # node); their capped degree is 1 (the hub is ineligible) -> J = 1
+    leaf = [r for r in out if r.u < 50 and r.v < 50]
+    assert leaf and all(
+        r.n_common == 1 and r.du == 1 and r.dv == 1 and r.jaccard == 1.0
+        for r in leaf
+    )
+
+
+def test_hits_scores_integer_envelope_at_scale(spark):
+    """HITS on a 200k-edge bipartite graph: the two integer iterations
+    stay keyed aggregates (no pair materialization), scores match the
+    closed form for the planted structure, and the BIGINT envelope
+    holds (a2 <= deg_p * max_h1)."""
+    from pyspark.sql import functions as SF
+
+    from pubsub_mapreduce_spark.operators.graph import hits_scores
+
+    # 100k customers each buying part (u % 100): parts 0..99 have
+    # in-degree 1000 each; plus one whale buying every part once.
+    orders = (
+        spark.range(100_001)
+        .selectExpr("id AS o_orderkey", "id AS o_custkey")
+        .withColumn("o_orderstatus", SF.lit("O"))
+        .withColumn("o_totalprice", SF.lit(1.0))
+        .withColumn("o_orderdate", SF.lit("2024-01-01").cast("timestamp"))
+        .withColumn("o_orderpriority", SF.lit("1"))
+    )
+    li_base = spark.range(100_000).selectExpr(
+        "id AS l_orderkey", "id % 100 AS l_partkey"
+    )
+    whale = spark.range(100).selectExpr(
+        "CAST(100000 AS LONG) AS l_orderkey", "id AS l_partkey"
+    )
+    li = li_base.unionByName(whale).selectExpr(
+        "l_orderkey",
+        "l_partkey",
+        "CAST(1 AS LONG) l_suppkey",
+        "CAST(1 AS INT) l_linenumber",
+        "CAST(1.0 AS DOUBLE) l_quantity",
+        "CAST(1.0 AS DOUBLE) l_extendedprice",
+        "CAST(0.0 AS DOUBLE) l_discount",
+        "CAST(0.0 AS DOUBLE) l_tax",
+        "'N' AS l_returnflag",
+        "'O' AS l_linestatus",
+        "CAST('2024-01-02' AS TIMESTAMP) l_shipdate",
+    )
+    out = hits_scores(orders, li, top_k=5).collect()
+    # closed form: a1(p) = 1001 for every part; normal customer h1 =
+    # 1001, whale h1 = 100*1001; a2(p) = 1000*1001 + 100100 = 1101100
+    assert all(r.authority == 1_101_100 for r in out)
+    assert all(r.auth_ratio == 1.0 for r in out)
+    # deterministic tie-break: lowest part keys first
+    assert [r.partkey for r in out] == [0, 1, 2, 3, 4]
