@@ -3254,6 +3254,14 @@ def q_granger_lite(spark, sf_dir):
     return RB.granger_lite(load_tables(spark, sf_dir)["events"])
 
 
+def q_fisher_exact(spark, sf_dir):
+    """Fisher's exact two-sided test on the (acctbal>=5000) x
+    (orders>=10) customer 2x2 (robust.fisher_exact): factorial-free
+    mode-normalized hypergeometric folds, scipy's (1+1e-7) inclusion
+    tolerance, mirrored via forward-only recursive CTEs."""
+    return RB.fisher_exact(load_tables(spark, sf_dir))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3291,7 +3299,7 @@ R7_NEW: list[str] = [
     "neighbor_jaccard", "degree_assortativity", "hits_scores",
     "emb_outliers", "ann_k_sweep", "ts_downsample_minmax",
     "croston_forecast", "order_reconciliation",
-    "tukey_hsd", "chow_test", "granger_lite",
+    "tukey_hsd", "chow_test", "granger_lite", "fisher_exact",
 ]
 
 R8_QUEUE = R7_NEW[29:]
@@ -3630,6 +3638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tukey_hsd": q_tukey_hsd,
         "chow_test": q_chow_test,
         "granger_lite": q_granger_lite,
+        "fisher_exact": q_fisher_exact,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -12682,5 +12691,98 @@ def oracle_sql() -> dict[str, str]:
                 * 1e6 + 0.5) / 1e6 AS f_stat
         FROM f
         WHERE c11 > 0 AND det > 0 AND rss_u > 0 AND n > 3
+    """
+
+    out["fisher_exact"] = """
+        WITH RECURSIVE pc AS MATERIALIZED (
+          SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1),
+        jj AS MATERIALIZED (
+          SELECT CASE WHEN COALESCE(pc.n_orders, 0) >= 10
+                      THEN 1 ELSE 0 END AS y,
+                 CASE WHEN c_acctbal >= 5000.0 THEN 1 ELSE 0 END AS p
+          FROM customer c
+          LEFT JOIN pc ON c.c_custkey = pc.o_custkey),
+        cells AS MATERIALIZED (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS r1,
+                 CAST(sum(p) AS BIGINT) AS c1,
+                 CAST(sum(y * p) AS BIGINT) AS k_obs
+          FROM jj),
+        base AS MATERIALIZED (
+          SELECT *,
+                 greatest(CAST(0 AS BIGINT), r1 + c1 - n) AS kmin,
+                 least(r1, c1) AS kmax,
+                 greatest(greatest(CAST(0 AS BIGINT), r1 + c1 - n),
+                          least(least(r1, c1),
+                                (r1 + 1) * (c1 + 1) // (n + 2)))
+                     AS kmode
+          FROM cells
+          WHERE r1 > 0 AND r1 < n AND c1 > 0 AND c1 < n),
+        obs AS (
+          SELECT kmode AS k, CAST(1.0 AS DOUBLE) AS cur FROM base
+          UNION ALL
+          SELECT CASE WHEN b.k_obs > o.k THEN o.k + 1 ELSE o.k - 1 END,
+                 CASE WHEN b.k_obs > o.k
+                      THEN o.cur
+                           * CAST((b.r1 - o.k) * (b.c1 - o.k) AS DOUBLE)
+                           / CAST((o.k + 1)
+                                  * (b.n - b.r1 - b.c1 + o.k + 1)
+                                  AS DOUBLE)
+                      ELSE o.cur
+                           / (CAST((b.r1 - (o.k - 1))
+                                   * (b.c1 - (o.k - 1)) AS DOUBLE)
+                              / CAST(((o.k - 1) + 1)
+                                     * (b.n - b.r1 - b.c1
+                                        + (o.k - 1) + 1) AS DOUBLE))
+                 END
+          FROM obs o, base b WHERE o.k <> b.k_obs),
+        relobs AS MATERIALIZED (
+          SELECT o.cur AS rel_obs FROM obs o, base b
+          WHERE o.k = b.k_obs),
+        up AS (
+          SELECT b.kmode AS k, CAST(1.0 AS DOUBLE) AS cur,
+                 CAST(1.0 AS DOUBLE) AS s_all,
+                 CASE WHEN 1.0 <= r.rel_obs * (1.0 + 1e-7)
+                      THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END AS s_le
+          FROM base b, relobs r
+          UNION ALL
+          SELECT u.k + 1, x.nxt, u.s_all + x.nxt,
+                 u.s_le + CASE WHEN x.nxt <= r.rel_obs * (1.0 + 1e-7)
+                               THEN x.nxt ELSE 0.0 END
+          FROM up u, base b, relobs r,
+               LATERAL (SELECT u.cur
+                        * CAST((b.r1 - u.k) * (b.c1 - u.k) AS DOUBLE)
+                        / CAST((u.k + 1)
+                               * (b.n - b.r1 - b.c1 + u.k + 1)
+                               AS DOUBLE) AS nxt) x
+          WHERE u.k < b.kmax),
+        down AS (
+          SELECT b.kmode AS k, CAST(1.0 AS DOUBLE) AS cur,
+                 CAST(0.0 AS DOUBLE) AS s_all,
+                 CAST(0.0 AS DOUBLE) AS s_le
+          FROM base b
+          UNION ALL
+          SELECT d.k - 1, x.nxt, d.s_all + x.nxt,
+                 d.s_le + CASE WHEN x.nxt <= r.rel_obs * (1.0 + 1e-7)
+                               THEN x.nxt ELSE 0.0 END
+          FROM down d, base b, relobs r,
+               LATERAL (SELECT d.cur
+                        / (CAST((b.r1 - (d.k - 1))
+                                * (b.c1 - (d.k - 1)) AS DOUBLE)
+                           / CAST(((d.k - 1) + 1)
+                                  * (b.n - b.r1 - b.c1 + (d.k - 1) + 1)
+                                  AS DOUBLE)) AS nxt) x
+          WHERE d.k > b.kmin),
+        ufin AS (SELECT u.s_all, u.s_le FROM up u, base b
+                 WHERE u.k = b.kmax),
+        dfin AS (SELECT d.s_all, d.s_le FROM down d, base b
+                 WHERE d.k = b.kmin)
+        SELECT b.n, b.r1, b.c1, b.k_obs,
+               b.kmax - b.kmin + 1 AS support,
+               floor((u.s_le + d.s_le) / (u.s_all + d.s_all)
+                     * 1e6 + 0.5) / 1e6 AS p_two_sided
+        FROM base b, ufin u, dfin d
     """
     return out

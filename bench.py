@@ -407,6 +407,7 @@ BENCH_QUERIES = [
     "tukey_hsd",
     "chow_test",
     "granger_lite",
+    "fisher_exact",
 ]
 
 # Heavy composite queries (>3s at sf0.1). Benched at ONE rep so the

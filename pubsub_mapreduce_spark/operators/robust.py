@@ -6033,3 +6033,175 @@ def granger_lite(events: DataFrame) -> DataFrame:
     return direction("ya", "la", "lb", "b_causes_a").unionByName(
         direction("yb", "lb", "la", "a_causes_b")
     )
+
+
+def fisher_exact(t, min_orders: int = 10, bal_cut: float = 5000.0) -> DataFrame:
+    """Fisher's EXACT test on the 2x2 (acctbal >= ``bal_cut``) x
+    (placed >= ``min_orders`` orders) customer table — the
+    small-sample companion to the chi-square family (``cramers_v`` /
+    ``g_test`` are asymptotic; Fisher conditions on the margins and
+    sums hypergeometric probabilities, valid at ANY cell size):
+
+        p = sum over tables k with p(k) <= p(k_obs)*(1+1e-7) of p(k)
+
+    computed WITHOUT factorials: probabilities relative to the
+    distribution MODE via the hypergeometric ratio recurrence
+
+        rel(k+1)/rel(k) = (R1-k)(C1-k) / ((k+1)(N-R1-C1+k+1)),
+
+    folded OUTWARD from k_mode = floor((R1+1)(C1+1)/(N+2)) so every
+    relative probability is <= 1 — far tails underflow to exact 0.0
+    (IEEE-deterministic, mirrored; their true mass is < 1e-300) while
+    the mode neighborhood that carries the p-value stays at full
+    precision. The (1 + 1e-7) relative tolerance on the two-sided
+    inclusion rule is the standard convention (scipy uses the same
+    epsilon), mirrored verbatim so both engines include identical
+    tables.
+
+    Exactness: margins are exact BIGINTs; each ratio is one division
+    of exact integers; the three folds (upward sum, downward sum,
+    rel(k_obs)) run in a fixed k order on both engines — Spark
+    aggregate HOFs with struct accumulators, DuckDB forward-only
+    RECURSIVE CTEs (the Holt cross-field-state discipline). Degenerate
+    margins drop by integer predicate.
+
+    Scale: ONE customer/orders rollup to a 4-cell table; the folds run
+    over the margin-bounded support. Fisher is a SMALL-TABLE test by
+    design — at corpus scale you gate on g_test and reserve this for
+    sliced cohorts, exactly the regime where the support stays in the
+    thousands."""
+    pc = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    j = t["customer"].join(
+        pc, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(
+        (F.coalesce("n_orders", F.lit(0)) >= min_orders)
+        .cast("int")
+        .alias("y"),
+        (F.col("c_acctbal") >= bal_cut).cast("int").alias("p"),
+    )
+    cells = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("r1"),
+        F.sum("p").cast("long").alias("c1"),
+        F.sum(F.col("y") * F.col("p")).cast("long").alias("k_obs"),
+    )
+    k_min = F.greatest(
+        F.lit(0).cast("long"), F.col("r1") + F.col("c1") - F.col("n")
+    )
+    k_max = F.least(F.col("r1"), F.col("c1"))
+    k_mode = F.greatest(
+        k_min,
+        F.least(
+            k_max,
+            F.expr("(r1 + 1) * (c1 + 1) div (n + 2)").cast("long"),
+        ),
+    )
+    base = cells.select(
+        "n",
+        "r1",
+        "c1",
+        "k_obs",
+        k_min.alias("kmin"),
+        k_max.alias("kmax"),
+        k_mode.alias("kmode"),
+    ).where(
+        (F.col("r1") > 0)
+        & (F.col("r1") < F.col("n"))
+        & (F.col("c1") > 0)
+        & (F.col("c1") < F.col("n"))
+    )
+
+    def ratio(k):
+        # rel(k+1) / rel(k): exact ints in, one double division out
+        return (
+            ((F.col("r1") - k) * (F.col("c1") - k)).cast("double")
+            / (
+                (k + 1)
+                * (F.col("n") - F.col("r1") - F.col("c1") + k + 1)
+            ).cast("double")
+        )
+
+    # rel(k_obs) relative to the mode: upward product of ratios for
+    # k in [kmode, k_obs), or downward product of inverses for
+    # k from kmode-1 down to k_obs
+    up_obs = F.aggregate(
+        F.sequence(F.col("kmode"), F.col("k_obs") - 1),
+        F.lit(1.0),
+        lambda acc, k: acc * ratio(k),
+    )
+    down_obs = F.aggregate(
+        F.sequence(F.col("kmode") - 1, F.col("k_obs"), F.lit(-1)),
+        F.lit(1.0),
+        lambda acc, k: acc / ratio(k),
+    )
+    rel_obs = (
+        F.when(F.col("k_obs") > F.col("kmode"), up_obs)
+        .when(F.col("k_obs") < F.col("kmode"), down_obs)
+        .otherwise(F.lit(1.0))
+    )
+    b2 = base.withColumn("rel_obs", rel_obs)
+    thr = F.col("rel_obs") * (1.0 + 1e-7)
+    init = F.struct(
+        F.lit(1.0).alias("cur"),
+        F.lit(1.0).alias("s_all"),
+        F.when(F.lit(1.0) <= thr, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("s_le"),
+    )
+
+    def step_up(acc, k):
+        nxt = acc["cur"] * ratio(k)
+        return F.struct(
+            nxt.alias("cur"),
+            (acc["s_all"] + nxt).alias("s_all"),
+            (
+                acc["s_le"]
+                + F.when(nxt <= thr, nxt).otherwise(F.lit(0.0))
+            ).alias("s_le"),
+        )
+
+    def step_down(acc, k):
+        nxt = acc["cur"] / ratio(k)
+        return F.struct(
+            nxt.alias("cur"),
+            (acc["s_all"] + nxt).alias("s_all"),
+            (
+                acc["s_le"]
+                + F.when(nxt <= thr, nxt).otherwise(F.lit(0.0))
+            ).alias("s_le"),
+        )
+
+    # upward pass covers [kmode, kmax] (mode counted here); downward
+    # pass covers [kmin, kmode-1] and starts from rel(mode)=1 with
+    # zero-initialized sums
+    init0 = F.struct(
+        F.lit(1.0).alias("cur"),
+        F.lit(0.0).alias("s_all"),
+        F.lit(0.0).alias("s_le"),
+    )
+    up = F.aggregate(
+        F.sequence(F.col("kmode"), F.col("kmax") - 1), init, step_up
+    )
+    down = F.when(
+        F.col("kmode") > F.col("kmin"),
+        F.aggregate(
+            F.sequence(F.col("kmode") - 1, F.col("kmin"), F.lit(-1)),
+            init0,
+            step_down,
+        ),
+    ).otherwise(init0)
+    folded = b2.withColumn("u", up).withColumn("dn", down)
+    s_all = F.col("u")["s_all"] + F.col("dn")["s_all"]
+    s_le = F.col("u")["s_le"] + F.col("dn")["s_le"]
+    return folded.select(
+        "n",
+        "r1",
+        "c1",
+        "k_obs",
+        (F.col("kmax") - F.col("kmin") + 1).alias("support"),
+        round_half_up(s_le / s_all, 6).alias("p_two_sided"),
+    )

@@ -720,3 +720,71 @@ def test_granger_planted_lead(spark):
     rev = min(out.values(), key=lambda r: r.f_stat)
     assert fwd.f_stat > 10 * max(rev.f_stat, 0.001)
     assert fwd.rss_reduction > 0.8
+
+
+def test_fisher_exact_tea_tasting_and_literal(spark):
+    """The classic 4/4/8 tea-tasting table (k_obs = 3) has two-sided
+    p = 0.4857142857...; verify the operator reproduces it AND a
+    literal Python recomputation of its own mode-normalized fold on a
+    second asymmetric table."""
+    # 8 customers: outcome+ = custkey 1..4 (>=1 order with min_orders=1),
+    # pred+ = acctbal >= 5000 for custkeys {1,2,3,5}: tp=3.
+    cust = spark.createDataFrame(
+        [(i, f"c{i}", 0, 9000.0 if i in (1, 2, 3, 5) else 100.0, "S")
+         for i in range(1, 9)],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    orders = _orders(
+        spark,
+        [(i, i, "O", 1.0, D(2024, 1, 1), "1") for i in range(1, 5)],
+    )
+    out = RB.fisher_exact(
+        {"customer": cust, "orders": orders}, min_orders=1
+    ).collect()[0]
+    assert (out.n, out.r1, out.c1, out.k_obs) == (8, 4, 4, 3)
+    # exact: p = (16 + 16 + 1 + 1) / 70
+    assert out.p_two_sided == math.floor(34 / 70 * 1e6 + 0.5) / 1e6
+
+    def literal(n, r1, c1, k_obs):
+        kmin, kmax = max(0, r1 + c1 - n), min(r1, c1)
+        kmode = max(kmin, min(kmax, (r1 + 1) * (c1 + 1) // (n + 2)))
+
+        def ratio(k):
+            return ((r1 - k) * (c1 - k)) / ((k + 1) * (n - r1 - c1 + k + 1))
+
+        rel = {kmode: 1.0}
+        for k in range(kmode, kmax):
+            rel[k + 1] = rel[k] * ratio(k)
+        for k in range(kmode - 1, kmin - 1, -1):
+            rel[k] = rel[k + 1] / ratio(k)
+        thr = rel[k_obs] * (1.0 + 1e-7)
+        # mirror the operator's fold order: up pass from the mode,
+        # then the down pass
+        s_all = s_le = 0.0
+        for k in range(kmode, kmax + 1):
+            s_all += rel[k]
+            if rel[k] <= thr:
+                s_le += rel[k]
+        for k in range(kmode - 1, kmin - 1, -1):
+            s_all += rel[k]
+            if rel[k] <= thr:
+                s_le += rel[k]
+        return s_le / s_all
+
+    # asymmetric table: outcome+ = 1..3 of 9, pred+ = {1, 4, 5, 6}
+    cust2 = spark.createDataFrame(
+        [(i, f"c{i}", 0, 9000.0 if i in (1, 4, 5, 6) else 100.0, "S")
+         for i in range(1, 10)],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    orders2 = _orders(
+        spark,
+        [(i, i, "O", 1.0, D(2024, 1, 1), "1") for i in range(1, 4)],
+    )
+    out2 = RB.fisher_exact(
+        {"customer": cust2, "orders": orders2}, min_orders=1
+    ).collect()[0]
+    want = literal(9, 3, 4, 1)
+    assert out2.p_two_sided == math.floor(want * 1e6 + 0.5) / 1e6
