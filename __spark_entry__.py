@@ -3262,6 +3262,22 @@ def q_fisher_exact(spark, sf_dir):
     return RB.fisher_exact(load_tables(spark, sf_dir))
 
 
+def q_event_ppr(spark, sf_dir):
+    """Personalized PageRank from the dominant event state over the
+    sessionized transition graph (graph.personalized_pagerank over
+    relational.session_transitions): integer-exact random walk with
+    restart — relevance FROM the seed, not global popularity."""
+    from pubsub_mapreduce_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = R.session_transitions(load_tables(spark, sf_dir))
+    return personalized_pagerank(edges).select(
+        F.col("node").alias("event_type"),
+        F.col("r").alias("rank_scaled"),
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3300,6 +3316,7 @@ R7_NEW: list[str] = [
     "emb_outliers", "ann_k_sweep", "ts_downsample_minmax",
     "croston_forecast", "order_reconciliation",
     "tukey_hsd", "chow_test", "granger_lite", "fisher_exact",
+    "event_ppr",
 ]
 
 R8_QUEUE = R7_NEW[29:]
@@ -3639,6 +3656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chow_test": q_chow_test,
         "granger_lite": q_granger_lite,
         "fisher_exact": q_fisher_exact,
+        "event_ppr": q_event_ppr,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -3928,6 +3946,40 @@ def _event_pagerank_oracle_sql() -> str:
         GROUP BY 1, 2
     """
     inner = duckdb_pagerank_sql(f"SELECT * FROM ({edges})")
+    return (
+        f"SELECT node AS event_type, r AS rank_scaled FROM ({inner})"
+    )
+
+
+def _event_ppr_oracle_sql() -> str:
+    """Unrolled integer personalized PageRank over the same
+    session_transitions edge CTE as _event_pagerank_oracle_sql."""
+    from pubsub_mapreduce_spark.operators.graph import duckdb_ppr_sql
+
+    edges = """
+        WITH ev AS (
+          SELECT user_id, event_id, event_type, epoch(ts) AS tt FROM events),
+        g AS (
+          SELECT *, CASE WHEN prev_tt IS NULL OR tt - prev_tt > 1800.0
+                         THEN 1 ELSE 0 END AS is_new
+          FROM (SELECT *, lag(tt) OVER (PARTITION BY user_id
+                    ORDER BY tt, event_id) AS prev_tt FROM ev)),
+        s AS (
+          SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                    ORDER BY tt, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM g),
+        p AS (
+          SELECT event_type, lead(event_type) OVER (
+                   PARTITION BY user_id, sid
+                   ORDER BY tt, event_id) AS next_type
+          FROM s)
+        SELECT event_type AS u, next_type AS v,
+               CAST(count(*) AS BIGINT) AS w
+        FROM p WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    """
+    inner = duckdb_ppr_sql(f"SELECT * FROM ({edges})")
     return (
         f"SELECT node AS event_type, r AS rank_scaled FROM ({inner})"
     )
@@ -6987,6 +7039,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, exact
         """,
         "event_pagerank": _event_pagerank_oracle_sql(),
+        "event_ppr": _event_ppr_oracle_sql(),
         "cms_join_size": """
             WITH ka AS (
               SELECT CAST(user_id AS VARCHAR) AS k, d

@@ -408,6 +408,7 @@ BENCH_QUERIES = [
     "chow_test",
     "granger_lite",
     "fisher_exact",
+    "event_ppr",
 ]
 
 # Heavy composite queries (>3s at sf0.1). Benched at ONE rep so the

@@ -803,3 +803,134 @@ def hits_scores(
             ).alias("auth_ratio"),
         )
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    src: str = "type_from",
+    dst: str = "type_to",
+    weight: str = "n_transitions",
+    iters: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = SCALE,
+) -> DataFrame:
+    """PERSONALIZED PageRank, integer-exact: identical iteration to
+    ``pagerank`` but the teleport mass returns entirely to ONE seed
+    node — the node with the largest weighted out-degree (ties: lowest
+    node id), picked RELATIONALLY so both engines choose the same seed
+    — turning global centrality into "importance AS SEEN FROM the
+    dominant state" (the random-walk-with-restart relevance behind
+    'people who did X go on to...' recommendations; global PageRank
+    can't distinguish reachable-from-seed from merely-popular).
+
+        rank'(v) = [v = seed] * ((d_den - d_num) * scale) div d_den
+                   + (d_num * S_v) div d_den
+
+    with rank0 = scale on the seed, 0 elsewhere. Same int64-only
+    arithmetic as ``pagerank`` (order-free integer sums, div floors),
+    so the fixed-iteration result is a pure function of the edge
+    multiset. Nodes unreachable from the seed report exactly 0 — a
+    feature: the score doubles as a reachability-weighted distance.
+
+    Scale: the seed pick is one TakeOrdered over the |nodes|-sized
+    degree relation; iterations are the same edge-vs-rank joins as
+    pagerank."""
+    e = edges.select(
+        F.col(src).alias("u"),
+        F.col(dst).alias("v"),
+        F.col(weight).cast("long").alias("w"),
+    ).persist()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .persist()
+    )
+    outw = e.groupBy("u").agg(F.sum("w").cast("long").alias("wout"))
+    seed = (
+        outw.orderBy(F.col("wout").desc(), F.col("u").asc())
+        .limit(1)
+        .select(F.col("u").alias("__seed"))
+    )
+    base_lit = ((damping_den - damping_num) * scale) // damping_den
+    r = nodes.join(F.broadcast(seed)).select(
+        "node",
+        F.when(F.col("node") == F.col("__seed"), F.lit(scale))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(r.withColumnRenamed("node", "u"), "u")
+            .join(outw, "u")
+            .select(
+                F.col("v").alias("node"),
+                F.expr("r * w div wout").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        r = (
+            nodes.join(contrib, "node", "left")
+            .join(F.broadcast(seed))
+            .select(
+                "node",
+                (
+                    F.when(
+                        F.col("node") == F.col("__seed"),
+                        F.lit(base_lit),
+                    ).otherwise(F.lit(0))
+                    + F.expr(
+                        f"{damping_num} * coalesce(s, 0L)"
+                        f" div {damping_den}"
+                    )
+                ).cast("long").alias("r"),
+            )
+        )
+    return r
+
+
+def duckdb_ppr_sql(
+    edges_cte: str,
+    iters: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = SCALE,
+) -> str:
+    """Unrolled-iteration DuckDB mirror of ``personalized_pagerank``:
+    the same relational seed pick and integer arithmetic."""
+    base_lit = ((damping_den - damping_num) * scale) // damping_den
+    blocks = [
+        f"""e AS ({edges_cte}),
+      nodes AS (SELECT DISTINCT u AS node FROM e
+                UNION SELECT DISTINCT v FROM e),
+      outw AS (SELECT u, CAST(sum(w) AS BIGINT) AS W FROM e GROUP BY 1),
+      seed AS (SELECT u AS s FROM outw
+               ORDER BY W DESC, u ASC LIMIT 1),
+      r0 AS (SELECT node,
+                    CAST(CASE WHEN node = seed.s THEN {scale}
+                              ELSE 0 END AS BIGINT) AS r
+             FROM nodes, seed)"""
+    ]
+    for i in range(iters):
+        blocks.append(
+            f"""c{i + 1} AS (
+        SELECT e.v AS node, CAST(sum((r.r * e.w) // o.W) AS BIGINT) AS s
+        FROM e JOIN r{i} r ON r.node = e.u JOIN outw o ON o.u = e.u
+        GROUP BY 1),
+      r{i + 1} AS (
+        SELECT n.node,
+               CAST(CASE WHEN n.node = seed.s THEN {base_lit}
+                         ELSE 0 END
+                    + ({damping_num} * COALESCE(c.s, 0))
+                      // {damping_den} AS BIGINT) AS r
+        FROM nodes n CROSS JOIN seed
+        LEFT JOIN c{i + 1} c ON c.node = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n      ".join(blocks)
+        + f"\n      SELECT node, r FROM r{iters}"
+    )

@@ -788,3 +788,37 @@ def test_fisher_exact_tea_tasting_and_literal(spark):
     ).collect()[0]
     want = literal(9, 3, 4, 1)
     assert out2.p_two_sided == math.floor(want * 1e6 + 0.5) / 1e6
+
+
+def test_personalized_pagerank_seed_and_reachability(spark):
+    """Chain a -> b -> c with a as the dominant out-degree seed: all
+    teleport mass returns to a; c is reachable only through b; a node
+    d with an edge INTO a but tiny weight never receives teleport.
+    Verify against a literal Python run of the integer recursion."""
+    from pubsub_mapreduce_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("b", "c", 5), ("d", "a", 1)],
+        "type_from string, type_to string, n_transitions long",
+    )
+    out = {
+        r.node: r.r for r in personalized_pagerank(edges).collect()
+    }
+    from pubsub_mapreduce_spark.operators.graph import SCALE
+    base = (15 * SCALE) // 100
+    r = {"a": SCALE, "b": 0, "c": 0, "d": 0}
+    outw = {"a": 10, "b": 5, "d": 1}
+    E = [("a", "b", 10), ("b", "c", 5), ("d", "a", 1)]
+    for _ in range(5):
+        s = {k: 0 for k in r}
+        for u, v, w in E:
+            s[v] += (r[u] * w) // outw[u]
+        r = {
+            k: (base if k == "a" else 0) + (85 * s[k]) // 100
+            for k in r
+        }
+    assert out == r
+    assert out["d"] == 0  # unreachable from the seed
+    assert out["a"] > 0 and out["b"] > 0 and out["c"] > 0
