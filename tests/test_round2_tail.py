@@ -638,23 +638,23 @@ def test_ab_health_chi2_and_srm_semantics(spark):
 
 def test_gate_window_ordering_contract():
     """The driver's correctness gate reads the FIRST 50 queries() keys:
-    pin the round-7 window — slots 1-21 are the R7_QUEUE (the late
-    round-6 registrations, the ONLY names never driver-checked through
-    round 6), slots 22+ are this round's new registrations in
-    registration order (R7_NEW). Accidental reorderings would silently
+    pin the round-8 window — slots 1-5 are the R8_QUEUE (the late
+    round-7 registrations, the ONLY names never driver-checked through
+    round 7), slots 6+ are this round's new registrations in
+    registration order (R8_NEW). Accidental reorderings would silently
     spend the gate's window on already-green queries."""
     import json
 
     import __spark_entry__ as entrymod
 
     names = list(entrymod.queries())
-    nq = len(entrymod.R7_QUEUE)
-    assert names[:nq] == entrymod.R7_QUEUE
-    fill = entrymod.R7_NEW[: 50 - nq]
+    nq = len(entrymod.R8_QUEUE)
+    assert names[:nq] == entrymod.R8_QUEUE
+    fill = [n for n in entrymod.R8_NEW[: 50 - nq] if n in names]
     assert names[nq : nq + len(fill)] == fill
     # window head must be spent on never-checked names only
     checked = set()
-    for r in (1, 2, 3, 4, 5, 6):
+    for r in (1, 2, 3, 4, 5, 6, 7):
         checked |= set(json.load(open(f"/root/repo/CORRECTNESS_r0{r}.json")))
     assert [n for n in names[: nq + len(fill)] if n in checked] == []
     # every registered oracle still has a queries() twin
@@ -662,25 +662,25 @@ def test_gate_window_ordering_contract():
 
 
 def test_every_registered_query_driver_checked_or_in_window():
-    """Close-the-book bookkeeping (VERDICT r5 #7 / r6 #1): every
-    registered query either already carries a driver CORRECTNESS row
-    (rounds 1-6) or sits inside the current 50-slot gate window — so
-    once this round's gate runs, cumulative driver coverage is total.
-    A new registration that never enters a window plan FAILS here
-    unless it consciously joins R8_QUEUE (= R7_NEW overflow past slot
-    50), which the round-8 window must then head with."""
+    """Close-the-book bookkeeping (VERDICT r5 #7 / r6 #1 / r7 #1):
+    every registered query either already carries a driver CORRECTNESS
+    row (rounds 1-7) or sits inside the current 50-slot gate window —
+    so once this round's gate runs, cumulative driver coverage is
+    total. A new registration that never enters a window plan FAILS
+    here unless it consciously joins R9_QUEUE (= R8_NEW overflow past
+    slot 50), which the round-9 window must then head with."""
     import json
 
     import __spark_entry__ as entrymod
 
     names = list(entrymod.queries())
     checked = set()
-    for r in (1, 2, 3, 4, 5, 6):
+    for r in (1, 2, 3, 4, 5, 6, 7):
         checked |= set(json.load(open(f"/root/repo/CORRECTNESS_r0{r}.json")))
     debt = [n for n in names if n not in checked and n not in names[:50]]
-    assert debt == entrymod.R8_QUEUE, (
+    assert debt == entrymod.R9_QUEUE, (
         "registered but neither driver-checked nor in the gate window "
-        f"nor in R8_QUEUE: {sorted(set(debt) ^ set(entrymod.R8_QUEUE))}"
+        f"nor in R9_QUEUE: {sorted(set(debt) ^ set(entrymod.R9_QUEUE))}"
     )
     # and the window is exactly full: the driver reads 50 slots
     assert len(names) >= 50
