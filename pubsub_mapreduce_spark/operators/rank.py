@@ -1,0 +1,212 @@
+"""Distributed global order statistics — rank / ntile / prefix
+aggregates over a TOTAL ordering without a single-partition window.
+
+``Window.orderBy(...)`` with no ``partitionBy`` is the classic Spark
+scale trap: Catalyst plans it as ``Exchange SinglePartition`` + one
+sort task, so a window over a relation that grows with the data pushes
+every row through ONE task (VERDICT r7: at 100x the sf0.1 fixtures
+that is ~10^8 rows). The reference has no ranking surface at all
+(SURVEY.md section 2.6) — this module exists so the relational layer's
+inequality/segmentation queries (spend_gini, rfm_segments, abc_parts,
+lorenz_deciles, skyline) scale like a sort, not like a funnel.
+
+The two-pass range-partitioned form (the Teradata/BigQuery "global
+rank" recipe, same decomposition Spark itself uses for ``orderBy``):
+
+1. ``repartitionByRange(P, *order)`` — range-partition on the sort
+   key, so partition i holds a contiguous key range and every key
+   ordered before partition i's range lives in partitions < i. Rows
+   with EQUAL keys land in one partition (boundaries are key values),
+   and all call sites order by a key made unique with a tiebreak
+   column, so the global order is total and boundary placement cannot
+   change any output value (only which partition computes it).
+2. ``localCheckpoint(eager=False)`` the staged relation — the
+   per-partition COUNTS branch and the ranking branch must observe the
+   SAME physical partitioning (range boundaries come from a sample;
+   two independent re-executions could disagree). Checkpointing
+   materializes the exchange once for both consumers (the house
+   multi-consumer rule: Catalyst has no cross-branch CSE).
+3. A P-row per-partition aggregate (count / sum / min) turns into
+   exclusive prefix OFFSETS via a window over the P-row relation
+   (P = shuffle partitions, dimension-sized by construction), then
+   broadcasts back; each partition finishes its ranks locally:
+   ``global = local_window(pid) + offset(pid)``.
+
+Cost: two full-data exchanges (range + hash-by-pid), both P-way
+parallel — strictly better at scale than one exchange into ONE task,
+and the P-row offset window is the only single-partition stage left.
+
+Exactness: ranks, ntiles and integer prefix sums are integers; ntile
+uses the closed form of SQL NTILE (first ``n mod k`` buckets get
+``ceil(n/k)`` rows) computed from the global row_number, bit-identical
+to ``Window.orderBy(...).ntile(k)`` and to DuckDB's NTILE. Equality
+with the single-partition window form is pinned per call site in
+tests/test_round8_fixes.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+_PID = "__gr_pid"
+_OFF = "__gr_off"
+_TOT = "__gr_tot"
+
+
+def _num_partitions(df: DataFrame, num_partitions: int | None) -> int:
+    if num_partitions is not None:
+        return int(num_partitions)
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
+def _staged(df: DataFrame, order: list[Column], num_partitions: int | None):
+    """Range-partition ``df`` on ``order`` and pin the physical
+    placement (checkpoint) so the counts branch and the rank branch
+    see identical partitions. Returns the staged frame with ``_PID``."""
+    p = _num_partitions(df, num_partitions)
+    return (
+        df.repartitionByRange(p, *order)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+
+
+def _offsets(
+    staged: DataFrame, agg_col: Column, zero, combine=F.sum
+) -> DataFrame:
+    """P-row relation (pid, exclusive-prefix offset, grand total) from a
+    per-partition aggregate — the only single-partition window, over at
+    most ``spark.sql.shuffle.partitions`` rows. ``combine`` folds the
+    per-partition aggregates across earlier partitions (sum for
+    rank/prefix-sum, min for prefix-min)."""
+    per = staged.groupBy(_PID).agg(agg_col.alias("__a"))
+    w_prev = Window.orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        _PID,
+        F.coalesce(combine("__a").over(w_prev), F.lit(zero)).alias(_OFF),
+        combine("__a").over(w_all).alias(_TOT),
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order: list[Column],
+    out: str,
+    num_partitions: int | None = None,
+    with_total: str | None = None,
+) -> DataFrame:
+    """``row_number() OVER (ORDER BY order)`` without the
+    single-partition exchange. ``order`` must be a TOTAL order (include
+    a unique tiebreak column) so the result is deterministic. When
+    ``with_total`` is given, the global row count rides along as an
+    extra column (free — the offsets relation already carries it)."""
+    staged = _staged(df, order, num_partitions)
+    off = _offsets(staged, F.count(F.lit(1)).cast("long"), 0)
+    w_in = Window.partitionBy(_PID).orderBy(*order)
+    cols = [
+        (F.row_number().over(w_in).cast("long") + F.col(_OFF)).alias(out)
+    ]
+    if with_total:
+        cols.append(F.col(_TOT).cast("long").alias(with_total))
+    keep = [c for c in staged.columns if c != _PID]
+    return staged.join(broadcast(off), _PID).select(*keep, *cols)
+
+
+def ntile_from_rn(rn: Column, n: Column, k: int) -> Column:
+    """SQL NTILE(k) bucket from a 1-based global row_number ``rn`` and
+    total count ``n`` — the closed form both engines implement: with
+    q = n div k and r = n mod k, the first r buckets take q+1 rows.
+    Pure integer arithmetic, so bit-identical to window NTILE."""
+    q = (n / F.lit(k)).cast("long")
+    r = n % F.lit(k)
+    head = r * (q + 1)
+    return (
+        F.when(rn <= head, ((rn - 1) / (q + 1)).cast("long") + 1)
+        .when(F.lit(True), ((rn - head - 1) / q).cast("long") + r + 1)
+        .cast("int")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order: list[Column],
+    k: int,
+    out: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``ntile(k) OVER (ORDER BY order)`` via global_row_number + the
+    closed-form bucket assignment — identical output, no
+    single-partition data exchange."""
+    rn = global_row_number(
+        df, order, "__gr_rn", num_partitions, with_total="__gr_n"
+    )
+    return rn.withColumn(
+        out, ntile_from_rn(F.col("__gr_rn"), F.col("__gr_n"), k)
+    ).drop("__gr_rn", "__gr_n")
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order: list[Column],
+    value: str,
+    out: str,
+    inclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``sum(value) OVER (ORDER BY order ROWS UNBOUNDED PRECEDING [AND
+    -1])`` at scale: per-partition running sum + the broadcast sum of
+    all earlier partitions. ``value`` must be an integer/decimal column
+    (exactness: addition is associative there, so the two-pass
+    regrouping is bit-identical to the one-pass window)."""
+    staged = _staged(df, order, num_partitions)
+    off = _offsets(staged, F.sum(value), 0)
+    hi = Window.currentRow if inclusive else -1
+    w_in = (
+        Window.partitionBy(_PID)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    keep = [c for c in staged.columns if c != _PID]
+    return staged.join(broadcast(off), _PID).select(
+        *keep,
+        (F.coalesce(F.sum(value).over(w_in), F.lit(0)) + F.col(_OFF)).alias(
+            out
+        ),
+    )
+
+
+def global_prefix_min(
+    df: DataFrame,
+    order: list[Column],
+    value: str,
+    out: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``min(value) OVER (ORDER BY order ROWS BETWEEN UNBOUNDED
+    PRECEDING AND -1)`` (STRICT prefix — the skyline shape: "the best
+    among everything ordered before me") at scale. NULL where no
+    predecessor exists, matching the window form."""
+    staged = _staged(df, order, num_partitions)
+    off = _offsets(
+        staged, F.min(value), None, combine=F.min
+    ).withColumnRenamed(_OFF, "__gr_pmin")
+    w_in = (
+        Window.partitionBy(_PID)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    keep = [c for c in staged.columns if c != _PID]
+    # least() skips NULLs (returns NULL only when BOTH the in-partition
+    # strict prefix and the earlier-partitions min are empty — i.e. the
+    # global first row), matching the window form's NULL.
+    return staged.join(broadcast(off.drop(_TOT)), _PID).select(
+        *keep,
+        F.least(F.min(value).over(w_in), F.col("__gr_pmin")).alias(out),
+    )

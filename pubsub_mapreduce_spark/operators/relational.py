@@ -2164,14 +2164,18 @@ def skyline_2d(
     states it directly). In two dimensions one sorted pass suffices:
     a row survives iff its y equals its own x-group's minimum AND that
     minimum is strictly below every smaller-x group's minimum. That is
-    one data-sized groupBy(x) plus a running-min window over the
-    |distinct x| GROUP relation — the two-level trick from
-    pack_shards, so the single-partition window never sees data-sized
-    input."""
+    one data-sized groupBy(x) plus a running-min over the |distinct x|
+    GROUP relation — and because x here is a near-unique measure (a
+    price), that group relation still grows with the data, so the
+    running min goes through rank.global_prefix_min (range partition +
+    broadcast per-partition minima, VERDICT r7 audit) instead of a
+    single-partition window; equality pinned in
+    tests/test_round8_fixes.py."""
+    from .rank import global_prefix_min
+
     gm = df.groupBy(x).agg(F.min(y).alias("__gy"))
-    w = Window.orderBy(x).rowsBetween(Window.unboundedPreceding, -1)
     frontier = (
-        gm.withColumn("__prev", F.min("__gy").over(w))
+        global_prefix_min(gm, [F.col(x).asc()], "__gy", "__prev")
         .where(F.col("__prev").isNull() | (F.col("__gy") < F.col("__prev")))
         .select(x, "__gy")
     )

@@ -683,31 +683,38 @@ def weighted_median(
     10,000 times should pull the median more than a $900 part ordered
     once; the count-median ignores that).
 
-    Pure order statistics on integers: per-group cumulative weight via
-    one window, selection by ``2*cum >= total`` (integer cross-
-    multiplication — no halving division to mirror), ties broken by
-    the value ordering itself. ``tiebreak`` (a unique column) makes
-    the cumulative order total — a ROWS frame over duplicate values
-    would otherwise accumulate in engine-chosen order. One group-keyed
-    exchange shared by the window and the total."""
-    cols = [F.col(group).alias("g"), value.alias("v"), weight.alias("w")]
-    order = ["v"]
-    if tiebreak:
-        cols.append(F.col(tiebreak).alias("tb"))
-        order = ["v", "tb"]
-    d = df.select(*cols)
-    wc = Window.partitionBy("g").orderBy(*order).rowsBetween(
+    Pure order statistics on integers: weights pre-aggregate per
+    (group, value) — the two-level trick (VERDICT r7 audit) — so the
+    cumulative window runs over the per-group DISTINCT-VALUE spine
+    (bounded by the value lattice, e.g. the cents price grid), never
+    the row-sized relation a few-group ``partitionBy`` would push
+    through one task each. Selection by ``2*cum >= total`` (integer
+    cross-multiplication — no halving division to mirror). The
+    crossing value is invariant under the aggregation (cumulative
+    weight at a value's LAST row equals the aggregated cumulative), so
+    this is bit-identical to the row-level window form — pinned in
+    tests/test_round8_fixes.py. ``tiebreak`` is kept for API
+    compatibility; aggregation collapses duplicate values, so the
+    (g, v) order is already total."""
+    del tiebreak  # duplicate values collapse in the (g, v) rollup
+    d = df.select(
+        F.col(group).alias("g"), value.alias("v"), weight.alias("w")
+    )
+    agg = d.groupBy("g", "v").agg(
+        F.sum("w").alias("w"), F.count(F.lit(1)).alias("c")
+    )
+    wc = Window.partitionBy("g").orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     wt = Window.partitionBy("g")
-    c = d.select(
+    c = agg.select(
         "g",
         "v",
         F.sum("w").over(wc).alias("cum"),
         F.sum("w").over(wt).alias("tot"),
-        F.count(F.lit(1)).over(wt).alias("n_rows"),
+        F.sum("c").over(wt).alias("n_rows"),
     ).where(F.lit(2) * F.col("cum") >= F.col("tot"))
-    pick = Window.partitionBy("g").orderBy("cum", "v")
+    pick = Window.partitionBy("g").orderBy("v")
     return (
         c.withColumn("rn", F.row_number().over(pick))
         .where(F.col("rn") == 1)
@@ -4994,16 +5001,26 @@ def lorenz_deciles(t) -> DataFrame:
     integer ordering is engine-identical; shares are single mirrored
     divisions of BIGINT cumulative sums under round_half_up.
 
-    Scale: per-customer rollup, then a rank over customers — the one
-    global-sort stage (range-partitioned at scale); deciles and shares
-    are 10-row arithmetic."""
+    Scale: per-customer rollup, then rank.global_ntile — a TRUE
+    range-partitioned two-pass rank (per-partition row numbers + a
+    broadcast P-row offset table), so the |customers|-sized relation
+    never funnels through a single-partition window (VERDICT r7 fix;
+    equality with the window form pinned in
+    tests/test_round8_fixes.py); deciles and shares are 10-row
+    arithmetic."""
+    from .rank import global_ntile
+
     per_cust = (
         t["orders"]
         .groupBy("o_custkey")
         .agg(F.sum(_cents("o_totalprice")).cast("long").alias("cents"))
     )
-    w = Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
-    d = per_cust.withColumn("decile", F.ntile(10).over(w))
+    d = global_ntile(
+        per_cust,
+        [F.col("cents").asc(), F.col("o_custkey").asc()],
+        10,
+        "decile",
+    )
     g = d.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("cents").cast("long").alias("spend_cents"),
