@@ -848,8 +848,16 @@ def main() -> None:
         "w",
     ) as f:
         f.write(json.dumps(doc) + "\n")
-    print(compact_stdout_line(doc), flush=True)
+    # stop BEFORE printing so no Spark shutdown chatter can land on
+    # stdout after the JSON line, then pad the line with trailing
+    # spaces so line + newline is EXACTLY 2000 chars: the driver
+    # captures the last 2000 chars of stdout, and this guarantees that
+    # capture starts at the JSON's first byte and parses as JSON
+    # (trailing whitespace is legal) — VERDICT r7 ask #6 (the r7
+    # artifact's tail led with a DAGScheduler log fragment).
     spark.stop()
+    line = compact_stdout_line(doc)
+    print(line + " " * max(0, 1999 - len(line)), flush=True)
 
 
 if __name__ == "__main__":
