@@ -3290,6 +3290,77 @@ def q_event_ppr(spark, sf_dir):
     )
 
 
+def q_fligner_killeen(spark, sf_dir):
+    """Fligner-Killeen rank-based variance-homogeneity test across
+    order priorities (robust.fligner_killeen) — shared-literal Acklam
+    qnorm normal scores, nano-quantized order-free sums."""
+    return RB.fligner_killeen(load_tables(spark, sf_dir)["orders"])
+
+
+def q_theta_forecast(spark, sf_dir):
+    """Theta-method daily-revenue forecast (robust.theta_forecast) —
+    SES-smoothed theta-2 line averaged with the OLS trend line, the
+    M3-robust dampened-trend member of the forecasting family."""
+    return RB.theta_forecast(load_tables(spark, sf_dir)["orders"])
+
+
+def q_yule_k_vocab(spark, sf_dir):
+    """Yule's K / Sichel's S / Honore's R lexical-richness constants
+    per source (textops.yule_k_vocab) — frequency-spectrum stylometry
+    for the curation gate."""
+    return TX.yule_k_vocab(load_tables(spark, sf_dir)["documents"])
+
+
+def q_mood_median(spark, sf_dir):
+    """Mood's median test across order priorities (robust.mood_median)
+    — the assumption-free k-sample location screen on the pooled
+    lower-median contingency."""
+    return RB.mood_median(load_tables(spark, sf_dir)["orders"])
+
+
+def q_adf_lite(spark, sf_dir):
+    """Lag-0 Dickey-Fuller unit-root t statistic of the daily order
+    count series (robust.adf_lite) — the stationarity gate before the
+    forecasting family is trusted."""
+    return RB.adf_lite(load_tables(spark, sf_dir)["orders"])
+
+
+def q_kpss_lite(spark, sf_dir):
+    """KPSS level-stationarity eta of the daily order-count series
+    (robust.kpss_lite) — integer partial sums, one exact-DECIMAL
+    division; the null-reversed complement of adf_lite."""
+    return RB.kpss_lite(load_tables(spark, sf_dir)["orders"])
+
+
+def q_variance_ratio(spark, sf_dir):
+    """Lo-MacKinlay variance ratios VR(2/5/10) of the daily-revenue
+    series (robust.variance_ratio) — the momentum / mean-reversion
+    random-walk diagnostic."""
+    return RB.variance_ratio(load_tables(spark, sf_dir)["orders"])
+
+
+def q_sign_test_drift(spark, sf_dir):
+    """Exact two-sided sign test on daily order-count increments
+    (robust.sign_test_drift) — factorial-free binomial folds, the
+    fisher_exact discipline."""
+    return RB.sign_test_drift(load_tables(spark, sf_dir)["orders"])
+
+
+def q_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficients over the hub-capped co-purchase
+    graph (graph.clustering_coefficient) — wedge-closure triangle
+    counts, integer clust_micro."""
+    t = load_tables(spark, sf_dir)
+    return G.clustering_coefficient(G.copurchase_edges(t["lineitem"]))
+
+
+def q_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal stratified-sample allocation across order
+    priorities (sampling.neyman_allocation) — N_h * sd_h weights from
+    exact cents moments."""
+    return SM.neyman_allocation(load_tables(spark, sf_dir)["orders"])
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3685,6 +3756,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "granger_lite": q_granger_lite,
         "fisher_exact": q_fisher_exact,
         "event_ppr": q_event_ppr,
+        # --- round-8 additions (fill gate slots 6-50 behind R8_QUEUE;
+        # overflow past slot 50 derives into R9_QUEUE) -----------------
+        "fligner_killeen": q_fligner_killeen,
+        "theta_forecast": q_theta_forecast,
+        "yule_k_vocab": q_yule_k_vocab,
+        "mood_median": q_mood_median,
+        "adf_lite": q_adf_lite,
+        "kpss_lite": q_kpss_lite,
+        "variance_ratio": q_variance_ratio,
+        "sign_test_drift": q_sign_test_drift,
+        "clustering_coefficient": q_clustering_coefficient,
+        "neyman_allocation": q_neyman_allocation,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -12865,5 +12948,463 @@ def oracle_sql() -> dict[str, str]:
                floor((u.s_le + d.s_le) / (u.s_all + d.s_all)
                      * 1e6 + 0.5) / 1e6 AS p_two_sided
         FROM base b, ufin u, dfin d
+    """
+    _qn = RB.qnorm_upper_sql(
+        "0.5 + CAST(2 * below + cnt + 1 AS DOUBLE)"
+        " / CAST(4 * (n_all + 1) AS DOUBLE)",
+        "CAST(2 * (n_all + 1) - (2 * below + cnt + 1) AS DOUBLE)"
+        " / CAST(4 * (n_all + 1) AS DOUBLE)",
+    )
+    out["fligner_killeen"] = f"""
+        WITH d AS (
+          SELECT o_orderpriority AS g,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS x
+          FROM orders),
+        gv AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c
+               FROM d GROUP BY 1, 2),
+        med AS (
+          SELECT g, min(x) AS med FROM (
+            SELECT g, x,
+                   sum(c) OVER (PARTITION BY g ORDER BY x
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(c) OVER (PARTITION BY g) AS ng
+            FROM gv) WHERE 2 * cum >= ng GROUP BY g),
+        resid AS (SELECT d.g, abs(d.x - m.med) AS v
+                  FROM d JOIN med m ON m.g = d.g),
+        gvr AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                FROM resid GROUP BY 1, 2),
+        spine AS (SELECT v, CAST(sum(c) AS BIGINT) AS cnt
+                  FROM gvr GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM gvr),
+        sp AS (
+          SELECT v, cnt,
+                 COALESCE(sum(cnt) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS below,
+                 n_all
+          FROM spine, tot),
+        sc0 AS (SELECT v, ({_qn}) AS a FROM sp),
+        scores AS (
+          SELECT v, CAST(floor(a * 1e9 + 0.5) AS BIGINT) AS an,
+                 CAST(floor(a * a * 1e9 + 0.5) AS BIGINT) AS a2n
+          FROM sc0),
+        j AS (SELECT gvr.g, gvr.c, s.an, s.a2n
+              FROM gvr JOIN scores s USING (v)),
+        per_g AS (
+          SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+                 sum(CAST(c AS HUGEINT) * an) AS sa
+          FROM j GROUP BY 1),
+        gtot AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n,
+                 sum(CAST(c AS HUGEINT) * an) AS sa_all,
+                 sum(CAST(c AS HUGEINT) * a2n) AS s2_all
+          FROM j),
+        arr AS (
+          SELECT n, sa_all, s2_all,
+                 list(struct_pack(g := g, ng := ng, sa := sa)
+                      ORDER BY g) AS gs,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM per_g, gtot GROUP BY 1, 2, 3)
+        SELECT n AS n_rows, k AS n_groups,
+               CAST(k - 1 AS BIGINT) AS df,
+          floor(
+            list_reduce(list_prepend(0.0, list_transform(gs,
+              t -> CAST(t.ng AS DOUBLE)
+                   * (CAST(t.sa AS DOUBLE)
+                      / (CAST(t.ng AS DOUBLE) * 1e9)
+                      - CAST(sa_all AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * 1e9))
+                   * (CAST(t.sa AS DOUBLE)
+                      / (CAST(t.ng AS DOUBLE) * 1e9)
+                      - CAST(sa_all AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * 1e9)))),
+              (a, b) -> a + b)
+            / ((CAST(s2_all AS DOUBLE) / 1e9
+                - CAST(n AS DOUBLE)
+                  * (CAST(sa_all AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * 1e9))
+                  * (CAST(sa_all AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * 1e9)))
+               / (CAST(n AS DOUBLE) - 1.0))
+            * 1e6 + 0.5) / 1e6 AS fk_stat
+        FROM arr WHERE k >= 2 AND n > k
+    """
+    out["theta_forecast"] = """
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS d,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        idx AS (
+          SELECT CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT)
+                   AS t,
+                 y
+          FROM daily),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(t) AS BIGINT) AS st,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 sum(CAST(t AS HUGEINT) * t) AS stt,
+                 sum(CAST(t AS HUGEINT) * y) AS sty
+          FROM idx),
+        ab AS (
+          SELECT n, st, sy,
+                 CAST(CAST(n AS HUGEINT) * stt
+                      - CAST(st AS HUGEINT) * st AS DOUBLE) AS ctt,
+                 CAST(CAST(n AS HUGEINT) * sty
+                      - CAST(st AS HUGEINT) * sy AS DOUBLE) AS cty
+          FROM m),
+        ab2 AS (
+          SELECT n, ctt, cty / ctt AS b,
+                 (CAST(sy AS DOUBLE)
+                  - (cty / ctt) * CAST(st AS DOUBLE))
+                 / CAST(n AS DOUBLE) AS a
+          FROM ab),
+        zl AS (
+          SELECT ab2.*,
+                 list(2.0 * CAST(y AS DOUBLE)
+                      - (a + b * CAST(t AS DOUBLE)) ORDER BY t) AS zs
+          FROM idx, ab2 GROUP BY ALL),
+        lv AS (
+          SELECT *, list_reduce(zs,
+                      (acc, z) -> 0.3 * z + (1.0 - 0.3) * acc) AS level
+          FROM zl)
+        SELECT n AS n_days,
+          floor(a / 100.0 * 1e6 + 0.5) / 1e6 AS intercept_usd,
+          floor(b / 100.0 * 1e6 + 0.5) / 1e6 AS slope_usd,
+          floor(level / 100.0 * 1e6 + 0.5) / 1e6 AS ses_level_usd,
+          floor((level + a + b * (CAST(n - 1 AS DOUBLE) + 1.0)) / 2.0
+                / 100.0 * 1e6 + 0.5) / 1e6 AS forecast_h1_usd,
+          floor((level + a + b * (CAST(n - 1 AS DOUBLE) + 7.0)) / 2.0
+                / 100.0 * 1e6 + 0.5) / 1e6 AS forecast_h7_usd,
+          floor((level + a + b * (CAST(n - 1 AS DOUBLE) + 30.0)) / 2.0
+                / 100.0 * 1e6 + 0.5) / 1e6 AS forecast_h30_usd
+        FROM lv WHERE n >= 3 AND ctt > 0
+    """
+    out["yule_k_vocab"] = r"""
+        WITH tf AS (
+          SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT source,
+                       unnest(list_filter(
+                           string_split_regex(text, '\s+'),
+                           t -> t <> '')) AS tok
+                FROM documents)
+          GROUP BY 1, 2),
+        g AS (
+          SELECT source, CAST(sum(n) AS BIGINT) AS nn,
+                 CAST(count(*) AS BIGINT) AS v,
+                 CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS v1,
+                 CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS v2,
+                 sum(CAST(n AS HUGEINT) * n) AS s2
+          FROM tf GROUP BY 1)
+        SELECT source, nn AS tokens, v AS vocab, v1, v2,
+          floor(10000.0 * (CAST(s2 AS DOUBLE) - CAST(nn AS DOUBLE))
+                / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+                * 1e6 + 0.5) / 1e6 AS yule_k,
+          floor(CAST(v2 AS DOUBLE) / CAST(v AS DOUBLE) * 1e6 + 0.5)
+              / 1e6 AS sichel_s,
+          CASE WHEN v1 < v THEN
+            floor(100.0 * ln(CAST(nn AS DOUBLE))
+                  / (1.0 - CAST(v1 AS DOUBLE) / CAST(v AS DOUBLE))
+                  * 1e6 + 0.5) / 1e6
+          END AS honore_r
+        FROM g WHERE nn >= 2
+    """
+    out["mood_median"] = """
+        WITH d AS (
+          SELECT o_orderpriority AS g,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS x
+          FROM orders),
+        spine AS (SELECT x, CAST(count(*) AS BIGINT) AS c
+                  FROM d GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM spine),
+        med AS (
+          SELECT min(x) AS med FROM (
+            SELECT x, sum(c) OVER (ORDER BY x
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM spine), tot
+          WHERE 2 * cum >= n_all),
+        cells AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS ng,
+                 CAST(sum(CASE WHEN x <= med THEN 1 ELSE 0 END)
+                      AS BIGINT) AS le
+          FROM d, med GROUP BY 1),
+        arr AS (
+          SELECT list(struct_pack(g := g, ng := ng, le := le)
+                      ORDER BY g) AS gs,
+                 CAST(sum(ng) AS BIGINT) AS n,
+                 CAST(sum(le) AS BIGINT) AS le_all,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM cells)
+        SELECT n AS n_rows, k AS n_groups,
+               CAST(k - 1 AS BIGINT) AS df, le_all AS n_le_median,
+          floor(list_reduce(list_prepend(0.0, list_transform(gs,
+            t -> (CAST(t.le AS DOUBLE)
+                  - CAST(CAST(t.ng AS HUGEINT) * le_all AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 * (CAST(t.le AS DOUBLE)
+                    - CAST(CAST(t.ng AS HUGEINT) * le_all AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                 / (CAST(CAST(t.ng AS HUGEINT) * le_all AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 + (CAST(t.ng - t.le AS DOUBLE)
+                    - CAST(CAST(t.ng AS HUGEINT) * (n - le_all)
+                           AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                   * (CAST(t.ng - t.le AS DOUBLE)
+                      - CAST(CAST(t.ng AS HUGEINT) * (n - le_all)
+                             AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                   / (CAST(CAST(t.ng AS HUGEINT) * (n - le_all)
+                           AS DOUBLE)
+                      / CAST(n AS DOUBLE)))),
+            (a, b) -> a + b) * 1e6 + 0.5) / 1e6 AS chi2
+        FROM arr WHERE k >= 2 AND le_all > 0 AND le_all < n
+    """
+    out["adf_lite"] = """
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        lagged AS (
+          SELECT y, lag(y) OVER (ORDER BY d) AS x FROM daily),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y - x) AS BIGINT) AS sy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(x AS HUGEINT) * (y - x)) AS sxy,
+                 sum(CAST(y - x AS HUGEINT) * (y - x)) AS syy
+          FROM lagged WHERE x IS NOT NULL),
+        cc AS (
+          SELECT n,
+                 CAST(CAST(n AS HUGEINT) * sxx
+                      - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS cxx,
+                 CAST(CAST(n AS HUGEINT) * sxy
+                      - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS cxy,
+                 CAST(CAST(n AS HUGEINT) * syy
+                      - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS cyy
+          FROM m),
+        fin AS (
+          SELECT n, cxx, cxy / cxx AS gamma,
+                 (cyy - cxy * cxy / cxx) / CAST(n AS DOUBLE) AS rss
+          FROM cc)
+        SELECT n AS n_obs,
+          floor(gamma * 1e6 + 0.5) / 1e6 AS gamma,
+          floor(sqrt((rss / CAST(n - 2 AS DOUBLE))
+                     / (cxx / CAST(n AS DOUBLE))) * 1e6 + 0.5) / 1e6
+              AS se_gamma,
+          floor(gamma / sqrt((rss / CAST(n - 2 AS DOUBLE))
+                             / (cxx / CAST(n AS DOUBLE)))
+                * 1e6 + 0.5) / 1e6 AS adf_t
+        FROM fin WHERE cxx > 0 AND n > 2 AND rss > 0
+    """
+    out["kpss_lite"] = """
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 sum(CAST(y AS HUGEINT) * y) AS syy
+          FROM daily),
+        idx AS (
+          SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+                 CAST(sum(y) OVER (ORDER BY d
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM daily),
+        ns AS (
+          SELECT n, sy, syy,
+                 CAST(n AS HUGEINT) * cum
+                 - CAST(i AS HUGEINT) * sy AS nst
+          FROM idx, agg),
+        fin AS (
+          SELECT n, sy, syy, sum(nst * nst) AS q
+          FROM ns GROUP BY 1, 2, 3)
+        SELECT n AS n_days,
+          floor(CAST(q AS DOUBLE)
+                / CAST(CAST(n AS HUGEINT) * n
+                       * (CAST(n AS HUGEINT) * syy
+                          - CAST(sy AS HUGEINT) * sy) AS DOUBLE)
+                * 1e6 + 0.5) / 1e6 AS kpss_eta
+        FROM fin
+        WHERE CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
+          AND n >= 3
+    """
+    _vr_q = """
+          SELECT CAST({q} AS BIGINT) AS q,
+                 mq AS n_diffs,
+            floor((CAST(cq AS DOUBLE)
+                   / CAST(CAST(mq AS HUGEINT) * mq AS DOUBLE))
+                  / (CAST({q} AS DOUBLE)
+                     * (CAST(c1 AS DOUBLE)
+                        / CAST(CAST(m1 AS HUGEINT) * m1 AS DOUBLE)))
+                  * 1e6 + 0.5) / 1e6 AS vr
+          FROM (
+            SELECT CAST(count(*) AS BIGINT) AS mq,
+                   CAST(count(*) AS HUGEINT)
+                     * sum(CAST(dq AS HUGEINT) * dq)
+                   - CAST(sum(dq) AS HUGEINT) * sum(dq) AS cq
+            FROM (SELECT y - lag(y, {q}) OVER (ORDER BY d) AS dq
+                  FROM daily) WHERE dq IS NOT NULL), base
+          WHERE c1 > 0 AND mq >= 2
+    """
+    out["variance_ratio"] = (
+        """
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS d,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        base AS (
+          SELECT CAST(count(*) AS BIGINT) AS m1,
+                 CAST(count(*) AS HUGEINT)
+                   * sum(CAST(dy AS HUGEINT) * dy)
+                 - CAST(sum(dy) AS HUGEINT) * sum(dy) AS c1
+          FROM (SELECT y - lag(y, 1) OVER (ORDER BY d) AS dy
+                FROM daily) WHERE dy IS NOT NULL)
+        """
+        + _vr_q.format(q=2)
+        + " UNION ALL "
+        + _vr_q.format(q=5)
+        + " UNION ALL "
+        + _vr_q.format(q=10)
+    )
+    out["sign_test_drift"] = """
+        WITH RECURSIVE daily AS MATERIALIZED (
+          SELECT date_trunc('day', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        base AS MATERIALIZED (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN dy > 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS up,
+                 (CAST(count(*) AS BIGINT) + 1) // 2 AS kmode
+          FROM (SELECT y - lag(y, 1) OVER (ORDER BY d) AS dy
+                FROM daily)
+          WHERE dy IS NOT NULL AND dy <> 0
+          HAVING count(*) >= 1),
+        obs AS (
+          SELECT kmode AS k, CAST(1.0 AS DOUBLE) AS cur FROM base
+          UNION ALL
+          SELECT CASE WHEN b.up > o.k THEN o.k + 1 ELSE o.k - 1 END,
+                 CASE WHEN b.up > o.k
+                      THEN o.cur * (CAST(b.n - o.k AS DOUBLE)
+                                    / CAST(o.k + 1 AS DOUBLE))
+                      ELSE o.cur / (CAST(b.n - (o.k - 1) AS DOUBLE)
+                                    / CAST(o.k AS DOUBLE))
+                 END
+          FROM obs o, base b WHERE o.k <> b.up),
+        relobs AS MATERIALIZED (
+          SELECT o.cur AS rel_obs FROM obs o, base b
+          WHERE o.k = b.up),
+        up AS (
+          SELECT b.kmode AS k, CAST(1.0 AS DOUBLE) AS cur,
+                 CAST(1.0 AS DOUBLE) AS s_all,
+                 CASE WHEN 1.0 <= r.rel_obs * (1.0 + 1e-7)
+                      THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END AS s_le
+          FROM base b, relobs r
+          UNION ALL
+          SELECT u.k + 1, x.nxt, u.s_all + x.nxt,
+                 u.s_le + CASE WHEN x.nxt <= r.rel_obs * (1.0 + 1e-7)
+                               THEN x.nxt ELSE 0.0 END
+          FROM up u, base b, relobs r,
+               LATERAL (SELECT u.cur * (CAST(b.n - u.k AS DOUBLE)
+                                        / CAST(u.k + 1 AS DOUBLE))
+                            AS nxt) x
+          WHERE u.k < b.n),
+        down AS (
+          SELECT b.kmode AS k, CAST(1.0 AS DOUBLE) AS cur,
+                 CAST(0.0 AS DOUBLE) AS s_all,
+                 CAST(0.0 AS DOUBLE) AS s_le
+          FROM base b
+          UNION ALL
+          SELECT d.k - 1, x.nxt, d.s_all + x.nxt,
+                 d.s_le + CASE WHEN x.nxt <= r.rel_obs * (1.0 + 1e-7)
+                               THEN x.nxt ELSE 0.0 END
+          FROM down d, base b, relobs r,
+               LATERAL (SELECT d.cur
+                          / (CAST(b.n - (d.k - 1) AS DOUBLE)
+                             / CAST(d.k AS DOUBLE)) AS nxt) x
+          WHERE d.k > 0),
+        ufin AS (SELECT u.s_all, u.s_le FROM up u, base b
+                 WHERE u.k = b.n),
+        dfin AS (SELECT d.s_all, d.s_le FROM down d
+                 WHERE d.k = 0)
+        SELECT b.n AS n_moves, b.up AS n_up, b.n - b.up AS n_down,
+          floor((u.s_le + COALESCE(d.s_le, 0.0))
+                / (u.s_all + COALESCE(d.s_all, 0.0))
+                * 1e6 + 0.5) / 1e6 AS p_two_sided
+        FROM base b, ufin u LEFT JOIN dfin d ON TRUE
+    """
+    out["clustering_coefficient"] = """
+        WITH e0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                    FROM lineitem),
+        edges AS (SELECT x.pk AS a, y.pk AS b, count(*) AS w
+                  FROM e0 x JOIN e0 y ON x.ok = y.ok AND x.pk < y.pk
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS (SELECT a, b FROM edges
+                UNION ALL SELECT b AS a, a AS b FROM edges),
+        deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d
+                FROM und GROUP BY 1),
+        keep AS (SELECT v FROM deg WHERE d >= 2 AND d <= 200),
+        sub AS (SELECT u.a, u.b FROM und u
+                JOIN keep ka ON ka.v = u.a
+                JOIN keep kb ON kb.v = u.b),
+        dsub AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d
+                 FROM sub GROUP BY 1),
+        wedges AS (SELECT x.a AS c, x.b AS u, y.b AS w
+                   FROM sub x JOIN sub y ON y.a = x.a AND x.b < y.b),
+        half AS (SELECT a AS u, b AS w FROM sub WHERE a < b),
+        tri AS (SELECT c AS v, CAST(count(*) AS BIGINT) AS t
+                FROM wedges JOIN half USING (u, w) GROUP BY 1)
+        SELECT dsub.v AS partkey, dsub.d AS degree,
+               COALESCE(tri.t, 0) AS triangles,
+          CAST(floor(2.0 * CAST(COALESCE(tri.t, 0) AS DOUBLE)
+                     * 1000000.0
+                     / CAST(dsub.d * (dsub.d - 1) AS DOUBLE) + 0.5)
+               AS BIGINT) AS clust_micro
+        FROM dsub LEFT JOIN tri ON tri.v = dsub.v
+        WHERE dsub.d >= 2
+        ORDER BY dsub.d DESC, dsub.v ASC LIMIT 100
+    """
+    out["neyman_allocation"] = """
+        WITH g AS (
+          SELECT o_orderpriority AS stratum,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS s,
+                 sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS HUGEINT)
+                     * CAST(round(o_totalprice * 100) AS BIGINT)) AS q
+          FROM orders GROUP BY 1),
+        per AS (
+          SELECT stratum, n_rows,
+            sqrt(CAST(CAST(n_rows AS HUGEINT) * q
+                      - CAST(s AS HUGEINT) * s AS DOUBLE)
+                 / (CAST(n_rows AS DOUBLE)
+                    * CAST(n_rows - 1 AS DOUBLE))) AS sd
+          FROM g WHERE n_rows >= 2),
+        arr AS (
+          SELECT list(struct_pack(stratum := stratum,
+                                  n_rows := n_rows, sd := sd)
+                      ORDER BY stratum) AS gs
+          FROM per),
+        tw AS (
+          SELECT gs, list_reduce(list_prepend(0.0, list_transform(gs,
+                   t -> CAST(t.n_rows AS DOUBLE) * t.sd)),
+                   (a, b) -> a + b) AS tw
+          FROM arr)
+        SELECT t.stratum AS stratum, t.n_rows AS n_rows,
+          floor(t.sd / 100.0 * 1e6 + 0.5) / 1e6 AS sd_usd,
+          floor(CAST(t.n_rows AS DOUBLE) * t.sd / tw * 1e6 + 0.5)
+              / 1e6 AS weight,
+          CAST(floor(1000.0 * CAST(t.n_rows AS DOUBLE) * t.sd / tw
+                     + 0.5) AS BIGINT) AS alloc
+        FROM tw, unnest(gs) AS u(t)
     """
     return out

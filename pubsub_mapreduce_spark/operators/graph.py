@@ -934,3 +934,82 @@ def duckdb_ppr_sql(
         + ",\n      ".join(blocks)
         + f"\n      SELECT node, r FROM r{iters}"
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame, top_k: int = 100, max_deg: int = 200
+) -> DataFrame:
+    """Local clustering coefficient over the hub-capped co-purchase
+    graph: C(v) = 2 T(v) / (d(v) (d(v) - 1)) where T(v) counts
+    triangles through v in the subgraph of nodes with 2 <= deg <=
+    ``max_deg`` — the "are my neighbors also neighbors of each other"
+    read that separates clique-like substitute families from star-like
+    accessory hubs (``neighbor_jaccard`` scores PAIRS; this scores
+    NODES).
+
+    Triangles are wedge-closures: every wedge (u < w through center v)
+    in the capped subgraph is checked against the edge set, and a
+    triangle {x,y,z} closes exactly one wedge per corner — so the
+    per-center closure count IS T(v), no multiplicity correction.
+
+    Exactness: pure integer counts; C ships as clust_micro =
+    floor(2 T * 1e6 / (d (d-1)) + 0.5). Top-k by (degree desc, node
+    asc) — a deterministic total order.
+
+    Scale: the hub cap bounds wedges by C(max_deg, 2) per center (the
+    adamic_adar / neighbor_jaccard envelope); the closure check is an
+    edge-keyed join, never a pair materialization."""
+    und = (
+        edges.select("a", "b")
+        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=False)
+    )
+    deg = und.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    keep = deg.where((F.col("d") >= 2) & (F.col("d") <= max_deg))
+    # capped subgraph: both endpoints eligible
+    sub = (
+        und.join(keep.select(F.col("v").alias("a")), "a")
+        .join(keep.select(F.col("v").alias("b")), "b")
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    dsub = sub.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    x = sub.select(F.col("a").alias("c"), F.col("b").alias("u"))
+    y = sub.select(F.col("a").alias("c"), F.col("b").alias("w"))
+    wedges = x.join(y, "c").where(F.col("u") < F.col("w"))
+    half = sub.where(F.col("a") < F.col("b")).select(
+        F.col("a").alias("u"), F.col("b").alias("w")
+    )
+    tri = (
+        wedges.join(half, ["u", "w"])
+        .groupBy(F.col("c").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    # the eligible-eligible restriction can drop a node's SUBGRAPH
+    # degree below 2 -> C undefined (d(d-1) = 0): exclude those
+    scored = dsub.where(F.col("d") >= 2).join(tri, "v", "left").select(
+        "v",
+        "d",
+        F.coalesce("t", F.lit(0).cast("long")).alias("triangles"),
+        F.floor(
+            F.lit(2.0)
+            * F.coalesce("t", F.lit(0).cast("long")).cast("double")
+            * 1000000.0
+            / (F.col("d") * (F.col("d") - 1)).cast("double")
+            + F.lit(0.5)
+        ).cast("long").alias("clust_micro"),
+    )
+    return (
+        scored.orderBy(F.col("d").desc(), F.col("v").asc())
+        .limit(top_k)
+        .select(
+            F.col("v").alias("partkey"),
+            F.col("d").alias("degree"),
+            "triangles",
+            "clust_micro",
+        )
+    )

@@ -6222,3 +6222,686 @@ def fisher_exact(t, min_orders: int = 10, bal_cut: float = 5000.0) -> DataFrame:
         (F.col("kmax") - F.col("kmin") + 1).alias("support"),
         round_half_up(s_le / s_all, 6).alias("p_two_sided"),
     )
+
+
+# Acklam's rational approximation to the inverse normal CDF (the
+# standard public-domain coefficients, e.g. as reproduced in Wichura
+# AS241 discussions and countless numerics libraries). Shared between
+# the Spark Column builder and the DuckDB SQL mirror so both engines
+# evaluate EXACTLY the same literals in the same operation order —
+# the whole approximation uses only -, *, /, sqrt and ln, all
+# IEEE-deterministic on this stack (the house ln-fold precedent).
+QNORM_A = (
+    -3.969683028665376e+01, 2.209460984245205e+02,
+    -2.759285104469687e+02, 1.383577518672690e+02,
+    -3.066479806614716e+01, 2.506628277459239e+00,
+)
+QNORM_B = (
+    -5.447609879822406e+01, 1.615858368580409e+02,
+    -1.556989798598866e+02, 6.680131188771972e+01,
+    -1.328068155288572e+01,
+)
+QNORM_C = (
+    -7.784894002430293e-03, -3.223964580411365e-01,
+    -2.400758277161838e+00, -2.549732539343734e+00,
+    4.374664141464968e+00, 2.938163982698783e+00,
+)
+QNORM_D = (
+    7.784695709041462e-03, 3.224671290700398e-01,
+    2.445134137142996e+00, 3.754408661907416e+00,
+)
+QNORM_PLOW = 0.02425
+
+
+def _qnorm_upper(p: F.Column, u: F.Column) -> F.Column:
+    """Inverse normal CDF for p in (0.5, 1), given BOTH p and u = 1-p
+    (each computed as ONE division of exact integers by the caller, so
+    neither suffers 1-p cancellation). Central region |p-0.5| <=
+    0.475: Horner rational in r = q^2; upper tail: the mirrored lower
+    tail at u."""
+    a1, a2, a3, a4, a5, a6 = [F.lit(v) for v in QNORM_A]
+    b1, b2, b3, b4, b5 = [F.lit(v) for v in QNORM_B]
+    c1, c2, c3, c4, c5, c6 = [F.lit(v) for v in QNORM_C]
+    d1, d2, d3, d4 = [F.lit(v) for v in QNORM_D]
+    q = p - F.lit(0.5)
+    r = q * q
+    num = ((((a1 * r + a2) * r + a3) * r + a4) * r + a5) * r + a6
+    den = ((((b1 * r + b2) * r + b3) * r + b4) * r + b5) * r + F.lit(1.0)
+    central = num * q / den
+    ql = F.sqrt(F.lit(-2.0) * F.log(u))
+    numt = ((((c1 * ql + c2) * ql + c3) * ql + c4) * ql + c5) * ql + c6
+    dent = ((d1 * ql + d2) * ql + d3) * ql + d4
+    tail = -(numt / (dent * ql + F.lit(1.0)))
+    return F.when(u >= F.lit(QNORM_PLOW), central).otherwise(tail)
+
+
+def qnorm_upper_sql(p: str, u: str) -> str:
+    """DuckDB twin of ``_qnorm_upper``: the same Acklam literals
+    (shortest-repr round-trip) in the same operation order. ``p`` and
+    ``u`` are SQL expressions for the probability and its exact
+    complement."""
+    a1, a2, a3, a4, a5, a6 = [repr(v) for v in QNORM_A]
+    b1, b2, b3, b4, b5 = [repr(v) for v in QNORM_B]
+    c1, c2, c3, c4, c5, c6 = [repr(v) for v in QNORM_C]
+    d1, d2, d3, d4 = [repr(v) for v in QNORM_D]
+    q = f"(({p}) - 0.5)"
+    r = f"({q} * {q})"
+    num = (
+        f"((((({a1}) * {r} + ({a2})) * {r} + ({a3})) * {r} + ({a4}))"
+        f" * {r} + ({a5})) * {r} + ({a6})"
+    )
+    den = (
+        f"((((({b1}) * {r} + ({b2})) * {r} + ({b3})) * {r} + ({b4}))"
+        f" * {r} + ({b5})) * {r} + 1.0"
+    )
+    ql = f"sqrt(-2.0 * ln({u}))"
+    numt = (
+        f"((((({c1}) * {ql} + ({c2})) * {ql} + ({c3})) * {ql}"
+        f" + ({c4})) * {ql} + ({c5})) * {ql} + ({c6})"
+    )
+    dent = (
+        f"((({d1}) * {ql} + ({d2})) * {ql} + ({d3})) * {ql} + ({d4})"
+    )
+    return (
+        f"CASE WHEN ({u}) >= {QNORM_PLOW!r}"
+        f" THEN ({num}) * {q} / ({den})"
+        f" ELSE -(({numt}) / (({dent}) * {ql} + 1.0)) END"
+    )
+
+
+def fligner_killeen(orders: DataFrame) -> DataFrame:
+    """Fligner-Killeen variance-homogeneity test across order
+    priorities — the RANK-based member of the spread-test family
+    (``bartlett_test`` assumes normality, ``levene_variance`` uses
+    mean deviations; FK ranks |x - median_g| and normal-scores them,
+    making it the robust default R's fligner.test ships):
+
+        a(v)  = qnorm(1/2 + avgrank(v) / (2(N+1)))   over pooled
+                |x - med_g| residuals (average ranks on ties),
+        X^2   = sum_j n_j (Abar_j - abar)^2 / V,
+        V     = (sum a^2 - N abar^2) / (N - 1)
+
+    Exactness: per-group LOWER medians are integer order statistics;
+    residuals are exact cents; avg ranks live on the residual VALUE
+    spine as exact integers (2*avgrank = 2*below + cnt + 1); each
+    a(v) is the shared Acklam qnorm (literals + operation order
+    identical cross-engine), then NANO-QUANTIZED so every downstream
+    sum is an order-free BIGINT (the mutual_information discipline).
+
+    Scale: residual values live on the cents price LATTICE (a constant
+    of the schema, not of the data), so the value-spine windows and
+    the spine itself stay bounded at any SF; group folds are k-sized.
+    Reference: reference has no statistics surface (SURVEY.md 2.6)."""
+    c = _cents("o_totalprice")
+    d = orders.select(F.col("o_orderpriority").alias("g"), c.alias("x"))
+    gv = d.groupBy("g", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wg = Window.partitionBy("g").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("g")
+    med = (
+        gv.select(
+            "g",
+            "x",
+            F.sum("c").over(wg).alias("cum"),
+            F.sum("c").over(wt).alias("ng"),
+        )
+        .where(F.lit(2) * F.col("cum") >= F.col("ng"))
+        .groupBy("g")
+        .agg(F.min("x").alias("med"))
+    )
+    resid = d.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("x") - F.col("med")).alias("v")
+    )
+    gvr = resid.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=False)
+    spine = gvr.groupBy("v").agg(F.sum("c").cast("long").alias("cnt"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = gvr.agg(F.sum("c").cast("long").alias("n_all"))
+    sp = (
+        spine.select(
+            "v",
+            "cnt",
+            F.coalesce(F.sum("cnt").over(wv), F.lit(0).cast("long")).alias(
+                "below"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    t2 = (F.lit(2) * F.col("below") + F.col("cnt") + 1).cast("double")
+    den4 = (F.lit(4) * (F.col("n_all") + 1)).cast("double")
+    p = F.lit(0.5) + t2 / den4
+    u = (F.lit(2) * (F.col("n_all") + 1) - (
+        F.lit(2) * F.col("below") + F.col("cnt") + 1
+    )).cast("double") / den4
+    a = _qnorm_upper(p, u)
+    scores = sp.select(
+        "v",
+        F.floor(a * 1e9 + F.lit(0.5)).cast("long").alias("an"),
+        F.floor(a * a * 1e9 + F.lit(0.5)).cast("long").alias("a2n"),
+    )
+    j = gvr.join(scores, "v")
+    per_g = j.groupBy("g").agg(
+        F.sum("c").cast("long").alias("ng"),
+        F.sum(F.col("c").cast(DEC) * F.col("an").cast(DEC))
+        .cast(DEC)
+        .alias("sa"),
+    )
+    glob = j.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c").cast(DEC) * F.col("an").cast(DEC))
+        .cast(DEC)
+        .alias("sa_all"),
+        F.sum(F.col("c").cast(DEC) * F.col("a2n").cast(DEC))
+        .cast(DEC)
+        .alias("s2_all"),
+    )
+    arr = per_g.crossJoin(F.broadcast(glob)).groupBy(
+        "n", "sa_all", "s2_all"
+    ).agg(
+        F.array_sort(F.collect_list(F.struct("g", "ng", "sa"))).alias(
+            "gs"
+        ),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    nD = F.col("n").cast("double")
+    abar = F.col("sa_all").cast("double") / (nD * 1e9)
+    num = F.aggregate(
+        F.col("gs"),
+        F.lit(0.0),
+        lambda acc, t: acc
+        + t["ng"].cast("double")
+        * (
+            t["sa"].cast("double") / (t["ng"].cast("double") * 1e9)
+            - abar
+        )
+        * (
+            t["sa"].cast("double") / (t["ng"].cast("double") * 1e9)
+            - abar
+        ),
+    )
+    v_den = (
+        F.col("s2_all").cast("double") / 1e9 - nD * abar * abar
+    ) / (nD - F.lit(1.0))
+    return arr.where((F.col("k") >= 2) & (F.col("n") > F.col("k"))).select(
+        F.col("n").alias("n_rows"),
+        F.col("k").alias("n_groups"),
+        (F.col("k") - 1).cast("long").alias("df"),
+        round_half_up(num / v_den, 6).alias("fk_stat"),
+    )
+
+
+def theta_forecast(
+    orders: DataFrame, alpha: float = 0.3, horizons: tuple = (1, 7, 30)
+) -> DataFrame:
+    """Theta-method forecast of daily revenue (Assimakopoulos &
+    Nikolopoulos's M3 winner, theta = (0, 2) with equal weights): the
+    theta-2 line Z_t = 2 y_t - (a + b t) doubles local curvature, is
+    smoothed by SES(alpha), and the h-step forecast averages that
+    level with the theta-0 line (the OLS trend extrapolation):
+
+        yhat(n-1+h) = (ses_level + a + b (n-1+h)) / 2
+
+    — the dampened-trend alternative to ``holt_forecast`` (Holt's
+    trend is recursive and chases recency; theta's is the GLOBAL OLS
+    slope halved by the averaging, the M3-robust default).
+
+    Exactness: y is BIGINT cents on the day-index spine; a and b come
+    from exact centered integer moments; the SES fold is a
+    single-accumulator forward recursion over the day-sorted array
+    (user_ema-safe list_reduce shape — Z_t is recomputed per element
+    from the broadcast a, b). Scale: one daily rollup; the fold is
+    calendar-bounded."""
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.sum(_cents("o_totalprice")).cast("long").alias("y"))
+    )
+    idx = daily.withColumn(
+        "t", (F.row_number().over(Window.orderBy("d")) - 1).cast("long")
+    )
+    m = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t").cast(DEC) * F.col("t").cast(DEC))
+        .cast(DEC)
+        .alias("stt"),
+        F.sum(F.col("t").cast(DEC) * F.col("y").cast(DEC))
+        .cast(DEC)
+        .alias("sty"),
+        F.array_sort(
+            F.collect_list(
+                F.struct("t", F.col("y").cast("double").alias("y"))
+            )
+        ).alias("zs"),
+    )
+    ctt = (
+        F.col("n").cast(DEC) * F.col("stt")
+        - F.col("st").cast(DEC) * F.col("st").cast(DEC)
+    ).cast("double")
+    cty = (
+        F.col("n").cast(DEC) * F.col("sty")
+        - F.col("st").cast(DEC) * F.col("sy").cast(DEC)
+    ).cast("double")
+    b = cty / ctt
+    a = (
+        F.col("sy").cast("double")
+        - b * F.col("st").cast("double")
+    ) / F.col("n").cast("double")
+    al = F.lit(float(alpha))
+
+    def z_of(t_struct):
+        return F.lit(2.0) * t_struct["y"] - (
+            a + b * t_struct["t"].cast("double")
+        )
+
+    level = F.aggregate(
+        F.slice(F.col("zs"), 2, F.size(F.col("zs")) - 1),
+        z_of(F.element_at(F.col("zs"), 1)),
+        lambda acc, s: al * (
+            F.lit(2.0) * s["y"] - (a + b * s["t"].cast("double"))
+        ) + (F.lit(1.0) - al) * acc,
+    )
+    nm1 = (F.col("n") - 1).cast("double")
+    cols = [
+        F.col("n").alias("n_days"),
+        round_half_up(a / 100.0, 6).alias("intercept_usd"),
+        round_half_up(b / 100.0, 6).alias("slope_usd"),
+        round_half_up(level / 100.0, 6).alias("ses_level_usd"),
+    ]
+    for h in horizons:
+        cols.append(
+            round_half_up(
+                (level + a + b * (nm1 + F.lit(float(h)))) / F.lit(2.0)
+                / 100.0,
+                6,
+            ).alias(f"forecast_h{int(h)}_usd")
+        )
+    return m.where((F.col("n") >= 3) & (ctt > 0)).select(*cols)
+
+
+def mood_median(orders: DataFrame) -> DataFrame:
+    """Mood's median test across order priorities: the 2xk contingency
+    of (x <= grand median) vs group, scored by Pearson chi-square —
+    the crudest-but-assumption-free k-sample location test (Kruskal-
+    Wallis uses full ranks; this only asks "which side of the pooled
+    median", so it survives wild outliers and heavy censoring):
+
+        X^2 = sum_cells (O - E)^2 / E,  E = n_g * side_total / N
+
+    Exactness: the grand LOWER median is an integer order statistic on
+    the cents value spine; O and the E numerators are exact integers;
+    each cell term is one mirrored float expression folded in group
+    order. Scale: value-spine rollup (price-lattice-bounded), then a
+    k-row fold."""
+    c = _cents("o_totalprice")
+    d = orders.select(F.col("o_orderpriority").alias("g"), c.alias("x"))
+    spine = d.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wv = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = spine.agg(F.sum("c").cast("long").alias("n_all"))
+    med = (
+        spine.select("x", F.sum("c").over(wv).alias("cum"))
+        .crossJoin(F.broadcast(tot))
+        .where(F.lit(2) * F.col("cum") >= F.col("n_all"))
+        .agg(F.min("x").alias("med"))
+    )
+    cells = d.crossJoin(F.broadcast(med)).groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum((F.col("x") <= F.col("med")).cast("long"))
+        .cast("long")
+        .alias("le"),
+    )
+    arr = cells.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("g", "ng", "le"))).alias(
+            "gs"
+        ),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("le").cast("long").alias("le_all"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    nD = F.col("n").cast("double")
+
+    def term(t):
+        # DECIMAL cross-products: ng * side_total overflows int64 at
+        # warehouse row counts (DuckDB mirrors via HUGEINT)
+        e_le = (
+            t["ng"].cast(DEC) * F.col("le_all").cast(DEC)
+        ).cast("double") / nD
+        e_gt = (
+            t["ng"].cast(DEC)
+            * (F.col("n") - F.col("le_all")).cast(DEC)
+        ).cast("double") / nD
+        o_le = t["le"].cast("double")
+        o_gt = (t["ng"] - t["le"]).cast("double")
+        return (o_le - e_le) * (o_le - e_le) / e_le + (
+            o_gt - e_gt
+        ) * (o_gt - e_gt) / e_gt
+
+    chi2 = F.aggregate(
+        F.col("gs"), F.lit(0.0), lambda acc, t: acc + term(t)
+    )
+    return arr.where(
+        (F.col("k") >= 2)
+        & (F.col("le_all") > 0)
+        & (F.col("le_all") < F.col("n"))
+    ).select(
+        F.col("n").alias("n_rows"),
+        F.col("k").alias("n_groups"),
+        (F.col("k") - 1).cast("long").alias("df"),
+        F.col("le_all").alias("n_le_median"),
+        round_half_up(chi2, 6).alias("chi2"),
+    )
+
+
+def adf_lite(orders: DataFrame) -> DataFrame:
+    """Dickey-Fuller unit-root statistic (lag-0 "lite" form) for the
+    daily order-count series: regress Delta y_t on (1, y_{t-1}) and
+    report t(gamma) — the STATIONARITY gate the forecasting family
+    (holt/croston/theta) should pass before trusting a trend, and the
+    complement of ``kpss_lite`` (DF's null is a unit root; KPSS's null
+    is stationarity — agreeing tests are evidence, disagreeing ones a
+    warning).
+
+        gamma = Cxy / Cxx,  t = gamma / se,
+        se = sqrt((RSS / (n-2)) / (Cxx / n)),
+        RSS = (Cyy - Cxy^2 / Cxx) / n
+
+    Exactness: y and the lag live on the day-index spine; all C.. are
+    exact centered BIGINT/DECIMAL moments; gamma, se, t are three
+    mirrored float expressions. Scale: one daily rollup; the lag
+    window runs over the calendar spine."""
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "y", F.lag("y").over(w).alias("x")
+    ).where(F.col("x").isNotNull())
+    m = lagged.select(
+        (F.col("y") - F.col("x")).alias("dy"), "x"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(DEC) * F.col("x").cast(DEC))
+        .cast(DEC)
+        .alias("sxx"),
+        F.sum(F.col("x").cast(DEC) * F.col("dy").cast(DEC))
+        .cast(DEC)
+        .alias("sxy"),
+        F.sum(F.col("dy").cast(DEC) * F.col("dy").cast(DEC))
+        .cast(DEC)
+        .alias("syy"),
+    )
+    cxx = (
+        F.col("n").cast(DEC) * F.col("sxx")
+        - F.col("sx").cast(DEC) * F.col("sx").cast(DEC)
+    ).cast("double")
+    cxy = (
+        F.col("n").cast(DEC) * F.col("sxy")
+        - F.col("sx").cast(DEC) * F.col("sy").cast(DEC)
+    ).cast("double")
+    cyy = (
+        F.col("n").cast(DEC) * F.col("syy")
+        - F.col("sy").cast(DEC) * F.col("sy").cast(DEC)
+    ).cast("double")
+    gamma = cxy / cxx
+    rss = (cyy - cxy * cxy / cxx) / F.col("n").cast("double")
+    se = F.sqrt(
+        (rss / (F.col("n") - 2).cast("double"))
+        / (cxx / F.col("n").cast("double"))
+    )
+    return m.where((cxx > 0) & (F.col("n") > 2) & (rss > 0)).select(
+        F.col("n").alias("n_obs"),
+        round_half_up(gamma, 6).alias("gamma"),
+        round_half_up(se, 6).alias("se_gamma"),
+        round_half_up(gamma / se, 6).alias("adf_t"),
+    )
+
+
+def kpss_lite(orders: DataFrame) -> DataFrame:
+    """KPSS level-stationarity statistic (lag-0 "lite" form) of the
+    daily order-count series: eta = sum_t S_t^2 / (n^2 sigma^2) over
+    the partial sums S_t of the demeaned series — the null-reversed
+    complement of ``adf_lite`` (KPSS's null IS stationarity; rejecting
+    both, or neither, is the forecaster's warning light).
+
+    Exactness: FULLY integer until one final division — n*S_t =
+    n*cum_t - t*Sy is an exact BIGINT, its squares sum in DECIMAL, and
+
+        eta = sum (n S_t)^2 / (n^2 (n Syy - Sy^2))
+
+    cancels every 1/n^2 so the statistic is one division of two exact
+    DECIMAL integers. Scale: one daily rollup; the cumulative window
+    runs over the calendar spine."""
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    agg = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y").cast(DEC) * F.col("y").cast(DEC))
+        .cast(DEC)
+        .alias("syy"),
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("i"),
+        F.sum("y").over(w).cast("long").alias("cum"),
+    )
+    ns = idx.crossJoin(F.broadcast(agg)).select(
+        "n",
+        "sy",
+        "syy",
+        (
+            F.col("n").cast(DEC) * F.col("cum").cast(DEC)
+            - F.col("i").cast(DEC) * F.col("sy").cast(DEC)
+        ).cast(DEC).alias("nst"),
+    )
+    fin = ns.groupBy("n", "sy", "syy").agg(
+        F.sum(F.col("nst") * F.col("nst")).cast(DEC).alias("q")
+    )
+    var_num = (
+        F.col("n").cast(DEC) * F.col("syy")
+        - F.col("sy").cast(DEC) * F.col("sy").cast(DEC)
+    )
+    eta = F.col("q").cast("double") / (
+        F.col("n").cast(DEC) * F.col("n").cast(DEC) * var_num
+    ).cast("double")
+    return fin.where((var_num > 0) & (F.col("n") >= 3)).select(
+        F.col("n").alias("n_days"),
+        round_half_up(eta, 6).alias("kpss_eta"),
+    )
+
+
+def variance_ratio(
+    orders: DataFrame, lags: tuple = (2, 5, 10)
+) -> DataFrame:
+    """Lo-MacKinlay variance-ratio diagnostics of the daily-revenue
+    series: VR(q) = Var[y_t - y_{t-q}] / (q Var[y_t - y_{t-1}]) over
+    overlapping differences — the random-walk test the long-memory
+    read (``hurst_rs``) complements: VR ~ 1 says increments are
+    uncorrelated, VR > 1 momentum, VR < 1 mean reversion.
+
+    Exactness: both variances are exact centered DECIMAL moments of
+    BIGINT differences (biased 1/m form, same convention both
+    numerator and denominator):
+
+        VR = (Cq / (nq*nq)) / (q * C1 / (m*m))
+
+    — one float expression per lag. Scale: one daily rollup; each lag
+    column is one window over the calendar spine."""
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.sum(_cents("o_totalprice")).cast("long").alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.orderBy("d")
+
+    def centered(df, col):
+        m = df.agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum(col).cast("long").alias("s"),
+            F.sum(F.col(col).cast(DEC) * F.col(col).cast(DEC))
+            .cast(DEC)
+            .alias("q"),
+        )
+        return m.select(
+            "m",
+            (
+                F.col("m").cast(DEC) * F.col("q")
+                - F.col("s").cast(DEC) * F.col("s").cast(DEC)
+            ).cast(DEC).alias("c"),
+        )
+
+    d1 = daily.select(
+        (F.col("y") - F.lag("y", 1).over(w)).alias("dy")
+    ).where(F.col("dy").isNotNull())
+    base = centered(d1, "dy").select(
+        F.col("m").alias("m1"), F.col("c").alias("c1")
+    )
+    outs = []
+    for q in lags:
+        dq = daily.select(
+            (F.col("y") - F.lag("y", int(q)).over(w)).alias("dq")
+        ).where(F.col("dq").isNotNull())
+        cq = centered(dq, "dq").select(
+            F.col("m").alias("mq"), F.col("c").alias("cq")
+        )
+        vr = (
+            F.col("cq").cast("double")
+            / (F.col("mq").cast(DEC) * F.col("mq").cast(DEC)).cast(
+                "double"
+            )
+        ) / (
+            F.lit(float(q))
+            * (
+                F.col("c1").cast("double")
+                / (F.col("m1").cast(DEC) * F.col("m1").cast(DEC)).cast(
+                    "double"
+                )
+            )
+        )
+        outs.append(
+            cq.crossJoin(F.broadcast(base))
+            .where((F.col("c1") > 0) & (F.col("mq") >= 2))
+            .select(
+                F.lit(int(q)).cast("long").alias("q"),
+                F.col("mq").alias("n_diffs"),
+                round_half_up(vr, 6).alias("vr"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def sign_test_drift(orders: DataFrame) -> DataFrame:
+    """Exact two-sided sign test on the daily order-count increments:
+    are up-days and down-days binomially balanced (p = 1/2), zeros
+    dropped — the weakest-assumption drift detector (``mann_kendall``
+    ranks all pairs; this only reads signs, so a single wild day
+    cannot move it):
+
+        p = sum over k with C(n,k) <= C(n,k_obs) of C(n,k) / 2^n
+
+    computed factorial-free by the ``fisher_exact`` discipline:
+    binomial masses relative to the MODE via the ratio recurrence
+    rel(k+1)/rel(k) = (n-k)/(k+1), folded outward so far tails
+    underflow to exact 0.0, and the scipy (1 + 1e-7) inclusion
+    tolerance mirrored verbatim.
+
+    Scale: one daily rollup; the folds run over the calendar-bounded
+    support (n <= days)."""
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w = Window.orderBy("d")
+    diffs = daily.select(
+        (F.col("y") - F.lag("y", 1).over(w)).alias("dy")
+    ).where(F.col("dy").isNotNull() & (F.col("dy") != 0))
+    base = diffs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("dy") > 0).cast("long")).cast("long").alias("up"),
+    ).where(F.col("n") >= 1)
+    kobs = F.col("up")
+    kmode = F.expr("(n + 1) div 2").cast("long")
+
+    def ratio(k):
+        # rel(k+1) / rel(k) for Binomial(n, 1/2) masses
+        return (F.col("n") - k).cast("double") / (k + 1).cast("double")
+
+    up_obs = F.aggregate(
+        F.sequence(F.col("kmode"), kobs - 1),
+        F.lit(1.0),
+        lambda acc, k: acc * ratio(k),
+    )
+    down_obs = F.aggregate(
+        F.sequence(F.col("kmode") - 1, kobs, F.lit(-1)),
+        F.lit(1.0),
+        lambda acc, k: acc / ratio(k),
+    )
+    b2 = base.withColumn("kmode", kmode).withColumn(
+        "rel_obs",
+        F.when(kobs > F.col("kmode"), up_obs)
+        .when(kobs < F.col("kmode"), down_obs)
+        .otherwise(F.lit(1.0)),
+    )
+    thr = F.col("rel_obs") * (1.0 + 1e-7)
+    init = F.struct(
+        F.lit(1.0).alias("cur"),
+        F.lit(1.0).alias("s_all"),
+        F.when(F.lit(1.0) <= thr, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("s_le"),
+    )
+    init0 = F.struct(
+        F.lit(1.0).alias("cur"),
+        F.lit(0.0).alias("s_all"),
+        F.lit(0.0).alias("s_le"),
+    )
+
+    def step(acc, nxt):
+        return F.struct(
+            nxt.alias("cur"),
+            (acc["s_all"] + nxt).alias("s_all"),
+            (
+                acc["s_le"]
+                + F.when(nxt <= thr, nxt).otherwise(F.lit(0.0))
+            ).alias("s_le"),
+        )
+
+    up = F.aggregate(
+        F.sequence(F.col("kmode"), F.col("n") - 1),
+        init,
+        lambda acc, k: step(acc, acc["cur"] * ratio(k)),
+    )
+    down = F.when(
+        F.col("kmode") > 0,
+        F.aggregate(
+            F.sequence(F.col("kmode") - 1, F.lit(0), F.lit(-1)),
+            init0,
+            lambda acc, k: step(acc, acc["cur"] / ratio(k)),
+        ),
+    ).otherwise(init0)
+    folded = b2.withColumn("u", up).withColumn("dn", down)
+    s_all = F.col("u")["s_all"] + F.col("dn")["s_all"]
+    s_le = F.col("u")["s_le"] + F.col("dn")["s_le"]
+    return folded.select(
+        F.col("n").alias("n_moves"),
+        F.col("up").alias("n_up"),
+        (F.col("n") - F.col("up")).alias("n_down"),
+        round_half_up(s_le / s_all, 6).alias("p_two_sided"),
+    )

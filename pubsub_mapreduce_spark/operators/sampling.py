@@ -678,3 +678,68 @@ def weighted_sample(
         F.col("w").cast("long").alias("w"),
         round_half_up(F.col("key"), 6).alias("key"),
     )
+
+
+def neyman_allocation(
+    orders: DataFrame, n_total: int = 1000
+) -> DataFrame:
+    """Neyman-optimal stratified-sample allocation over order
+    priorities: n_h proportional to N_h * sd_h — the design step
+    BEFORE ``stratified_docs``-style proportional sampling when strata
+    variances differ (a high-variance stratum needs more than its
+    population share to minimize the estimator's variance):
+
+        n_h = round(n_total * N_h sd_h / sum_g N_g sd_g)
+
+    Exactness: per-stratum sd from exact BIGINT/DECIMAL cents moments
+    (one sqrt); the weight normalizer folds in stratum order (the
+    sorted-list discipline); the allocation is floor(x + 0.5) on a
+    mirrored double. Scale: one k-row stratum rollup."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import round_half_up
+
+    DEC = "decimal(38,0)"
+    c = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    g = orders.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(c).cast("long").alias("s"),
+        F.sum(c.cast(DEC) * c.cast(DEC)).cast(DEC).alias("q"),
+    )
+    var_num = (
+        F.col("n_rows").cast(DEC) * F.col("q")
+        - F.col("s").cast(DEC) * F.col("s").cast(DEC)
+    ).cast("double")
+    sd = F.sqrt(
+        var_num
+        / (
+            F.col("n_rows").cast("double")
+            * (F.col("n_rows") - 1).cast("double")
+        )
+    )
+    per = g.where(F.col("n_rows") >= 2).select(
+        "stratum", "n_rows", sd.alias("sd")
+    )
+    arr = per.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("stratum", "n_rows", "sd"))
+        ).alias("gs")
+    )
+    totw = F.aggregate(
+        F.col("gs"),
+        F.lit(0.0),
+        lambda acc, t: acc + t["n_rows"].cast("double") * t["sd"],
+    )
+    exploded = arr.select(
+        totw.alias("tw"), F.explode("gs").alias("t")
+    )
+    wh = F.col("t")["n_rows"].cast("double") * F.col("t")["sd"]
+    return exploded.select(
+        F.col("t")["stratum"].alias("stratum"),
+        F.col("t")["n_rows"].alias("n_rows"),
+        round_half_up(F.col("t")["sd"] / 100.0, 6).alias("sd_usd"),
+        round_half_up(wh / F.col("tw"), 6).alias("weight"),
+        F.floor(F.lit(float(n_total)) * wh / F.col("tw") + F.lit(0.5))
+        .cast("long")
+        .alias("alloc"),
+    )

@@ -2333,3 +2333,65 @@ def lang_id_f1(docs: DataFrame) -> DataFrame:
         ).alias("f1"),
     )
     return per.drop("__f1u").unionByName(macro)
+
+
+def yule_k_vocab(docs: DataFrame) -> DataFrame:
+    """Classical lexical-richness constants per source — Yule's K,
+    Sichel's S and Honore's R from one frequency-spectrum rollup:
+
+        K = 10^4 (sum_m m^2 V_m - N) / N^2   (repeat-rate constant,
+            size-invariant where TTR is not),
+        S = V_2 / V                           (dis-legomena share),
+        R = 100 ln N / (1 - V_1 / V)          (hapax-based richness)
+
+    — the author/register fingerprints stylometry uses and a curation
+    pipeline reads as "is this source template spam (huge K) or
+    genuinely productive vocabulary (large R)?" ``chao1_vocab``
+    estimates UNSEEN mass from the same spectrum; these summarize the
+    SEEN shape.
+
+    Exactness: V_m, N and sum m^2 V_m are exact integers (DECIMAL for
+    the squared sum); K, S, R are single mirrored float expressions
+    (ln on an exact integer — the house libm-safe pattern). R is
+    emitted NULL when every type is a hapax (V_1 = V). Scale: one
+    (source, token) rollup, then count-of-counts — spectrum-sized."""
+    tf = (
+        docs.select("source", F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    g = tf.groupBy("source").agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum((F.col("n") == 1).cast("long")).cast("long").alias("v1"),
+        F.sum((F.col("n") == 2).cast("long")).cast("long").alias("v2"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    nD = F.col("nn").cast("double")
+    yule = (
+        F.lit(10000.0)
+        * (F.col("s2").cast("double") - nD)
+        / (nD * nD)
+    )
+    sichel = F.col("v2").cast("double") / F.col("v").cast("double")
+    honore = F.when(
+        F.col("v1") < F.col("v"),
+        F.lit(100.0)
+        * F.log(nD)
+        / (
+            F.lit(1.0)
+            - F.col("v1").cast("double") / F.col("v").cast("double")
+        ),
+    )
+    return g.where(F.col("nn") >= 2).select(
+        "source",
+        F.col("nn").alias("tokens"),
+        F.col("v").alias("vocab"),
+        "v1",
+        "v2",
+        rh(yule, 6).alias("yule_k"),
+        rh(sichel, 6).alias("sichel_s"),
+        rh(honore, 6).alias("honore_r"),
+    )
