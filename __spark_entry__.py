@@ -3361,6 +3361,41 @@ def q_neyman_allocation(spark, sf_dir):
     return SM.neyman_allocation(load_tables(spark, sf_dir)["orders"])
 
 
+def q_gumbel_maxima(spark, sf_dir):
+    """Gumbel method-of-moments fit + 12-month return level of monthly
+    revenue block maxima (robust.gumbel_maxima) — the extreme-value
+    capacity read."""
+    return RB.gumbel_maxima(load_tables(spark, sf_dir)["orders"])
+
+
+def q_uniqueness_profile(spark, sf_dir):
+    """Exact per-column uniqueness/key profile of orders
+    (relational.uniqueness_profile) — one single-purpose aggregate per
+    column, no Expand plan."""
+    return R.uniqueness_profile(load_tables(spark, sf_dir)["orders"])
+
+
+def q_cohens_d_family(spark, sf_dir):
+    """Cohen's d / Hedges' g / Glass's delta between open and filled
+    orders' totalprice (robust.cohens_d_family) — effect sizes from
+    exact cents moments."""
+    return RB.cohens_d_family(load_tables(spark, sf_dir)["orders"])
+
+
+def q_odds_ratio_ci(spark, sf_dir):
+    """Odds ratio + Katz log-interval on fisher_exact's 2x2 customer
+    table (robust.odds_ratio_ci) — effect size beside the exact
+    test."""
+    return RB.odds_ratio_ci(load_tables(spark, sf_dir))
+
+
+def q_emb_isotropy(spark, sf_dir):
+    """Mean pairwise cosine via the sum-vector identity on
+    micro-quantized unit vectors (similarity.emb_isotropy) — the O(nd)
+    anisotropy gate."""
+    return S.emb_isotropy(load_tables(spark, sf_dir)["embeddings"])
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3768,6 +3803,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sign_test_drift": q_sign_test_drift,
         "clustering_coefficient": q_clustering_coefficient,
         "neyman_allocation": q_neyman_allocation,
+        "gumbel_maxima": q_gumbel_maxima,
+        "uniqueness_profile": q_uniqueness_profile,
+        "cohens_d_family": q_cohens_d_family,
+        "odds_ratio_ci": q_odds_ratio_ci,
+        "emb_isotropy": q_emb_isotropy,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -13406,5 +13446,167 @@ def oracle_sql() -> dict[str, str]:
           CAST(floor(1000.0 * CAST(t.n_rows AS DOUBLE) * t.sd / tw
                      + 0.5) AS BIGINT) AS alloc
         FROM tw, unnest(gs) AS u(t)
+    """
+    out["gumbel_maxima"] = f"""
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS d,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        blocks AS (
+          SELECT date_trunc('month', d) AS m,
+                 CAST(max(y) AS BIGINT) AS mx
+          FROM daily GROUP BY 1),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                 CAST(sum(mx) AS BIGINT) AS s,
+                 sum(CAST(mx AS HUGEINT) * mx) AS q
+          FROM blocks),
+        fit AS (
+          SELECT n_blocks,
+                 CAST(s AS DOUBLE) / CAST(n_blocks AS DOUBLE) AS mean,
+                 CAST(CAST(n_blocks AS HUGEINT) * q
+                      - CAST(s AS HUGEINT) * s AS DOUBLE) AS var_num
+          FROM agg),
+        fit2 AS (
+          SELECT *,
+            sqrt(var_num / (CAST(n_blocks AS DOUBLE)
+                            * (CAST(n_blocks AS DOUBLE) - 1.0)))
+              * sqrt(6.0) / {RB.PI!r} AS beta
+          FROM fit),
+        fit3 AS (
+          SELECT *, mean - {RB.EULER_GAMMA!r} * beta AS mu
+          FROM fit2)
+        SELECT n_blocks,
+          floor(mean / 100.0 * 1e6 + 0.5) / 1e6 AS mean_max_usd,
+          floor(sqrt(var_num / (CAST(n_blocks AS DOUBLE)
+                                * (CAST(n_blocks AS DOUBLE) - 1.0)))
+                / 100.0 * 1e6 + 0.5) / 1e6 AS sd_max_usd,
+          floor(mu / 100.0 * 1e6 + 0.5) / 1e6 AS mu_usd,
+          floor(beta / 100.0 * 1e6 + 0.5) / 1e6 AS beta_usd,
+          floor((mu - beta * ln(-ln(1.0 - 1.0 / 12.0))) / 100.0
+                * 1e6 + 0.5) / 1e6 AS return_level_12_usd
+        FROM fit3 WHERE n_blocks >= 2 AND var_num > 0
+    """
+    _uq = """
+          SELECT '{c}' AS column_name,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count({c}) AS BIGINT) AS n_nonnull,
+                 CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+            floor(CAST(count(DISTINCT {c}) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+                AS distinct_ratio,
+            count(DISTINCT {c}) = count(*) AS is_key
+          FROM orders
+    """
+    out["uniqueness_profile"] = " UNION ALL ".join(
+        _uq.format(c=c)
+        for c in [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+        ]
+    )
+    out["cohens_d_family"] = """
+        WITH m AS (
+          SELECT o_orderstatus AS g, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS s,
+                 sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS HUGEINT)
+                     * CAST(round(o_totalprice * 100) AS BIGINT)) AS q
+          FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY 1),
+        a AS (SELECT n AS n1, s AS s1, q AS q1 FROM m WHERE g = 'O'),
+        b AS (SELECT n AS n2, s AS s2, q AS q2 FROM m WHERE g = 'F'),
+        j AS (
+          SELECT *,
+            CAST(CAST(n1 AS HUGEINT) * q1
+                 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+              / CAST(n1 AS DOUBLE) AS c1,
+            CAST(CAST(n2 AS HUGEINT) * q2
+                 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+              / CAST(n2 AS DOUBLE) AS c2,
+            CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+            CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2
+          FROM a, b)
+        SELECT n1, n2,
+          floor((m1 - m2) / 100.0 * 1e6 + 0.5) / 1e6 AS mean_diff_usd,
+          floor((m1 - m2)
+                / sqrt((c1 + c2) / CAST(n1 + n2 - 2 AS DOUBLE))
+                * 1e6 + 0.5) / 1e6 AS cohens_d,
+          floor((1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0))
+                * ((m1 - m2)
+                   / sqrt((c1 + c2) / CAST(n1 + n2 - 2 AS DOUBLE)))
+                * 1e6 + 0.5) / 1e6 AS hedges_g,
+          floor((m1 - m2) / sqrt(c1 / CAST(n1 - 1 AS DOUBLE))
+                * 1e6 + 0.5) / 1e6 AS glass_delta
+        FROM j WHERE n1 >= 2 AND n2 >= 2 AND c1 > 0 AND c2 > 0
+    """
+    out["odds_ratio_ci"] = """
+        WITH pc AS (
+          SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1),
+        jj AS (
+          SELECT CASE WHEN COALESCE(pc.n_orders, 0) >= 10
+                      THEN 1 ELSE 0 END AS y,
+                 CASE WHEN c_acctbal >= 5000.0 THEN 1 ELSE 0 END AS p
+          FROM customer c
+          LEFT JOIN pc ON c.c_custkey = pc.o_custkey),
+        cells0 AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS r1,
+                 CAST(sum(p) AS BIGINT) AS c1,
+                 CAST(sum(y * p) AS BIGINT) AS a
+          FROM jj),
+        cells AS (
+          SELECT a, r1 - a AS b, c1 - a AS c,
+                 n - r1 - c1 + a AS d
+          FROM cells0),
+        fin AS (
+          SELECT *,
+            CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+              / CAST(CAST(b AS HUGEINT) * c AS DOUBLE) AS orx,
+            sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+                 + 1.0 / CAST(c AS DOUBLE)
+                 + 1.0 / CAST(d AS DOUBLE)) AS se
+          FROM cells)
+        SELECT a, b, c, d,
+          floor(orx * 1e6 + 0.5) / 1e6 AS odds_ratio,
+          floor(ln(orx) * 1e6 + 0.5) / 1e6 AS ln_or,
+          floor((ln(orx) - 1.96 * se) * 1e6 + 0.5) / 1e6 AS ln_lo,
+          floor((ln(orx) + 1.96 * se) * 1e6 + 0.5) / 1e6 AS ln_hi
+        FROM fin WHERE a > 0 AND b > 0 AND c > 0 AND d > 0
+    """
+    out["emb_isotropy"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                   FROM embeddings),
+        withn AS (
+          SELECT vec_id, emb,
+                 sqrt(list_dot_product(emb, emb)) AS nrm
+          FROM e WHERE sqrt(list_dot_product(emb, emb)) > 0),
+        coords AS (
+          SELECT vec_id, generate_subscripts(emb, 1) AS k,
+                 CAST(floor(unnest(emb) / nrm * 1000000.0 + 0.5)
+                      AS BIGINT) AS q
+          FROM withn),
+        per_dim AS (
+          SELECT k, CAST(sum(q) AS BIGINT) AS s,
+                 sum(CAST(q AS HUGEINT) * q) AS qq
+          FROM coords GROUP BY 1),
+        nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM withn),
+        fin AS (
+          SELECT CAST(count(*) AS BIGINT) AS dim,
+                 sum(CAST(s AS HUGEINT) * s) AS sum_norm2_q,
+                 sum(qq) AS ssq_q
+          FROM per_dim)
+        SELECT n, dim,
+               CAST(sum_norm2_q AS DOUBLE) AS sum_norm2_q,
+               CAST(ssq_q AS DOUBLE) AS ssq_q,
+          floor(CAST(sum_norm2_q - ssq_q AS DOUBLE) / 1e12
+                / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)
+                * 1e9 + 0.5) / 1e9 AS mean_cos
+        FROM fin, nv WHERE n >= 2
     """
     return out

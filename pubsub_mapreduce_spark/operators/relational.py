@@ -3171,3 +3171,51 @@ def order_reconciliation(t) -> DataFrame:
             6,
         ).alias("share"),
     )
+
+
+def uniqueness_profile(orders: DataFrame, cols: list | None = None) -> DataFrame:
+    """Column-level uniqueness/key profile of a table: per column, the
+    exact distinct count, non-null count, distinct ratio and a
+    key-candidate flag — the first pass of schema discovery a data
+    catalog runs (``fd_discovery`` finds BETWEEN-column dependencies;
+    this scores each column ALONE as a key or category).
+
+    One single-purpose aggregate per column, unioned — NOT one agg
+    with k countDistincts (the Expand-plan trap: mixing distinct
+    aggregates routes every plain aggregate through an (k+1)x row
+    expansion; k separate two-exchange aggs are cheaper and each
+    prunes its scan to one column). Exactness: integer counts, one
+    mirrored ratio division."""
+    names = cols or [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    ]
+    outs = []
+    for c in names:
+        outs.append(
+            orders.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count(c).cast("long").alias("n_nonnull"),
+                F.countDistinct(c).cast("long").alias("n_distinct"),
+            ).select(
+                F.lit(c).alias("column_name"),
+                "n_rows",
+                "n_nonnull",
+                "n_distinct",
+                round_half_up(
+                    F.col("n_distinct").cast("double")
+                    / F.col("n_rows").cast("double"),
+                    6,
+                ).alias("distinct_ratio"),
+                (F.col("n_distinct") == F.col("n_rows")).alias(
+                    "is_key"
+                ),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -6905,3 +6905,201 @@ def sign_test_drift(orders: DataFrame) -> DataFrame:
         (F.col("n") - F.col("up")).alias("n_down"),
         round_half_up(s_le / s_all, 6).alias("p_two_sided"),
     )
+
+
+# Embedded as shared literals so both engines parse identical doubles
+# (the SPRT log-constant discipline).
+EULER_GAMMA = 0.5772156649015329
+PI = 3.141592653589793
+
+
+def gumbel_maxima(orders: DataFrame, return_blocks: int = 12) -> DataFrame:
+    """Extreme-value read of the revenue series: MONTHLY block maxima
+    of daily revenue, fitted to a Gumbel distribution by the method of
+    moments —
+
+        beta = sd * sqrt(6) / pi,   mu = mean - gamma_E * beta,
+        RL(T) = mu - beta * ln(-ln(1 - 1/T))
+
+    — the "what is the worst month-peak we should expect in a year?"
+    capacity question the mean/percentile family cannot answer (the
+    return level extrapolates the TAIL law, not the bulk).
+
+    Exactness: block maxima are BIGINT cents; mean/sd come from exact
+    BIGINT/DECIMAL moments; pi and Euler's gamma are shared literals;
+    ln/sqrt are the house libm-safe calls; every output is one
+    mirrored float expression. Scale: daily rollup -> |months|-row
+    maxima -> one aggregate."""
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.sum(_cents("o_totalprice")).cast("long").alias("y"))
+    )
+    blocks = daily.groupBy(
+        F.date_trunc("month", "d").alias("m")
+    ).agg(F.max("y").cast("long").alias("mx"))
+    agg = blocks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("mx").cast("long").alias("s"),
+        F.sum(F.col("mx").cast(DEC) * F.col("mx").cast(DEC))
+        .cast(DEC)
+        .alias("q"),
+    )
+    nD = F.col("n_blocks").cast("double")
+    mean = F.col("s").cast("double") / nD
+    var_num = (
+        F.col("n_blocks").cast(DEC) * F.col("q")
+        - F.col("s").cast(DEC) * F.col("s").cast(DEC)
+    ).cast("double")
+    sd = F.sqrt(var_num / (nD * (nD - F.lit(1.0))))
+    beta = sd * F.sqrt(F.lit(6.0)) / F.lit(PI)
+    mu = mean - F.lit(EULER_GAMMA) * beta
+    t = float(return_blocks)
+    rl = mu - beta * F.log(
+        -F.log(F.lit(1.0) - F.lit(1.0) / F.lit(t))
+    )
+    return agg.where((F.col("n_blocks") >= 2) & (var_num > 0)).select(
+        "n_blocks",
+        round_half_up(mean / 100.0, 6).alias("mean_max_usd"),
+        round_half_up(sd / 100.0, 6).alias("sd_max_usd"),
+        round_half_up(mu / 100.0, 6).alias("mu_usd"),
+        round_half_up(beta / 100.0, 6).alias("beta_usd"),
+        round_half_up(rl / 100.0, 6).alias(
+            f"return_level_{return_blocks}_usd"
+        ),
+    )
+
+
+def cohens_d_family(
+    orders: DataFrame, g1: str = "O", g2: str = "F"
+) -> DataFrame:
+    """Standardized effect sizes between two order-status cohorts'
+    totalprice: Cohen's d (pooled sd), Hedges' g (small-sample
+    corrected, J = 1 - 3/(4(n1+n2) - 9)) and Glass's delta (control-sd
+    denominator) — the MAGNITUDE companion the significance family
+    (t-ish tests, ``mwu_source_shift``) deliberately does not report:
+    at warehouse n everything is "significant"; these say whether the
+    difference is worth acting on.
+
+    Exactness: all moments are exact BIGINT/DECIMAL cents; the pooled
+    variance combines the two exact centered sums in one mirrored
+    float expression; sqrt is correctly rounded. Scale: one 2-row
+    rollup."""
+    c = _cents("o_totalprice")
+    d = orders.where(
+        F.col("o_orderstatus").isin([g1, g2])
+    ).select(F.col("o_orderstatus").alias("g"), c.alias("x"))
+    m = d.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x").cast(DEC) * F.col("x").cast(DEC))
+        .cast(DEC)
+        .alias("q"),
+    )
+    a = m.where(F.col("g") == g1).select(
+        F.col("n").alias("n1"), F.col("s").alias("s1"),
+        F.col("q").alias("q1"),
+    )
+    b = m.where(F.col("g") == g2).select(
+        F.col("n").alias("n2"), F.col("s").alias("s2"),
+        F.col("q").alias("q2"),
+    )
+    j = a.crossJoin(F.broadcast(b))
+
+    def cvar(n, s, q):
+        # centered sum of squares / n: (n q - s^2) / n as DOUBLE
+        return (
+            n.cast(DEC) * q - s.cast(DEC) * s.cast(DEC)
+        ).cast("double") / n.cast("double")
+
+    c1 = cvar(F.col("n1"), F.col("s1"), F.col("q1"))
+    c2 = cvar(F.col("n2"), F.col("s2"), F.col("q2"))
+    m1 = F.col("s1").cast("double") / F.col("n1").cast("double")
+    m2 = F.col("s2").cast("double") / F.col("n2").cast("double")
+    sp = F.sqrt(
+        (c1 + c2) / (F.col("n1") + F.col("n2") - 2).cast("double")
+    )
+    s1 = F.sqrt(c1 / (F.col("n1") - 1).cast("double"))
+    dd = (m1 - m2) / sp
+    jfac = F.lit(1.0) - F.lit(3.0) / (
+        F.lit(4.0) * (F.col("n1") + F.col("n2")).cast("double")
+        - F.lit(9.0)
+    )
+    return j.where(
+        (F.col("n1") >= 2) & (F.col("n2") >= 2) & (c1 > 0) & (c2 > 0)
+    ).select(
+        "n1",
+        "n2",
+        round_half_up((m1 - m2) / 100.0, 6).alias("mean_diff_usd"),
+        round_half_up(dd, 6).alias("cohens_d"),
+        round_half_up(jfac * dd, 6).alias("hedges_g"),
+        round_half_up((m1 - m2) / s1, 6).alias("glass_delta"),
+    )
+
+
+def odds_ratio_ci(
+    t, min_orders: int = 10, bal_cut: float = 5000.0
+) -> DataFrame:
+    """Odds ratio with the Katz log-interval on the SAME 2x2 table
+    ``fisher_exact`` tests — the effect-size companion (Fisher says
+    WHETHER balance and ordering associate; this says HOW STRONGLY,
+    with a 95% interval):
+
+        OR = ad / bc,
+        ln OR +- 1.96 sqrt(1/a + 1/b + 1/c + 1/d)
+
+    The interval ships in LOG space (ln_or / ln_lo / ln_hi): exp() is
+    deliberately avoided so the only libm calls are the house-safe ln
+    and sqrt. Exactness: cells are exact BIGINTs; ad and bc promote
+    through DECIMAL; three mirrored float expressions. Scale: one
+    customer/orders rollup to four cells."""
+    pc = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    j = t["customer"].join(
+        pc, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(
+        (F.coalesce("n_orders", F.lit(0)) >= min_orders)
+        .cast("int")
+        .alias("y"),
+        (F.col("c_acctbal") >= bal_cut).cast("int").alias("p"),
+    )
+    cells = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("r1"),
+        F.sum("p").cast("long").alias("c1"),
+        F.sum(F.col("y") * F.col("p")).cast("long").alias("a"),
+    ).select(
+        "a",
+        (F.col("r1") - F.col("a")).alias("b"),
+        (F.col("c1") - F.col("a")).alias("c"),
+        (F.col("n") - F.col("r1") - F.col("c1") + F.col("a")).alias(
+            "d"
+        ),
+    )
+    orx = (
+        F.col("a").cast(DEC) * F.col("d").cast(DEC)
+    ).cast("double") / (
+        F.col("b").cast(DEC) * F.col("c").cast(DEC)
+    ).cast("double")
+    ln_or = F.log(orx)
+    se = F.sqrt(
+        F.lit(1.0) / F.col("a").cast("double")
+        + F.lit(1.0) / F.col("b").cast("double")
+        + F.lit(1.0) / F.col("c").cast("double")
+        + F.lit(1.0) / F.col("d").cast("double")
+    )
+    return cells.where(
+        (F.col("a") > 0) & (F.col("b") > 0) & (F.col("c") > 0)
+        & (F.col("d") > 0)
+    ).select(
+        "a",
+        "b",
+        "c",
+        "d",
+        round_half_up(orx, 6).alias("odds_ratio"),
+        round_half_up(ln_or, 6).alias("ln_or"),
+        round_half_up(ln_or - F.lit(1.96) * se, 6).alias("ln_lo"),
+        round_half_up(ln_or + F.lit(1.96) * se, 6).alias("ln_hi"),
+    )

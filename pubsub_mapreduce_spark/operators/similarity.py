@@ -4310,3 +4310,73 @@ def duckdb_k_sweep_sql(
               * 1e6 + 0.5) / 1e6 AS recall
       FROM per, nq
     """
+
+
+def emb_isotropy(emb: DataFrame) -> DataFrame:
+    """Isotropy read of the embedding space: the mean pairwise cosine
+    over all ordered pairs, computed WITHOUT a pair join via the
+    sum-vector identity
+
+        sum_{i != j} cos(i, j) = ||sum_i v^_i||^2 - sum_i ||v^_i||^2
+
+    on unit-normalized vectors — the one-number "is this space
+    anisotropically collapsed?" gate (a healthy isotropic space reads
+    ~0; a cone-collapsed one, the classic contextual-embedding
+    pathology, reads >> 0) that sizes whether ``emb_pca``-style
+    whitening is worth running. O(n d), never O(n^2).
+
+    Exactness contract: normalized coordinates are quantized to
+    integer micros per vector (floor(v_k / ||v|| * 1e6 + 0.5) — the
+    house integer-quantization discipline), so the per-dimension sums,
+    their squares and the pair identity are exact order-free BIGINTs;
+    the mean is one mirrored division. sum_norm2_q and ssq_q ship as
+    exact integers, making the value hash sharp.
+
+    Scale: one posexplode + one d-row rollup."""
+    from ..functions.text import round_half_up
+    from ..functions.vectors import norm
+
+    DEC = "decimal(38,0)"
+    e = _as_double(emb).select("vec_id", "embedding")
+    withn = e.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    ).where(F.col("nrm") > 0)
+    coords = withn.select(
+        "vec_id",
+        F.posexplode("embedding").alias("k", "x"),
+        F.col("nrm"),
+    ).select(
+        "vec_id",
+        "k",
+        F.floor(F.col("x") / F.col("nrm") * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    per_dim = coords.groupBy("k").agg(
+        F.sum("q").cast("long").alias("s"),
+        F.sum(F.col("q").cast(DEC) * F.col("q").cast(DEC))
+        .cast(DEC)
+        .alias("qq"),
+    )
+    nv = withn.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    fin = per_dim.agg(
+        F.count(F.lit(1)).cast("long").alias("dim"),
+        F.sum(F.col("s").cast(DEC) * F.col("s").cast(DEC))
+        .cast(DEC)
+        .alias("sum_norm2_q"),
+        F.sum("qq").cast(DEC).alias("ssq_q"),
+    ).crossJoin(F.broadcast(nv))
+    mean_cos = (
+        (F.col("sum_norm2_q") - F.col("ssq_q")).cast("double")
+        / 1e12
+        / (F.col("n").cast(DEC) * (F.col("n") - 1).cast(DEC)).cast(
+            "double"
+        )
+    )
+    return fin.where(F.col("n") >= 2).select(
+        "n",
+        "dim",
+        F.col("sum_norm2_q").cast("double").alias("sum_norm2_q"),
+        F.col("ssq_q").cast("double").alias("ssq_q"),
+        round_half_up(mean_cos, 9).alias("mean_cos"),
+    )
