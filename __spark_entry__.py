@@ -3396,6 +3396,50 @@ def q_emb_isotropy(spark, sf_dir):
     return S.emb_isotropy(load_tables(spark, sf_dir)["embeddings"])
 
 
+def q_jackknife_mean(spark, sf_dir):
+    """Leave-one-day-out jackknife bias/SE of the revenue-per-order
+    ratio (robust.jackknife_mean) — calendar-bounded folds over exact
+    daily totals."""
+    return RB.jackknife_mean(load_tables(spark, sf_dir)["orders"])
+
+
+def q_permutation_shift(spark, sf_dir):
+    """Deterministic-hash permutation test of the half-vs-half daily
+    order-count level shift (robust.permutation_shift) — md5-keyed
+    pseudo-permutations, add-one p."""
+    return RB.permutation_shift(load_tables(spark, sf_dir)["orders"])
+
+
+def q_growth_accounting(spark, sf_dir):
+    """Monthly active-customer growth accounting over ORDERS: new /
+    retained / resurrected / churned per month
+    (relational.growth_accounting) — the product-analytics flux
+    ledger. Orders, not events: the events fixture spans a single
+    month at every SF, which would make the ledger vacuous; customers
+    ordering across the 1992-1998 calendar exercise all four classes."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return R.growth_accounting(
+        orders.select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ts"),
+        )
+    )
+
+
+def q_cond_entropy_profile(spark, sf_dir):
+    """H(lang), H(lang|source) and the uncertainty coefficient over
+    documents (textops.cond_entropy_profile) — the corpus dependence
+    gate."""
+    return TX.cond_entropy_profile(load_tables(spark, sf_dir)["documents"])
+
+
+def q_mcc_matthews(spark, sf_dir):
+    """Matthews correlation + accuracy + F1 of the auc_scores
+    projection thresholded at zero (robust.mcc_matthews) — the
+    confusion-matrix summary beside the ranking metrics."""
+    return RB.mcc_matthews(load_tables(spark, sf_dir)["embeddings"])
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3808,6 +3852,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohens_d_family": q_cohens_d_family,
         "odds_ratio_ci": q_odds_ratio_ci,
         "emb_isotropy": q_emb_isotropy,
+        "jackknife_mean": q_jackknife_mean,
+        "permutation_shift": q_permutation_shift,
+        "growth_accounting": q_growth_accounting,
+        "cond_entropy_profile": q_cond_entropy_profile,
+        "mcc_matthews": q_mcc_matthews,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -13608,5 +13657,213 @@ def oracle_sql() -> dict[str, str]:
                 / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)
                 * 1e9 + 0.5) / 1e9 AS mean_cos
         FROM fin, nv WHERE n >= 2
+    """
+    out["jackknife_mean"] = """
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS d,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS r,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(r) AS BIGINT) AS rr,
+                 CAST(sum(c) AS BIGINT) AS cc,
+                 CAST(max(c) AS BIGINT) AS maxc,
+                 list(struct_pack(r := r, c := c) ORDER BY d) AS xs
+          FROM daily),
+        s1 AS (
+          SELECT *, list_reduce(list_prepend(0.0, list_transform(xs,
+                   t -> CAST(rr - t.r AS DOUBLE)
+                        / CAST(cc - t.c AS DOUBLE))),
+                   (a, b) -> a + b) AS sumloo
+          FROM agg),
+        s2 AS (
+          SELECT *, sumloo / CAST(n AS DOUBLE) AS jm,
+            list_reduce(list_prepend(0.0, list_transform(xs,
+              t -> (CAST(rr - t.r AS DOUBLE)
+                    / CAST(cc - t.c AS DOUBLE)
+                    - sumloo / CAST(n AS DOUBLE))
+                   * (CAST(rr - t.r AS DOUBLE)
+                      / CAST(cc - t.c AS DOUBLE)
+                      - sumloo / CAST(n AS DOUBLE)))),
+              (a, b) -> a + b) AS ssq
+          FROM s1)
+        SELECT n AS n_days,
+          floor(CAST(rr AS DOUBLE) / CAST(cc AS DOUBLE) / 100.0
+                * 1e6 + 0.5) / 1e6 AS theta_usd,
+          floor(jm / 100.0 * 1e6 + 0.5) / 1e6 AS jack_mean_usd,
+          floor((CAST(n AS DOUBLE) - 1.0)
+                * (jm - CAST(rr AS DOUBLE) / CAST(cc AS DOUBLE))
+                / 100.0 * 1e6 + 0.5) / 1e6 AS jack_bias_usd,
+          floor(sqrt((CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE)
+                     * ssq) / 100.0 * 1e6 + 0.5) / 1e6 AS jack_se_usd
+        FROM s2 WHERE n >= 2 AND maxc < cc
+    """
+    out["permutation_shift"] = """
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        idx AS (
+          SELECT d, y,
+                 CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+          FROM daily),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+        obs AS (
+          SELECT n,
+            abs(CAST(sum(CASE WHEN i > n // 2 THEN y END) AS DOUBLE)
+                / CAST(sum(CASE WHEN i > n // 2 THEN 1 END)
+                       AS DOUBLE)
+                - CAST(sum(CASE WHEN i <= n // 2 THEN y END)
+                       AS DOUBLE)
+                  / CAST(sum(CASE WHEN i <= n // 2 THEN 1 END)
+                         AS DOUBLE)) AS obs_diff
+          FROM idx, tot GROUP BY n),
+        assigned AS (
+          SELECT k, y,
+                 ('0x' || substr(md5(CAST(k AS VARCHAR) || '|'
+                                     || strftime(d, '%Y-%m-%d')),
+                                 1, 8))::BIGINT % 2 AS h
+          FROM daily, (SELECT unnest(range(1, 201)) AS k) _),
+        per_k AS (
+          SELECT k,
+                 CAST(sum(CASE WHEN h = 0 THEN y END) AS BIGINT) AS s0,
+                 CAST(sum(CASE WHEN h = 0 THEN 1 END) AS BIGINT) AS c0,
+                 CAST(sum(CASE WHEN h = 1 THEN y END) AS BIGINT) AS s1,
+                 CAST(sum(CASE WHEN h = 1 THEN 1 END) AS BIGINT) AS c1
+          FROM assigned GROUP BY 1
+          HAVING sum(CASE WHEN h = 0 THEN 1 END) > 0
+             AND sum(CASE WHEN h = 1 THEN 1 END) > 0),
+        counted AS (
+          SELECT max(o.n) AS n_days, max(o.obs_diff) AS obs_diff,
+                 CAST(count(*) AS BIGINT) AS n_valid,
+                 CAST(sum(CASE WHEN
+                     abs(CAST(s1 AS DOUBLE) / CAST(c1 AS DOUBLE)
+                         - CAST(s0 AS DOUBLE) / CAST(c0 AS DOUBLE))
+                     >= o.obs_diff THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_ge
+          FROM per_k, obs o)
+        SELECT n_days,
+          floor(obs_diff * 1e6 + 0.5) / 1e6 AS obs_diff,
+          n_valid, n_ge,
+          floor(CAST(n_ge + 1 AS DOUBLE)
+                / CAST(n_valid + 1 AS DOUBLE) * 1e6 + 0.5) / 1e6
+              AS p_value
+        FROM counted
+    """
+    out["growth_accounting"] = """
+        WITH um AS (
+          SELECT DISTINCT o_custkey AS user_id,
+                 CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                      AS BIGINT) AS mi
+          FROM orders),
+        fm AS (SELECT user_id, min(mi) AS first_mi FROM um GROUP BY 1),
+        cur AS (
+          SELECT u.mi,
+                 CASE WHEN u.mi = f.first_mi THEN 'new'
+                      WHEN p.user_id IS NOT NULL THEN 'retained'
+                      ELSE 'resurrected' END AS cls
+          FROM um u
+          JOIN fm f ON f.user_id = u.user_id
+          LEFT JOIN um p ON p.user_id = u.user_id
+                        AND p.mi = u.mi - 1),
+        per AS (
+          SELECT mi, CAST(count(*) AS BIGINT) AS mau,
+                 CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_new,
+                 CAST(sum(CASE WHEN cls = 'retained'
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_retained,
+                 CAST(sum(CASE WHEN cls = 'resurrected'
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_resurrected
+          FROM cur GROUP BY 1),
+        churn AS (
+          SELECT u.mi + 1 AS mi,
+                 CAST(count(*) AS BIGINT) AS n_churned
+          FROM um u
+          LEFT JOIN um nx ON nx.user_id = u.user_id
+                         AND nx.mi = u.mi + 1
+          WHERE nx.user_id IS NULL
+          GROUP BY 1)
+        SELECT CAST(per.mi // 12 AS VARCHAR) || '-'
+               || lpad(CAST(per.mi % 12 + 1 AS VARCHAR), 2, '0')
+                 AS month,
+               mau, n_new, n_retained, n_resurrected,
+               COALESCE(churn.n_churned, 0) AS n_churned
+        FROM per LEFT JOIN churn ON churn.mi = per.mi
+    """
+    out["cond_entropy_profile"] = """
+        WITH cells AS (
+          SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2),
+        src AS (SELECT source, CAST(sum(c) AS BIGINT) AS cs
+                FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        lang AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cl
+                 FROM cells GROUP BY 1),
+        larr AS (
+          SELECT n,
+                 list(struct_pack(lang := lang, cl := cl)
+                      ORDER BY lang) AS ls,
+                 CAST(count(*) AS BIGINT) AS n_langs
+          FROM lang, tot GROUP BY 1),
+        carr AS (
+          SELECT list(struct_pack(source := cells.source,
+                                  lang := cells.lang,
+                                  c := cells.c, cs := src.cs)
+                      ORDER BY cells.source, cells.lang) AS xs,
+                 CAST(count(DISTINCT cells.source) AS BIGINT)
+                     AS n_sources
+          FROM cells JOIN src ON src.source = cells.source),
+        fin AS (
+          SELECT n, n_langs, n_sources,
+            list_reduce(list_prepend(0.0, list_transform(ls,
+              t -> -(CAST(t.cl AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(t.cl AS DOUBLE) / CAST(n AS DOUBLE)))),
+              (a, b) -> a + b) AS h_lang,
+            list_reduce(list_prepend(0.0, list_transform(xs,
+              t -> -(CAST(t.c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(t.c AS DOUBLE) / CAST(t.cs AS DOUBLE)))),
+              (a, b) -> a + b) AS h_cond
+          FROM larr, carr)
+        SELECT n AS n_docs, n_langs, n_sources,
+          floor(h_lang * 1e6 + 0.5) / 1e6 AS h_lang,
+          floor(h_cond * 1e6 + 0.5) / 1e6 AS h_lang_given_source,
+          floor((h_lang - h_cond) / h_lang * 1e6 + 0.5) / 1e6
+              AS uncertainty_coeff
+        FROM fin WHERE n > 0 AND n_langs >= 2
+    """
+    out["mcc_matthews"] = """
+        WITH scored AS (
+          SELECT CASE WHEN CAST(floor(list_reduce(list_prepend(0.0,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                   (a, b) -> a + b) * 1e6 + 0.5) AS BIGINT) >= 0
+                 THEN 1 ELSE 0 END AS pred,
+                 CASE WHEN label = 1 THEN 1 ELSE 0 END AS y
+          FROM embeddings),
+        cells AS (
+          SELECT CAST(sum(pred * y) AS BIGINT) AS tp,
+                 CAST(sum(pred * (1 - y)) AS BIGINT) AS fp,
+                 CAST(sum((1 - pred) * y) AS BIGINT) AS fn,
+                 CAST(sum((1 - pred) * (1 - y)) AS BIGINT) AS tn
+          FROM scored),
+        fin AS (
+          SELECT *,
+            CAST(CAST(tp AS HUGEINT) * tn
+                 - CAST(fp AS HUGEINT) * fn AS DOUBLE) AS num,
+            sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn)
+                      * (tn + fp) * (tn + fn) AS DOUBLE)) AS den
+          FROM cells)
+        SELECT tp, fp, fn, tn,
+          floor(CAST(tp + tn AS DOUBLE)
+                / CAST(tp + fp + fn + tn AS DOUBLE) * 1e6 + 0.5)
+              / 1e6 AS accuracy,
+          floor((2.0 * CAST(tp AS DOUBLE))
+                / (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+                   + CAST(fn AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS f1,
+          floor(num / den * 1e6 + 0.5) / 1e6 AS mcc
+        FROM fin WHERE den > 0
     """
     return out

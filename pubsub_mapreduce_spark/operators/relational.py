@@ -3219,3 +3219,86 @@ def uniqueness_profile(orders: DataFrame, cols: list | None = None) -> DataFrame
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def growth_accounting(events: DataFrame) -> DataFrame:
+    """Monthly MAU growth accounting: every month's active users
+    decomposed into NEW (first month ever), RETAINED (also active the
+    previous month) and RESURRECTED (active before, but not last
+    month), plus the month's CHURNED (active last month, gone now) —
+    the canonical product-analytics identity
+
+        mau_m = new_m + retained_m + resurrected_m,
+        mau_m = mau_{m-1} - churned_m + new_m + resurrected_m
+
+    that ``cohort_retention`` (fixed-cohort curves) and ``rolling_wau``
+    (sliding windows) do not give: this is the month-over-month flux
+    LEDGER. Exactness: pure integer set arithmetic on the distinct
+    (user, month-index) relation. Scale: one distinct rollup, two
+    self-joins keyed on (user, adjacent month) — all |users x months|
+    sized."""
+    um = (
+        events.select(
+            "user_id",
+            (F.year("ts") * 12 + F.month("ts") - 1)
+            .cast("long")
+            .alias("mi"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    fm = um.groupBy("user_id").agg(F.min("mi").alias("first_mi"))
+    prev = um.select(
+        "user_id", (F.col("mi") + 1).alias("mi"),
+        F.lit(1).alias("was_prev"),
+    )
+    cur = (
+        um.join(fm, "user_id")
+        .join(prev, ["user_id", "mi"], "left")
+        .select(
+            "mi",
+            F.when(F.col("mi") == F.col("first_mi"), F.lit("new"))
+            .when(F.col("was_prev") == 1, F.lit("retained"))
+            .otherwise(F.lit("resurrected"))
+            .alias("cls"),
+        )
+    )
+    per = cur.groupBy("mi").agg(
+        F.count(F.lit(1)).cast("long").alias("mau"),
+        F.sum((F.col("cls") == "new").cast("long"))
+        .cast("long")
+        .alias("n_new"),
+        F.sum((F.col("cls") == "retained").cast("long"))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum((F.col("cls") == "resurrected").cast("long"))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    nxt = um.select(
+        "user_id", (F.col("mi") - 1).alias("mi"),
+        F.lit(1).alias("still"),
+    )
+    churn = (
+        um.join(nxt, ["user_id", "mi"], "left")
+        .where(F.col("still").isNull())
+        .groupBy((F.col("mi") + 1).alias("mi"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    return (
+        per.join(churn, "mi", "left")
+        .select(
+            F.concat_ws(
+                "-",
+                F.expr("mi div 12").cast("string"),
+                F.lpad((F.col("mi") % 12 + 1).cast("string"), 2, "0"),
+            ).alias("month"),
+            "mau",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0).cast("long")).alias(
+                "n_churned"
+            ),
+        )
+    )

@@ -7103,3 +7103,253 @@ def odds_ratio_ci(
         round_half_up(ln_or - F.lit(1.96) * se, 6).alias("ln_lo"),
         round_half_up(ln_or + F.lit(1.96) * se, 6).alias("ln_hi"),
     )
+
+
+def jackknife_mean(orders: DataFrame) -> DataFrame:
+    """Leave-one-DAY-out jackknife of the revenue-per-order RATIO
+    estimator: theta = sum(revenue) / sum(orders) is a ratio of two
+    totals, so its variance has no closed form — the jackknife
+    recomputes theta with each day deleted and reads bias and standard
+    error off the pseudo-value spread:
+
+        theta_(-d) = (R - r_d) / (C - c_d),
+        bias  = (n - 1)(mean theta_(-d) - theta),
+        se    = sqrt((n - 1)/n * sum (theta_(-d) - mean)^2)
+
+    — the resampling-free uncertainty quantifier a daily-KPI dashboard
+    wants next to the point estimate (days, not rows, are the natural
+    exchangeable unit here).
+
+    Exactness: r_d, c_d, R, C are exact BIGINTs; each theta_(-d) is
+    one division; both jackknife sums fold over the DAY-SORTED array
+    (single-accumulator, list_reduce-safe). Scale: one daily rollup;
+    folds are calendar-bounded."""
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(
+            F.sum(_cents("o_totalprice")).cast("long").alias("r"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+    )
+    agg = daily.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("rr"),
+        F.sum("c").cast("long").alias("cc"),
+        F.array_sort(F.collect_list(F.struct("d", "r", "c"))).alias(
+            "xs"
+        ),
+    )
+
+    def loo(t):
+        return (F.col("rr") - t["r"]).cast("double") / (
+            F.col("cc") - t["c"]
+        ).cast("double")
+
+    s1 = F.aggregate(
+        F.col("xs"), F.lit(0.0), lambda acc, t: acc + loo(t)
+    )
+    jm = s1 / F.col("n").cast("double")
+    s2 = F.aggregate(
+        F.col("xs"),
+        F.lit(0.0),
+        lambda acc, t: acc + (loo(t) - jm) * (loo(t) - jm),
+    )
+    theta = F.col("rr").cast("double") / F.col("cc").cast("double")
+    nD = F.col("n").cast("double")
+    se = F.sqrt((nD - F.lit(1.0)) / nD * s2)
+    # every theta_(-d) needs C - c_d > 0: min day count < total
+    ok = F.aggregate(
+        F.col("xs"),
+        F.lit(True),
+        lambda acc, t: acc & (t["c"] < F.col("cc")),
+    )
+    return agg.where((F.col("n") >= 2) & ok).select(
+        F.col("n").alias("n_days"),
+        round_half_up(theta / 100.0, 6).alias("theta_usd"),
+        round_half_up(jm / 100.0, 6).alias("jack_mean_usd"),
+        round_half_up(
+            (nD - F.lit(1.0)) * (jm - theta) / 100.0, 6
+        ).alias("jack_bias_usd"),
+        round_half_up(se / 100.0, 6).alias("jack_se_usd"),
+    )
+
+
+def permutation_shift(
+    orders: DataFrame, n_perm: int = 200
+) -> DataFrame:
+    """Permutation test of the half-vs-half level shift in daily order
+    counts, with DETERMINISTIC hash permutations: the observed
+    statistic is |mean(second half) - mean(first half)|; each of the
+    ``n_perm`` pseudo-permutations reassigns every day to a side by an
+    md5 parity keyed on (k, day) — reproducible across reruns AND
+    engines (the house md5 discipline), which real RNG permutation
+    tests cannot promise:
+
+        p = (1 + #{k : diff_k >= diff_obs}) / (n_perm + 1)
+
+    (the add-one form that keeps p > 0 and is the standard
+    permutation-test estimate). Sign tests read direction only;
+    ``chow_test`` fits trends; this nonparametrically scores the
+    LEVEL shift with no distributional assumption at all.
+
+    Exactness: counts and group sizes are exact integers; each mean is
+    one division; the >= comparison runs on identically-computed
+    doubles. Scale: |days| x n_perm expansion of the DAILY rollup —
+    calendar-bounded, never data-sized."""
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    idx = daily.withColumn(
+        "i",
+        F.row_number().over(Window.orderBy("d")).cast("long"),
+    ).localCheckpoint(eager=False)
+    tot = idx.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    halves = idx.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "y",
+        F.when(F.col("i") <= F.expr("n div 2"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("h"),
+        "n",
+    )
+    obs_row = halves.groupBy("n").agg(
+        F.sum(F.when(F.col("h") == 0, F.col("y"))).cast("long").alias("s0"),
+        F.sum(F.when(F.col("h") == 0, 1)).cast("long").alias("c0"),
+        F.sum(F.when(F.col("h") == 1, F.col("y"))).cast("long").alias("s1"),
+        F.sum(F.when(F.col("h") == 1, 1)).cast("long").alias("c1"),
+    )
+    obs = obs_row.select(
+        "n",
+        F.abs(
+            F.col("s1").cast("double") / F.col("c1").cast("double")
+            - F.col("s0").cast("double") / F.col("c0").cast("double")
+        ).alias("obs_diff"),
+    )
+    ks = F.explode(
+        F.sequence(F.lit(1), F.lit(int(n_perm)))
+    ).alias("k")
+    assigned = daily.select("d", "y", ks).select(
+        "k",
+        "y",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("k").cast("string"),
+                            F.lit("|"),
+                            F.date_format("d", "yyyy-MM-dd"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("h"),
+    )
+    per_k = assigned.groupBy("k").agg(
+        F.sum(F.when(F.col("h") == 0, F.col("y"))).cast("long").alias("s0"),
+        F.sum(F.when(F.col("h") == 0, 1)).cast("long").alias("c0"),
+        F.sum(F.when(F.col("h") == 1, F.col("y"))).cast("long").alias("s1"),
+        F.sum(F.when(F.col("h") == 1, 1)).cast("long").alias("c1"),
+    ).where((F.col("c0") > 0) & (F.col("c1") > 0))
+    diffs = per_k.select(
+        "k",
+        F.abs(
+            F.col("s1").cast("double") / F.col("c1").cast("double")
+            - F.col("s0").cast("double") / F.col("c0").cast("double")
+        ).alias("diff"),
+    )
+    counted = diffs.crossJoin(F.broadcast(obs)).agg(
+        F.max("n").alias("n_days"),
+        F.max("obs_diff").alias("obs_diff"),
+        F.count(F.lit(1)).cast("long").alias("n_valid"),
+        F.sum((F.col("diff") >= F.col("obs_diff")).cast("long"))
+        .cast("long")
+        .alias("n_ge"),
+    )
+    return counted.select(
+        "n_days",
+        round_half_up(F.col("obs_diff"), 6).alias("obs_diff"),
+        F.col("n_valid"),
+        "n_ge",
+        round_half_up(
+            (F.col("n_ge") + 1).cast("double")
+            / (F.col("n_valid") + 1).cast("double"),
+            6,
+        ).alias("p_value"),
+    )
+
+
+def mcc_matthews(emb: DataFrame) -> DataFrame:
+    """Matthews correlation coefficient (plus accuracy and F1) of the
+    ``auc_scores`` heuristic classifier at the zero threshold: pred =
+    (micro-quantized coordinate-sum projection >= 0), truth = (label
+    == 1) — the CONFUSION-MATRIX summary beside the family's ranking
+    metrics (``auc_scores`` grades the score's ORDERING; MCC grades
+    the thresholded DECISION, and unlike accuracy stays honest under
+    class imbalance):
+
+        MCC = (TP*TN - FP*FN) / sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN))
+
+    Exactness: the projection reuses auc_scores' exact micro
+    quantization; all four cells are exact BIGINTs; products promote
+    through DECIMAL (the 4-factor denominator overflows int64 at
+    warehouse n); MCC/F1/accuracy are single mirrored float
+    expressions. Scale: one per-vector map + a 4-cell rollup."""
+    scored = emb.select(
+        (
+            F.floor(
+                F.aggregate(
+                    F.col("embedding").cast("array<double>"),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                * 1000000.0
+                + F.lit(0.5)
+            ).cast("long")
+            >= 0
+        ).cast("int").alias("pred"),
+        (F.col("label") == 1).cast("int").alias("y"),
+    )
+    cells = scored.agg(
+        F.sum(F.col("pred") * F.col("y")).cast("long").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("y"))).cast("long").alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("y")).cast("long").alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("y")))
+        .cast("long")
+        .alias("tn"),
+    )
+    num = (
+        F.col("tp").cast(DEC) * F.col("tn").cast(DEC)
+        - F.col("fp").cast(DEC) * F.col("fn").cast(DEC)
+    ).cast("double")
+    den = F.sqrt(
+        (
+            (F.col("tp") + F.col("fp")).cast(DEC)
+            * (F.col("tp") + F.col("fn")).cast(DEC)
+            * (F.col("tn") + F.col("fp")).cast(DEC)
+            * (F.col("tn") + F.col("fn")).cast(DEC)
+        ).cast("double")
+    )
+    n = F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+    acc = (F.col("tp") + F.col("tn")).cast("double") / n.cast("double")
+    f1 = (F.lit(2.0) * F.col("tp").cast("double")) / (
+        F.lit(2.0) * F.col("tp").cast("double")
+        + F.col("fp").cast("double")
+        + F.col("fn").cast("double")
+    )
+    return cells.where(den > 0).select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        round_half_up(acc, 6).alias("accuracy"),
+        round_half_up(f1, 6).alias("f1"),
+        round_half_up(num / den, 6).alias("mcc"),
+    )

@@ -2395,3 +2395,77 @@ def yule_k_vocab(docs: DataFrame) -> DataFrame:
         rh(sichel, 6).alias("sichel_s"),
         rh(honore, 6).alias("honore_r"),
     )
+
+
+def cond_entropy_profile(docs: DataFrame) -> DataFrame:
+    """Conditional-entropy dependence profile of the corpus's
+    (source, lang) structure, in DOC counts: H(lang), H(lang | source)
+    and the uncertainty coefficient U = (H(lang) - H(lang|source)) /
+    H(lang) in [0, 1] — "how much does knowing the source tell you
+    about the language?" (U = 1: every source is monolingual, routing
+    by source is free; U = 0: language is independent of source and a
+    lang-id pass is unavoidable). ``source_entropy`` reads ONE
+    marginal's diversity; ``theils_u`` profiles the ORDERS pair; this
+    is the documents-side dependence gate.
+
+    Exactness: all counts are exact BIGINTs; both entropies fold
+    SEQUENTIALLY over sorted cell lists (the zipf/source_entropy ln
+    discipline); U is one more mirrored expression. Scale: one
+    (source, lang) rollup — everything after is cell-count-sized."""
+    cells = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    src = cells.groupBy("source").agg(
+        F.sum("c").cast("long").alias("cs")
+    )
+    lang = cells.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("cl")
+    )
+    tot = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    larr = lang.crossJoin(F.broadcast(tot)).groupBy(
+        "n", "n_cells"
+    ).agg(
+        F.array_sort(F.collect_list(F.struct("lang", "cl"))).alias(
+            "ls"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    nD = F.col("n").cast("double")
+    h_lang = F.aggregate(
+        F.col("ls"),
+        F.lit(0.0),
+        lambda a, t: a
+        - (t["cl"].cast("double") / nD)
+        * F.log(t["cl"].cast("double") / nD),
+    )
+    carr = (
+        cells.join(src, "source")
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("source", "lang", "c", "cs"))
+            ).alias("xs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+    )
+    h_cond = F.aggregate(
+        F.col("xs"),
+        F.lit(0.0),
+        lambda a, t: a
+        - (t["c"].cast("double") / nD)
+        * F.log(t["c"].cast("double") / t["cs"].cast("double")),
+    )
+    j = larr.crossJoin(carr)
+    return j.where((F.col("n") > 0) & (F.col("n_langs") >= 2)).select(
+        F.col("n").alias("n_docs"),
+        "n_langs",
+        "n_sources",
+        rh(h_lang, 6).alias("h_lang"),
+        rh(h_cond, 6).alias("h_lang_given_source"),
+        rh((h_lang - h_cond) / h_lang, 6).alias("uncertainty_coeff"),
+    )

@@ -1,0 +1,530 @@
+"""Round-8 operator pins: each new operator checked against a
+hand-computed or literal-Python reference on planted inputs — the
+oracle sweep proves cross-engine equality; these prove the VALUE is
+the textbook one."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from pubsub_mapreduce_spark.operators import relational as R
+from pubsub_mapreduce_spark.operators import robust as RB
+from pubsub_mapreduce_spark.operators import sampling as SM
+from pubsub_mapreduce_spark.operators import similarity as S
+from pubsub_mapreduce_spark.operators import textops as TX
+from pubsub_mapreduce_spark.operators.graph import (
+    clustering_coefficient,
+)
+
+D = dt.datetime
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+
+
+def _r6(x):
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+# ---------------------------------------------------------------- #
+# qnorm building block
+# ---------------------------------------------------------------- #
+
+
+def _qnorm_py(p, u):
+    """Literal Python mirror of robust._qnorm_upper."""
+    A, B, C, Dd = RB.QNORM_A, RB.QNORM_B, RB.QNORM_C, RB.QNORM_D
+    if u >= RB.QNORM_PLOW:
+        q = p - 0.5
+        r = q * q
+        num = ((((A[0] * r + A[1]) * r + A[2]) * r + A[3]) * r + A[4]) * r + A[5]
+        den = ((((B[0] * r + B[1]) * r + B[2]) * r + B[3]) * r + B[4]) * r + 1.0
+        return num * q / den
+    ql = math.sqrt(-2.0 * math.log(u))
+    numt = ((((C[0] * ql + C[1]) * ql + C[2]) * ql + C[3]) * ql + C[4]) * ql + C[5]
+    dent = ((Dd[0] * ql + Dd[1]) * ql + Dd[2]) * ql + Dd[3]
+    return -(numt / (dent * ql + 1.0))
+
+
+def test_qnorm_matches_true_inverse_cdf():
+    """Acklam approximation accuracy: against a bisection inversion of
+    the erf-based normal CDF, the error stays under 2e-9 over the
+    whole upper range (both central and tail branches)."""
+
+    def cdf(x):
+        return 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+
+    def true_inv(p):
+        lo, hi = 0.0, 40.0
+        for _ in range(200):
+            mid = (lo + hi) / 2
+            if cdf(mid) < p:
+                lo = mid
+            else:
+                hi = mid
+        return (lo + hi) / 2
+
+    for p in [0.5001, 0.6, 0.75, 0.9, 0.925, 0.97, 0.9758, 0.99,
+              0.999, 0.99999]:
+        got = _qnorm_py(p, 1.0 - p)
+        assert abs(got - true_inv(p)) < 3e-9, p
+
+
+def test_fligner_killeen_literal(spark):
+    """Literal-Python FK recomputation (group medians -> pooled
+    |resid| avg ranks -> qnorm scores, nano-quantized -> X^2) on two
+    planted priority groups with ties."""
+    vals = {
+        "1-A": [1.0, 2.0, 2.0, 9.0, 10.0],
+        "2-B": [5.0, 5.0, 6.0, 6.5],
+    }
+    rows, k = [], 0
+    for g, xs in vals.items():
+        for v in xs:
+            rows.append((k, 1, "O", v, D(2024, 1, 1), g))
+            k += 1
+    out = RB.fligner_killeen(_orders(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    cents = {g: [round(v * 100) for v in xs] for g, xs in vals.items()}
+    med = {}
+    for g, xs in cents.items():
+        ss = sorted(xs)
+        cum = 0
+        for v in sorted(set(ss)):
+            cum += ss.count(v)
+            if 2 * cum >= len(ss):
+                med[g] = v
+                break
+    resid = {g: [abs(x - med[g]) for x in xs] for g, xs in cents.items()}
+    pooled = sorted(v for xs in resid.values() for v in xs)
+    n = len(pooled)
+    uniq = sorted(set(pooled))
+    an, a2n = {}, {}
+    below = 0
+    for v in uniq:
+        cnt = pooled.count(v)
+        t2 = 2 * below + cnt + 1
+        den4 = float(4 * (n + 1))
+        p = 0.5 + t2 / den4
+        u = (2 * (n + 1) - t2) / den4
+        a = _qnorm_py(p, u)
+        an[v] = math.floor(a * 1e9 + 0.5)
+        a2n[v] = math.floor(a * a * 1e9 + 0.5)
+        below += cnt
+    sa = {g: sum(an[v] for v in xs) for g, xs in resid.items()}
+    sa_all = sum(sa.values())
+    s2_all = sum(a2n[v] for xs in resid.values() for v in xs)
+    abar = sa_all / (n * 1e9)
+    num = 0.0
+    for g in sorted(vals):
+        ng = len(vals[g])
+        abar_g = sa[g] / (ng * 1e9)
+        num += ng * (abar_g - abar) * (abar_g - abar)
+    v_den = (s2_all / 1e9 - n * abar * abar) / (n - 1.0)
+    assert (r.n_rows, r.n_groups, r.df) == (n, 2, 1)
+    assert r.fk_stat == _r6(num / v_den)
+
+
+def test_theta_forecast_literal(spark):
+    ys = [10.0, 12.0, 11.0, 15.0, 14.0, 18.0, 17.0, 21.0]
+    rows = [
+        (i, 1, "O", ys[i], D(2024, 1, 1) + dt.timedelta(days=i), "1")
+        for i in range(len(ys))
+    ]
+    out = RB.theta_forecast(_orders(spark, rows)).collect()[0]
+    y = [round(v * 100) for v in ys]
+    n = len(y)
+    st, sy = sum(range(n)), sum(y)
+    stt = sum(t * t for t in range(n))
+    sty = sum(t * v for t, v in enumerate(y))
+    ctt = float(n * stt - st * st)
+    cty = float(n * sty - st * sy)
+    b = cty / ctt
+    a = (float(sy) - b * float(st)) / float(n)
+    level = 2.0 * y[0] - (a + b * 0.0)
+    for t in range(1, n):
+        level = 0.3 * (2.0 * y[t] - (a + b * float(t))) + (1.0 - 0.3) * level
+    assert out.n_days == n
+    assert out.slope_usd == _r6(b / 100.0)
+    assert out.ses_level_usd == _r6(level / 100.0)
+    for h in (1, 7, 30):
+        want = (level + a + b * (float(n - 1) + float(h))) / 2.0 / 100.0
+        assert out[f"forecast_h{h}_usd"] == _r6(want)
+
+
+def test_yule_k_vocab_hand(spark):
+    # source s1: tokens a a a b b c -> N=6, V=3, V1=1, V2=1, S2=9+4+1=14
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c", "en", "s1", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = TX.yule_k_vocab(docs).collect()[0]
+    assert (r.tokens, r.vocab, r.v1, r.v2) == (6, 3, 1, 1)
+    assert r.yule_k == _r6(10000.0 * (14.0 - 6.0) / 36.0)
+    assert r.sichel_s == _r6(1.0 / 3.0)
+    assert r.honore_r == _r6(100.0 * math.log(6.0) / (1.0 - 1.0 / 3.0))
+
+
+def test_mood_median_hand(spark):
+    # group A: 1,2,3 ; group B: 4,5,6 -> pooled lower median = 3
+    # le cells: A=3, B=0; ng=3 each, le_all=3, n=6
+    rows = [
+        (1, 1, "O", 1.0, D(2024, 1, 1), "A"),
+        (2, 1, "O", 2.0, D(2024, 1, 1), "A"),
+        (3, 1, "O", 3.0, D(2024, 1, 1), "A"),
+        (4, 1, "O", 4.0, D(2024, 1, 1), "B"),
+        (5, 1, "O", 5.0, D(2024, 1, 1), "B"),
+        (6, 1, "O", 6.0, D(2024, 1, 1), "B"),
+    ]
+    r = RB.mood_median(_orders(spark, rows)).collect()[0]
+    assert (r.n_rows, r.n_groups, r.df, r.n_le_median) == (6, 2, 1, 3)
+    # E = 1.5 everywhere, each cell (O-E)^2/E = 1.5 -> chi2 = 6
+    assert r.chi2 == 6.0
+
+
+def test_adf_kpss_vr_literal(spark):
+    counts = [5, 7, 6, 9, 8, 12, 10, 14, 13, 16, 15, 18]
+    rows, k = [], 0
+    for i, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (k, 1, "O", 2.5, D(2024, 1, 1) + dt.timedelta(days=i), "1")
+            )
+            k += 1
+    odf = _orders(spark, rows)
+    adf = RB.adf_lite(odf).collect()[0]
+    y = counts
+    pairs = [(y[i - 1], y[i] - y[i - 1]) for i in range(1, len(y))]
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sdy = sum(d for _, d in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    sxy = sum(x * d for x, d in pairs)
+    syy = sum(d * d for _, d in pairs)
+    cxx = float(n * sxx - sx * sx)
+    cxy = float(n * sxy - sx * sdy)
+    cyy = float(n * syy - sdy * sdy)
+    gamma = cxy / cxx
+    rss = (cyy - cxy * cxy / cxx) / float(n)
+    se = math.sqrt((rss / float(n - 2)) / (cxx / float(n)))
+    assert adf.n_obs == n
+    assert adf.gamma == _r6(gamma)
+    assert adf.adf_t == _r6(gamma / se)
+
+    kpss = RB.kpss_lite(odf).collect()[0]
+    nn = len(y)
+    sy = sum(y)
+    syy2 = sum(v * v for v in y)
+    q = 0
+    cum = 0
+    for i, v in enumerate(y, start=1):
+        cum += v
+        q += (nn * cum - i * sy) ** 2
+    eta = float(q) / float(nn * nn * (nn * syy2 - sy * sy))
+    assert kpss.n_days == nn and kpss.kpss_eta == _r6(eta)
+
+    # variance ratio on cents revenue: daily revenue = count * 250
+    vr = {r.q: r for r in RB.variance_ratio(odf).collect()}
+    rev = [c * 250 for c in counts]
+    for qq in (2, 5, 10):
+        d1 = [rev[i] - rev[i - 1] for i in range(1, len(rev))]
+        dq = [rev[i] - rev[i - qq] for i in range(qq, len(rev))]
+        m1, mq = len(d1), len(dq)
+        c1 = m1 * sum(d * d for d in d1) - sum(d1) ** 2
+        cq = mq * sum(d * d for d in dq) - sum(dq) ** 2
+        want = (float(cq) / float(mq * mq)) / (
+            float(qq) * (float(c1) / float(m1 * m1))
+        )
+        assert vr[qq].n_diffs == mq
+        assert vr[qq].vr == _r6(want)
+
+
+def test_sign_test_exact_binomial(spark):
+    # 9 up-moves, 3 down-moves out of 12 nonzero diffs
+    counts = [10]
+    deltas = [1, 1, 1, -2, 1, 1, -1, 1, 1, 1, -3, 1]
+    for d in deltas:
+        counts.append(counts[-1] + d)
+    rows, k = [], 0
+    for i, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (k, 1, "O", 1.0, D(2024, 1, 1) + dt.timedelta(days=i), "1")
+            )
+            k += 1
+    r = RB.sign_test_drift(_orders(spark, rows)).collect()[0]
+    assert (r.n_moves, r.n_up, r.n_down) == (12, 9, 3)
+    n, kobs = 12, 9
+    masses = [math.comb(n, k) for k in range(n + 1)]
+    thr = masses[kobs] * (1.0 + 1e-7)
+    p = sum(m for m in masses if m <= thr) / float(2**n)
+    assert abs(r.p_two_sided - p) < 2e-6
+
+
+def test_clustering_coefficient_planted(spark):
+    # triangle 1-2-3 plus a pendant chain 3-4, 4-5:
+    # deg: 1:2, 2:2, 3:3, 4:2, 5:1 -> node 5 drops (deg<2 keeps it
+    # out of the subgraph? no: keep filters ORIGINAL deg in [2,200],
+    # node 5 has deg 1 -> excluded; edge 4-5 vanishes -> subgraph
+    # deg: 1:2, 2:2, 3:3, 4:1 -> node 4 emitted? subgraph deg 1 -> no
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (1, 3, 1), (3, 4, 1), (4, 5, 1)],
+        "a long, b long, w long",
+    )
+    out = {r.partkey: r for r in clustering_coefficient(edges).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].triangles == 1 and out[1].degree == 2
+    assert out[1].clust_micro == 1_000_000
+    assert out[2].clust_micro == 1_000_000
+    # node 3: subgraph deg 3 (neighbors 1, 2, 4), 1 triangle ->
+    # C = 2/(3*2) = 1/3
+    assert out[3].degree == 3 and out[3].triangles == 1
+    assert out[3].clust_micro == math.floor(2e6 / 6 + 0.5)
+
+
+def test_neyman_allocation_hand(spark):
+    # stratum A: cents 100, 300 (sd = sqrt(20000)); B: 500, 500 -> sd 0
+    rows = [
+        (1, 1, "O", 1.0, D(2024, 1, 1), "A"),
+        (2, 1, "O", 3.0, D(2024, 1, 1), "A"),
+        (3, 1, "O", 5.0, D(2024, 1, 1), "B"),
+        (4, 1, "O", 5.0, D(2024, 1, 1), "B"),
+    ]
+    out = {r.stratum: r for r in SM.neyman_allocation(_orders(spark, rows)).collect()}
+    assert set(out) == {"A", "B"}
+    # B has zero variance -> weight 0, alloc 0; A takes all 1000
+    assert out["A"].alloc == 1000 and out["B"].alloc == 0
+    assert out["A"].sd_usd == _r6(math.sqrt(20000.0) / 100.0)
+
+
+def test_gumbel_maxima_literal(spark):
+    # 4 months, one order per day; monthly maxima known
+    rows, k = [], 0
+    for m in range(4):
+        for day in range(1, 11):
+            price = 10.0 + m * 5 + (day % 3)
+            rows.append((k, 1, "O", price, D(2024, 1 + m, day), "1"))
+            k += 1
+    out = RB.gumbel_maxima(_orders(spark, rows)).collect()[0]
+    mx = []
+    for m in range(4):
+        mx.append(max(round((10.0 + m * 5 + (day % 3)) * 100) for day in range(1, 11)))
+    n = len(mx)
+    mean = sum(mx) / float(n)
+    var_num = float(n * sum(v * v for v in mx) - sum(mx) ** 2)
+    sd = math.sqrt(var_num / (float(n) * (float(n) - 1.0)))
+    beta = sd * math.sqrt(6.0) / RB.PI
+    mu = mean - RB.EULER_GAMMA * beta
+    rl = mu - beta * math.log(-math.log(1.0 - 1.0 / 12.0))
+    assert out.n_blocks == 4
+    assert out.mu_usd == _r6(mu / 100.0)
+    assert out.beta_usd == _r6(beta / 100.0)
+    assert out.return_level_12_usd == _r6(rl / 100.0)
+
+
+def test_uniqueness_profile_nulls_and_keys(spark):
+    rows = [
+        (1, 10, "O", 5.0, None, "1"),
+        (2, 10, "F", 5.0, None, "2"),
+        (3, 20, None, 7.0, None, "3"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    out = {r.column_name: r for r in R.uniqueness_profile(df).collect()}
+    assert out["o_orderkey"].is_key and out["o_orderkey"].n_distinct == 3
+    assert not out["o_custkey"].is_key and out["o_custkey"].n_distinct == 2
+    assert out["o_orderstatus"].n_nonnull == 2
+    assert out["o_orderstatus"].n_distinct == 2  # NULL not counted
+    assert out["o_totalprice"].distinct_ratio == _r6(2.0 / 3.0)
+
+
+def test_cohens_d_family_hand(spark):
+    # O: cents 100, 300 ; F: 500, 900
+    rows = [
+        (1, 1, "O", 1.0, D(2024, 1, 1), "1"),
+        (2, 1, "O", 3.0, D(2024, 1, 1), "1"),
+        (3, 1, "F", 5.0, D(2024, 1, 1), "1"),
+        (4, 1, "F", 9.0, D(2024, 1, 1), "1"),
+    ]
+    r = RB.cohens_d_family(_orders(spark, rows)).collect()[0]
+    c1 = (2 * (100**2 + 300**2) - 400**2) / 2.0  # = 20000
+    c2 = (2 * (500**2 + 900**2) - 1400**2) / 2.0  # = 80000
+    sp = math.sqrt((c1 + c2) / 2.0)
+    d = (200.0 - 700.0) / sp
+    jf = 1.0 - 3.0 / (4.0 * 4 - 9.0)
+    assert (r.n1, r.n2) == (2, 2)
+    assert r.cohens_d == _r6(d)
+    assert r.hedges_g == _r6(jf * d)
+    assert r.glass_delta == _r6(-500.0 / math.sqrt(c1))
+
+
+def test_odds_ratio_ci_hand(spark):
+    # 8 customers, y=custkey<=4 (>=1 order), p=balance flag {1,2,5,6}
+    cust = spark.createDataFrame(
+        [(i, f"c{i}", 0, 9000.0 if i in (1, 2, 5, 6) else 100.0, "S")
+         for i in range(1, 9)],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    orders = _orders(
+        spark,
+        [(i, i, "O", 1.0, D(2024, 1, 1), "1") for i in range(1, 5)],
+    )
+    r = RB.odds_ratio_ci(
+        {"customer": cust, "orders": orders}, min_orders=1
+    ).collect()[0]
+    # a=2 (1,2), b=2 (3,4), c=2 (5,6), d=2 (7,8) -> OR = 1
+    assert (r.a, r.b, r.c, r.d) == (2, 2, 2, 2)
+    assert r.odds_ratio == 1.0 and r.ln_or == 0.0
+    se = math.sqrt(4 * 0.5)
+    assert r.ln_hi == _r6(1.96 * se)
+
+
+def test_emb_isotropy_planted(spark):
+    # two identical unit vectors + two opposite: pair cosines are
+    # +1 (2 ordered pairs), -1 (8), +1 (2) -> mean = (4 - 8) / 12
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),
+        (3, [-1.0, 0.0], 1),
+        (4, [-1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    r = S.emb_isotropy(df).collect()[0]
+    assert (r.n, r.dim) == (4, 2)
+    assert r.mean_cos == math.floor(-1.0 / 3.0 * 1e9 + 0.5) / 1e9
+    assert r.sum_norm2_q == 0.0  # sum vector cancels exactly
+    assert r.ssq_q == 4.0 * 1e12
+
+
+def test_jackknife_mean_literal(spark):
+    days = [(1000, 4), (2000, 5), (1500, 3)]  # (revenue cents, orders)
+    rows, k = [], 0
+    for i, (r_c, c) in enumerate(days):
+        per = r_c // c
+        for j in range(c):
+            price = (per + (r_c % c if j == 0 else 0)) / 100.0
+            rows.append(
+                (k, 1, "O", price, D(2024, 1, 1) + dt.timedelta(days=i), "1")
+            )
+            k += 1
+    out = RB.jackknife_mean(_orders(spark, rows)).collect()[0]
+    rr = sum(r for r, _ in days)
+    cc = sum(c for _, c in days)
+    loo = [(rr - r) / float(cc - c) for r, c in days]
+    jm = sum(loo) / 3.0
+    ssq = sum((v - jm) ** 2 for v in loo)
+    theta = rr / float(cc)
+    assert out.n_days == 3
+    assert out.theta_usd == _r6(theta / 100.0)
+    assert out.jack_bias_usd == _r6(2.0 * (jm - theta) / 100.0)
+    assert out.jack_se_usd == _r6(math.sqrt(2.0 / 3.0 * ssq) / 100.0)
+
+
+def test_permutation_shift_literal(spark):
+    # flat first half, elevated second half -> tiny p
+    counts = [5] * 10 + [50] * 10
+    rows, k = [], 0
+    for i, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (k, 1, "O", 1.0, D(2024, 1, 1) + dt.timedelta(days=i), "1")
+            )
+            k += 1
+    out = RB.permutation_shift(_orders(spark, rows)).collect()[0]
+    assert out.n_days == 20 and out.obs_diff == 45.0
+    # literal mirror of the deterministic md5 permutations
+    days = [
+        (D(2024, 1, 1) + dt.timedelta(days=i)).strftime("%Y-%m-%d")
+        for i in range(20)
+    ]
+    n_ge = n_valid = 0
+    for kk in range(1, 201):
+        g = {0: [], 1: []}
+        for d, y in zip(days, counts):
+            h = int(hashlib.md5(f"{kk}|{d}".encode()).hexdigest()[:8], 16) % 2
+            g[h].append(y)
+        if g[0] and g[1]:
+            n_valid += 1
+            diff = abs(
+                sum(g[1]) / len(g[1]) - sum(g[0]) / len(g[0])
+            )
+            if diff >= 45.0:
+                n_ge += 1
+    assert out.n_valid == n_valid and out.n_ge == n_ge
+    assert out.p_value == _r6((n_ge + 1) / float(n_valid + 1))
+
+
+def test_growth_accounting_ledger(spark):
+    # user 1: m0, m1, m3 ; user 2: m0 only ; user 3: m1, m2, m3
+    rows = []
+    for u, months in ((1, [0, 1, 3]), (2, [0]), (3, [1, 2, 3])):
+        for m in months:
+            rows.append((u, D(2024, 1 + m, 5)))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        r.month: r for r in R.growth_accounting(ev).collect()
+    }
+    m0, m1 = out["2024-01"], out["2024-02"]
+    m2, m3 = out["2024-03"], out["2024-04"]
+    assert (m0.mau, m0.n_new, m0.n_churned) == (2, 2, 0)
+    assert (m1.mau, m1.n_new, m1.n_retained, m1.n_resurrected) == (2, 1, 1, 0)
+    assert m1.n_churned == 1  # user 2 left
+    assert (m2.mau, m2.n_retained, m2.n_churned) == (1, 1, 1)  # user 1 skipped
+    assert (m3.mau, m3.n_retained, m3.n_resurrected) == (2, 1, 1)
+
+
+def test_cond_entropy_profile_literal(spark):
+    # s1: 3 en, 1 fr ; s2: 2 fr -> hand entropies
+    rows = []
+    i = 0
+    for src, lang, c in (("s1", "en", 3), ("s1", "fr", 1), ("s2", "fr", 2)):
+        for _ in range(c):
+            rows.append((i, "x", lang, src, 1))
+            i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    r = TX.cond_entropy_profile(docs).collect()[0]
+    n = 6.0
+    h_lang = -(3 / n) * math.log(3 / n) - (3 / n) * math.log(3 / n)
+    h_cond = (
+        -(3 / n) * math.log(3 / 4)
+        - (1 / n) * math.log(1 / 4)
+        - (2 / n) * math.log(2 / 2)
+    )
+    assert (r.n_docs, r.n_langs, r.n_sources) == (6, 2, 2)
+    assert r.h_lang == _r6(h_lang)
+    assert r.h_lang_given_source == _r6(h_cond)
+    assert r.uncertainty_coeff == _r6((h_lang - h_cond) / h_lang)
+
+
+def test_mcc_matthews_hand(spark):
+    # projections: +2 (pred 1), +1 (1), -1 (0), -2 (0)
+    rows = [
+        (1, [1.0, 1.0], 1),   # TP
+        (2, [0.5, 0.5], 0),   # FP
+        (3, [-0.5, -0.5], 1),  # FN
+        (4, [-1.0, -1.0], 0),  # TN
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    r = RB.mcc_matthews(df).collect()[0]
+    assert (r.tp, r.fp, r.fn, r.tn) == (1, 1, 1, 1)
+    assert r.mcc == 0.0 and r.accuracy == 0.5
+    assert r.f1 == _r6(2.0 / 4.0)
