@@ -3440,6 +3440,61 @@ def q_mcc_matthews(spark, sf_dir):
     return RB.mcc_matthews(load_tables(spark, sf_dir)["embeddings"])
 
 
+def q_wilcoxon_signed_rank(spark, sf_dir):
+    """Wilcoxon signed-rank z of the half-vs-half PAIRED daily order
+    counts (robust.wilcoxon_signed_rank) — magnitude-ranked paired
+    drift with exact tie handling."""
+    return RB.wilcoxon_signed_rank(load_tables(spark, sf_dir)["orders"])
+
+
+def q_ansari_bradley(spark, sf_dir):
+    """Ansari-Bradley rank scale test between open and filled orders'
+    totalprice (robust.ansari_bradley) — both-ends-inward integer
+    scores on the price value spine."""
+    return RB.ansari_bradley(load_tables(spark, sf_dir)["orders"])
+
+
+def q_kendalls_w(spark, sf_dir):
+    """Kendall's coefficient of concordance across weekday judges
+    ranking event types (robust.kendalls_w) — ordering-stability
+    seasonality readout, tie-corrected."""
+    return RB.kendalls_w(load_tables(spark, sf_dir)["events"])
+
+
+def q_cronbach_alpha(spark, sf_dir):
+    """Cronbach's alpha of the daily event-type count matrix
+    (robust.cronbach_alpha) — internal consistency of the type
+    series."""
+    return RB.cronbach_alpha(load_tables(spark, sf_dir)["events"])
+
+
+def q_moran_geary(spark, sf_dir):
+    """Moran's I + Geary's C of part revenue over the co-purchase
+    graph (graph.moran_geary) — integer-exact attribute
+    autocorrelation, no pair materialization."""
+    t = load_tables(spark, sf_dir)
+    vals = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("node"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(l_extendedprice * (1 - l_discount)"
+                    " * 10000) AS BIGINT)"
+                )
+            ).alias("x")
+        )
+    )
+    return G.moran_geary(G.copurchase_edges(t["lineitem"]), vals)
+
+
+def q_anova_effect_sizes(spark, sf_dir):
+    """eta^2 and omega^2 for the priority ANOVA
+    (robust.anova_effect_sizes) — variance-explained magnitudes beside
+    anova_oneway's F."""
+    return RB.anova_effect_sizes(load_tables(spark, sf_dir)["orders"])
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3495,6 +3550,8 @@ R8_NEW: list[str] = [
     "uniqueness_profile", "cohens_d_family", "odds_ratio_ci",
     "emb_isotropy", "jackknife_mean", "permutation_shift",
     "growth_accounting", "cond_entropy_profile", "mcc_matthews",
+    "wilcoxon_signed_rank", "ansari_bradley", "kendalls_w",
+    "cronbach_alpha", "moran_geary", "anova_effect_sizes",
 ]
 
 R9_QUEUE = R8_NEW[45:]
@@ -3857,6 +3914,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "growth_accounting": q_growth_accounting,
         "cond_entropy_profile": q_cond_entropy_profile,
         "mcc_matthews": q_mcc_matthews,
+        "wilcoxon_signed_rank": q_wilcoxon_signed_rank,
+        "ansari_bradley": q_ansari_bradley,
+        "kendalls_w": q_kendalls_w,
+        "cronbach_alpha": q_cronbach_alpha,
+        "moran_geary": q_moran_geary,
+        "anova_effect_sizes": q_anova_effect_sizes,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -13865,5 +13928,277 @@ def oracle_sql() -> dict[str, str]:
                    + CAST(fn AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS f1,
           floor(num / den * 1e6 + 0.5) / 1e6 AS mcc
         FROM fin WHERE den > 0
+    """
+    out["wilcoxon_signed_rank"] = """
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        idx AS (
+          SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+                 y
+          FROM daily),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM idx),
+        diffs AS (
+          SELECT abs(b.y - a.y) AS v, b.y - a.y > 0 AS pos
+          FROM (SELECT i AS p, y FROM idx, tot WHERE i <= m // 2) a
+          JOIN (SELECT i - m // 2 AS p, y FROM idx, tot
+                WHERE i > m // 2) b USING (p)
+          WHERE b.y - a.y <> 0),
+        gv AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END)
+                      AS BIGINT) AS npos
+          FROM diffs GROUP BY 1),
+        sp AS (
+          SELECT *, COALESCE(sum(cnt) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS below
+          FROM gv),
+        agg AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                 sum(CAST(npos AS HUGEINT)
+                     * (2 * below + cnt + 1)) AS w2,
+                 sum((CAST(cnt AS HUGEINT) * cnt - 1) * cnt) AS tie3
+          FROM sp)
+        SELECT n AS n_pairs,
+          floor(CAST(w2 AS DOUBLE) / 2.0 * 1e6 + 0.5) / 1e6 AS w_plus,
+          floor((CAST(w2 AS DOUBLE) / 2.0
+                 - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                   / 4.0)
+                / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                       * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                       - CAST(tie3 AS DOUBLE) / 48.0)
+                * 1e6 + 0.5) / 1e6 AS z
+        FROM agg
+        WHERE n >= 2
+          AND CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+              * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+              - CAST(tie3 AS DOUBLE) / 48.0 > 0
+    """
+    out["ansari_bradley"] = """
+        WITH d AS (
+          SELECT CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END
+                   AS in1,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS v
+          FROM orders WHERE o_orderstatus IN ('O', 'F')),
+        gv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+                      CAST(sum(in1) AS BIGINT) AS c1
+               FROM d GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn,
+                       CAST(sum(c1) AS BIGINT) AS n1 FROM gv),
+        sp AS (
+          SELECT v, cnt, c1,
+                 COALESCE(sum(cnt) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS below,
+                 nn, n1
+          FROM gv, tot),
+        sc AS (
+          SELECT *, least(2 * below + cnt + 1,
+                          2 * (nn + 1) - (2 * below + cnt + 1)) AS s2
+          FROM sp),
+        agg AS (
+          SELECT nn, n1,
+                 sum(CAST(c1 AS HUGEINT) * s2) AS ab2,
+                 sum(CAST(cnt AS HUGEINT) * s2) AS st2,
+                 sum(CAST(cnt AS HUGEINT) * s2 * s2) AS sq4
+          FROM sc GROUP BY 1, 2),
+        fin AS (
+          SELECT nn, n1,
+                 CAST(ab2 AS DOUBLE) / 2.0 AS ab,
+                 CAST(st2 AS DOUBLE) / 2.0 / CAST(nn AS DOUBLE)
+                   AS sbar,
+                 CAST(sq4 AS DOUBLE) / 4.0
+                 - CAST(nn AS DOUBLE)
+                   * (CAST(st2 AS DOUBLE) / 2.0 / CAST(nn AS DOUBLE))
+                   * (CAST(st2 AS DOUBLE) / 2.0 / CAST(nn AS DOUBLE))
+                   AS ssq
+          FROM agg)
+        SELECT nn AS n_rows, n1 AS n_group1,
+          floor(ab * 1e6 + 0.5) / 1e6 AS ab_stat,
+          floor((ab - CAST(n1 AS DOUBLE) * sbar)
+                / sqrt(CAST(n1 AS DOUBLE)
+                       * CAST(nn - n1 AS DOUBLE) * ssq
+                       / (CAST(nn AS DOUBLE)
+                          * (CAST(nn AS DOUBLE) - 1.0)))
+                * 1e6 + 0.5) / 1e6 AS z
+        FROM fin WHERE n1 >= 1 AND n1 < nn AND ssq > 0
+    """
+    out["kendalls_w"] = """
+        WITH cells AS (
+          SELECT dayofweek(ts) + 1 AS j, event_type AS it,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        judges AS (SELECT DISTINCT j FROM cells),
+        items AS (SELECT DISTINCT it FROM cells),
+        full0 AS (
+          SELECT judges.j, items.it, COALESCE(cells.c, 0) AS c
+          FROM judges CROSS JOIN items
+          LEFT JOIN cells ON cells.j = judges.j
+                         AND cells.it = items.it),
+        perv AS (
+          SELECT j, c, CAST(count(*) AS BIGINT) AS cnt
+          FROM full0 GROUP BY 1, 2),
+        wj AS (
+          SELECT *, COALESCE(sum(cnt) OVER (PARTITION BY j ORDER BY c
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS below
+          FROM perv),
+        ranked AS (
+          SELECT f.j, f.it,
+                 2 * w.below + w.cnt + 1 AS r2
+          FROM full0 f JOIN wj w ON w.j = f.j AND w.c = f.c),
+        dims AS (
+          SELECT CAST(count(DISTINCT j) AS BIGINT) AS m,
+                 CAST(count(DISTINCT it) AS BIGINT) AS k
+          FROM ranked),
+        per_item AS (
+          SELECT it, CAST(sum(r2) AS BIGINT) AS r2sum
+          FROM ranked GROUP BY 1),
+        ties AS (
+          SELECT sum(tj) AS tt FROM (
+            SELECT j, sum((CAST(cnt AS HUGEINT) * cnt - 1) * cnt)
+                     AS tj
+            FROM perv GROUP BY 1)),
+        s4 AS (
+          SELECT sum((CAST(r2sum AS HUGEINT) - m * (k + 1))
+                     * (CAST(r2sum AS HUGEINT) - m * (k + 1)))
+                   AS s4,
+                 max(m) AS m, max(k) AS k
+          FROM per_item, dims)
+        SELECT m AS n_judges, k AS n_items,
+          floor(12.0 * (CAST(s4 AS DOUBLE) / 4.0)
+                / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                   * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+                      * CAST(k AS DOUBLE) - CAST(k AS DOUBLE))
+                   - CAST(m AS DOUBLE) * CAST(tt AS DOUBLE))
+                * 1e6 + 0.5) / 1e6 AS kendalls_w
+        FROM s4, ties
+        WHERE k >= 2
+          AND CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+              * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+                 * CAST(k AS DOUBLE) - CAST(k AS DOUBLE))
+              - CAST(m AS DOUBLE) * CAST(tt AS DOUBLE) > 0
+    """
+    out["cronbach_alpha"] = """
+        WITH cells AS (
+          SELECT event_type AS it, CAST(ts AS DATE) AS d,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        days AS (SELECT DISTINCT d FROM cells),
+        items AS (SELECT DISTINCT it FROM cells),
+        full0 AS (
+          SELECT items.it, days.d, COALESCE(cells.c, 0) AS c
+          FROM items CROSS JOIN days
+          LEFT JOIN cells ON cells.it = items.it
+                         AND cells.d = days.d),
+        per_item AS (
+          SELECT it, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS s,
+                 sum(CAST(c AS HUGEINT) * c) AS q
+          FROM full0 GROUP BY 1),
+        item_var AS (
+          SELECT CAST(count(*) AS BIGINT) AS k, max(n) AS n,
+                 sum(CAST(n AS HUGEINT) * q
+                     - CAST(s AS HUGEINT) * s) AS vsum_num
+          FROM per_item),
+        daily_tot AS (
+          SELECT d, CAST(sum(c) AS BIGINT) AS t
+          FROM full0 GROUP BY 1),
+        tot_var AS (
+          SELECT CAST(count(*) AS HUGEINT)
+                   * sum(CAST(t AS HUGEINT) * t)
+                 - CAST(sum(t) AS HUGEINT) * sum(t) AS vtot_num
+          FROM daily_tot)
+        SELECT k AS n_items, n AS n_days,
+          floor(CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)
+                * (1.0 - CAST(vsum_num AS DOUBLE)
+                         / CAST(vtot_num AS DOUBLE))
+                * 1e6 + 0.5) / 1e6 AS cronbach_alpha
+        FROM item_var, tot_var
+        WHERE k >= 2 AND n >= 2 AND vtot_num > 0
+    """
+    out["moran_geary"] = """
+        WITH e0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                    FROM lineitem),
+        edges AS (SELECT x.pk AS a, y.pk AS b, count(*) AS w
+                  FROM e0 x JOIN e0 y ON x.ok = y.ok AND x.pk < y.pk
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+        vals AS (
+          SELECT l_partkey AS node,
+                 CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                               * 10000) AS BIGINT)) AS BIGINT) AS x
+          FROM lineitem GROUP BY 1),
+        nodes AS (SELECT DISTINCT a AS node FROM edges
+                  UNION SELECT DISTINCT b FROM edges),
+        xv AS (SELECT n.node, v.x
+               FROM nodes n JOIN vals v ON v.node = n.node),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS s FROM xv),
+        nz AS (SELECT node, n,
+                      CAST(n AS HUGEINT) * x - s AS nz
+               FROM xv, agg),
+        ssq AS (SELECT max(n) AS n, sum(nz * nz) AS ssq FROM nz),
+        esum AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                 sum(za.nz * zb.nz) AS crossp,
+                 sum((za.nz - zb.nz) * (za.nz - zb.nz)) AS sqdiff
+          FROM edges
+          JOIN nz za ON za.node = edges.a
+          JOIN nz zb ON zb.node = edges.b)
+        SELECT n AS n_nodes, n_edges,
+          floor(CAST(n AS DOUBLE) / (2.0 * CAST(n_edges AS DOUBLE))
+                * (2.0 * CAST(crossp AS DOUBLE)
+                   / CAST(ssq AS DOUBLE)) * 1e6 + 0.5) / 1e6
+              AS moran_i,
+          floor((CAST(n AS DOUBLE) - 1.0)
+                / (4.0 * CAST(n_edges AS DOUBLE))
+                * (2.0 * CAST(sqdiff AS DOUBLE)
+                   / CAST(ssq AS DOUBLE)) * 1e6 + 0.5) / 1e6
+              AS geary_c
+        FROM esum, ssq
+        WHERE n >= 2 AND n_edges >= 1 AND ssq > 0
+    """
+    out["anova_effect_sizes"] = """
+        WITH g AS (
+          SELECT o_orderpriority AS p, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS s,
+                 sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS HUGEINT)
+                     * CAST(round(o_totalprice * 100) AS BIGINT)) AS q
+          FROM orders GROUP BY 1),
+        arr AS (
+          SELECT list(struct_pack(p := p, n := n, s := s)
+                      ORDER BY p) AS gs,
+                 CAST(sum(n) AS BIGINT) AS nn,
+                 CAST(sum(s) AS BIGINT) AS ss,
+                 sum(q) AS qq,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM g),
+        fin AS (
+          SELECT nn, k,
+            list_reduce(list_prepend(0.0, list_transform(gs,
+              t -> CAST(CAST(t.s AS HUGEINT) * t.s AS DOUBLE)
+                   / CAST(t.n AS DOUBLE))), (a, b) -> a + b)
+              AS between_raw,
+            CAST(CAST(ss AS HUGEINT) * ss AS DOUBLE)
+              / CAST(nn AS DOUBLE) AS grand,
+            CAST(qq AS DOUBLE) AS qqd
+          FROM arr)
+        SELECT k AS n_groups, nn AS n_rows,
+          floor((between_raw - grand) / (qqd - grand) * 1e6 + 0.5)
+              / 1e6 AS eta_sq,
+          floor(((between_raw - grand)
+                 - (CAST(k AS DOUBLE) - 1.0)
+                   * ((qqd - between_raw)
+                      / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))))
+                / ((qqd - grand)
+                   + (qqd - between_raw)
+                     / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))
+                * 1e6 + 0.5) / 1e6 AS omega_sq
+        FROM fin
+        WHERE k >= 2 AND nn > k AND qqd - grand > 0
     """
     return out

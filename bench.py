@@ -409,6 +409,33 @@ BENCH_QUERIES = [
     "granger_lite",
     "fisher_exact",
     "event_ppr",
+    # round 8
+    "fligner_killeen",
+    "theta_forecast",
+    "yule_k_vocab",
+    "mood_median",
+    "adf_lite",
+    "kpss_lite",
+    "variance_ratio",
+    "sign_test_drift",
+    "clustering_coefficient",
+    "neyman_allocation",
+    "gumbel_maxima",
+    "uniqueness_profile",
+    "cohens_d_family",
+    "odds_ratio_ci",
+    "emb_isotropy",
+    "jackknife_mean",
+    "permutation_shift",
+    "growth_accounting",
+    "cond_entropy_profile",
+    "mcc_matthews",
+    "wilcoxon_signed_rank",
+    "ansari_bradley",
+    "kendalls_w",
+    "cronbach_alpha",
+    "moran_geary",
+    "anova_effect_sizes",
 ]
 
 # Heavy composite queries (>3s at sf0.1). Benched at ONE rep so the

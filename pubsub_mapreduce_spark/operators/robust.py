@@ -7353,3 +7353,404 @@ def mcc_matthews(emb: DataFrame) -> DataFrame:
         round_half_up(f1, 6).alias("f1"),
         round_half_up(num / den, 6).alias("mcc"),
     )
+
+
+def wilcoxon_signed_rank(orders: DataFrame) -> DataFrame:
+    """Wilcoxon signed-rank test of the half-vs-half PAIRED daily
+    order counts (day i of the first half paired with day i of the
+    second): ranks of |d| with average ties, zeros dropped, normal
+    approximation with the tie correction —
+
+        z = (W+ - n(n+1)/4)
+            / sqrt(n(n+1)(2n+1)/24 - sum(t^3 - t)/48)
+
+    — the PAIRED member of the drift battery (``sign_test_drift``
+    reads only signs; this weights by magnitude rank, and the pairing
+    removes the weekday/seasonal component both halves share).
+
+    Exactness: |d| ranks live on the difference VALUE spine as exact
+    integers (2*avgrank = 2*below + cnt + 1, the fligner discipline);
+    2*W+ is an exact BIGINT; the z expression is one mirrored float.
+    Scale: calendar-bounded throughout."""
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("i"),
+        "y",
+    ).localCheckpoint(eager=False)
+    tot = idx.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    h = F.expr("m div 2")
+    a = idx.crossJoin(F.broadcast(tot)).where(F.col("i") <= h).select(
+        F.col("i").alias("p"), F.col("y").alias("y1")
+    )
+    b = idx.crossJoin(F.broadcast(tot)).where(F.col("i") > h).select(
+        (F.col("i") - h).alias("p"), F.col("y").alias("y2")
+    )
+    diffs = (
+        a.join(b, "p")
+        .select((F.col("y2") - F.col("y1")).alias("dd"))
+        .where(F.col("dd") != 0)
+        .select(F.abs("dd").alias("v"), (F.col("dd") > 0).alias("pos"))
+        .localCheckpoint(eager=False)
+    )
+    gv = diffs.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col("pos").cast("long")).cast("long").alias("npos"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    sp = gv.select(
+        "v",
+        "cnt",
+        "npos",
+        F.coalesce(F.sum("cnt").over(wv), F.lit(0).cast("long")).alias(
+            "below"
+        ),
+    )
+    # 2*avgrank(v) = 2*below + cnt + 1 ; 2*W+ = sum npos * that
+    agg = sp.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(
+            F.col("npos").cast(DEC)
+            * (F.lit(2) * F.col("below") + F.col("cnt") + 1).cast(DEC)
+        ).cast(DEC).alias("w2"),
+        F.sum(
+            (
+                F.col("cnt").cast(DEC) * F.col("cnt").cast(DEC)
+                - F.lit(1).cast(DEC)
+            )
+            * F.col("cnt").cast(DEC)
+        ).cast(DEC).alias("tie3"),
+    )
+    nD = F.col("n").cast("double")
+    w_plus = F.col("w2").cast("double") / 2.0
+    mean_w = nD * (nD + 1.0) / 4.0
+    var_w = nD * (nD + 1.0) * (2.0 * nD + 1.0) / 24.0 - F.col(
+        "tie3"
+    ).cast("double") / 48.0
+    return agg.where((F.col("n") >= 2) & (var_w > 0)).select(
+        F.col("n").alias("n_pairs"),
+        round_half_up(w_plus, 6).alias("w_plus"),
+        round_half_up(
+            (w_plus - mean_w) / F.sqrt(var_w), 6
+        ).alias("z"),
+    )
+
+
+def ansari_bradley(orders: DataFrame, g1: str = "O", g2: str = "F") -> DataFrame:
+    """Ansari-Bradley SCALE test between two order-status cohorts'
+    totalprice: ranks assigned from BOTH ends inward (score = min(r,
+    N+1-r), average ties), so a group whose values crowd the extremes
+    scores LOW and a tightly-centered one scores HIGH — the rank
+    test for "same spread?" that needs no normality
+    (``bartlett_test``'s assumption) and no mean-deviation moments
+    (``levene_variance``'s):
+
+        AB = sum of group-1 scores,
+        z = (AB - n1 sbar) / sqrt(n1 n2 ssq / (N (N-1)))
+
+    with sbar/ssq the exact score mean and centered sum of squares
+    over ALL N scores (the permutation moments).
+
+    Exactness: 2*score(v) = min(2*below + cnt + 1, 2(N+1) -
+    (2*below + cnt + 1)) is an exact integer on the price value
+    spine; every sum is BIGINT/DECIMAL; z is one mirrored float.
+    Scale: price-lattice-bounded spine, k-row arithmetic after."""
+    c = _cents("o_totalprice")
+    d = orders.where(F.col("o_orderstatus").isin([g1, g2])).select(
+        (F.col("o_orderstatus") == g1).cast("int").alias("in1"),
+        c.alias("v"),
+    )
+    gv = d.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("in1").cast("long").alias("c1"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = gv.agg(
+        F.sum("cnt").cast("long").alias("nn"),
+        F.sum("c1").cast("long").alias("n1"),
+    )
+    sp = gv.select(
+        "v",
+        "cnt",
+        "c1",
+        F.coalesce(F.sum("cnt").over(wv), F.lit(0).cast("long")).alias(
+            "below"
+        ),
+    ).crossJoin(F.broadcast(tot))
+    t2 = F.lit(2) * F.col("below") + F.col("cnt") + 1
+    s2 = F.least(t2, F.lit(2) * (F.col("nn") + 1) - t2)  # = 2*score
+    agg = sp.groupBy("nn", "n1").agg(
+        F.sum(F.col("c1").cast(DEC) * s2.cast(DEC)).cast(DEC).alias(
+            "ab2"
+        ),
+        F.sum(F.col("cnt").cast(DEC) * s2.cast(DEC)).cast(DEC).alias(
+            "st2"
+        ),
+        F.sum(
+            F.col("cnt").cast(DEC) * s2.cast(DEC) * s2.cast(DEC)
+        ).cast(DEC).alias("sq4"),
+    )
+    nD = F.col("nn").cast("double")
+    n1D = F.col("n1").cast("double")
+    n2D = (F.col("nn") - F.col("n1")).cast("double")
+    ab = F.col("ab2").cast("double") / 2.0
+    sbar = F.col("st2").cast("double") / 2.0 / nD
+    # centered sum of squares of scores: sum s^2 - N sbar^2
+    ssq = F.col("sq4").cast("double") / 4.0 - nD * sbar * sbar
+    var_ab = n1D * n2D * ssq / (nD * (nD - 1.0))
+    return agg.where(
+        (F.col("n1") >= 1)
+        & (F.col("n1") < F.col("nn"))
+        & (ssq > 0)
+    ).select(
+        F.col("nn").alias("n_rows"),
+        F.col("n1").alias("n_group1"),
+        round_half_up(ab, 6).alias("ab_stat"),
+        round_half_up((ab - n1D * sbar) / F.sqrt(var_ab), 6).alias(
+            "z"
+        ),
+    )
+
+
+def kendalls_w(events: DataFrame) -> DataFrame:
+    """Kendall's coefficient of concordance W across weekday "judges":
+    each of the m = 7 weekdays ranks the k event types by its daily-
+    average... by its TOTAL count (average ties), and W in [0, 1] says
+    how much the weekdays AGREE on the popularity ordering —
+
+        W = (12 S) / (m^2 (k^3 - k) - m sum_j T_j),
+        S = sum_i (R_i - m(k+1)/2)^2,  T_j = sum_ties (t^3 - t)
+
+    (1 = identical rankings every day; ~0 = the weekday changes what
+    users do). ``dow_uniformity`` tests VOLUME by weekday; this tests
+    the ORDERING's stability — the seasonality readout a mix monitor
+    wants.
+
+    Exactness: within-judge average ranks are exact integers doubled
+    (2R form); S's numerator is computed in DECIMAL as sum over items
+    of (2 m R_i_sum... every term exact; ONE float division at the
+    end. Scale: a (dow, type) rollup, then k x m arithmetic."""
+    cells = (
+        events.groupBy(
+            F.dayofweek("ts").alias("j"),
+            F.col("event_type").alias("it"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    # zero-fill: every (judge, item) cell exists so ranks are complete
+    judges = cells.select("j").distinct()
+    items = cells.select("it").distinct()
+    full = (
+        judges.crossJoin(items)
+        .join(cells, ["j", "it"], "left")
+        .select(
+            "j", "it",
+            F.coalesce("c", F.lit(0).cast("long")).alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # per judge: 2*avgrank over count ties
+    perv = full.groupBy("j", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.collect_list("it").alias("its"),
+    )
+    wj = Window.partitionBy("j").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = perv.withColumn(
+        "below",
+        F.coalesce(F.sum("cnt").over(wj), F.lit(0).cast("long")),
+    ).select(
+        "j",
+        F.explode("its").alias("it"),
+        (F.lit(2) * F.col("below") + F.col("cnt") + 1).alias("r2"),
+    )
+    dims = ranked.agg(
+        F.countDistinct("j").cast("long").alias("m"),
+        F.countDistinct("it").cast("long").alias("k"),
+    )
+    per_item = ranked.groupBy("it").agg(
+        F.sum("r2").cast("long").alias("r2sum")
+    )
+    ties = perv.groupBy("j").agg(
+        F.sum(
+            (
+                F.col("cnt").cast(DEC) * F.col("cnt").cast(DEC)
+                - F.lit(1).cast(DEC)
+            )
+            * F.col("cnt").cast(DEC)
+        ).cast(DEC).alias("tj")
+    ).agg(F.sum("tj").cast(DEC).alias("tt"))
+    # S in 4x scale: sum (r2sum - m(k+1))^2 = 4 S
+    s4 = per_item.crossJoin(F.broadcast(dims)).agg(
+        F.sum(
+            (
+                F.col("r2sum").cast(DEC)
+                - (F.col("m") * (F.col("k") + 1)).cast(DEC)
+            )
+            * (
+                F.col("r2sum").cast(DEC)
+                - (F.col("m") * (F.col("k") + 1)).cast(DEC)
+            )
+        ).cast(DEC).alias("s4"),
+        F.max("m").alias("m"),
+        F.max("k").alias("k"),
+    )
+    mD = F.col("m").cast("double")
+    kD = F.col("k").cast("double")
+    num = F.lit(12.0) * (F.col("s4").cast("double") / 4.0)
+    den = mD * mD * (kD * kD * kD - kD) - mD * F.col("tt").cast(
+        "double"
+    )
+    return s4.crossJoin(F.broadcast(ties)).where(
+        (F.col("k") >= 2) & (den > 0)
+    ).select(
+        F.col("m").alias("n_judges"),
+        F.col("k").alias("n_items"),
+        round_half_up(num / den, 6).alias("kendalls_w"),
+    )
+
+
+def cronbach_alpha(events: DataFrame) -> DataFrame:
+    """Cronbach's alpha of the daily count matrix (items = event
+    types, cases = calendar days, zero-filled): the internal-
+    consistency read "do the event types move together day over day?"
+
+        alpha = k/(k-1) * (1 - sum_i var_i / var_total)
+
+    with var_total the variance of the daily TOTAL — near 1 when one
+    latent driver (site traffic) moves every type, near 0 (or
+    negative) when types are independent — the one-number sanity
+    check before averaging per-type health metrics into a composite
+    score.
+
+    Exactness: all variances are exact centered BIGINT/DECIMAL
+    moments over the shared calendar; alpha is one mirrored float
+    expression. Scale: one (type, day) rollup; everything after is
+    |types| x |days| bounded."""
+    cells = (
+        events.groupBy(
+            F.col("event_type").alias("it"), F.to_date("ts").alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    days = cells.select("d").distinct()
+    items = cells.select("it").distinct()
+    full = (
+        items.crossJoin(days)
+        .join(cells, ["it", "d"], "left")
+        .select(
+            "it", "d",
+            F.coalesce("c", F.lit(0).cast("long")).alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    per_item = full.groupBy("it").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c").cast(DEC) * F.col("c").cast(DEC))
+        .cast(DEC)
+        .alias("q"),
+    )
+    # item variance numerators n*q - s^2 (all share the same n = days)
+    item_var = per_item.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("n").alias("n"),
+        F.sum(
+            F.col("n").cast(DEC) * F.col("q")
+            - F.col("s").cast(DEC) * F.col("s").cast(DEC)
+        ).cast(DEC).alias("vsum_num"),
+    )
+    daily_tot = full.groupBy("d").agg(
+        F.sum("c").cast("long").alias("t")
+    )
+    tot_var = daily_tot.agg(
+        F.count(F.lit(1)).cast("long").alias("n2"),
+        (
+            F.count(F.lit(1)).cast(DEC)
+            * F.sum(F.col("t").cast(DEC) * F.col("t").cast(DEC)).cast(
+                DEC
+            )
+            - F.sum("t").cast(DEC) * F.sum("t").cast(DEC)
+        ).cast(DEC).alias("vtot_num"),
+    )
+    j = item_var.crossJoin(F.broadcast(tot_var))
+    kD = F.col("k").cast("double")
+    # the shared n(n-1) denominators cancel in the ratio
+    alpha = (
+        kD
+        / (kD - 1.0)
+        * (
+            F.lit(1.0)
+            - F.col("vsum_num").cast("double")
+            / F.col("vtot_num").cast("double")
+        )
+    )
+    return j.where(
+        (F.col("k") >= 2)
+        & (F.col("n") >= 2)
+        & (F.col("vtot_num") > 0)
+    ).select(
+        F.col("k").alias("n_items"),
+        F.col("n").alias("n_days"),
+        round_half_up(alpha, 6).alias("cronbach_alpha"),
+    )
+
+
+def anova_effect_sizes(orders: DataFrame) -> DataFrame:
+    """Effect sizes for the priority ANOVA: eta^2 = SSB/SST and the
+    less-biased omega^2 = (SSB - (k-1) MSW) / (SST + MSW) — the
+    MAGNITUDE companion to ``anova_oneway``'s F (at warehouse n the F
+    is always "significant"; these say what fraction of totalprice
+    variance priority actually explains, which is what decides
+    whether priority belongs in a model).
+
+    Exactness: the same exact BIGINT/DECIMAL group moments as
+    anova_oneway (SSB/SSW from the S_g^2/n_g fold in group order);
+    both ratios are single mirrored float expressions. Scale: one
+    k-row rollup."""
+    c = _cents("o_totalprice")
+    g = orders.groupBy(F.col("o_orderpriority").alias("p")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).cast("long").alias("s"),
+        F.sum(c.cast(DEC) * c.cast(DEC)).cast(DEC).alias("q"),
+    )
+    arr = g.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("p", "n", "s"))).alias(
+            "gs"
+        ),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("ss"),
+        F.sum("q").cast(DEC).alias("qq"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    between_raw = F.aggregate(
+        F.col("gs"),
+        F.lit(0.0),
+        lambda a, t: a
+        + (t["s"].cast(DEC) * t["s"].cast(DEC)).cast("double")
+        / t["n"].cast("double"),
+    )
+    nD = F.col("nn").cast("double")
+    kD = F.col("k").cast("double")
+    grand = (
+        F.col("ss").cast(DEC) * F.col("ss").cast(DEC)
+    ).cast("double") / nD
+    sst = F.col("qq").cast("double") - grand
+    ssb = between_raw - grand
+    ssw = F.col("qq").cast("double") - between_raw
+    msw = ssw / (nD - kD)
+    return arr.where(
+        (F.col("k") >= 2) & (F.col("nn") > F.col("k")) & (sst > 0)
+    ).select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_rows"),
+        round_half_up(ssb / sst, 6).alias("eta_sq"),
+        round_half_up(
+            (ssb - (kD - 1.0) * msw) / (sst + msw), 6
+        ).alias("omega_sq"),
+    )

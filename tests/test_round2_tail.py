@@ -650,7 +650,9 @@ def test_gate_window_ordering_contract():
     names = list(entrymod.queries())
     nq = len(entrymod.R8_QUEUE)
     assert names[:nq] == entrymod.R8_QUEUE
-    fill = [n for n in entrymod.R8_NEW[: 50 - nq] if n in names]
+    # every declared round-8 registration actually exists
+    assert not set(entrymod.R8_NEW) - set(names)
+    fill = entrymod.R8_NEW[: 50 - nq]
     assert names[nq : nq + len(fill)] == fill
     # window head must be spent on never-checked names only
     checked = set()

@@ -528,3 +528,156 @@ def test_mcc_matthews_hand(spark):
     assert (r.tp, r.fp, r.fn, r.tn) == (1, 1, 1, 1)
     assert r.mcc == 0.0 and r.accuracy == 0.5
     assert r.f1 == _r6(2.0 / 4.0)
+
+
+# ---------------------------------------------------------------- #
+# wave 2
+# ---------------------------------------------------------------- #
+
+
+def test_wilcoxon_signed_rank_literal(spark):
+    counts = [10, 12, 9, 14, 11, 13, 15, 20, 16, 22, 18, 25]
+    rows, k = [], 0
+    for i, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (k, 1, "O", 1.0, D(2024, 1, 1) + dt.timedelta(days=i), "1")
+            )
+            k += 1
+    r = RB.wilcoxon_signed_rank(_orders(spark, rows)).collect()[0]
+    m = len(counts)
+    h = m // 2
+    ds = [counts[h + i] - counts[i] for i in range(h)]
+    ds = [d for d in ds if d != 0]
+    n = len(ds)
+    vs = sorted(abs(d) for d in ds)
+    # average ranks over |d| ties
+    r_of = {}
+    below = 0
+    for v in sorted(set(vs)):
+        cnt = vs.count(v)
+        r_of[v] = below + (cnt + 1) / 2.0
+        below += cnt
+    w_plus = sum(r_of[abs(d)] for d in ds if d > 0)
+    tie3 = sum(
+        (vs.count(v) ** 2 - 1) * vs.count(v) for v in set(vs)
+    )
+    mean_w = n * (n + 1) / 4.0
+    var_w = n * (n + 1) * (2 * n + 1) / 24.0 - tie3 / 48.0
+    assert r.n_pairs == n
+    assert r.w_plus == _r6(w_plus)
+    assert r.z == _r6((w_plus - mean_w) / math.sqrt(var_w))
+
+
+def test_ansari_bradley_literal(spark):
+    # group O tightly centered, group F spread -> O scores HIGH
+    o_vals = [5.0, 5.5, 6.0]
+    f_vals = [1.0, 2.0, 9.0, 10.0]
+    rows = []
+    for i, v in enumerate(o_vals):
+        rows.append((i, 1, "O", v, D(2024, 1, 1), "1"))
+    for i, v in enumerate(f_vals):
+        rows.append((100 + i, 1, "F", v, D(2024, 1, 1), "1"))
+    r = RB.ansari_bradley(_orders(spark, rows)).collect()[0]
+    allv = sorted([round(v * 100) for v in o_vals + f_vals])
+    nn = len(allv)
+    score = {}
+    below = 0
+    for v in sorted(set(allv)):
+        cnt = allv.count(v)
+        avg = below + (cnt + 1) / 2.0
+        score[v] = min(avg, nn + 1 - avg)
+        below += cnt
+    ab = sum(score[round(v * 100)] for v in o_vals)
+    scores = [score[v] for v in allv]
+    sbar = sum(scores) / nn
+    ssq = sum(s * s for s in scores) - nn * sbar * sbar
+    n1, n2 = len(o_vals), len(f_vals)
+    var_ab = n1 * n2 * ssq / (nn * (nn - 1.0))
+    assert (r.n_rows, r.n_group1) == (7, 3)
+    assert r.ab_stat == _r6(ab)
+    assert r.z == _r6((ab - n1 * sbar) / math.sqrt(var_ab))
+    assert r.z > 0  # centered group scores high
+
+
+def test_kendalls_w_perfect_and_discordant(spark):
+    # two "days" (judges), three types; identical count ordering
+    # across judges -> W = 1
+    rows, k = [], 0
+    for day, mult in ((1, 1), (2, 2)):  # different weekdays
+        for t, c in (("a", 1), ("b", 3), ("c", 6)):
+            for _ in range(c * mult):
+                rows.append((k, D(2024, 1, day), 1, t, 0.0))
+                k += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    r = RB.kendalls_w(ev).collect()[0]
+    assert (r.n_judges, r.n_items) == (2, 3)
+    assert r.kendalls_w == 1.0
+
+
+def test_cronbach_alpha_perfect_correlation(spark):
+    # item b = 2x item a every day -> total = 3a,
+    # alpha = 2 * (1 - (v + 4v) / 9v) = 8/9
+    rows, k = [], 0
+    for i, base in enumerate([3, 5, 4, 8, 6]):
+        for _ in range(base):
+            rows.append((k, D(2024, 1, 1 + i), 1, "a", 0.0))
+            k += 1
+        for _ in range(2 * base):
+            rows.append((k, D(2024, 1, 1 + i), 1, "b", 0.0))
+            k += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    r = RB.cronbach_alpha(ev).collect()[0]
+    assert (r.n_items, r.n_days) == (2, 5)
+    assert r.cronbach_alpha == _r6(8.0 / 9.0)
+
+
+def test_moran_geary_planted(spark):
+    from pubsub_mapreduce_spark.operators.graph import moran_geary
+
+    # path graph 1-2-3-4 with values clustering along the path
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1)], "a long, b long, w long"
+    )
+    vals = spark.createDataFrame(
+        [(1, 10), (2, 12), (3, 30), (4, 32)], "node long, x long"
+    )
+    r = moran_geary(edges, vals).collect()[0]
+    xs = {1: 10, 2: 12, 3: 30, 4: 32}
+    n, s = 4, sum(xs.values())
+    nz = {k: n * v - s for k, v in xs.items()}
+    ssq = sum(v * v for v in nz.values())
+    cross = nz[1] * nz[2] + nz[2] * nz[3] + nz[3] * nz[4]
+    sqd = (
+        (nz[1] - nz[2]) ** 2 + (nz[2] - nz[3]) ** 2 + (nz[3] - nz[4]) ** 2
+    )
+    moran = n / (2.0 * 3) * (2.0 * cross / ssq)
+    geary = (n - 1) / (4.0 * 3) * (2.0 * sqd / ssq)
+    assert (r.n_nodes, r.n_edges) == (4, 3)
+    assert r.moran_i == _r6(moran) and r.moran_i > 0
+    assert r.geary_c == _r6(geary) and r.geary_c < 1.0
+
+
+def test_anova_effect_sizes_hand(spark):
+    # groups A: 100, 300 ; B: 500, 700 (cents)
+    rows = [
+        (1, 1, "O", 1.0, D(2024, 1, 1), "A"),
+        (2, 1, "O", 3.0, D(2024, 1, 1), "A"),
+        (3, 1, "O", 5.0, D(2024, 1, 1), "B"),
+        (4, 1, "O", 7.0, D(2024, 1, 1), "B"),
+    ]
+    r = RB.anova_effect_sizes(_orders(spark, rows)).collect()[0]
+    # SST = 200000, SSB = 160000, SSW = 40000, MSW = 20000
+    assert (r.n_groups, r.n_rows) == (2, 4)
+    assert r.eta_sq == _r6(160000.0 / 200000.0)
+    assert r.omega_sq == _r6(
+        (160000.0 - 20000.0) / (200000.0 + 20000.0)
+    )
