@@ -3495,6 +3495,27 @@ def q_anova_effect_sizes(spark, sf_dir):
     return RB.anova_effect_sizes(load_tables(spark, sf_dir)["orders"])
 
 
+def q_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg step-up over per-nation exact Fisher 2x2
+    tests (robust.bh_fdr) — the multiple-testing correction a sliced
+    metrics battery needs before alerting."""
+    return RB.bh_fdr(load_tables(spark, sf_dir))
+
+
+def q_page_trend_l(spark, sf_dir):
+    """Page's L ordered-trend test: years rank calendar months by
+    order volume (robust.page_trend_l) — monotone-seasonality beside
+    kendalls_w's agreement."""
+    return RB.page_trend_l(load_tables(spark, sf_dir)["orders"])
+
+
+def q_cox_mantel_hr(spark, sf_dir):
+    """Pike/Cox-Mantel hazard ratio between churn curves
+    (robust.cox_mantel_hr) — the effect size beside logrank_churn and
+    gehan_wilcoxon."""
+    return RB.cox_mantel_hr(load_tables(spark, sf_dir)["events"])
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3552,6 +3573,7 @@ R8_NEW: list[str] = [
     "growth_accounting", "cond_entropy_profile", "mcc_matthews",
     "wilcoxon_signed_rank", "ansari_bradley", "kendalls_w",
     "cronbach_alpha", "moran_geary", "anova_effect_sizes",
+    "bh_fdr", "page_trend_l", "cox_mantel_hr",
 ]
 
 R9_QUEUE = R8_NEW[45:]
@@ -3920,6 +3942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cronbach_alpha": q_cronbach_alpha,
         "moran_geary": q_moran_geary,
         "anova_effect_sizes": q_anova_effect_sizes,
+        "bh_fdr": q_bh_fdr,
+        "page_trend_l": q_page_trend_l,
+        "cox_mantel_hr": q_cox_mantel_hr,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -14200,5 +14225,232 @@ def oracle_sql() -> dict[str, str]:
                 * 1e6 + 0.5) / 1e6 AS omega_sq
         FROM fin
         WHERE k >= 2 AND nn > k AND qqd - grand > 0
+    """
+    out["bh_fdr"] = """
+        WITH RECURSIVE pc AS MATERIALIZED (
+          SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1),
+        jj AS MATERIALIZED (
+          SELECT nt.n_name AS nation,
+                 CASE WHEN COALESCE(pc.n_orders, 0) >= 10
+                      THEN 1 ELSE 0 END AS y,
+                 CASE WHEN c_acctbal >= 5000.0 THEN 1 ELSE 0 END AS p
+          FROM customer c
+          LEFT JOIN pc ON c.c_custkey = pc.o_custkey
+          JOIN nation nt ON nt.n_nationkey = c.c_nationkey),
+        cells AS MATERIALIZED (
+          SELECT nation, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS r1,
+                 CAST(sum(p) AS BIGINT) AS c1,
+                 CAST(sum(y * p) AS BIGINT) AS k_obs
+          FROM jj GROUP BY 1),
+        base AS MATERIALIZED (
+          SELECT *,
+                 greatest(CAST(0 AS BIGINT), r1 + c1 - n) AS kmin,
+                 least(r1, c1) AS kmax,
+                 greatest(greatest(CAST(0 AS BIGINT), r1 + c1 - n),
+                          least(least(r1, c1),
+                                (r1 + 1) * (c1 + 1) // (n + 2)))
+                     AS kmode
+          FROM cells
+          WHERE r1 > 0 AND r1 < n AND c1 > 0 AND c1 < n),
+        obs AS (
+          SELECT nation, kmode AS k, CAST(1.0 AS DOUBLE) AS cur
+          FROM base
+          UNION ALL
+          SELECT o.nation,
+                 CASE WHEN b.k_obs > o.k THEN o.k + 1 ELSE o.k - 1 END,
+                 CASE WHEN b.k_obs > o.k
+                      THEN o.cur
+                           * CAST((b.r1 - o.k) * (b.c1 - o.k) AS DOUBLE)
+                           / CAST((o.k + 1)
+                                  * (b.n - b.r1 - b.c1 + o.k + 1)
+                                  AS DOUBLE)
+                      ELSE o.cur
+                           / (CAST((b.r1 - (o.k - 1))
+                                   * (b.c1 - (o.k - 1)) AS DOUBLE)
+                              / CAST(((o.k - 1) + 1)
+                                     * (b.n - b.r1 - b.c1
+                                        + (o.k - 1) + 1) AS DOUBLE))
+                 END
+          FROM obs o JOIN base b ON b.nation = o.nation
+          WHERE o.k <> b.k_obs),
+        relobs AS MATERIALIZED (
+          SELECT o.nation, o.cur AS rel_obs
+          FROM obs o JOIN base b ON b.nation = o.nation
+          WHERE o.k = b.k_obs),
+        up AS (
+          SELECT b.nation, b.kmode AS k, CAST(1.0 AS DOUBLE) AS cur,
+                 CAST(1.0 AS DOUBLE) AS s_all,
+                 CASE WHEN 1.0 <= r.rel_obs * (1.0 + 1e-7)
+                      THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END AS s_le
+          FROM base b JOIN relobs r ON r.nation = b.nation
+          UNION ALL
+          SELECT u.nation, u.k + 1, x.nxt, u.s_all + x.nxt,
+                 u.s_le + CASE WHEN x.nxt <= r.rel_obs * (1.0 + 1e-7)
+                               THEN x.nxt ELSE 0.0 END
+          FROM up u
+          JOIN base b ON b.nation = u.nation
+          JOIN relobs r ON r.nation = u.nation,
+               LATERAL (SELECT u.cur
+                        * CAST((b.r1 - u.k) * (b.c1 - u.k) AS DOUBLE)
+                        / CAST((u.k + 1)
+                               * (b.n - b.r1 - b.c1 + u.k + 1)
+                               AS DOUBLE) AS nxt) x
+          WHERE u.k < b.kmax),
+        down AS (
+          SELECT b.nation, b.kmode AS k, CAST(1.0 AS DOUBLE) AS cur,
+                 CAST(0.0 AS DOUBLE) AS s_all,
+                 CAST(0.0 AS DOUBLE) AS s_le
+          FROM base b
+          UNION ALL
+          SELECT d.nation, d.k - 1, x.nxt, d.s_all + x.nxt,
+                 d.s_le + CASE WHEN x.nxt <= r.rel_obs * (1.0 + 1e-7)
+                               THEN x.nxt ELSE 0.0 END
+          FROM down d
+          JOIN base b ON b.nation = d.nation
+          JOIN relobs r ON r.nation = d.nation,
+               LATERAL (SELECT d.cur
+                        / (CAST((b.r1 - (d.k - 1))
+                                * (b.c1 - (d.k - 1)) AS DOUBLE)
+                           / CAST(((d.k - 1) + 1)
+                                  * (b.n - b.r1 - b.c1
+                                     + (d.k - 1) + 1) AS DOUBLE))
+                          AS nxt) x
+          WHERE d.k > b.kmin),
+        ufin AS (SELECT u.nation, u.s_all, u.s_le
+                 FROM up u JOIN base b ON b.nation = u.nation
+                 WHERE u.k = b.kmax),
+        dfin AS (SELECT d.nation, d.s_all, d.s_le
+                 FROM down d JOIN base b ON b.nation = d.nation
+                 WHERE d.k = b.kmin),
+        pv AS (
+          SELECT b.nation, b.n, b.k_obs,
+                 (u.s_le + d.s_le) / (u.s_all + d.s_all) AS p_raw
+          FROM base b
+          JOIN ufin u ON u.nation = b.nation
+          JOIN dfin d ON d.nation = b.nation),
+        mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pv),
+        ranked AS (
+          SELECT pv.*, mm.m,
+                 CAST(row_number() OVER (ORDER BY p_raw ASC,
+                                         nation ASC) AS BIGINT)
+                     AS rnk
+          FROM pv, mm),
+        fin AS (
+          SELECT *, max(CASE WHEN p_raw * CAST(m AS DOUBLE)
+                                  <= CAST(rnk AS DOUBLE) * 0.1
+                             THEN rnk END) OVER () AS k_max
+          FROM ranked)
+        SELECT nation, n, k_obs,
+          floor(p_raw * 1e6 + 0.5) / 1e6 AS p_two_sided,
+          rnk AS rank,
+          COALESCE(rnk <= k_max, FALSE) AS rejected
+        FROM fin
+    """
+    out["page_trend_l"] = """
+        WITH cells AS (
+          SELECT year(o_orderdate) AS j, month(o_orderdate) AS it,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1, 2),
+        years AS (SELECT DISTINCT j FROM cells),
+        months AS (SELECT CAST(unnest(range(1, 13)) AS INTEGER)
+                     AS it),
+        full0 AS (
+          SELECT years.j, months.it, COALESCE(cells.c, 0) AS c
+          FROM years CROSS JOIN months
+          LEFT JOIN cells ON cells.j = years.j
+                         AND cells.it = months.it),
+        perv AS (
+          SELECT j, c, CAST(count(*) AS BIGINT) AS cnt
+          FROM full0 GROUP BY 1, 2),
+        wj AS (
+          SELECT *, COALESCE(sum(cnt) OVER (PARTITION BY j ORDER BY c
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS below
+          FROM perv),
+        ranked AS (
+          SELECT f.j, f.it, 2 * w.below + w.cnt + 1 AS r2
+          FROM full0 f JOIN wj w ON w.j = f.j AND w.c = f.c),
+        agg AS (
+          SELECT CAST(count(DISTINCT j) AS BIGINT) AS m,
+                 sum(CAST(it AS HUGEINT) * r2) AS l2
+          FROM ranked)
+        SELECT m AS n_years, CAST(12 AS BIGINT) AS n_months,
+          floor(CAST(l2 AS DOUBLE) / 2.0 * 1e6 + 0.5) / 1e6
+              AS l_stat,
+          floor((CAST(l2 AS DOUBLE) / 2.0
+                 - CAST(m AS DOUBLE) * 12.0 * 13.0 * 13.0 / 4.0)
+                / sqrt(CAST(m AS DOUBLE) * 144.0 * 13.0 * 143.0
+                       / 144.0)
+                * 1e6 + 0.5) / 1e6 AS z
+        FROM agg WHERE m >= 1
+    """
+    out["cox_mantel_hr"] = """
+        WITH d0 AS (SELECT event_type AS g, user_id,
+                           CAST(ts AS DATE) AS day FROM events
+                    WHERE ts IS NOT NULL),
+        ul AS (SELECT g, user_id, min(day) AS f, max(day) AS l
+               FROM d0 GROUP BY 1, 2),
+        bounds AS (SELECT min(f) AS mn, max(l) AS mx FROM ul),
+        sparse AS (
+          SELECT g, day, CAST(sum(s) AS BIGINT) AS s,
+                 CAST(sum(d) AS BIGINT) AS d
+          FROM (
+            SELECT g, f AS day, 1 AS s, 0 AS d FROM ul
+            UNION ALL
+            SELECT g, l, 0,
+                   CASE WHEN l < (SELECT mx FROM bounds)
+                        THEN 1 ELSE 0 END
+            FROM ul)
+          GROUP BY 1, 2),
+        cal AS (
+          SELECT gg.g,
+                 CAST(unnest(generate_series(CAST(b.mn AS TIMESTAMP),
+                        CAST(b.mx AS TIMESTAMP),
+                        INTERVAL 1 DAY)) AS DATE) AS day
+          FROM (SELECT DISTINCT g FROM sparse) gg CROSS JOIN bounds b),
+        f AS (SELECT cal.g, cal.day, COALESCE(sp.s, 0) AS s,
+                     COALESCE(sp.d, 0) AS d
+              FROM cal LEFT JOIN sparse sp
+                ON sp.g = cal.g AND sp.day = cal.day),
+        nd AS (SELECT g, day, d,
+                      sum(s) OVER (PARTITION BY g ORDER BY day)
+                      - COALESCE(sum(d) OVER (PARTITION BY g ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS n
+               FROM f),
+        p AS (SELECT a.g AS g1, b.g AS g2, a.day,
+                     a.n AS n1, a.d AS d1, b.n AS n2, b.d AS d2
+              FROM nd a JOIN nd b ON a.day = b.day AND a.g < b.g),
+        t AS (SELECT g1, g2, day, d1, d2,
+                     CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2)
+                       AS e1_term,
+                     CAST(d1 + d2 AS DOUBLE) * n2 / (n1 + n2)
+                       AS e2_term
+              FROM p
+              WHERE d1 + d2 > 0 AND n1 + n2 >= 2
+                AND n1 > 0 AND n2 > 0),
+        fd AS (SELECT g1, g2,
+                      CAST(sum(d1) AS BIGINT) AS o1,
+                      CAST(sum(d2) AS BIGINT) AS o2,
+                      list_reduce(list_prepend(0.0,
+                        list(e1_term ORDER BY day)),
+                        (a, b) -> a + b) AS e1,
+                      list_reduce(list_prepend(0.0,
+                        list(e2_term ORDER BY day)),
+                        (a, b) -> a + b) AS e2
+               FROM t GROUP BY 1, 2)
+        SELECT g1, g2, o1, o2,
+          floor(e1 * 1e6 + 0.5) / 1e6 AS e1,
+          floor(e2 * 1e6 + 0.5) / 1e6 AS e2,
+          floor((CAST(o1 AS DOUBLE) / e1) / (CAST(o2 AS DOUBLE) / e2)
+                * 1e6 + 0.5) / 1e6 AS hazard_ratio,
+          floor(ln((CAST(o1 AS DOUBLE) / e1)
+                   / (CAST(o2 AS DOUBLE) / e2)) * 1e6 + 0.5) / 1e6
+              AS ln_hr
+        FROM fd
+        WHERE o1 > 0 AND o2 > 0 AND e1 > 0 AND e2 > 0
     """
     return out

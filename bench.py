@@ -436,6 +436,9 @@ BENCH_QUERIES = [
     "cronbach_alpha",
     "moran_geary",
     "anova_effect_sizes",
+    "bh_fdr",
+    "page_trend_l",
+    "cox_mantel_hr",
 ]
 
 # Heavy composite queries (>3s at sf0.1). Benched at ONE rep so the

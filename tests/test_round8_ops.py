@@ -681,3 +681,145 @@ def test_anova_effect_sizes_hand(spark):
     assert r.omega_sq == _r6(
         (160000.0 - 20000.0) / (200000.0 + 20000.0)
     )
+
+
+# ---------------------------------------------------------------- #
+# wave 3
+# ---------------------------------------------------------------- #
+
+
+def test_bh_fdr_step_up_rule(spark):
+    """Planted battery: one nation with an extreme association, two
+    null-ish ones — the extreme p is rejected, and the rank/threshold
+    bookkeeping follows the step-up rule. p-values cross-checked with
+    math.comb exactly."""
+    from fractions import Fraction
+
+    # nation A: perfect association (10 customers: 5 ordered, exactly
+    # the 5 with high balance); B, C: no association
+    cust_rows = []
+    order_rows = []
+    ck = 1
+    ok = 1
+    for nk, pattern in ((0, "assoc"), (1, "null"), (2, "null")):
+        for i in range(10):
+            hi = (i < 5) if pattern == "assoc" else (i % 2 == 0)
+            ordered = i < 5
+            cust_rows.append(
+                (ck, f"c{ck}", nk, 9000.0 if hi else 100.0, "S")
+            )
+            if ordered:
+                order_rows.append(
+                    (ok, ck, "O", 1.0, D(2024, 1, 1), "1")
+                )
+                ok += 1
+            ck += 1
+    cust = spark.createDataFrame(
+        cust_rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    orders = _orders(spark, order_rows)
+    nation = spark.createDataFrame(
+        [(0, "AAA", 0, ""), (1, "BBB", 0, ""), (2, "CCC", 0, "")],
+        "n_nationkey long, n_name string, n_regionkey long, "
+        "n_comment string",
+    )
+    out = {
+        r.nation: r
+        for r in RB.bh_fdr(
+            {"customer": cust, "orders": orders, "nation": nation},
+            min_orders=1,
+        ).collect()
+    }
+    assert set(out) == {"AAA", "BBB", "CCC"}
+
+    def exact_p(n, r1, c1, kobs):
+        kmin, kmax = max(0, r1 + c1 - n), min(r1, c1)
+        mass = {
+            k: Fraction(math.comb(r1, k) * math.comb(n - r1, c1 - k))
+            for k in range(kmin, kmax + 1)
+        }
+        thr = mass[kobs] * Fraction(10**7 + 1, 10**7)
+        return float(
+            Fraction(sum(m for m in mass.values() if m <= thr))
+            / sum(mass.values())
+        )
+    p_a = exact_p(10, 5, 5, 5)
+    p_null = exact_p(10, 5, 5, 3)
+    assert abs(out["AAA"].p_two_sided - p_a) < 2e-6
+    assert abs(out["BBB"].p_two_sided - p_null) < 2e-6
+    assert out["AAA"].rank == 1 and out["AAA"].rejected
+    # step-up: p_a ~ 0.0079 <= 1 * 0.1 / 3; nulls p = 1 -> kept
+    assert not out["BBB"].rejected and not out["CCC"].rejected
+
+
+def test_page_trend_l_monotone(spark):
+    """Monthly counts strictly increasing within each of two years:
+    L hits its no-tie maximum sum m * sum j*j and z is large."""
+    rows, k = [], 0
+    for y in (1994, 1995):
+        for m in range(1, 13):
+            for _ in range(m + (2 if y == 1995 else 0)):
+                rows.append((k, 1, "O", 1.0, D(y, m, 5), "1"))
+                k += 1
+    out = RB.page_trend_l(_orders(spark, rows)).collect()[0]
+    m = 2
+    l_max = m * sum(j * j for j in range(1, 13))
+    assert (out.n_years, out.n_months) == (2, 12)
+    assert out.l_stat == float(l_max)
+    mean_l = m * 12 * 13 * 13 / 4.0
+    var_l = m * 144 * 13 * 143 / 144.0
+    assert out.z == _r6((l_max - mean_l) / math.sqrt(var_l))
+
+
+def test_cox_mantel_hr_planted(spark):
+    """Two cohorts entering day 0: group 'aa' churns fast (days 1-2),
+    group 'bb' slow (days 5-6); HR(aa vs bb) > 1 and the literal
+    day-ordered fold reproduces e1/e2."""
+    rows = []
+    eid = 0
+    # 6 users per group; everyone enters day 0
+    plan = {
+        "aa": [1, 1, 2, 2, 5, 9],   # last-active day offsets
+        "bb": [5, 5, 6, 6, 8, 9],
+    }
+    for g, lasts in plan.items():
+        for u, last in enumerate(lasts):
+            uid = (1000 if g == "aa" else 2000) + u
+            rows.append((eid, D(2024, 1, 1), uid, g, 0.0))
+            eid += 1
+            rows.append(
+                (eid, D(2024, 1, 1) + dt.timedelta(days=last), uid, g, 0.0)
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    out = RB.cox_mantel_hr(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.g1, r.g2) == ("aa", "bb")
+    # literal fold: day-by-day risk sets (censored on day 9 = max)
+    n1, n2 = 6, 6
+    deaths = {
+        "aa": {1: 2, 2: 2, 5: 1},  # day-9 user censored
+        "bb": {5: 2, 6: 2, 8: 1},
+    }
+    e1 = e2 = o1 = o2 = 0.0
+    for day in range(0, 10):
+        d1 = deaths["aa"].get(day, 0)
+        d2 = deaths["bb"].get(day, 0)
+        if d1 + d2 > 0 and n1 > 0 and n2 > 0:
+            e1 += float(d1 + d2) * n1 / (n1 + n2)
+            e2 += float(d1 + d2) * n2 / (n1 + n2)
+            o1 += d1
+            o2 += d2
+        n1 -= d1
+        n2 -= d2
+    hr = (o1 / e1) / (o2 / e2)
+    assert r.o1 == 5 and r.o2 == 5
+    assert r.e1 == _r6(e1) and r.e2 == _r6(e2)
+    assert r.hazard_ratio == _r6(hr) and r.hazard_ratio > 1.0
