@@ -3346,12 +3346,16 @@ def q_sign_test_drift(spark, sf_dir):
     return RB.sign_test_drift(load_tables(spark, sf_dir)["orders"])
 
 
-def q_clustering_coefficient(spark, sf_dir):
-    """Local clustering coefficients over the hub-capped co-purchase
-    graph (graph.clustering_coefficient) — wedge-closure triangle
-    counts, integer clust_micro."""
+def q_clustering_capped(spark, sf_dir):
+    """HUB-CAPPED local clustering coefficients with deterministic
+    top-k output (graph.clustering_coefficient_capped) — the
+    100x-scale companion to part_clustering (which computes the
+    uncapped coefficient for every node): the eligible subgraph bounds
+    wedges by C(max_deg, 2), the adamic_adar envelope."""
     t = load_tables(spark, sf_dir)
-    return G.clustering_coefficient(G.copurchase_edges(t["lineitem"]))
+    return G.clustering_coefficient_capped(
+        G.copurchase_edges(t["lineitem"])
+    )
 
 
 def q_neyman_allocation(spark, sf_dir):
@@ -3567,7 +3571,7 @@ R8_QUEUE = R7_NEW[29:]
 R8_NEW: list[str] = [
     "fligner_killeen", "theta_forecast", "yule_k_vocab", "mood_median",
     "adf_lite", "kpss_lite", "variance_ratio", "sign_test_drift",
-    "clustering_coefficient", "neyman_allocation", "gumbel_maxima",
+    "clustering_capped", "neyman_allocation", "gumbel_maxima",
     "uniqueness_profile", "cohens_d_family", "odds_ratio_ci",
     "emb_isotropy", "jackknife_mean", "permutation_shift",
     "growth_accounting", "cond_entropy_profile", "mcc_matthews",
@@ -3924,7 +3928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kpss_lite": q_kpss_lite,
         "variance_ratio": q_variance_ratio,
         "sign_test_drift": q_sign_test_drift,
-        "clustering_coefficient": q_clustering_coefficient,
+        "clustering_capped": q_clustering_capped,
         "neyman_allocation": q_neyman_allocation,
         "gumbel_maxima": q_gumbel_maxima,
         "uniqueness_profile": q_uniqueness_profile,
@@ -13518,7 +13522,7 @@ def oracle_sql() -> dict[str, str]:
                 * 1e6 + 0.5) / 1e6 AS p_two_sided
         FROM base b, ufin u LEFT JOIN dfin d ON TRUE
     """
-    out["clustering_coefficient"] = """
+    out["clustering_capped"] = """
         WITH e0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
                     FROM lineitem),
         edges AS (SELECT x.pk AS a, y.pk AS b, count(*) AS w

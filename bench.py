@@ -418,7 +418,7 @@ BENCH_QUERIES = [
     "kpss_lite",
     "variance_ratio",
     "sign_test_drift",
-    "clustering_coefficient",
+    "clustering_capped",
     "neyman_allocation",
     "gumbel_maxima",
     "uniqueness_profile",

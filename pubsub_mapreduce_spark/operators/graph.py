@@ -937,7 +937,7 @@ def duckdb_ppr_sql(
     )
 
 
-def clustering_coefficient(
+def clustering_coefficient_capped(
     edges: DataFrame, top_k: int = 100, max_deg: int = 200
 ) -> DataFrame:
     """Local clustering coefficient over the hub-capped co-purchase

@@ -17,7 +17,7 @@ from pubsub_mapreduce_spark.operators import sampling as SM
 from pubsub_mapreduce_spark.operators import similarity as S
 from pubsub_mapreduce_spark.operators import textops as TX
 from pubsub_mapreduce_spark.operators.graph import (
-    clustering_coefficient,
+    clustering_coefficient_capped,
 )
 
 D = dt.datetime
@@ -273,7 +273,7 @@ def test_sign_test_exact_binomial(spark):
     assert abs(r.p_two_sided - p) < 2e-6
 
 
-def test_clustering_coefficient_planted(spark):
+def test_clustering_coefficient_capped_planted(spark):
     # triangle 1-2-3 plus a pendant chain 3-4, 4-5:
     # deg: 1:2, 2:2, 3:3, 4:2, 5:1 -> node 5 drops (deg<2 keeps it
     # out of the subgraph? no: keep filters ORIGINAL deg in [2,200],
@@ -283,7 +283,7 @@ def test_clustering_coefficient_planted(spark):
         [(1, 2, 1), (2, 3, 1), (1, 3, 1), (3, 4, 1), (4, 5, 1)],
         "a long, b long, w long",
     )
-    out = {r.partkey: r for r in clustering_coefficient(edges).collect()}
+    out = {r.partkey: r for r in clustering_coefficient_capped(edges).collect()}
     assert set(out) == {1, 2, 3}
     assert out[1].triangles == 1 and out[1].degree == 2
     assert out[1].clust_micro == 1_000_000
