@@ -54,6 +54,23 @@ _PID = "__gr_pid"
 _OFF = "__gr_off"
 _TOT = "__gr_tot"
 
+# Adaptive cutover: below this row count the windowed relation
+# provably fits one task (a few hundred MB of narrow rows) and the
+# classic single-partition window is STRICTLY cheaper than the
+# two-pass form (A/B at sf0.1, |customers| = 15k: 0.19s window vs
+# 0.52s two-pass — the range exchange + checkpoint + offset join are
+# pure overhead at dimension scale). Above it, one task would absorb
+# the whole relation and the two-pass range-partitioned form takes
+# over. The input is localCheckpointed either way (both paths reuse
+# the materialization; the count that picks the path is a cheap
+# driver action on it — the house bounded-collect pattern).
+SMALL_RANK_THRESHOLD = 4_000_000
+
+
+def _checkpoint_count(df: DataFrame):
+    cached = df.localCheckpoint(eager=False)
+    return cached, cached.count()
+
 
 def _num_partitions(df: DataFrame, num_partitions: int | None) -> int:
     if num_partitions is not None:
@@ -101,13 +118,23 @@ def global_row_number(
     out: str,
     num_partitions: int | None = None,
     with_total: str | None = None,
+    small_threshold: int = SMALL_RANK_THRESHOLD,
 ) -> DataFrame:
     """``row_number() OVER (ORDER BY order)`` without the
     single-partition exchange. ``order`` must be a TOTAL order (include
     a unique tiebreak column) so the result is deterministic. When
     ``with_total`` is given, the global row count rides along as an
-    extra column (free — the offsets relation already carries it)."""
-    staged = _staged(df, order, num_partitions)
+    extra column (free — the offsets relation already carries it).
+    ``small_threshold``: row count below which the single-window path
+    runs instead (identical output, pinned)."""
+    cached, n = _checkpoint_count(df)
+    if n <= small_threshold:
+        w = Window.orderBy(*order)
+        cols = [F.row_number().over(w).cast("long").alias(out)]
+        if with_total:
+            cols.append(F.lit(n).cast("long").alias(with_total))
+        return cached.select(*cached.columns, *cols)
+    staged = _staged(cached, order, num_partitions)
     off = _offsets(staged, F.count(F.lit(1)).cast("long"), 0)
     w_in = Window.partitionBy(_PID).orderBy(*order)
     cols = [
@@ -140,12 +167,18 @@ def global_ntile(
     k: int,
     out: str,
     num_partitions: int | None = None,
+    small_threshold: int = SMALL_RANK_THRESHOLD,
 ) -> DataFrame:
     """``ntile(k) OVER (ORDER BY order)`` via global_row_number + the
     closed-form bucket assignment — identical output, no
-    single-partition data exchange."""
+    single-partition data exchange above the adaptive threshold."""
+    cached, n = _checkpoint_count(df)
+    if n <= small_threshold:
+        w = Window.orderBy(*order)
+        return cached.withColumn(out, F.ntile(k).over(w))
     rn = global_row_number(
-        df, order, "__gr_rn", num_partitions, with_total="__gr_n"
+        cached, order, "__gr_rn", num_partitions,
+        with_total="__gr_n", small_threshold=0,
     )
     return rn.withColumn(
         out, ntile_from_rn(F.col("__gr_rn"), F.col("__gr_n"), k)
@@ -159,15 +192,26 @@ def global_prefix_sum(
     out: str,
     inclusive: bool = True,
     num_partitions: int | None = None,
+    small_threshold: int = SMALL_RANK_THRESHOLD,
 ) -> DataFrame:
     """``sum(value) OVER (ORDER BY order ROWS UNBOUNDED PRECEDING [AND
     -1])`` at scale: per-partition running sum + the broadcast sum of
     all earlier partitions. ``value`` must be an integer/decimal column
     (exactness: addition is associative there, so the two-pass
     regrouping is bit-identical to the one-pass window)."""
-    staged = _staged(df, order, num_partitions)
+    cached, n = _checkpoint_count(df)
+    hi0 = Window.currentRow if inclusive else -1
+    if n <= small_threshold:
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, hi0
+        )
+        return cached.select(
+            *cached.columns,
+            F.coalesce(F.sum(value).over(w), F.lit(0)).alias(out),
+        )
+    staged = _staged(cached, order, num_partitions)
     off = _offsets(staged, F.sum(value), 0)
-    hi = Window.currentRow if inclusive else -1
+    hi = hi0
     w_in = (
         Window.partitionBy(_PID)
         .orderBy(*order)
@@ -188,12 +232,21 @@ def global_prefix_min(
     value: str,
     out: str,
     num_partitions: int | None = None,
+    small_threshold: int = SMALL_RANK_THRESHOLD,
 ) -> DataFrame:
     """``min(value) OVER (ORDER BY order ROWS BETWEEN UNBOUNDED
     PRECEDING AND -1)`` (STRICT prefix — the skyline shape: "the best
     among everything ordered before me") at scale. NULL where no
     predecessor exists, matching the window form."""
-    staged = _staged(df, order, num_partitions)
+    cached, n = _checkpoint_count(df)
+    if n <= small_threshold:
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return cached.select(
+            *cached.columns, F.min(value).over(w).alias(out)
+        )
+    staged = _staged(cached, order, num_partitions)
     off = _offsets(
         staged, F.min(value), None, combine=F.min
     ).withColumnRenamed(_OFF, "__gr_pmin")

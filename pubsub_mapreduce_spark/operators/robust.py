@@ -5001,11 +5001,13 @@ def lorenz_deciles(t) -> DataFrame:
     integer ordering is engine-identical; shares are single mirrored
     divisions of BIGINT cumulative sums under round_half_up.
 
-    Scale: per-customer rollup, then rank.global_ntile — a TRUE
+    Scale: per-customer rollup, then rank.global_ntile — above the
+    adaptive cutover (rank.SMALL_RANK_THRESHOLD rows) a TRUE
     range-partitioned two-pass rank (per-partition row numbers + a
     broadcast P-row offset table), so the |customers|-sized relation
-    never funnels through a single-partition window (VERDICT r7 fix;
-    equality with the window form pinned in
+    never funnels through a single-partition window at scale; below
+    it the plain window runs because the relation provably fits one
+    task (VERDICT r7 fix; path equality pinned in
     tests/test_round8_fixes.py); deciles and shares are 10-row
     arithmetic."""
     from .rank import global_ntile

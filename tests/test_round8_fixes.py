@@ -42,7 +42,9 @@ def test_global_row_number_equals_window_sf01(spark):
     row_number on the real |customers| relation at sf0.1 (the equality
     pin VERDICT r7 #2 demands), for every customer."""
     pc = _per_cust(spark, SF_BIG)
-    got = RK.global_row_number(pc, _order(), "i", with_total="n")
+    got = RK.global_row_number(
+        pc, _order(), "i", with_total="n", small_threshold=0
+    )
     w = Window.orderBy(*_order())
     want = pc.select("o_custkey", F.row_number().over(w).alias("i"))
     diff = (
@@ -60,7 +62,7 @@ def test_global_ntile_equals_window_sf01(spark):
     counts at sf0.1 (k=4 and k=10), bucket-for-bucket."""
     pc = _per_cust(spark, SF_BIG)
     for k in (4, 10):
-        got = RK.global_ntile(pc, _order(), k, "b")
+        got = RK.global_ntile(pc, _order(), k, "b", small_threshold=0)
         w = Window.orderBy(*_order())
         want = pc.select("o_custkey", F.ntile(k).over(w).alias("b"))
         diff = (
@@ -77,7 +79,9 @@ def test_global_ntile_small_n_edge(spark):
     df = spark.createDataFrame([(3,), (1,), (2,)], "x long")
     got = {
         (r["x"], r["b"])
-        for r in RK.global_ntile(df, [F.col("x").asc()], 10, "b").collect()
+        for r in RK.global_ntile(
+            df, [F.col("x").asc()], 10, "b", small_threshold=0
+        ).collect()
     }
     assert got == {(1, 1), (2, 2), (3, 3)}
 
@@ -99,7 +103,8 @@ def test_global_prefix_sum_equals_window_sf01(spark):
     )
     order = [F.col("rev").desc(), F.col("l_partkey").asc()]
     got = RK.global_prefix_sum(
-        rev, order, "rev", "cum_before", inclusive=False
+        rev, order, "rev", "cum_before", inclusive=False,
+        small_threshold=0,
     ).select("l_partkey", "cum_before")
     w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
     want = rev.select(
@@ -116,12 +121,25 @@ def test_global_prefix_min_equals_window(spark):
     rows = [(1, 5), (2, 3), (3, 3), (4, 7), (5, 1), (6, 9)]
     df = spark.createDataFrame(rows, "k long, v long")
     got = RK.global_prefix_min(
-        df, [F.col("k").asc()], "v", "p", num_partitions=4
+        df, [F.col("k").asc()], "v", "p", num_partitions=4,
+        small_threshold=0,
     )
     w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
     want = df.select("k", F.min("v").over(w).alias("p"))
     g = {(r["k"], r["p"]) for r in got.select("k", "p").collect()}
     assert g == {(r["k"], r["p"]) for r in want.collect()}
+
+
+def test_adaptive_small_path_identity(spark):
+    """DEFAULT knobs at fixture scale take the single-window path; it
+    must be cell-identical to the forced two-pass path (the adaptive
+    cutover changes the plan, never the value)."""
+    pc = _per_cust(spark, SF_MED)
+    a = RK.global_ntile(pc, _order(), 4, "b").select("o_custkey", "b")
+    b = RK.global_ntile(
+        pc, _order(), 4, "b", small_threshold=0
+    ).select("o_custkey", "b")
+    assert a.exceptAll(b).union(b.exceptAll(a)).count() == 0
 
 
 def test_rank_stage_is_multi_partition(spark):
