@@ -3520,6 +3520,34 @@ def q_cox_mantel_hr(spark, sf_dir):
     return RB.cox_mantel_hr(load_tables(spark, sf_dir)["events"])
 
 
+def q_brunner_munzel(spark, sf_dir):
+    """Brunner-Munzel studentized rank test between open and filled
+    orders' totalprice (robust.brunner_munzel) — the unequal-variance
+    rank-world Welch, exact doubled-rank moments."""
+    return RB.brunner_munzel(load_tables(spark, sf_dir)["orders"])
+
+
+def q_gesd_outliers(spark, sf_dir):
+    """Generalized ESD (Rosner) 5-round outlier sequence on daily
+    order counts (robust.gesd_outliers) — integer-exact argmax
+    peeling, the multi-outlier grubbs."""
+    return RB.gesd_outliers(load_tables(spark, sf_dir)["orders"])
+
+
+def q_pacf_daily(spark, sf_dir):
+    """ACF + Durbin-Levinson PACF to lag 5 of the daily order-count
+    series (robust.pacf_daily) — the Box-Jenkins model-order
+    identification pair."""
+    return RB.pacf_daily(load_tables(spark, sf_dir)["orders"])
+
+
+def q_periodogram_peaks(spark, sf_dir):
+    """Goertzel periodogram power at the weekly and monthly lines of
+    daily order counts (robust.periodogram_peaks) — milli-quantized
+    sin-path trig, the frequency-domain seasonality read."""
+    return RB.periodogram_peaks(load_tables(spark, sf_dir)["orders"])
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3578,6 +3606,8 @@ R8_NEW: list[str] = [
     "wilcoxon_signed_rank", "ansari_bradley", "kendalls_w",
     "cronbach_alpha", "moran_geary", "anova_effect_sizes",
     "bh_fdr", "page_trend_l", "cox_mantel_hr",
+    "brunner_munzel", "gesd_outliers", "pacf_daily",
+    "periodogram_peaks",
 ]
 
 R9_QUEUE = R8_NEW[45:]
@@ -3949,6 +3979,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bh_fdr": q_bh_fdr,
         "page_trend_l": q_page_trend_l,
         "cox_mantel_hr": q_cox_mantel_hr,
+        "brunner_munzel": q_brunner_munzel,
+        "gesd_outliers": q_gesd_outliers,
+        "pacf_daily": q_pacf_daily,
+        "periodogram_peaks": q_periodogram_peaks,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -14457,4 +14491,236 @@ def oracle_sql() -> dict[str, str]:
         FROM fd
         WHERE o1 > 0 AND o2 > 0 AND e1 > 0 AND e2 > 0
     """
+    out["brunner_munzel"] = """
+        WITH d AS (
+          SELECT CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END
+                   AS in1,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS v
+          FROM orders WHERE o_orderstatus IN ('O', 'F')),
+        gv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+                      CAST(sum(in1) AS BIGINT) AS c1
+               FROM d GROUP BY 1),
+        sp AS (
+          SELECT v, cnt, c1, cnt - c1 AS c2,
+                 COALESCE(sum(cnt) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS below,
+                 COALESCE(sum(c1) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS below1,
+                 COALESCE(sum(cnt - c1) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS below2
+          FROM gv),
+        agg AS (
+          SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                 CAST(sum(c2) AS BIGINT) AS n2,
+                 sum(CAST(c1 AS HUGEINT)
+                     * (2 * below + cnt + 1)) AS sr1,
+                 sum(CAST(c2 AS HUGEINT)
+                     * (2 * below + cnt + 1)) AS sr2,
+                 sum(CAST(c1 AS HUGEINT)
+                     * ((2 * below + cnt + 1)
+                        - (2 * below1 + c1 + 1))) AS sx1,
+                 sum(CAST(c2 AS HUGEINT)
+                     * ((2 * below + cnt + 1)
+                        - (2 * below2 + c2 + 1))) AS sx2,
+                 sum(CAST(c1 AS HUGEINT)
+                     * CAST((2 * below + cnt + 1)
+                            - (2 * below1 + c1 + 1) AS HUGEINT)
+                     * ((2 * below + cnt + 1)
+                        - (2 * below1 + c1 + 1))) AS q1,
+                 sum(CAST(c2 AS HUGEINT)
+                     * CAST((2 * below + cnt + 1)
+                            - (2 * below2 + c2 + 1) AS HUGEINT)
+                     * ((2 * below + cnt + 1)
+                        - (2 * below2 + c2 + 1))) AS q2
+          FROM sp),
+        fin AS (
+          SELECT n1, n2,
+            CAST(CAST(n1 AS HUGEINT) * q1 - sx1 * sx1 AS DOUBLE)
+              / (4.0 * CAST(n1 AS DOUBLE)
+                 * (CAST(n1 AS DOUBLE) - 1.0)) AS s1sq,
+            CAST(CAST(n2 AS HUGEINT) * q2 - sx2 * sx2 AS DOUBLE)
+              / (4.0 * CAST(n2 AS DOUBLE)
+                 * (CAST(n2 AS DOUBLE) - 1.0)) AS s2sq,
+            CAST(sr1 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)) AS rbar1,
+            CAST(sr2 AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE)) AS rbar2
+          FROM agg)
+        SELECT n1, n2,
+          floor((rbar2 - (CAST(n2 AS DOUBLE) + 1.0) / 2.0)
+                / CAST(n1 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS p_hat,
+          floor(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                * (rbar2 - rbar1)
+                / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                   * sqrt(CAST(n1 AS DOUBLE) * s1sq
+                          + CAST(n2 AS DOUBLE) * s2sq))
+                * 1e6 + 0.5) / 1e6 AS w_stat
+        FROM fin
+        WHERE n1 >= 2 AND n2 >= 2
+          AND CAST(n1 AS DOUBLE) * s1sq
+              + CAST(n2 AS DOUBLE) * s2sq > 0
+    """
+    _gesd_blocks = [
+        """r0 AS (
+          SELECT date_trunc('day', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM orders GROUP BY 1)"""
+    ]
+    _gesd_rows = []
+    for _i in range(1, 6):
+        _gesd_blocks.append(f"""m{_i} AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS s,
+                 sum(CAST(y AS HUGEINT) * y) AS q
+          FROM r{_i - 1}),
+        sc{_i} AS (
+          SELECT d, y, n, s, q,
+                 abs(CAST(n AS HUGEINT) * y - s) AS dev
+          FROM r{_i - 1}, m{_i}),
+        sel{_i} AS (SELECT * FROM sc{_i}
+                    ORDER BY dev DESC, d ASC LIMIT 1),
+        r{_i} AS (SELECT r.d, r.y FROM r{_i - 1} r, sel{_i}
+                  WHERE r.d <> sel{_i}.d)""")
+        _gesd_rows.append(f"""
+          SELECT CAST({_i} AS BIGINT) AS round,
+                 strftime(d, '%Y-%m-%d') AS day, y AS cnt,
+            floor(CAST(dev AS DOUBLE)
+                  / (CAST(n AS DOUBLE)
+                     * sqrt(CAST(CAST(n AS HUGEINT) * q
+                                 - CAST(s AS HUGEINT) * s AS DOUBLE)
+                            / (CAST(n AS DOUBLE)
+                               * CAST(n - 1 AS DOUBLE))))
+                  * 1e6 + 0.5) / 1e6 AS r_stat
+          FROM sel{_i}
+          WHERE n >= 3
+            AND CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s > 0
+        """)
+    out["gesd_outliers"] = (
+        "WITH "
+        + ",\n        ".join(_gesd_blocks)
+        + " "
+        + " UNION ALL ".join(_gesd_rows)
+    )
+    out["pacf_daily"] = """
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(y) AS BIGINT) AS s FROM daily),
+        lagged AS (
+          SELECT y,
+                 lag(y, 1) OVER (ORDER BY d) AS l1,
+                 lag(y, 2) OVER (ORDER BY d) AS l2,
+                 lag(y, 3) OVER (ORDER BY d) AS l3,
+                 lag(y, 4) OVER (ORDER BY d) AS l4,
+                 lag(y, 5) OVER (ORDER BY d) AS l5,
+                 n, s
+          FROM daily, m),
+        sums AS (
+          SELECT max(n) AS n,
+            sum((CAST(n AS HUGEINT) * y - s)
+                * (CAST(n AS HUGEINT) * y - s)) AS g0,
+            sum(CASE WHEN l1 IS NOT NULL THEN
+                (CAST(n AS HUGEINT) * y - s)
+                * (CAST(n AS HUGEINT) * l1 - s) END) AS g1,
+            sum(CASE WHEN l2 IS NOT NULL THEN
+                (CAST(n AS HUGEINT) * y - s)
+                * (CAST(n AS HUGEINT) * l2 - s) END) AS g2,
+            sum(CASE WHEN l3 IS NOT NULL THEN
+                (CAST(n AS HUGEINT) * y - s)
+                * (CAST(n AS HUGEINT) * l3 - s) END) AS g3,
+            sum(CASE WHEN l4 IS NOT NULL THEN
+                (CAST(n AS HUGEINT) * y - s)
+                * (CAST(n AS HUGEINT) * l4 - s) END) AS g4,
+            sum(CASE WHEN l5 IS NOT NULL THEN
+                (CAST(n AS HUGEINT) * y - s)
+                * (CAST(n AS HUGEINT) * l5 - s) END) AS g5
+          FROM lagged),
+        rr AS (
+          SELECT n, g0,
+                 CAST(g1 AS DOUBLE) / CAST(g0 AS DOUBLE) AS r1,
+                 CAST(g2 AS DOUBLE) / CAST(g0 AS DOUBLE) AS r2,
+                 CAST(g3 AS DOUBLE) / CAST(g0 AS DOUBLE) AS r3,
+                 CAST(g4 AS DOUBLE) / CAST(g0 AS DOUBLE) AS r4,
+                 CAST(g5 AS DOUBLE) / CAST(g0 AS DOUBLE) AS r5
+          FROM sums),
+        d1 AS (SELECT *, r1 AS p11, 1.0 - r1 * r1 AS v1 FROM rr),
+        d2 AS (SELECT *, (r2 - p11 * r1) / v1 AS p22 FROM d1),
+        d2b AS (SELECT *, p11 - p22 * p11 AS p21,
+                       v1 * (1.0 - p22 * p22) AS v2 FROM d2),
+        d3 AS (SELECT *, (r3 - p21 * r2 - p22 * r1) / v2 AS p33
+               FROM d2b),
+        d3b AS (SELECT *, p21 - p33 * p22 AS p31,
+                       p22 - p33 * p21 AS p32,
+                       v2 * (1.0 - p33 * p33) AS v3 FROM d3),
+        d4 AS (SELECT *, (r4 - p31 * r3 - p32 * r2 - p33 * r1) / v3
+                   AS p44 FROM d3b),
+        d4b AS (SELECT *, p31 - p44 * p33 AS p41,
+                       p32 - p44 * p32 AS p42,
+                       p33 - p44 * p31 AS p43,
+                       v3 * (1.0 - p44 * p44) AS v4 FROM d4),
+        d5 AS (SELECT *, (r5 - p41 * r4 - p42 * r3 - p43 * r2
+                          - p44 * r1) / v4 AS p55 FROM d4b)
+        SELECT n AS n_days,
+          floor(r1 * 1e6 + 0.5) / 1e6 AS acf_1,
+          floor(r2 * 1e6 + 0.5) / 1e6 AS acf_2,
+          floor(r3 * 1e6 + 0.5) / 1e6 AS acf_3,
+          floor(r4 * 1e6 + 0.5) / 1e6 AS acf_4,
+          floor(r5 * 1e6 + 0.5) / 1e6 AS acf_5,
+          floor(p11 * 1e6 + 0.5) / 1e6 AS pacf_1,
+          floor(p22 * 1e6 + 0.5) / 1e6 AS pacf_2,
+          floor(p33 * 1e6 + 0.5) / 1e6 AS pacf_3,
+          floor(p44 * 1e6 + 0.5) / 1e6 AS pacf_4,
+          floor(p55 * 1e6 + 0.5) / 1e6 AS pacf_5
+        FROM d5
+        WHERE n > 10 AND g0 > 0 AND v1 > 0 AND v2 > 0 AND v3 > 0
+          AND v4 > 0
+    """
+    _pg_rows = []
+    for _p in (7, 30):
+        _pg_rows.append(f"""
+          SELECT CAST({_p} AS BIGINT) AS period, n AS n_days,
+                 CAST(cm AS DOUBLE) AS c_milli,
+                 CAST(sm AS DOUBLE) AS s_milli,
+            floor(sqrt(CAST(cm AS DOUBLE) * CAST(cm AS DOUBLE)
+                       + CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+                  / (1e3 * sqrt(CAST(ssq AS DOUBLE)))
+                  * 1e6 + 0.5) / 1e6 AS strength
+          FROM (
+            SELECT max(n) AS n,
+              sum(CAST(floor(CAST(CAST(n AS HUGEINT) * y - s
+                                  AS DOUBLE)
+                             * sin(6.283185307179586
+                                   * CAST(t AS DOUBLE) / {float(_p)!r}
+                                   + 1.5707963267948966)
+                             * 1e3 + 0.5) AS HUGEINT)) AS cm,
+              sum(CAST(floor(CAST(CAST(n AS HUGEINT) * y - s
+                                  AS DOUBLE)
+                             * sin(6.283185307179586
+                                   * CAST(t AS DOUBLE)
+                                   / {float(_p)!r})
+                             * 1e3 + 0.5) AS HUGEINT)) AS sm,
+              sum((CAST(n AS HUGEINT) * y - s)
+                  * (CAST(n AS HUGEINT) * y - s)) AS ssq
+            FROM idx)
+          WHERE n >= 2 * {_p} AND ssq > 0
+        """)
+    out["periodogram_peaks"] = (
+        """
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(y) AS BIGINT) AS s FROM daily),
+        idx AS (
+          SELECT CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT)
+                   AS t,
+                 y, n, s
+          FROM daily, m)
+        """
+        + " UNION ALL ".join(_pg_rows)
+    )
     return out

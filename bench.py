@@ -439,6 +439,10 @@ BENCH_QUERIES = [
     "bh_fdr",
     "page_trend_l",
     "cox_mantel_hr",
+    "brunner_munzel",
+    "gesd_outliers",
+    "pacf_daily",
+    "periodogram_peaks",
 ]
 
 # Heavy composite queries (>3s at sf0.1). Benched at ONE rep so the

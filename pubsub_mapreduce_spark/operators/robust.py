@@ -8150,3 +8150,402 @@ def cox_mantel_hr(events: DataFrame, group: str = "event_type") -> DataFrame:
         round_half_up(hr, 6).alias("hazard_ratio"),
         round_half_up(F.log(hr), 6).alias("ln_hr"),
     )
+
+
+def brunner_munzel(
+    orders: DataFrame, g1: str = "O", g2: str = "F"
+) -> DataFrame:
+    """Brunner-Munzel rank test between two order-status cohorts'
+    totalprice — the two-sample location test of choice when the
+    groups may have UNEQUAL variances and shapes (Mann-Whitney's
+    permutation argument needs exchangeability; BM studentizes the
+    placement estimate, the rank-world Welch):
+
+        p_hat = (Rbar2 - (n2+1)/2) / n1     (P(X1 < X2) + tie half),
+        W = n1 n2 (Rbar2 - Rbar1)
+            / ((n1 + n2) sqrt(n1 S1^2 + n2 S2^2))
+
+    with S_i^2 the sample variance of (combined rank - within-group
+    rank) in group i. Exactness: both rank systems live on the price
+    value spine as exact integers (2*avgrank = 2*below + cnt + 1);
+    all moments are BIGINT/DECIMAL in doubled units (the factor-4
+    denominators are explicit); W and p_hat are single mirrored float
+    expressions. Scale: price-lattice-bounded spine, 2-row arithmetic
+    after."""
+    c = _cents("o_totalprice")
+    d = orders.where(F.col("o_orderstatus").isin([g1, g2])).select(
+        (F.col("o_orderstatus") == g1).cast("int").alias("in1"),
+        c.alias("v"),
+    )
+    gv = d.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("in1").cast("long").alias("c1"),
+    ).localCheckpoint(eager=False)
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    sp = gv.select(
+        "v",
+        "cnt",
+        "c1",
+        (F.col("cnt") - F.col("c1")).alias("c2"),
+        F.coalesce(F.sum("cnt").over(wv), F.lit(0).cast("long")).alias(
+            "below"
+        ),
+        F.coalesce(F.sum("c1").over(wv), F.lit(0).cast("long")).alias(
+            "below1"
+        ),
+        F.coalesce(
+            F.sum(F.col("cnt") - F.col("c1")).over(wv),
+            F.lit(0).cast("long"),
+        ).alias("below2"),
+    )
+    # doubled ranks: combined 2R(v) and within-group 2H_g(v)
+    r2 = F.lit(2) * F.col("below") + F.col("cnt") + 1
+    h1 = F.lit(2) * F.col("below1") + F.col("c1") + 1
+    h2 = F.lit(2) * F.col("below2") + F.col("c2") + 1
+    x1 = (r2 - h1).cast(DEC)  # 2 * (R - H) for group-1 members at v
+    x2 = (r2 - h2).cast(DEC)
+    agg = sp.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1").cast(DEC) * r2.cast(DEC)).cast(DEC).alias(
+            "sr1"
+        ),
+        F.sum(F.col("c2").cast(DEC) * r2.cast(DEC)).cast(DEC).alias(
+            "sr2"
+        ),
+        F.sum(F.col("c1").cast(DEC) * x1).cast(DEC).alias("sx1"),
+        F.sum(F.col("c2").cast(DEC) * x2).cast(DEC).alias("sx2"),
+        F.sum(F.col("c1").cast(DEC) * x1 * x1).cast(DEC).alias("q1"),
+        F.sum(F.col("c2").cast(DEC) * x2 * x2).cast(DEC).alias("q2"),
+    )
+    n1D = F.col("n1").cast("double")
+    n2D = F.col("n2").cast("double")
+    # sample variance of (R - H) per group from the doubled moments:
+    # S^2 = (n sum X^2 - (sum X)^2) / (4 n (n-1)),  X = 2(R - H)
+    s1sq = (
+        F.col("n1").cast(DEC) * F.col("q1")
+        - F.col("sx1") * F.col("sx1")
+    ).cast("double") / (4.0 * n1D * (n1D - 1.0))
+    s2sq = (
+        F.col("n2").cast(DEC) * F.col("q2")
+        - F.col("sx2") * F.col("sx2")
+    ).cast("double") / (4.0 * n2D * (n2D - 1.0))
+    rbar1 = F.col("sr1").cast("double") / (2.0 * n1D)
+    rbar2 = F.col("sr2").cast("double") / (2.0 * n2D)
+    p_hat = (rbar2 - (n2D + 1.0) / 2.0) / n1D
+    denom = F.sqrt(n1D * s1sq + n2D * s2sq)
+    w = (
+        n1D * n2D * (rbar2 - rbar1) / ((n1D + n2D) * denom)
+    )
+    return agg.where(
+        (F.col("n1") >= 2) & (F.col("n2") >= 2)
+        & (n1D * s1sq + n2D * s2sq > 0)
+    ).select(
+        "n1",
+        "n2",
+        round_half_up(p_hat, 6).alias("p_hat"),
+        round_half_up(w, 6).alias("w_stat"),
+    )
+
+
+def gesd_outliers(orders: DataFrame, k: int = 5) -> DataFrame:
+    """Generalized ESD (Rosner) outlier sequence on the daily
+    order-count series: ``k`` rounds of "remove the most extreme day,
+    recompute mean/sd" — the MULTI-outlier escalation of
+    ``grubbs_outlier`` (one masked outlier deflates Grubbs; GESD keeps
+    peeling, and round i's statistic is compared to its own critical
+    value downstream):
+
+        R_i = max_t |y_t - mean_i| / sd_i    over the surviving days
+
+    Exactness: the argmax each round compares |n*y - S| (exact BIGINT
+    centered numerators — same denominator within a round, so the
+    ordering is engine-exact; ties break on the earlier day); only the
+    REPORTED R_i is a float. Scale: the surviving relation is
+    calendar-sized; ``k`` fixed rounds of one aggregate + one
+    anti-join each, localCheckpointed per round (the iterative-loop
+    replay rule)."""
+    cur = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    outs = []
+    for i in range(1, int(k) + 1):
+        m = cur.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("s"),
+            F.sum(F.col("y").cast(DEC) * F.col("y").cast(DEC))
+            .cast(DEC)
+            .alias("q"),
+        )
+        scored = cur.crossJoin(F.broadcast(m)).select(
+            "d",
+            "y",
+            "n",
+            "s",
+            "q",
+            F.abs(
+                F.col("n").cast(DEC) * F.col("y").cast(DEC)
+                - F.col("s").cast(DEC)
+            ).cast(DEC).alias("dev"),
+        )
+        sel = (
+            scored.orderBy(F.col("dev").desc(), F.col("d").asc())
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        var_num = (
+            F.col("n").cast(DEC) * F.col("q")
+            - F.col("s").cast(DEC) * F.col("s").cast(DEC)
+        ).cast("double")
+        sd = F.sqrt(
+            var_num
+            / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+        )
+        outs.append(
+            sel.where((F.col("n") >= 3) & (var_num > 0)).select(
+                F.lit(i).cast("long").alias("round"),
+                F.date_format("d", "yyyy-MM-dd").alias("day"),
+                F.col("y").alias("cnt"),
+                round_half_up(
+                    F.col("dev").cast("double")
+                    / (F.col("n").cast("double") * sd),
+                    6,
+                ).alias("r_stat"),
+            )
+        )
+        cur = cur.join(
+            sel.select(F.col("d").alias("__rm")),
+            F.col("d") == F.col("__rm"),
+            "left_anti",
+        ).localCheckpoint(eager=False)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def pacf_daily(orders: DataFrame, max_lag: int = 5) -> DataFrame:
+    """ACF and PACF of the daily order-count series to lag 5 — the
+    Box-Jenkins identification pair (``acf_daily`` reads raw
+    autocorrelation; the PACF via Durbin-Levinson says which AR order
+    actually carries it: an AR(1) shows acf decaying but pacf cutting
+    off after lag 1 — the model-order read a forecaster makes before
+    trusting ``holt_forecast``/``theta_forecast``).
+
+    Exactness: each r_k is one division of exact BIGINT/DECIMAL
+    centered cross-moments (numerators in n-scaled units: sum over
+    t > k of (n y_t - S)(n y_{t-k} - S), denominator sum over ALL t of
+    (n y_t - S)^2); the Durbin-Levinson recursion is UNROLLED to five
+    levels of plain double arithmetic, identical expression order both
+    engines. Scale: one daily rollup; five lag windows over the
+    calendar spine."""
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "d",
+        "y",
+        *[
+            F.lag("y", i).over(w).alias(f"l{i}")
+            for i in range(1, int(max_lag) + 1)
+        ],
+    ).crossJoin(F.broadcast(m))
+    yc = F.col("n").cast(DEC) * F.col("y").cast(DEC) - F.col("s").cast(
+        DEC
+    )
+    sums = lagged.agg(
+        F.max("n").alias("n"),
+        F.sum(yc * yc).cast(DEC).alias("g0"),
+        *[
+            F.sum(
+                F.when(
+                    F.col(f"l{i}").isNotNull(),
+                    yc
+                    * (
+                        F.col("n").cast(DEC) * F.col(f"l{i}").cast(DEC)
+                        - F.col("s").cast(DEC)
+                    ),
+                )
+            ).cast(DEC).alias(f"g{i}")
+            for i in range(1, int(max_lag) + 1)
+        ],
+    )
+    r = sums
+    for i in range(1, int(max_lag) + 1):
+        r = r.withColumn(
+            f"r{i}",
+            F.col(f"g{i}").cast("double") / F.col("g0").cast("double"),
+        )
+    # Durbin-Levinson, unrolled (phi_kj columns in plain doubles)
+    r = r.withColumn("p11", F.col("r1"))
+    r = r.withColumn("v1", F.lit(1.0) - F.col("p11") * F.col("r1"))
+    r = r.withColumn(
+        "p22",
+        (F.col("r2") - F.col("p11") * F.col("r1")) / F.col("v1"),
+    )
+    r = r.withColumn(
+        "p21", F.col("p11") - F.col("p22") * F.col("p11")
+    )
+    r = r.withColumn(
+        "v2",
+        F.col("v1") * (F.lit(1.0) - F.col("p22") * F.col("p22")),
+    )
+    r = r.withColumn(
+        "p33",
+        (
+            F.col("r3")
+            - F.col("p21") * F.col("r2")
+            - F.col("p22") * F.col("r1")
+        )
+        / F.col("v2"),
+    )
+    r = r.withColumn(
+        "p31", F.col("p21") - F.col("p33") * F.col("p22")
+    ).withColumn("p32", F.col("p22") - F.col("p33") * F.col("p21"))
+    r = r.withColumn(
+        "v3",
+        F.col("v2") * (F.lit(1.0) - F.col("p33") * F.col("p33")),
+    )
+    r = r.withColumn(
+        "p44",
+        (
+            F.col("r4")
+            - F.col("p31") * F.col("r3")
+            - F.col("p32") * F.col("r2")
+            - F.col("p33") * F.col("r1")
+        )
+        / F.col("v3"),
+    )
+    r = (
+        r.withColumn("p41", F.col("p31") - F.col("p44") * F.col("p33"))
+        .withColumn("p42", F.col("p32") - F.col("p44") * F.col("p32"))
+        .withColumn("p43", F.col("p33") - F.col("p44") * F.col("p31"))
+    )
+    r = r.withColumn(
+        "v4",
+        F.col("v3") * (F.lit(1.0) - F.col("p44") * F.col("p44")),
+    )
+    r = r.withColumn(
+        "p55",
+        (
+            F.col("r5")
+            - F.col("p41") * F.col("r4")
+            - F.col("p42") * F.col("r3")
+            - F.col("p43") * F.col("r2")
+            - F.col("p44") * F.col("r1")
+        )
+        / F.col("v4"),
+    )
+    return r.where(
+        (F.col("n") > 10)
+        & (F.col("g0") > 0)
+        & (F.col("v1") > 0)
+        & (F.col("v2") > 0)
+        & (F.col("v3") > 0)
+        & (F.col("v4") > 0)
+    ).select(
+        F.col("n").alias("n_days"),
+        *[
+            round_half_up(F.col(f"r{i}"), 6).alias(f"acf_{i}")
+            for i in range(1, int(max_lag) + 1)
+        ],
+        round_half_up(F.col("p11"), 6).alias("pacf_1"),
+        round_half_up(F.col("p22"), 6).alias("pacf_2"),
+        round_half_up(F.col("p33"), 6).alias("pacf_3"),
+        round_half_up(F.col("p44"), 6).alias("pacf_4"),
+        round_half_up(F.col("p55"), 6).alias("pacf_5"),
+    )
+
+
+TWO_PI = 6.283185307179586
+HALF_PI = 1.5707963267948966
+
+
+def periodogram_peaks(
+    orders: DataFrame, periods: tuple = (7, 30)
+) -> DataFrame:
+    """Goertzel-style periodogram power at the WEEKLY and MONTHLY
+    periods of the daily order-count series: C_p = sum Y_t cos(2 pi
+    t/p), S_p = sum Y_t sin(2 pi t/p) over the demeaned series — the
+    frequency-domain seasonality read (``dow_uniformity`` tests the
+    weekday MARGINS; this measures how much of the series' energy sits
+    AT the weekly/monthly line, detecting phase-locked cycles the
+    margin test dilutes). strength = sqrt(C^2 + S^2) / sqrt(sum Y^2)
+    in [0, ~1].
+
+    Exactness: Y_t = n y_t - S is an exact BIGINT; each cos/sin term
+    is MILLI-QUANTIZED (floor(term * 1e3 + 0.5)) so the sums are
+    order-free BIGINTs (the mutual_information discipline — the
+    quantization IS the operator's defined semantics); cosine is
+    expressed as sin(x + pi/2) with shared literals, staying on the
+    engine-proven sin path (the sine-codec precedent). Scale: one
+    daily rollup; one pass per period over the calendar spine."""
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    idx = daily.withColumn(
+        "t", (F.row_number().over(Window.orderBy("d")) - 1).cast("long")
+    ).crossJoin(F.broadcast(m))
+    yc = (
+        F.col("n").cast(DEC) * F.col("y").cast(DEC)
+        - F.col("s").cast(DEC)
+    ).cast("double")
+    outs = []
+    for p in periods:
+        ang = F.lit(TWO_PI) * F.col("t").cast("double") / F.lit(
+            float(p)
+        )
+        cterm = yc * F.sin(ang + F.lit(HALF_PI))
+        sterm = yc * F.sin(ang)
+        per = idx.agg(
+            F.max("n").alias("n"),
+            F.sum(F.floor(cterm * 1e3 + F.lit(0.5)).cast(DEC))
+            .cast(DEC)
+            .alias("cm"),
+            F.sum(F.floor(sterm * 1e3 + F.lit(0.5)).cast(DEC))
+            .cast(DEC)
+            .alias("sm"),
+            F.sum(
+                (
+                    F.col("n").cast(DEC) * F.col("y").cast(DEC)
+                    - F.col("s").cast(DEC)
+                )
+                * (
+                    F.col("n").cast(DEC) * F.col("y").cast(DEC)
+                    - F.col("s").cast(DEC)
+                )
+            ).cast(DEC).alias("ssq"),
+        )
+        strength = F.sqrt(
+            F.col("cm").cast("double") * F.col("cm").cast("double")
+            + F.col("sm").cast("double") * F.col("sm").cast("double")
+        ) / (F.lit(1e3) * F.sqrt(F.col("ssq").cast("double")))
+        outs.append(
+            per.where((F.col("n") >= 2 * int(p)) & (F.col("ssq") > 0))
+            .select(
+                F.lit(int(p)).cast("long").alias("period"),
+                F.col("n").alias("n_days"),
+                F.col("cm").cast("double").alias("c_milli"),
+                F.col("sm").cast("double").alias("s_milli"),
+                round_half_up(strength, 6).alias("strength"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

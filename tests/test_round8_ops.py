@@ -823,3 +823,152 @@ def test_cox_mantel_hr_planted(spark):
     assert r.o1 == 5 and r.o2 == 5
     assert r.e1 == _r6(e1) and r.e2 == _r6(e2)
     assert r.hazard_ratio == _r6(hr) and r.hazard_ratio > 1.0
+
+
+# ---------------------------------------------------------------- #
+# wave 4
+# ---------------------------------------------------------------- #
+
+
+def test_brunner_munzel_literal(spark):
+    """Literal-Python BM recomputation (combined + within-group
+    average ranks, doubled-unit moments) on planted unequal-spread
+    groups, with ties across groups."""
+    o_vals = [5.0, 5.0, 6.0, 7.0]
+    f_vals = [1.0, 5.0, 9.0, 12.0, 13.0]
+    rows = []
+    for i, v in enumerate(o_vals):
+        rows.append((i, 1, "O", v, D(2024, 1, 1), "1"))
+    for i, v in enumerate(f_vals):
+        rows.append((100 + i, 1, "F", v, D(2024, 1, 1), "1"))
+    r = RB.brunner_munzel(_orders(spark, rows)).collect()[0]
+
+    g1 = sorted(round(v * 100) for v in o_vals)
+    g2 = sorted(round(v * 100) for v in f_vals)
+    allv = sorted(g1 + g2)
+
+    def avg_rank(pool):
+        out = {}
+        below = 0
+        for v in sorted(set(pool)):
+            cnt = pool.count(v)
+            out[v] = below + (cnt + 1) / 2.0
+            below += cnt
+        return out
+
+    rc = avg_rank(allv)
+    r1w = avg_rank(g1)
+    r2w = avg_rank(g2)
+    n1, n2 = len(g1), len(g2)
+    rbar1 = sum(rc[v] for v in g1) / n1
+    rbar2 = sum(rc[v] for v in g2) / n2
+    x1 = [rc[v] - r1w[v] for v in g1]
+    x2 = [rc[v] - r2w[v] for v in g2]
+
+    def svar(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        return sum((x - m) ** 2 for x in xs) / (n - 1)
+
+    s1, s2 = svar(x1), svar(x2)
+    p_hat = (rbar2 - (n2 + 1) / 2.0) / n1
+    w = n1 * n2 * (rbar2 - rbar1) / ((n1 + n2) * math.sqrt(n1 * s1 + n2 * s2))
+    assert (r.n1, r.n2) == (n1, n2)
+    assert abs(r.p_hat - p_hat) < 2e-6
+    assert abs(r.w_stat - w) < 2e-6
+
+
+def test_gesd_outliers_peeling(spark):
+    """Two planted extremes on a flat series: GESD removes them in
+    magnitude order (round 1 the biggest, round 2 the second), with
+    the literal R statistic each round."""
+    counts = [10] * 20
+    counts[5] = 60   # biggest outlier
+    counts[12] = 40  # second
+    rows, k = [], 0
+    for i, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (k, 1, "O", 1.0, D(2024, 1, 1) + dt.timedelta(days=i), "1")
+            )
+            k += 1
+    out = {r.round: r for r in RB.gesd_outliers(_orders(spark, rows)).collect()}
+    assert out[1].day == "2024-01-06" and out[1].cnt == 60
+    assert out[2].day == "2024-01-13" and out[2].cnt == 40
+
+    def r_stat(vals, idx):
+        n = len(vals)
+        s = sum(vals)
+        q = sum(v * v for v in vals)
+        sd = math.sqrt(float(n * q - s * s) / (n * (n - 1)))
+        return abs(n * vals[idx] - s) / (n * sd)
+
+    assert out[1].r_stat == _r6(r_stat(counts, 5))
+    rest = counts[:5] + counts[6:]
+    assert out[2].r_stat == _r6(r_stat(rest, rest.index(40)))
+    # after both extremes the series is CONSTANT: sd = 0, so the
+    # degenerate-round predicate drops rounds 3-5 entirely
+    assert set(out) == {1, 2}
+    # note R_2 > R_1 here: removing the big outlier SHRINKS the sd, so
+    # the second extreme standardizes higher — the masking effect GESD
+    # exists to defeat (both values literal-checked above)
+
+
+def test_pacf_ar1_signature(spark):
+    """An AR(1)-like deterministic series: pacf_1 ~ acf_1 and
+    |pacf_2| << |acf_2| (the Box-Jenkins cutoff signature); acf values
+    literal-checked against Python."""
+    y = [20]
+    for i in range(1, 60):
+        y.append(10 + (y[-1] * 2) // 3 + ((i * 7) % 5))
+    rows, k = [], 0
+    for i, c in enumerate(y):
+        for _ in range(c):
+            rows.append(
+                (k, 1, "O", 1.0, D(2024, 1, 1) + dt.timedelta(days=i), "1")
+            )
+            k += 1
+    r = RB.pacf_daily(_orders(spark, rows)).collect()[0]
+    n = len(y)
+    s = sum(y)
+    g0 = sum((n * v - s) ** 2 for v in y)
+    for lag in (1, 2, 3):
+        gk = sum(
+            (n * y[t] - s) * (n * y[t - lag] - s)
+            for t in range(lag, n)
+        )
+        assert r[f"acf_{lag}"] == _r6(gk / g0)
+    assert r.pacf_1 == r.acf_1
+    assert abs(r.pacf_2) < abs(r.acf_2)
+    assert r.acf_1 > 0.3  # the AR pull is visible
+
+
+def test_periodogram_weekly_peak(spark):
+    """A planted 7-day cycle: the period-7 strength dwarfs period-30,
+    and the milli-quantized sums match a literal Python mirror."""
+    y = [100 + (50 if i % 7 == 0 else 0) for i in range(70)]
+    rows, k = [], 0
+    for i, c in enumerate(y):
+        for _ in range(c):
+            rows.append(
+                (k, 1, "O", 1.0, D(2024, 1, 1) + dt.timedelta(days=i), "1")
+            )
+            k += 1
+    out = {r.period: r for r in RB.periodogram_peaks(_orders(spark, rows)).collect()}
+    n = len(y)
+    s = sum(y)
+    ssq = sum((n * v - s) ** 2 for v in y)
+    for p in (7, 30):
+        cm = sm = 0
+        for t, v in enumerate(y):
+            yc = float(n * v - s)
+            ang = 6.283185307179586 * float(t) / float(p)
+            cm += math.floor(yc * math.sin(ang + 1.5707963267948966) * 1e3 + 0.5)
+            sm += math.floor(yc * math.sin(ang) * 1e3 + 0.5)
+        assert out[p].c_milli == float(cm)
+        assert out[p].s_milli == float(sm)
+        want = math.sqrt(float(cm) ** 2 + float(sm) ** 2) / (
+            1e3 * math.sqrt(float(ssq))
+        )
+        assert out[p].strength == _r6(want)
+    assert out[7].strength > 5 * out[30].strength
