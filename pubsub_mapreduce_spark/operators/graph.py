@@ -1040,7 +1040,16 @@ def moran_geary(edges: DataFrame, values: DataFrame) -> DataFrame:
     ``values``: (node, x BIGINT). Nodes outside the edge set are
     ignored; isolated graph nodes contribute to mean/variance only.
     Scale: one |nodes| rollup + one edge-keyed join — never a pair
-    materialization."""
+    materialization.
+
+    Magnitude bound (ADVICE r8): nz = n*x - S is DECIMAL(38,0) and the
+    squared-moment sums need nz^2 * |rows| <= 10^38, i.e.
+    |n * x| <~ 10^17 (e.g. 10^9 nodes x 10^8-cent revenues). Beyond
+    that Spark's non-ANSI decimal overflow NULLs while DuckDB's
+    HUGEINT errors — silently divergent. For larger deployments
+    pre-scale x to whole currency units (or thousands) BEFORE calling;
+    the statistics are scale-invariant (both ratios are homogeneous of
+    degree 0 in x), so the only effect is the quantization itself."""
     und = edges.select("a", "b")
     nodes = (
         und.select(F.col("a").alias("node"))

@@ -67,8 +67,18 @@ _TOT = "__gr_tot"
 SMALL_RANK_THRESHOLD = 4_000_000
 
 
-def _checkpoint_count(df: DataFrame):
+def _checkpoint_count(df: DataFrame, precomputed=None):
+    """(checkpointed frame, row count). ``precomputed`` short-circuits:
+    a ``(cached, n)`` pair from an enclosing helper (global_ntile's
+    large path reuses global_row_number's materialization instead of
+    paying a second localCheckpoint + count action — ADVICE r8), or a
+    bare int count the CALLER already knows (skips the count job; the
+    frame is still checkpointed once for the two-branch large path)."""
+    if isinstance(precomputed, tuple):
+        return precomputed
     cached = df.localCheckpoint(eager=False)
+    if precomputed is not None:
+        return cached, int(precomputed)
     return cached, cached.count()
 
 
@@ -119,6 +129,8 @@ def global_row_number(
     num_partitions: int | None = None,
     with_total: str | None = None,
     small_threshold: int = SMALL_RANK_THRESHOLD,
+    precomputed_count: int | None = None,
+    _precomputed=None,
 ) -> DataFrame:
     """``row_number() OVER (ORDER BY order)`` without the
     single-partition exchange. ``order`` must be a TOTAL order (include
@@ -126,8 +138,9 @@ def global_row_number(
     ``with_total`` is given, the global row count rides along as an
     extra column (free — the offsets relation already carries it).
     ``small_threshold``: row count below which the single-window path
-    runs instead (identical output, pinned)."""
-    cached, n = _checkpoint_count(df)
+    runs instead (identical output, pinned). ``precomputed_count``: an
+    exact row count the caller already holds — skips the count job."""
+    cached, n = _checkpoint_count(df, _precomputed or precomputed_count)
     if n <= small_threshold:
         w = Window.orderBy(*order)
         cols = [F.row_number().over(w).cast("long").alias(out)]
@@ -150,13 +163,17 @@ def ntile_from_rn(rn: Column, n: Column, k: int) -> Column:
     """SQL NTILE(k) bucket from a 1-based global row_number ``rn`` and
     total count ``n`` — the closed form both engines implement: with
     q = n div k and r = n mod k, the first r buckets take q+1 rows.
-    Pure integer arithmetic, so bit-identical to window NTILE."""
-    q = (n / F.lit(k)).cast("long")
+    All divisions are LONG integer division (SQL ``div``, exact at any
+    row count — the former ``(a / b).cast('long')`` form floored
+    through a double and was exact only below 2^53; ADVICE r8), so the
+    bucket is bit-identical to window NTILE unconditionally."""
+    idiv = lambda a, b: F.call_function("div", a.cast("long"), b)  # noqa: E731
+    q = idiv(n, F.lit(k))
     r = n % F.lit(k)
     head = r * (q + 1)
     return (
-        F.when(rn <= head, ((rn - 1) / (q + 1)).cast("long") + 1)
-        .when(F.lit(True), ((rn - head - 1) / q).cast("long") + r + 1)
+        F.when(rn <= head, idiv(rn - 1, q + 1) + 1)
+        .when(F.lit(True), idiv(rn - head - 1, q) + r + 1)
         .cast("int")
     )
 
@@ -168,17 +185,22 @@ def global_ntile(
     out: str,
     num_partitions: int | None = None,
     small_threshold: int = SMALL_RANK_THRESHOLD,
+    precomputed_count: int | None = None,
 ) -> DataFrame:
     """``ntile(k) OVER (ORDER BY order)`` via global_row_number + the
     closed-form bucket assignment — identical output, no
     single-partition data exchange above the adaptive threshold."""
-    cached, n = _checkpoint_count(df)
+    cached, n = _checkpoint_count(df, precomputed_count)
     if n <= small_threshold:
         w = Window.orderBy(*order)
         return cached.withColumn(out, F.ntile(k).over(w))
+    # thread the already-checkpointed frame + known count into the
+    # nested call — the former form re-ran _checkpoint_count (a second
+    # localCheckpoint plus a second full count action; ADVICE r8).
     rn = global_row_number(
         cached, order, "__gr_rn", num_partitions,
         with_total="__gr_n", small_threshold=0,
+        _precomputed=(cached, n),
     )
     return rn.withColumn(
         out, ntile_from_rn(F.col("__gr_rn"), F.col("__gr_n"), k)
@@ -193,13 +215,14 @@ def global_prefix_sum(
     inclusive: bool = True,
     num_partitions: int | None = None,
     small_threshold: int = SMALL_RANK_THRESHOLD,
+    precomputed_count: int | None = None,
 ) -> DataFrame:
     """``sum(value) OVER (ORDER BY order ROWS UNBOUNDED PRECEDING [AND
     -1])`` at scale: per-partition running sum + the broadcast sum of
     all earlier partitions. ``value`` must be an integer/decimal column
     (exactness: addition is associative there, so the two-pass
     regrouping is bit-identical to the one-pass window)."""
-    cached, n = _checkpoint_count(df)
+    cached, n = _checkpoint_count(df, precomputed_count)
     hi0 = Window.currentRow if inclusive else -1
     if n <= small_threshold:
         w = Window.orderBy(*order).rowsBetween(
@@ -233,12 +256,13 @@ def global_prefix_min(
     out: str,
     num_partitions: int | None = None,
     small_threshold: int = SMALL_RANK_THRESHOLD,
+    precomputed_count: int | None = None,
 ) -> DataFrame:
     """``min(value) OVER (ORDER BY order ROWS BETWEEN UNBOUNDED
     PRECEDING AND -1)`` (STRICT prefix — the skyline shape: "the best
     among everything ordered before me") at scale. NULL where no
     predecessor exists, matching the window form."""
-    cached, n = _checkpoint_count(df)
+    cached, n = _checkpoint_count(df, precomputed_count)
     if n <= small_threshold:
         w = Window.orderBy(*order).rowsBetween(
             Window.unboundedPreceding, -1

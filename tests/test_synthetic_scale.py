@@ -1007,3 +1007,201 @@ def test_hits_scores_integer_envelope_at_scale(spark):
     assert all(r.auth_ratio == 1.0 for r in out)
     # deterministic tie-break: lowest part keys first
     assert [r.partkey for r in out] == [0, 1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------- #
+# round-9 envelope pins (VERDICT r8 ask #4): the round-8 heavies at
+# 10x-scale synthetic volume — moran_geary stays edge-keyed,
+# clustering_capped honors the hub cap, gesd / pacf / periodogram
+# fold calendar-bounded relations, fligner_killeen's spine windows
+# sit over aggregates only.
+# ---------------------------------------------------------------- #
+
+
+def _r6s(x):
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def test_moran_geary_at_scale_star_closed_form(spark):
+    """A 100k-edge star with two-valued x: the operator must finish
+    via one |nodes| rollup + one edge-keyed join (a pair
+    materialization would be ~5e9 rows) and hit the closed form
+    computed from exact integers in the operator's float order."""
+    from pubsub_mapreduce_spark.operators.graph import moran_geary
+
+    n_leaf = 100_000
+    edges = spark.range(n_leaf).selectExpr(
+        "CAST(0 AS LONG) a", "id + 1 AS b"
+    )
+    values = spark.range(n_leaf + 1).selectExpr(
+        "id AS node",
+        "CAST(CASE WHEN id = 0 THEN 500 ELSE 3 END AS LONG) AS x",
+    )
+    row = moran_geary(edges, values).collect()[0]
+    n = n_leaf + 1
+    s = 500 + n_leaf * 3
+    nzh, nza = n * 500 - s, n * 3 - s
+    e = n_leaf
+    cross = e * nzh * nza
+    sqdiff = e * (nzh - nza) ** 2
+    ssq = nzh * nzh + e * nza * nza
+    nD, eD = float(n), float(e)
+    moran = nD / (2.0 * eD) * (2.0 * float(cross) / float(ssq))
+    geary = (nD - 1.0) / (4.0 * eD) * (
+        2.0 * float(sqdiff) / float(ssq)
+    )
+    assert row["n_nodes"] == n and row["n_edges"] == e
+    assert row["moran_i"] == _r6s(moran)
+    assert row["geary_c"] == _r6s(geary)
+
+
+def test_clustering_capped_hub_excluded_at_scale(spark):
+    """A 100k-degree hub (C(100k,2) wedges if uncapped) plus a
+    planted K5 clique: the hub and its degree-1 leaves fall out of
+    the capped subgraph, the clique's coefficients are exactly 1."""
+    from pubsub_mapreduce_spark.operators.graph import (
+        clustering_coefficient_capped,
+    )
+
+    hub = spark.range(100_000).selectExpr(
+        "CAST(500000 AS LONG) a", "id AS b"
+    )
+    cl = [(200_000 + i, 200_000 + j) for i in range(5) for j in range(5) if i < j]
+    clique = spark.createDataFrame(cl, "a long, b long")
+    out = clustering_coefficient_capped(
+        hub.unionByName(clique), top_k=100, max_deg=200
+    ).collect()
+    assert [r["partkey"] for r in out] == [200_000 + i for i in range(5)]
+    assert all(
+        r["degree"] == 4
+        and r["triangles"] == 6
+        and r["clust_micro"] == 1_000_000
+        for r in out
+    )
+
+
+def _day_counts_orders(spark, ys, base="2025-01-01"):
+    """Orders with EXACT planted per-day counts, built distributed
+    (one row per day exploded to its count — no driver-side row
+    lists)."""
+    days = spark.createDataFrame(
+        list(enumerate(ys)), "t int, y int"
+    )
+    return days.select(
+        F.expr(f"date_add(CAST('{base}' AS DATE), t)")
+        .cast("timestamp")
+        .alias("o_orderdate"),
+        F.explode(F.expr("sequence(1, y)")).alias("__i"),
+    ).drop("__i")
+
+
+def test_gesd_outliers_at_scale_literal_rounds(spark):
+    """90 planted days x ~2k orders/day (180k rows) with three
+    spikes: every GESD round's (day, cnt, r_stat) must match the
+    literal Python Rosner peel — the surviving relation is
+    calendar-sized, so k rounds cost k bounded aggregates no matter
+    the row volume."""
+    import math
+
+    from pubsub_mapreduce_spark.operators.robust import gesd_outliers
+
+    ys = [2000 + (t * 37) % 101 for t in range(90)]
+    ys[12] += 8000
+    ys[40] += 5000
+    ys[77] += 3000
+    got = gesd_outliers(_day_counts_orders(spark, ys)).collect()
+    cur = list(enumerate(ys))
+    want = []
+    for _ in range(5):
+        n = len(cur)
+        s = sum(y for _, y in cur)
+        q = sum(y * y for _, y in cur)
+        dev = [(abs(n * y - s), t, y) for t, y in cur]
+        best = max(dev, key=lambda r: (r[0], -r[1]))
+        var_num = float(n * q - s * s)
+        sd = math.sqrt(var_num / (float(n) * float(n - 1)))
+        want.append((best[1], best[2], _r6s(best[0] / (float(n) * sd))))
+        cur = [(t, y) for t, y in cur if t != best[1]]
+    assert [w[0] for w in want[:3]] == [12, 40, 77]
+    assert len(got) == 5
+    for row, (t, y, rstat) in zip(sorted(got, key=lambda r: r["round"]), want):
+        assert row["day"] == f"2025-{1 + (t >= 31) + (t >= 59):02d}-{(t if t < 31 else t - 31 if t < 59 else t - 59) + 1:02d}"
+        assert row["cnt"] == y
+        assert row["r_stat"] == rstat
+
+
+def test_pacf_periodogram_at_scale_calendar_bounded(spark):
+    """90 planted days x ~2k orders/day with a weekly cycle: both
+    series operators reduce 180k rows to the 90-day spine and match
+    the literal recomputation cell-for-cell (same discipline as
+    tests/test_round9_pins.py, at 10x volume)."""
+    import math
+
+    from pubsub_mapreduce_spark.operators.robust import (
+        HALF_PI,
+        TWO_PI,
+        pacf_daily,
+        periodogram_peaks,
+    )
+
+    ys = [2000 + (300 if t % 7 in (0, 1) else 0) + (t * 53) % 97 for t in range(90)]
+    orders = _day_counts_orders(spark, ys)
+    n, s = len(ys), sum(ys)
+    yc = [n * y - s for y in ys]
+    g0 = sum(v * v for v in yc)
+    r = [None]
+    for i in range(1, 6):
+        r.append(sum(yc[t] * yc[t - i] for t in range(i, n)) / g0)
+    p11 = r[1]
+    v1 = 1.0 - p11 * r[1]
+    p22 = (r[2] - p11 * r[1]) / v1
+    row = pacf_daily(orders).collect()[0]
+    assert row["n_days"] == n
+    assert row["acf_1"] == _r6s(r[1]) and row["acf_2"] == _r6s(r[2])
+    assert row["pacf_1"] == _r6s(p11) and row["pacf_2"] == _r6s(p22)
+
+    got = {x["period"]: x for x in periodogram_peaks(orders).collect()}
+    ssq = g0
+    for p in (7, 30):
+        cm = sm = 0
+        for t, y in enumerate(ys):
+            ycf = float(n * y - s)
+            ang = TWO_PI * float(t) / float(p)
+            cm += math.floor(ycf * math.sin(ang + HALF_PI) * 1e3 + 0.5)
+            sm += math.floor(ycf * math.sin(ang) * 1e3 + 0.5)
+        strength = math.sqrt(
+            float(cm) * float(cm) + float(sm) * float(sm)
+        ) / (1e3 * math.sqrt(float(ssq)))
+        assert got[p]["c_milli"] == float(cm)
+        assert got[p]["s_milli"] == float(sm)
+        assert got[p]["strength"] == _r6s(strength)
+    assert got[7]["strength"] > got[30]["strength"]
+
+
+def test_fligner_killeen_at_scale_spine_windows_over_aggregates(spark):
+    """200k orders on a 100-value cents lattice x 5 priorities: the
+    test must run off the value spine — every Exchange
+    SinglePartition in the executed plan sits directly above a
+    HashAggregate (spine- or group-sized input), never the raw
+    relation — and still emit its one finite row."""
+    from pubsub_mapreduce_spark.operators.robust import fligner_killeen
+
+    orders = spark.range(200_000).selectExpr(
+        "concat('P', CAST(id % 5 AS STRING)) AS o_orderpriority",
+        "CAST(100 + (id * 7919) % 100 AS DOUBLE) AS o_totalprice",
+    )
+    df = fligner_killeen(orders)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            assert i + 1 < len(lines) and "HashAggregate" in lines[i + 1], (
+                line.strip(),
+                lines[i + 1].strip() if i + 1 < len(lines) else "<eof>",
+            )
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["n_rows"] == 200_000 and rows[0]["n_groups"] == 5
+    assert rows[0]["fk_stat"] is not None
