@@ -748,6 +748,42 @@ def solo_remeasure(
         entry["solo_clears"] = bool(best <= entry["prev"] * factor)
 
 
+# Noise canary (VERDICT r8 #5): three fixed CHEAP queries re-measured
+# at the very END of the sweep against round-pinned clean-window solo
+# times (min-of-3 warm, BENCH_LOCAL_r8.json's clean 245.8s map). A
+# degraded box drags all three together — the artifact then
+# self-identifies as noisy (``noise_suspect``) so a judge/regression
+# gate can adjudicate a bad window from the JSON alone instead of
+# from after-the-fact solo re-measures. Re-pin the baselines whenever
+# a round's clean run moves them materially.
+CANARY_BASELINE = {
+    "q1_pricing_summary": 0.854,
+    "distinct_per_status": 0.204,
+    "custdist": 0.243,
+}
+CANARY_FACTOR = 1.5  # per-canary degradation threshold (warm-min ratio)
+CANARY_QUORUM = 2  # >= this many degraded canaries => noise_suspect
+
+
+def run_canaries(spark, sf_dir, queries) -> tuple[dict, bool]:
+    canary = {}
+    n_deg = 0
+    for name, base in CANARY_BASELINE.items():
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            force(queries[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        ratio = best / base
+        canary[name] = {
+            "sec": round(best, 3),
+            "pinned_clean": base,
+            "ratio": round(ratio, 2),
+        }
+        n_deg += 1 if ratio >= CANARY_FACTOR else 0
+    return canary, n_deg >= CANARY_QUORUM
+
+
 def compact_stdout_line(doc: dict, limit: int = 1900) -> str:
     """Shrink the bench document to ONE stdout line that survives the
     driver's tail capture.
@@ -778,6 +814,8 @@ def compact_stdout_line(doc: dict, limit: int = 1900) -> str:
         "sf": doc["sf"],
         "reps": doc["reps"],
         "n_queries": len(doc["queries"]),
+        "noise_suspect": doc.get("noise_suspect"),
+        "canary": doc.get("canary", {}),
         "one_rep": doc.get("one_rep", []),
         "stream_mps": doc.get("stream_mps"),
         "stream_mps_baseline_local": doc.get("stream_mps_baseline_local"),
@@ -858,6 +896,8 @@ def main() -> None:
     # explicit intentional note) — never an uninvestigated flag
     solo_remeasure(spark, sf_dir, queries, vs_prev)
 
+    canary, noise_suspect = run_canaries(spark, sf_dir, queries)
+
     total = round(sum(timings.values()), 3)
     doc = {
         "metric": "total_query_wall_sec",
@@ -874,6 +914,8 @@ def main() -> None:
         # judge should read as deliberate single-shot measurements,
         # not under-measurement
         "one_rep": list(BENCH_QUERIES_SLOW),
+        "canary": canary,
+        "noise_suspect": noise_suspect,
         "vs_prev_round": vs_prev,
     }
     # durable artifact first: the driver's stdout capture truncates

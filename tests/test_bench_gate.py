@@ -147,3 +147,49 @@ def test_regression_diff_no_prior(tmp_path, monkeypatch):
         bench.os.path, "dirname", lambda p: str(tmp_path), raising=True
     )
     assert bench.regression_diff({"q1": 1.0}) == {}
+
+
+def test_noise_canary_fields_survive_compact_line():
+    """VERDICT r8 #5: the noise canary's verdict and per-canary ratios
+    must reach the stdout JSON (the driver tail) so a noisy window is
+    adjudicable from the artifact alone."""
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    doc = {
+        "metric": "total_query_wall_sec",
+        "value": 250.0,
+        "unit": "sec",
+        "sf": 0.1,
+        "reps": 3,
+        "queries": {f"q{i}": 0.5 for i in range(300)},
+        "canary": {
+            n: {"sec": 2.0, "pinned_clean": b, "ratio": round(2.0 / b, 2)}
+            for n, b in bench.CANARY_BASELINE.items()
+        },
+        "noise_suspect": True,
+        "vs_prev_round": {},
+    }
+    line = bench.compact_stdout_line(doc)
+    assert len(line) <= 1999
+    parsed = json.loads(line)
+    assert parsed["noise_suspect"] is True
+    assert set(parsed["canary"]) == set(bench.CANARY_BASELINE)
+    for c in parsed["canary"].values():
+        assert {"sec", "pinned_clean", "ratio"} <= set(c)
+
+
+def test_noise_canary_live_run_structure(spark):
+    """run_canaries executes the three pinned queries end-to-end and
+    returns (per-canary dict, bool). At sf0.001 the warm mins are far
+    under the sf0.1 clean pins, so the quorum must NOT trip."""
+    sys.path.insert(0, "/root/repo")
+    import bench
+    import __spark_entry__ as entrymod
+
+    canary, suspect = bench.run_canaries(
+        spark, "/root/testdata/sf0.001", entrymod.queries()
+    )
+    assert set(canary) == set(bench.CANARY_BASELINE)
+    assert all(c["sec"] > 0 for c in canary.values())
+    assert isinstance(suspect, bool)
