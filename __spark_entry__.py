@@ -3548,6 +3548,138 @@ def q_periodogram_peaks(spark, sf_dir):
     return RB.periodogram_peaks(load_tables(spark, sf_dir)["orders"])
 
 
+# ------------------------------------------------- round-9 additions
+
+
+def q_jarque_bera(spark, sf_dir):
+    """Jarque-Bera normality test of order totalprice
+    (robust.jarque_bera) — skew/kurtosis from shift-centered exact
+    integer power sums, the z-score sanity gate."""
+    return RB.jarque_bera(load_tables(spark, sf_dir)["orders"])
+
+
+def q_turning_point(spark, sf_dir):
+    """Turning-point randomness test on daily order counts
+    (robust.turning_point_test) — strict peaks/troughs vs the iid
+    2(n-2)/3 expectation."""
+    return RB.turning_point_test(load_tables(spark, sf_dir)["orders"])
+
+
+def q_bartels_rank(spark, sf_dir):
+    """Bartels rank von Neumann serial-dependence test on daily order
+    counts (robust.bartels_rank) — the distribution-free
+    durbin_watson, exact doubled ranks off the count value spine."""
+    return RB.bartels_rank(load_tables(spark, sf_dir)["orders"])
+
+
+def q_cusum_squares(spark, sf_dir):
+    """CUSUM-of-squares variance-changepoint scan on centered daily
+    order counts (robust.cusum_squares) — integer cross-multiplied
+    deviations, earliest-day argmax."""
+    return RB.cusum_squares(load_tables(spark, sf_dir)["orders"])
+
+
+def q_foster_stuart(spark, sf_dir):
+    """Foster-Stuart records trend test on daily order counts
+    (robust.foster_stuart) — record events vs the nano-quantized
+    harmonic variance."""
+    return RB.foster_stuart(load_tables(spark, sf_dir)["orders"])
+
+
+def q_dixon_q(spark, sf_dir):
+    """Dixon's Q gap-to-range ratios for the daily count extremes
+    (robust.dixon_q) — four order statistics, two mirrored
+    divisions."""
+    return RB.dixon_q(load_tables(spark, sf_dir)["orders"])
+
+
+def q_mtld(spark, sf_dir):
+    """MTLD lexical diversity per document (textops.mtld) — the
+    factor-reset forward fold over the token stream, integer TTR
+    threshold, recursive-CTE oracle twin."""
+    return TX.mtld(load_tables(spark, sf_dir)["documents"])
+
+
+def q_lttb_downsample(spark, sf_dir):
+    """LTTB shape-preserving downsample of daily revenue
+    (robust.lttb_downsample) — fixed-anchor triangle areas as exact
+    integer cross products, one selected day per bucket."""
+    return RB.lttb_downsample(load_tables(spark, sf_dir)["orders"])
+
+
+def q_hodges_lehmann(spark, sf_dir):
+    """Hodges-Lehmann weekend-vs-weekday shift of daily order counts
+    (robust.hodges_lehmann_dow) — median of the lattice-bounded
+    pairwise-difference multiset."""
+    return RB.hodges_lehmann_dow(load_tables(spark, sf_dir)["orders"])
+
+
+def q_cucconi(spark, sf_dir):
+    """Cucconi joint location-scale rank test between open and filled
+    orders' totalprice (robust.cucconi_test) — exact doubled-rank
+    moments off the cents spine."""
+    return RB.cucconi_test(load_tables(spark, sf_dir)["orders"])
+
+
+def q_gamma_somers(spark, sf_dir):
+    """Goodman-Kruskal gamma / Somers' D / Kendall tau-b between
+    line-item quantity and discount (robust.gamma_somers) — exact
+    pair counts on the schema-bounded contingency lattice."""
+    return RB.gamma_somers(load_tables(spark, sf_dir)["lineitem"])
+
+
+def q_barnard_exact(spark, sf_dir):
+    """Barnard's unconditional exact 2x2 test on md5-capped balance
+    arms (robust.barnard_exact) — nuisance-grid maximization with
+    mode-free binomial ratio folds, fisher_exact's power-dominant
+    companion."""
+    return RB.barnard_exact(load_tables(spark, sf_dir))
+
+
+def q_betweenness(spark, sf_dir):
+    """Sampled bounded-hop Brandes betweenness over the part
+    co-purchase graph (graph.betweenness_sampled): exact integer path
+    counts, nano-quantized dependency folds, top-20 brokers."""
+    from pubsub_mapreduce_spark.operators.graph import (
+        betweenness_sampled,
+        copurchase_edges,
+    )
+
+    edges = copurchase_edges(
+        load_tables(spark, sf_dir)["lineitem"], min_w=2
+    )
+    return betweenness_sampled(edges)
+
+
+def q_quade_test(spark, sf_dir):
+    """Quade range-weighted blocked rank test of monthly seasonality
+    across years (robust.quade_test) — doubled ranks on both spines,
+    16x-scaled exact sums."""
+    return RB.quade_test(load_tables(spark, sf_dir)["orders"])
+
+
+def q_lepage(spark, sf_dir):
+    """Lepage combined Wilcoxon + Ansari-Bradley location-scale test
+    between open and filled orders (robust.lepage_test) —
+    cucconi_test's classic cross-check."""
+    return RB.lepage_test(load_tables(spark, sf_dir)["orders"])
+
+
+def q_eccentricity(spark, sf_dir):
+    """Sampled BFS eccentricity + diameter lower bound of the part
+    co-purchase graph (graph.eccentricity_sample) — integer hop
+    counts, md5-chosen sources, recursive-CTE oracle."""
+    from pubsub_mapreduce_spark.operators.graph import (
+        copurchase_edges,
+        eccentricity_sample,
+    )
+
+    edges = copurchase_edges(
+        load_tables(spark, sf_dir)["lineitem"], min_w=2
+    )
+    return eccentricity_sample(edges)
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3611,6 +3743,20 @@ R8_NEW: list[str] = [
 ]
 
 R9_QUEUE = R8_NEW[45:]
+
+# Round-9 registrations, registration order. R9_QUEUE is EMPTY (round
+# 8 retired all debt), so these own gate slots 1-50 of the round-9
+# window outright; any overflow past slot 50 derives into R10_QUEUE.
+R9_NEW: list[str] = [
+    "jarque_bera", "turning_point", "bartels_rank",
+    "cusum_squares", "foster_stuart", "dixon_q",
+    "mtld", "lttb_downsample",
+    "hodges_lehmann", "cucconi", "gamma_somers",
+    "barnard_exact", "betweenness",
+    "quade_test", "lepage", "eccentricity",
+]
+
+R10_QUEUE = R9_NEW[50 - len(R9_QUEUE):]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3983,6 +4129,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gesd_outliers": q_gesd_outliers,
         "pacf_daily": q_pacf_daily,
         "periodogram_peaks": q_periodogram_peaks,
+        # --- round-9 additions (fill gate slots 1-50: R9_QUEUE is
+        # empty; overflow past slot 50 derives into R10_QUEUE) --------
+        "jarque_bera": q_jarque_bera,
+        "turning_point": q_turning_point,
+        "bartels_rank": q_bartels_rank,
+        "cusum_squares": q_cusum_squares,
+        "foster_stuart": q_foster_stuart,
+        "dixon_q": q_dixon_q,
+        "mtld": q_mtld,
+        "lttb_downsample": q_lttb_downsample,
+        "hodges_lehmann": q_hodges_lehmann,
+        "cucconi": q_cucconi,
+        "gamma_somers": q_gamma_somers,
+        "barnard_exact": q_barnard_exact,
+        "betweenness": q_betweenness,
+        "quade_test": q_quade_test,
+        "lepage": q_lepage,
+        "eccentricity": q_eccentricity,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -4037,15 +4201,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": q_q9_product_profit,
         "q12_priority_class": q_q12_priority_class,
     }
-    # Round-8 gate window (VERDICT r7 ask #1): the driver checks the
-    # FIRST 50 queries() keys. Slots 1-5 are the R8_QUEUE — the late
-    # round-7 registrations that have NEVER had a driver row (the only
-    # remaining debt after seven rounds; closing it makes cumulative
-    # driver coverage total). Slots 6-50 go to this round's new
-    # registrations (R8_NEW, registration order); any round-8 overflow
-    # past slot 50 derives into R9_QUEUE and owes the round-9 window.
-    # Pinned by tests/test_round2_tail.py.
-    head = [n for n in R8_QUEUE + R8_NEW[:50 - len(R8_QUEUE)] if n in base]
+    # Round-9 gate window (VERDICT r8 ask #2): the driver checks the
+    # FIRST 50 queries() keys. R9_QUEUE is empty — round 8 retired all
+    # gate debt — so slots 1-50 are free capacity spent on this
+    # round's new registrations (R9_NEW, registration order); any
+    # overflow past slot 50 derives into R10_QUEUE and owes the
+    # round-10 window. Pinned by tests/test_round2_tail.py.
+    head = [n for n in R9_QUEUE + R9_NEW[:50 - len(R9_QUEUE)] if n in base]
     ordered = {n: base[n] for n in head}
     for n, fn in base.items():
         if n not in ordered:
@@ -14723,4 +14885,643 @@ def oracle_sql() -> dict[str, str]:
         """
         + " UNION ALL ".join(_pg_rows)
     )
+    # ------------------------------------------------ round-9 oracles
+    out["jarque_bera"] = """
+        WITH d AS (SELECT CAST(round(o_totalprice) AS BIGINT) AS x
+                   FROM orders),
+        m1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CAST(x AS HUGEINT)) AS BIGINT) AS s1
+               FROM d),
+        m1c AS (SELECT n, s1, (2 * s1 + n) // (2 * n) AS c FROM m1),
+        t AS (SELECT max(n) AS n,
+                     CAST(max(s1) - max(n) * max(c) AS BIGINT) AS e,
+                     sum(CAST(x - c AS HUGEINT) * (x - c)) AS t2,
+                     sum(CAST(x - c AS HUGEINT) * (x - c) * (x - c))
+                       AS t3,
+                     sum(CAST(x - c AS HUGEINT) * (x - c) * (x - c)
+                         * (x - c)) AS t4
+              FROM d, m1c),
+        f AS (SELECT n, t2,
+                     CAST(e AS DOUBLE) AS ed, CAST(n AS DOUBLE) AS nd,
+                     CAST(t2 AS DOUBLE) AS t2d,
+                     CAST(t3 AS DOUBLE) AS t3d,
+                     CAST(t4 AS DOUBLE) AS t4d
+              FROM t),
+        g AS (SELECT n, t2, nd,
+                     (t2d - ed * ed / nd) / nd AS m2,
+                     (t3d - 3.0 * ed * t2d / nd
+                      + 2.0 * ed * ed * ed / (nd * nd)) / nd AS m3,
+                     (t4d - 4.0 * ed * t3d / nd
+                      + 6.0 * ed * ed * t2d / (nd * nd)
+                      - 3.0 * ed * ed * ed * ed / (nd * nd * nd)) / nd
+                       AS m4
+              FROM f),
+        h AS (SELECT n, t2, nd,
+                     m3 / (m2 * sqrt(m2)) AS g1,
+                     m4 / (m2 * m2) - 3.0 AS g2
+              FROM g)
+        SELECT n,
+               floor(g1 * 1e6 + 0.5) / 1e6 AS skewness,
+               floor(g2 * 1e6 + 0.5) / 1e6 AS ex_kurtosis,
+               floor(nd / 6.0 * (g1 * g1 + g2 * g2 / 4.0) * 1e6 + 0.5)
+                 / 1e6 AS jb_stat
+        FROM h WHERE n >= 4 AND t2 > 0
+    """
+    out["turning_point"] = """
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        t AS (SELECT y, lag(y) OVER (ORDER BY d) AS p,
+                     lead(y) OVER (ORDER BY d) AS q
+              FROM daily),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN p IS NOT NULL
+                                      AND q IS NOT NULL
+                                      AND ((p < y AND y > q)
+                                           OR (p > y AND y < q))
+                                THEN 1 ELSE 0 END) AS BIGINT) AS t_obs
+                FROM t)
+        SELECT n AS n_days, t_obs,
+          floor(2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0 * 1e6 + 0.5)
+            / 1e6 AS expected,
+          floor((CAST(t_obs AS DOUBLE)
+                 - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+                / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0)
+                * 1e6 + 0.5) / 1e6 AS z
+        FROM agg WHERE n >= 4
+    """
+    out["bartels_rank"] = """
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        spine AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt
+                  FROM daily GROUP BY 1),
+        r2m AS (SELECT y,
+                       CAST(2 * COALESCE(sum(cnt) OVER (ORDER BY y
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0)
+                            + cnt + 1 AS BIGINT) AS r2
+                FROM spine),
+        cnt_ AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        seq AS (SELECT daily.d, r2m.r2,
+                       lead(r2m.r2) OVER (ORDER BY daily.d) AS r2n,
+                       cnt_.n
+                FROM daily JOIN r2m ON daily.y = r2m.y, cnt_),
+        agg AS (SELECT max(n) AS n,
+                       CAST(sum(CASE WHEN r2n IS NOT NULL
+                                THEN (r2 - r2n) * (r2 - r2n)
+                                END) AS BIGINT) AS num4,
+                       CAST(sum((r2 - (n + 1)) * (r2 - (n + 1)))
+                            AS BIGINT) AS den4
+                FROM seq)
+        SELECT n AS n_days,
+          floor(CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE)
+                * 1e6 + 0.5) / 1e6 AS rvn,
+          floor((CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE) - 2.0)
+                / sqrt(4.0 * (CAST(n AS DOUBLE) - 2.0)
+                       * (5.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                          - 2.0 * CAST(n AS DOUBLE) - 9.0)
+                       / (5.0 * CAST(n AS DOUBLE)
+                          * (CAST(n AS DOUBLE) + 1.0)
+                          * (CAST(n AS DOUBLE) - 1.0)
+                          * (CAST(n AS DOUBLE) - 1.0)))
+                * 1e6 + 0.5) / 1e6 AS z
+        FROM agg WHERE n >= 10 AND den4 > 0
+    """
+    out["cusum_squares"] = """
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(y) AS BIGINT) AS s FROM daily),
+        sq AS (SELECT d, n,
+                      (CAST(n AS HUGEINT) * y - s)
+                      * (CAST(n AS HUGEINT) * y - s) AS z2,
+                      CAST(row_number() OVER (ORDER BY d) AS BIGINT)
+                        AS t
+               FROM daily, m),
+        run AS (SELECT d, n, t,
+                       sum(z2) OVER (ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS ct
+                FROM sq),
+        tot AS (SELECT max(ct) AS c_tot FROM run),
+        dev AS (SELECT d, n, t,
+                       abs(CAST(n AS HUGEINT) * ct
+                           - CAST(t AS HUGEINT) * c_tot) AS dev_num,
+                       CAST(n AS HUGEINT) * c_tot AS den
+                FROM run, tot),
+        best AS (SELECT * FROM dev ORDER BY dev_num DESC, d ASC
+                 LIMIT 1)
+        SELECT n AS n_days, strftime(d, '%Y-%m-%d') AS peak_day,
+          floor(CAST(dev_num AS DOUBLE) / CAST(den AS DOUBLE)
+                * 1e6 + 0.5) / 1e6 AS stat
+        FROM best WHERE den > 0
+    """
+    out["foster_stuart"] = """
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        rec AS (SELECT d, y,
+                       max(y) OVER (ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS pmax,
+                       min(y) OVER (ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS pmin,
+                       CAST(row_number() OVER (ORDER BY d) AS BIGINT)
+                         AS t
+                FROM daily),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE
+                             WHEN pmax IS NOT NULL AND y > pmax THEN 1
+                             WHEN pmax IS NOT NULL AND y < pmin
+                               THEN -1
+                             ELSE 0 END) AS BIGINT) AS s_stat,
+                       CAST(sum(CASE WHEN t >= 2
+                                THEN CAST(floor(2e9
+                                       / CAST(t AS DOUBLE) + 0.5)
+                                     AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS var_nano
+                FROM rec)
+        SELECT n AS n_days, s_stat,
+          floor(CAST(s_stat AS DOUBLE)
+                / sqrt(CAST(var_nano AS DOUBLE) / 1e9)
+                * 1e6 + 0.5) / 1e6 AS z
+        FROM agg WHERE n >= 4 AND var_nano > 0
+    """
+    out["dixon_q"] = """
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        os_ AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(max(y) AS BIGINT) AS y_n,
+                       CAST(min(y) AS BIGINT) AS y_1
+                FROM daily),
+        spine AS (SELECT y, CAST(count(*) AS BIGINT) AS c
+                  FROM daily GROUP BY 1),
+        hi2 AS (SELECT CAST(arg_max(c, y) AS BIGINT) AS c_h1,
+                       CAST(min(y) AS BIGINT) AS h2
+                FROM (SELECT * FROM spine ORDER BY y DESC LIMIT 2)),
+        lo2 AS (SELECT CAST(arg_min(c, y) AS BIGINT) AS c_l1,
+                       CAST(max(y) AS BIGINT) AS l2
+                FROM (SELECT * FROM spine ORDER BY y ASC LIMIT 2)),
+        dmax AS (SELECT strftime(d, '%Y-%m-%d') AS day_max
+                 FROM daily ORDER BY y DESC, d ASC LIMIT 1),
+        dmin AS (SELECT strftime(d, '%Y-%m-%d') AS day_min
+                 FROM daily ORDER BY y ASC, d ASC LIMIT 1)
+        SELECT n AS n_days, y_1 AS y_min, y_n AS y_max,
+               day_min, day_max,
+          floor(CAST(CASE WHEN c_h1 > 1 THEN 0
+                     ELSE y_n - h2 END AS DOUBLE)
+                / CAST(y_n - y_1 AS DOUBLE) * 1e6 + 0.5) / 1e6
+            AS q_high,
+          floor(CAST(CASE WHEN c_l1 > 1 THEN 0
+                     ELSE l2 - y_1 END AS DOUBLE)
+                / CAST(y_n - y_1 AS DOUBLE) * 1e6 + 0.5) / 1e6
+            AS q_low
+        FROM os_, hi2, lo2, dmax, dmin
+        WHERE n >= 4 AND y_n - y_1 > 0
+    """
+    out["mtld"] = r"""
+        WITH RECURSIVE base AS MATERIALIZED (
+          SELECT doc_id,
+                 (list_filter(string_split_regex(text, '\s+'),
+                              t -> t <> ''))[1:200] AS arr
+          FROM documents),
+        nn AS MATERIALIZED (
+          SELECT doc_id, len(arr) AS n_tokens FROM base),
+        tk AS MATERIALIZED (
+          SELECT doc_id, generate_subscripts(arr, 1) AS pos,
+                 unnest(arr) AS tok
+          FROM base),
+        st AS (
+          SELECT doc_id, 0 AS pos, 0 AS f,
+                 CAST([] AS VARCHAR[]) AS seen, 0 AS flen
+          FROM base
+          UNION ALL
+          SELECT st.doc_id, st.pos + 1,
+                 CASE WHEN 100 * len(CASE WHEN list_contains(st.seen, tk.tok) THEN st.seen ELSE list_append(st.seen, tk.tok) END) <= 72 * (st.flen + 1) THEN st.f + 1 ELSE st.f END,
+                 CASE WHEN 100 * len(CASE WHEN list_contains(st.seen, tk.tok) THEN st.seen ELSE list_append(st.seen, tk.tok) END) <= 72 * (st.flen + 1) THEN CAST([] AS VARCHAR[])
+                      ELSE CASE WHEN list_contains(st.seen, tk.tok) THEN st.seen ELSE list_append(st.seen, tk.tok) END END,
+                 CASE WHEN 100 * len(CASE WHEN list_contains(st.seen, tk.tok) THEN st.seen ELSE list_append(st.seen, tk.tok) END) <= 72 * (st.flen + 1) THEN 0 ELSE st.flen + 1 END
+          FROM st JOIN tk ON tk.doc_id = st.doc_id
+                         AND tk.pos = st.pos + 1),
+        fin AS (
+          SELECT st.doc_id, nn.n_tokens, st.f, st.flen, st.seen
+          FROM st JOIN nn ON nn.doc_id = st.doc_id
+                         AND st.pos = nn.n_tokens)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(f AS BIGINT) AS n_factors,
+               CASE WHEN (CAST(f AS DOUBLE) + CASE WHEN flen > 0 THEN (1.0 - CAST(len(seen) AS DOUBLE) / CAST(flen AS DOUBLE)) / (1.0 - 0.72) ELSE 0.0 END) > 0
+                    THEN floor(CAST(n_tokens AS DOUBLE) / (CAST(f AS DOUBLE) + CASE WHEN flen > 0 THEN (1.0 - CAST(len(seen) AS DOUBLE) / CAST(flen AS DOUBLE)) / (1.0 - 0.72) ELSE 0.0 END)
+                               * 1e6 + 0.5) / 1e6
+               END AS mtld
+        FROM fin
+    """
+    out["lttb_downsample"] = """
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS d,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        idx AS (SELECT d, y,
+                       CAST(row_number() OVER (ORDER BY d) - 1
+                            AS BIGINT) AS t
+                FROM daily),
+        cnt AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM idx),
+        b AS (SELECT d, y, t,
+                     CAST(CASE WHEN t = 0 THEN 0
+                               WHEN t = nd - 1 THEN 39
+                               ELSE 1 + ((t - 1) * 38) // (nd - 2)
+                          END AS INTEGER) AS bucket
+              FROM idx, cnt),
+        aggs AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c,
+                        CAST(sum(t) AS BIGINT) AS sx,
+                        sum(CAST(y AS HUGEINT)) AS sy
+                 FROM b GROUP BY 1),
+        j AS (SELECT b.*, p.c AS cp, p.sx AS sxp, p.sy AS syp,
+                     n.c AS cn, n.sx AS sxn, n.sy AS syn
+              FROM b LEFT JOIN aggs p ON p.bucket = b.bucket - 1
+                     LEFT JOIN aggs n ON n.bucket = b.bucket + 1),
+        sc AS (SELECT *,
+                      abs((CAST(sxp AS HUGEINT) * cn
+                           - CAST(sxn AS HUGEINT) * cp)
+                          * (CAST(y AS HUGEINT) * cp - syp)
+                          - (CAST(sxp AS HUGEINT)
+                             - CAST(t AS HUGEINT) * cp)
+                          * (CAST(syn AS HUGEINT) * cp - syp * cn))
+                        AS score
+               FROM j),
+        r AS (SELECT *, row_number() OVER (PARTITION BY bucket
+                   ORDER BY COALESCE(score, -1) DESC, t ASC) AS rn
+              FROM sc)
+        SELECT bucket, t, strftime(d, '%Y-%m-%d') AS day,
+               y AS y_cents
+        FROM r WHERE rn = 1
+    """
+    out["hodges_lehmann"] = """
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS d,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        dw AS (SELECT y, CASE WHEN isodow(d) IN (6, 7)
+                              THEN 1 ELSE 0 END AS we
+               FROM daily),
+        sa AS (SELECT y, CAST(count(*) AS BIGINT) AS ca
+               FROM dw WHERE we = 1 GROUP BY 1),
+        sb AS (SELECT y AS yb, CAST(count(*) AS BIGINT) AS cb
+               FROM dw WHERE we = 0 GROUP BY 1),
+        diffs AS (SELECT y - yb AS diff,
+                         CAST(sum(ca * cb) AS BIGINT) AS w
+                  FROM sa, sb GROUP BY 1),
+        tot AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM diffs),
+        cum AS (SELECT diff,
+                       sum(w) OVER (ORDER BY diff
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cw,
+                       t
+                FROM diffs, tot),
+        d1 AS (SELECT diff AS d1 FROM cum
+               WHERE cw >= (t + 1) // 2 ORDER BY diff LIMIT 1),
+        d2 AS (SELECT diff AS d2 FROM cum
+               WHERE cw >= t // 2 + 1 ORDER BY diff LIMIT 1),
+        counts AS (SELECT CAST(sum(we) AS BIGINT) AS n_weekend,
+                          CAST(sum(1 - we) AS BIGINT) AS n_weekday
+                   FROM dw)
+        SELECT n_weekend, n_weekday,
+               CAST(d1 + d2 AS DOUBLE) / 2.0 AS hl_shift
+        FROM counts, d1, d2
+        WHERE n_weekend >= 1 AND n_weekday >= 1
+    """
+    out["cucconi"] = """
+        WITH d AS (
+          SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                   AS in2,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS v
+          FROM orders WHERE o_orderstatus IN ('O', 'F')),
+        gv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+                      CAST(sum(in2) AS BIGINT) AS c2
+               FROM d GROUP BY 1),
+        sp AS (SELECT v, cnt, c2,
+                      CAST(2 * COALESCE(sum(cnt) OVER (ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0)
+                           + cnt + 1 AS BIGINT) AS r2
+               FROM gv),
+        agg AS (SELECT CAST(sum(cnt - c2) AS BIGINT) AS n1,
+                       CAST(sum(c2) AS BIGINT) AS n2,
+                       sum(CAST(c2 AS HUGEINT) * r2 * r2) AS p,
+                       sum(CAST(c2 AS HUGEINT) * r2) AS sr
+                FROM sp),
+        f AS (SELECT n1, n2,
+                     CAST(n1 AS DOUBLE) AS n1d,
+                     CAST(n2 AS DOUBLE) AS n2d,
+                     CAST(n1 + n2 AS DOUBLE) AS nd,
+                     CAST(p AS DOUBLE) AS pd,
+                     CAST(sr AS DOUBLE) AS srd
+              FROM agg),
+        g AS (SELECT n1, n2, nd, n2d, pd,
+                     4.0 * n2d * (nd + 1.0) * (nd + 1.0)
+                     - 4.0 * (nd + 1.0) * srd + pd AS qd,
+                     4.0 * sqrt(n1d * n2d * (nd + 1.0)
+                                * (2.0 * nd + 1.0)
+                                * (8.0 * nd + 11.0) / 5.0) AS sd4,
+                     2.0 * (nd * nd - 4.0)
+                     / ((2.0 * nd + 1.0) * (8.0 * nd + 11.0)) - 1.0
+                       AS rho
+              FROM f),
+        h AS (SELECT n1, n2, rho,
+                     (6.0 * pd - 4.0 * n2d * (nd + 1.0)
+                      * (2.0 * nd + 1.0)) / sd4 AS u,
+                     (6.0 * qd - 4.0 * n2d * (nd + 1.0)
+                      * (2.0 * nd + 1.0)) / sd4 AS v
+              FROM g)
+        SELECT n1, n2,
+               floor(u * 1e6 + 0.5) / 1e6 AS u,
+               floor(v * 1e6 + 0.5) / 1e6 AS v,
+               floor(rho * 1e6 + 0.5) / 1e6 AS rho,
+               floor((u * u + v * v - 2.0 * rho * u * v)
+                     / (2.0 * (1.0 - rho * rho)) * 1e6 + 0.5) / 1e6
+                 AS c_stat
+        FROM h WHERE n1 >= 2 AND n2 >= 2
+    """
+    out["gamma_somers"] = """
+        WITH cells AS (
+          SELECT CAST(l_quantity AS BIGINT) AS q,
+                 CAST(round(l_discount * 100) AS BIGINT) AS dc,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM lineitem GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.q AS q1, a.dc AS d1, a.n AS m1,
+                 b.q AS q2, b.dc AS d2, b.n AS m2
+          FROM cells a JOIN cells b
+            ON (a.q < b.q) OR (a.q = b.q AND a.dc < b.dc)),
+        agg AS (SELECT
+          sum(CASE WHEN q1 < q2 AND d1 < d2
+              THEN CAST(m1 AS HUGEINT) * m2 END) AS c,
+          sum(CASE WHEN q1 < q2 AND d1 > d2
+              THEN CAST(m1 AS HUGEINT) * m2 END) AS dd,
+          sum(CASE WHEN q1 < q2 AND d1 = d2
+              THEN CAST(m1 AS HUGEINT) * m2 END) AS ty,
+          sum(CASE WHEN q1 = q2
+              THEN CAST(m1 AS HUGEINT) * m2 END) AS tx
+          FROM pairs),
+        f AS (SELECT c, dd,
+                     CAST(COALESCE(c, 0) AS DOUBLE) AS cd_,
+                     CAST(COALESCE(dd, 0) AS DOUBLE) AS dd_,
+                     CAST(COALESCE(ty, 0) AS DOUBLE) AS ty_,
+                     CAST(COALESCE(tx, 0) AS DOUBLE) AS tx_
+              FROM agg)
+        SELECT CAST(c AS BIGINT) AS concordant,
+               CAST(dd AS BIGINT) AS discordant,
+               floor((cd_ - dd_) / (cd_ + dd_) * 1e6 + 0.5) / 1e6
+                 AS gamma,
+               floor((cd_ - dd_) / (cd_ + dd_ + ty_) * 1e6 + 0.5)
+                 / 1e6 AS somers_d,
+               floor((cd_ - dd_) / sqrt((cd_ + dd_ + tx_)
+                     * (cd_ + dd_ + ty_)) * 1e6 + 0.5) / 1e6 AS tau_b
+        FROM f WHERE cd_ + dd_ > 0
+    """
+    out["barnard_exact"] = """
+        WITH pc AS (SELECT o_custkey,
+                           CAST(count(*) AS BIGINT) AS n_orders
+                    FROM orders GROUP BY 1),
+        j AS (SELECT CASE WHEN COALESCE(n_orders, 0) >= 10
+                          THEN 1 ELSE 0 END AS y,
+                     CASE WHEN c_acctbal >= 5000.0
+                          THEN 1 ELSE 0 END AS arm1,
+                     md5(CAST(c_custkey AS VARCHAR)) AS h
+              FROM customer LEFT JOIN pc ON c_custkey = o_custkey),
+        a1 AS (SELECT CAST(count(*) AS BIGINT) AS n1,
+                      CAST(sum(y) AS BIGINT) AS k1
+               FROM (SELECT * FROM j WHERE arm1 = 1
+                     ORDER BY h LIMIT 30)),
+        a0 AS (SELECT CAST(count(*) AS BIGINT) AS n2,
+                      CAST(sum(y) AS BIGINT) AS k2
+               FROM (SELECT * FROM j WHERE arm1 = 0
+                     ORDER BY h LIMIT 30)),
+        base AS (SELECT n1, k1, n2, k2,
+                        (CASE WHEN sqrt(CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) * (1.0 - CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) > 0 THEN (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt(CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) * (1.0 - CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) ELSE 0.0 END) AS t_obs
+                 FROM a1, a0),
+        g AS (SELECT base.*, rg.jg,
+                     CAST(rg.jg AS DOUBLE) / 200.0 AS pi
+              FROM base, (SELECT unnest(range(1, 200)) AS jg) rg),
+        g2 AS (SELECT *,
+                      list_transform(range(0, n1 + 1), a_ -> CASE WHEN a_ = 0 THEN 1.0 ELSE list_reduce(list_prepend(1.0, list_transform(range(0, a_), jj -> CAST(n1 - jj AS DOUBLE) / CAST(jj + 1 AS DOUBLE) * (pi / (1.0 - pi)))), (acc, r) -> acc * r) END) AS qa_arr,
+                      list_transform(range(0, n2 + 1), a_ -> CASE WHEN a_ = 0 THEN 1.0 ELSE list_reduce(list_prepend(1.0, list_transform(range(0, a_), jj -> CAST(n2 - jj AS DOUBLE) / CAST(jj + 1 AS DOUBLE) * (pi / (1.0 - pi)))), (acc, r) -> acc * r) END) AS qb_arr
+               FROM g),
+        per AS (SELECT n1, k1, n2, k2, t_obs, pi, jg,
+                       list_reduce(list_prepend(0.0, list_transform(range(0, n1 + 1), a -> qa_arr[a + 1] * list_reduce(list_prepend(0.0, list_transform(range(0, n2 + 1), b -> CASE WHEN abs((CASE WHEN sqrt(CAST(a + b AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) * (1.0 - CAST(a + b AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) > 0 THEN (CAST(a AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(b AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt(CAST(a + b AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) * (1.0 - CAST(a + b AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) ELSE 0.0 END)) >= abs(t_obs) * (1.0 - 1e-7) THEN qb_arr[b + 1] ELSE 0.0 END)), (acc2, x2) -> acc2 + x2))), (acc, x) -> acc + x)
+                       / (list_reduce(list_prepend(0.0, qa_arr), (acc, x) -> acc + x) * list_reduce(list_prepend(0.0, qb_arr), (acc, x) -> acc + x)) AS p
+                FROM g2)
+        SELECT n1, k1, n2, k2,
+               floor(t_obs * 1e6 + 0.5) / 1e6 AS t_obs,
+               floor(pi * 1e6 + 0.5) / 1e6 AS pi_hat,
+               floor(p * 1e6 + 0.5) / 1e6 AS p_barnard
+        FROM per ORDER BY p DESC, jg ASC LIMIT 1
+    """
+    out["betweenness"] = """
+        WITH e0 AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                    FROM lineitem GROUP BY 1, 2),
+        ed AS (SELECT x.pk AS a, y.pk AS b
+               FROM e0 x JOIN e0 y ON x.ok = y.ok AND x.pk < y.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+        srcs AS (SELECT node AS src
+                 FROM (SELECT DISTINCT a AS node FROM und)
+                 ORDER BY md5(CAST(node AS VARCHAR)) LIMIT 4),
+        l0 AS (SELECT src, src AS node, CAST(1 AS HUGEINT) AS sigma
+               FROM srcs),
+        l1r AS (SELECT l0.src, u.b AS node,
+                       CAST(sum(l0.sigma) AS HUGEINT) AS sigma
+                FROM l0 JOIN und u ON u.a = l0.node GROUP BY 1, 2),
+        l1 AS (SELECT l1r.* FROM l1r
+               ANTI JOIN l0 ON l0.src = l1r.src AND l0.node = l1r.node),
+        l2r AS (SELECT l1.src, u.b AS node,
+                       CAST(sum(l1.sigma) AS HUGEINT) AS sigma
+                FROM l1 JOIN und u ON u.a = l1.node GROUP BY 1, 2),
+        v1 AS (SELECT src, node FROM l0
+               UNION ALL SELECT src, node FROM l1),
+        l2 AS (SELECT l2r.* FROM l2r
+               ANTI JOIN v1 ON v1.src = l2r.src AND v1.node = l2r.node),
+        l3r AS (SELECT l2.src, u.b AS node,
+                       CAST(sum(l2.sigma) AS HUGEINT) AS sigma
+                FROM l2 JOIN und u ON u.a = l2.node GROUP BY 1, 2),
+        v2 AS (SELECT src, node FROM v1
+               UNION ALL SELECT src, node FROM l2),
+        l3 AS (SELECT l3r.* FROM l3r
+               ANTI JOIN v2 ON v2.src = l3r.src AND v2.node = l3r.node),
+        d3 AS (SELECT src, node, sigma,
+                      CAST(0 AS HUGEINT) AS dn FROM l3),
+        t2 AS (SELECT l2.src, l2.node,
+                      CAST((2 * l2.sigma * (1000000000 + c.dn)
+                            + c.sigma) // (2 * c.sigma) AS HUGEINT)
+                        AS term
+               FROM l2 JOIN und u ON u.a = l2.node
+                    JOIN d3 c ON c.src = l2.src AND c.node = u.b),
+        d2 AS (SELECT l2.src, l2.node, l2.sigma,
+                      CAST(COALESCE(s.t, 0) AS HUGEINT) AS dn
+               FROM l2 LEFT JOIN (SELECT src, node, sum(term) AS t
+                                  FROM t2 GROUP BY 1, 2) s
+                 ON s.src = l2.src AND s.node = l2.node),
+        t1 AS (SELECT l1.src, l1.node,
+                      CAST((2 * l1.sigma * (1000000000 + c.dn)
+                            + c.sigma) // (2 * c.sigma) AS HUGEINT)
+                        AS term
+               FROM l1 JOIN und u ON u.a = l1.node
+                    JOIN d2 c ON c.src = l1.src AND c.node = u.b),
+        d1 AS (SELECT l1.src, l1.node, l1.sigma,
+                      CAST(COALESCE(s.t, 0) AS HUGEINT) AS dn
+               FROM l1 LEFT JOIN (SELECT src, node, sum(term) AS t
+                                  FROM t1 GROUP BY 1, 2) s
+                 ON s.src = l1.src AND s.node = l1.node),
+        bc AS (SELECT node, CAST(sum(dn) AS HUGEINT) AS bc_nano
+               FROM (SELECT src, node, dn FROM d1
+                     UNION ALL SELECT src, node, dn FROM d2
+                     UNION ALL SELECT src, node, dn FROM d3)
+               GROUP BY 1)
+        SELECT node AS partkey, CAST(bc_nano AS BIGINT) AS bc_nano,
+               floor(CAST(bc_nano AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6
+                 AS betweenness
+        FROM bc ORDER BY bc_nano DESC, node ASC LIMIT 20
+    """
+    out["quade_test"] = """
+        WITH cells AS (
+          SELECT CAST(year(o_orderdate) AS INTEGER) AS j,
+                 CAST(month(o_orderdate) AS INTEGER) AS it,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1, 2),
+        months AS (SELECT CAST(unnest(range(1, 13)) AS INTEGER) AS it),
+        years AS (SELECT DISTINCT j FROM cells),
+        full_ AS (SELECT y.j, m.it, COALESCE(c.c, 0) AS c
+                  FROM years y CROSS JOIN months m
+                  LEFT JOIN cells c ON c.j = y.j AND c.it = m.it),
+        perv AS (SELECT j, c, CAST(count(*) AS BIGINT) AS cnt
+                 FROM full_ GROUP BY 1, 2),
+        rk AS (SELECT j, c, cnt,
+                      COALESCE(sum(cnt) OVER (PARTITION BY j ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS below
+               FROM perv),
+        ranked AS (SELECT f.j, f.it,
+                          2 * r.below + r.cnt + 1 AS r2
+                   FROM full_ f JOIN rk r
+                     ON r.j = f.j AND r.c = f.c),
+        rng AS (SELECT j, CAST(max(c) - min(c) AS BIGINT) AS rg
+                FROM full_ GROUP BY 1),
+        rv AS (SELECT rg, CAST(count(*) AS BIGINT) AS cnt
+               FROM rng GROUP BY 1),
+        qrk AS (SELECT rg, cnt,
+                       COALESCE(sum(cnt) OVER (ORDER BY rg
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS below
+                FROM rv),
+        q2 AS (SELECT rng.j, 2 * qrk.below + qrk.cnt + 1 AS q2
+               FROM rng JOIN qrk ON qrk.rg = rng.rg),
+        s AS (SELECT ranked.j, ranked.it,
+                     CAST(q2.q2 AS HUGEINT) * (ranked.r2 - 13) AS s4
+              FROM ranked JOIN q2 ON q2.j = ranked.j),
+        a16 AS (SELECT CAST(count(DISTINCT j) AS BIGINT) AS n,
+                       sum(s4 * s4) AS a16
+                FROM s),
+        b16 AS (SELECT sum(si4 * si4) AS b16n
+                FROM (SELECT it, sum(s4) AS si4 FROM s GROUP BY 1)),
+        f AS (SELECT n,
+                     CAST(a16 AS DOUBLE) / 16.0 AS af,
+                     CAST(b16n AS DOUBLE)
+                       / (16.0 * CAST(n AS DOUBLE)) AS bf
+              FROM a16, b16)
+        SELECT n AS n_blocks, CAST(12 AS BIGINT) AS k_treatments,
+               CAST(11 AS BIGINT) AS df1,
+               CAST((n - 1) * 11 AS BIGINT) AS df2,
+               floor((CAST(n AS DOUBLE) - 1.0) * bf / (af - bf)
+                     * 1e6 + 0.5) / 1e6 AS f_stat
+        FROM f WHERE n >= 2 AND af - bf > 0
+    """
+    out["lepage"] = """
+        WITH d AS (
+          SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                   AS in2,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS v
+          FROM orders WHERE o_orderstatus IN ('O', 'F')),
+        gv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+                      CAST(sum(in2) AS BIGINT) AS c2
+               FROM d GROUP BY 1),
+        sp AS (SELECT cnt, c2,
+                      CAST(2 * COALESCE(sum(cnt) OVER (ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0)
+                           + cnt + 1 AS BIGINT) AS r2
+               FROM gv),
+        cnt_all AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM sp),
+        agg AS (SELECT max(nn) AS nn,
+                       CAST(sum(cnt - c2) AS BIGINT) AS n1,
+                       CAST(sum(c2) AS BIGINT) AS n2,
+                       sum(CAST(c2 AS HUGEINT) * r2) AS w2,
+                       sum(CAST(c2 AS HUGEINT)
+                           * least(r2, 2 * (nn + 1) - r2)) AS ab2
+                FROM sp, cnt_all),
+        f AS (SELECT n1, n2, nn,
+                     CAST(nn AS DOUBLE) AS nd,
+                     CAST(n1 AS DOUBLE) AS n1d,
+                     CAST(n2 AS DOUBLE) AS n2d,
+                     CAST(w2 AS DOUBLE) / 2.0 AS wd,
+                     CAST(ab2 AS DOUBLE) / 2.0 AS abd
+              FROM agg),
+        g AS (SELECT n1, n2,
+                     (wd - n2d * (nd + 1.0) / 2.0)
+                     / sqrt(n1d * n2d * (nd + 1.0) / 12.0) AS zw,
+                     (abd - CASE WHEN nn % 2 = 0
+                            THEN n2d * (nd + 2.0) / 4.0
+                            ELSE n2d * (nd + 1.0) * (nd + 1.0)
+                                 / (4.0 * nd) END)
+                     / sqrt(CASE WHEN nn % 2 = 0
+                            THEN n1d * n2d * (nd + 2.0) * (nd - 2.0)
+                                 / (48.0 * (nd - 1.0))
+                            ELSE n1d * n2d * (nd + 1.0)
+                                 * (3.0 + nd * nd)
+                                 / (48.0 * nd * nd) END) AS za
+              FROM f)
+        SELECT n1, n2,
+               floor(zw * 1e6 + 0.5) / 1e6 AS z_wilcoxon,
+               floor(za * 1e6 + 0.5) / 1e6 AS z_ansari,
+               floor((zw * zw + za * za) * 1e6 + 0.5) / 1e6 AS d_stat
+        FROM g WHERE n1 >= 2 AND n2 >= 2
+    """
+    out["eccentricity"] = """
+        WITH RECURSIVE e0 AS (
+          SELECT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem GROUP BY 1, 2),
+        ed AS (SELECT x.pk AS a, y.pk AS b
+               FROM e0 x JOIN e0 y ON x.ok = y.ok AND x.pk < y.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+        srcs AS (SELECT node AS src
+                 FROM (SELECT DISTINCT a AS node FROM und)
+                 ORDER BY md5(CAST(node AS VARCHAR)) LIMIT 6),
+        reach(src, node, hop) AS (
+          SELECT src, src, 0 FROM srcs
+          UNION
+          SELECT r.src, u.b, r.hop + 1
+          FROM reach r JOIN und u ON u.a = r.node
+          WHERE r.hop < 6),
+        mh AS (SELECT src, node, CAST(min(hop) AS BIGINT) AS hop
+               FROM reach GROUP BY 1, 2),
+        per AS (SELECT src, CAST(count(*) AS BIGINT) AS n_reached,
+                       CAST(max(hop) AS BIGINT) AS ecc
+                FROM mh GROUP BY 1),
+        alive AS (SELECT src, count(*) AS cnt
+                  FROM mh WHERE hop = 6 GROUP BY 1),
+        dia AS (SELECT CAST(max(ecc) AS BIGINT) AS diameter_lb
+                FROM per)
+        SELECT per.src AS source, n_reached, ecc,
+               COALESCE(alive.cnt, 0) > 0 AS at_cap, diameter_lb
+        FROM per LEFT JOIN alive ON alive.src = per.src, dia
+    """
     return out

@@ -443,6 +443,23 @@ BENCH_QUERIES = [
     "gesd_outliers",
     "pacf_daily",
     "periodogram_peaks",
+    # round-9
+    "jarque_bera",
+    "turning_point",
+    "bartels_rank",
+    "cusum_squares",
+    "foster_stuart",
+    "dixon_q",
+    "mtld",
+    "lttb_downsample",
+    "hodges_lehmann",
+    "cucconi",
+    "gamma_somers",
+    "barnard_exact",
+    "betweenness",
+    "quade_test",
+    "lepage",
+    "eccentricity",
 ]
 
 # Heavy composite queries (>3s at sf0.1). Benched at ONE rep so the

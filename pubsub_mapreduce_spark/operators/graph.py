@@ -1123,3 +1123,202 @@ def moran_geary(edges: DataFrame, values: DataFrame) -> DataFrame:
         round_half_up(moran, 6).alias("moran_i"),
         round_half_up(geary, 6).alias("geary_c"),
     )
+
+
+def betweenness_sampled(
+    edges: DataFrame, k_sources: int = 4, max_hops: int = 3, top_k: int = 20
+) -> DataFrame:
+    """Sampled betweenness centrality (Brandes accumulation from
+    ``k_sources`` md5-chosen sources, BFS bounded to ``max_hops``) over
+    the co-purchase graph — WHICH parts sit on the shortest paths
+    between other parts (``hits_scores``/``event_pagerank`` rank by
+    connectivity volume; betweenness ranks by BROKERAGE, the classic
+    bottleneck read). Bounded-hop, sampled-source betweenness is the
+    standard scalable estimator (exact Brandes is O(V E)).
+
+    Forward pass: level-synchronous BFS keeps exact integer path
+    counts sigma per (source, node, hop); each level is one edge join
+    + one keyed sum + one anti-join against the visited set
+    (checkpointed per round — the iterative-loop replay rule).
+    Backward pass: dependencies fold hop-by-hop through
+
+        delta(u) += sigma(u) / sigma(v) * (1 + delta(v))
+
+    over the BFS-DAG edges (u at hop h, v at hop h+1), each term
+    NANO-QUANTIZED via the round-half-up integer form
+    (2 sigma_u (1e9 + delta_v_nano) + sigma_v) div (2 sigma_v), so
+    every sum is an order-free exact BIGINT (the mutual_information
+    discipline — the quantization IS the semantics). Nodes at the hop
+    horizon carry delta = 0 (bounded-hop semantics, stated).
+
+    Scale: per source per level the join volume is <= |edges|; k and
+    the hop bound are knobs. Output: top_k nodes by accumulated
+    nano-betweenness (ties on the smaller part key)."""
+    und = (
+        edges.select("a", "b")
+        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=False)
+    )
+    srcs = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .orderBy(F.md5(F.col("node").cast("string").cast("binary")))
+        .limit(int(k_sources))
+        .select(F.col("node").alias("src"))
+        .localCheckpoint(eager=False)
+    )
+    DECL = "decimal(38,0)"
+    levels = [
+        srcs.select(
+            "src",
+            F.col("src").alias("node"),
+            F.lit(1).cast(DECL).alias("sigma"),
+        ).localCheckpoint(eager=False)
+    ]
+    visited = levels[0]
+    for _ in range(int(max_hops)):
+        nxt = (
+            levels[-1]
+            .join(und, levels[-1]["node"] == und["a"])
+            .groupBy("src", F.col("b").alias("node"))
+            .agg(F.sum("sigma").cast(DECL).alias("sigma"))
+            .join(visited.select("src", "node"), ["src", "node"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        levels.append(nxt)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+    # backward accumulation: deepest level carries delta 0
+    two = F.lit(2).cast(DECL)
+    e9 = F.lit(1_000_000_000).cast(DECL)
+    deltas = {len(levels) - 1: levels[-1].select(
+        "src", "node", F.lit(0).cast(DECL).alias("dn")
+    )}
+    for h in range(len(levels) - 2, 0, -1):
+        child = (
+            levels[h + 1]
+            .join(deltas[h + 1], ["src", "node"])
+            .select(
+                "src",
+                F.col("node").alias("__c"),
+                F.col("sigma").alias("__cs"),
+                "dn",
+            )
+        )
+        terms = (
+            levels[h]
+            .join(und, levels[h]["node"] == und["a"])
+            .join(
+                child,
+                (F.col("b") == F.col("__c"))
+                & (levels[h]["src"] == child["src"]),
+            )
+            .select(
+                levels[h]["src"].alias("src"),
+                "node",
+                F.expr(
+                    "CAST((2 * sigma * (CAST(1000000000 AS DECIMAL(38,0))"
+                    " + dn) + __cs) div (2 * __cs) AS DECIMAL(38,0))"
+                ).alias("term"),
+            )
+        )
+        dh = terms.groupBy("src", "node").agg(
+            F.sum("term").cast(DECL).alias("dn")
+        )
+        # level members with no children at h+1 carry delta 0
+        deltas[h] = (
+            levels[h]
+            .select("src", "node")
+            .join(dh, ["src", "node"], "left")
+            .select(
+                "src",
+                "node",
+                F.coalesce("dn", F.lit(0).cast(DECL)).alias("dn"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    parts = [deltas[h] for h in range(1, len(levels))]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.unionByName(p)
+    bc = acc.groupBy("node").agg(F.sum("dn").cast(DECL).alias("bc_nano"))
+    from ..functions.text import round_half_up
+
+    return (
+        bc.orderBy(F.col("bc_nano").desc(), F.col("node").asc())
+        .limit(int(top_k))
+        .select(
+            F.col("node").alias("partkey"),
+            F.col("bc_nano").cast("long").alias("bc_nano"),
+            round_half_up(
+                F.col("bc_nano").cast("double") / F.lit(1e9), 6
+            ).alias("betweenness"),
+        )
+    )
+
+
+def eccentricity_sample(
+    edges: DataFrame, k_sources: int = 6, max_hops: int = 6
+) -> DataFrame:
+    """Sampled eccentricity / diameter lower bound: BFS from
+    ``k_sources`` md5-chosen sources, bounded to ``max_hops``; each
+    source reports how FAR its component stretches (eccentricity =
+    max shortest-path hop reached) and how MUCH it reaches — and the
+    max over sources is the classic iFUB-style diameter lower bound
+    ("how many hops across is this graph", the topology read next to
+    ``part_component_census``'s "how big are the pieces").
+
+    Exactness: pure integer hop counts; first-discovery level IS the
+    shortest path (level-synchronous BFS). ``at_cap`` flags sources
+    whose frontier was still alive at the bound (their ecc is a lower
+    bound, stated). Scale: per source per level one edge join + one
+    anti-join, volume <= |edges|; k and the bound are knobs."""
+    und = (
+        edges.select("a", "b")
+        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=False)
+    )
+    srcs = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .orderBy(F.md5(F.col("node").cast("string").cast("binary")))
+        .limit(int(k_sources))
+        .select(F.col("node").alias("src"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = srcs.select(
+        "src", F.col("src").alias("node"), F.lit(0).alias("hop")
+    ).localCheckpoint(eager=False)
+    visited = frontier
+    for h in range(1, int(max_hops) + 1):
+        frontier = (
+            frontier.join(und, frontier["node"] == und["a"])
+            .select("src", F.col("b").alias("node"))
+            .distinct()
+            .join(
+                visited.select("src", "node"), ["src", "node"], "left_anti"
+            )
+            .select("src", "node", F.lit(h).alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(frontier).localCheckpoint(
+            eager=False
+        )
+    per = visited.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+        F.max("hop").cast("long").alias("ecc"),
+    )
+    live = frontier.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("__alive")
+    )
+    dia = per.agg(F.max("ecc").cast("long").alias("diameter_lb"))
+    return (
+        per.join(F.broadcast(live), "src", "left")
+        .crossJoin(F.broadcast(dia))
+        .select(
+            F.col("src").alias("source"),
+            "n_reached",
+            "ecc",
+            (F.coalesce("__alive", F.lit(0)) > 0).alias("at_cap"),
+            "diameter_lb",
+        )
+    )

@@ -8549,3 +8549,1093 @@ def periodogram_peaks(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def jarque_bera(orders: DataFrame) -> DataFrame:
+    """Jarque-Bera normality test of the order-price distribution:
+
+        g1 = m3 / m2^1.5,  g2 = m4 / m2^2 - 3,
+        JB = n/6 * (g1^2 + g2^2 / 4)
+
+    — the sanity gate before any z-score/sigma-rule downstream (half
+    the family above assumes rough normality; JB measures how wrong
+    that is, splitting the blame between skew and tail weight).
+
+    Exactness: prices quantize to WHOLE currency units; the central
+    power sums T_k = sum (x - c)^k are exact BIGINT/DECIMAL about an
+    integer reference c = round(mean) (T4 <= 3e22 per row-group of
+    deviations ~4e5 — DECIMAL(38,0)/HUGEINT headroom to ~1e15 rows,
+    unlike n-scaled A_k = n^k m_k forms which blow 10^38 at sf0.1),
+    then the binomial shift to the true mean runs in mirrored floats
+    of exact integers:
+
+        m2 = (T2 - e^2/n) / n
+        m3 = (T3 - 3 e T2 / n + 2 e^3 / n^2) / n
+        m4 = (T4 - 4 e T3 / n + 6 e^2 T2 / n^2 - 3 e^4 / n^3) / n
+
+    with e = S1 - n c (|e| <= n/2). Scale: two aggregates over the
+    scan (mean reference, then central sums). Reference: reference
+    has no statistics surface (SURVEY.md 2.6)."""
+    x = F.round(F.col("o_totalprice")).cast("long")
+    d = orders.select(x.alias("x")).localCheckpoint(eager=False)
+    m1 = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("long").alias("s1"),
+    ).select(
+        "n",
+        "s1",
+        # c = floor(S1/n + 1/2) in pure integer arithmetic
+        F.expr("(2 * s1 + n) div (2 * n)").cast("long").alias("c"),
+    )
+    u = (F.col("x") - F.col("c")).cast(DEC)
+    t = d.crossJoin(F.broadcast(m1)).agg(
+        F.max("n").alias("n"),
+        F.max("c").alias("c"),
+        (F.max("s1") - F.max("n").cast(DEC) * F.max("c").cast(DEC))
+        .cast("long")
+        .alias("e"),
+        F.sum(u * u).cast(DEC).alias("t2"),
+        F.sum(u * u * u).cast(DEC).alias("t3"),
+        F.sum(u * u * u * u).cast(DEC).alias("t4"),
+    )
+    nD = F.col("n").cast("double")
+    eD = F.col("e").cast("double")
+    t2D = F.col("t2").cast("double")
+    t3D = F.col("t3").cast("double")
+    t4D = F.col("t4").cast("double")
+    m2 = (t2D - eD * eD / nD) / nD
+    m3 = (t3D - 3.0 * eD * t2D / nD + 2.0 * eD * eD * eD / (nD * nD)) / nD
+    m4 = (
+        t4D
+        - 4.0 * eD * t3D / nD
+        + 6.0 * eD * eD * t2D / (nD * nD)
+        - 3.0 * eD * eD * eD * eD / (nD * nD * nD)
+    ) / nD
+    g1 = m3 / (m2 * F.sqrt(m2))
+    g2 = m4 / (m2 * m2) - F.lit(3.0)
+    jb = nD / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+    return t.where((F.col("n") >= 4) & (F.col("t2") > 0)).select(
+        "n",
+        round_half_up(g1, 6).alias("skewness"),
+        round_half_up(g2, 6).alias("ex_kurtosis"),
+        round_half_up(jb, 6).alias("jb_stat"),
+    )
+
+
+def turning_point_test(orders: DataFrame) -> DataFrame:
+    """Turning-point randomness test on the daily order-count series:
+    T = #{t : y_{t-1} < y_t > y_{t+1} or y_{t-1} > y_t < y_{t+1}}
+    (STRICT peaks/troughs — flat ties are not turning points, the
+    convention stated here as part of the semantics), against the iid
+    moments E[T] = 2(n-2)/3 and Var[T] = (16n - 29)/90:
+
+        z = (T - E) / sqrt(Var)
+
+    — the cheapest "is this series just noise" screen (a trending or
+    seasonal series turns far less often than iid noise).
+
+    Exactness: T is an integer over the day spine via lag/lead; z is
+    one mirrored float. Scale: one daily rollup + one calendar-sized
+    window pass."""
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    w = Window.orderBy("d")
+    t = daily.select(
+        "y",
+        F.lag("y", 1).over(w).alias("p"),
+        F.lead("y", 1).over(w).alias("q"),
+    )
+    turn = (
+        (F.col("p").isNotNull())
+        & (F.col("q").isNotNull())
+        & (
+            ((F.col("p") < F.col("y")) & (F.col("y") > F.col("q")))
+            | ((F.col("p") > F.col("y")) & (F.col("y") < F.col("q")))
+        )
+    )
+    agg = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(turn.cast("long")).cast("long").alias("t_obs"),
+    )
+    nD = F.col("n").cast("double")
+    mean_t = 2.0 * (nD - 2.0) / 3.0
+    var_t = (16.0 * nD - 29.0) / 90.0
+    return agg.where(F.col("n") >= 4).select(
+        F.col("n").alias("n_days"),
+        "t_obs",
+        round_half_up(mean_t, 6).alias("expected"),
+        round_half_up(
+            (F.col("t_obs").cast("double") - mean_t) / F.sqrt(var_t), 6
+        ).alias("z"),
+    )
+
+
+def bartels_rank(orders: DataFrame) -> DataFrame:
+    """Bartels' rank von Neumann ratio test for serial dependence in
+    the daily order-count series — the rank-based (distribution-free)
+    cousin of ``durbin_watson``:
+
+        RVN = sum_t (R_t - R_{t+1})^2 / sum_t (R_t - Rbar)^2
+        z   = (RVN - 2) / sqrt(4 (n-2) (5n^2 - 2n - 9)
+                                / (5 n (n+1) (n-1)^2))
+
+    with average ranks on ties. Exactness: 2R_t is an exact integer on
+    the count VALUE spine (2*avgrank = 2*below + cnt + 1, the shared
+    rank discipline) and 2*Rbar = n + 1 exactly even under ties, so
+    both sums are exact BIGINTs (numerator and denominator each carry
+    the same factor 4, which cancels); z is one mirrored float.
+    Scale: one daily rollup; ranks via one value-spine join."""
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    spine = daily.groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wv = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    r2m = spine.select(
+        "y",
+        (
+            F.lit(2) * F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+            + F.col("cnt")
+            + 1
+        ).cast("long").alias("r2"),
+    )
+    cnt = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy("d")
+    seq = (
+        daily.join(F.broadcast(r2m), "y")
+        .select("d", "r2")
+        .withColumn("r2n", F.lead("r2", 1).over(w))
+        .crossJoin(F.broadcast(cnt))
+    )
+    agg = seq.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.when(
+                F.col("r2n").isNotNull(),
+                (F.col("r2") - F.col("r2n"))
+                * (F.col("r2") - F.col("r2n")),
+            )
+        ).cast("long").alias("num4"),
+        F.sum(
+            (F.col("r2") - (F.col("n") + 1))
+            * (F.col("r2") - (F.col("n") + 1))
+        ).cast("long").alias("den4"),
+    )
+    nD = F.col("n").cast("double")
+    rvn = F.col("num4").cast("double") / F.col("den4").cast("double")
+    var = (
+        4.0
+        * (nD - 2.0)
+        * (5.0 * nD * nD - 2.0 * nD - 9.0)
+        / (5.0 * nD * (nD + 1.0) * (nD - 1.0) * (nD - 1.0))
+    )
+    return agg.where((F.col("n") >= 10) & (F.col("den4") > 0)).select(
+        F.col("n").alias("n_days"),
+        round_half_up(rvn, 6).alias("rvn"),
+        round_half_up((rvn - 2.0) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+def cusum_squares(orders: DataFrame) -> DataFrame:
+    """CUSUM-of-squares variance-changepoint scan (Brown-Durbin-Evans
+    shape) on the centered daily order-count series: with
+    z_t = n y_t - S (exact centered BIGINT) and c_t the running sum of
+    z_t^2,
+
+        stat = max_t | c_t / C  -  t / n |
+
+    (C = total sum of squares) — where the cumulative VARIANCE share
+    runs ahead of or behind the cumulative TIME share, the classic
+    "did the volatility regime change, and when" read
+    (``pettitt_changepoint`` locates a LEVEL shift; this locates a
+    VARIANCE shift).
+
+    Exactness: the deviation is compared as the exact integer
+    | n c_t - t C | (cross-multiplied; one float division only for
+    the reported stat), argmax ties break on the earlier day. Scale:
+    one daily rollup + one calendar-sized prefix window."""
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    z = (
+        F.col("n").cast(DEC) * F.col("y").cast(DEC)
+        - F.col("s").cast(DEC)
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sq = daily.crossJoin(F.broadcast(m)).select(
+        "d",
+        "n",
+        (z * z).cast(DEC).alias("z2"),
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("t"),
+    )
+    run = sq.select(
+        "d",
+        "n",
+        "t",
+        F.sum("z2").over(w).cast(DEC).alias("ct"),
+    ).localCheckpoint(eager=False)  # 2 consumers (total + scan)
+    tot = run.agg(F.max("ct").cast(DEC).alias("c_tot"))
+    dev = run.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        "t",
+        F.abs(
+            F.col("n").cast(DEC) * F.col("ct")
+            - F.col("t").cast(DEC) * F.col("c_tot")
+        ).cast(DEC).alias("dev_num"),
+        (F.col("n").cast(DEC) * F.col("c_tot")).cast(DEC).alias("den"),
+    )
+    best = (
+        dev.orderBy(F.col("dev_num").desc(), F.col("d").asc())
+        .limit(1)
+    )
+    return best.where(F.col("den") > 0).select(
+        F.col("n").alias("n_days"),
+        F.date_format("d", "yyyy-MM-dd").alias("peak_day"),
+        round_half_up(
+            F.col("dev_num").cast("double") / F.col("den").cast("double"),
+            6,
+        ).alias("stat"),
+    )
+
+
+def foster_stuart(orders: DataFrame) -> DataFrame:
+    """Foster-Stuart records test for trend on the daily order-count
+    series: u_t = 1 iff y_t strictly exceeds every earlier day (upper
+    record), l_t = 1 iff strictly below every earlier day;
+    S = sum (u_t - l_t) over t >= 2, with iid variance
+    Var[S] = sum_{t=2..n} 2/t:
+
+        z = S / sqrt(Var)
+
+    — a trend read from RECORD events only (robust to any monotone
+    transform of the counts; a trending series keeps setting records,
+    a stationary one stops at O(log n) of them).
+
+    Exactness: records are strict integer comparisons against prefix
+    max/min; each 2/t variance term is NANO-QUANTIZED
+    (floor(2e9/t + 0.5)) so the sum is an order-free BIGINT — the
+    quantization IS the stated semantics (mutual_information
+    discipline). Scale: one daily rollup + one prefix window."""
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    wp = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    rec = daily.select(
+        "d",
+        "y",
+        F.max("y").over(wp).alias("pmax"),
+        F.min("y").over(wp).alias("pmin"),
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("t"),
+    )
+    agg = rec.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("pmax").isNotNull() & (F.col("y") > F.col("pmax")), 1)
+            .when(F.col("pmax").isNotNull() & (F.col("y") < F.col("pmin")), -1)
+            .otherwise(0)
+        ).cast("long").alias("s_stat"),
+        F.sum(
+            F.when(
+                F.col("t") >= 2,
+                F.floor(
+                    F.lit(2e9) / F.col("t").cast("double") + F.lit(0.5)
+                ),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("var_nano"),
+    )
+    return agg.where((F.col("n") >= 4) & (F.col("var_nano") > 0)).select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        round_half_up(
+            F.col("s_stat").cast("double")
+            / F.sqrt(F.col("var_nano").cast("double") / 1e9),
+            6,
+        ).alias("z"),
+    )
+
+
+def dixon_q(orders: DataFrame) -> DataFrame:
+    """Dixon's Q ratios for the daily order-count extremes:
+
+        q_high = (y_(n) - y_(n-1)) / (y_(n) - y_(1))
+        q_low  = (y_(2) - y_(1)) / (y_(n) - y_(1))
+
+    — the gap-to-range screen for "is the most extreme day an
+    outlier or just the tail" (``grubbs_outlier``/``gesd_outliers``
+    answer in sigma units and need moments; Dixon's Q needs only four
+    order statistics, the classic small-sample lab test, here read
+    descriptively over the calendar).
+
+    Exactness: the four order statistics are exact integers off the
+    count value spine; each q is one mirrored division; the reported
+    extreme days tie-break earliest. Scale: one daily rollup + one
+    4-row bounded aggregate."""
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    os_ = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("y").cast("long").alias("y_n"),
+        F.min("y").cast("long").alias("y_1"),
+    )
+    # multiset 2nd-highest / 2nd-lowest off the value spine: when the
+    # extreme VALUE is duplicated across days, the neighbor order
+    # statistic equals it and the gap is 0
+    spine = daily.groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    hi2 = (
+        spine.orderBy(F.col("y").desc())
+        .limit(2)
+        .agg(
+            F.max(F.col("y")).cast("long").alias("h1"),
+            F.max_by(F.col("c"), F.col("y")).cast("long").alias("c_h1"),
+            F.min(F.col("y")).cast("long").alias("h2"),
+        )
+    )
+    lo2 = (
+        spine.orderBy(F.col("y").asc())
+        .limit(2)
+        .agg(
+            F.min(F.col("y")).cast("long").alias("l1"),
+            F.min_by(F.col("c"), F.col("y")).cast("long").alias("c_l1"),
+            F.max(F.col("y")).cast("long").alias("l2"),
+        )
+    )
+    dmax = (
+        daily.orderBy(F.col("y").desc(), F.col("d").asc())
+        .limit(1)
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day_max"))
+    )
+    dmin = (
+        daily.orderBy(F.col("y").asc(), F.col("d").asc())
+        .limit(1)
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day_min"))
+    )
+    j = (
+        os_.crossJoin(F.broadcast(hi2))
+        .crossJoin(F.broadcast(lo2))
+        .crossJoin(F.broadcast(dmax))
+        .crossJoin(F.broadcast(dmin))
+    )
+    rng = (F.col("y_n") - F.col("y_1")).cast("double")
+    gap_hi = F.when(
+        F.col("c_h1") > 1, F.lit(0).cast("long")
+    ).otherwise(F.col("y_n") - F.col("h2"))
+    gap_lo = F.when(
+        F.col("c_l1") > 1, F.lit(0).cast("long")
+    ).otherwise(F.col("l2") - F.col("y_1"))
+    return j.where((F.col("n") >= 4) & (rng > 0)).select(
+        F.col("n").alias("n_days"),
+        F.col("y_1").alias("y_min"),
+        F.col("y_n").alias("y_max"),
+        "day_min",
+        "day_max",
+        round_half_up(gap_hi.cast("double") / rng, 6).alias("q_high"),
+        round_half_up(gap_lo.cast("double") / rng, 6).alias("q_low"),
+    )
+
+
+def lttb_downsample(orders: DataFrame, n_out: int = 40) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsample of the daily-revenue
+    series (Steinarsson 2013), the FIXED-ANCHOR parallel variant: the
+    first and last days are their own buckets; the middle days split
+    into ``n_out - 2`` contiguous buckets; each bucket keeps the day
+    maximizing the triangle area against the AVERAGE points of the
+    two neighboring buckets (classic LTTB anchors on the previously
+    SELECTED point — an inherently sequential chain; anchoring on the
+    neighbor averages is the standard parallelization and is stated
+    here as the semantics). The visually-faithful companion to
+    ``ts_downsample_minmax``: min/max preserves extremes, LTTB
+    preserves SHAPE (trend reversals, spike geometry).
+
+    Exactness: with prev-bucket sums (sxp, syp, cp) and next-bucket
+    sums (sxn, syn, cn), the triangle area scaled by 2 cp^2 cn is the
+    exact integer cross product
+
+        (sxp cn - sxn cp)(y cp - syp) - (sxp - x cp)(syn cp - syp cn)
+
+    (positive scaling preserves the per-bucket argmax; ties break on
+    the earlier day). Bucket ids are pure integer division. Scale:
+    one daily rollup, one n_out-row broadcast join, one
+    calendar-sized bucket-partitioned window; output <= n_out rows at
+    any SF."""
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.sum(_cents("o_totalprice")).cast("long").alias("y"))
+    )
+    idx = daily.withColumn(
+        "t",
+        (F.row_number().over(Window.orderBy("d")) - 1).cast("long"),
+    ).localCheckpoint(eager=False)
+    cnt = idx.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    k = int(n_out)
+    b = idx.crossJoin(F.broadcast(cnt)).withColumn(
+        "bucket",
+        F.when(F.col("t") == 0, F.lit(0))
+        .when(F.col("t") == F.col("nd") - 1, F.lit(k - 1))
+        .otherwise(
+            F.lit(1)
+            + F.expr(f"((t - 1) * {k - 2}) div (nd - 2)").cast("int")
+        )
+        .cast("int"),
+    ).localCheckpoint(eager=False)
+    aggs = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("t").cast("long").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast(DEC).alias("sy"),
+    ).localCheckpoint(eager=False)
+    prev = aggs.select(
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("c").alias("cp"),
+        F.col("sx").alias("sxp"),
+        F.col("sy").alias("syp"),
+    )
+    nxt = aggs.select(
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("c").alias("cn"),
+        F.col("sx").alias("sxn"),
+        F.col("sy").alias("syn"),
+    )
+    j = b.join(F.broadcast(prev), "bucket", "left").join(
+        F.broadcast(nxt), "bucket", "left"
+    )
+    D_ = lambda c: F.col(c).cast(DEC)  # noqa: E731
+    score = F.abs(
+        (D_("sxp") * D_("cn") - D_("sxn") * D_("cp"))
+        * (D_("y") * D_("cp") - D_("syp"))
+        - (D_("sxp") - D_("t") * D_("cp"))
+        * (D_("syn") * D_("cp") - D_("syp") * D_("cn"))
+    ).cast(DEC)
+    wb = Window.partitionBy("bucket").orderBy(
+        F.desc(F.coalesce(score, F.lit(-1).cast(DEC))), F.col("t").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select(
+            "bucket",
+            "t",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("y").alias("y_cents"),
+        )
+    )
+
+
+def hodges_lehmann_dow(orders: DataFrame) -> DataFrame:
+    """Hodges-Lehmann shift estimate between WEEKEND and WEEKDAY daily
+    order counts: the median of all pairwise differences
+    (weekend_count - weekday_count) — the robust effect size behind
+    the Wilcoxon/MWU family (``dow_uniformity`` tests WHETHER weekday
+    margins differ; HL says BY HOW MANY orders/day, immune to outlier
+    days where a mean difference is not).
+
+    Exactness: both samples live on the integer count VALUE spine;
+    the difference multiset is the weighted lattice cross join
+    (|distinct weekend counts| x |distinct weekday counts| — value
+    lattices, not data-sized), its median picked by exact cumulative
+    weights; even-total medians average two integers (exact .0/.5
+    double). Scale: one daily rollup; the cross join is
+    lattice-bounded at any SF."""
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .select(
+            "y",
+            F.dayofweek("d").isin(1, 7).cast("int").alias("we"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sa = daily.where(F.col("we") == 1).groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("ca")
+    )
+    sb = daily.where(F.col("we") == 0).groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    diffs = (
+        sa.crossJoin(
+            sb.select(F.col("y").alias("yb"), "cb")
+        )
+        .select(
+            (F.col("y") - F.col("yb")).alias("diff"),
+            (F.col("ca") * F.col("cb")).alias("w"),
+        )
+        .groupBy("diff")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    tot = diffs.agg(F.sum("w").cast("long").alias("t"))
+    wv = Window.orderBy("diff").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = diffs.withColumn("cw", F.sum("w").over(wv)).crossJoin(
+        F.broadcast(tot)
+    ).localCheckpoint(eager=False)
+    k1 = F.expr("(t + 1) div 2")
+    k2 = F.expr("t div 2 + 1")
+    d1 = (
+        cum.where(F.col("cw") >= k1)
+        .orderBy("diff")
+        .limit(1)
+        .select(F.col("diff").alias("d1"))
+    )
+    d2 = (
+        cum.where(F.col("cw") >= k2)
+        .orderBy("diff")
+        .limit(1)
+        .select(F.col("diff").alias("d2"))
+    )
+    counts = daily.agg(
+        F.sum(F.col("we").cast("long")).cast("long").alias("n_weekend"),
+        F.sum((1 - F.col("we")).cast("long")).cast("long").alias(
+            "n_weekday"
+        ),
+    )
+    return (
+        counts.crossJoin(F.broadcast(d1))
+        .crossJoin(F.broadcast(d2))
+        .where((F.col("n_weekend") >= 1) & (F.col("n_weekday") >= 1))
+        .select(
+            "n_weekend",
+            "n_weekday",
+            (
+                (F.col("d1") + F.col("d2")).cast("double") / F.lit(2.0)
+            ).alias("hl_shift"),
+        )
+    )
+
+
+def cucconi_test(
+    orders: DataFrame, g1: str = "O", g2: str = "F"
+) -> DataFrame:
+    """Cucconi location-scale test between two order-status cohorts'
+    totalprice — the joint "did the center OR the spread move" rank
+    test (``brunner_munzel``/``mwu`` see location, ``ansari_bradley``
+    sees scale; Cucconi sees both at once and predates Lepage):
+
+        U = (6 sum R_j^2 - n2 (N+1)(2N+1)) / sd
+        V = (6 sum (N+1-R_j)^2 - n2 (N+1)(2N+1)) / sd
+        sd = sqrt(n1 n2 (N+1)(2N+1)(8N+11) / 5)
+        rho = 2 (N^2 - 4) / ((2N+1)(8N+11)) - 1
+        C = (U^2 + V^2 - 2 rho U V) / (2 (1 - rho^2))
+
+    over the SECOND sample's pooled ranks R_j (average ranks on
+    ties). Exactness: 2R lives on the cents value spine as exact
+    integers, so sum R^2 = P/4 and sum (N+1-R)^2 = Q/4 with
+    P = sum r2^2 and Q = sum (2(N+1) - r2)^2 exact DECIMAL; U and V
+    carry the factor-4 scaling explicitly in mirrored floats. Scale:
+    one value-spine rollup; everything after is O(1)."""
+    d = orders.where(
+        F.col("o_orderstatus").isin(g1, g2)
+    ).select(
+        (F.col("o_orderstatus") == g2).cast("int").alias("in2"),
+        _cents("o_totalprice").alias("v"),
+    )
+    gv = d.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("in2").cast("long").alias("c2"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    sp = gv.select(
+        "v",
+        "cnt",
+        "c2",
+        (
+            F.lit(2) * F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+            + F.col("cnt")
+            + 1
+        ).cast("long").alias("r2"),
+    )
+    # Q = sum c2 * (2(N+1) - r2)^2 = 4 n2 (N+1)^2 - 4 (N+1) sum c2 r2
+    #     + P — so ONE aggregate carries everything (no second pass)
+    j = sp.agg(
+        F.sum(F.col("cnt") - F.col("c2")).cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(
+            F.col("c2").cast(DEC) * F.col("r2").cast(DEC)
+            * F.col("r2").cast(DEC)
+        ).cast(DEC).alias("p"),
+        F.sum(F.col("c2").cast(DEC) * F.col("r2").cast(DEC))
+        .cast(DEC)
+        .alias("sr"),
+    )
+    nD = (F.col("n1") + F.col("n2")).cast("double")
+    n2D = F.col("n2").cast("double")
+    n1D = F.col("n1").cast("double")
+    pD = F.col("p").cast("double")
+    srD = F.col("sr").cast("double")
+    qD = (
+        4.0 * n2D * (nD + 1.0) * (nD + 1.0)
+        - 4.0 * (nD + 1.0) * srD
+        + pD
+    )
+    sd4 = 4.0 * F.sqrt(
+        n1D * n2D * (nD + 1.0) * (2.0 * nD + 1.0)
+        * (8.0 * nD + 11.0) / 5.0
+    )
+    u = (6.0 * pD - 4.0 * n2D * (nD + 1.0) * (2.0 * nD + 1.0)) / sd4
+    v = (6.0 * qD - 4.0 * n2D * (nD + 1.0) * (2.0 * nD + 1.0)) / sd4
+    rho = 2.0 * (nD * nD - 4.0) / (
+        (2.0 * nD + 1.0) * (8.0 * nD + 11.0)
+    ) - 1.0
+    c = (u * u + v * v - 2.0 * rho * u * v) / (
+        2.0 * (1.0 - rho * rho)
+    )
+    return j.where((F.col("n1") >= 2) & (F.col("n2") >= 2)).select(
+        "n1",
+        "n2",
+        round_half_up(u, 6).alias("u"),
+        round_half_up(v, 6).alias("v"),
+        round_half_up(rho, 6).alias("rho"),
+        round_half_up(c, 6).alias("c_stat"),
+    )
+
+
+def gamma_somers(lineitem: DataFrame) -> DataFrame:
+    """Ordinal association between line-item QUANTITY and DISCOUNT:
+    Goodman-Kruskal gamma, Somers' D (discount | quantity), and
+    Kendall tau-b, all from the concordant/discordant pair counts on
+    the (quantity x discount-percent) contingency lattice — "do
+    bigger line items get bigger discounts", read three ways
+    (``price_elasticity`` fits a slope; these are the rank-safe
+    versions a pricing analyst quotes when the relation is monotone
+    but not linear).
+
+    Exactness: the lattice is schema-bounded (50 quantities x 11
+    discount points), so the pair enumeration is a constant-size cell
+    self-join; C, D and the tie terms are exact DECIMAL sums of count
+    products; each coefficient is one mirrored float expression.
+    Scale: one |lattice| rollup regardless of SF."""
+    cells = (
+        lineitem.select(
+            F.col("l_quantity").cast("long").alias("q"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("dc"),
+        )
+        .groupBy("q", "dc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    a = cells.select(
+        F.col("q").alias("q1"), F.col("dc").alias("d1"),
+        F.col("n").alias("m1"),
+    )
+    b = cells.select(
+        F.col("q").alias("q2"), F.col("dc").alias("d2"),
+        F.col("n").alias("m2"),
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("q1") < F.col("q2"))
+        | ((F.col("q1") == F.col("q2")) & (F.col("d1") < F.col("d2"))),
+    )
+    w = (F.col("m1").cast(DEC) * F.col("m2").cast(DEC)).cast(DEC)
+    agg = pairs.agg(
+        F.sum(
+            F.when(
+                (F.col("q1") < F.col("q2")) & (F.col("d1") < F.col("d2")),
+                w,
+            )
+        ).cast(DEC).alias("c"),
+        F.sum(
+            F.when(
+                (F.col("q1") < F.col("q2")) & (F.col("d1") > F.col("d2")),
+                w,
+            )
+        ).cast(DEC).alias("dd"),
+        F.sum(
+            F.when(
+                (F.col("q1") < F.col("q2"))
+                & (F.col("d1") == F.col("d2")),
+                w,
+            )
+        ).cast(DEC).alias("ty"),
+        F.sum(
+            F.when(F.col("q1") == F.col("q2"), w)
+        ).cast(DEC).alias("tx"),
+    )
+    cD = F.coalesce(F.col("c"), F.lit(0).cast(DEC)).cast("double")
+    dD = F.coalesce(F.col("dd"), F.lit(0).cast(DEC)).cast("double")
+    tyD = F.coalesce(F.col("ty"), F.lit(0).cast(DEC)).cast("double")
+    txD = F.coalesce(F.col("tx"), F.lit(0).cast(DEC)).cast("double")
+    gamma = (cD - dD) / (cD + dD)
+    somers = (cD - dD) / (cD + dD + tyD)
+    taub = (cD - dD) / F.sqrt(
+        (cD + dD + txD) * (cD + dD + tyD)
+    )
+    return agg.where((cD + dD) > 0).select(
+        F.col("c").cast("long").alias("concordant"),
+        F.col("dd").cast("long").alias("discordant"),
+        round_half_up(gamma, 6).alias("gamma"),
+        round_half_up(somers, 6).alias("somers_d"),
+        round_half_up(taub, 6).alias("tau_b"),
+    )
+
+
+def barnard_exact(
+    t,
+    min_orders: int = 10,
+    bal_cut: float = 5000.0,
+    arm_cap: int = 30,
+    grid: int = 200,
+) -> DataFrame:
+    """Barnard's UNCONDITIONAL exact test on the 2x2 (acctbal >=
+    ``bal_cut``) x (placed >= ``min_orders`` orders) table — the
+    companion to ``fisher_exact`` that does NOT condition on the
+    column margin: p = max over the nuisance success rate pi of
+    P(tables scoring >= observed | pi), scored by the pooled Wald
+    statistic
+
+        T(a, b) = (a/n1 - b/n2)
+                  / sqrt(phat (1 - phat) (1/n1 + 1/n2)),
+
+    two-sided inclusion |T| >= |T_obs| (1 - 1e-7), pi on the
+    ``1/grid .. (grid-1)/grid`` lattice (the scipy-style grid search;
+    the grid is part of the stated semantics). Barnard dominates
+    Fisher in power at small n — and ONLY small n matters: each arm
+    is capped at ``arm_cap`` customers chosen by md5(custkey) order
+    (deterministic cross-engine), both because the table enumeration
+    is (n1+1)(n2+1) per grid point and because at large n the normal
+    approximation supersedes the exact test anyway.
+
+    Exactness: binomial pmfs enter only as MODE-FREE relative
+    products Q(a) = prod_{j<a} ((n-j)/(j+1)) (pi/(1-pi)) — the
+    fisher_exact ratio discipline, so no pow()/factorials; the
+    normalization cancels in the ratio p(pi) = sum_incl Qa Qb /
+    (sum Qa)(sum Qb); every fold multiplies in ascending j on both
+    engines. Scale: two TakeOrdered caps + a grid x table explode of
+    at most ``grid (arm_cap+1)^2`` rows — constants of the knobs, not
+    the data."""
+    md5k = F.md5(F.col("c_custkey").cast("string").cast("binary"))
+    pc = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    j = (
+        t["customer"]
+        .join(pc, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            (F.coalesce("n_orders", F.lit(0)) >= min_orders)
+            .cast("long")
+            .alias("y"),
+            (F.col("c_acctbal") >= bal_cut).cast("int").alias("arm1"),
+            md5k.alias("h"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    arm = lambda flag: (  # noqa: E731
+        j.where(F.col("arm1") == flag)
+        .orderBy("h")
+        .limit(int(arm_cap))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias(f"n{2 - flag}"),
+            F.sum("y").cast("long").alias(f"k{2 - flag}"),
+        )
+    )
+    base = arm(1).crossJoin(F.broadcast(arm(0)))
+    n1D, n2D = F.col("n1").cast("double"), F.col("n2").cast("double")
+
+    def t_stat(a, b):
+        ph = (a + b).cast("double") / (
+            F.col("n1") + F.col("n2")
+        ).cast("double")
+        num = a.cast("double") / n1D - b.cast("double") / n2D
+        den = F.sqrt(
+            ph * (F.lit(1.0) - ph) * (1.0 / n1D + 1.0 / n2D)
+        )
+        return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+    base = base.withColumn(
+        "t_obs", t_stat(F.col("k1"), F.col("k2"))
+    ).localCheckpoint(eager=False)
+    g = base.select(
+        "*",
+        F.explode(F.sequence(F.lit(1), F.lit(int(grid) - 1))).alias(
+            "jg"
+        ),
+    ).repartition(32, F.col("jg")).withColumn(
+        "pi", F.col("jg").cast("double") / F.lit(float(grid))
+    )
+
+    def q_of(n_col, x):
+        # Q(x) = fold of ((n-j)/(j+1)) * (pi/(1-pi)) for j in [0, x),
+        # ascending j on both engines (Q(0) = 1 guarded by the caller)
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), x - 1),
+                lambda jj: (n_col - jj).cast("double")
+                / (jj + 1).cast("double")
+                * (
+                    F.col("pi") / (F.lit(1.0) - F.col("pi"))
+                ),
+            ),
+            F.lit(1.0),
+            lambda acc, r: acc * r,
+        )
+
+    def q_arr(n_col):
+        return F.transform(
+            F.sequence(F.lit(0), n_col),
+            lambda a: F.when(a == 0, F.lit(1.0)).otherwise(
+                q_of(n_col, a)
+            ),
+        )
+
+    # every float sum below is a DETERMINISTIC ascending fold over an
+    # in-row array (never a shuffle aggregate of doubles): summation
+    # order is part of the mirrored semantics
+    g2 = g.withColumn("qa_arr", q_arr(F.col("n1"))).withColumn(
+        "qb_arr", q_arr(F.col("n2"))
+    )
+    fsum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    thr = F.abs(F.col("t_obs")) * (F.lit(1.0) - F.lit(1e-7))
+    num = F.aggregate(
+        F.sequence(F.lit(0), F.col("n1")),
+        F.lit(0.0),
+        lambda acc, a: acc
+        + F.element_at(F.col("qa_arr"), (a + 1).cast("int"))
+        * F.aggregate(
+            F.sequence(F.lit(0), F.col("n2")),
+            F.lit(0.0),
+            lambda acc2, b: acc2
+            + F.when(
+                F.abs(t_stat(a, b)) >= thr,
+                F.element_at(F.col("qb_arr"), (b + 1).cast("int")),
+            ).otherwise(F.lit(0.0)),
+        ),
+    )
+    per = g2.select(
+        "n1",
+        "k1",
+        "n2",
+        "k2",
+        "t_obs",
+        "pi",
+        "jg",
+        (num / (fsum(F.col("qa_arr")) * fsum(F.col("qb_arr")))).alias(
+            "p"
+        ),
+    )
+    return (
+        per.orderBy(F.col("p").desc(), F.col("jg").asc())
+        .limit(1)
+        .select(
+            "n1",
+            "k1",
+            "n2",
+            "k2",
+            round_half_up(F.col("t_obs"), 6).alias("t_obs"),
+            round_half_up(F.col("pi"), 6).alias("pi_hat"),
+            round_half_up(F.col("p"), 6).alias("p_barnard"),
+        )
+    )
+
+
+def quade_test(orders: DataFrame) -> DataFrame:
+    """Quade test for treatment differences across related blocks:
+    years are blocks, calendar months are treatments (the
+    ``friedman_test`` design), but blocks are WEIGHTED by how much
+    they discriminate — Q_j = rank of block j's range — so one flat
+    year cannot dilute a strong seasonal signal the way it does in
+    Friedman:
+
+        S_ij = Q_j (R_ij - (k+1)/2),  A = sum S^2,
+        B = (1/n) sum_i (sum_j S_ij)^2,
+        F = (n-1) B / (A - B)   ~ F(k-1, (n-1)(k-1))
+
+    Exactness: within-block ranks and block-range ranks both live on
+    value spines as doubled integers (2*avgrank = 2*below + cnt + 1),
+    and (k+1)/2 doubles to the integer k+1 — so 4 S_ij = 2Q_j
+    (2R_ij - (k+1)... doubled twice: 16 A and 16 n B are exact
+    BIGINTs; F is one mirrored float. Scale: a (year, month) rollup;
+    everything after is (n x 12)-sized."""
+    cells = (
+        orders.groupBy(
+            F.year("o_orderdate").alias("j"),
+            F.month("o_orderdate").alias("it"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    months = cells.sparkSession.range(1, 13).select(
+        F.col("id").cast("int").alias("it")
+    )
+    full = (
+        cells.select("j").distinct()
+        .crossJoin(F.broadcast(months))
+        .join(cells, ["j", "it"], "left")
+        .select(
+            "j", "it",
+            F.coalesce("c", F.lit(0).cast("long")).alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # within-block average ranks off the per-block value spine
+    perv = full.groupBy("j", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.collect_list("it").alias("its"),
+    )
+    wj = Window.partitionBy("j").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = perv.withColumn(
+        "below",
+        F.coalesce(F.sum("cnt").over(wj), F.lit(0).cast("long")),
+    ).select(
+        "j",
+        F.explode("its").alias("it"),
+        (F.lit(2) * F.col("below") + F.col("cnt") + 1).alias("r2"),
+    )
+    # block ranges and their average ranks across blocks
+    rng = full.groupBy("j").agg(
+        (F.max("c") - F.min("c")).cast("long").alias("rg")
+    )
+    rv = rng.groupBy("rg").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.collect_list("j").alias("js"),
+    )
+    wr = Window.orderBy("rg").rowsBetween(Window.unboundedPreceding, -1)
+    q2 = rv.withColumn(
+        "below",
+        F.coalesce(F.sum("cnt").over(wr), F.lit(0).cast("long")),
+    ).select(
+        F.explode("js").alias("j"),
+        (F.lit(2) * F.col("below") + F.col("cnt") + 1).alias("q2"),
+    )
+    s = ranked.join(F.broadcast(q2), "j").select(
+        "j",
+        "it",
+        # 4 S_ij = q2 * (r2 - (k+1)) with k = 12
+        (F.col("q2").cast(DEC) * (F.col("r2") - 13).cast(DEC))
+        .cast(DEC)
+        .alias("s4"),
+    ).localCheckpoint(eager=False)
+    a16 = s.agg(
+        F.countDistinct("j").cast("long").alias("n"),
+        F.sum(F.col("s4") * F.col("s4")).cast(DEC).alias("a16"),
+    )
+    b16 = s.groupBy("it").agg(
+        F.sum("s4").cast(DEC).alias("si4")
+    ).agg(
+        F.sum(F.col("si4") * F.col("si4")).cast(DEC).alias("b16n")
+    )
+    j2 = a16.crossJoin(F.broadcast(b16))
+    nD = F.col("n").cast("double")
+    aF = F.col("a16").cast("double") / 16.0
+    bF = F.col("b16n").cast("double") / (16.0 * nD)
+    f_stat = (nD - 1.0) * bF / (aF - bF)
+    return j2.where(
+        (F.col("n") >= 2)
+        & (F.col("a16").cast("double") / 16.0
+           - F.col("b16n").cast("double") / (16.0 * F.col("n").cast("double"))
+           > 0)
+    ).select(
+        F.col("n").alias("n_blocks"),
+        F.lit(12).cast("long").alias("k_treatments"),
+        F.lit(11).cast("long").alias("df1"),
+        ((F.col("n") - 1) * 11).cast("long").alias("df2"),
+        round_half_up(f_stat, 6).alias("f_stat"),
+    )
+
+
+def lepage_test(
+    orders: DataFrame, g1: str = "O", g2: str = "F"
+) -> DataFrame:
+    """Lepage location-scale test between two order-status cohorts:
+    D = z_W^2 + z_AB^2 — the squared-sum combination of the Wilcoxon
+    rank-sum (location) and Ansari-Bradley (scale) standardized
+    statistics, the older sibling of ``cucconi_test`` (both chase the
+    same alternative; shipping both lets a metrics platform
+    cross-check them the way R's nonpar suites do):
+
+        W  = sum of sample-2 pooled ranks,  AB = sum of sample-2
+        Ansari scores min(R, N+1-R),
+
+    standardized with the classic no-tie moments (stated as the
+    semantics; ties are broken by average ranks on the value spine).
+    Exactness: 2W = sum r2 and 2AB = sum min(r2, 2(N+1) - r2) are
+    exact BIGINTs off the cents spine; the N-parity case split for
+    the AB moments is mirrored; D is one float expression. Scale: one
+    value-spine rollup."""
+    d = orders.where(
+        F.col("o_orderstatus").isin(g1, g2)
+    ).select(
+        (F.col("o_orderstatus") == g2).cast("int").alias("in2"),
+        _cents("o_totalprice").alias("v"),
+    )
+    gv = d.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("in2").cast("long").alias("c2"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    sp = gv.select(
+        "cnt",
+        "c2",
+        (
+            F.lit(2) * F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+            + F.col("cnt")
+            + 1
+        ).cast("long").alias("r2"),
+    ).localCheckpoint(eager=False)  # 2 consumers (total + moment agg)
+    cnt_all = sp.agg(
+        F.sum("cnt").cast("long").alias("nn"),
+    )
+    agg = sp.crossJoin(F.broadcast(cnt_all)).agg(
+        F.max("nn").alias("nn"),
+        F.sum(F.col("cnt") - F.col("c2")).cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c2").cast(DEC) * F.col("r2").cast(DEC))
+        .cast(DEC).alias("w2"),
+        F.sum(
+            F.col("c2").cast(DEC)
+            * F.least(
+                F.col("r2"),
+                F.lit(2) * (F.col("nn") + 1) - F.col("r2"),
+            ).cast(DEC)
+        ).cast(DEC).alias("ab2"),
+    )
+    nD = F.col("nn").cast("double")
+    n1D = F.col("n1").cast("double")
+    n2D = F.col("n2").cast("double")
+    wD = F.col("w2").cast("double") / 2.0
+    abD = F.col("ab2").cast("double") / 2.0
+    ew = n2D * (nD + 1.0) / 2.0
+    vw = n1D * n2D * (nD + 1.0) / 12.0
+    even = F.col("nn") % 2 == 0
+    ea = F.when(even, n2D * (nD + 2.0) / 4.0).otherwise(
+        n2D * (nD + 1.0) * (nD + 1.0) / (4.0 * nD)
+    )
+    va = F.when(
+        even,
+        n1D * n2D * (nD + 2.0) * (nD - 2.0) / (48.0 * (nD - 1.0)),
+    ).otherwise(
+        n1D * n2D * (nD + 1.0) * (3.0 + nD * nD) / (48.0 * nD * nD)
+    )
+    zw = (wD - ew) / F.sqrt(vw)
+    za = (abD - ea) / F.sqrt(va)
+    return agg.where(
+        (F.col("n1") >= 2) & (F.col("n2") >= 2)
+    ).select(
+        "n1",
+        "n2",
+        round_half_up(zw, 6).alias("z_wilcoxon"),
+        round_half_up(za, 6).alias("z_ansari"),
+        round_half_up(zw * zw + za * za, 6).alias("d_stat"),
+    )

@@ -2496,3 +2496,80 @@ def cond_entropy_profile(docs: DataFrame) -> DataFrame:
         rh(h_cond, 6).alias("h_lang_given_source"),
         rh((h_lang - h_cond) / h_lang, 6).alias("uncertainty_coeff"),
     )
+
+
+def mtld(docs: DataFrame, max_tokens: int = 200) -> DataFrame:
+    """MTLD lexical diversity (McCarthy & Jarvis 2010), forward pass,
+    per document over the first ``max_tokens`` whitespace tokens: walk
+    the token stream keeping the running type-token ratio of the
+    CURRENT factor; when it falls to or below the canonical 0.72
+    threshold (evaluated AFTER each token, as the exact integer
+    predicate 100 * types <= 72 * len — no float boundary), a factor
+    completes and the type set resets. The tail contributes the
+    standard partial factor (1 - TTR_rem) / (1 - 0.72), and
+
+        MTLD = n_tokens / (factors + partial)
+
+    — the length-invariant diversity read (``ttr_windows`` is
+    length-biased by construction; MTLD is the metric corpus-quality
+    pipelines actually gate on). The ``max_tokens`` cap bounds the
+    sequential state at any document length (and is part of the
+    stated semantics).
+
+    Exactness: the fold carries (factors, seen-type set, factor
+    length) — integers and a string set; only the final partial/MTLD
+    are mirrored floats. Docs where no factor ever completes and the
+    tail is all-distinct (total = 0) emit NULL. Scale: map-only per
+    document — no shuffle at all; the DuckDB twin mirrors the fold as
+    a doc_id-keyed recursive CTE (the holt_forecast pattern).
+    Reference: reference has no text surface (SURVEY.md 2.6)."""
+    from ..functions.text import round_half_up, tokens
+
+    toks = F.slice(tokens(F.col("text")), 1, int(max_tokens))
+    init = F.struct(
+        F.lit(0).cast("int").alias("f"),
+        F.array().cast("array<string>").alias("seen"),
+        F.lit(0).cast("int").alias("flen"),
+    )
+
+    def step(acc, x):
+        seen2 = F.when(
+            F.array_contains(acc["seen"], x), acc["seen"]
+        ).otherwise(F.array_append(acc["seen"], x))
+        flen2 = acc["flen"] + F.lit(1)
+        done = F.size(seen2) * 100 <= flen2 * 72
+        return F.struct(
+            F.when(done, acc["f"] + 1).otherwise(acc["f"]).alias("f"),
+            F.when(done, F.array().cast("array<string>"))
+            .otherwise(seen2)
+            .alias("seen"),
+            F.when(done, F.lit(0))
+            .otherwise(flen2)
+            .cast("int")
+            .alias("flen"),
+        )
+
+    d = widen(docs, 8).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(toks, init, step).alias("st"),
+    )
+    partial = F.when(
+        F.col("st.flen") > 0,
+        (
+            F.lit(1.0)
+            - F.size(F.col("st.seen")).cast("double")
+            / F.col("st.flen").cast("double")
+        )
+        / (F.lit(1.0) - F.lit(0.72)),
+    ).otherwise(F.lit(0.0))
+    total = F.col("st.f").cast("double") + partial
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.col("st.f").cast("long").alias("n_factors"),
+        F.when(
+            total > 0,
+            round_half_up(F.col("n_tokens").cast("double") / total, 6),
+        ).alias("mtld"),
+    )

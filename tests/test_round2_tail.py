@@ -638,25 +638,24 @@ def test_ab_health_chi2_and_srm_semantics(spark):
 
 def test_gate_window_ordering_contract():
     """The driver's correctness gate reads the FIRST 50 queries() keys:
-    pin the round-8 window — slots 1-5 are the R8_QUEUE (the late
-    round-7 registrations, the ONLY names never driver-checked through
-    round 7), slots 6+ are this round's new registrations in
-    registration order (R8_NEW). Accidental reorderings would silently
+    pin the round-9 window — R9_QUEUE is EMPTY (round 8 retired all
+    debt), so slots 1-50 are this round's new registrations in
+    registration order (R9_NEW). Accidental reorderings would silently
     spend the gate's window on already-green queries."""
     import json
 
     import __spark_entry__ as entrymod
 
     names = list(entrymod.queries())
-    nq = len(entrymod.R8_QUEUE)
-    assert names[:nq] == entrymod.R8_QUEUE
-    # every declared round-8 registration actually exists
-    assert not set(entrymod.R8_NEW) - set(names)
-    fill = entrymod.R8_NEW[: 50 - nq]
+    nq = len(entrymod.R9_QUEUE)
+    assert names[:nq] == entrymod.R9_QUEUE
+    # every declared round-9 registration actually exists
+    assert not set(entrymod.R9_NEW) - set(names)
+    fill = entrymod.R9_NEW[: 50 - nq]
     assert names[nq : nq + len(fill)] == fill
     # window head must be spent on never-checked names only
     checked = set()
-    for r in (1, 2, 3, 4, 5, 6, 7):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8):
         checked |= set(json.load(open(f"/root/repo/CORRECTNESS_r0{r}.json")))
     assert [n for n in names[: nq + len(fill)] if n in checked] == []
     # every registered oracle still has a queries() twin
@@ -666,23 +665,23 @@ def test_gate_window_ordering_contract():
 def test_every_registered_query_driver_checked_or_in_window():
     """Close-the-book bookkeeping (VERDICT r5 #7 / r6 #1 / r7 #1):
     every registered query either already carries a driver CORRECTNESS
-    row (rounds 1-7) or sits inside the current 50-slot gate window —
+    row (rounds 1-8) or sits inside the current 50-slot gate window —
     so once this round's gate runs, cumulative driver coverage is
     total. A new registration that never enters a window plan FAILS
-    here unless it consciously joins R9_QUEUE (= R8_NEW overflow past
-    slot 50), which the round-9 window must then head with."""
+    here unless it consciously joins R10_QUEUE (= R9_NEW overflow past
+    slot 50), which the round-10 window must then head with."""
     import json
 
     import __spark_entry__ as entrymod
 
     names = list(entrymod.queries())
     checked = set()
-    for r in (1, 2, 3, 4, 5, 6, 7):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8):
         checked |= set(json.load(open(f"/root/repo/CORRECTNESS_r0{r}.json")))
     debt = [n for n in names if n not in checked and n not in names[:50]]
-    assert debt == entrymod.R9_QUEUE, (
+    assert debt == entrymod.R10_QUEUE, (
         "registered but neither driver-checked nor in the gate window "
-        f"nor in R9_QUEUE: {sorted(set(debt) ^ set(entrymod.R9_QUEUE))}"
+        f"nor in R10_QUEUE: {sorted(set(debt) ^ set(entrymod.R10_QUEUE))}"
     )
     # and the window is exactly full: the driver reads 50 slots
     assert len(names) >= 50
