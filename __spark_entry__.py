@@ -3680,6 +3680,40 @@ def q_eccentricity(spark, sf_dir):
     return eccentricity_sample(edges)
 
 
+def q_welch_anova(spark, sf_dir):
+    """Welch heteroscedastic one-way ANOVA of totalprice across
+    priorities (robust.welch_anova) — exact group moments, sequential
+    k-row folds, Welch-Satterthwaite df."""
+    return RB.welch_anova(load_tables(spark, sf_dir)["orders"])
+
+
+def q_yuen_t(spark, sf_dir):
+    """Yuen trimmed-mean t between open and filled orders
+    (robust.yuen_t) — exact order-statistic trimming/winsorization
+    off the cents spine."""
+    return RB.yuen_t(load_tables(spark, sf_dir)["orders"])
+
+
+def q_seasonal_kendall(spark, sf_dir):
+    """Seasonal Mann-Kendall trend over monthly counts
+    (robust.seasonal_kendall) — per-season exact S and tie-corrected
+    var18, one combined z."""
+    return RB.seasonal_kendall(load_tables(spark, sf_dir)["orders"])
+
+
+def q_partial_corr(spark, sf_dir):
+    """Partial correlation of quantity and price given discount
+    (robust.partial_corr) — nine exact DECIMAL moments, one pass."""
+    return RB.partial_corr(load_tables(spark, sf_dir)["lineitem"])
+
+
+def q_by_fdr(spark, sf_dir):
+    """Benjamini-Yekutieli FDR over the per-nation Fisher battery
+    (robust.by_fdr) — bh_fdr's dependence-safe sibling with the
+    nano-quantized harmonic budget."""
+    return RB.by_fdr(load_tables(spark, sf_dir))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3754,6 +3788,8 @@ R9_NEW: list[str] = [
     "hodges_lehmann", "cucconi", "gamma_somers",
     "barnard_exact", "betweenness",
     "quade_test", "lepage", "eccentricity",
+    "welch_anova", "yuen_t", "seasonal_kendall",
+    "partial_corr", "by_fdr",
 ]
 
 R10_QUEUE = R9_NEW[50 - len(R9_QUEUE):]
@@ -4147,6 +4183,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quade_test": q_quade_test,
         "lepage": q_lepage,
         "eccentricity": q_eccentricity,
+        "welch_anova": q_welch_anova,
+        "yuen_t": q_yuen_t,
+        "seasonal_kendall": q_seasonal_kendall,
+        "partial_corr": q_partial_corr,
+        "by_fdr": q_by_fdr,
         # --- round-1 driver-green (CORRECTNESS_r01.json) -------------
         # reference pipeline T1-T8 + codecs (batch replay over events)
         "t1_latest_per_key": q_t1_latest_per_key,
@@ -15524,4 +15565,263 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(alive.cnt, 0) > 0 AS at_cap, diameter_lb
         FROM per LEFT JOIN alive ON alive.src = per.src, dia
     """
+    out["welch_anova"] = """
+        WITH grp0 AS (
+          SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS ng,
+                 sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                     AS HUGEINT)) AS sg,
+                 sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                     AS HUGEINT)
+                     * CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS qg
+          FROM orders GROUP BY 1),
+        grp AS (SELECT * FROM grp0
+                WHERE ng >= 2 AND CAST(ng AS HUGEINT) * qg - sg * sg > 0),
+        lst AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                       CAST(sum(ng) AS BIGINT) AS n_total,
+                       list(struct_pack(g := g, ng := ng,
+                                        sg := sg, qg := qg)
+                            ORDER BY g) AS l
+                FROM grp),
+        f1 AS (SELECT *,
+                 list_reduce(list_prepend(0.0, list_transform(l, t ->
+                   CAST(t.ng AS DOUBLE)
+                   / (CAST(CAST(t.ng AS HUGEINT) * t.qg
+                           - t.sg * t.sg AS DOUBLE)
+                      / (CAST(t.ng AS DOUBLE)
+                         * (CAST(t.ng AS DOUBLE) - 1.0))))),
+                   (a, x) -> a + x) AS w_sum,
+                 list_reduce(list_prepend(0.0, list_transform(l, t ->
+                   CAST(t.ng AS DOUBLE)
+                   / (CAST(CAST(t.ng AS HUGEINT) * t.qg
+                           - t.sg * t.sg AS DOUBLE)
+                      / (CAST(t.ng AS DOUBLE)
+                         * (CAST(t.ng AS DOUBLE) - 1.0)))
+                   * (CAST(t.sg AS DOUBLE) / CAST(t.ng AS DOUBLE)))),
+                   (a, x) -> a + x) AS m_sum
+               FROM lst),
+        f2 AS (SELECT *, m_sum / w_sum AS m FROM f1),
+        f3 AS (SELECT *,
+                 list_reduce(list_prepend(0.0, list_transform(l, t ->
+                   CAST(t.ng AS DOUBLE)
+                   / (CAST(CAST(t.ng AS HUGEINT) * t.qg
+                           - t.sg * t.sg AS DOUBLE)
+                      / (CAST(t.ng AS DOUBLE)
+                         * (CAST(t.ng AS DOUBLE) - 1.0)))
+                   * (CAST(t.sg AS DOUBLE) / CAST(t.ng AS DOUBLE) - m)
+                   * (CAST(t.sg AS DOUBLE) / CAST(t.ng AS DOUBLE)
+                      - m))),
+                   (a, x) -> a + x) AS a_sum,
+                 list_reduce(list_prepend(0.0, list_transform(l, t ->
+                   ((1.0 - CAST(t.ng AS DOUBLE)
+                     / (CAST(CAST(t.ng AS HUGEINT) * t.qg
+                             - t.sg * t.sg AS DOUBLE)
+                        / (CAST(t.ng AS DOUBLE)
+                           * (CAST(t.ng AS DOUBLE) - 1.0)))
+                     / w_sum)
+                    * (1.0 - CAST(t.ng AS DOUBLE)
+                       / (CAST(CAST(t.ng AS HUGEINT) * t.qg
+                               - t.sg * t.sg AS DOUBLE)
+                          / (CAST(t.ng AS DOUBLE)
+                             * (CAST(t.ng AS DOUBLE) - 1.0)))
+                       / w_sum))
+                   / (CAST(t.ng AS DOUBLE) - 1.0))),
+                   (a, x) -> a + x) AS h_sum
+               FROM f2)
+        SELECT k, n_total,
+               floor(a_sum / (CAST(k AS DOUBLE) - 1.0)
+                     / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+                        / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+                        * h_sum) * 1e6 + 0.5) / 1e6 AS f_stat,
+               floor((CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+                     / (3.0 * h_sum) * 1e6 + 0.5) / 1e6 AS df2
+        FROM f3 WHERE k >= 2 AND h_sum > 0
+    """
+    out["yuen_t"] = """
+        WITH d AS (SELECT o_orderstatus AS g,
+                          CAST(round(o_totalprice * 100) AS BIGINT)
+                            AS v
+                   FROM orders WHERE o_orderstatus IN ('O', 'F')),
+        sv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt
+               FROM d GROUP BY 1, 2),
+        sp AS (SELECT g, v, cnt,
+                      COALESCE(sum(cnt) OVER (PARTITION BY g ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS below,
+                      CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT)
+                        AS n
+               FROM sv),
+        sp2 AS (SELECT *, n * 10 // 100 AS gt,
+                       n * 10 // 100 + 1 AS lo,
+                       n - n * 10 // 100 AS hi
+                FROM sp),
+        per AS (SELECT g, max(n) AS n, max(gt) AS gt,
+                       sum(CAST(v AS HUGEINT)
+                           * greatest(CAST(0 AS BIGINT),
+                               least(below + cnt, hi)
+                               - greatest(below + 1, lo) + 1)) AS tsum,
+                       sum(CAST(v AS HUGEINT) * v
+                           * greatest(CAST(0 AS BIGINT),
+                               least(below + cnt, hi)
+                               - greatest(below + 1, lo) + 1)) AS tssq,
+                       CAST(min(CASE WHEN below + cnt >= lo THEN v END)
+                            AS BIGINT) AS vlo,
+                       CAST(min(CASE WHEN below + cnt >= hi THEN v END)
+                            AS BIGINT) AS vhi
+                FROM sp2 GROUP BY 1),
+        p1 AS (SELECT n AS n1, gt AS g1, tsum AS ts1, tssq AS tq1,
+                      vlo AS vl1, vhi AS vh1
+               FROM per WHERE g = 'O'),
+        p2 AS (SELECT n AS n2, gt AS g2, tsum AS ts2, tssq AS tq2,
+                      vlo AS vl2, vhi AS vh2
+               FROM per WHERE g = 'F'),
+        j AS (SELECT * FROM p1, p2),
+        f AS (SELECT n1, n2,
+                     CAST(n1 - 2 * g1 AS BIGINT) AS h1,
+                     CAST(n2 - 2 * g2 AS BIGINT) AS h2,
+                     CAST(ts1 AS DOUBLE)
+                       / CAST(CAST(n1 - 2 * g1 AS BIGINT) AS DOUBLE)
+                       AS xt1,
+                     CAST(ts2 AS DOUBLE)
+                       / CAST(CAST(n2 - 2 * g2 AS BIGINT) AS DOUBLE)
+                       AS xt2,
+                     CAST(CAST(n1 AS HUGEINT)
+                          * (tq1 + CAST(g1 AS HUGEINT) * vl1 * vl1
+                             + CAST(g1 AS HUGEINT) * vh1 * vh1)
+                          - (ts1 + CAST(g1 AS HUGEINT) * vl1
+                             + CAST(g1 AS HUGEINT) * vh1)
+                          * (ts1 + CAST(g1 AS HUGEINT) * vl1
+                             + CAST(g1 AS HUGEINT) * vh1) AS DOUBLE)
+                       / (CAST(n1 AS DOUBLE)
+                          * (CAST(n1 AS DOUBLE) - 1.0)) AS s2w1,
+                     CAST(CAST(n2 AS HUGEINT)
+                          * (tq2 + CAST(g2 AS HUGEINT) * vl2 * vl2
+                             + CAST(g2 AS HUGEINT) * vh2 * vh2)
+                          - (ts2 + CAST(g2 AS HUGEINT) * vl2
+                             + CAST(g2 AS HUGEINT) * vh2)
+                          * (ts2 + CAST(g2 AS HUGEINT) * vl2
+                             + CAST(g2 AS HUGEINT) * vh2) AS DOUBLE)
+                       / (CAST(n2 AS DOUBLE)
+                          * (CAST(n2 AS DOUBLE) - 1.0)) AS s2w2
+              FROM j),
+        g_ AS (SELECT n1, n2, h1, h2, xt1, xt2,
+                      s2w1 * (CAST(n1 AS DOUBLE) - 1.0)
+                        / (CAST(h1 AS DOUBLE)
+                           * (CAST(h1 AS DOUBLE) - 1.0)) AS d1,
+                      s2w2 * (CAST(n2 AS DOUBLE) - 1.0)
+                        / (CAST(h2 AS DOUBLE)
+                           * (CAST(h2 AS DOUBLE) - 1.0)) AS d2
+               FROM f)
+        SELECT n1, n2, h1, h2,
+               floor(xt1 / 100.0 * 1e6 + 0.5) / 1e6 AS trimmed_mean_1,
+               floor(xt2 / 100.0 * 1e6 + 0.5) / 1e6 AS trimmed_mean_2,
+               floor((xt1 - xt2) / sqrt(d1 + d2) * 1e6 + 0.5) / 1e6
+                 AS t_stat,
+               floor((d1 + d2) * (d1 + d2)
+                     / (d1 * d1 / (CAST(h1 AS DOUBLE) - 1.0)
+                        + d2 * d2 / (CAST(h2 AS DOUBLE) - 1.0))
+                     * 1e6 + 0.5) / 1e6 AS df
+        FROM g_ WHERE h1 >= 2 AND h2 >= 2 AND d1 + d2 > 0
+    """
+    out["seasonal_kendall"] = """
+        WITH cells AS (
+          SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+                 CAST(month(o_orderdate) AS INTEGER) AS m,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1, 2),
+        months AS (SELECT CAST(unnest(range(1, 13)) AS INTEGER) AS m),
+        years AS (SELECT DISTINCT y FROM cells),
+        full_ AS (SELECT yy.y, mm.m, COALESCE(c.c, 0) AS c
+                  FROM years yy CROSS JOIN months mm
+                  LEFT JOIN cells c ON c.y = yy.y AND c.m = mm.m),
+        s AS (SELECT CAST(sum(CASE WHEN b.c > a.c THEN 1
+                              WHEN b.c < a.c THEN -1 ELSE 0 END)
+                     AS BIGINT) AS s
+              FROM full_ a JOIN full_ b
+                ON a.m = b.m AND a.y < b.y),
+        ties AS (SELECT m, c, CAST(count(*) AS BIGINT) AS t
+                 FROM full_ GROUP BY 1, 2),
+        vm AS (SELECT m, CAST(sum(t) AS BIGINT) AS nm,
+                      CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                        AS tt
+               FROM ties GROUP BY 1),
+        v AS (SELECT CAST(max(nm) AS BIGINT) AS n_years,
+                     CAST(sum(nm * (nm - 1) * (2 * nm + 5) - tt)
+                          AS BIGINT) AS var18
+              FROM vm)
+        SELECT n_years, s AS s_stat, var18,
+               floor(CASE WHEN s > 0 THEN CAST(s AS DOUBLE) - 1.0
+                          WHEN s < 0 THEN CAST(s AS DOUBLE) + 1.0
+                          ELSE 0.0 END
+                     / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                     * 1e6 + 0.5) / 1e6 AS z
+        FROM s, v WHERE var18 > 0
+    """
+    out["partial_corr"] = """
+        WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                          CAST(round(l_extendedprice * 100) AS BIGINT)
+                            AS y,
+                          CAST(round(l_discount * 100) AS BIGINT) AS z
+                   FROM lineitem),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       sum(CAST(x AS HUGEINT)) AS sx,
+                       sum(CAST(y AS HUGEINT)) AS sy,
+                       sum(CAST(z AS HUGEINT)) AS sz,
+                       sum(CAST(x AS HUGEINT) * x) AS sxx,
+                       sum(CAST(y AS HUGEINT) * y) AS syy,
+                       sum(CAST(z AS HUGEINT) * z) AS szz,
+                       sum(CAST(x AS HUGEINT) * y) AS sxy,
+                       sum(CAST(x AS HUGEINT) * z) AS sxz,
+                       sum(CAST(y AS HUGEINT) * z) AS syz
+                FROM d),
+        r AS (SELECT n,
+                CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+                              AS DOUBLE)
+                         * CAST(CAST(n AS HUGEINT) * syy - sy * sy
+                                AS DOUBLE)) AS rxy,
+                CAST(CAST(n AS HUGEINT) * sxz - sx * sz AS DOUBLE)
+                  / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+                              AS DOUBLE)
+                         * CAST(CAST(n AS HUGEINT) * szz - sz * sz
+                                AS DOUBLE)) AS rxz,
+                CAST(CAST(n AS HUGEINT) * syz - sy * sz AS DOUBLE)
+                  / sqrt(CAST(CAST(n AS HUGEINT) * syy - sy * sy
+                              AS DOUBLE)
+                         * CAST(CAST(n AS HUGEINT) * szz - sz * sz
+                                AS DOUBLE)) AS ryz
+              FROM agg)
+        SELECT n,
+               floor(rxy * 1e6 + 0.5) / 1e6 AS r_qty_price,
+               floor(rxz * 1e6 + 0.5) / 1e6 AS r_qty_disc,
+               floor(ryz * 1e6 + 0.5) / 1e6 AS r_price_disc,
+               floor((rxy - rxz * ryz)
+                     / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+                     * 1e6 + 0.5) / 1e6 AS r_qty_price_given_disc
+        FROM r WHERE n >= 3
+    """
+    out["by_fdr"] = (
+        out["bh_fdr"]
+        .replace(
+            "mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pv)",
+            "mm AS (SELECT m,\n"
+            "               list_reduce(list_prepend("
+            "CAST(0 AS BIGINT),\n"
+            "                 list_transform(range(1, m + 1), i ->\n"
+            "                   CAST(floor(1e9 / CAST(i AS DOUBLE)"
+            " + 0.5) AS BIGINT))),\n"
+            "                 (a, x) -> a + x) AS cm_nano\n"
+            "        FROM (SELECT CAST(count(*) AS BIGINT) AS m"
+            " FROM pv))",
+        )
+        .replace(
+            "SELECT pv.*, mm.m,",
+            "SELECT pv.*, mm.m, mm.cm_nano,",
+        )
+        .replace(
+            "max(CASE WHEN p_raw * CAST(m AS DOUBLE)",
+            "max(CASE WHEN p_raw * CAST(m AS DOUBLE)"
+            " * (CAST(cm_nano AS DOUBLE) / 1e9)",
+        )
+    )
     return out

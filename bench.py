@@ -460,6 +460,11 @@ BENCH_QUERIES = [
     "quade_test",
     "lepage",
     "eccentricity",
+    "welch_anova",
+    "yuen_t",
+    "seasonal_kendall",
+    "partial_corr",
+    "by_fdr",
 ]
 
 # Heavy composite queries (>3s at sf0.1). Benched at ONE rep so the

@@ -9639,3 +9639,451 @@ def lepage_test(
         round_half_up(za, 6).alias("z_ansari"),
         round_half_up(zw * zw + za * za, 6).alias("d_stat"),
     )
+
+
+def welch_anova(orders: DataFrame) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA of totalprice across
+    order priorities — the unequal-variance F that ``anova_oneway``
+    users switch to when ``bartlett_test``/``levene`` reject
+    homogeneity (the k-group ``brunner_munzel`` move, parametric):
+
+        w_j = n_j / s_j^2,  W = sum w,  m = sum w xbar / W,
+        A = sum w (xbar - m)^2 / (k - 1),
+        H = sum (1 - w/W)^2 / (n_j - 1),
+        F = A / (1 + 2(k-2)/(k^2-1) H),
+        df2 = (k^2 - 1) / (3 H)
+
+    Exactness: group sums/squares are exact DECIMAL; every float sum
+    runs as a SEQUENTIAL fold over the priority-sorted k-row list
+    (the brown_forsythe idiom), each quantity its OWN fold — no
+    cross-field accumulator state (the DuckDB list_reduce in-place
+    trap). Groups with n_j < 2 or zero variance drop by predicate.
+    Scale: one rollup; folds touch k rows."""
+    grp = (
+        orders.select(
+            F.col("o_orderpriority").alias("g"),
+            _cents("o_totalprice").alias("v"),
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ng"),
+            F.sum(F.col("v").cast(DEC)).cast(DEC).alias("sg"),
+            F.sum((F.col("v").cast(DEC) * F.col("v").cast(DEC)))
+            .cast(DEC)
+            .alias("qg"),
+        )
+        .where(
+            (F.col("ng") >= 2)
+            & (
+                F.col("ng").cast(DEC) * F.col("qg")
+                - F.col("sg") * F.col("sg")
+                > 0
+            )
+        )
+    )
+    lst = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n_total"),
+        F.array_sort(
+            F.collect_list(F.struct("g", "ng", "sg", "qg"))
+        ).alias("l"),
+    )
+
+    def xbar(t):
+        return t["sg"].cast("double") / t["ng"].cast("double")
+
+    def wj(t):
+        ngD = t["ng"].cast("double")
+        s2 = (
+            t["ng"].cast(DEC) * t["qg"] - t["sg"] * t["sg"]
+        ).cast("double") / (ngD * (ngD - 1.0))
+        return ngD / s2
+
+    fold = lambda f: F.aggregate(  # noqa: E731
+        F.col("l"), F.lit(0.0), lambda a, t: a + f(t)
+    )
+    withw = lst.withColumn("w_sum", fold(wj)).withColumn(
+        "m_sum", fold(lambda t: wj(t) * xbar(t))
+    )
+    m = F.col("m_sum") / F.col("w_sum")
+    withm = withw.withColumn(
+        "a_sum", fold(lambda t: wj(t) * (xbar(t) - m) * (xbar(t) - m))
+    ).withColumn(
+        "h_sum",
+        fold(
+            lambda t: (
+                (F.lit(1.0) - wj(t) / F.col("w_sum"))
+                * (F.lit(1.0) - wj(t) / F.col("w_sum"))
+            )
+            / (t["ng"].cast("double") - 1.0)
+        ),
+    )
+    kD = F.col("k").cast("double")
+    a_stat = F.col("a_sum") / (kD - 1.0)
+    denom = F.lit(1.0) + 2.0 * (kD - 2.0) / (kD * kD - 1.0) * F.col(
+        "h_sum"
+    )
+    return withm.where((F.col("k") >= 2) & (F.col("h_sum") > 0)).select(
+        "k",
+        "n_total",
+        round_half_up(a_stat / denom, 6).alias("f_stat"),
+        round_half_up((kD * kD - 1.0) / (3.0 * F.col("h_sum")), 6)
+        .alias("df2"),
+    )
+
+
+def yuen_t(
+    orders: DataFrame, g1: str = "O", g2: str = "F", trim_pct: int = 10
+) -> DataFrame:
+    """Yuen's trimmed-mean t-test between two order-status cohorts'
+    totalprice — the robust two-sample location test (plain Welch
+    chases the heavy tail this table actually has; Yuen trims
+    ``trim_pct``% from EACH end and standardizes with the winsorized
+    variance):
+
+        t  = (xt1 - xt2) / sqrt(d1 + d2),
+        dj = s2w_j (n_j - 1) / (h_j (h_j - 1)),  h_j = n_j - 2 g_j
+
+    with g_j = n_j * trim_pct div 100 (integer), trimmed means over
+    ranks (g, n-g], winsorization replacing each trimmed tail by its
+    boundary ORDER STATISTIC (nearest-rank, exact). Welch-
+    Satterthwaite df. Exactness: all order statistics, overlap
+    counts, winsorized sums and squared sums are exact integers off
+    the per-group cents spine; t and df are mirrored floats. Scale:
+    one value-spine rollup per group."""
+    d = orders.where(F.col("o_orderstatus").isin(g1, g2)).select(
+        F.col("o_orderstatus").alias("g"),
+        _cents("o_totalprice").alias("v"),
+    )
+    sv = d.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wb = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wn = Window.partitionBy("g")
+    sp = sv.select(
+        "g",
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0).cast("long")).alias(
+            "below"
+        ),
+        F.sum("cnt").over(wn).cast("long").alias("n"),
+    )
+    gt = F.expr(f"n * {int(trim_pct)} div 100")
+    lo = (gt + 1).alias("lo")
+    hi = (F.col("n") - gt).alias("hi")
+    sp2 = sp.select(
+        "g", "v", "cnt", "below", "n", gt.alias("gt"), lo, hi
+    )
+    ov = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("below") + F.col("cnt"), F.col("hi"))
+        - F.greatest(F.col("below") + 1, F.col("lo"))
+        + 1,
+    )
+    per = sp2.groupBy("g").agg(
+        F.max("n").alias("n"),
+        F.max("gt").alias("gt"),
+        F.sum(F.col("v").cast(DEC) * ov.cast(DEC)).cast(DEC).alias(
+            "tsum"
+        ),
+        F.sum(
+            F.col("v").cast(DEC) * F.col("v").cast(DEC) * ov.cast(DEC)
+        ).cast(DEC).alias("tssq"),
+        F.min(
+            F.when(
+                F.col("below") + F.col("cnt") >= F.col("lo"), F.col("v")
+            )
+        ).cast("long").alias("vlo"),
+        F.min(
+            F.when(
+                F.col("below") + F.col("cnt") >= F.col("hi"), F.col("v")
+            )
+        ).cast("long").alias("vhi"),
+    ).localCheckpoint(eager=False)  # 2 consumers (one per cohort)
+
+    def side(gname, tag):
+        p = per.where(F.col("g") == gname)
+        return p.select(
+            F.col("n").alias(f"n{tag}"),
+            F.col("gt").alias(f"g{tag}"),
+            F.col("tsum").alias(f"ts{tag}"),
+            F.col("tssq").alias(f"tq{tag}"),
+            F.col("vlo").alias(f"vl{tag}"),
+            F.col("vhi").alias(f"vh{tag}"),
+        )
+
+    j = side(g1, "1").crossJoin(F.broadcast(side(g2, "2")))
+
+    def stats(tag):
+        n = F.col(f"n{tag}")
+        gt_ = F.col(f"g{tag}")
+        h = (n - 2 * gt_).cast("long")
+        vl = F.col(f"vl{tag}").cast(DEC)
+        vh = F.col(f"vh{tag}").cast(DEC)
+        sw = (
+            F.col(f"ts{tag}") + gt_.cast(DEC) * vl + gt_.cast(DEC) * vh
+        ).cast(DEC)
+        qw = (
+            F.col(f"tq{tag}")
+            + gt_.cast(DEC) * vl * vl
+            + gt_.cast(DEC) * vh * vh
+        ).cast(DEC)
+        nD = n.cast("double")
+        hD = h.cast("double")
+        xt = F.col(f"ts{tag}").cast("double") / hD
+        s2w = (n.cast(DEC) * qw - sw * sw).cast("double") / (
+            nD * (nD - 1.0)
+        )
+        dj = s2w * (nD - 1.0) / (hD * (hD - 1.0))
+        return h, xt, dj
+
+    h1, xt1, d1 = stats("1")
+    h2, xt2, d2 = stats("2")
+    t = (xt1 - xt2) / F.sqrt(d1 + d2)
+    df = (
+        (d1 + d2) * (d1 + d2)
+        / (
+            d1 * d1 / (h1.cast("double") - 1.0)
+            + d2 * d2 / (h2.cast("double") - 1.0)
+        )
+    )
+    return j.where((h1 >= 2) & (h2 >= 2) & (d1 + d2 > 0)).select(
+        F.col("n1"),
+        F.col("n2"),
+        h1.alias("h1"),
+        h2.alias("h2"),
+        round_half_up(xt1 / 100.0, 6).alias("trimmed_mean_1"),
+        round_half_up(xt2 / 100.0, 6).alias("trimmed_mean_2"),
+        round_half_up(t, 6).alias("t_stat"),
+        round_half_up(df, 6).alias("df"),
+    )
+
+
+def seasonal_kendall(orders: DataFrame) -> DataFrame:
+    """Seasonal Mann-Kendall trend test on MONTHLY order counts:
+    within each calendar month, the MK S statistic over the years
+    (sign of every cross-year pair), summed across the 12 seasons
+    with summed tie-corrected variances — the trend test that does
+    not mistake seasonality for trend (``mann_kendall`` on raw daily
+    data conflates the two; the seasonal form compares January only
+    with January):
+
+        S = sum_m S_m,   Var = sum_m Var_m,
+        Z = (S - sign(S)) / sqrt(Var)
+
+    Exactness: the (year, month) grid is zero-filled; S and var18
+    (= 18 Var) are exact BIGINTs (mann_kendall's tie rollup per
+    season); Z is one mirrored float. Scale: a (year, month) rollup;
+    pairs are 12 * C(n_years, 2)."""
+    cells = (
+        orders.groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    months = cells.sparkSession.range(1, 13).select(
+        F.col("id").cast("int").alias("m")
+    )
+    full = (
+        cells.select("y").distinct()
+        .crossJoin(F.broadcast(months))
+        .join(cells, ["y", "m"], "left")
+        .select(
+            "y", "m",
+            F.coalesce("c", F.lit(0).cast("long")).alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = full.select("m", F.col("y").alias("y1"), F.col("c").alias("c1"))
+    b = full.select(
+        F.col("m").alias("m2"), F.col("y").alias("y2"),
+        F.col("c").alias("c2"),
+    )
+    s = a.join(
+        b, (F.col("m") == F.col("m2")) & (F.col("y1") < F.col("y2"))
+    ).agg(
+        F.sum(
+            F.when(F.col("c2") > F.col("c1"), 1)
+            .when(F.col("c2") < F.col("c1"), -1)
+            .otherwise(0)
+        ).cast("long").alias("s")
+    )
+    ties = full.groupBy("m", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    var18 = ties.groupBy("m").agg(
+        F.sum("t").cast("long").alias("nm"),
+        F.sum(
+            F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+        ).cast("long").alias("tt"),
+    ).agg(
+        F.max("nm").cast("long").alias("n_years"),
+        F.sum(
+            F.col("nm") * (F.col("nm") - 1) * (2 * F.col("nm") + 5)
+            - F.col("tt")
+        ).cast("long").alias("var18"),
+    )
+    j = s.crossJoin(F.broadcast(var18))
+    sD = F.col("s").cast("double")
+    corr = F.when(F.col("s") > 0, sD - 1.0).when(
+        F.col("s") < 0, sD + 1.0
+    ).otherwise(F.lit(0.0))
+    return j.where(F.col("var18") > 0).select(
+        "n_years",
+        F.col("s").alias("s_stat"),
+        "var18",
+        round_half_up(
+            corr / F.sqrt(F.col("var18").cast("double") / 18.0), 6
+        ).alias("z"),
+    )
+
+
+def partial_corr(lineitem: DataFrame) -> DataFrame:
+    """Pearson correlations and the PARTIAL correlation of line-item
+    quantity and price given discount:
+
+        r_xy.z = (r_xy - r_xz r_yz)
+                 / sqrt((1 - r_xz^2)(1 - r_yz^2))
+
+    — does quantity still track price once the discount channel is
+    held fixed (``price_elasticity`` fits the raw slope; the partial
+    answers the confounder question a pricing analyst actually
+    asks). Exactness: all nine moment sums are exact DECIMAL(38,0)
+    (quantity int, price cents, discount percent); each r is
+    (n S_ab - S_a S_b) over the sqrt of the exact centered-moment
+    product, every float mirrored. Scale: ONE aggregate over the
+    scan."""
+    d = lineitem.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        _cents("l_extendedprice").alias("y"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("z"),
+    )
+    c = lambda n: F.col(n).cast(DEC)  # noqa: E731
+    agg = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c("x")).cast(DEC).alias("sx"),
+        F.sum(c("y")).cast(DEC).alias("sy"),
+        F.sum(c("z")).cast(DEC).alias("sz"),
+        F.sum(c("x") * c("x")).cast(DEC).alias("sxx"),
+        F.sum(c("y") * c("y")).cast(DEC).alias("syy"),
+        F.sum(c("z") * c("z")).cast(DEC).alias("szz"),
+        F.sum(c("x") * c("y")).cast(DEC).alias("sxy"),
+        F.sum(c("x") * c("z")).cast(DEC).alias("sxz"),
+        F.sum(c("y") * c("z")).cast(DEC).alias("syz"),
+    )
+    nD = F.col("n").cast(DEC)
+
+    def r(ab, a, b, aa, bb):
+        num = (nD * F.col(ab) - F.col(a) * F.col(b)).cast("double")
+        da = (nD * F.col(aa) - F.col(a) * F.col(a)).cast("double")
+        db = (nD * F.col(bb) - F.col(b) * F.col(b)).cast("double")
+        return num / F.sqrt(da * db)
+
+    rxy = r("sxy", "sx", "sy", "sxx", "syy")
+    rxz = r("sxz", "sx", "sz", "sxx", "szz")
+    ryz = r("syz", "sy", "sz", "syy", "szz")
+    part = (rxy - rxz * ryz) / F.sqrt(
+        (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+    )
+    return agg.where(F.col("n") >= 3).select(
+        "n",
+        round_half_up(rxy, 6).alias("r_qty_price"),
+        round_half_up(rxz, 6).alias("r_qty_disc"),
+        round_half_up(ryz, 6).alias("r_price_disc"),
+        round_half_up(part, 6).alias("r_qty_price_given_disc"),
+    )
+
+
+def by_fdr(
+    t, min_orders: int = 10, bal_cut: float = 5000.0,
+    q_level: float = 0.1,
+) -> DataFrame:
+    """Benjamini-Yekutieli FDR correction over the per-nation exact
+    Fisher battery — ``bh_fdr``'s dependence-safe sibling: BH assumes
+    positive dependence across the slices; BY divides the budget by
+    the harmonic c(m) = sum_{i<=m} 1/i and stays valid under ANY
+    dependence (the correction a metrics platform switches to when
+    slices share traffic). Step-up rule: reject the r smallest
+    p-values where r is the largest rank with
+
+        p_(r) <= r q / (m c(m)).
+
+    Exactness: p's are the exact hypergeometric folds; c(m) is the
+    NANO-QUANTIZED harmonic sum (foster_stuart discipline, exact
+    BIGINT from a fold over 1..m); the comparison runs as
+    p * m * c(m) <= r * q in identically-computed doubles. Scale:
+    one customer rollup; |nations|-sized after."""
+    pc = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    j = (
+        t["customer"]
+        .join(pc, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            (F.coalesce("n_orders", F.lit(0)) >= min_orders)
+            .cast("int")
+            .alias("y"),
+            (F.col("c_acctbal") >= bal_cut).cast("int").alias("p"),
+        )
+    )
+    cells = j.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("r1"),
+        F.sum("p").cast("long").alias("c1"),
+        F.sum(F.col("y") * F.col("p")).cast("long").alias("k_obs"),
+    ).where(
+        (F.col("r1") > 0)
+        & (F.col("r1") < F.col("n"))
+        & (F.col("c1") > 0)
+        & (F.col("c1") < F.col("n"))
+    )
+    scored = _hypergeom_two_sided_p(cells).localCheckpoint(eager=False)
+    m = scored.agg(F.count(F.lit(1)).cast("long").alias("m")).select(
+        "m",
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("m")),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.floor(F.lit(1e9) / i.cast("double") + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("cm_nano"),
+    )
+    w = Window.orderBy(F.col("p_raw").asc(), F.col("nation").asc())
+    ranked = scored.crossJoin(F.broadcast(m)).withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    )
+    cmD = F.col("cm_nano").cast("double") / 1e9
+    ok = (
+        F.col("p_raw") * F.col("m").cast("double") * cmD
+        <= F.col("rank").cast("double") * F.lit(float(q_level))
+    )
+    wall = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    final = ranked.withColumn(
+        "k_max",
+        F.max(F.when(ok, F.col("rank"))).over(wall),
+    )
+    return final.select(
+        "nation",
+        "n",
+        "k_obs",
+        round_half_up(F.col("p_raw"), 6).alias("p_two_sided"),
+        "rank",
+        F.coalesce(
+            F.col("rank") <= F.col("k_max"), F.lit(False)
+        ).alias("rejected"),
+    )

@@ -716,3 +716,275 @@ def test_eccentricity_sample_literal(spark):
         assert got[s]["ecc"] == ecc, s
         assert got[s]["at_cap"] == alive, s
         assert got[s]["diameter_lb"] == dia
+
+
+def test_welch_anova_literal(spark):
+    """Three planted groups with different means AND variances;
+    recompute group moments, the four sequential folds (group-key
+    order), and F/df2 literally."""
+    from pubsub_mapreduce_spark.operators.robust import welch_anova
+
+    g = _lcg(73)
+    rows, data = [], {}
+    specs = {"1-URGENT": (100, 3), "2-HIGH": (140, 25), "3-LOW": (120, 8)}
+    i = 0
+    for gr, (mu, spread) in specs.items():
+        vals = [mu + (next(g) % (2 * spread)) - spread for _ in range(40)]
+        data[gr] = [v * 100 for v in vals]  # cents
+        for v in vals:
+            i += 1
+            rows.append((i, D(2024, 1, 1), gr, float(v)))
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderdate timestamp, o_orderpriority string, "
+        "o_totalprice double",
+    )
+    row = welch_anova(df).collect()[0]
+
+    ks = sorted(data)
+    w = {}
+    xb = {}
+    for gr in ks:
+        v = data[gr]
+        ng, sg, qg = len(v), sum(v), sum(x * x for x in v)
+        s2 = (ng * qg - sg * sg) / (float(ng) * (float(ng) - 1.0))
+        w[gr] = float(ng) / s2
+        xb[gr] = float(sg) / float(ng)
+    wsum = 0.0
+    for gr in ks:
+        wsum = wsum + w[gr]
+    msum = 0.0
+    for gr in ks:
+        msum = msum + w[gr] * xb[gr]
+    mm = msum / wsum
+    asum = 0.0
+    for gr in ks:
+        asum = asum + w[gr] * (xb[gr] - mm) * (xb[gr] - mm)
+    hsum = 0.0
+    for gr in ks:
+        hsum = hsum + ((1.0 - w[gr] / wsum) * (1.0 - w[gr] / wsum)) / (
+            len(data[gr]) - 1.0
+        )
+    k = 3.0
+    f = (asum / (k - 1.0)) / (
+        1.0 + 2.0 * (k - 2.0) / (k * k - 1.0) * hsum
+    )
+    assert row["k"] == 3 and row["n_total"] == 120
+    assert row["f_stat"] == _r6(f)
+    assert row["df2"] == _r6((k * k - 1.0) / (3.0 * hsum))
+    assert f > 10.0  # the planted mean separation dominates
+
+
+def test_yuen_t_literal(spark):
+    """Planted cohorts with fat tails; recompute order-statistic
+    trimming, winsorized variance, t and Welch-Satterthwaite df."""
+    from pubsub_mapreduce_spark.operators.robust import yuen_t
+
+    g = _lcg(79)
+    rows, vals = [], {"O": [], "F": []}
+    for i in range(90):
+        st = "O" if i % 2 == 0 else "F"
+        v = 50 + next(g) % 30
+        if next(g) % 10 == 0:
+            v += 500  # outliers the trim must absorb
+        if st == "F":
+            v += 12
+        vals[st].append(v * 100)
+        rows.append((i, D(2024, 1, 1), st, float(v)))
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderdate timestamp, o_orderstatus string, "
+        "o_totalprice double",
+    )
+    row = yuen_t(df).collect()[0]
+
+    def side(v):
+        v = sorted(v)
+        n = len(v)
+        gt = n * 10 // 100
+        h = n - 2 * gt
+        trimmed = v[gt: n - gt]
+        tsum = sum(trimmed)
+        wins = [v[gt]] * gt + trimmed + [v[n - gt - 1]] * gt
+        sw, qw = sum(wins), sum(x * x for x in wins)
+        xt = float(tsum) / float(h)
+        s2w = (n * qw - sw * sw) / (float(n) * (float(n) - 1.0))
+        dj = s2w * (float(n) - 1.0) / (float(h) * (float(h) - 1.0))
+        return n, h, xt, dj
+
+    n1, h1, xt1, d1 = side(vals["O"])
+    n2, h2, xt2, d2 = side(vals["F"])
+    t = (xt1 - xt2) / math.sqrt(d1 + d2)
+    dfree = (d1 + d2) ** 2 / (
+        d1 * d1 / (h1 - 1.0) + d2 * d2 / (h2 - 1.0)
+    )
+    assert (row["n1"], row["n2"], row["h1"], row["h2"]) == (n1, n2, h1, h2)
+    assert row["trimmed_mean_1"] == _r6(xt1 / 100.0)
+    assert row["trimmed_mean_2"] == _r6(xt2 / 100.0)
+    assert row["t_stat"] == _r6(t)
+    assert row["df"] == _r6(dfree)
+    assert t < -2.0  # planted +12 shift on F is visible after trimming
+
+
+def test_seasonal_kendall_literal(spark):
+    """Planted monthly counts with a within-month cross-year trend;
+    recompute per-season S, tie-corrected var18, and z."""
+    from pubsub_mapreduce_spark.operators.robust import seasonal_kendall
+
+    g = _lcg(83)
+    rows, counts, k = [], {}, 0
+    for yi, y in enumerate((1994, 1995, 1996, 1997)):
+        for mth in range(1, 13):
+            c = 3 + yi + next(g) % 2  # upward cross-year trend
+            counts[(y, mth)] = c
+            for _ in range(c):
+                k += 1
+                rows.append((k, D(y, mth, 9)))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp"
+    )
+    row = seasonal_kendall(orders).collect()[0]
+
+    years = (1994, 1995, 1996, 1997)
+    s = 0
+    var18 = 0
+    for mth in range(1, 13):
+        vals = [counts[(y, mth)] for y in years]
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                s += (vals[j] > vals[i]) - (vals[j] < vals[i])
+        nm = len(vals)
+        tt = 0
+        for c in set(vals):
+            t = vals.count(c)
+            tt += t * (t - 1) * (2 * t + 5)
+        var18 += nm * (nm - 1) * (2 * nm + 5) - tt
+    corr = float(s) - 1.0 if s > 0 else (float(s) + 1.0 if s < 0 else 0.0)
+    assert row["n_years"] == 4 and row["s_stat"] == s
+    assert row["var18"] == var18
+    assert row["z"] == _r6(corr / math.sqrt(var18 / 18.0))
+    assert row["z"] > 3.0  # the planted trend is strong
+
+
+def test_partial_corr_literal(spark):
+    """Planted lineitem where price = qty*110 + noise and discount
+    correlates with qty; recompute all nine moments and the partial
+    coefficient literally."""
+    from pubsub_mapreduce_spark.operators.robust import partial_corr
+
+    g = _lcg(89)
+    rows, xyz = [], []
+    for i in range(150):
+        q = 1 + next(g) % 20
+        dc = min(10, q // 3 + next(g) % 2)
+        price_c = q * 11000 + (next(g) % 1000)
+        xyz.append((q, price_c, dc))
+        rows.append((i, float(q), price_c / 100.0, dc / 100.0))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double",
+    )
+    row = partial_corr(df).collect()[0]
+
+    n = len(xyz)
+    sx = sum(x for x, _, _ in xyz)
+    sy = sum(y for _, y, _ in xyz)
+    sz = sum(z for _, _, z in xyz)
+    sxx = sum(x * x for x, _, _ in xyz)
+    syy = sum(y * y for _, y, _ in xyz)
+    szz = sum(z * z for _, _, z in xyz)
+    sxy = sum(x * y for x, y, _ in xyz)
+    sxz = sum(x * z for x, _, z in xyz)
+    syz = sum(y * z for _, y, z in xyz)
+
+    def r(ab, a, b, aa, bb):
+        return float(n * ab - a * b) / math.sqrt(
+            float(n * aa - a * a) * float(n * bb - b * b)
+        )
+
+    rxy = r(sxy, sx, sy, sxx, syy)
+    rxz = r(sxz, sx, sz, sxx, szz)
+    ryz = r(syz, sy, sz, syy, szz)
+    part = (rxy - rxz * ryz) / math.sqrt(
+        (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+    )
+    assert row["n"] == n
+    assert row["r_qty_price"] == _r6(rxy)
+    assert row["r_qty_disc"] == _r6(rxz)
+    assert row["r_price_disc"] == _r6(ryz)
+    assert row["r_qty_price_given_disc"] == _r6(part)
+    assert rxy > 0.99 and part > 0.9  # planted near-linear relation
+
+
+def test_by_fdr_literal_vs_bh(spark):
+    """BY on the same planted battery as the bh_fdr pin: identical
+    p-values and ranks, but the harmonic-deflated budget rejects a
+    SUBSET of what BH rejects; recompute the c(m) fold and the
+    step-up literally."""
+    from pubsub_mapreduce_spark.operators.robust import bh_fdr, by_fdr
+    from tests.test_round9_pins import _hyper_p, _lcg as _plcg
+
+    g = _plcg(7)
+    nations = ["ALPHA", "BRAVO", "CHARLIE", "DELTA", "ECHO"]
+    cust_rows, order_rows, ok = [], [], 0
+    raw = {}
+    for ni, nname in enumerate(nations):
+        raw[nname] = []
+        for ci in range(24):
+            ck = ni * 100 + ci
+            bal = float(next(g) % 10000)
+            n_orders = next(g) % 20
+            cust_rows.append((ck, bal, ni))
+            for _ in range(n_orders):
+                ok += 1
+                order_rows.append((ok, ck))
+            raw[nname].append((bal, n_orders))
+    t = {
+        "customer": spark.createDataFrame(
+            cust_rows, "c_custkey long, c_acctbal double, c_nationkey long"
+        ),
+        "orders": spark.createDataFrame(
+            order_rows, "o_orderkey long, o_custkey long"
+        ),
+        "nation": spark.createDataFrame(
+            [(i, n) for i, n in enumerate(nations)],
+            "n_nationkey long, n_name string",
+        ),
+    }
+    got = {r["nation"]: r for r in by_fdr(t).collect()}
+    bh = {r["nation"]: r for r in bh_fdr(t).collect()}
+
+    cells = {}
+    for nname, rows in raw.items():
+        n = len(rows)
+        r1 = sum(1 for bal, no in rows if no >= 10)
+        c1 = sum(1 for bal, no in rows if bal >= 5000.0)
+        kk = sum(1 for bal, no in rows if no >= 10 and bal >= 5000.0)
+        if 0 < r1 < n and 0 < c1 < n:
+            cells[nname] = (n, r1, c1, kk)
+    ps = {nm: _hyper_p(*c) for nm, c in cells.items()}
+    m = len(ps)
+    cm_nano = sum(
+        math.floor(1e9 / float(i) + 0.5) for i in range(1, m + 1)
+    )
+    ordered = sorted(ps, key=lambda nm: (ps[nm], nm))
+    rank = {nm: i + 1 for i, nm in enumerate(ordered)}
+    k_max = max(
+        (
+            rank[nm]
+            for nm in ordered
+            if ps[nm] * float(m) * (cm_nano / 1e9) <= rank[nm] * 0.1
+        ),
+        default=None,
+    )
+    assert set(got) == set(cells)
+    for nm in cells:
+        assert got[nm]["rank"] == rank[nm]
+        assert got[nm]["p_two_sided"] == bh[nm]["p_two_sided"]
+        want_rej = k_max is not None and rank[nm] <= k_max
+        assert got[nm]["rejected"] == want_rej, nm
+    # BY is strictly more conservative than BH
+    assert all(
+        (not got[nm]["rejected"]) or bh[nm]["rejected"] for nm in cells
+    )
