@@ -771,13 +771,16 @@ def solo_remeasure(
 
 
 # Noise canary (VERDICT r8 #5): three fixed CHEAP queries re-measured
-# at the very END of the sweep against round-pinned clean-window solo
-# times (min-of-3 warm, BENCH_LOCAL_r8.json's clean 245.8s map). A
-# degraded box drags all three together — the artifact then
-# self-identifies as noisy (``noise_suspect``) so a judge/regression
-# gate can adjudicate a bad window from the JSON alone instead of
-# from after-the-fact solo re-measures. Re-pin the baselines whenever
-# a round's clean run moves them materially.
+# at the START (post-warm-up) and END of the sweep against
+# round-pinned clean-window solo times (min-of-3 warm,
+# BENCH_LOCAL_r8.json's clean 245.8s map). A degraded box drags all
+# three together — the artifact then self-identifies as noisy
+# (``noise_suspect``, tripped by EITHER probe: the r9 run proved a
+# box can oscillate 1.1x -> 3.8x within one sweep, so a single
+# end-probe under-reports) and a judge/regression gate can adjudicate
+# a bad window from the JSON alone instead of from after-the-fact
+# solo re-measures. Re-pin the baselines whenever a round's clean run
+# moves them materially.
 CANARY_BASELINE = {
     "q1_pricing_summary": 0.854,
     "distinct_per_status": 0.204,
@@ -837,6 +840,7 @@ def compact_stdout_line(doc: dict, limit: int = 1900) -> str:
         "reps": doc["reps"],
         "n_queries": len(doc["queries"]),
         "noise_suspect": doc.get("noise_suspect"),
+        "canary_start": doc.get("canary_start", {}),
         "canary": doc.get("canary", {}),
         "one_rep": doc.get("one_rep", []),
         "stream_mps": doc.get("stream_mps"),
@@ -884,6 +888,8 @@ def main() -> None:
     # warm-up: prime file cache + JIT with the flagship
     force(queries["q5_revenue_by_nation"](spark, sf_dir))
 
+    canary_start, start_suspect = run_canaries(spark, sf_dir, queries)
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -918,7 +924,8 @@ def main() -> None:
     # explicit intentional note) — never an uninvestigated flag
     solo_remeasure(spark, sf_dir, queries, vs_prev)
 
-    canary, noise_suspect = run_canaries(spark, sf_dir, queries)
+    canary, end_suspect = run_canaries(spark, sf_dir, queries)
+    noise_suspect = bool(start_suspect or end_suspect)
 
     total = round(sum(timings.values()), 3)
     doc = {
@@ -936,6 +943,7 @@ def main() -> None:
         # judge should read as deliberate single-shot measurements,
         # not under-measurement
         "one_rep": list(BENCH_QUERIES_SLOW),
+        "canary_start": canary_start,
         "canary": canary,
         "noise_suspect": noise_suspect,
         "vs_prev_round": vs_prev,

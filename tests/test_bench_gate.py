@@ -163,6 +163,10 @@ def test_noise_canary_fields_survive_compact_line():
         "sf": 0.1,
         "reps": 3,
         "queries": {f"q{i}": 0.5 for i in range(300)},
+        "canary_start": {
+            n: {"sec": 1.0, "pinned_clean": b, "ratio": round(1.0 / b, 2)}
+            for n, b in bench.CANARY_BASELINE.items()
+        },
         "canary": {
             n: {"sec": 2.0, "pinned_clean": b, "ratio": round(2.0 / b, 2)}
             for n, b in bench.CANARY_BASELINE.items()
@@ -175,7 +179,10 @@ def test_noise_canary_fields_survive_compact_line():
     parsed = json.loads(line)
     assert parsed["noise_suspect"] is True
     assert set(parsed["canary"]) == set(bench.CANARY_BASELINE)
-    for c in parsed["canary"].values():
+    assert set(parsed["canary_start"]) == set(bench.CANARY_BASELINE)
+    for c in list(parsed["canary"].values()) + list(
+        parsed["canary_start"].values()
+    ):
         assert {"sec", "pinned_clean", "ratio"} <= set(c)
 
 
