@@ -1176,10 +1176,22 @@ def dedup_recall_report(
 
     from ..functions.text import round_half_up
 
-    exact = ngram_jaccard_pairs(docs, n=n, threshold=threshold).select("a", "b")
-    approx = minhash_lsh_pairs(
-        docs, n=n, threshold=threshold, hash_impl=hash_impl
-    ).select("a", "b")
+    # each pair relation feeds TWO consumers (its own count + the
+    # matched join) and Catalyst has no cross-branch CSE — without a
+    # checkpoint the whole inverted-index pair pipeline (the expensive
+    # exact n-gram pass especially) replays once per consumer
+    # (guide §2.4: remove the duplicated pass outright; measured
+    # 8.4s -> ~5s warm at sf0.1). Both relations are |pairs|-bounded.
+    exact = (
+        ngram_jaccard_pairs(docs, n=n, threshold=threshold)
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    approx = (
+        minhash_lsh_pairs(docs, n=n, threshold=threshold, hash_impl=hash_impl)
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     n_approx = approx.agg(F.count(F.lit(1)).alias("n_approx"))
     n_matched = (

@@ -131,7 +131,11 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
                     rows["frame_bytes"].append(blob[i * 256 : (i + 1) * 256])
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(run, schema=out_schema)
+    # widen before the per-payload Python frame loop (guide §4.1; see
+    # audio_window_energy note) — row-wise, value-identical
+    from ..io import widen
+
+    return widen(df, 8).mapInPandas(run, schema=out_schema)
 
 
 def audio_window_energy(df: DataFrame, window: int = 256) -> DataFrame:
@@ -176,7 +180,13 @@ def audio_window_energy(df: DataFrame, window: int = 256) -> DataFrame:
                     rows["peak"].append(int(chunk.max()))
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(run, schema=out_schema)
+    # widen a single-row-group scan before the per-byte Python window
+    # loop (optimization r9, guide §4.1/§2.6: the hot map stage
+    # otherwise runs on ONE core; width 8 is the house A/B'd sweet
+    # spot). Row-wise computation — partitioning cannot change values.
+    from ..io import widen
+
+    return widen(df, 8).mapInPandas(run, schema=out_schema)
 
 
 def binary_meta(docs: DataFrame) -> DataFrame:
@@ -231,7 +241,11 @@ def image_phash(df: DataFrame, fake: bool = True) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(run, schema=out_schema)
+    # widen before the per-payload Python hash loop (guide §4.1; see
+    # audio_window_energy note) — row-wise, value-identical
+    from ..io import widen
+
+    return widen(df, 8).mapInPandas(run, schema=out_schema)
 
 
 def phash_near_pairs(

@@ -2410,48 +2410,127 @@ def kmeans_assign(
     pruning, per-cluster balance reports) share the exact,
     value-hashable Lloyd rounds instead of re-deriving them. Same plan
     notes as kmeans_int8."""
-    # q feeds the distance join AND the update aggregate in EVERY
-    # round: checkpoint once or the interpreted quantization HOF
-    # re-runs per consumer per round (measured 7.8s -> ~2s at sf0.1).
-    q = _int8_codes(emb).select(
-        "vec_id", F.posexplode("codes").alias("dim", "code")
-    ).localCheckpoint(eager=False)
-    wseed = Window.orderBy("vec_id")
-    seeds = (
+    # Codes stay ARRAYS end-to-end and centroids live on the DRIVER
+    # (optimization r9, guide §1.2 "the distributed algorithm" +
+    # §2.4). The former form exploded to (vec, dim, code),
+    # broadcast-joined the k*dims centroid relation on dim
+    # (|corpus| * dims * k intermediate rows), shuffled them into a
+    # (vec_id, cluster) distance aggregate, ran an argmin window and
+    # localCheckpointed assign + cents PER ROUND — ~12 jobs for 2
+    # rounds at sf0.1. Centroids are k x dims bounded knob-sized state
+    # (512 longs at the defaults) — the house bounded-collect pattern:
+    # collect them per round and embed as ONE SQL literal, so the
+    # assignment is a map-side argmin fold over the literal array
+    # (array_min over struct(d2, cluster) IS the (d2 asc, cluster asc)
+    # window tie rule) and each Lloyd round is exactly ONE aggregate
+    # job (the centroid update collect). Bit-identical by
+    # construction: the integer d2 fold equals the integer SUM
+    # (order-free), collected ints re-embed exactly as literals, and
+    # sum div count is unchanged (equality pinned in
+    # tests/test_round9_opt.py). A/B at sf0.1: emb_kmeans 1.9s ->
+    # ~0.7s, inherited by every kmeans consumer (silhouette_eval /
+    # cluster_balance / semdedup_prune). At 100TB the per-round plan
+    # is one map pass + one map-side-combined aggregate — the textbook
+    # distributed Lloyd step with k*dims driver state.
+    codes = (
         _int8_codes(emb)
-        .where(F.col("vec_id") % seed_every == 0)
+        .select("vec_id", "codes")
+        .localCheckpoint(eager=False)
+    )
+    seed_rows = (
+        codes.where(F.col("vec_id") % seed_every == 0)
         .orderBy("vec_id")
         .limit(k)
-        .withColumn("cluster", F.row_number().over(wseed) - 1)
-        .select("cluster", F.posexplode("codes").alias("dim", "c"))
+        .select("codes")
+        .collect()
     )
-    cents = seeds.localCheckpoint(eager=False)
-    assign = None
-    for _ in range(iters):
-        dist = (
-            q.join(broadcast(cents), "dim")
-            .groupBy("vec_id", "cluster")
-            .agg(
-                F.sum(
-                    (F.col("code") - F.col("c"))
-                    * (F.col("code") - F.col("c"))
-                ).alias("d2")
+    # (cluster, carr) pairs, cluster = seed order rank — exactly the
+    # former row_number() - 1 over vec_id asc
+    cents = [
+        (ci, [int(v) for v in r["codes"]]) for ci, r in enumerate(seed_rows)
+    ]
+    if not cents:
+        # no seeds (empty corpus / stride misses): the former join-based
+        # rounds produced an empty assignment — preserve that
+        return codes.select(
+            "vec_id",
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(None).cast("long").alias("d2"),
+        ).where(F.lit(False))
+    dims = len(cents[0][1])
+
+    def cents_lit(cs):
+        return F.expr(
+            "array("
+            + ",".join(
+                f"struct({ci} as cluster, array("
+                + ",".join(f"{v}L" for v in arr)
+                + ") as carr)"
+                for ci, arr in cs
+            )
+            + ")"
+        )
+
+    def best_of(cs):
+        return F.array_min(
+            F.transform(
+                cents_lit(cs),
+                lambda s: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("codes"),
+                            s["carr"],
+                            lambda x, y: (x.cast("long") - y)
+                            * (x.cast("long") - y),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v,
+                    ).alias("d2"),
+                    s["cluster"].alias("cluster"),
+                ),
             )
         )
-        wmin = Window.partitionBy("vec_id").orderBy(
-            F.asc("d2"), F.asc("cluster")
+
+    for _ in range(iters - 1):
+        # centroid update: ONE map-side-combined aggregate job — the
+        # per-dim long sums ride as dims aggregate columns (no explode)
+        # and the truncating mean (sum div count, unchanged) is taken
+        # on the driver over the collected k rows.
+        upd = (
+            codes.select(best_of(cents)["cluster"].alias("cluster"), "codes")
+            .groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("codes", i + 1).cast("long")).alias(
+                        f"s{i}"
+                    )
+                    for i in range(dims)
+                ],
+            )
+            .collect()
         )
-        assign = (
-            dist.withColumn("rn", F.row_number().over(wmin))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "cluster", "d2")
-        ).localCheckpoint(eager=False)
-        cents = (
-            q.join(assign.select("vec_id", "cluster"), "vec_id")
-            .groupBy("cluster", "dim")
-            .agg(F.expr("sum(code) div count(1)").alias("c"))
-        ).localCheckpoint(eager=False)
-    return assign
+        def _trunc_div(s: int, n: int) -> int:
+            # Spark/DuckDB integer div TRUNCATES toward zero; Python //
+            # floors — they differ on negative sums (codes are signed)
+            return -((-s) // n) if s < 0 else s // n
+
+        cents = sorted(
+            (
+                int(r["cluster"]),
+                [
+                    _trunc_div(int(r[f"s{i}"]), int(r["n"]))
+                    for i in range(dims)
+                ],
+            )
+            for r in upd
+        )
+    best = best_of(cents)
+    return codes.select(
+        "vec_id",
+        best["cluster"].alias("cluster"),
+        best["d2"].alias("d2"),
+    ).localCheckpoint(eager=False)
 
 
 def semdedup_prune(
@@ -3652,24 +3731,69 @@ def silhouette_eval(
         .join(assign, "vec_id")
         .localCheckpoint(eager=False)
     )
+    # Cluster-moment closed form (optimization r9, guide §2.3/§1.2 "the
+    # distributed algorithm"): the former plan joined the WHOLE corpus
+    # against the broadcast sample (|corpus| x |sample| pair rows, one
+    # 64-element integer fold each) and shuffled them into a
+    # (i, gi, gj) aggregate. Expanding ||ci - cj||^2 gives
+    #   sum_{j in gj} ||ci - cj||^2
+    #     = cnt_gj * ||ci||^2 + S2_gj - 2 * ci . V_gj
+    # with V_gj = elementwise code sum and S2_gj = sum ||cj||^2 over the
+    # cluster — ONE k-row moment aggregate over the corpus, then
+    # |sample| x k map-side dot products. All quantities are exact
+    # BIGINT sums (order-free), so sd/cnt are bit-identical to the
+    # pair-join form (the self term contributes 0 to sd; cnt drops 1 in
+    # the own cluster exactly as the j != i join predicate did; pinned
+    # in tests/test_round9_opt.py). A/B at sf0.1: 4.9s -> ~2s; at scale
+    # the pair stage disappears entirely (|corpus| x k moments, not
+    # |corpus| x |sample| pairs).
+    n2_of = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("long") * x.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    head = emb.select("embedding").head()
+    dims = len(head[0]) if head and head[0] is not None else 1
+    mom = codes.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt"),
+        F.array(
+            *[
+                F.sum(F.element_at("codes", i + 1).cast("long"))
+                for i in range(dims)
+            ]
+        ).alias("__v"),
+        F.sum(n2_of(F.col("codes"))).cast("long").alias("__s2"),
+    )
     samp = query_subset(codes, every, corpus=emb).select(
         F.col("vec_id").alias("i"),
         F.col("codes").alias("ci"),
         F.col("cluster").alias("gi"),
+        n2_of(F.col("codes")).alias("__n2i"),
     )
-    pairs = codes.join(broadcast(samp), F.col("vec_id") != F.col("i"))
-    dd = F.aggregate(
+    dotv = F.aggregate(
         F.zip_with(
-            F.col("ci"),
-            F.col("codes"),
-            lambda x, y: (x - y).cast("long") * (x - y).cast("long"),
+            F.col("ci"), F.col("__v"), lambda x, y: x.cast("long") * y
         ),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    percl = pairs.groupBy("i", "gi", F.col("cluster").alias("gj")).agg(
-        F.sum(dd).cast("long").alias("sd"),
-        F.count(F.lit(1)).cast("long").alias("cnt"),
+    percl = (
+        samp.crossJoin(broadcast(mom))
+        .select(
+            "i",
+            "gi",
+            F.col("cluster").alias("gj"),
+            (
+                F.col("__cnt") * F.col("__n2i")
+                + F.col("__s2")
+                - F.lit(2).cast("long") * dotv
+            ).alias("sd"),
+            (
+                F.col("__cnt")
+                - F.when(F.col("cluster") == F.col("gi"), 1).otherwise(0)
+            ).cast("long").alias("cnt"),
+        )
+        .where(F.col("cnt") > 0)
     )
     own = percl.where(F.col("gj") == F.col("gi")).select(
         "i",
