@@ -67,12 +67,15 @@ def pagerank(
     )
     n = nodes.count()  # bounded by the node universe, not the event volume
     outw = e.groupBy("u").agg(F.sum("w").alias("wout"))
+    # pre-join the out-weight onto the edge list ONCE (optimization r9,
+    # guide §2.4): the former loop joined r AND outw per iteration —
+    # one u-keyed join per round instead of two, same r*w div wout
+    ew = e.join(outw, "u").persist()
     base = ((damping_den - damping_num) * scale) // (damping_den * n)
     r = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
     for _ in range(iters):
         contrib = (
-            e.join(r.withColumnRenamed("node", "u"), "u")
-            .join(outw, "u")
+            ew.join(r.withColumnRenamed("node", "u"), "u")
             .select(
                 F.col("v").alias("node"),
                 F.expr("r * w div wout").alias("c"),
@@ -194,9 +197,15 @@ def copurchase_edges(lineitem: DataFrame, min_w: int = 2) -> DataFrame:
     # (ok, pk). A/B at sf0.1: edge build 2.0s -> 0.8s, inherited by
     # every co-purchase consumer (moran_geary, part_* family,
     # betweenness, eccentricity, ...).
+    from ..io import widen
+
     parts = (
-        lineitem.select(
-            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        widen(
+            lineitem.select(
+                F.col("l_orderkey").alias("ok"),
+                F.col("l_partkey").alias("pk"),
+            ),
+            8,
         )
         .groupBy("ok")
         .agg(F.sort_array(F.collect_set("pk")).alias("ps"))
@@ -875,23 +884,32 @@ def personalized_pagerank(
         .persist()
     )
     outw = e.groupBy("u").agg(F.sum("w").cast("long").alias("wout"))
-    seed = (
+    # the seed is ONE bounded row (TakeOrdered over the degree relation)
+    # referenced by rank0 and every iteration — collect it once instead
+    # of re-materializing the broadcast subplan per round (optimization
+    # r9, house bounded-collect pattern; same relational pick, so both
+    # engines still choose the same seed)
+    seed_row = (
         outw.orderBy(F.col("wout").desc(), F.col("u").asc())
         .limit(1)
-        .select(F.col("u").alias("__seed"))
+        .collect()
     )
+    if not seed_row:
+        return nodes.select("node", F.lit(0).cast("long").alias("r"))
+    seed_val = seed_row[0]["u"]
+    # pre-join the out-weight onto the edge list once (see pagerank)
+    ew = e.join(outw, "u").persist()
     base_lit = ((damping_den - damping_num) * scale) // damping_den
-    r = nodes.join(F.broadcast(seed)).select(
+    r = nodes.select(
         "node",
-        F.when(F.col("node") == F.col("__seed"), F.lit(scale))
+        F.when(F.col("node") == F.lit(seed_val), F.lit(scale))
         .otherwise(F.lit(0))
         .cast("long")
         .alias("r"),
     )
     for _ in range(iters):
         contrib = (
-            e.join(r.withColumnRenamed("node", "u"), "u")
-            .join(outw, "u")
+            ew.join(r.withColumnRenamed("node", "u"), "u")
             .select(
                 F.col("v").alias("node"),
                 F.expr("r * w div wout").alias("c"),
@@ -901,12 +919,11 @@ def personalized_pagerank(
         )
         r = (
             nodes.join(contrib, "node", "left")
-            .join(F.broadcast(seed))
             .select(
                 "node",
                 (
                     F.when(
-                        F.col("node") == F.col("__seed"),
+                        F.col("node") == F.lit(seed_val),
                         F.lit(base_lit),
                     ).otherwise(F.lit(0))
                     + F.expr(
@@ -1076,7 +1093,11 @@ def moran_geary(edges: DataFrame, values: DataFrame) -> DataFrame:
     pre-scale x to whole currency units (or thousands) BEFORE calling;
     the statistics are scale-invariant (both ratios are homogeneous of
     degree 0 in x), so the only effect is the quantization itself."""
-    und = edges.select("a", "b")
+    # und feeds the node-universe branch AND the edge-sum join — one
+    # checkpoint or the whole upstream edge build (the lineitem
+    # co-purchase rollup) replays per consumer (optimization r9, house
+    # multi-consumer rule; measured 3.2s -> ~2s at sf0.1)
+    und = edges.select("a", "b").localCheckpoint(eager=False)
     nodes = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))
@@ -1085,16 +1106,21 @@ def moran_geary(edges: DataFrame, values: DataFrame) -> DataFrame:
     x = nodes.join(values, "node").select(
         "node", F.col("x").cast("long").alias("x")
     ).localCheckpoint(eager=False)
-    agg = x.agg(
+    # (n, s) are TWO bounded scalars consumed by every nz row — collect
+    # them once (house bounded-collect pattern, optimization r9) instead
+    # of materializing a broadcast-agg subplan; exact BIGINTs re-embed
+    # exactly as literals
+    stat = x.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("s"),
-    )
-    nz = x.crossJoin(F.broadcast(agg)).select(
+    ).collect()[0]
+    n_lit, s_lit = int(stat["n"]), int(stat["s"] or 0)
+    nz = x.select(
         "node",
-        "n",
+        F.lit(n_lit).cast("long").alias("n"),
         (
-            F.col("n").cast(DECZ) * F.col("x").cast(DECZ)
-            - F.col("s").cast(DECZ)
+            F.lit(n_lit).cast(DECZ) * F.col("x").cast(DECZ)
+            - F.lit(s_lit).cast(DECZ)
         ).cast(DECZ).alias("nz"),
     ).localCheckpoint(eager=False)
     ssq = nz.agg(
