@@ -197,15 +197,14 @@ def copurchase_edges(lineitem: DataFrame, min_w: int = 2) -> DataFrame:
     # (ok, pk). A/B at sf0.1: edge build 2.0s -> 0.8s, inherited by
     # every co-purchase consumer (moran_geary, part_* family,
     # betweenness, eccentricity, ...).
-    from ..io import widen
-
+    # NOTE: widening the scan before this partial aggregate was A/B'd
+    # and REVERTED (bench map: every co-purchase consumer regressed
+    # +0.2-0.6s with widen(8) — the round-robin exchange of the raw
+    # rows costs more than the single-task partial collect_set saves;
+    # at 100TB the scan is already wide and this is moot either way).
     parts = (
-        widen(
-            lineitem.select(
-                F.col("l_orderkey").alias("ok"),
-                F.col("l_partkey").alias("pk"),
-            ),
-            8,
+        lineitem.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
         )
         .groupBy("ok")
         .agg(F.sort_array(F.collect_set("pk")).alias("ps"))
