@@ -859,15 +859,33 @@ def compact_stdout_line(doc: dict, limit: int = 1900) -> str:
     }
     by_cost = sorted(doc["queries"].items(), key=lambda kv: (-kv[1], kv[0]))
     slim["queries"] = dict(by_cost)
-    while len(json.dumps(slim)) > limit and len(by_cost) > 10:
+
+    def over() -> bool:
+        return len(json.dumps(slim)) > limit
+
+    # Shed DIAGNOSTICS before query timings (VERDICT r9 #2): the r9
+    # noisy-window run carried canary + solo-remeasure payload and the
+    # old order popped queries first, starving the driver's PERF diff
+    # (only 10 of 21 comparable timings survived). New order: regression
+    # detail, then canary detail (ratios survive), and only then the
+    # per-query map — which keeps >= 20 entries as long as anything else
+    # remains sheddable.
+    while over() and slim["vs_prev_round"].get("regressions"):
+        slim["vs_prev_round"]["regressions"].popitem()
+    for key in ("canary_start", "canary"):
+        if over() and slim.get(key):
+            # compact each canary entry to its headline ratio
+            slim[key] = {
+                k: (v.get("ratio") if isinstance(v, dict) else v)
+                for k, v in slim[key].items()
+            }
+    if over() and slim.get("one_rep"):
+        slim["one_rep"] = len(slim["one_rep"])  # count survives, names go
+    while over() and len(by_cost) > 20:
         by_cost.pop()  # drop the cheapest remaining query
         slim["queries"] = dict(by_cost)
-    # last resort: shed regression entries rather than overflow the buffer
-    while len(json.dumps(slim)) > limit and slim["vs_prev_round"].get(
-        "regressions"
-    ):
-        slim["vs_prev_round"]["regressions"].popitem()
-    while len(json.dumps(slim)) > limit and by_cost:
+    # absolute last resort: the headline JSON must parse whatever it costs
+    while over() and by_cost:
         by_cost.pop()
         slim["queries"] = dict(by_cost)
     return json.dumps(slim)

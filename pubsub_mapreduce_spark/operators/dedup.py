@@ -104,7 +104,10 @@ def word_shingles(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similar pairs (a < b, jaccard >= threshold).
 
@@ -121,8 +124,15 @@ def ngram_jaccard_pairs(
     exact Jaccard of the discriminative sets, not a mixed-universe ratio.
     max_df is a no-op at test SF (no shingle is that common), where this
     equals plain Jaccard, which is what the oracle checks.
+
+    ``shingles``: a prebuilt DISTINCT (doc_id, shingle) relation —
+    composers that also run the MinHash pipeline over the same corpus
+    (dedup_recall_report) pass ONE shared shingle set so the
+    tokenize+explode+distinct chain runs once, not once per side
+    (optimization r10, guide §2.4). Value-identical by construction:
+    word_shingles is deterministic per doc.
     """
-    sh = word_shingles(docs, n=n).cache()
+    sh = word_shingles(docs, n=n).cache() if shingles is None else shingles
     max_df = 1000
     common_shingles = (
         sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_df)
@@ -228,6 +238,8 @@ def minhash_lsh_pairs(
     seed: int = 42,
     verify: bool = True,
     hash_impl: str = "xxhash64",
+    shingles_raw: DataFrame | None = None,
+    shingles_distinct: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidate pairs, optionally
     verified with exact Jaccard (the scale path: LSH prunes the O(n^2)
@@ -248,7 +260,6 @@ def minhash_lsh_pairs(
     # scans already carry >= 8 partitions.
     from ..io import widen
 
-    docs = widen(docs, 8)
     # One tokenize+explode pass feeds BOTH the signature aggregate and the
     # exact-jaccard verify (via .distinct()): persisted so the doc scan +
     # regex tokenization runs once, not twice. MEMORY_AND_DISK so a 100TB
@@ -256,11 +267,21 @@ def minhash_lsh_pairs(
     # the app's lifetime (lazy-return API cannot unpersist); memory blocks
     # are LRU-evicted under pressure, and long-lived drivers running many
     # corpora should spark.catalog.clearCache() between them.
+    # ``shingles_raw`` / ``shingles_distinct``: prebuilt multiset / set
+    # shingle relations a composer (dedup_recall_report) shares with the
+    # exact-Jaccard side so the corpus is tokenized once per REPORT, not
+    # once per pipeline (optimization r10, guide §2.4) — value-identical,
+    # word_shingles is deterministic per doc. When given, ``docs`` is
+    # never touched (no widen — the shared relation carries its own).
     from pyspark import StorageLevel
 
-    sh_raw = word_shingles(docs, n=n, distinct=False).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    if shingles_raw is None:
+        docs = widen(docs, 8)
+        sh_raw = word_shingles(docs, n=n, distinct=False).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    else:
+        sh_raw = shingles_raw
     sig = minhash_signatures(
         docs, n=n, n_perm=n_perm, seed=seed, shingles=sh_raw, hash_impl=hash_impl
     )
@@ -281,7 +302,8 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cands
-    sh = sh_raw.distinct()  # set semantics for exact jaccard
+    # set semantics for exact jaccard
+    sh = sh_raw.distinct() if shingles_distinct is None else shingles_distinct
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cands.join(sh.withColumnRenamed("doc_id", "a"), "a")
@@ -1176,6 +1198,23 @@ def dedup_recall_report(
 
     from ..functions.text import round_half_up
 
+    from pyspark import StorageLevel
+
+    from ..io import widen
+
+    # ONE shingle pass for the whole report (optimization r10, guide
+    # §2.4 — VERDICT r9 #4): the exact n-gram side and the MinHash-LSH
+    # side each built their OWN tokenize+explode chain (one distinct,
+    # one raw-persisted) over the same corpus. Share the raw multiset
+    # (persisted — feeds the signature aggregate) and ONE distinct set
+    # (checkpointed — feeds the exact inverted index AND the LSH
+    # verify). Value-identical: word_shingles is deterministic per doc
+    # and min-over-multiset == min-over-set for the signatures.
+    docs_w = widen(docs, 8)
+    sh_raw = word_shingles(docs_w, n=n, distinct=False).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh_dist = sh_raw.distinct().localCheckpoint(eager=False)
     # each pair relation feeds TWO consumers (its own count + the
     # matched join) and Catalyst has no cross-branch CSE — without a
     # checkpoint the whole inverted-index pair pipeline (the expensive
@@ -1183,12 +1222,15 @@ def dedup_recall_report(
     # (guide §2.4: remove the duplicated pass outright; measured
     # 8.4s -> ~5s warm at sf0.1). Both relations are |pairs|-bounded.
     exact = (
-        ngram_jaccard_pairs(docs, n=n, threshold=threshold)
+        ngram_jaccard_pairs(docs, n=n, threshold=threshold, shingles=sh_dist)
         .select("a", "b")
         .localCheckpoint(eager=False)
     )
     approx = (
-        minhash_lsh_pairs(docs, n=n, threshold=threshold, hash_impl=hash_impl)
+        minhash_lsh_pairs(
+            docs, n=n, threshold=threshold, hash_impl=hash_impl,
+            shingles_raw=sh_raw, shingles_distinct=sh_dist,
+        )
         .select("a", "b")
         .localCheckpoint(eager=False)
     )
@@ -1253,7 +1295,12 @@ def containment_pairs(
     Same inverted-index shape (and max_df skew cap) as
     ngram_jaccard_pairs — shuffle on shingle, pairs only for docs
     sharing one, never a cross product."""
-    sh = word_shingles(docs, n=n)
+    # cache the distinct shingle relation (optimization r10, guide
+    # §2.4): it feeds the df rollup AND the filtered join, whose three
+    # consumers (sizes, a, b) otherwise replay the tokenize+explode+
+    # distinct chain 4x — the same discipline ngram_jaccard_pairs
+    # already carries (Dataset.cache == MEMORY_AND_DISK, spills at 100TB)
+    sh = word_shingles(docs, n=n).cache()
     max_df = 1000
     keep = (
         sh.groupBy("shingle")
@@ -1308,12 +1355,17 @@ def tf_cosine_pairs(
     CONSISTENTLY to dots and norms (cosine of the filtered vectors)."""
     from ..functions.text import tokens as _toks
 
+    # cache the tf relation (optimization r10, guide §2.4): it feeds
+    # the df rollup AND the filtered join, whose three consumers
+    # (norms, a, b) otherwise replay the tokenize+explode+aggregate
+    # chain — the containment_pairs/ngram_jaccard_pairs discipline
     tf = (
         docs.select(
             "doc_id", F.explode(_toks(normalized_text())).alias("term")
         )
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
     )
     keep = (
         tf.groupBy("term")

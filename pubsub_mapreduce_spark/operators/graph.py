@@ -92,6 +92,15 @@ def pagerank(
                 )
             ).cast("long").alias("r"),
         )
+    # materialize the final ranks (node-universe-sized) and RELEASE the
+    # three persisted relations (ADVICE r9 / guide §5: a long-lived
+    # session running many graph queries otherwise pins a corpus-sized
+    # cached edge list per call, forever). The eager checkpoint runs
+    # the same jobs the first consumer would have triggered — identical
+    # values, bounded cache lifetime.
+    r = r.localCheckpoint(eager=True)
+    for c in (ew, nodes, e):
+        c.unpersist()
     return r
 
 
@@ -894,7 +903,12 @@ def personalized_pagerank(
         .collect()
     )
     if not seed_row:
-        return nodes.select("node", F.lit(0).cast("long").alias("r"))
+        out = nodes.select(
+            "node", F.lit(0).cast("long").alias("r")
+        ).localCheckpoint(eager=True)
+        nodes.unpersist()
+        e.unpersist()
+        return out
     seed_val = seed_row[0]["u"]
     # pre-join the out-weight onto the edge list once (see pagerank)
     ew = e.join(outw, "u").persist()
@@ -932,6 +946,10 @@ def personalized_pagerank(
                 ).cast("long").alias("r"),
             )
         )
+    # materialize + release the persisted relations (see pagerank)
+    r = r.localCheckpoint(eager=True)
+    for c in (ew, nodes, e):
+        c.unpersist()
     return r
 
 

@@ -2430,9 +2430,6 @@ def theil_sen_daily(orders: DataFrame) -> DataFrame:
             / (F.col("x2") - F.col("x1")).cast("double")
         ).alias("slope")
     )
-    m = pairs.agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs")
-    )
     # median selection via the range-partitioned two-pass rank
     # (operators.rank): the former Window.orderBy ran the FULL pair
     # relation (quadratic in the calendar — 2.9M rows at sf0.1, ~10^8
@@ -2443,17 +2440,21 @@ def theil_sen_daily(orders: DataFrame) -> DataFrame:
     # values (and their avg) are identical (A/B: bit-equal output,
     # 2.7s -> 2.0s at sf0.1). small_threshold=0 forces the scalable
     # path: the relation is pair-quadratic, never dimension-sized.
+    # n_pairs rides along via with_total (ADVICE r9 / optimization
+    # r10): the former separate pairs.agg(count) materialized the
+    # quadratic nested-loop join a SECOND time — global_row_number
+    # already checkpoints and counts the pair relation internally, so
+    # the total is free off that copy (value-identical: the same count
+    # of the same relation).
     from .rank import global_row_number
 
     rn = global_row_number(
-        pairs, [F.col("slope").asc()], "rn", small_threshold=0
+        pairs, [F.col("slope").asc()], "rn", small_threshold=0,
+        with_total="n_pairs",
     )
-    mid = (
-        rn.crossJoin(F.broadcast(m))
-        .where(
-            (F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
-            | (F.col("rn") == F.floor(F.col("n_pairs") / 2) + 1)
-        )
+    mid = rn.where(
+        (F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
+        | (F.col("rn") == F.floor(F.col("n_pairs") / 2) + 1)
     )
     return mid.groupBy("n_pairs").agg(
         round_half_up(F.avg("slope"), 6).alias("slope_med"),

@@ -59,6 +59,7 @@ def query_subset(
     every: int = 50,
     max_sample: int = QUERY_MAX_SAMPLE,
     corpus: DataFrame | None = None,
+    precomputed_count: int | None = None,
 ) -> DataFrame:
     """Deterministic query set: every ``every_eff``-th vec_id, where
     ``every_eff`` is ``every`` scaled up (relationally, from a one-row
@@ -69,7 +70,22 @@ def query_subset(
     when ``emb`` is not corpus-shaped (e.g. the per-(vector, table)
     LSH index, n_tables rows per vector); defaults to ``emb`` itself.
     The oracle twin is ``query_mod_sql``, byte-for-byte the same
-    arithmetic (BIGINT count / double literal, ceil, BIGINT modulo)."""
+    arithmetic (BIGINT count / double literal, ceil, BIGINT modulo).
+
+    ``precomputed_count``: an exact corpus row count the caller already
+    holds (bounded driver state — ONE bigint) — the stride becomes a
+    plan literal and the per-branch count-agg + broadcast-join subplan
+    disappears. Value-identical by construction: the same ceil/modulo
+    arithmetic evaluated on the same count (optimization r10, guide
+    §2.4 — composers like ann_recall_report otherwise re-count the
+    corpus once per index branch)."""
+    if precomputed_count is not None:
+        import math
+
+        eff_lit = every * int(
+            math.ceil(precomputed_count / float(every * max_sample))
+        )
+        return emb.where(F.col("vec_id") % F.lit(eff_lit) == 0)
     src = emb if corpus is None else corpus
     cnt = src.agg(F.count(F.lit(1)).cast("long").alias("_qs_n"))
     eff = (
@@ -136,7 +152,12 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
 
 
 def cosine_topk(
-    emb: DataFrame, k: int = 5, every: int = 50, exclude_self: bool = True
+    emb: DataFrame,
+    k: int = 5,
+    every: int = 50,
+    exclude_self: bool = True,
+    corpus: DataFrame | None = None,
+    precomputed_count: int | None = None,
 ) -> DataFrame:
     """Exact top-k nearest neighbors by cosine for the query subset.
 
@@ -150,16 +171,28 @@ def cosine_topk(
     one core (A/B at sf0.1: 3.0s -> 1.5s at width 8; 16/32 slower
     again — same width-matters trade-off as minhash_lsh_pairs). No-op
     on real multi-partition scans.
-    """
-    e = _as_double(emb).select("vec_id", "embedding")
-    q = query_subset(e, every).select(
+
+    ``corpus``: a prebuilt widened (vec_id, embedding double) relation —
+    composers (ann_recall_report, ann_tradeoff_table) checkpoint ONE and
+    pass it into every branch instead of each branch re-scanning +
+    re-widening (optimization r10, guide §2.4). Value-identical: the
+    same projection of the same rows. ``precomputed_count``: see
+    query_subset."""
+    e = (
+        corpus
+        if corpus is not None
+        else _as_double(emb).select("vec_id", "embedding")
+    )
+    q = query_subset(e, every, precomputed_count=precomputed_count).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         norm(F.col("embedding")).alias("q_nrm"),
     )
     from ..io import widen
 
-    cand = widen(e, 8).withColumn("nrm", norm(F.col("embedding")))
+    cand = (e if corpus is not None else widen(e, 8)).withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
     pairs = cand.join(
         broadcast(q), F.col("vec_id") != F.col("query_id") if exclude_self else F.lit(True)
     )
@@ -503,6 +536,8 @@ def ann_lsh_topk(
     n_tables: int = 16,
     planes_per_table: int = 4,
     seed: int = 42,
+    corpus: DataFrame | None = None,
+    precomputed_count: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE random-hyperplane LSH: L
     independent hash tables of b sign bits each; a vector is a candidate
@@ -541,14 +576,31 @@ def ann_lsh_topk(
 
     tables = lsh_tables(n_tables, planes_per_table, seed)
     buckets = _bucket_expr(tables)
-    e = widen(_as_double(emb).select("vec_id", "embedding"), 8).withColumn(
-        "nrm", norm(F.col("embedding"))
+    base = (
+        corpus
+        if corpus is not None
+        else widen(_as_double(emb).select("vec_id", "embedding"), 8)
     )
+    e = base.withColumn("nrm", norm(F.col("embedding")))
     # index: one row per (vector, table) with that table's sign-bit bucket
     indexed = e.select(
         "vec_id", "embedding", "nrm", F.posexplode(buckets).alias("table", "bucket")
     )
-    q = query_subset(indexed, every, corpus=emb).select(
+    # query side: FILTER the corpus to the bounded sample first, THEN
+    # compute its buckets — the former query_subset(indexed, ...) form
+    # filtered AFTER the posexplode, so the 64 plane dots (the hot map
+    # stage) ran over the WHOLE corpus a second time just to derive the
+    # |sample|-row broadcast side (optimization r10, guide §2.4).
+    # Value-identical: the bucket array is a pure per-row function and
+    # filter/compute commute; same (query, table, bucket) rows.
+    q = query_subset(
+        e, every, corpus=emb, precomputed_count=precomputed_count
+    ).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.posexplode(buckets).alias("table", "bucket"),
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -810,8 +862,14 @@ def ivf_knn_graph(
         # bench/scale path: one Arrow pass yields cid + probe list via
         # BLAS (A/B at sf0.1 in BENCH_r03 — see assign_probe_matmul);
         # the exact-oracle gate form keeps the literal HOF arithmetic.
-        ap = assign_probe_matmul(e, cents, nprobe).withColumn(
-            "nrm", norm(F.col("embedding"))
+        # ap feeds BOTH the index side and the probe side of the cid
+        # self-join — with no cross-branch CSE the |corpus| x |C| Arrow
+        # matmul pass would replay once per branch; checkpoint it
+        # (optimization r10, guide §2.4)
+        ap = (
+            assign_probe_matmul(e, cents, nprobe)
+            .withColumn("nrm", norm(F.col("embedding")))
+            .localCheckpoint(eager=False)
         )
         assigned = ap.select("vec_id", "embedding", "nrm", "cid")
         probes = ap.select(
@@ -822,13 +880,17 @@ def ivf_knn_graph(
         )
     else:
         e = e.withColumn("nrm", norm(F.col("embedding")))
-        best = _nearest_centroid(cents, "embedding")
-        assigned = e.select(
-            "vec_id", "embedding", "nrm", best["cid"].alias("cid")
-        )
-        # top-nprobe cells per vector: comparator sorts (csim desc, cid
-        # asc) — identical tie-break to the argmax fold and the oracle's
-        # row_number(ORDER BY csim DESC, cid ASC)
+        # ONE |corpus| x |C| centroid-sims pass for BOTH sides of the
+        # cid self-join (optimization r10, guide §2.4): the former form
+        # ran the argmax fold (assignment) AND the array_sort (probe
+        # list) as separate corpus-wide HOF passes, one per join branch.
+        # The sorted top-nprobe slice subsumes the argmax: comparator
+        # (csim desc, cid asc) puts the max-csim / smallest-cid struct
+        # FIRST, exactly the strict-> fold's tie rule and the oracle's
+        # row_number(ORDER BY csim DESC, cid ASC) — so element 1 IS the
+        # assignment and nprobe >= 1 always holds. Checkpointed so the
+        # heavy sims pass executes once; only nprobe structs per row
+        # materialize, never the full |C| array.
         probe_arr = F.expr(
             f"""slice(array_sort({_centroid_sims_sql(cents, 'embedding')},
                   (l, r) -> CASE WHEN l.csim > r.csim THEN -1
@@ -838,11 +900,20 @@ def ivf_knn_graph(
                                  ELSE 0 END),
                 1, {int(nprobe)})"""
         )
-        probes = e.select(
+        base = e.select(
+            "vec_id", "embedding", "nrm", probe_arr.alias("probe_cs")
+        ).localCheckpoint(eager=False)
+        assigned = base.select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.expr("element_at(probe_cs, 1).cid").alias("cid"),
+        )
+        probes = base.select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
             F.col("nrm").alias("q_nrm"),
-            F.explode(probe_arr).alias("pr"),
+            F.explode("probe_cs").alias("pr"),
         ).select("query_id", "q_emb", "q_nrm", F.col("pr.cid").alias("cid"))
     cands = probes.join(assigned, "cid").where(F.col("vec_id") != F.col("query_id"))
     scored = cands.select(
@@ -910,6 +981,8 @@ def ann_ivf_topk(
     assign_via: str = "matmul",
     cents: list[tuple[int, list[float]]] | None = None,
     assigned: DataFrame | None = None,
+    corpus: DataFrame | None = None,
+    precomputed_count: int | None = None,
 ) -> DataFrame:
     """IVF-flavored ANN: deterministic centroid set (every Nth vector
     stands in for k-means training, keeping the operator reproducible),
@@ -943,7 +1016,11 @@ def ann_ivf_topk(
     ``refine_iters`` > 0 runs that many Lloyd iterations over the seed
     centroids (``refine_centroids``) before indexing — better-balanced
     inverted lists at the cost of one distributed pass each."""
-    e0 = _as_double(emb).select("vec_id", "embedding")
+    e0 = (
+        corpus
+        if corpus is not None
+        else _as_double(emb).select("vec_id", "embedding")
+    )
     if cents is None:
         # index-build/query split: pass a prebuilt ``cents`` when
         # serving many queries over the same corpus
@@ -952,7 +1029,7 @@ def ann_ivf_topk(
 
     # width 8 A/B'd best (vs none/16/32: 5.0/3.4/3.5/3.5s at sf0.1) —
     # same single-row-group-fixture trade-off as ann_lsh_topk
-    e = widen(e0, 8)
+    e = e0 if corpus is not None else widen(e0, 8)
     if refine_iters:
         cents = refine_centroids(e, cents, iters=refine_iters)
     if assigned is None:
@@ -969,7 +1046,7 @@ def ann_ivf_topk(
     # else: a sweep passed a prebuilt (vec_id, embedding, cid, nrm)
     # index relation — nprobe is a query-side knob, so sharing the
     # assignment across probe widths is value-identical by definition
-    q = query_subset(e, every).select(
+    q = query_subset(e, every, precomputed_count=precomputed_count).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         norm(F.col("embedding")).alias("q_nrm"),
@@ -1519,6 +1596,12 @@ def behavioral_similarity_sparse(
             .where(F.col("day_width") <= max_day_width)
             .drop("day_width")
         )
+    # the (user, day, cnt) profile relation feeds THREE consumers
+    # (norms + both join sides): ReuseExchange dedups the aggregate's
+    # shuffle but the width-cap window and filter above it replay per
+    # consumer — checkpoint the |users|x|days|-bounded relation once
+    # (optimization r10, guide §2.4)
+    daily = daily.localCheckpoint(eager=False)
     norms = daily.groupBy("user_id").agg(
         F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).cast("double")).alias("nrm")
     )
@@ -1636,6 +1719,8 @@ def ann_pq_topk(
     code_every: int = 100,
     n_codes: int = N_CODES,
     seeds: list | None = None,
+    corpus: DataFrame | None = None,
+    precomputed_count: int | None = None,
 ) -> DataFrame:
     """ANN by product quantization: queries scan the CODES, not the
     vectors — per pair cost is m_sub codeword lookups + an 8-term
@@ -1653,20 +1738,28 @@ def ann_pq_topk(
     from ..functions.text import round_half_up
     from ..io import widen
 
-    e0 = _as_double(emb).select("vec_id", "embedding")
+    e0 = (
+        corpus
+        if corpus is not None
+        else _as_double(emb).select("vec_id", "embedding")
+    )
     if seeds is None:
         # ``seeds`` accepts a precomputed codebook so composers
         # (ann_recall_report) collect it once — a pure deterministic
         # function of (emb, code_every, n_codes), value-identical
         seeds = pq_seeds(e0, code_every, n_codes)
-    corpus = widen(e0, 8).select("vec_id", _pq_codes_expr(seeds).alias("codes"))
-    queries = query_subset(e0, every).select(
+    cand = (e0 if corpus is not None else widen(e0, 8)).select(
+        "vec_id", _pq_codes_expr(seeds).alias("codes")
+    )
+    queries = query_subset(
+        e0, every, precomputed_count=precomputed_count
+    ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     ).withColumn("lut", F.expr(_pq_lut_expr(seeds)))
     # ADC from the per-query LUT: bit-identical to the inline form
     # (same hoisted expression), ~16x less per-pair arithmetic
     scored = (
-        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        cand.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .withColumn("adist", F.expr(_PQ_ADC_FROM_LUT))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1752,6 +1845,7 @@ def build_ivfpq_index(
     n_codes: int = N_CODES,
     cents: list | None = None,
     seeds: list | None = None,
+    corpus: DataFrame | None = None,
 ):
     """Build the IVF+PQ index: (centroid literals, PQ seed codebook,
     and the stored index relation (vec_id, cid, codes)) — ONE map-only
@@ -1760,12 +1854,16 @@ def build_ivfpq_index(
     cid); searches never touch raw vectors again."""
     from ..io import widen
 
-    e0 = _as_double(emb).select("vec_id", "embedding")
+    e0 = (
+        corpus
+        if corpus is not None
+        else _as_double(emb).select("vec_id", "embedding")
+    )
     if cents is None:
         cents = ivf_centroids(e0, centroid_every, n_max_centroids)
     if seeds is None:
         seeds = pq_seeds(e0, code_every, n_codes)
-    e = widen(e0, 8)
+    e = e0 if corpus is not None else widen(e0, 8)
     best = _nearest_centroid(cents, "embedding")
     assigned = e.select(
         "vec_id",
@@ -1845,6 +1943,8 @@ def ann_ivfpq_topk(
     n_codes: int = N_CODES,
     cents: list | None = None,
     seeds: list | None = None,
+    corpus: DataFrame | None = None,
+    precomputed_count: int | None = None,
 ) -> DataFrame:
     """IVF+PQ — the composition a billion-vector index actually runs
     (the FAISS IVFPQ shape): centroid cells prune the candidate set to
@@ -1863,10 +1963,16 @@ def ann_ivfpq_topk(
     streaming searcher wires per micro-batch."""
     cents, seeds, assigned = build_ivfpq_index(
         emb, centroid_every, n_max_centroids, code_every, n_codes,
-        cents=cents, seeds=seeds,
+        cents=cents, seeds=seeds, corpus=corpus,
     )
-    e0 = _as_double(emb).select("vec_id", "embedding")
-    queries = query_subset(e0, every).select(
+    e0 = (
+        corpus
+        if corpus is not None
+        else _as_double(emb).select("vec_id", "embedding")
+    )
+    queries = query_subset(
+        e0, every, precomputed_count=precomputed_count
+    ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     return ivfpq_search(queries, cents, seeds, assigned, k=k, nprobe=nprobe)
@@ -1991,25 +2097,39 @@ def ann_recall_report(
     anywhere in the approx top-k (MRR's support set)."""
     from ..functions.text import round_half_up
 
+    # ONE prepared corpus for every branch (optimization r10, guide
+    # §2.4): the exact pass + all four index builds each re-scanned,
+    # re-cast and re-widened the corpus (plus one count-agg subplan per
+    # query_subset) — checkpoint the widened double relation once and
+    # plumb it (and its count, bounded driver state) through every
+    # builder. Value-identical: same projection of the same rows.
+    from ..io import widen
+
+    corpus = widen(
+        _as_double(emb).select("vec_id", "embedding"), 8
+    ).localCheckpoint(eager=False)
+    n_corpus = corpus.count()
     # exact is consumed twice (pair-recall + top1/MRR) and the approx
     # union twice (matched + mrr): with no cross-branch CSE each
     # consumer would re-run the WHOLE brute-force/index pipeline.
     # Both relations are bounded by |queries| * k * n_indexes rows —
     # checkpoint them once (measured ~9% warm at sf0.1 — the index
     # builds dominate; the win grows with |queries| and corpus size).
-    exact = cosine_topk(emb, k=k, every=every).localCheckpoint(eager=False)
+    exact = cosine_topk(
+        emb, k=k, every=every, corpus=corpus, precomputed_count=n_corpus
+    ).localCheckpoint(eager=False)
     # the centroid table and PQ codebook are pure deterministic
     # functions of (emb, stride, cap) — collect each ONCE and share
     # across the index builds (the ann_tradeoff_table discipline;
     # two TakeOrdered collect jobs saved per report)
-    e0 = _as_double(emb).select("vec_id", "embedding")
-    cents = ivf_centroids(e0)
-    seeds = pq_seeds(e0)
+    cents = ivf_centroids(corpus)
+    seeds = pq_seeds(corpus)
+    share = {"corpus": corpus, "precomputed_count": n_corpus}
     approx = [
-        ("lsh", ann_lsh_topk(emb, k=k, every=every)),
-        ("ivf", ann_ivf_topk(emb, k=k, every=every, cents=cents)),
-        ("pq", ann_pq_topk(emb, k=k, every=every, seeds=seeds)),
-        ("ivfpq", ann_ivfpq_topk(emb, k=k, every=every, cents=cents, seeds=seeds)),
+        ("lsh", ann_lsh_topk(emb, k=k, every=every, **share)),
+        ("ivf", ann_ivf_topk(emb, k=k, every=every, cents=cents, **share)),
+        ("pq", ann_pq_topk(emb, k=k, every=every, seeds=seeds, **share)),
+        ("ivfpq", ann_ivfpq_topk(emb, k=k, every=every, cents=cents, seeds=seeds, **share)),
     ]
     a = None
     for name, df in approx:
@@ -2021,42 +2141,53 @@ def ann_recall_report(
         )
         a = part if a is None else a.unionByName(part)
     a = a.localCheckpoint(eager=False)
-    ex_pairs = exact.select("query_id", "neighbor_id")
-    matched = (
-        a.join(ex_pairs, ["query_id", "neighbor_id"])
-        .groupBy("idx")
-        .agg(F.count(F.lit(1)).alias("n_matched"))
+    # ONE left join + ONE aggregate replace the former matched-join-agg
+    # AND top1-join-agg chains (optimization r10, guide §2.4): exact
+    # pairs are unique per (query_id, neighbor_id) — a per-query
+    # ranking — so the left join has multiplicity 1 and counting
+    # non-null ranks / rank==1 rows reproduces both inner-join counts
+    # exactly (an idx with zero matches now yields 0s instead of a
+    # missing row, which the pre-existing coalesce already normalized).
+    ex = exact.select(
+        "query_id", "neighbor_id", F.col("rank").alias("e_rank")
     )
-    top1 = exact.where(F.col("rank") == 1).select("query_id", "neighbor_id")
-    mrr = (
-        a.join(top1, ["query_id", "neighbor_id"])
+    stats = (
+        a.join(ex, ["query_id", "neighbor_id"], "left")
         .groupBy("idx")
         .agg(
-            F.count(F.lit(1)).alias("n_top1_found"),
-            F.sum(F.expr("60 div a_rank")).alias("mrr_x60"),
+            F.count("e_rank").alias("n_matched"),
+            F.sum(
+                F.when(F.col("e_rank") == 1, 1).otherwise(0)
+            ).cast("long").alias("n_top1_found"),
+            F.sum(
+                F.when(F.col("e_rank") == 1, F.expr("60 div a_rank"))
+            ).alias("mrr_x60"),
         )
     )
-    consts = exact.agg(
+    # the two report constants are bounded driver state (the moran_geary
+    # discipline): collect once as literals instead of a broadcast-agg
+    # subplan — exact is already checkpointed, so this is one tiny job
+    cr = exact.agg(
         F.count(F.lit(1)).alias("n_exact"),
         F.countDistinct("query_id").alias("n_queries"),
-    )
+    ).collect()[0]
+    n_exact = F.lit(int(cr["n_exact"])).cast("long")
+    n_queries = F.lit(int(cr["n_queries"])).cast("long")
     idxs = a.select("idx").distinct()
     z = F.lit(0).cast("long")
     return (
-        idxs.crossJoin(F.broadcast(consts))
-        .join(matched, "idx", "left")
-        .join(mrr, "idx", "left")
+        idxs.join(stats, "idx", "left")
         .select(
             "idx",
-            "n_queries",
+            n_queries.alias("n_queries"),
             F.coalesce("n_matched", z).alias("n_matched"),
-            "n_exact",
+            n_exact.alias("n_exact"),
             round_half_up(
-                F.coalesce("n_matched", z) / F.col("n_exact"), 6
+                F.coalesce("n_matched", z) / n_exact, 6
             ).alias("recall"),
             F.coalesce("n_top1_found", z).alias("n_top1_found"),
             round_half_up(
-                F.coalesce("mrr_x60", z) / (60 * F.col("n_queries")), 6
+                F.coalesce("mrr_x60", z) / (60 * n_queries), 6
             ).alias("mrr"),
         )
     )
@@ -2329,7 +2460,9 @@ def mmr_diversify(
     # SEQUENTIAL fold (dot = left-to-right acc + x*y, one division by
     # the norm product) term-for-term, so scores, tie-breaks and the
     # round_half_up match the former plan and the recursive-CTE oracle
-    # exactly (pinned in tests/test_round9_opt.py). A/B at sf0.1:
+    # exactly (pinned against the former Spark-loop form in
+    # tests/test_round10_opt.py::test_mmr_driver_greedy_matches_former_spark_form,
+    # and against the oracle in test_oracle_parity). A/B at sf0.1:
     # 2.3s -> ~0.6s.
     pool_rows = (
         widen(e, 8)
@@ -2431,13 +2564,24 @@ def kmeans_int8(
 
 
 def kmeans_assign(
-    emb: DataFrame, k: int = 8, iters: int = 2, seed_every: int = 100
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    seed_every: int = 100,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """The (vec_id, cluster, d2) assignment relation behind
     ``kmeans_int8`` — exposed so cluster-scoped consumers (SemDeDup
     pruning, per-cluster balance reports) share the exact,
     value-hashable Lloyd rounds instead of re-deriving them. Same plan
-    notes as kmeans_int8."""
+    notes as kmeans_int8.
+
+    ``codes``: a prebuilt checkpointed (vec_id, codes) relation —
+    consumers that ALSO need the int8 codes (silhouette_eval,
+    semdedup_prune) pass the one they build so the quantization HOF
+    pass runs once per query, not once here and once at the caller
+    (optimization r10, guide §2.4). Value-identical: _int8_codes is a
+    pure per-row function."""
     # Codes stay ARRAYS end-to-end and centroids live on the DRIVER
     # (optimization r9, guide §1.2 "the distributed algorithm" +
     # §2.4). The former form exploded to (vec, dim, code),
@@ -2460,11 +2604,12 @@ def kmeans_assign(
     # cluster_balance / semdedup_prune). At 100TB the per-round plan
     # is one map pass + one map-side-combined aggregate — the textbook
     # distributed Lloyd step with k*dims driver state.
-    codes = (
-        _int8_codes(emb)
-        .select("vec_id", "codes")
-        .localCheckpoint(eager=False)
-    )
+    if codes is None:
+        codes = (
+            _int8_codes(emb)
+            .select("vec_id", "codes")
+            .localCheckpoint(eager=False)
+        )
     seed_rows = (
         codes.where(F.col("vec_id") % seed_every == 0)
         .orderBy("vec_id")
@@ -2608,8 +2753,14 @@ def semdedup_prune(
     round — pinned in tests/test_similarity_paths.py. It is a bench
     default candidate (A/B: 5.9s -> sub-second pair stage at sf0.1);
     'fold' stays the registered gate form by convention."""
-    assign = kmeans_assign(emb, k=k, iters=iters)
-    coded = _int8_codes(emb).select("vec_id", "codes")
+    # ONE quantization pass shared with the Lloyd rounds (optimization
+    # r10, guide §2.4 — the silhouette_eval discipline)
+    coded = (
+        _int8_codes(emb)
+        .select("vec_id", "codes")
+        .localCheckpoint(eager=False)
+    )
+    assign = kmeans_assign(emb, k=k, iters=iters, codes=coded)
     n2 = F.aggregate(
         F.transform(
             "codes", lambda c: c.cast("long") * c.cast("long")
@@ -3475,6 +3626,8 @@ def ann_nprobe_sweep(
     nprobes: tuple = (1, 2, 4),
     exact: DataFrame | None = None,
     cents: list | None = None,
+    corpus: DataFrame | None = None,
+    precomputed_count: int | None = None,
 ) -> DataFrame:
     """IVF nprobe TUNING TABLE: recall@k of the IVF index against the
     exact top-k at each candidate probe width — the knob sweep that
@@ -3502,12 +3655,17 @@ def ann_nprobe_sweep(
     from ..functions.text import round_half_up
 
     if exact is None:
-        exact = cosine_topk(emb, k=k, every=every).localCheckpoint(
-            eager=False
-        )
+        exact = cosine_topk(
+            emb, k=k, every=every, corpus=corpus,
+            precomputed_count=precomputed_count,
+        ).localCheckpoint(eager=False)
     from ..io import widen
 
-    e0 = _as_double(emb).select("vec_id", "embedding")
+    e0 = (
+        corpus
+        if corpus is not None
+        else _as_double(emb).select("vec_id", "embedding")
+    )
     if cents is None:
         # one bounded centroid collect shared by every probe width
         cents = ivf_centroids(e0)
@@ -3516,11 +3674,16 @@ def ann_nprobe_sweep(
     # otherwise each replay the |corpus| x |cells| argmax)
     best = _nearest_centroid(cents, "embedding")
     assigned = (
-        widen(e0, 8)
+        (e0 if corpus is not None else widen(e0, 8))
         .select("vec_id", "embedding", best["cid"].alias("cid"))
         .withColumn("nrm", norm(F.col("embedding")))
         .localCheckpoint(eager=False)
     )
+    # NOTE (optimization r10): collecting these two constants as
+    # literals was A/B'd and REVERTED — the blocking collect serializes
+    # the exact pipeline against the branch materializations that AQE
+    # otherwise overlaps (5-rep interleaved: 2.70 -> 2.75; same shape in
+    # bits_sweep). The broadcast-agg subplan stays.
     consts = exact.agg(
         F.count(F.lit(1)).cast("long").alias("n_exact"),
         F.countDistinct("query_id").cast("long").alias("n_queries"),
@@ -3528,7 +3691,8 @@ def ann_nprobe_sweep(
     unions = [
         ann_ivf_topk(
             emb, k=k, every=every, nprobe=p, assign_via="literal",
-            cents=cents, assigned=assigned,
+            cents=cents, assigned=assigned, corpus=corpus,
+            precomputed_count=precomputed_count,
         ).select(
             F.lit(int(p)).alias("nprobe"), "query_id", "neighbor_id"
         )
@@ -3751,11 +3915,19 @@ def silhouette_eval(
     — corpus scanned once; everything downstream is |sample| x k."""
     from ..functions.text import round_half_up
 
+    # ONE quantization pass shared with the Lloyd rounds (optimization
+    # r10, guide §2.4): the former form built _int8_codes here AND
+    # inside kmeans_assign — two corpus scans + two HOF passes per call
+    codes0 = (
+        _int8_codes(emb)
+        .select("vec_id", "codes")
+        .localCheckpoint(eager=False)
+    )
     assign = kmeans_assign(
-        emb, k=k, iters=iters, seed_every=seed_every
+        emb, k=k, iters=iters, seed_every=seed_every, codes=codes0
     ).select("vec_id", "cluster")
     codes = (
-        _int8_codes(emb)
+        codes0
         .join(assign, "vec_id")
         .localCheckpoint(eager=False)
     )
@@ -3868,6 +4040,8 @@ def ann_bits_sweep(
     n_tables: int = 8,
     seed: int = 42,
     exact: DataFrame | None = None,
+    corpus: DataFrame | None = None,
+    precomputed_count: int | None = None,
 ) -> DataFrame:
     """LSH bucket-bits TUNING TABLE: recall@k of the multi-table
     sign-LSH index against the exact top-k at each per-table bit width
@@ -3903,9 +4077,14 @@ def ann_bits_sweep(
     from ..io import widen
 
     if exact is None:
-        exact = cosine_topk(emb, k=k, every=every).localCheckpoint(
-            eager=False
-        )
+        exact = cosine_topk(
+            emb, k=k, every=every, corpus=corpus,
+            precomputed_count=precomputed_count,
+        ).localCheckpoint(eager=False)
+    # NOTE (optimization r10): a consts-as-literals form was A/B'd and
+    # REVERTED here — the blocking collect serializes the exact pipeline
+    # against the per-width branch materializations AQE overlaps
+    # (5-rep interleaved: 2.53 -> 2.65). The broadcast-agg subplan stays.
     consts = exact.agg(
         F.count(F.lit(1)).cast("long").alias("n_exact"),
         F.countDistinct("query_id").cast("long").alias("n_queries"),
@@ -3916,11 +4095,31 @@ def ann_bits_sweep(
         f"transform({sql_array_lit(planes)}, p -> CASE WHEN "
         f"{sql_dot('p', 'embedding')} >= 0 THEN 1L ELSE 0L END)"
     )
+    base = (
+        corpus
+        if corpus is not None
+        else widen(_as_double(emb).select("vec_id", "embedding"), 8)
+    )
     e = (
-        widen(_as_double(emb).select("vec_id", "embedding"), 8)
+        base
         .withColumn("nrm", norm(F.col("embedding")))
         .withColumn("sbits", sbits)
         .localCheckpoint(eager=False)
+    )
+    # query side ONCE for all widths: filter the checkpointed corpus to
+    # the bounded sample, then read each width's buckets off the shared
+    # sign bits — the former per-width query_subset(indexed, ...) form
+    # re-counted the corpus AND re-filtered the full posexploded index
+    # once per width (optimization r10, guide §2.4). Value-identical:
+    # bucket arrays are pure per-row functions of sbits and
+    # filter/compute commute.
+    q0 = query_subset(
+        e, every, corpus=emb, precomputed_count=precomputed_count
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("sbits").alias("q_sbits"),
     )
     unions = []
     for x in bits:
@@ -3941,12 +4140,16 @@ def ann_bits_sweep(
             "nrm",
             F.posexplode(bucket_arr).alias("table", "bucket"),
         )
-        q = query_subset(indexed, every, corpus=emb).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("nrm").alias("q_nrm"),
-            "table",
-            "bucket",
+        q_bucket_arr = F.expr(
+            f"transform(sequence(0, {n_tables - 1}), t -> aggregate("
+            f"zip_with(slice(q_sbits, t * {width} + 1, {width}), {wts},"
+            " (x, w) -> x * w), 0L, (acc, v) -> acc + v))"
+        )
+        q = q0.select(
+            "query_id",
+            "q_emb",
+            "q_nrm",
+            F.posexplode(q_bucket_arr).alias("table", "bucket"),
         )
         cands = (
             indexed.join(broadcast(q), on=["table", "bucket"])
@@ -4139,10 +4342,20 @@ def ann_tradeoff_table(
     identical deterministic (emb, k, every) relation, so the fusion
     is bit-identical to the standalone sweeps (pinned in
     tests/test_round6_ops2.py)."""
-    exact = cosine_topk(emb, k=k, every=every).localCheckpoint(
-        eager=False
-    )
-    consts = emb.agg(
+    # ONE prepared corpus + count shared by the exact pass, both sweeps
+    # and the consts aggregate (optimization r10, guide §2.4 — the
+    # ann_recall_report discipline): formerly each sweep re-scanned,
+    # re-cast and re-widened the corpus and re-counted it per branch.
+    from ..io import widen
+
+    corpus = widen(
+        _as_double(emb).select("vec_id", "embedding"), 8
+    ).localCheckpoint(eager=False)
+    n_corpus = corpus.count()
+    exact = cosine_topk(
+        emb, k=k, every=every, corpus=corpus, precomputed_count=n_corpus
+    ).localCheckpoint(eager=False)
+    consts = corpus.agg(
         F.count(F.lit(1)).cast("long").alias("n_corpus"),
         F.least(
             F.lit(n_max_centroids).cast("long"),
@@ -4156,7 +4369,7 @@ def ann_tradeoff_table(
     lsh = (
         ann_bits_sweep(
             emb, k=k, every=every, bits=bits, n_tables=n_tables,
-            exact=exact,
+            exact=exact, corpus=corpus, precomputed_count=n_corpus,
         )
         .crossJoin(broadcast(consts))
         .select(
@@ -4181,7 +4394,8 @@ def ann_tradeoff_table(
     )
     ivf = (
         ann_nprobe_sweep(
-            emb, k=k, every=every, nprobes=nprobes, exact=exact
+            emb, k=k, every=every, nprobes=nprobes, exact=exact,
+            corpus=corpus, precomputed_count=n_corpus,
         )
         .crossJoin(broadcast(consts))
         .select(
@@ -4362,9 +4576,18 @@ def ann_k_sweep(
     from ..functions.text import round_half_up
 
     kmax = max(int(k) for k in ks)
-    exact = cosine_topk(emb, k=kmax, every=every).localCheckpoint(
-        eager=False
-    )
+    # one prepared corpus for the exact AND the index pass (the
+    # ann_recall_report discipline, optimization r10 — guide §2.4)
+    from ..io import widen
+
+    corpus = widen(
+        _as_double(emb).select("vec_id", "embedding"), 8
+    ).localCheckpoint(eager=False)
+    n_corpus = corpus.count()
+    exact = cosine_topk(
+        emb, k=kmax, every=every, corpus=corpus,
+        precomputed_count=n_corpus,
+    ).localCheckpoint(eager=False)
     approx = ann_lsh_topk(
         emb,
         k=kmax,
@@ -4372,6 +4595,8 @@ def ann_k_sweep(
         n_tables=n_tables,
         planes_per_table=planes_per_table,
         seed=seed,
+        corpus=corpus,
+        precomputed_count=n_corpus,
     )
     j = exact.select(
         "query_id", "neighbor_id", F.col("rank").alias("re")

@@ -13,8 +13,15 @@ not volume.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+# FULL tier (VERDICT r9 #1): 290s of hypothesis sweeps — run with
+# SPARK_GRAFT_FULL_TESTS=1; the gate tier relies on the per-operator
+# pins + the oracle parity subset.
+pytestmark = pytest.mark.full
 
 from pyspark.sql import functions as F
 

@@ -11,6 +11,7 @@ gehan_wilcoxon day-spine bound, ann_k_sweep's DEFAULT-knob query cap).
 
 from __future__ import annotations
 
+import pytest
 import datetime as dt
 import math
 from fractions import Fraction
@@ -451,6 +452,7 @@ def test_nelson_aalen_gehan_day_spine_at_scale(spark):
     assert gw[0].chi2 >= 0.0
 
 
+@pytest.mark.full  # 26s synthetic-scale pin (gate tier: VERDICT r9 #1)
 def test_ann_k_sweep_default_cap_binds_at_scale(spark):
     """ann_k_sweep with every=1 on a 4000-vector corpus: the DEFAULTS
     cap (QUERY_MAX_SAMPLE = 2000) binds, so the sweep runs exactly

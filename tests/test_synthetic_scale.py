@@ -7,6 +7,10 @@ from __future__ import annotations
 
 import pytest
 
+# FULL tier (VERDICT r9 #1): 234s of synthetic-scale runs — run with
+# SPARK_GRAFT_FULL_TESTS=1.
+pytestmark = pytest.mark.full
+
 from pyspark.sql import functions as F
 
 from pubsub_mapreduce_spark.sources.synthetic import (
