@@ -538,6 +538,7 @@ def ann_lsh_topk(
     seed: int = 42,
     corpus: DataFrame | None = None,
     precomputed_count: int | None = None,
+    _scored: bool = False,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE random-hyperplane LSH: L
     independent hash tables of b sign bits each; a vector is a candidate
@@ -623,6 +624,11 @@ def ann_lsh_topk(
             F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
         ).alias("sim"),
     )
+    if _scored:
+        # composer path (ann_recall_report): the raw scored candidates,
+        # so the caller can fuse the four per-index top-k windows into
+        # one (optimization r10) — ranking semantics unchanged there
+        return scored
     return _topk(scored, k)
 
 
@@ -983,6 +989,7 @@ def ann_ivf_topk(
     assigned: DataFrame | None = None,
     corpus: DataFrame | None = None,
     precomputed_count: int | None = None,
+    _scored: bool = False,
 ) -> DataFrame:
     """IVF-flavored ANN: deterministic centroid set (every Nth vector
     stands in for k-means training, keeping the operator reproducible),
@@ -1086,6 +1093,8 @@ def ann_ivf_topk(
             F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
         ).alias("sim"),
     )
+    if _scored:
+        return scored  # composer path - see ann_lsh_topk
     return _topk(scored, k)
 
 
@@ -1721,6 +1730,7 @@ def ann_pq_topk(
     seeds: list | None = None,
     corpus: DataFrame | None = None,
     precomputed_count: int | None = None,
+    _scored: bool = False,
 ) -> DataFrame:
     """ANN by product quantization: queries scan the CODES, not the
     vectors — per pair cost is m_sub codeword lookups + an 8-term
@@ -1762,6 +1772,11 @@ def ann_pq_topk(
         cand.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .withColumn("adist", F.expr(_PQ_ADC_FROM_LUT))
     )
+    if _scored:
+        # composer path — see ann_lsh_topk
+        return scored.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "adist"
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("vec_id").asc()
     )
@@ -1880,6 +1895,7 @@ def ivfpq_search(
     assigned: DataFrame,
     k: int = 5,
     nprobe: int = 5,
+    _scored: bool = False,
 ) -> DataFrame:
     """Search an IVF+PQ index for a (query_id, q_emb) relation: probe
     selection and the ADC LUT are map-only against plan literals; the
@@ -1917,6 +1933,11 @@ def ivfpq_search(
     # ADC from the per-query LUT (see ann_pq_topk) — the probe rows
     # carry the 128-double table instead of the raw query vector
     scored = cands.withColumn("adist", F.expr(_PQ_ADC_FROM_LUT))
+    if _scored:
+        # composer path — see ann_lsh_topk
+        return scored.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "adist"
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("vec_id").asc()
     )
@@ -1945,6 +1966,7 @@ def ann_ivfpq_topk(
     seeds: list | None = None,
     corpus: DataFrame | None = None,
     precomputed_count: int | None = None,
+    _scored: bool = False,
 ) -> DataFrame:
     """IVF+PQ — the composition a billion-vector index actually runs
     (the FAISS IVFPQ shape): centroid cells prune the candidate set to
@@ -1975,7 +1997,10 @@ def ann_ivfpq_topk(
     ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    return ivfpq_search(queries, cents, seeds, assigned, k=k, nprobe=nprobe)
+    return ivfpq_search(
+        queries, cents, seeds, assigned, k=k, nprobe=nprobe,
+        _scored=_scored,
+    )
 
 
 def duckdb_ivfpq_sql(
@@ -2125,21 +2150,60 @@ def ann_recall_report(
     cents = ivf_centroids(corpus)
     seeds = pq_seeds(corpus)
     share = {"corpus": corpus, "precomputed_count": n_corpus}
+    # ONE ranking window for all four indexes (optimization r10, guide
+    # §2.4): the per-index _topk windows fused into a single
+    # (idx, query_id)-partitioned row_number over the tagged scored
+    # union. Value-identical per index: lsh/ivf rank by (sim desc,
+    # neighbor asc) == (negate(sim) asc, neighbor asc) — negation is
+    # exact and preserves the ordering classes — and pq/ivfpq already
+    # rank by (adist asc, neighbor asc), so one ascending ``key``
+    # column carries both ranking directions.
     approx = [
-        ("lsh", ann_lsh_topk(emb, k=k, every=every, **share)),
-        ("ivf", ann_ivf_topk(emb, k=k, every=every, cents=cents, **share)),
-        ("pq", ann_pq_topk(emb, k=k, every=every, seeds=seeds, **share)),
-        ("ivfpq", ann_ivfpq_topk(emb, k=k, every=every, cents=cents, seeds=seeds, **share)),
+        (
+            "lsh",
+            ann_lsh_topk(emb, k=k, every=every, _scored=True, **share),
+            -F.col("sim"),
+        ),
+        (
+            "ivf",
+            ann_ivf_topk(
+                emb, k=k, every=every, cents=cents, _scored=True, **share
+            ),
+            -F.col("sim"),
+        ),
+        (
+            "pq",
+            ann_pq_topk(
+                emb, k=k, every=every, seeds=seeds, _scored=True, **share
+            ),
+            F.col("adist"),
+        ),
+        (
+            "ivfpq",
+            ann_ivfpq_topk(
+                emb, k=k, every=every, cents=cents, seeds=seeds,
+                _scored=True, **share
+            ),
+            F.col("adist"),
+        ),
     ]
-    a = None
-    for name, df in approx:
+    u = None
+    for name, df, key in approx:
         part = df.select(
             F.lit(name).alias("idx"),
             "query_id",
             "neighbor_id",
-            F.col("rank").alias("a_rank"),
+            key.alias("key"),
         )
-        a = part if a is None else a.unionByName(part)
+        u = part if u is None else u.unionByName(part)
+    wk = Window.partitionBy("idx", "query_id").orderBy(
+        F.col("key").asc(), F.col("neighbor_id").asc()
+    )
+    a = (
+        u.withColumn("a_rank", F.row_number().over(wk))
+        .where(F.col("a_rank") <= k)
+        .select("idx", "query_id", "neighbor_id", "a_rank")
+    )
     a = a.localCheckpoint(eager=False)
     # ONE left join + ONE aggregate replace the former matched-join-agg
     # AND top1-join-agg chains (optimization r10, guide §2.4): exact
@@ -3688,17 +3752,80 @@ def ann_nprobe_sweep(
         F.count(F.lit(1)).cast("long").alias("n_exact"),
         F.countDistinct("query_id").cast("long").alias("n_queries"),
     )
-    unions = [
-        ann_ivf_topk(
-            emb, k=k, every=every, nprobe=p, assign_via="literal",
-            cents=cents, assigned=assigned, corpus=corpus,
-            precomputed_count=precomputed_count,
-        ).select(
-            F.lit(int(p)).alias("nprobe"), "query_id", "neighbor_id"
+    # ONE tagged pipeline for ALL probe widths (optimization r10, guide
+    # §2.4, the ann_bits_sweep discipline): the former per-width
+    # ann_ivf_topk calls each built their own probe ranking, broadcast
+    # and top-k window — 3x the stage count for nested candidate sets.
+    # The probe ranking runs ONCE at max(nprobes); width p's probe set
+    # is exactly its rk <= p prefix (cells nest), and ranking over
+    # (nprobe, query_id) == the per-width ranking over query_id — same
+    # window tie rules as ann_ivf_topk ((csim desc, cid asc) probes,
+    # (sim desc, neighbor asc) top-k), so each width's rows are
+    # value-identical to its standalone call.
+    mx = max(int(p) for p in nprobes)
+    qrel = query_subset(
+        e0, every, precomputed_count=precomputed_count
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_nrm"),
+    )
+    probes_ranked = (
+        qrel.select(
+            "query_id",
+            "q_emb",
+            "q_nrm",
+            F.explode(_centroid_sims(cents, "q_emb")).alias("pr"),
         )
-        for p in nprobes
-    ]
-    a = reduce(lambda x, y: x.unionByName(y), unions)
+        .select(
+            "query_id",
+            "q_emb",
+            "q_nrm",
+            F.col("pr.cid").alias("cid"),
+            F.col("pr.csim").alias("csim"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("csim").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .where(F.col("rk") <= mx)
+    )
+    tagged = reduce(
+        lambda x, y: x.unionByName(y),
+        [
+            probes_ranked.where(F.col("rk") <= int(p)).select(
+                F.lit(int(p)).alias("nprobe"),
+                "query_id",
+                "q_emb",
+                "q_nrm",
+                "cid",
+            )
+            for p in nprobes
+        ],
+    )
+    cands = broadcast(tagged).join(assigned, on="cid").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "nprobe",
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _sim_from_dot(
+            F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+        ).alias("sim"),
+    )
+    wk = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    a = (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
     matched = a.join(
         exact.select("query_id", "neighbor_id"),
         ["query_id", "neighbor_id"],
@@ -4121,7 +4248,14 @@ def ann_bits_sweep(
         F.col("nrm").alias("q_nrm"),
         F.col("sbits").alias("q_sbits"),
     )
-    unions = []
+    # ONE tagged pipeline for ALL widths (optimization r10, guide §2.4):
+    # the former loop ran a separate bucket join + pair dedup + top-k
+    # window PER width — 4x the stage count for the same total rows.
+    # Tagging every row with its width and keying the join, the dedup
+    # and the ranking window on (bits, ...) is value-identical per
+    # width group: row_number over (bits, query_id) == the per-width
+    # row_number over query_id, same (sim desc, neighbor asc) ties.
+    idx_unions, q_unions = [], []
     for x in bits:
         width = int(x)
         wts = (
@@ -4134,47 +4268,58 @@ def ann_bits_sweep(
             f"zip_with(slice(sbits, t * {width} + 1, {width}), {wts},"
             " (x, w) -> x * w), 0L, (acc, v) -> acc + v))"
         )
-        indexed = e.select(
-            "vec_id",
-            "embedding",
-            "nrm",
-            F.posexplode(bucket_arr).alias("table", "bucket"),
+        idx_unions.append(
+            e.select(
+                F.lit(width).alias("bits"),
+                "vec_id",
+                "embedding",
+                "nrm",
+                F.posexplode(bucket_arr).alias("table", "bucket"),
+            )
         )
         q_bucket_arr = F.expr(
             f"transform(sequence(0, {n_tables - 1}), t -> aggregate("
             f"zip_with(slice(q_sbits, t * {width} + 1, {width}), {wts},"
             " (x, w) -> x * w), 0L, (acc, v) -> acc + v))"
         )
-        q = q0.select(
-            "query_id",
-            "q_emb",
-            "q_nrm",
-            F.posexplode(q_bucket_arr).alias("table", "bucket"),
-        )
-        cands = (
-            indexed.join(broadcast(q), on=["table", "bucket"])
-            .where(F.col("vec_id") != F.col("query_id"))
-            .select(
-                "query_id", "q_emb", "q_nrm", "vec_id", "embedding", "nrm"
-            )
-            .dropDuplicates(["query_id", "vec_id"])
-        )
-        scored = cands.select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _sim_from_dot(
-                F.col("q_emb"),
-                F.col("embedding"),
-                F.col("q_nrm"),
-                F.col("nrm"),
-            ).alias("sim"),
-        )
-        unions.append(
-            _topk(scored, k).select(
-                F.lit(width).alias("bits"), "query_id", "neighbor_id"
+        q_unions.append(
+            q0.select(
+                F.lit(width).alias("bits"),
+                "query_id",
+                "q_emb",
+                "q_nrm",
+                F.posexplode(q_bucket_arr).alias("table", "bucket"),
             )
         )
-    a = reduce(lambda x, y: x.unionByName(y), unions)
+    indexed = reduce(lambda x, y: x.unionByName(y), idx_unions)
+    q = reduce(lambda x, y: x.unionByName(y), q_unions)
+    cands = (
+        indexed.join(broadcast(q), on=["bits", "table", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "bits", "query_id", "q_emb", "q_nrm", "vec_id", "embedding", "nrm"
+        )
+        .dropDuplicates(["bits", "query_id", "vec_id"])
+    )
+    scored = cands.select(
+        "bits",
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _sim_from_dot(
+            F.col("q_emb"),
+            F.col("embedding"),
+            F.col("q_nrm"),
+            F.col("nrm"),
+        ).alias("sim"),
+    )
+    wk = Window.partitionBy("bits", "query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    a = (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("bits", "query_id", "neighbor_id")
+    )
     matched = a.join(
         exact.select("query_id", "neighbor_id"),
         ["query_id", "neighbor_id"],
